@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One verifiable engine query: a Spark plan builder plus (optionally) an
+  * equivalent ANSI SQL text the driver runs in DuckDB as the correctness
+  * oracle. Queries with no SQL-expressible oracle get a rows-only check.
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def queries: Seq[GQuery]
+}
+
+/** Parquet fixture loaders. All engine operators read these tables; at
+  * cluster scale the same code path reads partitioned parquet directories,
+  * so every query keeps projection/filter pushdown reachable by the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
+    * reader only accepts as a raw long (spark.sql.legacy.parquet.nanosAsLong).
+    * We expose both the ns long (`ts_ns`), the µs long (`ts_us`) and a proper
+    * µs timestamp column (`ts`), truncating ns→µs exactly like a
+    * TIMESTAMP_NS→TIMESTAMP cast does, so oracle SQL can match bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    apply(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}
+
+/** Shared helpers that keep results bit-identical between Spark and the
+  * DuckDB oracle:
+  *   - money/quantity aggregates run in DECIMAL (exact, associative — safe
+  *     under any partitioning/shuffle order) and are cast to DOUBLE only in
+  *     the final output;
+  *   - `dround` rounds a double with pure IEEE ops (mul/add/floor/div) that
+  *     are bit-deterministic in both engines, unlike round() whose tie
+  *     handling differs between implementations.
+  */
+object Bits {
+  val Dec: String = "decimal(12,2)"
+
+  def dec(c: Column): Column = c.cast(Dec)
+
+  def dround(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** SQL text mirror of dround, for oracle queries. */
+  def droundSql(e: String, digits: Int): String = {
+    val p = "1" + "0" * digits
+    s"FLOOR(($e) * $p.0 + 0.5) / $p.0"
+  }
+}

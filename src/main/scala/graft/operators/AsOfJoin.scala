@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (FOR SYSTEM_TIME AS OF / temporal join).
+  *
+  * Reference semantics: flink-table-runtime
+  * .../operators/join/temporal/TemporalRowTimeJoinOperator.java:78 — for
+  * each left row, pick the single right row with the greatest time <= the
+  * left row's time for the same key.
+  *
+  * Spark has no built-in as-of join, and the naive range join
+  * (l JOIN r ON key AND r.t <= l.t, then row_number) explodes to
+  * O(|l| * |matches|) intermediate rows. This implementation instead
+  * union-tags both sides and takes ONE sort-shuffle on (key, t):
+  * `last(right_payload, ignoreNulls)` over rows-unbounded-preceding
+  * propagates the latest right row to each left row. Cost is a single
+  * exchange + sort of |l|+|r| rows — the plan that still works when both
+  * sides are 100 TB (state never exceeds one key-group's sort run, skew is
+  * handled by AQE the same as any sort-merge join).
+  *
+  * Tie rule: right rows at the same key/time sort BEFORE left rows
+  * (side 0 < 1), so `<=` is inclusive; among equal right times the highest
+  * `tieBreak` wins.
+  */
+object AsOfJoin {
+
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Long.MaxValue))
+      .withColumn("__rp", lit(null).cast(structTypeOf(right, rightPayload)))
+      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__tie"), col("__rp")) ++
+        leftCols.map(col)): _*)
+
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(tieBreak).cast("long"))
+      .withColumn("__rp", struct(rightPayload.map(col): _*))
+      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__tie"), col("__rp")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    l.unionByName(r)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
+
+  /** Interval join: l rows matched to r rows of the same key with
+    * r.time in (l.time + lower, l.time + upper]. Expressed as an equi-join
+    * with a range predicate so Catalyst plans a shuffled hash / sort-merge
+    * join on the key with the range as a post-filter.
+    * Reference: .../operators/join/interval/TimeIntervalJoin.java. */
+  def interval(
+      left: DataFrame, right: DataFrame,
+      key: Column, cond: Column): DataFrame =
+    left.join(right, key && cond)
+}

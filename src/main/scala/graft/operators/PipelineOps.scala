@@ -1,0 +1,432 @@
+package graft.operators
+
+import graft.{GQuery, QueryModule, Tables}
+import graft.Bits.{dround, droundSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over `documents` and
+  * `embeddings`: deduplication (exact / normalized / n-gram Jaccard /
+  * MinHash-LSH / SimHash / embedding-cosine), similarity search (brute-force
+  * and LSH-bucketed ANN), and text analysis (quality scoring, language ID,
+  * token counting, fingerprinting).
+  *
+  * Design rules for 100 TB:
+  *  - everything is expressed with codegen'd built-ins and higher-order
+  *    functions (transform/filter/aggregate/zip_with) — no Scala UDFs;
+  *  - candidate generation is always sub-quadratic (inverted-index join on
+  *    shingles, LSH band buckets, hyperplane buckets); the only O(n^2)
+  *    operator (q42) is the small-side exact check, documented as such;
+  *  - aggregations are single-shuffle with map-side partial aggregation.
+  */
+object PipelineOps extends QueryModule {
+
+  /** Whitespace tokens of the lowercased text, empties removed. */
+  private val tokensExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+
+  /** doc_id -> distinct 3-token shingles (the n-gram dedup unit).
+    * Inverted-index shape: one row per (doc, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+      |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+      |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |        FROM documents) t
+      |  WHERE len(toks) >= 3) z""".stripMargin
+
+  /** Exact pairwise Jaccard >= minJaccardPct/100 via inverted-index join:
+    * shuffle on shingle, count shared shingles per pair, filter with exact
+    * integer arithmetic. Sub-quadratic when shingle frequencies are bounded
+    * (hot-shingle skew would be salted/capped at real scale). */
+  private def jaccardPairs(s: SparkSession, d: String, minJaccardPct: Int): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select($"doc_id".as("a_id"), $"shingle")
+    val b = sh.select($"doc_id".as("b_id"), $"shingle")
+    a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .filter($"inter" * 100 >= lit(minJaccardPct) * ($"na" + $"nb" - $"inter"))
+      .select($"a_id", $"b_id", $"inter", $"na", $"nb",
+        dround($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))
+  }
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      "q31_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy($"text")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      },
+      Some("""
+        |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q32_dedup_norm",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("norm",
+            trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+          .groupBy($"norm")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      },
+      Some("""
+        |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM documents) t
+        |GROUP BY norm ORDER BY keep_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q33_jaccard_pairs",
+      (s, d) => jaccardPairs(s, d, 20).orderBy(col("a_id"), col("b_id")),
+      Some(s"""
+        |WITH s AS ($shinglesSql),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, CAST(p.inter AS BIGINT) AS inter,
+        |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+        |       ${droundSql("p.inter / (sa.n + sb.n - p.inter)", 6)} AS jac
+        |FROM p JOIN sz sa ON p.a_id = sa.doc_id JOIN sz sb ON p.b_id = sb.doc_id
+        |WHERE p.inter * 100 >= 20 * (sa.n + sb.n - p.inter)
+        |ORDER BY a_id, b_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q34_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        // MinHash signatures (32 perms via seeded xxhash64) -> 8 bands of 4
+        // -> band-bucket join for candidates -> exact Jaccard verification.
+        // Engine-specific hashing => no SQL oracle; recall vs q33 is asserted
+        // in DedupSpec.
+        val nPerm = 32
+        val bands = 8
+        val rows = nPerm / bands
+        val sh = shingles(s, d)
+        val sig = sh.groupBy($"doc_id").agg(
+          min(xxhash64($"shingle", lit(0))).as("h0"),
+          (1 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)
+        val bandCols = (0 until bands).map { b =>
+          struct(lit(b).as("band_id"),
+            xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+              .as("band_key"))
+        }
+        val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+          .select($"doc_id", $"bk.band_id", $"bk.band_key")
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        // exact verification of candidates only
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.select($"doc_id".as("a_id"), $"shingle")
+          .join(sh.select($"doc_id".as("b_id"), $"shingle"), Seq("shingle"))
+          .filter($"a_id" < $"b_id")
+          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        cand.join(inter, Seq("a_id", "b_id"))
+          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+          .filter($"inter" * 100 >= lit(20) * ($"na" + $"nb" - $"inter"))
+          .select($"a_id", $"b_id",
+            dround($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))
+          .orderBy($"a_id", $"b_id")
+      },
+      None),
+
+    GQuery(
+      "q35_simhash",
+      (s, d) => {
+        import s.implicits._
+        // 64-bit SimHash over the token multiset: per bit, sum +/-1 weighted
+        // by the token hash bit; sign of the sum is the signature bit.
+        // Single shuffle (groupBy doc_id) with 64 codegen'd conditional sums.
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(expr(tokensExpr)).as("tok"))
+          .withColumn("th", xxhash64($"tok"))
+        val bitSums = (0 until 64).map(i =>
+          sum(when(expr(s"(th >> $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i"))
+        val packed = (0 until 64)
+          .map(i => s"(CASE WHEN b$i >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $i)")
+          .mkString(" + ")
+        toks.groupBy($"doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select($"doc_id", expr(packed).as("simhash"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    GQuery(
+      "q36_ann_bruteforce",
+      (s, d) => {
+        import s.implicits._
+        // Brute-force top-5 by dot product, quantized to integers so the
+        // result is exact and engine-independent (unit vectors => dot is
+        // cosine * 1e8). Queries are broadcast; the scan side streams.
+        val emb = Tables.embeddings(s, d).withColumn("q",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+        val queriesDf = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"q".as("qv"))
+        val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"vec_id")
+        emb.filter($"vec_id" >= 10).select($"vec_id", $"q")
+          .crossJoin(broadcast(queriesDf))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(q, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
+          .orderBy($"qid", $"rn")
+      },
+      Some("""
+        |WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < 10),
+        |db AS (SELECT vec_id, q FROM e WHERE vec_id >= 10),
+        |dt AS (SELECT qid, vec_id,
+        |         CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * qv[i+1])) AS BIGINT) AS dot
+        |       FROM db CROSS JOIN qs),
+        |r AS (SELECT qid, vec_id, dot,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+        |      FROM dt)
+        |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, dot
+        |FROM r WHERE rn <= 5
+        |ORDER BY qid, rn
+        |""".stripMargin)),
+
+    GQuery(
+      "q37_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        // Random-hyperplane LSH, 4 hash tables x 6 planes: each vector gets a
+        // 6-bit bucket per table; query/data pairs that collide in ANY table
+        // become candidates (multi-table OR raises recall the standard way).
+        // The scale path for q36; recall is asserted in SimilaritySpec.
+        val nTables = 4
+        val nPlanes = 6
+        val rng = new scala.util.Random(42)
+        val planes = Array.fill(nTables, nPlanes, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
+        val emb = Tables.embeddings(s, d).withColumn("ed",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        def bucketExpr(t: Int): String = planes(t).zipWithIndex.map { case (p, i) =>
+          val arr = p.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+          s"(CASE WHEN aggregate(zip_with(ed, $arr, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $i)"
+        }.mkString(" + ")
+        // (vec, table, bucket) inverted index; join per (table, bucket).
+        val withBucket = emb
+          .withColumn("buckets", array((0 until nTables).map(t => expr(bucketExpr(t))): _*))
+          .withColumn("q",
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+          .select($"vec_id", $"q", posexplode($"buckets").as(Seq("tbl", "bucket")))
+        val queriesDf = withBucket.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"q".as("qv"), $"tbl".as("qtbl"), $"bucket".as("qbucket"))
+        val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"vec_id")
+        withBucket.filter($"vec_id" >= 10).select($"vec_id", $"q", $"tbl", $"bucket")
+          .join(broadcast(queriesDf), $"tbl" === $"qtbl" && $"bucket" === $"qbucket")
+          .select($"qid", $"vec_id", $"q", $"qv").distinct()
+          .withColumn("dot", expr(
+            "aggregate(zip_with(q, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
+          .orderBy($"qid", $"rn")
+      },
+      None),
+
+    GQuery(
+      "q38_text_quality",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("n_tokens", size($"toks").cast("long"))
+          .withColumn("tok_chars",
+            expr("aggregate(transform(toks, x -> length(x)), 0, (a, b) -> a + b)"))
+          .select($"doc_id", $"n_tokens",
+            length($"text").cast("long").as("text_len"),
+            dround($"tok_chars" / $"n_tokens", 6).as("avg_tok_len"),
+            dround(length(regexp_replace($"text", "[a-zA-Z0-9 ]", "")) / length($"text"), 6)
+              .as("punct_ratio"),
+            dround(size(expr(
+              "filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))"))
+              / size($"toks"), 6).as("stop_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH t AS (SELECT doc_id, text,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS text_len,
+        |       ${droundSql("list_sum(list_transform(toks, x -> length(x))) / len(toks)", 6)} AS avg_tok_len,
+        |       ${droundSql("length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text)", 6)} AS punct_ratio,
+        |       ${droundSql("len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) / len(toks)", 6)} AS stop_ratio
+        |FROM t
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q39_langid",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("s_en", size(expr("filter(toks, x -> x IN ('the','and','of','a','is','to'))")).cast("long"))
+          .withColumn("s_de", size(expr("filter(toks, x -> x IN ('der','die','und','das','ist','zu'))")).cast("long"))
+          .withColumn("s_es", size(expr("filter(toks, x -> x IN ('el','la','de','los','es','y'))")).cast("long"))
+          .withColumn("s_fr", size(expr("filter(toks, x -> x IN ('le','les','des','et','est','une'))")).cast("long"))
+          .withColumn("pred_lang",
+            when($"s_en" >= greatest($"s_de", $"s_es", $"s_fr"), "en")
+              .when($"s_de" >= greatest($"s_es", $"s_fr"), "de")
+              .when($"s_es" >= $"s_fr", "es")
+              .otherwise("fr"))
+          .select($"doc_id", $"s_en", $"s_de", $"s_es", $"s_fr", $"pred_lang", $"lang".as("meta_lang"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id, lang,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','and','of','a','is','to'))) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','zu'))) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(toks, x -> x IN ('el','la','de','los','es','y'))) AS BIGINT) AS s_es,
+        |         CAST(len(list_filter(toks, x -> x IN ('le','les','des','et','est','une'))) AS BIGINT) AS s_fr
+        |       FROM t)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |       CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS pred_lang,
+        |       lang AS meta_lang
+        |FROM sc
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q40_token_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("n_ws", size(expr(tokensExpr)).cast("long"))
+          .withColumn("n_bpe",
+            size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long"))
+          .select($"doc_id", $"n_ws", $"n_bpe",
+            dround(length($"text") / $"n_bpe", 6).as("chars_per_token"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
+        |  ${droundSql("length(text) / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))", 6)} AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q41_fingerprint_md5",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q42_embedding_neardup",
+      (s, d) => {
+        import s.implicits._
+        // Exact O(n^2) near-dup check on quantized dot products. This is the
+        // verification path; at scale candidates come from q37's LSH buckets.
+        val emb = Tables.embeddings(s, d).select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("q"))
+        val a = emb.select($"vec_id".as("a_id"), $"q".as("qa"))
+        val b = emb.select($"vec_id".as("b_id"), $"q".as("qb"))
+        a.join(b, $"a_id" < $"b_id")
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .filter($"dot" >= 30000000L)
+          .select($"a_id", $"b_id", $"dot")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some("""
+        |WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS dot
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1] * b.q[i+1])) AS BIGINT) >= 30000000
+        |ORDER BY a_id, b_id
+        |""".stripMargin)),
+
+    GQuery(
+      "q43_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        // HLL++ approximate distinct (reference: BatchApproxCountDistinct-
+        // AggFunctions.java + hyperloglog/). Sketch is engine-specific =>
+        // rows-only check here; accuracy asserted in PipelineSpec.
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct($"l_partkey").as("apx_parts"),
+          approx_count_distinct($"l_suppkey").as("apx_supps"),
+          approx_count_distinct($"l_orderkey").as("apx_orders"),
+          countDistinct($"l_partkey").as("exact_parts"))
+      },
+      None),
+
+    GQuery(
+      "q44_listagg",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(array_join(array_sort(collect_set($"o_orderstatus")), ",").as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin))
+  )
+}
