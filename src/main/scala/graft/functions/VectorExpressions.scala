@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding arithmetic.
+  *
+  * The higher-order-function form `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0, (acc,v) -> acc+v)` is semantically right but runs interpreted per
+  * element (lambda variables defeat whole-stage codegen), which costs
+  * ~60µs per 64-dim pair — hopeless at 100 TB. These expressions generate a
+  * tight primitive loop over `ArrayData`, keeping the surrounding operators
+  * inside WholeStageCodegen.
+  *
+  * Reference analog: Flink's codegen'd scalar calls
+  * (flink-table-planner .../codegen/calls/BuiltInMethods.scala) — the same
+  * "generate a straight-line Java loop, never box" idea.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sequential-order double dot product (bit-deterministic: same fold order
+  * as a plain loop in any engine). */
+case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_double"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hamming distance between two 64-bit signatures (SimHash comparison). */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hamming64"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Word n-gram shingles of a token array: ["a","b","c","d"], k=3 ->
+  * ["a b c", "b c d"]. The HOF spelling
+  * transform(sequence(...), i -> concat_ws(' ', slice(toks, i+1, k)))
+  * allocates a lambda frame + slice array + sequence array per position,
+  * interpreted; this is a straight loop over the backing ArrayData. */
+case class ShingleArray(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.max(0, n - k + 1)
+    val out = new Array[Any](m)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val sep = ctx.addReferenceObj("sep", UTF8String.fromString(" "))
+      s"""
+         |int $m = java.lang.Math.max(0, $a.numElements() - $k + 1);
+         |Object[] $out = new Object[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String[] $parts =
+         |    new org.apache.spark.unsafe.types.UTF8String[$k];
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    $parts[$j] = $a.getUTF8String($i + $j);
+         |  }
+         |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($sep, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL registration so queries can use the expressions via expr("...") and
+  * users via spark.sql. Idempotent per session. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot_long",
+      es => DotProductLong(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_double",
+      es => DotProductDouble(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hamming64",
+      es => HammingDistance64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => ShingleArray(es(0), es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }), "built-in")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, QueryModule, Tables}
+import graft.functions.GraftFunctions
 import graft.Bits.{dround, droundSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -29,12 +30,11 @@ object PipelineOps extends QueryModule {
     * Inverted-index shape: one row per (doc, shingle). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    GraftFunctions.register(s)
     Tables.documents(s, d)
       .withColumn("toks", expr(tokensExpr))
       .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-        .as("shingle"))
+      .select($"doc_id", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
       .distinct()
   }
 
@@ -188,6 +188,7 @@ object PipelineOps extends QueryModule {
       "q36_ann_bruteforce",
       (s, d) => {
         import s.implicits._
+        GraftFunctions.register(s)
         // Brute-force top-5 by dot product, quantized to integers so the
         // result is exact and engine-independent (unit vectors => dot is
         // cosine * 1e8). Queries are broadcast; the scan side streams.
@@ -197,8 +198,7 @@ object PipelineOps extends QueryModule {
         val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"vec_id")
         emb.filter($"vec_id" >= 10).select($"vec_id", $"q")
           .crossJoin(broadcast(queriesDf))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(q, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("dot", expr("graft_dot_long(q, qv)"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
@@ -225,6 +225,7 @@ object PipelineOps extends QueryModule {
       "q37_ann_lsh",
       (s, d) => {
         import s.implicits._
+        GraftFunctions.register(s)
         // Random-hyperplane LSH, 4 hash tables x 6 planes: each vector gets a
         // 6-bit bucket per table; query/data pairs that collide in ANY table
         // become candidates (multi-table OR raises recall the standard way).
@@ -237,7 +238,7 @@ object PipelineOps extends QueryModule {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         def bucketExpr(t: Int): String = planes(t).zipWithIndex.map { case (p, i) =>
           val arr = p.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-          s"(CASE WHEN aggregate(zip_with(ed, $arr, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $i)"
+          s"(CASE WHEN graft_dot_double(ed, $arr) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $i)"
         }.mkString(" + ")
         // (vec, table, bucket) inverted index; join per (table, bucket).
         val withBucket = emb
@@ -251,8 +252,7 @@ object PipelineOps extends QueryModule {
         withBucket.filter($"vec_id" >= 10).select($"vec_id", $"q", $"tbl", $"bucket")
           .join(broadcast(queriesDf), $"tbl" === $"qtbl" && $"bucket" === $"qbucket")
           .select($"qid", $"vec_id", $"q", $"qv").distinct()
-          .withColumn("dot", expr(
-            "aggregate(zip_with(q, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("dot", expr("graft_dot_long(q, qv)"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
@@ -371,6 +371,7 @@ object PipelineOps extends QueryModule {
       "q42_embedding_neardup",
       (s, d) => {
         import s.implicits._
+        GraftFunctions.register(s)
         // Exact O(n^2) near-dup check on quantized dot products. This is the
         // verification path; at scale candidates come from q37's LSH buckets.
         val emb = Tables.embeddings(s, d).select($"vec_id", expr(
@@ -378,8 +379,7 @@ object PipelineOps extends QueryModule {
         val a = emb.select($"vec_id".as("a_id"), $"q".as("qa"))
         val b = emb.select($"vec_id".as("b_id"), $"q".as("qb"))
         a.join(b, $"a_id" < $"b_id")
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("dot", expr("graft_dot_long(qa, qb)"))
           .filter($"dot" >= 30000000L)
           .select($"a_id", $"b_id", $"dot")
           .orderBy($"a_id", $"b_id")

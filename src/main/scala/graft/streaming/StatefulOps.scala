@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators built on
+  * KeyValueGroupedDataset.flatMapGroupsWithState — the Spark analog of
+  * Flink's KeyedProcessFunction + keyed state (SURVEY.md §2.6, §2.10).
+  * These cover the streaming specialties Spark's declarative API lacks:
+  * incremental top-N, keep-last changelog normalization, count windows.
+  *
+  * State is per-key and bounded (top-N buffer of size n, single row,
+  * count+buffer of size w) so RocksDB state size is O(keys), not O(rows) —
+  * the property that makes them viable on a 1000-executor cluster.
+  */
+object StatefulOps {
+
+  /** Incremental top-N per key over an append-only stream: on every
+    * micro-batch, emits the key's refreshed top-N as (key, rank, score,
+    * payload) rows — the update-mode contract of Flink's
+    * AppendOnlyTopNFunction (rank/AppendOnlyTopNFunction.java:52).
+    * State: the N best (score, payload) pairs per key. */
+  def topNPerKey[K: Encoder](
+      ds: Dataset[(K, Double, String)], n: Int)(
+      implicit e1: Encoder[Seq[(Double, String)]],
+      e2: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
+
+    def update(key: K, rows: Iterator[(K, Double, String)],
+        state: GroupState[Seq[(Double, String)]]): Iterator[(K, Int, Double, String)] = {
+      val prev = state.getOption.getOrElse(Seq.empty)
+      val merged = (prev ++ rows.map(r => (r._2, r._3)))
+        .sortBy { case (score, payload) => (-score, payload) }
+        .take(n)
+      state.update(merged)
+      merged.iterator.zipWithIndex.map { case ((score, payload), i) =>
+        (key, i + 1, score, payload)
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** ChangelogNormalize / keep-last-row per key: emits the key's latest row
+    * (by event-time, then tie-break) whenever it changes. Downstream of an
+    * upsert source this reconstructs a clean changelog exactly like
+    * StreamExecChangelogNormalize. State: one (ts, payload) per key. */
+  def keepLastByKey[K: Encoder](
+      ds: Dataset[(K, Long, String)])(
+      implicit e1: Encoder[(Long, String)],
+      e2: Encoder[(K, Long, String)]): Dataset[(K, Long, String)] = {
+
+    def update(key: K, rows: Iterator[(K, Long, String)],
+        state: GroupState[(Long, String)]): Iterator[(K, Long, String)] = {
+      val best = (state.getOption.iterator ++ rows.map(r => (r._2, r._3)))
+        .maxBy { case (ts, payload) => (ts, payload) }
+      val changed = !state.getOption.contains(best)
+      state.update(best)
+      if (changed) Iterator((key, best._1, best._2)) else Iterator.empty
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Count-based tumbling window per key (Flink countWindow — no Spark
+    * equivalent): buffers rows per key and emits an aggregate every
+    * `size` rows. State: the current partial buffer. */
+  def countTumbleWindow[K: Encoder](
+      ds: Dataset[(K, Double)], size: Int)(
+      implicit e1: Encoder[(Seq[Double], Long)],
+      e2: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] = {
+
+    def update(key: K, rows: Iterator[(K, Double)],
+        state: GroupState[(Seq[Double], Long)]): Iterator[(K, Long, Double)] = {
+      var (buf, windowIdx) = state.getOption.getOrElse((Seq.empty[Double], 0L))
+      val out = Seq.newBuilder[(K, Long, Double)]
+      rows.foreach { r =>
+        buf = buf :+ r._2
+        if (buf.size == size) {
+          out += ((key, windowIdx, buf.sum))
+          windowIdx += 1
+          buf = Seq.empty
+        }
+      }
+      state.update((buf, windowIdx))
+      out.result().iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("graft_dot_long matches HOF aggregate/zip_with") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-2L, 7L), Seq(3L, 3L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val got = df.selectExpr("graft_dot_long(a, b) AS d").as[Long].collect().toSeq
+    val ref = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d")
+      .as[Long].collect().toSeq
+    assert(got == ref && got == Seq(32L, 15L, 0L))
+  }
+
+  test("graft_dot_double sequential fold order") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(0.5, -1.5, 2.0), Seq(2.0, 2.0, 0.25))).toDF("a", "b")
+    val got = df.selectExpr("graft_dot_double(a, b) AS d").as[Double].head()
+    assert(got == (0.5 * 2.0) + (-1.5 * 2.0) + (2.0 * 0.25))
+  }
+
+  test("graft_dot_long is null-safe") {
+    GraftFunctions.register(spark)
+    val df = spark.sql("SELECT graft_dot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
+    assert(df.head().isNullAt(0))
+  }
+
+  test("graft_hamming64") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+      .selectExpr("graft_hamming64(a, b) AS h").as[Int].collect().toSeq
+    assert(got == Seq(64, 1, 0))
+  }
+
+  test("graft_shingles") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq(Seq("a", "b", "c", "d"), Seq("a", "b"), Seq.empty[String])
+      .toDF("t").selectExpr("graft_shingles(t, 3) AS s")
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq.empty, Seq.empty))
+  }
+
+  test("expressions survive both codegen and interpreted paths") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(2L, 3L), Seq(10L, 20L))).toDF("a", "b")
+    // wholestage on (default) and off exercise doGenCode and nullSafeEval
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = df.selectExpr("graft_dot_long(a, b) AS d").as[Long].head()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val gen = df.selectExpr("graft_dot_long(a, b) AS d").as[Long].head()
+    assert(interp == 80L && gen == 80L)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the no-oracle pipeline operators: MinHash recall vs
+  * exact Jaccard, LSH-ANN vs brute force, HLL accuracy, SimHash locality. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("minhash-lsh candidates verified-exact are a subset of exact jaccard pairs") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q33_jaccard_pairs")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q34_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
+    // 8 bands of 4 rows at jaccard>=0.2 typically catches most true pairs;
+    // require non-trivial recall when there are pairs at all.
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.3, s"recall $recall too low (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("lsh ANN results are true neighbors from the brute-force ranking universe") {
+    import spark.implicits._
+    val bf = SparkEntry.queries("q36_ann_bruteforce")(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val lsh = SparkEntry.queries("q37_ann_lsh")(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit must carry the same exact dot the brute force computes
+    lsh.foreach { case (qid, vid, dot) =>
+      bf.get(qid).flatMap(_.get(vid)).foreach(bfDot => assert(bfDot == dot))
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = SparkEntry.queries("q43_approx_distinct")(spark, sf).head()
+    val apx = r.getAs[Long]("apx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(apx - exact) / exact < 0.05, s"apx=$apx exact=$exact")
+  }
+
+  test("simhash: identical text => identical signature") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sh = SparkEntry.queries("q35_simhash")(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val joined = sh.join(docs, "doc_id")
+      .groupBy("text").agg(countDistinct("simhash").as("n"))
+    assert(joined.filter(col("n") > 1).count() == 0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.streaming.{StatefulOps, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Harness-style tests for the streaming spine (the analog of Flink's
+  * runtime/harness tests): drive MemoryStream batches through each operator
+  * and assert emitted rows. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumble window aggregation with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "k", "v")
+    val agg = StreamOps.tumbleAgg(df, "ts", "10 seconds", "1 minute",
+      Seq(col("k")), Seq(count(lit(1)).as("n"), sum($"v").as("s")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out").start()
+    in.addData((ts(0), "a", 1.0), (ts(30), "a", 2.0), (ts(70), "a", 4.0), (ts(10), "b", 8.0))
+    runToCompletion(q)
+    val rows = spark.table("tumble_out")
+      .select($"w.start".cast("long"), $"k", $"n", $"s")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows == Set((0L, "a", 2L, 3.0), (60L, "a", 1L, 4.0), (0L, "b", 1L, 8.0)))
+  }
+
+  test("session window merges within gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.sessionAgg(in.toDF().toDF("ts", "k", "v"), "ts",
+      "5 seconds", "30 seconds", Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    // 0 and 20 merge (gap<30); 100 is a new session
+    in.addData((ts(0), "a", 1.0), (ts(20), "a", 1.0), (ts(100), "a", 1.0))
+    runToCompletion(q)
+    val rows = spark.table("sess_out")
+      .select($"w.start".cast("long"), $"n").as[(Long, Long)].collect().toSet
+    assert(rows == Set((0L, 2L), (100L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("ts", "id"), "ts", "10 seconds", Seq("id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    in.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L), (ts(3), 1L))
+    runToCompletion(q)
+    assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("stateful incremental top-N per key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, String)]
+    val out = StatefulOps.topNPerKey(in.toDS(), n = 2)
+    val q = out.toDF("k", "rank", "score", "payload").writeStream
+      .outputMode("update").format("memory").queryName("topn_out").start()
+    in.addData(("a", 5.0, "x"), ("a", 9.0, "y"), ("a", 1.0, "z"))
+    q.processAllAvailable()
+    in.addData(("a", 7.0, "w")) // displaces x from top-2
+    runToCompletion(q)
+    // last update for key a must be rank1=y(9), rank2=w(7)
+    val last = spark.table("topn_out").as[(String, Int, Double, String)]
+      .collect().toSeq
+    val finalTop = last.takeRight(2).map(r => (r._2, r._4)).toSet
+    assert(finalTop == Set((1, "y"), (2, "w")))
+  }
+
+  test("keepLastByKey emits only on change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val out = StatefulOps.keepLastByKey(in.toDS())
+    val q = out.toDF("k", "ts", "v").writeStream
+      .outputMode("update").format("memory").queryName("kl_out").start()
+    in.addData((1L, 10L, "a"), (1L, 20L, "b"))
+    q.processAllAvailable()
+    in.addData((1L, 15L, "stale")) // older than current best -> no emission
+    runToCompletion(q)
+    val rows = spark.table("kl_out").as[(Long, Long, String)].collect().toSeq
+    assert(rows.last == ((1L, 20L, "b")))
+    assert(rows.count(_._1 == 1L) == 1) // stale row emitted nothing new
+  }
+
+  test("count tumbling window emits every N rows with continuous indices") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val out = StatefulOps.countTumbleWindow(in.toDS(), size = 2)
+    val q = out.toDF("k", "win", "sum").writeStream
+      .outputMode("append").format("memory").queryName("cw_out").start()
+    in.addData(("a", 1.0), ("a", 2.0), ("a", 3.0))
+    q.processAllAvailable()
+    in.addData(("a", 4.0)) // completes second window across batches
+    runToCompletion(q)
+    val rows = spark.table("cw_out").as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 0L, 3.0), ("a", 1L, 7.0)))
+  }
+
+  test("stream-stream interval join within bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamOps.intervalJoin(
+      l.toDF().toDF("lts", "lk", "lv"), "lts",
+      r.toDF().toDF("rts", "rk", "rv"), "rts",
+      "10 seconds", col("lk") === col("rk"), "0 seconds", "30 seconds")
+    val q = joined.select("lv", "rv").writeStream
+      .outputMode("append").format("memory").queryName("ij_out").start()
+    l.addData((ts(100), 1L, "L1"))
+    r.addData((ts(110), 1L, "R-in"), (ts(140), 1L, "R-out"), (ts(105), 2L, "R-wrongkey"))
+    runToCompletion(q)
+    val rows = spark.table("ij_out").as[(String, String)].collect().toSet
+    assert(rows == Set(("L1", "R-in")))
+  }
+}
