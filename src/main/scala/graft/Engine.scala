@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TableEnvironment analog (SURVEY.md §3.1): session construction with the
+  * engine's extensions, catalog registration of the fixture tables as temp
+  * views, and a SQL entry point. Flink's parse/validate/optimize/execute
+  * chain is Catalyst's — we only add the catalog and function surface.
+  */
+object Engine {
+
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  /** Register every fixture table as a temp view (events with the derived
+    * µs timestamp columns), making `spark.sql` queries self-contained. */
+  def openCatalog(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, dir) else Tables(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+  }
+
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}

@@ -18,7 +18,8 @@ object SparkEntry {
     Relational,
     WindowOps,
     JoinOps,
-    PipelineOps)
+    PipelineOps,
+    AdvancedOps)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

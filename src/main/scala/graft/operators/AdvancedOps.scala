@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Engine, GQuery, QueryModule, Tables}
+import graft.cep.Cep
+import org.apache.spark.sql.functions._
+
+/** CEP / MATCH_RECOGNIZE queries, the SQL entry surface, and grouping-set
+  * coverage beyond rollup.
+  *
+  * Reference: flink-libraries/flink-cep (NFA.java:86), MATCH_RECOGNIZE
+  * bridge (StreamExecMatch.java), TableEnvironment.executeSql
+  * (TableEnvironmentImpl.java:722), DecomposeGroupingSetsRule.
+  */
+object AdvancedOps extends QueryModule {
+
+  /** signup -> click -> purchase step mapping over `events`. */
+  private val stepExpr =
+    """CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+      |     WHEN 'purchase' THEN 2 ELSE -1 END""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // Single-attempt funnel (SQL-expressible CEP-lite): first signup, then
+      // first click after it, then first purchase after that; complete runs
+      // within 7 days of the signup (fixture events are sparse).
+      "q45_funnel_first",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts_us")
+        val su = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts_us").as("s_us"))
+        val cl = ev.filter($"event_type" === "click")
+          .join(su, "user_id").filter($"ts_us" > $"s_us")
+          .groupBy($"user_id", $"s_us").agg(min($"ts_us").as("c_us"))
+        val pu = ev.filter($"event_type" === "purchase")
+          .join(cl, "user_id").filter($"ts_us" > $"c_us")
+          .groupBy($"user_id", $"s_us", $"c_us").agg(min($"ts_us").as("p_us"))
+        pu.filter($"p_us" - $"s_us" <= 604800L * 1000000L)
+          .orderBy($"user_id")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, MIN(us) AS s_us FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, s.s_us, MIN(e.us) AS c_us
+        |      FROM e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.us > s.s_us GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, c.s_us, c.c_us, MIN(e.us) AS p_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1, 2, 3)
+        |SELECT user_id, s_us, c_us, p_us FROM p
+        |WHERE p_us - s_us <= 604800000000
+        |ORDER BY user_id
+        |""".stripMargin)),
+
+    GQuery(
+      // Full NFA semantics (AFTER MATCH SKIP PAST LAST ROW, relaxed
+      // contiguity, within-horizon pruning) — not SQL-expressible; CepSpec
+      // asserts batch/stream equivalence and hand-built scenarios.
+      "q46_cep_matches",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id".as("key"), $"ts_us".as("t"),
+            expr(stepExpr).as("step"), $"event_id".as("tie"))
+        Cep.detectBatch(s, ev, nSteps = 3, within = 604800L * 1000000L)
+          .select($"key".as("user_id"),
+            element_at($"step_times", 1).as("s_us"),
+            element_at($"step_times", 2).as("c_us"),
+            element_at($"step_times", 3).as("p_us"))
+          .orderBy($"user_id", $"s_us")
+      },
+      None),
+
+    GQuery(
+      // The SQL entry path: identical text runs through spark.sql (via
+      // Engine catalog) and DuckDB.
+      "q47_sql_entry",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, AdvancedOps.q47Sql)
+      },
+      Some(q47Sql)),
+
+    GQuery(
+      "q48_cube_grouping",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"n", $"gid".cast("long").as("gid"))
+          .orderBy($"gid", $"status", $"priority")
+      },
+      Some("""
+        |SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority
+        |""".stripMargin)),
+
+    GQuery(
+      // stddev/variance: both engines use numerically different single-pass
+      // algorithms, so compare after dround (values are far from rounding
+      // boundaries relative to the ~1e-12 algorithmic noise).
+      "q49_stat_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.Bits.dround
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            stddev_samp($"o_totalprice").as("sd_s"),
+            stddev_pop($"o_totalprice").as("sd_p"),
+            var_samp($"o_totalprice").as("v_s"),
+            var_pop($"o_totalprice").as("v_p"))
+          .select($"o_orderpriority",
+            dround($"sd_s", 2).as("sd_samp"), dround($"sd_p", 2).as("sd_pop"),
+            dround($"v_s" / 1000000.0, 2).as("var_samp_m"),
+            dround($"v_p" / 1000000.0, 2).as("var_pop_m"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""
+        |SELECT o_orderpriority,
+        |  ${graft.Bits.droundSql("stddev_samp(o_totalprice)", 2)} AS sd_samp,
+        |  ${graft.Bits.droundSql("stddev_pop(o_totalprice)", 2)} AS sd_pop,
+        |  ${graft.Bits.droundSql("var_samp(o_totalprice) / 1000000.0", 2)} AS var_samp_m,
+        |  ${graft.Bits.droundSql("var_pop(o_totalprice) / 1000000.0", 2)} AS var_pop_m
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin))
+  )
+
+  val q47Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |""".stripMargin
+}

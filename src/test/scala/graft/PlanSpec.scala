@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that decide whether the
+  * engine scales — filter/column pushdown reaching the parquet scan,
+  * broadcast joins for small dims, top-N as TakeOrderedAndProject, and
+  * whole-stage codegen presence. The analog of the reference's golden-plan
+  * tests (flink-table-planner plan XML tests). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$p")
+  }
+
+  test("q01: scan reads only the needed columns") {
+    val p = plan("q01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"scan reads unneeded columns: $read")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+  }
+
+  test("q03: dimension joins are broadcast") {
+    val p = plan("q03_region_revenue_bcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim joins must not sort-merge")
+  }
+
+  test("q02: order-by-limit plans as TakeOrderedAndProject") {
+    val p = plan("q02_topn_revenue_join")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen") {
+    // codegen spans only show in the finalized adaptive plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators render as "*(n) Op" in the final adaptive plan
+    assert(p.contains("*(") , s"no whole-stage codegen span in plan:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*(")),
+      s"HashAggregate outside codegen:\n$p")
+  }
+
+  test("q36: query side is broadcast, scan side streams") {
+    val p = plan("q36_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"plan:\n$p")
+  }
+
+  test("q28: lookup join broadcasts the dimension") {
+    val p = plan("q28_lookup_join_bcast")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+}
