@@ -19,7 +19,8 @@ object SparkEntry {
     WindowOps,
     JoinOps,
     PipelineOps,
-    AdvancedOps)
+    AdvancedOps,
+    MultimodalOps)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 
