@@ -20,7 +20,9 @@ object SparkEntry {
     JoinOps,
     PipelineOps,
     AdvancedOps,
-    MultimodalOps)
+    MultimodalOps,
+    GraphOps,
+    SinkOps)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

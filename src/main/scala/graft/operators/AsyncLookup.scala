@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+import java.util.concurrent.{ArrayBlockingQueue, Executors, TimeUnit}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Async lookup join: per-row point lookups against an external service
+  * with bounded in-flight concurrency and ORDERED emission.
+  *
+  * Reference: flink-streaming-java .../operators/async/AsyncWaitOperator
+  * .java:92 (ordered mode, capacity, timeout) + table lookup joins via
+  * AsyncLookupFunction (flink-table-runtime .../join/lookup/
+  * AsyncLookupJoinRunner.java:44).
+  *
+  * Spark has no built-in async operator; the idiomatic port is
+  * mapPartitions with a sliding window of Futures: up to `capacity`
+  * requests in flight per partition, results emitted in input order (the
+  * operator's pipeline parallelism = #partitions x capacity). The lookup
+  * function must be serializable; connection pools should live in a
+  * per-executor lazy singleton.
+  */
+object AsyncLookup {
+
+  def ordered[I, O](
+      ds: Dataset[I], capacity: Int, timeoutMs: Long)(
+      lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] = {
+    require(capacity > 0)
+    ds.mapPartitions { rows =>
+      // Per-partition bounded async window. Daemon threads + shutdown on
+      // both success and failure paths: a timed-out lookup must not pin the
+      // executor JVM.
+      val pool = Executors.newFixedThreadPool(capacity, r => {
+        val t = new Thread(r, "graft-async-lookup")
+        t.setDaemon(true)
+        t
+      })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val inFlight = new ArrayBlockingQueue[(I, Future[O])](capacity)
+
+      def drainOne(): (I, O) = {
+        val (in, fut) = inFlight.take()
+        try in -> Await.result(fut, Duration(timeoutMs, TimeUnit.MILLISECONDS))
+        catch { case e: Throwable => pool.shutdownNow(); throw e }
+      }
+
+      val out = new Iterator[(I, O)] {
+        override def hasNext: Boolean = {
+          val more = rows.hasNext || !inFlight.isEmpty
+          if (!more) pool.shutdown()
+          more
+        }
+        override def next(): (I, O) = {
+          while (rows.hasNext && inFlight.remainingCapacity() > 0) {
+            val in = rows.next()
+            inFlight.put((in, Future(lookup(in))))
+          }
+          drainOne()
+        }
+      }
+      out
+    }
+  }
+}

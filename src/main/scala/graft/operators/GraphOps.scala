@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{GQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators (Gelly analog, SURVEY.md §2.12): vertices/edges as
+  * DataFrames, algorithms as iterative joins driven from the driver —
+  * the GraphFrames pattern.
+  *
+  * Reference: flink-libraries/flink-gelly .../library/ConnectedComponents,
+  * LabelPropagation, SingleSourceShortestPaths.
+  *
+  * Scale notes: each iteration is one shuffle join on the edge list
+  * (edges partition by src). Iteration count is bounded by the graph
+  * diameter (min-label propagation), and each round's frontier shrinks;
+  * for 100 TB edge lists you'd persist the label frame between rounds and
+  * checkpoint every ~10 iterations to cut lineage — done here via cache().
+  */
+object GraphOps extends QueryModule {
+
+  /** Min-label propagation connected components over an undirected edge
+    * list (columns src, dst). Returns (vertex, component) where component
+    * is the minimum vertex id reachable. */
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    // localCheckpoint (not cache) after every round: it truncates lineage,
+    // keeping each iteration's plan O(1) — with cache alone the logical
+    // plan nests exponentially and AQE's plan bookkeeping dominates.
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select($"src".as("v")).distinct()
+      .withColumn("comp", $"v").localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate = min over neighbors' labels and own
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("v", "dst2"), $"dst" === $"dst2")
+        .select($"src".as("v"), $"comp")
+      val next = labels.select($"v", $"comp").union(viaNeighbors)
+        .groupBy($"v").agg(min($"comp").as("comp")).localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "v")
+        .filter($"comp" =!= $"old").limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Single-source shortest paths (unweighted BFS layers) from `source`. */
+  def shortestPaths(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    var dist = sym.select($"src".as("v")).distinct()
+      .withColumn("d", when($"v" === source, 0L).otherwise(lit(Long.MaxValue)))
+      .localCheckpoint()
+    var i = 0
+    var frontier = 1L
+    while (frontier > 0 && i < maxIter) {
+      val relaxed = sym
+        .join(dist.withColumnRenamed("v", "src2").withColumnRenamed("d", "ds"), $"src" === $"src2")
+        .filter($"ds" =!= Long.MaxValue)
+        .select($"dst".as("v"), ($"ds" + 1).as("cand"))
+      val next = dist.join(relaxed.groupBy($"v").agg(min($"cand").as("cand")), Seq("v"), "left")
+        .select($"v", least($"d", coalesce($"cand", lit(Long.MaxValue))).as("d"))
+        .localCheckpoint()
+      frontier = next.join(dist.withColumnRenamed("d", "old"), "v")
+        .filter($"d" =!= $"old").count()
+      dist = next
+      i += 1
+    }
+    dist
+  }
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // Connected components over the co-purchase graph: suppliers are
+      // linked when they ship lines of the same order. Oracle: iterative
+      // min-label propagation via DuckDB recursive CTE.
+      "q53_connected_components",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 500)
+          .select($"l_orderkey", $"l_suppkey")
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .filter($"src" < $"dst").distinct()
+        connectedComponents(s, edges)
+          .select($"v".as("supplier"), $"comp".as("component"))
+          .orderBy($"supplier")
+      },
+      Some("""
+        |WITH RECURSIVE e0 AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_suppkey < b.l_suppkey AND a.l_orderkey < 500 AND b.l_orderkey < 500),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |r AS (
+        |  SELECT src AS v, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst AS v, r.comp FROM r JOIN e ON r.v = e.src
+        |)
+        |SELECT v AS supplier, CAST(MIN(comp) AS BIGINT) AS component
+        |FROM r GROUP BY v
+        |ORDER BY supplier
+        |""".stripMargin))
+  )
+}

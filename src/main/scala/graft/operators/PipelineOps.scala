@@ -129,16 +129,20 @@ object PipelineOps extends QueryModule {
         val nPerm = 32
         val bands = 8
         val rows = nPerm / bands
-        val sh = shingles(s, d)
-        val sig = sh.groupBy($"doc_id").agg(
-          min(xxhash64($"shingle", lit(0))).as("h0"),
-          (1 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)
+        // One pass over shingles yields BOTH the signature mins and the
+        // doc's shingle set (for candidate verification) — single shuffle.
+        val aggCols = collect_list($"shingle").as("sset") +:
+          (0 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i"))
+        val docSets = shingles(s, d).groupBy($"doc_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("n", size($"sset"))
+          .cache()
         val bandCols = (0 until bands).map { b =>
           struct(lit(b).as("band_id"),
             xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
               .as("band_key"))
         }
-        val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+        val buckets = docSets.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
           .select($"doc_id", $"bk.band_id", $"bk.band_key")
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band_id") === col("y.band_id") &&
@@ -146,15 +150,12 @@ object PipelineOps extends QueryModule {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        // exact verification of candidates only
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.select($"doc_id".as("a_id"), $"shingle")
-          .join(sh.select($"doc_id".as("b_id"), $"shingle"), Seq("shingle"))
-          .filter($"a_id" < $"b_id")
-          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-        cand.join(inter, Seq("a_id", "b_id"))
-          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+        // exact Jaccard for CANDIDATES ONLY (never the all-pairs join —
+        // that's what makes LSH the scale path).
+        cand
+          .join(docSets.select($"doc_id".as("a_id"), $"sset".as("sa"), $"n".as("na")), Seq("a_id"))
+          .join(docSets.select($"doc_id".as("b_id"), $"sset".as("sb"), $"n".as("nb")), Seq("b_id"))
+          .withColumn("inter", size(array_intersect($"sa", $"sb")))
           .filter($"inter" * 100 >= lit(20) * ($"na" + $"nb" - $"inter"))
           .select($"a_id", $"b_id",
             dround($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{GQuery, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink-side utilities: constraint enforcement and side-output splitting.
+  *
+  * Reference: flink-table-runtime .../sink/ConstraintEnforcer.java (361 LoC
+  * — NOT NULL and CHAR-length enforcement with ERROR/TRIM/DROP policies)
+  * and SideOutputDataStream.java (ProcessFunction output tags).
+  */
+object SinkOps extends QueryModule {
+
+  sealed trait Policy
+  case object ErrorPolicy extends Policy
+  case object DropPolicy extends Policy
+  case object TrimPolicy extends Policy
+
+  /** Apply NOT NULL + max-char-length constraints ahead of a sink write.
+    * ERROR raises on violation (like Flink's default), DROP filters the
+    * row, TRIM truncates over-long strings. Pure projection/filter — stays
+    * in codegen, no shuffle. */
+  def enforceConstraints(
+      df: DataFrame,
+      notNull: Seq[String],
+      charLength: Map[String, Int],
+      policy: Policy): DataFrame = {
+    val afterNull = policy match {
+      case ErrorPolicy =>
+        notNull.foldLeft(df) { (d, c) =>
+          d.withColumn(c, when(col(c).isNull,
+            raise_error(lit(s"NOT NULL constraint violated: $c"))).otherwise(col(c)))
+        }
+      case DropPolicy =>
+        notNull.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+      case TrimPolicy => df // trim policy only affects lengths
+    }
+    charLength.foldLeft(afterNull) { case (d, (c, n)) =>
+      policy match {
+        case TrimPolicy => d.withColumn(c, substring(col(c), 1, n))
+        case DropPolicy => d.filter(length(col(c)) <= n)
+        case ErrorPolicy => d.withColumn(c,
+          when(length(col(c)) > n,
+            raise_error(lit(s"CHAR length constraint violated: $c > $n"))).otherwise(col(c)))
+      }
+    }
+  }
+
+  /** Side outputs: split one DataFrame into tagged outputs by predicate
+    * (each output is an independent lazy plan; write them in one
+    * foreachBatch for a single source pass per sink). */
+  def sideOutputs(df: DataFrame, tags: Map[String, Column]): Map[String, DataFrame] =
+    tags.map { case (tag, pred) => tag -> df.filter(pred) }
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      "q54_constraint_enforce",
+      (s, d) => {
+        import s.implicits._
+        enforceConstraints(
+          Tables.part(s, d),
+          notNull = Seq("p_name"),
+          charLength = Map("p_type" -> 5, "p_brand" -> 7),
+          policy = TrimPolicy)
+          .select($"p_partkey", $"p_type", $"p_brand")
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        |SELECT p_partkey, substring(p_type, 1, 5) AS p_type,
+        |       substring(p_brand, 1, 7) AS p_brand
+        |FROM part
+        |ORDER BY p_partkey
+        |""".stripMargin)),
+
+    GQuery(
+      "q55_side_outputs",
+      (s, d) => {
+        import s.implicits._
+        val outs = sideOutputs(Tables.events(s, d), Map(
+          "errors" -> ($"event_type" === "error"),
+          "big" -> ($"value" > 150.0),
+          "rest" -> ($"event_type" =!= "error" && $"value" <= 150.0)))
+        outs.toSeq.sortBy(_._1).map { case (tag, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(tag).as("tag"), $"n")
+        }.reduce(_ unionAll _).orderBy($"tag")
+      },
+      Some("""
+        |SELECT 'big' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE value > 150.0
+        |UNION ALL
+        |SELECT 'errors', CAST(COUNT(*) AS BIGINT) FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT 'rest', CAST(COUNT(*) AS BIGINT) FROM events
+        |WHERE event_type <> 'error' AND value <= 150.0
+        |ORDER BY tag
+        |""".stripMargin))
+  )
+}

@@ -63,6 +63,35 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Event-time sort (Flink RowTimeSortOperator: emit rows in event-time
+    * order once the watermark passes them). Input must carry a watermark on
+    * its timestamp column; rows at or below the watermark are released in
+    * (time, payload) order, later rows stay buffered. State: the pending
+    * buffer per key; an event-time timeout flushes when the watermark
+    * advances without new data for the key. */
+  def eventTimeSort[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, String)])(
+      implicit e1: Encoder[Seq[(Long, String)]],
+      e2: Encoder[(K, Long, String)]): Dataset[(K, Long, String)] = {
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, String)],
+        state: GroupState[Seq[(Long, String)]]): Iterator[(K, Long, String)] = {
+      val buf = state.getOption.getOrElse(Seq.empty) ++
+        rows.map(r => (r._2.getTime, r._3))
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, pending) = buf.partition(_._1 <= wm)
+      if (pending.isEmpty) state.remove()
+      else {
+        state.update(pending)
+        state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      ready.sortBy(identity).iterator.map(r => (key, r._1, r._2))
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Count-based tumbling window per key (Flink countWindow — no Spark
     * equivalent): buffers rows per key and emits an aggregate every
     * `size` rows. State: the current partial buffer. */

@@ -116,6 +116,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("a", 0L, 3.0), ("a", 1L, 7.0)))
   }
 
+  test("event-time sort releases rows in order as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Timestamp, String)]
+    val out = StatefulOps.eventTimeSort(watermarked)
+    val q = out.toDF("k", "t", "v").writeStream
+      .outputMode("append").format("memory").queryName("ets_out").start()
+    // batch 1: out-of-order 100, 50, 80 -> watermark after batch = 90s
+    in.addData((1L, ts(100), "c"), (1L, ts(50), "a"), (1L, ts(80), "b"))
+    q.processAllAvailable()
+    // batch 2: ts=200 advances watermark to 190 -> 50,80 already out; 100 out now
+    in.addData((1L, ts(200), "d"))
+    q.processAllAvailable()
+    // batch 3: flush the rest
+    in.addData((1L, ts(500), "z"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ets_out").as[(Long, Long, String)].collect().toSeq
+    val emittedVs = got.map(_._3)
+    // all but the last row must be out, in event-time order
+    assert(emittedVs.containsSlice(Seq("a", "b", "c", "d")),
+      s"wrong order/content: $emittedVs")
+    assert(got.map(_._2) == got.map(_._2).sorted, "not emitted in time order")
+  }
+
   test("stream-stream interval join within bounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
