@@ -133,6 +133,39 @@ object AdvancedOps extends QueryModule {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
+      // JSON_ARRAYAGG / JSON_OBJECTAGG (BuiltInFunctionDefinitions
+      // JSON_OBJECTAGG/JSON_ARRAYAGG): deterministic via array_sort before
+      // serialization; DuckDB mirrors with ordered string_agg (same compact
+      // JSON text in both engines).
+      "q56_json_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"o_orderpriority")
+          .agg(
+            to_json(array_sort(collect_list(struct($"o_orderstatus".as("status"), $"cnt"))))
+              .as("statuses_json"),
+            to_json(map_from_entries(
+              array_sort(collect_list(struct($"o_orderstatus", $"cnt")))))
+              .as("status_obj"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |WITH c AS (SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  '[' || string_agg(CAST(json_object('status', o_orderstatus, 'cnt', cnt) AS VARCHAR),
+        |                    ',' ORDER BY o_orderstatus, cnt) || ']' AS statuses_json,
+        |  '{' || string_agg('"' || o_orderstatus || '":' || cnt,
+        |                    ',' ORDER BY o_orderstatus, cnt) || '}' AS status_obj
+        |FROM c
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
         |""".stripMargin))
   )
 

@@ -92,6 +92,41 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming OVER aggregation: event-time-ordered running sum per key
+    * (Flink RowTimeRowsUnboundedPrecedingFunction). Combines the
+    * event-time sort buffer with a running accumulator: rows are released
+    * in (time, payload) order once the watermark passes, each annotated
+    * with the running sum over everything released so far for the key. */
+  def runningSumByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)])(
+      implicit e1: Encoder[(Seq[(Long, Double)], Double)],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        state: GroupState[(Seq[(Long, Double)], Double)])
+        : Iterator[(K, Long, Double, Double)] = {
+      val (buf0, acc0) = state.getOption.getOrElse((Seq.empty[(Long, Double)], 0.0))
+      val buf = buf0 ++ rows.map(r => (r._2.getTime, r._3))
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, pending) = buf.partition(_._1 <= wm)
+      var acc = acc0
+      val out = ready.sortBy(_._1).map { case (t, v) =>
+        acc += v
+        (key, t, v, acc)
+      }
+      if (pending.isEmpty && out.isEmpty && buf0.isEmpty) state.remove()
+      else {
+        state.update((pending, acc))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Count-based tumbling window per key (Flink countWindow — no Spark
     * equivalent): buffers rows per key and emits an aggregate every
     * `size` rows. State: the current partial buffer. */

@@ -52,6 +52,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq(Seq("a b c", "b c d"), Seq.empty, Seq.empty))
   }
 
+  test("gap-fill sql functions: split_index / is_decimal / is_digit / is_alpha") {
+    import graft.functions.sqlfns._
+    import spark.implicits._
+    val df = Seq(("a,b,c", "12.5"), ("x", "abc"), ("p,q", "007")).toDF("s", "t")
+    val got = df.select(
+      splitIndex($"s", ",", 1).as("w"),
+      isDecimal($"t").as("dec"),
+      isDigit($"t").as("dig"),
+      isAlpha($"t").as("alp"))
+      .as[(String, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(("b", true, false, false), (null, false, false, true),
+      ("q", true, true, false)))
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._

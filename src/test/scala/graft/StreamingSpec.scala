@@ -144,6 +144,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._2) == got.map(_._2).sorted, "not emitted in time order")
   }
 
+  test("streaming OVER: running sum released in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = StatefulOps.runningSumByKey(watermarked)
+    val q = out.toDF("k", "t", "v", "running").writeStream
+      .outputMode("append").format("memory").queryName("rs_out").start()
+    // arrive out of order: 100(v=3), 50(v=1), 80(v=2)
+    in.addData((1L, ts(100), 3.0), (1L, ts(50), 1.0), (1L, ts(80), 2.0))
+    q.processAllAvailable()
+    in.addData((1L, ts(200), 4.0)) // watermark -> 190, releases 50,80,100
+    q.processAllAvailable()
+    in.addData((1L, ts(500), 9.0)) // releases 200
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rs_out").as[(Long, Long, Double, Double)]
+      .collect().sortBy(_._2).toSeq
+    // running sums follow EVENT time order despite arrival order
+    assert(got.map(r => (r._2, r._4)).take(4) ==
+      Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)), s"got: $got")
+  }
+
   test("stream-stream interval join within bounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
