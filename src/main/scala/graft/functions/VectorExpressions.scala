@@ -172,6 +172,65 @@ case class ShingleArray(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature of a string set: for each of `nPerm` seeded xxhash64
+  * permutations, the minimum hash over the elements. One pass over the
+  * array computes the whole signature — replacing nPerm separate min()
+  * aggregates whose combined codegen is expensive to JIT and whose
+  * aggregation buffers bloat the shuffle. */
+case class MinHashSignature(child: Expression, nPerm: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var p = 0
+      while (p < nPerm) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), p.toLong)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$nPerm];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  for (int $p = 0; $p < $nPerm; $p++) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $p);
+         |    if ($h < $sig[$p]) $sig[$p] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL registration so queries can use the expressions via expr("...") and
   * users via spark.sql. Idempotent per session. */
 object GraftFunctions {
@@ -183,6 +242,12 @@ object GraftFunctions {
       es => DotProductDouble(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hamming64",
       es => HammingDistance64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es(0), es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"nPerm must be an int literal, got $other")
+      }), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       es => ShingleArray(es(0), es(1).eval(null) match {
         case i: Int => i

@@ -129,17 +129,23 @@ object PipelineOps extends QueryModule {
         val nPerm = 32
         val bands = 8
         val rows = nPerm / bands
-        // One pass over shingles yields BOTH the signature mins and the
-        // doc's shingle set (for candidate verification) — single shuffle.
-        val aggCols = collect_list($"shingle").as("sset") +:
-          (0 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i"))
+        // Single shuffle: collect the shingle set per doc, then ONE codegen
+        // pass computes the whole 32-perm signature (graft_minhash) — nPerm
+        // separate min() aggregates would bloat both the aggregation buffer
+        // and the generated code.
+        // localCheckpoint(eager): materialize ONCE before the plan fans out
+        // into 4 branches (bucket self-join x/y + verification a/b) — a lazy
+        // cache gets filled concurrently by parallel stages and the shingle
+        // pipeline runs multiple times.
         val docSets = shingles(s, d).groupBy($"doc_id")
-          .agg(aggCols.head, aggCols.tail: _*)
+          .agg(collect_list($"shingle").as("sset"))
           .withColumn("n", size($"sset"))
-          .cache()
+          .withColumn("sig", expr(s"graft_minhash(sset, $nPerm)"))
+          .localCheckpoint()
         val bandCols = (0 until bands).map { b =>
           struct(lit(b).as("band_id"),
-            xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+            xxhash64((b * rows until (b + 1) * rows)
+              .map(i => element_at(col("sig"), i + 1)): _*)
               .as("band_key"))
         }
         val buckets = docSets.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
