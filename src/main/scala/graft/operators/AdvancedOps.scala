@@ -166,6 +166,69 @@ object AdvancedOps extends QueryModule {
         |FROM c
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
+      // Window join (flink-table-runtime .../join/window/WindowJoinOperator
+      // .java:66): both sides bucketed into the same tumbling window, then
+      // an equi-join on (window, key).
+      "q57_window_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        def winAgg(t: String, alias: String) = ev.filter($"event_type" === t)
+          .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+          .agg(count(lit(1)).as(alias))
+          .select(unix_seconds($"w.start").as("win_start_sec"), $"user_id", col(alias))
+        winAgg("click", "n_clicks")
+          .join(winAgg("purchase", "n_buys"), Seq("win_start_sec", "user_id"))
+          .orderBy($"win_start_sec", $"user_id")
+      },
+      Some("""
+        |WITH e AS (SELECT (epoch_ns(ts)//1000000000//3600)*3600 AS w, user_id, event_type FROM events),
+        |c AS (SELECT w, user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks FROM e
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT w, user_id, CAST(COUNT(*) AS BIGINT) AS n_buys FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.w AS win_start_sec, c.user_id AS user_id, n_clicks, n_buys
+        |FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
+        |ORDER BY win_start_sec, c.user_id
+        |""".stripMargin)),
+
+    GQuery(
+      // DataStream coGroup (CoGroupedStreams.java): both sides grouped by
+      // key, the pair of per-key iterators processed together.
+      "q58_cogroup",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts_us").as[(Long, Long)]
+          .groupByKey(_._1)
+        val buys = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_us").as[(Long, Long)]
+          .groupByKey(_._1)
+        clicks.cogroup(buys) { (uid, ls, rs) =>
+          val l = ls.map(_._2).toSeq
+          val r = rs.map(_._2).toSeq
+          Iterator((uid, l.size.toLong, r.size.toLong,
+            if (l.isEmpty) -1L else l.min, if (r.isEmpty) -1L else r.min))
+        }.toDF("user_id", "n_clicks", "n_buys", "first_click_us", "first_buy_us")
+          .orderBy($"user_id")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks, MIN(us) AS f FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_buys, MIN(us) AS f FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |       COALESCE(c.n_clicks, 0) AS n_clicks,
+        |       COALESCE(p.n_buys, 0) AS n_buys,
+        |       COALESCE(c.f, -1) AS first_click_us,
+        |       COALESCE(p.f, -1) AS first_buy_us
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id
         |""".stripMargin))
   )
 

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Source/sink format coverage (SURVEY.md §2.1 formats row): roundtrip the
+  * engine's tables through each built-in format and verify content
+  * integrity. Parquet is exercised by everything else; csv/json/orc here. */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def roundtrip(fmt: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/data"
+    src.write.format(fmt).option("header", "true").save(dir)
+    val back = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true").load(dir)
+    assert(back.count() == src.count(), s"$fmt row count")
+    val s1 = src.agg(sum(graft.Bits.dec($"o_totalprice"))).head.getDecimal(0)
+    val s2 = back.agg(sum(graft.Bits.dec($"o_totalprice"))).head.getDecimal(0)
+    assert(s1.compareTo(s2) == 0, s"$fmt content: $s1 vs $s2")
+  }
+
+  test("csv roundtrip")(roundtrip("csv"))
+  test("json roundtrip")(roundtrip("json"))
+  test("orc roundtrip")(roundtrip("orc"))
+
+  test("json lines parse with explicit schema and corrupt-record handling") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.json"),
+      """{"k":1,"v":"x"}
+        |not json
+        |{"k":2,"v":"y"}
+        |""".stripMargin)
+    // caching is required before querying only the corrupt-record column
+    val df = spark.read
+      .schema("k LONG, v STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .json(dir)
+      .cache()
+    assert(df.filter($"k".isNotNull).count() == 2)
+    assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
+  }
+}
