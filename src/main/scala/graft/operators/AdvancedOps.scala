@@ -18,7 +18,7 @@ object AdvancedOps extends QueryModule {
     """CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
       |     WHEN 'purchase' THEN 2 ELSE -1 END""".stripMargin
 
-  def queries: Seq[GQuery] = Seq(
+  private lazy val baseQueries: Seq[GQuery] = Seq(
     GQuery(
       // Single-attempt funnel (SQL-expressible CEP-lite): first signup, then
       // first click after it, then first purchase after that; complete runs
@@ -231,6 +231,70 @@ object AdvancedOps extends QueryModule {
         |ORDER BY user_id
         |""".stripMargin))
   )
+
+  private lazy val moreQueries: Seq[GQuery] = Seq(
+    GQuery(
+      // Table aggregate function (UDTAG, TableAggregateFunction.java /
+      // GroupTableAggFunction.java): an aggregate that EMITS MULTIPLE ROWS
+      // per group — here "top 2 orders per priority", via the typed
+      // flatMapGroups path a user-defined table aggregate would take.
+      "q59_table_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (prio, rows) =>
+            // UDTAG accumulator: keep the best 2 by (price desc, key asc)
+            var best = List.empty[(Long, Double)]
+            rows.foreach { r =>
+              best = ((r._2, r._3) :: best)
+                .sortBy { case (k, p) => (-p, k) }.take(2)
+            }
+            best.zipWithIndex.iterator.map { case ((k, p), i) => (prio, i + 1L, k, p) }
+          }
+          .toDF("o_orderpriority", "rnk", "o_orderkey", "totalprice")
+          .orderBy($"o_orderpriority", $"rnk")
+      },
+      Some("""
+        |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_orderkey,
+        |       o_totalprice AS totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY o_orderpriority, rnk
+        |""".stripMargin)),
+
+    GQuery(
+      // Exact interpolated percentiles (Flink batch PERCENTILE via sort;
+      // Spark `percentile` and DuckDB `quantile_cont` share the definition).
+      "q60_percentiles",
+      (s, d) => {
+        import s.implicits._
+        import graft.Bits.dround
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"))
+          .select($"o_orderpriority",
+            dround($"p50", 4).as("median"), dround($"p90", 4).as("p90"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""
+        |SELECT o_orderpriority,
+        |  ${graft.Bits.droundSql("quantile_cont(o_totalprice, 0.5)", 4)} AS median,
+        |  ${graft.Bits.droundSql("quantile_cont(o_totalprice, 0.9)", 4)} AS p90
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin))
+  )
+
+  override def queries: Seq[GQuery] = baseQueries ++ moreQueries
 
   val q47Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

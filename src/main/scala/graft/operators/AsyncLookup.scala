@@ -23,6 +23,23 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   */
 object AsyncLookup {
 
+  /** Fixed-delay retry wrapper for flaky lookup services (Flink's
+    * retryable lookup, AsyncRetryStrategies). */
+  def withRetry[I, O](attempts: Int, delayMs: Long)(lookup: I => O): I => O = { in =>
+    var left = attempts
+    var result: Option[O] = None
+    var lastErr: Throwable = null
+    while (result.isEmpty && left > 0) {
+      try result = Some(lookup(in))
+      catch {
+        case e: Throwable =>
+          lastErr = e; left -= 1
+          if (left > 0 && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    result.getOrElse(throw lastErr)
+  }
+
   def ordered[I, O](
       ds: Dataset[I], capacity: Int, timeoutMs: Long)(
       lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] = {

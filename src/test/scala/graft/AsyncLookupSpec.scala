@@ -42,4 +42,18 @@ class AsyncLookupSpec extends AnyFunSuite {
     assert(AsyncLookupSpec.maxInFlight.get() <= 16, // 2 partitions x capacity 8
       s"capacity exceeded: ${AsyncLookupSpec.maxInFlight.get()}")
   }
+
+  test("retry wrapper recovers from transient failures and rethrows on exhaustion") {
+    val calls = new AtomicInteger(0)
+    val flaky = AsyncLookup.withRetry[Int, String](attempts = 3, delayMs = 0) { k =>
+      if (calls.incrementAndGet() % 3 != 0) throw new RuntimeException("transient")
+      s"ok$k"
+    }
+    assert(flaky(7) == "ok7")
+    val alwaysFails = AsyncLookup.withRetry[Int, String](attempts = 2, delayMs = 0) { _ =>
+      throw new RuntimeException("down")
+    }
+    val err = intercept[RuntimeException](alwaysFails(1))
+    assert(err.getMessage == "down")
+  }
 }

@@ -32,6 +32,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("no oracle is null or blank (object-initialization-order guard)") {
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      assert(v != null && v.trim.nonEmpty, s"$k has null/blank oracle")
+    }
+  }
+
   test("q01 pricing summary has the expected group structure") {
     val rows = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf).collect()
     val flags = rows.map(_.getString(0)).toSet

@@ -169,6 +169,30 @@ class StreamingSpec extends AnyFunSuite {
       Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)), s"got: $got")
   }
 
+  test("stream-stream left semi join (streaming EXISTS)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long)]
+    val left = l.toDF().toDF("lts", "lk", "lv").withWatermark("lts", "10 seconds")
+    val right = r.toDF().toDF("rts", "rk").withWatermark("rts", "10 seconds")
+    val joined = left.join(right,
+      expr("lk = rk AND rts BETWEEN lts AND lts + interval 30 seconds"),
+      "left_semi")
+    val q = joined.select("lv").writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    l.addData((ts(100), 1L, "has-match"), (ts(100), 2L, "no-match"))
+    r.addData((ts(110), 1L))
+    // advance both watermarks far enough to finalize semi-join results
+    l.addData((ts(400), 9L, "late-driver"))
+    r.addData((ts(400), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val vs = spark.table("ssj_out").as[String].collect().toSet
+    assert(vs.contains("has-match") && !vs.contains("no-match"), s"got $vs")
+  }
+
   test("stream-stream interval join within bounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
