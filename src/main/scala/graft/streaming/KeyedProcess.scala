@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** KeyedProcessFunction analog (flink-streaming-java
+  * .../functions/KeyedProcessFunction.java:52): per-key element handler +
+  * state + processing-time timers, on top of flatMapGroupsWithState.
+  *
+  * Semantics mapped:
+  *  - processElement(value, ctx, out)  -> onInput(key, values, state)
+  *  - ctx.timerService().registerProcessingTimeTimer(t) -> the returned
+  *    `setTimerAt` value (None = keep/clear current timer)
+  *  - onTimer(...)                      -> onTimer(key, state)
+  *
+  * One timer per key (Spark's GroupState model); Flink allows many — for
+  * multiple deadlines keep them inside S and re-arm the earliest.
+  */
+object KeyedProcess {
+
+  final case class Emit[S, O](
+      output: Seq[O],
+      newState: Option[S],
+      setTimerAtMs: Option[Long] = None)
+
+  /** Input rows are (key, eventTime, value) with a watermark already set on
+    * the eventTime column — it must stay a TOP-LEVEL column for Spark to
+    * accept event-time timeouts (nesting it in a struct drops the
+    * watermark). */
+  def process[K, V, S, O](
+      ds: Dataset[(K, java.sql.Timestamp, V)])(
+      onInput: (K, Seq[(Long, V)], Option[S]) => Emit[S, O],
+      onTimer: (K, Option[S]) => Emit[S, O])(
+      implicit ek: Encoder[K], es: Encoder[S], eo: Encoder[O],
+      eko: Encoder[(K, O)]): Dataset[(K, O)] = {
+
+    def handle(key: K, rows: Iterator[(K, java.sql.Timestamp, V)],
+        state: GroupState[S]): Iterator[(K, O)] = {
+      val emit =
+        if (state.hasTimedOut) onTimer(key, state.getOption)
+        else onInput(key, rows.map(r => (r._2.getTime, r._3)).toSeq, state.getOption)
+      emit.newState match {
+        case Some(s) => state.update(s)
+        case None => if (state.exists) state.remove()
+      }
+      emit.setTimerAtMs.foreach { t =>
+        if (emit.newState.isDefined) state.setTimeoutTimestamp(t)
+      }
+      emit.output.iterator.map(o => (key, o))
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(handle)
+  }
+}

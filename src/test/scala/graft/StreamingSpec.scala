@@ -169,6 +169,44 @@ class StreamingSpec extends AnyFunSuite {
       Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)), s"got: $got")
   }
 
+  test("KeyedProcess: inactivity timeout emits session summary via timer") {
+    import graft.streaming.KeyedProcess
+    import graft.streaming.KeyedProcess.Emit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val keyed = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    // accumulate (count, sum, lastTs); flush 60s of event-time inactivity
+    val out = KeyedProcess.process[Long, Double, (Long, Double, Long), String](keyed)(
+      onInput = (_, values, st) => {
+        val (c0, s0, _) = st.getOrElse((0L, 0.0, 0L))
+        val c = c0 + values.size
+        val sum = s0 + values.map(_._2).sum
+        val last = values.map(_._1).max
+        Emit(Seq.empty, Some((c, sum, last)), Some(last + 60000L))
+      },
+      onTimer = (_, st) => {
+        val (c, sum, _) = st.get
+        Emit(Seq(s"n=$c,sum=$sum"), None)
+      })
+    val q = out.toDF("k", "summary").writeStream
+      .outputMode("update").format("memory").queryName("kp_out").start()
+    in.addData((1L, ts(100), 2.0), (1L, ts(110), 3.0))
+    q.processAllAvailable()
+    in.addData((2L, ts(400), 9.0)) // watermark -> 395s, past key 1's timer at 170s
+    q.processAllAvailable()
+    in.addData((2L, ts(800), 1.0))
+    q.processAllAvailable()
+    in.addData((3L, ts(2000), 0.0)) // watermark past key 2's timer at 860s
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kp_out").as[(Long, String)].collect().toSet
+    assert(got.contains((1L, "n=2,sum=5.0")), s"got $got")
+    assert(got.contains((2L, "n=2,sum=10.0")), s"got $got")
+  }
+
   test("stream-stream left semi join (streaming EXISTS)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
