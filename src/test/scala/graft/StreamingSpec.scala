@@ -207,6 +207,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((2L, "n=2,sum=10.0")), s"got $got")
   }
 
+  test("broadcast-state pattern: dimension refresh visible to later batches") {
+    import graft.streaming.BroadcastDim
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    @volatile var dimVersion = Map(1L -> "v1")
+    val in = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = BroadcastDim.enrichPerBatch(
+        in.toDF().toDF("k", "payload"),
+        loadDim = () => dimVersion.toSeq.toDF("dk", "dim_val"),
+        joinCond = (b, d) => b("k") === d("dk"))( (batch, _) =>
+        results.synchronized {
+          results ++= batch.select("payload", "dim_val").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        })
+      .start()
+    in.addData((1L, "e1"))
+    q.processAllAvailable()
+    dimVersion = Map(1L -> "v2") // control-stream update between batches
+    in.addData((1L, "e2"))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.toSet == Set(("e1", "v1"), ("e2", "v2")), s"got $results")
+  }
+
   test("stream-stream left semi join (streaming EXISTS)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
