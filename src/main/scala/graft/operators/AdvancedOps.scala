@@ -294,7 +294,94 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin))
   )
 
-  override def queries: Seq[GQuery] = baseQueries ++ moreQueries
+  private lazy val subqueryQueries: Seq[GQuery] = Seq(
+    GQuery(
+      // Correlated scalar subquery (TPC-H Q17 shape): parts whose average
+      // order quantity the line falls below — exercises Catalyst's
+      // decorrelation (Flink: FlinkDecorrelateProgram).
+      "q62_correlated_subquery",
+      (s, d) => {
+        import s.implicits._
+        Engine.openCatalog(s, d)
+        s.sql("""
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+          FROM lineitem l1
+          WHERE l_partkey < 500
+            AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l1.l_partkey)
+        """)
+      },
+      Some("""
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM lineitem l1
+        |WHERE l_partkey < 500
+        |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |""".stripMargin)),
+
+    GQuery(
+      // IN / NOT IN subqueries (SEMI_JOIN_RULES / RewritePredicateSubquery).
+      "q63_in_subqueries",
+      (s, d) => {
+        import s.implicits._
+        Engine.openCatalog(s, d)
+        s.sql("""
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+            AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority
+        """)
+      },
+      Some("""
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
+      // Second string battery: translate/overlay/position/locate/
+      // substring_index/format/char/space coverage of §2.9.
+      "q64_string_funcs2",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d).filter($"p_partkey" < 150)
+          .select($"p_partkey",
+            translate($"p_name", "aeiou", "AEIOU").as("tr"),
+            overlay($"p_name", lit("XX"), lit(2)).as("ov"),
+            locate("i", $"p_name").cast("long").as("loc_i"),
+            substring_index($"p_name", " ", 1).as("first_word"),
+            format_string("%s#%03d", $"p_brand", $"p_size").as("fmt"),
+            concat($"p_type", lit(" "), $"p_brand").as("cc"),
+            rtrim(rpad($"p_type", 10, " ")).as("padtrim"),
+            (length($"p_name") - length(regexp_replace($"p_name", "e", "")))
+              .cast("long").as("n_e"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        |SELECT p_partkey,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |       substring(p_name, 1, 1) || 'XX' || substring(p_name, 4) AS ov,
+        |       CAST(strpos(p_name, 'i') AS BIGINT) AS loc_i,
+        |       string_split(p_name, ' ')[1] AS first_word,
+        |       printf('%s#%03d', p_brand, p_size) AS fmt,
+        |       p_type || ' ' || p_brand AS cc,
+        |       rtrim(rpad(p_type, 10, ' ')) AS padtrim,
+        |       CAST(length(p_name) - length(replace(p_name, 'e', '')) AS BIGINT) AS n_e
+        |FROM part WHERE p_partkey < 150
+        |ORDER BY p_partkey
+        |""".stripMargin))
+  )
+
+  override def queries: Seq[GQuery] = baseQueries ++ moreQueries ++ subqueryQueries
 
   val q47Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -77,6 +77,38 @@ object GraphOps extends QueryModule {
     dist
   }
 
+  /** PageRank with fixed iteration count (Gelly
+    * library/linkanalysis/PageRank): pr' = (1-d)/n + d * sum(pr/outDeg over
+    * in-neighbors); dangling mass redistributed uniformly. One shuffle join
+    * per iteration, lineage truncated per round. */
+  def pageRank(
+      spark: SparkSession, edges: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+    val vertices = e.select($"src".as("v"))
+      .union(e.select($"dst".as("v"))).distinct().localCheckpoint()
+    val n = vertices.count().toDouble
+    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var pr = vertices.withColumn("pr", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val withDeg = pr.join(outDeg, $"v" === $"src", "left")
+        .select($"v", $"pr", coalesce($"deg", lit(0L)).as("deg"))
+      val danglingMass = withDeg.filter($"deg" === 0)
+        .agg(coalesce(sum($"pr"), lit(0.0))).head().getDouble(0)
+      val contrib = e.join(withDeg.filter($"deg" > 0), $"src" === $"v")
+        .select($"dst".as("v2"), ($"pr" / $"deg").as("c"))
+        .groupBy($"v2").agg(sum($"c").as("in_sum"))
+      pr = vertices.join(contrib, $"v" === $"v2", "left")
+        .select($"v",
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce($"in_sum", lit(0.0)) + lit(danglingMass / n)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
   def queries: Seq[GQuery] = Seq(
     GQuery(
       // Connected components over the co-purchase graph: suppliers are
@@ -107,6 +139,24 @@ object GraphOps extends QueryModule {
         |SELECT v AS supplier, CAST(MIN(comp) AS BIGINT) AS component
         |FROM r GROUP BY v
         |ORDER BY supplier
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    GQuery(
+      // PageRank over the customer->supplier order graph (who a customer's
+      // money flows to). Iterative float arithmetic is engine-specific =>
+      // rows-only check; invariants (mass conservation, determinism) in
+      // GraphSpec.
+      "q61_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 2000)
+        val edges = li.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 100000L).as("dst"))
+          .distinct()
+        pageRank(s, edges, iterations = 8)
+          .select($"v", graft.Bits.dround($"pr" * 1000000.0, 4).as("pr_ppm"))
+          .orderBy($"v")
+      },
+      None)
   )
 }
