@@ -64,6 +64,49 @@ object AsOfJoin {
         rightPayload.map(p => col(s"__match.$p").as(p)): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * time >= left time (same key). Same single sort-shuffle algorithm as
+    * `backward`, scanning descending; ties on right time resolve to the
+    * smallest tieBreak. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Long.MinValue))
+      .withColumn("__rp", lit(null).cast(structTypeOf(right, rightPayload)))
+      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__tie"), col("__rp")) ++
+        leftCols.map(col)): _*)
+
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(tieBreak).cast("long"))
+      .withColumn("__rp", struct(rightPayload.map(col): _*))
+      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__tie"), col("__rp")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    // descending time: right rows before left rows at equal t (inclusive >=),
+    // ties among rights ordered by tie desc so `last` picks the SMALLEST.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side"), col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    l.unionByName(r)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
   private def structTypeOf(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
 

@@ -104,6 +104,67 @@ object JoinOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Forward as-of: each signup matched to the user's NEXT purchase.
+      "q65_asof_forward",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"event_id", $"user_id", $"ts_us")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_us".as("p_us"),
+            $"event_id".as("p_id"), $"value".as("p_value"))
+        AsOfJoin.forward(
+            signups, purchases,
+            key = "user_id", leftTime = "ts_us", rightTime = "p_us",
+            rightPayload = Seq("p_id", "p_value"), tieBreak = "p_id")
+          .select($"event_id",
+            coalesce($"p_id", lit(-1L)).as("p_id"),
+            coalesce($"p_value", lit(-1.0)).as("p_value"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        |WITH su AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
+        |            FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts)//1000 AS us,
+        |             value AS p_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT su.event_id, p.p_id, p.p_value,
+        |             row_number() OVER (PARTITION BY su.event_id
+        |                                ORDER BY p.us ASC, p.p_id ASC) AS rn
+        |      FROM su JOIN p ON su.user_id = p.user_id AND p.us >= su.us)
+        |SELECT su.event_id, COALESCE(j.p_id, -1) AS p_id,
+        |       COALESCE(j.p_value, -1.0) AS p_value
+        |FROM su LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON su.event_id = j.event_id
+        |ORDER BY su.event_id
+        |""".stripMargin)),
+
+    GQuery(
+      // Keep-first dedup (RowTimeDeduplicateFunction keep-first): earliest
+      // event per (user, type).
+      "q66_keep_first_dedup",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts_us".asc, $"event_id".asc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type", $"event_id".as("first_event_id"),
+            $"ts_us".as("first_us"))
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        |SELECT user_id, event_type, event_id AS first_event_id, us AS first_us
+        |FROM (SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS us,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY epoch_ns(ts)//1000 ASC, event_id ASC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type
+        |""".stripMargin)),
+
+    GQuery(
       "q29_keep_last_dedup",
       (s, d) => {
         import s.implicits._
