@@ -381,7 +381,48 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin))
   )
 
-  override def queries: Seq[GQuery] = baseQueries ++ moreQueries ++ subqueryQueries
+  private val q67Sql: String =
+    // TPC-H Q2 shape: min-cost row per group selected via a nested
+    // correlated subquery over the same join tree.
+    """SELECT s_name, p_partkey,
+      |       CAST(l_extendedprice AS DOUBLE) AS best_price
+      |FROM lineitem, supplier, part
+      |WHERE l_suppkey = s_suppkey AND l_partkey = p_partkey
+      |  AND p_partkey < 100
+      |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name
+      |""".stripMargin
+
+  private val q68Sql: String =
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS against the same table with
+    // different correlations.
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM lineitem l1, supplier
+      |WHERE l1.l_suppkey = s_suppkey
+      |  AND l1.l_quantity > 40
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_quantity > 40)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |""".stripMargin
+
+  private lazy val complexSqlQueries: Seq[GQuery] = Seq(
+    GQuery("q67_min_per_group_subquery",
+      (s, d) => { Engine.openCatalog(s, d); Engine.sql(s, q67Sql) },
+      Some(q67Sql)),
+    GQuery("q68_multi_exists",
+      (s, d) => { Engine.openCatalog(s, d); Engine.sql(s, q68Sql) },
+      Some(q68Sql)))
+
+  override def queries: Seq[GQuery] =
+    baseQueries ++ moreQueries ++ subqueryQueries ++ complexSqlQueries
 
   val q47Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
