@@ -94,15 +94,18 @@ object GraphOps extends QueryModule {
     for (_ <- 1 to iterations) {
       val withDeg = pr.join(outDeg, $"v" === $"src", "left")
         .select($"v", $"pr", coalesce($"deg", lit(0L)).as("deg"))
-      val danglingMass = withDeg.filter($"deg" === 0)
-        .agg(coalesce(sum($"pr"), lit(0.0))).head().getDouble(0)
+      // dangling mass folded into the plan (broadcast 1-row aggregate)
+      // instead of a driver-side collect — one job per iteration, not two.
+      val dangling = withDeg.filter($"deg" === 0)
+        .agg(coalesce(sum($"pr"), lit(0.0)).as("dm"))
       val contrib = e.join(withDeg.filter($"deg" > 0), $"src" === $"v")
         .select($"dst".as("v2"), ($"pr" / $"deg").as("c"))
         .groupBy($"v2").agg(sum($"c").as("in_sum"))
       pr = vertices.join(contrib, $"v" === $"v2", "left")
+        .crossJoin(broadcast(dangling))
         .select($"v",
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce($"in_sum", lit(0.0)) + lit(danglingMass / n)))
+            lit(damping) * (coalesce($"in_sum", lit(0.0)) + $"dm" / n))
             .as("pr"))
         .localCheckpoint()
     }
