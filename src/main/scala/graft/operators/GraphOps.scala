@@ -70,7 +70,7 @@ object GraphOps extends QueryModule {
         .select($"v", least($"d", coalesce($"cand", lit(Long.MaxValue))).as("d"))
         .localCheckpoint()
       frontier = next.join(dist.withColumnRenamed("d", "old"), "v")
-        .filter($"d" =!= $"old").count()
+        .filter($"d" =!= $"old").limit(1).count()
       dist = next
       i += 1
     }
@@ -89,7 +89,9 @@ object GraphOps extends QueryModule {
     val vertices = e.select($"src".as("v"))
       .union(e.select($"dst".as("v"))).distinct().localCheckpoint()
     val n = vertices.count().toDouble
-    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // materialized once: every iteration joins against it, and without the
+    // checkpoint each round would re-run the degree shuffle from `e`.
+    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var pr = vertices.withColumn("pr", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iterations) {
       val withDeg = pr.join(outDeg, $"v" === $"src", "left")

@@ -53,6 +53,23 @@ object SinkOps extends QueryModule {
   def sideOutputs(df: DataFrame, tags: Map[String, Column]): Map[String, DataFrame] =
     tags.map { case (tag, pred) => tag -> df.filter(pred) }
 
+  /** Per-tag row counts in a SINGLE pass over the source: one conditional
+    * aggregate per tag, unpivoted to (tag, n) rows with stack(). One
+    * FileScan regardless of tag count — the shape sideOutputs' scaladoc
+    * prescribes for sinks, applied to monitoring counters. */
+  def sideOutputCounts(df: DataFrame, tags: Map[String, Column]): DataFrame = {
+    val ordered = tags.toSeq.sortBy(_._1)
+    val agg = df.agg(
+      count(lit(1)).as("_total"), // anchor so agg() has >=1 expr even for empty tags
+      ordered.map { case (tag, pred) =>
+        coalesce(sum(when(pred, 1L)), lit(0L)).as(s"_c_$tag")
+      }: _*)
+    val stackArgs = ordered
+      .map { case (tag, _) => s"'$tag', _c_$tag" }
+      .mkString(", ")
+    agg.selectExpr(s"stack(${ordered.size}, $stackArgs) as (tag, n)")
+  }
+
   def queries: Seq[GQuery] = Seq(
     GQuery(
       "q54_constraint_enforce",
@@ -77,13 +94,11 @@ object SinkOps extends QueryModule {
       "q55_side_outputs",
       (s, d) => {
         import s.implicits._
-        val outs = sideOutputs(Tables.events(s, d), Map(
+        sideOutputCounts(Tables.events(s, d), Map(
           "errors" -> ($"event_type" === "error"),
           "big" -> ($"value" > 150.0),
           "rest" -> ($"event_type" =!= "error" && $"value" <= 150.0)))
-        outs.toSeq.sortBy(_._1).map { case (tag, df) =>
-          df.agg(count(lit(1)).as("n")).select(lit(tag).as("tag"), $"n")
-        }.reduce(_ unionAll _).orderBy($"tag")
+          .orderBy($"tag")
       },
       Some("""
         |SELECT 'big' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE value > 150.0

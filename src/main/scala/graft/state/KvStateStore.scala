@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.state._
 import org.apache.spark.sql.types.StructType
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
@@ -34,47 +35,78 @@ trait ByteKv {
 }
 
 /** In-process stand-in for the remote consensus KV service. Keyed by a
-  * namespace so many stores (operator/partition) share one "service". */
+  * namespace so many stores (operator/partition) share one "service".
+  *
+  * Values are stored with a 1-byte liveness marker (1=value, 0=tombstone) so
+  * zero-length values are legal payloads — callers never see the marker.
+  * Per-namespace write counters let tests assert commit write complexity.
+  */
 object InMemoryKvService {
   private val spaces = new ConcurrentHashMap[String, TrieMap[Vector[Byte], Array[Byte]]]()
+  private val writeCounters = new ConcurrentHashMap[String, AtomicLong]()
+
+  private val Live: Byte = 1
+  private val Dead: Byte = 0
 
   def namespace(name: String): ByteKv = new ByteKv {
     private val m = spaces.computeIfAbsent(name, _ => TrieMap.empty)
-    private val Tombstone: Array[Byte] = Array[Byte]()
+    private val writes = writeCounters.computeIfAbsent(name, _ => new AtomicLong)
     override def get(key: Array[Byte]): Option[Array[Byte]] =
-      m.get(key.toVector).filter(_.nonEmpty)
-    override def put(key: Array[Byte], value: Array[Byte]): Unit =
-      m.put(key.toVector, value)
-    override def delete(key: Array[Byte]): Unit =
-      m.put(key.toVector, Tombstone) // tombstone write (ByteKv.java:50)
+      m.get(key.toVector).collect { case v if v(0) == Live => v.drop(1) }
+    override def put(key: Array[Byte], value: Array[Byte]): Unit = {
+      writes.incrementAndGet()
+      m.put(key.toVector, Live +: value)
+    }
+    override def delete(key: Array[Byte]): Unit = {
+      writes.incrementAndGet()
+      m.put(key.toVector, Array(Dead)) // tombstone write (ByteKv.java:50)
+    }
     override def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
       val p = prefix.toVector
-      m.iterator.filter { case (k, v) => k.startsWith(p) && v.nonEmpty }
-        .map { case (k, v) => (k.toArray, v) }
+      m.iterator.filter { case (k, v) => k.startsWith(p) && v(0) == Live }
+        .map { case (k, v) => (k.toArray, v.drop(1)) }
     }
   }
 
-  def clearAll(): Unit = spaces.clear()
+  def clearAll(): Unit = { spaces.clear(); writeCounters.clear() }
   def size(name: String): Int =
-    Option(spaces.get(name)).map(_.count(_._2.nonEmpty)).getOrElse(0)
+    Option(spaces.get(name)).map(_.count(_._2(0) == Live)).getOrElse(0)
   def namespaces: Seq[String] = spaces.keySet().asScala.toSeq
+  /** Total put+delete RPCs issued against this namespace since clearAll. */
+  def writeCount(name: String): Long =
+    Option(writeCounters.get(name)).map(_.get).getOrElse(0L)
+  def totalWrites: Long = writeCounters.values().asScala.map(_.get).sum
 }
 
 /** StateStoreProvider routing Structured Streaming keyed state to a ByteKv.
   * Enable with:
   * spark.sql.streaming.stateStore.providerClass=graft.state.KvStateStoreProvider
   *
-  * Versioning: each committed version v stores rows under prefix "v<v>/";
-  * loading version v is a prefix scan — the KV is the source of truth for
-  * every version, so there is no separate snapshot/changelog file (the
-  * PSL design premise). A production client would batch these RPCs; the
-  * in-memory service makes the semantics testable hermetically.
+  * Versioning (LSM-style layers — round-2 hardening over the full-rewrite
+  * prototype): each committed version v is a LAYER under prefix "v<v>/",
+  * either FULL (all live rows) or DELTA (only the keys dirtied by that
+  * micro-batch; a removed key is an explicit 1-byte delete cell). Commit
+  * cost is therefore O(dirty keys) per micro-batch, not O(state). Loading
+  * version v merges the newest full layer f <= v with the deltas f+1..v; in
+  * steady state the provider serves the merged map from its in-process
+  * cache, so the KV is only scanned on restart/failover. A full layer is
+  * written every `CompactEvery` commits and prunes all layers below the
+  * PREVIOUS full layer, bounding retained history to <= 2*CompactEvery
+  * versions (reloadable window — ample for Structured Streaming's
+  * last-couple-of-versions retry contract). The KV remains the single
+  * source of truth for every retained version — the PSL design premise of
+  * no separate snapshot files.
   */
 class KvStateStoreProvider extends StateStoreProvider {
+  import KvStateStoreProvider._
+
   @volatile private var storeId: StateStoreId = _
   @volatile private var keySchema: StructType = _
   @volatile private var valueSchema: StructType = _
   private var kv: ByteKv = _
+  // steady-state cache: the merged map as of `cachedVersion`
+  @volatile private var cachedVersion: Long = -1L
+  @volatile private var cachedMap: java.util.HashMap[Vector[Byte], Array[Byte]] = _
 
   override def init(
       stateStoreId: StateStoreId,
@@ -102,18 +134,40 @@ class KvStateStoreProvider extends StateStoreProvider {
   override def getStore(version: Long, uniqueId: Option[String]): StateStore =
     new KvStore(version)
 
-  /** One version's view: loads committed rows of `version`, stages changes,
-    * commit publishes them as `version + 1`. */
-  private class KvStore(val loadVersion: Long) extends StateStore {
-    private val data = new java.util.HashMap[Vector[Byte], Array[Byte]]()
-    private var committed = false
-    locally {
-      kv.scan(prefix(loadVersion)).foreach { case (k, v) =>
-        data.put(k.drop(prefix(loadVersion).length).toVector, v)
+  private def layerPrefix(v: Long): Array[Byte] = s"v$v/".getBytes
+  private def metaKey(v: Long): Array[Byte] = s"meta/$v".getBytes
+
+  /** Layer kind of committed version v: Some('F') full, Some('D') delta. */
+  private def layerKind(v: Long): Option[Char] =
+    kv.get(metaKey(v)).map(_(0).toChar)
+
+  /** Reconstruct the merged state at `version` from KV layers. */
+  private def loadMerged(version: Long): java.util.HashMap[Vector[Byte], Array[Byte]] = {
+    val m = new java.util.HashMap[Vector[Byte], Array[Byte]]()
+    if (version <= 0) return m
+    var base = version
+    while (base > 0 && !layerKind(base).contains('F')) base -= 1
+    (math.max(base, 1) to version).foreach { v =>
+      kv.scan(layerPrefix(v)).foreach { case (k, cell) =>
+        val logical = k.drop(layerPrefix(v).length).toVector
+        if (cell(0) == CellLive) m.put(logical, cell.drop(1))
+        else m.remove(logical)
       }
     }
+    m
+  }
 
-    private def prefix(v: Long): Array[Byte] = s"v$v/".getBytes
+  /** One version's view: starts from the committed state of `loadVersion`,
+    * stages changes and tracks dirty keys; commit publishes version+1 as a
+    * delta (or periodic full) layer. */
+  private class KvStore(val loadVersion: Long) extends StateStore {
+    private val data: java.util.HashMap[Vector[Byte], Array[Byte]] =
+      if (loadVersion == cachedVersion && cachedMap != null)
+        new java.util.HashMap(cachedMap)
+      else loadMerged(loadVersion)
+    private val dirty = new java.util.HashSet[Vector[Byte]]()
+    private var committed = false
+
     private def rowToBytes(r: UnsafeRow): Array[Byte] = r.getBytes
     private def bytesToRow(b: Array[Byte], fields: Int): UnsafeRow = {
       val r = new UnsafeRow(fields)
@@ -129,11 +183,16 @@ class KvStateStoreProvider extends StateStoreProvider {
       if (b == null) null else bytesToRow(b, valueSchema.length)
     }
 
-    override def put(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit =
-      data.put(rowToBytes(key).toVector, rowToBytes(value))
+    override def put(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = {
+      val k = rowToBytes(key).toVector
+      data.put(k, rowToBytes(value))
+      dirty.add(k)
+    }
 
-    override def remove(key: UnsafeRow, colFamilyName: String): Unit =
-      data.remove(rowToBytes(key).toVector)
+    override def remove(key: UnsafeRow, colFamilyName: String): Unit = {
+      val k = rowToBytes(key).toVector
+      if (data.remove(k) != null) dirty.add(k)
+    }
 
     override def iterator(colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
       val it = data.entrySet().iterator().asScala.map { e =>
@@ -168,20 +227,44 @@ class KvStateStoreProvider extends StateStoreProvider {
 
     override def commit(): Long = {
       val next = loadVersion + 1
-      // Linearizable writes of the new version's rows (KVSClient.put:59).
-      data.entrySet().iterator().asScala.foreach { e =>
-        kv.put(prefix(next) ++ e.getKey, e.getValue)
+      // full layer on the first commit (no base yet) and every CompactEvery
+      // commits thereafter; delta layer (dirty keys only) in between.
+      val writeFull = next == 1 || next % CompactEvery == 0
+      if (writeFull) {
+        data.entrySet().iterator().asScala.foreach { e =>
+          kv.put(layerPrefix(next) ++ e.getKey, CellLive +: e.getValue)
+        }
+        kv.put(metaKey(next), Array('F'.toByte))
+        pruneBelowPreviousFull(next)
+      } else {
+        dirty.iterator().asScala.foreach { k =>
+          val v = data.get(k)
+          val cell = if (v != null) CellLive +: v else Array(CellDead)
+          kv.put(layerPrefix(next) ++ k, cell)
+        }
+        kv.put(metaKey(next), Array('D'.toByte))
       }
-      // Tombstone rows that existed at loadVersion but were removed.
-      kv.scan(prefix(next)).foreach { case (k, _) =>
-        val logical = k.drop(prefix(next).length).toVector
-        if (!data.containsKey(logical)) kv.delete(k)
-      }
+      cachedMap = new java.util.HashMap(data)
+      cachedVersion = next
       committed = true
       next
     }
 
-    override def abort(): Unit = { data.clear() }
+    /** Physically remove all layers below the previous full layer — they are
+      * no longer reachable from any loadable version. */
+    private def pruneBelowPreviousFull(justWrote: Long): Unit = {
+      val prevFull = (justWrote - 1 to 1L by -1).find(v => layerKind(v).contains('F'))
+      prevFull.foreach { pf =>
+        (1L until pf).foreach { v =>
+          if (layerKind(v).isDefined) {
+            kv.scan(layerPrefix(v)).foreach { case (k, _) => kv.delete(k) }
+            kv.delete(metaKey(v))
+          }
+        }
+      }
+    }
+
+    override def abort(): Unit = { data.clear(); dirty.clear() }
     override def release(): Unit = ()
     override def hasCommitted: Boolean = committed
 
@@ -192,4 +275,13 @@ class KvStateStoreProvider extends StateStoreProvider {
     override def getStateStoreCheckpointInfo(): StateStoreCheckpointInfo =
       StateStoreCheckpointInfo(storeId.partitionId, loadVersion + 1, None, None)
   }
+}
+
+object KvStateStoreProvider {
+  /** Full-layer cadence: bounds retained layer count to <= 2*CompactEvery. */
+  val CompactEvery: Long = 8L
+  // provider-level cell encoding inside layer values (distinct from the KV
+  // service's own liveness marker): live row vs delete-in-delta marker.
+  private[state] val CellLive: Byte = 1
+  private[state] val CellDead: Byte = 0
 }

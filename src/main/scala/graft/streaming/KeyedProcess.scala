@@ -9,12 +9,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics mapped:
   *  - processElement(value, ctx, out)  -> onInput(key, values, state)
-  *  - ctx.timerService().registerProcessingTimeTimer(t) -> the returned
-  *    `setTimerAt` value (None = keep/clear current timer)
+  *  - ctx.timerService().registerEventTimeTimer(t) -> the returned
+  *    `setTimerAtMs` value (None = keep/clear current timer). Timers here
+  *    are EVENT-TIME (watermark-driven, GroupStateTimeout.EventTimeTimeout),
+  *    not wall-clock: they fire when the watermark passes t.
   *  - onTimer(...)                      -> onTimer(key, state)
   *
   * One timer per key (Spark's GroupState model); Flink allows many — for
   * multiple deadlines keep them inside S and re-arm the earliest.
+  *
+  * A timer requires state to exist (GroupState.setTimeoutTimestamp's
+  * contract): Emit(newState=None, setTimerAtMs=Some(t)) is a programming
+  * error and throws rather than silently dropping the timer.
   */
 object KeyedProcess {
 
@@ -44,7 +50,10 @@ object KeyedProcess {
         case None => if (state.exists) state.remove()
       }
       emit.setTimerAtMs.foreach { t =>
-        if (emit.newState.isDefined) state.setTimeoutTimestamp(t)
+        require(emit.newState.isDefined,
+          "setTimerAtMs requires newState=Some(_): Spark event-time timers " +
+            "are attached to key state and are dropped when state is removed")
+        state.setTimeoutTimestamp(t)
       }
       emit.output.iterator.map(o => (key, o))
     }

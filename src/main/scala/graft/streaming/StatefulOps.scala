@@ -65,10 +65,14 @@ object StatefulOps {
 
   /** Event-time sort (Flink RowTimeSortOperator: emit rows in event-time
     * order once the watermark passes them). Input must carry a watermark on
-    * its timestamp column; rows at or below the watermark are released in
-    * (time, payload) order, later rows stay buffered. State: the pending
-    * buffer per key; an event-time timeout flushes when the watermark
-    * advances without new data for the key. */
+    * its timestamp column; buffered rows are released in (time, payload)
+    * order once the watermark passes them, later rows stay buffered.
+    * Late-data policy (matches RowTimeSortOperator): a row arriving with
+    * t <= the current watermark is DROPPED — emitting it would break the
+    * event-time-ordered output guarantee, since later timestamps may
+    * already have been released. State: the pending buffer per key; an
+    * event-time timeout flushes when the watermark advances without new
+    * data for the key. */
   def eventTimeSort[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, String)])(
       implicit e1: Encoder[Seq[(Long, String)]],
@@ -76,9 +80,9 @@ object StatefulOps {
 
     def update(key: K, rows: Iterator[(K, java.sql.Timestamp, String)],
         state: GroupState[Seq[(Long, String)]]): Iterator[(K, Long, String)] = {
-      val buf = state.getOption.getOrElse(Seq.empty) ++
-        rows.map(r => (r._2.getTime, r._3))
       val wm = state.getCurrentWatermarkMs()
+      val buf = state.getOption.getOrElse(Seq.empty) ++
+        rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm) // drop late
       val (ready, pending) = buf.partition(_._1 <= wm)
       if (pending.isEmpty) state.remove()
       else {
@@ -106,8 +110,10 @@ object StatefulOps {
         state: GroupState[(Seq[(Long, Double)], Double)])
         : Iterator[(K, Long, Double, Double)] = {
       val (buf0, acc0) = state.getOption.getOrElse((Seq.empty[(Long, Double)], 0.0))
-      val buf = buf0 ++ rows.map(r => (r._2.getTime, r._3))
       val wm = state.getCurrentWatermarkMs()
+      // same late-data policy as eventTimeSort: a late row would corrupt the
+      // running accumulator for rows already released.
+      val buf = buf0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
       val (ready, pending) = buf.partition(_._1 <= wm)
       var acc = acc0
       val out = ready.sortBy(_._1).map { case (t, v) =>

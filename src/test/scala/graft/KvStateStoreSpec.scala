@@ -48,4 +48,92 @@ class KvStateStoreSpec extends AnyFunSuite {
     assert(kv.get("k1".getBytes).isEmpty)     // tombstoned
     assert(kv.scan("k".getBytes).isEmpty)     // scan skips tombstones
   }
+
+  test("zero-length values are legal payloads, distinct from tombstones") {
+    val kv = InMemoryKvService.namespace("spec-empty")
+    kv.put("k".getBytes, Array.empty[Byte])
+    assert(kv.get("k".getBytes).exists(_.isEmpty), "empty value must read back")
+    assert(kv.scan("k".getBytes).size == 1)
+    kv.delete("k".getBytes)
+    assert(kv.get("k".getBytes).isEmpty)
+  }
+
+  // -- direct provider tests: delta-commit write complexity + compaction --
+
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+  import org.apache.spark.sql.execution.streaming.state._
+  import org.apache.spark.sql.types._
+  import graft.state.KvStateStoreProvider
+
+  private val ks = StructType(Seq(StructField("k", LongType)))
+  private val vs = StructType(Seq(StructField("v", LongType)))
+  private lazy val kproj = UnsafeProjection.create(ks)
+  private lazy val vproj = UnsafeProjection.create(vs)
+  private def krow(i: Long): UnsafeRow = kproj(InternalRow(i)).copy()
+  private def vrow(i: Long): UnsafeRow = vproj(InternalRow(i)).copy()
+
+  private def freshProvider(root: String): KvStateStoreProvider = {
+    val p = new KvStateStoreProvider
+    p.init(StateStoreId(root, 0L, 0), ks, vs, NoPrefixKeyStateEncoderSpec(ks),
+      false, StateStoreConf.empty, new Configuration(), false, None)
+    p
+  }
+
+  test("delta commit writes O(dirty keys), not O(state)") {
+    InMemoryKvService.clearAll()
+    val p = freshProvider("/spec-delta")
+    val s1 = p.getStore(0, None)
+    (1L to 100L).foreach(i => s1.put(krow(i), vrow(i), "default"))
+    assert(s1.commit() == 1L)
+    val afterFull = InMemoryKvService.totalWrites
+    assert(afterFull >= 100L, "first commit is a full layer")
+
+    val s2 = p.getStore(1, None)
+    s2.put(krow(5), vrow(50), "default")
+    s2.remove(krow(7), "default")
+    assert(s2.commit() == 2L)
+    val deltaWrites = InMemoryKvService.totalWrites - afterFull
+    assert(deltaWrites <= 4, s"delta commit must be O(dirty): wrote $deltaWrites")
+
+    // a FRESH provider (no cache) reconstructs v2 from full+delta layers
+    val p2 = freshProvider("/spec-delta")
+    val s3 = p2.getStore(2, None)
+    assert(s3.get(krow(5), "default").getLong(0) == 50L)
+    assert(s3.get(krow(7), "default") == null, "delta delete must survive reload")
+    var n = 0
+    val it = s3.iterator("default")
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n == 99, s"expected 99 live rows, got $n")
+    s3.abort()
+  }
+
+  test("compaction writes periodic full layers and prunes stale history") {
+    InMemoryKvService.clearAll()
+    val p = freshProvider("/spec-compact")
+    var v = 0L
+    // 17 commits -> full layers at v1, v8, v16; after v16, layers <8 pruned
+    (1 to 17).foreach { i =>
+      val s = p.getStore(v, None)
+      s.put(krow(i % 5), vrow(i), "default")
+      v = s.commit()
+    }
+    assert(v == 17L)
+    val ns = InMemoryKvService.namespaces.find(_.contains("spec-compact")).get
+    val raw = InMemoryKvService.namespace(ns)
+    // layers below the previous full (v8) are physically gone
+    assert(raw.scan("v2/".getBytes).isEmpty, "layer v2 should be pruned")
+    assert(raw.get("meta/2".getBytes).isEmpty, "meta for v2 should be pruned")
+    assert(raw.get("meta/16".getBytes).map(_(0).toChar).contains('F'),
+      "v16 should be a full layer")
+    val p2 = freshProvider("/spec-compact")
+    val s = p2.getStore(17, None)
+    (1 to 5).map(_ % 5).distinct.foreach { k =>
+      assert(s.get(krow(k), "default") != null, s"key $k missing after compaction")
+    }
+    // latest value of each key wins across layers
+    assert(s.get(krow(17 % 5), "default").getLong(0) == 17L)
+    s.abort()
+  }
 }
