@@ -7,101 +7,292 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** CEP / MATCH_RECOGNIZE-style sequence detection.
   *
   * Reference: the Flink CEP library — NFA over keyed streams
-  * (flink-libraries/flink-cep .../nfa/NFA.java:86, CepOperator.java:82) and
-  * the SQL MATCH_RECOGNIZE bridge (flink-table-runtime .../match/).
+  * (flink-libraries/flink-cep .../nfa/NFA.java:86, CepOperator.java:82,
+  * pattern/Pattern.java for the quantifier surface,
+  * nfa/aftermatch/AfterMatchSkipStrategy.java for skip modes) and the SQL
+  * MATCH_RECOGNIZE bridge (flink-table-runtime .../match/).
   *
-  * Scope implemented here (the common funnel-detection core):
-  *  - a linear pattern A -> B -> ... -> Z of named steps, each a predicate;
-  *  - SKIP-TO-NEXT-ROW=false semantics: AFTER MATCH SKIP PAST LAST ROW
-  *    (matches never overlap; Flink's default `afterMatch(skipPastLastEvent)`);
-  *  - relaxed contiguity (FOLLOWED BY): non-matching events between steps
-  *    are skipped;
-  *  - optional `within` horizon: a partial match older than the horizon is
-  *    pruned (NFA.java's window timeout).
+  * Semantics implemented (each mapped from the Flink surface):
+  *  - patterns of steps with quantifiers: exactly-one, `times(n)`,
+  *    `oneOrMore`, `optional` — relaxed contiguity (FOLLOWED BY) between
+  *    and inside steps: non-matching events are skipped;
+  *  - `notFollowedBy` guards: an event matching a negated step while the
+  *    run sits between its neighbors kills the run (Pattern.java
+  *    notFollowedBy; negated steps cannot be first or last);
+  *  - MULTIPLE simultaneous partial matches per key: every event matching
+  *    the pattern head seeds a new candidate run, and quantified steps
+  *    branch (consume-more vs advance), exactly like NFA.java's shared
+  *    buffer of concurrent computations. Without this, A@0 A@5 B@12
+  *    (within 10) would miss the (A@5,B@12) match that Flink finds;
+  *  - after-match skip strategies: NO SKIP (emit everything, default of
+  *    Flink's CEP library), SKIP TO NEXT (drop partials sharing the
+  *    emitted match's start event), SKIP PAST LAST ROW (emit the
+  *    earliest-started completed match, drop all runs);
+  *  - optional `within` horizon: a run is pruned when an event arrives
+  *    more than `within` past the run's first bound event (NFA window
+  *    timeout).
   *
-  * Two executors share the single-pass matcher:
-  *  - batch: sort each key's rows by (time, tie) inside
-  *    `groupByKey.flatMapGroups` — one shuffle, per-key linear scan. Keys are
-  *    the distribution unit exactly like Flink's keyed CEP, so 100 TB scales
-  *    horizontally with key cardinality;
-  *  - streaming: `flatMapGroupsWithState` holding (partialStepIdx,
-  *    stepTimes) per key; micro-batches feed the same matcher
-  *    incrementally. Requires per-key event-time order within a batch
-  *    (guaranteed by sorting the batch iterator) and monotone batches for
-  *    exactness — the append-only funnel case.
+  * Events are pre-classified by the query: each row carries a bitmask of
+  * the step predicates it satisfies (bit i = matches step i). This keeps
+  * predicate evaluation inside Catalyst codegen — the matcher itself only
+  * sees (t, mask).
+  *
+  * Scale: the batch executor uses Spark's secondary-sort idiom —
+  * repartition by key + sortWithinPartitions(key, t, tie) + one streaming
+  * mapPartitions pass — so per-key history is NEVER materialized on the
+  * heap; memory is O(live runs), bounded by Pattern.maxRuns. Keys are the
+  * distribution unit exactly like Flink's keyed CEP. The streaming
+  * executor holds the run list as flatMapGroupsWithState state.
   */
 object Cep {
 
-  /** One event as seen by the matcher. */
-  final case class Ev(t: Long, step: Int, tie: Long)
-
-  /** A completed match: the event time of each step. */
-  final case class Match(times: Seq[Long])
-
-  /** Single-pass matcher over time-ordered events of one key.
-    * `state`: times of the currently-bound steps (partial match).
-    * Returns (matches, finalState). */
-  private[graft] def scan(
-      events: Iterator[Ev], nSteps: Int, within: Long,
-      init: List[Long]): (List[Match], List[Long]) = {
-    var bound = init // reversed: most recent bound step first
-    val out = List.newBuilder[Match]
-    events.foreach { e =>
-      // prune expired partial match
-      if (bound.nonEmpty && within > 0 && e.t - bound.last > within) bound = Nil
-      val nextStep = bound.length
-      if (e.step == nextStep) {
-        bound = e.t :: bound
-        if (bound.length == nSteps) {
-          out += Match(bound.reverse)
-          bound = Nil // AFTER MATCH SKIP PAST LAST ROW
-        }
-      } else if (e.step == 0 && bound.isEmpty) {
-        bound = List(e.t)
-      }
-      // else: relaxed contiguity — ignore the event
-    }
-    (out.result(), bound)
+  sealed trait Quant
+  object Quant {
+    /** exactly one event (Flink's default step). */
+    case object One extends Quant
+    /** exactly n events, relaxed internal contiguity (Pattern.times(n)). */
+    final case class Times(n: Int) extends Quant
+    /** one or more events (Pattern.oneOrMore, un-greedy): a match is
+      * emitted for every repetition count that completes downstream. */
+    case object OneOrMore extends Quant
+    /** zero or one event (Pattern.optional). */
+    case object Opt extends Quant
   }
 
-  /** Batch CEP: detect the pattern per key over a sorted event history.
-    * Input columns: key: Long, t: Long (event time), step: Int (the pattern
-    * step this event satisfies, -1 if none), tie: Long (deterministic order
-    * for equal times). Output: (key, step times array). */
-  def detectBatch(
-      spark: SparkSession, events: DataFrame,
-      nSteps: Int, within: Long): DataFrame = {
+  /** One pattern step. `negated` marks a notFollowedBy guard (quantifier
+    * must be One; cannot be the first or last step). */
+  final case class StepDef(quant: Quant = Quant.One, negated: Boolean = false)
+
+  /** AfterMatchSkipStrategy.java analogs. */
+  sealed trait AfterMatch
+  object AfterMatch {
+    case object NoSkip extends AfterMatch
+    case object SkipToNext extends AfterMatch
+    case object SkipPastLast extends AfterMatch
+  }
+
+  final case class Pattern(
+      steps: IndexedSeq[StepDef],
+      within: Long = 0L, // max(t_last - t_first) per match; 0 = unbounded
+      after: AfterMatch = AfterMatch.SkipPastLast,
+      maxRuns: Int = 64) {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    require(!steps.head.negated && !steps.last.negated,
+      "notFollowedBy cannot be the first or last step (Flink contract)")
+    require(steps.forall(s => !s.negated || s.quant == Quant.One),
+      "negated steps are guards: quantifier must be One")
+    require(steps.collect { case StepDef(Quant.Times(n), _) => n }.forall(_ >= 1),
+      "times(n) needs n >= 1")
+    val nSteps: Int = steps.length
+  }
+  object Pattern {
+    /** A -> B -> ... -> Z of n singleton steps, AFTER MATCH SKIP PAST LAST
+      * ROW — the funnel shape of round 1's matcher. */
+    def linear(n: Int, within: Long): Pattern =
+      Pattern(IndexedSeq.fill(n)(StepDef()), within)
+  }
+
+  /** One bound event of a partial match. */
+  final case class BoundEv(step: Int, t: Long)
+
+  /** A live partial match: position in the pattern, events consumed at the
+    * current position, active notFollowedBy guards, bound events
+    * (newest-first). */
+  final case class Run(pos: Int, cnt: Int, guards: Seq[Int], bound: Seq[BoundEv])
+
+  private def startT(r: Run): Long =
+    if (r.bound.isEmpty) Long.MaxValue else r.bound.last.t
+
+  /** Position a run at pattern index `from` after a successful consume,
+    * collecting notFollowedBy guards and ε-expanding Optional steps (a run
+    * parked at an optional step also exists at the next position without
+    * consuming). Returns (live placements, completed bound lists — the
+    * position ran off the end of the pattern). */
+  private def place(p: Pattern, bound: List[BoundEv], from: Int,
+      inherited: List[Int]): (List[Run], List[List[BoundEv]]) = {
+    var i = from
+    var guards = inherited
+    while (i < p.nSteps && p.steps(i).negated) { guards ::= i; i += 1 }
+    if (i >= p.nSteps) (Nil, List(bound))
+    else {
+      val here = Run(i, 0, guards.sorted, bound)
+      p.steps(i).quant match {
+        case Quant.Opt =>
+          val (rs, ds) = place(p, bound, i + 1, guards)
+          (here :: rs, ds)
+        case _ => (List(here), Nil)
+      }
+    }
+  }
+
+  /** Feed one event (time t, step-predicate bitmask) to one key's live
+    * runs. Returns (surviving runs, completed matches as bound lists),
+    * with the after-match skip strategy already applied. */
+  private[graft] def offer(p: Pattern, runs0: List[Run], t: Long, mask: Long)
+      : (List[Run], List[List[BoundEv]]) = {
+    // within-horizon pruning happens before the event is offered: an
+    // expired run can neither consume nor complete.
+    val alive =
+      if (p.within > 0) runs0.filter(r => t - startT(r) <= p.within) else runs0
+    if (mask == 0L) return (alive, Nil) // relaxed contiguity: skip the event
+
+    // notFollowedBy: the event kills runs whose active guard it matches.
+    val guarded = alive.filterNot(r => r.guards.exists(g => (mask >>> g & 1L) == 1L))
+
+    val next = List.newBuilder[Run]
+    val done = List.newBuilder[List[BoundEv]]
+
+    def consume(r: Run): Unit = {
+      val bound2 = BoundEv(r.pos, t) :: r.bound.toList
+      val cnt2 = r.cnt + 1
+      val q = p.steps(r.pos).quant
+      val minMet = q match {
+        case Quant.Times(n) => cnt2 >= n
+        case _ => true
+      }
+      val canMore = q match {
+        case Quant.Times(n) => cnt2 < n
+        case Quant.OneOrMore => true
+        case _ => false
+      }
+      if (minMet) {
+        val (rs, ds) = place(p, bound2, r.pos + 1, Nil)
+        rs.foreach(next += _)
+        ds.foreach(done += _)
+      }
+      if (canMore) next += Run(r.pos, cnt2, r.guards, bound2)
+    }
+
+    guarded.foreach { r =>
+      if ((mask >>> r.pos & 1L) == 1L) consume(r) else next += r
+    }
+    // every event is offered a fresh run seeded at the pattern head —
+    // the NFA start state is always active (multiple partial matches).
+    place(p, Nil, 0, Nil)._1.foreach { seed =>
+      if ((mask >>> seed.pos & 1L) == 1L) consume(seed)
+    }
+
+    val completed = done.result().sortBy(b => (b.last.t, -b.size))
+    val surviving0 = next.result().distinct
+    val surviving =
+      if (surviving0.size <= p.maxRuns) surviving0
+      else surviving0.sortBy(r => (startT(r), r.pos, r.cnt, -r.bound.size))
+        .take(p.maxRuns)
+
+    p.after match {
+      case AfterMatch.NoSkip => (surviving, completed)
+      case AfterMatch.SkipPastLast =>
+        if (completed.isEmpty) (surviving, Nil)
+        // emit the earliest-started (then longest) match; discard ALL runs
+        else (Nil, List(completed.head))
+      case AfterMatch.SkipToNext =>
+        if (completed.isEmpty) (surviving, Nil)
+        else {
+          val starts = completed.map(_.last.t).toSet
+          (surviving.filterNot(r => starts.contains(startT(r))), completed)
+        }
+    }
+  }
+
+  /** Bound list (newest-first) -> per-step sorted time arrays. */
+  private[graft] def toStepTimes(p: Pattern, bound: List[BoundEv]): Seq[Seq[Long]] =
+    (0 until p.nSteps).map(i => bound.filter(_.step == i).map(_.t).sorted)
+
+  /** Drive the matcher over one key's time-ordered (t, mask) events —
+    * the testing/spec surface. */
+  private[graft] def run(p: Pattern, events: Seq[(Long, Long)]): List[Seq[Seq[Long]]] = {
+    var runs: List[Run] = Nil
+    val out = List.newBuilder[Seq[Seq[Long]]]
+    events.foreach { case (t, mask) =>
+      val (nr, done) = offer(p, runs, t, mask)
+      runs = nr
+      done.foreach(b => out += toStepTimes(p, b))
+    }
+    out.result()
+  }
+
+  /** Batch CEP over columns key: Long, t: Long, mask: Long (bit i = event
+    * satisfies step i), tie: Long (deterministic order for equal times).
+    * Output: (key, step_times: array<array<long>>) — one row per match,
+    * inner arrays indexed by step.
+    *
+    * Secondary-sort execution: one shuffle (repartition by key), in-place
+    * partition sort, then a single streaming pass — per-key history is
+    * never collected, memory is O(maxRuns). */
+  def matchBatch(spark: SparkSession, events: DataFrame, pattern: Pattern): DataFrame = {
     import spark.implicits._
-    val ds = events.select(
-        col("key").cast("long"), col("t").cast("long"),
-        col("step").cast("int"), col("tie").cast("long"))
-      .as[(Long, Long, Int, Long)]
-    ds.groupByKey(_._1)
-      .flatMapGroups { (key, rows) =>
-        val sorted = rows.toSeq.sortBy(r => (r._2, r._4))
-          .iterator.map(r => Ev(r._2, r._3, r._4))
-        scan(sorted, nSteps, within, Nil)._1.iterator
-          .map(m => (key, m.times))
+    events
+      .select(col("key").cast("long"), col("t").cast("long"),
+        col("mask").cast("long"), col("tie").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var runs: List[Run] = Nil
+        it.flatMap { case (k, t, mask, _) =>
+          if (!started || k != curKey) { runs = Nil; curKey = k; started = true }
+          val (nr, done) = offer(pattern, runs, t, mask)
+          runs = nr
+          done.map(b => (k, toStepTimes(pattern, b)))
+        }
       }
       .toDF("key", "step_times")
   }
 
-  /** Streaming CEP over an append stream (same input contract; state is the
-    * partial match per key). */
+  /** Streaming CEP over an append stream with the same (key, t, mask, tie)
+    * contract; the live run list is the per-key state. Requires per-key
+    * event-time order across batches (monotone batches) for exactness —
+    * guaranteed within a batch by sorting the group iterator. */
+  def matchStream(ds: Dataset[(Long, Long, Long, Long)], pattern: Pattern)(
+      implicit ek: Encoder[Long],
+      es: Encoder[List[Run]],
+      eo: Encoder[(Long, Seq[Seq[Long]])]): Dataset[(Long, Seq[Seq[Long]])] = {
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[List[Run]]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._4))
+          var runs = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Seq[Seq[Long]])]
+          sorted.foreach { case (_, t, mask, _) =>
+            val (nr, done) = offer(pattern, runs, t, mask)
+            runs = nr
+            done.foreach(b => out += ((key, toStepTimes(pattern, b))))
+          }
+          state.update(runs)
+          out.result().iterator
+      }
+  }
+
+  // ---- round-1 linear surface, now running on the full NFA ----
+
+  private def stepToMask(df: DataFrame): DataFrame =
+    df.withColumn("mask",
+      expr("IF(step >= 0, shiftleft(1L, CAST(step AS INT)), 0L)"))
+
+  /** Linear funnel A -> B -> ... -> Z with AFTER MATCH SKIP PAST LAST ROW.
+    * Input columns: key, t, step (index of the step this event satisfies,
+    * -1 if none), tie. Output: (key, step_times: array<long>). */
+  def detectBatch(
+      spark: SparkSession, events: DataFrame,
+      nSteps: Int, within: Long): DataFrame = {
+    matchBatch(spark, stepToMask(events), Pattern.linear(nSteps, within))
+      .select(col("key"), flatten(col("step_times")).as("step_times"))
+  }
+
+  /** Streaming variant of the linear funnel (same input contract). */
   def detectStream(
       ds: Dataset[(Long, Long, Int, Long)], nSteps: Int, within: Long)(
       implicit ek: Encoder[Long],
-      e1: Encoder[List[Long]],
-      e2: Encoder[(Long, Seq[Long])]): Dataset[(Long, Seq[Long])] = {
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Int, Long)], state: GroupState[List[Long]]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._4))
-            .iterator.map(r => Ev(r._2, r._3, r._4))
-          val (matches, next) =
-            scan(sorted, nSteps, within, state.getOption.getOrElse(Nil))
-          state.update(next)
-          matches.iterator.map(m => (key, m.times))
-      }
+      es: Encoder[List[Run]],
+      em: Encoder[(Long, Long, Long, Long)],
+      eo: Encoder[(Long, Seq[Seq[Long]])],
+      ef: Encoder[(Long, Seq[Long])]): Dataset[(Long, Seq[Long])] = {
+    val masked = ds.map { case (k, t, step, tie) =>
+      (k, t, if (step >= 0) 1L << step else 0L, tie)
+    }
+    matchStream(masked, Pattern.linear(nSteps, within))
+      .map { case (k, st) => (k, st.map(_.head)) }
   }
 }

@@ -53,9 +53,12 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
-      // Full NFA semantics (AFTER MATCH SKIP PAST LAST ROW, relaxed
-      // contiguity, within-horizon pruning) — not SQL-expressible; CepSpec
-      // asserts batch/stream equivalence and hand-built scenarios.
+      // Full NFA semantics (AFTER MATCH SKIP PAST LAST ROW, multi-partial
+      // tracking, relaxed contiguity, within-horizon pruning) — skip-mode
+      // interleaving isn't SQL-expressible; CepSpec asserts batch/stream
+      // equivalence and hand-built scenarios. Executes via the
+      // secondary-sort path (repartition + sortWithinPartitions +
+      // mapPartitions), so per-key history never sits on the heap.
       "q46_cep_matches",
       (s, d) => {
         import s.implicits._
@@ -70,6 +73,95 @@ object AdvancedOps extends QueryModule {
           .orderBy($"user_id", $"s_us")
       },
       None),
+
+    GQuery(
+      // CEP with a quantified middle step: signup -> click oneOrMore ->
+      // purchase, NO SKIP, within 7 days (Pattern.java oneOrMore +
+      // AfterMatchSkipStrategy.noSkip). The NFA's branching semantics have
+      // a clean relational characterization — for each signup seed and each
+      // click-prefix length j, the match completes at the first purchase
+      // after the j-th click — which DuckDB computes with window functions,
+      // giving a full rows+schema+hash oracle over NFA output.
+      "q69_cep_clicks_quantified",
+      (s, d) => {
+        import s.implicits._
+        import graft.cep.Cep.{AfterMatch, Pattern, Quant, StepDef}
+        val ev = Tables.events(s, d)
+          .select($"user_id".as("key"), $"ts_us".as("t"),
+            expr("""CAST(CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 4 ELSE 0 END AS BIGINT)""").as("mask"),
+            $"event_id".as("tie"))
+        val p = Pattern(
+          IndexedSeq(StepDef(), StepDef(Quant.OneOrMore), StepDef()),
+          within = 604800L * 1000000L, after = AfterMatch.NoSkip,
+          maxRuns = 8192)
+        Cep.matchBatch(s, ev, p)
+          .select($"key".as("user_id"),
+            element_at(element_at($"step_times", 1), 1).as("s_us"),
+            size(element_at($"step_times", 2)).cast("long").as("n_clicks"),
+            element_at(element_at($"step_times", 2), -1).as("last_c_us"),
+            element_at(element_at($"step_times", 3), 1).as("p_us"))
+          .orderBy($"user_id", $"s_us", $"n_clicks")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |c AS (SELECT s.user_id, s.s_us, e.us AS c_us,
+        |             ROW_NUMBER() OVER (PARTITION BY s.user_id, s.s_us ORDER BY e.us) AS j
+        |      FROM s JOIN e ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.us > s.s_us
+        |        AND e.us - s.s_us <= 604800000000),
+        |p AS (SELECT c.user_id, c.s_us, c.j, c.c_us,
+        |             (SELECT MIN(e2.us) FROM e e2
+        |              WHERE e2.user_id = c.user_id AND e2.event_type = 'purchase'
+        |                AND e2.us > c.c_us) AS p_us
+        |      FROM c)
+        |SELECT user_id, s_us, CAST(j AS BIGINT) AS n_clicks, c_us AS last_c_us, p_us
+        |FROM p
+        |WHERE p_us IS NOT NULL AND p_us - s_us <= 604800000000
+        |ORDER BY user_id, s_us, n_clicks
+        |""".stripMargin)),
+
+    GQuery(
+      // CEP notFollowedBy guard: signup -> notFollowedBy(error) ->
+      // purchase, NO SKIP, within 7 days (Pattern.java notFollowedBy). A
+      // match is each signup whose FIRST following purchase arrives within
+      // the horizon with no error event in between — the guard-kill
+      // semantics reduce to a NOT EXISTS over the gap.
+      "q70_cep_not_followed_by",
+      (s, d) => {
+        import s.implicits._
+        import graft.cep.Cep.{AfterMatch, Pattern, StepDef}
+        val ev = Tables.events(s, d)
+          .select($"user_id".as("key"), $"ts_us".as("t"),
+            expr("""CAST(CASE event_type WHEN 'signup' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'purchase' THEN 4 ELSE 0 END AS BIGINT)""").as("mask"),
+            $"event_id".as("tie"))
+        val p = Pattern(
+          IndexedSeq(StepDef(), StepDef(negated = true), StepDef()),
+          within = 604800L * 1000000L, after = AfterMatch.NoSkip,
+          maxRuns = 8192)
+        Cep.matchBatch(s, ev, p)
+          .select($"key".as("user_id"),
+            element_at(element_at($"step_times", 1), 1).as("s_us"),
+            element_at(element_at($"step_times", 3), 1).as("p_us"))
+          .orderBy($"user_id", $"s_us")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |sp AS (SELECT s.user_id, s.s_us,
+        |              (SELECT MIN(e2.us) FROM e e2
+        |               WHERE e2.user_id = s.user_id AND e2.event_type = 'purchase'
+        |                 AND e2.us > s.s_us) AS p_us
+        |       FROM s)
+        |SELECT user_id, s_us, p_us FROM sp
+        |WHERE p_us IS NOT NULL AND p_us - s_us <= 604800000000
+        |  AND NOT EXISTS (SELECT 1 FROM e e3
+        |       WHERE e3.user_id = sp.user_id AND e3.event_type = 'error'
+        |         AND e3.us > sp.s_us AND e3.us < sp.p_us)
+        |ORDER BY user_id, s_us
+        |""".stripMargin)),
 
     GQuery(
       // The SQL entry path: identical text runs through spark.sql (via

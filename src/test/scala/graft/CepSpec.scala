@@ -1,41 +1,141 @@
 package graft
 
 import graft.cep.Cep
-import graft.cep.Cep.{Ev, Match}
+import graft.cep.Cep.{AfterMatch, Pattern, Quant, StepDef}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 class CepSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("scan: basic A->B->C with relaxed contiguity") {
-    val evs = Iterator(Ev(1, 0, 0), Ev(2, -1, 1), Ev(3, 1, 2), Ev(4, -1, 3), Ev(5, 2, 4))
-    val (ms, st) = Cep.scan(evs, 3, 100, Nil)
-    assert(ms == List(Match(Seq(1, 3, 5))) && st.isEmpty)
+  private def m(bits: Int*): Long = bits.foldLeft(0L)((a, b) => a | (1L << b))
+  private val none = 0L
+
+  test("linear A->B->C with relaxed contiguity") {
+    val p = Pattern.linear(3, within = 100)
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> none, 3L -> m(1), 4L -> none, 5L -> m(2)))
+    assert(got == List(Seq(Seq(1L), Seq(3L), Seq(5L))))
   }
 
-  test("scan: AFTER MATCH SKIP PAST LAST ROW — no overlapping matches") {
-    // steps at 1,2,3 then 4,5,6: two disjoint matches; step-1 event at t=2
-    // cannot also serve a second partial.
-    val evs = Iterator(Ev(1, 0, 0), Ev(2, 1, 1), Ev(3, 2, 2),
-      Ev(4, 0, 3), Ev(5, 1, 4), Ev(6, 2, 5))
-    val (ms, _) = Cep.scan(evs, 3, 100, Nil)
-    assert(ms == List(Match(Seq(1, 2, 3)), Match(Seq(4, 5, 6))))
+  test("AFTER MATCH SKIP PAST LAST ROW: no overlapping matches") {
+    val p = Pattern.linear(3, within = 100)
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(1), 3L -> m(2), 4L -> m(0), 5L -> m(1), 6L -> m(2)))
+    assert(got == List(Seq(Seq(1L), Seq(2L), Seq(3L)), Seq(Seq(4L), Seq(5L), Seq(6L))))
   }
 
-  test("scan: within horizon prunes stale partials") {
-    // signup@0, click@200 (expired: within=100) -> no match; new signup@210
-    // completes with click@220, purchase@230.
-    val evs = Iterator(Ev(0, 0, 0), Ev(200, 1, 1), Ev(210, 0, 2),
-      Ev(220, 1, 3), Ev(230, 2, 4))
-    val (ms, _) = Cep.scan(evs, 3, 100, Nil)
-    assert(ms == List(Match(Seq(210, 220, 230))))
+  test("within horizon prunes stale partials") {
+    val p = Pattern.linear(3, within = 100)
+    val got = Cep.run(p,
+      Seq(0L -> m(0), 200L -> m(1), 210L -> m(0), 220L -> m(1), 230L -> m(2)))
+    assert(got == List(Seq(Seq(210L), Seq(220L), Seq(230L))))
   }
 
-  test("scan: earlier partial is preferred; later step-0 ignored while alive") {
-    val evs = Iterator(Ev(1, 0, 0), Ev(2, 0, 1), Ev(3, 1, 2), Ev(4, 2, 3))
-    val (ms, _) = Cep.scan(evs, 3, 100, Nil)
-    assert(ms == List(Match(Seq(1, 3, 4))))
+  test("multiple partial matches: later pattern-start survives expiry of the first") {
+    // ADVICE round-1 scenario: A@0, A@5, B@12 with within=10 — the A@0 run
+    // expires at t=12 but A@5 must still complete (Flink NFA behavior).
+    val p = Pattern.linear(2, within = 10)
+    val got = Cep.run(p, Seq(0L -> m(0), 5L -> m(0), 12L -> m(1)))
+    assert(got == List(Seq(Seq(5L), Seq(12L))))
+  }
+
+  test("skip-past-last emits the earliest-started of simultaneous completions") {
+    val p = Pattern.linear(3, within = 100)
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> m(0), 3L -> m(1), 4L -> m(2)))
+    assert(got == List(Seq(Seq(1L), Seq(3L), Seq(4L))))
+  }
+
+  test("times(2): exactly two events bind to the quantified step") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.Times(2)), StepDef()), within = 100,
+      after = AfterMatch.NoSkip)
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(1), 5L -> m(2)))
+    // the seed consumes clicks 2,3 (first two); click 4 is ignored by the
+    // already-full step (relaxed contiguity), completes at 5
+    assert(got == List(Seq(Seq(1L), Seq(2L, 3L), Seq(5L))))
+  }
+
+  test("oneOrMore branches: one match per repetition count (NoSkip)") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore), StepDef()), within = 100,
+      after = AfterMatch.NoSkip)
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(2)))
+    assert(got.toSet == Set(
+      Seq(Seq(1L), Seq(2L), Seq(4L)),
+      Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
+  }
+
+  test("optional middle step matches with and without the optional event") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.Opt), StepDef()), within = 100,
+      after = AfterMatch.NoSkip)
+    // without the optional event
+    assert(Cep.run(p, Seq(1L -> m(0), 5L -> m(2))) ==
+      List(Seq(Seq(1L), Seq(), Seq(5L))))
+    // with it: BOTH the skipped and the taken path complete (NFA branches)
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> m(1), 3L -> m(2)))
+    assert(got.toSet == Set(
+      Seq(Seq(1L), Seq(), Seq(3L)),
+      Seq(Seq(1L), Seq(2L), Seq(3L))))
+  }
+
+  test("trailing optional step: match emitted immediately, extended later") {
+    val p = Pattern(IndexedSeq(StepDef(), StepDef(Quant.Opt)), within = 100,
+      after = AfterMatch.NoSkip)
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> m(1)))
+    assert(got.toSet == Set(Seq(Seq(1L), Seq()), Seq(Seq(1L), Seq(2L))))
+  }
+
+  test("notFollowedBy guard kills the run") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(negated = true), StepDef()), within = 100,
+      after = AfterMatch.NoSkip)
+    // A then C with no B between -> match
+    assert(Cep.run(p, Seq(1L -> m(0), 5L -> m(2))) ==
+      List(Seq(Seq(1L), Seq(), Seq(5L))))
+    // A, B (guard!), C -> the A@1 run dies; A@6 C@7 still matches
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(1), 3L -> m(2), 6L -> m(0), 7L -> m(2)))
+    assert(got == List(Seq(Seq(6L), Seq(), Seq(7L))))
+  }
+
+  test("skip strategies differ on overlapping completions") {
+    val evs = Seq(1L -> m(0), 2L -> m(0), 3L -> m(1), 4L -> m(1))
+    // pattern A -> B; runs: (1,_),(2,_); B@3 completes both (NoSkip)
+    val noSkip = Pattern.linear(2, 100).copy(after = AfterMatch.NoSkip)
+    assert(Cep.run(noSkip, evs).toSet == Set(
+      Seq(Seq(1L), Seq(3L)), Seq(Seq(2L), Seq(3L))))
+    // SkipPastLast: earliest only, all runs dropped -> B@4 matches nothing
+    val spl = Pattern.linear(2, 100).copy(after = AfterMatch.SkipPastLast)
+    assert(Cep.run(spl, evs) == List(Seq(Seq(1L), Seq(3L))))
+    // SkipToNext: both completions emit (different start events)
+    val stn = Pattern.linear(2, 100).copy(after = AfterMatch.SkipToNext)
+    assert(Cep.run(stn, evs).toSet == Set(
+      Seq(Seq(1L), Seq(3L)), Seq(Seq(2L), Seq(3L))))
+  }
+
+  test("maxRuns caps live state, keeping earliest-started runs") {
+    val p = Pattern.linear(2, within = 0).copy(maxRuns = 2)
+    val evs = (1L to 10L).map(t => t -> m(0)) :+ (20L -> m(1))
+    // 10 seeds, capped at the 2 earliest; SkipPastLast emits the earliest
+    assert(Cep.run(p, evs) == List(Seq(Seq(1L), Seq(20L))))
+  }
+
+  test("matchBatch agrees with the in-memory matcher on a quantified pattern") {
+    import spark.implicits._
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore), StepDef()), within = 1000,
+      after = AfterMatch.NoSkip)
+    val evs = Seq( // key 1: a b b c ; key 2: a c (no b -> no match)
+      (1L, 10L, m(0), 1L), (1L, 20L, m(1), 2L), (1L, 30L, m(1), 3L), (1L, 40L, m(2), 4L),
+      (2L, 10L, m(0), 5L), (2L, 40L, m(2), 6L))
+    val got = Cep.matchBatch(spark, evs.toDF("key", "t", "mask", "tie"), p)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    val want = Cep.run(p, Seq(10L -> m(0), 20L -> m(1), 30L -> m(1), 40L -> m(2)))
+      .map(st => (1L, st)).toSet
+    assert(got == want && want.size == 2)
   }
 
   test("batch and stream CEP agree on the events fixture, any batch split") {
