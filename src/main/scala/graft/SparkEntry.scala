@@ -22,7 +22,8 @@ object SparkEntry {
     AdvancedOps,
     MultimodalOps,
     GraphOps,
-    SinkOps)
+    SinkOps,
+    RetractOps)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Retraction-CONSUMING streaming operators over the explicit `row_kind`
+  * changelog convention (graft.streaming.Cdc) — the piece round 1 left
+  * open: the changelog existed but no stateful operator actually applied
+  * -U/-D rows to its state.
+  *
+  * Reference: flink-table-runtime .../aggregate/GroupAggFunction.java:43
+  * (accumulate/retract on RowKind, emits UPDATE_AFTER and a DELETE when a
+  * group empties) and .../rank/RetractableTopNFunction.java:56 (sorted
+  * per-key state, re-ranks and backfills when a ranked row retracts).
+  *
+  * State sizes: groupAggregate keeps one (count, sum) pair per key —
+  * O(keys). retractableTopN keeps every LIVE row of the key (like Flink's
+  * dataState MapState): retracting a top row must backfill from below, so
+  * the full live set is the honest lower bound for exact semantics.
+  */
+object Retract {
+  import Cdc.{Delete, Insert, UpdateAfter, UpdateBefore}
+
+  private def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
+  private def isRetract(kind: String): Boolean = kind == Delete || kind == UpdateBefore
+
+  /** Streaming group aggregate consuming a changelog of
+    * (key, row_kind, value). Emits the refreshed (key, row_kind, count,
+    * sum) after every micro-batch that changes the group: "+U" while the
+    * group is live, a final "-D" when retractions empty it (count drops to
+    * 0) — GroupAggFunction's emit contract. */
+  def groupAggregate[K: Encoder](
+      ds: Dataset[(K, String, Double)])(
+      implicit e1: Encoder[(Long, Double)],
+      e2: Encoder[(K, String, Long, Double)]): Dataset[(K, String, Long, Double)] = {
+
+    def update(key: K, rows: Iterator[(K, String, Double)],
+        state: GroupState[(Long, Double)]): Iterator[(K, String, Long, Double)] = {
+      val (cnt0, sum0) = state.getOption.getOrElse((0L, 0.0))
+      var cnt = cnt0
+      var sum = sum0
+      rows.foreach { case (_, kind, v) =>
+        if (isAdd(kind)) { cnt += 1; sum += v }
+        else if (isRetract(kind)) { cnt -= 1; sum -= v }
+      }
+      if (cnt == cnt0 && sum == sum0) Iterator.empty
+      else if (cnt <= 0) {
+        val existed = state.exists
+        state.remove()
+        if (existed) Iterator((key, Delete, 0L, 0.0)) else Iterator.empty
+      } else {
+        state.update((cnt, sum))
+        Iterator((key, UpdateAfter, cnt, sum))
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Retractable top-N per key over a changelog of
+    * (key, row_kind, score, payload). A retraction (-U/-D) removes one
+    * matching (score, payload) instance; the refreshed top-N — including
+    * rows BACKFILLED from below the old cut — is emitted whenever it
+    * changes, as (key, rank, score, payload). */
+  def retractableTopN[K: Encoder](
+      ds: Dataset[(K, String, Double, String)], n: Int)(
+      implicit e1: Encoder[Seq[(Double, String)]],
+      e2: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
+
+    def topOf(live: Seq[(Double, String)]): Seq[(Double, String)] =
+      live.sortBy { case (score, payload) => (-score, payload) }.take(n)
+
+    def update(key: K, rows: Iterator[(K, String, Double, String)],
+        state: GroupState[Seq[(Double, String)]]): Iterator[(K, Int, Double, String)] = {
+      val before = state.getOption.getOrElse(Seq.empty)
+      var live = before
+      rows.foreach { case (_, kind, score, payload) =>
+        if (isAdd(kind)) live = live :+ ((score, payload))
+        else if (isRetract(kind)) {
+          val i = live.indexOf((score, payload))
+          if (i >= 0) live = live.patch(i, Nil, 1)
+        }
+      }
+      if (live.isEmpty) state.remove() else state.update(live)
+      val (oldTop, newTop) = (topOf(before), topOf(live))
+      if (newTop == oldTop) Iterator.empty
+      else newTop.iterator.zipWithIndex.map { case ((score, payload), i) =>
+        (key, i + 1, score, payload)
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

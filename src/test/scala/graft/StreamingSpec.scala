@@ -169,6 +169,88 @@ class StreamingSpec extends AnyFunSuite {
       Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)), s"got: $got")
   }
 
+  test("retraction-consuming group aggregate: -U/+U/-D flow into state") {
+    import graft.streaming.Retract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val out = Retract.groupAggregate(in.toDS())
+    val q = out.toDF("k", "kind", "cnt", "sum").writeStream
+      .outputMode("update").format("memory").queryName("ra_out").start()
+    in.addData(("a", "+I", 10.0), ("a", "+I", 5.0), ("b", "+I", 3.0))
+    q.processAllAvailable()
+    // update a: -U 10 / +U 12 ; delete b entirely
+    in.addData(("a", "-U", 10.0), ("a", "+U", 12.0), ("b", "-D", 3.0))
+    runToCompletion(q)
+    val rows = spark.table("ra_out").as[(String, String, Long, Double)]
+      .collect().toSeq
+    // batch 1 emissions, then batch 2: refreshed a, deletion marker for b
+    assert(rows.contains(("a", "+U", 2L, 15.0)))
+    assert(rows.contains(("a", "+U", 2L, 17.0)))
+    assert(rows.contains(("b", "-D", 0L, 0.0)), s"missing -D for b: $rows")
+  }
+
+  test("retractable top-N backfills when a ranked row is deleted") {
+    import graft.streaming.Retract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, String)]
+    val out = Retract.retractableTopN(in.toDS(), n = 2)
+    val q = out.toDF("k", "rk", "score", "id").writeStream
+      .outputMode("update").format("memory").queryName("rt_out").start()
+    in.addData(("g", "+I", 30.0, "x"), ("g", "+I", 20.0, "y"), ("g", "+I", 10.0, "z"))
+    q.processAllAvailable()
+    val top1 = spark.table("rt_out").as[(String, Int, Double, String)].collect().toSet
+    assert(top1.contains(("g", 1, 30.0, "x")) && top1.contains(("g", 2, 20.0, "y")))
+    // retract the leader: z must backfill into the refreshed top-2
+    in.addData(("g", "-D", 30.0, "x"))
+    runToCompletion(q)
+    val all = spark.table("rt_out").as[(String, Int, Double, String)].collect().toSeq
+    assert(all.contains(("g", 1, 20.0, "y")) && all.contains(("g", 2, 10.0, "z")),
+      s"no backfill after retraction: $all")
+  }
+
+  test("streaming changelog replay equals the batch signed aggregate") {
+    import graft.operators.RetractOps
+    import graft.streaming.Retract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q71 changelog at sf0.001, replayed in 3 micro-batches
+    val rows = RetractOps.ordersChangelog(spark, TestSpark.sf)
+      .select($"o_orderpriority", col(graft.streaming.Cdc.RowKind),
+        $"price".cast("double"))
+      .as[(String, String, Double)].collect().toSeq
+      .sortBy(r => (r._2, r._1)) // deterministic but kind-interleaved order
+    val in = MemoryStream[(String, String, Double)]
+    val out = Retract.groupAggregate(in.toDS())
+    val q = out.toDF("k", "kind", "cnt", "sum").writeStream
+      .outputMode("update").format("memory").queryName("rp_out").start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      in.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    // last emission per key is the final state
+    val finalRows = spark.table("rp_out").as[(String, String, Long, Double)]
+      .collect().zipWithIndex
+      .groupBy(_._1._1).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    val want = RetractOps.retractAggregate(
+        RetractOps.ordersChangelog(spark, TestSpark.sf),
+        Seq("o_orderpriority"), "price")
+      .select($"o_orderpriority", $"net_cnt".cast("long"),
+        $"net_sum".cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(finalRows.keySet == want.keySet)
+    want.foreach { case (k, (cnt, sum)) =>
+      val (_, _, gotCnt, gotSum) = finalRows(k)
+      assert(gotCnt == cnt, s"$k count: $gotCnt != $cnt")
+      // streaming sums doubles in arrival order; batch sums exact decimals —
+      // compare with relative tolerance
+      assert(math.abs(gotSum - sum) <= 1e-9 * math.abs(sum) + 1e-6,
+        s"$k sum: $gotSum != $sum")
+    }
+  }
+
   test("KeyedProcess: inactivity timeout emits session summary via timer") {
     import graft.streaming.KeyedProcess
     import graft.streaming.KeyedProcess.Emit
