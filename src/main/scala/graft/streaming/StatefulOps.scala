@@ -133,6 +133,83 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming OVER with a bounded ROWS frame: each row released in
+    * event-time order is annotated with the aggregate over the last
+    * `nRows` rows (frame ROWS nRows-1 PRECEDING .. CURRENT ROW) of its
+    * key — Flink RowTimeRowsBoundedPrecedingFunction.java:56. State: the
+    * watermark-pending buffer plus an eviction deque of the last nRows
+    * released (t, v) pairs, so state is O(pending + nRows) per key.
+    * Late rows (t <= watermark at ingest) are dropped. */
+  def rowsBoundedSumByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)], nRows: Int)(
+      implicit e1: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])])
+        : Iterator[(K, Long, Double, Double)] = {
+      val (pending0, frame0) = state.getOption.getOrElse(
+        (Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
+      val wm = state.getCurrentWatermarkMs()
+      val buf = pending0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
+      val (ready, pending) = buf.partition(_._1 <= wm)
+      var frame = frame0
+      val out = ready.sortBy(identity).map { case (t, v) =>
+        frame = (frame :+ ((t, v))).takeRight(nRows)
+        (key, t, v, frame.map(_._2).sum)
+      }
+      if (pending.isEmpty && out.isEmpty && pending0.isEmpty && frame0.isEmpty) {
+        state.remove()
+      } else {
+        state.update((pending, frame))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming OVER with a bounded RANGE frame: each released row is
+    * annotated with the aggregate over rows of its key with
+    * t in [cur - rangeMs, cur] (frame RANGE rangeMs PRECEDING .. CURRENT
+    * ROW) — Flink RowTimeRangeBoundedPrecedingFunction.java. Rows older
+    * than the range evict from the retained frame as newer rows release,
+    * so state is O(pending + rows-inside-range) per key. */
+  def rangeBoundedSumByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)], rangeMs: Long)(
+      implicit e1: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])])
+        : Iterator[(K, Long, Double, Double)] = {
+      val (pending0, frame0) = state.getOption.getOrElse(
+        (Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
+      val wm = state.getCurrentWatermarkMs()
+      val buf = pending0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
+      val (ready, pending) = buf.partition(_._1 <= wm)
+      var frame = frame0
+      val out = ready.sortBy(identity).map { case (t, v) =>
+        frame = (frame :+ ((t, v))).filter(_._1 >= t - rangeMs)
+        (key, t, v, frame.map(_._2).sum)
+      }
+      if (pending.isEmpty && out.isEmpty && pending0.isEmpty && frame0.isEmpty) {
+        state.remove()
+      } else {
+        state.update((pending, frame))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Count-based tumbling window per key (Flink countWindow — no Spark
     * equivalent): buffers rows per key and emits an aggregate every
     * `size` rows. State: the current partial buffer. */

@@ -169,6 +169,64 @@ class StreamingSpec extends AnyFunSuite {
       Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)), s"got: $got")
   }
 
+  test("streaming OVER bounded ROWS frame matches batch Window.rowsBetween") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = for (k <- 1L to 2L; i <- 0 until 12)
+      yield (k, ts(10L * i + k), (i * 7 % 5) + k * 0.5)
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = StatefulOps.rowsBoundedSumByKey(watermarked, nRows = 3)
+    val q = out.toDF("k", "t", "v", "agg").writeStream
+      .outputMode("append").format("memory").queryName("rb_out").start()
+    data.sortBy(_._2.getTime).grouped(8).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    in.addData((1L, ts(100000), 0.0), (2L, ts(100000), 0.0)) // flush watermark
+    runToCompletion(q)
+    val streamed = spark.table("rb_out").as[(Long, Long, Double, Double)]
+      .collect().toSet.filter(_._2 < 100000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"t").rowsBetween(-2, 0)
+    val batch = data.toDF("k", "ts", "v")
+      .select($"k", $"ts".cast("long") * 1000, $"v")
+      .toDF("k", "t", "v")
+      .withColumn("agg", sum($"v").over(w))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+  }
+
+  test("streaming OVER bounded RANGE frame matches batch Window.rangeBetween") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = for (k <- 1L to 2L; i <- 0 until 12)
+      yield (k, ts(7L * i + k), (i * 3 % 4) + k.toDouble)
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val rangeMs = 20000L
+    val out = StatefulOps.rangeBoundedSumByKey(watermarked, rangeMs)
+    val q = out.toDF("k", "t", "v", "agg").writeStream
+      .outputMode("append").format("memory").queryName("rgb_out").start()
+    data.sortBy(_._2.getTime).grouped(10).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    in.addData((1L, ts(100000), 0.0), (2L, ts(100000), 0.0))
+    runToCompletion(q)
+    val streamed = spark.table("rgb_out").as[(Long, Long, Double, Double)]
+      .collect().toSet.filter(_._2 < 100000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"t").rangeBetween(-rangeMs, 0)
+    val batch = data.toDF("k", "ts", "v")
+      .select($"k", ($"ts".cast("long") * 1000).as("t"), $"v")
+      .withColumn("agg", sum($"v").over(w))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("retraction-consuming group aggregate: -U/+U/-D flow into state") {
     import graft.streaming.Retract
     import spark.implicits._
