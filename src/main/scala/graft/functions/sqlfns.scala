@@ -32,4 +32,35 @@ object sqlfns {
     * group; Spark's collect_list order is partition-dependent, so sort). */
   def listAgg(c: Column, sep: String): Column =
     array_join(array_sort(collect_list(c)), sep)
+
+  // --- SQL/JSON-path functions (BuiltInFunctionDefinitions.java:1825-1951,
+  // runtime semantics in flink-table-runtime .../SqlJsonUtils.java). Built
+  // on Spark's codegen'd get_json_object, which implements the same lax
+  // JSONPath dialect ($.a.b[0]); the SQL-standard scalar/structure
+  // distinction is layered on top. Caveat shared with Flink's lax mode:
+  // a STRING scalar whose text itself starts with '{' or '[' is
+  // indistinguishable from a structure after extraction. ---
+
+  /** JSON_VALUE(j, path [DEFAULT d ON EMPTY]): the scalar at `path` as a
+    * string; a missing path or a non-scalar (object/array) yields
+    * `onEmpty` (SQL standard: JSON_VALUE returns scalars only). */
+  def jsonValue(j: Column, path: String, onEmpty: Column = lit(null)): Column = {
+    val v = get_json_object(j, path)
+    when(v.isNotNull && !v.startsWith("{") && !v.startsWith("["), v)
+      .otherwise(onEmpty)
+  }
+
+  /** JSON_QUERY(j, path): the object/array at `path` as compact JSON
+    * text; scalars and missing paths yield NULL (SQL standard WITHOUT
+    * ARRAY WRAPPER behavior, Flink's default). */
+  def jsonQuery(j: Column, path: String): Column = {
+    val v = get_json_object(j, path)
+    when(v.startsWith("{") || v.startsWith("["), v)
+  }
+
+  /** JSON_EXISTS(j, path): does the path resolve to any value. (A JSON
+    * null at the path reads as missing — get_json_object's conflation,
+    * documented as this dialect's lax behavior.) */
+  def jsonExists(j: Column, path: String): Column =
+    get_json_object(j, path).isNotNull
 }

@@ -164,6 +164,59 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // SQL/JSON-path functions (JSON_VALUE / JSON_QUERY / JSON_EXISTS,
+      // BuiltInFunctionDefinitions.java:1825-1951): a nested JSON document
+      // built deterministically from `part` (objects, arrays, an optional
+      // branch) exercises scalar-vs-structure selection, defaults on
+      // empty, structure extraction as compact JSON text, and existence.
+      "q73_json_path_fns",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.sqlfns
+        val j = concat(
+          lit("{\"id\":"), $"p_partkey",
+          lit(",\"info\":{\"brand\":\""), $"p_brand",
+          lit("\",\"sizes\":["), $"p_size", lit(","), ($"p_size" * 2),
+          lit("]}"),
+          when($"p_size" % 3 === 0,
+            concat(lit(",\"opt\":{\"x\":"), $"p_size" % 7, lit("}")))
+            .otherwise(lit("")),
+          lit("}"))
+        Tables.part(s, d).filter($"p_partkey" < 500)
+          .withColumn("j", j)
+          .select($"p_partkey",
+            sqlfns.jsonValue($"j", "$.info.brand").as("brand"),
+            coalesce(sqlfns.jsonValue($"j", "$.opt.x").cast("long"), lit(-1L)).as("opt_x"),
+            // JSON_VALUE on a structure -> the ON EMPTY default
+            sqlfns.jsonValue($"j", "$.info", lit("none")).as("info_scalar"),
+            sqlfns.jsonQuery($"j", "$.info.sizes").as("sizes_json"),
+            coalesce(sqlfns.jsonQuery($"j", "$.info.brand"), lit("NULL")).as("brand_query"),
+            sqlfns.jsonExists($"j", "$.opt.x").cast("long").as("has_opt"),
+            sqlfns.jsonValue($"j", "$.info.sizes[0]").cast("long").as("size0"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        |WITH built AS (
+        |  SELECT p_partkey,
+        |         '{"id":' || p_partkey || ',"info":{"brand":"' || p_brand ||
+        |         '","sizes":[' || p_size || ',' || (p_size * 2) || ']}' ||
+        |         CASE WHEN p_size % 3 = 0
+        |              THEN ',"opt":{"x":' || (p_size % 7) || '}' ELSE '' END ||
+        |         '}' AS j
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT p_partkey,
+        |       json_extract_string(j, '$.info.brand') AS brand,
+        |       COALESCE(CAST(json_extract_string(j, '$.opt.x') AS BIGINT), -1) AS opt_x,
+        |       'none' AS info_scalar,
+        |       CAST(json_extract(j, '$.info.sizes') AS VARCHAR) AS sizes_json,
+        |       'NULL' AS brand_query,
+        |       CAST(json_extract(j, '$.opt.x') IS NOT NULL AS BIGINT) AS has_opt,
+        |       CAST(json_extract_string(j, '$.info.sizes[0]') AS BIGINT) AS size0
+        |FROM built
+        |ORDER BY p_partkey
+        |""".stripMargin)),
+
+    GQuery(
       // The SQL entry path: identical text runs through spark.sql (via
       // Engine catalog) and DuckDB.
       "q47_sql_entry",

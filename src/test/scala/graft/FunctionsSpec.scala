@@ -66,6 +66,23 @@ class FunctionsSpec extends AnyFunSuite {
       ("q", true, true, false)))
   }
 
+  test("JSON_VALUE/JSON_QUERY/JSON_EXISTS: scalar vs structure semantics") {
+    import graft.functions.sqlfns._
+    import spark.implicits._
+    val j = """{"a":1,"o":{"s":"hi","arr":[1,2]},"n":null}"""
+    val df = Seq(j).toDF("j")
+    val got = df.select(
+      jsonValue($"j", "$.a").as("v_scalar"),
+      jsonValue($"j", "$.o", lit("dflt")).as("v_obj"),
+      jsonValue($"j", "$.missing", lit("dflt")).as("v_miss"),
+      jsonQuery($"j", "$.o.arr").as("q_arr"),
+      jsonQuery($"j", "$.o.s").as("q_scalar"),
+      jsonExists($"j", "$.o.s").as("e_yes"),
+      jsonExists($"j", "$.missing").as("e_no"))
+      .as[(String, String, String, String, String, Boolean, Boolean)].head()
+    assert(got == (("1", "dflt", "dflt", "[1,2]", null, true, false)))
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._
