@@ -169,6 +169,97 @@ class StreamingSpec extends AnyFunSuite {
       Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)), s"got: $got")
   }
 
+  test("late rows are tagged for side output, not dropped") {
+    import graft.streaming.Lateness
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.tagLate(watermarked)
+    val q = out.toDF("k", "t", "v", "is_late").writeStream
+      .outputMode("update").format("memory").queryName("late_out").start()
+    in.addData((1L, ts(100), 5.0)) // watermark after batch: 90s
+    q.processAllAvailable()
+    in.addData((1L, ts(50), 7.0), (1L, ts(200), 1.0)) // 50 <= 90 -> late
+    runToCompletion(q)
+    val rows = spark.table("late_out").as[(Long, Long, Double, Boolean)]
+      .collect().toSet
+    assert(rows.contains((1L, 50000L, 7.0, true)), s"late row not captured: $rows")
+    assert(rows.contains((1L, 200000L, 1.0, false)))
+    assert(rows.contains((1L, 100000L, 5.0, false)))
+  }
+
+  test("allowed lateness: widened watermark lets late rows refine their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    // base delay 10s + allowed lateness 20s = widened 30s watermark
+    val agg = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "30 seconds")
+      .groupBy($"k", window($"ts", "60 seconds"))
+      .agg(sum($"v").as("s"))
+    val q = agg.select($"k", $"window.start".cast("long").as("w"), $"s")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("al_out").start()
+    in.addData((1L, ts(10), 1.0), (1L, ts(70), 2.0)) // wm -> 40s
+    q.processAllAvailable()
+    // 50s <= wm+lateness horizon: refines window [0,60) from 1.0 to 6.0
+    in.addData((1L, ts(50), 5.0))
+    runToCompletion(q)
+    val emissions = spark.table("al_out").as[(Long, Long, Double)]
+      .collect().toSeq.filter(_._2 == 0L).map(_._3)
+    assert(emissions.contains(1.0) && emissions.contains(6.0),
+      s"expected initial and refined firing for window 0: $emissions")
+  }
+
+  test("count trigger fires partial panes every N elements, final on watermark") {
+    import graft.streaming.Lateness
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.countTriggerTumbleSum(watermarked, windowMs = 10000L, every = 2)
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("ct_out").start()
+    in.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0)) // 2 elements -> partial
+    q.processAllAvailable()
+    in.addData((1L, ts(3), 3.0)) // below next multiple -> no fire
+    q.processAllAvailable()
+    in.addData((1L, ts(100), 0.0)) // watermark 95s > window end -> final
+    runToCompletion(q)
+    val rows = spark.table("ct_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(_._2 == 0L)
+    assert(rows.contains((1L, 0L, "partial", 2L, 3.0)), s"no partial fire: $rows")
+    assert(rows.contains((1L, 0L, "final", 3L, 6.0)), s"no final fire: $rows")
+  }
+
+  test("count evictor restricts fires to the newest m elements") {
+    import graft.streaming.Lateness
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.countTriggerTumbleSum(
+      watermarked, windowMs = 10000L, every = 2, evictCount = Some(2))
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("ce_out").start()
+    in.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(3), 4.0), (1L, ts(4), 8.0))
+    q.processAllAvailable()
+    in.addData((1L, ts(100), 0.0)) // final
+    runToCompletion(q)
+    val rows = spark.table("ce_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(_._2 == 0L)
+    // both fires aggregate only the newest 2 elements (4.0 + 8.0)
+    assert(rows.contains((1L, 0L, "partial", 2L, 12.0)), s"evicted partial wrong: $rows")
+    assert(rows.contains((1L, 0L, "final", 2L, 12.0)), s"evicted final wrong: $rows")
+  }
+
   test("streaming OVER bounded ROWS frame matches batch Window.rowsBetween") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
