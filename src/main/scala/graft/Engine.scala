@@ -25,7 +25,14 @@ object Engine {
   }
 
   /** Register every fixture table as a temp view (events with the derived
-    * µs timestamp columns), making `spark.sql` queries self-contained. */
+    * µs timestamp columns), making `spark.sql` queries self-contained.
+    *
+    * DDL surface: `sql` also accepts the catalog-backed DDL subset —
+    * CREATE TABLE (+ CTAS) / INSERT INTO / INSERT OVERWRITE / CREATE
+    * [OR REPLACE] [TEMP] VIEW / ALTER TABLE ADD COLUMNS / SHOW TABLES /
+    * DROP — persisted in the session catalog (Derby metastore +
+    * spark-warehouse), the analog of Flink SqlClient's catalog DDL
+    * (flink-sql-parser parserImpls.ftl); DdlSpec drives the round-trip. */
   def openCatalog(spark: SparkSession, dir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
     Tables.names.foreach { n =>

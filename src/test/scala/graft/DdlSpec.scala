@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL subset through Engine.sql (SqlClient story, SURVEY.md §3.3):
+  * CREATE TABLE / CTAS / INSERT INTO / CREATE VIEW / ALTER / DROP run
+  * against the persistent session catalog (Derby-backed metastore +
+  * spark-warehouse), so tables survive across SparkSessions of the same
+  * catalog — the analog of Flink's catalog-backed CREATE TABLE
+  * (flink-sql-parser parserImpls.ftl DDL forms). The warehouse dir is a
+  * static conf, so tests use unique table names instead of isolation. */
+class DdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("CREATE TABLE / INSERT / CTAS / VIEW / ALTER / DROP round-trip") {
+    val t = s"ddl_spec_t_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS ${t}_c")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS ${t}_v")
+
+    Engine.sql(spark, s"CREATE TABLE $t (k BIGINT, name STRING) USING parquet")
+    Engine.sql(spark, s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    Engine.sql(spark, s"INSERT INTO $t SELECT 3, 'c'")
+    assert(Engine.sql(spark, s"SELECT COUNT(*) FROM $t").head().getLong(0) == 3L)
+
+    // CTAS
+    Engine.sql(spark,
+      s"CREATE TABLE ${t}_c USING parquet AS SELECT k, upper(name) AS uname FROM $t WHERE k <= 2")
+    assert(Engine.sql(spark, s"SELECT COUNT(*) FROM ${t}_c").head().getLong(0) == 2L)
+
+    // view over the table
+    Engine.sql(spark, s"CREATE OR REPLACE VIEW ${t}_v AS SELECT k * 10 AS k10 FROM $t")
+    assert(Engine.sql(spark, s"SELECT SUM(k10) FROM ${t}_v").head().getLong(0) == 60L)
+
+    // ALTER TABLE: new column reads as NULL for old rows, insert fills it
+    Engine.sql(spark, s"ALTER TABLE $t ADD COLUMNS (extra BIGINT)")
+    Engine.sql(spark, s"INSERT INTO $t VALUES (4, 'd', 40)")
+    assert(Engine.sql(spark,
+      s"SELECT COUNT(*) FROM $t WHERE extra IS NULL").head().getLong(0) == 3L)
+
+    // catalog listing sees the persistent objects
+    val names = Engine.sql(spark, "SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(names.contains(t) && names.contains(s"${t}_v"))
+
+    // persistent tables are visible from a NEW session of the same
+    // catalog; temp views are not
+    Engine.sql(spark, s"CREATE OR REPLACE TEMP VIEW ${t}_tmp AS SELECT 1 AS one")
+    val s2 = spark.newSession()
+    assert(s2.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 4L)
+    assert(intercept[Exception](s2.sql(s"SELECT * FROM ${t}_tmp").collect())
+      .getMessage.toLowerCase.contains("cannot be found"))
+
+    Engine.sql(spark, s"DROP VIEW ${t}_v")
+    Engine.sql(spark, s"DROP TABLE $t")
+    Engine.sql(spark, s"DROP TABLE ${t}_c")
+    val after = Engine.sql(spark, "SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(!after.contains(t) && !after.contains(s"${t}_v"))
+  }
+
+  test("INSERT OVERWRITE and INSERT from fixture query compose with the catalog") {
+    val t = s"ddl_spec_ins_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.openCatalog(spark, TestSpark.sf)
+    Engine.sql(spark,
+      s"CREATE TABLE $t USING parquet AS SELECT r_regionkey, r_name FROM region")
+    assert(Engine.sql(spark, s"SELECT COUNT(*) FROM $t").head().getLong(0) == 5L)
+    Engine.sql(spark,
+      s"INSERT OVERWRITE TABLE $t SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2")
+    assert(Engine.sql(spark, s"SELECT COUNT(*) FROM $t").head().getLong(0) == 2L)
+    Engine.sql(spark, s"DROP TABLE $t")
+  }
+}
