@@ -93,4 +93,35 @@ object Retract {
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Upsert-keyed top-N (rank/UpdatableTopNFunction.java:71): input rows
+    * (key, id, score) are UPSERTS — a new score for an existing id
+    * replaces the old one without an explicit retraction (the
+    * upsert-key-derived changelog case). Emits the refreshed top-N as
+    * (key, rank, score, id) whenever it changes; state holds the full
+    * live id->score map so demoted/deleted ids backfill exactly. */
+  def updatableTopN[K: Encoder](
+      ds: Dataset[(K, String, Double)], n: Int)(
+      implicit e1: Encoder[Map[String, Double]],
+      e2: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
+
+    def topOf(live: Map[String, Double]): Seq[(Double, String)] =
+      live.toSeq.map { case (id, score) => (score, id) }
+        .sortBy { case (score, id) => (-score, id) }.take(n)
+
+    def update(key: K, rows: Iterator[(K, String, Double)],
+        state: GroupState[Map[String, Double]]): Iterator[(K, Int, Double, String)] = {
+      val before = state.getOption.getOrElse(Map.empty[String, Double])
+      val live = rows.foldLeft(before) { case (m, (_, id, score)) => m.updated(id, score) }
+      state.update(live)
+      val (oldTop, newTop) = (topOf(before), topOf(live))
+      if (newTop == oldTop) Iterator.empty
+      else newTop.iterator.zipWithIndex.map { case ((score, id), i) =>
+        (key, i + 1, score, id)
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -359,6 +359,55 @@ class StreamingSpec extends AnyFunSuite {
       s"no backfill after retraction: $all")
   }
 
+  test("updatable top-N: an upsert demoting the leader re-ranks and backfills") {
+    import graft.streaming.Retract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val out = Retract.updatableTopN(in.toDS(), n = 2)
+    val q = out.toDF("k", "rk", "score", "id").writeStream
+      .outputMode("update").format("memory").queryName("ut_out").start()
+    in.addData(("g", "x", 30.0), ("g", "y", 20.0), ("g", "z", 10.0))
+    q.processAllAvailable()
+    // upsert x down to 5: y promotes to 1, z backfills at 2
+    in.addData(("g", "x", 5.0))
+    runToCompletion(q)
+    val all = spark.table("ut_out").as[(String, Int, Double, String)].collect().toSeq
+    assert(all.contains(("g", 1, 30.0, "x")) && all.contains(("g", 2, 20.0, "y")))
+    assert(all.contains(("g", 1, 20.0, "y")) && all.contains(("g", 2, 10.0, "z")),
+      s"no re-rank after demoting upsert: $all")
+  }
+
+  test("CoProcess: control stream updates shared state read by the data stream") {
+    import graft.streaming.CoProcess
+    import graft.streaming.CoProcess.Emit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = MemoryStream[(Long, Timestamp, Double)] // (key, t, amount)
+    val ctrl = MemoryStream[(Long, Timestamp, Double)] // (key, t, new limit)
+    val out = CoProcess.connect(data.toDS(), ctrl.toDS())(
+      onLeft = (_: Long, _: Long, amount: Double, st: Option[Double]) => {
+        val limit = st.getOrElse(100.0)
+        Emit(Seq(if (amount <= limit) s"ok:$amount" else s"over:$amount"), st)
+      },
+      onRight = (_: Long, _: Long, limit: Double, _: Option[Double]) =>
+        Emit(Seq.empty[String], Some(limit)))
+    // pre-load BOTH sides before starting so the first micro-batch holds
+    // the cross-side mix: amount@10 under the default limit, control@20
+    // lowering it to 5, amount@30 rejected — event-time interleaving
+    data.addData((1L, ts(10), 50.0), (1L, ts(30), 50.0))
+    ctrl.addData((1L, ts(20), 5.0))
+    val q = out.toDF("k", "res").writeStream
+      .outputMode("update").format("memory").queryName("cp_out").start()
+    q.processAllAvailable()
+    // later batch still sees the stored limit
+    data.addData((1L, ts(40), 3.0))
+    runToCompletion(q)
+    val got = spark.table("cp_out").as[(Long, String)].collect().map(_._2).toSeq
+    assert(got.count(_ == "ok:50.0") == 1 && got.contains("over:50.0") &&
+      got.contains("ok:3.0"), s"wrong interleave: $got")
+  }
+
   test("streaming changelog replay equals the batch signed aggregate") {
     import graft.operators.RetractOps
     import graft.streaming.Retract
