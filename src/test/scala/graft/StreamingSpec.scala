@@ -408,6 +408,36 @@ class StreamingSpec extends AnyFunSuite {
       got.contains("ok:3.0"), s"wrong interleave: $got")
   }
 
+  test("retraction stream-stream join: net changelog equals end-state join") {
+    import graft.streaming.StreamJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, String, String)] // (key, kind, l-payload)
+    val rhs = MemoryStream[(Long, String, String)]
+    val out = StreamJoin.innerJoin(lhs.toDS(), rhs.toDS())
+    val q = out.toDF("k", "kind", "l", "r").writeStream
+      .outputMode("update").format("memory").queryName("sj_out").start()
+    // batch 1: left rows arrive before any right -> no emissions yet
+    lhs.addData((1L, "+I", "l1"), (1L, "+I", "l2"), (2L, "+I", "lx"))
+    q.processAllAvailable()
+    // batch 2: right arrives -> joins with the two live left rows of key 1
+    rhs.addData((1L, "+I", "r1"))
+    q.processAllAvailable()
+    // batch 3: update l1 -> retract (l1,r1), add (l1b,r1); delete key-2 left
+    lhs.addData((1L, "-U", "l1"), (1L, "+U", "l1b"), (2L, "-D", "lx"))
+    rhs.addData((2L, "+I", "ry")) // arrives after lx deletion: no join
+    runToCompletion(q)
+
+    val rows = spark.table("sj_out").as[(Long, String, String, String)].collect()
+    // net materialization: +I count minus -D count per joined row
+    val net = rows.groupBy(r => (r._1, r._3, r._4)).view
+      .mapValues(_.map(r => if (r._2 == "+I") 1 else -1).sum)
+      .filter(_._2 > 0).keys.toSet
+    assert(net == Set((1L, "l1b", "r1"), (1L, "l2", "r1")), s"net=$net rows=${rows.toSeq}")
+    // the retraction of (l1, r1) was emitted explicitly
+    assert(rows.contains((1L, "-D", "l1", "r1")), s"missing join retraction: ${rows.toSeq}")
+  }
+
   test("streaming changelog replay equals the batch signed aggregate") {
     import graft.operators.RetractOps
     import graft.streaming.Retract
