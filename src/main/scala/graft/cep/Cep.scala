@@ -59,16 +59,39 @@ object Cep {
     case object Opt extends Quant
   }
 
-  /** One pattern step. `negated` marks a notFollowedBy guard (quantifier
-    * must be One; cannot be the first or last step). */
-  final case class StepDef(quant: Quant = Quant.One, negated: Boolean = false)
+  /** Repetition mode of a OneOrMore step, mirroring Flink's three
+    * oneOrMore contiguity/greediness variants (Pattern.java):
+    *  - Combinations (allowCombinations): every consume also branches an
+    *    advanced run, so matches exist for every repetition PREFIX;
+    *  - Relaxed (Flink's default oneOrMore): the loop consumes every
+    *    matching event and advances lazily when an event matches the NEXT
+    *    step; an event matching both branches both interpretations;
+    *  - Greedy (greedy()): like Relaxed, but an event matching both this
+    *    step and the next is consumed here only — maximal repetitions. */
+  sealed trait Rep
+  object Rep {
+    case object Combinations extends Rep
+    case object Relaxed extends Rep
+    case object Greedy extends Rep
+  }
 
-  /** AfterMatchSkipStrategy.java analogs. */
+  /** One pattern step. `negated` marks a notFollowedBy guard (quantifier
+    * must be One; cannot be the first or last step). `rep` selects the
+    * OneOrMore repetition mode (ignored for other quantifiers). */
+  final case class StepDef(
+      quant: Quant = Quant.One, negated: Boolean = false,
+      rep: Rep = Rep.Combinations)
+
+  /** AfterMatchSkipStrategy.java analogs. SkipToFirst/SkipToLast prune
+    * partial matches that started before the first/last event the emitted
+    * (earliest-started) match bound to `step`. */
   sealed trait AfterMatch
   object AfterMatch {
     case object NoSkip extends AfterMatch
     case object SkipToNext extends AfterMatch
     case object SkipPastLast extends AfterMatch
+    final case class SkipToFirst(step: Int) extends AfterMatch
+    final case class SkipToLast(step: Int) extends AfterMatch
   }
 
   final case class Pattern(
@@ -81,8 +104,10 @@ object Cep {
       "notFollowedBy cannot be the first or last step (Flink contract)")
     require(steps.forall(s => !s.negated || s.quant == Quant.One),
       "negated steps are guards: quantifier must be One")
-    require(steps.collect { case StepDef(Quant.Times(n), _) => n }.forall(_ >= 1),
+    require(steps.collect { case StepDef(Quant.Times(n), _, _) => n }.forall(_ >= 1),
       "times(n) needs n >= 1")
+    require(steps.forall(s => s.rep == Rep.Combinations || s.quant == Quant.OneOrMore),
+      "Relaxed/Greedy repetition modes apply to oneOrMore steps only")
     val nSteps: Int = steps.length
   }
   object Pattern {
@@ -145,26 +170,48 @@ object Cep {
     def consume(r: Run): Unit = {
       val bound2 = BoundEv(r.pos, t) :: r.bound.toList
       val cnt2 = r.cnt + 1
-      val q = p.steps(r.pos).quant
-      val minMet = q match {
+      val step = p.steps(r.pos)
+      val minMet = step.quant match {
         case Quant.Times(n) => cnt2 >= n
         case _ => true
       }
-      val canMore = q match {
+      val canMore = step.quant match {
         case Quant.Times(n) => cnt2 < n
         case Quant.OneOrMore => true
         case _ => false
       }
+      val lazyLoop = step.quant == Quant.OneOrMore && step.rep != Rep.Combinations
       if (minMet) {
         val (rs, ds) = place(p, bound2, r.pos + 1, Nil)
-        rs.foreach(next += _)
+        // Relaxed/Greedy loops advance lazily (below), so no eager
+        // advanced runs — but ε-reachable completions (pattern end /
+        // trailing optionals) still emit on every satisfying consume.
+        if (!lazyLoop) rs.foreach(next += _)
         ds.foreach(done += _)
       }
       if (canMore) next += Run(r.pos, cnt2, r.guards, bound2)
     }
 
+    /** Lazy proceed for Relaxed/Greedy loops: place past the loop and
+      * consume the current event there if it matches. */
+    def advanceConsume(r: Run): Unit = {
+      val (rs, _) = place(p, r.bound.toList, r.pos + 1, r.guards.toList)
+      rs.foreach { q => if ((mask >>> q.pos & 1L) == 1L) consume(q) }
+    }
+
     guarded.foreach { r =>
-      if ((mask >>> r.pos & 1L) == 1L) consume(r) else next += r
+      val step = p.steps(r.pos)
+      val lazyLoop = step.quant == Quant.OneOrMore && step.rep != Rep.Combinations
+      val satisfied = r.cnt >= 1 // OneOrMore min
+      if ((mask >>> r.pos & 1L) == 1L) {
+        consume(r)
+        // Relaxed: an event matching both the loop and the next step
+        // branches both interpretations; Greedy consumes here only.
+        if (lazyLoop && step.rep == Rep.Relaxed && satisfied) advanceConsume(r)
+      } else {
+        if (lazyLoop && satisfied) advanceConsume(r)
+        next += r // relaxed contiguity: the run itself survives
+      }
     }
     // every event is offered a fresh run seeded at the pattern head —
     // the NFA start state is always active (multiple partial matches).
@@ -190,6 +237,26 @@ object Cep {
         else {
           val starts = completed.map(_.last.t).toSet
           (surviving.filterNot(r => starts.contains(startT(r))), completed)
+        }
+      case AfterMatch.SkipToFirst(stepIdx) =>
+        if (completed.isEmpty) (surviving, Nil)
+        else {
+          val boundary = completed.head.filter(_.step == stepIdx)
+            .map(_.t).minOption.getOrElse(Long.MaxValue)
+          // the found (earliest-started) match emits; everything else —
+          // completed or partial — starting before the boundary is skipped
+          val emitted = completed.head ::
+            completed.tail.filter(_.last.t >= boundary)
+          (surviving.filter(r => startT(r) >= boundary), emitted)
+        }
+      case AfterMatch.SkipToLast(stepIdx) =>
+        if (completed.isEmpty) (surviving, Nil)
+        else {
+          val boundary = completed.head.filter(_.step == stepIdx)
+            .map(_.t).maxOption.getOrElse(Long.MaxValue)
+          val emitted = completed.head ::
+            completed.tail.filter(_.last.t >= boundary)
+          (surviving.filter(r => startT(r) >= boundary), emitted)
         }
     }
   }

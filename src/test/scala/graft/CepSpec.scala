@@ -1,7 +1,7 @@
 package graft
 
 import graft.cep.Cep
-import graft.cep.Cep.{AfterMatch, Pattern, Quant, StepDef}
+import graft.cep.Cep.{AfterMatch, Pattern, Quant, Rep, StepDef}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -65,6 +65,56 @@ class CepSpec extends AnyFunSuite {
     assert(got.toSet == Set(
       Seq(Seq(1L), Seq(2L), Seq(4L)),
       Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
+  }
+
+  test("relaxed oneOrMore (Flink default): loop consumes every matching event") {
+    // the AfterMatchSkipStrategy doc example: pattern a+ b, input
+    // a1 a2 a3 b -> matches a1a2a3+b, a2a3+b, a3+b (no prefix matches —
+    // a2 cannot be skipped by the a1-run's loop under relaxed contiguity)
+    val p = Pattern(IndexedSeq(
+      StepDef(Quant.OneOrMore, rep = Rep.Relaxed), StepDef()), within = 100,
+      after = AfterMatch.NoSkip)
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> m(0), 3L -> m(0), 4L -> m(1)))
+    assert(got.toSet == Set(
+      Seq(Seq(1L, 2L, 3L), Seq(4L)),
+      Seq(Seq(2L, 3L), Seq(4L)),
+      Seq(Seq(3L), Seq(4L))))
+  }
+
+  test("greedy oneOrMore emits only the maximal repetition") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore, rep = Rep.Greedy), StepDef()),
+      within = 100, after = AfterMatch.NoSkip)
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(2)))
+    assert(got == List(Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
+  }
+
+  test("ambiguous event: relaxed branches both readings, greedy consumes in-loop") {
+    // pattern A B+ C where event@3 matches BOTH B and C
+    val evs = Seq(1L -> m(0), 2L -> m(1), 3L -> m(1, 2), 4L -> m(2))
+    val relaxed = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore, rep = Rep.Relaxed), StepDef()),
+      within = 100, after = AfterMatch.NoSkip)
+    assert(Cep.run(relaxed, evs).toSet == Set(
+      Seq(Seq(1L), Seq(2L), Seq(3L)),       // 3 read as C
+      Seq(Seq(1L), Seq(2L, 3L), Seq(4L)))) // 3 read as B, C at 4
+    val greedy = relaxed.copy(steps = IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore, rep = Rep.Greedy), StepDef()))
+    assert(Cep.run(greedy, evs) == List(Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
+  }
+
+  test("SKIP_TO_LAST / SKIP_TO_FIRST prune by the quantified step's boundary") {
+    // doc example: a+ b with SKIP_TO_LAST[a] -> a1a2a3+b and a3+b only
+    val base = IndexedSeq(StepDef(Quant.OneOrMore, rep = Rep.Relaxed), StepDef())
+    val evs = Seq(1L -> m(0), 2L -> m(0), 3L -> m(0), 4L -> m(1))
+    val toLast = Pattern(base, within = 100, after = AfterMatch.SkipToLast(0))
+    assert(Cep.run(toLast, evs).toSet == Set(
+      Seq(Seq(1L, 2L, 3L), Seq(4L)),
+      Seq(Seq(3L), Seq(4L))))
+    // SKIP_TO_FIRST[a]: boundary is a1 -> nothing pruned, all three emit
+    val toFirst = Pattern(base, within = 100, after = AfterMatch.SkipToFirst(0))
+    assert(Cep.run(toFirst, evs).size == 3)
   }
 
   test("optional middle step matches with and without the optional event") {
