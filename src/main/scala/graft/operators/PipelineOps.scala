@@ -52,7 +52,11 @@ object PipelineOps extends QueryModule {
     * (hot-shingle skew would be salted/capped at real scale). */
   private def jaccardPairs(s: SparkSession, d: String, minJaccardPct: Int): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
+    // materialize the shingle pipeline ONCE: it feeds three plan branches
+    // (both self-join sides + the size aggregate), which would otherwise
+    // re-run the scan+explode+distinct per branch (same lesson as the
+    // MinHash fan-out below).
+    val sh = shingles(s, d).localCheckpoint()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select($"doc_id".as("a_id"), $"shingle")
     val b = sh.select($"doc_id".as("b_id"), $"shingle")

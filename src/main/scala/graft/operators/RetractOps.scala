@@ -40,24 +40,28 @@ object RetractOps extends QueryModule {
     * every order is inserted; orders with key % 3 == 0 get an update
     * (-U old price, +U price+100); orders with key % 7 == 0 are deleted
     * (-D of their CURRENT image). The end state is therefore directly
-    * SQL-computable, which is what makes the operators oracle-checkable. */
+    * SQL-computable, which is what makes the operators oracle-checkable.
+    *
+    * Built as ONE scan + per-row explode of the conditional change rows
+    * (not a 4-way self-union, which would read orders four times) — the
+    * shape a real single-pass CDC source hands downstream. */
   def ordersChangelog(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, d)
+    val adj = ($"price" + lit(100).cast(Bits.Dec)).cast(Bits.Dec)
+    val cur = when($"o_orderkey" % 3 === 0, adj).otherwise($"price")
+    Tables.orders(s, d)
       .select($"o_orderkey", $"o_orderpriority", Bits.dec($"o_totalprice").as("price"))
-    val adjusted = when($"o_orderkey" % 3 === 0, ($"price" + lit(100).cast(Bits.Dec)).cast(Bits.Dec))
-      .otherwise($"price")
-    val ins = o.select(lit(Cdc.Insert).as(Cdc.RowKind),
-      $"o_orderkey", $"o_orderpriority", $"price")
-    val upd = o.filter($"o_orderkey" % 3 === 0)
-    val updB = upd.select(lit(Cdc.UpdateBefore).as(Cdc.RowKind),
-      $"o_orderkey", $"o_orderpriority", $"price")
-    val updA = upd.select(lit(Cdc.UpdateAfter).as(Cdc.RowKind),
-      $"o_orderkey", $"o_orderpriority", ($"price" + lit(100).cast(Bits.Dec)).cast(Bits.Dec).as("price"))
-    val del = o.filter($"o_orderkey" % 7 === 0)
-      .select(lit(Cdc.Delete).as(Cdc.RowKind),
-        $"o_orderkey", $"o_orderpriority", adjusted.as("price"))
-    ins.unionByName(updB).unionByName(updA).unionByName(del)
+      .select($"o_orderkey", $"o_orderpriority",
+        explode(array_compact(array(
+          struct(lit(Cdc.Insert).as("kind"), $"price".as("p")),
+          when($"o_orderkey" % 3 === 0,
+            struct(lit(Cdc.UpdateBefore).as("kind"), $"price".as("p"))),
+          when($"o_orderkey" % 3 === 0,
+            struct(lit(Cdc.UpdateAfter).as("kind"), adj.as("p"))),
+          when($"o_orderkey" % 7 === 0,
+            struct(lit(Cdc.Delete).as("kind"), cur.as("p")))))).as("e"))
+      .select($"e.kind".as(Cdc.RowKind), $"o_orderkey", $"o_orderpriority",
+        $"e.p".as("price"))
   }
 
   def queries: Seq[GQuery] = Seq(

@@ -61,4 +61,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q28_lookup_join_bcast")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
   }
+
+  test("q71: the changelog is ONE orders scan + generate, not a 4-way union") {
+    val p = plan("q71_retract_group_agg")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single orders scan, got $scans:\n$p")
+    assert(p.contains("Generate"), s"expected explode of change rows:\n$p")
+  }
+
+  test("q55: side-output counts are a single source pass") {
+    val p = plan("q55_side_outputs")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected one events scan, got $scans:\n$p")
+  }
 }
