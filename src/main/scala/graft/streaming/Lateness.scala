@@ -48,52 +48,89 @@ object Lateness {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(tag)
   }
 
-  /** Tumbling-window sum with a COUNT TRIGGER and optional COUNT EVICTOR:
-    * fires ("partial", sum-so-far) whenever the pane's element count
-    * crosses a multiple of `every`, and ("final", sum) when the watermark
-    * passes the window end. With `evictCount = Some(m)` every fire
-    * aggregates only the newest m elements (CountEvictor.of(m)).
-    * Input: (key, ts, value) with a watermark on ts. Output:
+  /** Fire triggers (windowing/triggers/): COUNT fires on every N-th pane
+    * element (CountTrigger.java); DELTA fires when an element's value
+    * drifts more than `threshold` from the value at the last firing
+    * (DeltaTrigger.java — the first element sets the baseline without
+    * firing). Both evaluated PER ELEMENT in event order, so a single
+    * micro-batch can emit several partial fires. */
+  sealed trait FireTrigger
+  object FireTrigger {
+    final case class CountT(every: Int) extends FireTrigger
+    final case class DeltaT(threshold: Double) extends FireTrigger
+  }
+
+  /** Evictors (windowing/evictors/): restrict each fire to the newest m
+    * elements (CountEvictor.java) or to elements within the trailing
+    * `ms` of the pane's newest element (TimeEvictor.java). */
+  sealed trait Evict
+  object Evict {
+    final case class Count(m: Int) extends Evict
+    final case class Time(ms: Long) extends Evict
+  }
+
+  /** Tumbling-window sum with a custom fire trigger and optional evictor:
+    * emits ("partial", n, sum) on every trigger firing and ("final", n,
+    * sum) when the watermark passes the window end. State per
+    * (key, window) pane: the element buffer (what Flink keeps for any
+    * evictor window) + the trigger's own state. Input: (key, ts, value)
+    * with a watermark on ts. Output:
     * (key, window_start_ms, fire_kind, n_elements, sum). */
-  def countTriggerTumbleSum[K: Encoder](
+  def triggeredTumbleSum[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)],
-      windowMs: Long, every: Int, evictCount: Option[Int] = None)(
+      windowMs: Long, trigger: FireTrigger, evict: Option[Evict] = None)(
       implicit e1: Encoder[(K, Long)],
-      e2: Encoder[(Seq[(Long, Double)], Int)],
+      e2: Encoder[(Seq[(Long, Double)], Int, Double)],
       e3: Encoder[(K, Long, String, Long, Double)])
       : Dataset[(K, Long, String, Long, Double)] = {
 
     def fireValue(buf: Seq[(Long, Double)]): (Long, Double) = {
-      val kept = evictCount match {
-        case Some(m) => buf.sortBy(_._1).takeRight(m)
-        case None => buf
+      val sorted = buf.sortBy(_._1)
+      val kept = evict match {
+        case Some(Evict.Count(m)) => sorted.takeRight(m)
+        case Some(Evict.Time(ms)) =>
+          val newest = sorted.lastOption.map(_._1).getOrElse(0L)
+          sorted.filter(_._1 >= newest - ms)
+        case None => sorted
       }
       (kept.size.toLong, kept.map(_._2).sum)
     }
 
+    // state: (pane buffer, baseline-set flag (0/1), trigger baseline —
+    // unused for CountT)
     def update(key: (K, Long), rows: Iterator[(K, java.sql.Timestamp, Double)],
-        state: GroupState[(Seq[(Long, Double)], Int)])
+        state: GroupState[(Seq[(Long, Double)], Int, Double)])
         : Iterator[(K, Long, String, Long, Double)] = {
       val (k, winStart) = key
       if (state.hasTimedOut) {
-        val (buf, _) = state.get
+        val (buf, _, _) = state.get
         state.remove()
         val (n, sum) = fireValue(buf)
         Iterator((k, winStart, "final", n, sum))
       } else {
-        val (buf0, fired0) = state.getOption.getOrElse((Seq.empty[(Long, Double)], 0))
-        val buf = buf0 ++ rows.map(r => (r._2.getTime, r._3))
-        val fires = buf.size / every // completed multiples of `every`
-        val out =
-          if (fires > fired0) {
+        var (buf, baseSet, base) = state.getOption
+          .getOrElse((Seq.empty[(Long, Double)], 0, 0.0))
+        val out = List.newBuilder[(K, Long, String, Long, Double)]
+        rows.toSeq.sortBy(_._2.getTime).foreach { r =>
+          val (t, v) = (r._2.getTime, r._3)
+          buf = buf :+ ((t, v))
+          val fires = trigger match {
+            case FireTrigger.CountT(every) => buf.size % every == 0
+            case FireTrigger.DeltaT(threshold) =>
+              if (baseSet == 0) { baseSet = 1; base = v; false }
+              else math.abs(v - base) > threshold
+          }
+          if (fires) {
+            base = v
             val (n, sum) = fireValue(buf)
-            List((k, winStart, "partial", n, sum))
-          } else Nil
-        state.update((buf, math.max(fires, fired0)))
+            out += ((k, winStart, "partial", n, sum))
+          }
+        }
+        state.update((buf, baseSet, base))
         // final fire when the watermark passes the window end
         state.setTimeoutTimestamp(
           math.max(winStart + windowMs, state.getCurrentWatermarkMs() + 1))
-        out.iterator
+        out.result().iterator
       }
     }
 
@@ -112,8 +149,40 @@ object Lateness {
       .groupByKey(r => (r._1, r._4))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: (K, Long), rows: Iterator[(K, java.sql.Timestamp, Double, Long)],
-            state: GroupState[(Seq[(Long, Double)], Int)]) =>
+            state: GroupState[(Seq[(Long, Double)], Int, Double)]) =>
           update(key, rows.map(r => (r._1, r._2, r._3)), state)
       }
+  }
+
+  /** Count-trigger convenience (the round-2 original surface). */
+  def countTriggerTumbleSum[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)],
+      windowMs: Long, every: Int, evictCount: Option[Int] = None)(
+      implicit e1: Encoder[(K, Long)],
+      e2: Encoder[(Seq[(Long, Double)], Int, Double)],
+      e3: Encoder[(K, Long, String, Long, Double)])
+      : Dataset[(K, Long, String, Long, Double)] =
+    triggeredTumbleSum(ds, windowMs, FireTrigger.CountT(every),
+      evictCount.map(Evict.Count))
+
+  /** CURRENT_WATERMARK() analog (Flink BuiltInFunctionDefinitions
+    * CURRENT_WATERMARK, SURVEY §2.9): annotate every row with the
+    * operator-observed watermark at the moment it was processed —
+    * Spark exposes the watermark only inside stateful operators, so the
+    * function surfaces as a stream transform rather than a scalar
+    * expression. Output: (key, t_ms, value, watermark_ms). */
+  def withCurrentWatermark[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)])(
+      implicit e1: Encoder[Long],
+      e2: Encoder[(K, Long, Double, Long)]): Dataset[(K, Long, Double, Long)] = {
+
+    def tag(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        state: GroupState[Long]): Iterator[(K, Long, Double, Long)] = {
+      val wm = state.getCurrentWatermarkMs()
+      rows.map(r => (key, r._2.getTime, r._3, wm)).toList.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(tag)
   }
 }

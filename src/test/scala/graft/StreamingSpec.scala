@@ -260,6 +260,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 0L, "final", 2L, 12.0)), s"evicted final wrong: $rows")
   }
 
+  test("delta trigger fires when the value drifts past the threshold") {
+    import graft.streaming.Lateness
+    import graft.streaming.Lateness.FireTrigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.triggeredTumbleSum(
+      watermarked, windowMs = 10000L, trigger = FireTrigger.DeltaT(5.0))
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("dt_out").start()
+    // baseline 10; 12 within threshold (no fire); 17 drifts > 5 -> fire
+    in.addData((1L, ts(1), 10.0), (1L, ts(2), 12.0), (1L, ts(3), 17.0))
+    q.processAllAvailable()
+    in.addData((1L, ts(100), 0.0)) // final
+    runToCompletion(q)
+    val rows = spark.table("dt_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(_._2 == 0L)
+    assert(rows.contains((1L, 0L, "partial", 3L, 39.0)), s"no delta fire: $rows")
+    assert(rows.count(_._3 == "partial") == 1, s"extra fires: $rows")
+    assert(rows.contains((1L, 0L, "final", 3L, 39.0)))
+  }
+
+  test("time evictor keeps only the trailing range of the pane at fire") {
+    import graft.streaming.Lateness
+    import graft.streaming.Lateness.{Evict, FireTrigger}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.triggeredTumbleSum(
+      watermarked, windowMs = 10000L, trigger = FireTrigger.CountT(4),
+      evict = Some(Evict.Time(2000L)))
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("te_out").start()
+    // elements at 1,2,7,8s; fire at the 4th: trailing 2s of t=8 -> {7,8}
+    in.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(7), 4.0), (1L, ts(8), 8.0))
+    q.processAllAvailable()
+    runToCompletion(q)
+    val rows = spark.table("te_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(r => r._2 == 0L && r._3 == "partial")
+    assert(rows == Seq((1L, 0L, "partial", 2L, 12.0)), s"time evictor wrong: $rows")
+  }
+
+  test("withCurrentWatermark annotates rows with the observed watermark") {
+    import graft.streaming.Lateness
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.withCurrentWatermark(watermarked)
+    val q = out.toDF("k", "t", "v", "wm").writeStream
+      .outputMode("update").format("memory").queryName("wm_out").start()
+    in.addData((1L, ts(100), 1.0)) // first batch: watermark still 0
+    q.processAllAvailable()
+    in.addData((1L, ts(200), 2.0)) // watermark now 100s - 10s = 90s
+    runToCompletion(q)
+    val rows = spark.table("wm_out").as[(Long, Long, Double, Long)]
+      .collect().map(r => (r._2, r._4)).toSet
+    assert(rows == Set((100000L, 0L), (200000L, 90000L)), s"got $rows")
+  }
+
   test("streaming OVER bounded ROWS frame matches batch Window.rowsBetween") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
