@@ -164,6 +164,54 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CEP with Flink's DEFAULT oneOrMore contiguity (Rep.Relaxed): the
+      // loop consumes every matching event and proceeds lazily, so unlike
+      // q69's allowCombinations there is NO prefix branching — exactly one
+      // match per (signup seed, qualifying purchase), binding ALL clicks
+      // between them. That reduction is the SQL characterization below.
+      "q74_cep_relaxed_loop",
+      (s, d) => {
+        import s.implicits._
+        import graft.cep.Cep.{AfterMatch, Pattern, Quant, Rep, StepDef}
+        val ev = Tables.events(s, d)
+          .select($"user_id".as("key"), $"ts_us".as("t"),
+            expr("""CAST(CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 4 ELSE 0 END AS BIGINT)""").as("mask"),
+            $"event_id".as("tie"))
+        val p = Pattern(
+          IndexedSeq(StepDef(),
+            StepDef(Quant.OneOrMore, rep = Rep.Relaxed), StepDef()),
+          within = 604800L * 1000000L, after = AfterMatch.NoSkip,
+          maxRuns = 8192)
+        Cep.matchBatch(s, ev, p)
+          .select($"key".as("user_id"),
+            element_at(element_at($"step_times", 1), 1).as("s_us"),
+            size(element_at($"step_times", 2)).cast("long").as("n_clicks"),
+            element_at(element_at($"step_times", 2), 1).as("first_c_us"),
+            element_at(element_at($"step_times", 2), -1).as("last_c_us"),
+            element_at(element_at($"step_times", 3), 1).as("p_us"))
+          .orderBy($"user_id", $"s_us", $"p_us")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |sp AS (SELECT s.user_id, s.s_us, p.us AS p_us
+        |       FROM s JOIN e p ON p.user_id = s.user_id
+        |       WHERE p.event_type = 'purchase' AND p.us > s.s_us
+        |         AND p.us - s.s_us <= 604800000000),
+        |m AS (SELECT sp.user_id, sp.s_us, sp.p_us,
+        |             COUNT(c.us) AS n_clicks,
+        |             MIN(c.us) AS first_c_us, MAX(c.us) AS last_c_us
+        |      FROM sp LEFT JOIN e c ON c.user_id = sp.user_id
+        |        AND c.event_type = 'click' AND c.us > sp.s_us AND c.us < sp.p_us
+        |      GROUP BY 1, 2, 3)
+        |SELECT user_id, s_us, CAST(n_clicks AS BIGINT) AS n_clicks,
+        |       first_c_us, last_c_us, p_us
+        |FROM m WHERE n_clicks > 0
+        |ORDER BY user_id, s_us, p_us
+        |""".stripMargin)),
+
+    GQuery(
       // SQL/JSON-path functions (JSON_VALUE / JSON_QUERY / JSON_EXISTS,
       // BuiltInFunctionDefinitions.java:1825-1951): a nested JSON document
       // built deterministically from `part` (objects, arrays, an optional

@@ -46,4 +46,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(df.filter($"k".isNotNull).count() == 2)
     assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
   }
+
+  test("avro record roundtrip preserves values, nulls, and non-ascii text") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("héllo — ünïcode"), Some(1.5)),
+      (2L, None, Some(-0.25)),
+      (3L, Some(""), None))
+    val df = rows.toDF("id", "txt", "num")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("num", DoubleType)))
+    val back = AvroFormat.decode(AvroFormat.encode(df), schema)
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(back == rows.toSet)
+    // payloads are compact single-record avro binaries
+    val sizes = AvroFormat.encode(df).as[Array[Byte]].collect().map(_.length)
+    assert(sizes.forall(s => s > 0 && s < 64))
+  }
 }
