@@ -438,6 +438,82 @@ object PipelineOps extends QueryModule {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    GQuery(
+      // IVF (inverted-file) ANN — the third scale path next to brute force
+      // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
+      // trained with DataFrame iterations (assign = broadcast-centroid max
+      // cosine; recenter = per-dimension avg), then search only the
+      // query's nprobe nearest cells. Search cost drops from O(N) to
+      // O(N * nprobe / k) per query; at 100 TB the cell assignment is a
+      // one-off pass and queries touch only their probed cells'
+      // partitions. Iterative float training => rows-only; recall vs the
+      // q36 ground truth is asserted in PipelineSpec.
+      "q76_ann_ivf",
+      (s, d) => annIvf(s, d, k = 8, iters = 4, nprobe = 2, topK = 5)
+        .orderBy(col("qid"), col("rn")),
+      None)
   )
+
+  /** IVF ANN over the quantized embeddings (see q76). */
+  private[graft] def annIvf(
+      s: SparkSession, d: String,
+      k: Int, iters: Int, nprobe: Int, topK: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("q",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+      .select($"vec_id", $"q")
+    val queriesDf = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"q".as("qv"))
+    val db = emb.filter($"vec_id" >= 10).localCheckpoint()
+
+    val withNorm = (c: DataFrame) => c.withColumn("cnorm",
+      sqrt(expr("aggregate(cq, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
+    // deterministic init: k id-strided database vectors as seeds
+    val n = db.count()
+    val stride = math.max(1L, n / k)
+    var cent = withNorm(
+      db.withColumn("rk", ($"vec_id" - 10) % stride)
+        .filter($"rk" === 0).limit(k)
+        .select(($"vec_id" % 100000).as("cid"), $"q".as("cq")))
+      .localCheckpoint()
+    val assignW = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cid")
+    for (_ <- 1 to iters) {
+      val assigned = db.crossJoin(broadcast(cent))
+        .withColumn("score", expr("CAST(graft_dot_long(q, cq) AS DOUBLE)") / $"cnorm")
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .select($"cid", $"q")
+      // recenter: per-dimension mean, re-quantized to the same long scale
+      cent = withNorm(
+        assigned.select($"cid", posexplode($"q").as(Seq("pos", "v")))
+          .groupBy($"cid", $"pos").agg(avg($"v").as("m"))
+          .groupBy($"cid")
+          .agg(collect_list(struct($"pos", $"m")).as("pm"))
+          .select($"cid",
+            expr("transform(array_sort(pm), x -> CAST(round(x.m) AS BIGINT))").as("cq")))
+        .localCheckpoint()
+    }
+    // final cell assignment of the database side
+    val cells = db.crossJoin(broadcast(cent))
+      .withColumn("score", expr("CAST(graft_dot_long(q, cq) AS DOUBLE)") / $"cnorm")
+      .withColumn("rn", row_number().over(assignW))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"q", $"cid")
+    // queries probe their nprobe nearest cells
+    val probeW = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+    val probes = queriesDf.crossJoin(broadcast(cent))
+      .withColumn("score", expr("CAST(graft_dot_long(qv, cq) AS DOUBLE)") / $"cnorm")
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= nprobe)
+      .select($"qid", $"qv", $"cid")
+    // exact scoring inside the probed cells only
+    val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"vec_id")
+    cells.join(broadcast(probes), "cid")
+      .withColumn("dot", expr("graft_dot_long(q, qv)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= topK)
+      .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
+  }
 }

@@ -37,6 +37,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recalls true neighbors with exact candidate scoring") {
+    import spark.implicits._
+    val bf = SparkEntry.queries("q36_ann_bruteforce")(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Long)].collect()
+    val bfPairs = bf.map(r => (r._1, r._2)).toSet
+    val bfDots = bf.map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = SparkEntry.queries("q76_ann_ivf")(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    // candidate scoring is exact: any IVF hit that IS a true top-5 row
+    // must carry the identical dot product
+    ivf.foreach { case (qid, vid, dot) =>
+      bfDots.get((qid, vid)).foreach(d => assert(d == dot, s"dot mismatch q$qid v$vid"))
+    }
+    // probing 2 of 8 cells must still recall a useful share of true top-5
+    val recall = ivf.count(r => bfPairs.contains((r._1, r._2))).toDouble / bfPairs.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val r = SparkEntry.queries("q43_approx_distinct")(spark, sf).head()
     val apx = r.getAs[Long]("apx_parts").toDouble
