@@ -188,6 +188,48 @@ class CepSpec extends AnyFunSuite {
     assert(got == want && want.size == 2)
   }
 
+  test("MATCH_RECOGNIZE clause compiles onto the NFA (funnel parity)") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"ts_us", $"event_type", $"event_id")
+    val clause = """
+      PARTITION BY user_id
+      ORDER BY ts_us, event_id
+      PATTERN (S C+ P)
+      WITHIN 604800000000
+      AFTER MATCH SKIP PAST LAST ROW
+      DEFINE S AS event_type = 'signup',
+             C AS event_type = 'click',
+             P AS event_type = 'purchase'
+    """
+    val got = MatchRecognize.run(spark, ev, clause)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    // the same pattern through the direct API: + is greedy per SQL default
+    val direct = Cep.matchBatch(spark,
+      ev.select($"user_id".as("key"), $"ts_us".as("t"),
+        expr("""CAST(CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                WHEN 'purchase' THEN 4 ELSE 0 END AS BIGINT)""").as("mask"),
+        $"event_id".as("tie")),
+      Pattern(IndexedSeq(StepDef(),
+        StepDef(Quant.OneOrMore, rep = Rep.Greedy), StepDef()),
+        within = 604800L * 1000000L, after = AfterMatch.SkipPastLast))
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(got.nonEmpty && got == direct)
+  }
+
+  test("MATCH_RECOGNIZE parse errors are informative") {
+    import graft.cep.MatchRecognize
+    val bad = intercept[IllegalArgumentException](MatchRecognize.parse(
+      "PARTITION BY k ORDER BY t PATTERN (A B) DEFINE A AS x > 1"))
+    assert(bad.getMessage.contains("DEFINE"))
+    val skipBad = intercept[IllegalArgumentException](MatchRecognize.parse(
+      """PARTITION BY k ORDER BY t PATTERN (A B) AFTER MATCH SKIP TO FIRST Z
+         DEFINE A AS x > 1, B AS x > 2"""))
+    assert(skipBad.getMessage.contains("unknown pattern variable"))
+  }
+
   test("batch and stream CEP agree on the events fixture, any batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
