@@ -61,4 +61,37 @@ object KeyedProcess {
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(handle)
   }
+
+  /** Processing-time variant (ctx.timerService()
+    * .registerProcessingTimeTimer): `Emit.setTimerAtMs` is interpreted as
+    * a RELATIVE wall-clock delay; the timer fires on the first micro-batch
+    * after it elapses (micro-batch quantization, as everywhere here).
+    * Input rows are plain (key, value) — no watermark needed. */
+  def processWallClock[K, V, S, O](
+      ds: Dataset[(K, V)])(
+      onInput: (K, Seq[V], Option[S]) => Emit[S, O],
+      onTimer: (K, Option[S]) => Emit[S, O])(
+      implicit ek: Encoder[K], es: Encoder[S], eo: Encoder[O],
+      eko: Encoder[(K, O)]): Dataset[(K, O)] = {
+
+    def handle(key: K, rows: Iterator[(K, V)],
+        state: GroupState[S]): Iterator[(K, O)] = {
+      val emit =
+        if (state.hasTimedOut) onTimer(key, state.getOption)
+        else onInput(key, rows.map(_._2).toSeq, state.getOption)
+      emit.newState match {
+        case Some(s) => state.update(s)
+        case None => if (state.exists) state.remove()
+      }
+      emit.setTimerAtMs.foreach { delay =>
+        require(emit.newState.isDefined,
+          "setTimerAtMs requires newState=Some(_): timers are attached to key state")
+        state.setTimeoutDuration(delay)
+      }
+      emit.output.iterator.map(o => (key, o))
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(handle)
+  }
 }

@@ -585,6 +585,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((2L, "n=2,sum=10.0")), s"got $got")
   }
 
+  test("KeyedProcess wall-clock timer fires after the delay elapses") {
+    import graft.streaming.KeyedProcess
+    import graft.streaming.KeyedProcess.Emit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val out = KeyedProcess.processWallClock(in.toDS())(
+      onInput = (_: Long, vs: Seq[Double], st: Option[Double]) => {
+        val sum = st.getOrElse(0.0) + vs.sum
+        Emit(Seq.empty[String], Some(sum), setTimerAtMs = Some(500L))
+      },
+      onTimer = (_: Long, st: Option[Double]) =>
+        Emit[Double, String](Seq(s"flush:${st.getOrElse(0.0)}"), None))
+    val q = out.toDF("k", "res").writeStream
+      .outputMode("update").format("memory").queryName("wc_out").start()
+    in.addData((1L, 2.0), (1L, 3.0))
+    // NOTE: processAllAvailable() never goes idle while wall-clock timers
+    // are pending (the engine keeps planning timeout-sweep batches), so
+    // poll the sink with nudge rows driving batches instead.
+    val deadline = System.currentTimeMillis() + 60000
+    var nudge = 100L
+    def fired = spark.table("wc_out").as[(Long, String)].collect()
+      .exists(r => r._1 == 1L && r._2 == "flush:5.0")
+    while (!fired && System.currentTimeMillis() < deadline) {
+      Thread.sleep(700)
+      in.addData((nudge, 0.0)) // unrelated key: drives a batch + timer sweep
+      nudge += 1
+    }
+    val ok = fired
+    q.stop()
+    assert(ok, s"timer did not fire: ${spark.table("wc_out").collect().toSeq}")
+  }
+
   test("broadcast-state pattern: dimension refresh visible to later batches") {
     import graft.streaming.BroadcastDim
     import spark.implicits._
