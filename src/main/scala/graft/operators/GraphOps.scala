@@ -27,6 +27,10 @@ object GraphOps extends QueryModule {
     // localCheckpoint (not cache) after every round: it truncates lineage,
     // keeping each iteration's plan O(1) — with cache alone the logical
     // plan nests exponentially and AQE's plan bookkeeping dominates.
+    // (NOTE: pre-partitioning the edge list by join key buys nothing here —
+    // localCheckpoint drops outputPartitioning, so the join re-exchanges
+    // regardless; PartReuseSpec documents this. On a real cluster the
+    // equivalent win comes from bucketed tables, see SCALE.md.)
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct().localCheckpoint()
@@ -79,8 +83,11 @@ object GraphOps extends QueryModule {
 
   /** PageRank with fixed iteration count (Gelly
     * library/linkanalysis/PageRank): pr' = (1-d)/n + d * sum(pr/outDeg over
-    * in-neighbors); dangling mass redistributed uniformly. One shuffle join
-    * per iteration, lineage truncated per round. */
+    * in-neighbors); dangling mass redistributed uniformly.
+    *
+    * Per-iteration cost: the out-degree is carried INSIDE the rank frame
+    * (joined once before the loop, not once per round), so each round is
+    * one edge⋈rank join + one aggregate. Lineage truncated per round. */
   def pageRank(
       spark: SparkSession, edges: DataFrame,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
@@ -89,29 +96,29 @@ object GraphOps extends QueryModule {
     val vertices = e.select($"src".as("v"))
       .union(e.select($"dst".as("v"))).distinct().localCheckpoint()
     val n = vertices.count().toDouble
-    // materialized once: every iteration joins against it, and without the
-    // checkpoint each round would re-run the degree shuffle from `e`.
-    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    var pr = vertices.withColumn("pr", lit(1.0 / n)).localCheckpoint()
+    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // rank frame carries (v, deg, pr): one join at init instead of one per
+    // iteration.
+    var pr = vertices.join(outDeg, $"v" === $"src", "left")
+      .select($"v", coalesce($"deg", lit(0L)).as("deg"), lit(1.0 / n).as("pr"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val withDeg = pr.join(outDeg, $"v" === $"src", "left")
-        .select($"v", $"pr", coalesce($"deg", lit(0L)).as("deg"))
       // dangling mass folded into the plan (broadcast 1-row aggregate)
       // instead of a driver-side collect — one job per iteration, not two.
-      val dangling = withDeg.filter($"deg" === 0)
+      val dangling = pr.filter($"deg" === 0)
         .agg(coalesce(sum($"pr"), lit(0.0)).as("dm"))
-      val contrib = e.join(withDeg.filter($"deg" > 0), $"src" === $"v")
+      val contrib = e.join(pr.filter($"deg" > 0), $"src" === $"v")
         .select($"dst".as("v2"), ($"pr" / $"deg").as("c"))
         .groupBy($"v2").agg(sum($"c").as("in_sum"))
-      pr = vertices.join(contrib, $"v" === $"v2", "left")
+      pr = pr.select($"v", $"deg").join(contrib, $"v" === $"v2", "left")
         .crossJoin(broadcast(dangling))
-        .select($"v",
+        .select($"v", $"deg",
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce($"in_sum", lit(0.0)) + $"dm" / n))
             .as("pr"))
         .localCheckpoint()
     }
-    pr
+    pr.select($"v", $"pr")
   }
 
   def queries: Seq[GQuery] = Seq(
