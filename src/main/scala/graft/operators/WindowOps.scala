@@ -102,6 +102,50 @@ object WindowOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Dynamic session gap (Flink's SessionWindowTimeGapExtractor /
+      // ProcessingTimeSessionWindows.withDynamicGap): each event extends
+      // its session by a PER-EVENT timeout — clicks 30 min, everything
+      // else 60 min. Spark expresses this as an expression-valued gap in
+      // session_window; the oracle is the gaps-and-islands form with a
+      // running MAX(us + gap) as the session frontier.
+      "q77_session_dynamic_gap",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", session_window($"ts",
+            when($"event_type" === "click", "30 minutes")
+              .otherwise("60 minutes")).as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select($"user_id", unix_seconds($"w.start").as("session_start_sec"),
+            $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start_sec")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us, value,
+        |             CASE WHEN event_type = 'click' THEN 1800000000
+        |                  ELSE 3600000000 END AS gap
+        |           FROM events),
+        |m AS (SELECT user_id, us, value,
+        |        MAX(us + gap) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM e),
+        |f AS (SELECT user_id, us, value,
+        |        CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS new_s
+        |      FROM m),
+        |g AS (SELECT user_id, us, value,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(MIN(us)//1000000 AS BIGINT) AS session_start_sec,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_sec
+        |""".stripMargin)),
+
+    GQuery(
       "q24_cumulate_window",
       (s, d) => {
         import s.implicits._
