@@ -23,7 +23,8 @@ object SparkEntry {
     MultimodalOps,
     GraphOps,
     SinkOps,
-    RetractOps)
+    RetractOps,
+    TopKAgg)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

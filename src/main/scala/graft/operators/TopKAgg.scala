@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{GQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Top-k per group as a COMBINE-ENABLED aggregate — the scale-critical
+  * alternative to window-rank top-N.
+  *
+  * `row_number() OVER (PARTITION BY g ORDER BY s)` (q08/q72) must shuffle
+  * and sort EVERY row of every group before discarding all but k. This
+  * aggregator keeps a k-bounded buffer with reduce/merge, so Spark runs it
+  * as partial aggregation: each map task pre-trims its local rows to k per
+  * group BEFORE the exchange, and the shuffle carries at most
+  * k * mappers * groups rows instead of the whole table. At 100 TB that is
+  * the difference between shuffling terabytes and megabytes. This is the
+  * plan shape of Flink's batch rank operator and of Spark's own global
+  * TakeOrderedAndProject, generalized to per-group.
+  *
+  * Reference: flink-table-runtime .../rank/ (batch rank); the buffer
+  * contract mirrors AppendOnlyTopNFunction's bounded state.
+  */
+object TopKAgg extends QueryModule {
+
+  /** Keeps the k largest (score, id) pairs; ties break on the smaller id
+    * so the result is deterministic under any partial/merge order. */
+  final class TopK(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Top-k rows per group with map-side combining: one exchange carrying
+    * k-bounded partials. Output: (groupCols..., rk, score, id). */
+  def topKPerGroup(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopK(k))
+    df.groupBy(col(groupCol))
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col(groupCol), (col("i") + 1).cast("long").as("rk"),
+        col("e._1").as("score"), col("e._2").as("id"))
+  }
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // Same answer as a window-rank top-3, radically different plan: the
+      // aggregate combines map-side, so the exchange carries only
+      // k-bounded buffers (PlanSpec pins the partial_topk shape).
+      "q78_topk_partial_agg",
+      (s, d) => {
+        import s.implicits._
+        topKPerGroup(
+          Tables.orders(s, d)
+            .select($"o_orderpriority", graft.Bits.dec($"o_totalprice").cast("double").as("p"),
+              $"o_orderkey"),
+          "o_orderpriority", "p", "o_orderkey", k = 3)
+          .select($"o_orderpriority", $"rk", $"id".as("o_orderkey"),
+            $"score".as("price"))
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""
+        |WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) DESC,
+        |                    o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, price
+        |FROM r WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk
+        |""".stripMargin))
+  )
+}

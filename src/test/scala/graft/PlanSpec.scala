@@ -69,6 +69,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected explode of change rows:\n$p")
   }
 
+  test("q78: top-k aggregate combines map-side (partial before the exchange)") {
+    val p = plan("q78_topk_partial_agg")
+    // ObjectHashAggregate appears twice: partial (pre-shuffle) + final
+    val aggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate, got $aggs:\n$p")
+    assert(p.contains("partial_topk") || p.contains("topk"),
+      s"missing topk aggregate in plan:\n$p")
+  }
+
   test("q55: side-output counts are a single source pass") {
     val p = plan("q55_side_outputs")
     val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
