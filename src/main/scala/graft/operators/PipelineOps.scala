@@ -441,6 +441,51 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // End-to-end dedup CLUSTERING — the step real training pipelines run
+      // after pair detection: near-dup pairs (exact n-gram Jaccard >= 20%,
+      // the q33 candidates) become an undirected graph, connected
+      // components merge transitive duplicates into clusters, and the
+      // minimum doc_id per cluster is kept as the canonical survivor.
+      // Oracle: the q33 pair SQL + a recursive-CTE min-label propagation
+      // (q53's shape) — fully deterministic end to end.
+      "q79_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, d, 20)
+          .select($"a_id".as("src"), $"b_id".as("dst"))
+        graft.operators.GraphOps.connectedComponents(s, pairs)
+          .groupBy($"comp")
+          .agg(count(lit(1)).as("n_docs"), min($"v").as("keep_id"))
+          .select($"comp".as("cluster"), $"n_docs", $"keep_id")
+          .orderBy($"cluster")
+      },
+      Some(s"""
+        |WITH RECURSIVE s AS ($shinglesSql),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT p.a_id, p.b_id
+        |          FROM p JOIN sz sa ON p.a_id = sa.doc_id
+        |                 JOIN sz sb ON p.b_id = sb.doc_id
+        |          WHERE p.inter * 100 >= 20 * (sa.n + sb.n - p.inter)),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |r AS (
+        |  SELECT src AS v, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst AS v, r.comp FROM r JOIN e ON r.v = e.src
+        |),
+        |lbl AS (SELECT v, MIN(comp) AS comp FROM r GROUP BY v)
+        |SELECT CAST(comp AS BIGINT) AS cluster,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(v) AS BIGINT) AS keep_id
+        |FROM lbl
+        |GROUP BY comp
+        |ORDER BY cluster
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max
