@@ -81,4 +81,73 @@ object StreamJoin {
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(handle)
   }
+
+  /** LEFT OUTER join of two keyed changelogs (StreamingJoinOperator's
+    * outer mode): an unmatched left row emits (+I l, NULL); when its first
+    * right match arrives the null-padded row is RETRACTED (-D l, NULL)
+    * and the real join rows emit — and symmetrically back to null-padding
+    * when the last match retracts. State: live left rows with their
+    * current match count, plus the live right multiset. Output rows:
+    * (key, row_kind, leftPayload, Option(rightPayload)). */
+  def leftOuterJoin[K, L, R](
+      left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
+      implicit ek: Encoder[K],
+      etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      es: Encoder[(Seq[(L, Int)], Seq[R])],
+      eo: Encoder[(K, String, L, Option[R])]): Dataset[(K, String, L, Option[R])] = {
+
+    val taggedLeft = left.map(r => (0, r._1, r._2, Option(r._3), Option.empty[R]))
+    val taggedRight = right.map(r => (1, r._1, r._2, Option.empty[L], Option(r._3)))
+
+    def handle(key: K, rows: Iterator[(Int, K, String, Option[L], Option[R])],
+        state: GroupState[(Seq[(L, Int)], Seq[R])]): Iterator[(K, String, L, Option[R])] = {
+      var (liveL, liveR) = state.getOption.getOrElse((Seq.empty[(L, Int)], Seq.empty[R]))
+      val out = List.newBuilder[(K, String, L, Option[R])]
+      rows.foreach { case (side, _, kind, lOpt, rOpt) =>
+        if (side == 0) {
+          val l = lOpt.get
+          if (isAdd(kind)) {
+            if (liveR.isEmpty) out += ((key, Insert, l, None))
+            else liveR.foreach(r => out += ((key, Insert, l, Some(r))))
+            liveL = liveL :+ ((l, liveR.size))
+          } else {
+            val i = liveL.indexWhere(_._1 == l)
+            if (i >= 0) {
+              val (_, cnt) = liveL(i)
+              liveL = liveL.patch(i, Nil, 1)
+              if (cnt == 0) out += ((key, Delete, l, None))
+              else liveR.foreach(r => out += ((key, Delete, l, Some(r))))
+            }
+          }
+        } else {
+          val r = rOpt.get
+          if (isAdd(kind)) {
+            liveL = liveL.map { case (l, cnt) =>
+              if (cnt == 0) out += ((key, Delete, l, None)) // retract null pad
+              out += ((key, Insert, l, Some(r)))
+              (l, cnt + 1)
+            }
+            liveR = liveR :+ r
+          } else {
+            val i = liveR.indexOf(r)
+            if (i >= 0) {
+              liveR = liveR.patch(i, Nil, 1)
+              liveL = liveL.map { case (l, cnt) =>
+                out += ((key, Delete, l, Some(r)))
+                if (cnt - 1 == 0) out += ((key, Insert, l, None)) // back to pad
+                (l, cnt - 1)
+              }
+            }
+          }
+        }
+      }
+      if (liveL.isEmpty && liveR.isEmpty) state.remove()
+      else state.update((liveL, liveR))
+      out.result().iterator
+    }
+
+    taggedLeft.union(taggedRight)
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(handle)
+  }
 }

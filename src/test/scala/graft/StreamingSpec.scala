@@ -506,6 +506,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, "-D", "l1", "r1")), s"missing join retraction: ${rows.toSeq}")
   }
 
+  test("left-outer retraction join: null pad retracts when a match arrives") {
+    import graft.streaming.StreamJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, String, String)]
+    val rhs = MemoryStream[(Long, String, String)]
+    val out = StreamJoin.leftOuterJoin(lhs.toDS(), rhs.toDS())
+    val q = out.toDF("k", "kind", "l", "r").writeStream
+      .outputMode("update").format("memory").queryName("lo_out").start()
+    lhs.addData((1L, "+I", "l1")) // no right yet -> null-padded
+    q.processAllAvailable()
+    rhs.addData((1L, "+I", "r1")) // pad retracts, real join emits
+    q.processAllAvailable()
+    rhs.addData((1L, "-D", "r1")) // last match gone -> pad returns
+    runToCompletion(q)
+    val rows = spark.table("lo_out")
+      .as[(Long, String, String, Option[String])].collect().toSeq
+    assert(rows.contains((1L, "+I", "l1", None)), s"missing initial pad: $rows")
+    assert(rows.contains((1L, "-D", "l1", None)), s"pad not retracted: $rows")
+    assert(rows.contains((1L, "+I", "l1", Some("r1"))))
+    assert(rows.contains((1L, "-D", "l1", Some("r1"))))
+    // net materialization after all batches: back to the null-padded row
+    val net = rows.groupBy(r => (r._1, r._3, r._4)).view
+      .mapValues(_.map(r => if (r._2 == "+I") 1 else -1).sum)
+      .filter(_._2 > 0).keys.toSet
+    assert(net == Set((1L, "l1", None)), s"net=$net")
+  }
+
   test("streaming changelog replay equals the batch signed aggregate") {
     import graft.operators.RetractOps
     import graft.streaming.Retract
