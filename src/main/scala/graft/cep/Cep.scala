@@ -52,6 +52,9 @@ object Cep {
     case object One extends Quant
     /** exactly n events, relaxed internal contiguity (Pattern.times(n)). */
     final case class Times(n: Int) extends Quant
+    /** between min and max events inclusive (Pattern.times(from, to)):
+      * a match branch advances at every count in [min, max]. */
+    final case class TimesRange(min: Int, max: Int) extends Quant
     /** one or more events (Pattern.oneOrMore, un-greedy): a match is
       * emitted for every repetition count that completes downstream. */
     case object OneOrMore extends Quant
@@ -106,6 +109,9 @@ object Cep {
       "negated steps are guards: quantifier must be One")
     require(steps.collect { case StepDef(Quant.Times(n), _, _) => n }.forall(_ >= 1),
       "times(n) needs n >= 1")
+    require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _) => (mn, mx) }
+      .forall { case (mn, mx) => mn >= 1 && mx >= mn },
+      "times(min,max) needs 1 <= min <= max")
     require(steps.forall(s => s.rep == Rep.Combinations || s.quant == Quant.OneOrMore),
       "Relaxed/Greedy repetition modes apply to oneOrMore steps only")
     val nSteps: Int = steps.length
@@ -173,10 +179,12 @@ object Cep {
       val step = p.steps(r.pos)
       val minMet = step.quant match {
         case Quant.Times(n) => cnt2 >= n
+        case Quant.TimesRange(mn, _) => cnt2 >= mn
         case _ => true
       }
       val canMore = step.quant match {
         case Quant.Times(n) => cnt2 < n
+        case Quant.TimesRange(_, mx) => cnt2 < mx
         case Quant.OneOrMore => true
         case _ => false
       }

@@ -42,7 +42,7 @@ object MatchRecognize {
   private val AfterRe =
     """(?is).*AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+FIRST\s+\w+|SKIP\s+TO\s+LAST\s+\w+).*""".r
   private val DefineRe = """(?is).*DEFINE\s+(.*)$""".r
-  private val StepTok = """(\w+)(\+\?|\+|\?|\{\d+\})?""".r
+  private val StepTok = """(\w+)(\+\?|\+|\?|\{\d+(?:,\d+)?\})?""".r
 
   def parse(clause: String): Clause = {
     val partition = clause match {
@@ -65,7 +65,13 @@ object MatchRecognize {
         case Some("+") => Cep.StepDef(Cep.Quant.OneOrMore, rep = Cep.Rep.Greedy)
         case Some("+?") => Cep.StepDef(Cep.Quant.OneOrMore, rep = Cep.Rep.Relaxed)
         case Some(t) if t.startsWith("{") =>
-          Cep.StepDef(Cep.Quant.Times(t.stripPrefix("{").stripSuffix("}").toInt))
+          t.stripPrefix("{").stripSuffix("}").split(",") match {
+            case Array(n) => Cep.StepDef(Cep.Quant.Times(n.trim.toInt))
+            case Array(mn, mx) =>
+              Cep.StepDef(Cep.Quant.TimesRange(mn.trim.toInt, mx.trim.toInt))
+            case _ =>
+              throw new IllegalArgumentException(s"bad quantifier $t")
+          }
         case Some(other) =>
           throw new IllegalArgumentException(s"MATCH_RECOGNIZE: bad quantifier $other")
       }

@@ -56,6 +56,18 @@ class CepSpec extends AnyFunSuite {
     assert(got == List(Seq(Seq(1L), Seq(2L, 3L), Seq(5L))))
   }
 
+  test("times(min,max) range quantifier matches every count in the range") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.TimesRange(2, 3)), StepDef()), within = 100,
+      after = AfterMatch.NoSkip)
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(1), 5L -> m(1), 6L -> m(2)))
+    // branches advance at counts 2 and 3; count 4 exceeds max (never binds)
+    assert(got.toSet == Set(
+      Seq(Seq(1L), Seq(2L, 3L), Seq(6L)),
+      Seq(Seq(1L), Seq(2L, 3L, 4L), Seq(6L))))
+  }
+
   test("oneOrMore branches: one match per repetition count (NoSkip)") {
     val p = Pattern(IndexedSeq(
       StepDef(), StepDef(Quant.OneOrMore), StepDef()), within = 100,
