@@ -5,18 +5,21 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Top-k per group as a COMBINE-ENABLED aggregate — the scale-critical
-  * alternative to window-rank top-N.
+/** Top-k per group as a COMBINE-ENABLED aggregate.
   *
-  * `row_number() OVER (PARTITION BY g ORDER BY s)` (q08/q72) must shuffle
-  * and sort EVERY row of every group before discarding all but k. This
-  * aggregator keeps a k-bounded buffer with reduce/merge, so Spark runs it
-  * as partial aggregation: each map task pre-trims its local rows to k per
-  * group BEFORE the exchange, and the shuffle carries at most
-  * k * mappers * groups rows instead of the whole table. At 100 TB that is
-  * the difference between shuffling terabytes and megabytes. This is the
-  * plan shape of Flink's batch rank operator and of Spark's own global
-  * TakeOrderedAndProject, generalized to per-group.
+  * The aggregator keeps a k-bounded buffer with reduce/merge, so Spark
+  * runs it as partial aggregation: each map task pre-trims its local rows
+  * to k per group BEFORE the exchange, and the shuffle carries at most
+  * k * mappers * groups buffers instead of the whole table.
+  *
+  * Honest scale note (measured in ScaleSpec, not assumed): Spark 4's
+  * InferWindowGroupLimit already rewrites `row_number() <= k` window
+  * filters (q08's pattern) into a map-side WindowGroupLimit, so the
+  * classic window form is ALSO k-bounded pre-shuffle. This aggregate
+  * remains the portable form — it composes with other aggregates in the
+  * same groupBy, works where the rank-filter pattern isn't syntactically
+  * recognizable, and carries k-bounded BUFFERS (one per group) rather
+  * than k rows per group per mapper.
   *
   * Reference: flink-table-runtime .../rank/ (batch rank); the buffer
   * contract mirrors AppendOnlyTopNFunction's bounded state.

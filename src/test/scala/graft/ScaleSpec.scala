@@ -69,4 +69,54 @@ class ScaleSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("both top-k forms shuffle k-bounded data, never the table") {
+    // Two routes to scale-safe per-group top-k, both verified by actual
+    // shuffle record counts:
+    //  1. the TopKAgg combine-enabled aggregate (partial trim map-side);
+    //  2. window-rank + rank filter — which Spark 4's InferWindowGroupLimit
+    //     rewrites to a map-side WindowGroupLimit, so the classic q08
+    //     pattern is ALREADY k-bounded pre-shuffle (measured here, not
+    //     assumed: without the rewrite the exchange would carry every row).
+    import graft.operators.TopKAgg
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+
+    def shuffledRecords(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+
+    val base = Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey")
+    val totalRows = base.count()
+    val groups = 3L // l_returnflag cardinality
+    val k = 3
+    // AQE off so the physical plan (and its exchange metrics) is walkable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val viaAgg = shuffledRecords(TopKAgg.topKPerGroup(
+        base, "l_returnflag", "l_extendedprice", "l_orderkey", k = k))
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey")
+      val windowDf = base.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      val viaWindow = shuffledRecords(windowDf)
+      val windowPlan = windowDf.queryExecution.executedPlan.toString
+      assert(windowPlan.contains("WindowGroupLimit"),
+        s"expected InferWindowGroupLimit to fire:\n$windowPlan")
+      // both shuffles are bounded by mappers * groups * k, nowhere near
+      // the table size
+      val mappers = base.rdd.getNumPartitions.toLong
+      val bound = mappers * groups * k
+      assert(viaAgg > 0 && viaAgg <= bound, s"agg shuffled $viaAgg (> $bound)")
+      assert(viaWindow > 0 && viaWindow <= bound, s"window shuffled $viaWindow (> $bound)")
+      assert(viaAgg < totalRows / 10 && viaWindow < totalRows / 10,
+        s"top-k shuffled table-scale data: $viaAgg / $viaWindow of $totalRows rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
