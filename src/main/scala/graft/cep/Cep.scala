@@ -80,10 +80,15 @@ object Cep {
 
   /** One pattern step. `negated` marks a notFollowedBy guard (quantifier
     * must be One; cannot be the first or last step). `rep` selects the
-    * OneOrMore repetition mode (ignored for other quantifiers). */
+    * OneOrMore repetition mode (ignored for other quantifiers).
+    * `strict` = strict contiguity (Pattern.next / oneOrMore.consecutive):
+    * a run parked at this position is KILLED by any event it does not
+    * consume — no skipping of intermediate events. For a OneOrMore loop
+    * this ends the loop's expansion on the first gap (already-branched
+    * prefixes survive, Flink's consecutive+combinations blend). */
   final case class StepDef(
       quant: Quant = Quant.One, negated: Boolean = false,
-      rep: Rep = Rep.Combinations)
+      rep: Rep = Rep.Combinations, strict: Boolean = false)
 
   /** AfterMatchSkipStrategy.java analogs. SkipToFirst/SkipToLast prune
     * partial matches that started before the first/last event the emitted
@@ -107,13 +112,19 @@ object Cep {
       "notFollowedBy cannot be the first or last step (Flink contract)")
     require(steps.forall(s => !s.negated || s.quant == Quant.One),
       "negated steps are guards: quantifier must be One")
-    require(steps.collect { case StepDef(Quant.Times(n), _, _) => n }.forall(_ >= 1),
+    require(steps.collect { case StepDef(Quant.Times(n), _, _, _) => n }.forall(_ >= 1),
       "times(n) needs n >= 1")
-    require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _) => (mn, mx) }
+    require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _, _) => (mn, mx) }
       .forall { case (mn, mx) => mn >= 1 && mx >= mn },
       "times(min,max) needs 1 <= min <= max")
     require(steps.forall(s => s.rep == Rep.Combinations || s.quant == Quant.OneOrMore),
       "Relaxed/Greedy repetition modes apply to oneOrMore steps only")
+    require(steps.forall(s => !s.strict || !s.negated),
+      "strict contiguity cannot combine with notFollowedBy guards")
+    require(steps.forall(s => !s.strict || s.rep == Rep.Combinations),
+      "strict oneOrMore loops require the Combinations repetition mode")
+    require(!steps.head.strict,
+      "the first step cannot be strict (nothing precedes it)")
     val nSteps: Int = steps.length
   }
   object Pattern {
@@ -165,7 +176,8 @@ object Cep {
     // expired run can neither consume nor complete.
     val alive =
       if (p.within > 0) runs0.filter(r => t - startT(r) <= p.within) else runs0
-    if (mask == 0L) return (alive, Nil) // relaxed contiguity: skip the event
+    if (mask == 0L) // relaxed steps skip the event; strict positions die
+      return (alive.filterNot(r => p.steps(r.pos).strict), Nil)
 
     // notFollowedBy: the event kills runs whose active guard it matches.
     val guarded = alive.filterNot(r => r.guards.exists(g => (mask >>> g & 1L) == 1L))
@@ -218,7 +230,9 @@ object Cep {
         if (lazyLoop && step.rep == Rep.Relaxed && satisfied) advanceConsume(r)
       } else {
         if (lazyLoop && satisfied) advanceConsume(r)
-        next += r // relaxed contiguity: the run itself survives
+        // relaxed contiguity: the run survives an unconsumed event;
+        // strict contiguity: it does not
+        if (!step.strict) next += r
       }
     }
     // every event is offered a fresh run seeded at the pattern head —

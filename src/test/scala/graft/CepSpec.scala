@@ -56,6 +56,31 @@ class CepSpec extends AnyFunSuite {
     assert(got == List(Seq(Seq(1L), Seq(2L, 3L), Seq(5L))))
   }
 
+  test("strict contiguity (next): an intervening event kills the run") {
+    val p = Pattern(IndexedSeq(StepDef(), StepDef(strict = true)), within = 100,
+      after = AfterMatch.NoSkip)
+    // a then immediately b -> match
+    assert(Cep.run(p, Seq(1L -> m(0), 2L -> m(1))) ==
+      List(Seq(Seq(1L), Seq(2L))))
+    // a, noise, b -> the noise event kills the strict wait; later a b works
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> none, 3L -> m(1), 6L -> m(0), 7L -> m(1)))
+    assert(got == List(Seq(Seq(6L), Seq(7L))))
+  }
+
+  test("consecutive oneOrMore: a gap ends the loop, earlier prefixes survive") {
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore, strict = true), StepDef()),
+      within = 100, after = AfterMatch.NoSkip)
+    // a b1 b2 noise b3 c: the loop ends at the noise; prefixes {b1},{b1,b2}
+    // had already branched and complete at c — b3 never binds
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> m(1), 3L -> m(1),
+      4L -> none, 5L -> m(1), 6L -> m(2)))
+    assert(got.toSet == Set(
+      Seq(Seq(1L), Seq(2L), Seq(6L)),
+      Seq(Seq(1L), Seq(2L, 3L), Seq(6L))))
+  }
+
   test("times(min,max) range quantifier matches every count in the range") {
     val p = Pattern(IndexedSeq(
       StepDef(), StepDef(Quant.TimesRange(2, 3)), StepDef()), within = 100,
