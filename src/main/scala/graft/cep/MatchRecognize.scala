@@ -117,9 +117,8 @@ object MatchRecognize {
     Clause(partition, order, tie, steps, within, after, defines)
   }
 
-  /** Compile and run the clause against a DataFrame. */
-  def run(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
-    val c = parse(clause)
+  /** Lower a parsed clause onto (tagged events, compiled pattern). */
+  private def lower(df: DataFrame, c: Clause): (DataFrame, Cep.Pattern) = {
     val mask = c.steps.zipWithIndex.map { case ((name, _), i) =>
       s"IF(${c.defines(name)}, ${1L << i}L, 0L)"
     }.mkString(" + ")
@@ -130,6 +129,29 @@ object MatchRecognize {
       c.tieBy.map(col(_).cast("long")).getOrElse(monotonically_increasing_id()).as("tie"))
     val pattern = Cep.Pattern(
       c.steps.map(_._2).toIndexedSeq, within = c.within, after = c.after)
+    (events, pattern)
+  }
+
+  /** Compile and run the clause against a batch DataFrame. */
+  def run(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
+    val (events, pattern) = lower(df, parse(clause))
     Cep.matchBatch(spark, events, pattern)
+  }
+
+  /** Compile and run the clause against a STREAMING DataFrame — the
+    * StreamExecMatch role: the same clause drives the stateful NFA
+    * executor (Cep.matchStream) over an append stream. */
+  def runStream(df: DataFrame, clause: String)
+      : org.apache.spark.sql.Dataset[(Long, Seq[Seq[Long]])] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val (events, pattern) = lower(df, parse(clause))
+    implicit val ek: org.apache.spark.sql.Encoder[Long] = ExpressionEncoder[Long]()
+    implicit val erow: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)] =
+      ExpressionEncoder[(Long, Long, Long, Long)]()
+    implicit val es: org.apache.spark.sql.Encoder[List[Cep.Run]] =
+      ExpressionEncoder[List[Cep.Run]]()
+    implicit val eo: org.apache.spark.sql.Encoder[(Long, Seq[Seq[Long]])] =
+      ExpressionEncoder[(Long, Seq[Seq[Long]])]()
+    Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern)
   }
 }

@@ -256,6 +256,33 @@ class CepSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == direct)
   }
 
+  test("MATCH_RECOGNIZE drives the streaming NFA with batch-equal results") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clause = """
+      PARTITION BY k
+      ORDER BY t, tie
+      PATTERN (A B)
+      WITHIN 100
+      AFTER MATCH SKIP PAST LAST ROW
+      DEFINE A AS kind = 'a', B AS kind = 'b'
+    """
+    val rows = Seq((1L, 1L, "a", 1L), (1L, 2L, "x", 2L), (1L, 3L, "b", 3L),
+      (2L, 5L, "a", 4L), (2L, 300L, "b", 5L)) // key 2: beyond WITHIN
+    val batch = MatchRecognize.run(spark,
+      rows.toDF("k", "t", "kind", "tie"), clause)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val out = MatchRecognize.runStream(in.toDF().toDF("k", "t", "kind", "tie"), clause)
+    val q = out.toDF("k", "m").writeStream
+      .outputMode("append").format("memory").queryName("mrs_out").start()
+    rows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("mrs_out").as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(batch == Set((1L, Seq(Seq(1L), Seq(3L)))) && streamed == batch)
+  }
+
   test("MATCH_RECOGNIZE parse errors are informative") {
     import graft.cep.MatchRecognize
     val bad = intercept[IllegalArgumentException](MatchRecognize.parse(
