@@ -441,6 +441,53 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Hot-shingle suppression — the skew mitigation for the inverted
+      // index: a shingle occurring in d documents contributes d(d-1)/2
+      // candidate pairs, so boilerplate n-grams dominate both the shuffle
+      // and the pair count. Capping document frequency (stop-shingle
+      // removal, standard in text dedup) bounds every index bucket: the
+      // Jaccard here runs over the CAPPED shingle universe end to end
+      // (sizes and intersections), so the oracle mirrors it with one
+      // HAVING clause.
+      "q80_jaccard_stopshingle",
+      (s, d) => {
+        import s.implicits._
+        val maxDf = 20
+        val sh = shingles(s, d).localCheckpoint()
+        val capped = sh.join(
+            sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+              .filter($"df" <= maxDf).select($"shingle"),
+            "shingle")
+          .localCheckpoint()
+        val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val a = capped.select($"doc_id".as("a_id"), $"shingle")
+        val b = capped.select($"doc_id".as("b_id"), $"shingle")
+        a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
+          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+          .filter($"inter" * 100 >= lit(20) * ($"na" + $"nb" - $"inter"))
+          .select($"a_id", $"b_id", $"inter", $"na", $"nb")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(s"""
+        |WITH s AS ($shinglesSql),
+        |capped AS (SELECT s.doc_id, s.shingle FROM s
+        |           JOIN (SELECT shingle FROM s GROUP BY 1
+        |                 HAVING COUNT(*) <= 20) hot ON s.shingle = hot.shingle),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |      FROM capped a JOIN capped b
+        |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, CAST(p.inter AS BIGINT) AS inter,
+        |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
+        |FROM p JOIN sz sa ON p.a_id = sa.doc_id JOIN sz sb ON p.b_id = sb.doc_id
+        |WHERE p.inter * 100 >= 20 * (sa.n + sb.n - p.inter)
+        |ORDER BY a_id, b_id
+        |""".stripMargin)),
+
+    GQuery(
       // End-to-end dedup CLUSTERING — the step real training pipelines run
       // after pair detection: near-dup pairs (exact n-gram Jaccard >= 20%,
       // the q33 candidates) become an undirected graph, connected

@@ -72,25 +72,44 @@ object AvroFormat {
     out
   }
 
+  private def decodeOne(
+      reader: GenericDatumReader[GenericRecord],
+      targetSchema: StructType, bytes: Array[Byte]): Row = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    val rec = reader.read(null, dec)
+    Row.fromSeq(targetSchema.fields.map { f =>
+      val v = rec.get(f.name)
+      (f.dataType, v) match {
+        case (_, null) => null
+        case (StringType, u) => u.toString // avro Utf8 -> String
+        case (_, u) => u
+      }
+    }.toSeq)
+  }
+
   /** Decode a `value` binary column of Avro payloads back into the typed
     * columns described by `targetSchema` (must match the writer schema —
-    * AvroRowDataDeserializationSchema's same-schema contract). */
+    * AvroRowDataDeserializationSchema's same-schema contract). Undecodable
+    * payloads FAIL the job, Flink's default. */
   def decode(df: DataFrame, targetSchema: StructType): DataFrame = {
     val json = avroSchemaJson(targetSchema)
     df.select("value").mapPartitions { it =>
       val schema = new Schema.Parser().parse(json)
       val reader = new GenericDatumReader[GenericRecord](schema)
-      it.map { row =>
-        val dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](0), null)
-        val rec = reader.read(null, dec)
-        Row.fromSeq(targetSchema.fields.map { f =>
-          val v = rec.get(f.name)
-          (f.dataType, v) match {
-            case (_, null) => null
-            case (StringType, u) => u.toString // avro Utf8 -> String
-            case (_, u) => u
-          }
-        }.toSeq)
+      it.map(row => decodeOne(reader, targetSchema, row.getAs[Array[Byte]](0)))
+    }(Encoders.row(targetSchema))
+  }
+
+  /** Lenient decode (the formats' `ignore-parse-errors` option):
+    * undecodable payloads are dropped instead of failing the job. */
+  def decodeLenient(df: DataFrame, targetSchema: StructType): DataFrame = {
+    val json = avroSchemaJson(targetSchema)
+    df.select("value").mapPartitions { it =>
+      val schema = new Schema.Parser().parse(json)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      it.flatMap { row =>
+        try Some(decodeOne(reader, targetSchema, row.getAs[Array[Byte]](0)))
+        catch { case _: Exception => None }
       }
     }(Encoders.row(targetSchema))
   }

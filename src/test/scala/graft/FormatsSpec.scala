@@ -66,4 +66,22 @@ class FormatsSpec extends AnyFunSuite {
     val sizes = AvroFormat.encode(df).as[Array[Byte]].collect().map(_.length)
     assert(sizes.forall(s => s > 0 && s < 64))
   }
+
+  test("avro lenient decode drops corrupt payloads instead of failing") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("num", DoubleType)))
+    val good = AvroFormat.encode(Seq((7L, "ok", 1.0)).toDF("id", "txt", "num"))
+      .as[Array[Byte]].collect()
+    val mixed = (good :+ Array[Byte](-1, -1, -1, -1, -1)).toSeq.toDF("value")
+    // strict decode fails on the garbage record
+    intercept[Exception](AvroFormat.decode(mixed, schema).collect())
+    // lenient decode keeps the good one
+    val kept = AvroFormat.decodeLenient(mixed, schema)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(kept == Seq((7L, "ok", 1.0)))
+  }
 }
