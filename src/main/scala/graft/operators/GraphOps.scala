@@ -121,7 +121,47 @@ object GraphOps extends QueryModule {
     pr.select($"v", $"pr")
   }
 
+  /** Triangle enumeration (Gelly library/TriangleEnumerator): order each
+    * edge (src < dst), then two joins — (a,b)+(b,c) wedges closed by
+    * (a,c). Edge ordering means every triangle is emitted exactly once;
+    * the wedge join is the only quadratic-risk step and is bounded by the
+    * max degree (skew-prone vertices would be salted at scale). */
+  def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = edges.select($"src", $"dst").filter($"src" < $"dst").distinct()
+      .localCheckpoint()
+    e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+      .join(e.as("ac"), col("a") === col("ac.src") && col("c") === col("ac.dst"))
+      .select($"a", $"b", $"c")
+  }
+
   def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // Triangle enumeration over the supplier co-purchase graph —
+      // directly SQL-expressible, so unlike the iterative algorithms this
+      // Gelly op gets a full rows+schema+hash oracle.
+      "q81_triangles",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 300)
+          .select($"l_orderkey", $"l_suppkey")
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .filter($"src" < $"dst").distinct()
+        triangles(s, edges).orderBy($"a", $"b", $"c")
+      },
+      Some("""
+        |WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_suppkey < b.l_suppkey
+        |             AND a.l_orderkey < 300 AND b.l_orderkey < 300)
+        |SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        |FROM e ab JOIN e bc ON ab.dst = bc.src
+        |          JOIN e ac ON ab.src = ac.src AND bc.dst = ac.dst
+        |ORDER BY a, b, c
+        |""".stripMargin)),
+
     GQuery(
       // Connected components over the co-purchase graph: suppliers are
       // linked when they ship lines of the same order. Oracle: iterative

@@ -210,6 +210,28 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming LIMIT (flink-table-runtime StreamExecLimit): pass through
+    * the first `n` rows of the stream, drop the rest. Like Flink's global
+    * limit this necessarily runs at parallelism 1 (a single counter key)
+    * — it is a result-truncation operator, not a data-path one, so the
+    * bottleneck is by construction bounded by n. */
+  def streamingLimit[T: Encoder](
+      ds: Dataset[T], n: Long)(
+      implicit el: Encoder[Long], eu: Encoder[(Long, T)]): Dataset[T] = {
+
+    def update(key: Long, rows: Iterator[T],
+        state: GroupState[Long]): Iterator[T] = {
+      var taken = state.getOption.getOrElse(0L)
+      val out = rows.takeWhile { _ => taken < n }
+        .map { r => taken += 1; r }.toList
+      state.update(taken)
+      out.iterator
+    }
+
+    ds.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Count-based tumbling window per key (Flink countWindow — no Spark
     * equivalent): buffers rows per key and emits an aggregate every
     * `size` rows. State: the current partial buffer. */

@@ -101,6 +101,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_._1 == 1L) == 1) // stale row emitted nothing new
   }
 
+  test("streaming limit passes exactly the first n rows across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StatefulOps.streamingLimit(in.toDS(), n = 3L)
+    val q = out.toDF("i", "v").writeStream
+      .outputMode("append").format("memory").queryName("sl_out").start()
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((3L, "c"), (4L, "d"), (5L, "e")) // only one more passes
+    runToCompletion(q)
+    val got = spark.table("sl_out").as[(Long, String)].collect().toSeq
+    assert(got.size == 3 && got.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)),
+      s"wrong limit output: $got")
+    assert(got.count(r => r._1 <= 2) == 2, "first batch rows must all pass")
+  }
+
   test("count tumbling window emits every N rows with continuous indices") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
