@@ -121,6 +121,39 @@ object GraphOps extends QueryModule {
     pr.select($"v", $"pr")
   }
 
+  /** HITS hubs-and-authorities (Gelly library/linkanalysis/HITS): per
+    * iteration auth(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v) over
+    * out-edges, each L2-normalized via a broadcast 1-row aggregate (no
+    * driver-side collect). Same per-round shape as pageRank: one edge⋈rank
+    * join per direction, lineage truncated per round. */
+  def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+    val vertices = e.select($"src".as("v"))
+      .union(e.select($"dst".as("v"))).distinct().localCheckpoint()
+    var scores = vertices.select($"v", lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val auth0 = e.join(scores, $"src" === $"v")
+        .groupBy($"dst").agg(sum($"hub").as("a"))
+      val authNorm = auth0.agg(sqrt(sum($"a" * $"a")).as("an"))
+      val auth = vertices.join(auth0, $"v" === $"dst", "left")
+        .crossJoin(broadcast(authNorm))
+        .select($"v", (coalesce($"a", lit(0.0)) / $"an").as("auth"))
+      val hub0 = e.join(auth.withColumnRenamed("v", "v2"), $"dst" === $"v2")
+        .groupBy($"src").agg(sum($"auth").as("h"))
+      val hubNorm = hub0.agg(sqrt(sum($"h" * $"h")).as("hn"))
+      scores = vertices.join(hub0, $"v" === $"src", "left")
+        .crossJoin(broadcast(hubNorm))
+        .join(auth.withColumnRenamed("v", "v3").withColumnRenamed("auth", "auth3"),
+          $"v" === $"v3", "left")
+        .select($"v", (coalesce($"h", lit(0.0)) / $"hn").as("hub"),
+          coalesce($"auth3", lit(0.0)).as("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** Triangle enumeration (Gelly library/TriangleEnumerator): order each
     * edge (src < dst), then two joins — (a,b)+(b,c) wedges closed by
     * (a,c). Edge ordering means every triangle is emitted exactly once;

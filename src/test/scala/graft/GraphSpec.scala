@@ -27,4 +27,20 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(pr == pr2)
   }
+
+  test("HITS: unit-norm scores, hubs point at authorities") {
+    import spark.implicits._
+    // 1 points at three targets, 2 at one; 10 is pointed at twice
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val s = GraphOps.hits(spark, edges, iterations = 10)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val hubNorm = math.sqrt(s.values.map(v => v._1 * v._1).sum)
+    val authNorm = math.sqrt(s.values.map(v => v._2 * v._2).sum)
+    assert(math.abs(hubNorm - 1.0) < 1e-9 && math.abs(authNorm - 1.0) < 1e-9,
+      s"norms: $hubNorm / $authNorm")
+    assert(s(1L)._1 > s(2L)._1, s"fan-out hub must dominate: $s")
+    assert(s(10L)._2 > s(11L)._2, s"double-cited authority must dominate: $s")
+    assert(s(10L)._1 == 0.0 && s(1L)._2 == 0.0, "pure sinks/sources: no cross scores")
+  }
 }
