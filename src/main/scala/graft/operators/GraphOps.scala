@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators (Gelly analog, SURVEY.md §2.12): vertices/edges as
@@ -169,7 +170,87 @@ object GraphOps extends QueryModule {
       .select($"a", $"b", $"c")
   }
 
+  /** Label propagation (Gelly library/LabelPropagation): each vertex
+    * adopts the most frequent label among its neighbors, smallest label
+    * winning ties (deterministic). Fixed iteration count — LPA need not
+    * converge (labels can oscillate), exactly like Gelly's iteration cap.
+    * Per round: one edge⋈label join + a two-level count/argmax aggregate. */
+  def labelPropagation(
+      spark: SparkSession, edges: DataFrame, iterations: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select($"src".as("v")).distinct()
+      .withColumn("label", $"v").localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val freq = sym
+        .join(labels.withColumnRenamed("v", "dst2"), $"dst" === $"dst2")
+        .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"src").orderBy($"c".desc, $"label".asc)
+      labels = freq.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"src".as("v"), $"label")
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Jaccard vertex similarity (Gelly library/similarity/JaccardIndex):
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for vertex pairs sharing at least one
+    * neighbor — the same inverted-index shape as document Jaccard, with
+    * the neighbor as the index key, so candidate generation is
+    * sub-quadratic (bounded by degree, never all pairs). */
+  def jaccardSimilarity(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val a = sym.select($"src".as("a"), $"dst".as("n"))
+    val b = sym.select($"src".as("b"), $"dst".as("n"))
+    a.join(b, Seq("n")).filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+      .join(deg.select($"src".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"src".as("b"), $"deg".as("db")), Seq("b"))
+      .select($"a", $"b", $"inter",
+        graft.Bits.dround($"inter" / ($"da" + $"db" - $"inter"), 6).as("jac"))
+  }
+
   def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // Jaccard neighbor-set similarity on the co-purchase graph: shared
+      // neighbors over union of neighborhoods, inverted-index candidate
+      // generation — direct SQL oracle.
+      "q82_vertex_similarity",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 300)
+          .select($"l_orderkey", $"l_suppkey")
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .filter($"src" < $"dst").distinct()
+        jaccardSimilarity(s, edges)
+          .filter($"inter" >= 3)
+          .orderBy($"a", $"b")
+      },
+      Some(s"""
+        |WITH e0 AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_suppkey < b.l_suppkey
+        |              AND a.l_orderkey < 300 AND b.l_orderkey < 300),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |p AS (SELECT x.src AS a, y.src AS b, COUNT(*) AS inter
+        |      FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS inter,
+        |       ${graft.Bits.droundSql("p.inter / (da.deg + db.deg - p.inter)", 6)} AS jac
+        |FROM p JOIN deg da ON p.a = da.src JOIN deg db ON p.b = db.src
+        |WHERE p.inter >= 3
+        |ORDER BY a, b
+        |""".stripMargin)),
+
     GQuery(
       // Triangle enumeration over the supplier co-purchase graph —
       // directly SQL-expressible, so unlike the iterative algorithms this

@@ -43,4 +43,14 @@ class GraphSpec extends AnyFunSuite {
     assert(s(10L)._2 > s(11L)._2, s"double-cited authority must dominate: $s")
     assert(s(10L)._1 == 0.0 && s(1L)._2 == 0.0, "pure sinks/sources: no cross scores")
   }
+
+  test("label propagation: dense community converges to one label") {
+    import spark.implicits._
+    // triangle community {1,2,3} + appendage 4-5; LPA with min tie-break
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
+    val lp = GraphOps.labelPropagation(spark, edges, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(lp(1L), lp(2L), lp(3L)).size == 1, s"community split: $lp")
+    assert(lp(4L) != lp(1L), s"disconnected parts merged: $lp")
+  }
 }
