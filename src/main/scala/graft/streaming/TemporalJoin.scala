@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING event-time temporal / as-of join (`FOR SYSTEM_TIME AS OF`) —
+  * the stateful-streaming counterpart of `graft.operators.AsOfJoin.backward`.
+  *
+  * Reference semantics: flink-table-runtime
+  * .../operators/join/temporal/TemporalRowTimeJoinOperator.java:78 and
+  * planner StreamExecTemporalJoin.java — the right side is a VERSIONED
+  * table changelog (each row (key, t, payload) starts a new version valid
+  * from t); each left fact row joins the version with the greatest
+  * version-time <= fact-time for its key. Emission is watermark-driven:
+  * a fact is held in keyed state until the watermark passes its timestamp
+  * (at which point every version that could affect it has either arrived
+  * or is late by definition), then emitted exactly once, in event-time
+  * order per key — Append output, no retractions needed.
+  *
+  * State per key (the operator's scale contract, mirroring Flink's
+  * leftState/rightState MapStates):
+  *   - pending facts: only rows still above the watermark — O(out-of-
+  *     orderness), not O(stream);
+  *   - version history: pruned on every firing to the single latest
+  *     version at-or-below the watermark plus versions above it (exactly
+  *     TemporalRowTimeJoinOperator#cleanupState's retention rule), so a
+  *     dimension updated forever holds O(versions-in-flight), not history.
+  *
+  * Late rows (t <= current watermark at ingest) are DROPPED explicitly on
+  * both sides, matching the reference: a late fact can no longer be
+  * emitted in order, and a late version must not retroactively change
+  * facts already emitted.
+  *
+  * Output: (key, factTimeMs, factPayload, Option(versionPayload)) — the
+  * LEFT temporal join; inner semantics = `.filter(_._4.isDefined)`.
+  */
+object TemporalJoin {
+
+  /** Event-time temporal join of a fact stream against a versioned-table
+    * stream. `delay` is the watermark delay applied to the unioned input
+    * (both sides share one watermark domain, like Flink's two-input
+    * operator takes min(input watermarks)). */
+  def temporalJoin[K: Encoder](
+      facts: Dataset[(K, java.sql.Timestamp, String)],
+      versions: Dataset[(K, java.sql.Timestamp, String)],
+      delay: String)(
+      implicit etag: Encoder[(Int, K, java.sql.Timestamp, String)],
+      es: Encoder[(Seq[(Long, String)], Seq[(Long, String)])],
+      eo: Encoder[(K, Long, String, Option[String])]): Dataset[(K, Long, String, Option[String])] = {
+
+    // Tag + union, then re-assert the watermark on the union's TOP-LEVEL
+    // timestamp column (_3): map() drops source watermark designation, and
+    // event-time timeouts require it on the operator input.
+    val tagged = facts.map(r => (0, r._1, r._2, r._3))
+      .union(versions.map(r => (1, r._1, r._2, r._3)))
+      .withWatermark("_3", delay)
+
+    def handle(key: K, rows: Iterator[(Int, K, java.sql.Timestamp, String)],
+        state: GroupState[(Seq[(Long, String)], Seq[(Long, String)])])
+        : Iterator[(K, Long, String, Option[String])] = {
+      val wm = state.getCurrentWatermarkMs()
+      var (pendingFacts, vers) = state.getOption
+        .getOrElse((Seq.empty[(Long, String)], Seq.empty[(Long, String)]))
+      rows.foreach { case (side, _, t0, p) =>
+        val t = t0.getTime
+        if (t > wm) { // rows at/below the watermark are late: dropped
+          if (side == 0) pendingFacts = pendingFacts :+ ((t, p))
+          else vers = vers :+ ((t, p))
+        }
+      }
+      val (ready, pending) = pendingFacts.partition(_._1 <= wm)
+      val sortedVers = vers.sortBy(identity)
+      val out = ready.sortBy(identity).map { case (t, p) =>
+        val m = sortedVers.takeWhile(_._1 <= t).lastOption
+        (key, t, p, m.map(_._2))
+      }
+      // Retention rule: the latest version at-or-below the watermark stays
+      // matchable for future facts; everything older is unreachable.
+      val cutoff = sortedVers.takeWhile(_._1 <= wm).lastOption
+        .map(_._1).getOrElse(Long.MinValue)
+      val keptVers = sortedVers.filter(_._1 >= cutoff)
+      if (pending.isEmpty && keptVers.isEmpty) state.remove()
+      else {
+        state.update((pending, keptVers))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    tagged.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(handle)
+  }
+}
