@@ -65,25 +65,33 @@ object Retract {
     * changes, as (key, rank, score, payload). */
   def retractableTopN[K: Encoder](
       ds: Dataset[(K, String, Double, String)], n: Int)(
-      implicit e1: Encoder[Seq[(Double, String)]],
+      implicit e1: Encoder[Seq[(Double, String, Int)]],
       e2: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
 
-    def topOf(live: Seq[(Double, String)]): Seq[(Double, String)] =
-      live.sortBy { case (score, payload) => (-score, payload) }.take(n)
+    // live state is a COUNTED multiset (score, payload) -> live count, the
+    // MapState[row, cnt] shape of Flink's JoinRecordStateView/dataState:
+    // retraction lookup is O(1) instead of Seq.indexOf's O(live).
+    def topOf(live: Iterable[(Double, String, Int)]): Seq[(Double, String)] =
+      live.toSeq.sortBy { case (score, payload, _) => (-score, payload) }
+        .iterator.flatMap { case (s, p, c) => Iterator.fill(c)((s, p)) }
+        .take(n).toSeq
 
     def update(key: K, rows: Iterator[(K, String, Double, String)],
-        state: GroupState[Seq[(Double, String)]]): Iterator[(K, Int, Double, String)] = {
+        state: GroupState[Seq[(Double, String, Int)]]): Iterator[(K, Int, Double, String)] = {
       val before = state.getOption.getOrElse(Seq.empty)
-      var live = before
+      val live = scala.collection.mutable.LinkedHashMap.from(
+        before.map { case (s, p, c) => ((s, p), c) })
       rows.foreach { case (_, kind, score, payload) =>
-        if (isAdd(kind)) live = live :+ ((score, payload))
-        else if (isRetract(kind)) {
-          val i = live.indexOf((score, payload))
-          if (i >= 0) live = live.patch(i, Nil, 1)
+        if (isAdd(kind))
+          live.updateWith((score, payload))(c => Some(c.getOrElse(0) + 1))
+        else if (isRetract(kind)) live.get((score, payload)).foreach { c =>
+          if (c == 1) live.remove((score, payload))
+          else live.update((score, payload), c - 1)
         }
       }
-      if (live.isEmpty) state.remove() else state.update(live)
-      val (oldTop, newTop) = (topOf(before), topOf(live))
+      val after = live.toSeq.map { case ((s, p), c) => (s, p, c) }
+      if (after.isEmpty) state.remove() else state.update(after)
+      val (oldTop, newTop) = (topOf(before), topOf(after))
       if (newTop == oldTop) Iterator.empty
       else newTop.iterator.zipWithIndex.map { case ((score, payload), i) =>
         (key, i + 1, score, payload)

@@ -551,6 +551,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(net == Set((1L, "l1", None)), s"net=$net")
   }
 
+  test("right-outer retraction join mirrors left-outer pads") {
+    import graft.streaming.StreamJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, String, String)]
+    val rhs = MemoryStream[(Long, String, String)]
+    val out = StreamJoin.rightOuterJoin(lhs.toDS(), rhs.toDS())
+    val q = out.toDF("k", "kind", "l", "r").writeStream
+      .outputMode("update").format("memory").queryName("ro_out").start()
+    rhs.addData((1L, "+I", "r1")) // no left yet -> null-padded on the left
+    q.processAllAvailable()
+    lhs.addData((1L, "+I", "l1")) // pad retracts, real join emits
+    q.processAllAvailable()
+    lhs.addData((1L, "-D", "l1")) // last match gone -> pad returns
+    runToCompletion(q)
+    val rows = spark.table("ro_out")
+      .as[(Long, String, Option[String], String)].collect().toSeq
+    assert(rows.contains((1L, "+I", None, "r1")), s"missing initial pad: $rows")
+    assert(rows.contains((1L, "-D", None, "r1")), s"pad not retracted: $rows")
+    assert(rows.contains((1L, "+I", Some("l1"), "r1")))
+    assert(rows.contains((1L, "-D", Some("l1"), "r1")))
+    val net = rows.groupBy(r => (r._1, r._3, r._4)).view
+      .mapValues(_.map(r => if (r._2 == "+I") 1 else -1).sum)
+      .filter(_._2 > 0).keys.toSet
+    assert(net == Set((1L, None, "r1")), s"net=$net")
+  }
+
+  test("full-outer retraction join pads both sides; duplicate rows counted") {
+    import graft.streaming.StreamJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, String, String)]
+    val rhs = MemoryStream[(Long, String, String)]
+    val out = StreamJoin.fullOuterJoin(lhs.toDS(), rhs.toDS())
+    val q = out.toDF("k", "kind", "l", "r").writeStream
+      .outputMode("update").format("memory").queryName("fo_out").start()
+    // duplicate left payloads exercise the counted-multiset state
+    lhs.addData((1L, "+I", "l1"), (1L, "+I", "l1"))
+    rhs.addData((2L, "+I", "r2"))
+    q.processAllAvailable()
+    rhs.addData((1L, "+I", "r1")) // both l1 pads retract, two joins emit
+    q.processAllAvailable()
+    rhs.addData((1L, "-D", "r1")) // pads come back (x2)
+    lhs.addData((1L, "-D", "l1")) // one of the two pads goes away
+    runToCompletion(q)
+    val rows = spark.table("fo_out")
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq
+    val net = rows.groupBy(r => (r._1, r._3, r._4)).view
+      .mapValues(_.map(r => if (r._2 == "+I") 1 else -1).sum)
+      .filter(_._2 > 0).toMap
+    // end state: one live l1 pad for key 1, the untouched r2 pad for key 2
+    assert(net == Map((1L, Some("l1"), None) -> 1, (2L, None, Some("r2")) -> 1),
+      s"net=$net rows=$rows")
+    // both directions of pad retraction happened explicitly
+    assert(rows.count(_ == ((1L, "-D", Some("l1"), None))) >= 2, s"rows=$rows")
+    assert(rows.count(_ == ((1L, "+I", Some("l1"), Some("r1")))) == 2, s"rows=$rows")
+  }
+
   test("streaming changelog replay equals the batch signed aggregate") {
     import graft.operators.RetractOps
     import graft.streaming.Retract
