@@ -331,25 +331,46 @@ object Cep {
   }
 
   /** Streaming CEP over an append stream with the same (key, t, mask, tie)
-    * contract; the live run list is the per-key state. Requires per-key
-    * event-time order across batches (monotone batches) for exactness —
-    * guaranteed within a batch by sorting the group iterator. */
-  def matchStream(ds: Dataset[(Long, Long, Long, Long)], pattern: Pattern)(
+    * contract, with `t` in MICROSECONDS since epoch (it doubles as the
+    * watermark clock). The NFA is fronted by a WATERMARK-GATED buffer in
+    * the same keyed state (Flink CepOperator.java:82 buffers in
+    * elementQueueState and processes on watermark): rows wait in state
+    * until the watermark passes them, then feed the NFA in exact (t, tie)
+    * order — so cross-batch out-of-order arrival within the watermark
+    * delay yields the same matches as the batch executor. Rows at/below
+    * the watermark on arrival are DROPPED explicitly, like Flink CEP's
+    * late-data handling. `delay` is the watermark delay bounding the
+    * tolerated disorder. */
+  def matchStream(ds: Dataset[(Long, Long, Long, Long)], pattern: Pattern,
+      delay: String = "0 seconds")(
       implicit ek: Encoder[Long],
-      es: Encoder[List[Run]],
+      ets: Encoder[(Long, java.sql.Timestamp, Long, Long, Long)],
+      es: Encoder[(Seq[(Long, Long, Long)], List[Run])],
       eo: Encoder[(Long, Seq[Seq[Long]])]): Dataset[(Long, Seq[Seq[Long]])] = {
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[List[Run]]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._4))
-          var runs = state.getOption.getOrElse(Nil)
+    val withTs = ds
+      .map(r => (r._1, new java.sql.Timestamp(r._2 / 1000), r._2, r._3, r._4))
+      .withWatermark("_2", delay)
+    withTs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+            state: GroupState[(Seq[(Long, Long, Long)], List[Run])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (pending0, runs) = state.getOption
+            .getOrElse((Seq.empty[(Long, Long, Long)], List.empty[Run]))
+          val fresh = rows.map(r => (r._3, r._4, r._5)).filter(_._1 / 1000 > wm)
+          val (ready, pending) = (pending0 ++ fresh).partition(_._1 / 1000 <= wm)
           val out = List.newBuilder[(Long, Seq[Seq[Long]])]
-          sorted.foreach { case (_, t, mask, _) =>
+          ready.sortBy(r => (r._1, r._3)).foreach { case (t, mask, _) =>
             val (nr, done) = offer(pattern, runs, t, mask)
             runs = nr
             done.foreach(b => out += ((key, toStepTimes(pattern, b))))
           }
-          state.update(runs)
+          if (pending.isEmpty && runs.isEmpty) state.remove()
+          else {
+            state.update((pending, runs))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000).min, wm + 1))
+          }
           out.result().iterator
       }
   }
@@ -370,18 +391,21 @@ object Cep {
       .select(col("key"), flatten(col("step_times")).as("step_times"))
   }
 
-  /** Streaming variant of the linear funnel (same input contract). */
+  /** Streaming variant of the linear funnel (same input contract; t in
+    * epoch-µs, `delay` = tolerated out-of-orderness). */
   def detectStream(
-      ds: Dataset[(Long, Long, Int, Long)], nSteps: Int, within: Long)(
+      ds: Dataset[(Long, Long, Int, Long)], nSteps: Int, within: Long,
+      delay: String = "0 seconds")(
       implicit ek: Encoder[Long],
-      es: Encoder[List[Run]],
+      es: Encoder[(Seq[(Long, Long, Long)], List[Run])],
       em: Encoder[(Long, Long, Long, Long)],
+      ets: Encoder[(Long, java.sql.Timestamp, Long, Long, Long)],
       eo: Encoder[(Long, Seq[Seq[Long]])],
       ef: Encoder[(Long, Seq[Long])]): Dataset[(Long, Seq[Long])] = {
     val masked = ds.map { case (k, t, step, tie) =>
       (k, t, if (step >= 0) 1L << step else 0L, tie)
     }
-    matchStream(masked, Pattern.linear(nSteps, within))
+    matchStream(masked, Pattern.linear(nSteps, within), delay)
       .map { case (k, st) => (k, st.map(_.head)) }
   }
 }

@@ -141,17 +141,19 @@ object MatchRecognize {
   /** Compile and run the clause against a STREAMING DataFrame — the
     * StreamExecMatch role: the same clause drives the stateful NFA
     * executor (Cep.matchStream) over an append stream. */
-  def runStream(df: DataFrame, clause: String)
+  def runStream(df: DataFrame, clause: String, delay: String = "0 seconds")
       : org.apache.spark.sql.Dataset[(Long, Seq[Seq[Long]])] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val (events, pattern) = lower(df, parse(clause))
     implicit val ek: org.apache.spark.sql.Encoder[Long] = ExpressionEncoder[Long]()
     implicit val erow: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)] =
       ExpressionEncoder[(Long, Long, Long, Long)]()
-    implicit val es: org.apache.spark.sql.Encoder[List[Cep.Run]] =
-      ExpressionEncoder[List[Cep.Run]]()
+    implicit val ets: org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, Long, Long, Long)] =
+      ExpressionEncoder[(Long, java.sql.Timestamp, Long, Long, Long)]()
+    implicit val es: org.apache.spark.sql.Encoder[(Seq[(Long, Long, Long)], List[Cep.Run])] =
+      ExpressionEncoder[(Seq[(Long, Long, Long)], List[Cep.Run])]()
     implicit val eo: org.apache.spark.sql.Encoder[(Long, Seq[Seq[Long]])] =
       ExpressionEncoder[(Long, Seq[Seq[Long]])]()
-    Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern)
+    Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern, delay)
   }
 }

@@ -260,27 +260,32 @@ class CepSpec extends AnyFunSuite {
     import graft.cep.MatchRecognize
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // t in epoch-µs: the streaming NFA derives its watermark clock from t
     val clause = """
       PARTITION BY k
       ORDER BY t, tie
       PATTERN (A B)
-      WITHIN 100
+      WITHIN 100000000
       AFTER MATCH SKIP PAST LAST ROW
       DEFINE A AS kind = 'a', B AS kind = 'b'
     """
-    val rows = Seq((1L, 1L, "a", 1L), (1L, 2L, "x", 2L), (1L, 3L, "b", 3L),
-      (2L, 5L, "a", 4L), (2L, 300L, "b", 5L)) // key 2: beyond WITHIN
+    def us(sec: Long): Long = sec * 1000000L
+    val rows = Seq((1L, us(1), "a", 1L), (1L, us(2), "x", 2L), (1L, us(3), "b", 3L),
+      (2L, us(5), "a", 4L), (2L, us(300), "b", 5L)) // key 2: beyond WITHIN
     val batch = MatchRecognize.run(spark,
       rows.toDF("k", "t", "kind", "tie"), clause)
       .as[(Long, Seq[Seq[Long]])].collect().toSet
     val in = MemoryStream[(Long, Long, String, Long)]
-    val out = MatchRecognize.runStream(in.toDF().toDF("k", "t", "kind", "tie"), clause)
+    val out = MatchRecognize.runStream(in.toDF().toDF("k", "t", "kind", "tie"),
+      clause, "10 seconds")
     val q = out.toDF("k", "m").writeStream
       .outputMode("append").format("memory").queryName("mrs_out").start()
     rows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    in.addData((0L, us(9999), "x", 6L)) // advance watermark to flush
+    q.processAllAvailable()
     q.stop()
     val streamed = spark.table("mrs_out").as[(Long, Seq[Seq[Long]])].collect().toSet
-    assert(batch == Set((1L, Seq(Seq(1L), Seq(3L)))) && streamed == batch)
+    assert(batch == Set((1L, Seq(Seq(us(1)), Seq(us(3))))) && streamed == batch)
   }
 
   test("MATCH_RECOGNIZE parse errors are informative") {
@@ -311,15 +316,71 @@ class CepSpec extends AnyFunSuite {
     // stream the same rows in event-time order, split into 3 micro-batches
     val rows = ev.as[(Long, Long, Int, Long)].collect().sortBy(r => (r._2, r._4))
     val in = MemoryStream[(Long, Long, Int, Long)]
-    val out = Cep.detectStream(in.toDS(), 3, within)
+    val out = Cep.detectStream(in.toDS(), 3, within, "10 seconds")
     val q = out.toDF("key", "times").writeStream
       .outputMode("append").format("memory").queryName("cep_out").start()
     rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
       in.addData(chunk.toSeq)
       q.processAllAvailable()
     }
+    // sentinel far past the data advances the watermark so every buffered
+    // row releases (event-time timeouts flush idle keys)
+    in.addData((0L, rows.map(_._2).max + within + 60L * 1000000L, -1, 0L))
+    q.processAllAvailable()
     q.stop()
     val streamRes = spark.table("cep_out").as[(Long, Seq[Long])].collect().toSet
     assert(streamRes == batchRes)
+  }
+
+  test("stream CEP: cross-batch OUT-OF-ORDER event matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = Pattern.linear(3, 0L) // A -> B -> C
+    def us(sec: Long): Long = sec * 1000000L
+    // B@20 arrives a micro-batch AFTER C@40 — within the 30 s watermark
+    // delay, so the buffer must reorder it ahead of C before the NFA.
+    val all = Seq(
+      (1L, us(10), 1L, 0L), // A@10  (batch 1)
+      (1L, us(40), 4L, 1L), // C@40  (batch 1)
+      (1L, us(20), 2L, 2L)) // B@20  (batch 2, out of order)
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val out = Cep.matchStream(in.toDS(), p, "30 seconds")
+    val q = out.toDF("key", "step_times").writeStream
+      .outputMode("append").format("memory").queryName("cep_ooo").start()
+    in.addData(all.take(2))
+    q.processAllAvailable()
+    in.addData(all.drop(2))
+    q.processAllAvailable()
+    in.addData((1L, us(1000), 0L, 3L)) // advance watermark to flush
+    q.processAllAvailable()
+    q.stop()
+    val streamRes = spark.table("cep_ooo")
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    val batchRes = Cep.matchBatch(spark,
+      all.toDF("key", "t", "mask", "tie"), p)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(batchRes == Set((1L, Seq(Seq(us(10)), Seq(us(20)), Seq(us(40))))))
+    assert(streamRes == batchRes)
+  }
+
+  test("stream CEP: a row below the watermark is dropped, not corrupting runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = Pattern.linear(2, 0L) // A -> B
+    def us(sec: Long): Long = sec * 1000000L
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val out = Cep.matchStream(in.toDS(), p, "5 seconds")
+    val q = out.toDF("key", "step_times").writeStream
+      .outputMode("append").format("memory").queryName("cep_late").start()
+    in.addData((1L, us(10), 1L, 0L), (1L, us(100), 0L, 1L)) // A@10; wm -> 95
+    q.processAllAvailable()
+    in.addData((1L, us(50), 1L, 2L)) // late A@50: dropped
+    in.addData((1L, us(120), 2L, 3L)) // B@120 completes with A@10 only
+    q.processAllAvailable()
+    in.addData((1L, us(300), 0L, 4L)) // flush
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cep_late").as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(got == Set((1L, Seq(Seq(us(10)), Seq(us(120))))))
   }
 }
