@@ -62,15 +62,27 @@ object Cep {
     case object Opt extends Quant
   }
 
-  /** Repetition mode of a OneOrMore step, mirroring Flink's three
-    * oneOrMore contiguity/greediness variants (Pattern.java):
-    *  - Combinations (allowCombinations): every consume also branches an
-    *    advanced run, so matches exist for every repetition PREFIX;
+  /** Repetition mode of a quantified step, mirroring Flink's
+    * greediness/contiguity variants (Pattern.java):
+    *  - Combinations: every consume also branches an advanced run, so
+    *    matches exist for every repetition PREFIX (oneOrMore:
+    *    prefix-branching — see note below; times(m,n): Flink's default
+    *    all-counts branching);
     *  - Relaxed (Flink's default oneOrMore): the loop consumes every
     *    matching event and advances lazily when an event matches the NEXT
     *    step; an event matching both branches both interpretations;
     *  - Greedy (greedy()): like Relaxed, but an event matching both this
-    *    step and the next is consumed here only — maximal repetitions. */
+    *    step and the next is consumed here only — maximal repetitions.
+    *    On times(m,n) this yields the maximal count instead of all counts;
+    *    on optional it binds an ambiguous event to the optional step
+    *    instead of branching.
+    *
+    * NOTE on Combinations vs Flink's allowCombinations (NFA.java): a run
+    * parked at a loop here always consumes a matching event — only
+    * repetition PREFIXES branch, so non-contiguous subsets like {A1,A3}
+    * that Flink's nondeterministic-relaxed mode also emits are not
+    * enumerated. (Subset branching is exponential in matching events; the
+    * prefix semantics is the deliberate, documented scope.) */
   sealed trait Rep
   object Rep {
     case object Combinations extends Rep
@@ -117,8 +129,13 @@ object Cep {
     require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _, _) => (mn, mx) }
       .forall { case (mn, mx) => mn >= 1 && mx >= mn },
       "times(min,max) needs 1 <= min <= max")
-    require(steps.forall(s => s.rep == Rep.Combinations || s.quant == Quant.OneOrMore),
-      "Relaxed/Greedy repetition modes apply to oneOrMore steps only")
+    require(steps.forall(s => s.rep == Rep.Combinations || (s.quant match {
+      case Quant.OneOrMore | Quant.TimesRange(_, _) => true
+      case Quant.Times(_) => true // exact count: greedy/relaxed are no-ops
+      case Quant.Opt => s.rep == Rep.Greedy
+      case Quant.One => false
+    })), "Relaxed/Greedy repetition modes apply to quantified steps only " +
+      "(greedy optional allowed; relaxed optional = default branching)")
     require(steps.forall(s => !s.strict || !s.negated),
       "strict contiguity cannot combine with notFollowedBy guards")
     require(steps.forall(s => !s.strict || s.rep == Rep.Combinations),
@@ -134,8 +151,10 @@ object Cep {
       Pattern(IndexedSeq.fill(n)(StepDef()), within)
   }
 
-  /** One bound event of a partial match. */
-  final case class BoundEv(step: Int, t: Long)
+  /** One bound event of a partial match. `tie` is the event's
+    * deterministic order key, kept so MEASURES evaluation can join a
+    * match's bound events back to their payload rows exactly. */
+  final case class BoundEv(step: Int, t: Long, tie: Long = 0L)
 
   /** A live partial match: position in the pattern, events consumed at the
     * current position, active notFollowedBy guards, bound events
@@ -170,8 +189,8 @@ object Cep {
   /** Feed one event (time t, step-predicate bitmask) to one key's live
     * runs. Returns (surviving runs, completed matches as bound lists),
     * with the after-match skip strategy already applied. */
-  private[graft] def offer(p: Pattern, runs0: List[Run], t: Long, mask: Long)
-      : (List[Run], List[List[BoundEv]]) = {
+  private[graft] def offer(p: Pattern, runs0: List[Run], t: Long, mask: Long,
+      tie: Long = 0L): (List[Run], List[List[BoundEv]]) = {
     // within-horizon pruning happens before the event is offered: an
     // expired run can neither consume nor complete.
     val alive =
@@ -185,8 +204,16 @@ object Cep {
     val next = List.newBuilder[Run]
     val done = List.newBuilder[List[BoundEv]]
 
+    /** Lazy (Relaxed/Greedy) loops advance on a LATER event instead of
+      * branching eagerly at every satisfying count. */
+    def isLazy(step: StepDef): Boolean = step.rep != Rep.Combinations &&
+      (step.quant match {
+        case Quant.OneOrMore | Quant.TimesRange(_, _) => true
+        case _ => false
+      })
+
     def consume(r: Run): Unit = {
-      val bound2 = BoundEv(r.pos, t) :: r.bound.toList
+      val bound2 = BoundEv(r.pos, t, tie) :: r.bound.toList
       val cnt2 = r.cnt + 1
       val step = p.steps(r.pos)
       val minMet = step.quant match {
@@ -200,7 +227,7 @@ object Cep {
         case Quant.OneOrMore => true
         case _ => false
       }
-      val lazyLoop = step.quant == Quant.OneOrMore && step.rep != Rep.Combinations
+      val lazyLoop = isLazy(step)
       if (minMet) {
         val (rs, ds) = place(p, bound2, r.pos + 1, Nil)
         // Relaxed/Greedy loops advance lazily (below), so no eager
@@ -209,7 +236,9 @@ object Cep {
         if (!lazyLoop) rs.foreach(next += _)
         ds.foreach(done += _)
       }
-      if (canMore) next += Run(r.pos, cnt2, r.guards, bound2)
+      // a lazy times(m,n) run that hit max parks FULL: it stops binding
+      // loop events but stays alive to advance on a next-step event.
+      if (canMore || (lazyLoop && !canMore)) next += Run(r.pos, cnt2, r.guards, bound2)
     }
 
     /** Lazy proceed for Relaxed/Greedy loops: place past the loop and
@@ -219,11 +248,34 @@ object Cep {
       rs.foreach { q => if ((mask >>> q.pos & 1L) == 1L) consume(q) }
     }
 
+    // Greedy OPTIONAL: when the optional step itself matches this event,
+    // the event binds there — the ε-advanced sibling (same bound, later
+    // position, nothing consumed yet) is KILLED, exactly as Flink's
+    // single computation takes only the greedy branch. When the optional
+    // step does not match, the sibling lives on (optional-absent path).
+    val greedyOptSup: List[(Seq[BoundEv], Int)] =
+      (guarded ++ place(p, Nil, 0, Nil)._1).collect {
+        case r if p.steps(r.pos).quant == Quant.Opt &&
+          p.steps(r.pos).rep == Rep.Greedy &&
+          ((mask >>> r.pos & 1L) == 1L) => (r.bound, r.pos)
+      }
+    def suppressed(r: Run): Boolean = r.cnt == 0 &&
+      greedyOptSup.exists { case (b, pos) => r.pos > pos && r.bound == b }
+
     guarded.foreach { r =>
       val step = p.steps(r.pos)
-      val lazyLoop = step.quant == Quant.OneOrMore && step.rep != Rep.Combinations
-      val satisfied = r.cnt >= 1 // OneOrMore min
-      if ((mask >>> r.pos & 1L) == 1L) {
+      val full = step.quant match {
+        case Quant.Times(n) => r.cnt >= n
+        case Quant.TimesRange(_, mx) => r.cnt >= mx
+        case _ => false
+      }
+      val lazyLoop = isLazy(step)
+      val satisfied = step.quant match {
+        case Quant.OneOrMore => r.cnt >= 1
+        case Quant.TimesRange(mn, _) => r.cnt >= mn
+        case _ => false
+      }
+      if ((mask >>> r.pos & 1L) == 1L && !full && !suppressed(r)) {
         consume(r)
         // Relaxed: an event matching both the loop and the next step
         // branches both interpretations; Greedy consumes here only.
@@ -231,14 +283,14 @@ object Cep {
       } else {
         if (lazyLoop && satisfied) advanceConsume(r)
         // relaxed contiguity: the run survives an unconsumed event;
-        // strict contiguity: it does not
-        if (!step.strict) next += r
+        // strict contiguity (or a greedy-opt sibling kill): it does not
+        if (!step.strict && !suppressed(r)) next += r
       }
     }
     // every event is offered a fresh run seeded at the pattern head —
     // the NFA start state is always active (multiple partial matches).
     place(p, Nil, 0, Nil)._1.foreach { seed =>
-      if ((mask >>> seed.pos & 1L) == 1L) consume(seed)
+      if ((mask >>> seed.pos & 1L) == 1L && !suppressed(seed)) consume(seed)
     }
 
     val completed = done.result().sortBy(b => (b.last.t, -b.size))
@@ -320,14 +372,47 @@ object Cep {
         var curKey = 0L
         var started = false
         var runs: List[Run] = Nil
-        it.flatMap { case (k, t, mask, _) =>
+        it.flatMap { case (k, t, mask, tie) =>
           if (!started || k != curKey) { runs = Nil; curKey = k; started = true }
-          val (nr, done) = offer(pattern, runs, t, mask)
+          val (nr, done) = offer(pattern, runs, t, mask, tie)
           runs = nr
           done.map(b => (k, toStepTimes(pattern, b)))
         }
       }
       .toDF("key", "step_times")
+  }
+
+  /** Like `matchBatch` but preserving each match's BOUND EVENTS — one row
+    * per match: (key, match_no, bound: array<struct<step, t, tie>>), the
+    * raw material for MATCH_RECOGNIZE MEASURES evaluation (match_no is
+    * the per-key completion index, making (key, match_no) a match id).
+    * Same secondary-sort execution as matchBatch. */
+  def matchBatchBound(spark: SparkSession, events: DataFrame, pattern: Pattern): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("t").cast("long"),
+        col("mask").cast("long"), col("tie").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var runs: List[Run] = Nil
+        var matchNo = 0L
+        it.flatMap { case (k, t, mask, tie) =>
+          if (!started || k != curKey) {
+            runs = Nil; curKey = k; started = true; matchNo = 0L
+          }
+          val (nr, done) = offer(pattern, runs, t, mask, tie)
+          runs = nr
+          done.map { b =>
+            matchNo += 1
+            (k, matchNo, b.map(ev => (ev.step, ev.t, ev.tie)))
+          }
+        }
+      }
+      .toDF("key", "match_no", "bound")
   }
 
   /** Streaming CEP over an append stream with the same (key, t, mask, tie)
@@ -360,8 +445,8 @@ object Cep {
           val fresh = rows.map(r => (r._3, r._4, r._5)).filter(_._1 / 1000 > wm)
           val (ready, pending) = (pending0 ++ fresh).partition(_._1 / 1000 <= wm)
           val out = List.newBuilder[(Long, Seq[Seq[Long]])]
-          ready.sortBy(r => (r._1, r._3)).foreach { case (t, mask, _) =>
-            val (nr, done) = offer(pattern, runs, t, mask)
+          ready.sortBy(r => (r._1, r._3)).foreach { case (t, mask, tie) =>
+            val (nr, done) = offer(pattern, runs, t, mask, tie)
             runs = nr
             done.foreach(b => out += ((key, toStepTimes(pattern, b))))
           }

@@ -14,17 +14,28 @@ import org.apache.spark.sql.functions._
   * Supported grammar (one clause per line or ';'-free single string):
   *   PARTITION BY <col>
   *   ORDER BY <timeCol> [, <tieCol>]
-  *   PATTERN ( NAME[+|?|{n}] ... )      -- + is GREEDY (SQL default),
-  *                                      -- +? reluctant -> relaxed loop
-  *   WITHIN <millis>
+  *   MEASURES <measure> AS <alias>, ...  -- measure := VAR.col (= FIRST)
+  *            | FIRST|LAST|MIN|MAX|SUM(VAR.col) | COUNT(VAR.*)
+  *   ONE ROW PER MATCH                   -- the only supported mode
+  *   PATTERN ( NAME[+|+?|?|{n}|{m,n}] ... )  -- + is GREEDY (SQL default),
+  *                                           -- +? reluctant -> relaxed loop
+  *   WITHIN <time units of the ORDER BY column>
   *   AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *              | SKIP TO FIRST <name> | SKIP TO LAST <name>
   *   DEFINE NAME AS <spark sql boolean expr>, ...
   *
-  * Output: (key, step_times array<array<long>>) — one row per match,
-  * inner arrays indexed by pattern step, same contract as Cep.matchBatch.
+  * DEFINE and MEASURES bodies split on TOP-LEVEL commas only, so IN
+  * lists and function calls (coalesce(x,0)) parse correctly.
+  *
+  * Output of `run`: (key, step_times array<array<long>>) — one row per
+  * match, inner arrays indexed by pattern step, same contract as
+  * Cep.matchBatch. Output of `runMeasures`: one row per match with the
+  * partition key, match_no, and one column per measure alias
+  * (ONE ROW PER MATCH shape, StreamExecMatch MEASURES evaluation).
   */
 object MatchRecognize {
+
+  final case class Measure(fn: String, variable: String, column: String, alias: String)
 
   final case class Clause(
       partitionBy: String,
@@ -33,16 +44,38 @@ object MatchRecognize {
       steps: Seq[(String, Cep.StepDef)],
       within: Long,
       after: Cep.AfterMatch,
-      defines: Map[String, String])
+      defines: Map[String, String],
+      measures: Seq[Measure] = Nil)
 
   private val PartitionRe = """(?is).*PARTITION\s+BY\s+(\w+).*""".r
-  private val OrderRe = """(?is).*ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?\s.*""".r
+  private val OrderRe = """(?is).*ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?(?:\s.*)?""".r
   private val PatternRe = """(?is).*PATTERN\s*\(\s*([^)]*)\).*""".r
   private val WithinRe = """(?is).*WITHIN\s+(\d+).*""".r
   private val AfterRe =
     """(?is).*AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+FIRST\s+\w+|SKIP\s+TO\s+LAST\s+\w+).*""".r
   private val DefineRe = """(?is).*DEFINE\s+(.*)$""".r
+  private val MeasuresRe =
+    """(?is).*MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|PATTERN\s*\(|AFTER\s+MATCH|WITHIN\s|DEFINE\s).*""".r
   private val StepTok = """(\w+)(\+\?|\+|\?|\{\d+(?:,\d+)?\})?""".r
+  private val MeasureFnRe =
+    """(?is)(FIRST|LAST|MIN|MAX|SUM|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
+  private val MeasureBareRe = """(?is)(\w+)\.(\w+)\s+AS\s+(\w+)""".r
+
+  /** Split on commas at paren depth 0 only, so IN (1,2) and
+    * coalesce(x,0) survive inside DEFINE/MEASURES entries. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   def parse(clause: String): Clause = {
     val partition = clause match {
@@ -102,11 +135,10 @@ object MatchRecognize {
     }
     val defines = clause match {
       case DefineRe(body) =>
-        // split on commas at top level: DEFINE exprs here are restricted
-        // to comma-free boolean expressions (documented scope)
-        body.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
+        splitTopLevel(body).map { d =>
           val parts = d.split("(?i)\\s+AS\\s+", 2)
-          require(parts.length == 2, s"bad DEFINE entry: $d")
+          require(parts.length == 2 && """\w+""".r.matches(parts(0).trim),
+            s"bad DEFINE entry (need NAME AS <expr>): $d")
           parts(0).trim -> parts(1).trim
         }.toMap
       case _ => Map.empty[String, String]
@@ -114,7 +146,23 @@ object MatchRecognize {
     require(steps.forall { case (n, _) => defines.contains(n) },
       s"MATCH_RECOGNIZE: every pattern variable needs a DEFINE; missing " +
         steps.map(_._1).filterNot(defines.contains).mkString(","))
-    Clause(partition, order, tie, steps, within, after, defines)
+    val measures = clause match {
+      case MeasuresRe(body) => splitTopLevel(body).map {
+        case MeasureFnRe(fn, v, c, alias) =>
+          require(fn.equalsIgnoreCase("COUNT") || c != "*",
+            s"MATCH_RECOGNIZE: $fn(V.*) — only COUNT accepts *")
+          Measure(fn.toUpperCase, v, c, alias)
+        case MeasureBareRe(v, c, alias) => Measure("FIRST", v, c, alias)
+        case other => throw new IllegalArgumentException(
+          s"MATCH_RECOGNIZE: bad MEASURES entry: $other")
+      }
+      case _ => Nil
+    }
+    measures.foreach { m =>
+      require(stepIdx.contains(m.variable),
+        s"MATCH_RECOGNIZE: unknown pattern variable ${m.variable} in MEASURES")
+    }
+    Clause(partition, order, tie, steps, within, after, defines, measures)
   }
 
   /** Lower a parsed clause onto (tagged events, compiled pattern). */
@@ -136,6 +184,62 @@ object MatchRecognize {
   def run(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
     val (events, pattern) = lower(df, parse(clause))
     Cep.matchBatch(spark, events, pattern)
+  }
+
+  /** Compile and run a clause WITH MEASURES (ONE ROW PER MATCH): output is
+    * one row per match — (partition key, match_no, <measure aliases>).
+    *
+    * Evaluation (StreamExecMatch MEASURES role, kept fully relational so
+    * it scales like any join+agg): the NFA emits each match's bound
+    * events as (step, t, tie) triples (Cep.matchBatchBound); these
+    * explode, join back to the input rows on (key, t, tie) to recover
+    * payload columns, and aggregate per (key, match_no):
+    * FIRST/LAST = min/max by (t, tie) among the variable's bound rows,
+    * MIN/MAX/SUM/COUNT = the plain aggregates over them. Requires a
+    * two-column ORDER BY (time, unique tie) so the join-back is exact. */
+  def runMeasures(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
+    val c = parse(clause)
+    require(c.measures.nonEmpty, "MATCH_RECOGNIZE: runMeasures needs a MEASURES clause")
+    require(c.tieBy.nonEmpty,
+      "MATCH_RECOGNIZE: MEASURES requires ORDER BY <time>, <unique tie>")
+    val (events, pattern) = lower(df, c)
+    val stepIdx = c.steps.map(_._1).zipWithIndex.toMap
+
+    val bound = Cep.matchBatchBound(spark, events, pattern)
+      .select(col("key"), col("match_no"), explode(col("bound")).as("b"))
+      .select(col("key"), col("match_no"),
+        col("b._1").as("__step"), col("b._2").as("__t"), col("b._3").as("__tie"))
+
+    // payload rows under the same (key, t, tie) coordinates as the NFA saw
+    val payloadCols = df.columns.toSeq
+    val payload = df.select(
+      (Seq(col(c.partitionBy).cast("long").as("__pk"),
+        col(c.orderBy).cast("long").as("__pt"),
+        col(c.tieBy.get).cast("long").as("__ptie")) ++ payloadCols.map(col)): _*)
+
+    val joined = bound.join(payload,
+      col("key") === col("__pk") && col("__t") === col("__pt") &&
+        col("__tie") === col("__ptie"))
+
+    val aggs = c.measures.map { m =>
+      val i = stepIdx(m.variable)
+      val inStep = col("__step") === lit(i)
+      (m.fn match {
+        case "COUNT" => count(when(inStep, lit(1)))
+        case "MIN" => min(when(inStep, col(m.column)))
+        case "MAX" => max(when(inStep, col(m.column)))
+        case "SUM" => sum(when(inStep, col(m.column)))
+        case "FIRST" =>
+          element_at(sort_array(collect_list(
+            when(inStep, struct(col("__t"), col("__tie"), col(m.column).as("v"))))), 1)("v")
+        case "LAST" =>
+          element_at(sort_array(collect_list(
+            when(inStep, struct(col("__t"), col("__tie"), col(m.column).as("v"))))), -1)("v")
+      }).as(m.alias)
+    }
+    joined.groupBy(col("key"), col("match_no"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("key", c.partitionBy)
   }
 
   /** Compile and run the clause against a STREAMING DataFrame — the

@@ -614,8 +614,63 @@ object AdvancedOps extends QueryModule {
       (s, d) => { Engine.openCatalog(s, d); Engine.sql(s, q68Sql) },
       Some(q68Sql)))
 
+  private lazy val measuresQueries: Seq[GQuery] = Seq(
+    GQuery(
+      // MATCH_RECOGNIZE with MEASURES + ONE ROW PER MATCH
+      // (StreamExecMatch.java MEASURES evaluation; MatchRecognizeITCase
+      // exercises MEASURES in nearly every case): signup, then a reluctant
+      // click loop, then purchase, SKIP TO NEXT ROW. The relaxed loop +
+      // skip-to-next reduce to "first qualifying purchase per signup,
+      // binding every click between" — SQL-characterizable, so the full
+      // measure set (FIRST/LAST/COUNT/MIN/MAX/SUM) gets a rows+schema+hash
+      // oracle.
+      "q83_match_measures",
+      (s, d) => {
+        import s.implicits._
+        import graft.cep.MatchRecognize
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+        MatchRecognize.runMeasures(s, ev, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES A.ts_us AS s_us, COUNT(B.*) AS n_clicks,
+                   MIN(B.ts_us) AS first_c_us, MAX(B.ts_us) AS last_c_us,
+                   SUM(B.ts_us) AS sum_c_us, LAST(C.ts_us) AS p_us
+          ONE ROW PER MATCH
+          PATTERN (A B+? C)
+          WITHIN 604800000000
+          AFTER MATCH SKIP TO NEXT ROW
+          DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
+        """)
+          .select($"user_id", $"s_us", $"n_clicks", $"first_c_us",
+            $"last_c_us", $"sum_c_us", $"p_us")
+          .orderBy($"user_id", $"s_us")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT s.user_id, s.s_us, MIN(pe.us) AS p_us
+        |      FROM s JOIN e pe ON pe.user_id = s.user_id
+        |      WHERE pe.event_type = 'purchase' AND pe.us > s.s_us
+        |        AND pe.us - s.s_us <= 604800000000
+        |        AND EXISTS (SELECT 1 FROM e c WHERE c.user_id = s.user_id
+        |              AND c.event_type = 'click' AND c.us > s.s_us AND c.us < pe.us)
+        |      GROUP BY 1, 2),
+        |m AS (SELECT p.user_id, p.s_us, p.p_us,
+        |             COUNT(*) AS n_clicks, MIN(c.us) AS first_c_us,
+        |             MAX(c.us) AS last_c_us, SUM(c.us) AS sum_c_us
+        |      FROM p JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |        AND c.us > p.s_us AND c.us < p.p_us
+        |      GROUP BY 1, 2, 3)
+        |SELECT user_id, s_us, CAST(n_clicks AS BIGINT) AS n_clicks, first_c_us,
+        |       last_c_us, CAST(sum_c_us AS BIGINT) AS sum_c_us, p_us
+        |FROM m ORDER BY user_id, s_us
+        |""".stripMargin)))
+
   override def queries: Seq[GQuery] =
-    baseQueries ++ moreQueries ++ subqueryQueries ++ complexSqlQueries
+    baseQueries ++ moreQueries ++ subqueryQueries ++ complexSqlQueries ++
+      measuresQueries
 
   val q47Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

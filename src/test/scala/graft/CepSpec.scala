@@ -127,6 +127,53 @@ class CepSpec extends AnyFunSuite {
     assert(got == List(Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
   }
 
+  test("greedy times(m,n) emits only the maximal count; default branches all") {
+    // pattern A B{1,3} C over A@1 B@2 B@3 C@4
+    val evs = Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(2))
+    val branching = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.TimesRange(1, 3)), StepDef()),
+      within = 100, after = AfterMatch.NoSkip)
+    assert(Cep.run(branching, evs).toSet == Set(
+      Seq(Seq(1L), Seq(2L), Seq(4L)),       // count 1 (3 skipped, relaxed)
+      Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))  // count 2
+    val greedy = branching.copy(steps = IndexedSeq(
+      StepDef(), StepDef(Quant.TimesRange(1, 3), rep = Rep.Greedy), StepDef()))
+    assert(Cep.run(greedy, evs) == List(Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
+  }
+
+  test("greedy times(m,n) parked at max still advances on the next step") {
+    // B{1,2} greedy with THREE Bs: binds exactly the first two, then C
+    val evs = Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(1), 5L -> m(2))
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.TimesRange(1, 2), rep = Rep.Greedy), StepDef()),
+      within = 100, after = AfterMatch.SkipPastLast)
+    assert(Cep.run(p, evs) == List(Seq(Seq(1L), Seq(2L, 3L), Seq(5L))))
+  }
+
+  test("greedy optional binds an ambiguous event; default branches both") {
+    // pattern A B? C where event@2 matches BOTH B and C, then C@3
+    val evs = Seq(1L -> m(0), 2L -> m(1, 2), 3L -> m(2))
+    val branching = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.Opt), StepDef()),
+      within = 100, after = AfterMatch.NoSkip)
+    assert(Cep.run(branching, evs).toSet == Set(
+      Seq(Seq(1L), Seq(), Seq(2L)),        // 2 read as C (B absent)
+      Seq(Seq(1L), Seq(2L), Seq(3L))))     // 2 read as B, C at 3
+    val greedy = branching.copy(steps = IndexedSeq(
+      StepDef(), StepDef(Quant.Opt, rep = Rep.Greedy), StepDef()))
+    // the ambiguous event binds to B; the ε-sibling (B-absent reading)
+    // is killed, so exactly ONE maximal match remains
+    assert(Cep.run(greedy, evs) == List(Seq(Seq(1L), Seq(2L), Seq(3L))))
+  }
+
+  test("greedy optional still matches absent when the optional never fires") {
+    val evs = Seq(1L -> m(0), 2L -> m(2)) // A then C, no B at all
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.Opt, rep = Rep.Greedy), StepDef()),
+      within = 100, after = AfterMatch.NoSkip)
+    assert(Cep.run(p, evs) == List(Seq(Seq(1L), Seq(), Seq(2L))))
+  }
+
   test("ambiguous event: relaxed branches both readings, greedy consumes in-loop") {
     // pattern A B+ C where event@3 matches BOTH B and C
     val evs = Seq(1L -> m(0), 2L -> m(1), 3L -> m(1, 2), 4L -> m(2))
@@ -286,6 +333,54 @@ class CepSpec extends AnyFunSuite {
     q.stop()
     val streamed = spark.table("mrs_out").as[(Long, Seq[Seq[Long]])].collect().toSet
     assert(batch == Set((1L, Seq(Seq(us(1)), Seq(us(3))))) && streamed == batch)
+  }
+
+  test("MEASURES: FIRST/LAST/COUNT/MIN/MAX/SUM over bound events") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    // one key; A@1(v=10), B@2(v=20), B@4(v=40), C@6(v=60): reluctant loop
+    // binds both Bs, completes at C
+    val rows = Seq(
+      (1L, 1L, 1L, "a", 10L), (1L, 2L, 2L, "b", 20L),
+      (1L, 3L, 3L, "x", 0L), (1L, 4L, 4L, "b", 40L),
+      (1L, 6L, 5L, "c", 60L))
+      .toDF("k", "t", "tie", "kind", "v")
+    val out = MatchRecognize.runMeasures(spark, rows, """
+      PARTITION BY k
+      ORDER BY t, tie
+      MEASURES A.v AS a_v, COUNT(B.*) AS n_b, MIN(B.v) AS min_b,
+               MAX(B.v) AS max_b, SUM(B.v) AS sum_b, FIRST(B.v) AS first_b,
+               LAST(B.v) AS last_b, LAST(C.t) AS c_t
+      ONE ROW PER MATCH
+      PATTERN (A B+? C)
+      AFTER MATCH SKIP TO NEXT ROW
+      DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'
+    """)
+    val got = out.select("k", "a_v", "n_b", "min_b", "max_b", "sum_b",
+      "first_b", "last_b", "c_t")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 10L, 2L, 20L, 40L, 60L, 20L, 40L, 6L)))
+  }
+
+  test("DEFINE with top-level commas inside parens parses correctly") {
+    import graft.cep.MatchRecognize
+    val c = MatchRecognize.parse("""
+      PARTITION BY k ORDER BY t
+      PATTERN (A B)
+      DEFINE A AS x IN (1, 2, 3), B AS coalesce(y, 0) > 5
+    """)
+    assert(c.defines("A") == "x IN (1, 2, 3)")
+    assert(c.defines("B") == "coalesce(y, 0) > 5")
+  }
+
+  test("malformed DEFINE entries fail loudly, not silently") {
+    import graft.cep.MatchRecognize
+    // a fragment without AS (e.g. produced by a stray comma) must raise
+    // the bad-DEFINE error instead of mis-parsing
+    val bad = intercept[IllegalArgumentException](MatchRecognize.parse(
+      "PARTITION BY k ORDER BY t PATTERN (A B) DEFINE A AS x > 1, B AS y, stray"))
+    assert(bad.getMessage.contains("bad DEFINE entry"))
   }
 
   test("MATCH_RECOGNIZE parse errors are informative") {
