@@ -69,6 +69,49 @@ object PipelineOps extends QueryModule {
         dround($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))
   }
 
+  /** Jaccard pairs over the df-CAPPED shingle universe (stop-shingle
+    * removal): a shingle occurring in d docs contributes d(d-1)/2
+    * candidate pairs, so capping document frequency bounds every inverted-
+    * index bucket to <= maxDf(maxDf-1)/2 — the skew mitigation that
+    * survives boilerplate shingles at 100 TB. Sizes and intersections both
+    * run over the capped universe, so the oracle mirrors it with one
+    * HAVING clause. Shared by q80 (pair listing) and q79 (clustering). */
+  private def jaccardPairsCapped(s: SparkSession, d: String,
+      minJaccardPct: Int, maxDf: Int): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d).localCheckpoint()
+    val capped = sh.join(
+        sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .filter($"df" <= maxDf).select($"shingle"),
+        "shingle")
+      .localCheckpoint()
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = capped.select($"doc_id".as("a_id"), $"shingle")
+    val b = capped.select($"doc_id".as("b_id"), $"shingle")
+    a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .filter($"inter" * 100 >= lit(minJaccardPct) * ($"na" + $"nb" - $"inter"))
+      .select($"a_id", $"b_id", $"inter", $"na", $"nb")
+  }
+
+  /** The capped-pairs SQL CTE chain shared by the q80/q79 oracles. */
+  private def cappedPairsSql(minJaccardPct: Int, maxDf: Int): String =
+    s"""s AS ($shinglesSql),
+       |capped AS (SELECT s.doc_id, s.shingle FROM s
+       |           JOIN (SELECT shingle FROM s GROUP BY 1
+       |                 HAVING COUNT(*) <= $maxDf) hot ON s.shingle = hot.shingle),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |      FROM capped a JOIN capped b
+       |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |pairs AS (SELECT p.a_id, p.b_id, p.inter, sa.n AS na, sb.n AS nb
+       |          FROM p JOIN sz sa ON p.a_id = sa.doc_id
+       |                 JOIN sz sb ON p.b_id = sb.doc_id
+       |          WHERE p.inter * 100 >= $minJaccardPct * (sa.n + sb.n - p.inter))""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
     GQuery(
       "q31_dedup_exact",
@@ -450,55 +493,30 @@ object PipelineOps extends QueryModule {
       // (sizes and intersections), so the oracle mirrors it with one
       // HAVING clause.
       "q80_jaccard_stopshingle",
-      (s, d) => {
-        import s.implicits._
-        val maxDf = 20
-        val sh = shingles(s, d).localCheckpoint()
-        val capped = sh.join(
-            sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-              .filter($"df" <= maxDf).select($"shingle"),
-            "shingle")
-          .localCheckpoint()
-        val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val a = capped.select($"doc_id".as("a_id"), $"shingle")
-        val b = capped.select($"doc_id".as("b_id"), $"shingle")
-        a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
-          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
-          .filter($"inter" * 100 >= lit(20) * ($"na" + $"nb" - $"inter"))
-          .select($"a_id", $"b_id", $"inter", $"na", $"nb")
-          .orderBy($"a_id", $"b_id")
-      },
+      (s, d) => jaccardPairsCapped(s, d, minJaccardPct = 20, maxDf = 20)
+        .orderBy(col("a_id"), col("b_id")),
       Some(s"""
-        |WITH s AS ($shinglesSql),
-        |capped AS (SELECT s.doc_id, s.shingle FROM s
-        |           JOIN (SELECT shingle FROM s GROUP BY 1
-        |                 HAVING COUNT(*) <= 20) hot ON s.shingle = hot.shingle),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |      FROM capped a JOIN capped b
-        |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT p.a_id, p.b_id, CAST(p.inter AS BIGINT) AS inter,
-        |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
-        |FROM p JOIN sz sa ON p.a_id = sa.doc_id JOIN sz sb ON p.b_id = sb.doc_id
-        |WHERE p.inter * 100 >= 20 * (sa.n + sb.n - p.inter)
+        |WITH ${cappedPairsSql(20, 20)}
+        |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+        |       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+        |FROM pairs
         |ORDER BY a_id, b_id
         |""".stripMargin)),
 
     GQuery(
       // End-to-end dedup CLUSTERING — the step real training pipelines run
-      // after pair detection: near-dup pairs (exact n-gram Jaccard >= 20%,
-      // the q33 candidates) become an undirected graph, connected
-      // components merge transitive duplicates into clusters, and the
-      // minimum doc_id per cluster is kept as the canonical survivor.
-      // Oracle: the q33 pair SQL + a recursive-CTE min-label propagation
-      // (q53's shape) — fully deterministic end to end.
+      // after pair detection: near-dup pairs (exact n-gram Jaccard >= 20%)
+      // become an undirected graph, connected components merge transitive
+      // duplicates into clusters, and the minimum doc_id per cluster is
+      // kept as the canonical survivor. Pairs come from the df-CAPPED
+      // index (q80's stop-shingle mitigation) so the pair generation stays
+      // sub-quadratic under hot shingles — the uncapped q33 generator is
+      // the small-scale verification path only. Oracle: the capped pair
+      // SQL + a recursive-CTE min-label propagation (q53's shape).
       "q79_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        val pairs = jaccardPairs(s, d, 20)
+        val pairs = jaccardPairsCapped(s, d, minJaccardPct = 20, maxDf = 20)
           .select($"a_id".as("src"), $"b_id".as("dst"))
         graft.operators.GraphOps.connectedComponents(s, pairs)
           .groupBy($"comp")
@@ -507,15 +525,7 @@ object PipelineOps extends QueryModule {
           .orderBy($"cluster")
       },
       Some(s"""
-        |WITH RECURSIVE s AS ($shinglesSql),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |pairs AS (SELECT p.a_id, p.b_id
-        |          FROM p JOIN sz sa ON p.a_id = sa.doc_id
-        |                 JOIN sz sb ON p.b_id = sb.doc_id
-        |          WHERE p.inter * 100 >= 20 * (sa.n + sb.n - p.inter)),
+        |WITH RECURSIVE ${cappedPairsSql(20, 20)},
         |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
         |      UNION SELECT b_id, a_id FROM pairs),
         |r AS (
