@@ -7,10 +7,13 @@ import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 
 /** Async lookup join: per-row point lookups against an external service
-  * with bounded in-flight concurrency and ORDERED emission.
+  * with bounded in-flight concurrency — ORDERED emission (input order) or
+  * UNORDERED emission (completion order, the higher-throughput default in
+  * practice: one slow lookup no longer gates everything behind it).
   *
   * Reference: flink-streaming-java .../operators/async/AsyncWaitOperator
-  * .java:92 (ordered mode, capacity, timeout) + table lookup joins via
+  * .java:92 (ordered + unordered modes via AsyncDataStream.orderedWait/
+  * unorderedWait, capacity, timeout) + table lookup joins via
   * AsyncLookupFunction (flink-table-runtime .../join/lookup/
   * AsyncLookupJoinRunner.java:44).
   *
@@ -77,6 +80,55 @@ object AsyncLookup {
         }
       }
       out
+    }
+  }
+
+  /** UNORDERED async lookup (AsyncDataStream.unorderedWait): results emit
+    * in COMPLETION order, so fast lookups overtake a slow head-of-line
+    * request — the throughput-oriented mode. Same bounded in-flight window
+    * per partition; `timeoutMs` bounds each wait for the next completion
+    * (a window full of stuck lookups fails the task rather than hanging
+    * the executor). */
+  def unordered[I, O](
+      ds: Dataset[I], capacity: Int, timeoutMs: Long)(
+      lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] = {
+    require(capacity > 0)
+    ds.mapPartitions { rows =>
+      val pool = Executors.newFixedThreadPool(capacity, r => {
+        val t = new Thread(r, "graft-async-lookup-unordered")
+        t.setDaemon(true)
+        t
+      })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val completed =
+        new java.util.concurrent.LinkedBlockingQueue[(I, scala.util.Try[O])]()
+      var inFlight = 0
+
+      new Iterator[(I, O)] {
+        override def hasNext: Boolean = {
+          val more = rows.hasNext || inFlight > 0
+          if (!more) pool.shutdown()
+          more
+        }
+        override def next(): (I, O) = {
+          while (rows.hasNext && inFlight < capacity) {
+            val in = rows.next()
+            inFlight += 1
+            Future(lookup(in)).onComplete(t => completed.put((in, t)))
+          }
+          val polled = completed.poll(timeoutMs, TimeUnit.MILLISECONDS)
+          if (polled == null) {
+            pool.shutdownNow()
+            throw new java.util.concurrent.TimeoutException(
+              s"async lookup: no completion within ${timeoutMs}ms")
+          }
+          inFlight -= 1
+          polled._2 match {
+            case scala.util.Success(v) => (polled._1, v)
+            case scala.util.Failure(err) => pool.shutdownNow(); throw err
+          }
+        }
+      }
     }
   }
 }

@@ -162,7 +162,12 @@ object GraphOps extends QueryModule {
     * max degree (skew-prone vertices would be salted at scale). */
   def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = edges.select($"src", $"dst").filter($"src" < $"dst").distinct()
+    // normalize by REORDERING (least/greatest) rather than filtering, so
+    // edges arriving dst>src still count (Gelly's TriangleEnumerator
+    // reorders too); the filter afterwards only drops self-loops
+    val e = edges
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .filter($"src" < $"dst").distinct()
       .localCheckpoint()
     e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))

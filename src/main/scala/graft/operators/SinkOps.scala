@@ -54,20 +54,24 @@ object SinkOps extends QueryModule {
     tags.map { case (tag, pred) => tag -> df.filter(pred) }
 
   /** Per-tag row counts in a SINGLE pass over the source: one conditional
-    * aggregate per tag, unpivoted to (tag, n) rows with stack(). One
-    * FileScan regardless of tag count — the shape sideOutputs' scaladoc
-    * prescribes for sinks, applied to monitoring counters. */
+    * aggregate per tag, unpivoted to (tag, n) rows by exploding an array
+    * of (tag, count) structs. One FileScan regardless of tag count — the
+    * shape sideOutputs' scaladoc prescribes for sinks, applied to
+    * monitoring counters. Built entirely from typed APIs: tag names only
+    * ever appear as literal VALUES (never spliced into SQL text or column
+    * identifiers), so quotes/spaces/backticks in a tag are inert data. */
   def sideOutputCounts(df: DataFrame, tags: Map[String, Column]): DataFrame = {
     val ordered = tags.toSeq.sortBy(_._1)
     val agg = df.agg(
       count(lit(1)).as("_total"), // anchor so agg() has >=1 expr even for empty tags
-      ordered.map { case (tag, pred) =>
-        coalesce(sum(when(pred, 1L)), lit(0L)).as(s"_c_$tag")
+      ordered.zipWithIndex.map { case ((_, pred), i) =>
+        coalesce(sum(when(pred, 1L)), lit(0L)).as(s"_c_$i")
       }: _*)
-    val stackArgs = ordered
-      .map { case (tag, _) => s"'$tag', _c_$tag" }
-      .mkString(", ")
-    agg.selectExpr(s"stack(${ordered.size}, $stackArgs) as (tag, n)")
+    val pairs = array(ordered.zipWithIndex.map { case ((tag, _), i) =>
+      struct(lit(tag).as("tag"), col(s"_c_$i").as("n"))
+    }: _*)
+    agg.select(explode(pairs).as("p"))
+      .select(col("p.tag").as("tag"), col("p.n").as("n"))
   }
 
   def queries: Seq[GQuery] = Seq(

@@ -227,6 +227,14 @@ class KvStateStoreProvider extends StateStoreProvider {
 
     override def commit(): Long = {
       val next = loadVersion + 1
+      // Idempotent re-commit (retried/zombie tasks): sweep any cells a
+      // prior attempt left under v<next>/ so the layer reflects exactly
+      // THIS attempt's writes — otherwise loadMerged would merge a failed
+      // attempt's partial (or different) dirty set into every future
+      // version, silently resurrecting stale state. A clean first commit
+      // scans an empty prefix: zero extra writes.
+      kv.scan(layerPrefix(next)).foreach { case (k, _) => kv.delete(k) }
+      if (layerKind(next).isDefined) kv.delete(metaKey(next))
       // full layer on the first commit (no base yet) and every CompactEvery
       // commits thereafter; delta layer (dirty keys only) in between.
       val writeFull = next == 1 || next % CompactEvery == 0

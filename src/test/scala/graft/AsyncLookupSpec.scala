@@ -43,6 +43,41 @@ class AsyncLookupSpec extends AnyFunSuite {
       s"capacity exceeded: ${AsyncLookupSpec.maxInFlight.get()}")
   }
 
+  test("unordered async lookup: fast results overtake a slow head-of-line") {
+    import spark.implicits._
+    // key 1 is SLOW (500 ms), the rest are fast: unordered emission must
+    // deliver fast keys before the slow head; ordered mode must not.
+    val input = (1 to 6).toDS().repartition(1)
+    def slowLookup(k: Int): String = {
+      if (k == 1) Thread.sleep(500) else Thread.sleep(10)
+      s"v$k"
+    }
+    val unordered = AsyncLookup.unordered(input, capacity = 6, timeoutMs = 30000)(slowLookup)
+      .collect().toSeq
+    assert(unordered.toMap == (1 to 6).map(k => k -> s"v$k").toMap)
+    assert(unordered.head._1 != 1,
+      s"slow head-of-line should be overtaken, got order ${unordered.map(_._1)}")
+    assert(unordered.last._1 == 1,
+      s"slow lookup should complete last, got order ${unordered.map(_._1)}")
+
+    val ordered = AsyncLookup.ordered(input, capacity = 6, timeoutMs = 30000)(slowLookup)
+      .collect().toSeq
+    assert(ordered.map(_._1) == (1 to 6), "ordered mode preserves input order")
+  }
+
+  test("unordered async lookup: lookup failure fails the task, not a hang") {
+    import spark.implicits._
+    val input = (1 to 4).toDS().repartition(1)
+    val err = intercept[org.apache.spark.SparkException] {
+      AsyncLookup.unordered(input, capacity = 2, timeoutMs = 5000) { k =>
+        if (k == 3) throw new RuntimeException("service down")
+        s"v$k"
+      }.collect()
+    }
+    assert(err.getMessage.contains("service down") ||
+      Option(err.getCause).exists(_.getMessage.contains("service down")))
+  }
+
   test("retry wrapper recovers from transient failures and rethrows on exhaustion") {
     val calls = new AtomicInteger(0)
     val flaky = AsyncLookup.withRetry[Int, String](attempts = 3, delayMs = 0) { k =>

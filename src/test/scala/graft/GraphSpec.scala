@@ -14,6 +14,33 @@ class GraphSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("triangles: reversed-orientation edges are reordered, not dropped") {
+    import spark.implicits._
+    // triangle {1,2,3} with every edge oriented dst > src backwards,
+    // plus a self-loop that must be ignored
+    val edges = Seq((2L, 1L), (3L, 2L), (3L, 1L), (4L, 4L)).toDF("src", "dst")
+    val tris = GraphOps.triangles(spark, edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((1L, 2L, 3L)), s"got $tris")
+    // mixed orientations + duplicates still emit each triangle once
+    val mixed = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val tris2 = GraphOps.triangles(spark, mixed)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tris2 == Seq((1L, 2L, 3L)), s"got $tris2")
+  }
+
+  test("sideOutputCounts: hostile tag names are inert data, not SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val hostile = "it's a ,`tag` (1)"
+    val out = graft.operators.SinkOps.sideOutputCounts(df, Map(
+      hostile -> (col("x") > 2),
+      "plain" -> (col("x") <= 2)))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(hostile -> 2L, "plain" -> 2L))
+  }
+
   test("pagerank conserves probability mass and ranks hubs above leaves") {
     import spark.implicits._
     // star: 1..4 all point to 5

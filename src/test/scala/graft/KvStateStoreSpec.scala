@@ -109,6 +109,36 @@ class KvStateStoreSpec extends AnyFunSuite {
     s3.abort()
   }
 
+  test("re-commit of the same version converges (zombie-task idempotence)") {
+    InMemoryKvService.clearAll()
+    val p = freshProvider("/spec-recommit")
+    val s1 = p.getStore(0, None)
+    (1L to 10L).foreach(i => s1.put(krow(i), vrow(i), "default"))
+    assert(s1.commit() == 1L)
+
+    // first attempt at v2: dirty {5 -> 55, remove 7}
+    val attempt1 = p.getStore(1, None)
+    attempt1.put(krow(5), vrow(55), "default")
+    attempt1.remove(krow(7), "default")
+    assert(attempt1.commit() == 2L)
+
+    // zombie RETRY of v2 from the same base with a DIFFERENT dirty set:
+    // {6 -> 66}. The retried layer must fully replace attempt 1's cells —
+    // key 5 stays at its v1 value and key 7 stays live.
+    val attempt2 = p.getStore(1, None)
+    attempt2.put(krow(6), vrow(66), "default")
+    assert(attempt2.commit() == 2L)
+
+    val p2 = freshProvider("/spec-recommit") // no cache: reads KV layers
+    val s3 = p2.getStore(2, None)
+    assert(s3.get(krow(6), "default").getLong(0) == 66L)
+    assert(s3.get(krow(5), "default").getLong(0) == 5L,
+      "attempt 1's put must not leak into the retried layer")
+    assert(s3.get(krow(7), "default") != null,
+      "attempt 1's delete must not leak into the retried layer")
+    s3.abort()
+  }
+
   test("compaction writes periodic full layers and prunes stale history") {
     InMemoryKvService.clearAll()
     val p = freshProvider("/spec-compact")
