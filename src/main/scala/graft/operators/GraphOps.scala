@@ -222,7 +222,97 @@ object GraphOps extends QueryModule {
         graft.Bits.dround($"inter" / ($"da" + $"db" - $"inter"), 6).as("jac"))
   }
 
+  /** Graph summarization (Gelly library/Summarization.java): condense the
+    * graph by vertex label — summary vertices are (label, representative
+    * min id, member count); summary edges group the original edges by
+    * (srcLabel, dstLabel) with a count, DIRECTED like Gelly's
+    * (sourceGroupValue, targetGroupValue) grouping. Two aggregation jobs +
+    * two broadcast-able label joins — nothing iterative. */
+  def summarize(spark: SparkSession, vertices: DataFrame, edges: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val sv = vertices.groupBy($"label")
+      .agg(min($"v").as("rep"), count(lit(1)).as("n_vertices"))
+    val lv = vertices.select($"v", $"label")
+    val se = edges
+      .join(lv.select($"v".as("src"), $"label".as("src_label")), Seq("src"))
+      .join(lv.select($"v".as("dst"), $"label".as("dst_label")), Seq("dst"))
+      .groupBy($"src_label", $"dst_label").agg(count(lit(1)).as("n_edges"))
+    (sv, se)
+  }
+
+  /** Community detection (Gelly library/CommunityDetection.java:103,
+    * after Leung et al.): label propagation with SCORED labels and hop
+    * attenuation. Each superstep a vertex adopts the label with the
+    * highest SUM of neighbor scores (smallest label on ties — the
+    * reference's ascending TreeMap scan with strict >); its new score is
+    * that label's highest single incoming score, attenuated by
+    * delta/superstep ONLY when the label actually changed (the
+    * reference's re-score rule). Attenuation keeps distant labels from
+    * swallowing local majorities, unlike plain LPA. Fixed iteration cap
+    * like Gelly; per round one edge⋈state join + two aggregates. */
+  def communityDetection(
+      spark: SparkSession, edges: DataFrame,
+      iterations: Int = 5, delta: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    var st = sym.select($"src".as("v")).distinct()
+      .withColumn("label", $"v").withColumn("score", lit(1.0))
+      .localCheckpoint()
+    for (step <- 1 to iterations) {
+      val byLabel = sym
+        .join(st.select($"v".as("dst2"), $"label", $"score"), $"dst" === $"dst2")
+        .groupBy($"src", $"label")
+        .agg(sum($"score").as("tot"), max($"score").as("mx"))
+      val w = Window.partitionBy($"src").orderBy($"tot".desc, $"label")
+      val winners = byLabel.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"src".as("v"), $"label".as("new_label"), $"mx")
+      st = winners.join(st.select($"v", $"label".as("old_label")), Seq("v"))
+        .select($"v", $"new_label".as("label"),
+          when($"new_label" === $"old_label", $"mx")
+            .otherwise($"mx" - lit(delta) / lit(step.toDouble)).as("score"))
+        .localCheckpoint()
+    }
+    st.select($"v", $"label")
+  }
+
   def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // Graph summarization of the supplier co-purchase graph by nation:
+      // summary edges (src nation, dst nation, edge count) — pure
+      // aggregation, so this Gelly library op gets a full oracle.
+      "q84_graph_summarize",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 300)
+          .select($"l_orderkey", $"l_suppkey")
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .filter($"src" < $"dst").distinct()
+        val vertices = Tables.supplier(s, d)
+          .select($"s_suppkey".as("v"), $"s_nationkey".cast("long").as("label"))
+        val (_, se) = summarize(s, vertices, edges)
+        se.select($"src_label".as("nation_a"), $"dst_label".as("nation_b"),
+            $"n_edges")
+          .orderBy($"nation_a", $"nation_b")
+      },
+      Some("""
+        |WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_suppkey < b.l_suppkey
+        |             AND a.l_orderkey < 300 AND b.l_orderkey < 300)
+        |SELECT CAST(ls.s_nationkey AS BIGINT) AS nation_a,
+        |       CAST(ld.s_nationkey AS BIGINT) AS nation_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_edges
+        |FROM e JOIN supplier ls ON e.src = ls.s_suppkey
+        |       JOIN supplier ld ON e.dst = ld.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY nation_a, nation_b
+        |""".stripMargin)),
+
     GQuery(
       // Jaccard neighbor-set similarity on the co-purchase graph: shared
       // neighbors over union of neighborhoods, inverted-index candidate

@@ -41,6 +41,40 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(hostile -> 2L, "plain" -> 2L))
   }
 
+  test("summarize condenses vertices by label and edges by label pair") {
+    import spark.implicits._
+    val vertices = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 30L))
+      .toDF("v", "label")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val (sv, se) = GraphOps.summarize(spark, vertices, edges)
+    val groups = sv.as[(Long, Long, Long)].collect().toSet
+    assert(groups == Set((10L, 1L, 2L), (20L, 3L, 2L), (30L, 5L, 1L)))
+    val summary = se.as[(Long, Long, Long)].collect().toSet
+    // 1-2 stays inside group 10; 1-3 and 2-4 cross 10->20; 3-4 inside 20
+    assert(summary == Set((10L, 10L, 1L), (10L, 20L, 2L), (20L, 20L, 1L)))
+  }
+
+  test("community detection separates two cliques across a bridge") {
+    import spark.implicits._
+    // two K4 cliques joined by one bridge edge 3-10: attenuation keeps
+    // each clique's local majority intact
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L))).toDF("src", "dst")
+    val labels = GraphOps.communityDetection(spark, edges, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    val c1 = Seq(1L, 2L, 3L, 4L).map(labels)
+    val c2 = Seq(10L, 11L, 12L, 13L).map(labels)
+    assert(c1.distinct.size == 1, s"clique 1 not converged: $labels")
+    assert(c2.distinct.size == 1, s"clique 2 not converged: $labels")
+    assert(c1.head != c2.head, s"bridge merged the communities: $labels")
+    // determinism
+    val again = GraphOps.communityDetection(spark, edges, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == again)
+  }
+
   test("pagerank conserves probability mass and ranks hubs above leaves") {
     import spark.implicits._
     // star: 1..4 all point to 5
