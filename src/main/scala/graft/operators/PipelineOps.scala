@@ -543,6 +543,93 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Gopher-style quality RULES (Rae et al. 2021 §A1.1, standard in
+      // LLM data pipelines): per-document numeric gates — token count
+      // range, mean word length range, minimum distinct stopwords — and
+      // the combined pass bit. Pure per-row HOF arithmetic: stays in
+      // whole-stage codegen, no shuffle at any scale.
+      "q85_gopher_rules",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("n_tokens", size($"toks").cast("long"))
+          .withColumn("mean_wl",
+            expr("aggregate(transform(toks, x -> length(x)), 0, (a, b) -> a + b)")
+              / $"n_tokens")
+          .withColumn("n_stop_distinct", size(array_distinct(expr(
+            "filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))")))
+            .cast("long"))
+          .select($"doc_id", $"n_tokens", dround($"mean_wl", 6).as("mean_word_len"),
+            $"n_stop_distinct",
+            ($"n_tokens".between(20, 100000) && $"mean_wl".between(3.0, 10.0) &&
+              $"n_stop_distinct" >= 2).cast("long").as("passes"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |        len(toks) AS n_tokens,
+        |        list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_wl,
+        |        len(list_distinct(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','to','in','is','it')))) AS n_stop_distinct
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       ${droundSql("mean_wl", 6)} AS mean_word_len,
+        |       CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+        |       CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000
+        |                  AND mean_wl BETWEEN 3.0 AND 10.0
+        |                  AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS passes
+        |FROM m ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      // Intra-document REPETITION scoring (the Gopher/C4 duplicate-n-gram
+      // family): per document, total vs distinct bigrams and the heaviest
+      // bigram's share — explode + two-level aggregate, the same partial-
+      // agg-friendly shape as any word count, so it scales as one shuffle
+      // keyed by (doc, bigram).
+      "q86_repetition",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+              .stripMargin)).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+            max($"c").as("max_c"))
+          .select($"doc_id", $"n_bigrams", $"n_distinct",
+            dround(lit(1.0) - $"n_distinct" / $"n_bigrams", 6).as("dup_frac"),
+            dround($"max_c" / $"n_bigrams", 6).as("top_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(toks) - 1),
+        |           i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct,
+        |               MAX(c) AS max_c
+        |        FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       ${droundSql("1.0 - n_distinct * 1.0 / n_bigrams", 6)} AS dup_frac,
+        |       ${droundSql("max_c * 1.0 / n_bigrams", 6)} AS top_frac
+        |FROM agg ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max
