@@ -88,6 +88,13 @@ object Cep {
     case object Combinations extends Rep
     case object Relaxed extends Rep
     case object Greedy extends Rep
+    /** TRUE allowCombinations parity (NFA.java nondeterministic-relaxed):
+      * a run parked at the loop branches CONSUME and SKIP on every
+      * matching event, so non-contiguous repetition subsets like {A1,A3}
+      * match too. Exponential in matching events by nature — bounded by
+      * Pattern.maxRuns exactly as Flink's state is bounded only by its
+      * own pruning. OneOrMore only. */
+    case object Subsets extends Rep
   }
 
   /** One pattern step. `negated` marks a notFollowedBy guard (quantifier
@@ -129,13 +136,17 @@ object Cep {
     require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _, _) => (mn, mx) }
       .forall { case (mn, mx) => mn >= 1 && mx >= mn },
       "times(min,max) needs 1 <= min <= max")
-    require(steps.forall(s => s.rep == Rep.Combinations || (s.quant match {
-      case Quant.OneOrMore | Quant.TimesRange(_, _) => true
-      case Quant.Times(_) => true // exact count: greedy/relaxed are no-ops
-      case Quant.Opt => s.rep == Rep.Greedy
-      case Quant.One => false
-    })), "Relaxed/Greedy repetition modes apply to quantified steps only " +
-      "(greedy optional allowed; relaxed optional = default branching)")
+    require(steps.forall(s => s.rep match {
+      case Rep.Combinations => true
+      case Rep.Subsets => s.quant == Quant.OneOrMore
+      case Rep.Relaxed | Rep.Greedy => s.quant match {
+        case Quant.OneOrMore | Quant.TimesRange(_, _) => true
+        case Quant.Times(_) => true // exact count: greedy/relaxed are no-ops
+        case Quant.Opt => s.rep == Rep.Greedy
+        case Quant.One => false
+      }
+    }), "repetition modes apply to quantified steps only (greedy optional " +
+      "allowed; relaxed optional = default branching; Subsets = oneOrMore)")
     require(steps.forall(s => !s.strict || !s.negated),
       "strict contiguity cannot combine with notFollowedBy guards")
     require(steps.forall(s => !s.strict || s.rep == Rep.Combinations),
@@ -206,7 +217,8 @@ object Cep {
 
     /** Lazy (Relaxed/Greedy) loops advance on a LATER event instead of
       * branching eagerly at every satisfying count. */
-    def isLazy(step: StepDef): Boolean = step.rep != Rep.Combinations &&
+    def isLazy(step: StepDef): Boolean =
+      (step.rep == Rep.Relaxed || step.rep == Rep.Greedy) &&
       (step.quant match {
         case Quant.OneOrMore | Quant.TimesRange(_, _) => true
         case _ => false
@@ -280,6 +292,9 @@ object Cep {
         // Relaxed: an event matching both the loop and the next step
         // branches both interpretations; Greedy consumes here only.
         if (lazyLoop && step.rep == Rep.Relaxed && satisfied) advanceConsume(r)
+        // Subsets (allowCombinations): also branch the SKIP reading — the
+        // run survives unchanged to consume a later event instead.
+        if (step.rep == Rep.Subsets && !step.strict) next += r
       } else {
         if (lazyLoop && satisfied) advanceConsume(r)
         // relaxed contiguity: the run survives an unconsumed event;

@@ -127,6 +127,28 @@ class CepSpec extends AnyFunSuite {
     assert(got == List(Seq(Seq(1L), Seq(2L, 3L), Seq(4L))))
   }
 
+  test("Subsets mode matches NON-CONTIGUOUS repetition subsets (allowCombinations)") {
+    // A B+ C over A@1 B@2 B@3 B@4 C@5: true allowCombinations emits every
+    // non-empty subset of {2,3,4} — including the non-contiguous {2,4}
+    // that prefix-branching Combinations mode cannot produce
+    val evs = Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(1), 5L -> m(2))
+    val p = Pattern(IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore, rep = Rep.Subsets), StepDef()),
+      within = 100, after = AfterMatch.NoSkip, maxRuns = 256)
+    val got = Cep.run(p, evs).toSet
+    val subsets = Seq(Seq(2L), Seq(3L), Seq(4L), Seq(2L, 3L), Seq(2L, 4L),
+      Seq(3L, 4L), Seq(2L, 3L, 4L))
+    assert(got == subsets.map(b => Seq(Seq(1L), b, Seq(5L))).toSet, s"got $got")
+    // prefix-branching Combinations on the same input: only runs that
+    // consumed every matching event since their first bind, i.e. suffixes
+    // of consumption — {2,4} absent
+    val pc = p.copy(steps = IndexedSeq(
+      StepDef(), StepDef(Quant.OneOrMore, rep = Rep.Combinations), StepDef()))
+    val gotC = Cep.run(pc, evs).toSet
+    assert(!gotC.contains(Seq(Seq(1L), Seq(2L, 4L), Seq(5L))))
+    assert(gotC.contains(Seq(Seq(1L), Seq(2L, 3L, 4L), Seq(5L))))
+  }
+
   test("greedy times(m,n) emits only the maximal count; default branches all") {
     // pattern A B{1,3} C over A@1 B@2 B@3 C@4
     val evs = Seq(1L -> m(0), 2L -> m(1), 3L -> m(1), 4L -> m(2))
