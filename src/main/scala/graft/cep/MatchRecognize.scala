@@ -55,7 +55,7 @@ object MatchRecognize {
     """(?is).*AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+FIRST\s+\w+|SKIP\s+TO\s+LAST\s+\w+).*""".r
   private val DefineRe = """(?is).*DEFINE\s+(.*)$""".r
   private val MeasuresRe =
-    """(?is).*MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|PATTERN\s*\(|AFTER\s+MATCH|WITHIN\s|DEFINE\s).*""".r
+    """(?is).*MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|PATTERN\s*\(|AFTER\s+MATCH|WITHIN\s|DEFINE\s).*""".r
   private val StepTok = """(\w+)(\+\?|\+|\?|\{\d+(?:,\d+)?\})?""".r
   private val MeasureFnRe =
     """(?is)(FIRST|LAST|MIN|MAX|SUM|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
@@ -240,6 +240,37 @@ object MatchRecognize {
     joined.groupBy(col("key"), col("match_no"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("key", c.partitionBy)
+  }
+
+  /** Compile and run a clause in ALL ROWS PER MATCH mode: output is one
+    * row PER BOUND EVENT — (match_no, classifier, <all input columns>),
+    * where `classifier` is the pattern variable the row bound to
+    * (CLASSIFIER() in standard MATCH_RECOGNIZE / Flink's all-rows mode).
+    * Same relational evaluation as runMeasures: bound events explode and
+    * join back to the input rows; requires ORDER BY <time>, <unique tie>. */
+  def runAllRows(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
+    val c = parse(clause)
+    require(c.tieBy.nonEmpty,
+      "MATCH_RECOGNIZE: ALL ROWS PER MATCH requires ORDER BY <time>, <unique tie>")
+    val (events, pattern) = lower(df, c)
+    val classifier = array(c.steps.map(s => lit(s._1)): _*)
+
+    val bound = Cep.matchBatchBound(spark, events, pattern)
+      .select(col("key"), col("match_no"), explode(col("bound")).as("b"))
+      .select(col("key"), col("match_no"),
+        element_at(classifier, col("b._1").cast("int") + 1).as("classifier"),
+        col("b._2").as("__t"), col("b._3").as("__tie"))
+
+    val payloadCols = df.columns.toSeq
+    val payload = df.select(
+      (Seq(col(c.partitionBy).cast("long").as("__pk"),
+        col(c.orderBy).cast("long").as("__pt"),
+        col(c.tieBy.get).cast("long").as("__ptie")) ++ payloadCols.map(col)): _*)
+
+    bound.join(payload,
+        col("key") === col("__pk") && col("__t") === col("__pt") &&
+          col("__tie") === col("__ptie"))
+      .select((Seq(col("match_no"), col("classifier")) ++ payloadCols.map(col)): _*)
   }
 
   /** Compile and run the clause against a STREAMING DataFrame — the

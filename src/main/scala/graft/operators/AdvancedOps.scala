@@ -668,9 +668,61 @@ object AdvancedOps extends QueryModule {
         |FROM m ORDER BY user_id, s_us
         |""".stripMargin)))
 
+  private lazy val allRowsQueries: Seq[GQuery] = Seq(
+    GQuery(
+      // ALL ROWS PER MATCH + CLASSIFIER() (the other MATCH_RECOGNIZE
+      // output mode): q83's pattern, but emitting one row per bound event
+      // tagged with its pattern variable. The SQL characterization adds a
+      // match_no window (completion order = first-qualifying-purchase
+      // time, then seed time) and unions the A/B/C row sets.
+      "q87_match_all_rows",
+      (s, d) => {
+        import s.implicits._
+        import graft.cep.MatchRecognize
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+        MatchRecognize.runAllRows(s, ev, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          ALL ROWS PER MATCH
+          PATTERN (A B+? C)
+          WITHIN 604800000000
+          AFTER MATCH SKIP TO NEXT ROW
+          DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
+        """)
+          .select($"user_id", $"match_no", $"classifier", $"ts_us".as("t"))
+          .orderBy($"user_id", $"match_no", $"t", $"classifier")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT s.user_id, s.s_us, MIN(pe.us) AS p_us
+        |      FROM s JOIN e pe ON pe.user_id = s.user_id
+        |      WHERE pe.event_type = 'purchase' AND pe.us > s.s_us
+        |        AND pe.us - s.s_us <= 604800000000
+        |        AND EXISTS (SELECT 1 FROM e c WHERE c.user_id = s.user_id
+        |              AND c.event_type = 'click' AND c.us > s.s_us AND c.us < pe.us)
+        |      GROUP BY 1, 2),
+        |m AS (SELECT user_id, s_us, p_us,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                ORDER BY p_us, s_us) AS match_no
+        |      FROM p),
+        |r AS (
+        |  SELECT user_id, match_no, 'A' AS classifier, s_us AS t FROM m
+        |  UNION ALL
+        |  SELECT m.user_id, m.match_no, 'B', c.us
+        |  FROM m JOIN e c ON c.user_id = m.user_id AND c.event_type = 'click'
+        |    AND c.us > m.s_us AND c.us < m.p_us
+        |  UNION ALL
+        |  SELECT user_id, match_no, 'C', p_us FROM m)
+        |SELECT user_id, CAST(match_no AS BIGINT) AS match_no, classifier, t
+        |FROM r ORDER BY user_id, match_no, t, classifier
+        |""".stripMargin)))
+
   override def queries: Seq[GQuery] =
     baseQueries ++ moreQueries ++ subqueryQueries ++ complexSqlQueries ++
-      measuresQueries
+      measuresQueries ++ allRowsQueries
 
   val q47Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -385,6 +385,29 @@ class CepSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 2L, 20L, 40L, 60L, 20L, 40L, 6L)))
   }
 
+  test("ALL ROWS PER MATCH emits one row per bound event with CLASSIFIER") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 1L, "a", 10L), (1L, 2L, 2L, "b", 20L),
+      (1L, 3L, 3L, "x", 0L), (1L, 4L, 4L, "b", 40L),
+      (1L, 6L, 5L, "c", 60L))
+      .toDF("k", "t", "tie", "kind", "v")
+    val out = MatchRecognize.runAllRows(spark, rows, """
+      PARTITION BY k
+      ORDER BY t, tie
+      ALL ROWS PER MATCH
+      PATTERN (A B+? C)
+      AFTER MATCH SKIP TO NEXT ROW
+      DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'
+    """)
+    val got = out.select($"match_no", $"classifier", $"t", $"v")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "A", 1L, 10L), (1L, "B", 2L, 20L),
+      (1L, "B", 4L, 40L), (1L, "C", 6L, 60L)))
+  }
+
   test("DEFINE with top-level commas inside parens parses correctly") {
     import graft.cep.MatchRecognize
     val c = MatchRecognize.parse("""
