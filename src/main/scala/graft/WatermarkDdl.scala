@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Flink-style CREATE TABLE extensions the stock Spark parser lacks:
+  * computed (generated) columns and the WATERMARK clause
+  * (flink-sql-parser .../parserImpls.ftl `WATERMARK FOR <col> AS <expr>`,
+  * computed columns `name AS expr` in the column list).
+  *
+  * Lowering (Spark-first, no custom parser in the hot path):
+  *  - physical columns  -> a managed parquet table `__<name>_base`;
+  *  - computed columns  -> a VIEW `<name>` = base + computed expressions,
+  *    so queries against `<name>` see the Flink-visible schema;
+  *  - WATERMARK clause  -> recorded in the base table's TBLPROPERTIES
+  *    (graft.watermark.col / .delay), applied by `readStream` as
+  *    `withWatermark` — the clause IS Spark's watermark API, persisted in
+  *    the catalog so a fresh session reconstructs it;
+  *  - INSERT INTO <name> is rewritten to the base table (computed columns
+  *    are virtual, exactly Flink's insert semantics).
+  *
+  * The watermark expression is restricted to the Flink-canonical
+  * `<col> - INTERVAL '<n>' <unit>` shape; computed expressions are any
+  * Spark SQL scalar expression over the physical columns.
+  */
+object WatermarkDdl {
+
+  final case class TableSpec(
+      name: String,
+      physical: Seq[(String, String)], // (colName, sqlType)
+      computed: Seq[(String, String)], // (colName, sqlExpr)
+      watermark: Option[(String, String)]) // (timeCol, delay e.g. "5 seconds")
+
+  private val CreateRe = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val WatermarkRe =
+    """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private val ComputedRe = """(?is)(\w+)\s+AS\s+(.+)""".r
+  private val PhysicalRe = """(?is)(\w+)\s+([\w()<>,\s]+)""".r
+  private val InsertRe = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(.*)""".r
+
+  private def baseName(table: String): String = s"__${table}_base"
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case '<' => depth += 1; cur += '<' // nested types: array<struct<...>>
+      case '>' => depth -= 1; cur += '>'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a CREATE TABLE with computed columns / WATERMARK; None if the
+    * statement doesn't need the extended lowering (plain DDL). */
+  def parse(ddl: String): Option[TableSpec] = ddl match {
+    case CreateRe(name, body) =>
+      var physical = Vector.empty[(String, String)]
+      var computed = Vector.empty[(String, String)]
+      var watermark = Option.empty[(String, String)]
+      splitTopLevel(body).foreach {
+        case WatermarkRe(col, n, unit) =>
+          watermark = Some((col, s"$n ${unit.toLowerCase}"))
+        case ComputedRe(col, e) if !e.trim.isEmpty && !col.equalsIgnoreCase("watermark") =>
+          computed :+= (col, e.trim)
+        case PhysicalRe(col, tpe) => physical :+= (col, tpe.trim)
+        case other =>
+          throw new IllegalArgumentException(s"CREATE TABLE: bad column entry: $other")
+      }
+      if (computed.isEmpty && watermark.isEmpty) None
+      else {
+        require(physical.nonEmpty, "CREATE TABLE needs at least one physical column")
+        watermark.foreach { case (col, _) =>
+          require(physical.exists(_._1 == col) || computed.exists(_._1 == col),
+            s"WATERMARK FOR $col: no such column")
+        }
+        Some(TableSpec(name, physical, computed, watermark))
+      }
+    case _ => None
+  }
+
+  /** Execute one statement through the extended DDL surface; falls through
+    * to plain spark.sql for everything it doesn't handle. */
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    parse(statement) match {
+      case Some(spec) => create(spark, spec); spark.emptyDataFrame
+      case None => statement match {
+        case InsertRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
+          spark.sql(s"INSERT INTO ${baseName(table)} $rest")
+        case _ => spark.sql(statement)
+      }
+    }
+
+  private def create(spark: SparkSession, spec: TableSpec): Unit = {
+    val cols = spec.physical.map { case (c, t) => s"$c $t" }.mkString(", ")
+    // persist the full extended definition as table properties, so a
+    // FRESH session reconstructs computed columns + watermark from the
+    // catalog alone (the role of Flink's catalog-stored schema)
+    val propEntries =
+      spec.watermark.toSeq.flatMap { case (c, d) =>
+        Seq(s"'graft.watermark.col'='$c'", s"'graft.watermark.delay'='$d'")
+      } ++ (if (spec.computed.nonEmpty)
+        Seq(s"'graft.computed'='${spec.computed.map { case (c, e) => s"$c:=$e" }
+          .mkString(";;").replace("'", "''")}'")
+      else Nil)
+    val props =
+      if (propEntries.isEmpty) "" else propEntries.mkString(" TBLPROPERTIES (", ", ", ")")
+    spark.sql(s"CREATE TABLE ${baseName(spec.name)} ($cols) USING parquet$props")
+    val sel = (spec.physical.map(_._1) ++
+      spec.computed.map { case (c, e) => s"$e AS $c" }).mkString(", ")
+    spark.sql(s"CREATE OR REPLACE VIEW ${spec.name} AS SELECT $sel FROM ${baseName(spec.name)}")
+  }
+
+  /** Streaming read of an extended table: base files -> computed columns
+    * -> withWatermark from the persisted clause. The returned frame is
+    * exactly what Flink's planner derives from the DDL: event-time
+    * column + bounded-out-of-orderness watermark, ready for windowed
+    * aggregation in append mode. Works in a fresh session: everything is
+    * reconstructed from the catalog. */
+  def readStream(spark: SparkSession, table: String): DataFrame = {
+    val base = baseName(table)
+    require(spark.catalog.tableExists(base), s"no extended table $table")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val df = spark.readStream.table(base)
+    val withComputed = props.get("graft.computed") match {
+      case Some(spec) =>
+        val exprs = spec.split(";;").toSeq.map { entry =>
+          val Array(c, e) = entry.split(":=", 2)
+          s"$e AS $c"
+        }
+        df.selectExpr("*" +: exprs: _*)
+      case None => df
+    }
+    (props.get("graft.watermark.col"), props.get("graft.watermark.delay")) match {
+      case (Some(c), Some(d)) => withComputed.withWatermark(c, d)
+      case _ => withComputed
+    }
+  }
+}

@@ -12,6 +12,44 @@ import org.scalatest.funsuite.AnyFunSuite
 class DdlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("CREATE TABLE with computed columns + WATERMARK clause (Flink DDL)") {
+    val t = s"ddl_wm_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+
+    WatermarkDdl.sql(spark, s"""
+      CREATE TABLE $t (
+        k BIGINT,
+        ts TIMESTAMP,
+        amount DOUBLE,
+        amount_x2 AS amount * 2,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      )""")
+    // INSERT routes to the base table; computed column is virtual
+    WatermarkDdl.sql(spark,
+      s"INSERT INTO $t VALUES (1, TIMESTAMP '2024-01-01 00:00:10', 3.0)")
+    val row = Engine.sql(spark,
+      s"SELECT k, amount_x2 FROM $t").head()
+    assert(row.getLong(0) == 1L && row.getDouble(1) == 6.0)
+    // base table holds ONLY physical columns
+    assert(!spark.table(s"__${t}_base").columns.contains("amount_x2"))
+
+    // streaming read reconstructs computed column + watermark from the
+    // catalog (fresh-session path: only TBLPROPERTIES are consulted)
+    val stream = WatermarkDdl.readStream(spark, t)
+    assert(stream.isStreaming)
+    assert(stream.columns.contains("amount_x2"))
+    val plan = stream.queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), s"watermark missing:\n$plan")
+    assert(plan.contains("5 seconds") || plan.contains("5000 ms"),
+      s"watermark delay missing:\n$plan")
+
+    // a plain statement passes through untouched
+    assert(WatermarkDdl.sql(spark, s"SELECT COUNT(*) FROM $t").head().getLong(0) == 1L)
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
   test("CREATE TABLE / INSERT / CTAS / VIEW / ALTER / DROP round-trip") {
     val t = s"ddl_spec_t_${math.abs(getClass.getName.hashCode)}"
     Engine.sql(spark, s"DROP TABLE IF EXISTS $t")
