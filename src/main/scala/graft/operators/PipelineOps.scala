@@ -642,6 +642,83 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Deterministic STRATIFIED SAMPLING / data mixing — the knob every
+      // training pipeline turns (per-source rates, e.g. upweight short
+      // documents): selection is hash-based (md5 prefix under a hex
+      // threshold), so it is reproducible, engine-independent, and needs
+      // no global coordination — each row decides locally, then one
+      // aggregate reports the realized mix. At 100 TB the decision is a
+      // codegen'd projection; only the 3-row summary shuffles.
+      "q88_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(expr(tokensExpr)))
+          .withColumn("stratum",
+            when($"n_tokens" < 40, "short")
+              .when($"n_tokens" < 80, "medium").otherwise("long"))
+          .withColumn("h", substring(md5($"doc_id".cast("string")), 1, 4))
+          .withColumn("kept",
+            when($"stratum" === "short", lit(1))
+              .when($"stratum" === "medium", ($"h" < "8000").cast("int"))
+              .otherwise(($"h" < "4000").cast("int")).cast("long"))
+          .groupBy($"stratum")
+          .agg(count(lit(1)).as("n_total"), sum($"kept").as("n_kept"))
+          .orderBy($"stratum")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |           FROM documents),
+        |m AS (SELECT doc_id, h,
+        |        CASE WHEN n_tokens < 40 THEN 'short'
+        |             WHEN n_tokens < 80 THEN 'medium' ELSE 'long' END AS stratum
+        |      FROM t)
+        |SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       CAST(SUM(CASE WHEN stratum = 'short' THEN 1
+        |                     WHEN stratum = 'medium' THEN CASE WHEN h < '8000' THEN 1 ELSE 0 END
+        |                     ELSE CASE WHEN h < '4000' THEN 1 ELSE 0 END END) AS BIGINT) AS n_kept
+        |FROM m GROUP BY stratum ORDER BY stratum
+        |""".stripMargin)),
+
+    GQuery(
+      // SEQUENCE PACKING for a fixed context budget (the pretraining
+      // batching step): documents pack greedily into 512-token bins by
+      // prefix sum, SHARDED so the window never needs a global sort —
+      // partition by shard, order by doc id, integer prefix-sum div
+      // budget = pack id. One shuffle on shard (16-way here, thousands-way
+      // at 100 TB), then a per-pack aggregate.
+      "q89_sequence_pack",
+      (s, d) => {
+        import s.implicits._
+        val budget = 512
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(expr(tokensExpr)).cast("long"))
+          .withColumn("shard", ($"doc_id" % 16).cast("long"))
+          .withColumn("cum", sum($"n_tokens").over(w))
+          .withColumn("pack_id", expr(s"CAST((cum - n_tokens) DIV $budget AS BIGINT)"))
+          .groupBy($"shard", $"pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
+          .orderBy($"shard", $"pack_id")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |             doc_id % 16 AS shard
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max

@@ -72,61 +72,69 @@ object Lateness {
   /** Tumbling-window sum with a custom fire trigger and optional evictor:
     * emits ("partial", n, sum) on every trigger firing and ("final", n,
     * sum) when the watermark passes the window end. State per
-    * (key, window) pane: the element buffer (what Flink keeps for any
-    * evictor window) + the trigger's own state. Input: (key, ts, value)
-    * with a watermark on ts. Output:
+    * (key, window) pane: the running (count, sum) aggregate, plus the
+    * element buffer ONLY when an evictor is configured — Flink likewise
+    * keeps the evictingWindowOperator's buffer only for evictor windows;
+    * a plain triggered pane is O(1) state. Input: (key, ts, value) with a
+    * watermark on ts. Output:
     * (key, window_start_ms, fire_kind, n_elements, sum). */
   def triggeredTumbleSum[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)],
       windowMs: Long, trigger: FireTrigger, evict: Option[Evict] = None)(
       implicit e1: Encoder[(K, Long)],
-      e2: Encoder[(Seq[(Long, Double)], Int, Double)],
+      e2: Encoder[(Seq[(Long, Double)], Long, Double, Int, Double)],
       e3: Encoder[(K, Long, String, Long, Double)])
       : Dataset[(K, Long, String, Long, Double)] = {
 
-    def fireValue(buf: Seq[(Long, Double)]): (Long, Double) = {
-      val sorted = buf.sortBy(_._1)
-      val kept = evict match {
-        case Some(Evict.Count(m)) => sorted.takeRight(m)
-        case Some(Evict.Time(ms)) =>
-          val newest = sorted.lastOption.map(_._1).getOrElse(0L)
-          sorted.filter(_._1 >= newest - ms)
-        case None => sorted
+    def fireValue(buf: Seq[(Long, Double)], n: Long, sum: Double): (Long, Double) = {
+      evict match {
+        case None => (n, sum)
+        case Some(ev) =>
+          val sorted = buf.sortBy(_._1)
+          val kept = ev match {
+            case Evict.Count(m) => sorted.takeRight(m)
+            case Evict.Time(ms) =>
+              val newest = sorted.lastOption.map(_._1).getOrElse(0L)
+              sorted.filter(_._1 >= newest - ms)
+          }
+          (kept.size.toLong, kept.map(_._2).sum)
       }
-      (kept.size.toLong, kept.map(_._2).sum)
     }
 
-    // state: (pane buffer, baseline-set flag (0/1), trigger baseline —
-    // unused for CountT)
+    // state: (evictor buffer — empty unless an evictor is configured,
+    // running count, running sum, baseline-set flag (0/1), trigger
+    // baseline — unused for CountT)
     def update(key: (K, Long), rows: Iterator[(K, java.sql.Timestamp, Double)],
-        state: GroupState[(Seq[(Long, Double)], Int, Double)])
+        state: GroupState[(Seq[(Long, Double)], Long, Double, Int, Double)])
         : Iterator[(K, Long, String, Long, Double)] = {
       val (k, winStart) = key
       if (state.hasTimedOut) {
-        val (buf, _, _) = state.get
+        val (buf, n0, sum0, _, _) = state.get
         state.remove()
-        val (n, sum) = fireValue(buf)
+        val (n, sum) = fireValue(buf, n0, sum0)
         Iterator((k, winStart, "final", n, sum))
       } else {
-        var (buf, baseSet, base) = state.getOption
-          .getOrElse((Seq.empty[(Long, Double)], 0, 0.0))
+        var (buf, n, sum, baseSet, base) = state.getOption
+          .getOrElse((Seq.empty[(Long, Double)], 0L, 0.0, 0, 0.0))
         val out = List.newBuilder[(K, Long, String, Long, Double)]
         rows.toSeq.sortBy(_._2.getTime).foreach { r =>
           val (t, v) = (r._2.getTime, r._3)
-          buf = buf :+ ((t, v))
+          if (evict.isDefined) buf = buf :+ ((t, v))
+          n += 1
+          sum += v
           val fires = trigger match {
-            case FireTrigger.CountT(every) => buf.size % every == 0
+            case FireTrigger.CountT(every) => n % every == 0
             case FireTrigger.DeltaT(threshold) =>
               if (baseSet == 0) { baseSet = 1; base = v; false }
               else math.abs(v - base) > threshold
           }
           if (fires) {
             base = v
-            val (n, sum) = fireValue(buf)
-            out += ((k, winStart, "partial", n, sum))
+            val (fn, fsum) = fireValue(buf, n, sum)
+            out += ((k, winStart, "partial", fn, fsum))
           }
         }
-        state.update((buf, baseSet, base))
+        state.update((buf, n, sum, baseSet, base))
         // final fire when the watermark passes the window end
         state.setTimeoutTimestamp(
           math.max(winStart + windowMs, state.getCurrentWatermarkMs() + 1))
@@ -149,7 +157,7 @@ object Lateness {
       .groupByKey(r => (r._1, r._4))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: (K, Long), rows: Iterator[(K, java.sql.Timestamp, Double, Long)],
-            state: GroupState[(Seq[(Long, Double)], Int, Double)]) =>
+            state: GroupState[(Seq[(Long, Double)], Long, Double, Int, Double)]) =>
           update(key, rows.map(r => (r._1, r._2, r._3)), state)
       }
   }
@@ -159,7 +167,7 @@ object Lateness {
       ds: Dataset[(K, java.sql.Timestamp, Double)],
       windowMs: Long, every: Int, evictCount: Option[Int] = None)(
       implicit e1: Encoder[(K, Long)],
-      e2: Encoder[(Seq[(Long, Double)], Int, Double)],
+      e2: Encoder[(Seq[(Long, Double)], Long, Double, Int, Double)],
       e3: Encoder[(K, Long, String, Long, Double)])
       : Dataset[(K, Long, String, Long, Double)] =
     triggeredTumbleSum(ds, windowMs, FireTrigger.CountT(every),

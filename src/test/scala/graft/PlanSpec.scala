@@ -78,6 +78,20 @@ class PlanSpec extends AnyFunSuite {
       s"missing topk aggregate in plan:\n$p")
   }
 
+  test("q85/q86: per-document metrics stay shuffle-free up to the output sort") {
+    // both are per-row HOF pipelines: the ONLY exchange allowed is the
+    // final ORDER BY's range partitioning — no aggregate, no hash shuffle
+    for (q <- Seq("q85_gopher_rules", "q86_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+        !p.contains("SortAggregate"), s"$q grew an aggregate:\n$p")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      val rangeExchanges = p.linesIterator.count(_.contains("rangepartitioning"))
+      assert(exchanges == rangeExchanges,
+        s"$q has a non-sort shuffle ($exchanges vs $rangeExchanges):\n$p")
+    }
+  }
+
   test("q55: side-output counts are a single source pass") {
     val p = plan("q55_side_outputs")
     val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
