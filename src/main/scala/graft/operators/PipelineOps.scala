@@ -642,6 +642,49 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Embedding SCALAR QUANTIZATION (int8-style compression, the storage
+      // path every vector store takes before ANN): codes on a 1/50 grid
+      // clamped to [-128, 127], plus per-vector reconstruction-error stats
+      // in exact integer 1e-4 units (code*200 vs floor(x*10000)) — all
+      // integer arithmetic, so the oracle is bit-exact. Per-row HOFs only:
+      // no shuffle except the output sort.
+      "q90_embed_quantize",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .withColumn("q10k", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+          .withColumn("code", expr(
+            """transform(embedding, x -> CAST(greatest(-128, least(127,
+              |  floor(CAST(x AS DOUBLE) * 50.0))) AS BIGINT))""".stripMargin))
+          .withColumn("errs", expr(
+            "zip_with(q10k, code, (a, c) -> abs(a - c * 200))"))
+          .select($"vec_id",
+            expr("CAST(aggregate(errs, CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)")
+              .as("sum_err"),
+            expr("CAST(array_max(errs) AS BIGINT)").as("max_err"),
+            expr("CAST(aggregate(code, CAST(0 AS BIGINT), (a, b) -> a + abs(b)) AS BIGINT)")
+              .as("code_l1"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        |WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q10k,
+        |             list_transform(embedding, x -> CAST(greatest(-128, least(127,
+        |               floor(CAST(x AS DOUBLE) * 50.0))) AS BIGINT)) AS code
+        |           FROM embeddings),
+        |m AS (SELECT vec_id,
+        |        list_transform(range(len(q10k)), i -> abs(q10k[i+1] - code[i+1] * 200)) AS errs,
+        |        code
+        |      FROM e)
+        |SELECT vec_id,
+        |       CAST(list_sum(errs) AS BIGINT) AS sum_err,
+        |       CAST(list_max(errs) AS BIGINT) AS max_err,
+        |       CAST(list_sum(list_transform(code, c -> abs(c))) AS BIGINT) AS code_l1
+        |FROM m ORDER BY vec_id
+        |""".stripMargin)),
+
+    GQuery(
       // Deterministic STRATIFIED SAMPLING / data mixing — the knob every
       // training pipeline turns (per-source rates, e.g. upweight short
       // documents): selection is hash-based (md5 prefix under a hex

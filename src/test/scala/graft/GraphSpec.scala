@@ -14,6 +14,22 @@ class GraphSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("log-rounds CC: equals min-label CC, and beats it on a long chain") {
+    import spark.implicits._
+    // mixed graph: two components + self-loop singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L)).toDF("src", "dst")
+    val viaStars = GraphOps.connectedComponentsLogRounds(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+
+    // a 64-hop chain: min-label needs 63 rounds (fails its default 20-iter
+    // cap), large-star/small-star contracts it in O(log n) rounds
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponentsLogRounds(spark, chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap, s"chain not contracted: $got")
+  }
+
   test("triangles: reversed-orientation edges are reordered, not dropped") {
     import spark.implicits._
     // triangle {1,2,3} with every edge oriented dst > src backwards,
