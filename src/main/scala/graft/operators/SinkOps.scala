@@ -108,6 +108,37 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Protobuf roundtrip (flink-protobuf's serialization-schema role):
+      // rows -> proto3 wire bytes -> rows -> aggregate, same oracle shape
+      // as the Avro roundtrip — a codec bug breaks the hash match.
+      "q91_protobuf_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.ProtobufFormat
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority",
+            graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderpriority", StringType),
+          StructField("price", DoubleType)))
+        ProtobufFormat.decode(ProtobufFormat.encode(base), schema)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"price".cast(graft.Bits.Dec)).cast("double").as("total"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |                     ::DECIMAL(12,2)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
       "q54_constraint_enforce",
       (s, d) => {
         import s.implicits._

@@ -67,6 +67,52 @@ class FormatsSpec extends AnyFunSuite {
     assert(sizes.forall(s => s > 0 && s < 64))
   }
 
+  test("protobuf wire format: golden bytes match the proto3 spec example") {
+    import graft.sources.ProtobufFormat
+    import spark.implicits._
+    // canonical proto3 example: string field 2 = "testing" encodes to
+    // 0x12 0x07 74 65 73 74 69 6e 67 (field 1 at default omitted)
+    val df = Seq((0L, "testing")).toDF("a", "b")
+    val bytes = ProtobufFormat.encode(df).as[Array[Byte]].head()
+    val expected = Array(0x12, 0x07, 0x74, 0x65, 0x73, 0x74, 0x69, 0x6e, 0x67)
+      .map(_.toByte)
+    assert(bytes.sameElements(expected),
+      s"got ${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+  }
+
+  test("protobuf roundtrip: negatives, unicode, defaults; unknown fields skip") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "héllo — ünïcode", 1.5),
+      (-42L, "", -0.25),   // negative varint (10 bytes), default string
+      (0L, "x", 0.0))      // default long/double omitted on the wire
+    val df = rows.toDF("id", "txt", "num")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("num", DoubleType)))
+    val back = ProtobufFormat.decode(ProtobufFormat.encode(df), schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == rows.toSet)
+
+    // forward compatibility: a payload with an extra unknown field (no 9,
+    // varint) decodes by skipping it
+    val withUnknown = ProtobufFormat.encode(df).as[Array[Byte]].collect()
+      .map(b => b ++ Array((9 << 3).toByte, 0x7F.toByte)).toSeq.toDF("value")
+    val back2 = ProtobufFormat.decode(withUnknown, schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(back2 == rows.toSet)
+
+    // lenient decode drops truncated payloads, strict fails
+    val truncated = (ProtobufFormat.encode(df).as[Array[Byte]].collect()
+      :+ Array((1 << 3 | 2).toByte, 0x7F.toByte)).toSeq.toDF("value")
+    intercept[Exception](ProtobufFormat.decode(truncated, schema).collect())
+    val kept = ProtobufFormat.decodeLenient(truncated, schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(kept == rows.toSet)
+  }
+
   test("avro lenient decode drops corrupt payloads instead of failing") {
     import graft.sources.AvroFormat
     import org.apache.spark.sql.types._
