@@ -642,6 +642,82 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // DECONTAMINATION — flag training documents that share n-grams with
+      // an evaluation/benchmark set (the train/test-overlap scrub every
+      // serious pretraining run does). The eval side is small by nature
+      // (here: doc_id < 20 stands in for the benchmark), so the shingle
+      // join BROADCASTS it — at 100 TB the train side streams through
+      // map-side, no shuffle of the big table at all.
+      "q92_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(s, d).localCheckpoint()
+        val evalSh = broadcast(sh.filter($"doc_id" < 20)
+          .select($"doc_id".as("eval_id"), $"shingle"))
+        sh.filter($"doc_id" >= 20).select($"doc_id".as("train_id"), $"shingle")
+          .join(evalSh, "shingle")
+          .groupBy($"train_id", $"eval_id").agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 5)
+          .groupBy($"train_id")
+          .agg(count(lit(1)).as("n_eval_docs"), max($"shared").as("max_shared"))
+          .orderBy($"train_id")
+      },
+      Some(s"""
+        |WITH s AS ($shinglesSql),
+        |hit AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS shared
+        |        FROM s t JOIN s e ON t.shingle = e.shingle
+        |        WHERE t.doc_id >= 20 AND e.doc_id < 20
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+        |       CAST(MAX(shared) AS BIGINT) AS max_shared
+        |FROM hit GROUP BY train_id ORDER BY train_id
+        |""".stripMargin)),
+
+    GQuery(
+      // Quality-aware dedup SURVIVORSHIP: instead of q79's min-id
+      // canonical doc, keep the HIGHEST-QUALITY member of each near-dup
+      // cluster (longest document, ties to the smallest id) — the policy
+      // real pipelines use so boilerplate-trimmed copies don't win. Same
+      // capped pair generation + connected components, then one
+      // window-rank over clusters.
+      "q93_cluster_survivor",
+      (s, d) => {
+        import s.implicits._
+        val pairs = jaccardPairsCapped(s, d, minJaccardPct = 20, maxDf = 20)
+          .select($"a_id".as("src"), $"b_id".as("dst"))
+        val comp = graft.operators.GraphOps.connectedComponents(s, pairs)
+        val quality = Tables.documents(s, d)
+          .select($"doc_id", size(expr(tokensExpr)).cast("long").as("n_tokens"))
+        val w = Window.partitionBy($"comp")
+          .orderBy($"n_tokens".desc, $"doc_id")
+        comp.join(quality, $"v" === $"doc_id")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"comp".as("cluster"), $"doc_id".as("survivor"), $"n_tokens")
+          .orderBy($"cluster")
+      },
+      Some(s"""
+        |WITH RECURSIVE ${cappedPairsSql(20, 20)},
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |r AS (
+        |  SELECT src AS v, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst AS v, r.comp FROM r JOIN e ON r.v = e.src
+        |),
+        |lbl AS (SELECT v, MIN(comp) AS comp FROM r GROUP BY v),
+        |q AS (SELECT lbl.v, lbl.comp,
+        |        len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) AS n_tokens
+        |      FROM lbl JOIN documents d ON lbl.v = d.doc_id),
+        |rk AS (SELECT comp, v, n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_tokens DESC, v) AS rn
+        |       FROM q)
+        |SELECT CAST(comp AS BIGINT) AS cluster, CAST(v AS BIGINT) AS survivor,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM rk WHERE rn = 1 ORDER BY cluster
+        |""".stripMargin)),
+
+    GQuery(
       // Embedding SCALAR QUANTIZATION (int8-style compression, the storage
       // path every vector store takes before ANN): codes on a 1/50 grid
       // clamped to [-128, 127], plus per-vector reconstruction-error stats
