@@ -838,6 +838,158 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup:
+      // bucket embeddings coarsely, then inside each bucket drop every
+      // vector that has a lower-id neighbor above the similarity
+      // threshold (keep-min survivorship, the paper's policy). Bucketing
+      // here is a deterministic 3-hyperplane sign code so the oracle is
+      // bit-exact (sign bits + integer quantized dots, same trick as
+      // q42); the production bucketer at 100 TB is the IVF k-means
+      // coarse quantizer (q76's annIvf) — same downstream pair logic.
+      // Pair generation is within-bucket only: O(sum b_i^2), not O(n^2).
+      "q94_semdedup",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d).select($"vec_id", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("q"))
+          .withColumn("bucket", expr(
+            """CAST(CASE WHEN q[0] >= 0 THEN 4 ELSE 0 END
+              |   + CASE WHEN q[1] >= 0 THEN 2 ELSE 0 END
+              |   + CASE WHEN q[2] >= 0 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+          .localCheckpoint()
+        val a = emb.select($"bucket", $"vec_id".as("a_id"), $"q".as("qa"))
+        val b = emb.select($"bucket", $"vec_id".as("b_id"), $"q".as("qb"))
+        val dropped = a.join(b, Seq("bucket")).filter($"a_id" < $"b_id")
+          .withColumn("dot", expr("graft_dot_long(qa, qb)"))
+          .filter($"dot" >= 25000000L)
+          .select($"bucket", $"b_id").distinct()
+        emb.groupBy($"bucket").agg(count(lit(1)).as("n_vecs"))
+          .join(dropped.groupBy($"bucket").agg(
+              count(lit(1)).as("nd"), min($"b_id").as("md")),
+            Seq("bucket"), "left")
+          .select($"bucket", $"n_vecs",
+            coalesce($"nd", lit(0L)).as("n_dropped"),
+            coalesce($"md", lit(-1L)).as("min_dropped"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        |WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |bk AS (SELECT vec_id, q,
+        |         CAST(CASE WHEN q[1] >= 0 THEN 4 ELSE 0 END
+        |            + CASE WHEN q[2] >= 0 THEN 2 ELSE 0 END
+        |            + CASE WHEN q[3] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        |       FROM e),
+        |drp AS (SELECT DISTINCT a.bucket, b.vec_id AS b_id
+        |        FROM bk a JOIN bk b
+        |          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |        WHERE CAST(list_sum(list_transform(range(len(a.q)),
+        |                i -> a.q[i+1] * b.q[i+1])) AS BIGINT) >= 25000000),
+        |agg AS (SELECT bucket, COUNT(*) AS nd, MIN(b_id) AS md FROM drp GROUP BY 1)
+        |SELECT bk.bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(COALESCE(ANY_VALUE(agg.nd), 0) AS BIGINT) AS n_dropped,
+        |       CAST(COALESCE(ANY_VALUE(agg.md), -1) AS BIGINT) AS min_dropped
+        |FROM bk LEFT JOIN agg ON bk.bucket = agg.bucket
+        |GROUP BY bk.bucket ORDER BY bk.bucket
+        |""".stripMargin)),
+
+    GQuery(
+      // PII REDACTION — the scrub pass every training pipeline runs
+      // before tokenization. The corpus is synthetic word soup, so the
+      // dirty input is CONSTRUCTED deterministically from doc_id (same
+      // expression on both engines); the operator under test is the
+      // regex chain: email -> phone -> IPv4, each codegen'd
+      // regexp_replace, counts via regexp_count. md5 of the fully
+      // redacted text is the parity check — one byte of divergence in
+      // any replacement fails the hash. At 100 TB this is a pure
+      // map-side projection; only the output sort shuffles.
+      "q95_pii_redact",
+      (s, d) => {
+        import s.implicits._
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\+\\d{1,3} \\d{3}-\\d{4}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.documents(s, d)
+          .withColumn("dirty", concat(
+            substring($"text", 1, 120),
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail.example.com"),
+            when($"doc_id" % 3 === 0, lit(" cc admin@example.org")).otherwise(lit("")),
+            lit(" or +1 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" from 10.2."), ($"doc_id" % 256).cast("string"), lit(".77 end")))
+          .select($"doc_id",
+            regexp_count($"dirty", lit(email)).cast("long").as("n_email"),
+            regexp_count($"dirty", lit(phone)).cast("long").as("n_phone"),
+            regexp_count($"dirty", lit(ip)).cast("long").as("n_ip"),
+            md5(regexp_replace(regexp_replace(regexp_replace($"dirty",
+              email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH p AS (SELECT doc_id,
+        |    substr(text, 1, 120) || ' contact user' || doc_id || '@mail.example.com'
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+        |    || ' or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77 end' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(dirty, '\+\d{1,3} \d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,3} \d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
+        |FROM p ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      // CHUNK-LEVEL BOILERPLATE DETECTION (CCNet-style paragraph dedup
+      // adapted to a corpus without newlines): split each document into
+      // non-overlapping 20-token chunks, count corpus-wide chunk document
+      // frequency, and report per-document how many chunks are shared
+      // boilerplate (df >= 2). The chunk exploder is a map-side HOF; the
+      // df count is one hash aggregation on the chunk text — at 100 TB
+      // you'd hash the chunk to 8 bytes first (xxhash64) to shrink the
+      // shuffle, which changes nothing semantically here.
+      "q96_chunk_boilerplate",
+      (s, d) => {
+        import s.implicits._
+        val chunks = Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .filter(size($"toks") >= 20)
+          .select($"doc_id", explode(expr(
+            """transform(sequence(0, CAST(size(toks) DIV 20 AS INT) - 1),
+              |  i -> array_join(slice(toks, i*20+1, 20), ' '))""".stripMargin)).as("chunk"))
+          .distinct()
+          .localCheckpoint()
+        val dfc = chunks.groupBy($"chunk").agg(count(lit(1)).as("df"))
+        chunks.join(dfc, "chunk")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_boiler"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |c0 AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(toks) // 20),
+        |           i -> array_to_string(list_slice(toks, i*20+1, i*20+20), ' '))) AS chunk
+        |       FROM t WHERE len(toks) >= 20),
+        |c AS (SELECT DISTINCT doc_id, chunk FROM c0),
+        |f AS (SELECT chunk, COUNT(*) AS df FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |FROM c JOIN f ON c.chunk = f.chunk
+        |GROUP BY c.doc_id ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max
