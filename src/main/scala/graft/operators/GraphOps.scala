@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,92 @@ object GraphOps extends QueryModule {
       .groupBy($"lv").agg(min($"comp").as("comp"))
     verts.join(lbl, $"v0" === $"lv", "left")
       .select($"v0".as("v"), coalesce($"comp", $"v0").as("comp"))
+  }
+
+  /** Vertex-centric iteration — Gelly's scatter-gather / GSA framework
+    * (flink-gelly .../spargel/ScatterGatherIteration.java,
+    * .../gsa/GatherSumApplyIteration.java) as a DataFrame primitive.
+    * Each round: SCATTER a message along every edge (`sendMsg`, an
+    * expression over the edge columns plus `src_state`; null = send
+    * nothing), GATHER per target vertex with a commutative aggregate
+    * (`gather`), APPLY the aggregated `msg` to `state` (`merge`; `msg`
+    * is null when nothing arrived). Stops at a fixed point (no state
+    * changed, null-safe compare) or `maxIter`.
+    *
+    * Column contract: `vertices` = (v, state); `edges` = (src, dst, ...).
+    * Scale: one join + one aggregate shuffle per round (the gather is a
+    * map-side-combining hash agg), apply is a left join on the vertex
+    * frame; lineage truncated per round via localCheckpoint. This is the
+    * framework-level answer to Gelly's GSA variants: CC and SSSP below
+    * are one-liner instantiations, spec-proven equal to the direct
+    * implementations. */
+  def pregel(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      sendMsg: Column,
+      gather: Column => Column,
+      merge: Column,
+      maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val e = edges.localCheckpoint()
+    var vs = vertices.select($"v", $"state").localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = e
+        .join(vs.select($"v".as("src"), $"state".as("src_state")), "src")
+        .select($"dst", sendMsg.as("msg"))
+        .filter($"msg".isNotNull)
+        .groupBy($"dst").agg(gather($"msg").as("msg"))
+      val next = vs
+        .join(msgs, $"v" === $"dst", "left")
+        .select($"v", merge.as("ns"), $"state".as("old"))
+        .select($"v", $"ns".as("state"), $"old")
+        .localCheckpoint()
+      converged = next.filter(!($"state" <=> $"old")).limit(1).isEmpty
+      vs = next.select($"v", $"state")
+      i += 1
+    }
+    vs
+  }
+
+  /** Connected components as a pregel instantiation (min-label flood):
+    * state starts at the vertex id, messages carry the source's label,
+    * gather = min, apply = least. Equal to `connectedComponents` —
+    * asserted in PregelSpec. */
+  def connectedComponentsPregel(
+      spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val verts = sym.select($"src".as("v")).distinct().withColumn("state", col("v"))
+    pregel(spark, verts, sym,
+        sendMsg = col("src_state"),
+        gather = min,
+        merge = least(col("state"), col("msg")),
+        maxIter = maxIter)
+      .select($"v", $"state".as("comp"))
+  }
+
+  /** Unweighted SSSP as a pregel instantiation: state = distance (null =
+    * unreached — Spark's `least` skips nulls, so null is infinity for
+    * free), messages carry src distance + 1, gather = min. Unreached
+    * vertices keep null state. */
+  def shortestPathsPregel(
+      spark: SparkSession, edges: DataFrame, source: Long,
+      maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val verts = sym.select($"src".as("v")).distinct()
+      .withColumn("state", when($"v" === source, 0L).otherwise(lit(null).cast("long")))
+    pregel(spark, verts, sym,
+        sendMsg = col("src_state") + 1L,
+        gather = min,
+        merge = least(col("state"), col("msg")),
+        maxIter = maxIter)
+      .select($"v", $"state".as("d"))
   }
 
   /** Single-source shortest paths (unweighted BFS layers) from `source`. */
@@ -332,6 +418,52 @@ object GraphOps extends QueryModule {
   }
 
   def queries: Seq[GQuery] = Seq(
+    GQuery(
+      // BFS shortest paths from the minimum supplier id, run through the
+      // PREGEL primitive (the scatter-gather instantiation, not the
+      // direct loop) — this puts the iteration framework itself under
+      // the DuckDB oracle gate. Source vertex = MIN(v), attached via a
+      // 1-row broadcast cross-join (no driver-side collect). Unreached
+      // vertices carry null state and are filtered out; the oracle's
+      // recursive CTE bounds path length at the same maxIter.
+      "q97_sssp_pregel",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 500)
+          .select($"l_orderkey", $"l_suppkey")
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .filter($"src" < $"dst").distinct()
+        val sym = edges.select($"src", $"dst")
+          .union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+        val verts = sym.select($"src".as("v")).distinct()
+          .crossJoin(broadcast(sym.agg(min($"src").as("minv"))))
+          .select($"v",
+            when($"v" === $"minv", 0L).otherwise(lit(null).cast("long")).as("state"))
+        pregel(s, verts, sym,
+            sendMsg = col("src_state") + 1L,
+            gather = min,
+            merge = least(col("state"), col("msg")),
+            maxIter = 25)
+          .filter($"state".isNotNull)
+          .select($"v".as("supplier"), $"state".as("dist"))
+          .orderBy($"supplier")
+      },
+      Some("""
+        |WITH RECURSIVE e0 AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_suppkey < b.l_suppkey AND a.l_orderkey < 500 AND b.l_orderkey < 500),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |s AS (SELECT MIN(src) AS sv FROM e),
+        |r AS (
+        |  SELECT sv AS v, 0 AS d FROM s
+        |  UNION
+        |  SELECT e.dst AS v, r.d + 1 AS d FROM r JOIN e ON r.v = e.src WHERE r.d < 25
+        |)
+        |SELECT v AS supplier, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM r GROUP BY v ORDER BY supplier
+        |""".stripMargin)),
+
     GQuery(
       // Graph summarization of the supplier co-purchase graph by nation:
       // summary edges (src nation, dst nation, edge count) — pure
