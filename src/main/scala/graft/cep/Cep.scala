@@ -104,10 +104,19 @@ object Cep {
     * a run parked at this position is KILLED by any event it does not
     * consume — no skipping of intermediate events. For a OneOrMore loop
     * this ends the loop's expansion on the first gap (already-branched
-    * prefixes survive, Flink's consecutive+combinations blend). */
+    * prefixes survive, Flink's consecutive+combinations blend).
+    * `untilBit` (Pattern.java until(), oneOrMore only): index of a mask
+    * bit carrying the STOP condition — when an offered event has that bit
+    * set, runs parked at this loop are SEALED: they bind no further loop
+    * events (the stop event itself is never bound to the loop, exactly
+    * Flink's contract) but stay alive to advance on a next-step event;
+    * the stop event itself may be that advancing event. Runs seeded
+    * AFTER the stop event never saw it, so their loop is open — matching
+    * Flink, where until is evaluated against live computations only. */
   final case class StepDef(
       quant: Quant = Quant.One, negated: Boolean = false,
-      rep: Rep = Rep.Combinations, strict: Boolean = false)
+      rep: Rep = Rep.Combinations, strict: Boolean = false,
+      untilBit: Int = -1)
 
   /** AfterMatchSkipStrategy.java analogs. SkipToFirst/SkipToLast prune
     * partial matches that started before the first/last event the emitted
@@ -131,9 +140,9 @@ object Cep {
       "notFollowedBy cannot be the first or last step (Flink contract)")
     require(steps.forall(s => !s.negated || s.quant == Quant.One),
       "negated steps are guards: quantifier must be One")
-    require(steps.collect { case StepDef(Quant.Times(n), _, _, _) => n }.forall(_ >= 1),
+    require(steps.collect { case StepDef(Quant.Times(n), _, _, _, _) => n }.forall(_ >= 1),
       "times(n) needs n >= 1")
-    require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _, _) => (mn, mx) }
+    require(steps.collect { case StepDef(Quant.TimesRange(mn, mx), _, _, _, _) => (mn, mx) }
       .forall { case (mn, mx) => mn >= 1 && mx >= mn },
       "times(min,max) needs 1 <= min <= max")
     require(steps.forall(s => s.rep match {
@@ -153,6 +162,12 @@ object Cep {
       "strict oneOrMore loops require the Combinations repetition mode")
     require(!steps.head.strict,
       "the first step cannot be strict (nothing precedes it)")
+    require(steps.forall(s => s.untilBit < 0 || s.quant == Quant.OneOrMore),
+      "until() stop conditions apply to oneOrMore loops only (Flink contract)")
+    require(steps.forall(s => s.untilBit < 64),
+      "untilBit is a mask bit index (< 64)")
+    require(steps.forall(s => s.untilBit < 0 || s.untilBit >= steps.length),
+      "untilBit must not collide with a step's own predicate bit")
     val nSteps: Int = steps.length
   }
   object Pattern {
@@ -169,8 +184,10 @@ object Cep {
 
   /** A live partial match: position in the pattern, events consumed at the
     * current position, active notFollowedBy guards, bound events
-    * (newest-first). */
-  final case class Run(pos: Int, cnt: Int, guards: Seq[Int], bound: Seq[BoundEv])
+    * (newest-first). `closed` = an until() stop condition fired while this
+    * run was parked at its loop: no further loop events bind. */
+  final case class Run(pos: Int, cnt: Int, guards: Seq[Int], bound: Seq[BoundEv],
+      closed: Boolean = false)
 
   private def startT(r: Run): Long =
     if (r.bound.isEmpty) Long.MaxValue else r.bound.last.t
@@ -287,7 +304,11 @@ object Cep {
         case Quant.TimesRange(mn, _) => r.cnt >= mn
         case _ => false
       }
-      if ((mask >>> r.pos & 1L) == 1L && !full && !suppressed(r)) {
+      // until() stop condition: seal a run parked at its loop the moment
+      // the stop bit fires; a sealed run binds no further loop events.
+      val closedNow = r.closed || (step.untilBit >= 0 &&
+        ((mask >>> step.untilBit & 1L) == 1L))
+      if ((mask >>> r.pos & 1L) == 1L && !full && !closedNow && !suppressed(r)) {
         consume(r)
         // Relaxed: an event matching both the loop and the next step
         // branches both interpretations; Greedy consumes here only.
@@ -298,8 +319,13 @@ object Cep {
       } else {
         if (lazyLoop && satisfied) advanceConsume(r)
         // relaxed contiguity: the run survives an unconsumed event;
-        // strict contiguity (or a greedy-opt sibling kill): it does not
-        if (!step.strict && !suppressed(r)) next += r
+        // strict contiguity (or a greedy-opt sibling kill): it does not.
+        // A sealed eager (Combinations) loop run is DEAD weight — its
+        // advanced branches were already placed on each consume — so it
+        // drops; a sealed lazy run must persist to advance later.
+        val deadSealed = closedNow && !lazyLoop && step.quant == Quant.OneOrMore
+        if (!step.strict && !suppressed(r) && !deadSealed)
+          next += (if (closedNow == r.closed) r else r.copy(closed = closedNow))
       }
     }
     // every event is offered a fresh run seeded at the pattern head —

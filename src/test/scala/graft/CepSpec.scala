@@ -523,4 +523,66 @@ class CepSpec extends AnyFunSuite {
     val got = spark.table("cep_late").as[(Long, Seq[Seq[Long]])].collect().toSet
     assert(got == Set((1L, Seq(Seq(us(10)), Seq(us(120))))))
   }
+
+  // ---- until() stop conditions (Pattern.java until) ----
+  // step bits: 0 = A (loop), 1 = B (finisher); stop bit 2 = C.
+
+  test("until seals a relaxed oneOrMore: events after the stop never bind") {
+    val p = Pattern(IndexedSeq(
+      StepDef(Quant.OneOrMore, rep = Rep.Relaxed, untilBit = 2), StepDef()),
+      after = AfterMatch.NoSkip)
+    // A1 A2 C A3 B: loop seals at C, so A3 is skipped (run survives,
+    // relaxed contiguity) and B completes with exactly {A1, A2}.
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(0), 3L -> m(2), 4L -> m(0), 5L -> m(1)))
+    // every A seeds its own run (multiple partial matches): seed@A1 binds
+    // {A1,A2}, seed@A2 binds {A2} — both sealed at C, so neither binds A3;
+    // the A3-seeded run never saw C (its loop is open) -> {A3} B matches too
+    assert(got.toSet == Set(
+      Seq(Seq(1L, 2L), Seq(5L)), Seq(Seq(2L), Seq(5L)), Seq(Seq(4L), Seq(5L))))
+    // control: without until, the maximal relaxed match binds A3 as well
+    val p0 = Pattern(IndexedSeq(
+      StepDef(Quant.OneOrMore, rep = Rep.Relaxed), StepDef()),
+      after = AfterMatch.NoSkip)
+    val got0 = Cep.run(p0,
+      Seq(1L -> m(0), 2L -> m(0), 3L -> m(2), 4L -> m(0), 5L -> m(1)))
+    assert(got0.contains(Seq(Seq(1L, 2L, 4L), Seq(5L))))
+  }
+
+  test("until event can itself advance the sealed loop (stop + next-step)") {
+    val p = Pattern(IndexedSeq(
+      StepDef(Quant.OneOrMore, rep = Rep.Relaxed, untilBit = 2), StepDef()),
+      after = AfterMatch.NoSkip)
+    // the stop event also matches B: it seals the loop AND completes the
+    // match — the stop event binds to B, never to the loop (Flink
+    // contract); both the A1- and A2-seeded runs complete this way
+    val got = Cep.run(p, Seq(1L -> m(0), 2L -> m(0), 3L -> m(1, 2)))
+    assert(got.toSet == Set(
+      Seq(Seq(1L, 2L), Seq(3L)), Seq(Seq(2L), Seq(3L))))
+  }
+
+  test("until drops sealed eager (Combinations) loop runs; prefixes already branched") {
+    val p = Pattern(IndexedSeq(
+      StepDef(Quant.OneOrMore, rep = Rep.Combinations, untilBit = 2), StepDef()),
+      after = AfterMatch.NoSkip)
+    // A1 A2 C A3 B: prefix branches {A1} {A1 A2} {A2} advanced before C
+    // survive; the parked loop runs die at C; A3 seeds a fresh open run.
+    val got = Cep.run(p,
+      Seq(1L -> m(0), 2L -> m(0), 3L -> m(2), 4L -> m(0), 5L -> m(1)))
+    assert(got.toSet == Set(
+      Seq(Seq(1L), Seq(5L)), Seq(Seq(1L, 2L), Seq(5L)),
+      Seq(Seq(2L), Seq(5L)), Seq(Seq(4L), Seq(5L))))
+  }
+
+  test("until is rejected on non-loop steps") {
+    val e = intercept[IllegalArgumentException] {
+      Pattern(IndexedSeq(StepDef(untilBit = 2), StepDef()))
+    }
+    assert(e.getMessage.contains("oneOrMore"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pattern(IndexedSeq(
+        StepDef(Quant.OneOrMore, untilBit = 0), StepDef()))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
 }
