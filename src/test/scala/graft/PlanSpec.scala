@@ -97,4 +97,31 @@ class PlanSpec extends AnyFunSuite {
     val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
     assert(scans == 1, s"expected one events scan, got $scans:\n$p")
   }
+
+  test("q92: decontamination broadcasts the eval side; train side streams") {
+    // the benchmark/eval shingle set is small by construction — it must
+    // reach the join as a broadcast, so at 100 TB the train side is
+    // filtered map-side with NO shuffle of the big table before the join
+    val p = plan("q92_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+  }
+
+  test("q95: PII redaction is a pure map-side projection") {
+    // regex chain + md5: no aggregate, and the only exchange is the
+    // final ORDER BY's range partitioning
+    val p = plan("q95_pii_redact")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"q95 grew an aggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val rangeExchanges = p.linesIterator.count(_.contains("rangepartitioning"))
+    assert(exchanges == rangeExchanges, s"non-sort shuffle in q95:\n$p")
+  }
+
+  test("q94: SemDeDup pair join is bucket-keyed, not a cartesian product") {
+    // within-bucket self-join must hash-partition on the bucket key; a
+    // BroadcastNestedLoopJoin/CartesianProduct here would be O(n^2) rows
+    // shipped at 100 TB
+    val p = plan("q94_semdedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+  }
 }
