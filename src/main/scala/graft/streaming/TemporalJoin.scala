@@ -91,4 +91,37 @@ object TemporalJoin {
     tagged.groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(handle)
   }
+
+  /** PROCESSING-TIME temporal join (`FOR SYSTEM_TIME AS OF proctime`) —
+    * the reference's TemporalProcessTimeJoinOperator.java: no versioned
+    * history, no watermark; each fact joins the LATEST version currently
+    * in keyed state and emits immediately; state is exactly one version
+    * per key (the operator's whole scale story — O(keys), never
+    * O(history)).
+    *
+    * Micro-batch processing-time semantics: the batch boundary is the
+    * processing-time tick, so version updates arriving in a batch apply
+    * BEFORE that batch's facts join — deterministic, where Flink's
+    * continuous operator leaves same-instant races to arrival order.
+    * Multiple versions of one key in one batch: the last in encounter
+    * order wins (same nondeterminism as concurrent updates in Flink).
+    * Output: (key, factPayload, Option(versionPayload)); inner semantics
+    * = `.filter(_._3.isDefined)`. */
+  def temporalJoinProcTime[K: Encoder](
+      facts: Dataset[(K, String)],
+      versions: Dataset[(K, String)])(
+      implicit etag: Encoder[(Int, K, String)],
+      es: Encoder[String],
+      eo: Encoder[(K, String, Option[String])]): Dataset[(K, String, Option[String])] = {
+    val tagged = facts.map(r => (0, r._1, r._2))
+      .union(versions.map(r => (1, r._1, r._2)))
+    tagged.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(Int, K, String)], state: GroupState[String]) =>
+          val rs = rows.toSeq
+          rs.collect { case (1, _, v) => v }.lastOption.foreach(state.update)
+          val latest = state.getOption
+          rs.collect { case (0, _, f) => (key, f, latest) }.iterator
+      }
+  }
 }

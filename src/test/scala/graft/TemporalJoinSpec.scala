@@ -128,4 +128,39 @@ class TemporalJoinSpec extends AnyFunSuite {
       ("b", "fb", Some("vb")),
       ("c", "fc", None)))
   }
+
+  test("proc-time temporal join: facts join the latest version, batch tick") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[(String, String)]
+    val versions = MemoryStream[(String, String)]
+
+    val joined = TemporalJoin.temporalJoinProcTime(facts.toDS(), versions.toDS())
+    val q = joined.toDF("k", "fact", "version").writeStream
+      .outputMode("append").format("memory").queryName("tj_proc").start()
+
+    // batch 1: fact before any version -> null pad
+    facts.addData(("a", "f0"))
+    q.processAllAvailable()
+    // batch 2: version v1 and fact f1 in the SAME batch: the batch
+    // boundary is the proc-time tick, so f1 sees v1
+    versions.addData(("a", "v1"))
+    facts.addData(("a", "f1"))
+    q.processAllAvailable()
+    // batch 3: v2 replaces v1 in state (exactly one version per key);
+    // later fact joins v2
+    versions.addData(("a", "v2"))
+    q.processAllAvailable()
+    facts.addData(("a", "f2"), ("b", "fb"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tj_proc")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("a", "f0", None),
+      ("a", "f1", Some("v1")),
+      ("a", "f2", Some("v2")),
+      ("b", "fb", None)))
+  }
 }
