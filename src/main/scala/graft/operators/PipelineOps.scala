@@ -990,6 +990,89 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // FILTER FUNNEL — the rule-cascade audit report every pipeline run
+      // prints: each document is attributed to the FIRST rule that kills
+      // it, and the output is one row per stage with (docs reaching it,
+      // docs it dropped) plus a survivors row. ONE source pass computes
+      // the per-doc first-fail stage (all integer arithmetic: ratio
+      // thresholds are cross-multiplied, never divided); the funnel is a
+      // 5-row aggregate + running-sum window, joined to an inline stage
+      // table so empty stages still report 0. At 100 TB: one scan, one
+      // tiny shuffle of a 5-row histogram.
+      "q98_filter_funnel",
+      (s, d) => {
+        import s.implicits._
+        val staged = Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("n", size($"toks").cast("long"))
+          .withColumn("sumlen", expr(
+            "CAST(aggregate(transform(toks, x -> length(x)), 0, (a, b) -> a + b) AS BIGINT)"))
+          .withColumn("nstop", size(array_distinct(expr(
+            "filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))")))
+            .cast("long"))
+          .withColumn("maxcnt", expr(
+            "CAST(array_max(transform(array_distinct(toks), x -> size(filter(toks, y -> y = x)))) AS BIGINT)"))
+          .select($"doc_id",
+            when($"n" < 20, 1L)
+              .when($"sumlen" * 100 > $"n" * 475, 2L)
+              .when($"nstop" === 0, 3L)
+              .when($"maxcnt" * 100 > $"n" * 13, 4L)
+              .otherwise(0L).as("stage"))
+        val hist = staged.groupBy($"stage").agg(count(lit(1)).as("n_dropped"))
+          .localCheckpoint()
+        val total = hist.agg(sum($"n_dropped").as("total"))
+        val stages = Seq((1L, "min_tokens"), (2L, "mean_word_len"),
+          (3L, "stop_density"), (4L, "repetition")).toDF("stage", "rule")
+        val w = Window.orderBy($"stage")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val funnel = stages
+          .join(hist, Seq("stage"), "left")
+          .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
+          .crossJoin(broadcast(total))
+          .withColumn("n_reaching", $"total" - coalesce(sum($"n_dropped").over(w), lit(0L)))
+          .select($"stage", $"rule", $"n_reaching", $"n_dropped")
+        val survived = hist.filter($"stage" === 0L)
+          .select(lit(5L).as("stage"), lit("survived").as("rule"),
+            $"n_dropped".as("n_reaching"), lit(0L).as("n_dropped"))
+        funnel.union(survived).orderBy($"stage")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |        list_sum(list_transform(toks, x -> length(x))) AS sumlen,
+        |        len(list_distinct(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','to','in','is','it')))) AS nstop,
+        |        list_max(list_transform(list_distinct(toks),
+        |          x -> len(list_filter(toks, y -> y = x)))) AS maxcnt
+        |      FROM t),
+        |st AS (SELECT doc_id,
+        |         CASE WHEN n < 20 THEN 1
+        |              WHEN sumlen * 100 > n * 475 THEN 2
+        |              WHEN nstop = 0 THEN 3
+        |              WHEN maxcnt * 100 > n * 13 THEN 4
+        |              ELSE 0 END AS stage
+        |       FROM m),
+        |hist AS (SELECT stage, COUNT(*) AS n_dropped FROM st GROUP BY 1),
+        |tot AS (SELECT SUM(n_dropped) AS total FROM hist),
+        |stages(stage, rule) AS (VALUES (1, 'min_tokens'), (2, 'mean_word_len'),
+        |                               (3, 'stop_density'), (4, 'repetition')),
+        |funnel AS (SELECT s.stage, s.rule,
+        |             tot.total - COALESCE(SUM(COALESCE(h.n_dropped, 0)) OVER
+        |               (ORDER BY s.stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_reaching,
+        |             COALESCE(h.n_dropped, 0) AS n_dropped
+        |           FROM stages s LEFT JOIN hist h ON s.stage = h.stage CROSS JOIN tot)
+        |SELECT CAST(stage AS BIGINT) AS stage, rule,
+        |       CAST(n_reaching AS BIGINT) AS n_reaching,
+        |       CAST(n_dropped AS BIGINT) AS n_dropped
+        |FROM funnel
+        |UNION ALL
+        |SELECT 5, 'survived', CAST(COALESCE((SELECT n_dropped FROM hist WHERE stage = 0), 0) AS BIGINT), 0
+        |ORDER BY stage
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max
