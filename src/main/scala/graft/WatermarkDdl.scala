@@ -39,21 +39,10 @@ object WatermarkDdl {
 
   private def baseName(table: String): String = s"__${table}_base"
 
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case '<' => depth += 1; cur += '<' // nested types: array<struct<...>>
-      case '>' => depth -= 1; cur += '>'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
-    }
-    out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  // nested types (array<struct<...>>) don't split; spaced comparisons in
+  // computed columns (is_small AS k < 10) don't nest — see SqlSplit.
+  private def splitTopLevel(s: String): Seq[String] =
+    graft.util.SqlSplit.splitTopLevel(s, angleTypes = true)
 
   /** Parse a CREATE TABLE with computed columns / WATERMARK; None if the
     * statement doesn't need the extended lowering (plain DDL). */

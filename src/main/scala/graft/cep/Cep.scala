@@ -169,6 +169,10 @@ object Cep {
     require(steps.forall(s => s.untilBit < 0 || s.untilBit >= steps.length),
       "untilBit must not collide with a step's own predicate bit")
     val nSteps: Int = steps.length
+    /** precomputed so offer()'s hot loop skips greedy-optional
+      * suppression bookkeeping entirely for the common patterns */
+    val hasGreedyOpt: Boolean =
+      steps.exists(s => s.quant == Quant.Opt && s.rep == Rep.Greedy)
   }
   object Pattern {
     /** A -> B -> ... -> Z of n singleton steps, AFTER MATCH SKIP PAST LAST
@@ -282,13 +286,15 @@ object Cep {
     // position, nothing consumed yet) is KILLED, exactly as Flink's
     // single computation takes only the greedy branch. When the optional
     // step does not match, the sibling lives on (optional-absent path).
+    val seeds = place(p, Nil, 0, Nil)._1
     val greedyOptSup: List[(Seq[BoundEv], Int)] =
-      (guarded ++ place(p, Nil, 0, Nil)._1).collect {
+      if (!p.hasGreedyOpt) Nil
+      else (guarded ++ seeds).collect {
         case r if p.steps(r.pos).quant == Quant.Opt &&
           p.steps(r.pos).rep == Rep.Greedy &&
           ((mask >>> r.pos & 1L) == 1L) => (r.bound, r.pos)
       }
-    def suppressed(r: Run): Boolean = r.cnt == 0 &&
+    def suppressed(r: Run): Boolean = p.hasGreedyOpt && r.cnt == 0 &&
       greedyOptSup.exists { case (b, pos) => r.pos > pos && r.bound == b }
 
     guarded.foreach { r =>
@@ -330,7 +336,7 @@ object Cep {
     }
     // every event is offered a fresh run seeded at the pattern head —
     // the NFA start state is always active (multiple partial matches).
-    place(p, Nil, 0, Nil)._1.foreach { seed =>
+    seeds.foreach { seed =>
       if ((mask >>> seed.pos & 1L) == 1L && !suppressed(seed)) consume(seed)
     }
 
@@ -491,11 +497,24 @@ object Cep {
             runs = nr
             done.foreach(b => out += ((key, toStepTimes(pattern, b))))
           }
+          // within-expired runs are dead even if no further event arrives
+          // for this key: prune against the watermark so a silent key's
+          // state can be dropped (Flink CEP's cleanup timers; t is µs,
+          // watermark is ms)
+          if (pattern.within > 0)
+            runs = runs.filter(r => wm * 1000 - startT(r) <= pattern.within)
           if (pending.isEmpty && runs.isEmpty) state.remove()
           else {
             state.update((pending, runs))
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000).min, wm + 1))
+            // wake at the earliest pending row's release time AND — when a
+            // within horizon exists — at the surviving runs' expiry, so
+            // cleanup fires without waiting for another event on this key
+            val dataT = pending.map(_._1 / 1000).minOption
+            val cleanT = if (pattern.within > 0 && runs.nonEmpty)
+              Some(runs.map(startT).min / 1000 + pattern.within / 1000 + 1)
+            else None
+            (dataT.toList ++ cleanT.toList).minOption
+              .foreach(t0 => state.setTimeoutTimestamp(math.max(t0, wm + 1)))
           }
           out.result().iterator
       }

@@ -63,19 +63,8 @@ object MatchRecognize {
 
   /** Split on commas at paren depth 0 only, so IN (1,2) and
     * coalesce(x,0) survive inside DEFINE/MEASURES entries. */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
-    }
-    out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  private def splitTopLevel(s: String): Seq[String] =
+    graft.util.SqlSplit.splitTopLevel(s)
 
   def parse(clause: String): Clause = {
     val partition = clause match {
@@ -229,12 +218,15 @@ object MatchRecognize {
         case "MIN" => min(when(inStep, col(m.column)))
         case "MAX" => max(when(inStep, col(m.column)))
         case "SUM" => sum(when(inStep, col(m.column)))
+        // try_element_at, not element_at: a variable that binds zero
+        // events in a match (B? absent) must measure NULL, and ANSI mode
+        // (Spark 4 default) makes element_at THROW on the empty array
         case "FIRST" =>
-          element_at(sort_array(collect_list(
-            when(inStep, struct(col("__t"), col("__tie"), col(m.column).as("v"))))), 1)("v")
+          try_element_at(sort_array(collect_list(
+            when(inStep, struct(col("__t"), col("__tie"), col(m.column).as("v"))))), lit(1))("v")
         case "LAST" =>
-          element_at(sort_array(collect_list(
-            when(inStep, struct(col("__t"), col("__tie"), col(m.column).as("v"))))), -1)("v")
+          try_element_at(sort_array(collect_list(
+            when(inStep, struct(col("__t"), col("__tie"), col(m.column).as("v"))))), lit(-1))("v")
       }).as(m.alias)
     }
     joined.groupBy(col("key"), col("match_no"))

@@ -1031,9 +1031,12 @@ object PipelineOps extends QueryModule {
           .crossJoin(broadcast(total))
           .withColumn("n_reaching", $"total" - coalesce(sum($"n_dropped").over(w), lit(0L)))
           .select($"stage", $"rule", $"n_reaching", $"n_dropped")
-        val survived = hist.filter($"stage" === 0L)
+        // aggregate (never filter) so the survivors row exists even when
+        // ZERO documents survive — the oracle emits it unconditionally
+        val survived = hist.agg(
+            coalesce(sum(when($"stage" === 0L, $"n_dropped")), lit(0L)).as("n_reaching"))
           .select(lit(5L).as("stage"), lit("survived").as("rule"),
-            $"n_dropped".as("n_reaching"), lit(0L).as("n_dropped"))
+            $"n_reaching", lit(0L).as("n_dropped"))
         funnel.union(survived).orderBy($"stage")
       },
       Some("""

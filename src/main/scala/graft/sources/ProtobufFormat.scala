@@ -125,7 +125,10 @@ object ProtobufFormat {
           pos = p1 + 8
         case 2 =>
           val (len, p2) = readVarint(bytes, p1)
-          require(p2 + len <= bytes.length, "protobuf: truncated bytes field")
+          // len >= 0 matters even on the skip path: a negative length
+          // would move `pos` BACKWARD and loop forever on the same bytes
+          require(len >= 0 && p2 + len <= bytes.length,
+            "protobuf: truncated or negative-length bytes field")
           if (known && targetSchema(idx).dataType == StringType)
             values(idx) = new String(bytes, p2, len.toInt, StandardCharsets.UTF_8)
           pos = p2 + len.toInt

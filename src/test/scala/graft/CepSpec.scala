@@ -385,6 +385,28 @@ class CepSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 2L, 20L, 40L, 60L, 20L, 40L, 6L)))
   }
 
+  test("MEASURES on an absent optional variable are NULL, not an ANSI error") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    // B? binds zero events: FIRST/LAST(B.v) must be NULL (try_element_at —
+    // ANSI mode would throw on element_at of the empty array), COUNT = 0
+    val rows = Seq((1L, 1L, 1L, "a", 10L), (1L, 2L, 2L, "c", 30L))
+      .toDF("k", "t", "tie", "kind", "v")
+    val out = MatchRecognize.runMeasures(spark, rows, """
+      PARTITION BY k
+      ORDER BY t, tie
+      MEASURES A.v AS a_v, COUNT(B.*) AS n_b, FIRST(B.v) AS first_b,
+               LAST(B.v) AS last_b
+      ONE ROW PER MATCH
+      PATTERN (A B? C)
+      AFTER MATCH SKIP TO NEXT ROW
+      DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'
+    """)
+    val got = out.select("k", "a_v", "n_b", "first_b", "last_b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set((1L, 10L, 0L, None, None)))
+  }
+
   test("ALL ROWS PER MATCH emits one row per bound event with CLASSIFIER") {
     import graft.cep.MatchRecognize
     import spark.implicits._

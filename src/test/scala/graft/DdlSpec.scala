@@ -50,6 +50,36 @@ class DdlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
   }
 
+  test("computed column with a comparison operator doesn't swallow WATERMARK") {
+    // regression: splitTopLevel once counted a spaced '<' as a type
+    // bracket, silently absorbing the WATERMARK clause into the computed
+    // column's expression (and '>' could merge following entries)
+    val t = s"ddl_cmp_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+
+    WatermarkDdl.sql(spark, s"""
+      CREATE TABLE $t (
+        k BIGINT,
+        ts TIMESTAMP,
+        tags ARRAY<STRING>,
+        is_small AS k < 10,
+        is_big AS k > 100,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      )""")
+    WatermarkDdl.sql(spark,
+      s"INSERT INTO $t VALUES (1, TIMESTAMP '2024-01-01 00:00:10', array('x'))")
+    val row = Engine.sql(spark,
+      s"SELECT k, is_small, is_big, size(tags) FROM $t").head()
+    assert(row.getLong(0) == 1L && row.getBoolean(1) && !row.getBoolean(2)
+      && row.getInt(3) == 1)
+    // the watermark clause survived the comparison operators
+    val plan = WatermarkDdl.readStream(spark, t).queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), s"watermark missing:\n$plan")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
   test("CREATE TABLE / INSERT / CTAS / VIEW / ALTER / DROP round-trip") {
     val t = s"ddl_spec_t_${math.abs(getClass.getName.hashCode)}"
     Engine.sql(spark, s"DROP TABLE IF EXISTS $t")

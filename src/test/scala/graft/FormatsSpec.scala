@@ -111,6 +111,19 @@ class FormatsSpec extends AnyFunSuite {
     val kept = ProtobufFormat.decodeLenient(truncated, schema)
       .as[(Long, String, Double)].collect().toSet
     assert(kept == rows.toSet)
+
+    // a NEGATIVE length-delimited field length must fail, not loop
+    // forever (regression: pos moved backward on the skip path, hanging
+    // the task where lenient decode can catch exceptions but not hangs)
+    val negLen = Array((9 << 3 | 2).toByte) ++
+      Array(0xF5, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0x01)
+        .map(_.toByte) // varint(-11)
+    val poisoned = (ProtobufFormat.encode(df).as[Array[Byte]].collect()
+      :+ negLen).toSeq.toDF("value")
+    intercept[Exception](ProtobufFormat.decode(poisoned, schema).collect())
+    val kept2 = ProtobufFormat.decodeLenient(poisoned, schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(kept2 == rows.toSet)
   }
 
   test("avro lenient decode drops corrupt payloads instead of failing") {
