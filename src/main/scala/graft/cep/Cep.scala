@@ -223,12 +223,27 @@ object Cep {
     * with the after-match skip strategy already applied. */
   private[graft] def offer(p: Pattern, runs0: List[Run], t: Long, mask: Long,
       tie: Long = 0L): (List[Run], List[List[BoundEv]]) = {
+    val (nr, done, _) = offerT(p, runs0, t, mask, tie)
+    (nr, done)
+  }
+
+  /** `offer` variant that also surfaces TIMED-OUT PARTIAL MATCHES — runs
+    * whose within horizon expired at this event, with at least one bound
+    * event (flink-cep TimedOutPartialMatchHandler.java: the "order placed
+    * but never paid" side output). */
+  private[graft] def offerT(p: Pattern, runs0: List[Run], t: Long, mask: Long,
+      tie: Long = 0L): (List[Run], List[List[BoundEv]], List[List[BoundEv]]) = {
     // within-horizon pruning happens before the event is offered: an
     // expired run can neither consume nor complete.
     val alive =
       if (p.within > 0) runs0.filter(r => t - startT(r) <= p.within) else runs0
+    val timedOut =
+      if (p.within > 0)
+        runs0.filter(r => t - startT(r) > p.within && r.bound.nonEmpty)
+          .map(_.bound.toList).distinct
+      else Nil
     if (mask == 0L) // relaxed steps skip the event; strict positions die
-      return (alive.filterNot(r => p.steps(r.pos).strict), Nil)
+      return (alive.filterNot(r => p.steps(r.pos).strict), Nil, timedOut)
 
     // notFollowedBy: the event kills runs whose active guard it matches.
     val guarded = alive.filterNot(r => r.guards.exists(g => (mask >>> g & 1L) == 1L))
@@ -347,7 +362,7 @@ object Cep {
       else surviving0.sortBy(r => (startT(r), r.pos, r.cnt, -r.bound.size))
         .take(p.maxRuns)
 
-    p.after match {
+    val (surviving2, completed2) = p.after match {
       case AfterMatch.NoSkip => (surviving, completed)
       case AfterMatch.SkipPastLast =>
         if (completed.isEmpty) (surviving, Nil)
@@ -380,6 +395,7 @@ object Cep {
           (surviving.filter(r => startT(r) >= boundary), emitted)
         }
     }
+    (surviving2, completed2, timedOut)
   }
 
   /** Bound list (newest-first) -> per-step sorted time arrays. */
@@ -460,6 +476,49 @@ object Cep {
         }
       }
       .toDF("key", "match_no", "bound")
+  }
+
+  /** Like `matchBatch`, but ALSO emitting TIMED-OUT PARTIAL MATCHES —
+    * flink-cep's TimedOutPartialMatchHandler surface (the "order placed
+    * but never paid within the horizon" query). Output: (key, timed_out,
+    * step_times); timed_out=false rows are complete matches, true rows
+    * are partials whose `within` horizon expired — either overtaken by a
+    * later event or still pending at end of input (bounded streams end
+    * with a +inf watermark, Flink's batch-mode CEP contract). Timeout
+    * emission is independent of the after-match skip strategy. */
+  def matchBatchWithTimeouts(spark: SparkSession, events: DataFrame,
+      pattern: Pattern): DataFrame = {
+    require(pattern.within > 0, "the timeout surface needs a within horizon")
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("t").cast("long"),
+        col("mask").cast("long"), col("tie").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var runs: List[Run] = Nil
+        def flush(k: Long): List[(Long, Boolean, Seq[Seq[Long]])] = {
+          val out = runs.filter(_.bound.nonEmpty).map(_.bound.toList).distinct
+            .map(b => (k, true, toStepTimes(pattern, b)))
+          runs = Nil
+          out
+        }
+        val base = it.flatMap { case (k, t, mask, tie) =>
+          val pre = if (started && k != curKey) flush(curKey) else Nil
+          if (!started || k != curKey) { runs = Nil; curKey = k; started = true }
+          val (nr, done, timedOut) = offerT(pattern, runs, t, mask, tie)
+          runs = nr
+          pre ++ timedOut.map(b => (k, true, toStepTimes(pattern, b))) ++
+            done.map(b => (k, false, toStepTimes(pattern, b)))
+        }
+        // Iterator#++'s by-name argument evaluates after `base` exhausts,
+        // so this flushes the LAST key's pending runs at end of input.
+        base ++ (if (started) flush(curKey) else Nil)
+      }
+      .toDF("key", "timed_out", "step_times")
   }
 
   /** Streaming CEP over an append stream with the same (key, t, mask, tie)

@@ -58,7 +58,7 @@ object MatchRecognize {
     """(?is).*MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|PATTERN\s*\(|AFTER\s+MATCH|WITHIN\s|DEFINE\s).*""".r
   private val StepTok = """(\w+)(\+\?|\+|\?|\{\d+(?:,\d+)?\})?""".r
   private val MeasureFnRe =
-    """(?is)(FIRST|LAST|MIN|MAX|SUM|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
+    """(?is)(FIRST|LAST|MIN|MAX|SUM|COUNT|AVG)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
   private val MeasureBareRe = """(?is)(\w+)\.(\w+)\s+AS\s+(\w+)""".r
 
   /** Split on commas at paren depth 0 only, so IN (1,2) and
@@ -215,6 +215,7 @@ object MatchRecognize {
       val inStep = col("__step") === lit(i)
       (m.fn match {
         case "COUNT" => count(when(inStep, lit(1)))
+        case "AVG" => avg(when(inStep, col(m.column)))
         case "MIN" => min(when(inStep, col(m.column)))
         case "MAX" => max(when(inStep, col(m.column)))
         case "SUM" => sum(when(inStep, col(m.column)))

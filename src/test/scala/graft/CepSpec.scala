@@ -596,6 +596,44 @@ class CepSpec extends AnyFunSuite {
       Seq(Seq(2L), Seq(5L)), Seq(Seq(4L), Seq(5L))))
   }
 
+  test("timed-out partial matches surface: order placed but never paid") {
+    import spark.implicits._
+    // A=placed (bit 0), B=paid (bit 1), within 10.
+    // key 1: A@0 (never paid -> timeout via the A@20 event),
+    //        A@20 B@25 (complete match);
+    // key 2: A@5 and end-of-input (bounded +inf watermark flushes it).
+    val events = Seq(
+      (1L, 0L, m(0), 1L), (1L, 20L, m(0), 2L), (1L, 25L, m(1), 3L),
+      (2L, 5L, m(0), 4L))
+      .toDF("key", "t", "mask", "tie")
+    val got = Cep.matchBatchWithTimeouts(spark, events, Pattern.linear(2, within = 10))
+      .as[(Long, Boolean, Seq[Seq[Long]])].collect().toSet
+    assert(got == Set(
+      (1L, true, Seq(Seq(0L), Seq())),        // A@0 timed out, B never bound
+      (1L, false, Seq(Seq(20L), Seq(25L))),   // the completed funnel
+      (2L, true, Seq(Seq(5L), Seq()))))       // flushed at end of input
+  }
+
+  test("MEASURES AVG over bound loop events") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 1L, "a", 10L), (1L, 2L, 2L, "b", 20L),
+      (1L, 4L, 3L, "b", 40L), (1L, 6L, 4L, "c", 60L))
+      .toDF("k", "t", "tie", "kind", "v")
+    val out = MatchRecognize.runMeasures(spark, rows, """
+      PARTITION BY k
+      ORDER BY t, tie
+      MEASURES AVG(B.v) AS avg_b
+      ONE ROW PER MATCH
+      PATTERN (A B+? C)
+      AFTER MATCH SKIP TO NEXT ROW
+      DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'
+    """)
+    val got = out.select("k", "avg_b").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 30.0)))
+  }
+
   test("until is rejected on non-loop steps") {
     val e = intercept[IllegalArgumentException] {
       Pattern(IndexedSeq(StepDef(untilBit = 2), StepDef()))
