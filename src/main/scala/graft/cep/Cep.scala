@@ -579,6 +579,60 @@ object Cep {
       }
   }
 
+  /** Streaming counterpart of `matchBatchWithTimeouts`: same contract as
+    * `matchStream` but the output carries a `timed_out` flag — false =
+    * complete match, true = partial whose within horizon expired. The
+    * expiry clock is the WATERMARK (timeout rows fire on the cleanup
+    * timer even if the key never sees another event), so a partial times
+    * out exactly once, when no in-flight event can still complete it. */
+  def matchStreamWithTimeouts(ds: Dataset[(Long, Long, Long, Long)],
+      pattern: Pattern, delay: String = "0 seconds")(
+      implicit ek: Encoder[Long],
+      ets: Encoder[(Long, java.sql.Timestamp, Long, Long, Long)],
+      es: Encoder[(Seq[(Long, Long, Long)], List[Run])],
+      eo: Encoder[(Long, Boolean, Seq[Seq[Long]])]): Dataset[(Long, Boolean, Seq[Seq[Long]])] = {
+    require(pattern.within > 0, "the timeout surface needs a within horizon")
+    val withTs = ds
+      .map(r => (r._1, new java.sql.Timestamp(r._2 / 1000), r._2, r._3, r._4))
+      .withWatermark("_2", delay)
+    withTs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+            state: GroupState[(Seq[(Long, Long, Long)], List[Run])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (pending0, runs) = state.getOption
+            .getOrElse((Seq.empty[(Long, Long, Long)], List.empty[Run]))
+          val fresh = rows.map(r => (r._3, r._4, r._5)).filter(_._1 / 1000 > wm)
+          val (ready, pending) = (pending0 ++ fresh).partition(_._1 / 1000 <= wm)
+          val out = List.newBuilder[(Long, Boolean, Seq[Seq[Long]])]
+          ready.sortBy(r => (r._1, r._3)).foreach { case (t, mask, tie) =>
+            val (nr, done, timedOut) = offerT(pattern, runs, t, mask, tie)
+            runs = nr
+            timedOut.foreach(b => out += ((key, true, toStepTimes(pattern, b))))
+            done.foreach(b => out += ((key, false, toStepTimes(pattern, b))))
+          }
+          // watermark-driven expiry for runs no event overtook (silent
+          // key): emit as timed out, then drop — fires via the cleanup
+          // timer below, so emission does not wait for the key's traffic
+          val (dead, live) =
+            runs.partition(r => wm * 1000 - startT(r) > pattern.within)
+          dead.filter(_.bound.nonEmpty).map(_.bound.toList).distinct
+            .foreach(b => out += ((key, true, toStepTimes(pattern, b))))
+          runs = live
+          if (pending.isEmpty && runs.isEmpty) state.remove()
+          else {
+            state.update((pending, runs))
+            val dataT = pending.map(_._1 / 1000).minOption
+            val cleanT = if (runs.nonEmpty)
+              Some(runs.map(startT).min / 1000 + pattern.within / 1000 + 1)
+            else None
+            (dataT.toList ++ cleanT.toList).minOption
+              .foreach(t0 => state.setTimeoutTimestamp(math.max(t0, wm + 1)))
+          }
+          out.result().iterator
+      }
+  }
+
   // ---- round-1 linear surface, now running on the full NFA ----
 
   private def stepToMask(df: DataFrame): DataFrame =

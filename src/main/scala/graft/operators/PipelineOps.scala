@@ -1076,6 +1076,33 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // HEAVY HITTERS / vocabulary discovery — corpus-wide top-k tokens,
+      // the first pass of stopword-list building and tokenizer-vocab
+      // sanity checks. Exact path: explode -> hash agg (map-side partial
+      // combine collapses each partition to its distinct tokens before
+      // the shuffle) -> k-bounded TakeOrderedAndProject, so the exchange
+      // carries one row per distinct token and the driver k rows. At
+      // 100 TB with an adversarial (unbounded) vocabulary you'd front
+      // this with a count-min sketch + candidate re-count; natural-
+      // language vocabularies are Zipfian, the exact plan holds.
+      "q99_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(explode(expr(tokensExpr)).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(20)
+      },
+      Some("""
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |               x -> x <> '')) AS token
+        |      FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max

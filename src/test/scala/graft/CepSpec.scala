@@ -614,6 +614,33 @@ class CepSpec extends AnyFunSuite {
       (2L, true, Seq(Seq(5L), Seq()))))       // flushed at end of input
   }
 
+  test("stream timeouts: an unpaid order times out via the cleanup timer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long): Long = sec * 1000000L
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val out = Cep.matchStreamWithTimeouts(in.toDS(),
+      Pattern.linear(2, within = us(10)), "0 seconds")
+    val q = out.toDF("key", "timed_out", "times").writeStream
+      .outputMode("append").format("memory").queryName("cep_to").start()
+    // key 1: A@10, never paid. key 2: A@12 B@15 completes.
+    in.addData((1L, us(10), m(0), 1L), (2L, us(12), m(0), 2L), (2L, us(15), m(1), 3L))
+    q.processAllAvailable()
+    // traffic only on key 9 advances the watermark past 10+10: key 1's
+    // cleanup timer fires and emits the timed-out partial WITHOUT key 1
+    // ever seeing another event
+    in.addData((9L, us(100), 0L, 4L))
+    q.processAllAvailable()
+    in.addData((9L, us(200), 0L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cep_to")
+      .as[(Long, Boolean, Seq[Seq[Long]])].collect().toSet
+    assert(got == Set(
+      (2L, false, Seq(Seq(us(12)), Seq(us(15)))),
+      (1L, true, Seq(Seq(us(10)), Seq()))))
+  }
+
   test("MEASURES AVG over bound loop events") {
     import graft.cep.MatchRecognize
     import spark.implicits._
