@@ -234,14 +234,14 @@ object Cep {
   private[graft] def offerT(p: Pattern, runs0: List[Run], t: Long, mask: Long,
       tie: Long = 0L): (List[Run], List[List[BoundEv]], List[List[BoundEv]]) = {
     // within-horizon pruning happens before the event is offered: an
-    // expired run can neither consume nor complete.
-    val alive =
-      if (p.within > 0) runs0.filter(r => t - startT(r) <= p.within) else runs0
-    val timedOut =
-      if (p.within > 0)
-        runs0.filter(r => t - startT(r) > p.within && r.bound.nonEmpty)
-          .map(_.bound.toList).distinct
-      else Nil
+    // expired run can neither consume nor complete. One partition pass;
+    // the timed-out view materializes only when something actually expired.
+    val (alive, timedOut) =
+      if (p.within > 0) {
+        val (a, expired) = runs0.partition(r => t - startT(r) <= p.within)
+        (a, if (expired.isEmpty) Nil
+            else expired.filter(_.bound.nonEmpty).map(_.bound.toList).distinct)
+      } else (runs0, Nil)
     if (mask == 0L) // relaxed steps skip the event; strict positions die
       return (alive.filterNot(r => p.steps(r.pos).strict), Nil, timedOut)
 
