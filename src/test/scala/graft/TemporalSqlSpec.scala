@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FOR SYSTEM_TIME AS OF SQL bridge: the lowered plan must equal the
+  * direct AsOfJoin.backward call, the dim's event-time attribute must
+  * resolve from the WatermarkDdl catalog, and unsupported shapes must
+  * fail loudly. */
+class TemporalSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtures(): Unit = {
+    import spark.implicits._
+    Seq((1L, 10L, "f1"), (1L, 25L, "f2"), (2L, 5L, "f3"))
+      .toDF("k", "t", "fact").createOrReplaceTempView("tsql_fact")
+    Seq((1L, 8L, 100.0), (1L, 20L, 200.0), (2L, 9L, 300.0))
+      .toDF("pk", "vt", "price").createOrReplaceTempView("tsql_dim")
+  }
+
+  test("lowered query equals the direct as-of join") {
+    import spark.implicits._
+    fixtures()
+    val got = TemporalSql.sql(spark, """
+      SELECT f.k AS k, f.t AS t, f.fact AS fact, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      ORDER BY f.k, f.t
+    """, versionTime = Some("vt"))
+      .as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, "f1", Some(100.0)),   // t=10 -> version@8
+      (1L, 25L, "f2", Some(200.0)),   // t=25 -> version@20
+      (2L, 5L, "f3", None)))          // t=5 precedes every version
+    // equivalence with the direct operator call
+    val direct = AsOfJoin.backward(
+      spark.table("tsql_fact"),
+      spark.table("tsql_dim").withColumnRenamed("pk", "k"),
+      "k", "t", "vt", Seq("price"), "vt")
+      .select($"k", $"t", $"fact", $"price")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(got.toSet == direct)
+  }
+
+  test("WHERE filters the joined output") {
+    import spark.implicits._
+    fixtures()
+    val got = TemporalSql.sql(spark, """
+      SELECT f.k AS k, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE d.price > 150
+    """, versionTime = Some("vt"))
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 200.0)))
+  }
+
+  test("version-time attribute resolves from the WatermarkDdl catalog") {
+    import spark.implicits._
+    val t = s"tsql_wm_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    WatermarkDdl.sql(spark, s"""
+      CREATE TABLE $t (
+        pk BIGINT,
+        vt TIMESTAMP,
+        rate DOUBLE,
+        WATERMARK FOR vt AS vt - INTERVAL '5' SECOND
+      )""")
+    WatermarkDdl.sql(spark,
+      s"INSERT INTO $t VALUES (1, TIMESTAMP '2024-01-01 00:00:05', 1.5)")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "x"))
+      .toDF("k", "t", "fact").createOrReplaceTempView("tsql_fact_ts")
+    // no versionTime passed: graft.watermark.col supplies 'vt'
+    val got = TemporalSql.sql(spark, s"""
+      SELECT f.fact AS fact, d.rate AS rate
+      FROM tsql_fact_ts f
+      JOIN $t FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+    """).as[(String, Double)].collect().toSet
+    assert(got == Set(("x", 1.5)))
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
+  test("unsupported shapes and missing metadata fail loudly") {
+    fixtures()
+    // no WATERMARK metadata and no versionTime
+    val e1 = intercept[IllegalArgumentException](TemporalSql.sql(spark, """
+      SELECT f.k AS k, d.price AS p FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d ON f.k = d.pk
+    """))
+    assert(e1.getMessage.contains("event-time attribute"))
+    // projecting the dim's join key
+    val e2 = intercept[IllegalArgumentException](TemporalSql.sql(spark, """
+      SELECT d.pk AS pk, d.price AS p FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d ON f.k = d.pk
+    """, versionTime = Some("vt")))
+    assert(e2.getMessage.contains("join key"))
+    // AS OF referencing the dim alias
+    val e3 = intercept[IllegalArgumentException](TemporalSql.sql(spark, """
+      SELECT f.k AS k, d.price AS p FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF d.vt AS d ON f.k = d.pk
+    """, versionTime = Some("vt")))
+    assert(e3.getMessage.contains("fact alias"))
+    assert(TemporalSql.matches("SELECT 1 FROM a JOIN b FOR SYSTEM_TIME AS OF a.t ON 1=1"))
+    assert(!TemporalSql.matches("SELECT 1"))
+  }
+}
