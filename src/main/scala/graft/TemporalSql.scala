@@ -36,9 +36,12 @@ object TemporalSql {
   private val ProjRe = """(?is)(\w+)\.(\w+)(?:\s+AS\s+(\w+))?""".r
 
   /** True when `query` is a FOR SYSTEM_TIME AS OF join this bridge can
-    * lower (the dispatch predicate for a shell front-end). */
+    * lower (the dispatch predicate for a shell front-end). String
+    * literals are blanked first so `SELECT 'FOR SYSTEM_TIME AS OF'`
+    * stays a plain Spark query. */
   def matches(query: String): Boolean =
-    """(?is).*\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b.*""".r.matches(query)
+    """(?is).*\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b.*""".r
+      .matches(query.replaceAll("'[^']*'", "''"))
 
   def sql(spark: SparkSession, query: String,
       versionTime: Option[String] = None): DataFrame = query match {
@@ -54,8 +57,8 @@ object TemporalSql {
 
       val fact = spark.table(factTbl)
       val dim = spark.table(dimTbl)
-      val vt = versionTime.getOrElse(lookupWatermarkCol(spark, dimTbl).getOrElse(
-        throw new IllegalArgumentException(
+      val vt = versionTime.getOrElse(WatermarkDdl.watermarkCol(spark, dimTbl)
+        .getOrElse(throw new IllegalArgumentException(
           s"dim '$dimTbl' declares no event-time attribute (WATERMARK clause) " +
             "and no versionTime was given")))
 
@@ -78,7 +81,12 @@ object TemporalSql {
       require(overlap.isEmpty,
         s"fact and dim column names must be disjoint, both have: ${overlap.mkString(",")}")
 
-      // AsOfJoin.backward keys both sides by ONE column name
+      // AsOfJoin.backward keys both sides by ONE column name; renaming
+      // must not collide with an unrelated dim column of the fact key's
+      // name (withColumnRenamed would silently duplicate it)
+      require(dKey == fKey || !dim.columns.contains(fKey),
+        s"dim '$dimTbl' already has a column '$fKey' distinct from its join " +
+          s"key '$dKey' — rename one side")
       val dimKeyed = if (dKey == fKey) dim else dim.withColumnRenamed(dKey, fKey)
       val joined = AsOfJoin.backward(fact, dimKeyed, fKey, timeCol, vt,
         dimPayload, vt)
@@ -89,25 +97,19 @@ object TemporalSql {
       val filtered = Option(whereOpt).map(w =>
         projected.where(stripAliases(w, f, d))).getOrElse(projected)
       Option(orderOpt).map(o =>
-        filtered.orderBy(stripAliases(o, f, d).split(",").map(_.trim)
+        filtered.orderBy(SqlSplit.splitTopLevel(stripAliases(o, f, d))
           .map(org.apache.spark.sql.functions.expr): _*)).getOrElse(filtered)
     case _ => throw new IllegalArgumentException(
       "unsupported FOR SYSTEM_TIME AS OF shape — see TemporalSql scaladoc")
   }
 
   /** WHERE/ORDER BY fragments reference output columns; qualifiers are
-    * resolved away by the projection, so strip them. */
+    * resolved away by the projection, so strip them — but only OUTSIDE
+    * single-quoted string literals (a predicate like tag = 'f.retail'
+    * must keep its literal intact). */
   private def stripAliases(s: String, f: String, d: String): String =
-    s.replaceAll(s"(?i)\\b$f\\.", "").replaceAll(s"(?i)\\b$d\\.", "")
-
-  /** The dim's declared event-time attribute, when created via
-    * WatermarkDdl (TBLPROPERTIES graft.watermark.col on the base table). */
-  private def lookupWatermarkCol(spark: SparkSession, table: String): Option[String] = {
-    val base = s"__${table}_base"
-    try {
-      spark.sql(s"SHOW TBLPROPERTIES $base").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-        .get("graft.watermark.col")
-    } catch { case _: Exception => None }
-  }
+    s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg // inside quotes: untouched
+      else seg.replaceAll(s"(?i)\\b$f\\.", "").replaceAll(s"(?i)\\b$d\\.", "")
+    }.mkString("'")
 }

@@ -110,6 +110,18 @@ object WatermarkDdl {
     * column + bounded-out-of-orderness watermark, ready for windowed
     * aggregation in append mode. Works in a fresh session: everything is
     * reconstructed from the catalog. */
+  /** The table's declared event-time attribute (WATERMARK clause), read
+    * from the catalog — the shared lookup for every consumer of the
+    * versioned-table contract (readStream, TemporalSql). None when the
+    * table wasn't created through this DDL or declares no watermark. */
+  def watermarkCol(spark: SparkSession, table: String): Option[String] = {
+    val base = baseName(table)
+    if (!spark.catalog.tableExists(base)) None
+    else spark.sql(s"SHOW TBLPROPERTIES $base").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("graft.watermark.col")
+  }
+
   def readStream(spark: SparkSession, table: String): DataFrame = {
     val base = baseName(table)
     require(spark.catalog.tableExists(base), s"no extended table $table")

@@ -126,8 +126,11 @@ object ProtobufFormat {
         case 2 =>
           val (len, p2) = readVarint(bytes, p1)
           // len >= 0 matters even on the skip path: a negative length
-          // would move `pos` BACKWARD and loop forever on the same bytes
-          require(len >= 0 && p2 + len <= bytes.length,
+          // would move `pos` BACKWARD and loop forever on the same bytes.
+          // Compare as `len <= remaining` (never `p2 + len`): a huge
+          // positive len overflows p2 + len to negative, sneaking past
+          // the bound and re-creating the backward-pos hang via len.toInt
+          require(len >= 0 && len <= bytes.length - p2,
             "protobuf: truncated or negative-length bytes field")
           if (known && targetSchema(idx).dataType == StringType)
             values(idx) = new String(bytes, p2, len.toInt, StandardCharsets.UTF_8)

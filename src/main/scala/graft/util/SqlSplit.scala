@@ -6,31 +6,74 @@ package graft.util
   * split. One shared implementation so quote/bracket handling fixes land
   * everywhere at once.
   *
-  * Angle brackets are ambiguous with comparison operators, so `<` opens a
-  * type-argument context only when it DIRECTLY follows an identifier
-  * character (`array<`, `struct<`, `map<`), and `>` closes only when such
-  * a context is open — a spaced comparison (`k < 10`, `a >= b`) never
-  * nests. Known limitation: an unspaced comparison against an identifier
-  * (`k<10`) reads as a type context; write it spaced.
+  * Angle brackets are ambiguous with comparison operators, so a `<` opens
+  * a type-argument context only when BOTH hold: the previous non-space
+  * character is an identifier character (`array <`, `MAP <`), and looking
+  * ahead there is a matching `>` whose enclosed content is a plausible
+  * type-argument list (comma-separated type names, optionally
+  * parameterized — `STRING`, `DECIMAL(10,2)`, nested `ARRAY<INT>`). A
+  * comparison like `k < 10` (no closing `>`, or non-type content) never
+  * nests. Documented corner: two column-to-column comparisons with spaced
+  * operators in adjacent entries (`a < b, c > d`) are indistinguishable
+  * from a type list without a catalog — parenthesize the expressions
+  * (`(a < b)`), which also survives the comma logic.
   */
 object SqlSplit {
+
+  private val TypeToken =
+    """\s*[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*""".r
+
+  /** Does the '<' at `idx` open a type-argument list? Requires a matching
+    * '>' (tracking <> nesting) whose content, with nested spans blanked,
+    * is a comma-separated list of type tokens. */
+  private def isTypeContext(s: String, idx: Int): Boolean = {
+    var depth = 1
+    var j = idx + 1
+    while (j < s.length && depth > 0) {
+      s(j) match {
+        case '<' => depth += 1
+        case '>' => depth -= 1
+        case _ => ()
+      }
+      j += 1
+    }
+    if (depth != 0) return false
+    val content = s.substring(idx + 1, j - 1)
+    // blank nested <...> spans so their commas/brackets don't interfere
+    val blanked = new StringBuilder
+    var d = 0
+    content.foreach {
+      case '<' => d += 1
+      case '>' => d -= 1
+      case c => if (d == 0) blanked += c else blanked += ' '
+    }
+    val segs = blanked.toString.split(",", -1)
+    segs.nonEmpty && segs.forall(seg => TypeToken.matches(seg))
+  }
+
   def splitTopLevel(s: String, angleTypes: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var paren = 0
     var angle = 0
-    var prev = ' '
-    s.foreach { c =>
+    var prevNonSpace = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
       c match {
         case '(' => paren += 1; cur += c
         case ')' => paren -= 1; cur += c
-        case '<' if angleTypes && (prev.isLetterOrDigit || prev == '_') =>
+        case '<' if angleTypes && angle == 0 &&
+            (prevNonSpace.isLetterOrDigit || prevNonSpace == '_') &&
+            isTypeContext(s, i) =>
           angle += 1; cur += c
+        case '<' if angleTypes && angle > 0 => angle += 1; cur += c
         case '>' if angleTypes && angle > 0 => angle -= 1; cur += c
         case ',' if paren == 0 && angle == 0 => out += cur.toString; cur.clear()
         case _ => cur += c
       }
-      prev = c
+      if (!c.isWhitespace) prevNonSpace = c
+      i += 1
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

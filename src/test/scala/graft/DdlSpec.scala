@@ -63,16 +63,17 @@ class DdlSpec extends AnyFunSuite {
         k BIGINT,
         ts TIMESTAMP,
         tags ARRAY<STRING>,
+        attrs MAP <STRING, BIGINT>,
         is_small AS k < 10,
         is_big AS k > 100,
         WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
       )""")
     WatermarkDdl.sql(spark,
-      s"INSERT INTO $t VALUES (1, TIMESTAMP '2024-01-01 00:00:10', array('x'))")
+      s"INSERT INTO $t VALUES (1, TIMESTAMP '2024-01-01 00:00:10', array('x'), map('a', 7))")
     val row = Engine.sql(spark,
-      s"SELECT k, is_small, is_big, size(tags) FROM $t").head()
+      s"SELECT k, is_small, is_big, size(tags), attrs['a'] FROM $t").head()
     assert(row.getLong(0) == 1L && row.getBoolean(1) && !row.getBoolean(2)
-      && row.getInt(3) == 1)
+      && row.getInt(3) == 1 && row.getLong(4) == 7L)
     // the watermark clause survived the comparison operators
     val plan = WatermarkDdl.readStream(spark, t).queryExecution.analyzed.toString
     assert(plan.contains("EventTimeWatermark"), s"watermark missing:\n$plan")

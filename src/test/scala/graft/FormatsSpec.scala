@@ -124,6 +124,24 @@ class FormatsSpec extends AnyFunSuite {
     val kept2 = ProtobufFormat.decodeLenient(poisoned, schema)
       .as[(Long, String, Double)].collect().toSet
     assert(kept2 == rows.toSet)
+
+    // a HUGE positive length must fail too: p2 + len overflows Long to
+    // negative, which would sneak past a naive `p2 + len <= length` bound
+    // and re-create the backward-pos hang via len.toInt
+    def varint(v0: Long): Array[Byte] = {
+      var v = v0
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while ((v & ~0x7FL) != 0L) { b += ((v & 0x7FL) | 0x80L).toByte; v >>>= 7 }
+      b += v.toByte
+      b.toArray
+    }
+    val hugeLen = Array((9 << 3 | 2).toByte) ++ varint(Long.MaxValue - 9)
+    val poisoned2 = (ProtobufFormat.encode(df).as[Array[Byte]].collect()
+      :+ hugeLen).toSeq.toDF("value")
+    intercept[Exception](ProtobufFormat.decode(poisoned2, schema).collect())
+    val kept3 = ProtobufFormat.decodeLenient(poisoned2, schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(kept3 == rows.toSet)
   }
 
   test("avro lenient decode drops corrupt payloads instead of failing") {

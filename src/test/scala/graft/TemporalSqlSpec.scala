@@ -43,7 +43,7 @@ class TemporalSqlSpec extends AnyFunSuite {
     assert(got.toSet == direct)
   }
 
-  test("WHERE filters the joined output") {
+  test("WHERE filters the joined output; literals keep alias-like text") {
     import spark.implicits._
     fixtures()
     val got = TemporalSql.sql(spark, """
@@ -51,10 +51,37 @@ class TemporalSqlSpec extends AnyFunSuite {
       FROM tsql_fact f
       JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
       ON f.k = d.pk
-      WHERE d.price > 150
+      WHERE d.price > 150 AND f.fact <> 'd.price'
     """, versionTime = Some("vt"))
       .as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 200.0)))
+  }
+
+  test("ORDER BY with a parenthesized function splits on top-level commas") {
+    import spark.implicits._
+    fixtures()
+    val got = TemporalSql.sql(spark, """
+      SELECT f.k AS k, f.t AS t, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      ORDER BY coalesce(f.t, 0), f.k
+    """, versionTime = Some("vt"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._2) == Seq(5L, 10L, 25L))
+  }
+
+  test("dim column colliding with the fact key fails loudly, not silently") {
+    import spark.implicits._
+    fixtures()
+    // dim has an unrelated 'k' column: renaming pk -> k would duplicate it
+    Seq((1L, 8L, 99L, 100.0)).toDF("pk", "vt", "k", "price")
+      .createOrReplaceTempView("tsql_dim_clash")
+    val e = intercept[IllegalArgumentException](TemporalSql.sql(spark, """
+      SELECT f.k AS k, d.price AS p FROM tsql_fact f
+      JOIN tsql_dim_clash FOR SYSTEM_TIME AS OF f.t AS d ON f.k = d.pk
+    """, versionTime = Some("vt")))
+    assert(e.getMessage.contains("rename one side"))
   }
 
   test("version-time attribute resolves from the WatermarkDdl catalog") {
@@ -107,5 +134,7 @@ class TemporalSqlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("fact alias"))
     assert(TemporalSql.matches("SELECT 1 FROM a JOIN b FOR SYSTEM_TIME AS OF a.t ON 1=1"))
     assert(!TemporalSql.matches("SELECT 1"))
+    // the phrase inside a string literal must NOT hijack shell dispatch
+    assert(!TemporalSql.matches("SELECT 'FOR SYSTEM_TIME AS OF' AS note"))
   }
 }
