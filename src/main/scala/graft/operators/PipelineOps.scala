@@ -1103,6 +1103,49 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // TEMPORAL SQL ATTRIBUTION — the `FOR SYSTEM_TIME AS OF` SQL text
+      // itself under the oracle gate: each purchase joins the user's
+      // latest click at-or-before it (last-touch attribution, the
+      // classic as-of query). The dim is pre-deduplicated to one click
+      // per (user, instant) (max event_id) so version ties are
+      // deterministic on both engines. Runs through TemporalSql ->
+      // AsOfJoin.backward: ONE sort-shuffle of |facts|+|versions| rows.
+      "q100_temporal_sql_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("k"), $"ts_us".as("t"), $"event_id".as("purchase_id"))
+          .createOrReplaceTempView("q100_fact")
+        ev.filter($"event_type" === "click")
+          .groupBy($"user_id".as("ck"), $"ts_us".as("ct"))
+          .agg(max($"event_id").as("click_id"))
+          .createOrReplaceTempView("q100_dim")
+        graft.TemporalSql.sql(s, """
+            SELECT f.purchase_id AS purchase_id, f.t AS t, d.click_id AS click_id
+            FROM q100_fact f
+            JOIN q100_dim FOR SYSTEM_TIME AS OF f.t AS d
+            ON f.k = d.ck
+          """, versionTime = Some("ct"))
+          .select($"purchase_id", $"t",
+            coalesce($"click_id", lit(-1L)).as("click_id"))
+          .orderBy($"purchase_id")
+      },
+      Some("""
+        |WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, event_type
+        |           FROM events),
+        |f AS (SELECT event_id AS purchase_id, user_id, t_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, t_us AS ct, MAX(event_id) AS click_id FROM e
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT f.purchase_id, CAST(f.t_us AS BIGINT) AS t,
+        |       CAST(COALESCE((SELECT d.click_id FROM d
+        |                      WHERE d.user_id = f.user_id AND d.ct <= f.t_us
+        |                      ORDER BY d.ct DESC LIMIT 1), -1) AS BIGINT) AS click_id
+        |FROM f ORDER BY purchase_id
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max
