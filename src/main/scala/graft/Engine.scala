@@ -41,5 +41,14 @@ object Engine {
     }
   }
 
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+  /** SQL entry point with the engine's extended dispatch (SqlClient
+    * analog): temporal-join syntax -> TemporalSql bridge, MATCH_RECOGNIZE
+    * statements -> the CEP SQL bridge, extended DDL (computed columns /
+    * WATERMARK) -> WatermarkDdl, everything else -> spark.sql. The whole
+    * implemented surface is reachable from one SQL-text front door. */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    if (TemporalSql.matches(query)) TemporalSql.sql(spark, query)
+    else if (graft.cep.MatchRecognize.matchesSql(query))
+      graft.cep.MatchRecognize.sql(spark, query)
+    else WatermarkDdl.sql(spark, query)
 }

@@ -22,14 +22,10 @@ object SqlShell {
         val sql = buf.toString.trim.stripSuffix(";")
         buf.clear()
         if (sql.nonEmpty) {
-          // dispatch: temporal-join syntax -> TemporalSql bridge,
-          // extended DDL (computed cols / WATERMARK) -> WatermarkDdl,
-          // everything else -> spark.sql
-          try {
-            if (TemporalSql.matches(sql))
-              TemporalSql.sql(spark, sql).show(50, truncate = false)
-            else WatermarkDdl.sql(spark, sql).show(50, truncate = false)
-          } catch { case e: Exception => println(s"ERROR: ${e.getMessage}") }
+          // Engine.sql dispatches the full extended surface: temporal
+          // joins, MATCH_RECOGNIZE, extended DDL, plain Spark SQL.
+          try Engine.sql(spark, sql).show(50, truncate = false)
+          catch { case e: Exception => println(s"ERROR: ${e.getMessage}") }
         }
       }
     }

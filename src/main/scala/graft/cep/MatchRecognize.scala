@@ -235,6 +235,97 @@ object MatchRecognize {
       .withColumnRenamed("key", c.partitionBy)
   }
 
+  // ---------------------------------------------------------------------
+  // Full-statement SQL surface (SqlClient.java:62 -> StreamExecMatch role:
+  // a user types MATCH_RECOGNIZE SQL text and the engine runs it — the
+  // dispatch parity gap flagged in round 3). Grammar:
+  //
+  //   SELECT <cols|*> FROM <table> MATCH_RECOGNIZE ( <clause> ) [[AS] a]
+  //   [WHERE <pred>] [ORDER BY <cols>]
+  //
+  // <table> resolves from the session catalog; <clause> is the clause
+  // grammar documented above. Output mode picks the executor: ALL ROWS
+  // PER MATCH -> runAllRows, MEASURES -> runMeasures, bare -> run.
+  // ---------------------------------------------------------------------
+
+  private val MrHeadRe =
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(""".r
+  private val MrTailWhereRe =
+    """(?is)^WHERE\s+(.+?)(?:\s+ORDER\s+BY\s+(.+?))?\s*;?\s*$""".r
+  private val MrTailOrderRe = """(?is)^ORDER\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val MrTailAliasRe = """(?is)^(?:AS\s+)?(\w+)\s*(.*)$""".r
+
+  /** Dispatch predicate for a SQL front-end: is this statement a
+    * MATCH_RECOGNIZE query this bridge should run? String literals are
+    * blanked first so `SELECT 'MATCH_RECOGNIZE('` stays a plain query. */
+  def matchesSql(query: String): Boolean =
+    """(?is).*\bMATCH_RECOGNIZE\s*\(.*""".r
+      .matches(query.replaceAll("'[^']*'", "''"))
+
+  /** Index just past the parenthesis that closes the MATCH_RECOGNIZE
+    * clause opened at `start` (start = index AFTER the open paren).
+    * Quote-aware: parens inside single-quoted literals don't count. */
+  private def closeParen(query: String, start: Int): Int = {
+    var depth = 1
+    var i = start
+    while (i < query.length && depth > 0) {
+      query(i) match {
+        case '\'' =>
+          i += 1
+          while (i < query.length && query(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0, "MATCH_RECOGNIZE: unbalanced parentheses")
+    i
+  }
+
+  /** Execute a full MATCH_RECOGNIZE SQL statement against the session
+    * catalog. The outer SELECT list projects the match output (measure
+    * aliases / partition key for ONE ROW PER MATCH; match_no, classifier
+    * and the input columns for ALL ROWS PER MATCH), entries may rename
+    * with AS or be expressions over those columns; `*` keeps everything. */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    val head = MrHeadRe.findFirstMatchIn(query).getOrElse(
+      throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE statement must be SELECT ... FROM <table> MATCH_RECOGNIZE (...)"))
+    val (proj, table) = (head.group(1).trim, head.group(2))
+    val end = closeParen(query, head.end)
+    val clause = query.substring(head.end, end - 1)
+    var tail = query.substring(end).trim
+    // optional [AS] alias on the MATCH_RECOGNIZE relation
+    tail match {
+      case MrTailAliasRe(word, rest)
+          if !word.equalsIgnoreCase("WHERE") && !word.equalsIgnoreCase("ORDER") =>
+        tail = rest.trim
+      case _ => ()
+    }
+    val (whereOpt, orderOpt) = tail match {
+      case "" => (None, None)
+      case MrTailWhereRe(w, o) => (Some(w), Option(o))
+      case MrTailOrderRe(o) => (None, Some(o))
+      case other => throw new IllegalArgumentException(
+        s"MATCH_RECOGNIZE: unsupported trailing clause: $other")
+    }
+
+    val input = spark.table(table)
+    val allRows = """(?is).*\bALL\s+ROWS\s+PER\s+MATCH\b.*""".r.matches(clause)
+    val matched =
+      if (allRows) runAllRows(spark, input, clause)
+      else if (parse(clause).measures.nonEmpty) runMeasures(spark, input, clause)
+      else run(spark, input, clause)
+
+    val projected =
+      if (proj == "*") matched
+      else matched.selectExpr(graft.util.SqlSplit.splitTopLevel(proj): _*)
+    val filtered = whereOpt.map(projected.where).getOrElse(projected)
+    orderOpt.map(o => filtered.orderBy(
+      graft.util.SqlSplit.splitTopLevel(o).map(expr): _*)).getOrElse(filtered)
+  }
+
   /** Compile and run a clause in ALL ROWS PER MATCH mode: output is one
     * row PER BOUND EVENT — (match_no, classifier, <all input columns>),
     * where `classifier` is the pattern variable the row bound to

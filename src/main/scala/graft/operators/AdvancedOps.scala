@@ -666,6 +666,54 @@ object AdvancedOps extends QueryModule {
         |SELECT user_id, s_us, CAST(n_clicks AS BIGINT) AS n_clicks, first_c_us,
         |       last_c_us, CAST(sum_c_us AS BIGINT) AS sum_c_us, p_us
         |FROM m ORDER BY user_id, s_us
+        |""".stripMargin)),
+
+    GQuery(
+      // The same MATCH_RECOGNIZE query as q83, but issued as ONE SQL
+      // STATEMENT through the engine's SQL front door (Engine.sql ->
+      // MatchRecognize.sql) — the SqlClient.java:62 dispatch path: the
+      // input table resolves from the catalog, the outer SELECT projects
+      // the measure columns, ORDER BY is part of the statement text.
+      // Same oracle as q83: the two paths must agree bit-for-bit.
+      "q101_match_recognize_sql",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT user_id, s_us, n_clicks, first_c_us, last_c_us, sum_c_us, p_us
+          FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES A.ts_us AS s_us, COUNT(B.*) AS n_clicks,
+                     MIN(B.ts_us) AS first_c_us, MAX(B.ts_us) AS last_c_us,
+                     SUM(B.ts_us) AS sum_c_us, LAST(C.ts_us) AS p_us
+            ONE ROW PER MATCH
+            PATTERN (A B+? C)
+            WITHIN 604800000000
+            AFTER MATCH SKIP TO NEXT ROW
+            DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+                   C AS event_type = 'purchase'
+          ) ORDER BY user_id, s_us
+        """)
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT s.user_id, s.s_us, MIN(pe.us) AS p_us
+        |      FROM s JOIN e pe ON pe.user_id = s.user_id
+        |      WHERE pe.event_type = 'purchase' AND pe.us > s.s_us
+        |        AND pe.us - s.s_us <= 604800000000
+        |        AND EXISTS (SELECT 1 FROM e c WHERE c.user_id = s.user_id
+        |              AND c.event_type = 'click' AND c.us > s.s_us AND c.us < pe.us)
+        |      GROUP BY 1, 2),
+        |m AS (SELECT p.user_id, p.s_us, p.p_us,
+        |             COUNT(*) AS n_clicks, MIN(c.us) AS first_c_us,
+        |             MAX(c.us) AS last_c_us, SUM(c.us) AS sum_c_us
+        |      FROM p JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |        AND c.us > p.s_us AND c.us < p.p_us
+        |      GROUP BY 1, 2, 3)
+        |SELECT user_id, s_us, CAST(n_clicks AS BIGINT) AS n_clicks, first_c_us,
+        |       last_c_us, CAST(sum_c_us AS BIGINT) AS sum_c_us, p_us
+        |FROM m ORDER BY user_id, s_us
         |""".stripMargin)))
 
   private lazy val allRowsQueries: Seq[GQuery] = Seq(

@@ -1,0 +1,120 @@
+package graft
+
+import graft.cep.MatchRecognize
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-statement MATCH_RECOGNIZE SQL dispatch (SqlClient.java:62 ->
+  * StreamExecMatch analog): the statement path must produce exactly what
+  * the builder API produces, pick the executor from the output mode, and
+  * be reachable through Engine.sql without hijacking plain queries. */
+class MatchSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    // user 1: signup(10) click(20) click(30) buy(40); user 2: signup only
+    Seq(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "buy"),
+      (2L, 15L, 5L, "signup"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("mr_events")
+  }
+
+  private val clause = """
+    PARTITION BY uid
+    ORDER BY t, eid
+    MEASURES A.t AS s_t, COUNT(B.*) AS n_clicks, LAST(C.t) AS buy_t
+    ONE ROW PER MATCH
+    PATTERN (A B+? C)
+    AFTER MATCH SKIP TO NEXT ROW
+    DEFINE A AS typ = 'signup', B AS typ = 'click', C AS typ = 'buy'
+  """
+
+  test("statement path equals the builder API (MEASURES mode)") {
+    import spark.implicits._
+    fixture()
+    val stmt = Engine.sql(spark, s"""
+      SELECT uid, s_t, n_clicks, buy_t
+      FROM mr_events MATCH_RECOGNIZE ($clause) AS m
+      ORDER BY uid, s_t
+    """).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stmt == Seq((1L, 10L, 2L, 40L)))
+    val api = MatchRecognize.runMeasures(spark, spark.table("mr_events"), clause)
+      .select("uid", "s_t", "n_clicks", "buy_t")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stmt.toSet == api)
+  }
+
+  test("SELECT * keeps every output column; WHERE filters output rows") {
+    fixture()
+    val all = Engine.sql(spark,
+      s"SELECT * FROM mr_events MATCH_RECOGNIZE ($clause)")
+    assert(all.columns.toSet == Set("uid", "match_no", "s_t", "n_clicks", "buy_t"))
+    val none = Engine.sql(spark, s"""
+      SELECT uid, n_clicks FROM mr_events MATCH_RECOGNIZE ($clause)
+      WHERE n_clicks > 99
+    """)
+    assert(none.count() == 0L)
+  }
+
+  test("ALL ROWS PER MATCH dispatches to the all-rows executor") {
+    import spark.implicits._
+    fixture()
+    val rows = Engine.sql(spark, s"""
+      SELECT uid, match_no, classifier, t
+      FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        ALL ROWS PER MATCH
+        PATTERN (A B+? C)
+        AFTER MATCH SKIP TO NEXT ROW
+        DEFINE A AS typ = 'signup', B AS typ = 'click', C AS typ = 'buy'
+      ) ORDER BY uid, match_no, t
+    """).as[(Long, Long, String, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1L, "A", 10L), (1L, 1L, "B", 20L),
+      (1L, 1L, "B", 30L), (1L, 1L, "C", 40L)))
+  }
+
+  test("no MEASURES falls back to the raw step_times executor") {
+    fixture()
+    val raw = Engine.sql(spark, s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        PATTERN (A C)
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE A AS typ = 'click', C AS typ = 'buy'
+      )
+    """)
+    assert(raw.columns.contains("step_times") || raw.columns.contains("key"))
+    assert(raw.count() == 1L)
+  }
+
+  test("expressions and renames in the outer SELECT; parens in DEFINE") {
+    import spark.implicits._
+    fixture()
+    val got = Engine.sql(spark, s"""
+      SELECT uid AS user, n_clicks * 10 AS nx
+      FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES COUNT(B.*) AS n_clicks
+        ONE ROW PER MATCH
+        PATTERN (A B+? C)
+        AFTER MATCH SKIP TO NEXT ROW
+        DEFINE A AS typ = 'signup', B AS typ IN ('click', 'view'),
+               C AS coalesce(typ, '') = 'buy'
+      )
+    """).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L)))
+  }
+
+  test("dispatch predicate: literals and plain SQL stay on spark.sql") {
+    assert(MatchRecognize.matchesSql("SELECT x FROM t MATCH_RECOGNIZE (...)"))
+    assert(!MatchRecognize.matchesSql("SELECT 'MATCH_RECOGNIZE(' AS note"))
+    assert(!MatchRecognize.matchesSql("SELECT 1"))
+    // Engine.sql still runs plain SQL untouched
+    assert(Engine.sql(spark, "SELECT 1 AS one").collect().head.getInt(0) == 1)
+  }
+}
