@@ -3,37 +3,59 @@ package graft
 import graft.operators.AsOfJoin
 import graft.util.SqlSplit
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** SQL-text surface for the temporal/as-of join — Flink's
   * `FOR SYSTEM_TIME AS OF` join syntax (flink-sql-parser parserImpls.ftl
   * SqlSnapshot; planner StreamExecTemporalJoin.java) lowered onto
   * `AsOfJoin.backward`'s single sort-shuffle algorithm.
   *
-  * Supported grammar (constrained, loudly enforced):
+  * Supported grammar (widened in round 4 to the shapes TemporalJoinITCase
+  * exercises — composite ON keys, star/bare/expression projections,
+  * dim-side predicates):
   * {{{
-  *   SELECT <alias>.<col> [AS <name>] [, ...]
+  *   SELECT <entry> [, ...]            -- entry := f.* | d.*
+  *                                     --        | <alias>.<col> [AS name]
+  *                                     --        | <col> [AS name]
+  *                                     --        | <expr> AS name
   *   FROM <factTable> [AS] <f>
   *   JOIN <dimTable> FOR SYSTEM_TIME AS OF <f>.<timeCol> [AS] <d>
-  *   ON <f>.<key> = <d>.<key>
-  *   [WHERE <predicate>] [ORDER BY <cols>]
+  *   ON <f>.<k1> = <d>.<k1> [AND <f>.<k2> = <d>.<k2> ...]
+  *   [WHERE <pred> [AND <pred> ...]] [ORDER BY <cols>]
   * }}}
+  *
+  * WHERE conjuncts referencing ONLY the dim alias are applied to the
+  * VERSION TABLE below the join (the snapshot-filter semantics of joining
+  * `(SELECT * FROM dim WHERE p) FOR SYSTEM_TIME AS OF …` — each fact row
+  * picks the latest version that satisfies the predicate) and re-checked
+  * after it, so fact rows with no qualifying version drop exactly as SQL's
+  * post-join WHERE would drop their NULL payload. All other conjuncts run
+  * after the join, where every fact column and referenced dim column is in
+  * scope. `d.*` expands to the dim's non-key columns (the fact side
+  * supplies the key values; an unmatched LEFT row's NULL d-key would
+  * otherwise be indistinguishable from a stored NULL).
   *
   * The dim's VERSION TIME column comes from the catalog when the dim was
   * created with a `WATERMARK FOR <col> ...` clause (`WatermarkDdl`
   * persists it as `graft.watermark.col` — exactly Flink's rule that a
   * versioned table declares its event-time attribute), or from the
-  * `versionTime` parameter for plain tables/views. Fact and dim column
-  * names must be disjoint apart from the join key (no output ambiguity).
+  * `versionTime` parameter for plain tables/views. Fact and referenced dim
+  * column names must be disjoint apart from the join keys (no output
+  * ambiguity).
   */
 object TemporalSql {
 
   private val Re =
     ("""(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s+""" +
       """JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)(?:\s+AS)?\s+(\w+)\s+""" +
-      """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""" +
+      """ON\s+(.+?)\s*""" +
       """(?:WHERE\s+(.+?)\s*)?(?:ORDER\s+BY\s+(.+?)\s*)?""").r
 
+  private val OnRe = """(?is)(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r
+  private val StarRe = """(?is)(\w+)\.\*""".r
   private val ProjRe = """(?is)(\w+)\.(\w+)(?:\s+AS\s+(\w+))?""".r
+  private val BareRe = """(?is)(\w+)(?:\s+AS\s+(\w+))?""".r
+  private val ExprAsRe = """(?is)(.+\S)\s+AS\s+(\w+)""".r
 
   /** True when `query` is a FOR SYSTEM_TIME AS OF join this bridge can
     * lower (the dispatch predicate for a shell front-end). String
@@ -46,14 +68,25 @@ object TemporalSql {
   def sql(spark: SparkSession, query: String,
       versionTime: Option[String] = None): DataFrame = query match {
     case Re(proj, factTbl, f, dimTbl, ofAlias, timeCol, d,
-        lAlias, lKey, rAlias, rKey, whereOpt, orderOpt) =>
+        onBody, whereOpt, orderOpt) =>
       require(ofAlias == f,
         s"FOR SYSTEM_TIME AS OF must reference the fact alias '$f', got '$ofAlias'")
-      val (fKey, dKey) =
-        if (lAlias == f && rAlias == d) (lKey, rKey)
-        else if (lAlias == d && rAlias == f) (rKey, lKey)
-        else throw new IllegalArgumentException(
-          s"ON clause must join aliases '$f' and '$d', got '$lAlias'/'$rAlias'")
+
+      // composite equi-keys: every ON conjunct is <alias>.<col>=<alias>.<col>
+      val keyPairs = SqlSplit.splitTopLevelAnd(onBody).map {
+        case OnRe(a1, c1, a2, c2) =>
+          if (a1 == f && a2 == d) (c1, c2)
+          else if (a1 == d && a2 == f) (c2, c1)
+          else throw new IllegalArgumentException(
+            s"ON conjuncts must join aliases '$f' and '$d', got '$a1'/'$a2'")
+        case other => throw new IllegalArgumentException(
+          s"ON conjuncts must be <alias>.<col> = <alias>.<col>, got '$other'")
+      }
+      require(keyPairs.nonEmpty, "ON clause needs at least one equi-key")
+      require(keyPairs.map(_._1).distinct.size == keyPairs.size,
+        "duplicate fact key column in ON clause")
+      val fKeys = keyPairs.map(_._1)
+      val dKeys = keyPairs.map(_._2)
 
       val fact = spark.table(factTbl)
       val dim = spark.table(dimTbl)
@@ -62,51 +95,105 @@ object TemporalSql {
           s"dim '$dimTbl' declares no event-time attribute (WATERMARK clause) " +
             "and no versionTime was given")))
 
-      // projection entries, each qualified alias.col [AS name]
-      val items = SqlSplit.splitTopLevel(proj).map {
-        case ProjRe(a, c, alias) =>
-          require(a == f || a == d, s"unknown alias '$a' in projection")
-          (a, c, Option(alias).getOrElse(c))
-        case other => throw new IllegalArgumentException(
-          s"projection entries must be <alias>.<col> [AS name], got '$other'")
+      def dimRefs(s: String): Seq[String] =
+        s"""(?i)\\b$d\\.(\\w+)""".r.findAllMatchIn(blankLiterals(s))
+          .map(_.group(1)).toSeq
+
+      // ---- projection entries -> (output SQL over joined columns, dim cols used)
+      var payload = Vector.empty[String]
+      def useDim(c: String): String = {
+        require(!dKeys.contains(c),
+          s"project the fact's join key (${fKeys(dKeys.indexOf(c))}), not the dim's ($d.$c)")
+        require(dim.columns.contains(c), s"dim '$dimTbl' has no column '$c'")
+        payload :+= c
+        c
       }
-      val dimPayload = items.collect { case (`d`, c, _) => c }.distinct
+      val entries = SqlSplit.splitTopLevel(proj).flatMap { e =>
+        e match {
+          case StarRe(a) if a == f => fact.columns.toSeq
+          case StarRe(a) if a == d =>
+            dim.columns.toSeq.filterNot(dKeys.contains).map(useDim)
+          case StarRe(a) =>
+            throw new IllegalArgumentException(s"unknown alias '$a' in projection")
+          case ProjRe(a, c, alias) if a == f || a == d =>
+            val src = if (a == d) useDim(c)
+            else {
+              require(fact.columns.contains(c), s"fact '$factTbl' has no column '$c'")
+              c
+            }
+            Seq(s"$src AS ${Option(alias).getOrElse(c)}")
+          case BareRe(c, alias) if fact.columns.contains(c) =>
+            Seq(s"$c AS ${Option(alias).getOrElse(c)}")
+          case BareRe(c, alias) if dim.columns.contains(c) && !dKeys.contains(c) =>
+            Seq(s"${useDim(c)} AS ${Option(alias).getOrElse(c)}")
+          case ExprAsRe(body, alias) =>
+            dimRefs(body).foreach(useDim)
+            Seq(s"${stripAliases(body, f, d)} AS $alias")
+          case other => throw new IllegalArgumentException(
+            s"unsupported projection entry '$other' (need alias.col [AS name], " +
+              "f.*, d.*, a bare column, or <expr> AS name)")
+        }
+      }
+
+      // ---- WHERE conjuncts: dim-only ones filter the version table below
+      // the join (and re-check after it); the rest run post-join.
+      val conjuncts = Option(whereOpt).toSeq.flatMap(SqlSplit.splitTopLevelAnd)
+      val (dimSide, postSide) = conjuncts.partition { c =>
+        val blanked = blankLiterals(c)
+        dimRefs(c).nonEmpty && !s"""(?i)\\b$f\\.""".r.findFirstIn(blanked).isDefined
+      }
+      (dimSide ++ postSide).foreach(c => dimRefs(c).foreach(useDim))
+      Option(orderOpt).foreach(o => dimRefs(o).foreach(useDim))
+
+      val dimPayload = payload.distinct
       require(dimPayload.nonEmpty,
-        s"projection references no '$d' column — the temporal join is a no-op")
-      // project f.<key> instead: for unmatched LEFT rows d.<key> is NULL,
-      // which the single-struct payload can't distinguish post-rename
-      require(!dimPayload.contains(dKey),
-        s"project the fact's join key ($f.$fKey), not the dim's ($d.$dKey)")
+        s"the statement references no '$d' column — the temporal join is a no-op")
       val overlap = dimPayload.toSet.intersect(fact.columns.toSet)
       require(overlap.isEmpty,
         s"fact and dim column names must be disjoint, both have: ${overlap.mkString(",")}")
 
-      // AsOfJoin.backward keys both sides by ONE column name; renaming
-      // must not collide with an unrelated dim column of the fact key's
-      // name (withColumnRenamed would silently duplicate it)
-      require(dKey == fKey || !dim.columns.contains(fKey),
-        s"dim '$dimTbl' already has a column '$fKey' distinct from its join " +
-          s"key '$dKey' — rename one side")
-      val dimKeyed = if (dKey == fKey) dim else dim.withColumnRenamed(dKey, fKey)
-      val joined = AsOfJoin.backward(fact, dimKeyed, fKey, timeCol, vt,
+      // version-table filter below the join (snapshot-filter semantics)
+      val dimFiltered = dimSide.foldLeft(dim)((df, c) =>
+        df.where(expr(stripAliases(c, f, d))))
+
+      // AsOfJoin keys both sides by the FACT's key names; renaming must not
+      // collide with an unrelated dim column of a fact key's name
+      // (withColumnRenamed would silently duplicate it)
+      val dimKeyed = keyPairs.foldLeft(dimFiltered) { case (df, (fk, dk)) =>
+        if (dk == fk) df
+        else {
+          require(!dim.columns.contains(fk),
+            s"dim '$dimTbl' already has a column '$fk' distinct from its join " +
+              s"key '$dk' — rename one side")
+          df.withColumnRenamed(dk, fk)
+        }
+      }
+      val joined = AsOfJoin.backward(fact, dimKeyed, fKeys, timeCol, vt,
         dimPayload, vt)
 
-      val projected = joined.selectExpr(items.map {
-        case (_, c, out) => s"$c AS $out"
-      }: _*)
-      val filtered = Option(whereOpt).map(w =>
-        projected.where(stripAliases(w, f, d))).getOrElse(projected)
+      // post-join predicates see every fact column + referenced dim column;
+      // dim-side conjuncts re-check so NULL-payload (no qualifying version)
+      // rows drop exactly as SQL's post-join WHERE would drop them
+      val filtered = (dimSide ++ postSide).foldLeft(joined)((df, c) =>
+        df.where(expr(stripAliases(c, f, d))))
+
+      val projected = filtered.selectExpr(entries: _*)
       Option(orderOpt).map(o =>
-        filtered.orderBy(SqlSplit.splitTopLevel(stripAliases(o, f, d))
-          .map(org.apache.spark.sql.functions.expr): _*)).getOrElse(filtered)
+        projected.orderBy(SqlSplit.splitTopLevel(stripAliases(o, f, d))
+          .map(expr): _*)).getOrElse(projected)
     case _ => throw new IllegalArgumentException(
       "unsupported FOR SYSTEM_TIME AS OF shape — see TemporalSql scaladoc")
   }
 
-  /** WHERE/ORDER BY fragments reference output columns; qualifiers are
-    * resolved away by the projection, so strip them — but only OUTSIDE
-    * single-quoted string literals (a predicate like tag = 'f.retail'
-    * must keep its literal intact). */
+  /** Blank single-quoted literals so alias scans don't match inside them. */
+  private def blankLiterals(s: String): String =
+    s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) " " * seg.length else seg
+    }.mkString("'")
+
+  /** Qualified references resolve to unqualified joined columns; strip the
+    * alias prefixes — but only OUTSIDE single-quoted string literals (a
+    * predicate like tag = 'f.retail' must keep its literal intact). */
   private def stripAliases(s: String, f: String, d: String): String =
     s.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg // inside quotes: untouched

@@ -34,15 +34,31 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
+      tieBreak: String): DataFrame =
+    backward(left, right, Seq(key), leftTime, rightTime, rightPayload, tieBreak)
+
+  /** Composite-key backward as-of join: both sides must carry the key
+    * columns under the same names (rename the dim side first). Same
+    * single sort-shuffle plan — the window just partitions on all keys. */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
       tieBreak: String): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
 
     val leftCols = left.columns.toSeq
+    val kCols = keys.map(k => s"__k_$k")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
       .withColumn("__rp", lit(null).cast(structTypeOf(right, rightPayload)))
-      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__tie"), col("__rp")) ++
+      .select((keys.zip(kCols).map { case (k, a) => col(k).as(a) } ++
+        Seq(col("__t"), col("__side"), col("__tie"), col("__rp")) ++
         leftCols.map(col)): _*)
 
     val r = right
@@ -50,10 +66,11 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(tieBreak).cast("long"))
       .withColumn("__rp", struct(rightPayload.map(col): _*))
-      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__tie"), col("__rp")) ++
+      .select((keys.zip(kCols).map { case (k, a) => col(k).as(a) } ++
+        Seq(col("__t"), col("__side"), col("__tie"), col("__rp")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
-    val w = Window.partitionBy(col("__k"))
+    val w = Window.partitionBy(kCols.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
 

@@ -1146,6 +1146,49 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // COMPOSITE-KEY temporal SQL (round-4 grammar width): for every
+      // event, the latest STRICTLY-EARLIER value recorded under the same
+      // (user_id, event_type) — a two-column ON clause (`ON f.u = d.du
+      // AND f.ty = d.dty`), strictly-before expressed as AS OF f.t - 1 µs
+      // via a precomputed fact column. Exercises the widened TemporalSql:
+      // composite equi-keys and bare-column/expression projections, still
+      // lowered onto the single sort-shuffle AsOfJoin.backward plan.
+      "q102_temporal_sql_composite_key",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        ev.select($"user_id".as("u"), $"event_type".as("ty"),
+            $"ts_us".as("t"), ($"ts_us" - 1L).as("tm1"), $"event_id".as("id"))
+          .createOrReplaceTempView("q102_fact")
+        ev.groupBy($"user_id".as("du"), $"event_type".as("dty"),
+            $"ts_us".as("dt"))
+          .agg(max($"value").as("val"))
+          .createOrReplaceTempView("q102_dim")
+        // coalesce in the statement itself (expression projection): the
+        // first event of a (user, type) has no earlier version -> -1
+        // sentinel, keeping the oracle compare null-free like q100
+        graft.TemporalSql.sql(s, """
+            SELECT f.id AS id, f.t AS t, coalesce(d.val, -1.0D) AS prev_val
+            FROM q102_fact f
+            JOIN q102_dim FOR SYSTEM_TIME AS OF f.tm1 AS d
+            ON f.u = d.du AND f.ty = d.dty
+            ORDER BY f.id
+          """, versionTime = Some("dt"))
+      },
+      Some("""
+        |WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_ns(ts) // 1000 AS t, value FROM events),
+        |d AS (SELECT user_id, event_type, t AS dt, MAX(value) AS val
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT e.event_id AS id, CAST(e.t AS BIGINT) AS t,
+        |       COALESCE((SELECT d.val FROM d
+        |        WHERE d.user_id = e.user_id AND d.event_type = e.event_type
+        |          AND d.dt <= e.t - 1
+        |        ORDER BY d.dt DESC LIMIT 1), -1.0) AS prev_val
+        |FROM e ORDER BY id
+        |""".stripMargin)),
+
+    GQuery(
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max

@@ -51,6 +51,35 @@ object SqlSplit {
     segs.nonEmpty && segs.forall(seg => TypeToken.matches(seg))
   }
 
+  /** Split a predicate on top-level AND keywords: ANDs inside parentheses
+    * or single-quoted literals don't split, and only whole-word ANDs count
+    * (an identifier like BRAND or a column and_ok survives intact). */
+  def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var paren = 0
+    var inQuote = false
+    var i = 0
+    def wordBoundary(j: Int): Boolean =
+      j < 0 || j >= s.length || (!s(j).isLetterOrDigit && s(j) != '_')
+    while (i < s.length) {
+      val c = s(i)
+      if (inQuote) {
+        cur += c; if (c == '\'') inQuote = false; i += 1
+      } else c match {
+        case '\'' => inQuote = true; cur += c; i += 1
+        case '(' => paren += 1; cur += c; i += 1
+        case ')' => paren -= 1; cur += c; i += 1
+        case 'a' | 'A' if paren == 0 && s.regionMatches(true, i, "AND", 0, 3) &&
+            wordBoundary(i - 1) && wordBoundary(i + 3) =>
+          out += cur.toString; cur.clear(); i += 3
+        case _ => cur += c; i += 1
+      }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   def splitTopLevel(s: String, angleTypes: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder

@@ -112,6 +112,99 @@ class TemporalSqlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
   }
 
+  test("composite ON keys join on all key columns") {
+    import spark.implicits._
+    // same (k) but different (k, g): the single-key join would pick the
+    // g=b version for the g=a fact row; the composite join must not
+    Seq((1L, "a", 10L, "f1"), (1L, "b", 10L, "f2"))
+      .toDF("k", "g", "t", "fact").createOrReplaceTempView("tsql_fact2")
+    Seq((1L, "a", 5L, 100.0), (1L, "b", 8L, 200.0))
+      .toDF("pk", "pg", "vt", "price").createOrReplaceTempView("tsql_dim2")
+    val got = TemporalSql.sql(spark, """
+      SELECT f.fact AS fact, d.price AS price
+      FROM tsql_fact2 f
+      JOIN tsql_dim2 FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk AND f.g = d.pg
+      ORDER BY f.fact
+    """, versionTime = Some("vt")).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("f1", 100.0), ("f2", 200.0)))
+  }
+
+  test("f.* / d.* / bare columns / expression projections") {
+    import spark.implicits._
+    fixtures()
+    val star = TemporalSql.sql(spark, """
+      SELECT f.*, d.price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      ORDER BY f.k, f.t
+    """, versionTime = Some("vt"))
+    assert(star.columns.toSeq == Seq("k", "t", "fact", "price"))
+    assert(star.count() == 3)
+    // d.* expands to the dim's non-key columns (vt, price)
+    val dstar = TemporalSql.sql(spark, """
+      SELECT f.k, d.*
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+    """, versionTime = Some("vt"))
+    assert(dstar.columns.toSet == Set("k", "vt", "price"))
+    // bare columns resolve across both sides; expressions need AS
+    val exprs = TemporalSql.sql(spark, """
+      SELECT fact, price, coalesce(d.price, 0.0) + 1 AS p1
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      ORDER BY f.k, f.t
+    """, versionTime = Some("vt"))
+      .as[(String, Option[Double], Double)].collect().toSeq
+    assert(exprs == Seq(
+      ("f1", Some(100.0), 101.0), ("f2", Some(200.0), 201.0), ("f3", None, 1.0)))
+  }
+
+  test("dim-side WHERE filters the VERSION TABLE below the join") {
+    import spark.implicits._
+    fixtures()
+    // version-filter semantics: fact t=25 sees version@8 (100.0) because
+    // the @20 version (200.0) is excluded BEFORE the as-of pick — unlike
+    // a post-join filter, which would drop the row entirely
+    val got = TemporalSql.sql(spark, """
+      SELECT f.k AS k, f.t AS t, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE d.price < 150
+      ORDER BY f.k, f.t
+    """, versionTime = Some("vt")).as[(Long, Long, Double)].collect().toSeq
+    // (2,5) has no qualifying version -> NULL payload -> dropped by the
+    // post-join re-check, exactly like SQL's WHERE on a NULL
+    assert(got == Seq((1L, 10L, 100.0), (1L, 25L, 100.0)))
+    // a dim-side predicate on a column that is NOT projected still works
+    val unprojected = TemporalSql.sql(spark, """
+      SELECT f.k AS k, f.t AS t, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE d.vt >= 9
+    """, versionTime = Some("vt")).as[(Long, Long, Double)].collect().toSet
+    // only (1,25) has a version with vt>=9 at-or-before its time
+    assert(unprojected == Set((1L, 25L, 200.0)))
+  }
+
+  test("mixed WHERE conjuncts run post-join with both sides in scope") {
+    import spark.implicits._
+    fixtures()
+    val got = TemporalSql.sql(spark, """
+      SELECT f.k AS k, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE f.t > 8 AND d.price IS NOT NULL
+    """, versionTime = Some("vt")).as[(Long, Double)].collect().toSeq
+    assert(got.sorted == Seq((1L, 100.0), (1L, 200.0)))
+  }
+
   test("unsupported shapes and missing metadata fail loudly") {
     fixtures()
     // no WATERMARK metadata and no versionTime
