@@ -130,11 +130,23 @@ object Cep {
     final case class SkipToLast(step: Int) extends AfterMatch
   }
 
+  /** `skipTo`/`loopTo` are the GROUP-pattern hooks (GroupPattern.java —
+    * quantifiers over a sub-pattern), wired by the GroupCep compiler:
+    *  - skipTo(i) = j: a run being placed at step i may instead ε-skip to
+    *    step j — the ALL-OR-NOTHING skip of an optional group copy (the
+    *    target is past the group's last chained copy, so repetition
+    *    counts are canonical prefixes, never resumed gaps);
+    *  - loopTo(i) = s: when a consume at step i completes the step, the
+    *    run ALSO branches back to step s — the NFA cycle of a oneOrMore
+    *    group; every full traversal emits its own match downstream,
+    *    exactly Flink's un-greedy group repetition. */
   final case class Pattern(
       steps: IndexedSeq[StepDef],
       within: Long = 0L, // max(t_last - t_first) per match; 0 = unbounded
       after: AfterMatch = AfterMatch.SkipPastLast,
-      maxRuns: Int = 64) {
+      maxRuns: Int = 64,
+      skipTo: Map[Int, Int] = Map.empty,
+      loopTo: Map[Int, Int] = Map.empty) {
     require(steps.nonEmpty, "pattern needs at least one step")
     require(!steps.head.negated && !steps.last.negated,
       "notFollowedBy cannot be the first or last step (Flink contract)")
@@ -209,11 +221,20 @@ object Cep {
     if (i >= p.nSteps) (Nil, List(bound))
     else {
       val here = Run(i, 0, guards.sorted, bound)
-      p.steps(i).quant match {
+      val (rs0, ds0) = p.steps(i).quant match {
         case Quant.Opt =>
           val (rs, ds) = place(p, bound, i + 1, guards)
           (here :: rs, ds)
         case _ => (List(here), Nil)
+      }
+      // group-pattern ε-skip: position i opens an OPTIONAL GROUP COPY —
+      // the run also exists past the whole chained span (all-or-nothing;
+      // entering the copy and abandoning it mid-way is not a placement)
+      p.skipTo.get(i) match {
+        case Some(j) =>
+          val (rs1, ds1) = place(p, bound, j, guards)
+          ((rs0 ++ rs1).distinct, (ds0 ++ ds1).distinct)
+        case None => (rs0, ds0)
       }
     }
   }
@@ -283,6 +304,12 @@ object Cep {
         // trailing optionals) still emit on every satisfying consume.
         if (!lazyLoop) rs.foreach(next += _)
         ds.foreach(done += _)
+        // group-pattern loop-back: completing the group's last step also
+        // branches a run at the group head — the NFA cycle of a oneOrMore
+        // GROUP (GroupPattern.java); each traversal count emits downstream.
+        p.loopTo.get(r.pos).foreach { start =>
+          place(p, bound2, start, Nil)._1.foreach(next += _)
+        }
       }
       // a lazy times(m,n) run that hit max parks FULL: it stops binding
       // loop events but stays alive to advance on a next-step event.

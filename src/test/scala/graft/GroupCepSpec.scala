@@ -1,0 +1,140 @@
+package graft
+
+import graft.cep.{Cep, GroupCep}
+import graft.cep.Cep.{AfterMatch, Quant, StepDef}
+import graft.cep.GroupCep.Seg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GROUP patterns (GroupPattern.java): quantifiers over sub-patterns —
+  * times(n) by inline expansion, oneOrMore by NFA loop-back, optional by
+  * all-or-nothing ε-skip — with logical-step masks in and folded
+  * step-time arrays out, batch/stream equivalent. */
+class GroupCepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def m(bits: Int*): Long = bits.foldLeft(0L)((a, b) => a | (1L << b))
+
+  test("(A B).times(2): one match binding both copies, folded to A/B") {
+    val c = GroupCep.compile(Seq(Seg.times(2, StepDef(), StepDef())))
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(0)), (4L, m(1))))
+    assert(got == List(Seq(Seq(1L, 3L), Seq(2L, 4L))))
+    // relaxed contiguity: non-matching events between copies are skipped
+    val noisy = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, 0L), (3L, m(1)), (4L, m(0)), (5L, m(1))))
+    assert(noisy == List(Seq(Seq(1L, 4L), Seq(3L, 5L))))
+  }
+
+  test("(A B).times(1,2) NO SKIP: a match per repetition count") {
+    val c = GroupCep.compile(
+      Seq(Seg.timesRange(1, 2, StepDef(), StepDef())), after = AfterMatch.NoSkip)
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(0)), (4L, m(1)))).toSet
+    assert(got == Set(
+      Seq(Seq(1L), Seq(2L)),             // count 1 from a@1
+      Seq(Seq(1L, 3L), Seq(2L, 4L)),     // count 2 from a@1
+      Seq(Seq(3L), Seq(4L))))            // count 1 from a@3
+  }
+
+  test("(A B).oneOrMore C: un-greedy — every repetition count emits") {
+    val c = GroupCep.compile(
+      Seq(Seg.oneOrMore(StepDef(), StepDef()), Seg.step()),
+      after = AfterMatch.NoSkip)
+    assert(c.pattern.loopTo == Map(1 -> 0))
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(0)), (4L, m(1)), (5L, m(2)))).toSet
+    assert(got == Set(
+      Seq(Seq(1L), Seq(2L), Seq(5L)),
+      Seq(Seq(1L, 3L), Seq(2L, 4L), Seq(5L)),
+      Seq(Seq(3L), Seq(4L), Seq(5L))))
+  }
+
+  test("(A B).optional C: present and absent group both match") {
+    val c = GroupCep.compile(
+      Seq(Seg.optional(StepDef(), StepDef()), Seg.step()),
+      after = AfterMatch.NoSkip)
+    val absent = GroupCep.run(c, Seq((1L, m(2))))
+    assert(absent == List(Seq(Seq(), Seq(), Seq(1L))))
+    val present = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(2)))).toSet
+    assert(present == Set(
+      Seq(Seq(1L), Seq(2L), Seq(3L)),    // group taken
+      Seq(Seq(), Seq(), Seq(3L))))       // group skipped (ε path)
+  }
+
+  test("no resumed gaps: optional copies are canonical prefixes") {
+    // (A){1,3}: a a a must yield counts 1,2,3 — never a duplicate from
+    // skip-copy-2-take-copy-3
+    val c = GroupCep.compile(
+      Seq(Seg.timesRange(1, 3, StepDef())), after = AfterMatch.NoSkip)
+    val got = GroupCep.run(c, Seq((1L, m(0)), (2L, m(0)), (3L, m(0))))
+    val fromA1 = got.filter(_.head.headOption.contains(1L))
+    assert(fromA1 == List(
+      Seq(Seq(1L)), Seq(Seq(1L, 2L)), Seq(Seq(1L, 2L, 3L))))
+    assert(got.distinct.size == got.size, "duplicate matches from skip paths")
+  }
+
+  test("inner quantifiers inside a group: (A.times(2) B).times(2)") {
+    val c = GroupCep.compile(Seq(
+      Seg.times(2, StepDef(Quant.Times(2)), StepDef())))
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(0)), (3L, m(1)),
+      (4L, m(0)), (5L, m(0)), (6L, m(1))))
+    assert(got == List(Seq(Seq(1L, 2L, 4L, 5L), Seq(3L, 6L))))
+  }
+
+  test("batch executor: logical masks in, folded step_times out") {
+    import spark.implicits._
+    val c = GroupCep.compile(Seq(Seg.times(2, StepDef(), StepDef())))
+    val events = Seq(
+      (7L, 1L, m(0), 1L), (7L, 2L, m(1), 2L),
+      (7L, 3L, m(0), 3L), (7L, 4L, m(1), 4L),
+      (8L, 1L, m(0), 5L)) // key 8: incomplete, no match
+      .toDF("key", "t", "mask", "tie")
+    val got = GroupCep.matchBatch(spark, events, c)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(got == Set((7L, Seq(Seq(1L, 3L), Seq(2L, 4L)))))
+  }
+
+  test("stream equals batch for a oneOrMore group across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val c = GroupCep.compile(
+      Seq(Seg.oneOrMore(StepDef(), StepDef()), Seg.step()),
+      within = 3600L * 1000000L, after = AfterMatch.NoSkip)
+    def us(sec: Long): Long = sec * 1000000L
+    val rows = Seq(
+      (1L, us(1), m(0), 1L), (1L, us(2), m(1), 2L),
+      (1L, us(3), m(0), 3L), (1L, us(4), m(1), 4L), (1L, us(5), m(2), 5L))
+    val batch = GroupCep.matchBatch(spark,
+        rows.toDF("key", "t", "mask", "tie"), c)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = GroupCep.matchStream(in.toDS(), c, "10 seconds")
+      .toDF("key", "step_times").writeStream
+      .outputMode("append").format("memory").queryName("gcep_out").start()
+    rows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    in.addData((0L, us(99999), 0L, 6L)) // advance watermark to flush
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gcep_out")
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("compile guards: bit budget, skip targets, unsupported shapes") {
+    val e1 = intercept[IllegalArgumentException](
+      GroupCep.compile(Seq(Seg.times(40, StepDef(), StepDef()))))
+    assert(e1.getMessage.contains("64"))
+    val e2 = intercept[IllegalArgumentException](GroupCep.compile(
+      Seq(Seg.oneOrMore(StepDef(), StepDef())),
+      after = AfterMatch.SkipToFirst(0)))
+    assert(e2.getMessage.contains("group"))
+    val c = GroupCep.compile(Seq(
+      Seg.step(), Seg.timesRange(1, 3, StepDef(), StepDef())))
+    // copies 2 and 3 of the group are optional; both skip past copy 3
+    assert(c.pattern.skipTo == Map(3 -> 7, 5 -> 7))
+    assert(c.fold == IndexedSeq(0, 1, 2, 1, 2, 1, 2))
+  }
+}
