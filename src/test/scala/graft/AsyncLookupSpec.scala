@@ -9,6 +9,7 @@ object AsyncLookupSpec {
   // executor-side counters (local mode: same JVM)
   val inFlight = new AtomicInteger(0)
   val maxInFlight = new AtomicInteger(0)
+  val remoteCalls = new AtomicInteger(0)
 }
 
 class AsyncLookupSpec extends AnyFunSuite {
@@ -76,6 +77,56 @@ class AsyncLookupSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("service down") ||
       Option(err.getCause).exists(_.getMessage.contains("service down")))
+  }
+
+  test("lookup cache: hot-key workload does far fewer lookups than rows") {
+    import spark.implicits._
+    import graft.operators.LookupCache
+    LookupCache.invalidate("spec_hot")
+    AsyncLookupSpec.remoteCalls.set(0)
+    // 1000 probe rows over only 10 distinct keys — the hot-key shape
+    val input = (1 to 1000).map(i => i % 10).toDS().repartition(2)
+    val lookup = LookupCache.cached[Int, String]("spec_hot",
+      maxEntries = 100, ttlMs = 3600_000L) { k =>
+      AsyncLookupSpec.remoteCalls.incrementAndGet()
+      s"dim$k"
+    }
+    val rows = AsyncLookup.ordered(input, capacity = 4, timeoutMs = 30000)(lookup)
+      .collect()
+    assert(rows.length == 1000)
+    rows.foreach { case (k, v) => assert(v == s"dim$k") }
+    // without the cache this is 1000 remote calls; with it, one per
+    // distinct key plus at most a few concurrent-miss races
+    val calls = AsyncLookupSpec.remoteCalls.get()
+    assert(calls <= 40, s"cache ineffective: $calls remote calls for 10 keys")
+    val c = LookupCache.shared[Int, String]("spec_hot", 100, 3600_000L)
+    assert(c.hits >= 960 && c.hitRate > 0.9,
+      s"hit accounting off: hits=${c.hits} rate=${c.hitRate}")
+  }
+
+  test("lookup cache: TTL expiry re-fetches, LRU evicts beyond capacity") {
+    import graft.operators.LookupCache
+    var now = 0L
+    val cache = new LookupCache[Int, String](maxEntries = 2, ttlMs = 100L,
+      clock = () => now)
+    var loads = 0
+    def fetch(k: Int): String = { loads += 1; s"v$k@$now" }
+    assert(cache.getOrLookup(1)(fetch) == "v1@0" && loads == 1)
+    assert(cache.getOrLookup(1)(fetch) == "v1@0" && loads == 1) // hit
+    now = 50
+    assert(cache.getOrLookup(1)(fetch) == "v1@0" && loads == 1) // still fresh
+    now = 101
+    assert(cache.getOrLookup(1)(fetch) == "v1@101" && loads == 2,
+      "expired entry must re-fetch")
+    // LRU: capacity 2 — touching 1 keeps it, inserting 3 evicts 2
+    now = 102
+    cache.getOrLookup(2)(fetch) // loads=3, cache={1,2}
+    cache.getOrLookup(1)(fetch) // hit, 1 most-recent
+    cache.getOrLookup(3)(fetch) // loads=4, evicts 2
+    val before = loads
+    cache.getOrLookup(2)(fetch) // must re-load (evicted)
+    assert(loads == before + 1, "LRU eviction did not drop the eldest entry")
+    assert(cache.size <= 2)
   }
 
   test("retry wrapper recovers from transient failures and rethrows on exhaustion") {
