@@ -40,6 +40,66 @@ object Cdc {
     inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
   }
 
+  /** Decode a Canal JSON envelope stream (columns: `value` string) into
+    * flat rows + row_kind — flink-formats/flink-json/.../canal/
+    * CanalJsonDeserializationSchema.java. Canal BATCHES rows: one message
+    * carries `data` as an ARRAY of rows; for UPDATE, `old[i]` holds only
+    * the CHANGED fields' before-values, so the emitted -U row is data[i]
+    * overlaid with old[i] (same per-field fallback as Flink's decoder;
+    * like it, a field updated TO null is indistinguishable from an
+    * unchanged one in the parsed struct). `es` is the source change time
+    * in ms and becomes `cdc_ts`. */
+  def decodeCanal(raw: DataFrame, payloadSchema: StructType): DataFrame = {
+    val envelope = new StructType()
+      .add("data", org.apache.spark.sql.types.ArrayType(payloadSchema))
+      .add("old", org.apache.spark.sql.types.ArrayType(payloadSchema))
+      .add("type", "string").add("es", "long")
+    val exploded = raw.select(from_json(col("value"), envelope).as("e"))
+      .select(upper(col("e.type")).as("__op"), col("e.es").as("cdc_ts"),
+        col("e.old").as("__olds"),
+        posexplode(col("e.data")).as(Seq("__i", "__row")))
+      .withColumn("__oldrow", try_element_at(col("__olds"), col("__i") + 1))
+    val inserts = exploded.filter(col("__op") === "INSERT")
+      .select(lit(Insert).as(RowKind), col("cdc_ts"), col("__row.*"))
+    val deletes = exploded.filter(col("__op") === "DELETE")
+      .select(lit(Delete).as(RowKind), col("cdc_ts"), col("__row.*"))
+    val updAfter = exploded.filter(col("__op") === "UPDATE")
+      .select(lit(UpdateAfter).as(RowKind), col("cdc_ts"), col("__row.*"))
+    val mergedBefore = payloadSchema.fields.toSeq.map(f =>
+      coalesce(col("__oldrow").getField(f.name), col("__row").getField(f.name))
+        .as(f.name))
+    val updBefore = exploded.filter(col("__op") === "UPDATE")
+      .select(lit(UpdateBefore).as(RowKind) +: col("cdc_ts") +: mergedBefore: _*)
+    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+  }
+
+  /** Decode a Maxwell JSON envelope stream — flink-formats/flink-json/
+    * .../maxwell/MaxwellJsonDeserializationSchema.java. One row per
+    * message (`data` is a single object); for update, `old` carries the
+    * changed fields' before-values, overlaid onto `data` for the -U row
+    * exactly as in the canal decoder. Maxwell's `ts` is SECONDS — emitted
+    * as ms in `cdc_ts` so every decoder shares one clock unit. */
+  def decodeMaxwell(raw: DataFrame, payloadSchema: StructType): DataFrame = {
+    val envelope = new StructType()
+      .add("data", payloadSchema).add("old", payloadSchema)
+      .add("type", "string").add("ts", "long")
+    val parsed = raw.select(from_json(col("value"), envelope).as("e"))
+      .select(lower(col("e.type")).as("__op"), (col("e.ts") * 1000L).as("cdc_ts"),
+        col("e.data").as("__row"), col("e.old").as("__oldrow"))
+    val inserts = parsed.filter(col("__op") === "insert")
+      .select(lit(Insert).as(RowKind), col("cdc_ts"), col("__row.*"))
+    val deletes = parsed.filter(col("__op") === "delete")
+      .select(lit(Delete).as(RowKind), col("cdc_ts"), col("__row.*"))
+    val updAfter = parsed.filter(col("__op") === "update")
+      .select(lit(UpdateAfter).as(RowKind), col("cdc_ts"), col("__row.*"))
+    val mergedBefore = payloadSchema.fields.toSeq.map(f =>
+      coalesce(col("__oldrow").getField(f.name), col("__row").getField(f.name))
+        .as(f.name))
+    val updBefore = parsed.filter(col("__op") === "update")
+      .select(lit(UpdateBefore).as(RowKind) +: col("cdc_ts") +: mergedBefore: _*)
+    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+  }
+
   /** Drop -U rows (flink-table-runtime .../misc/DropUpdateBeforeFunction
     * .java) — legal whenever the downstream operator is upsert-keyed. */
   def dropUpdateBefore(changelog: DataFrame): DataFrame =

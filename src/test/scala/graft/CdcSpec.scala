@@ -35,6 +35,48 @@ class CdcSpec extends AnyFunSuite {
     assert(!kinds.contains(Cdc.UpdateBefore) && kinds.contains(Cdc.UpdateAfter))
   }
 
+  test("canal decode: batched data[] arrays, old[] overlay for -U") {
+    import spark.implicits._
+    val canal = Seq(
+      // batched insert: TWO rows in one message
+      """{"data":[{"id":1,"name":"a"},{"id":2,"name":"x"}],"old":null,"type":"INSERT","es":1}""",
+      // batched update: old[] holds only the CHANGED field per row
+      """{"data":[{"id":1,"name":"b"},{"id":2,"name":"y"}],
+          "old":[{"name":"a"},{"name":"x"}],"type":"UPDATE","es":2}""",
+      """{"data":[{"id":2,"name":"y"}],"old":null,"type":"DELETE","es":3}""")
+      .map(_.replaceAll("\n\\s*", "")).toDF("value")
+    val log = Cdc.decodeCanal(canal, payload)
+    val kinds = log.groupBy(col(Cdc.RowKind)).count().as[(String, Long)]
+      .collect().toMap
+    assert(kinds == Map("+I" -> 2L, "-U" -> 2L, "+U" -> 2L, "-D" -> 1L))
+    // the -U rows reconstruct the full before-image: id from data (absent
+    // in old), name from old
+    val befores = log.filter(col(Cdc.RowKind) === Cdc.UpdateBefore)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(befores == Set((1L, "a"), (2L, "x")))
+    // the whole changelog materializes to the expected final state
+    val fin = Cdc.upsertMaterialize(log, Seq("id"), "cdc_ts", "cdc_ts")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(fin == Set((1L, "b")))
+  }
+
+  test("maxwell decode: single-row envelopes, seconds ts, old overlay") {
+    import spark.implicits._
+    val maxwell = Seq(
+      """{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"name":"a"}}""",
+      """{"database":"d","table":"t","type":"update","ts":2,"data":{"id":1,"name":"b"},"old":{"name":"a"}}""",
+      """{"database":"d","table":"t","type":"delete","ts":3,"data":{"id":1,"name":"b"}}""")
+      .toDF("value")
+    val log = Cdc.decodeMaxwell(maxwell, payload)
+    val rows = log.select(col(Cdc.RowKind), col("cdc_ts"), col("id"), col("name"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(rows == Set(
+      ("+I", 1000L, 1L, "a"),
+      ("-U", 2000L, 1L, "a"), // name from old, id from data
+      ("+U", 2000L, 1L, "b"),
+      ("-D", 3000L, 1L, "b")))
+  }
+
   test("upsertMaterialize collapses to final per-key state, drops deleted keys") {
     import spark.implicits._
     val log = Cdc.decodeDebezium(envelopes.toDF("value"), payload)
