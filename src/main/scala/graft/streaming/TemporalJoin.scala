@@ -39,13 +39,23 @@ object TemporalJoin {
   /** Event-time temporal join of a fact stream against a versioned-table
     * stream. `delay` is the watermark delay applied to the unioned input
     * (both sides share one watermark domain, like Flink's two-input
-    * operator takes min(input watermarks)). */
+    * operator takes min(input watermarks)).
+    *
+    * `maxIdleMs` > 0 arms an IDLE-STATE TTL (Flink's StateTtlConfig /
+    * table.exec.state.ttl analog): a key whose state sees no new row for
+    * `maxIdleMs` of event time is dropped entirely — including its
+    * retained latest version, so a later fact on that key pads NULL
+    * instead of matching a stale version. 0 = retain forever (Flink's
+    * default without idle state retention). The expiry clock is the
+    * watermark and fires on the cleanup timer — a silent key's state is
+    * reclaimed without waiting for traffic. */
   def temporalJoin[K: Encoder](
       facts: Dataset[(K, java.sql.Timestamp, String)],
       versions: Dataset[(K, java.sql.Timestamp, String)],
-      delay: String)(
+      delay: String,
+      maxIdleMs: Long = 0L)(
       implicit etag: Encoder[(Int, K, java.sql.Timestamp, String)],
-      es: Encoder[(Seq[(Long, String)], Seq[(Long, String)])],
+      es: Encoder[(Seq[(Long, String)], Seq[(Long, String)], Long)],
       eo: Encoder[(K, Long, String, Option[String])]): Dataset[(K, Long, String, Option[String])] = {
 
     // Tag + union, then re-assert the watermark on the union's TOP-LEVEL
@@ -56,18 +66,22 @@ object TemporalJoin {
       .withWatermark("_3", delay)
 
     def handle(key: K, rows: Iterator[(Int, K, java.sql.Timestamp, String)],
-        state: GroupState[(Seq[(Long, String)], Seq[(Long, String)])])
+        state: GroupState[(Seq[(Long, String)], Seq[(Long, String)], Long)])
         : Iterator[(K, Long, String, Option[String])] = {
       val wm = state.getCurrentWatermarkMs()
-      var (pendingFacts, vers) = state.getOption
-        .getOrElse((Seq.empty[(Long, String)], Seq.empty[(Long, String)]))
+      var (pendingFacts, vers, lastTouch0) = state.getOption
+        .getOrElse((Seq.empty[(Long, String)], Seq.empty[(Long, String)], wm))
+      var sawRows = false
       rows.foreach { case (side, _, t0, p) =>
+        sawRows = true
         val t = t0.getTime
         if (t > wm) { // rows at/below the watermark are late: dropped
           if (side == 0) pendingFacts = pendingFacts :+ ((t, p))
           else vers = vers :+ ((t, p))
         }
       }
+      // last-activity clock for the idle TTL: any arriving row touches
+      val lastTouch = if (sawRows) math.max(lastTouch0, wm) else lastTouch0
       val (ready, pending) = pendingFacts.partition(_._1 <= wm)
       val sortedVers = vers.sortBy(identity)
       val out = ready.sortBy(identity).map { case (t, p) =>
@@ -80,10 +94,14 @@ object TemporalJoin {
         .map(_._1).getOrElse(Long.MinValue)
       val keptVers = sortedVers.filter(_._1 >= cutoff)
       if (pending.isEmpty && keptVers.isEmpty) state.remove()
-      else {
-        state.update((pending, keptVers))
+      else if (maxIdleMs > 0 && pending.isEmpty && wm - lastTouch > maxIdleMs) {
+        state.remove() // idle horizon passed: version-only state expires
+      } else {
+        state.update((pending, keptVers, lastTouch))
         if (pending.nonEmpty)
           state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+        else if (maxIdleMs > 0) // wake exactly when the idle horizon passes
+          state.setTimeoutTimestamp(math.max(lastTouch + maxIdleMs + 1, wm + 1))
       }
       out.iterator
     }

@@ -129,6 +129,59 @@ class TemporalJoinSpec extends AnyFunSuite {
       ("c", "fc", None)))
   }
 
+  test("idle-state TTL: a fact-silent key's retained version expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // WITH maxIdle = 20 s: the version keyed 'a' arrives, then only other
+    // keys see traffic; once the watermark passes the idle horizon the
+    // cleanup timer drops a's state, so a LATER fact on 'a' pads NULL.
+    val facts = MemoryStream[(String, Timestamp, String)]
+    val versions = MemoryStream[(String, Timestamp, String)]
+    val joined = TemporalJoin.temporalJoin(
+      facts.toDS(), versions.toDS(), "0 seconds", maxIdleMs = 20000L)
+    val q = joined.toDF("k", "t", "fact", "version").writeStream
+      .outputMode("append").format("memory").queryName("tj_ttl").start()
+    versions.addData(("a", ts(10), "v1"))
+    q.processAllAvailable()
+    facts.addData(("z", ts(50), "advance1")) // wm -> 50: horizon passed
+    q.processAllAvailable()
+    facts.addData(("z", ts(55), "advance2")) // fires a's cleanup timer
+    q.processAllAvailable()
+    facts.addData(("a", ts(60), "f_after_ttl"), ("z", ts(90), "advance3"))
+    q.processAllAvailable()
+    facts.addData(("z", ts(120), "advance4")) // release f_after_ttl
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tj_ttl")
+      .select($"k", $"fact", $"version")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got.contains(("a", "f_after_ttl", None)),
+      s"expired version must not match: $got")
+
+    // WITHOUT the TTL the same replay matches v1 (retention is forever).
+    val facts2 = MemoryStream[(String, Timestamp, String)]
+    val versions2 = MemoryStream[(String, Timestamp, String)]
+    val joined2 = TemporalJoin.temporalJoin(
+      facts2.toDS(), versions2.toDS(), "0 seconds")
+    val q2 = joined2.toDF("k", "t", "fact", "version").writeStream
+      .outputMode("append").format("memory").queryName("tj_nottl").start()
+    versions2.addData(("a", ts(10), "v1"))
+    q2.processAllAvailable()
+    facts2.addData(("z", ts(50), "advance1"))
+    q2.processAllAvailable()
+    facts2.addData(("a", ts(60), "f_later"), ("z", ts(90), "advance2"))
+    q2.processAllAvailable()
+    facts2.addData(("z", ts(120), "advance3"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.table("tj_nottl")
+      .select($"k", $"fact", $"version")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got2.contains(("a", "f_later", Some("v1"))),
+      s"without TTL the version must remain matchable: $got2")
+  }
+
   test("proc-time temporal join: facts join the latest version, batch tick") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
