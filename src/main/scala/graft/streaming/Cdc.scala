@@ -100,6 +100,29 @@ object Cdc {
     inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
   }
 
+  /** Decode an Oracle GoldenGate (Ogg) JSON envelope stream —
+    * flink-formats/flink-json/.../ogg/OggJsonDeserializationSchema.java.
+    * Debezium-like shape with different field names: full `before` and
+    * `after` images, `op_type` I/U/D, `current_ts` an ISO timestamp
+    * (parsed to ms in `cdc_ts`). */
+  def decodeOgg(raw: DataFrame, payloadSchema: StructType): DataFrame = {
+    val envelope = new StructType()
+      .add("before", payloadSchema).add("after", payloadSchema)
+      .add("op_type", "string").add("current_ts", "string")
+    val parsed = raw.select(from_json(col("value"), envelope).as("e"))
+      .withColumn("cdc_ts",
+        (unix_micros(to_timestamp(col("e.current_ts"))) / 1000L).cast("long"))
+    val inserts = parsed.filter(upper(col("e.op_type")) === "I")
+      .select(lit(Insert).as(RowKind), col("cdc_ts"), col("e.after.*"))
+    val deletes = parsed.filter(upper(col("e.op_type")) === "D")
+      .select(lit(Delete).as(RowKind), col("cdc_ts"), col("e.before.*"))
+    val updBefore = parsed.filter(upper(col("e.op_type")) === "U")
+      .select(lit(UpdateBefore).as(RowKind), col("cdc_ts"), col("e.before.*"))
+    val updAfter = parsed.filter(upper(col("e.op_type")) === "U")
+      .select(lit(UpdateAfter).as(RowKind), col("cdc_ts"), col("e.after.*"))
+    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+  }
+
   /** Drop -U rows (flink-table-runtime .../misc/DropUpdateBeforeFunction
     * .java) — legal whenever the downstream operator is upsert-keyed. */
   def dropUpdateBefore(changelog: DataFrame): DataFrame =

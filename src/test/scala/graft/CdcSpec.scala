@@ -77,6 +77,25 @@ class CdcSpec extends AnyFunSuite {
       ("-D", 3000L, 1L, "b")))
   }
 
+  test("ogg decode: full before/after images, ISO timestamp to ms") {
+    import spark.implicits._
+    val ogg = Seq(
+      """{"table":"T","op_type":"I","current_ts":"2024-01-01 00:00:01","after":{"id":1,"name":"a"}}""",
+      """{"table":"T","op_type":"U","current_ts":"2024-01-01 00:00:02",
+          "before":{"id":1,"name":"a"},"after":{"id":1,"name":"b"}}""",
+      """{"table":"T","op_type":"D","current_ts":"2024-01-01 00:00:03","before":{"id":1,"name":"b"}}""")
+      .map(_.replaceAll("\n\\s*", "")).toDF("value")
+    val log = Cdc.decodeOgg(ogg, payload)
+    val rows = log.select(col(Cdc.RowKind), col("cdc_ts"), col("id"), col("name"))
+      .as[(String, Long, Long, String)].collect().toSet
+    val base = 1704067200000L // 2024-01-01T00:00:00Z (session tz is UTC)
+    assert(rows == Set(
+      ("+I", base + 1000L, 1L, "a"),
+      ("-U", base + 2000L, 1L, "a"),
+      ("+U", base + 2000L, 1L, "b"),
+      ("-D", base + 3000L, 1L, "b")))
+  }
+
   test("upsertMaterialize collapses to final per-key state, drops deleted keys") {
     import spark.implicits._
     val log = Cdc.decodeDebezium(envelopes.toDF("value"), payload)
