@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *   ONE ROW PER MATCH                   -- the only supported mode
   *   PATTERN ( NAME[+|+?|?|{n}|{m,n}] ... )  -- + is GREEDY (SQL default),
   *                                           -- +? reluctant -> relaxed loop
+  *           | ( (NAME ...)[+|?|{n}|{m,n}] ) -- GROUP term: the quantifier
+  *                                           -- applies to the sub-pattern
+  *                                           -- (GroupPattern.java; runs on
+  *                                           -- the GroupCep expansion)
   *   WITHIN <time units of the ORDER BY column>
   *   AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *              | SKIP TO FIRST <name> | SKIP TO LAST <name>
@@ -37,6 +41,11 @@ object MatchRecognize {
 
   final case class Measure(fn: String, variable: String, column: String, alias: String)
 
+  /** `groups` marks GROUP-quantified spans of the logical step list:
+    * (startStep, endStepExclusive, minReps, maxReps; max = -1 unbounded) —
+    * produced by parenthesized PATTERN terms like ((A B)+ C), executed
+    * through GroupCep. Empty = plain linear pattern (the common case,
+    * runs on the direct Cep path). */
   final case class Clause(
       partitionBy: String,
       orderBy: String,
@@ -45,11 +54,12 @@ object MatchRecognize {
       within: Long,
       after: Cep.AfterMatch,
       defines: Map[String, String],
-      measures: Seq[Measure] = Nil)
+      measures: Seq[Measure] = Nil,
+      groups: Seq[(Int, Int, Int, Int)] = Nil)
 
   private val PartitionRe = """(?is).*PARTITION\s+BY\s+(\w+).*""".r
   private val OrderRe = """(?is).*ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?(?:\s.*)?""".r
-  private val PatternRe = """(?is).*PATTERN\s*\(\s*([^)]*)\).*""".r
+  private val PatternStartRe = """(?i)PATTERN\s*\(""".r
   private val WithinRe = """(?is).*WITHIN\s+(\d+).*""".r
   private val AfterRe =
     """(?is).*AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+FIRST\s+\w+|SKIP\s+TO\s+LAST\s+\w+).*""".r
@@ -66,6 +76,101 @@ object MatchRecognize {
   private def splitTopLevel(s: String): Seq[String] =
     graft.util.SqlSplit.splitTopLevel(s)
 
+  private def stepOf(quantTok: Option[String]): Cep.StepDef = quantTok match {
+    case None => Cep.StepDef()
+    case Some("?") => Cep.StepDef(Cep.Quant.Opt)
+    case Some("+") => Cep.StepDef(Cep.Quant.OneOrMore, rep = Cep.Rep.Greedy)
+    case Some("+?") => Cep.StepDef(Cep.Quant.OneOrMore, rep = Cep.Rep.Relaxed)
+    case Some(t) if t.startsWith("{") =>
+      t.stripPrefix("{").stripSuffix("}").split(",") match {
+        case Array(n) => Cep.StepDef(Cep.Quant.Times(n.trim.toInt))
+        case Array(mn, mx) =>
+          Cep.StepDef(Cep.Quant.TimesRange(mn.trim.toInt, mx.trim.toInt))
+        case _ => throw new IllegalArgumentException(s"bad quantifier $t")
+      }
+    case Some(other) =>
+      throw new IllegalArgumentException(s"MATCH_RECOGNIZE: bad quantifier $other")
+  }
+
+  private val GroupQuantRe = """\s*(\+\?|\+|\?|\{\d+(?:,\d+)?\})""".r
+
+  /** Tokenize a PATTERN body into logical steps + group spans. Terms are
+    * NAME[quant] or a parenthesized sub-pattern with a group quantifier:
+    * ((A B)+ C), ((A B){2} C), ((A B)? C) — the SQL-standard row-pattern
+    * grouping that Flink runs through GroupPattern. An unquantified
+    * paren term is plain grouping and inlines. Nested groups are not
+    * supported (same scope note as GroupCep). */
+  private def parsePattern(body: String)
+      : (Seq[(String, Cep.StepDef)], Seq[(Int, Int, Int, Int)]) = {
+    val steps = Seq.newBuilder[(String, Cep.StepDef)]
+    var groups = Vector.empty[(Int, Int, Int, Int)]
+    var logical = 0
+    var i = 0
+    while (i < body.length) {
+      val ch = body(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '(') {
+        var depth = 1
+        var j = i + 1
+        while (j < body.length && depth > 0) {
+          if (body(j) == '(') depth += 1
+          else if (body(j) == ')') depth -= 1
+          j += 1
+        }
+        require(depth == 0, s"PATTERN: unbalanced parentheses in '$body'")
+        val (innerSteps, innerGroups) = parsePattern(body.substring(i + 1, j - 1))
+        require(innerGroups.isEmpty, "PATTERN: nested group quantifiers are not supported")
+        require(innerSteps.nonEmpty, "PATTERN: empty group")
+        val (mn, mx, consumed) =
+          GroupQuantRe.findPrefixMatchOf(body.substring(j)) match {
+            case Some(m) => m.group(1) match {
+              case "+" | "+?" => (1, -1, m.end)
+              case "?" => (0, 1, m.end)
+              case t => t.stripPrefix("{").stripSuffix("}").split(",") match {
+                case Array(n) => (n.trim.toInt, n.trim.toInt, m.end)
+                case Array(a, b) => (a.trim.toInt, b.trim.toInt, m.end)
+                case _ => throw new IllegalArgumentException(s"bad quantifier $t")
+              }
+            }
+            case None => (1, 1, 0)
+          }
+        if (!(mn == 1 && mx == 1))
+          groups :+= ((logical, logical + innerSteps.size, mn, mx))
+        innerSteps.foreach(steps += _)
+        logical += innerSteps.size
+        i = j + consumed
+      } else {
+        StepTok.findPrefixMatchOf(body.substring(i)) match {
+          case Some(m) =>
+            steps += (m.group(1) -> stepOf(Option(m.group(2))))
+            logical += 1
+            i += m.end
+          case None => throw new IllegalArgumentException(
+            s"PATTERN: cannot parse at '${body.substring(i)}'")
+        }
+      }
+    }
+    (steps.result(), groups)
+  }
+
+  /** Compile a clause with group spans onto the GroupCep expansion. */
+  private def compiledGroups(c: Clause): GroupCep.Compiled = {
+    val byStart = c.groups.map(g => g._1 -> g).toMap
+    val segs = Seq.newBuilder[GroupCep.Seg]
+    var i = 0
+    while (i < c.steps.size) {
+      byStart.get(i) match {
+        case Some((s, e, mn, mx)) =>
+          segs += GroupCep.Seg(c.steps.slice(s, e).map(_._2).toIndexedSeq, mn, mx)
+          i = e
+        case None =>
+          segs += GroupCep.Seg(IndexedSeq(c.steps(i)._2))
+          i += 1
+      }
+    }
+    GroupCep.compile(segs.result(), within = c.within, after = c.after)
+  }
+
   def parse(clause: String): Clause = {
     val partition = clause match {
       case PartitionRe(c) => c
@@ -75,30 +180,11 @@ object MatchRecognize {
       case OrderRe(c, t) => (c, Option(t))
       case _ => throw new IllegalArgumentException("MATCH_RECOGNIZE: missing ORDER BY")
     }
-    val patternBody = clause match {
-      case PatternRe(p) => p.trim
-      case _ => throw new IllegalArgumentException("MATCH_RECOGNIZE: missing PATTERN")
-    }
-    val steps = StepTok.findAllMatchIn(patternBody).map { m =>
-      val name = m.group(1)
-      val quant = Option(m.group(2)) match {
-        case None => Cep.StepDef()
-        case Some("?") => Cep.StepDef(Cep.Quant.Opt)
-        case Some("+") => Cep.StepDef(Cep.Quant.OneOrMore, rep = Cep.Rep.Greedy)
-        case Some("+?") => Cep.StepDef(Cep.Quant.OneOrMore, rep = Cep.Rep.Relaxed)
-        case Some(t) if t.startsWith("{") =>
-          t.stripPrefix("{").stripSuffix("}").split(",") match {
-            case Array(n) => Cep.StepDef(Cep.Quant.Times(n.trim.toInt))
-            case Array(mn, mx) =>
-              Cep.StepDef(Cep.Quant.TimesRange(mn.trim.toInt, mx.trim.toInt))
-            case _ =>
-              throw new IllegalArgumentException(s"bad quantifier $t")
-          }
-        case Some(other) =>
-          throw new IllegalArgumentException(s"MATCH_RECOGNIZE: bad quantifier $other")
-      }
-      name -> quant
-    }.toSeq
+    val pStart = PatternStartRe.findFirstMatchIn(clause).getOrElse(
+      throw new IllegalArgumentException("MATCH_RECOGNIZE: missing PATTERN"))
+    val pEnd = closeParen(clause, pStart.end)
+    val patternBody = clause.substring(pStart.end, pEnd - 1).trim
+    val (steps, groups) = parsePattern(patternBody)
     require(steps.nonEmpty, "MATCH_RECOGNIZE: empty PATTERN")
     val within = clause match {
       case WithinRe(ms) => ms.toLong
@@ -151,7 +237,7 @@ object MatchRecognize {
       require(stepIdx.contains(m.variable),
         s"MATCH_RECOGNIZE: unknown pattern variable ${m.variable} in MEASURES")
     }
-    Clause(partition, order, tie, steps, within, after, defines, measures)
+    Clause(partition, order, tie, steps, within, after, defines, measures, groups)
   }
 
   /** Lower a parsed clause onto (tagged events, compiled pattern). */
@@ -171,8 +257,10 @@ object MatchRecognize {
 
   /** Compile and run the clause against a batch DataFrame. */
   def run(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
-    val (events, pattern) = lower(df, parse(clause))
-    Cep.matchBatch(spark, events, pattern)
+    val c = parse(clause)
+    val (events, pattern) = lower(df, c)
+    if (c.groups.isEmpty) Cep.matchBatch(spark, events, pattern)
+    else GroupCep.matchBatch(spark, events, compiledGroups(c))
   }
 
   /** Compile and run a clause WITH MEASURES (ONE ROW PER MATCH): output is
@@ -194,7 +282,20 @@ object MatchRecognize {
     val (events, pattern) = lower(df, c)
     val stepIdx = c.steps.map(_._1).zipWithIndex.toMap
 
-    val bound = Cep.matchBatchBound(spark, events, pattern)
+    // group clauses run on the expanded pattern; measures then test step
+    // membership against the logical variable's SET of expanded copies
+    val compOpt = if (c.groups.isEmpty) None else Some(compiledGroups(c))
+    def inStepOf(i: Int): org.apache.spark.sql.Column = compOpt match {
+      case None => col("__step") === lit(i)
+      case Some(cp) =>
+        val ids = cp.fold.zipWithIndex.collect { case (li, j) if li == i => j.toLong }
+        col("__step").isin(ids: _*)
+    }
+    val bound = (compOpt match {
+      case None => Cep.matchBatchBound(spark, events, pattern)
+      case Some(cp) => Cep.matchBatchBound(spark,
+        events.withColumn("mask", cp.expandMaskCol(col("mask"))), cp.pattern)
+    })
       .select(col("key"), col("match_no"), explode(col("bound")).as("b"))
       .select(col("key"), col("match_no"),
         col("b._1").as("__step"), col("b._2").as("__t"), col("b._3").as("__tie"))
@@ -212,7 +313,7 @@ object MatchRecognize {
 
     val aggs = c.measures.map { m =>
       val i = stepIdx(m.variable)
-      val inStep = col("__step") === lit(i)
+      val inStep = inStepOf(i)
       (m.fn match {
         case "COUNT" => count(when(inStep, lit(1)))
         case "AVG" => avg(when(inStep, col(m.column)))
@@ -337,9 +438,18 @@ object MatchRecognize {
     require(c.tieBy.nonEmpty,
       "MATCH_RECOGNIZE: ALL ROWS PER MATCH requires ORDER BY <time>, <unique tie>")
     val (events, pattern) = lower(df, c)
-    val classifier = array(c.steps.map(s => lit(s._1)): _*)
+    // with groups the bound steps are EXPANDED indices: classify via the
+    // expanded->logical name table (copies share their variable's name)
+    val compOpt = if (c.groups.isEmpty) None else Some(compiledGroups(c))
+    val names = compOpt.map(cp => cp.fold.map(li => c.steps(li)._1))
+      .getOrElse(c.steps.map(_._1))
+    val classifier = array(names.map(lit): _*)
 
-    val bound = Cep.matchBatchBound(spark, events, pattern)
+    val bound = (compOpt match {
+      case None => Cep.matchBatchBound(spark, events, pattern)
+      case Some(cp) => Cep.matchBatchBound(spark,
+        events.withColumn("mask", cp.expandMaskCol(col("mask"))), cp.pattern)
+    })
       .select(col("key"), col("match_no"), explode(col("bound")).as("b"))
       .select(col("key"), col("match_no"),
         element_at(classifier, col("b._1").cast("int") + 1).as("classifier"),
@@ -363,7 +473,8 @@ object MatchRecognize {
   def runStream(df: DataFrame, clause: String, delay: String = "0 seconds")
       : org.apache.spark.sql.Dataset[(Long, Seq[Seq[Long]])] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val (events, pattern) = lower(df, parse(clause))
+    val c = parse(clause)
+    val (events, pattern) = lower(df, c)
     implicit val ek: org.apache.spark.sql.Encoder[Long] = ExpressionEncoder[Long]()
     implicit val erow: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)] =
       ExpressionEncoder[(Long, Long, Long, Long)]()
@@ -373,6 +484,10 @@ object MatchRecognize {
       ExpressionEncoder[(Seq[(Long, Long, Long)], List[Cep.Run])]()
     implicit val eo: org.apache.spark.sql.Encoder[(Long, Seq[Seq[Long]])] =
       ExpressionEncoder[(Long, Seq[Seq[Long]])]()
-    Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern, delay)
+    if (c.groups.isEmpty)
+      Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern, delay)
+    else
+      GroupCep.matchStream(events.as[(Long, Long, Long, Long)],
+        compiledGroups(c), delay)
   }
 }

@@ -123,6 +123,53 @@ class GroupCepSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("SQL PATTERN group terms: ((A B){2} C) through MATCH_RECOGNIZE") {
+    import spark.implicits._
+    // two full (a b) rounds then a buy — one row per key 1 match
+    Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "a"), (1L, 40L, 4L, "b"), (1L, 50L, 5L, "c"),
+      (2L, 10L, 6L, "a"), (2L, 20L, 7L, "b"), (2L, 30L, 8L, "c")) // only 1 round
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("gmr_events")
+    val got = Engine.sql(spark, """
+      SELECT uid, n_a, first_a, buy_t
+      FROM gmr_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES COUNT(A.*) AS n_a, MIN(A.t) AS first_a, LAST(C.t) AS buy_t
+        ONE ROW PER MATCH
+        PATTERN ((A B){2} C)
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE A AS typ = 'a', B AS typ = 'b', C AS typ = 'c'
+      ) ORDER BY uid
+    """).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10L, 50L))) // key 2 lacks the second round
+  }
+
+  test("SQL PATTERN oneOrMore group: ALL ROWS classifier folds copies") {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "a"), (1L, 40L, 4L, "b"), (1L, 50L, 5L, "c"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("gmr_events2")
+    val rows = graft.cep.MatchRecognize.runAllRows(spark,
+      spark.table("gmr_events2"), """
+        PARTITION BY uid
+        ORDER BY t, eid
+        ALL ROWS PER MATCH
+        PATTERN ((A B)+ C)
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE A AS typ = 'a', B AS typ = 'b', C AS typ = 'c'
+      """)
+      .select($"match_no", $"classifier", $"t")
+      .as[(Long, String, Long)].collect().toSet
+    // SkipPastLast emits the earliest-started (2-round) match; both (a b)
+    // rounds classify under the same logical variables
+    assert(rows == Set(
+      (1L, "A", 10L), (1L, "B", 20L),
+      (1L, "A", 30L), (1L, "B", 40L), (1L, "C", 50L)))
+  }
+
   test("compile guards: bit budget, skip targets, unsupported shapes") {
     val e1 = intercept[IllegalArgumentException](
       GroupCep.compile(Seq(Seg.times(40, StepDef(), StepDef()))))
