@@ -139,6 +139,56 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CDC END-TO-END under the oracle gate: a synthetic debezium
+      // changelog is BUILT from orders (insert every row at ts 1, +100
+      // price update for keys %10=0 at ts 2, delete for keys %17=0 at
+      // ts 3), serialized to real JSON envelopes, decoded by
+      // Cdc.decodeDebezium, and collapsed by upsertMaterialize. The
+      // oracle states the surviving final rows directly over orders —
+      // any envelope-shape, decoder, or materializer bug (or a double
+      // corrupted by the JSON round-trip) breaks the hash match.
+      "q103_cdc_materialize",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Cdc
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d).select($"o_orderkey",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val payload = new StructType()
+          .add("o_orderkey", LongType).add("price", DoubleType)
+        val inserts = base.select(to_json(struct(
+          lit("c").as("op"), lit(1L).as("ts_ms"),
+          lit(null).cast(payload).as("before"),
+          struct($"o_orderkey", $"price").as("after"))).as("value"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val updates = base.filter($"o_orderkey" % 10 === 0)
+          .select(to_json(struct(
+            lit("u").as("op"), lit(2L).as("ts_ms"),
+            struct($"o_orderkey", $"price").as("before"),
+            struct($"o_orderkey", bumped).as("after"))).as("value"))
+        val deletes = base.filter($"o_orderkey" % 17 === 0)
+          .select(to_json(struct(
+            lit("d").as("op"), lit(3L).as("ts_ms"),
+            struct($"o_orderkey", $"price").as("before"),
+            lit(null).cast(payload).as("after"))).as("value"))
+        val log = Cdc.decodeDebezium(
+          inserts.unionByName(updates).unionByName(deletes), payload)
+        Cdc.upsertMaterialize(log, Seq("o_orderkey"), "cdc_ts", "cdc_ts")
+          .select($"o_orderkey", $"price")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       CAST(CASE WHEN o_orderkey % 10 = 0
+        |                 THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                 ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+        |            AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 17 <> 0
+        |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
       "q54_constraint_enforce",
       (s, d) => {
         import s.implicits._
