@@ -108,6 +108,40 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Avro FILE roundtrip through the DSv2 container-file connector
+      // (AvroFileSource): orders -> OCF files on disk (deflate blocks,
+      // two-phase commit) -> splittable read-back -> aggregate. The
+      // oracle aggregates the source directly, so a header, codec,
+      // sync-split, or type-mapping bug breaks the hash match. The read
+      // forces small byte-range splits so the sync-marker protocol is
+      // ON the verified path, not just the spec's.
+      "q104_avro_file_scan",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority",
+            graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-avro-q104").toString + "/orders"
+        base.write.format("graft-avro").option("codec", "deflate")
+          .mode("overwrite").save(dir)
+        s.read.format("graft-avro")
+          .option("maxPartitionBytes", (64 * 1024).toString).load(dir)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"price".cast(graft.Bits.Dec)).cast("double").as("total"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |                     ::DECIMAL(12,2)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
       // Protobuf roundtrip (flink-protobuf's serialization-schema role):
       // rows -> proto3 wire bytes -> rows -> aggregate, same oracle shape
       // as the Avro roundtrip — a codec bug breaks the hash match.

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Avro Object Container File DataSource (SURVEY.md §2.1 formats row —
+  * the FILE-level role of flink-avro's AvroInputFormat/AvroOutputFormat).
+  * Covers: typed roundtrip with nulls, schema inference from the header,
+  * every classpath codec, sync-marker SPLIT reads (the 100 TB fan-out
+  * path: no lost and no duplicated records across byte-range splits),
+  * column-pruned reader schemas, overwrite semantics, and the two-phase
+  * commit leaving no temporary droppings. */
+class AvroFileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String) =
+    Files.createTempDirectory(s"graft-avro-$tag").toString + "/data"
+
+  private def sampleDf = {
+    import spark.implicits._
+    spark.range(0, 1000).select(
+      $"id".as("k"),
+      ($"id" * 2.5).as("d"),
+      concat(lit("s"), $"id").as("s"),
+      when($"id" % 7 === 0, lit(null).cast("string")).otherwise(concat(lit("n"), $"id")).as("maybe"),
+      ($"id" % 2 === 0).as("b"),
+      $"id".cast("int").as("i"),
+      $"id".cast("float").as("f"))
+  }
+
+  test("roundtrip preserves schema, values, and nulls") {
+    val dir = tmp("rt")
+    val src = sampleDf
+    src.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 1000)
+    assert(back.filter(col("maybe").isNull).count() == src.filter(col("maybe").isNull).count())
+    val a = src.orderBy("k").collect().toSeq
+    val b = back.orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
+  test("all classpath codecs roundtrip: null, deflate, snappy, zstandard") {
+    for (codec <- Seq("null", "deflate", "snappy", "zstandard")) {
+      val dir = tmp(s"codec-$codec")
+      sampleDf.write.format("graft-avro").option("codec", codec).mode("append").save(dir)
+      val back = spark.read.format("graft-avro").load(dir)
+      assert(back.count() == 1000, s"codec $codec")
+      assert(back.agg(sum("k")).head.getLong(0) == 499500L, s"codec $codec")
+    }
+  }
+
+  test("split reads on sync markers: byte-range partitions neither lose nor duplicate rows") {
+    import spark.implicits._
+    val dir = tmp("split")
+    // one task -> ONE file big enough to span many maxPartitionBytes=16 KiB
+    // ranges; uncompressed so record bytes dominate
+    spark.range(0, 200000).select($"id".as("k"), concat(lit("payload-"), $"id").as("s"))
+      .coalesce(1)
+      .write.format("graft-avro").option("codec", "null").mode("append").save(dir)
+    val read = spark.read.format("graft-avro")
+      .option("maxPartitionBytes", (16 * 1024).toString).load(dir)
+    assert(read.rdd.getNumPartitions > 10,
+      s"expected many byte-range splits, got ${read.rdd.getNumPartitions}")
+    assert(read.count() == 200000)                     // nothing lost
+    assert(read.select("k").distinct().count() == 200000) // nothing duplicated
+    assert(read.agg(sum("k")).head.getLong(0) == 199999L * 200000L / 2)
+  }
+
+  test("column pruning pushes a projected reader schema") {
+    val dir = tmp("prune")
+    sampleDf.write.format("graft-avro").mode("append").save(dir)
+    val pruned = spark.read.format("graft-avro").load(dir).select("k", "s")
+    // the v2 scan's description carries the pruned field list
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("graft-avro"), plan)
+    assert(pruned.count() == 1000)
+    assert(pruned.columns.toSeq == Seq("k", "s"))
+    // and values survive projection
+    assert(pruned.orderBy("k").head() == Row(0L, "s0"))
+  }
+
+  test("overwrite truncates previous files; append adds") {
+    import spark.implicits._
+    val dir = tmp("modes")
+    spark.range(0, 10).select($"id".as("k")).write.format("graft-avro").mode("append").save(dir)
+    spark.range(0, 10).select($"id".as("k")).write.format("graft-avro")
+      .mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 20)
+    spark.range(0, 5).select($"id".as("k")).write.format("graft-avro")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 5)
+  }
+
+  test("two-phase commit leaves no temporary directories behind") {
+    val dir = tmp("commit")
+    sampleDf.write.format("graft-avro").mode("append").save(dir)
+    // local ChecksumFileSystem adds hidden .crc sidecars; the reader's
+    // listing ignores hidden files, so only visible children matter here
+    val children = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(children.nonEmpty)
+    assert(children.forall(n => n.endsWith(".avro") && n.startsWith("part-")), children.toString)
+  }
+
+  test("user-specified schema overrides inference") {
+    val dir = tmp("userschema")
+    sampleDf.select("k", "s").write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro")
+      .schema(new StructType().add("k", LongType).add("s", StringType))
+      .load(dir)
+    assert(back.count() == 1000)
+  }
+
+  test("empty-range splits of a small file read zero rows (sync past EOF)") {
+    import spark.implicits._
+    val dir = tmp("tiny")
+    spark.range(0, 3).select($"id".as("k")).coalesce(1)
+      .write.format("graft-avro").option("codec", "null").mode("append").save(dir)
+    // force absurdly small ranges: most land after the only data block
+    val read = spark.read.format("graft-avro")
+      .option("maxPartitionBytes", "64").load(dir)
+    assert(read.count() == 3)
+  }
+}
