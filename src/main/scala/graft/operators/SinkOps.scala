@@ -142,6 +142,40 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Protobuf FILE roundtrip through the length-delimited DSv2
+      // connector (ProtoFileSource): orders -> varint-framed proto3
+      // messages on disk -> per-file parallel read-back -> aggregate.
+      // Same oracle shape as q104; a framing, wire-codec, or default-
+      // restoration bug breaks the hash match.
+      "q105_proto_file_scan",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority",
+            graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-proto-q105").toString + "/orders"
+        base.write.format("graft-proto").mode("overwrite").save(dir)
+        s.read.format("graft-proto")
+          .schema(new StructType().add("o_orderkey", LongType)
+            .add("o_orderpriority", StringType).add("price", DoubleType))
+          .load(dir)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"price".cast(graft.Bits.Dec)).cast("double").as("total"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |                     ::DECIMAL(12,2)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
       // Protobuf roundtrip (flink-protobuf's serialization-schema role):
       // rows -> proto3 wire bytes -> rows -> aggregate, same oracle shape
       // as the Avro roundtrip — a codec bug breaks the hash match.

@@ -205,43 +205,14 @@ private[sources] class AvroWriteBuilder(schema: StructType, path: String,
 
 private[sources] class AvroBatchWrite(schema: StructType, path: String,
     options: Map[String, String], queryId: String, truncate: Boolean)
-    extends BatchWrite {
-  private val tempDir = s"$path/_temporary_$queryId"
-
+    extends TwoPhaseFileBatchWrite(path, queryId, truncate, ".avro") {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
     val codec = options.getOrElse("codec", "snappy")
     new AvroWriterFactory(schema, tempDir, codec, conf)
   }
-
-  /** Driver-side commit: only files named in committed task messages are
-    * renamed into the destination (then the temp dir — including any
-    * stray files from failed/speculative attempts — is removed). */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val dest = new Path(path)
-    val fs = dest.getFileSystem(conf)
-    if (truncate && fs.exists(dest))
-      AvroFileSource.listFiles(path, conf).foreach(f => fs.delete(f.getPath, false))
-    fs.mkdirs(dest)
-    messages.foreach {
-      case AvroCommitMessage(tempFile) =>
-        val src = new Path(tempFile)
-        fs.rename(src, new Path(dest, src.getName))
-      case other => throw new IllegalStateException(s"unexpected commit message $other")
-    }
-    fs.delete(new Path(tempDir), true)
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val td = new Path(tempDir)
-    td.getFileSystem(conf).delete(td, true)
-  }
 }
-
-private[sources] case class AvroCommitMessage(tempFile: String) extends WriterCommitMessage
 
 private[sources] class AvroWriterFactory(schema: StructType, tempDir: String,
     codec: String, conf: SerializableConfiguration) extends DataWriterFactory {
@@ -270,7 +241,7 @@ private[sources] class AvroDataWriter(schema: StructType, tempDir: String,
     out.append(rec)
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); AvroCommitMessage(file.toString) }
+  override def commit(): WriterCommitMessage = { out.close(); TaskFileCommit(file.toString) }
   override def abort(): Unit = {
     out.close()
     file.getFileSystem(conf).delete(file, false)
@@ -290,17 +261,8 @@ object AvroFileSource {
 
   /** Glob-or-directory listing of non-hidden .avro files. */
   private[sources] def listFiles(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val roots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    roots.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
-    }.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".avro") && !n.startsWith("_") && !n.startsWith(".")
-    }.sortBy(_.getPath.toString)
-  }
+      conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] =
+    FileConnectorUtil.listFiles(path, ".avro", conf)
 
   /** ["null", T] unions <-> nullable columns; scalar surface only. */
   private[sources] def avroToSpark(schema: Schema): StructType = {

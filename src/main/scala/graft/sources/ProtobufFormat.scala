@@ -27,7 +27,7 @@ import java.nio.charset.StandardCharsets
   *    forward-compatibility contract that makes proto proto. */
 object ProtobufFormat {
 
-  private def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
+  private[sources] def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = value
     while ((v & ~0x7FL) != 0L) {
       out.write(((v & 0x7F) | 0x80).toInt)
@@ -37,7 +37,7 @@ object ProtobufFormat {
   }
 
   /** (value, next position). */
-  private def readVarint(b: Array[Byte], pos0: Int): (Long, Int) = {
+  private[sources] def readVarint(b: Array[Byte], pos0: Int): (Long, Int) = {
     var v = 0L
     var shift = 0
     var pos = pos0
@@ -53,6 +53,40 @@ object ProtobufFormat {
     (v, pos)
   }
 
+  /** Byte-level encoder shared by the record codec and the file
+    * connector ([[ProtoFileSource]]): `get(i)` supplies column i as an
+    * external value (Long/Double/String) or null. */
+  private[sources] def encodeValues(schema: StructType, get: Int => Any): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fieldNo = i + 1
+      val raw = get(i)
+      f.dataType match {
+        case LongType =>
+          val v = if (raw == null) 0L else raw.asInstanceOf[Long]
+          if (v != 0L) { writeVarint(out, (fieldNo << 3) | 0L); writeVarint(out, v) }
+        case DoubleType =>
+          val v = if (raw == null) 0.0 else raw.asInstanceOf[Double]
+          if (v != 0.0) {
+            writeVarint(out, (fieldNo << 3) | 1L)
+            val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            bb.putDouble(v)
+            out.write(bb.array())
+          }
+        case StringType =>
+          val v = if (raw == null) "" else raw.asInstanceOf[String]
+          if (v.nonEmpty) {
+            val bytes = v.getBytes(StandardCharsets.UTF_8)
+            writeVarint(out, (fieldNo << 3) | 2L)
+            writeVarint(out, bytes.length.toLong)
+            out.write(bytes)
+          }
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+    }
+    out.toByteArray
+  }
+
   /** Encode each row of `df` (long/double/string columns only) into one
     * proto3 payload; output has a single `value` binary column. */
   def encode(df: DataFrame): DataFrame = {
@@ -61,41 +95,17 @@ object ProtobufFormat {
       require(Seq(LongType, DoubleType, StringType).contains(f.dataType),
         s"ProtobufFormat: unsupported type ${f.dataType}")
     }
-    val fields = sparkSchema.fields.zipWithIndex
     df.mapPartitions { it =>
       it.map { row =>
-        val out = new ByteArrayOutputStream()
-        fields.foreach { case (f, i) =>
-          val fieldNo = i + 1
-          f.dataType match {
-            case LongType =>
-              val v = if (row.isNullAt(i)) 0L else row.getLong(i)
-              if (v != 0L) { writeVarint(out, (fieldNo << 3) | 0L); writeVarint(out, v) }
-            case DoubleType =>
-              val v = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
-              if (v != 0.0) {
-                writeVarint(out, (fieldNo << 3) | 1L)
-                val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-                bb.putDouble(v)
-                out.write(bb.array())
-              }
-            case StringType =>
-              val v = if (row.isNullAt(i)) "" else row.getString(i)
-              if (v.nonEmpty) {
-                val bytes = v.getBytes(StandardCharsets.UTF_8)
-                writeVarint(out, (fieldNo << 3) | 2L)
-                writeVarint(out, bytes.length.toLong)
-                out.write(bytes)
-              }
-            case other => throw new IllegalArgumentException(other.toString)
-          }
-        }
-        Row(out.toByteArray)
+        Row(encodeValues(sparkSchema, i => if (row.isNullAt(i)) null else row.get(i)))
       }
     }(Encoders.row(StructType(Seq(StructField("value", BinaryType)))))
   }
 
-  private def decodeOne(targetSchema: StructType, bytes: Array[Byte]): Row = {
+  /** Byte-level decoder shared by the record codec and the file
+    * connector: absent fields read as proto3 defaults, unknown field
+    * numbers are skipped by wire type. */
+  private[sources] def decodeValues(targetSchema: StructType, bytes: Array[Byte]): Array[Any] = {
     val values = new Array[Any](targetSchema.length)
     targetSchema.fields.zipWithIndex.foreach { case (f, i) =>
       values(i) = f.dataType match {
@@ -139,8 +149,11 @@ object ProtobufFormat {
           throw new IllegalArgumentException(s"protobuf: unsupported wire type $other")
       }
     }
-    Row.fromSeq(values.toSeq)
+    values
   }
+
+  private def decodeOne(targetSchema: StructType, bytes: Array[Byte]): Row =
+    Row.fromSeq(decodeValues(targetSchema, bytes).toSeq)
 
   /** Decode a `value` binary column of proto3 payloads into the typed
     * columns of `targetSchema`. Absent fields read as proto3 defaults;
