@@ -47,7 +47,8 @@ object Engine {
     * WATERMARK) -> WatermarkDdl, everything else -> spark.sql. The whole
     * implemented surface is reachable from one SQL-text front door. */
   def sql(spark: SparkSession, query: String): DataFrame =
-    if (TemporalSql.matches(query)) TemporalSql.sql(spark, query)
+    if (WindowTvfSql.matches(query)) WindowTvfSql.sql(spark, query)
+    else if (TemporalSql.matches(query)) TemporalSql.sql(spark, query)
     else if (graft.cep.MatchRecognize.matchesSql(query))
       graft.cep.MatchRecognize.sql(spark, query)
     else WatermarkDdl.sql(spark, query)

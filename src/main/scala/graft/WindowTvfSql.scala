@@ -1,0 +1,163 @@
+package graft
+
+import graft.util.SqlSplit
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** SQL-text surface for the windowing table-valued functions — Flink's
+  * window TVFs (flink-sql-parser parserImpls.ftl SqlWindowTableFunction;
+  * planner nodes StreamExecWindowTableFunction/StreamExecWindowAggregate;
+  * doc table in dev/table/sql/queries/window-tvf): TUMBLE / HOP /
+  * CUMULATE / SESSION over `TABLE t` with a `DESCRIPTOR(timecol)` and
+  * INTERVAL sizes.
+  *
+  * Lowering: the TVF call is REWRITTEN, not interpreted — the expanded
+  * relation (source rows + `window_start`, `window_end`, `window_time`
+  * appended, exactly the TVF output contract) is registered as a temp
+  * view and spliced into the query text in place of the `TABLE(...)`
+  * expression, then the whole statement re-enters [[Engine.sql]]. The
+  * outer query is therefore arbitrary SQL (any GROUP BY, HAVING, JOIN,
+  * nested TVFs), and Catalyst plans the aggregation as usual — windowed
+  * aggregation stays ONE shuffle on (window, keys).
+  *
+  * Window assignment is the DataFrame-native form per function:
+  * TUMBLE/HOP via `window()` (codegen'd Expand for HOP), CUMULATE via a
+  * `sequence`+`explode` of slice ends aligned to the max-size boundary,
+  * SESSION via the gaps-and-islands window-function form (per PARTITION
+  * BY keys; window_end = last event + gap, Flink's session contract).
+  * `window_time` is `window_end - 1ms`, Flink's rowtime convention.
+  */
+object WindowTvfSql {
+
+  private val Fns = Set("TUMBLE", "HOP", "CUMULATE", "SESSION")
+  private val FindRe = """(?is)TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(""".r
+  private val viewCounter = new AtomicInteger(0)
+
+  def matches(sql: String): Boolean = FindRe.findFirstIn(sql).isDefined
+
+  /** Rewrite every window-TVF call to an expanded view, then re-dispatch
+    * the spliced statement through the engine's SQL entry. */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    var q = query
+    var m = FindRe.findFirstMatchIn(q)
+    while (m.isDefined) {
+      val mm = m.get
+      val fn = mm.group(1).toUpperCase
+      // walk balanced parens from TABLE's '(' to find the full span
+      val openTable = q.indexOf('(', mm.start)
+      val closeTable = matchParen(q, openTable)
+      val openFn = q.indexOf('(', q.indexOf(mm.group(1), openTable))
+      val closeFn = matchParen(q, openFn)
+      val args = q.substring(openFn + 1, closeFn)
+      val view = s"__graft_window_tvf_${viewCounter.incrementAndGet()}"
+      expand(spark, fn, args).createOrReplaceTempView(view)
+      q = q.substring(0, mm.start) + view + q.substring(closeTable + 1)
+      m = FindRe.findFirstMatchIn(q)
+    }
+    Engine.sql(spark, q)
+  }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"window TVF: unbalanced parentheses in: $s")
+  }
+
+  private val TableRe = """(?is)\s*TABLE\s+(\w+)(?:\s+PARTITION\s+BY\s+(.+?))?\s*""".r
+  private val DescRe = """(?is)\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*""".r
+  private val IntervalRe = """(?is)\s*INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?\s*""".r
+
+  private def expand(spark: SparkSession, fn: String, argText: String): DataFrame = {
+    val args = SqlSplit.splitTopLevel(argText)
+    require(args.nonEmpty, s"window TVF $fn: no arguments")
+
+    val (table, partitionKeys) = args.head match {
+      case TableRe(t, pb) =>
+        (t, Option(pb).map(SqlSplit.splitTopLevel(_).map(_.trim)).getOrElse(Seq.empty))
+      case other =>
+        throw new IllegalArgumentException(s"window TVF $fn: first argument must be TABLE <name>, got '$other'")
+    }
+    require(partitionKeys.isEmpty || fn == "SESSION",
+      s"window TVF $fn: PARTITION BY is only valid for SESSION")
+    val tsCol = args.collectFirst { case DescRe(c) => c }.getOrElse(
+      throw new IllegalArgumentException(s"window TVF $fn: missing DESCRIPTOR(<timecol>)"))
+    val intervals = args.collect { case IntervalRe(n, unit) => (n.toLong, unit.toUpperCase) }
+    def micros(i: (Long, String)): Long = i._1 * (i._2 match {
+      case "SECOND" => 1000000L
+      case "MINUTE" => 60000000L
+      case "HOUR" => 3600000000L
+      case "DAY" => 86400000000L
+    })
+    def durStr(i: (Long, String)): String = s"${i._1} ${i._2.toLowerCase}s"
+
+    val src = spark.table(table)
+    val withTime = (df: DataFrame) => df.withColumn("window_time",
+      timestamp_micros(unix_micros(col("window_end")) - 1000L))
+
+    fn match {
+      case "TUMBLE" =>
+        require(intervals.length == 1, "TUMBLE(TABLE t, DESCRIPTOR(ts), size)")
+        withTime(src
+          .withColumn("__w", window(col(tsCol), durStr(intervals(0))))
+          .withColumn("window_start", col("__w.start"))
+          .withColumn("window_end", col("__w.end"))
+          .drop("__w"))
+
+      case "HOP" =>
+        require(intervals.length == 2, "HOP(TABLE t, DESCRIPTOR(ts), slide, size)")
+        val (slide, size) = (intervals(0), intervals(1))
+        withTime(src
+          .withColumn("__w", window(col(tsCol), durStr(size), durStr(slide)))
+          .withColumn("window_start", col("__w.start"))
+          .withColumn("window_end", col("__w.end"))
+          .drop("__w"))
+
+      case "CUMULATE" =>
+        require(intervals.length == 2, "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize)")
+        val (stepUs, maxUs) = (micros(intervals(0)), micros(intervals(1)))
+        require(stepUs > 0 && maxUs % stepUs == 0,
+          "CUMULATE: maxSize must be a positive multiple of step")
+        // each row joins every cumulative slice whose end lies after it —
+        // slice ends are aligned to the maxSize boundary (q24's algorithm)
+        withTime(src
+          .withColumn("__us", unix_micros(col(tsCol)))
+          .withColumn("__ws", (col("__us").cast("long") / maxUs).cast("long") * maxUs)
+          .withColumn("__we", explode(sequence(
+            col("__ws") + stepUs, col("__ws") + maxUs, lit(stepUs))))
+          .filter(col("__us") < col("__we"))
+          .withColumn("window_start", timestamp_micros(col("__ws")))
+          .withColumn("window_end", timestamp_micros(col("__we")))
+          .drop("__us", "__ws", "__we"))
+
+      case "SESSION" =>
+        require(intervals.length == 1, "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
+        val gapUs = micros(intervals(0))
+        // gaps-and-islands (the batch form of the session assigner, same
+        // [start, last+gap) half-open contract as q23's oracle)
+        val keys: Seq[Column] =
+          if (partitionKeys.nonEmpty) partitionKeys.map(col) else Seq(lit(1))
+        val order = Window.partitionBy(keys: _*).orderBy(col("__us"))
+        val session = Window.partitionBy(keys :+ col("__sid"): _*)
+        withTime(src
+          .withColumn("__us", unix_micros(col(tsCol)))
+          .withColumn("__new",
+            when(col("__us") - lag(col("__us"), 1).over(order) < gapUs, 0L).otherwise(1L))
+          .withColumn("__sid", sum(col("__new")).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("window_start", timestamp_micros(min(col("__us")).over(session)))
+          .withColumn("window_end", timestamp_micros(max(col("__us")).over(session) + gapUs))
+          .drop("__us", "__new", "__sid"))
+    }
+  }
+}

@@ -714,6 +714,34 @@ object AdvancedOps extends QueryModule {
         |SELECT user_id, s_us, CAST(n_clicks AS BIGINT) AS n_clicks, first_c_us,
         |       last_c_us, CAST(sum_c_us AS BIGINT) AS sum_c_us, p_us
         |FROM m ORDER BY user_id, s_us
+        |""".stripMargin)),
+
+    GQuery(
+      // q21's tumbling aggregation as ONE SQL STATEMENT through the
+      // window-TVF front door (Engine.sql -> WindowTvfSql): the
+      // TABLE(TUMBLE(...)) call is spliced to an expanded view and the
+      // outer GROUP BY window_start runs as plain SQL — the
+      // SqlWindowTableFunction dispatch path. Same oracle as q21: both
+      // paths must agree bit-for-bit.
+      "q106_window_tvf_sql",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT unix_seconds(window_start) AS win_start_sec, event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+          FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+          GROUP BY window_start, event_type
+          ORDER BY win_start_sec, event_type
+        """)
+      },
+      Some("""
+        |SELECT (epoch_ns(ts)//1000000000//300)*300 AS win_start_sec, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2
         |""".stripMargin)))
 
   private lazy val allRowsQueries: Seq[GQuery] = Seq(

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Window TVF SQL surface (Flink's TUMBLE/HOP/CUMULATE/SESSION table
+  * functions as SQL text through Engine.sql): each form must agree with
+  * the DataFrame-native window operator it lowers onto, and the spliced
+  * statement must compose with arbitrary outer SQL. */
+class WindowTvfSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val catalogReady = { Engine.openCatalog(spark, TestSpark.sf); true }
+
+  private def run(q: String) = { assert(catalogReady); Engine.sql(spark, q) }
+
+  test("TUMBLE TVF agrees with the window() aggregation (q21 shape)") {
+    import spark.implicits._
+    val viaSql = run("""
+      SELECT unix_seconds(window_start) AS s, event_type, COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+      GROUP BY window_start, event_type ORDER BY s, event_type""")
+    val viaDf = Tables.events(spark, TestSpark.sf)
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds($"w.start").as("s"), $"event_type", $"n")
+      .orderBy($"s", $"event_type")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
+  test("HOP TVF duplicates rows into size/slide windows and agrees with window()") {
+    import spark.implicits._
+    val viaSql = run("""
+      SELECT unix_seconds(window_start) AS s, COUNT(*) AS n
+      FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+      GROUP BY window_start ORDER BY s""")
+    val viaDf = Tables.events(spark, TestSpark.sf)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds($"w.start").as("s"), $"n")
+      .orderBy($"s")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    // every event lands in exactly size/slide = 2 windows
+    val events = Tables.events(spark, TestSpark.sf).count()
+    assert(viaSql.agg(sum("n")).head.getLong(0) == 2 * events)
+  }
+
+  test("CUMULATE TVF produces the aligned cumulative slices (q24 shape)") {
+    val viaSql = run("""
+      SELECT unix_seconds(window_start) AS ws, unix_seconds(window_end) AS we, COUNT(*) AS n
+      FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '20' MINUTES))
+      GROUP BY window_start, window_end ORDER BY ws, we""")
+    val viaDf = Tables.events(spark, TestSpark.sf)
+      .withColumn("sec", expr("ts_us div 1000000"))
+      .withColumn("ws", expr("(sec div 1200) * 1200"))
+      .withColumn("we", explode(expr("sequence(ws + 300, ws + 1200, 300)")))
+      .filter(col("sec") < col("we"))
+      .groupBy("ws", "we").agg(count(lit(1)).as("n"))
+      .orderBy("ws", "we")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
+  test("SESSION TVF with PARTITION BY agrees with session_window (q23 shape)") {
+    import spark.implicits._
+    val viaSql = run("""
+      SELECT user_id, unix_seconds(window_start) AS s, COUNT(*) AS n
+      FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+      GROUP BY user_id, window_start, window_end ORDER BY user_id, s""")
+    val viaDf = Tables.events(spark, TestSpark.sf)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_seconds($"w.start").as("s"), $"n")
+      .orderBy($"user_id", $"s")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
+  test("SESSION window_end is last event + gap (the TVF output contract)") {
+    val rows = run("""
+      SELECT user_id, unix_seconds(window_start) AS s,
+             unix_seconds(window_end) AS e, MAX(unix_seconds(ts)) AS last_ev
+      FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+      GROUP BY user_id, window_start, window_end""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3) + 1800, r.toString))
+  }
+
+  test("window_time is window_end - 1ms") {
+    val r = run("""
+      SELECT DISTINCT unix_micros(window_end) - unix_micros(window_time) AS delta
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES))""").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1000L))
+  }
+
+  test("TVF composes with outer WHERE, HAVING, and a join") {
+    val df = run("""
+      SELECT n.n_name, unix_seconds(w.window_start) AS s, COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) w
+      JOIN nation n ON (w.user_id % 25) = n.n_nationkey
+      WHERE w.event_type = 'click'
+      GROUP BY n.n_name, w.window_start
+      HAVING COUNT(*) > 1
+      ORDER BY s, n_name""")
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("n_name", "s", "n"))
+  }
+
+  test("malformed TVFs fail loudly") {
+    assert(intercept[IllegalArgumentException](
+      run("SELECT * FROM TABLE(TUMBLE(events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
+      .getMessage.contains("TABLE <name>"))
+    assert(intercept[IllegalArgumentException](
+      run("SELECT * FROM TABLE(TUMBLE(TABLE events, INTERVAL '5' MINUTES))"))
+      .getMessage.contains("DESCRIPTOR"))
+    assert(intercept[IllegalArgumentException](
+      run("SELECT * FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '7' MINUTES, INTERVAL '20' MINUTES))"))
+      .getMessage.contains("multiple"))
+    assert(intercept[IllegalArgumentException](
+      run("SELECT * FROM TABLE(TUMBLE(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
+      .getMessage.contains("SESSION"))
+  }
+}
