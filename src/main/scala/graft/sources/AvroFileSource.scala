@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -86,7 +87,7 @@ private[sources] class AvroTable(tableSchema: StructType, properties: Map[String
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, AvroFileSource.requirePath(options), options.asScala.toMap)
@@ -135,6 +136,51 @@ private[sources] class AvroScan(readSchema0: StructType, path: String,
       SparkSession.active.sparkContext.hadoopConfiguration)
     new AvroReaderFactory(readSchema0, conf)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AvroMicroBatchStream(readSchema0, path, options)
+}
+
+/** Streaming directory monitor over the same splittable OCF reader — the
+  * FileSource-in-STREAMING-mode role (reference flink-connector-files
+  * .../ContinuousFileMonitoringFunction.java: periodically list the
+  * directory, assign splits for files not yet processed, exactly-once via
+  * offset tracking). An offset here is the SET OF FILES seen so far; each
+  * micro-batch reads the byte-range splits of exactly the new files, so
+  * re-planning a batch from the checkpoint log is deterministic. The
+  * offset grows with file count like Spark's own FileStreamSource seen-map
+  * — compaction is the documented trade at very long horizons. */
+private[sources] class AvroMicroBatchStream(readSchema: StructType, path: String,
+    options: Map[String, String]) extends MicroBatchStream {
+  private case class FilesOffset(files: Set[String]) extends StreamOffset {
+    override def json(): String = AvroFileSource.toJsonArray(files.toSeq.sorted)
+  }
+
+  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): StreamOffset = FilesOffset(Set.empty)
+  override def deserializeOffset(json: String): StreamOffset =
+    FilesOffset(AvroFileSource.fromJsonArray(json).toSet)
+  override def latestOffset(): StreamOffset =
+    FilesOffset(AvroFileSource.listFiles(path, conf).map(_.getPath.toString).toSet)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files
+    val now = end.asInstanceOf[FilesOffset].files
+    val maxBytes = options.get("maxpartitionbytes").map(_.toLong).getOrElse(134217728L)
+    val c = conf
+    (now -- seen).toSeq.sorted.flatMap { f =>
+      val st = new Path(f).getFileSystem(c).getFileStatus(new Path(f))
+      (0L until st.getLen by maxBytes).map { s =>
+        AvroInputPartition(f, s, math.min(maxBytes, st.getLen - s))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(readSchema, new SerializableConfiguration(conf))
 }
 
 private[sources] case class AvroInputPartition(file: String, start: Long, length: Long)
@@ -258,6 +304,17 @@ object AvroFileSource {
     require(p != null && p.nonEmpty, "graft-avro: a path is required (use .load(path)/.save(path))")
     p
   }
+
+  /** Offset (de)serialization for the streaming source: a JSON array of
+    * file paths, Jackson-escaped so arbitrary path characters survive the
+    * checkpoint log's one-line-per-offset format. */
+  private[sources] def toJsonArray(items: Seq[String]): String =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(items.toArray)
+
+  private[sources] def fromJsonArray(json: String): Seq[String] =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[Array[String]]).toSeq
 
   /** Glob-or-directory listing of non-hidden .avro files. */
   private[sources] def listFiles(path: String,

@@ -118,6 +118,30 @@ class AvroFileSpec extends AnyFunSuite {
     assert(back.count() == 1000)
   }
 
+  test("streaming read monitors the directory: each new file arrives exactly once") {
+    import spark.implicits._
+    val dir = tmp("stream")
+    val ckpt = Files.createTempDirectory("graft-avro-ckpt").toString
+    spark.range(0, 100).select($"id".as("k")).write
+      .format("graft-avro").mode("append").save(dir)
+    val stream = spark.readStream.format("graft-avro")
+      .schema(new StructType().add("k", LongType, nullable = true))
+      .load(dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("avro_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_stream").count() == 100)
+      // second batch: only the NEW file's rows append (offset = seen files)
+      spark.range(100, 150).select($"id".as("k")).write
+        .format("graft-avro").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("avro_stream").count() == 150)
+      assert(spark.table("avro_stream").select("k").distinct().count() == 150)
+    } finally q.stop()
+  }
+
   test("empty-range splits of a small file read zero rows (sync past EOF)") {
     import spark.implicits._
     val dir = tmp("tiny")
