@@ -66,8 +66,46 @@ final class LookupCache[I, O](maxEntries: Int, ttlMs: Long,
     if (hits + misses == 0) 0.0 else hits.toDouble / (hits + misses)
 }
 
+/** FULL caching for lookup joins — the other reference caching mode
+  * (flink-table-runtime/.../functions/table/lookup/fullcache/
+  * LookupFullCache.java + CacheLoader.java: load the ENTIRE dimension
+  * once, answer every probe from memory, reload on a schedule). Right
+  * when the dimension is small enough to hold but too hot to re-query:
+  * zero per-row lookups between reloads, staleness bounded by
+  * `reloadIntervalMs` (Flink's PeriodicCacheReloadTrigger).
+  *
+  * Spark mapping: per-JVM singleton via the same registry pattern; the
+  * loader runs at first use and again on the first probe after the
+  * reload horizon passes (synchronized — one loader flight, probes wait;
+  * reference behavior: lookups block until the first load completes).
+  * Misses after a load are authoritative ABSENT answers (None), not
+  * load-through — the whole table is present by contract. */
+final class FullLookupCache[I, O](loader: () => Map[I, O],
+    reloadIntervalMs: Long, clock: () => Long) extends Serializable {
+  require(reloadIntervalMs > 0, "reload interval must be positive")
+
+  @transient private var table: Map[I, O] = _
+  @transient private var loadedAt: Long = Long.MinValue
+  private val loadCount = new AtomicLong
+
+  private def current(): Map[I, O] = synchronized {
+    val now = clock()
+    if (table == null || now - loadedAt >= reloadIntervalMs) {
+      table = loader()
+      loadedAt = now
+      loadCount.incrementAndGet()
+    }
+    table
+  }
+
+  def get(key: I): Option[O] = current().get(key)
+  def loads: Long = loadCount.get
+  def size: Int = current().size
+}
+
 object LookupCache {
   private val registry = new ConcurrentHashMap[String, LookupCache[_, _]]()
+  private val fullRegistry = new ConcurrentHashMap[String, FullLookupCache[_, _]]()
 
   /** One cache per identifier per JVM (LookupCacheManager
     * .registerCacheIfAbsent): every partition running in this executor
@@ -85,6 +123,20 @@ object LookupCache {
       lookup: I => O): I => O =
     key => shared[I, O](name, maxEntries, ttlMs).getOrLookup(key)(lookup)
 
+  /** One FULL cache per identifier per JVM; `loader` materializes the
+    * whole dimension (e.g. collect a small dim table once per executor).
+    * Returned lookup answers misses as None without a remote call. */
+  def fullCached[I, O](name: String, reloadIntervalMs: Long,
+      clock: () => Long = () => System.currentTimeMillis())(
+      loader: () => Map[I, O]): I => Option[O] = {
+    key => fullRegistry.computeIfAbsent(name,
+      _ => new FullLookupCache[I, O](loader, reloadIntervalMs, clock))
+      .asInstanceOf[FullLookupCache[I, O]].get(key)
+  }
+
+  private[graft] def fullCacheOf(name: String): Option[FullLookupCache[_, _]] =
+    Option(fullRegistry.get(name))
+
   /** Test/ops hook: drop a cache (Flink's cache lifecycle on job stop). */
-  def invalidate(name: String): Unit = registry.remove(name)
+  def invalidate(name: String): Unit = { registry.remove(name); fullRegistry.remove(name) }
 }

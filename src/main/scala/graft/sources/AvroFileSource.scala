@@ -138,49 +138,16 @@ private[sources] class AvroScan(readSchema0: StructType, path: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AvroMicroBatchStream(readSchema0, path, options)
-}
-
-/** Streaming directory monitor over the same splittable OCF reader — the
-  * FileSource-in-STREAMING-mode role (reference flink-connector-files
-  * .../ContinuousFileMonitoringFunction.java: periodically list the
-  * directory, assign splits for files not yet processed, exactly-once via
-  * offset tracking). An offset here is the SET OF FILES seen so far; each
-  * micro-batch reads the byte-range splits of exactly the new files, so
-  * re-planning a batch from the checkpoint log is deterministic. The
-  * offset grows with file count like Spark's own FileStreamSource seen-map
-  * — compaction is the documented trade at very long horizons. */
-private[sources] class AvroMicroBatchStream(readSchema: StructType, path: String,
-    options: Map[String, String]) extends MicroBatchStream {
-  private case class FilesOffset(files: Set[String]) extends StreamOffset {
-    override def json(): String = AvroFileSource.toJsonArray(files.toSeq.sorted)
-  }
-
-  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
-
-  override def initialOffset(): StreamOffset = FilesOffset(Set.empty)
-  override def deserializeOffset(json: String): StreamOffset =
-    FilesOffset(AvroFileSource.fromJsonArray(json).toSet)
-  override def latestOffset(): StreamOffset =
-    FilesOffset(AvroFileSource.listFiles(path, conf).map(_.getPath.toString).toSet)
-  override def commit(end: StreamOffset): Unit = ()
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[FilesOffset].files
-    val now = end.asInstanceOf[FilesOffset].files
-    val maxBytes = options.get("maxpartitionbytes").map(_.toLong).getOrElse(134217728L)
-    val c = conf
-    (now -- seen).toSeq.sorted.flatMap { f =>
-      val st = new Path(f).getFileSystem(c).getFileStatus(new Path(f))
-      (0L until st.getLen by maxBytes).map { s =>
-        AvroInputPartition(f, s, math.min(maxBytes, st.getLen - s))
+    new FilesMicroBatchStream(path, ".avro", { (f, len) =>
+      val maxBytes = options.get("maxpartitionbytes").map(_.toLong).getOrElse(134217728L)
+      (0L until len by maxBytes).map { s =>
+        AvroInputPartition(f, s, math.min(maxBytes, len - s)): InputPartition
       }
-    }.toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(readSchema, new SerializableConfiguration(conf))
+    }) {
+      override def createReaderFactory(): PartitionReaderFactory =
+        new AvroReaderFactory(readSchema0, new SerializableConfiguration(
+          SparkSession.active.sparkContext.hadoopConfiguration))
+    }
 }
 
 private[sources] case class AvroInputPartition(file: String, start: Long, length: Long)

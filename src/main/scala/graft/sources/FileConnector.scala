@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, WriterCommitMessage}
 
 /** Shared plumbing for the file-based DSv2 connectors ([[AvroFileSource]],
@@ -29,6 +31,47 @@ private[sources] object FileConnectorUtil {
 }
 
 private[sources] case class TaskFileCommit(tempFile: String) extends WriterCommitMessage
+
+/** Streaming directory monitor shared by the file connectors — the
+  * FileSource-in-STREAMING-mode role (reference flink-connector-files
+  * .../ContinuousFileMonitoringFunction.java: periodically list the
+  * directory, assign splits for files not yet processed, exactly-once
+  * via offset tracking). An offset is the SET OF FILES seen so far; each
+  * micro-batch plans partitions for exactly the new files, so re-running
+  * a batch from the checkpoint log is deterministic. The offset grows
+  * with file count like Spark's own FileStreamSource seen-map —
+  * compaction is the documented trade at very long horizons.
+  *
+  * `planFile` maps one new file (path, length) to that connector's
+  * partitions (byte-range splits for Avro, whole-file for proto). */
+private[sources] abstract class FilesMicroBatchStream(path: String, suffix: String,
+    planFile: (String, Long) => Seq[InputPartition]) extends MicroBatchStream {
+
+  private case class FilesOffset(files: Set[String]) extends StreamOffset {
+    override def json(): String = AvroFileSource.toJsonArray(files.toSeq.sorted)
+  }
+
+  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): StreamOffset = FilesOffset(Set.empty)
+  override def deserializeOffset(json: String): StreamOffset =
+    FilesOffset(AvroFileSource.fromJsonArray(json).toSet)
+  override def latestOffset(): StreamOffset =
+    FilesOffset(FileConnectorUtil.listFiles(path, suffix, conf)
+      .map(_.getPath.toString).toSet)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files
+    val now = end.asInstanceOf[FilesOffset].files
+    val c = conf
+    (now -- seen).toSeq.sorted.flatMap { f =>
+      val st = new Path(f).getFileSystem(c).getFileStatus(new Path(f))
+      planFile(f, st.getLen)
+    }.toArray
+  }
+}
 
 /** Driver-side half of the two-phase protocol; concrete connectors
   * supply only the task-side writer factory. */

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -64,7 +65,7 @@ private[sources] class ProtoTable(tableSchema: StructType, properties: Map[Strin
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = AvroFileSource.requirePath(options)
@@ -87,7 +88,18 @@ private[sources] class ProtoScan(schema: StructType, path: String) extends Scan 
       .map(f => ProtoInputPartition(f.getPath.toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory = ProtoScan.readerFactory(schema)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FilesMicroBatchStream(path, ".pb",
+        (f, _) => Seq(ProtoInputPartition(f): InputPartition)) {
+      override def createReaderFactory(): PartitionReaderFactory =
+        ProtoScan.readerFactory(schema)
+    }
+}
+
+private[sources] object ProtoScan {
+  def readerFactory(schema: StructType): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
     val s = schema

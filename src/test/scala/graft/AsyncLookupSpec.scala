@@ -129,6 +129,44 @@ class AsyncLookupSpec extends AnyFunSuite {
     assert(cache.size <= 2)
   }
 
+  test("full lookup cache: one load serves every probe, reload horizon re-materializes") {
+    import graft.operators.FullLookupCache
+    var now = 0L
+    var loads = 0
+    val cache = new FullLookupCache[Int, String](
+      loader = () => { loads += 1; Map(1 -> s"a@$now", 2 -> s"b@$now") },
+      reloadIntervalMs = 1000L, clock = () => now)
+    assert(cache.get(1).contains("a@0") && loads == 1)
+    assert(cache.get(2).contains("b@0") && loads == 1) // no per-probe load
+    // miss is an AUTHORITATIVE absent, not a load-through
+    assert(cache.get(99).isEmpty && loads == 1)
+    now = 999
+    assert(cache.get(1).contains("a@0") && loads == 1) // still fresh
+    now = 1000
+    assert(cache.get(1).contains("a@1000") && loads == 2,
+      "reload horizon must re-materialize the dimension")
+    assert(cache.loads == 2 && cache.size == 2)
+  }
+
+  test("full lookup cache: registry-shared wrapper works from a Spark job") {
+    import graft.operators.LookupCache
+    import spark.implicits._
+    LookupCache.invalidate("spec_full")
+    AsyncLookupSpec.remoteCalls.set(0)
+    val input = (1 to 500).map(i => i % 7).toDS().repartition(2)
+    val lookup = LookupCache.fullCached[Int, String]("spec_full", 3600_000L) { () =>
+      AsyncLookupSpec.remoteCalls.incrementAndGet()
+      (0 until 5).map(k => k -> s"dim$k").toMap // keys 5,6 absent from dim
+    }
+    val rows = input.mapPartitions(_.map(k => (k, lookup(k)))).collect()
+    assert(rows.length == 500)
+    rows.foreach { case (k, v) =>
+      if (k < 5) assert(v.contains(s"dim$k")) else assert(v.isEmpty)
+    }
+    assert(AsyncLookupSpec.remoteCalls.get() == 1,
+      s"full cache must load exactly once per JVM, saw ${AsyncLookupSpec.remoteCalls.get()}")
+  }
+
   test("retry wrapper recovers from transient failures and rethrows on exhaustion") {
     val calls = new AtomicInteger(0)
     val flaky = AsyncLookup.withRetry[Int, String](attempts = 3, delayMs = 0) { k =>

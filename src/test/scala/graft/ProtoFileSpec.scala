@@ -74,6 +74,27 @@ class ProtoFileSpec extends AnyFunSuite {
     assert(back.agg(sum("k")).head.getLong(0) == 4999L * 5000L / 2)
   }
 
+  test("streaming read monitors the directory: new files arrive exactly once") {
+    import spark.implicits._
+    val dir = tmp("stream")
+    val ckpt = Files.createTempDirectory("graft-proto-ckpt").toString
+    val ks = new StructType().add("k", LongType)
+    spark.range(0, 40).select($"id".as("k")).write
+      .format("graft-proto").mode("append").save(dir)
+    val q = spark.readStream.format("graft-proto").schema(ks).load(dir)
+      .writeStream.format("memory").queryName("proto_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("proto_stream").count() == 40)
+      spark.range(40, 60).select($"id".as("k")).write
+        .format("graft-proto").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("proto_stream").count() == 60)
+      assert(spark.table("proto_stream").select("k").distinct().count() == 60)
+    } finally q.stop()
+  }
+
   test("truncated file fails the read loudly") {
     import spark.implicits._
     val dir = tmp("corrupt")
