@@ -32,6 +32,13 @@ object Bench {
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => err = Some(e.getClass.getSimpleName); None }
       }
+      // Release blocks the query leaked into the BlockManager (cache /
+      // localCheckpoint survive the action): accumulated block memory was
+      // the main in-suite tail inflation — heavy shuffles later in the
+      // suite spilled under pressure created by EARLIER queries. Each
+      // query still pays its own persistence cost inside its timed region.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (name, times.minOption, err)
     }
     // Self-defending tail: the full suite self-contends on a shared

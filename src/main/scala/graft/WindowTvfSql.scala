@@ -32,14 +32,19 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object WindowTvfSql {
 
-  private val Fns = Set("TUMBLE", "HOP", "CUMULATE", "SESSION")
   private val FindRe = """(?is)TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(""".r
+  // legacy grouped-window form: TUMBLE/HOP/SESSION directly in GROUP BY
+  // (BuiltInFunctionDefinitions TUMBLE_OLD:940 / SESSION_OLD:984 and their
+  // _START/_END/_ROWTIME auxiliaries)
+  private val LegacyRe = """(?is)\bGROUP\s+BY\b.*?\b(TUMBLE|HOP|SESSION)\s*\(""".r
   private val viewCounter = new AtomicInteger(0)
 
-  def matches(sql: String): Boolean = FindRe.findFirstIn(sql).isDefined
+  def matches(sql: String): Boolean =
+    FindRe.findFirstIn(sql).isDefined || LegacyRe.findFirstIn(sql).isDefined
 
-  /** Rewrite every window-TVF call to an expanded view, then re-dispatch
-    * the spliced statement through the engine's SQL entry. */
+  /** Rewrite every window-TVF call to an expanded view (and every legacy
+    * grouped-window call to its `window()`/`session_window()` form), then
+    * re-dispatch the spliced statement through the engine's SQL entry. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     var q = query
     var m = FindRe.findFirstMatchIn(q)
@@ -57,7 +62,72 @@ object WindowTvfSql {
       q = q.substring(0, mm.start) + view + q.substring(closeTable + 1)
       m = FindRe.findFirstMatchIn(q)
     }
+    if (LegacyRe.findFirstIn(q).isDefined) q = rewriteLegacy(q)
     Engine.sql(spark, q)
+  }
+
+  // ------------------------------------------- legacy grouped windows
+
+  /** Rewrite the legacy grouped-window surface onto Spark's native
+    * grouping expressions:
+    * {{{
+    *   GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)   -> GROUP BY window(ts, '5 minutes')
+    *   TUMBLE_START(...)/TUMBLE_END(...)          -> window.start / window.end
+    *   HOP(ts, slide, size)                       -> window(ts, 'size', 'slide')
+    *   SESSION(ts, gap)                           -> session_window(ts, 'gap')
+    *   *_ROWTIME(...)                             -> <end> - INTERVAL 1 millisecond
+    * }}}
+    * The auxiliaries drop their arguments (they name the grouped window,
+    * which Spark exposes as the `window`/`session_window` struct) — same
+    * resolution rule as the reference's WindowPropertiesRule. */
+  private[graft] def rewriteLegacy(query: String): String = {
+    var q = query
+    // longest names first so TUMBLE_START is not eaten by TUMBLE
+    val aux = Seq(
+      ("TUMBLE_START", "window.start"), ("TUMBLE_END", "window.end"),
+      ("TUMBLE_ROWTIME", "window.end - INTERVAL 1 MILLISECOND"),
+      ("HOP_START", "window.start"), ("HOP_END", "window.end"),
+      ("HOP_ROWTIME", "window.end - INTERVAL 1 MILLISECOND"),
+      ("SESSION_START", "session_window.start"), ("SESSION_END", "session_window.end"),
+      ("SESSION_ROWTIME", "session_window.end - INTERVAL 1 MILLISECOND")
+    ).sortBy(-_._1.length)
+    for ((name, repl) <- aux) q = replaceCalls(q, name, _ => s"($repl)")
+    q = replaceCalls(q, "TUMBLE", { args =>
+      require(args.length == 2, "TUMBLE(timecol, INTERVAL size)")
+      s"window(${args(0)}, '${durOf(args(1))}')"
+    })
+    q = replaceCalls(q, "HOP", { args =>
+      require(args.length == 3, "HOP(timecol, INTERVAL slide, INTERVAL size)")
+      s"window(${args(0)}, '${durOf(args(2))}', '${durOf(args(1))}')"
+    })
+    q = replaceCalls(q, "SESSION", { args =>
+      require(args.length == 2, "SESSION(timecol, INTERVAL gap)")
+      s"session_window(${args(0)}, '${durOf(args(1))}')"
+    })
+    q
+  }
+
+  private def durOf(arg: String): String = arg.trim match {
+    case IntervalRe(n, unit) => s"$n ${unit.toLowerCase}s"
+    case other => throw new IllegalArgumentException(
+      s"grouped window: expected INTERVAL '<n>' <unit>, got '$other'")
+  }
+
+  /** Replace every `name(args)` call (word-boundary, case-insensitive)
+    * with `repl(topLevelArgs)`, walking balanced parens. */
+  private def replaceCalls(query: String, name: String,
+      repl: Seq[String] => String): String = {
+    val re = ("""(?i)\b""" + name + """\s*\(""").r
+    var q = query
+    var m = re.findFirstMatchIn(q)
+    while (m.isDefined) {
+      val open = q.indexOf('(', m.get.start)
+      val close = matchParen(q, open)
+      val args = SqlSplit.splitTopLevel(q.substring(open + 1, close)).map(_.trim)
+      q = q.substring(0, m.get.start) + repl(args) + q.substring(close + 1)
+      m = re.findFirstMatchIn(q)
+    }
+    q
   }
 
   private def matchParen(s: String, open: Int): Int = {

@@ -103,6 +103,51 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("n_name", "s", "n"))
   }
 
+  test("legacy GROUP BY TUMBLE with _START/_END auxiliaries agrees with the TVF form") {
+    val legacy = run("""
+      SELECT unix_seconds(TUMBLE_START(ts, INTERVAL '5' MINUTES)) AS s,
+             unix_seconds(TUMBLE_END(ts, INTERVAL '5' MINUTES)) AS e,
+             event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY TUMBLE(ts, INTERVAL '5' MINUTES), event_type
+      ORDER BY s, event_type""")
+    val tvf = run("""
+      SELECT unix_seconds(window_start) AS s, unix_seconds(window_end) AS e,
+             event_type, COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+      GROUP BY window_start, window_end, event_type ORDER BY s, event_type""")
+    assert(legacy.collect().toSeq == tvf.collect().toSeq)
+  }
+
+  test("legacy GROUP BY HOP maps slide/size onto window() in Spark's order") {
+    val legacy = run("""
+      SELECT unix_seconds(HOP_START(ts, INTERVAL '5' MINUTES, INTERVAL '10' MINUTES)) AS s,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY HOP(ts, INTERVAL '5' MINUTES, INTERVAL '10' MINUTES)
+      ORDER BY s""")
+    val tvf = run("""
+      SELECT unix_seconds(window_start) AS s, COUNT(*) AS n
+      FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+      GROUP BY window_start ORDER BY s""")
+    assert(legacy.collect().toSeq == tvf.collect().toSeq)
+  }
+
+  test("legacy GROUP BY SESSION with per-key grouping agrees with session_window") {
+    import spark.implicits._
+    val legacy = run("""
+      SELECT user_id, unix_seconds(SESSION_START(ts, INTERVAL '30' MINUTES)) AS s, COUNT(*) AS n
+      FROM events
+      GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTES)
+      ORDER BY user_id, s""")
+    val viaDf = Tables.events(spark, TestSpark.sf)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_seconds($"w.start").as("s"), $"n")
+      .orderBy($"user_id", $"s")
+    assert(legacy.collect().toSeq == viaDf.collect().toSeq)
+  }
+
   test("malformed TVFs fail loudly") {
     assert(intercept[IllegalArgumentException](
       run("SELECT * FROM TABLE(TUMBLE(events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
