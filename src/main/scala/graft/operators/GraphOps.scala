@@ -313,6 +313,33 @@ object GraphOps extends QueryModule {
       .select($"a", $"b", $"c")
   }
 
+  /** Local clustering coefficient (Gelly library/clustering/undirected/
+    * LocalClusteringCoefficient.java; the global/average forms are one
+    * aggregate over this output): per vertex, the fraction of its
+    * neighbor pairs that are themselves connected —
+    * 2·tri(v) / (deg(v)·(deg(v)−1)), degree-<2 vertices scoring 0.
+    * Cost = the triangle enumeration plus one degree aggregate; both
+    * shuffles are on vertex ids, and the quadratic-risk wedge join is the
+    * same max-degree-bounded one `triangles` already carries. The
+    * coefficient goes through `Bits.dround` so the double is oracle
+    * bit-stable. */
+  def localClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = edges
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .filter($"src" < $"dst").distinct().localCheckpoint()
+    val deg = e.select($"src".as("v")).union(e.select($"dst".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val triPerV = triangles(spark, e)
+      .select(explode(array($"a", $"b", $"c")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("tri"))
+    deg.join(triPerV, Seq("v"), "left")
+      .select($"v", $"deg",
+        graft.Bits.dround(
+          when($"deg" < 2, 0.0).otherwise(
+            coalesce($"tri", lit(0L)) * 2.0 / ($"deg" * ($"deg" - 1L))), 6).as("cc"))
+  }
+
   /** Label propagation (Gelly library/LabelPropagation): each vertex
     * adopts the most frequent label among its neighbors, smallest label
     * winning ties (deterministic). Fixed iteration count — LPA need not
@@ -553,6 +580,43 @@ object GraphOps extends QueryModule {
         |FROM e ab JOIN e bc ON ab.dst = bc.src
         |          JOIN e ac ON ab.src = ac.src AND bc.dst = ac.dst
         |ORDER BY a, b, c
+        |""".stripMargin)),
+
+    GQuery(
+      // Local clustering coefficient over q81's co-purchase graph
+      // (Gelly clustering/ parity): per-supplier triangle count over
+      // degree-pair count. The oracle recomputes both from the same edge
+      // set; cc goes through the shared dround so the doubles hash-match.
+      "q107_clustering_coefficient",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 300)
+          .select($"l_orderkey", $"l_suppkey")
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .filter($"src" < $"dst").distinct()
+        localClusteringCoefficient(s, edges).orderBy($"v")
+      },
+      Some(s"""
+        |WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_suppkey < b.l_suppkey
+        |             AND a.l_orderkey < 300 AND b.l_orderkey < 300),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |          (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+        |        GROUP BY v),
+        |tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        |        FROM e ab JOIN e bc ON ab.dst = bc.src
+        |                  JOIN e ac ON ab.src = ac.src AND bc.dst = ac.dst),
+        |tv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM
+        |         (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri)
+        |       GROUP BY v)
+        |SELECT deg.v, deg.deg,
+        |       ${graft.Bits.droundSql(
+                  "CASE WHEN deg.deg < 2 THEN 0.0 ELSE COALESCE(tv.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)) END", 6)} AS cc
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |ORDER BY deg.v
         |""".stripMargin)),
 
     GQuery(
