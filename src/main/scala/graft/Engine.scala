@@ -41,15 +41,47 @@ object Engine {
     }
   }
 
+  private val ExplainRe =
+    """(?is)\s*EXPLAIN(\s+(?:FORMATTED|EXTENDED|CODEGEN|COST))?\s+(SELECT\b.*)""".r
+  private val StmtSetRe =
+    """(?is)\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b(.*?)\bEND\s*;?\s*""".r
+
+  private def extendedMatches(q: String): Boolean =
+    WindowTvfSql.matches(q) || TemporalSql.matches(q) ||
+      graft.cep.MatchRecognize.matchesSql(q)
+
   /** SQL entry point with the engine's extended dispatch (SqlClient
-    * analog): temporal-join syntax -> TemporalSql bridge, MATCH_RECOGNIZE
+    * analog): window-TVF / legacy grouped-window syntax -> WindowTvfSql,
+    * temporal-join syntax -> TemporalSql bridge, MATCH_RECOGNIZE
     * statements -> the CEP SQL bridge, extended DDL (computed columns /
-    * WATERMARK) -> WatermarkDdl, everything else -> spark.sql. The whole
-    * implemented surface is reachable from one SQL-text front door. */
-  def sql(spark: SparkSession, query: String): DataFrame =
-    if (WindowTvfSql.matches(query)) WindowTvfSql.sql(spark, query)
-    else if (TemporalSql.matches(query)) TemporalSql.sql(spark, query)
-    else if (graft.cep.MatchRecognize.matchesSql(query))
-      graft.cep.MatchRecognize.sql(spark, query)
-    else WatermarkDdl.sql(spark, query)
+    * WATERMARK) -> WatermarkDdl, everything else -> spark.sql. EXPLAIN
+    * works over the EXTENDED surface too (the lowered plan is explained —
+    * SqlClient's EXPLAIN-through-the-planner behavior), and EXECUTE
+    * STATEMENT SET BEGIN ... END runs a multi-statement batch
+    * (SqlClient's statement sets; Spark executes the members
+    * sequentially — there is no cross-INSERT DAG merge, the one joint
+    * optimization Flink's implementation adds). The whole implemented
+    * surface is reachable from one SQL-text front door. */
+  def sql(spark: SparkSession, query: String): DataFrame = query match {
+    case StmtSetRe(body) =>
+      import spark.implicits._
+      val stmts = graft.util.SqlSplit.splitStatements(body)
+      require(stmts.nonEmpty, "EXECUTE STATEMENT SET: empty body")
+      stmts.map { s =>
+        val n = sql(spark, s).count()
+        (s.linesIterator.mkString(" ").trim.take(80), n)
+      }.toDF("statement", "rows")
+    case ExplainRe(mode, body) if extendedMatches(body) =>
+      import spark.implicits._
+      val m = Option(mode).map(_.trim.toLowerCase).filter(_.nonEmpty).getOrElse("simple")
+      val plan = sql(spark, body).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(m))
+      Seq(plan).toDF("plan")
+    case _ =>
+      if (WindowTvfSql.matches(query)) WindowTvfSql.sql(spark, query)
+      else if (TemporalSql.matches(query)) TemporalSql.sql(spark, query)
+      else if (graft.cep.MatchRecognize.matchesSql(query))
+        graft.cep.MatchRecognize.sql(spark, query)
+      else WatermarkDdl.sql(spark, query)
+  }
 }

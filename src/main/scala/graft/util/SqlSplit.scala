@@ -80,6 +80,28 @@ object SqlSplit {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Split a script on top-level semicolons (statement separators):
+    * semicolons inside parentheses or single-quoted literals don't
+    * split. Empty fragments (trailing separators) are dropped. */
+  def splitStatements(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var paren = 0
+    var inQuote = false
+    s.foreach { c =>
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true; cur += c
+        case '(' => paren += 1; cur += c
+        case ')' => paren -= 1; cur += c
+        case ';' if paren == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   def splitTopLevel(s: String, angleTypes: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder

@@ -138,4 +138,37 @@ class DdlSpec extends AnyFunSuite {
     assert(Engine.sql(spark, s"SELECT COUNT(*) FROM $t").head().getLong(0) == 2L)
     Engine.sql(spark, s"DROP TABLE $t")
   }
+
+  test("EXPLAIN works over the extended SQL surface (lowered plan, SqlClient behavior)") {
+    Engine.openCatalog(spark, TestSpark.sf)
+    val plan = Engine.sql(spark, """
+      EXPLAIN FORMATTED
+      SELECT unix_seconds(window_start) AS s, COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+      GROUP BY window_start""").head().getString(0)
+    assert(plan.contains("Physical Plan"), plan.take(200))
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"), plan.take(400))
+    // plain EXPLAIN of ordinary SQL still goes through spark.sql natively
+    val plain = Engine.sql(spark, "EXPLAIN SELECT 1").head().getString(0)
+    assert(plain.nonEmpty)
+  }
+
+  test("EXECUTE STATEMENT SET runs a multi-INSERT batch") {
+    val t1 = s"stmtset_a_${math.abs(getClass.getName.hashCode)}"
+    val t2 = s"stmtset_b_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t1")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t2")
+    Engine.sql(spark, s"CREATE TABLE $t1 (k BIGINT) USING parquet")
+    Engine.sql(spark, s"CREATE TABLE $t2 (k BIGINT, kk BIGINT) USING parquet")
+    val res = Engine.sql(spark, s"""
+      EXECUTE STATEMENT SET BEGIN
+        INSERT INTO $t1 SELECT id FROM range(5);
+        INSERT INTO $t2 SELECT id, id * 2 FROM range(3);
+      END""")
+    assert(res.count() == 2) // one summary row per member statement
+    assert(spark.table(t1).count() == 5)
+    assert(spark.table(t2).count() == 3)
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t1")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t2")
+  }
 }
