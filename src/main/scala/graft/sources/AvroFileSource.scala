@@ -89,12 +89,21 @@ private[sources] class AvroTable(tableSchema: StructType, properties: Map[String
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
+  // catalog-created tables (CREATE TABLE ... USING graft-avro OPTIONS
+  // (path ...)) carry the path as a TABLE property; per-operation options
+  // (reader/writer .option) override it
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).filter(_.nonEmpty)
+      .orElse(properties.get("path").filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-avro: a path is required (OPTIONS (path ...) or .load/.save)"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(tableSchema, AvroFileSource.requirePath(options), options.asScala.toMap)
+    new AvroScanBuilder(tableSchema, pathOf(options), options.asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(info.schema(),
-      AvroFileSource.requirePath(info.options()), info.options().asScala.toMap,
+      pathOf(info.options()), info.options().asScala.toMap,
       info.queryId())
 }
 

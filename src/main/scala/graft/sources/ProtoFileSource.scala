@@ -67,14 +67,19 @@ private[sources] class ProtoTable(tableSchema: StructType, properties: Map[Strin
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).filter(_.nonEmpty)
+      .orElse(properties.get("path").filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-proto: a path is required (OPTIONS (path ...) or .load/.save)"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val path = AvroFileSource.requirePath(options)
+    val path = pathOf(options)
     () => new ProtoScan(tableSchema, path)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ProtoWriteBuilder(info.schema(),
-      AvroFileSource.requirePath(info.options()), info.queryId())
+    new ProtoWriteBuilder(info.schema(), pathOf(info.options()), info.queryId())
 }
 
 private[sources] class ProtoScan(schema: StructType, path: String) extends Scan with Batch {

@@ -142,6 +142,19 @@ class AvroFileSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CREATE TABLE ... USING graft-avro integrates with catalog SQL (DDL + INSERT + SELECT)") {
+    val dir = tmp("ddl")
+    val t = s"avro_ddl_${math.abs(getClass.getName.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) USING `graft-avro` OPTIONS (path '$dir')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT s FROM $t WHERE k = 3").head.getString(0) == "v3")
+    // the data really is OCF files under the OPTIONS path
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".avro")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("empty-range splits of a small file read zero rows (sync past EOF)") {
     import spark.implicits._
     val dir = tmp("tiny")

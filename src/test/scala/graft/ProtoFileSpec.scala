@@ -95,6 +95,17 @@ class ProtoFileSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CREATE TABLE ... USING graft-proto integrates with catalog SQL") {
+    val dir = tmp("ddl")
+    val t = s"proto_ddl_${math.abs(getClass.getName.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) USING `graft-proto` OPTIONS (path '$dir')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT s FROM $t WHERE k = 3").head.getString(0) == "v3")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("truncated file fails the read loudly") {
     import spark.implicits._
     val dir = tmp("corrupt")
