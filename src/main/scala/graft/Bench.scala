@@ -51,6 +51,7 @@ object Bench {
       .sortBy(-_._2).take(math.max(0, isolateN)).map(_._1)
     val isolated = slowest.map { name =>
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).flatMap { _ =>

@@ -67,10 +67,13 @@ object Engine {
       import spark.implicits._
       val stmts = graft.util.SqlSplit.splitStatements(body)
       require(stmts.nonEmpty, "EXECUTE STATEMENT SET: empty body")
+      // INSERTs execute eagerly inside sql(); their empty result frame
+      // carries no row count, so the summary reports status, not rows
+      // (counting would also re-execute any SELECT member)
       stmts.map { s =>
-        val n = sql(spark, s).count()
-        (s.linesIterator.mkString(" ").trim.take(80), n)
-      }.toDF("statement", "rows")
+        sql(spark, s)
+        (s.linesIterator.mkString(" ").trim.take(80), "OK")
+      }.toDF("statement", "status")
     case ExplainRe(mode, body) if extendedMatches(body) =>
       import spark.implicits._
       val m = Option(mode).map(_.trim.toLowerCase).filter(_.nonEmpty).getOrElse("simple")

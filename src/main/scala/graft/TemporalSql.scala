@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.AsOfJoin
 import graft.util.SqlSplit
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
 /** SQL-text surface for the temporal/as-of join — Flink's
@@ -142,8 +142,17 @@ object TemporalSql {
         val blanked = blankLiterals(c)
         dimRefs(c).nonEmpty && !s"""(?i)\\b$f\\.""".r.findFirstIn(blanked).isDefined
       }
-      (dimSide ++ postSide).foreach(c => dimRefs(c).foreach(useDim))
-      Option(orderOpt).foreach(o => dimRefs(o).foreach(useDim))
+      // predicates/ORDER BY may reference the dim's JOIN KEY — post-join
+      // it is the fact key's value (that's the join condition), so those
+      // refs rewrite to the fact side instead of entering the payload
+      def rewriteDimKeys(s: String): String =
+        keyPairs.foldLeft(s) { case (acc, (fk, dk)) =>
+          acc.replaceAll(s"""(?i)\\b$d\\.$dk\\b""", s"$f.$fk")
+        }
+      def useDimRef(s: String): Unit =
+        dimRefs(s).filterNot(dKeys.contains).foreach(useDim)
+      (dimSide ++ postSide).foreach(useDimRef)
+      Option(orderOpt).foreach(useDimRef)
 
       val dimPayload = payload.distinct
       require(dimPayload.nonEmpty,
@@ -175,12 +184,32 @@ object TemporalSql {
       // dim-side conjuncts re-check so NULL-payload (no qualifying version)
       // rows drop exactly as SQL's post-join WHERE would drop them
       val filtered = (dimSide ++ postSide).foldLeft(joined)((df, c) =>
-        df.where(expr(stripAliases(c, f, d))))
+        df.where(expr(stripAliases(rewriteDimKeys(c), f, d))))
 
-      val projected = filtered.selectExpr(entries: _*)
-      Option(orderOpt).map(o =>
-        projected.orderBy(SqlSplit.splitTopLevel(stripAliases(o, f, d))
-          .map(expr): _*)).getOrElse(projected)
+      // ORDER BY may name a projection ALIAS (sort after projecting) or a
+      // source column the SELECT list drops (sort BEFORE projecting — the
+      // projection preserves the order, no shuffle between them)
+      val outNames = entries.map(e =>
+        e.split("""(?i)\s+AS\s+""").last.trim)
+      val sortEntries = Option(orderOpt).toSeq.flatMap(o =>
+        SqlSplit.splitTopLevel(stripAliases(rewriteDimKeys(o), f, d)).map(_.trim))
+      def sortName(se: String): String =
+        se.split("""\s+""").head // strip trailing ASC/DESC for the check
+      // expr("c DESC") silently parses as `c AS DESC` — direction must be
+      // peeled off the text and applied as .asc/.desc on the Column
+      def sortCol(se: String): Column = {
+        val DirRe = """(?is)^(.*?)\s+(ASC|DESC)\s*$""".r
+        se match {
+          case DirRe(e, dir) =>
+            if (dir.equalsIgnoreCase("desc")) expr(e).desc else expr(e).asc
+          case _ => expr(se)
+        }
+      }
+      if (sortEntries.isEmpty) filtered.selectExpr(entries: _*)
+      else if (sortEntries.forall(se => outNames.contains(sortName(se))))
+        filtered.selectExpr(entries: _*).orderBy(sortEntries.map(sortCol): _*)
+      else
+        filtered.orderBy(sortEntries.map(sortCol): _*).selectExpr(entries: _*)
     case _ => throw new IllegalArgumentException(
       "unsupported FOR SYSTEM_TIME AS OF shape — see TemporalSql scaladoc")
   }

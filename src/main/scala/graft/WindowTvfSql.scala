@@ -39,30 +39,50 @@ object WindowTvfSql {
   private val LegacyRe = """(?is)\bGROUP\s+BY\b.*?\b(TUMBLE|HOP|SESSION)\s*\(""".r
   private val viewCounter = new AtomicInteger(0)
 
-  def matches(sql: String): Boolean =
-    FindRe.findFirstIn(sql).isDefined || LegacyRe.findFirstIn(sql).isDefined
+  /** Same-length literal blanking: string contents become spaces so regex
+    * finds and paren walks never react to SQL inside a quoted literal,
+    * while every index still maps into the original text. */
+  private def blanked(s: String): String = {
+    val arr = s.toCharArray
+    var i = 0
+    var in = false
+    while (i < arr.length) {
+      if (arr(i) == '\'') in = !in
+      else if (in) arr(i) = ' '
+      i += 1
+    }
+    new String(arr)
+  }
+
+  def matches(sql: String): Boolean = {
+    val b = blanked(sql)
+    FindRe.findFirstIn(b).isDefined || LegacyRe.findFirstIn(b).isDefined
+  }
 
   /** Rewrite every window-TVF call to an expanded view (and every legacy
     * grouped-window call to its `window()`/`session_window()` form), then
     * re-dispatch the spliced statement through the engine's SQL entry. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     var q = query
-    var m = FindRe.findFirstMatchIn(q)
+    var b = blanked(q)
+    var m = FindRe.findFirstMatchIn(b)
     while (m.isDefined) {
       val mm = m.get
       val fn = mm.group(1).toUpperCase
-      // walk balanced parens from TABLE's '(' to find the full span
-      val openTable = q.indexOf('(', mm.start)
-      val closeTable = matchParen(q, openTable)
-      val openFn = q.indexOf('(', q.indexOf(mm.group(1), openTable))
-      val closeFn = matchParen(q, openFn)
+      // walk balanced parens (on the BLANKED text, so literal content is
+      // inert) from TABLE's '(' to find the full span
+      val openTable = b.indexOf('(', mm.start)
+      val closeTable = matchParen(b, openTable)
+      val openFn = b.indexOf('(', b.indexOf(mm.group(1), openTable))
+      val closeFn = matchParen(b, openFn)
       val args = q.substring(openFn + 1, closeFn)
       val view = s"__graft_window_tvf_${viewCounter.incrementAndGet()}"
       expand(spark, fn, args).createOrReplaceTempView(view)
       q = q.substring(0, mm.start) + view + q.substring(closeTable + 1)
-      m = FindRe.findFirstMatchIn(q)
+      b = blanked(q)
+      m = FindRe.findFirstMatchIn(b)
     }
-    if (LegacyRe.findFirstIn(q).isDefined) q = rewriteLegacy(q)
+    if (LegacyRe.findFirstIn(b).isDefined) q = rewriteLegacy(q)
     Engine.sql(spark, q)
   }
 
@@ -114,18 +134,21 @@ object WindowTvfSql {
   }
 
   /** Replace every `name(args)` call (word-boundary, case-insensitive)
-    * with `repl(topLevelArgs)`, walking balanced parens. */
+    * with `repl(topLevelArgs)`, walking balanced parens — finds and paren
+    * walks run on the literal-blanked text so quoted strings are inert. */
   private def replaceCalls(query: String, name: String,
       repl: Seq[String] => String): String = {
     val re = ("""(?i)\b""" + name + """\s*\(""").r
     var q = query
-    var m = re.findFirstMatchIn(q)
+    var b = blanked(q)
+    var m = re.findFirstMatchIn(b)
     while (m.isDefined) {
-      val open = q.indexOf('(', m.get.start)
-      val close = matchParen(q, open)
+      val open = b.indexOf('(', m.get.start)
+      val close = matchParen(b, open)
       val args = SqlSplit.splitTopLevel(q.substring(open + 1, close)).map(_.trim)
       q = q.substring(0, m.get.start) + repl(args) + q.substring(close + 1)
-      m = re.findFirstMatchIn(q)
+      b = blanked(q)
+      m = re.findFirstMatchIn(b)
     }
     q
   }
@@ -152,17 +175,33 @@ object WindowTvfSql {
     val args = SqlSplit.splitTopLevel(argText)
     require(args.nonEmpty, s"window TVF $fn: no arguments")
 
-    val (table, partitionKeys) = args.head match {
+    // DESCRIPTOR is the table-spec/interval boundary: PARTITION BY a, b
+    // splits at its top-level comma, so everything BEFORE the descriptor
+    // is rejoined as the table spec and everything after must be an
+    // interval — no argument can be silently dropped
+    val descIdx = args.indexWhere(a => DescRe.matches(a))
+    require(descIdx >= 0,
+      s"window TVF $fn: missing DESCRIPTOR(<timecol>)")
+    require(descIdx > 0,
+      s"window TVF $fn: first argument must be TABLE <name>")
+    val tableSpec = args.take(descIdx).mkString(", ")
+    val (table, partitionKeys) = tableSpec match {
       case TableRe(t, pb) =>
-        (t, Option(pb).map(SqlSplit.splitTopLevel(_).map(_.trim)).getOrElse(Seq.empty))
+        val keys = Option(pb).map(_.trim)
+          .map(p => if (p.startsWith("(") && p.endsWith(")")) p.substring(1, p.length - 1) else p)
+          .map(SqlSplit.splitTopLevel(_).map(_.trim)).getOrElse(Seq.empty)
+        (t, keys)
       case other =>
         throw new IllegalArgumentException(s"window TVF $fn: first argument must be TABLE <name>, got '$other'")
     }
     require(partitionKeys.isEmpty || fn == "SESSION",
       s"window TVF $fn: PARTITION BY is only valid for SESSION")
-    val tsCol = args.collectFirst { case DescRe(c) => c }.getOrElse(
-      throw new IllegalArgumentException(s"window TVF $fn: missing DESCRIPTOR(<timecol>)"))
-    val intervals = args.collect { case IntervalRe(n, unit) => (n.toLong, unit.toUpperCase) }
+    val tsCol = args(descIdx) match { case DescRe(c) => c }
+    val intervals = args.drop(descIdx + 1).map {
+      case IntervalRe(n, unit) => (n.toLong, unit.toUpperCase)
+      case other => throw new IllegalArgumentException(
+        s"window TVF $fn: expected INTERVAL '<n>' <unit> after DESCRIPTOR, got '$other'")
+    }
     def micros(i: (Long, String)): Long = i._1 * (i._2 match {
       case "SECOND" => 1000000L
       case "MINUTE" => 60000000L

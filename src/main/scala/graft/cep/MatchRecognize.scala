@@ -419,12 +419,33 @@ object MatchRecognize {
       else if (parse(clause).measures.nonEmpty) runMeasures(spark, input, clause)
       else run(spark, input, clause)
 
-    val projected =
-      if (proj == "*") matched
-      else matched.selectExpr(graft.util.SqlSplit.splitTopLevel(proj): _*)
-    val filtered = whereOpt.map(projected.where).getOrElse(projected)
-    orderOpt.map(o => filtered.orderBy(
-      graft.util.SqlSplit.splitTopLevel(o).map(expr): _*)).getOrElse(filtered)
+    // SQL semantics: WHERE evaluates against the MATCH_RECOGNIZE
+    // relation's columns (measures/partition keys), not the outer SELECT
+    // list — it runs BEFORE the projection so non-projected match
+    // columns stay referenceable. ORDER BY resolves against the match
+    // relation when its columns are there (sorting before the projection,
+    // which preserves order), falling back to post-projection resolution
+    // for SELECT-list aliases.
+    val filtered = whereOpt.map(matched.where).getOrElse(matched)
+    val sortEntries = orderOpt.toSeq.flatMap(o =>
+      graft.util.SqlSplit.splitTopLevel(o).map(_.trim))
+    // expr("c DESC") parses as `c AS DESC` — peel the direction off and
+    // apply it as .asc/.desc on the Column
+    def sortCol(se: String): org.apache.spark.sql.Column = {
+      val DirRe = """(?is)^(.*?)\s+(ASC|DESC)\s*$""".r
+      se match {
+        case DirRe(e, dir) =>
+          if (dir.equalsIgnoreCase("desc")) expr(e).desc else expr(e).asc
+        case _ => expr(se)
+      }
+    }
+    def doProject(df: org.apache.spark.sql.DataFrame) =
+      if (proj == "*") df
+      else df.selectExpr(graft.util.SqlSplit.splitTopLevel(proj): _*)
+    if (sortEntries.isEmpty) doProject(filtered)
+    else if (sortEntries.forall(se => filtered.columns.contains(se.split("""\s+""").head)))
+      doProject(filtered.orderBy(sortEntries.map(sortCol): _*))
+    else doProject(filtered).orderBy(sortEntries.map(sortCol): _*)
   }
 
   /** Compile and run a clause in ALL ROWS PER MATCH mode: output is one

@@ -84,18 +84,26 @@ final class FullLookupCache[I, O](loader: () => Map[I, O],
     reloadIntervalMs: Long, clock: () => Long) extends Serializable {
   require(reloadIntervalMs > 0, "reload interval must be positive")
 
-  @transient private var table: Map[I, O] = _
-  @transient private var loadedAt: Long = Long.MinValue
+  // steady state is a VOLATILE read — probes between reloads take no
+  // lock (Flink's LookupFullCache likewise only blocks during a reload);
+  // the monitor is entered solely when a reload is due, with the
+  // freshness re-check inside (double-checked reload)
+  @transient @volatile private var table: Map[I, O] = _
+  @transient @volatile private var loadedAt: Long = Long.MinValue
   private val loadCount = new AtomicLong
 
-  private def current(): Map[I, O] = synchronized {
-    val now = clock()
-    if (table == null || now - loadedAt >= reloadIntervalMs) {
-      table = loader()
-      loadedAt = now
-      loadCount.incrementAndGet()
+  private def current(): Map[I, O] = {
+    val t = table
+    if (t != null && clock() - loadedAt < reloadIntervalMs) t
+    else synchronized {
+      val now = clock()
+      if (table == null || now - loadedAt >= reloadIntervalMs) {
+        table = loader()
+        loadedAt = now
+        loadCount.incrementAndGet()
+      }
+      table
     }
-    table
   }
 
   def get(key: I): Option[O] = current().get(key)

@@ -122,16 +122,9 @@ private[sources] class AvroScan(readSchema0: StructType, path: String,
   override def description(): String = s"graft-avro $path ${readSchema0.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val files = AvroFileSource.listFiles(path, conf)
-    // FilePartition-style sizing: respect the session's maxPartitionBytes
-    // (option override first) so local tests can force multi-split files.
-    val maxBytes = options.get("maxpartitionbytes").map(_.toLong).getOrElse {
-      val s = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
-      catch { case _: Exception => 134217728L }
-    }
+    val maxBytes = AvroFileSource.maxSplitBytes(options)
     files.flatMap { f =>
       val len = f.getLen
       (0L until len by maxBytes).map { start =>
@@ -148,7 +141,8 @@ private[sources] class AvroScan(readSchema0: StructType, path: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FilesMicroBatchStream(path, ".avro", { (f, len) =>
-      val maxBytes = options.get("maxpartitionbytes").map(_.toLong).getOrElse(134217728L)
+      // same split sizing as the batch path (planFile runs on the driver)
+      val maxBytes = AvroFileSource.maxSplitBytes(options)
       (0L until len by maxBytes).map { s =>
         AvroInputPartition(f, s, math.min(maxBytes, len - s)): InputPartition
       }
@@ -274,6 +268,17 @@ private[sources] class AvroDataWriter(schema: StructType, tempDir: String,
 // ------------------------------------------------------------- helpers
 
 object AvroFileSource {
+
+  /** FilePartition-style split sizing: the per-read option wins, then the
+    * session's spark.sql.files.maxPartitionBytes, then the 128 MiB
+    * default — identical resolution for the batch and streaming paths. */
+  private[sources] def maxSplitBytes(options: Map[String, String]): Long =
+    options.get("maxpartitionbytes").map(_.toLong).getOrElse {
+      val s = SparkSession.active.conf
+        .get("spark.sql.files.maxPartitionBytes", "134217728")
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      catch { case _: Exception => 134217728L }
+    }
 
   private[sources] def requirePath(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

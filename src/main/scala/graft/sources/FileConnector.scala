@@ -90,7 +90,12 @@ private[sources] abstract class TwoPhaseFileBatchWrite(path: String,
     messages.foreach {
       case TaskFileCommit(tempFile) =>
         val src = new Path(tempFile)
-        fs.rename(src, new Path(dest, src.getName))
+        // rename signals failure by RETURNING false (name collision,
+        // vanished temp file) — an unchecked false here would silently
+        // drop a committed task's whole output
+        if (!fs.rename(src, new Path(dest, src.getName)))
+          throw new java.io.IOException(
+            s"commit failed: could not rename $src into $dest")
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }
     fs.delete(new Path(tempDir), true)

@@ -117,4 +117,21 @@ class MatchSqlSpec extends AnyFunSuite {
     // Engine.sql still runs plain SQL untouched
     assert(Engine.sql(spark, "SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
+
+  test("WHERE on a non-projected measure filters the match relation (pre-projection)") {
+    import spark.implicits._
+    fixture()
+    val got = Engine.sql(spark, s"""
+      SELECT uid
+      FROM mr_events MATCH_RECOGNIZE ($clause) AS m
+      WHERE n_clicks > 1
+      ORDER BY s_t
+    """).as[Long].collect().toSeq
+    assert(got == Seq(1L)) // user 1's match has 2 clicks; measure not in SELECT
+    assert(Engine.sql(spark, s"""
+      SELECT uid
+      FROM mr_events MATCH_RECOGNIZE ($clause) AS m
+      WHERE n_clicks > 5
+    """).count() == 0)
+  }
 }

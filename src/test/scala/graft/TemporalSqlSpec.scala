@@ -230,4 +230,40 @@ class TemporalSqlSpec extends AnyFunSuite {
     // the phrase inside a string literal must NOT hijack shell dispatch
     assert(!TemporalSql.matches("SELECT 'FOR SYSTEM_TIME AS OF' AS note"))
   }
+
+  test("ORDER BY a dim column absent from the SELECT list sorts before projection") {
+    import spark.implicits._
+    fixtures()
+    val got = TemporalSql.sql(spark, """
+      SELECT f.fact AS fact
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE d.price IS NOT NULL
+      ORDER BY d.price DESC
+    """, versionTime = Some("vt")).as[String].collect().toSeq
+    assert(got == Seq("f2", "f1")) // price 200 then 100; f3 has no version
+    assert(TemporalSql.sql(spark, """
+      SELECT f.fact AS fact
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE d.price IS NOT NULL
+      ORDER BY fact
+    """, versionTime = Some("vt")).as[String].collect().toSeq == Seq("f1", "f2"))
+  }
+
+  test("predicates on the dim's JOIN KEY resolve via the fact side, not an error") {
+    import spark.implicits._
+    fixtures()
+    val got = TemporalSql.sql(spark, """
+      SELECT f.fact AS fact, d.price AS price
+      FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk
+      WHERE d.pk = 1 AND d.price IS NOT NULL
+      ORDER BY f.t
+    """, versionTime = Some("vt")).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("f1", 100.0), ("f2", 200.0)))
+  }
 }

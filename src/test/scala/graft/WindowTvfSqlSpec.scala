@@ -148,6 +148,34 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     assert(legacy.collect().toSeq == viaDf.collect().toSeq)
   }
 
+  test("SESSION TVF with a MULTI-column PARTITION BY keeps every key") {
+    import spark.implicits._
+    val viaSql = run("""
+      SELECT user_id, event_type, unix_seconds(window_start) AS s, COUNT(*) AS n
+      FROM TABLE(SESSION(TABLE events PARTITION BY user_id, event_type, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+      GROUP BY user_id, event_type, window_start, window_end ORDER BY user_id, event_type, s""")
+    val viaDf = Tables.events(spark, TestSpark.sf)
+      .groupBy($"user_id", $"event_type", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"event_type", unix_seconds($"w.start").as("s"), $"n")
+      .orderBy($"user_id", $"event_type", $"s")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    // and the single-key result differs (proof the second key is not dropped)
+    val singleKey = run("""
+      SELECT COUNT(*) AS n
+      FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+      GROUP BY user_id, window_start, window_end""").count()
+    assert(viaSql.count() != singleKey)
+  }
+
+  test("TUMBLE(/HOP( inside a string literal is not hijacked by the dispatcher") {
+    assert(!WindowTvfSql.matches(
+      "SELECT count(*) FROM events WHERE event_type = 'saw TUMBLE(' GROUP BY user_id"))
+    val df = run(
+      "SELECT count(*) AS n FROM events WHERE event_type = 'TABLE(TUMBLE(' GROUP BY user_id")
+    assert(df.columns.toSeq == Seq("n")) // executed as plain SQL, no rewrite
+  }
+
   test("malformed TVFs fail loudly") {
     assert(intercept[IllegalArgumentException](
       run("SELECT * FROM TABLE(TUMBLE(events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
