@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.avro.Schema
+import org.apache.avro.{LogicalTypes, Schema}
 import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.mapred.FsInput
@@ -57,9 +57,12 @@ import scala.jdk.CollectionConverters._
   *   spark.read.format("graft-avro").load(dir)   // schema inferred from header
   * }}}
   *
-  * Type surface: BIGINT/INT/DOUBLE/FLOAT/STRING/BOOLEAN/BINARY columns,
-  * nullable via `["null", T]` unions — a superset of the record-level
-  * codec's contract in [[AvroFormat]].
+  * Type surface: BIGINT/INT/DOUBLE/FLOAT/STRING/BOOLEAN/BINARY columns
+  * plus the standard logical types — TIMESTAMP (timestamp-micros on the
+  * wire; timestamp-millis files from other writers are scaled on read),
+  * DATE (date on int), DECIMAL(p,s) (decimal on bytes) — nullable via
+  * `["null", T]` unions. A superset of the record-level codec's contract
+  * in [[AvroFormat]].
   */
 class AvroFileSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -190,6 +193,15 @@ private[sources] class AvroPartitionReader(p: AvroInputPartition,
   }
   private val end = p.start + p.length
   private var record: GenericRecord = _
+  // per-field converters precomputed against the WRITER's field schemas,
+  // so logical-type scaling (timestamp-millis, decimal scale) is correct
+  private val converters: Array[AnyRef => Any] = readSchema.fields.map { f =>
+    if (!writerFieldNames.contains(f.name)) null
+    else {
+      val (wf, _) = AvroFileSource.unwrapNullablePub(writerSchema.getField(f.name).schema)
+      AvroFileSource.converterFor(wf, f.dataType)
+    }
+  }
 
   override def next(): Boolean = {
     if (!reader.hasNext || reader.pastSync(end)) false
@@ -197,9 +209,9 @@ private[sources] class AvroPartitionReader(p: AvroInputPartition,
   }
 
   override def get(): InternalRow = {
-    InternalRow.fromSeq(readSchema.fields.toSeq.map { f =>
-      if (!writerFieldNames.contains(f.name)) null
-      else AvroFileSource.avroValueToCatalyst(record.get(f.name), f.dataType)
+    InternalRow.fromSeq(readSchema.fields.indices.map { i =>
+      val conv = converters(i)
+      if (conv == null) null else conv(record.get(readSchema.fields(i).name))
     })
   }
 
@@ -311,6 +323,8 @@ object AvroFileSource {
     }.toSeq)
   }
 
+  private[sources] def unwrapNullablePub(s: Schema): (Schema, Boolean) = unwrapNullable(s)
+
   private def unwrapNullable(s: Schema): (Schema, Boolean) =
     if (s.getType == Schema.Type.UNION) {
       val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
@@ -318,15 +332,50 @@ object AvroFileSource {
       (branches.head, branches.size < s.getTypes.size)
     } else (s, false)
 
-  private def avroTypeToSpark(s: Schema): DataType = s.getType match {
-    case Schema.Type.LONG => LongType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.STRING => StringType
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES => BinaryType
-    case other => throw new IllegalArgumentException(s"graft-avro: unsupported avro type $other")
+  private def avroTypeToSpark(s: Schema): DataType = s.getLogicalType match {
+    // standard Avro logical types (spec §Logical Types): annotated
+    // primitives whose Catalyst internal forms line up 1:1 — micros on
+    // long IS Spark's timestamp encoding, days on int IS its date
+    case _: LogicalTypes.TimestampMicros => TimestampType
+    case _: LogicalTypes.TimestampMillis => TimestampType // scaled on read
+    case _: LogicalTypes.Date => DateType
+    case d: LogicalTypes.Decimal if s.getType == Schema.Type.BYTES =>
+      DecimalType(d.getPrecision, d.getScale)
+    case _ => s.getType match {
+      case Schema.Type.LONG => LongType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(s"graft-avro: unsupported avro type $other")
+    }
+  }
+
+  /** Field converter avro-datum -> Catalyst, schema-aware so logical-type
+    * scaling (e.g. timestamp-millis -> micros) uses the WRITER's
+    * annotation. `fieldSchema` is the nullable-unwrapped writer field
+    * schema, or null when the writer lacks the field. */
+  private[sources] def converterFor(fieldSchema: Schema, dt: DataType): AnyRef => Any = {
+    val logical = Option(fieldSchema).flatMap(f => Option(f.getLogicalType))
+    (logical, dt) match {
+      case (Some(_: LogicalTypes.TimestampMillis), TimestampType) =>
+        v => if (v == null) null else v.asInstanceOf[java.lang.Number].longValue() * 1000L
+      case (_, TimestampType) =>
+        v => if (v == null) null else v.asInstanceOf[java.lang.Number].longValue()
+      case (_, DateType) =>
+        v => if (v == null) null else v.asInstanceOf[java.lang.Number].intValue()
+      case (Some(d: LogicalTypes.Decimal), dec: DecimalType) =>
+        v => if (v == null) null else {
+          val bb = v.asInstanceOf[ByteBuffer]
+          val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(arr), d.getScale),
+            dec.precision, dec.scale)
+        }
+      case _ => v => avroValueToCatalyst(v, dt)
+    }
   }
 
   private[sources] def sparkToAvro(schema: StructType): Schema = {
@@ -339,6 +388,13 @@ object AvroFileSource {
         case StringType => Schema.create(Schema.Type.STRING)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
         case BinaryType => Schema.create(Schema.Type.BYTES)
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case d: DecimalType =>
+          LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(Schema.create(Schema.Type.BYTES))
         case other => throw new IllegalArgumentException(s"graft-avro: unsupported type $other")
       }
       val s = if (f.nullable)
@@ -374,6 +430,11 @@ object AvroFileSource {
       case StringType => row.getUTF8String(i).toString
       case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
       case BinaryType => ByteBuffer.wrap(row.getBinary(i))
+      case TimestampType => java.lang.Long.valueOf(row.getLong(i)) // internal micros
+      case DateType => java.lang.Integer.valueOf(row.getInt(i))    // internal days
+      case d: DecimalType => ByteBuffer.wrap(
+        row.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue().toByteArray)
       case other => throw new IllegalArgumentException(s"graft-avro: unsupported type $other")
     }
 }

@@ -142,6 +142,42 @@ class AvroFileSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("logical types roundtrip: timestamp-micros, date, decimal") {
+    import spark.implicits._
+    val dir = tmp("logical")
+    val src = spark.range(0, 100).select(
+      $"id".as("k"),
+      timestamp_micros($"id" * 1000000L + 1500000000000000L).as("ts"),
+      date_add(lit("2024-01-01").cast("date"), $"id".cast("int")).as("d"),
+      ($"id" * 100 + lit("0.25").cast("decimal(12,2)")).cast("decimal(12,2)").as("amt"))
+    src.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    // inference restores the exact Spark types from the logical annotations
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
+  test("timestamp-millis files read as timestamps (writer-annotation-aware scaling)") {
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmp("millis")
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(dir))
+    // hand-write an OCF with a timestamp-millis field (another system's file)
+    val fs = ASchema.createRecord("r", null, "t", false, java.util.List.of(
+      new ASchema.Field("ts",
+        LogicalTypes.timestampMillis().addToSchema(ASchema.create(ASchema.Type.LONG)),
+        null, null.asInstanceOf[Object])))
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](fs))
+    w.create(fs, new java.io.File(dir, "x.avro"))
+    val rec = new GenericData.Record(fs)
+    rec.put("ts", 1700000000123L) // millis
+    w.append(rec); w.close()
+    val row = spark.read.format("graft-avro").load(dir).head()
+    assert(row.getTimestamp(0).getTime == 1700000000123L) // millis preserved
+  }
+
   test("CREATE TABLE ... USING graft-avro integrates with catalog SQL (DDL + INSERT + SELECT)") {
     val dir = tmp("ddl")
     val t = s"avro_ddl_${math.abs(getClass.getName.hashCode)}"
