@@ -742,6 +742,33 @@ object AdvancedOps extends QueryModule {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2
+        |""".stripMargin)),
+
+    GQuery(
+      // The same aggregation as q106 but in the LEGACY grouped-window
+      // syntax (TUMBLE directly in GROUP BY + TUMBLE_START auxiliary —
+      // BuiltInFunctionDefinitions TUMBLE_OLD:940), rewritten by
+      // WindowTvfSql onto window(). Same oracle as q21/q106: all three
+      // paths must agree bit-for-bit.
+      "q108_legacy_group_window_sql",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT unix_seconds(TUMBLE_START(ts, INTERVAL '5' MINUTES)) AS win_start_sec,
+                 event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+          FROM events
+          GROUP BY TUMBLE(ts, INTERVAL '5' MINUTES), event_type
+          ORDER BY win_start_sec, event_type
+        """)
+      },
+      Some("""
+        |SELECT (epoch_ns(ts)//1000000000//300)*300 AS win_start_sec, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2
         |""".stripMargin)))
 
   private lazy val allRowsQueries: Seq[GQuery] = Seq(

@@ -176,6 +176,29 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("n")) // executed as plain SQL, no rewrite
   }
 
+  test("TUMBLE TVF composes with a STREAMING source (micro-batch windowed agg)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.toDF().select(timestamp_micros($"_1").as("ts"), $"_2".as("v"))
+      .createOrReplaceTempView("tvf_stream_src")
+    val agg = Engine.sql(spark, """
+      SELECT window_start, COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE tvf_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+      GROUP BY window_start""")
+    assert(agg.isStreaming, "TVF expansion must preserve streaming-ness")
+    val q = agg.writeStream.format("memory").queryName("tvf_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData((60_000_000L, "a"), (70_000_000L, "b"), (130_000_000L, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("tvf_stream_out").orderBy("window_start").collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 1L)) // [60s,120s)=2, [120s,180s)=1
+    } finally q.stop()
+  }
+
   test("malformed TVFs fail loudly") {
     assert(intercept[IllegalArgumentException](
       run("SELECT * FROM TABLE(TUMBLE(events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
