@@ -216,18 +216,29 @@ object WindowTvfSql {
 
     fn match {
       case "TUMBLE" =>
-        require(intervals.length == 1, "TUMBLE(TABLE t, DESCRIPTOR(ts), size)")
+        // optional trailing OFFSET interval (SqlWindowTableFunction's
+        // fourth operand) maps onto window()'s startTime parameter
+        require(intervals.length == 1 || intervals.length == 2,
+          "TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])")
+        val size = durStr(intervals(0))
+        val w = if (intervals.length == 2)
+          window(col(tsCol), size, size, durStr(intervals(1)))
+        else window(col(tsCol), size)
         withTime(src
-          .withColumn("__w", window(col(tsCol), durStr(intervals(0))))
+          .withColumn("__w", w)
           .withColumn("window_start", col("__w.start"))
           .withColumn("window_end", col("__w.end"))
           .drop("__w"))
 
       case "HOP" =>
-        require(intervals.length == 2, "HOP(TABLE t, DESCRIPTOR(ts), slide, size)")
+        require(intervals.length == 2 || intervals.length == 3,
+          "HOP(TABLE t, DESCRIPTOR(ts), slide, size [, offset])")
         val (slide, size) = (intervals(0), intervals(1))
+        val w = if (intervals.length == 3)
+          window(col(tsCol), durStr(size), durStr(slide), durStr(intervals(2)))
+        else window(col(tsCol), durStr(size), durStr(slide))
         withTime(src
-          .withColumn("__w", window(col(tsCol), durStr(size), durStr(slide)))
+          .withColumn("__w", w)
           .withColumn("window_start", col("__w.start"))
           .withColumn("window_end", col("__w.end"))
           .drop("__w"))

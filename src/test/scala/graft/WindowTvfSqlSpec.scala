@@ -199,6 +199,19 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TUMBLE with an OFFSET interval shifts the window alignment") {
+    val plain = run("""
+      SELECT DISTINCT unix_seconds(window_start) % 300 AS rem
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))""")
+      .collect().map(_.getLong(0)).toSet
+    val offset = run("""
+      SELECT DISTINCT unix_seconds(window_start) % 300 AS rem
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '1' MINUTE))""")
+      .collect().map(_.getLong(0)).toSet
+    assert(plain == Set(0L))
+    assert(offset == Set(60L)) // windows start at :01, :06, :11, ...
+  }
+
   test("malformed TVFs fail loudly") {
     assert(intercept[IllegalArgumentException](
       run("SELECT * FROM TABLE(TUMBLE(events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
