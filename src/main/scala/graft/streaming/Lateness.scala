@@ -58,6 +58,14 @@ object Lateness {
   object FireTrigger {
     final case class CountT(every: Int) extends FireTrigger
     final case class DeltaT(threshold: Double) extends FireTrigger
+    /** ContinuousEventTimeTrigger.java: fire each time event time crosses
+      * the next `intervalMs` boundary (emulated per element in event
+      * order — the boundary registry replaces Flink's timer chain). */
+    final case class ContinuousEventTimeT(intervalMs: Long) extends FireTrigger
+    /** PurgingTrigger.java: wrap any trigger; every firing also PURGES
+      * the pane, so each partial reports only the slice since the last
+      * fire and the final fire reports the remainder. */
+    final case class Purging(inner: FireTrigger) extends FireTrigger
   }
 
   /** Evictors (windowing/evictors/): restrict each fire to the newest m
@@ -122,16 +130,38 @@ object Lateness {
           if (evict.isDefined) buf = buf :+ ((t, v))
           n += 1
           sum += v
-          val fires = trigger match {
+          // Purging wraps another trigger: unwrap ONCE (a recursive
+          // helper here would lift onto the Lateness$ object and drag it
+          // into the task closure — NotSerializableException)
+          val (effective, purging) = trigger match {
+            case FireTrigger.Purging(inner) => (inner, true)
+            case t => (t, false)
+          }
+          val fires = effective match {
             case FireTrigger.CountT(every) => n % every == 0
             case FireTrigger.DeltaT(threshold) =>
               if (baseSet == 0) { baseSet = 1; base = v; false }
-              else math.abs(v - base) > threshold
+              else if (math.abs(v - base) > threshold) { base = v; true }
+              else false
+            case FireTrigger.ContinuousEventTimeT(interval) =>
+              // `base` doubles as the next boundary; first element arms it
+              if (baseSet == 0) {
+                baseSet = 1
+                base = (math.floor(t.toDouble / interval) + 1) * interval
+                false
+              } else if (t >= base) {
+                base = (math.floor(t.toDouble / interval) + 1) * interval
+                true
+              } else false
+            case FireTrigger.Purging(_) =>
+              throw new IllegalArgumentException("nested Purging triggers are not supported")
           }
           if (fires) {
-            base = v
             val (fn, fsum) = fireValue(buf, n, sum)
             out += ((k, winStart, "partial", fn, fsum))
+            if (purging) {
+              buf = Seq.empty; n = 0L; sum = 0.0 // FIRE_AND_PURGE
+            }
           }
         }
         state.update((buf, n, sum, baseSet, base))

@@ -302,6 +302,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 0L, "final", 3L, 39.0)))
   }
 
+  test("continuous event-time trigger fires at each interval boundary crossing") {
+    import graft.streaming.Lateness
+    import graft.streaming.Lateness.FireTrigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.triggeredTumbleSum(
+      watermarked, windowMs = 60000L, trigger = FireTrigger.ContinuousEventTimeT(3000L))
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("cet_out").start()
+    // t=1s arms the 3s boundary; t=2s below it; t=4s crosses -> fire(3);
+    // t=5s below next (6s); t=7s crosses -> fire(5)
+    in.addData((1L, ts(1), 1.0), (1L, ts(2), 1.0), (1L, ts(4), 1.0),
+      (1L, ts(5), 1.0), (1L, ts(7), 1.0))
+    q.processAllAvailable()
+    in.addData((1L, ts(100), 0.0)) // final
+    runToCompletion(q)
+    val partials = spark.table("cet_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(r => r._2 == 0L && r._3 == "partial").map(_._4)
+    assert(partials == Seq(3L, 5L), s"boundary fires wrong: $partials")
+  }
+
+  test("purging trigger resets the pane on every fire (FIRE_AND_PURGE)") {
+    import graft.streaming.Lateness
+    import graft.streaming.Lateness.FireTrigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.triggeredTumbleSum(
+      watermarked, windowMs = 10000L,
+      trigger = FireTrigger.Purging(FireTrigger.CountT(2)))
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("pt_out").start()
+    in.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(3), 4.0), (1L, ts(4), 8.0))
+    q.processAllAvailable()
+    in.addData((1L, ts(100), 0.0)) // final: nothing since last purge
+    runToCompletion(q)
+    val rows = spark.table("pt_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(_._2 == 0L)
+    // each partial covers only its slice; the final pane is empty
+    assert(rows.contains((1L, 0L, "partial", 2L, 3.0)), s"first purge-fire: $rows")
+    assert(rows.contains((1L, 0L, "partial", 2L, 12.0)), s"second purge-fire: $rows")
+    assert(rows.contains((1L, 0L, "final", 0L, 0.0)), s"post-purge final: $rows")
+  }
+
   test("time evictor keeps only the trailing range of the pane at fire") {
     import graft.streaming.Lateness
     import graft.streaming.Lateness.{Evict, FireTrigger}
