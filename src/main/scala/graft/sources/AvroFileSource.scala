@@ -57,12 +57,13 @@ import scala.jdk.CollectionConverters._
   *   spark.read.format("graft-avro").load(dir)   // schema inferred from header
   * }}}
   *
-  * Type surface: BIGINT/INT/DOUBLE/FLOAT/STRING/BOOLEAN/BINARY columns
-  * plus the standard logical types — TIMESTAMP (timestamp-micros on the
-  * wire; timestamp-millis files from other writers are scaled on read),
-  * DATE (date on int), DECIMAL(p,s) (decimal on bytes) — nullable via
-  * `["null", T]` unions. A superset of the record-level codec's contract
-  * in [[AvroFormat]].
+  * Type surface: BIGINT/INT/DOUBLE/FLOAT/STRING/BOOLEAN/BINARY columns,
+  * the standard logical types — TIMESTAMP (timestamp-micros on the wire;
+  * timestamp-millis files from other writers are scaled on read), DATE
+  * (date on int), DECIMAL(p,s) (decimal on bytes) — and NESTED types:
+  * STRUCT (record), ARRAY, MAP<STRING, T>, recursively composed, all
+  * nullable via `["null", T]` unions. A superset of the record-level
+  * codec's contract in [[AvroFormat]].
   */
 class AvroFileSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -261,10 +262,16 @@ private[sources] class AvroDataWriter(schema: StructType, tempDir: String,
     w.create(avroSchema, stream)
   }
 
+  // recursive slot converters precomputed once per task
+  private val fieldConvs = schema.fields.map { f =>
+    AvroFileSource.writerConv(f.dataType,
+      AvroFileSource.unwrapNullablePub(avroSchema.getField(f.name).schema)._1)
+  }
+
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      rec.put(f.name, AvroFileSource.catalystValueToAvro(row, i, f.dataType))
+      rec.put(f.name, if (row.isNullAt(i)) null else fieldConvs(i)(row, i))
     }
     out.append(rec)
   }
@@ -349,6 +356,19 @@ object AvroFileSource {
       case Schema.Type.STRING => StringType
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.BYTES => BinaryType
+      // complex types recurse; nullability of nested slots comes from
+      // their own ["null", T] unions
+      case Schema.Type.RECORD =>
+        StructType(s.getFields.asScala.map { f =>
+          val (fs, nullable) = unwrapNullable(f.schema)
+          StructField(f.name, avroTypeToSpark(fs), nullable)
+        }.toSeq)
+      case Schema.Type.ARRAY =>
+        val (es, nullable) = unwrapNullable(s.getElementType)
+        ArrayType(avroTypeToSpark(es), containsNull = nullable)
+      case Schema.Type.MAP =>
+        val (vs, nullable) = unwrapNullable(s.getValueType)
+        MapType(StringType, avroTypeToSpark(vs), valueContainsNull = nullable)
       case other => throw new IllegalArgumentException(s"graft-avro: unsupported avro type $other")
     }
   }
@@ -374,37 +394,91 @@ object AvroFileSource {
             new java.math.BigDecimal(new java.math.BigInteger(arr), d.getScale),
             dec.precision, dec.scale)
         }
+      case (_, st: StructType) =>
+        val rs = fieldSchema // writer record schema for this slot
+        require(rs != null && rs.getType == Schema.Type.RECORD,
+          s"graft-avro: expected a record for $st, writer has $rs")
+        val childConvs = st.fields.map { f =>
+          val wf = rs.getField(f.name)
+          if (wf == null) null
+          else converterFor(unwrapNullable(wf.schema)._1, f.dataType)
+        }
+        v => if (v == null) null else {
+          val rec = v.asInstanceOf[GenericRecord]
+          InternalRow.fromSeq(st.fields.indices.map { i =>
+            val c = childConvs(i)
+            if (c == null) null else c(rec.get(st.fields(i).name))
+          })
+        }
+      case (_, at: ArrayType) =>
+        require(fieldSchema != null && fieldSchema.getType == Schema.Type.ARRAY,
+          s"graft-avro: expected an array, writer has $fieldSchema")
+        val elemConv = converterFor(
+          unwrapNullable(fieldSchema.getElementType)._1, at.elementType)
+        v => if (v == null) null else {
+          val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            coll.asScala.map(elemConv).toArray)
+        }
+      case (_, mt: MapType) =>
+        require(fieldSchema != null && fieldSchema.getType == Schema.Type.MAP,
+          s"graft-avro: expected a map, writer has $fieldSchema")
+        val valConv = converterFor(
+          unwrapNullable(fieldSchema.getValueType)._1, mt.valueType)
+        v => if (v == null) null else {
+          val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+          val keys = m.keySet.asScala.toArray
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            keys.map(k => UTF8String.fromString(k.toString): Any),
+            keys.map(k => valConv(m.get(k))))
+        }
       case _ => v => avroValueToCatalyst(v, dt)
     }
   }
 
-  private[sources] def sparkToAvro(schema: StructType): Schema = {
-    val fields = schema.fields.map { f =>
-      val base = f.dataType match {
-        case LongType => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case TimestampType =>
-          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case DateType =>
-          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
-        case d: DecimalType =>
-          LogicalTypes.decimal(d.precision, d.scale)
-            .addToSchema(Schema.create(Schema.Type.BYTES))
-        case other => throw new IllegalArgumentException(s"graft-avro: unsupported type $other")
-      }
-      val s = if (f.nullable)
-        Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
-      else base
+  /** Spark type -> Avro schema, recursive; nested record names carry the
+    * field path (Avro record names must be unique within a schema). */
+  private def sparkTypeToAvro(dt: DataType, path: String): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case st: StructType => recordSchema(st, path)
+    case at: ArrayType =>
+      Schema.createArray(nullableWrap(
+        sparkTypeToAvro(at.elementType, s"${path}_item"), at.containsNull))
+    case mt: MapType =>
+      require(mt.keyType == StringType, "graft-avro: map keys must be STRING (Avro maps)")
+      Schema.createMap(nullableWrap(
+        sparkTypeToAvro(mt.valueType, s"${path}_value"), mt.valueContainsNull))
+    case other => throw new IllegalArgumentException(s"graft-avro: unsupported type $other")
+  }
+
+  private def nullableWrap(base: Schema, nullable: Boolean): Schema =
+    if (nullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
+    else base
+
+  private def recordSchema(st: StructType, path: String): Schema = {
+    val fields = st.fields.map { f =>
+      val s = nullableWrap(sparkTypeToAvro(f.dataType, s"${path}_${f.name}"), f.nullable)
       new Schema.Field(f.name, s,
         null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
-    Schema.createRecord("graft_rec", null, "graft", false, fields.toList.asJava)
+    Schema.createRecord(path, null, "graft", false, fields.toList.asJava)
   }
+
+  private[sources] def sparkToAvro(schema: StructType): Schema =
+    recordSchema(schema, "graft_rec")
 
   private[sources] def avroValueToCatalyst(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
@@ -420,21 +494,61 @@ object AvroFileSource {
       throw new IllegalArgumentException(s"graft-avro: cannot read $other as $t")
   }
 
-  private[sources] def catalystValueToAvro(row: InternalRow, i: Int, dt: DataType): AnyRef =
-    if (row.isNullAt(i)) null
-    else dt match {
-      case LongType => java.lang.Long.valueOf(row.getLong(i))
-      case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-      case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
-      case FloatType => java.lang.Float.valueOf(row.getFloat(i))
-      case StringType => row.getUTF8String(i).toString
-      case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-      case BinaryType => ByteBuffer.wrap(row.getBinary(i))
-      case TimestampType => java.lang.Long.valueOf(row.getLong(i)) // internal micros
-      case DateType => java.lang.Integer.valueOf(row.getInt(i))    // internal days
-      case d: DecimalType => ByteBuffer.wrap(
-        row.getDecimal(i, d.precision, d.scale)
-          .toJavaBigDecimal.unscaledValue().toByteArray)
-      case other => throw new IllegalArgumentException(s"graft-avro: unsupported type $other")
-    }
+  /** Recursive catalyst -> avro slot converter over SpecializedGetters
+    * (InternalRow and ArrayData share the accessor interface, so one
+    * converter tree serves rows, array elements, and map values).
+    * `avro` is the NON-NULL branch schema for this slot. */
+  private[sources] def writerConv(dt: DataType, avro: Schema)
+      : (org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => AnyRef = dt match {
+    case LongType | TimestampType => (g, i) => java.lang.Long.valueOf(g.getLong(i))
+    case IntegerType | DateType => (g, i) => java.lang.Integer.valueOf(g.getInt(i))
+    case DoubleType => (g, i) => java.lang.Double.valueOf(g.getDouble(i))
+    case FloatType => (g, i) => java.lang.Float.valueOf(g.getFloat(i))
+    case StringType => (g, i) => g.getUTF8String(i).toString
+    case BooleanType => (g, i) => java.lang.Boolean.valueOf(g.getBoolean(i))
+    case BinaryType => (g, i) => ByteBuffer.wrap(g.getBinary(i))
+    case d: DecimalType => (g, i) => ByteBuffer.wrap(
+      g.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.unscaledValue().toByteArray)
+    case st: StructType =>
+      val convs = st.fields.zipWithIndex.map { case (f, j) =>
+        writerConv(f.dataType, unwrapNullable(avro.getField(f.name).schema)._1)
+      }
+      (g, i) => {
+        val row = g.getStruct(i, st.length)
+        val rec = new GenericData.Record(avro)
+        st.fields.zipWithIndex.foreach { case (f, j) =>
+          rec.put(f.name, if (row.isNullAt(j)) null else convs(j)(row, j))
+        }
+        rec
+      }
+    case at: ArrayType =>
+      val elemConv = writerConv(at.elementType, unwrapNullable(avro.getElementType)._1)
+      (g, i) => {
+        val arr = g.getArray(i)
+        val out = new java.util.ArrayList[AnyRef](arr.numElements())
+        var j = 0
+        while (j < arr.numElements()) {
+          out.add(if (arr.isNullAt(j)) null else elemConv(arr, j))
+          j += 1
+        }
+        out
+      }
+    case mt: MapType =>
+      val valConv = writerConv(mt.valueType, unwrapNullable(avro.getValueType)._1)
+      (g, i) => {
+        val m = g.getMap(i)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val out = new java.util.HashMap[String, AnyRef](m.numElements())
+        var j = 0
+        while (j < m.numElements()) {
+          out.put(keys.getUTF8String(j).toString,
+            if (vals.isNullAt(j)) null else valConv(vals, j))
+          j += 1
+        }
+        out
+      }
+    case other => throw new IllegalArgumentException(s"graft-avro: unsupported type $other")
+  }
 }

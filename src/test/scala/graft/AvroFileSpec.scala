@@ -178,6 +178,29 @@ class AvroFileSpec extends AnyFunSuite {
     assert(row.getTimestamp(0).getTime == 1700000000123L) // millis preserved
   }
 
+  test("nested types roundtrip: struct, array, map (with nulls inside)") {
+    import spark.implicits._
+    val dir = tmp("nested")
+    val src = spark.range(0, 500).select(
+      $"id".as("k"),
+      struct($"id".as("a"),
+        struct(concat(lit("deep"), $"id").as("s")).as("inner"),
+        when($"id" % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("b"), $"id")).as("b")).as("rec"),
+      array($"id", $"id" * 2, $"id" * 3).as("xs"),
+      map(lit("m1"), $"id".cast("double"),
+          lit("m2"), ($"id" * 0.5)).as("m"))
+    src.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == 500)
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+    // nested field access + aggregation behave
+    assert(back.agg(sum($"rec.a")).head.getLong(0) == 499L * 500L / 2)
+    assert(back.select(element_at(col("m"), "m2").as("v")).agg(sum("v"))
+      .head.getDouble(0) == 499.0 * 500 / 2 * 0.5)
+  }
+
   test("CREATE TABLE ... USING graft-avro integrates with catalog SQL (DDL + INSERT + SELECT)") {
     val dir = tmp("ddl")
     val t = s"avro_ddl_${math.abs(getClass.getName.hashCode)}"
