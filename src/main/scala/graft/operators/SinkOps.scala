@@ -257,6 +257,52 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // NESTED columns through the Avro file connector: orders packed
+      // into a STRUCT (with a nested inner struct), an ARRAY of derived
+      // longs, and a MAP — written as OCF, read back, flattened with
+      // explode/element_at, aggregated. The oracle states the same
+      // arithmetic over the flat table, so any nested encode/decode or
+      // null-handling bug breaks the hash match.
+      "q109_avro_nested_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d).select(
+          $"o_orderkey",
+          struct($"o_orderpriority".as("prio"),
+            struct(graft.Bits.dec($"o_totalprice").cast("double").as("price")).as("inner"),
+            when($"o_orderkey" % 7 === 0, lit(null).cast("string"))
+              .otherwise($"o_orderstatus").as("status")).as("rec"),
+          array($"o_orderkey" % 10, $"o_orderkey" % 100).as("xs"),
+          map(lit("ck"), $"o_custkey").as("m"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-avro-q109").toString + "/orders"
+        base.write.format("graft-avro").option("codec", "deflate")
+          .mode("overwrite").save(dir)
+        s.read.format("graft-avro").load(dir)
+          .select($"rec.prio".as("prio"), $"rec.inner.price".as("price"),
+            $"rec.status".as("status"), explode($"xs").as("x"),
+            element_at($"m", "ck").as("ck"))
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n"),
+            sum($"price".cast(graft.Bits.Dec)).cast("double").as("total"),
+            count($"status").as("n_status"),
+            sum($"x").as("sum_x"),
+            sum($"ck").as("sum_ck"))
+          .orderBy($"prio")
+      },
+      Some("""
+        |SELECT o_orderpriority AS prio, CAST(2 * COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(2 * CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |                     AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |       CAST(2 * COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS BIGINT) AS n_status,
+        |       CAST(SUM(o_orderkey % 10 + o_orderkey % 100) AS BIGINT) AS sum_x,
+        |       CAST(SUM(2 * o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin)),
+
+    GQuery(
       "q54_constraint_enforce",
       (s, d) => {
         import s.implicits._
