@@ -303,6 +303,61 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Canal CDC END-TO-END under the oracle gate (mirror of q103's
+      // debezium pipeline, exercising canal's BATCHED data[] arrays and
+      // partial-old overlay): synthetic canal messages carry orders in
+      // 2-row batches (inserts at es=1), single-row UPDATE batches with
+      // `old` holding ONLY the changed column (+100 price at es=2), and
+      // DELETE batches for keys %17=0 at es=3 — decoded by decodeCanal,
+      // collapsed by upsertMaterialize. Oracle = surviving final rows.
+      "q110_canal_cdc_materialize",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Cdc
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d).select($"o_orderkey",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val payload = new StructType()
+          .add("o_orderkey", LongType).add("price", DoubleType)
+        // batched inserts: two consecutive orders per canal message
+        val inserts = base
+          .withColumn("__grp", ($"o_orderkey" / 2).cast("long"))
+          .groupBy($"__grp")
+          .agg(collect_list(struct($"o_orderkey", $"price")).as("rows"))
+          .select(to_json(struct(
+            $"rows".as("data"), lit(null).cast(ArrayType(payload)).as("old"),
+            lit("INSERT").as("type"), lit(1L).as("es"))).as("value"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val updates = base.filter($"o_orderkey" % 10 === 0)
+          .select(to_json(struct(
+            array(struct($"o_orderkey", bumped)).as("data"),
+            // canal's partial old image: ONLY the changed column
+            array(struct(lit(null).cast(LongType).as("o_orderkey"),
+              $"price")).as("old"),
+            lit("UPDATE").as("type"), lit(2L).as("es"))).as("value"))
+        val deletes = base.filter($"o_orderkey" % 17 === 0)
+          .select(to_json(struct(
+            array(struct($"o_orderkey", $"price")).as("data"),
+            lit(null).cast(ArrayType(payload)).as("old"),
+            lit("DELETE").as("type"), lit(3L).as("es"))).as("value"))
+        val log = Cdc.decodeCanal(
+          inserts.unionByName(updates).unionByName(deletes), payload)
+        Cdc.upsertMaterialize(log, Seq("o_orderkey"), "cdc_ts", "cdc_ts")
+          .select($"o_orderkey", $"price")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       CAST(CASE WHEN o_orderkey % 10 = 0
+        |                 THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                 ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+        |            AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 17 <> 0
+        |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
       "q54_constraint_enforce",
       (s, d) => {
         import s.implicits._
