@@ -262,6 +262,10 @@ object WindowTvfSql {
 
       case "SESSION" =>
         require(intervals.length == 1, "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
+        require(!src.isStreaming,
+          "SESSION TVF over a STREAMING table is not supported by the batch " +
+            "gaps-and-islands lowering — use StreamOps.sessionAgg / " +
+            "session_window in a streaming groupBy instead")
         val gapUs = micros(intervals(0))
         // gaps-and-islands (the batch form of the session assigner, same
         // [start, last+gap) half-open contract as q23's oracle)

@@ -340,6 +340,34 @@ object GraphOps extends QueryModule {
             coalesce($"tri", lit(0L)) * 2.0 / ($"deg" * ($"deg" - 1L))), 6).as("cc"))
   }
 
+  /** Global clustering coefficient (Gelly library/clustering/undirected/
+    * GlobalClusteringCoefficient.java): 3 * triangles / open-or-closed
+    * triplets over the whole graph — one row out. Triplet count derives
+    * from degrees (sum of deg*(deg-1)/2), so the cost beyond `triangles`
+    * is a single aggregate. */
+  def globalClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = edges
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .filter($"src" < $"dst").distinct().localCheckpoint()
+    val triplets = e.select($"src".as("v")).union(e.select($"dst".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .agg(sum($"deg" * ($"deg" - 1L) / 2L).cast("double").as("triplets"))
+    val tris = triangles(spark, e).agg(count(lit(1)).cast("double").as("tri"))
+    triplets.crossJoin(broadcast(tris))
+      .select(graft.Bits.dround(
+        when($"triplets" === 0.0, 0.0).otherwise(lit(3.0) * $"tri" / $"triplets"), 6)
+        .as("global_cc"))
+  }
+
+  /** Average clustering coefficient (AverageClusteringCoefficient.java):
+    * the mean of the per-vertex coefficients. */
+  def averageClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    localClusteringCoefficient(spark, edges)
+      .agg(graft.Bits.dround(avg($"cc"), 6).as("avg_cc"))
+  }
+
   /** Label propagation (Gelly library/LabelPropagation): each vertex
     * adopts the most frequent label among its neighbors, smallest label
     * winning ties (deterministic). Fixed iteration count — LPA need not

@@ -45,6 +45,22 @@ class GraphSpec extends AnyFunSuite {
     assert(tris2 == Seq((1L, 2L, 3L)), s"got $tris2")
   }
 
+  test("clustering coefficients: triangle-with-tail has known local/global/average values") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a tail 3-4: deg = (2,2,3,1)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val local = GraphOps.localClusteringCoefficient(spark, edges)
+      .select("v", "cc").as[(Long, Double)].collect().toMap
+    assert(local == Map(1L -> 1.0, 2L -> 1.0, 3L -> (1.0 / 3.0 * 1e6).floor./(1e6), 4L -> 0.0),
+      s"local: $local")
+    // triplets: 1+1+3+0 = 5; triangles: 1 -> global = 3/5
+    val global = GraphOps.globalClusteringCoefficient(spark, edges).head.getDouble(0)
+    assert(global == 0.6, s"global: $global")
+    // average of (1, 1, 1/3, 0) = 7/12
+    val avgCc = GraphOps.averageClusteringCoefficient(spark, edges).head.getDouble(0)
+    assert(math.abs(avgCc - 7.0 / 12.0) < 1e-5, s"avg: $avgCc")
+  }
+
   test("sideOutputCounts: hostile tag names are inert data, not SQL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
