@@ -4,64 +4,140 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
 
 import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import scala.jdk.CollectionConverters._
 
 /** Record-level Avro format (flink-formats/flink-avro
   * .../AvroRowDataSerializationSchema.java / AvroRowDataDeserializationSchema
   * .java): Flink's avro format encodes and decodes MESSAGE BYTES — e.g. a
   * Kafka value — not files, and that is the role reproduced here: a typed
   * row <-> one Avro binary payload in a `value` column. Runs on the
-  * avro-core jars already on Spark's classpath (the spark-avro FILE
-  * DataSource module is absent from this container — documented gap; the
-  * record path is what the CDC/stream pipelines actually need).
+  * avro-core jars already on Spark's classpath; the FILE-level role lives
+  * in [[AvroFileSource]], which shares this codec's schema conversion.
   *
   * Distributed: encode/decode run inside mapPartitions with one
   * reader/writer per partition; the schema travels as its JSON string
   * (org.apache.avro.Schema is not serializable).
   *
-  * Type coverage: BIGINT/DOUBLE/STRING columns (nullable via Avro unions)
-  * — the oracle-convention surface of this repo. */
+  * Type coverage (round 4): the full recursive surface of the file
+  * connector — primitives, TIMESTAMP/DATE/DECIMAL logical types, and
+  * nested STRUCT / ARRAY / MAP<STRING, T> — which is what makes the
+  * debezium-avro envelope (a record of records, [[graft.streaming.Cdc
+  * .decodeDebeziumAvro]]) decodable at the record level. */
 object AvroFormat {
 
-  /** Avro record schema JSON for a Spark struct of long/double/string
-    * fields (nullable unions). */
-  def avroSchemaJson(schema: StructType, recordName: String = "graft_rec"): String = {
-    val fields = schema.fields.map { f =>
-      val t = f.dataType match {
-        case LongType => "\"long\""
-        case DoubleType => "\"double\""
-        case StringType => "\"string\""
-        case other =>
-          throw new IllegalArgumentException(s"AvroFormat: unsupported type $other")
-      }
-      s"""{"name":"${f.name}","type":["null",$t],"default":null}"""
-    }
-    s"""{"type":"record","name":"$recordName","fields":[${fields.mkString(",")}]}"""
+  /** Avro record schema JSON for a Spark struct (nested records/arrays/
+    * maps recurse — shared conversion with the file connector). EVERY
+    * slot becomes a `["null", T]` union regardless of the Spark-side
+    * nullable flag: the record codec's wire format must not depend on
+    * how a particular DataFrame happened to infer nullability, or an
+    * encode(nonNullable) / decode(nullable) pair would silently misread
+    * (the decoder resolves by SCHEMA, not by tags). */
+  def avroSchemaJson(schema: StructType, recordName: String = "graft_rec"): String =
+    AvroFileSource.sparkToAvro(allNullable(schema).asInstanceOf[StructType]).toString
+
+  private def allNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case at: ArrayType => ArrayType(allNullable(at.elementType), containsNull = true)
+    case mt: MapType => MapType(mt.keyType, allNullable(mt.valueType), valueContainsNull = true)
+    case o => o
   }
 
-  /** Encode each row of `df` (long/double/string columns only) into one
-    * Avro binary payload; output has a single `value` binary column. */
+  // ---------------------------------------- external <-> avro converters
+
+  private def nonNull(s: Schema): Schema = AvroFileSource.unwrapNullablePub(s)._1
+
+  /** External (Row-land) value -> Avro datum, recursive. */
+  private def externalToAvro(dt: DataType, v: Any, avro: Schema): AnyRef =
+    if (v == null) null
+    else dt match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType =>
+        v.asInstanceOf[AnyRef]
+      case StringType => v.asInstanceOf[AnyRef]
+      case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case TimestampType =>
+        java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(
+          v.asInstanceOf[java.sql.Timestamp]))
+      case DateType =>
+        java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(
+          v.asInstanceOf[java.sql.Date]))
+      case d: DecimalType =>
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+        ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      case st: StructType =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(avro)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name,
+            externalToAvro(f.dataType, row.get(i), nonNull(avro.getField(f.name).schema)))
+        }
+        rec
+      case at: ArrayType =>
+        val elemSchema = nonNull(avro.getElementType)
+        val out = new java.util.ArrayList[AnyRef]()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(e =>
+          out.add(externalToAvro(at.elementType, e, elemSchema)))
+        out
+      case mt: MapType =>
+        val valSchema = nonNull(avro.getValueType)
+        val out = new java.util.HashMap[String, AnyRef]()
+        v.asInstanceOf[scala.collection.Map[String, Any]].foreach { case (k, mv) =>
+          out.put(k, externalToAvro(mt.valueType, mv, valSchema))
+        }
+        out
+      case other => throw new IllegalArgumentException(s"AvroFormat: unsupported type $other")
+    }
+
+  /** Avro datum -> external (Row-land) value, recursive. */
+  private def avroToExternal(dt: DataType, v: AnyRef): Any =
+    if (v == null) null
+    else dt match {
+      case LongType => v.asInstanceOf[java.lang.Number].longValue()
+      case IntegerType => v.asInstanceOf[java.lang.Number].intValue()
+      case DoubleType => v.asInstanceOf[java.lang.Number].doubleValue()
+      case FloatType => v.asInstanceOf[java.lang.Number].floatValue()
+      case BooleanType => v
+      case StringType => v.toString // avro Utf8 -> String
+      case BinaryType =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+      case TimestampType =>
+        DateTimeUtils.toJavaTimestamp(v.asInstanceOf[java.lang.Number].longValue())
+      case DateType =>
+        DateTimeUtils.toJavaDate(v.asInstanceOf[java.lang.Number].intValue())
+      case d: DecimalType =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+        new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale)
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(st.fields.toSeq.map(f => avroToExternal(f.dataType, rec.get(f.name))))
+      case at: ArrayType =>
+        v.asInstanceOf[java.util.Collection[AnyRef]].asScala
+          .map(e => avroToExternal(at.elementType, e)).toSeq
+      case mt: MapType =>
+        v.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
+          .map { case (k, mv) => k.toString -> avroToExternal(mt.valueType, mv) }.toMap
+      case other => throw new IllegalArgumentException(s"AvroFormat: unsupported type $other")
+    }
+
+  // ------------------------------------------------------- encode/decode
+
+  /** Encode each row of `df` into one Avro binary payload; output has a
+    * single `value` binary column. */
   def encode(df: DataFrame): DataFrame = {
     val sparkSchema = df.schema
     val json = avroSchemaJson(sparkSchema)
-    val out = df.mapPartitions { it =>
+    df.mapPartitions { it =>
       val schema = new Schema.Parser().parse(json)
       val writer = new GenericDatumWriter[GenericRecord](schema)
       it.map { row =>
-        val rec = new GenericData.Record(schema)
-        sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
-          val v: AnyRef =
-            if (row.isNullAt(i)) null
-            else f.dataType match {
-              case LongType => java.lang.Long.valueOf(row.getLong(i))
-              case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
-              case StringType => row.getString(i)
-              case other => throw new IllegalArgumentException(other.toString)
-            }
-          rec.put(f.name, v)
-        }
+        val rec = externalToAvro(sparkSchema, row, schema).asInstanceOf[GenericRecord]
         val bos = new ByteArrayOutputStream()
         val enc = EncoderFactory.get().binaryEncoder(bos, null)
         writer.write(rec, enc)
@@ -69,7 +145,6 @@ object AvroFormat {
         Row(bos.toByteArray)
       }
     }(Encoders.row(StructType(Seq(StructField("value", BinaryType)))))
-    out
   }
 
   private def decodeOne(
@@ -77,14 +152,7 @@ object AvroFormat {
       targetSchema: StructType, bytes: Array[Byte]): Row = {
     val dec = DecoderFactory.get().binaryDecoder(bytes, null)
     val rec = reader.read(null, dec)
-    Row.fromSeq(targetSchema.fields.map { f =>
-      val v = rec.get(f.name)
-      (f.dataType, v) match {
-        case (_, null) => null
-        case (StringType, u) => u.toString // avro Utf8 -> String
-        case (_, u) => u
-      }
-    }.toSeq)
+    avroToExternal(targetSchema, rec).asInstanceOf[Row]
   }
 
   /** Decode a `value` binary column of Avro payloads back into the typed

@@ -40,6 +40,30 @@ object Cdc {
     inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
   }
 
+  /** Decode a Debezium AVRO envelope stream (columns: `value` binary) —
+    * the debezium-avro format role (flink-formats/
+    * flink-avro-confluent-registry/.../debezium/DebeziumAvroFormatFactory
+    * .java, minus the schema-registry wire prefix: the envelope schema is
+    * supplied by the caller, as it would come from the registry). The
+    * envelope is a RECORD OF RECORDS — op/ts_ms plus nested before/after
+    * payload rows — decoded by the record-level codec's nested surface,
+    * then mapped to the same +I/-U/+U/-D changelog as [[decodeDebezium]]. */
+  def decodeDebeziumAvro(raw: DataFrame, payloadSchema: StructType): DataFrame = {
+    val envelope = new StructType()
+      .add("op", "string").add("ts_ms", "long")
+      .add("before", payloadSchema).add("after", payloadSchema)
+    val parsed = graft.sources.AvroFormat.decode(raw, envelope)
+    val inserts = parsed.filter(col("op").isin("c", "r"))
+      .select(lit(Insert).as(RowKind), col("ts_ms").as("cdc_ts"), col("after.*"))
+    val deletes = parsed.filter(col("op") === "d")
+      .select(lit(Delete).as(RowKind), col("ts_ms").as("cdc_ts"), col("before.*"))
+    val updBefore = parsed.filter(col("op") === "u")
+      .select(lit(UpdateBefore).as(RowKind), col("ts_ms").as("cdc_ts"), col("before.*"))
+    val updAfter = parsed.filter(col("op") === "u")
+      .select(lit(UpdateAfter).as(RowKind), col("ts_ms").as("cdc_ts"), col("after.*"))
+    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+  }
+
   /** Decode a Canal JSON envelope stream (columns: `value` string) into
     * flat rows + row_kind — flink-formats/flink-json/.../canal/
     * CanalJsonDeserializationSchema.java. Canal BATCHES rows: one message

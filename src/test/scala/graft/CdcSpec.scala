@@ -28,6 +28,30 @@ class CdcSpec extends AnyFunSuite {
     assert(ub == "a")
   }
 
+  test("debezium-AVRO decode agrees with the JSON path (nested record envelope)") {
+    import graft.sources.AvroFormat
+    import spark.implicits._
+    // build the SAME change set as binary Avro envelopes: encode typed
+    // envelope rows (record-of-records) with the nested record codec
+    val envSchema = new StructType()
+      .add("op", StringType).add("ts_ms", LongType)
+      .add("before", payload).add("after", payload)
+    val typed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("c", 1L, null, org.apache.spark.sql.Row(1L, "a")),
+        org.apache.spark.sql.Row("u", 2L, org.apache.spark.sql.Row(1L, "a"),
+          org.apache.spark.sql.Row(1L, "b")),
+        org.apache.spark.sql.Row("c", 3L, null, org.apache.spark.sql.Row(2L, "x")),
+        org.apache.spark.sql.Row("d", 4L, org.apache.spark.sql.Row(2L, "x"), null))),
+      envSchema)
+    val avroLog = Cdc.decodeDebeziumAvro(AvroFormat.encode(typed), payload)
+    val jsonLog = Cdc.decodeDebezium(envelopes.toDF("value"), payload)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(Cdc.RowKind, "cdc_ts", "id", "name")
+        .as[(String, Long, Option[Long], Option[String])].collect().toSet
+    assert(key(avroLog) == key(jsonLog))
+  }
+
   test("dropUpdateBefore removes only -U") {
     import spark.implicits._
     val log = Cdc.decodeDebezium(envelopes.toDF("value"), payload)
