@@ -358,6 +358,53 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Maxwell CDC END-TO-END under the oracle gate (q103/q110's change
+      // set in maxwell's envelope: single-row `data` objects, partial
+      // `old` images, ts in SECONDS — the decoder scales to ms): decoded
+      // by decodeMaxwell, collapsed by upsertMaterialize. Same oracle.
+      "q111_maxwell_cdc_materialize",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Cdc
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d).select($"o_orderkey",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val payload = new StructType()
+          .add("o_orderkey", LongType).add("price", DoubleType)
+        val inserts = base.select(to_json(struct(
+          struct($"o_orderkey", $"price").as("data"),
+          lit(null).cast(payload).as("old"),
+          lit("insert").as("type"), lit(1L).as("ts"))).as("value"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val updates = base.filter($"o_orderkey" % 10 === 0)
+          .select(to_json(struct(
+            struct($"o_orderkey", bumped).as("data"),
+            // maxwell's old carries ONLY the changed column
+            struct(lit(null).cast(LongType).as("o_orderkey"), $"price").as("old"),
+            lit("update").as("type"), lit(2L).as("ts"))).as("value"))
+        val deletes = base.filter($"o_orderkey" % 17 === 0)
+          .select(to_json(struct(
+            struct($"o_orderkey", $"price").as("data"),
+            lit(null).cast(payload).as("old"),
+            lit("delete").as("type"), lit(3L).as("ts"))).as("value"))
+        val log = Cdc.decodeMaxwell(
+          inserts.unionByName(updates).unionByName(deletes), payload)
+        Cdc.upsertMaterialize(log, Seq("o_orderkey"), "cdc_ts", "cdc_ts")
+          .select($"o_orderkey", $"price")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       CAST(CASE WHEN o_orderkey % 10 = 0
+        |                 THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                 ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+        |            AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 17 <> 0
+        |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
       "q54_constraint_enforce",
       (s, d) => {
         import s.implicits._
