@@ -106,7 +106,7 @@ object StreamJoin {
     out.result().iterator
   }
 
-  private def tagged[K, L, R](
+  private[streaming] def tagged[K, L, R](
       left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
       implicit etag: Encoder[(Int, K, String, Option[L], Option[R])])
       : Dataset[(Int, K, String, Option[L], Option[R])] =

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** `StreamJoin.innerJoin` re-based on transformWithState — the SECOND
+  * port on the KeyedProcessTws migration template, and the one that
+  * demonstrates the MAIN scale win called out in SCALE.md: the counted
+  * multiset that the flatMapGroupsWithState implementation folds into one
+  * GroupState value (whole-state deserialize/rewrite per key per batch)
+  * becomes two named `MapState[payload, count]` HANDLES, so a probe
+  * touches exactly the entries it reads or writes — Flink's
+  * JoinRecordStateView MapState shape (flink-table-runtime/.../join/
+  * stream/state/JoinRecordStateViews.java:131) with the same per-entry
+  * access asymptotics.
+  *
+  * Contract parity: identical NET changelog to `StreamJoin.innerJoin`
+  * (asserted spec-equal on scripted changelogs); per-batch emission order
+  * may differ — MapState iteration order is store-defined, while the
+  * fMGWS original iterates insertion order — which is exactly the
+  * order-independence the net-materialization property pins.
+  *
+  * Same runtime prerequisite as the template: the RocksDB state store
+  * provider. The fleet default remains the fMGWS implementation; see
+  * KeyedProcessTws's scaladoc for the why. */
+object StreamJoinTws {
+  import Cdc.{Delete, Insert, UpdateAfter}
+
+  private def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
+
+  private class InnerJoinProc[K, L, R](encL: Encoder[L], encR: Encoder[R])
+      extends StatefulProcessor[K, (Int, K, String, Option[L], Option[R]),
+        (K, String, Option[L], Option[R])] {
+
+    @transient private var liveL: MapState[L, Int] = _
+    @transient private var liveR: MapState[R, Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      liveL = getHandle.getMapState[L, Int]("liveL", encL, Encoders.scalaInt, TTLConfig.NONE)
+      liveR = getHandle.getMapState[R, Int]("liveR", encR, Encoders.scalaInt, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(Int, K, String, Option[L], Option[R])],
+        tv: TimerValues): Iterator[(K, String, Option[L], Option[R])] = {
+      val out = List.newBuilder[(K, String, Option[L], Option[R])]
+      def emitTimes(kind: String, l: Option[L], r: Option[R], times: Int): Unit =
+        (0 until times).foreach(_ => out += ((key, kind, l, r)))
+
+      rows.foreach { case (side, _, kind, lOpt, rOpt) =>
+        if (side == 0) {
+          val l = lOpt.get
+          if (isAdd(kind)) {
+            liveR.iterator().foreach { case (r, c) => emitTimes(Insert, Some(l), Some(r), c) }
+            liveL.updateValue(l,
+              (if (liveL.containsKey(l)) liveL.getValue(l) else 0) + 1)
+          } else if (liveL.containsKey(l)) {
+            val c = liveL.getValue(l)
+            if (c == 1) liveL.removeKey(l) else liveL.updateValue(l, c - 1)
+            liveR.iterator().foreach { case (r, cr) => emitTimes(Delete, Some(l), Some(r), cr) }
+          }
+        } else {
+          val r = rOpt.get
+          if (isAdd(kind)) {
+            liveL.iterator().foreach { case (l, c) => emitTimes(Insert, Some(l), Some(r), c) }
+            liveR.updateValue(r,
+              (if (liveR.containsKey(r)) liveR.getValue(r) else 0) + 1)
+          } else if (liveR.containsKey(r)) {
+            val c = liveR.getValue(r)
+            if (c == 1) liveR.removeKey(r) else liveR.updateValue(r, c - 1)
+            liveL.iterator().foreach { case (l, cl) => emitTimes(Delete, Some(l), Some(r), cl) }
+          }
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, String, Option[L], Option[R])] =
+      Iterator.empty // no timers: state lives until explicitly retracted
+  }
+
+  /** Inner join of two keyed changelogs — same contract as
+    * `StreamJoin.innerJoin`, MapState-backed. */
+  def innerJoin[K, L, R](
+      left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
+      etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      eout: Encoder[(K, String, Option[L], Option[R])])
+      : Dataset[(K, String, Option[L], Option[R])] =
+    StreamJoin.tagged(left, right)
+      .groupByKey(_._2)
+      .transformWithState(new InnerJoinProc[K, L, R](el, er),
+        TimeMode.None(), OutputMode.Update(), eout)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.{StreamJoin, StreamJoinTws}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** transformWithState port of the retraction inner join must be
+  * NET-EQUAL to the flatMapGroupsWithState original on the same scripted
+  * changelogs — the second migration on the KeyedProcessTws template, and
+  * the one that splits the counted-multiset GroupState into per-entry
+  * MapState handles (the SCALE.md "main scale win"). Emission ORDER may
+  * differ (MapState iteration order is store-defined), so the assertions
+  * pin the net materialization and the per-kind counts, both
+  * order-independent. */
+class StreamJoinTwsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def runScenario(useTws: Boolean, sink: String)
+      : Seq[(Long, String, String, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, String, String)]
+    val rhs = MemoryStream[(Long, String, String)]
+    val out =
+      if (useTws) StreamJoinTws.innerJoin(lhs.toDS(), rhs.toDS())
+      else StreamJoin.innerJoin(lhs.toDS(), rhs.toDS())
+    val q = out.toDF("k", "kind", "l", "r").writeStream
+      .outputMode("update").format("memory").queryName(sink).start()
+    try {
+      lhs.addData((1L, "+I", "l1"), (1L, "+I", "l2"), (2L, "+I", "lx"))
+      q.processAllAvailable()
+      rhs.addData((1L, "+I", "r1"), (1L, "+I", "r1")) // duplicate payload: count 2
+      q.processAllAvailable()
+      lhs.addData((1L, "-U", "l1"), (1L, "+U", "l1b"), (2L, "-D", "lx"))
+      rhs.addData((1L, "-D", "r1"), (2L, "+I", "ry"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, String, String, String)].collect().toSeq
+  }
+
+  test("MapState-backed inner join is net-equal to the GroupState original") {
+    val ref = runScenario(useTws = false, sink = "sjtws_ref")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = runScenario(useTws = true, sink = "sjtws_new")
+      def net(rows: Seq[(Long, String, String, String)]) =
+        rows.groupBy(r => (r._1, r._3, r._4)).view
+          .mapValues(_.map(r => if (r._2 == "+I") 1 else -1).sum)
+          .filter(_._2 != 0).toMap
+      def kindCounts(rows: Seq[(Long, String, String, String)]) =
+        rows.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(net(tws) == net(ref), s"net differs: tws=${net(tws)} ref=${net(ref)}")
+      assert(kindCounts(tws) == kindCounts(ref),
+        s"emission counts differ: tws=${kindCounts(tws)} ref=${kindCounts(ref)}")
+      // live end state: l1b and l2 joined to ONE remaining r1 instance
+      assert(net(tws) == Map((1L, "l1b", "r1") -> 1, (1L, "l2", "r1") -> 1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
