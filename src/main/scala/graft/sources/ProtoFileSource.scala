@@ -55,8 +55,15 @@ class ProtoFileSource extends TableProvider with DataSourceRegister {
         "(LONG/DOUBLE/STRING columns, field numbers = column positions + 1)")
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // the FILE connector converts through flat InternalRow accessors;
+    // nested messages/repeated fields live in the RECORD codec
+    schema.fields.foreach(f => require(
+      Seq(LongType, DoubleType, StringType).contains(f.dataType),
+      s"graft-proto files: flat LONG/DOUBLE/STRING columns only, got ${f.name}: ${f.dataType} " +
+        "(use ProtobufFormat encode/decode for nested messages)"))
     new ProtoTable(schema, properties.asScala.toMap)
+  }
 }
 
 private[sources] class ProtoTable(tableSchema: StructType, properties: Map[String, String])

@@ -20,9 +20,15 @@ import java.nio.charset.StandardCharsets
   *
   * proto3 semantics honored:
   *  - default values (0, 0.0, "") are OMITTED on the wire and restored on
-  *    decode; SQL NULL is mapped to the default (proto3 scalars are not
-  *    nullable — documented narrowing, same as Flink's pb format without
-  *    wrappers);
+  *    decode; SQL NULL is mapped to the default for scalars (proto3
+  *    scalars are not nullable — same narrowing as Flink's pb format
+  *    without wrappers);
+  *  - MESSAGE fields (StructType columns, wire type 2 sub-messages) have
+  *    PRESENCE: null encodes as absent and decodes back as null;
+  *  - REPEATED fields (ArrayType columns): numerics encode PACKED (the
+  *    proto3 default) and decode from packed OR unpacked form (the
+  *    spec's parser requirement); strings/messages one tag per element;
+  *    null/empty lists are absent and decode as empty;
   *  - unknown field numbers are SKIPPED by wire type on decode, the
   *    forward-compatibility contract that makes proto proto. */
 object ProtobufFormat {
@@ -53,9 +59,21 @@ object ProtobufFormat {
     (v, pos)
   }
 
+  private def writeLenDelimited(out: ByteArrayOutputStream, fieldNo: Int,
+      bytes: Array[Byte]): Unit = {
+    writeVarint(out, (fieldNo.toLong << 3) | 2L)
+    writeVarint(out, bytes.length.toLong)
+    out.write(bytes)
+  }
+
   /** Byte-level encoder shared by the record codec and the file
     * connector ([[ProtoFileSource]]): `get(i)` supplies column i as an
-    * external value (Long/Double/String) or null. */
+    * external value — Long/Double/String scalars, Row for a nested
+    * MESSAGE field, Seq for a REPEATED field. proto3 semantics: scalar
+    * defaults are omitted; message fields have PRESENCE (null = absent);
+    * repeated numeric fields are PACKED (the proto3 default), repeated
+    * strings/messages one tag per element; an empty or null list is
+    * simply absent (repeated fields have no presence). */
   private[sources] def encodeValues(schema: StructType, get: Int => Any): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -75,11 +93,36 @@ object ProtobufFormat {
           }
         case StringType =>
           val v = if (raw == null) "" else raw.asInstanceOf[String]
-          if (v.nonEmpty) {
-            val bytes = v.getBytes(StandardCharsets.UTF_8)
-            writeVarint(out, (fieldNo << 3) | 2L)
-            writeVarint(out, bytes.length.toLong)
-            out.write(bytes)
+          if (v.nonEmpty)
+            writeLenDelimited(out, fieldNo, v.getBytes(StandardCharsets.UTF_8))
+        case st: StructType =>
+          if (raw != null) {
+            val sub = raw.asInstanceOf[org.apache.spark.sql.Row]
+            writeLenDelimited(out, fieldNo, encodeValues(st,
+              j => if (sub.isNullAt(j)) null else sub.get(j)))
+          }
+        case at: ArrayType =>
+          val xs = if (raw == null) Seq.empty
+            else raw.asInstanceOf[scala.collection.Seq[Any]]
+          if (xs.nonEmpty) at.elementType match {
+            case LongType => // packed varints
+              val body = new ByteArrayOutputStream()
+              xs.foreach(e => writeVarint(body, e.asInstanceOf[Long]))
+              writeLenDelimited(out, fieldNo, body.toByteArray)
+            case DoubleType => // packed fixed64
+              val bb = ByteBuffer.allocate(8 * xs.size).order(ByteOrder.LITTLE_ENDIAN)
+              xs.foreach(e => bb.putDouble(e.asInstanceOf[Double]))
+              writeLenDelimited(out, fieldNo, bb.array())
+            case StringType =>
+              xs.foreach(e => writeLenDelimited(out, fieldNo,
+                e.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)))
+            case st: StructType =>
+              xs.foreach { e =>
+                val sub = e.asInstanceOf[org.apache.spark.sql.Row]
+                writeLenDelimited(out, fieldNo, encodeValues(st,
+                  j => if (sub.isNullAt(j)) null else sub.get(j)))
+              }
+            case other => throw new IllegalArgumentException(s"repeated $other")
           }
         case other => throw new IllegalArgumentException(other.toString)
       }
@@ -91,10 +134,6 @@ object ProtobufFormat {
     * proto3 payload; output has a single `value` binary column. */
   def encode(df: DataFrame): DataFrame = {
     val sparkSchema = df.schema
-    sparkSchema.fields.foreach { f =>
-      require(Seq(LongType, DoubleType, StringType).contains(f.dataType),
-        s"ProtobufFormat: unsupported type ${f.dataType}")
-    }
     df.mapPartitions { it =>
       it.map { row =>
         Row(encodeValues(sparkSchema, i => if (row.isNullAt(i)) null else row.get(i)))
@@ -103,15 +142,23 @@ object ProtobufFormat {
   }
 
   /** Byte-level decoder shared by the record codec and the file
-    * connector: absent fields read as proto3 defaults, unknown field
-    * numbers are skipped by wire type. */
+    * connector: absent scalars read as proto3 defaults, absent MESSAGE
+    * fields as null (presence), absent REPEATED fields as empty; packed
+    * AND unpacked encodings are both accepted for repeated numerics (the
+    * spec's parser requirement); unknown field numbers are skipped by
+    * wire type. */
   private[sources] def decodeValues(targetSchema: StructType, bytes: Array[Byte]): Array[Any] = {
     val values = new Array[Any](targetSchema.length)
+    val repeated = new Array[scala.collection.mutable.ArrayBuffer[Any]](targetSchema.length)
     targetSchema.fields.zipWithIndex.foreach { case (f, i) =>
       values(i) = f.dataType match {
         case LongType => 0L
         case DoubleType => 0.0
         case StringType => ""
+        case _: StructType => null // message fields have presence
+        case _: ArrayType =>
+          repeated(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+          null // filled from `repeated` at the end
         case other => throw new IllegalArgumentException(other.toString)
       }
     }
@@ -122,16 +169,24 @@ object ProtobufFormat {
       val wireType = (tag & 7L).toInt
       val idx = fieldNo - 1
       val known = idx >= 0 && idx < targetSchema.length
+      val dt = if (known) targetSchema(idx).dataType else null
       wireType match {
         case 0 =>
           val (v, p2) = readVarint(bytes, p1)
-          if (known && targetSchema(idx).dataType == LongType) values(idx) = v
+          dt match {
+            case LongType => values(idx) = v
+            case ArrayType(LongType, _) => repeated(idx) += v // unpacked element
+            case _ => ()
+          }
           pos = p2
         case 1 =>
           require(p1 + 8 <= bytes.length, "protobuf: truncated fixed64")
-          if (known && targetSchema(idx).dataType == DoubleType)
-            values(idx) = ByteBuffer.wrap(bytes, p1, 8)
-              .order(ByteOrder.LITTLE_ENDIAN).getDouble
+          val v = ByteBuffer.wrap(bytes, p1, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+          dt match {
+            case DoubleType => values(idx) = v
+            case ArrayType(DoubleType, _) => repeated(idx) += v
+            case _ => ()
+          }
           pos = p1 + 8
         case 2 =>
           val (len, p2) = readVarint(bytes, p1)
@@ -142,12 +197,38 @@ object ProtobufFormat {
           // the bound and re-creating the backward-pos hang via len.toInt
           require(len >= 0 && len <= bytes.length - p2,
             "protobuf: truncated or negative-length bytes field")
-          if (known && targetSchema(idx).dataType == StringType)
-            values(idx) = new String(bytes, p2, len.toInt, StandardCharsets.UTF_8)
-          pos = p2 + len.toInt
+          val end = p2 + len.toInt
+          dt match {
+            case StringType =>
+              values(idx) = new String(bytes, p2, len.toInt, StandardCharsets.UTF_8)
+            case st: StructType =>
+              values(idx) = org.apache.spark.sql.Row.fromSeq(
+                decodeValues(st, java.util.Arrays.copyOfRange(bytes, p2, end)).toSeq)
+            case ArrayType(StringType, _) =>
+              repeated(idx) += new String(bytes, p2, len.toInt, StandardCharsets.UTF_8)
+            case ArrayType(st: StructType, _) =>
+              repeated(idx) += org.apache.spark.sql.Row.fromSeq(
+                decodeValues(st, java.util.Arrays.copyOfRange(bytes, p2, end)).toSeq)
+            case ArrayType(LongType, _) => // packed varints
+              var p = p2
+              while (p < end) { val (v, np) = readVarint(bytes, p); repeated(idx) += v; p = np }
+            case ArrayType(DoubleType, _) => // packed fixed64
+              require(len % 8 == 0, "protobuf: packed fixed64 length not a multiple of 8")
+              var p = p2
+              while (p < end) {
+                repeated(idx) += ByteBuffer.wrap(bytes, p, 8)
+                  .order(ByteOrder.LITTLE_ENDIAN).getDouble
+                p += 8
+              }
+            case _ => ()
+          }
+          pos = end
         case other =>
           throw new IllegalArgumentException(s"protobuf: unsupported wire type $other")
       }
+    }
+    targetSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.dataType.isInstanceOf[ArrayType]) values(i) = repeated(i).toSeq
     }
     values
   }

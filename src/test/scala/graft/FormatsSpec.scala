@@ -161,4 +161,55 @@ class FormatsSpec extends AnyFunSuite {
       .as[(Long, String, Double)].collect().toSeq
     assert(kept == Seq((7L, "ok", 1.0)))
   }
+
+  test("protobuf nested messages: presence, recursion, and roundtrip") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inner = new StructType().add("a", LongType).add("t", StringType)
+    val schema = new StructType()
+      .add("k", LongType).add("rec", inner)
+      .add("deep", new StructType().add("mid", inner))
+    val rows = Seq(
+      Row(1L, Row(7L, "x"), Row(Row(0L, ""))), // inner all-default: len-0 message, still PRESENT
+      Row(2L, null, null),                     // absent messages -> null back (presence)
+      Row(3L, Row(0L, "only-t"), Row(Row(9L, "d"))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val back = ProtobufFormat.decode(ProtobufFormat.encode(df), schema)
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(back == rows.sortBy(_.getLong(0)))
+  }
+
+  test("protobuf repeated fields: packed numerics, per-element strings/messages, empty=absent") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val item = new StructType().add("a", LongType)
+    val schema = new StructType()
+      .add("k", LongType)
+      .add("xs", ArrayType(LongType))
+      .add("ds", ArrayType(DoubleType))
+      .add("ss", ArrayType(StringType))
+      .add("ms", ArrayType(item))
+    val rows = Seq(
+      Row(1L, Seq(1L, 0L, -5L), Seq(1.5, 0.0), Seq("a", "", "c"), Seq(Row(1L), Row(0L))),
+      Row(2L, Seq.empty[Long], Seq.empty[Double], Seq.empty[String], Seq.empty[Row]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val back = ProtobufFormat.decode(ProtobufFormat.encode(df), schema)
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(back == rows.sortBy(_.getLong(0)))
+  }
+
+  test("protobuf repeated numerics decode from UNPACKED wire form too (spec parser rule)") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // field 1 = repeated int64, hand-encoded UNPACKED: tag(1,varint)=0x08
+    // per element — a proto2-style writer's output
+    val unpacked = Array[Byte](0x08, 0x03, 0x08, 0x05, 0x08, 0x07)
+    val schema = new StructType().add("xs", ArrayType(LongType))
+    val out = ProtobufFormat.decode(Seq(unpacked).toDF("value"), schema)
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(3L, 5L, 7L))
+  }
 }
