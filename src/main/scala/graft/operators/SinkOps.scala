@@ -405,6 +405,54 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Ogg (GoldenGate) CDC END-TO-END under the oracle gate — the
+      // fourth and last envelope format, completing the set (q103
+      // debezium, q110 canal, q111 maxwell): full before/after images,
+      // I/U/D op_type, ISO current_ts parsed to ms. Same change set,
+      // same oracle.
+      "q112_ogg_cdc_materialize",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Cdc
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d).select($"o_orderkey",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val payload = new StructType()
+          .add("o_orderkey", LongType).add("price", DoubleType)
+        def iso(sec: Int) = f"2024-01-01 00:00:0$sec%d.000000"
+        val inserts = base.select(to_json(struct(
+          lit(null).cast(payload).as("before"),
+          struct($"o_orderkey", $"price").as("after"),
+          lit("I").as("op_type"), lit(iso(1)).as("current_ts"))).as("value"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val updates = base.filter($"o_orderkey" % 10 === 0)
+          .select(to_json(struct(
+            struct($"o_orderkey", $"price").as("before"),
+            struct($"o_orderkey", bumped).as("after"),
+            lit("U").as("op_type"), lit(iso(2)).as("current_ts"))).as("value"))
+        val deletes = base.filter($"o_orderkey" % 17 === 0)
+          .select(to_json(struct(
+            struct($"o_orderkey", $"price").as("before"),
+            lit(null).cast(payload).as("after"),
+            lit("D").as("op_type"), lit(iso(3)).as("current_ts"))).as("value"))
+        val log = Cdc.decodeOgg(
+          inserts.unionByName(updates).unionByName(deletes), payload)
+        Cdc.upsertMaterialize(log, Seq("o_orderkey"), "cdc_ts", "cdc_ts")
+          .select($"o_orderkey", $"price")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       CAST(CASE WHEN o_orderkey % 10 = 0
+        |                 THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                 ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+        |            AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 17 <> 0
+        |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
       "q54_constraint_enforce",
       (s, d) => {
         import s.implicits._
