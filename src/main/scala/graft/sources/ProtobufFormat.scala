@@ -85,7 +85,10 @@ object ProtobufFormat {
           if (v != 0L) { writeVarint(out, (fieldNo << 3) | 0L); writeVarint(out, v) }
         case DoubleType =>
           val v = if (raw == null) 0.0 else raw.asInstanceOf[Double]
-          if (v != 0.0) {
+          // default-ness is BIT equality (protobuf serializers compare
+          // bits): -0.0 == 0.0 numerically but is NOT the default and
+          // must be emitted
+          if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
             writeVarint(out, (fieldNo << 3) | 1L)
             val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             bb.putDouble(v)
