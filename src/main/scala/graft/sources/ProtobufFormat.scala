@@ -13,9 +13,10 @@ import java.nio.charset.StandardCharsets
   * BYTES, and that role is reproduced here — a typed row <-> one proto3
   * wire-format payload in a `value` column. The container has no protobuf
   * jars, so the proto3 WIRE FORMAT itself is implemented from its public
-  * specification: varint (wire type 0) for int64, little-endian fixed64
-  * (wire type 1) for double, length-delimited UTF-8 (wire type 2) for
-  * string. No descriptors/codegen — the Spark schema IS the message
+  * specification: varint (wire type 0) for int64/int32/bool, little-endian
+  * fixed64 (wire type 1) for double, fixed32 (wire type 5) for float,
+  * length-delimited (wire type 2) for string/bytes/messages/packed
+  * repeats. No descriptors/codegen — the Spark schema IS the message
   * shape, field numbers are column positions + 1.
   *
   * proto3 semantics honored:
@@ -98,6 +99,23 @@ object ProtobufFormat {
           val v = if (raw == null) "" else raw.asInstanceOf[String]
           if (v.nonEmpty)
             writeLenDelimited(out, fieldNo, v.getBytes(StandardCharsets.UTF_8))
+        case IntegerType =>
+          val v = if (raw == null) 0 else raw.asInstanceOf[Int]
+          if (v != 0) { writeVarint(out, (fieldNo << 3) | 0L); writeVarint(out, v.toLong) }
+        case BooleanType =>
+          val v = raw != null && raw.asInstanceOf[Boolean]
+          if (v) { writeVarint(out, (fieldNo << 3) | 0L); writeVarint(out, 1L) }
+        case FloatType =>
+          val v = if (raw == null) 0f else raw.asInstanceOf[Float]
+          if (java.lang.Float.floatToRawIntBits(v) != 0) { // bit equality, like double
+            writeVarint(out, (fieldNo << 3) | 5L)
+            val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            bb.putFloat(v)
+            out.write(bb.array())
+          }
+        case BinaryType =>
+          val v = if (raw == null) Array.empty[Byte] else raw.asInstanceOf[Array[Byte]]
+          if (v.nonEmpty) writeLenDelimited(out, fieldNo, v)
         case st: StructType =>
           if (raw != null) {
             val sub = raw.asInstanceOf[org.apache.spark.sql.Row]
@@ -133,8 +151,8 @@ object ProtobufFormat {
     out.toByteArray
   }
 
-  /** Encode each row of `df` (long/double/string columns only) into one
-    * proto3 payload; output has a single `value` binary column. */
+  /** Encode each row of `df` into one proto3 payload; output has a
+    * single `value` binary column. */
   def encode(df: DataFrame): DataFrame = {
     val sparkSchema = df.schema
     df.mapPartitions { it =>
@@ -158,6 +176,10 @@ object ProtobufFormat {
         case LongType => 0L
         case DoubleType => 0.0
         case StringType => ""
+        case IntegerType => 0
+        case BooleanType => false
+        case FloatType => 0f
+        case BinaryType => Array.empty[Byte]
         case _: StructType => null // message fields have presence
         case _: ArrayType =>
           repeated(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -178,6 +200,8 @@ object ProtobufFormat {
           val (v, p2) = readVarint(bytes, p1)
           dt match {
             case LongType => values(idx) = v
+            case IntegerType => values(idx) = v.toInt
+            case BooleanType => values(idx) = v != 0L
             case ArrayType(LongType, _) => repeated(idx) += v // unpacked element
             case _ => ()
           }
@@ -204,6 +228,8 @@ object ProtobufFormat {
           dt match {
             case StringType =>
               values(idx) = new String(bytes, p2, len.toInt, StandardCharsets.UTF_8)
+            case BinaryType =>
+              values(idx) = java.util.Arrays.copyOfRange(bytes, p2, end)
             case st: StructType =>
               values(idx) = org.apache.spark.sql.Row.fromSeq(
                 decodeValues(st, java.util.Arrays.copyOfRange(bytes, p2, end)).toSeq)
@@ -226,6 +252,15 @@ object ProtobufFormat {
             case _ => ()
           }
           pos = end
+        case 5 =>
+          // fixed32: known float fields decode, everything else SKIPS the
+          // 4 bytes (the forward-compat contract — a foreign float field
+          // previously THREW here instead of skipping)
+          require(p1 + 4 <= bytes.length, "protobuf: truncated fixed32")
+          if (dt == FloatType)
+            values(idx) = ByteBuffer.wrap(bytes, p1, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getFloat
+          pos = p1 + 4
         case other =>
           throw new IllegalArgumentException(s"protobuf: unsupported wire type $other")
       }

@@ -212,4 +212,39 @@ class FormatsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(out == Seq(3L, 5L, 7L))
   }
+
+  test("protobuf full scalar surface: int32, bool, float (fixed32), bytes") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("i", IntegerType).add("b", BooleanType)
+      .add("f", FloatType).add("bin", BinaryType)
+    val rows = Seq(
+      Row(42, true, 1.5f, Array[Byte](1, 2, 3)),
+      Row(0, false, 0f, Array.empty[Byte]),   // all defaults: empty message
+      Row(-7, true, -0.0f, Array[Byte](-1)))  // -0.0f must survive (bit default)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val back = ProtobufFormat.decode(ProtobufFormat.encode(df), schema)
+      .collect().sortBy(_.getInt(0)).toSeq
+    val exp = rows.sortBy(_.getInt(0))
+    back.zip(exp).foreach { case (g, e) =>
+      assert(g.getInt(0) == e.getInt(0) && g.getBoolean(1) == e.getBoolean(1))
+      assert(java.lang.Float.floatToRawIntBits(g.getFloat(2)) ==
+        java.lang.Float.floatToRawIntBits(e.getFloat(2)), s"float bits: $g vs $e")
+      assert(g.getAs[Array[Byte]](3).toSeq == e.getAs[Array[Byte]](3).toSeq)
+    }
+  }
+
+  test("protobuf foreign fixed32 fields SKIP instead of throwing (forward compat)") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // field 2 = float 1.0f (tag 0x15, wire 5) — unknown to the reader;
+    // field 1 = int64 9 (tag 0x08)
+    val foreign = Array[Byte](0x15, 0x00, 0x00, -0x80, 0x3f, 0x08, 0x09)
+    val schema = new StructType().add("k", LongType)
+    val out = ProtobufFormat.decode(Seq(foreign).toDF("value"), schema).head()
+    assert(out.getLong(0) == 9L)
+  }
 }
