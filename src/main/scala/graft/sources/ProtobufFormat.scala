@@ -145,6 +145,18 @@ object ProtobufFormat {
               }
             case other => throw new IllegalArgumentException(s"repeated $other")
           }
+        case mt: MapType =>
+          // proto3 map fields are sugar for repeated entry messages
+          // (field 1 = key, field 2 = value) — spec §Maps
+          require(mt.keyType == StringType, "protobuf: map keys must be STRING")
+          val entrySchema = new StructType()
+            .add("key", StringType).add("value", mt.valueType)
+          val m = if (raw == null) Map.empty[String, Any]
+            else raw.asInstanceOf[scala.collection.Map[String, Any]]
+          m.foreach { case (k, v) =>
+            writeLenDelimited(out, fieldNo,
+              encodeValues(entrySchema, j => if (j == 0) k else v))
+          }
         case other => throw new IllegalArgumentException(other.toString)
       }
     }
@@ -184,6 +196,9 @@ object ProtobufFormat {
         case _: ArrayType =>
           repeated(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
           null // filled from `repeated` at the end
+        case _: MapType =>
+          repeated(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+          null // (key, value) entries collected, built into a Map at the end
         case other => throw new IllegalArgumentException(other.toString)
       }
     }
@@ -238,6 +253,12 @@ object ProtobufFormat {
             case ArrayType(st: StructType, _) =>
               repeated(idx) += org.apache.spark.sql.Row.fromSeq(
                 decodeValues(st, java.util.Arrays.copyOfRange(bytes, p2, end)).toSeq)
+            case mt: MapType =>
+              val entrySchema = new StructType()
+                .add("key", StringType).add("value", mt.valueType)
+              val e = decodeValues(entrySchema,
+                java.util.Arrays.copyOfRange(bytes, p2, end))
+              repeated(idx) += ((e(0).asInstanceOf[String], e(1)))
             case ArrayType(LongType, _) => // packed varints
               var p = p2
               while (p < end) { val (v, np) = readVarint(bytes, p); repeated(idx) += v; p = np }
@@ -266,7 +287,12 @@ object ProtobufFormat {
       }
     }
     targetSchema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (f.dataType.isInstanceOf[ArrayType]) values(i) = repeated(i).toSeq
+      f.dataType match {
+        case _: ArrayType => values(i) = repeated(i).toSeq
+        case _: MapType => // later entries win on duplicate keys (spec rule)
+          values(i) = repeated(i).map(_.asInstanceOf[(String, Any)]).toMap
+        case _ => ()
+      }
     }
     values
   }

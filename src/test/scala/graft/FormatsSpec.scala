@@ -247,4 +247,33 @@ class FormatsSpec extends AnyFunSuite {
     val out = ProtobufFormat.decode(Seq(foreign).toDF("value"), schema).head()
     assert(out.getLong(0) == 9L)
   }
+
+  test("protobuf map fields: repeated entry messages, duplicate keys last-wins") {
+    import graft.sources.ProtobufFormat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("k", LongType)
+      .add("m", MapType(StringType, LongType))
+      .add("sm", MapType(StringType, new StructType().add("a", LongType)))
+    val rows = Seq(
+      Row(1L, Map("x" -> 5L, "" -> 0L), Map("r" -> Row(9L))),
+      Row(2L, Map.empty[String, Long], Map.empty[String, Row]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val back = ProtobufFormat.decode(ProtobufFormat.encode(df), schema)
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(back(0).getMap[String, Long](1) == Map("x" -> 5L, "" -> 0L))
+    assert(back(0).getMap[String, Row](2) == Map("r" -> Row(9L)))
+    assert(back(1).getMap[String, Long](1).isEmpty && back(1).getMap[String, Row](2).isEmpty)
+    // duplicate keys on the wire: LAST entry wins (spec) — hand-build two
+    // entries for field 2, key "d", values 1 then 2
+    def entry(v: Byte): Array[Byte] =
+      Array[Byte](0x12, 0x05, 0x0a, 0x01, 'd'.toByte, 0x10, v)
+    val dup = entry(1) ++ entry(2)
+    val dupSchema = new StructType().add("k", LongType).add("m", MapType(StringType, LongType))
+    import spark.implicits._
+    val got = ProtobufFormat.decode(Seq(dup).toDF("value"), dupSchema)
+      .head().getMap[String, Long](1)
+    assert(got == Map("d" -> 2L), s"got $got")
+  }
 }
