@@ -298,20 +298,30 @@ object GraphOps extends QueryModule {
     * (a,c). Edge ordering means every triangle is emitted exactly once;
     * the wedge join is the only quadratic-risk step and is bounded by the
     * max degree (skew-prone vertices would be salted at scale). */
-  def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
+  /** Canonicalized, deduplicated, checkpointed undirected edge set:
+    * normalize by REORDERING (least/greatest) rather than filtering, so
+    * edges arriving dst>src still count (Gelly's TriangleEnumerator
+    * reorders too); the filter afterwards only drops self-loops. Shared
+    * by triangles and the clustering coefficients so each call pays ONE
+    * normalization + checkpoint. */
+  private def normalizeEdges(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    // normalize by REORDERING (least/greatest) rather than filtering, so
-    // edges arriving dst>src still count (Gelly's TriangleEnumerator
-    // reorders too); the filter afterwards only drops self-loops
-    val e = edges
+    edges
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
       .filter($"src" < $"dst").distinct()
       .localCheckpoint()
+  }
+
+  private def trianglesOfNormalized(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
     e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
       .join(e.as("ac"), col("a") === col("ac.src") && col("c") === col("ac.dst"))
       .select($"a", $"b", $"c")
   }
+
+  def triangles(spark: SparkSession, edges: DataFrame): DataFrame =
+    trianglesOfNormalized(spark, normalizeEdges(spark, edges))
 
   /** Local clustering coefficient (Gelly library/clustering/undirected/
     * LocalClusteringCoefficient.java; the global/average forms are one
@@ -325,12 +335,10 @@ object GraphOps extends QueryModule {
     * bit-stable. */
   def localClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = edges
-      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
-      .filter($"src" < $"dst").distinct().localCheckpoint()
+    val e = normalizeEdges(spark, edges)
     val deg = e.select($"src".as("v")).union(e.select($"dst".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-    val triPerV = triangles(spark, e)
+    val triPerV = trianglesOfNormalized(spark, e)
       .select(explode(array($"a", $"b", $"c")).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("tri"))
     deg.join(triPerV, Seq("v"), "left")
@@ -347,13 +355,14 @@ object GraphOps extends QueryModule {
     * is a single aggregate. */
   def globalClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = edges
-      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
-      .filter($"src" < $"dst").distinct().localCheckpoint()
+    val e = normalizeEdges(spark, edges)
+    // coalesce: SUM over zero rows is NULL — an empty graph scores 0.0
     val triplets = e.select($"src".as("v")).union(e.select($"dst".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-      .agg(sum($"deg" * ($"deg" - 1L) / 2L).cast("double").as("triplets"))
-    val tris = triangles(spark, e).agg(count(lit(1)).cast("double").as("tri"))
+      .agg(coalesce(sum($"deg" * ($"deg" - 1L) / 2L), lit(0L))
+        .cast("double").as("triplets"))
+    val tris = trianglesOfNormalized(spark, e)
+      .agg(count(lit(1)).cast("double").as("tri"))
     triplets.crossJoin(broadcast(tris))
       .select(graft.Bits.dround(
         when($"triplets" === 0.0, 0.0).otherwise(lit(3.0) * $"tri" / $"triplets"), 6)
@@ -365,7 +374,7 @@ object GraphOps extends QueryModule {
   def averageClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     localClusteringCoefficient(spark, edges)
-      .agg(graft.Bits.dround(avg($"cc"), 6).as("avg_cc"))
+      .agg(graft.Bits.dround(coalesce(avg($"cc"), lit(0.0)), 6).as("avg_cc"))
   }
 
   /** Label propagation (Gelly library/LabelPropagation): each vertex

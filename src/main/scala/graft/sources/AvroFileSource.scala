@@ -477,8 +477,9 @@ object AvroFileSource {
     Schema.createRecord(path, null, "graft", false, fields.toList.asJava)
   }
 
-  private[sources] def sparkToAvro(schema: StructType): Schema =
-    recordSchema(schema, "graft_rec")
+  private[sources] def sparkToAvro(schema: StructType,
+      recordName: String = "graft_rec"): Schema =
+    recordSchema(schema, recordName)
 
   private[sources] def avroValueToCatalyst(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null

@@ -38,7 +38,8 @@ object AvroFormat {
     * encode(nonNullable) / decode(nullable) pair would silently misread
     * (the decoder resolves by SCHEMA, not by tags). */
   def avroSchemaJson(schema: StructType, recordName: String = "graft_rec"): String =
-    AvroFileSource.sparkToAvro(allNullable(schema).asInstanceOf[StructType]).toString
+    AvroFileSource.sparkToAvro(
+      allNullable(schema).asInstanceOf[StructType], recordName).toString
 
   private def allNullable(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>

@@ -60,6 +60,33 @@ object ProtobufFormat {
     (v, pos)
   }
 
+  /** Driver-side schema validation shared by encode and decode: every
+    * leaf must be a type the WIRE dispatch actually implements, so an
+    * unsupported column fails fast at plan time with the contract named —
+    * not per-row on an executor (encode) and never SILENTLY as an empty
+    * collection (decode previously returned empty for, e.g., a repeated
+    * int32 it could not parse). */
+  private[sources] def validateSchema(schema: StructType): Unit =
+    schema.fields.foreach(f => validateType(f.dataType, f.name))
+
+  private def validateType(dt: DataType, path: String): Unit = dt match {
+    case LongType | IntegerType | BooleanType | FloatType | DoubleType |
+         StringType | BinaryType => ()
+    case st: StructType => st.fields.foreach(f => validateType(f.dataType, s"$path.${f.name}"))
+    case ArrayType(et, _) => et match {
+      case LongType | DoubleType | StringType => ()
+      case st: StructType => st.fields.foreach(f => validateType(f.dataType, s"$path[].${f.name}"))
+      case other => throw new IllegalArgumentException(
+        s"protobuf: unsupported repeated element type $other at '$path' " +
+          "(repeated supports LONG, DOUBLE, STRING, STRUCT)")
+    }
+    case MapType(kt, vt, _) =>
+      require(kt == StringType, s"protobuf: map keys must be STRING at '$path'")
+      validateType(vt, s"$path{}")
+    case other => throw new IllegalArgumentException(
+      s"protobuf: unsupported type $other at '$path'")
+  }
+
   private def writeLenDelimited(out: ByteArrayOutputStream, fieldNo: Int,
       bytes: Array[Byte]): Unit = {
     writeVarint(out, (fieldNo.toLong << 3) | 2L)
@@ -167,6 +194,7 @@ object ProtobufFormat {
     * single `value` binary column. */
   def encode(df: DataFrame): DataFrame = {
     val sparkSchema = df.schema
+    validateSchema(sparkSchema)
     df.mapPartitions { it =>
       it.map { row =>
         Row(encodeValues(sparkSchema, i => if (row.isNullAt(i)) null else row.get(i)))
@@ -304,17 +332,21 @@ object ProtobufFormat {
     * columns of `targetSchema`. Absent fields read as proto3 defaults;
     * unknown field numbers are skipped; malformed payloads FAIL the job
     * (Flink's default). */
-  def decode(df: DataFrame, targetSchema: StructType): DataFrame =
+  def decode(df: DataFrame, targetSchema: StructType): DataFrame = {
+    validateSchema(targetSchema)
     df.select("value").mapPartitions { it =>
       it.map(row => decodeOne(targetSchema, row.getAs[Array[Byte]](0)))
     }(Encoders.row(targetSchema))
+  }
 
   /** Lenient decode (`ignore-parse-errors`): malformed payloads drop. */
-  def decodeLenient(df: DataFrame, targetSchema: StructType): DataFrame =
+  def decodeLenient(df: DataFrame, targetSchema: StructType): DataFrame = {
+    validateSchema(targetSchema)
     df.select("value").mapPartitions { it =>
       it.flatMap { row =>
         try Some(decodeOne(targetSchema, row.getAs[Array[Byte]](0)))
         catch { case _: Exception => None }
       }
     }(Encoders.row(targetSchema))
+  }
 }

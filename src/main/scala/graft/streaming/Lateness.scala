@@ -125,18 +125,18 @@ object Lateness {
         var (buf, n, sum, baseSet, base) = state.getOption
           .getOrElse((Seq.empty[(Long, Double)], 0L, 0.0, 0, 0.0))
         val out = List.newBuilder[(K, Long, String, Long, Double)]
+        // Purging wraps another trigger: unwrap ONCE per update call, and
+        // without a recursive helper (which would lift onto the Lateness$
+        // object and drag it into the task closure — NotSerializable)
+        val (effective, purging) = trigger match {
+          case FireTrigger.Purging(inner) => (inner, true)
+          case t => (t, false)
+        }
         rows.toSeq.sortBy(_._2.getTime).foreach { r =>
           val (t, v) = (r._2.getTime, r._3)
           if (evict.isDefined) buf = buf :+ ((t, v))
           n += 1
           sum += v
-          // Purging wraps another trigger: unwrap ONCE (a recursive
-          // helper here would lift onto the Lateness$ object and drag it
-          // into the task closure — NotSerializableException)
-          val (effective, purging) = trigger match {
-            case FireTrigger.Purging(inner) => (inner, true)
-            case t => (t, false)
-          }
           val fires = effective match {
             case FireTrigger.CountT(every) => n % every == 0
             case FireTrigger.DeltaT(threshold) =>

@@ -80,16 +80,20 @@ object StreamJoinTws {
       Iterator.empty // no timers: state lives until explicitly retracted
   }
 
-  /** Inner join of two keyed changelogs — same contract as
-    * `StreamJoin.innerJoin`, MapState-backed. */
+  /** Inner join of two keyed changelogs — same contract AND output
+    * schema as `StreamJoin.innerJoin` (a drop-in swap per the migration
+    * framing: an inner join never emits null payloads, so the internal
+    * Options unwrap at the edge). */
   def innerJoin[K, L, R](
       left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
       implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       etag: Encoder[(Int, K, String, Option[L], Option[R])],
-      eout: Encoder[(K, String, Option[L], Option[R])])
-      : Dataset[(K, String, Option[L], Option[R])] =
+      emid: Encoder[(K, String, Option[L], Option[R])],
+      eout: Encoder[(K, String, L, R)])
+      : Dataset[(K, String, L, R)] =
     StreamJoin.tagged(left, right)
       .groupByKey(_._2)
       .transformWithState(new InnerJoinProc[K, L, R](el, er),
-        TimeMode.None(), OutputMode.Update(), eout)
+        TimeMode.None(), OutputMode.Update(), emid)
+      .map { case (k, kind, l, r) => (k, kind, l.get, r.get) }
 }
