@@ -1201,8 +1201,146 @@ object PipelineOps extends QueryModule {
       "q76_ann_ivf",
       (s, d) => annIvf(s, d, k = 8, iters = 4, nprobe = 2, topK = 5)
         .orderBy(col("qid"), col("rn")),
-      None)
+      None),
+
+    GQuery(
+      // Exact duplicated-substring spans (the ExactSubstr dedup of Lee et
+      // al., "Deduplicating Training Data Makes Language Models Better",
+      // re-expressed relationally — see duplicateSpans). Reference scope:
+      // the dedup family flink-psl ships only as whole-doc exact/minhash;
+      // span-level exact dedup is the standard training-data complement.
+      "q113_dup_spans",
+      (s, d) => duplicateSpans(s, d, w = 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) r
+        |  WHERE len(toks) >= 8),
+        |marked AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM pos) z
+        |  WHERE cnt >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM marked)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+        |""".stripMargin)),
+
+    GQuery(
+      // BM25 retrieval scoring (Robertson/Sparck-Jones; the Lucene
+      // log(1 + (N-df+.5)/(df+.5)) idf form) — the standard lexical
+      // retrieval score a training-data pipeline uses for benchmark
+      // decontamination and targeted subset selection. Distributed shape:
+      // tf/dl/df are groupBy aggregates, corpus stats broadcast, per-term
+      // contributions summed as exact micro-units (order-independent).
+      "q114_bm25",
+      (s, d) => bm25(s, d, terms = Bm25Terms, k1 = 1.2, b = 0.75, topK = 20),
+      Some(bm25OracleSql)),
   )
+
+  private val Bm25Terms = Seq("vector", "query", "stream")
+
+  /** Constants interpolated into BOTH the Spark plan and the oracle SQL via
+    * toString (shortest-roundtrip decimal), so the two engines compute with
+    * bit-identical doubles. */
+  private val Bm25K1p1 = 1.2 + 1.0
+  private val Bm25OneMinusB = 1.0 - 0.75
+
+  private def bm25OracleSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |         CAST(floor(((ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |           * (tf.tf * $Bm25K1p1))
+       |           / (tf.tf + 1.2 * ($Bm25OneMinusB + 0.75 * dl.dl / s.avgdl))) * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, stats s)
+       |SELECT doc_id, CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS score
+       |FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20
+       |""".stripMargin
+  }
+
+  /** Maximal duplicated token spans — exact substring dedup (the
+    * ExactSubstr variant of Lee et al. 2022) re-expressed relationally:
+    * every w-token window occurring 2+ times corpus-wide (intra- OR
+    * inter-doc) marks its positions; consecutive duplicated positions
+    * merge (gaps-and-islands) into maximal spans. The suffix array is
+    * replaced by a count-over-gram window on the w-gram inverted index:
+    * ONE shuffle by gram for the corpus-wide count, ONE shuffle by doc for
+    * the islands merge — no pair join anywhere, so a boilerplate gram
+    * occurring d times costs O(d), never O(d^2) (contrast the Jaccard
+    * pair index, which needs the df cap). At 100 TB the shuffle key would
+    * be xxhash64(gram) with string verification on collision; here the
+    * exact string keeps the oracle bit-identical. Positions are 1-based
+    * token indices; span_tokens counts tokens covered by the merged run.
+    */
+  private[graft] def duplicateSpans(s: SparkSession, d: String, w: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val pos = Tables.documents(s, d)
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size($"toks") >= w)
+      .select($"doc_id", posexplode(expr(s"graft_shingles(toks, $w)")).as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + lit(1L)).as("pos"), $"gram")
+    val marked = pos
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"gram")))
+      .filter($"cnt" >= 2)
+      .select($"doc_id", $"pos")
+    val iw = Window.partitionBy($"doc_id").orderBy($"pos")
+    marked.withColumn("grp", $"pos" - row_number().over(iw))
+      .groupBy($"doc_id", $"grp")
+      .agg(
+        min($"pos").as("span_start"),
+        (max($"pos") - min($"pos") + w).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select($"doc_id", $"span_start", $"span_tokens", $"n_windows")
+  }
+
+  /** BM25 (k1, b) scores of every document against a bag of query terms,
+    * top-k by score. All corpus statistics are aggregates (tf per
+    * doc×term, dl per doc, df per term, N/avgdl one broadcast row); the
+    * final score sums per-term contributions as exact integer micro-units
+    * so the result is independent of aggregation order — the double
+    * arithmetic inside one contribution is a fixed expression tree
+    * mirrored verbatim by the oracle SQL. Scale: the only wide shuffles
+    * are the tf/dl groupBys over the token explode; the term list and
+    * stats broadcast. */
+  private[graft] def bm25(
+      s: SparkSession, d: String,
+      terms: Seq[String], k1: Double, b: Double, topK: Int): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(expr(tokensExpr)).as("tok"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+    val tf = tok.filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfT), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+      .withColumn("c",
+        ($"idf" * ($"tf" * lit(Bm25K1p1))) /
+          ($"tf" + lit(k1) * (lit(Bm25OneMinusB) + lit(b) * $"dl" / $"avgdl")))
+      .withColumn("micro", floor($"c" * lit(1000000.0) + lit(0.5)).cast("long"))
+    contrib.groupBy($"doc_id").agg((sum($"micro").cast("double") / 1000000.0).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(topK)
+  }
 
   /** IVF ANN over the quantized embeddings (see q76). */
   private[graft] def annIvf(

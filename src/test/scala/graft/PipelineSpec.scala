@@ -72,4 +72,70 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy("text").agg(countDistinct("simhash").as("n"))
     assert(joined.filter(col("n") > 1).count() == 0)
   }
+
+  test("duplicate spans equal an independent driver-side recomputation") {
+    import spark.implicits._
+    val w = 8
+    val got = operators.PipelineOps.duplicateSpans(spark, sf, w)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // brute force: tokenize, count every w-gram corpus-wide, mark positions,
+    // merge consecutive runs — plain Scala, no Spark involvement
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty) }
+    val counts = new scala.collection.mutable.HashMap[String, Int]
+    for ((_, tk) <- toks; i <- 0 to tk.length - w)
+      counts.updateWith(tk.slice(i, i + w).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expect = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for ((id, tk) <- toks) {
+      val dup = (0 to tk.length - w)
+        .filter(i => counts(tk.slice(i, i + w).mkString(" ")) >= 2)
+      if (dup.nonEmpty) {
+        // islands of consecutive positions
+        val runs = dup.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        runs.foreach { r =>
+          val lo = r.min + 1L; val hi = r.max + 1L
+          expect += ((id, lo, hi - lo + w, hi - lo + 1))
+        }
+      }
+    }
+    assert(got == expect.toSet, s"diff: ${got.diff(expect.toSet)} / ${expect.toSet.diff(got)}")
+  }
+
+  test("bm25 matches an independent driver-side recomputation") {
+    import spark.implicits._
+    val terms = Seq("vector", "query", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val got = SparkEntry.queries("q114_bm25")(spark, sf)
+      .as[(Long, Double)].collect()
+
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty) }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / toks.length
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val scores = toks.map { case (id, tk) =>
+      val dl = tk.length
+      val micro = terms.map { t =>
+        val tf = tk.count(_ == t)
+        if (tf == 0 || dfm(t) == 0) 0L
+        else {
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val c = (idf * (tf * (1.2 + 1.0))) / (tf + k1 * ((1.0 - 0.75) + b * dl / avgdl))
+          math.floor(c * 1000000.0 + 0.5).toLong
+        }
+      }.sum
+      id -> micro / 1e6
+    }.filter(_._2 != 0.0)
+    val expect = scores.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(got.toSeq == expect.toSeq,
+      s"got=${got.toSeq.take(5)} expect=${expect.toSeq.take(5)}")
+  }
 }
