@@ -564,6 +564,57 @@ object Relational extends QueryModule {
         |       CAST(CAST(c_nationkey AS BIGINT) BETWEEN 5 AND 15 AS BIGINT) AS mid_nation
         |FROM customer WHERE c_custkey < 100
         |ORDER BY c_custkey
+        |""".stripMargin)),
+
+    GQuery(
+      // Remaining Flink built-in scalar surface (flink-docs systemFunctions:
+      // INITCAP, OVERLAY..PLACING, POSITION..IN, STR_TO_MAP, PARSE_URL,
+      // TIMESTAMPADD/TIMESTAMPDIFF, FROM_UNIXTIME) through the Spark
+      // equivalents. DuckDB lacks initcap/overlay/str_to_map/parse_url, so
+      // the oracle recomputes each from string primitives — an independent
+      // derivation, not an echo of the same builtin.
+      "q115_scalar_flink_parity",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d).filter($"o_orderkey" < 200)
+          .withColumn("url",
+            concat(lit("https://h"), ($"o_custkey" % 5).cast("string"),
+              lit(".example.org/p/"), $"o_orderstatus",
+              lit("?k="), $"o_orderkey".cast("string"), lit("&x=1")))
+          .withColumn("kv",
+            concat(lit("st:"), $"o_orderstatus", lit(",pr:"), $"o_orderpriority"))
+          .select($"o_orderkey",
+            initcap(concat(lower($"o_orderpriority"), lit(" "), lit("ord"))).as("cap"),
+            expr("overlay(o_orderpriority PLACING '**' FROM 2 FOR 2)").as("ovl"),
+            expr("position('-' IN o_orderpriority)").cast("long").as("dash_at"),
+            expr("str_to_map(kv, ',', ':')['pr']").as("pr_val"),
+            parse_url($"url", lit("HOST")).as("host"),
+            parse_url($"url", lit("PATH")).as("path"),
+            parse_url($"url", lit("QUERY"), lit("k")).as("qk"),
+            date_format(expr("timestampadd(DAY, 30, o_orderdate)"),
+              "yyyy-MM-dd HH:mm:ss").as("plus30d"),
+            expr("timestampdiff(HOUR, o_orderdate, timestamp'1998-01-01 00:00:00')")
+              .cast("long").as("hrs_to_98"),
+            from_unixtime($"o_orderkey" * 3600L).as("epoch_fmt"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       array_to_string(list_transform(
+        |         string_split(lower(o_orderpriority) || ' ord', ' '),
+        |         w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))), ' ') AS cap,
+        |       substring(o_orderpriority, 1, 1) || '**' || substring(o_orderpriority, 4) AS ovl,
+        |       CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
+        |       o_orderpriority AS pr_val,
+        |       'h' || CAST(o_custkey % 5 AS VARCHAR) || '.example.org' AS host,
+        |       '/p/' || o_orderstatus AS path,
+        |       CAST(o_orderkey AS VARCHAR) AS qk,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus30d,
+        |       CAST(date_diff('hour', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS hrs_to_98,
+        |       strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(o_orderkey * 3600),
+        |                '%Y-%m-%d %H:%M:%S') AS epoch_fmt
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey
         |""".stripMargin))
   )
 }
