@@ -55,6 +55,42 @@ object GraphOps extends QueryModule {
     labels
   }
 
+  /** k-core: the maximal induced subgraph in which every vertex has
+    * degree >= k (Gelly's iterative vertex-pruning family; reference
+    * flink-gelly library scope, cf. GSAConnectedComponents-style
+    * fixpoints). Synchronized peeling: each round drops ALL vertices
+    * whose current degree < k, then recomputes degrees on the induced
+    * subgraph, until no vertex is dropped. Round count = peeling depth
+    * (bounded by the degeneracy ordering's layer count, typically tiny);
+    * each round is one degree aggregate + two semi-joins on the edge
+    * list — linear in |E|, no pair explosion, so the loop scales exactly
+    * like the CC/pagerank iterations (localCheckpoint per round keeps the
+    * plan O(1)). Returns (v, deg): surviving vertices with their in-core
+    * degree.
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    var e = sym.localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
+      if (deg.filter($"deg" < k).limit(1).isEmpty) converged = true
+      else {
+        val keep = deg.filter($"deg" >= k).select($"src".as("kv"))
+        e = e
+          .join(keep, e("src") === keep("kv"), "left_semi")
+          .join(keep.withColumnRenamed("kv", "kv2"), e("dst") === $"kv2", "left_semi")
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    e.groupBy($"src").agg(count(lit(1)).as("deg")).select($"src".as("v"), $"deg")
+  }
+
   /** Connected components in O(log n) ROUNDS — the alternating
     * large-star/small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond"). Min-label propagation
@@ -702,6 +738,22 @@ object GraphOps extends QueryModule {
         pageRank(s, edges, iterations = 8)
           .select($"v", graft.Bits.dround($"pr" * 1000000.0, 4).as("pr_ppm"))
           .orderBy($"v")
+      },
+      None),
+
+    GQuery(
+      // k-core decomposition (k=4) of the part–supplier bipartite graph
+      // (disjoint id spaces: parts even, suppliers odd). Iterative peeling
+      // fixpoint => no SQL-expressible oracle; GraphSpec proves equality
+      // with an independent driver-side peeling, and the rows-only driver
+      // check guards non-emptiness.
+      "q116_kcore",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.lineitem(s, d).filter($"l_orderkey" < 2000)
+          .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
+          .distinct()
+        kCore(s, edges, k = 4).orderBy($"v")
       },
       None)
   )

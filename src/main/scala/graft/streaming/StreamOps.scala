@@ -54,6 +54,35 @@ object StreamOps {
     events.withWatermark(tsCol, maxOutOfOrder)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Idleness-tolerant multi-source union — the `WatermarkStrategy
+    * .withIdleness` analog (flink-core .../eventtime/WatermarkStrategy
+    * .java:147, WatermarksWithIdleness.java). Flink marks a source that
+    * has emitted nothing for the idleness duration as idle and EXCLUDES
+    * it from the combined-watermark min, so one silent Kafka partition
+    * cannot freeze event time for the whole job. Structured Streaming's
+    * combined watermark over a union is governed by
+    * `spark.sql.streaming.multipleWatermarkPolicy`: the default `min`
+    * reproduces Flink's NON-idle combination (a silent source pins the
+    * global watermark forever — exactly the failure withIdleness exists
+    * to fix); `max` advances with the fastest source, which subsumes
+    * idleness handling (an idle source never contributes the max) but is
+    * WIDER than Flink's semantics: a slow-but-ACTIVE source's late rows
+    * become droppable too. That trade is inherent to the knob being
+    * job-global rather than per-source; this helper pins the policy,
+    * documents the delta, and returns the watermarked union. Each input
+    * is (DataFrame, tsCol, maxOutOfOrder); columns must align.
+    */
+  def idleTolerantUnion(
+      inputs: Seq[(DataFrame, String, String)],
+      tolerateIdle: Boolean = true): DataFrame = {
+    require(inputs.nonEmpty, "idleTolerantUnion: no inputs")
+    val spark = inputs.head._1.sparkSession
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy",
+      if (tolerateIdle) "max" else "min")
+    inputs.map { case (df, ts, ooo) => df.withWatermark(ts, ooo) }
+      .reduce(_ unionByName _)
+  }
+
   /** Stream-stream interval join: right rows within
     * [left.ts + lowerBound, left.ts + upperBound]. Both sides must carry
     * watermarks; Spark bounds state exactly like Flink's interval join

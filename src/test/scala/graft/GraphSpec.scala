@@ -146,4 +146,42 @@ class GraphSpec extends AnyFunSuite {
     assert(Set(lp(1L), lp(2L), lp(3L)).size == 1, s"community split: $lp")
     assert(lp(4L) != lp(1L), s"disconnected parts merged: $lp")
   }
+
+  test("k-core: chain peels away, clique survives, equals driver-side peeling") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6: k=3 keeps exactly the
+    // clique (cascading removal of 6 then 5 must not stop early)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core = GraphOps.kCore(spark, edges, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L), s"wrong core: $core")
+    assert(core.values.forall(_ == 3L), s"clique degrees: $core")
+    // empty-core case: a pure cycle has no 3-core
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(GraphOps.kCore(spark, cyc, k = 3).isEmpty)
+
+    // q116's graph vs an independent driver-side peeling
+    val sf = TestSpark.sf
+    val e = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" < 2000)
+      .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- e) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val k = 4
+    var changed = true
+    while (changed) {
+      val weak = adj.collect { case (v, n) if n.size < k => v }.toSeq
+      changed = weak.nonEmpty
+      for (v <- weak) { adj(v).foreach(u => adj(u) -= v); adj -= v }
+    }
+    val expect = adj.map { case (v, n) => v -> n.size.toLong }.toMap
+    val got = SparkEntry.queries("q116_kcore")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"kcore mismatch: extra=${got.keySet.diff(expect.keySet)} missing=${expect.keySet.diff(got.keySet)}")
+  }
 }

@@ -839,4 +839,44 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.table("ij_out").as[(String, String)].collect().toSet
     assert(rows == Set(("L1", "R-in")))
   }
+
+  test("idle-tolerant union: silent source no longer pins the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Source B emits one early row then goes silent while A advances far
+    // past the first windows. Default min policy (= Flink without
+    // withIdleness): B pins the combined watermark at 5s-10s, no window
+    // ever finalizes in append mode. tolerateIdle (= withIdleness role):
+    // the combined watermark follows A and the early windows emit.
+    def run(tolerateIdle: Boolean, sink: String): Set[(Long, Long)] = {
+      val a = MemoryStream[(Timestamp, String)]
+      val b = MemoryStream[(Timestamp, String)]
+      val u = StreamOps.idleTolerantUnion(
+        Seq((a.toDF().toDF("ts", "v"), "ts", "10 seconds"),
+          (b.toDF().toDF("ts", "v"), "ts", "10 seconds")),
+        tolerateIdle)
+      val agg = u.groupBy(window($"ts", "1 minute").as("w"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        a.addData((ts(0), "a1"), (ts(50), "a2"))
+        b.addData((ts(5), "b1"))
+        q.processAllAvailable()
+        a.addData((ts(200), "a3")) // advances A's watermark to 190
+        q.processAllAvailable()
+        a.addData((ts(201), "a4")) // extra batch so the 190 watermark applies
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
+      }
+      spark.table(sink).select($"w.start".cast("long"), $"n")
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(run(tolerateIdle = true, "idle_max") == Set((0L, 3L)),
+      "max policy must close the early window despite the idle source")
+    assert(run(tolerateIdle = false, "idle_min") == Set.empty,
+      "min policy must keep every window open while a source is silent")
+  }
 }
