@@ -1243,7 +1243,140 @@ object PipelineOps extends QueryModule {
       "q114_bm25",
       (s, d) => bm25(s, d, terms = Bm25Terms, k1 = 1.2, b = 0.75, topK = 20),
       Some(bm25OracleSql)),
+
+    GQuery(
+      // N-gram LM quality scoring (the CCNet/KenLM perplexity-filter role,
+      // self-trained on the corpus): add-k-smoothed bigram model, each doc
+      // scored by average negative log-likelihood. Everything is counts +
+      // joins on token keys; per-bigram log-probs sum as integer
+      // micro-units (order-independent), so the full pipeline carries an
+      // exact SQL oracle despite the floating-point model.
+      "q117_ngram_lm_score",
+      (s, d) => ngramLmScore(s, d, addK = 0.5),
+      Some(ngramLmOracleSql)),
+
+    GQuery(
+      // BPE tokenizer training (Sennrich et al. 2016) as an iterative
+      // DataFrame loop: per round, the globally most frequent adjacent
+      // symbol pair (deterministic tie-break) merges corpus-wide. The
+      // argmax is data-dependent control flow => no SQL oracle;
+      // PipelineSpec proves the merge table equals a reference driver-side
+      // BPE trainer run on the same corpus.
+      "q118_bpe_train",
+      (s, d) => bpeTrain(s, d, rounds = 6),
+      None),
   )
+
+  /** Distributed BPE trainer: word-frequency table once (vocab-sized, tiny
+    * relative to the corpus), then per round (a) adjacent-pair counts
+    * weighted by word frequency — one explode + one aggregate, (b) global
+    * argmax pair via TakeOrdered(1) with (count desc, pair asc) tie-break,
+    * (c) greedy left-to-right non-overlapping merge of that pair inside
+    * every word via an `aggregate` HOF (the merged symbol never re-merges
+    * within the round — exactly Sennrich's reference semantics), with the
+    * winning pair broadcast as a 1-row DataFrame (never collected).
+    * Rounds are bounded and each touches only the vocabulary table, so
+    * cost is O(rounds × |vocab|) regardless of corpus size — the corpus
+    * is read once for the frequency count. Returns the learned merge
+    * table (round, p1, p2, cnt). */
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    var cur = Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", split($"w", ""))
+      .select($"freq", $"seq")
+      .localCheckpoint()
+    var merges: DataFrame =
+      Seq.empty[(Long, String, String, Long)].toDF("round", "p1", "p2", "cnt")
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = cur.filter(size($"seq") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(0, size(seq) - 2), " +
+            "i -> struct(element_at(seq, i + 1) AS p1, element_at(seq, i + 2) AS p2))")).as("p"))
+        .groupBy($"p.p1".as("p1"), $"p.p2".as("p2"))
+        .agg(sum($"freq").as("cnt"))
+      val top = pairs.orderBy($"cnt".desc, $"p1", $"p2").limit(1)
+        .withColumn("round", lit(r.toLong))
+        .select($"round", $"p1", $"p2", $"cnt")
+        .localCheckpoint()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        merges = merges.unionByName(top)
+        cur = cur
+          .crossJoin(broadcast(top.select($"p1".as("mp1"), $"p2".as("mp2"))))
+          .withColumn("seq", expr(
+            "IF(size(seq) < 2, seq, " +
+              "aggregate(slice(seq, 2, size(seq) - 1), array(element_at(seq, 1)), " +
+              "(out, x) -> IF(element_at(out, -1) = mp1 AND x = mp2, " +
+              "concat(slice(out, 1, size(out) - 1), array(concat(mp1, mp2))), " +
+              "concat(out, array(x)))))"))
+          .select($"freq", $"seq")
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    merges.orderBy($"round")
+  }
+
+  private def ngramLmOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+       |  WHERE len(toks) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+       |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+       |        SELECT unnest(toks) AS tok FROM toks)),
+       |scored AS (
+       |  SELECT big.doc_id,
+       |         CAST(floor(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |       0.0 - CAST(SUM(micro) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_nll
+       |FROM scored GROUP BY 1 ORDER BY doc_id
+       |""".stripMargin
+
+  /** Add-k-smoothed bigram LM scoring, self-trained on the corpus (the
+    * perplexity-based quality filter of CCNet — Wenzek et al. 2020 — with
+    * the KenLM model replaced by a relational bigram model):
+    * P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V), doc score = average
+    * negative log-likelihood over its bigrams. Distributed shape: model
+    * "training" is two groupBy counts over the bigram explode; scoring
+    * joins each doc's bigrams back to the counts (shuffle joins on
+    * token keys, inverted-index style); V broadcast as a 1-row aggregate.
+    * Per-bigram log-probs round to integer micro-units before the
+    * per-doc sum, making the result independent of aggregation order. */
+  private[graft] def ngramLmScore(s: SparkSession, d: String, addK: Double): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val big = Tables.documents(s, d)
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr("graft_shingles(toks, 2)")).as("bg"))
+      .select($"doc_id",
+        substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+    val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(s, d)
+      .withColumn("toks", expr(tokensExpr))
+      .select(explode($"toks").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .withColumn("micro",
+        floor(log(($"c2" + lit(addK)) / ($"c1" + lit(addK) * $"v")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (lit(0.0) - sum($"micro").cast("double") / 1000000.0 / count(lit(1))).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
 
   private val Bm25Terms = Seq("vector", "query", "stream")
 

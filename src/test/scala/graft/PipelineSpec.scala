@@ -107,6 +107,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect.toSet, s"diff: ${got.diff(expect.toSet)} / ${expect.toSet.diff(got)}")
   }
 
+  test("bpe trainer equals a reference Sennrich-style implementation") {
+    import spark.implicits._
+    val rounds = 6
+    val got = operators.PipelineOps.bpeTrain(spark, sf, rounds)
+      .as[(Long, String, String, Long)].collect().toList
+
+    // reference trainer: plain Scala, same tie-break (count desc, pair asc)
+    val toks = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+    var vocab: Map[List[String], Long] =
+      toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        .map { case (w, f) => w.map(_.toString).toList -> f }
+    val expect = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((seq, f) <- vocab; i <- 0 until seq.length - 1)
+        cnt.updateWith((seq(i), seq(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (cnt.nonEmpty) {
+        val ((p1, p2), c) = cnt.minBy { case ((a, b), n) => (-n, a, b) }
+        expect += ((r.toLong, p1, p2, c))
+        vocab = vocab.map { case (seq, f) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          for (x <- seq) {
+            if (out.nonEmpty && out.last == p1 && x == p2)
+              out(out.length - 1) = p1 + p2
+            else out += x
+          }
+          out.toList -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    assert(got == expect.toList, s"got=$got expect=${expect.toList}")
+  }
+
   test("bm25 matches an independent driver-side recomputation") {
     import spark.implicits._
     val terms = Seq("vector", "query", "stream")
