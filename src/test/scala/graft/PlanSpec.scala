@@ -124,4 +124,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q94_semdedup")
     assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
   }
+
+  test("q113: duplicate spans use window counts, never a pair join") {
+    // the whole point vs the Jaccard pair index: a gram occurring d times
+    // must cost O(d), so the plan may contain window exchanges but NO join
+    // of the position table with itself
+    val p = plan("q113_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), s"pair join crept into the span dedup:\n$p")
+    assert(p.contains("Window"), s"expected window count-over-gram:\n$p")
+  }
+
+  test("q114: bm25 broadcasts the tiny df/stats sides") {
+    // tf streams; the term-df table (|terms| rows) and the 1-row corpus
+    // stats must broadcast, not shuffle the whole tf side
+    val p = plan("q114_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/stats sides not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
 }
