@@ -1265,7 +1265,132 @@ object PipelineOps extends QueryModule {
       "q118_bpe_train",
       (s, d) => bpeTrain(s, d, rounds = 6),
       None),
+
+    GQuery(
+      // Edit-distance-VERIFIED fuzzy dedup: the standard two-phase shape —
+      // cheap candidate generation (the df-capped Jaccard index) followed
+      // by an exact Levenshtein check on the candidate pairs only. The
+      // expensive O(len^2) distance never runs on the cross product, only
+      // on index-survivor pairs; relative threshold = lev <= 30% of the
+      // longer text.
+      "q119_editdist_verified",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        jaccardPairsCapped(s, d, minJaccardPct = 20, maxDf = 20)
+          .join(docs.select($"doc_id".as("a_id"), $"text".as("a_text")), Seq("a_id"))
+          .join(docs.select($"doc_id".as("b_id"), $"text".as("b_text")), Seq("b_id"))
+          .withColumn("lev", levenshtein($"a_text", $"b_text").cast("long"))
+          .filter($"lev" * 100 <= lit(30) * greatest(length($"a_text"), length($"b_text")))
+          .select($"a_id", $"b_id", $"inter", $"lev")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(s"""
+        |WITH ${cappedPairsSql(20, 20)}
+        |SELECT p.a_id, p.b_id, CAST(p.inter AS BIGINT) AS inter,
+        |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+        |FROM pairs p JOIN documents da ON p.a_id = da.doc_id
+        |             JOIN documents db ON p.b_id = db.doc_id
+        |WHERE levenshtein(da.text, db.text) * 100
+        |        <= 30 * greatest(length(da.text), length(db.text))
+        |ORDER BY a_id, b_id
+        |""".stripMargin)),
+
+    GQuery(
+      // APPLYING the span dedup (q113's detection made a transform): every
+      // duplicated w-gram occurrence except the globally first (min
+      // (doc_id, pos), the Lee-et-al keep-one rule) marks its tokens;
+      // a token survives unless covered ONLY by non-canonical duplicate
+      // occurrences. Docs are reassembled from surviving tokens; output
+      // carries kept/dropped counts and an md5 of the cleaned text so the
+      // oracle hash-checks the full rewrite without shipping megabytes.
+      "q120_span_dedup_apply",
+      (s, d) => spanDedupApply(s, d, w = 8),
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+        |occ AS (
+        |  SELECT doc_id, pos, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM (
+        |    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |           array_to_string(toks[i:i+7], ' ') AS gram,
+        |           COUNT(*) OVER (PARTITION BY array_to_string(toks[i:i+7], ' ')) AS cnt
+        |    FROM toks, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) r
+        |    WHERE len(toks) >= 8) z
+        |  WHERE cnt >= 2),
+        |cover AS (
+        |  SELECT doc_id, pos + o.off AS idx, CAST(rn = 1 AS BOOLEAN) AS canon
+        |  FROM occ, LATERAL (SELECT unnest(range(0, 8)) AS off) o),
+        |drops AS (
+        |  SELECT doc_id, idx FROM cover GROUP BY doc_id, idx
+        |  HAVING NOT bool_or(canon)),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM tok t LEFT JOIN drops dr ON t.doc_id = dr.doc_id AND t.idx = dr.idx
+        |  WHERE dr.idx IS NULL)
+        |SELECT t.doc_id,
+        |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(len(t.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+        |       COALESCE(k.clean_md5, md5('')) AS clean_md5
+        |FROM toks t LEFT JOIN (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         md5(string_agg(tok, ' ' ORDER BY idx)) AS clean_md5
+        |  FROM kept GROUP BY doc_id) k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id
+        |""".stripMargin)),
   )
+
+  /** Span-dedup APPLY (see q120): detection per q113, keep-one rule =
+    * the occurrence with the globally smallest (doc_id, pos) per
+    * duplicated gram survives ("canonical"); a token is dropped iff every
+    * duplicated window covering it is non-canonical. Same two shuffles as
+    * the detection (by gram, by doc) plus a bounded ×w cover explode and
+    * one reassembly aggregate — everything stays linear in corpus size. */
+  private[graft] def spanDedupApply(s: SparkSession, d: String, w: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", expr(tokensExpr))
+      .select($"doc_id", $"toks")
+      .localCheckpoint() // feeds the token table, the gram index, and the final join
+    val tok = toks
+      .select($"doc_id", posexplode($"toks").as(Seq("i0", "tok")))
+      .select($"doc_id", ($"i0" + lit(1L)).as("idx"), $"tok")
+    val occ = toks
+      .filter(size($"toks") >= w)
+      .select($"doc_id", posexplode(expr(s"graft_shingles(toks, $w)")).as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + lit(1L)).as("pos"), $"gram")
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"gram")))
+      .filter($"cnt" >= 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"gram").orderBy($"doc_id", $"pos")))
+    val cover = occ
+      .select($"doc_id", $"pos", ($"rn" === 1).as("canon"),
+        explode(expr(s"sequence(0L, ${w - 1}L)")).as("off"))
+      .select($"doc_id", ($"pos" + $"off").as("idx"), $"canon")
+    val drops = cover.groupBy($"doc_id", $"idx")
+      .agg(max($"canon").as("any_canon"))
+      .filter(!$"any_canon")
+      .select($"doc_id", $"idx")
+    val kept = tok.join(drops.withColumnRenamed("idx", "didx"),
+        tok("doc_id") === drops("doc_id") && $"idx" === $"didx", "left_anti")
+    val perDoc = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"))).as("clean_md5"))
+    toks.select($"doc_id", size($"toks").cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_toks" - coalesce($"n_kept", lit(0L))).as("n_dropped"),
+        coalesce($"clean_md5", lit(org.apache.commons.codec.digest.DigestUtils.md5Hex(""))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
 
   /** Distributed BPE trainer: word-frequency table once (vocab-sized, tiny
     * relative to the corpus), then per round (a) adjacent-pair counts

@@ -107,6 +107,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect.toSet, s"diff: ${got.diff(expect.toSet)} / ${expect.toSet.diff(got)}")
   }
 
+  test("span-dedup apply is consistent with span detection") {
+    import spark.implicits._
+    val spans = SparkEntry.queries("q113_dup_spans")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val applied = SparkEntry.queries("q120_span_dedup_apply")(spark, sf)
+      .select("doc_id", "n_kept", "n_dropped").as[(Long, Long, Long)].collect()
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, t) => id -> t.toLowerCase.split(" ").count(_.nonEmpty) }.toMap
+    val spanned = spans.map(_._1).toSet
+    applied.foreach { case (id, kept, dropped) =>
+      assert(kept + dropped == toks(id), s"doc $id: $kept+$dropped != ${toks(id)}")
+      if (!spanned.contains(id))
+        assert(dropped == 0, s"doc $id dropped $dropped tokens without a duplicated span")
+      // a dropped token must lie under some detected span of its doc
+      if (dropped > 0) assert(spanned.contains(id))
+    }
+    // keep-one rule: every duplicated gram keeps its canonical occurrence,
+    // so detection-with-duplicates implies strictly fewer drops than span
+    // coverage (never drop an entire doc that holds a canonical copy)
+    val dropTotal = applied.map(_._3).sum
+    val coverTotal = spans.map(_._3).sum
+    assert(dropTotal <= coverTotal, s"dropped $dropTotal > covered $coverTotal")
+  }
+
   test("bpe trainer equals a reference Sennrich-style implementation") {
     import spark.implicits._
     val rounds = 6
