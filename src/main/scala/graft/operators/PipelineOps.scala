@@ -1343,7 +1343,73 @@ object PipelineOps extends QueryModule {
         |  FROM kept GROUP BY doc_id) k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id
         |""".stripMargin)),
+
+    GQuery(
+      // Quality-classifier training (fastText-classifier role): logistic
+      // regression distilling the q85 Gopher gate into a soft score,
+      // batch GD with micro-unit-rounded gradient sums (bit-deterministic
+      // under any partitioning). Data-dependent iterative weights => no
+      // SQL oracle; PipelineSpec proves exact equality with a driver-side
+      // trainer and above-baseline accuracy.
+      "q121_lr_classifier",
+      (s, d) => lrQualityClassifier(s, d, iters = 30, lr = 20.0),
+      None),
   )
+
+  /** Quality-classifier trainer (the fastText-classifier role in
+    * LLaMA/GPT-style data pipelines, reduced to logistic regression over
+    * relational text features): batch gradient descent as a DataFrame
+    * loop. Each iteration is ONE aggregate over the corpus — per-example
+    * gradient contributions round to integer micro-units before the sum,
+    * so training is bit-deterministic under any partitioning (the same
+    * trick as q114/q117 scoring); the weight vector moves between rounds
+    * as a broadcast 1-row DataFrame, never through the driver. The label
+    * distills the q85 Gopher rule gate into a soft score (the standard
+    * move when a heuristic filter is too rigid to rank by); features are
+    * the gate's underlying metrics, range-scaled to keep plain GD stable.
+    * Returns (doc_id, y, score) under the final weights. */
+  private[graft] def lrQualityClassifier(
+      s: SparkSession, d: String, iters: Int, lr: Double): DataFrame = {
+    import s.implicits._
+    val nf = 5
+    val feats = Tables.documents(s, d)
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size($"toks") >= 1)
+      .withColumn("n", size($"toks").cast("double"))
+      .withColumn("mwl",
+        expr("aggregate(transform(toks, x -> length(x)), 0, (a, b) -> a + b)") / $"n")
+      .withColumn("nsd", size(array_distinct(expr(
+        "filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))"))))
+      .withColumn("x", array(
+        lit(1.0),
+        log(lit(1.0) + $"n") / 10.0,
+        $"mwl" / 10.0,
+        $"nsd".cast("double") / 8.0,
+        size(array_distinct($"toks")).cast("double") / $"n"))
+      .withColumn("y",
+        ($"n".between(20.0, 100000.0) && $"mwl".between(3.0, 10.0) && $"nsd" >= 2)
+          .cast("double"))
+      .select($"doc_id", $"x", $"y")
+      .localCheckpoint() // one corpus read feeds every GD round
+    var wdf = s.range(1).select(array(Seq.fill(nf)(lit(0.0)): _*).as("w"))
+    for (_ <- 1 to iters) {
+      val g = feats.crossJoin(broadcast(wdf))
+        .withColumn("z", expr("aggregate(zip_with(w, x, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
+        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-$"z")) - $"y")
+        .withColumn("gm", expr("transform(x, xi -> CAST(floor(err * xi * 1000000.0 + 0.5) AS BIGINT))"))
+        .agg(count(lit(1)).as("n"),
+          (1 to nf).map(i => sum(expr(s"element_at(gm, $i)")).as(s"g$i")): _*)
+      wdf = g.crossJoin(broadcast(wdf))
+        .select(array((1 to nf).map(i =>
+          expr(s"element_at(w, $i)") - lit(lr) * (col(s"g$i").cast("double") / 1000000.0 / col("n"))): _*).as("w"))
+        .localCheckpoint()
+    }
+    feats.crossJoin(broadcast(wdf))
+      .withColumn("z", expr("aggregate(zip_with(w, x, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
+      .select($"doc_id", $"y".cast("long").as("y"),
+        dround(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("score"))
+      .orderBy($"doc_id")
+  }
 
   /** Span-dedup APPLY (see q120): detection per q113, keep-one rule =
     * the occurrence with the globally smallest (doc_id, pos) per

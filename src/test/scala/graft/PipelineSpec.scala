@@ -166,6 +166,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect.toList, s"got=$got expect=${expect.toList}")
   }
 
+  test("lr classifier training equals a driver-side trainer and beats the base rate") {
+    import spark.implicits._
+    val (iters, lr) = (30, 20.0)
+    val got = SparkEntry.queries("q121_lr_classifier")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val tk = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (tk.isEmpty) None
+        else {
+          val n = tk.length.toDouble
+          val mwl = tk.map(_.length).sum / n
+          val nsd = tk.filter(stop.contains).distinct.length
+          val x = Array(1.0, math.log(1.0 + n) / 10.0, mwl / 10.0,
+            nsd.toDouble / 8.0, tk.distinct.length.toDouble / n)
+          val y = if (n >= 20.0 && n <= 100000.0 && mwl >= 3.0 && mwl <= 10.0 && nsd >= 2)
+            1.0 else 0.0
+          Some((id, x, y))
+        }
+      }.sortBy(_._1)
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to iters) {
+      val micros = Array.fill(5)(0L)
+      for ((_, x, y) <- rows) {
+        var z = 0.0
+        for (i <- 0 until 5) z += w(i) * x(i)
+        val err = 1.0 / (1.0 + math.exp(-z)) - y
+        for (i <- 0 until 5)
+          micros(i) += math.floor(err * x(i) * 1000000.0 + 0.5).toLong
+      }
+      for (i <- 0 until 5)
+        w(i) = w(i) - lr * (micros(i).toDouble / 1000000.0 / rows.length)
+    }
+    val expect = rows.map { case (id, x, y) =>
+      var z = 0.0
+      for (i <- 0 until 5) z += w(i) * x(i)
+      (id, y.toLong, math.floor((1.0 / (1.0 + math.exp(-z))) * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.toSeq == expect.toSeq,
+      s"got=${got.take(3).toSeq} expect=${expect.take(3).toSeq}")
+    // learned model must beat always-predict-majority
+    val acc = got.count { case (_, y, p) => (p >= 0.5) == (y == 1L) }.toDouble / got.length
+    val base = math.max(got.count(_._2 == 1L), got.count(_._2 == 0L)).toDouble / got.length
+    assert(acc > base, s"accuracy $acc <= base rate $base")
+  }
+
   test("bm25 matches an independent driver-side recomputation") {
     import spark.implicits._
     val terms = Seq("vector", "query", "stream")
