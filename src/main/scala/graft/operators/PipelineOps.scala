@@ -1354,6 +1354,17 @@ object PipelineOps extends QueryModule {
       "q121_lr_classifier",
       (s, d) => lrQualityClassifier(s, d, iters = 30, lr = 20.0),
       None),
+
+    GQuery(
+      // BPE tokenizer APPLY (q118's trained merges encoding the corpus):
+      // per-doc BPE-token / whitespace-token / char counts — the
+      // token-count estimate a pre-training data pipeline runs before
+      // committing compute. Vocab-join encode, no per-byte tokenizer
+      // pass. Data-dependent merges => rows-only + spec equality with the
+      // reference trainer's segmentation.
+      "q122_bpe_encode",
+      (s, d) => bpeEncode(s, d, rounds = 6),
+      None),
   )
 
   /** Quality-classifier trainer (the fastText-classifier role in
@@ -1470,13 +1481,21 @@ object PipelineOps extends QueryModule {
     * cost is O(rounds × |vocab|) regardless of corpus size — the corpus
     * is read once for the frequency count. Returns the learned merge
     * table (round, p1, p2, cnt). */
-  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
+    bpeTrainFull(s, d, rounds)._1
+
+  /** bpeTrain plus the trained segmentation: returns (merge table,
+    * word -> final symbol sequence). The vocab table keeps the source
+    * word through every merge round, so applying the tokenizer to the
+    * corpus is a plain join on the word (see q122). */
+  private[graft] def bpeTrainFull(
+      s: SparkSession, d: String, rounds: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     var cur = Tables.documents(s, d)
       .select(explode(expr(tokensExpr)).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .withColumn("seq", split($"w", ""))
-      .select($"freq", $"seq")
+      .select($"w", $"freq", $"seq")
       .localCheckpoint()
     var merges: DataFrame =
       Seq.empty[(Long, String, String, Long)].toDF("round", "p1", "p2", "cnt")
@@ -1504,12 +1523,32 @@ object PipelineOps extends QueryModule {
               "(out, x) -> IF(element_at(out, -1) = mp1 AND x = mp2, " +
               "concat(slice(out, 1, size(out) - 1), array(concat(mp1, mp2))), " +
               "concat(out, array(x)))))"))
-          .select($"freq", $"seq")
+          .select($"w", $"freq", $"seq")
           .localCheckpoint()
       }
       r += 1
     }
-    merges.orderBy($"round")
+    (merges.orderBy($"round"), cur.select($"w", $"seq"))
+  }
+
+  /** BPE tokenizer APPLY: encode the corpus under the merges learned by
+    * [[bpeTrainFull]] and report per-doc token economics — BPE token
+    * count vs whitespace token count vs characters. The trained
+    * segmentation is a vocab-sized (word -> symbols) table, so encoding
+    * is ONE broadcast-or-shuffle join of the exploded corpus against it;
+    * this is how a 100 TB pre-training corpus gets its token-count
+    * estimate without running a tokenizer binary over every byte. */
+  private[graft] def bpeEncode(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    val vocabSeq = bpeTrainFull(s, d, rounds)._2
+    Tables.documents(s, d)
+      .select($"doc_id", explode(expr(tokensExpr)).as("w"))
+      .join(broadcast(vocabSeq), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(size($"seq")).cast("long").as("n_bpe_tokens"),
+        sum(length($"w")).cast("long").as("n_chars"))
+      .orderBy($"doc_id")
   }
 
   private def ngramLmOracleSql: String =
