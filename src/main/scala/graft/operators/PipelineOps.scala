@@ -1425,9 +1425,11 @@ object PipelineOps extends QueryModule {
   /** Span-dedup APPLY (see q120): detection per q113, keep-one rule =
     * the occurrence with the globally smallest (doc_id, pos) per
     * duplicated gram survives ("canonical"); a token is dropped iff every
-    * duplicated window covering it is non-canonical. Same two shuffles as
-    * the detection (by gram, by doc) plus a bounded ×w cover explode and
-    * one reassembly aggregate — everything stays linear in corpus size. */
+    * duplicated window covering it is non-canonical. Count and canonical
+    * pick are combiner-friendly groupBy(gram) aggregates (min(struct) ==
+    * the order-by winner) joined back — hot grams are absorbed map-side,
+    * no per-gram window sort — plus a bounded ×w cover explode and one
+    * reassembly aggregate; everything stays linear in corpus size. */
   private[graft] def spanDedupApply(s: SparkSession, d: String, w: Int): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
@@ -1438,16 +1440,26 @@ object PipelineOps extends QueryModule {
     val tok = toks
       .select($"doc_id", posexplode($"toks").as(Seq("i0", "tok")))
       .select($"doc_id", ($"i0" + lit(1L)).as("idx"), $"tok")
-    val occ = toks
+    val occBase = toks
       .filter(size($"toks") >= w)
       .select($"doc_id", posexplode(expr(s"graft_shingles(toks, $w)")).as(Seq("p0", "gram")))
       .select($"doc_id", ($"p0" + lit(1L)).as("pos"), $"gram")
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"gram")))
+    // Per-gram count and canonical occurrence as combiner-friendly
+    // aggregates, NOT count/row_number windows over gram: (doc_id, pos) is
+    // unique per occurrence, so min(struct(doc_id, pos)) IS the row_number
+    // orderBy(doc_id, pos) == 1 winner, and partial aggregation absorbs a
+    // hot gram before the shuffle — no single-reducer per-gram sort.
+    val gramStats = occBase.groupBy($"gram")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct($"doc_id", $"pos")).as("canon0"))
       .filter($"cnt" >= 2)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"gram").orderBy($"doc_id", $"pos")))
+      .select($"gram", $"canon0".getField("doc_id").as("cdoc"),
+        $"canon0".getField("pos").as("cpos"))
+    val occ = occBase.join(gramStats, "gram")
+      .select($"doc_id", $"pos",
+        ($"doc_id" === $"cdoc" && $"pos" === $"cpos").as("canon"))
     val cover = occ
-      .select($"doc_id", $"pos", ($"rn" === 1).as("canon"),
+      .select($"doc_id", $"pos", $"canon",
         explode(expr(s"sequence(0L, ${w - 1}L)")).as("off"))
       .select($"doc_id", ($"pos" + $"off").as("idx"), $"canon")
     val drops = cover.groupBy($"doc_id", $"idx")
@@ -1641,11 +1653,13 @@ object PipelineOps extends QueryModule {
     * every w-token window occurring 2+ times corpus-wide (intra- OR
     * inter-doc) marks its positions; consecutive duplicated positions
     * merge (gaps-and-islands) into maximal spans. The suffix array is
-    * replaced by a count-over-gram window on the w-gram inverted index:
-    * ONE shuffle by gram for the corpus-wide count, ONE shuffle by doc for
-    * the islands merge — no pair join anywhere, so a boilerplate gram
-    * occurring d times costs O(d), never O(d^2) (contrast the Jaccard
-    * pair index, which needs the df cap). At 100 TB the shuffle key would
+    * replaced by a groupBy(gram) count on the w-gram inverted index (a
+    * combiner-friendly aggregate — map-side partials absorb hot grams, no
+    * per-gram sort) joined back to the occurrences: ONE agg shuffle + ONE
+    * join shuffle by gram, ONE shuffle by doc for the islands merge — no
+    * pair join anywhere, so a boilerplate gram occurring d times costs
+    * O(d), never O(d^2) (contrast the Jaccard pair index, which needs the
+    * df cap). At 100 TB the shuffle key would
     * be xxhash64(gram) with string verification on collision; here the
     * exact string keeps the oracle bit-identical. Positions are 1-based
     * token indices; span_tokens counts tokens covered by the merged run.
@@ -1658,9 +1672,16 @@ object PipelineOps extends QueryModule {
       .filter(size($"toks") >= w)
       .select($"doc_id", posexplode(expr(s"graft_shingles(toks, $w)")).as(Seq("p0", "gram")))
       .select($"doc_id", ($"p0" + lit(1L)).as("pos"), $"gram")
-    val marked = pos
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"gram")))
+    // Corpus-wide occurrence count as a combiner-friendly aggregate, NOT a
+    // window over gram: partial (map-side) aggregation absorbs a viral
+    // boilerplate gram with 10^8+ occurrences before the shuffle, and no
+    // per-gram sort ever materializes; the join back is per-key 1-row on
+    // the aggregate side, so AQE skew-join can split a residual hot key.
+    val dupGrams = pos.groupBy($"gram")
+      .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2)
+      .select($"gram")
+    val marked = pos.join(dupGrams, "gram")
       .select($"doc_id", $"pos")
     val iw = Window.partitionBy($"doc_id").orderBy($"pos")
     marked.withColumn("grp", $"pos" - row_number().over(iw))

@@ -125,14 +125,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
   }
 
-  test("q113: duplicate spans use window counts, never a pair join") {
-    // the whole point vs the Jaccard pair index: a gram occurring d times
-    // must cost O(d), so the plan may contain window exchanges but NO join
-    // of the position table with itself
-    val p = plan("q113_dup_spans")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
-      !p.contains("BroadcastHashJoin"), s"pair join crept into the span dedup:\n$p")
-    assert(p.contains("Window"), s"expected window count-over-gram:\n$p")
+  test("q113/q120: span-dedup gram stats are aggregates, never a window on gram") {
+    // a window partitioned on gram ships EVERY occurrence of a hot gram to
+    // one task and sorts it — a viral boilerplate 8-gram with 10^8+
+    // occurrences becomes a single-reducer sort at 100 TB. The count /
+    // canonical-occurrence stats must instead be groupBy(gram) aggregates
+    // (map-side partials absorb the hot key) joined back; the only Window
+    // allowed is the per-doc islands merge (bounded by doc length). And
+    // still no pair join: the position table never joins itself.
+    for (q <- Seq("q113_dup_spans", "q120_span_dedup_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew an unkeyed pair join:\n$p")
+      val gramWindows = p.linesIterator
+        .filter(l => l.contains("Window") && l.contains("gram"))
+        .toSeq
+      assert(gramWindows.isEmpty,
+        s"$q has a Window partitioned on gram (single-reducer hot-key sort):\n" +
+          gramWindows.mkString("\n"))
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"$q: expected partial-aggregable gram stats:\n$p")
+    }
   }
 
   test("q114: bm25 broadcasts the tiny df/stats sides") {
