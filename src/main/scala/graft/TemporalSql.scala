@@ -85,6 +85,11 @@ object TemporalSql {
       require(keyPairs.nonEmpty, "ON clause needs at least one equi-key")
       require(keyPairs.map(_._1).distinct.size == keyPairs.size,
         "duplicate fact key column in ON clause")
+      // a duplicated DIM key (f.a = d.x AND f.b = d.x) would make the
+      // second rename a silent no-op and die later as an unresolved-column
+      // AnalysisException — reject it here with a real grammar error
+      require(keyPairs.map(_._2).distinct.size == keyPairs.size,
+        "duplicate dim key column in ON clause")
       val fKeys = keyPairs.map(_._1)
       val dKeys = keyPairs.map(_._2)
 

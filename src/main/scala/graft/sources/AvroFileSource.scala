@@ -239,21 +239,26 @@ private[sources] class AvroBatchWrite(schema: StructType, path: String,
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
     val codec = options.getOrElse("codec", "snappy")
-    new AvroWriterFactory(schema, tempDir, codec, conf)
+    new AvroWriterFactory(schema, tempDir, codec, queryId, conf)
   }
 }
 
 private[sources] class AvroWriterFactory(schema: StructType, tempDir: String,
-    codec: String, conf: SerializableConfiguration) extends DataWriterFactory {
+    codec: String, queryId: String, conf: SerializableConfiguration)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(schema, tempDir, codec, conf.value, partitionId, taskId)
+    new AvroDataWriter(schema, tempDir, codec, conf.value, partitionId, taskId, queryId)
 }
 
 private[sources] class AvroDataWriter(schema: StructType, tempDir: String,
     codec: String, conf: org.apache.hadoop.conf.Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, queryId: String) extends DataWriter[InternalRow] {
   private val avroSchema = AvroFileSource.sparkToAvro(schema)
-  private val file = new Path(tempDir, f"part-$partitionId%05d-$taskId.avro")
+  // queryId (a per-query UUID) is part of the COMMITTED name, as in
+  // Spark's FileCommitProtocol: taskId is only unique within one
+  // application, so append-mode writes from two applications into the
+  // same directory would otherwise collide at rename time.
+  private val file = new Path(tempDir, f"part-$partitionId%05d-$taskId-$queryId.avro")
   private val out = {
     val fs = file.getFileSystem(conf)
     val stream = fs.create(file, true)

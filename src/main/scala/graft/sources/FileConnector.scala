@@ -47,28 +47,44 @@ private[sources] case class TaskFileCommit(tempFile: String) extends WriterCommi
 private[sources] abstract class FilesMicroBatchStream(path: String, suffix: String,
     planFile: (String, Long) => Seq[InputPartition]) extends MicroBatchStream {
 
-  private case class FilesOffset(files: Set[String]) extends StreamOffset {
-    override def json(): String = AvroFileSource.toJsonArray(files.toSeq.sorted)
+  // The offset stores path AND length captured AT LISTING TIME
+  // ("<length>\t<path>" entries): planning must never re-stat the file —
+  // a file deleted (or still growing) between listing and planning would
+  // otherwise throw FileNotFoundException and permanently fail the
+  // micro-batch, since the offset is already committed to the log. Length
+  // -1 marks a legacy path-only offset entry; those are re-stat'ed with
+  // missing files skipped.
+  private case class FilesOffset(files: Map[String, Long]) extends StreamOffset {
+    override def json(): String = AvroFileSource.toJsonArray(
+      files.toSeq.sortBy(_._1).map { case (p, len) => s"$len\t$p" })
+  }
+
+  private def parseEntry(e: String): (String, Long) = {
+    val i = e.indexOf('\t')
+    if (i < 0) (e, -1L) else (e.substring(i + 1), e.substring(0, i).toLong)
   }
 
   private def conf = SparkSession.active.sparkContext.hadoopConfiguration
 
-  override def initialOffset(): StreamOffset = FilesOffset(Set.empty)
+  override def initialOffset(): StreamOffset = FilesOffset(Map.empty)
   override def deserializeOffset(json: String): StreamOffset =
-    FilesOffset(AvroFileSource.fromJsonArray(json).toSet)
+    FilesOffset(AvroFileSource.fromJsonArray(json).map(parseEntry).toMap)
   override def latestOffset(): StreamOffset =
     FilesOffset(FileConnectorUtil.listFiles(path, suffix, conf)
-      .map(_.getPath.toString).toSet)
+      .map(st => st.getPath.toString -> st.getLen).toMap)
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[FilesOffset].files
+    val seen = start.asInstanceOf[FilesOffset].files.keySet
     val now = end.asInstanceOf[FilesOffset].files
     val c = conf
-    (now -- seen).toSeq.sorted.flatMap { f =>
-      val st = new Path(f).getFileSystem(c).getFileStatus(new Path(f))
-      planFile(f, st.getLen)
+    (now -- seen).toSeq.sortBy(_._1).flatMap { case (f, len0) =>
+      val len =
+        if (len0 >= 0) len0
+        else try new Path(f).getFileSystem(c).getFileStatus(new Path(f)).getLen
+        catch { case _: java.io.FileNotFoundException => -1L } // vanished: skip
+      if (len < 0) Seq.empty else planFile(f, len)
     }.toArray
   }
 }

@@ -198,18 +198,22 @@ private[sources] class ProtoBatchWrite(schema: StructType, path: String,
       SparkSession.active.sparkContext.hadoopConfiguration)
     val s = schema
     val td = tempDir
-    (partitionId: Int, taskId: Long) => new ProtoDataWriter(s, td, conf.value, partitionId, taskId)
+    val qid = queryId
+    (partitionId: Int, taskId: Long) =>
+      new ProtoDataWriter(s, td, conf.value, partitionId, taskId, qid)
   }
 }
 
 private[sources] class ProtoDataWriter(schema: StructType, tempDir: String,
     conf: org.apache.hadoop.conf.Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, queryId: String) extends DataWriter[InternalRow] {
   schema.fields.foreach { f =>
     require(Seq(LongType, DoubleType, StringType).contains(f.dataType),
       s"graft-proto: unsupported type ${f.dataType}")
   }
-  private val file = new Path(tempDir, f"part-$partitionId%05d-$taskId.pb")
+  // queryId in the committed name: taskId alone is only unique within one
+  // application (see AvroDataWriter — same cross-application append rule).
+  private val file = new Path(tempDir, f"part-$partitionId%05d-$taskId-$queryId.pb")
   private val out = {
     val fs = file.getFileSystem(conf)
     new BufferedOutputStream(fs.create(file, true), 1 << 16)

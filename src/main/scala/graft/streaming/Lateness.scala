@@ -137,31 +137,40 @@ object Lateness {
           if (evict.isDefined) buf = buf :+ ((t, v))
           n += 1
           sum += v
-          val fires = effective match {
-            case FireTrigger.CountT(every) => n % every == 0
+          val fireCount = effective match {
+            case FireTrigger.CountT(every) => if (n % every == 0) 1 else 0
             case FireTrigger.DeltaT(threshold) =>
-              if (baseSet == 0) { baseSet = 1; base = v; false }
-              else if (math.abs(v - base) > threshold) { base = v; true }
-              else false
+              if (baseSet == 0) { baseSet = 1; base = v; 0 }
+              else if (math.abs(v - base) > threshold) { base = v; 1 }
+              else 0
             case FireTrigger.ContinuousEventTimeT(interval) =>
-              // `base` doubles as the next boundary; first element arms it
+              // `base` doubles as the next boundary; first element arms it.
+              // An element can jump SEVERAL boundaries — Flink's
+              // ContinuousEventTimeTrigger re-registers its timer per
+              // interval and fires once per elapsed boundary
+              // (ContinuousEventTimeTrigger.onEventTime re-registering
+              // time + interval), so advance boundary-by-boundary and
+              // fire for each one crossed, never floor straight past t.
               if (baseSet == 0) {
                 baseSet = 1
                 base = (math.floor(t.toDouble / interval) + 1) * interval
-                false
-              } else if (t >= base) {
-                base = (math.floor(t.toDouble / interval) + 1) * interval
-                true
-              } else false
+                0
+              } else {
+                var crossed = 0
+                while (t >= base) { base += interval; crossed += 1 }
+                crossed
+              }
             case FireTrigger.Purging(_) =>
               throw new IllegalArgumentException("nested Purging triggers are not supported")
           }
-          if (fires) {
+          var fi = 0
+          while (fi < fireCount) {
             val (fn, fsum) = fireValue(buf, n, sum)
             out += ((k, winStart, "partial", fn, fsum))
             if (purging) {
               buf = Seq.empty; n = 0L; sum = 0.0 // FIRE_AND_PURGE
             }
+            fi += 1
           }
         }
         state.update((buf, n, sum, baseSet, base))

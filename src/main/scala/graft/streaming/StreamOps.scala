@@ -71,14 +71,38 @@ object StreamOps {
     * job-global rather than per-source; this helper pins the policy,
     * documents the delta, and returns the watermarked union. Each input
     * is (DataFrame, tsCol, maxOutOfOrder); columns must align.
+    *
+    * CONTRACT — session-global blast radius:
+    * `spark.sql.streaming.multipleWatermarkPolicy` is a SESSION conf read
+    * at each streaming query's START, not per-query state. Calling this
+    * helper therefore changes the watermark-combination semantics of
+    * EVERY multi-watermark streaming query subsequently started on the
+    * same SparkSession — including ones whose DataFrames were built
+    * before the call. With `max`, late rows from a slow-but-active source
+    * become droppable job-wide. The helper refuses to fight the caller:
+    * if the session policy already matches the requested mode it touches
+    * nothing; if it must change the value it emits a WARN naming the old
+    * and new policy (restore-on-return would be wrong — the value must
+    * still be set when the caller starts the query). Sessions running
+    * unrelated streaming queries should isolate via `spark.newSession()`
+    * or set the policy themselves and pass the matching `tolerateIdle`.
     */
   def idleTolerantUnion(
       inputs: Seq[(DataFrame, String, String)],
       tolerateIdle: Boolean = true): DataFrame = {
     require(inputs.nonEmpty, "idleTolerantUnion: no inputs")
     val spark = inputs.head._1.sparkSession
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy",
-      if (tolerateIdle) "max" else "min")
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val want = if (tolerateIdle) "max" else "min"
+    val have = spark.conf.getOption(key)
+    if (!have.contains(want)) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"idleTolerantUnion: changing session-global $key " +
+          s"${have.fold("(unset)")(v => s"'$v'")} -> '$want'; this affects " +
+          "every multi-watermark streaming query started on this " +
+          "SparkSession from now on (see method contract)")
+      spark.conf.set(key, want)
+    }
     inputs.map { case (df, ts, ooo) => df.withWatermark(ts, ooo) }
       .reduce(_ unionByName _)
   }

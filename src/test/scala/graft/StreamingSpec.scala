@@ -316,15 +316,18 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.toDF("k", "w", "kind", "n", "s").writeStream
       .outputMode("update").format("memory").queryName("cet_out").start()
     // t=1s arms the 3s boundary; t=2s below it; t=4s crosses -> fire(3);
-    // t=5s below next (6s); t=7s crosses -> fire(5)
+    // t=5s below next (6s); t=7s crosses -> fire(5); t=17s jumps THREE
+    // boundaries (9s, 12s, 15s) -> three fires(6), one per elapsed
+    // boundary, exactly like Flink's re-registering
+    // ContinuousEventTimeTrigger on a sparse stream
     in.addData((1L, ts(1), 1.0), (1L, ts(2), 1.0), (1L, ts(4), 1.0),
-      (1L, ts(5), 1.0), (1L, ts(7), 1.0))
+      (1L, ts(5), 1.0), (1L, ts(7), 1.0), (1L, ts(17), 1.0))
     q.processAllAvailable()
     in.addData((1L, ts(100), 0.0)) // final
     runToCompletion(q)
     val partials = spark.table("cet_out").as[(Long, Long, String, Long, Double)]
       .collect().toSeq.filter(r => r._2 == 0L && r._3 == "partial").map(_._4)
-    assert(partials == Seq(3L, 5L), s"boundary fires wrong: $partials")
+    assert(partials == Seq(3L, 5L, 6L, 6L, 6L), s"boundary fires wrong: $partials")
   }
 
   test("purging trigger resets the pane on every fire (FIRE_AND_PURGE)") {

@@ -225,6 +225,15 @@ class TemporalSqlSpec extends AnyFunSuite {
       JOIN tsql_dim FOR SYSTEM_TIME AS OF d.vt AS d ON f.k = d.pk
     """, versionTime = Some("vt")))
     assert(e3.getMessage.contains("fact alias"))
+    // duplicated DIM key (f.k = d.pk AND f.fact = d.pk): without the
+    // grammar check the second rename is a silent no-op and the failure
+    // surfaces later as an unresolved-column AnalysisException
+    val e4 = intercept[IllegalArgumentException](TemporalSql.sql(spark, """
+      SELECT f.k AS k, d.price AS p FROM tsql_fact f
+      JOIN tsql_dim FOR SYSTEM_TIME AS OF f.t AS d
+      ON f.k = d.pk AND f.fact = d.pk
+    """, versionTime = Some("vt")))
+    assert(e4.getMessage.contains("duplicate dim key"))
     assert(TemporalSql.matches("SELECT 1 FROM a JOIN b FOR SYSTEM_TIME AS OF a.t ON 1=1"))
     assert(!TemporalSql.matches("SELECT 1"))
     // the phrase inside a string literal must NOT hijack shell dispatch
