@@ -50,6 +50,39 @@ object Engine {
     WindowTvfSql.matches(q) || TemporalSql.matches(q) ||
       graft.cep.MatchRecognize.matchesSql(q)
 
+  private val InsertTargetRe =
+    """(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?""".r
+
+  /** Leaf sources READ by ≥2 members of a statement set (write targets
+    * excluded — pre-materializing a table another member inserts into
+    * would freeze a pre-insert snapshot and break the sequential
+    * semantics). Members in the extended dialect (window TVF / temporal /
+    * MATCH_RECOGNIZE) don't parse with Spark's parser; they fall back to
+    * an identifier scan against the session's visible tables. */
+  private[graft] def sharedLeafSources(
+      spark: SparkSession, stmts: Seq[String]): Seq[String] = {
+    val writeTargets = stmts.flatMap(s =>
+      InsertTargetRe.findAllMatchIn(s).map(_.group(1).toLowerCase)).toSet
+    lazy val visible: Set[String] =
+      spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
+    def leaves(stmt: String): Set[String] =
+      (try {
+        spark.sessionState.sqlParser.parsePlan(stmt).collectWithSubqueries {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            r.multipartIdentifier.mkString(".").toLowerCase
+        }.toSet
+      } catch {
+        case _: Exception => // extended dialect: conservative identifier scan
+          """\b[A-Za-z_][A-Za-z0-9_]*\b""".r.findAllIn(stmt)
+            .map(_.toLowerCase).toSet.intersect(visible)
+      }) -- writeTargets
+    stmts.map(leaves)
+      .foldLeft(Map.empty[String, Int]) { (acc, s) =>
+        s.foldLeft(acc)((a, n) => a.updated(n, a.getOrElse(n, 0) + 1))
+      }
+      .collect { case (n, c) if c >= 2 => n }.toSeq.sorted
+  }
+
   /** SQL entry point with the engine's extended dispatch (SqlClient
     * analog): window-TVF / legacy grouped-window syntax -> WindowTvfSql,
     * temporal-join syntax -> TemporalSql bridge, MATCH_RECOGNIZE
@@ -59,21 +92,50 @@ object Engine {
     * SqlClient's EXPLAIN-through-the-planner behavior), and EXECUTE
     * STATEMENT SET BEGIN ... END runs a multi-statement batch
     * (SqlClient's statement sets; Spark executes the members
-    * sequentially — there is no cross-INSERT DAG merge, the one joint
-    * optimization Flink's implementation adds). The whole implemented
+    * sequentially, but leaf sources READ by two or more members are
+    * materialized ONCE — persist() swapped in under the same view name
+    * for the duration of the set — so an N-INSERT set over one source
+    * pays one source scan, the role of Flink's
+    * StreamCommonSubGraphBasedOptimizer DAG merge; set
+    * `graft.statementSet.reuseSources=false` to opt out, e.g. when the
+    * shared source is too large to spill-cache). The whole implemented
     * surface is reachable from one SQL-text front door. */
   def sql(spark: SparkSession, query: String): DataFrame = query match {
     case StmtSetRe(body) =>
       import spark.implicits._
       val stmts = graft.util.SqlSplit.splitStatements(body)
       require(stmts.nonEmpty, "EXECUTE STATEMENT SET: empty body")
-      // INSERTs execute eagerly inside sql(); their empty result frame
-      // carries no row count, so the summary reports status, not rows
-      // (counting would also re-execute any SELECT member)
-      stmts.map { s =>
-        sql(spark, s)
-        (s.linesIterator.mkString(" ").trim.take(80), "OK")
-      }.toDF("statement", "status")
+      val reuse = spark.conf.get("graft.statementSet.reuseSources", "true").toBoolean
+      // Common-subgraph reuse: cache each shared leaf under its own view
+      // name (first member's scan materializes it, later members read the
+      // cache), restore the original lineage + unpersist afterwards.
+      val swapped = if (!reuse) Seq.empty else
+        sharedLeafSources(spark, stmts).flatMap { n =>
+          scala.util.Try {
+            val wasTempView =
+              spark.sessionState.catalog.getTempView(n).isDefined
+            val orig = spark.table(n)
+            val cached = orig.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cached.createOrReplaceTempView(n)
+            (n, orig, cached, wasTempView)
+          }.toOption
+        }
+      try {
+        // INSERTs execute eagerly inside sql(); their empty result frame
+        // carries no row count, so the summary reports status, not rows
+        // (counting would also re-execute any SELECT member)
+        stmts.map { s =>
+          sql(spark, s)
+          (s.linesIterator.mkString(" ").trim.take(80), "OK")
+        }.toDF("statement", "status")
+      } finally swapped.foreach { case (n, orig, cached, wasTempView) =>
+        // a catalog table was only SHADOWED by the cache view: drop the
+        // shadow; a real temp view gets its original lineage back
+        if (wasTempView) orig.createOrReplaceTempView(n)
+        else spark.catalog.dropTempView(n)
+        cached.unpersist(false)
+      }
     case ExplainRe(mode, body) if extendedMatches(body) =>
       import spark.implicits._
       val m = Option(mode).map(_.trim.toLowerCase).filter(_.nonEmpty).getOrElse("simple")

@@ -171,4 +171,53 @@ class DdlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS $t1")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $t2")
   }
+
+  test("STATEMENT SET scans a source shared by two INSERTs exactly once") {
+    // the StreamCommonSubGraphBasedOptimizer role: N INSERTs over one
+    // source must not pay N source scans. A counting UDF in the shared
+    // view's lineage measures evaluations: without reuse each member
+    // re-evaluates it (200), with the persist swap the cache build is the
+    // only evaluation (100).
+    val t1 = s"sset_scan_a_${math.abs(getClass.getName.hashCode)}"
+    val t2 = s"sset_scan_b_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t1")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t2")
+    Engine.sql(spark, s"CREATE TABLE $t1 (k BIGINT) USING parquet")
+    Engine.sql(spark, s"CREATE TABLE $t2 (k BIGINT) USING parquet")
+    val acc = spark.sparkContext.longAccumulator("sharedSrcEvals")
+    spark.udf.register("sset_counting_id",
+      (x: Long) => { acc.add(1); x })
+    spark.range(100).selectExpr("sset_counting_id(id) AS cid")
+      .createOrReplaceTempView("sset_shared_src")
+    val res = Engine.sql(spark, s"""
+      EXECUTE STATEMENT SET BEGIN
+        INSERT INTO $t1 SELECT cid FROM sset_shared_src WHERE cid % 2 = 0;
+        INSERT INTO $t2 SELECT cid FROM sset_shared_src WHERE cid % 2 = 1;
+      END""")
+    assert(res.count() == 2)
+    assert(spark.table(t1).count() == 50 && spark.table(t2).count() == 50)
+    assert(acc.value == 100L,
+      s"shared source evaluated ${acc.value} times, expected one scan (100)")
+    // the swap restored the original (uncached) view afterwards
+    assert(!spark.table("sset_shared_src").queryExecution.executedPlan
+      .toString.contains("InMemoryTableScan"))
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t1")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $t2")
+    spark.catalog.dropTempView("sset_shared_src")
+  }
+
+  test("sharedLeafSources finds multi-read leaves and excludes write targets") {
+    spark.range(1).createOrReplaceTempView("slf_src")
+    spark.range(1).createOrReplaceTempView("slf_mid")
+    // slf_src read twice -> shared; slf_mid read twice but ALSO a write
+    // target -> excluded (pre-materializing would freeze a pre-insert
+    // snapshot and break sequential semantics)
+    val shared = Engine.sharedLeafSources(spark, Seq(
+      "INSERT INTO slf_mid SELECT id FROM slf_src",
+      "INSERT INTO t_out SELECT a.id FROM slf_src a JOIN slf_mid b ON a.id = b.id",
+      "INSERT INTO t_out2 SELECT id FROM slf_mid"))
+    assert(shared == Seq("slf_src"), s"got $shared")
+    spark.catalog.dropTempView("slf_src")
+    spark.catalog.dropTempView("slf_mid")
+  }
 }
