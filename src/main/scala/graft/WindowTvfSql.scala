@@ -29,6 +29,13 @@ import java.util.concurrent.atomic.AtomicInteger
   * SESSION via the gaps-and-islands window-function form (per PARTITION
   * BY keys; window_end = last event + gap, Flink's session contract).
   * `window_time` is `window_end - 1ms`, Flink's rowtime convention.
+  *
+  * A SESSION TVF over a STREAMING table takes a different lowering: the
+  * whole statement is rewritten onto `session_window(ts, gap)` in the
+  * GROUP BY (Spark's native streaming session aggregation, watermark-
+  * driven merge across micro-batches) — per-row annotation is impossible
+  * before the session closes, so the aggregated shape is required,
+  * matching Flink's own streaming session-TVF restriction.
   */
 object WindowTvfSql {
 
@@ -76,9 +83,19 @@ object WindowTvfSql {
       val openFn = b.indexOf('(', b.indexOf(mm.group(1), openTable))
       val closeFn = matchParen(b, openFn)
       val args = q.substring(openFn + 1, closeFn)
-      val view = s"__graft_window_tvf_${viewCounter.incrementAndGet()}"
-      expand(spark, fn, args).createOrReplaceTempView(view)
-      q = q.substring(0, mm.start) + view + q.substring(closeTable + 1)
+      if (fn == "SESSION" && isStreamingTable(spark, args)) {
+        // A streaming session TVF cannot annotate rows (the per-row
+        // gaps-and-islands form needs the whole session); the only
+        // streaming-expressible shape is the aggregated one, so rewrite
+        // the WHOLE statement onto session_window in the GROUP BY —
+        // Spark's native streaming session aggregation with watermark-
+        // driven merge (the StreamExecWindowAggregate SESSION role).
+        q = rewriteStreamingSession(q, mm.start, closeTable, args)
+      } else {
+        val view = s"__graft_window_tvf_${viewCounter.incrementAndGet()}"
+        expand(spark, fn, args).createOrReplaceTempView(view)
+        q = q.substring(0, mm.start) + view + q.substring(closeTable + 1)
+      }
       b = blanked(q)
       m = FindRe.findFirstMatchIn(b)
     }
@@ -171,7 +188,9 @@ object WindowTvfSql {
   private val DescRe = """(?is)\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*""".r
   private val IntervalRe = """(?is)\s*INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?\s*""".r
 
-  private def expand(spark: SparkSession, fn: String, argText: String): DataFrame = {
+  /** Parsed TVF argument list: (table, partitionKeys, tsCol, intervals). */
+  private def parseTvfArgs(fn: String, argText: String)
+      : (String, Seq[String], String, Seq[(Long, String)]) = {
     val args = SqlSplit.splitTopLevel(argText)
     require(args.nonEmpty, s"window TVF $fn: no arguments")
 
@@ -202,13 +221,97 @@ object WindowTvfSql {
       case other => throw new IllegalArgumentException(
         s"window TVF $fn: expected INTERVAL '<n>' <unit> after DESCRIPTOR, got '$other'")
     }
+    (table, partitionKeys, tsCol, intervals)
+  }
+
+  private def durText(i: (Long, String)): String = s"${i._1} ${i._2.toLowerCase}s"
+
+  private def isStreamingTable(spark: SparkSession, argText: String): Boolean =
+    scala.util.Try {
+      val (table, _, _, _) = parseTvfArgs("SESSION", argText)
+      spark.table(table).isStreaming
+    }.getOrElse(false)
+
+  /** Rewrite a streaming SESSION TVF statement onto `session_window`:
+    * the TVF span becomes the bare source table, `window_start` /
+    * `window_end` / `window_time` in GROUP BY are dropped in favor of the
+    * `session_window(ts, gap)` grouping expression, and the same names
+    * elsewhere resolve to the session_window struct (bare top-level
+    * select items keep their TVF output names via aliases). PARTITION BY
+    * keys need no translation — the aggregated shape already lists them
+    * in GROUP BY, exactly Flink's streaming session-TVF requirement. */
+  private[graft] def rewriteStreamingSession(
+      q0: String, spanStart: Int, spanEnd: Int, argText: String): String = {
+    val (table, _, tsCol, intervals) = parseTvfArgs("SESSION", argText)
+    require(intervals.length == 1,
+      "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
+    val sw = s"session_window($tsCol, '${durText(intervals.head)}')"
+    var q = q0.substring(0, spanStart) + table + q0.substring(spanEnd + 1)
+
+    // ---- GROUP BY surgery: drop the window columns, lead with the
+    // session_window expression (streaming requires grouping by the
+    // expression itself, not by its output fields)
+    val b1 = blanked(q)
+    val gbRe = """(?is)\bGROUP\s+BY\b""".r
+    val gb = gbRe.findFirstMatchIn(b1).getOrElse(throw new IllegalArgumentException(
+      "streaming SESSION TVF requires an aggregated shape: " +
+        "GROUP BY window_start, window_end[, keys...]"))
+    val tailKw = """(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b""".r
+    val gbEnd = tailKw.findFirstMatchIn(b1.substring(gb.end))
+      .map(gb.end + _.start).getOrElse(q.length)
+    val items = SqlSplit.splitTopLevel(q.substring(gb.end, gbEnd)).map(_.trim)
+    val winNames = Set("window_start", "window_end", "window_time")
+    val kept = items.filterNot(i => winNames.contains(i.toLowerCase))
+    q = q.substring(0, gb.end) + " " + (sw +: kept).mkString(", ") +
+      (if (gbEnd < q.length) " " + q.substring(gbEnd) else "")
+
+    // ---- SELECT list: bare window columns keep their TVF output names
+    val b2 = blanked(q)
+    val selRe = """(?is)\bSELECT\b""".r
+    val sel = selRe.findFirstMatchIn(b2).get
+    var depth = 0
+    var fromIdx = -1
+    var i = sel.end
+    while (fromIdx < 0 && i < b2.length) {
+      b2.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'f' | 'F' if depth == 0 &&
+          b2.regionMatches(true, i, "from", 0, 4) &&
+          (i == 0 || !b2.charAt(i - 1).isLetterOrDigit) &&
+          (i + 4 >= b2.length || !b2.charAt(i + 4).isLetterOrDigit) => fromIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(fromIdx > 0, "streaming SESSION TVF: no FROM clause")
+    def subst(s: String): String = s
+      .replaceAll("(?i)\\bwindow_time\\b", "(session_window.end - INTERVAL 1 MILLISECOND)")
+      .replaceAll("(?i)\\bwindow_start\\b", "session_window.start")
+      .replaceAll("(?i)\\bwindow_end\\b", "session_window.end")
+    val selItems = SqlSplit.splitTopLevel(q.substring(sel.end, fromIdx)).map(_.trim)
+      .map { item =>
+        item.toLowerCase match {
+          case "window_start" => "session_window.start AS window_start"
+          case "window_end" => "session_window.end AS window_end"
+          case "window_time" =>
+            "(session_window.end - INTERVAL 1 MILLISECOND) AS window_time"
+          case _ => subst(item)
+        }
+      }
+    q.substring(0, sel.end) + " " + selItems.mkString(", ") + " " +
+      subst(q.substring(fromIdx))
+  }
+
+  private def expand(spark: SparkSession, fn: String, argText: String): DataFrame = {
+    val (table, partitionKeys, tsCol, intervals) = parseTvfArgs(fn, argText)
     def micros(i: (Long, String)): Long = i._1 * (i._2 match {
       case "SECOND" => 1000000L
       case "MINUTE" => 60000000L
       case "HOUR" => 3600000000L
       case "DAY" => 86400000000L
     })
-    def durStr(i: (Long, String)): String = s"${i._1} ${i._2.toLowerCase}s"
+    def durStr(i: (Long, String)): String = durText(i)
 
     val src = spark.table(table)
     val withTime = (df: DataFrame) => df.withColumn("window_time",
@@ -262,10 +365,11 @@ object WindowTvfSql {
 
       case "SESSION" =>
         require(intervals.length == 1, "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
+        // streaming sources never reach this batch lowering — sql()
+        // diverts them to rewriteStreamingSession (session_window form)
         require(!src.isStreaming,
-          "SESSION TVF over a STREAMING table is not supported by the batch " +
-            "gaps-and-islands lowering — use StreamOps.sessionAgg / " +
-            "session_window in a streaming groupBy instead")
+          "SESSION TVF over a streaming table must go through " +
+            "WindowTvfSql.sql, which rewrites it onto session_window")
         val gapUs = micros(intervals(0))
         // gaps-and-islands (the batch form of the session assigner, same
         // [start, last+gap) half-open contract as q23's oracle)

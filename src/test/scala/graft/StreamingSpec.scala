@@ -882,4 +882,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(tolerateIdle = false, "idle_min") == Set.empty,
       "min policy must keep every window open while a source is silent")
   }
+
+  test("streaming SESSION window TVF merges sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    in.toDF().toDF("ts", "k").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("sess_tvf_src")
+    val out = WindowTvfSql.sql(spark, """
+      SELECT window_start, window_end, k, COUNT(*) AS n
+      FROM TABLE(SESSION(TABLE sess_tvf_src PARTITION BY k, DESCRIPTOR(ts), INTERVAL '10' SECOND))
+      GROUP BY window_start, window_end, k""")
+    assert(out.isStreaming, "streaming SESSION TVF must stay a streaming plan")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_tvf_out").start()
+    try {
+      // batch 1 opens a session [0, 15); batch 2's ts=12 is within the
+      // 10s gap of ts=5, so the session must MERGE across micro-batches
+      // into [0, 22); a second key opens its own session
+      in.addData((ts(0), "a"), (ts(5), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      in.addData((ts(12), "a"))
+      q.processAllAvailable()
+      // advance the watermark far past the sessions, then one more batch
+      // so the new watermark closes them in append mode
+      in.addData((ts(100), "a"))
+      q.processAllAvailable()
+      in.addData((ts(101), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_tvf_out")
+      .select($"window_start".cast("long"), $"window_end".cast("long"), $"k", $"n")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(rows == Set((0L, 22L, "a", 3L), (3L, 13L, "b", 1L)),
+      s"session merge across batches wrong: $rows")
+    spark.catalog.dropTempView("sess_tvf_src")
+  }
 }
