@@ -28,9 +28,13 @@ object WatermarkDdl {
       name: String,
       physical: Seq[(String, String)], // (colName, sqlType)
       computed: Seq[(String, String)], // (colName, sqlExpr)
-      watermark: Option[(String, String)]) // (timeCol, delay e.g. "5 seconds")
+      watermark: Option[(String, String)], // (timeCol, delay e.g. "5 seconds")
+      options: Seq[(String, String)] = Nil) // WITH ('k'='v', ...) connector options
 
   private val CreateRe = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
+  // Flink-style trailing options clause: CREATE TABLE t (...) WITH ('k'='v')
+  private val WithRe = """(?is)(.*\))\s*WITH\s*\((.*)\)\s*;?\s*""".r
+  private val PropRe = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
   private val WatermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val ComputedRe = """(?is)(\w+)\s+AS\s+(.+)""".r
@@ -44,32 +48,47 @@ object WatermarkDdl {
   private def splitTopLevel(s: String): Seq[String] =
     graft.util.SqlSplit.splitTopLevel(s, angleTypes = true)
 
-  /** Parse a CREATE TABLE with computed columns / WATERMARK; None if the
-    * statement doesn't need the extended lowering (plain DDL). */
-  def parse(ddl: String): Option[TableSpec] = ddl match {
-    case CreateRe(name, body) =>
-      var physical = Vector.empty[(String, String)]
-      var computed = Vector.empty[(String, String)]
-      var watermark = Option.empty[(String, String)]
-      splitTopLevel(body).foreach {
-        case WatermarkRe(col, n, unit) =>
-          watermark = Some((col, s"$n ${unit.toLowerCase}"))
-        case ComputedRe(col, e) if !e.trim.isEmpty && !col.equalsIgnoreCase("watermark") =>
-          computed :+= (col, e.trim)
-        case PhysicalRe(col, tpe) => physical :+= (col, tpe.trim)
-        case other =>
-          throw new IllegalArgumentException(s"CREATE TABLE: bad column entry: $other")
-      }
-      if (computed.isEmpty && watermark.isEmpty) None
-      else {
-        require(physical.nonEmpty, "CREATE TABLE needs at least one physical column")
-        watermark.foreach { case (col, _) =>
-          require(physical.exists(_._1 == col) || computed.exists(_._1 == col),
-            s"WATERMARK FOR $col: no such column")
+  /** Parse a CREATE TABLE with computed columns / WATERMARK / a Flink
+    * `WITH ('k'='v', ...)` options clause; None if the statement doesn't
+    * need the extended lowering (plain DDL). */
+  def parse(ddl: String): Option[TableSpec] = {
+    // split a trailing WITH ('k'='v', ...) off first — the column body's
+    // greedy match must not swallow it
+    val (core, options) = ddl match {
+      case WithRe(head, props) =>
+        val opts = graft.util.SqlSplit.splitTopLevel(props).map {
+          case PropRe(k, v) => (k, v)
+          case other => throw new IllegalArgumentException(
+            s"WITH clause: expected 'key'='value', got '$other'")
         }
-        Some(TableSpec(name, physical, computed, watermark))
-      }
-    case _ => None
+        (head, opts)
+      case _ => (ddl, Seq.empty[(String, String)])
+    }
+    core match {
+      case CreateRe(name, body) =>
+        var physical = Vector.empty[(String, String)]
+        var computed = Vector.empty[(String, String)]
+        var watermark = Option.empty[(String, String)]
+        splitTopLevel(body).foreach {
+          case WatermarkRe(col, n, unit) =>
+            watermark = Some((col, s"$n ${unit.toLowerCase}"))
+          case ComputedRe(col, e) if !e.trim.isEmpty && !col.equalsIgnoreCase("watermark") =>
+            computed :+= (col, e.trim)
+          case PhysicalRe(col, tpe) => physical :+= (col, tpe.trim)
+          case other =>
+            throw new IllegalArgumentException(s"CREATE TABLE: bad column entry: $other")
+        }
+        if (computed.isEmpty && watermark.isEmpty && options.isEmpty) None
+        else {
+          require(physical.nonEmpty, "CREATE TABLE needs at least one physical column")
+          watermark.foreach { case (col, _) =>
+            require(physical.exists(_._1 == col) || computed.exists(_._1 == col),
+              s"WATERMARK FOR $col: no such column")
+          }
+          Some(TableSpec(name, physical, computed, watermark, options))
+        }
+      case _ => None
+    }
   }
 
   /** Execute one statement through the extended DDL surface; falls through
@@ -95,7 +114,12 @@ object WatermarkDdl {
       } ++ (if (spec.computed.nonEmpty)
         Seq(s"'graft.computed'='${spec.computed.map { case (c, e) => s"$c:=$e" }
           .mkString(";;").replace("'", "''")}'")
-      else Nil)
+      else Nil) ++
+      // WITH options pass through verbatim (lookup.cache et al.) so any
+      // consumer can read them back via tableOptions
+      spec.options.map { case (k, v) =>
+        s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+      }
     val props =
       if (propEntries.isEmpty) "" else propEntries.mkString(" TBLPROPERTIES (", ", ", ")")
     spark.sql(s"CREATE TABLE ${baseName(spec.name)} ($cols) USING parquet$props")
@@ -120,6 +144,20 @@ object WatermarkDdl {
     else spark.sql(s"SHOW TBLPROPERTIES $base").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
       .get("graft.watermark.col")
+  }
+
+  /** All persisted table options (WITH clause / TBLPROPERTIES) of an
+    * extended table — or of a plain catalog table created with native
+    * TBLPROPERTIES. Empty map when the table has neither. */
+  def tableOptions(spark: SparkSession, table: String): Map[String, String] = {
+    val target =
+      if (spark.catalog.tableExists(baseName(table))) Some(baseName(table))
+      else if (spark.catalog.tableExists(table)) Some(table)
+      else None
+    target.map { t =>
+      spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    }.getOrElse(Map.empty)
   }
 
   def readStream(spark: SparkSession, table: String): DataFrame = {

@@ -147,4 +147,67 @@ object LookupCache {
 
   /** Test/ops hook: drop a cache (Flink's cache lifecycle on job stop). */
   def invalidate(name: String): Unit = { registry.remove(name); fullRegistry.remove(name) }
+
+  // ------------------------------------------------- DDL-declared caching
+
+  /** Declarative cache spec parsed from table options — the
+    * DefaultLookupCache / LookupFullCache factory options surface
+    * (flink-table-common .../lookup/LookupOptions: 'lookup.cache' =
+    * 'PARTIAL'/'FULL', 'lookup.partial-cache.max-rows',
+    * 'lookup.partial-cache.expire-after-write',
+    * 'lookup.full-cache.periodic-reload.interval'). */
+  sealed trait CacheSpec
+  final case class PartialSpec(maxRows: Int, ttlMs: Long) extends CacheSpec
+  final case class FullSpec(reloadIntervalMs: Long) extends CacheSpec
+
+  private val DurRe = """(?i)\s*(\d+)\s*(ms|s|sec|second|seconds|min|minute|minutes|h|hour|hours|d|day|days)?\s*""".r
+
+  /** "10 s" / "5 min" / "300000" (bare millis) -> milliseconds. */
+  private[graft] def parseDurationMs(s: String): Long = s match {
+    case DurRe(n, unit) =>
+      val mult = Option(unit).map(_.toLowerCase) match {
+        case None | Some("ms") => 1L
+        case Some("s") | Some("sec") | Some("second") | Some("seconds") => 1000L
+        case Some("min") | Some("minute") | Some("minutes") => 60000L
+        case Some("h") | Some("hour") | Some("hours") => 3600000L
+        case Some("d") | Some("day") | Some("days") => 86400000L
+        case Some(other) => throw new IllegalArgumentException(s"bad duration unit '$other'")
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(s"bad duration '$other'")
+  }
+
+  /** Parse the lookup-cache options out of a table's option map; None =
+    * caching not declared (or declared 'NONE'). */
+  def specOf(options: Map[String, String]): Option[CacheSpec] =
+    options.get("lookup.cache").map(_.trim.toUpperCase) match {
+      case Some("PARTIAL") => Some(PartialSpec(
+        maxRows = options.get("lookup.partial-cache.max-rows").map(_.trim.toInt)
+          .getOrElse(10000),
+        ttlMs = options.get("lookup.partial-cache.expire-after-write")
+          .map(parseDurationMs).getOrElse(600000L)))
+      case Some("FULL") => Some(FullSpec(
+        reloadIntervalMs = options.get("lookup.full-cache.periodic-reload.interval")
+          .map(parseDurationMs).getOrElse(300000L)))
+      case Some("NONE") | None => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"lookup.cache: expected PARTIAL, FULL or NONE, got '$other'")
+    }
+
+  /** Wire a lookup function according to the cache mode DECLARED ON THE
+    * TABLE (WITH clause / TBLPROPERTIES) — the SQL-surface entry Flink
+    * exposes through the connector factory options. `lookup` performs
+    * the per-key fetch (PARTIAL mode and the uncached fallthrough);
+    * `loader` materializes the whole dimension (FULL mode; misses after
+    * a load are authoritative None). The cache identifier is
+    * `ddl:<table>`, so every partition of the JVM shares one instance. */
+  def forTable[I, O](spark: org.apache.spark.sql.SparkSession, table: String)(
+      lookup: I => Option[O])(loader: () => Map[I, O]): I => Option[O] =
+    specOf(graft.WatermarkDdl.tableOptions(spark, table)) match {
+      case Some(PartialSpec(maxRows, ttlMs)) =>
+        cached[I, Option[O]](s"ddl:$table", maxRows, ttlMs)(lookup)
+      case Some(FullSpec(reloadMs)) =>
+        fullCached[I, O](s"ddl:$table", reloadMs)(loader)
+      case None => lookup
+    }
 }

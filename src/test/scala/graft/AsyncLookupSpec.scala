@@ -167,6 +167,73 @@ class AsyncLookupSpec extends AnyFunSuite {
       s"full cache must load exactly once per JVM, saw ${AsyncLookupSpec.remoteCalls.get()}")
   }
 
+  test("DDL-declared PARTIAL cache: a hot-key workload hits the cache") {
+    import spark.implicits._
+    import graft.operators.LookupCache
+    val t = s"ddl_lkp_p_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    Engine.sql(spark, s"""
+      CREATE TABLE $t (k BIGINT, v STRING)
+      WITH ('lookup.cache' = 'PARTIAL',
+            'lookup.partial-cache.max-rows' = '100',
+            'lookup.partial-cache.expire-after-write' = '10 min')""")
+    LookupCache.invalidate(s"ddl:$t")
+    val calls = new AtomicInteger(0)
+    val fn = LookupCache.forTable[Long, String](spark, t)(
+      k => { calls.incrementAndGet(); Some(s"v$k") })(() => Map.empty)
+    // 100 probes over 2 distinct keys through the async operator: the
+    // DDL-declared cache must reduce remote calls to ~the key count
+    val input = ((1 to 50).map(_ => 1L) ++ (1 to 50).map(_ => 2L)).toDS()
+      .repartition(1)
+    val out = AsyncLookup.ordered(input, capacity = 4, timeoutMs = 30000)(
+      k => fn(k).get)
+    assert(out.collect().length == 100)
+    // concurrent misses on the same key may race (cache never gates
+    // lookup concurrency) — far fewer than 100, not necessarily exactly 2
+    assert(calls.get() <= 8, s"cache not effective: ${calls.get()} remote calls")
+    assert(LookupCache.shared[Long, Option[String]](s"ddl:$t", 100, 600000L).hits
+      >= 92, "expected hot-key hits on the DDL-declared cache")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
+  test("DDL-declared FULL cache: one load serves every probe, misses are None") {
+    import graft.operators.LookupCache
+    val t = s"ddl_lkp_f_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    Engine.sql(spark, s"""
+      CREATE TABLE $t (k BIGINT, v STRING)
+      WITH ('lookup.cache' = 'FULL',
+            'lookup.full-cache.periodic-reload.interval' = '10 min')""")
+    LookupCache.invalidate(s"ddl:$t")
+    val loads = new AtomicInteger(0)
+    val fn = LookupCache.forTable[Long, String](spark, t)(
+      _ => fail("FULL mode must never call the per-key lookup"))(
+      () => { loads.incrementAndGet(); Map(1L -> "a", 2L -> "b") })
+    (1 to 100).foreach { _ =>
+      assert(fn(1L).contains("a") && fn(2L).contains("b"))
+      assert(fn(99L).isEmpty, "a miss after the load is an authoritative None")
+    }
+    assert(loads.get() == 1, s"expected one dimension load, got ${loads.get()}")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
+  test("undeclared cache = plain lookup; bad mode fails loudly") {
+    import graft.operators.LookupCache
+    val calls = new AtomicInteger(0)
+    // table doesn't exist -> empty options -> fallthrough, every probe hits
+    val fn = LookupCache.forTable[Long, String](spark, "no_such_lkp_table")(
+      k => { calls.incrementAndGet(); Some(s"v$k") })(() => Map.empty)
+    (1 to 5).foreach(_ => fn(1L))
+    assert(calls.get() == 5)
+    val err = intercept[IllegalArgumentException](
+      LookupCache.specOf(Map("lookup.cache" -> "SOMETIMES")))
+    assert(err.getMessage.contains("PARTIAL, FULL or NONE"))
+  }
+
   test("retry wrapper recovers from transient failures and rethrows on exhaustion") {
     val calls = new AtomicInteger(0)
     val flaky = AsyncLookup.withRetry[Int, String](attempts = 3, delayMs = 0) { k =>

@@ -206,6 +206,29 @@ class DdlSpec extends AnyFunSuite {
     spark.catalog.dropTempView("sset_shared_src")
   }
 
+  test("WITH options coexist with WATERMARK/computed and read back from the catalog") {
+    val t = s"ddl_with_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    WatermarkDdl.sql(spark, s"""
+      CREATE TABLE $t (
+        k BIGINT,
+        ts TIMESTAMP,
+        k2 AS k * 2,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      ) WITH ('lookup.cache' = 'PARTIAL', 'lookup.partial-cache.max-rows' = '42')""")
+    val opts = WatermarkDdl.tableOptions(spark, t)
+    assert(opts.get("lookup.cache").contains("PARTIAL"), s"opts: $opts")
+    assert(opts.get("lookup.partial-cache.max-rows").contains("42"))
+    assert(WatermarkDdl.watermarkCol(spark, t).contains("ts"),
+      "WITH clause must not displace the WATERMARK lowering")
+    WatermarkDdl.sql(spark,
+      s"INSERT INTO $t VALUES (3, TIMESTAMP '2024-01-01 00:00:10')")
+    assert(Engine.sql(spark, s"SELECT k2 FROM $t").head().getLong(0) == 6L)
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
   test("sharedLeafSources finds multi-read leaves and excludes write targets") {
     spark.range(1).createOrReplaceTempView("slf_src")
     spark.range(1).createOrReplaceTempView("slf_mid")
