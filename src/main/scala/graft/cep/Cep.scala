@@ -132,21 +132,24 @@ object Cep {
 
   /** `skipTo`/`loopTo` are the GROUP-pattern hooks (GroupPattern.java —
     * quantifiers over a sub-pattern), wired by the GroupCep compiler:
-    *  - skipTo(i) = j: a run being placed at step i may instead ε-skip to
-    *    step j — the ALL-OR-NOTHING skip of an optional group copy (the
-    *    target is past the group's last chained copy, so repetition
-    *    counts are canonical prefixes, never resumed gaps);
-    *  - loopTo(i) = s: when a consume at step i completes the step, the
-    *    run ALSO branches back to step s — the NFA cycle of a oneOrMore
-    *    group; every full traversal emits its own match downstream,
-    *    exactly Flink's un-greedy group repetition. */
+    *  - skipTo(i) = js: a run being placed at step i may instead ε-skip to
+    *    any step j in js — the ALL-OR-NOTHING skip of an optional group
+    *    copy (each target is past a group's last chained copy, so
+    *    repetition counts are canonical prefixes, never resumed gaps).
+    *    Multiple targets arise from NESTED groups: one position can open
+    *    both an optional inner group and an optional outer copy, and
+    *    `place` recursion makes chained skips compose transitively;
+    *  - loopTo(i) = ss: when a consume at step i completes the step, the
+    *    run ALSO branches back to each start s — the NFA cycle of a
+    *    oneOrMore group; every full traversal emits its own match
+    *    downstream, exactly Flink's un-greedy group repetition. */
   final case class Pattern(
       steps: IndexedSeq[StepDef],
       within: Long = 0L, // max(t_last - t_first) per match; 0 = unbounded
       after: AfterMatch = AfterMatch.SkipPastLast,
       maxRuns: Int = 64,
-      skipTo: Map[Int, Int] = Map.empty,
-      loopTo: Map[Int, Int] = Map.empty) {
+      skipTo: Map[Int, Seq[Int]] = Map.empty,
+      loopTo: Map[Int, Seq[Int]] = Map.empty) {
     require(steps.nonEmpty, "pattern needs at least one step")
     require(!steps.head.negated && !steps.last.negated,
       "notFollowedBy cannot be the first or last step (Flink contract)")
@@ -231,8 +234,11 @@ object Cep {
       // the run also exists past the whole chained span (all-or-nothing;
       // entering the copy and abandoning it mid-way is not a placement)
       p.skipTo.get(i) match {
-        case Some(j) =>
-          val (rs1, ds1) = place(p, bound, j, guards)
+        case Some(js) =>
+          val (rs1, ds1) = js.map(j => place(p, bound, j, guards))
+            .foldLeft((List.empty[Run], List.empty[List[BoundEv]])) {
+              case ((ra, da), (rb, db)) => (ra ++ rb, da ++ db)
+            }
           ((rs0 ++ rs1).distinct, (ds0 ++ ds1).distinct)
         case None => (rs0, ds0)
       }
@@ -307,7 +313,7 @@ object Cep {
         // group-pattern loop-back: completing the group's last step also
         // branches a run at the group head — the NFA cycle of a oneOrMore
         // GROUP (GroupPattern.java); each traversal count emits downstream.
-        p.loopTo.get(r.pos).foreach { start =>
+        p.loopTo.get(r.pos).toSeq.flatten.foreach { start =>
           place(p, bound2, start, Nil)._1.foreach(next += _)
         }
       }

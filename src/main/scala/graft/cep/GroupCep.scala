@@ -24,21 +24,48 @@ import org.apache.spark.sql.functions._
   * inner step across all segments); `expandMask` replicates bits to the
   * expanded copies and `foldStepTimes` merges copy bindings back, so
   * callers never see the expansion. Inner steps may themselves carry
-  * quantifiers (`begin(A.times(2) B).oneOrMore` works). Nested groups and
-  * SkipToFirst/SkipToLast with groups are out of scope (documented).
+  * quantifiers (`begin(A.times(2) B).oneOrMore` works), and groups NEST
+  * arbitrarily (`begin(begin(A).times(2).next(B)).oneOrMore()` —
+  * GroupPattern composition): nesting compiles recursively, with
+  * multi-target ε-skips where an inner optional group head coincides
+  * with an outer optional copy head. SkipToFirst/SkipToLast with groups
+  * remain out of scope (step identity is ambiguous across copies); the
+  * other after-match strategies compose with nesting.
   */
 object GroupCep {
   import Cep._
 
+  /** Pattern tree: a Leaf is one NFA step, a Group repeats a sub-pattern
+    * between `min` and `max` times as a whole (max = -1: oneOrMore —
+    * Flink's GroupPattern, which composes recursively). */
+  sealed trait PatNode
+  final case class Leaf(step: StepDef) extends PatNode
+  final case class Group(nodes: IndexedSeq[PatNode], min: Int = 1, max: Int = 1)
+      extends PatNode {
+    require(nodes.nonEmpty, "a group needs at least one node")
+    require(min >= 0, "min repetitions must be >= 0")
+    require(max == -1 || max >= math.max(min, 1),
+      "max repetitions must be -1 (unbounded) or >= max(min, 1)")
+    require(max != -1 || min == 1, "unbounded groups are oneOrMore: min must be 1")
+  }
+  object Group {
+    def times(n: Int, nodes: PatNode*): Group = Group(nodes.toIndexedSeq, n, n)
+    def timesRange(m: Int, n: Int, nodes: PatNode*): Group = Group(nodes.toIndexedSeq, m, n)
+    def optional(nodes: PatNode*): Group = Group(nodes.toIndexedSeq, 0, 1)
+    def oneOrMore(nodes: PatNode*): Group = Group(nodes.toIndexedSeq, 1, -1)
+  }
+
   /** One pattern segment: `steps` is the sub-pattern, repeated between
     * `min` and `max` times as a whole; max = -1 means unbounded
-    * (oneOrMore). A plain step is a 1-step segment with min=max=1. */
+    * (oneOrMore). A plain step is a 1-step segment with min=max=1.
+    * (The flat, pre-nesting surface — sugar over a one-level [[Group]].) */
   final case class Seg(steps: IndexedSeq[StepDef], min: Int = 1, max: Int = 1) {
     require(steps.nonEmpty, "a segment needs at least one step")
     require(min >= 0, "min repetitions must be >= 0")
     require(max == -1 || max >= math.max(min, 1),
       "max repetitions must be -1 (unbounded) or >= max(min, 1)")
     require(max != -1 || min == 1, "unbounded groups are oneOrMore: min must be 1")
+    def toNode: PatNode = Group(steps.map(Leaf(_)), min, max)
   }
   object Seg {
     def step(s: StepDef = StepDef()): Seg = Seg(IndexedSeq(s))
@@ -89,8 +116,25 @@ object GroupCep {
 
   def compile(segs: Seq[Seg], within: Long = 0L,
       after: AfterMatch = AfterMatch.SkipPastLast,
+      maxRuns: Int = 64): Compiled =
+    compileNodes(segs.map(_.toNode), within, after, maxRuns)
+
+  /** Recursive compiler for (possibly nested) group patterns. Expansion
+    * rules per node:
+    *  - Leaf: one NFA step, one logical step;
+    *  - Group times(m,n): the body is inline-expanded n times; each copy
+    *    beyond the first m gets an ε-skip from its head past ALL
+    *    remaining copies (all-or-nothing, canonical-prefix counts);
+    *  - Group oneOrMore: one body copy + a loop-back cycle from the last
+    *    expanded step to the copy head.
+    * Nested optional groups can make one position open several optional
+    * spans — the multi-target skip map + `place` recursion compose them.
+    * Copies of the same body share logical step indices, so masks and
+    * fold maps are nesting-oblivious. */
+  def compileNodes(nodes: Seq[PatNode], within: Long = 0L,
+      after: AfterMatch = AfterMatch.SkipPastLast,
       maxRuns: Int = 64): Compiled = {
-    require(segs.nonEmpty, "pattern needs at least one segment")
+    require(nodes.nonEmpty, "pattern needs at least one node")
     after match {
       case AfterMatch.SkipToFirst(_) | AfterMatch.SkipToLast(_) =>
         throw new IllegalArgumentException(
@@ -98,43 +142,68 @@ object GroupCep {
             "(step identity is ambiguous across copies)")
       case _ => ()
     }
-    val steps = IndexedSeq.newBuilder[StepDef]
-    val fold = IndexedSeq.newBuilder[Int]
-    var skipTo = Map.empty[Int, Int]
-    var loopTo = Map.empty[Int, Int]
-    var expanded = 0
-    var logical = 0
-    segs.foreach { seg =>
-      val k = seg.steps.length
-      val base = expanded
-      if (seg.max == -1) {
-        // oneOrMore group: one copy + NFA cycle last-step -> head
-        require(seg.steps.last.quant == Quant.One && !seg.steps.last.negated,
-          "a oneOrMore group's last inner step must be a plain single step " +
-            "(the loop-back anchors on its completion)")
-        seg.steps.zipWithIndex.foreach { case (s, j) =>
-          steps += s; fold += (logical + j)
-        }
-        loopTo += (base + k - 1) -> base
-        expanded += k
-      } else {
-        val afterAll = base + seg.max * k
-        (0 until seg.max).foreach { c =>
-          if (c >= seg.min) skipTo += (base + c * k) -> afterAll
-          seg.steps.zipWithIndex.foreach { case (s, j) =>
-            steps += s; fold += (logical + j)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[StepDef]
+    val fold = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val skipTo = scala.collection.mutable.Map.empty[Int, List[Int]]
+    val loopTo = scala.collection.mutable.Map.empty[Int, List[Int]]
+
+    def sizeOf(n: PatNode): Int = n match {
+      case Leaf(_) => 1
+      case Group(ch, _, max) =>
+        val body = ch.map(sizeOf).sum
+        if (max == -1) body else max * body
+    }
+    def leafCount(n: PatNode): Int = n match {
+      case Leaf(_) => 1
+      case Group(ch, _, _) => ch.map(leafCount).sum
+    }
+    // the loop-back of an unbounded group anchors on its LAST expanded
+    // step completing — that step must be mandatory (not inside an
+    // optional copy span, not itself optional/unbounded), or traversals
+    // could finish the group without ever arming the cycle
+    def endsMandatory(n: PatNode): Boolean = n match {
+      case Leaf(s) => s.quant == Quant.One && !s.negated
+      case Group(ch, min, max) => max != -1 && min == max && endsMandatory(ch.last)
+    }
+
+    def emit(node: PatNode, logicalBase: Int): Unit = node match {
+      case Leaf(s) =>
+        steps += s
+        fold += logicalBase
+      case Group(ch, min, max) =>
+        if (max == -1) {
+          // oneOrMore: one copy + NFA cycle last-step -> head
+          require(endsMandatory(ch.last),
+            "a oneOrMore group must end in a mandatory plain step " +
+              "(the loop-back anchors on its completion)")
+          val base = steps.length
+          var lb = logicalBase
+          ch.foreach { c => emit(c, lb); lb += leafCount(c) }
+          val lastIdx = steps.length - 1
+          loopTo.updateWith(lastIdx)(prev => Some(base :: prev.getOrElse(Nil)))
+        } else {
+          val bodyLen = ch.map(sizeOf).sum
+          val base = steps.length
+          val afterAll = base + max * bodyLen
+          (0 until max).foreach { c =>
+            if (c >= min)
+              skipTo.updateWith(steps.length)(prev => Some(afterAll :: prev.getOrElse(Nil)))
+            var lb = logicalBase
+            ch.foreach { cc => emit(cc, lb); lb += leafCount(cc) }
           }
         }
-        expanded = afterAll
-      }
-      logical += k
     }
-    require(expanded <= 64,
-      s"expanded pattern has $expanded steps — the 64-bit mask is the limit " +
-        "(lower the repetition bound)")
+
+    var logical = 0
+    nodes.foreach { n => emit(n, logical); logical += leafCount(n) }
+    require(steps.length <= 64,
+      s"expanded pattern has ${steps.length} steps — the 64-bit mask is the " +
+        "limit (lower the repetition bound)")
     Compiled(
-      Pattern(steps.result(), within, after, maxRuns, skipTo, loopTo),
-      fold.result(), logical)
+      Pattern(steps.toIndexedSeq, within, after, maxRuns,
+        skipTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap,
+        loopTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap),
+      fold.toIndexedSeq, logical)
   }
 
   /** Drive the compiled matcher over one key's time-ordered

@@ -41,7 +41,7 @@ class GroupCepSpec extends AnyFunSuite {
     val c = GroupCep.compile(
       Seq(Seg.oneOrMore(StepDef(), StepDef()), Seg.step()),
       after = AfterMatch.NoSkip)
-    assert(c.pattern.loopTo == Map(1 -> 0))
+    assert(c.pattern.loopTo == Map(1 -> Seq(0)))
     val got = GroupCep.run(c, Seq(
       (1L, m(0)), (2L, m(1)), (3L, m(0)), (4L, m(1)), (5L, m(2)))).toSet
     assert(got == Set(
@@ -123,6 +123,84 @@ class GroupCepSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("NESTED groups: begin(begin(A).times(2).next(B)).oneOrMore()") {
+    import graft.cep.GroupCep.{Group, Leaf}
+    // GroupPattern composition: the inner group (A x2) nests inside an
+    // unbounded outer group that also carries B. Logical steps: A=0, B=1.
+    val c = GroupCep.compileNodes(
+      Seq(Group.oneOrMore(Group.times(2, Leaf(StepDef())), Leaf(StepDef()))),
+      after = AfterMatch.NoSkip)
+    assert(c.pattern.steps.length == 3) // A A B
+    assert(c.fold == IndexedSeq(0, 0, 1))
+    assert(c.pattern.loopTo == Map(2 -> Seq(0)))
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(0)), (3L, m(1)),
+      (4L, m(0)), (5L, m(0)), (6L, m(1)))).toSet
+    assert(got == Set(
+      Seq(Seq(1L, 2L), Seq(3L)),                 // one traversal
+      Seq(Seq(1L, 2L, 4L, 5L), Seq(3L, 6L)),     // two traversals
+      Seq(Seq(2L, 4L), Seq(6L)),                 // relaxed: A@2 pairs A@4
+      Seq(Seq(4L, 5L), Seq(6L))),                // one traversal from t=4
+      s"nested oneOrMore wrong: $got")
+  }
+
+  test("NESTED optional inside times: multi-target ε-skip composes") {
+    import graft.cep.GroupCep.{Group, Leaf}
+    // ((A)? B).times(1,2): copy 2's head is BOTH an optional inner-group
+    // head and an optional copy head — two skip targets from one position
+    val c = GroupCep.compileNodes(
+      Seq(Group.timesRange(1, 2,
+        Group.optional(Leaf(StepDef())), Leaf(StepDef()))),
+      after = AfterMatch.NoSkip)
+    assert(c.pattern.skipTo == Map(0 -> Seq(1), 2 -> Seq(4, 3)),
+      s"skip map: ${c.pattern.skipTo}")
+    // A-present count-1, A-absent count-1, and the count-2 combinations
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(1)))).toSet
+    assert(got.contains(Seq(Seq(1L), Seq(2L))), s"A-present count-1: $got")
+    assert(got.contains(Seq(Seq(), Seq(2L))), s"A-absent count-1: $got")
+    assert(got.contains(Seq(Seq(1L), Seq(2L, 3L))), s"count-2 mixed: $got")
+    assert(got.contains(Seq(Seq(), Seq(2L, 3L))), s"count-2 absent: $got")
+    assert(got.contains(Seq(Seq(), Seq(3L))), s"count-1 from t=3: $got")
+  }
+
+  test("NESTED groups: batch and stream agree, skip strategies compose") {
+    import spark.implicits._
+    import graft.cep.GroupCep.{Group, Leaf}
+    implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long): Long = sec * 1000000L
+    // ((A x2) B).oneOrMore under SkipPastLast AND NoSkip: nested
+    // expansion must behave identically through the batch executor and
+    // the streaming NFA, and after-match strategies apply unchanged
+    for ((after, sink) <- Seq(
+        (AfterMatch.NoSkip: AfterMatch, "gcep_nest_ns"),
+        (AfterMatch.SkipPastLast: AfterMatch, "gcep_nest_sp"))) {
+      val c = GroupCep.compileNodes(
+        Seq(Group.oneOrMore(Group.times(2, Leaf(StepDef())), Leaf(StepDef()))),
+        within = 3600L * 1000000L, after = after)
+      val rows = Seq(
+        (1L, us(1), m(0), 1L), (1L, us(2), m(0), 2L), (1L, us(3), m(1), 3L),
+        (1L, us(4), m(0), 4L), (1L, us(5), m(0), 5L), (1L, us(6), m(1), 6L))
+      val batch = GroupCep.matchBatch(spark,
+          rows.toDF("key", "t", "mask", "tie"), c)
+        .as[(Long, Seq[Seq[Long]])].collect().toSet
+      val in = MemoryStream[(Long, Long, Long, Long)]
+      val q = GroupCep.matchStream(in.toDS(), c, "10 seconds")
+        .toDF("key", "step_times").writeStream
+        .outputMode("append").format("memory").queryName(sink).start()
+      rows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      in.addData((0L, us(99999), 0L, 7L))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(sink)
+        .as[(Long, Seq[Seq[Long]])].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"$after: batch $batch vs stream $streamed")
+      if (after == AfterMatch.SkipPastLast)
+        assert(batch.size < 3, s"SkipPastLast must suppress overlaps: $batch")
+    }
+  }
+
   test("SQL PATTERN group terms: ((A B){2} C) through MATCH_RECOGNIZE") {
     import spark.implicits._
     // two full (a b) rounds then a buy — one row per key 1 match
@@ -181,7 +259,7 @@ class GroupCepSpec extends AnyFunSuite {
     val c = GroupCep.compile(Seq(
       Seg.step(), Seg.timesRange(1, 3, StepDef(), StepDef())))
     // copies 2 and 3 of the group are optional; both skip past copy 3
-    assert(c.pattern.skipTo == Map(3 -> 7, 5 -> 7))
+    assert(c.pattern.skipTo == Map(3 -> Seq(7), 5 -> Seq(7)))
     assert(c.fold == IndexedSeq(0, 1, 2, 1, 2, 1, 2))
   }
 }
