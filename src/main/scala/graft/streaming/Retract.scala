@@ -21,8 +21,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Retract {
   import Cdc.{Delete, Insert, UpdateAfter, UpdateBefore}
 
-  private def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
-  private def isRetract(kind: String): Boolean = kind == Delete || kind == UpdateBefore
+  private[streaming] def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
+  private[streaming] def isRetract(kind: String): Boolean = kind == Delete || kind == UpdateBefore
 
   /** Streaming group aggregate consuming a changelog of
     * (key, row_kind, value). Emits the refreshed (key, row_kind, count,
