@@ -31,6 +31,16 @@ object WatermarkDdl {
       watermark: Option[(String, String)], // (timeCol, delay e.g. "5 seconds")
       options: Seq[(String, String)] = Nil) // WITH ('k'='v', ...) connector options
 
+  /** CREATE TABLE ... LIKE (SqlTableLike.java:91): new-table body and WITH
+    * clause are both optional, the LIKE clause is trailing, and the merge
+    * options list is a parenthesized sequence of
+    * `INCLUDING|EXCLUDING|OVERWRITING <feature>` entries. */
+  private val LikeRe =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*(?:\((.*?)\))?\s*(?:WITH\s*\((.*?)\))?\s*LIKE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*""".r
+  private val LikeOptRe = """(?i)(INCLUDING|EXCLUDING|OVERWRITING)\s+(\w+)""".r
+  private val ShowCreateRe = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*""".r
+  private val AnalyzeRe = """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s+(COMPUTE\s+STATISTICS.*)""".r
+
   private val CreateRe = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
   // Flink-style trailing options clause: CREATE TABLE t (...) WITH ('k'='v')
   private val WithRe = """(?is)(.*\))\s*WITH\s*\((.*)\)\s*;?\s*""".r
@@ -42,6 +52,25 @@ object WatermarkDdl {
   private val InsertRe = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(.*)""".r
 
   private def baseName(table: String): String = s"__${table}_base"
+
+  /** Classify the entries of a CREATE TABLE column body into physical
+    * columns, computed columns, and the watermark clause. */
+  private def parseBody(body: String):
+      (Seq[(String, String)], Seq[(String, String)], Option[(String, String)]) = {
+    var physical = Vector.empty[(String, String)]
+    var computed = Vector.empty[(String, String)]
+    var watermark = Option.empty[(String, String)]
+    if (body.trim.nonEmpty) splitTopLevel(body).foreach {
+      case WatermarkRe(col, n, unit) =>
+        watermark = Some((col, s"$n ${unit.toLowerCase}"))
+      case ComputedRe(col, e) if !e.trim.isEmpty && !col.equalsIgnoreCase("watermark") =>
+        computed :+= (col, e.trim)
+      case PhysicalRe(col, tpe) => physical :+= (col, tpe.trim)
+      case other =>
+        throw new IllegalArgumentException(s"CREATE TABLE: bad column entry: $other")
+    }
+    (physical, computed, watermark)
+  }
 
   // nested types (array<struct<...>>) don't split; spaced comparisons in
   // computed columns (is_small AS k < 10) don't nest — see SqlSplit.
@@ -66,18 +95,7 @@ object WatermarkDdl {
     }
     core match {
       case CreateRe(name, body) =>
-        var physical = Vector.empty[(String, String)]
-        var computed = Vector.empty[(String, String)]
-        var watermark = Option.empty[(String, String)]
-        splitTopLevel(body).foreach {
-          case WatermarkRe(col, n, unit) =>
-            watermark = Some((col, s"$n ${unit.toLowerCase}"))
-          case ComputedRe(col, e) if !e.trim.isEmpty && !col.equalsIgnoreCase("watermark") =>
-            computed :+= (col, e.trim)
-          case PhysicalRe(col, tpe) => physical :+= (col, tpe.trim)
-          case other =>
-            throw new IllegalArgumentException(s"CREATE TABLE: bad column entry: $other")
-        }
+        val (physical, computed, watermark) = parseBody(body)
         if (computed.isEmpty && watermark.isEmpty && options.isEmpty) None
         else {
           require(physical.nonEmpty, "CREATE TABLE needs at least one physical column")
@@ -93,8 +111,22 @@ object WatermarkDdl {
 
   /** Execute one statement through the extended DDL surface; falls through
     * to plain spark.sql for everything it doesn't handle. */
-  def sql(spark: SparkSession, statement: String): DataFrame =
-    parse(statement) match {
+  def sql(spark: SparkSession, statement: String): DataFrame = statement match {
+    case LikeRe(name, body, withOpts, src, likeOpts) =>
+      createTableLike(spark, name, Option(body), Option(withOpts),
+        src, Option(likeOpts))
+      spark.emptyDataFrame
+    case ShowCreateRe(table) if spark.catalog.tableExists(baseName(table)) =>
+      // extended tables are physically a base table + view; reconstruct
+      // the Flink-style DDL the user wrote (SqlShowCreateTable role)
+      import spark.implicits._
+      Seq(showCreate(spark, table)).toDF("result")
+    case AnalyzeRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
+      // ANALYZE on an extended table targets the physical base table
+      // (the view has no storage); stats feed Catalyst's CBO exactly as
+      // Flink's ANALYZE TABLE feeds its planner (SqlAnalyzeTable role)
+      spark.sql(s"ANALYZE TABLE ${baseName(table)} $rest")
+    case _ => parse(statement) match {
       case Some(spec) => create(spark, spec); spark.emptyDataFrame
       case None => statement match {
         case InsertRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
@@ -102,6 +134,159 @@ object WatermarkDdl {
         case _ => spark.sql(statement)
       }
     }
+  }
+
+  // ---- CREATE TABLE ... LIKE (SqlTableLike.java, MergeTableLikeUtil.java) ----
+
+  private val LikeFeatures =
+    Set("ALL", "CONSTRAINTS", "GENERATED", "METADATA", "OPTIONS",
+      "PARTITIONS", "WATERMARKS")
+
+  /** Catalog bookkeeping keys that are never connector options. */
+  private def isInternalProp(k: String): Boolean =
+    k.startsWith("graft.watermark") || k == "graft.computed" ||
+      k.startsWith("option.") || k.startsWith("spark.") ||
+      k.startsWith("created.") ||
+      Set("transient_lastddltime", "owner", "external", "location",
+        "provider", "type", "numfiles", "comment").contains(k.toLowerCase)
+
+  /** Per-feature merging strategies (MergeTableLikeUtil.java:68): defaults
+    * are OPTIONS -> OVERWRITING, everything else -> INCLUDING; an ALL entry
+    * re-bases every feature; per-feature entries override last.
+    * OVERWRITING is invalid for ALL / PARTITIONS / CONSTRAINTS
+    * (SqlTableLike.java:193). */
+  private def likeStrategies(optsClause: Option[String]): Map[String, String] = {
+    val entries = LikeOptRe.findAllMatchIn(optsClause.getOrElse(""))
+      .map(m => (m.group(2).toUpperCase, m.group(1).toUpperCase)).toSeq
+    entries.foreach { case (feat, strat) =>
+      require(LikeFeatures.contains(feat), s"CREATE TABLE LIKE: unknown feature $feat")
+      require(strat != "OVERWRITING" ||
+        !Set("ALL", "PARTITIONS", "CONSTRAINTS").contains(feat),
+        s"CREATE TABLE LIKE: OVERWRITING $feat is not allowed")
+    }
+    var m: Map[String, String] = LikeFeatures.filter(_ != "ALL")
+      .map(f => f -> (if (f == "OPTIONS") "OVERWRITING" else "INCLUDING")).toMap
+    entries.collectFirst { case ("ALL", s) => s }
+      .foreach(s => m = m.map { case (k, _) => k -> s })
+    entries.filterNot(_._1 == "ALL").foreach { case (f, s) => m += f -> s }
+    m
+  }
+
+  /** Reconstruct an existing table's extended TableSpec from the catalog:
+    * extended tables from the base-table schema + persisted TBLPROPERTIES,
+    * plain tables/views from their Spark schema (no computed / watermark). */
+  private def specOf(spark: SparkSession, table: String): TableSpec = {
+    val base = baseName(table)
+    if (spark.catalog.tableExists(base)) {
+      val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val physical = spark.table(base).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.sql)
+      val computed = props.get("graft.computed").toSeq.flatMap(_.split(";;").toSeq.map { e =>
+        val Array(c, x) = e.split(":=", 2); (c, x)
+      })
+      val wm = for {
+        c <- props.get("graft.watermark.col")
+        d <- props.get("graft.watermark.delay")
+      } yield (c, d)
+      val options = props.toSeq.filterNot { case (k, _) => isInternalProp(k) }.sortBy(_._1)
+      TableSpec(table, physical, computed, wm, options)
+    } else {
+      require(spark.catalog.tableExists(table),
+        s"CREATE TABLE LIKE: no such table $table")
+      val physical = spark.table(table).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.sql)
+      // temp views reject SHOW TBLPROPERTIES — they simply have no options
+      val options = scala.util.Try(tableOptions(spark, table)).getOrElse(Map.empty)
+        .toSeq.filterNot { case (k, _) => isInternalProp(k) }.sortBy(_._1)
+      TableSpec(table, physical, Nil, None, options)
+    }
+  }
+
+  /** Reconstruct the Flink-style CREATE TABLE text of an extended table
+    * from the catalog — physical columns, computed columns, WATERMARK
+    * clause, and WITH options, in DDL this module can re-execute (the
+    * round-trip IS the spec). */
+  private def showCreate(spark: SparkSession, table: String): String = {
+    val spec = specOf(spark, table)
+    val colLines =
+      spec.physical.map { case (c, t) => s"  $c $t" } ++
+        spec.computed.map { case (c, e) => s"  $c AS $e" } ++
+        spec.watermark.toSeq.map { case (c, d) =>
+          val Array(n, unit) = d.split("\\s+", 2)
+          s"  WATERMARK FOR $c AS $c - INTERVAL '$n' ${unit.toUpperCase.stripSuffix("S")}"
+        }
+    val withClause =
+      if (spec.options.isEmpty) ""
+      else spec.options.map { case (k, v) => s"  '$k' = '$v'" }
+        .mkString(" WITH (\n", ",\n", "\n)")
+    s"CREATE TABLE $table (\n${colLines.mkString(",\n")}\n)$withClause"
+  }
+
+  /** CREATE TABLE <name> [(cols)] [WITH (...)] LIKE <src> [(merge opts)]:
+    * source schema first with new physical/computed columns appended
+    * (duplicate physical names rejected, as MergeTableLikeUtil's column
+    * merge); GENERATED / WATERMARKS / OPTIONS merged per strategy —
+    * INCLUDING fails on duplicates, OVERWRITING lets this statement win,
+    * EXCLUDING drops the source's feature. CONSTRAINTS / METADATA /
+    * PARTITIONS entries are accepted syntax but vacuous here (no
+    * representation in this catalog). */
+  private def createTableLike(
+      spark: SparkSession, name: String, body: Option[String],
+      withOpts: Option[String], src: String, likeOpts: Option[String]): Unit = {
+    val strat = likeStrategies(likeOpts)
+    val source = specOf(spark, src)
+    val (newPhys, newComp, newWm) = parseBody(body.getOrElse(""))
+    val newOpts = withOpts.filter(_.trim.nonEmpty).map { props =>
+      graft.util.SqlSplit.splitTopLevel(props).map {
+        case PropRe(k, v) => (k, v)
+        case other => throw new IllegalArgumentException(
+          s"WITH clause: expected 'key'='value', got '$other'")
+      }
+    }.getOrElse(Seq.empty)
+
+    newPhys.foreach { case (c, _) =>
+      require(!source.physical.exists(_._1.equalsIgnoreCase(c)),
+        s"CREATE TABLE LIKE: column $c already exists in $src")
+    }
+    val physical = source.physical ++ newPhys
+
+    val computed = strat("GENERATED") match {
+      case "EXCLUDING" => newComp
+      case "INCLUDING" =>
+        newComp.foreach { case (c, _) =>
+          require(!source.computed.exists(_._1.equalsIgnoreCase(c)),
+            s"CREATE TABLE LIKE: computed column $c already exists in $src " +
+              "(INCLUDING GENERATED; use OVERWRITING GENERATED to replace)")
+        }
+        source.computed ++ newComp
+      case _ => // OVERWRITING: this statement's definition wins per name
+        source.computed.filterNot(sc =>
+          newComp.exists(_._1.equalsIgnoreCase(sc._1))) ++ newComp
+    }
+    val watermark = strat("WATERMARKS") match {
+      case "EXCLUDING" => newWm
+      case "INCLUDING" =>
+        require(source.watermark.isEmpty || newWm.isEmpty,
+          s"CREATE TABLE LIKE: $src already declares a WATERMARK " +
+            "(INCLUDING WATERMARKS; use OVERWRITING WATERMARKS to replace)")
+        newWm.orElse(source.watermark)
+      case _ => newWm.orElse(source.watermark)
+    }
+    val options = strat("OPTIONS") match {
+      case "EXCLUDING" => newOpts
+      case "INCLUDING" =>
+        newOpts.foreach { case (k, _) =>
+          require(!source.options.exists(_._1 == k),
+            s"CREATE TABLE LIKE: option '$k' already set on $src " +
+              "(INCLUDING OPTIONS; use OVERWRITING OPTIONS to replace)")
+        }
+        source.options ++ newOpts
+      case _ =>
+        source.options.filterNot(so => newOpts.exists(_._1 == so._1)) ++ newOpts
+    }
+    create(spark, TableSpec(name, physical, computed, watermark, options))
+  }
 
   private def create(spark: SparkSession, spec: TableSpec): Unit = {
     val cols = spec.physical.map { case (c, t) => s"$c $t" }.mkString(", ")

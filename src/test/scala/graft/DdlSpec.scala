@@ -229,6 +229,145 @@ class DdlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
   }
 
+  test("CREATE TABLE LIKE: schema/watermark/options inheritance and merge strategies") {
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"like_src_$h"
+    val names = Seq(src, s"like_t1_$h", s"like_t2_$h", s"like_t3_$h", s"like_t4_$h")
+    def cleanup(): Unit = names.foreach { n =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $n")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${n}_base")
+    }
+    cleanup()
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (
+        k BIGINT,
+        ts TIMESTAMP,
+        amount DOUBLE,
+        amount_x2 AS amount * 2,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      ) WITH ('lookup.cache' = 'PARTIAL', 'fmt' = 'a')""")
+
+    // bare LIKE: full inheritance (schema incl. computed, watermark, options)
+    val t1 = s"like_t1_$h"
+    Engine.sql(spark, s"CREATE TABLE $t1 LIKE $src")
+    assert(spark.table(t1).columns.toSeq == Seq("k", "ts", "amount", "amount_x2"))
+    assert(WatermarkDdl.watermarkCol(spark, t1).contains("ts"))
+    val o1 = WatermarkDdl.tableOptions(spark, t1)
+    assert(o1.get("lookup.cache").contains("PARTIAL") && o1.get("fmt").contains("a"), s"$o1")
+    // the derived table is an independent table, not a view over the source
+    Engine.sql(spark, s"INSERT INTO $t1 VALUES (1, TIMESTAMP '2024-01-01 00:00:10', 3.0)")
+    assert(spark.table(src).count() == 0)
+    assert(Engine.sql(spark, s"SELECT amount_x2 FROM $t1").head().getDouble(0) == 6.0)
+
+    // appended physical column; default OPTIONS strategy = OVERWRITING
+    // (this statement's WITH wins per key, other keys inherited)
+    val t2 = s"like_t2_$h"
+    Engine.sql(spark, s"CREATE TABLE $t2 (tag STRING) WITH ('fmt' = 'b') LIKE $src")
+    assert(spark.table(t2).columns.toSeq == Seq("k", "ts", "amount", "tag", "amount_x2"))
+    val o2 = WatermarkDdl.tableOptions(spark, t2)
+    assert(o2.get("fmt").contains("b") && o2.get("lookup.cache").contains("PARTIAL"), s"$o2")
+
+    // EXCLUDING drops the source's feature
+    val t3 = s"like_t3_$h"
+    Engine.sql(spark, s"CREATE TABLE $t3 LIKE $src (EXCLUDING WATERMARKS EXCLUDING OPTIONS)")
+    assert(WatermarkDdl.watermarkCol(spark, t3).isEmpty)
+    // no connector options survive (graft.* bookkeeping keys may remain)
+    assert(!WatermarkDdl.tableOptions(spark, t3).keys.exists(k => !k.startsWith("graft.")),
+      s"${WatermarkDdl.tableOptions(spark, t3)}")
+
+    // INCLUDING fails on duplicates; OVERWRITING resolves them in this
+    // statement's favor (SqlTableLike.java MergingStrategy contract)
+    val t4 = s"like_t4_$h"
+    intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"CREATE TABLE $t4 WITH ('fmt' = 'b') LIKE $src (INCLUDING OPTIONS)")
+    }
+    intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"""CREATE TABLE $t4 (
+        ts2 TIMESTAMP, WATERMARK FOR ts2 AS ts2 - INTERVAL '1' SECOND) LIKE $src""")
+    }
+    Engine.sql(spark, s"""CREATE TABLE $t4 (
+      ts2 TIMESTAMP, WATERMARK FOR ts2 AS ts2 - INTERVAL '1' SECOND
+      ) LIKE $src (OVERWRITING WATERMARKS)""")
+    assert(WatermarkDdl.watermarkCol(spark, t4).contains("ts2"))
+
+    // invalid combinations and duplicate physical columns are rejected
+    intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"CREATE TABLE like_bad_$h LIKE $src (OVERWRITING ALL)")
+    }
+    intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"CREATE TABLE like_bad_$h (k BIGINT) LIKE $src")
+    }
+    cleanup()
+  }
+
+  test("CREATE TABLE LIKE a plain catalog table copies the schema") {
+    val h = math.abs(getClass.getName.hashCode)
+    val (p, t) = (s"like_plain_$h", s"like_pt_$h")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $p")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    Engine.sql(spark, s"CREATE TABLE $p AS SELECT 1L AS a, 'x' AS b")
+    Engine.sql(spark, s"CREATE TABLE $t (c DOUBLE) LIKE $p")
+    assert(spark.table(t).columns.toSeq == Seq("a", "b", "c"))
+    assert(WatermarkDdl.watermarkCol(spark, t).isEmpty)
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $p")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
+  test("SHOW CREATE TABLE reconstructs extended DDL that round-trips") {
+    val h = math.abs(getClass.getName.hashCode)
+    val (a, b) = (s"sct_a_$h", s"sct_b_$h")
+    Seq(a, b).foreach { n =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $n")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${n}_base")
+    }
+    Engine.sql(spark, s"""
+      CREATE TABLE $a (
+        k BIGINT,
+        ts TIMESTAMP,
+        k2 AS k * 2,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      ) WITH ('lookup.cache' = 'FULL')""")
+    val ddl = Engine.sql(spark, s"SHOW CREATE TABLE $a").head().getString(0)
+    assert(ddl.contains("WATERMARK FOR ts") && ddl.contains("k2 AS k * 2") &&
+      ddl.contains("'lookup.cache' = 'FULL'"), s"DDL:\n$ddl")
+    // the reconstructed text is executable DDL: re-create under a new name
+    Engine.sql(spark, ddl.replace(s"sct_a_$h", s"sct_b_$h"))
+    assert(spark.table(b).columns.toSeq == spark.table(a).columns.toSeq)
+    assert(WatermarkDdl.watermarkCol(spark, b).contains("ts"))
+    assert(WatermarkDdl.tableOptions(spark, b).get("lookup.cache").contains("FULL"))
+    // a plain table falls through to Spark's native SHOW CREATE TABLE
+    Engine.sql(spark, s"DROP TABLE IF EXISTS sct_plain_$h")
+    Engine.sql(spark, s"CREATE TABLE sct_plain_$h AS SELECT 1L AS x")
+    assert(Engine.sql(spark, s"SHOW CREATE TABLE sct_plain_$h")
+      .head().getString(0).contains("CREATE TABLE"))
+    Engine.sql(spark, s"DROP TABLE IF EXISTS sct_plain_$h")
+    Seq(a, b).foreach { n =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $n")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${n}_base")
+    }
+  }
+
+  test("ANALYZE TABLE on an extended table computes base-table statistics") {
+    val h = math.abs(getClass.getName.hashCode)
+    val t = s"anz_$h"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    Engine.sql(spark, s"""
+      CREATE TABLE $t (k BIGINT, ts TIMESTAMP, k2 AS k + 1,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark, s"INSERT INTO $t VALUES (1, TIMESTAMP '2024-01-01 00:00:00')")
+    Engine.sql(spark, s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    // stats land on the physical base table and carry a row count for CBO
+    val stats = spark.sql(s"DESCRIBE EXTENDED __${t}_base")
+      .filter("col_name = 'Statistics'").collect()
+    assert(stats.nonEmpty && stats.head.getString(1).contains("rows"),
+      s"stats: ${stats.mkString}")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+  }
+
   test("sharedLeafSources finds multi-read leaves and excludes write targets") {
     spark.range(1).createOrReplaceTempView("slf_src")
     spark.range(1).createOrReplaceTempView("slf_mid")
