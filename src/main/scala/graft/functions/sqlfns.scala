@@ -63,4 +63,31 @@ object sqlfns {
     * documented as this dialect's lax behavior.) */
   def jsonExists(j: Column, path: String): Column =
     get_json_object(j, path).isNotNull
+
+  // --- JSON constructors (BuiltInFunctionDefinitions JSON_OBJECT /
+  // JSON_ARRAY; runtime in SqlJsonUtils). Built on codegen'd to_json over
+  // a struct/array, so values keep their SQL types (BIGINT unquoted,
+  // STRING quoted, nested struct/array columns nest as JSON structures
+  // rather than double-encoded text). ---
+
+  /** JSON_OBJECT('k1' VALUE v1, ...): compact JSON object with keys in
+    * declaration order. `nullOnNull = true` (Flink's default NULL ON
+    * NULL) serializes SQL NULL values as JSON null; false (ABSENT ON
+    * NULL) omits the key. */
+  def jsonObject(nullOnNull: Boolean, pairs: (String, Column)*): Column = {
+    require(pairs.nonEmpty, "JSON_OBJECT needs at least one key")
+    to_json(struct(pairs.map { case (k, v) => v.as(k) }: _*),
+      Map("ignoreNullFields" -> (!nullOnNull).toString))
+  }
+
+  def jsonObject(pairs: (String, Column)*): Column =
+    jsonObject(nullOnNull = true, pairs: _*)
+
+  /** JSON_ARRAY over an array column. `nullOnNull = false` (Flink's
+    * default ABSENT ON NULL) drops SQL NULL elements; true keeps them as
+    * JSON null. */
+  def jsonArray(arr: Column, nullOnNull: Boolean = false): Column = {
+    val src = if (nullOnNull) arr else filter(arr, _.isNotNull)
+    to_json(src, Map("ignoreNullFields" -> "false"))
+  }
 }

@@ -615,6 +615,59 @@ object Relational extends QueryModule {
         |                '%Y-%m-%d %H:%M:%S') AS epoch_fmt
         |FROM orders WHERE o_orderkey < 200
         |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
+      // JSON constructors (Flink JSON_OBJECT / JSON_ARRAY with their
+      // NULL ON NULL / ABSENT ON NULL modes; Flink defaults are NULL ON
+      // NULL for objects, ABSENT ON NULL for arrays). Values keep SQL
+      // types — BIGINT unquoted, STRING quoted, nested structs nest as
+      // JSON. The oracle derives every expected string from DuckDB
+      // concatenation primitives, not a JSON builtin, so the comparison
+      // is an independent reconstruction of the compact JSON text.
+      "q123_json_constructors",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.sqlfns._
+        Tables.orders(s, d).filter($"o_orderkey" < 200)
+          .select($"o_orderkey",
+            jsonObject(
+              "key" -> $"o_orderkey",
+              "status" -> $"o_orderstatus",
+              "pri7" -> when($"o_orderkey" % 7 === 0, $"o_orderpriority")).as("obj_null"),
+            jsonObject(nullOnNull = false,
+              "key" -> $"o_orderkey",
+              "pri7" -> when($"o_orderkey" % 7 === 0, $"o_orderpriority")).as("obj_absent"),
+            jsonObject(
+              "k" -> $"o_orderkey",
+              "nest" -> struct($"o_orderstatus".as("s"), $"o_custkey".as("c")))
+              .as("obj_nested"),
+            jsonArray(array($"o_orderkey", $"o_custkey",
+              when($"o_orderkey" % 3 === 0, $"o_custkey" % 10)),
+              nullOnNull = true).as("arr_null"),
+            jsonArray(array($"o_orderkey", $"o_custkey",
+              when($"o_orderkey" % 3 === 0, $"o_custkey" % 10)))
+              .as("arr_absent"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       '{"key":' || o_orderkey || ',"status":"' || o_orderstatus || '","pri7":' ||
+        |         CASE WHEN o_orderkey % 7 = 0 THEN '"' || o_orderpriority || '"' ELSE 'null' END || '}'
+        |         AS obj_null,
+        |       '{"key":' || o_orderkey ||
+        |         CASE WHEN o_orderkey % 7 = 0 THEN ',"pri7":"' || o_orderpriority || '"' ELSE '' END || '}'
+        |         AS obj_absent,
+        |       '{"k":' || o_orderkey || ',"nest":{"s":"' || o_orderstatus || '","c":' ||
+        |         o_custkey || '}}' AS obj_nested,
+        |       '[' || o_orderkey || ',' || o_custkey || ',' ||
+        |         CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_custkey % 10 AS VARCHAR)
+        |              ELSE 'null' END || ']' AS arr_null,
+        |       '[' || o_orderkey || ',' || o_custkey ||
+        |         CASE WHEN o_orderkey % 3 = 0 THEN ',' || CAST(o_custkey % 10 AS VARCHAR)
+        |              ELSE '' END || ']' AS arr_absent
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey
         |""".stripMargin))
   )
 }

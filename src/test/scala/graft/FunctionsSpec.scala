@@ -83,6 +83,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == (("1", "dflt", "dflt", "[1,2]", null, true, false)))
   }
 
+  test("JSON_OBJECT / JSON_ARRAY constructors honor their null modes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "x")).toDF("k", "s")
+      .withColumn("miss", lit(null).cast("string"))
+      .withColumn("arr", array(lit(1L), lit(null).cast("long"), lit(3L)))
+    val got = df.select(
+      sqlfns.jsonObject("k" -> $"k", "s" -> $"s", "m" -> $"miss").as("nul"),
+      sqlfns.jsonObject(nullOnNull = false, "k" -> $"k", "m" -> $"miss").as("abs"),
+      sqlfns.jsonObject("k" -> $"k",
+        "n" -> struct($"s".as("a"), $"k".as("b"))).as("nested"),
+      sqlfns.jsonArray($"arr", nullOnNull = true).as("anul"),
+      sqlfns.jsonArray($"arr").as("aabs"))
+      .as[(String, String, String, String, String)].head()
+    assert(got._1 == """{"k":1,"s":"x","m":null}""", got._1)
+    assert(got._2 == """{"k":1}""", got._2)
+    assert(got._3 == """{"k":1,"n":{"a":"x","b":1}}""", got._3)
+    assert(got._4 == "[1,null,3]", got._4)
+    assert(got._5 == "[1,3]", got._5)
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._
