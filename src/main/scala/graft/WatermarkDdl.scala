@@ -40,6 +40,12 @@ object WatermarkDdl {
   private val LikeOptRe = """(?i)(INCLUDING|EXCLUDING|OVERWRITING)\s+(\w+)""".r
   private val ShowCreateRe = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*""".r
   private val AnalyzeRe = """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s+(COMPUTE\s+STATISTICS.*)""".r
+  private val AlterPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+((?:SET|UNSET)\s+TBLPROPERTIES.*)""".r
+  private val AlterAddRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+(ADD\s+COLUMNS?\s*\(.*)""".r
+  private val AlterRenameRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
 
   private val CreateRe = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
   // Flink-style trailing options clause: CREATE TABLE t (...) WITH ('k'='v')
@@ -126,6 +132,22 @@ object WatermarkDdl {
       // (the view has no storage); stats feed Catalyst's CBO exactly as
       // Flink's ANALYZE TABLE feeds its planner (SqlAnalyzeTable role)
       spark.sql(s"ANALYZE TABLE ${baseName(table)} $rest")
+    case AlterPropsRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
+      // options live on the base table; SET TBLPROPERTIES is how a
+      // declared lookup-cache mode (etc.) is changed after creation
+      // (SqlAlterTableOptions / SqlAlterTableReset role)
+      spark.sql(s"ALTER TABLE ${baseName(table)} $rest")
+    case AlterAddRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
+      // new physical columns land on the base table; the user-visible
+      // view must be rebuilt to expose them (SqlAlterTableAdd role)
+      val out = spark.sql(s"ALTER TABLE ${baseName(table)} $rest")
+      recreateView(spark, table)
+      out
+    case AlterRenameRe(a, b) if spark.catalog.tableExists(baseName(a)) =>
+      spark.sql(s"ALTER TABLE ${baseName(a)} RENAME TO ${baseName(b)}")
+      spark.sql(s"DROP VIEW IF EXISTS $a")
+      recreateView(spark, b)
+      spark.emptyDataFrame
     case _ => parse(statement) match {
       case Some(spec) => create(spark, spec); spark.emptyDataFrame
       case None => statement match {
@@ -308,9 +330,17 @@ object WatermarkDdl {
     val props =
       if (propEntries.isEmpty) "" else propEntries.mkString(" TBLPROPERTIES (", ", ", ")")
     spark.sql(s"CREATE TABLE ${baseName(spec.name)} ($cols) USING parquet$props")
+    recreateView(spark, spec.name)
+  }
+
+  /** (Re)build the user-visible view of an extended table from its base
+    * table's current schema + persisted computed columns — the step that
+    * exposes ALTERed physical columns and survives a base rename. */
+  private def recreateView(spark: SparkSession, table: String): Unit = {
+    val spec = specOf(spark, table)
     val sel = (spec.physical.map(_._1) ++
       spec.computed.map { case (c, e) => s"$e AS $c" }).mkString(", ")
-    spark.sql(s"CREATE OR REPLACE VIEW ${spec.name} AS SELECT $sel FROM ${baseName(spec.name)}")
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT $sel FROM ${baseName(table)}")
   }
 
   /** Streaming read of an extended table: base files -> computed columns

@@ -368,6 +368,41 @@ class DdlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
   }
 
+  test("ALTER TABLE on extended tables routes to the base and rebuilds the view") {
+    val h = math.abs(getClass.getName.hashCode)
+    val (a, b) = (s"alt_a_$h", s"alt_b_$h")
+    Seq(a, b).foreach { n =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $n")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${n}_base")
+    }
+    Engine.sql(spark, s"""
+      CREATE TABLE $a (k BIGINT, ts TIMESTAMP, k2 AS k * 2,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+      ) WITH ('lookup.cache' = 'PARTIAL')""")
+
+    // SET TBLPROPERTIES changes the declared cache mode post-creation
+    Engine.sql(spark, s"ALTER TABLE $a SET TBLPROPERTIES ('lookup.cache' = 'FULL')")
+    assert(WatermarkDdl.tableOptions(spark, a).get("lookup.cache").contains("FULL"))
+
+    // ADD COLUMNS lands on the base; the view exposes it next to computed
+    Engine.sql(spark, s"ALTER TABLE $a ADD COLUMNS (extra BIGINT)")
+    assert(spark.table(a).columns.toSeq == Seq("k", "ts", "extra", "k2"))
+    Engine.sql(spark,
+      s"INSERT INTO $a VALUES (2, TIMESTAMP '2024-01-01 00:00:00', 9)")
+    val r = Engine.sql(spark, s"SELECT k2, extra FROM $a").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 9L)
+
+    // RENAME moves base + view; watermark and data survive under the new name
+    Engine.sql(spark, s"ALTER TABLE $a RENAME TO $b")
+    assert(!spark.catalog.tableExists(a) && spark.catalog.tableExists(b))
+    assert(WatermarkDdl.watermarkCol(spark, b).contains("ts"))
+    assert(Engine.sql(spark, s"SELECT k2 FROM $b").head().getLong(0) == 4L)
+    Seq(a, b).foreach { n =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $n")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${n}_base")
+    }
+  }
+
   test("sharedLeafSources finds multi-read leaves and excludes write targets") {
     spark.range(1).createOrReplaceTempView("slf_src")
     spark.range(1).createOrReplaceTempView("slf_mid")
