@@ -296,6 +296,47 @@ object GraphOps extends QueryModule {
     pr.select($"v", $"pr")
   }
 
+  /** Bit-exact PageRank in integer units of 1e-12 of total mass: every
+    * per-edge contribution is an integer division and every sum is a
+    * BIGINT sum, so the result is independent of aggregation order and
+    * reproducible by any engine — the micro-unit determinism trick used
+    * for BM25/perplexity scoring, applied to an iterative algorithm
+    * (which is what makes an UNROLLED SQL oracle possible; plain double
+    * PageRank is order-dependent at the last ulp). Semantics delta vs
+    * `pageRank`: each division floors at 1e-12 granularity —
+    * ranking-equivalent on real graphs, asserted against the double
+    * variant in GraphSpec. Same per-round plan shape: one edge⋈rank
+    * join + one aggregate, dangling mass as a broadcast 1-row frame. */
+  def pageRankUnits(
+      spark: SparkSession, edges: DataFrame, iterations: Int = 8): DataFrame = {
+    import spark.implicits._
+    val U = 1000000000000L
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+    val vertices = e.select($"src".as("v"))
+      .union(e.select($"dst".as("v"))).distinct().localCheckpoint()
+    val n = vertices.count()
+    val base = (15L * (U / n)) / 100L
+    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var pr = vertices.join(outDeg, $"v" === $"src", "left")
+      .select($"v", coalesce($"deg", lit(0L)).as("deg"), lit(U / n).as("units"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val dangling = pr.filter($"deg" === 0)
+        .agg(coalesce(sum($"units"), lit(0L)).as("dm"))
+      val contrib = e.join(pr.filter($"deg" > 0), $"src" === $"v")
+        .select($"dst".as("v2"), expr("units DIV deg").as("c"))
+        .groupBy($"v2").agg(sum($"c").as("in_sum"))
+      pr = pr.select($"v", $"deg").join(contrib, $"v" === $"v2", "left")
+        .crossJoin(broadcast(dangling))
+        .select($"v", $"deg",
+          (lit(base) +
+            expr(s"(85 * (coalesce(in_sum, 0L) + dm DIV ${n}L)) DIV 100"))
+            .as("units"))
+        .localCheckpoint()
+    }
+    pr.select($"v", $"units")
+  }
+
   /** HITS hubs-and-authorities (Gelly library/linkanalysis/HITS): per
     * iteration auth(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v) over
     * out-edges, each L2-normalized via a broadcast 1-row aggregate (no
@@ -775,6 +816,54 @@ object GraphOps extends QueryModule {
            |e0 AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
            |$peel
            |SELECT src AS v, count(*) AS deg FROM e$rounds GROUP BY src ORDER BY v
+           |""".stripMargin
+      }),
+
+    GQuery(
+      // PageRank under the FULL oracle gate: the integer micro-unit
+      // variant makes every iteration order-independent (BIGINT sums of
+      // floored per-edge contributions), so a fixed-depth unrolled DuckDB
+      // program reproduces it hash-exactly — the answer to "iterative
+      // double PageRank can't have an exact oracle" (q61 stays rows-only
+      // for the classic double form; GraphSpec asserts the two agree to
+      // 1e-6 of total mass).
+      "q124_pagerank_units",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 2000)
+        val edges = li.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 100000L).as("dst"))
+          .distinct()
+        pageRankUnits(s, edges, iterations = 8).orderBy($"v")
+      },
+      Some {
+        val rounds = 8
+        val iter = (1 to rounds).map { r =>
+          val prev = s"r${r - 1}"
+          s"""r$r AS MATERIALIZED (
+             |  SELECT p.v, p.deg,
+             |         (15 * (1000000000000 // n)) // 100
+             |           + (85 * (COALESCE(s.in_sum, 0) + dm.dm // n)) // 100 AS units
+             |  FROM $prev p
+             |  LEFT JOIN (SELECT e2.dst AS v2, SUM(p2.units // p2.deg) AS in_sum
+             |             FROM e e2 JOIN $prev p2 ON e2.src = p2.v WHERE p2.deg > 0
+             |             GROUP BY 1) s ON p.v = s.v2
+             |  CROSS JOIN (SELECT COALESCE(SUM(units), 0) AS dm FROM $prev WHERE deg = 0) dm
+             |  CROSS JOIN nn)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |         CAST(l_suppkey + 100000 AS BIGINT) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE l_orderkey < 2000),
+           |verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+           |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+           |r0 AS MATERIALIZED (
+           |  SELECT v, COALESCE(deg, 0) AS deg, 1000000000000 // n AS units
+           |  FROM verts LEFT JOIN deg ON v = src CROSS JOIN nn),
+           |$iter
+           |SELECT v, units FROM r$rounds ORDER BY v
            |""".stripMargin
       })
   )

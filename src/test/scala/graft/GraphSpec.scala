@@ -121,6 +121,25 @@ class GraphSpec extends AnyFunSuite {
     assert(pr == pr2)
   }
 
+  test("quantized pagerank agrees with the double variant to 1e-6 of mass") {
+    import spark.implicits._
+    // star + chain + a dangling sink: exercises in-sums, zero-in-degree
+    // vertices, and the dangling-mass redistribution path
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val dbl = GraphOps.pageRank(spark, edges, iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    val units = GraphOps.pageRankUnits(spark, edges, iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(dbl.keySet == units.keySet)
+    val maxDiff = dbl.map { case (v, p) => math.abs(p - units(v) / 1e12) }.max
+    assert(maxDiff < 1e-6, s"drift $maxDiff")
+    // same ranking order as the double variant
+    val byDbl = dbl.toSeq.sortBy { case (v, p) => (-p, v) }.map(_._1)
+    val byUnits = units.toSeq.sortBy { case (v, u) => (-u, v) }.map(_._1)
+    assert(byDbl == byUnits)
+  }
+
   test("HITS: unit-norm scores, hubs point at authorities") {
     import spark.implicits._
     // 1 points at three targets, 2 at one; 10 is pointed at twice
