@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata structs, plus decode/feature/resize/frame-sample operators.
   *
-  * The container has no image/audio codecs, so DECODE is a clearly-marked
-  * deterministic stub — `decode(media, 'UTF-8')` reinterprets the blob as
-  * its sample stream (our fixture blobs are utf8 text, so char codes are the
-  * "samples"). Everything Spark-side — binary schema, metadata struct,
-  * per-row feature loops, partitioning — is real; swapping the stub for a
-  * codec is a one-expression change.
+  * Two decode paths:
+  *  - `imageFeatures` (below) is a REAL image codec path — PNG/JPEG/BMP/
+  *    GIF via the JDK's own javax.imageio, no external libraries —
+  *    spec-tested against synthetic images (MultimodalSpec).
+  *  - The oracle queries q50-q52 run on the driver's text-blob fixtures
+  *    (documents.parquet has no image bytes), so their DECODE is a
+  *    clearly-marked deterministic stub: `decode(media, 'UTF-8')`
+  *    reinterprets the blob as its sample stream. Audio/video codecs
+  *    remain stubbed (none ship with the JDK).
   *
   * At 100 TB the pattern is: the binary column stays columnar in parquet,
   * is never collected to the driver, feature extraction happens per row
@@ -117,4 +120,59 @@ object MultimodalOps extends QueryModule {
         |ORDER BY doc_id
         |""".stripMargin))
   )
+
+  /** Decoded image features: (doc_id, width, height, 8-bin grayscale
+    * histogram, 4x4 average-pooled grayscale grid). NULL row values for
+    * blobs no installed reader understands. */
+  final case class ImageFeat(
+      doc_id: Long, width: Int, height: Int,
+      hist: Array[Long], grid: Array[Long])
+
+  /** REAL codec path (not the stub): decode PNG/JPEG/BMP/GIF binary
+    * columns with the JDK's own javax.imageio — no external libraries —
+    * and emit small per-image features. Distribution shape is the one a
+    * 100 TB media pipeline needs: the binary column stays columnar in
+    * parquet and never leaves the executor; `mapPartitions` amortizes
+    * codec setup per partition (ImageIO's disk cache is disabled once
+    * per JVM — decode stays in memory); downstream operators see only
+    * the O(1)-sized feature struct, never pixels. Integer arithmetic
+    * throughout (sum-div means), so features are bit-deterministic on
+    * any engine/JVM. */
+  def imageFeatures(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): org.apache.spark.sql.Dataset[ImageFeat] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageFeat(id, -1, -1, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Long](8)
+          // 4x4 average pool: integer cell sums, one floor-div at the end
+          val cellSum = new Array[Long](16)
+          val cellN = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              hist(gray / 32) += 1
+              val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+              cellSum(cell) += gray
+              cellN(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val grid = Array.tabulate(16)(i =>
+            if (cellN(i) == 0) -1L else cellSum(i) / cellN(i))
+          ImageFeat(id, w, h, hist, grid)
+        }
+      }
+    }
+  }
 }

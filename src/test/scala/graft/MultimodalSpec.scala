@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MultimodalOps
+
+/** Real-codec path of the multimodal surface: PNG/BMP decode through the
+  * JDK's javax.imageio inside mapPartitions (no external libraries), with
+  * bit-deterministic integer features. The q50-q52 stub path (text blobs
+  * reinterpreted as samples) remains for the text fixtures; this spec
+  * proves the decode step itself is real, not a container limitation. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def encode(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer in JDK")
+    out.toByteArray
+  }
+
+  test("imageFeatures decodes PNG/BMP via the JDK codec, exactly") {
+    import spark.implicits._
+    // 8x4, left half black, right half white
+    val halves = (x: Int, _: Int) => if (x < 4) 0x000000 else 0xffffff
+    val rows = Seq(
+      1L -> encode("png", 8, 4)(halves),
+      2L -> encode("bmp", 8, 4)(halves),
+      3L -> "not an image at all".getBytes("UTF-8"))
+    val got = MultimodalOps.imageFeatures(rows.toDF("doc_id", "media")
+      .as[(Long, Array[Byte])]).collect().sortBy(_.doc_id)
+
+    for (f <- got.take(2)) {
+      assert(f.width == 8 && f.height == 4, s"${f.doc_id}: ${f.width}x${f.height}")
+      // 16 black pixels in bin 0, 16 white in bin 7, nothing between
+      assert(f.hist.toSeq == Seq(16L, 0L, 0L, 0L, 0L, 0L, 0L, 16L), f.hist.toSeq)
+      // 4x4 grid: left two columns black, right two white, every row
+      val expectGrid = Seq.fill(4)(Seq(0L, 0L, 255L, 255L)).flatten
+      assert(f.grid.toSeq == expectGrid, f.grid.toSeq)
+    }
+    // undecodable blob -> sentinel row, not an exception
+    assert(got(2).width == -1 && got(2).hist == null)
+
+    // determinism across runs (same features, same order of arrays)
+    val again = MultimodalOps.imageFeatures(rows.toDF("doc_id", "media")
+      .as[(Long, Array[Byte])]).collect().sortBy(_.doc_id)
+    assert(got.take(2).map(_.grid.toSeq).toSeq == again.take(2).map(_.grid.toSeq).toSeq)
+  }
+
+  test("a gradient image pools to strictly increasing grid cells") {
+    import spark.implicits._
+    // 16x16 horizontal gradient: gray = x * 16 (0..240)
+    val grad = (x: Int, _: Int) => { val g = x * 16; (g << 16) | (g << 8) | g }
+    val feats = MultimodalOps.imageFeatures(
+      Seq(9L -> encode("png", 16, 16)(grad)).toDF("doc_id", "media")
+        .as[(Long, Array[Byte])]).head()
+    // every gray value 0,16,...,240 appears 16 times -> 32 per bin * 8 bins
+    assert(feats.hist.toSeq == Seq.fill(8)(32L), feats.hist.toSeq)
+    // grid columns increase left to right; rows identical
+    val row0 = feats.grid.slice(0, 4).toSeq
+    assert(row0 == row0.sorted && row0.distinct.size == 4, row0)
+    assert(feats.grid.toSeq == (row0 ++ row0 ++ row0 ++ row0), feats.grid.toSeq)
+  }
+}
