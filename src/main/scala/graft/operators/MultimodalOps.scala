@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata structs, plus decode/feature/resize/frame-sample operators.
   *
   * Two decode paths:
-  *  - `imageFeatures` (below) is a REAL image codec path — PNG/JPEG/BMP/
-  *    GIF via the JDK's own javax.imageio, no external libraries —
-  *    spec-tested against synthetic images (MultimodalSpec).
+  *  - `imageFeatures` / `audioFeatures` (below) are REAL codec paths —
+  *    PNG/JPEG/BMP/GIF via the JDK's javax.imageio and WAV/AIFF/AU PCM
+  *    via javax.sound.sampled, no external libraries — spec-tested
+  *    against synthetic images and waveforms (MultimodalSpec).
   *  - The oracle queries q50-q52 run on the driver's text-blob fixtures
-  *    (documents.parquet has no image bytes), so their DECODE is a
+  *    (documents.parquet has no media bytes), so their DECODE is a
   *    clearly-marked deterministic stub: `decode(media, 'UTF-8')`
-  *    reinterprets the blob as its sample stream. Audio/video codecs
-  *    remain stubbed (none ship with the JDK).
+  *    reinterprets the blob as its sample stream. Video is the one
+  *    modality whose decode stays stubbed — the JDK ships no video
+  *    codec.
   *
   * At 100 TB the pattern is: the binary column stays columnar in parquet,
   * is never collected to the driver, feature extraction happens per row
@@ -171,6 +173,62 @@ object MultimodalOps extends QueryModule {
           val grid = Array.tabulate(16)(i =>
             if (cellN(i) == 0) -1L else cellSum(i) / cellN(i))
           ImageFeat(id, w, h, hist, grid)
+        }
+      }
+    }
+  }
+
+  /** Decoded audio features over all channels: frame count, peak
+    * amplitude, and mean absolute amplitude (integer division — no
+    * floating point, so bit-deterministic). Sentinel row (-1 fields) for
+    * blobs that aren't a supported audio container or aren't 16-bit
+    * signed PCM. */
+  final case class AudioFeat(
+      doc_id: Long, channels: Int, sample_rate: Int,
+      n_frames: Long, peak: Long, mean_abs: Long)
+
+  /** REAL audio codec path: WAV/AIFF/AU via the JDK's own
+    * javax.sound.sampled (no external libraries), 16-bit signed PCM
+    * payloads, both endiannesses. Same distribution shape as
+    * `imageFeatures`: binary stays columnar, decode happens per
+    * partition on the executor, downstream sees O(1) features. Video
+    * remains the one stubbed modality — the JDK ships no video codec. */
+  def audioFeatures(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): org.apache.spark.sql.Dataset[AudioFeat] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val sentinel = AudioFeat(id, -1, -1, -1L, -1L, -1L)
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) sentinel
+          else {
+            val data = in.readAllBytes()
+            val big = fmt.isBigEndian
+            var i = 0
+            var peak = 0L
+            var sumAbs = 0L
+            var n = 0L
+            while (i + 1 < data.length) {
+              val s =
+                if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              sumAbs += a
+              n += 1
+              i += 2
+            }
+            AudioFeat(id, fmt.getChannels, fmt.getSampleRate.toInt,
+              if (fmt.getChannels > 0) n / fmt.getChannels else n,
+              peak, if (n == 0) 0L else sumAbs / n)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => sentinel
+          case _: java.io.IOException => sentinel
         }
       }
     }

@@ -48,6 +48,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.take(2).map(_.grid.toSeq).toSeq == again.take(2).map(_.grid.toSeq).toSeq)
   }
 
+  private def wav(bigEndian: Boolean, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, channels, 2 * channels, 8000f, bigEndian)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      if (bigEndian) { raw(2 * i) = (s >> 8).toByte; raw(2 * i + 1) = s.toByte }
+      else { raw(2 * i) = s.toByte; raw(2 * i + 1) = (s >> 8).toByte }
+    }
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ain, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFeatures decodes WAV PCM via the JDK codec, exactly") {
+    import spark.implicits._
+    // square wave +-1000, 64 frames mono; stereo variant with ch2 = +-2000
+    val mono = Array.tabulate(64)(i => if (i % 2 == 0) 1000 else -1000).map(_.toShort)
+    val stereo = Array.tabulate(128)(i =>
+      (if (i % 2 == 0) (if (i % 4 == 0) 1000 else -1000) // ch1
+       else (if (i % 4 == 1) 2000 else -2000)).toShort)  // ch2
+    val rows = Seq(
+      1L -> wav(bigEndian = false, channels = 1, mono),
+      2L -> wav(bigEndian = false, channels = 2, stereo),
+      3L -> "definitely not audio".getBytes("UTF-8"))
+    val got = MultimodalOps.audioFeatures(rows.toDF("doc_id", "media")
+      .as[(Long, Array[Byte])]).collect().sortBy(_.doc_id)
+
+    assert(got(0).channels == 1 && got(0).sample_rate == 8000)
+    assert(got(0).n_frames == 64 && got(0).peak == 1000 && got(0).mean_abs == 1000)
+    assert(got(1).channels == 2 && got(1).n_frames == 64)
+    assert(got(1).peak == 2000 && got(1).mean_abs == 1500, s"${got(1)}")
+    assert(got(2).channels == -1 && got(2).peak == -1L)
+  }
+
   test("a gradient image pools to strictly increasing grid cells") {
     import spark.implicits._
     // 16x16 horizontal gradient: gray = x * 16 (0..240)
