@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * metadata structs, plus decode/feature/resize/frame-sample operators.
   *
   * Two decode paths:
-  *  - `imageFeatures` / `audioFeatures` (below) are REAL codec paths —
-  *    PNG/JPEG/BMP/GIF via the JDK's javax.imageio and WAV/AIFF/AU PCM
-  *    via javax.sound.sampled, no external libraries — spec-tested
-  *    against synthetic images and waveforms (MultimodalSpec).
+  *  - `imageFeatures` / `audioFeatures` / `videoFeatures` (below) are
+  *    REAL codec paths — PNG/JPEG/BMP/GIF via the JDK's javax.imageio,
+  *    WAV/AIFF/AU PCM via javax.sound.sampled, and MJPEG-AVI
+  *    frame-sampling via from-spec RIFF parsing + the JDK JPEG decoder.
+  *    No external libraries anywhere; spec-tested against synthetic
+  *    images, waveforms, and AVI containers (MultimodalSpec).
   *  - The oracle queries q50-q52 run on the driver's text-blob fixtures
   *    (documents.parquet has no media bytes), so their DECODE is a
   *    clearly-marked deterministic stub: `decode(media, 'UTF-8')`
-  *    reinterprets the blob as its sample stream. Video is the one
-  *    modality whose decode stays stubbed — the JDK ships no video
-  *    codec.
+  *    reinterprets the blob as its sample stream. Non-MJPEG video
+  *    codecs (H.264 etc.) remain out of reach without external
+  *    libraries.
   *
   * At 100 TB the pattern is: the binary column stays columnar in parquet,
   * is never collected to the driver, feature extraction happens per row
@@ -229,6 +231,89 @@ object MultimodalOps extends QueryModule {
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => sentinel
           case _: java.io.IOException => sentinel
+        }
+      }
+    }
+  }
+
+  /** JPEG payloads of an MJPEG AVI, in stream order: from-spec RIFF
+    * parsing (RIFF 'AVI ' container; video frames are '..dc'/'..db'
+    * chunks, conventionally inside the 'movi' LIST). Unknown chunks and
+    * headers are skipped, so files with or without an 'hdrl' section
+    * both parse; chunk sizes pad to even per RIFF. Returns Nil for
+    * anything that isn't a RIFF AVI. */
+  private[operators] def aviFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Vector.empty
+    val frames = Vector.newBuilder[Array[Byte]]
+    def scan(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = u32(off + 4).toInt
+        val dataStart = off + 8
+        val dataEnd = math.min(dataStart + size, end)
+        if (id == "LIST" && dataEnd >= dataStart + 4)
+          scan(dataStart + 4, dataEnd) // list type fourcc, then sub-chunks
+        else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        off = dataStart + size + (size & 1) // chunks pad to even size
+      }
+    }
+    scan(12, math.min(bytes.length, 8 + u32(4).toInt))
+    frames.result()
+  }
+
+  /** Per-video features of sampled frames. `frame_means` holds the mean
+    * gray value of every SAMPLED frame (integer division), in order. */
+  final case class VideoFeat(
+      doc_id: Long, n_frames: Long, n_sampled: Long, frame_means: Array[Long])
+
+  /** REAL video frame-sample path for MJPEG AVI: the RIFF chunk layer is
+    * parsed from spec (above) and each sampled frame decodes through the
+    * JDK's JPEG codec — still zero external libraries. Every `everyNth`
+    * frame (1-based first frame always included) is decoded; the rest
+    * are never touched, which is the point of frame-sampling at 100 TB:
+    * work scales with frames KEPT, not frames stored. Non-AVI blobs
+    * yield a sentinel row. */
+  def videoFeatures(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      everyNth: Int = 8): org.apache.spark.sql.Dataset[VideoFeat] = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val frames = aviFrames(bytes)
+        if (frames.isEmpty) VideoFeat(id, -1L, -1L, null)
+        else {
+          val sampled = frames.zipWithIndex.filter(_._2 % everyNth == 0)
+          val means = sampled.map { case (jpeg, _) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+              catch { case _: java.io.IOException => null }
+            if (img == null) -1L
+            else {
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                  x += 1
+                }
+                y += 1
+              }
+              sum / (img.getWidth.toLong * img.getHeight)
+            }
+          }
+          VideoFeat(id, frames.size.toLong, sampled.size.toLong, means.toArray)
         }
       }
     }

@@ -86,6 +86,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).channels == -1 && got(2).peak == -1L)
   }
 
+  /** Minimal MJPEG AVI: RIFF('AVI ') > LIST('movi') > one '00dc' chunk
+    * per JPEG frame (even-padded, per the RIFF spec). Real players want
+    * an hdrl too; the parser contract is the chunk layer, which this
+    * exercises faithfully. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val size = data.length
+      val b = java.nio.ByteBuffer.allocate(8 + size + (size & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(size).put(data)
+      b.array()
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    chunk("RIFF", body)
+  }
+
+  test("videoFeatures samples MJPEG AVI frames through the JDK JPEG codec") {
+    import spark.implicits._
+    // 10 solid-gray frames with distinct levels 20, 40, ..., 200
+    val frames = (1 to 10).map { i =>
+      val g = i * 20
+      encode("jpg", 8, 8)((_, _) => (g << 16) | (g << 8) | g)
+    }
+    val rows = Seq(
+      1L -> mjpegAvi(frames),
+      2L -> "not a video".getBytes("UTF-8"))
+    val got = MultimodalOps.videoFeatures(rows.toDF("doc_id", "media")
+      .as[(Long, Array[Byte])], everyNth = 4).collect().sortBy(_.doc_id)
+
+    assert(got(0).n_frames == 10 && got(0).n_sampled == 3) // frames 0, 4, 8
+    // JPEG is lossy but a solid frame decodes within a few gray levels
+    val expected = Seq(20L, 100L, 180L)
+    got(0).frame_means.toSeq.zip(expected).foreach { case (m, e) =>
+      assert(math.abs(m - e) <= 4, s"mean $m vs $e")
+    }
+    assert(got(1).n_frames == -1L && got(1).frame_means == null)
+
+    // bit-determinism across runs (JDK JPEG decode is deterministic)
+    val again = MultimodalOps.videoFeatures(rows.toDF("doc_id", "media")
+      .as[(Long, Array[Byte])], everyNth = 4).collect().sortBy(_.doc_id)
+    assert(got(0).frame_means.toSeq == again(0).frame_means.toSeq)
+  }
+
   test("a gradient image pools to strictly increasing grid cells") {
     import spark.implicits._
     // 16x16 horizontal gradient: gray = x * 16 (0..240)
