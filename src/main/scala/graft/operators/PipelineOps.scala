@@ -1365,6 +1365,85 @@ object PipelineOps extends QueryModule {
       "q122_bpe_encode",
       (s, d) => bpeEncode(s, d, rounds = 6),
       None),
+
+    GQuery(
+      // Canonical-URL dedup (crawl-pipeline role): normalize scheme/host
+      // case, strip www., default :80 port, fragments, utm_* params and
+      // trailing slashes, then keep the minimum doc_id per canonical URL.
+      // URLs are synthesized deterministically from doc_id (the fixture
+      // has no URL column) with every mess the normalizer handles. One
+      // map-side regexp chain + one combiner-friendly groupBy — no
+      // shuffle carries raw URLs twice. Identical regex semantics in
+      // DuckDB give a full oracle.
+      "q125_url_canonical_dedup",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id",
+            """concat(
+              CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+              CASE WHEN doc_id % 3 = 0
+                   THEN concat('WWW.Example', CAST(doc_id % 7 AS STRING), '.COM')
+                   ELSE concat('example', CAST(doc_id % 7 AS STRING), '.com') END,
+              CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+              '/a/', CAST(doc_id % 50 AS STRING),
+              CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END,
+              CASE WHEN doc_id % 4 = 0
+                   THEN concat('?id=', CAST(doc_id % 25 AS STRING),
+                               '&utm_source=s', CAST(doc_id % 3 AS STRING))
+                   WHEN doc_id % 11 = 0 THEN '?utm_campaign=c' ELSE '' END,
+              CASE WHEN doc_id % 6 = 0 THEN concat('#sec', CAST(doc_id % 3 AS STRING))
+                   ELSE '' END) AS url""")
+          .selectExpr("doc_id",
+            """concat(
+              lower(regexp_extract(url, '^[A-Za-z]+', 0)), '://',
+              regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                             '^www\\.', ''),
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(url, '^[A-Za-z]+://[^/?#]+(:[0-9]+)?', ''),
+                    '#.*$', ''),
+                  '[?&]utm_[a-z_]+=[^&#]*', ''),
+                '/$', '')) AS url_canonical""")
+          .groupBy($"url_canonical")
+          .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_dups"))
+          .orderBy($"url_canonical")
+      },
+      Some("""
+        |WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |          ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+        |    '/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN '?id=' || CAST(doc_id % 25 AS VARCHAR) ||
+        |               '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+        |          WHEN doc_id % 11 = 0 THEN '?utm_campaign=c' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[A-Za-z]+', 0)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+        |                   '^www\.', '') ||
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(url, '^[A-Za-z]+://[^/?#]+(:[0-9]+)?', ''),
+        |          '#.*$', ''),
+        |        '[?&]utm_[a-z_]+=[^&#]*', ''),
+        |      '/$', '') AS url_canonical
+        |  FROM u)
+        |SELECT url_canonical, MIN(doc_id) AS canonical_doc,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY url_canonical ORDER BY url_canonical
+        |""".stripMargin)),
   )
 
   /** Quality-classifier trainer (the fastText-classifier role in
