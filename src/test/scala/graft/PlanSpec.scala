@@ -156,4 +156,19 @@ class PlanSpec extends AnyFunSuite {
       s"df/stats sides not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
+
+  test("q125: URL canonicalization is map-side; scan reads only doc_id") {
+    // the regexp chain must run before the single aggregation exchange
+    // (raw URLs cross the wire once, already canonicalized) and the scan
+    // must prune to the one column the query derives everything from
+    val p = plan("q125_url_canonical_dedup")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text") && !read.contains("source"),
+      s"scan not pruned to doc_id: $read")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in this plan:\n$p")
+    assert("(?s)partial_min".r.findFirstIn(p).isDefined ||
+      p.contains("HashAggregate(keys=[url_canonical"),
+      s"expected partial aggregation on url_canonical:\n$p")
+  }
 }
