@@ -149,4 +149,51 @@ object Engine {
         graft.cep.MatchRecognize.sql(spark, query)
       else WatermarkDdl.sql(spark, query)
   }
+
+  private val StreamInsertRe =
+    """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*)""".r
+
+  /** Continuous INSERT — the Flink streaming-SQL job shape
+    * (`INSERT INTO sink SELECT ... FROM watermarked_source`, SURVEY.md
+    * §3.1: executeSql on an unbounded source returns a running job).
+    * Every referenced catalog table that declares a WATERMARK is bound
+    * as a STREAMING read (computed columns + watermark reconstructed
+    * from TBLPROPERTIES, exactly `WatermarkDdl.readStream`); the SELECT
+    * then runs as a continuous micro-batch query appending to the sink
+    * table, and the returned StreamingQuery is the job handle. Append
+    * mode means windowed aggregates emit exactly-once finalized results
+    * on watermark passage — Flink's event-time INSERT semantics. Batch
+    * INSERT (no watermarked source referenced) is rejected loudly:
+    * that's `sql()`'s job. */
+  def sqlStreamInsert(
+      spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    statement match {
+      case StreamInsertRe(sink, select) =>
+        val leaves = spark.sessionState.sqlParser.parsePlan(select)
+          .collectWithSubqueries {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              r.multipartIdentifier.mkString(".")
+          }.distinct
+        val streamed = leaves.filter(t =>
+          WatermarkDdl.watermarkCol(spark, t).isDefined)
+        require(streamed.nonEmpty,
+          "streaming INSERT needs at least one WATERMARK-declared source " +
+            s"(referenced: ${leaves.mkString(", ")}); use sql() for batch INSERT")
+        val rewritten = streamed.foldLeft(select) { (q, t) =>
+          WatermarkDdl.readStream(spark, t).createOrReplaceTempView(s"${t}__cstream")
+          q.replaceAll(s"(?i)\\b$t\\b", s"${t}__cstream")
+        }
+        val df = spark.sql(rewritten)
+        assert(df.isStreaming, "rewritten SELECT lost streaming-ness")
+        // an extended sink's computed columns are virtual: write the base
+        val target =
+          if (spark.catalog.tableExists(s"__${sink}_base")) s"__${sink}_base" else sink
+        df.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", checkpointDir)
+          .toTable(target)
+      case other => throw new IllegalArgumentException(
+        s"sqlStreamInsert expects INSERT INTO <table> SELECT ..., got: $other")
+    }
 }

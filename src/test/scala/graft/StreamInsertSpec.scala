@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous INSERT through the SQL front door: a WATERMARK-declared
+  * catalog table binds as a streaming read, a windowed aggregate runs
+  * in append mode, and finalized windows land in the sink table as the
+  * watermark passes — Flink's event-time `INSERT INTO ... SELECT`
+  * semantics end to end on catalog state alone. */
+class StreamInsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("windowed aggregate streams from a WATERMARK table into a sink table") {
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cs_src_$h", s"cs_sink_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (win_start TIMESTAMP, total BIGINT) USING parquet")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cstream").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT window.start AS win_start, SUM(v) AS total
+      FROM $src GROUP BY window(ts, '1 minute')""", ckpt)
+    try {
+      // minute-0 data arrives; its window stays open (watermark not past)
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10, TIMESTAMP '2024-01-01 00:00:05'),
+        (2, 20, TIMESTAMP '2024-01-01 00:00:40')""")
+      q.processAllAvailable()
+      assert(spark.table(sink).isEmpty, "window must not finalize early")
+      // the watermark advances at batch END, so two later batches make
+      // minute-0's closure watermark-driven and deterministic
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (3, 7, TIMESTAMP '2024-01-01 00:02:30')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (4, 1, TIMESTAMP '2024-01-01 00:04:00')""")
+      q.processAllAvailable()
+      val fin = spark.table(sink).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(fin.contains(("2024-01-01 00:00:00.0", 30L)),
+        s"minute-0 window (total 30) not finalized: $fin")
+    } finally q.stop()
+
+    // a batch-only INSERT (no watermarked source) is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark,
+        s"INSERT INTO $sink SELECT win_start, total FROM $sink", ckpt + "2")
+    }
+    assert(err.getMessage.contains("WATERMARK-declared source"))
+
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+  }
+}
