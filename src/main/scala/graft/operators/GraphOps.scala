@@ -863,7 +863,7 @@ object GraphOps extends QueryModule {
            |  SELECT v, COALESCE(deg, 0) AS deg, 1000000000000 // n AS units
            |  FROM verts LEFT JOIN deg ON v = src CROSS JOIN nn),
            |$iter
-           |SELECT v, units FROM r$rounds ORDER BY v
+           |SELECT v, CAST(units AS BIGINT) AS units FROM r$rounds ORDER BY v
            |""".stripMargin
       })
   )

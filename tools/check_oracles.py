@@ -64,6 +64,17 @@ def main():
             print(f"[FAIL] {name}: row count {len(g)} vs oracle {len(e)}")
             n_fail += 1
             continue
+        # The driver's hash is dtype-sensitive (pandas->hash of typed
+        # values): an int64 column vs a float64 column with equal values
+        # still fails there, so fail it here too.
+        dbad = [(c, g[c].dtype, e[c].dtype) for c in g.columns
+                if g[c].dtype != e[c].dtype]
+        if dbad:
+            print(f"[FAIL] {name}: dtype mismatch (driver hash is dtype-sensitive)")
+            for c, gd, ed in dbad[:5]:
+                print(f"       col={c}: got={gd} oracle={ed}")
+            n_fail += 1
+            continue
         bad = []
         for c in g.columns:
             gc, ec = g[c], e[c]
