@@ -53,16 +53,39 @@ object Engine {
   private val InsertTargetRe =
     """(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?""".r
 
+  /** Catalog-object names reachable from `name`'s RESOLVED plan (the name
+    * itself, plus every view/table its lineage reads). None when the name
+    * can't be resolved — callers treat that as "assume it reaches
+    * everything" and skip reuse for it. */
+  private def lineageNames(
+      spark: SparkSession, name: String): Option[Set[String]] =
+    scala.util.Try {
+      spark.table(name).queryExecution.analyzed.collectWithSubqueries {
+        case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+          Seq(v.desc.identifier.table.toLowerCase)
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.catalogTable.map(_.identifier.table.toLowerCase).toSeq
+        case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          Seq(h.tableMeta.identifier.table.toLowerCase)
+      }.flatten.toSet + name.toLowerCase
+    }.toOption
+
   /** Leaf sources READ by ≥2 members of a statement set (write targets
     * excluded — pre-materializing a table another member inserts into
     * would freeze a pre-insert snapshot and break the sequential
-    * semantics). Members in the extended dialect (window TVF / temporal /
-    * MATCH_RECOGNIZE) don't parse with Spark's parser; they fall back to
-    * an identifier scan against the session's visible tables. */
+    * semantics; a leaf VIEW whose lineage reads a write target is just as
+    * unsafe, so exclusion follows the resolved lineage, not only the
+    * leaf's own name). Members in the extended dialect (window TVF /
+    * temporal / MATCH_RECOGNIZE) don't parse with Spark's parser; they
+    * fall back to an identifier scan against the session's visible
+    * tables. */
   private[graft] def sharedLeafSources(
       spark: SparkSession, stmts: Seq[String]): Seq[String] = {
     val writeTargets = stmts.flatMap(s =>
       InsertTargetRe.findAllMatchIn(s).map(_.group(1).toLowerCase)).toSet
+    // extended tables write through a __<t>_base parquet table: a lineage
+    // touching either spelling is tainted
+    val writeReach = writeTargets ++ writeTargets.map(t => s"__${t}_base")
     lazy val visible: Set[String] =
       spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
     def leaves(stmt: String): Set[String] =
@@ -81,6 +104,13 @@ object Engine {
         s.foldLeft(acc)((a, n) => a.updated(n, a.getOrElse(n, 0) + 1))
       }
       .collect { case (n, c) if c >= 2 => n }.toSeq.sorted
+      .filter { n =>
+        if (writeReach.isEmpty) true
+        else lineageNames(spark, n) match {
+          case Some(reached) => reached.intersect(writeReach).isEmpty
+          case None          => false // unresolvable lineage: no reuse
+        }
+      }
   }
 
   /** SQL entry point with the engine's extended dispatch (SqlClient
@@ -180,11 +210,26 @@ object Engine {
         require(streamed.nonEmpty,
           "streaming INSERT needs at least one WATERMARK-declared source " +
             s"(referenced: ${leaves.mkString(", ")}); use sql() for batch INSERT")
-        val rewritten = streamed.foldLeft(select) { (q, t) =>
-          WatermarkDdl.readStream(spark, t).createOrReplaceTempView(s"${t}__cstream")
-          q.replaceAll(s"(?i)\\b$t\\b", s"${t}__cstream")
-        }
-        val df = spark.sql(rewritten)
+        // Bind each streamed source by SHADOWING its name with a temp
+        // view over the streaming read — no text rewrite (a regex
+        // substitution also hits string literals and same-named
+        // aliases, and a multipart name's dot is a metacharacter).
+        // Resolution happens inside spark.sql; the shadows are dropped
+        // right after (the analyzed plan keeps the binding).
+        val streams = streamed.map(t => t -> WatermarkDdl.readStream(spark, t))
+        val priorTempViews = streamed
+          .filter(t => spark.sessionState.catalog.getTempView(t).isDefined)
+          .map(t => t -> spark.table(t)).toMap
+        val df =
+          try {
+            streams.foreach { case (t, sdf) => sdf.createOrReplaceTempView(t) }
+            spark.sql(select)
+          } finally streamed.foreach { t =>
+            priorTempViews.get(t) match {
+              case Some(orig) => orig.createOrReplaceTempView(t)
+              case None       => spark.catalog.dropTempView(t)
+            }
+          }
         assert(df.isStreaming, "rewritten SELECT lost streaming-ness")
         // an extended sink's computed columns are virtual: write the base
         val target =

@@ -250,15 +250,33 @@ object WindowTvfSql {
 
     // ---- GROUP BY surgery: drop the window columns, lead with the
     // session_window expression (streaming requires grouping by the
-    // expression itself, not by its output fields)
+    // expression itself, not by its output fields). Anchors must sit at
+    // parenthesis depth 0 of the blanked text — a derived table's GROUP
+    // BY, or a LIMIT inside a subquery, is nested in parens and must not
+    // capture the cut (blanked() masks strings only, not parens).
+    def topLevel(s: String, re: scala.util.matching.Regex,
+        from: Int = 0): Option[scala.util.matching.Regex.Match] = {
+      val depth = new Array[Int](s.length + 1)
+      var d = 0
+      var i = 0
+      while (i < s.length) {
+        depth(i) = d
+        s.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      re.findAllMatchIn(s).find(m => m.start >= from && depth(m.start) == 0)
+    }
     val b1 = blanked(q)
     val gbRe = """(?is)\bGROUP\s+BY\b""".r
-    val gb = gbRe.findFirstMatchIn(b1).getOrElse(throw new IllegalArgumentException(
+    val gb = topLevel(b1, gbRe).getOrElse(throw new IllegalArgumentException(
       "streaming SESSION TVF requires an aggregated shape: " +
         "GROUP BY window_start, window_end[, keys...]"))
     val tailKw = """(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b""".r
-    val gbEnd = tailKw.findFirstMatchIn(b1.substring(gb.end))
-      .map(gb.end + _.start).getOrElse(q.length)
+    val gbEnd = topLevel(b1, tailKw, gb.end).map(_.start).getOrElse(q.length)
     val items = SqlSplit.splitTopLevel(q.substring(gb.end, gbEnd)).map(_.trim)
     val winNames = Set("window_start", "window_end", "window_time")
     val kept = items.filterNot(i => winNames.contains(i.toLowerCase))

@@ -203,7 +203,11 @@ object LookupCache {
     * `ddl:<table>`, so every partition of the JVM shares one instance. */
   def forTable[I, O](spark: org.apache.spark.sql.SparkSession, table: String)(
       lookup: I => Option[O])(loader: () => Map[I, O]): I => Option[O] =
-    specOf(graft.WatermarkDdl.tableOptions(spark, table)) match {
+    // SHOW TBLPROPERTIES throws on temp views (and tables outside the
+    // catalog): an undeclared dimension degrades to the uncached path
+    // instead of failing the lookup wiring
+    specOf(scala.util.Try(graft.WatermarkDdl.tableOptions(spark, table))
+      .getOrElse(Map.empty)) match {
       case Some(PartialSpec(maxRows, ttlMs)) =>
         cached[I, Option[O]](s"ddl:$table", maxRows, ttlMs)(lookup)
       case Some(FullSpec(reloadMs)) =>

@@ -165,10 +165,16 @@ object Lateness {
           }
           var fi = 0
           while (fi < fireCount) {
-            val (fn, fsum) = fireValue(buf, n, sum)
-            out += ((k, winStart, "partial", fn, fsum))
-            if (purging) {
-              buf = Seq.empty; n = 0L; sum = 0.0 // FIRE_AND_PURGE
+            // Flink's WindowOperator skips timer fires over an EMPTY
+            // window: once FIRE_AND_PURGE cleared the contents, the
+            // remaining boundaries crossed by this same element would
+            // fire on nothing — emit only non-empty contents.
+            if (n > 0) {
+              val (fn, fsum) = fireValue(buf, n, sum)
+              out += ((k, winStart, "partial", fn, fsum))
+              if (purging) {
+                buf = Seq.empty; n = 0L; sum = 0.0 // FIRE_AND_PURGE
+              }
             }
             fi += 1
           }

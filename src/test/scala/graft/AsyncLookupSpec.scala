@@ -229,6 +229,17 @@ class AsyncLookupSpec extends AnyFunSuite {
       k => { calls.incrementAndGet(); Some(s"v$k") })(() => Map.empty)
     (1 to 5).foreach(_ => fn(1L))
     assert(calls.get() == 5)
+    // a TEMP-VIEW dimension exists in the catalog but SHOW TBLPROPERTIES
+    // throws on it — forTable must degrade to the uncached path, not fail
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("tmp_lkp_dim")
+    try {
+      val tvCalls = new AtomicInteger(0)
+      val tv = LookupCache.forTable[Long, String](spark, "tmp_lkp_dim")(
+        k => { tvCalls.incrementAndGet(); Some(s"v$k") })(() => Map.empty)
+      (1 to 3).foreach(_ => tv(1L))
+      assert(tvCalls.get() == 3, "temp-view dim must fall through uncached")
+    } finally spark.catalog.dropTempView("tmp_lkp_dim")
     val err = intercept[IllegalArgumentException](
       LookupCache.specOf(Map("lookup.cache" -> "SOMETIMES")))
     assert(err.getMessage.contains("PARTIAL, FULL or NONE"))

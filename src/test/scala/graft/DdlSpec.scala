@@ -417,4 +417,31 @@ class DdlSpec extends AnyFunSuite {
     spark.catalog.dropTempView("slf_src")
     spark.catalog.dropTempView("slf_mid")
   }
+
+  test("sharedLeafSources excludes a view whose LINEAGE reads a write target") {
+    // slf_t is a catalog table another member INSERTs into; slf_v is a
+    // temp view over it. Caching slf_v would serve the post-insert read
+    // from a pre-insert snapshot — the lineage walk must exclude it even
+    // though slf_v itself is never a write target.
+    spark.sql("DROP TABLE IF EXISTS slf_t")
+    spark.sql("CREATE TABLE slf_t (id BIGINT) USING parquet")
+    spark.sql("CREATE OR REPLACE TEMP VIEW slf_v AS SELECT id FROM slf_t")
+    spark.range(1).createOrReplaceTempView("slf_clean")
+    try {
+      val shared = Engine.sharedLeafSources(spark, Seq(
+        "INSERT INTO t_sink SELECT v.id FROM slf_v v JOIN slf_clean c ON v.id = c.id",
+        "INSERT INTO slf_t SELECT id FROM slf_clean",
+        "INSERT INTO t_sink2 SELECT id FROM slf_v"))
+      assert(shared == Seq("slf_clean"), s"got $shared")
+      // sanity: without the tainted write, slf_v IS reusable
+      val untainted = Engine.sharedLeafSources(spark, Seq(
+        "INSERT INTO t_sink SELECT id FROM slf_v",
+        "INSERT INTO t_sink2 SELECT id FROM slf_v"))
+      assert(untainted == Seq("slf_v"), s"got $untainted")
+    } finally {
+      spark.catalog.dropTempView("slf_v")
+      spark.catalog.dropTempView("slf_clean")
+      spark.sql("DROP TABLE IF EXISTS slf_t")
+    }
+  }
 }

@@ -59,4 +59,45 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
+
+  test("stream INSERT leaves string literals matching the source name intact") {
+    // The streamed source is bound by SHADOWING its name with a temp
+    // view, not by text substitution — a string literal spelling the
+    // source's name must survive verbatim (a regex \b<t>\b rewrite
+    // would corrupt it into '<t>__cstream').
+    val h = math.abs(getClass.getName.hashCode) + 1
+    val (src, sink) = (s"cs_lit_$h", s"cs_litsink_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (win_start TIMESTAMP, total BIGINT, tag STRING) USING parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cslit").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT window.start AS win_start, SUM(v) AS total, '$src' AS tag
+      FROM $src GROUP BY window(ts, '1 minute')""", ckpt)
+    try {
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10, TIMESTAMP '2024-01-01 00:00:05')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (2, 7, TIMESTAMP '2024-01-01 00:02:30')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (3, 1, TIMESTAMP '2024-01-01 00:04:00')""")
+      q.processAllAvailable()
+      val fin = spark.table(sink).collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(fin.contains((10L, src)), s"literal corrupted or window lost: $fin")
+      // the shadow is gone: the name resolves back to the catalog table
+      assert(!spark.table(src).isStreaming, "source shadow leaked past binding")
+    } finally q.stop()
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+  }
 }

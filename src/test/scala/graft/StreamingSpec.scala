@@ -356,6 +356,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 0L, "final", 0L, 0.0)), s"post-purge final: $rows")
   }
 
+  test("purging + continuous trigger: multi-boundary jump emits no empty partials") {
+    import graft.streaming.Lateness
+    import graft.streaming.Lateness.FireTrigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, Timestamp, Double)]
+    val out = Lateness.triggeredTumbleSum(
+      watermarked, windowMs = 60000L,
+      trigger = FireTrigger.Purging(FireTrigger.ContinuousEventTimeT(3000L)))
+    val q = out.toDF("k", "w", "kind", "n", "s").writeStream
+      .outputMode("update").format("memory").queryName("pcet_out").start()
+    // t=1s arms the 3s boundary; t=10s jumps boundaries 3s/6s/9s: the
+    // first fire emits {1s,10s} and purges — the other two crossed
+    // boundaries find an empty pane and (like Flink's WindowOperator
+    // skipping empty timer fires) must emit NOTHING; t=13s crosses 12s
+    // and fires its own slice
+    in.addData((1L, ts(1), 1.0), (1L, ts(10), 2.0), (1L, ts(13), 4.0))
+    q.processAllAvailable()
+    in.addData((1L, ts(100), 0.0)) // final
+    runToCompletion(q)
+    val partials = spark.table("pcet_out").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq.filter(r => r._2 == 0L && r._3 == "partial")
+      .map(r => (r._4, r._5))
+    assert(partials == Seq((2L, 3.0), (1L, 4.0)), s"empty-fire leak: $partials")
+  }
+
   test("time evictor keeps only the trailing range of the pane at fire") {
     import graft.streaming.Lateness
     import graft.streaming.Lateness.{Evict, FireTrigger}

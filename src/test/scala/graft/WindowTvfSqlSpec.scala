@@ -212,6 +212,24 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     assert(offset == Set(60L)) // windows start at :01, :06, :11, ...
   }
 
+  test("streaming SESSION rewrite anchors past a derived table's GROUP BY/LIMIT") {
+    // The outer GROUP BY surgery must sit at paren depth 0: a joined
+    // derived table carrying its own GROUP BY ... LIMIT before the outer
+    // clause used to capture the anchor and mangle the statement.
+    val q = "SELECT window_start, window_end, SUM(v) AS s " +
+      "FROM TABLE(SESSION(TABLE src, DESCRIPTOR(ts), INTERVAL '5' SECOND)) t " +
+      "JOIN (SELECT k FROM dim GROUP BY k LIMIT 3) d ON t.k = d.k " +
+      "GROUP BY window_start, window_end, t.k"
+    val spanStart = q.indexOf("TABLE(SESSION")
+    val spanEnd = q.indexOf("))", spanStart) + 1
+    val out = WindowTvfSql.rewriteStreamingSession(
+      q, spanStart, spanEnd, "TABLE src, DESCRIPTOR(ts), INTERVAL '5' SECOND")
+    assert(out.contains("GROUP BY k LIMIT 3"), s"derived table mangled: $out")
+    assert(out.contains("GROUP BY session_window(ts, '5 seconds'), t.k"),
+      s"outer GROUP BY not rewritten: $out")
+    assert(out.contains("session_window.start AS window_start"), s"got $out")
+  }
+
   test("malformed TVFs fail loudly") {
     assert(intercept[IllegalArgumentException](
       run("SELECT * FROM TABLE(TUMBLE(events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))"))
