@@ -19,6 +19,20 @@ object Cdc {
   val UpdateAfter = "+U"
   val Delete = "-D"
 
+  /** One change entry: kind + payload row. */
+  private def change(kind: String, payload: Column): Column =
+    struct(lit(kind).as(RowKind), payload.as("p"))
+
+  /** Explode per-message change arrays into the flat changelog —
+    * ONE source scan + one Generate, the q71 shape (Flink's
+    * DeserializationSchema emits 1-2 rows from one deserialize pass; the
+    * previous 4-branch filter+union paid four scans + four JSON parses of
+    * the same source per batch). A null `changes` (unknown op) explodes
+    * to nothing, preserving the drop-unknown behavior. */
+  private def emit(parsed: DataFrame, cdcTs: Column, changes: Column): DataFrame =
+    parsed.select(cdcTs.as("cdc_ts"), explode(changes).as("c"))
+      .select(col("c." + RowKind).as(RowKind), col("cdc_ts"), col("c.p.*"))
+
   /** Decode a Debezium JSON envelope stream (columns: `value` string) into
     * flat rows + row_kind. Emits -U/+U pairs for updates like Flink's
     * debezium-json format (flink-formats/flink-json/.../debezium/
@@ -29,15 +43,12 @@ object Cdc {
       .add("op", "string").add("ts_ms", "long")
       .add("before", payloadSchema).add("after", payloadSchema)
     val parsed = raw.select(from_json(col("value"), envelope).as("e"))
-    val inserts = parsed.filter(col("e.op").isin("c", "r"))
-      .select(lit(Insert).as(RowKind), col("e.ts_ms").as("cdc_ts"), col("e.after.*"))
-    val deletes = parsed.filter(col("e.op") === "d")
-      .select(lit(Delete).as(RowKind), col("e.ts_ms").as("cdc_ts"), col("e.before.*"))
-    val updBefore = parsed.filter(col("e.op") === "u")
-      .select(lit(UpdateBefore).as(RowKind), col("e.ts_ms").as("cdc_ts"), col("e.before.*"))
-    val updAfter = parsed.filter(col("e.op") === "u")
-      .select(lit(UpdateAfter).as(RowKind), col("e.ts_ms").as("cdc_ts"), col("e.after.*"))
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+    emit(parsed, col("e.ts_ms"),
+      when(col("e.op").isin("c", "r"), array(change(Insert, col("e.after"))))
+        .when(col("e.op") === "d", array(change(Delete, col("e.before"))))
+        .when(col("e.op") === "u", array(
+          change(UpdateBefore, col("e.before")),
+          change(UpdateAfter, col("e.after")))))
   }
 
   /** Decode a Debezium AVRO envelope stream (columns: `value` binary) —
@@ -53,15 +64,12 @@ object Cdc {
       .add("op", "string").add("ts_ms", "long")
       .add("before", payloadSchema).add("after", payloadSchema)
     val parsed = graft.sources.AvroFormat.decode(raw, envelope)
-    val inserts = parsed.filter(col("op").isin("c", "r"))
-      .select(lit(Insert).as(RowKind), col("ts_ms").as("cdc_ts"), col("after.*"))
-    val deletes = parsed.filter(col("op") === "d")
-      .select(lit(Delete).as(RowKind), col("ts_ms").as("cdc_ts"), col("before.*"))
-    val updBefore = parsed.filter(col("op") === "u")
-      .select(lit(UpdateBefore).as(RowKind), col("ts_ms").as("cdc_ts"), col("before.*"))
-    val updAfter = parsed.filter(col("op") === "u")
-      .select(lit(UpdateAfter).as(RowKind), col("ts_ms").as("cdc_ts"), col("after.*"))
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+    emit(parsed, col("ts_ms"),
+      when(col("op").isin("c", "r"), array(change(Insert, col("after"))))
+        .when(col("op") === "d", array(change(Delete, col("before"))))
+        .when(col("op") === "u", array(
+          change(UpdateBefore, col("before")),
+          change(UpdateAfter, col("after")))))
   }
 
   /** Decode a Canal JSON envelope stream (columns: `value` string) into
@@ -83,18 +91,15 @@ object Cdc {
         col("e.old").as("__olds"),
         posexplode(col("e.data")).as(Seq("__i", "__row")))
       .withColumn("__oldrow", try_element_at(col("__olds"), col("__i") + 1))
-    val inserts = exploded.filter(col("__op") === "INSERT")
-      .select(lit(Insert).as(RowKind), col("cdc_ts"), col("__row.*"))
-    val deletes = exploded.filter(col("__op") === "DELETE")
-      .select(lit(Delete).as(RowKind), col("cdc_ts"), col("__row.*"))
-    val updAfter = exploded.filter(col("__op") === "UPDATE")
-      .select(lit(UpdateAfter).as(RowKind), col("cdc_ts"), col("__row.*"))
-    val mergedBefore = payloadSchema.fields.toSeq.map(f =>
+    val mergedBefore = struct(payloadSchema.fields.toSeq.map(f =>
       coalesce(col("__oldrow").getField(f.name), col("__row").getField(f.name))
-        .as(f.name))
-    val updBefore = exploded.filter(col("__op") === "UPDATE")
-      .select(lit(UpdateBefore).as(RowKind) +: col("cdc_ts") +: mergedBefore: _*)
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+        .as(f.name)): _*)
+    emit(exploded, col("cdc_ts"),
+      when(col("__op") === "INSERT", array(change(Insert, col("__row"))))
+        .when(col("__op") === "DELETE", array(change(Delete, col("__row"))))
+        .when(col("__op") === "UPDATE", array(
+          change(UpdateBefore, mergedBefore),
+          change(UpdateAfter, col("__row")))))
   }
 
   /** Decode a Maxwell JSON envelope stream — flink-formats/flink-json/
@@ -110,18 +115,15 @@ object Cdc {
     val parsed = raw.select(from_json(col("value"), envelope).as("e"))
       .select(lower(col("e.type")).as("__op"), (col("e.ts") * 1000L).as("cdc_ts"),
         col("e.data").as("__row"), col("e.old").as("__oldrow"))
-    val inserts = parsed.filter(col("__op") === "insert")
-      .select(lit(Insert).as(RowKind), col("cdc_ts"), col("__row.*"))
-    val deletes = parsed.filter(col("__op") === "delete")
-      .select(lit(Delete).as(RowKind), col("cdc_ts"), col("__row.*"))
-    val updAfter = parsed.filter(col("__op") === "update")
-      .select(lit(UpdateAfter).as(RowKind), col("cdc_ts"), col("__row.*"))
-    val mergedBefore = payloadSchema.fields.toSeq.map(f =>
+    val mergedBefore = struct(payloadSchema.fields.toSeq.map(f =>
       coalesce(col("__oldrow").getField(f.name), col("__row").getField(f.name))
-        .as(f.name))
-    val updBefore = parsed.filter(col("__op") === "update")
-      .select(lit(UpdateBefore).as(RowKind) +: col("cdc_ts") +: mergedBefore: _*)
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+        .as(f.name)): _*)
+    emit(parsed, col("cdc_ts"),
+      when(col("__op") === "insert", array(change(Insert, col("__row"))))
+        .when(col("__op") === "delete", array(change(Delete, col("__row"))))
+        .when(col("__op") === "update", array(
+          change(UpdateBefore, mergedBefore),
+          change(UpdateAfter, col("__row")))))
   }
 
   /** Decode an Oracle GoldenGate (Ogg) JSON envelope stream —
@@ -136,15 +138,12 @@ object Cdc {
     val parsed = raw.select(from_json(col("value"), envelope).as("e"))
       .withColumn("cdc_ts",
         (unix_micros(to_timestamp(col("e.current_ts"))) / 1000L).cast("long"))
-    val inserts = parsed.filter(upper(col("e.op_type")) === "I")
-      .select(lit(Insert).as(RowKind), col("cdc_ts"), col("e.after.*"))
-    val deletes = parsed.filter(upper(col("e.op_type")) === "D")
-      .select(lit(Delete).as(RowKind), col("cdc_ts"), col("e.before.*"))
-    val updBefore = parsed.filter(upper(col("e.op_type")) === "U")
-      .select(lit(UpdateBefore).as(RowKind), col("cdc_ts"), col("e.before.*"))
-    val updAfter = parsed.filter(upper(col("e.op_type")) === "U")
-      .select(lit(UpdateAfter).as(RowKind), col("cdc_ts"), col("e.after.*"))
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+    emit(parsed, col("cdc_ts"),
+      when(upper(col("e.op_type")) === "I", array(change(Insert, col("e.after"))))
+        .when(upper(col("e.op_type")) === "D", array(change(Delete, col("e.before"))))
+        .when(upper(col("e.op_type")) === "U", array(
+          change(UpdateBefore, col("e.before")),
+          change(UpdateAfter, col("e.after")))))
   }
 
   /** Drop -U rows (flink-table-runtime .../misc/DropUpdateBeforeFunction

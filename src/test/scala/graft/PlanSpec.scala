@@ -69,6 +69,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected explode of change rows:\n$p")
   }
 
+  test("CDC decoders are ONE pass over the envelope source (no 4-way union)") {
+    // each query synthesizes its envelopes from 3 branches over orders;
+    // the decoder must not multiply them (the old 4-branch filter+union
+    // shape re-read the source per change kind: 12 scans, a 4x scan tax
+    // at 100 TB of CDC)
+    for (q <- Seq("q103_cdc_materialize", "q110_canal_cdc_materialize",
+        "q111_maxwell_cdc_materialize", "q112_ogg_cdc_materialize")) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan") || l.contains("Scan parquet"))
+      assert(scans == 3, s"$q: expected 3 envelope-synthesis scans, got $scans:\n$p")
+      assert(p.contains("Generate"), s"$q: expected explode of change rows:\n$p")
+    }
+  }
+
   test("q78: top-k aggregate combines map-side (partial before the exchange)") {
     val p = plan("q78_topk_partial_agg")
     // ObjectHashAggregate appears twice: partial (pre-shuffle) + final
