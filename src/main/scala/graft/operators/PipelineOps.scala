@@ -518,7 +518,10 @@ object PipelineOps extends QueryModule {
         import s.implicits._
         val pairs = jaccardPairsCapped(s, d, minJaccardPct = 20, maxDf = 20)
           .select($"a_id".as("src"), $"b_id".as("dst"))
-        graft.operators.GraphOps.connectedComponents(s, pairs)
+        // log-rounds CC (large-star/small-star): min-label propagation is
+        // O(diameter) rounds and a chain-shaped dup cluster at 100 TB
+        // stalls it — GraphSpec pins the 64-hop-chain-in-15-rounds behavior
+        graft.operators.GraphOps.connectedComponentsLogRounds(s, pairs)
           .groupBy($"comp")
           .agg(count(lit(1)).as("n_docs"), min($"v").as("keep_id"))
           .select($"comp".as("cluster"), $"n_docs", $"keep_id")
@@ -685,7 +688,8 @@ object PipelineOps extends QueryModule {
         import s.implicits._
         val pairs = jaccardPairsCapped(s, d, minJaccardPct = 20, maxDf = 20)
           .select($"a_id".as("src"), $"b_id".as("dst"))
-        val comp = graft.operators.GraphOps.connectedComponents(s, pairs)
+        // log-rounds CC — same scale rationale as q79
+        val comp = graft.operators.GraphOps.connectedComponentsLogRounds(s, pairs)
         val quality = Tables.documents(s, d)
           .select($"doc_id", size(expr(tokensExpr)).cast("long").as("n_tokens"))
         val w = Window.partitionBy($"comp")
