@@ -380,7 +380,13 @@ object WatermarkDdl {
     require(spark.catalog.tableExists(base), s"no extended table $table")
     val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    val df = spark.readStream.table(base)
+    // a 'connector' option binds the stream to an external source (kafka/
+    // datagen/filesystem); the parquet base then only carries the schema
+    val df = props.get("connector") match {
+      case Some(_) => graft.sources.ConnectorDdl.readStream(
+        spark, spark.table(base).schema, props.filterNot(p => isInternalProp(p._1)))
+      case None => spark.readStream.table(base)
+    }
     val withComputed = props.get("graft.computed") match {
       case Some(spec) =>
         val exprs = spec.split(";;").toSeq.map { entry =>

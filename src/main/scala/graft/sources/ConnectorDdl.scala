@@ -1,0 +1,270 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SQL-connector routing for DDL-declared tables: a `'connector'=...`
+  * entry in a table's WITH clause binds the table name to an external
+  * source instead of its parquet base. The option vocabulary follows the
+  * reference's factory options (flink-connectors/flink-connector-kafka/
+  * .../table/KafkaConnectorOptions.java, flink-table/flink-table-api-java-bridge/
+  * .../datagen/DataGenConnectorOptions.java, flink-connector-files
+  * .../table/FileSystemTableFactory.java); the execution side is Spark's
+  * own sources (`format("kafka")`, `format("rate")`, file readers).
+  */
+object ConnectorDdl {
+
+  /** The declared connector of a DDL table, if any. */
+  def connectorOf(options: Map[String, String]): Option[String] =
+    options.get("connector").map(_.trim.toLowerCase)
+
+  /** Raw streaming frame for a connector table (no computed columns /
+    * watermark yet — WatermarkDdl.readStream layers those). `schema` is
+    * the table's declared physical schema. */
+  def readStream(spark: SparkSession, schema: StructType,
+      options: Map[String, String]): DataFrame =
+    connectorOf(options) match {
+      case Some("kafka") =>
+        KafkaConnector.decode(
+          spark.readStream.format("kafka")
+            .options(KafkaConnector.sourceOptions(options)).load(),
+          schema, KafkaConnector.valueFormat(options))
+      case Some("datagen") => DataGenConnector.readStream(spark, schema, options)
+      case Some("filesystem") =>
+        val (path, fmt) = FileSystemConnector.pathFormat(options)
+        spark.readStream.format(fmt).schema(schema).load(path)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported connector '$other'")
+      case None =>
+        throw new IllegalArgumentException("table declares no connector")
+    }
+
+  /** Bounded read of a connector table (batch side of the same DDL). */
+  def read(spark: SparkSession, schema: StructType,
+      options: Map[String, String]): DataFrame =
+    connectorOf(options) match {
+      case Some("kafka") =>
+        KafkaConnector.decode(
+          spark.read.format("kafka")
+            .options(KafkaConnector.sourceOptions(options)).load(),
+          schema, KafkaConnector.valueFormat(options))
+      case Some("datagen") => DataGenConnector.read(spark, schema, options)
+      case Some("filesystem") =>
+        val (path, fmt) = FileSystemConnector.pathFormat(options)
+        spark.read.format(fmt).schema(schema).load(path)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported connector '$other'")
+      case None =>
+        throw new IllegalArgumentException("table declares no connector")
+    }
+}
+
+/** `'connector'='kafka'` option mapping + payload decode — the
+  * KafkaDynamicTableFactory role (reference KafkaSource.java:87). The
+  * mapping itself is pure and offline-testable; actually starting a query
+  * additionally needs the spark-sql-kafka connector jar and a broker. */
+object KafkaConnector {
+
+  /** Flink kafka source options -> Spark `format("kafka")` options. */
+  def sourceOptions(opts: Map[String, String]): Map[String, String] = {
+    val bootstrap = opts.getOrElse("properties.bootstrap.servers",
+      throw new IllegalArgumentException(
+        "kafka connector requires 'properties.bootstrap.servers'"))
+    val topic = opts.get("topic")
+    val pattern = opts.get("topic-pattern")
+    require(topic.isDefined ^ pattern.isDefined,
+      "kafka connector requires exactly one of 'topic' or 'topic-pattern'")
+    val subscription = topic
+      // Flink separates multiple topics with ';', Spark subscribe with ','
+      .map(t => "subscribe" -> t.split(";").map(_.trim).filter(_.nonEmpty).mkString(","))
+      .getOrElse("subscribePattern" -> pattern.get)
+    val startup = opts.getOrElse("scan.startup.mode", "latest-offset") match {
+      case "earliest-offset" => Map("startingOffsets" -> "earliest")
+      case "latest-offset"   => Map("startingOffsets" -> "latest")
+      case "timestamp" =>
+        val ts = opts.getOrElse("scan.startup.timestamp-millis",
+          throw new IllegalArgumentException(
+            "scan.startup.mode=timestamp requires 'scan.startup.timestamp-millis'"))
+        Map("startingTimestamp" -> ts)
+      case "specific-offsets" =>
+        val spec = opts.getOrElse("scan.startup.specific-offsets",
+          throw new IllegalArgumentException(
+            "scan.startup.mode=specific-offsets requires 'scan.startup.specific-offsets'"))
+        val t = topic.getOrElse(throw new IllegalArgumentException(
+          "specific-offsets startup requires a single 'topic'"))
+        require(!t.contains(";"), "specific-offsets startup requires a single 'topic'")
+        Map("startingOffsets" -> specificOffsetsJson(t, spec))
+      case "group-offsets" => throw new IllegalArgumentException(
+        "scan.startup.mode=group-offsets has no Spark equivalent " +
+          "(committed group offsets are not a Spark starting point); " +
+          "use earliest-offset, latest-offset, timestamp or specific-offsets")
+      case other => throw new IllegalArgumentException(
+        s"unknown scan.startup.mode '$other'")
+    }
+    // properties.* pass through to the kafka client (Spark prefixes with
+    // kafka.); bootstrap already mapped above
+    val passthrough = opts.collect {
+      case (k, v) if k.startsWith("properties.") &&
+        k != "properties.bootstrap.servers" =>
+        s"kafka.${k.stripPrefix("properties.")}" -> v
+    }
+    Map("kafka.bootstrap.servers" -> bootstrap) + subscription ++ startup ++ passthrough
+  }
+
+  /** Flink `'partition:0,offset:42;partition:1,offset:300'` -> Spark's
+    * startingOffsets JSON `{"topic":{"0":42,"1":300}}`. */
+  private[sources] def specificOffsetsJson(topic: String, spec: String): String = {
+    val entries = spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      val kv = e.split(",").map(_.trim.split(":", 2)).collect {
+        case Array(k, v) => k.trim -> v.trim
+      }.toMap
+      val p = kv.getOrElse("partition", throw new IllegalArgumentException(
+        s"specific-offsets entry '$e' misses partition"))
+      val o = kv.getOrElse("offset", throw new IllegalArgumentException(
+        s"specific-offsets entry '$e' misses offset"))
+      s""""$p":$o"""
+    }
+    s"""{"$topic":{${entries.mkString(",")}}}"""
+  }
+
+  /** Sink side: Flink kafka sink options -> Spark kafka writer options. */
+  def sinkOptions(opts: Map[String, String]): Map[String, String] = {
+    val bootstrap = opts.getOrElse("properties.bootstrap.servers",
+      throw new IllegalArgumentException(
+        "kafka connector requires 'properties.bootstrap.servers'"))
+    val topic = opts.getOrElse("topic", throw new IllegalArgumentException(
+      "kafka sink requires a single 'topic'"))
+    require(!topic.contains(";"), "kafka sink requires a single 'topic'")
+    Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic)
+  }
+
+  /** Declared payload format ('value.format' wins over 'format'). */
+  def valueFormat(opts: Map[String, String]): String =
+    opts.get("value.format").orElse(opts.get("format")).getOrElse("json")
+      .trim.toLowerCase
+
+  /** Decode kafka wire rows (key/value binary + metadata) into the
+    * declared row schema — the DeserializationSchema role. Works on any
+    * frame with a binary `value` column, so it is testable without a
+    * broker. */
+  def decode(raw: DataFrame, schema: StructType, format: String): DataFrame =
+    format match {
+      case "json" =>
+        raw.select(from_json(col("value").cast("string"), schema).as("r"))
+          .select(col("r.*"))
+      case "csv" =>
+        raw.select(from_csv(col("value").cast("string"), schema,
+          Map.empty[String, String]).as("r")).select(col("r.*"))
+      case "raw" =>
+        require(schema.fields.length == 1,
+          s"raw format requires a single-column schema, got ${schema.fieldNames.mkString(",")}")
+        val f = schema.fields.head
+        raw.select(col("value").cast(f.dataType).as(f.name))
+      case "avro" => AvroFormat.decode(raw.select(col("value")), schema)
+      case other => throw new IllegalArgumentException(
+        s"unsupported kafka value format '$other' (json, csv, raw, avro)")
+    }
+}
+
+/** `'connector'='datagen'` -> Spark's `rate` source + per-column
+  * generator expressions (reference DataGenTableSource.java). Generators
+  * are DETERMINISTIC functions of the rate source's row number, so a
+  * restarted query regenerates identical data for replayed offsets. */
+object DataGenConnector {
+
+  def readStream(spark: SparkSession, schema: StructType,
+      options: Map[String, String]): DataFrame = {
+    val rps = options.getOrElse("rows-per-second", "10000")
+    require(!options.contains("number-of-rows"),
+      "datagen 'number-of-rows' bounds the source; use batch read for " +
+        "bounded generation (a rate stream is unbounded)")
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load() // (timestamp, value)
+    project(rate, schema, options)
+  }
+
+  /** Bounded batch generation ('number-of-rows', default 1000). */
+  def read(spark: SparkSession, schema: StructType,
+      options: Map[String, String]): DataFrame = {
+    val n = options.getOrElse("number-of-rows", "1000").toLong
+    val base = spark.range(n).select(
+      current_timestamp().as("timestamp"), col("id").as("value"))
+    project(base, schema, options)
+  }
+
+  private def project(base: DataFrame, schema: StructType,
+      options: Map[String, String]): DataFrame =
+    base.select(schema.fields.toSeq.map(f => generator(f, options)): _*)
+
+  /** One column's generator: `fields.<col>.kind` = random (default) |
+    * sequence, with min/max (random numerics), start/end (sequence),
+    * length (random strings). */
+  private def generator(f: StructField, options: Map[String, String]): Column = {
+    def opt(key: String) = options.get(s"fields.${f.name}.$key")
+    val kind = opt("kind").getOrElse(
+      if (f.dataType == TimestampType) "now" else "random")
+    val row = col("value") // global row number from the rate source
+    // deterministic per-column 63-bit hash of the row number
+    val h = abs(xxhash64(lit(f.name), row))
+    val c: Column = (kind, f.dataType) match {
+      case ("sequence", _) =>
+        val start = opt("start").map(_.toLong).getOrElse(0L)
+        // Flink's sequence generator ENDS at `end`; a stream cannot end,
+        // so the sequence wraps — documented deviation
+        opt("end").map(_.toLong) match {
+          case Some(end) => lit(start) + pmod(row, lit(end - start + 1))
+          case None      => lit(start) + row
+        }
+      case ("now", TimestampType) => col("timestamp")
+      case ("random", t) => t match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val min = opt("min").map(_.toLong).getOrElse(0L)
+          val max = opt("max").map(_.toLong).getOrElse(
+            defaultMax(t))
+          lit(min) + pmod(h, lit(max - min + 1))
+        case FloatType | DoubleType =>
+          val min = opt("min").map(_.toDouble).getOrElse(0.0)
+          val max = opt("max").map(_.toDouble).getOrElse(1.0)
+          lit(min) + (h.cast("double") / lit(Long.MaxValue.toDouble)) *
+            lit(max - min)
+        case BooleanType => pmod(h, lit(2)) === 1
+        case StringType =>
+          val len = opt("length").map(_.toInt).getOrElse(100)
+          // md5 hex repeated to the requested length
+          substring(concat_ws("", (0 until (len / 32 + 1)).map(i =>
+            md5(concat(lit(f.name), lit(i), row.cast("string")))): _*), 1, len)
+        case TimestampType => col("timestamp")
+        case other => throw new IllegalArgumentException(
+          s"datagen: no random generator for column ${f.name}: $other")
+      }
+      case (k, _) => throw new IllegalArgumentException(
+        s"datagen: unknown kind '$k' for column ${f.name}")
+    }
+    c.cast(f.dataType).as(f.name)
+  }
+
+  private def defaultMax(t: DataType): Long = t match {
+    case ByteType => Byte.MaxValue.toLong
+    case ShortType => Short.MaxValue.toLong
+    case IntegerType => Int.MaxValue.toLong
+    case _ => Int.MaxValue.toLong // a full-long range overflows the modulus
+  }
+}
+
+/** `'connector'='filesystem'` -> Spark's file sources. */
+object FileSystemConnector {
+  private[sources] def pathFormat(opts: Map[String, String]): (String, String) = {
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      "filesystem connector requires 'path'"))
+    val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
+      "filesystem connector requires 'format'")) match {
+      case f @ ("parquet" | "json" | "csv" | "orc" | "text") => f
+      case "avro" => "graft-avro" // the repo's DSv2 avro connector
+      case "protobuf" | "proto" => "graft-proto"
+      case other => throw new IllegalArgumentException(
+        s"unsupported filesystem format '$other'")
+    }
+    (path, fmt)
+  }
+}
