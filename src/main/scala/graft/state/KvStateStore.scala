@@ -123,9 +123,23 @@ class KvStateStoreProvider extends StateStoreProvider {
     this.storeId = stateStoreId
     this.keySchema = keySchema
     this.valueSchema = valueSchema
+    // normalize the root to a bare path: the streaming runtime and the
+    // offline `statestore` reader spell the same checkpoint differently
+    // (file:/x vs /x), and the namespace IS the store identity
+    val root = new org.apache.hadoop.fs.Path(
+      stateStoreId.checkpointRootLocation).toUri.getPath
     this.kv = InMemoryKvService.namespace(
-      s"${stateStoreId.checkpointRootLocation}/${stateStoreId.operatorId}/" +
+      s"$root/${stateStoreId.operatorId}/" +
         s"${stateStoreId.partitionId}/${stateStoreId.storeName}")
+    // keep the checkpoint layout ENUMERABLE: offline state tooling (the
+    // `statestore` batch source) discovers partitions by listing
+    // state/<op>/<partition>/ directories — rows live in the KV, but the
+    // empty marker directory must exist on the checkpoint filesystem
+    scala.util.Try {
+      val dir = new org.apache.hadoop.fs.Path(
+        stateStoreId.storeCheckpointLocation(), "_kv")
+      dir.getFileSystem(hadoopConf).mkdirs(dir.getParent)
+    }
   }
 
   override def stateStoreId: StateStoreId = storeId

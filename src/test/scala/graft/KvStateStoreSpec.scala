@@ -40,6 +40,38 @@ class KvStateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("offline state read over a KvStateStoreProvider checkpoint") {
+    // savepoint-reader parity for the PSL-analog backend: the same
+    // `statestore` batch source that reads HDFS-backed checkpoints reads
+    // a checkpoint whose state lives in the KV service (the provider is
+    // resolved from the session conf, the KV is the durable store)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKvService.clearAll()
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "graft.state.KvStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-ckpt").toString
+      val in = MemoryStream[(String, Long)]
+      val agg = in.toDF().toDF("k", "v").groupBy("k").count()
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("kvr_out").start()
+      in.addData(("a", 1L), ("b", 1L), ("a", 1L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.read.format("statestore").load(ckpt)
+        .selectExpr("key.k", "value.count").as[(String, Long)].collect().toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L), s"offline KV state read: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("kv service tombstone delete semantics") {
     val kv = InMemoryKvService.namespace("spec-ns")
     kv.put("k1".getBytes, "v1".getBytes)

@@ -28,4 +28,36 @@ class StateReaderSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(rows == Map("a" -> 2L, "b" -> 1L), s"state was: $rows")
   }
+
+  test("savepoint bootstrap: offline-written state seeds a new streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-bootstrap").toString
+    // write per-key COUNT state that no replayable input produced —
+    // the State Processor API's distinguishing power
+    graft.state.StateBootstrap.writeAggregationState(
+      spark, ckpt,
+      Seq(("a", 40L), ("b", 7L)).toDF("k", "count"),
+      keyCols = Seq("k"))
+
+    // the engine's own offline reader sees the bootstrapped rows
+    val seeded = spark.read.format("statestore").load(ckpt)
+      .selectExpr("key.k", "value.count").as[(String, Long)].collect().toMap
+    assert(seeded == Map("a" -> 40L, "b" -> 7L), s"bootstrapped state: $seeded")
+
+    // a FRESH query starts from the checkpoint: its first micro-batch
+    // must aggregate ON TOP of the bootstrapped counts
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("k").groupBy("k").count()
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("bs_out").start()
+    try {
+      in.addData("a", "a", "c")
+      q.processAllAvailable()
+      val out = spark.table("bs_out").as[(String, Long)].collect().toMap
+      assert(out == Map("a" -> 42L, "b" -> 7L, "c" -> 1L),
+        s"first batch must reflect bootstrapped state: $out")
+    } finally q.stop()
+  }
 }
