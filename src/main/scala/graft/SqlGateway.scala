@@ -1,0 +1,221 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.jdk.CollectionConverters._
+
+/** SQL gateway — the REST service role of flink-table/flink-sql-gateway
+  * (SqlGatewayRestEndpoint: sessions, statements as operations, paged
+  * result fetch). The endpoint surface follows the reference's v1 REST
+  * API shape:
+  *
+  *   GET    /v1/info                                   -> product/version
+  *   POST   /v1/sessions                               -> {sessionHandle}
+  *   DELETE /v1/sessions/{sh}                          -> close
+  *   POST   /v1/sessions/{sh}/statements               -> {operationHandle}
+  *   GET    /v1/sessions/{sh}/operations/{oh}/status   -> {status}
+  *   GET    /v1/sessions/{sh}/operations/{oh}/result/{token}
+  *            -> {resultType, columns, data, nextToken?}
+  *
+  * Statements run through [[Engine.sql]], so the WHOLE extended surface
+  * (window TVFs, temporal joins, MATCH_RECOGNIZE, extended DDL,
+  * statement sets) is reachable over HTTP. Execution is synchronous on a
+  * pool (the reference runs operations async too, exposing status
+  * polling — preserved here: status is RUNNING until the frame
+  * materializes, then FINISHED/ERROR). Built on the JDK's HttpServer:
+  * zero dependencies beyond the JVM.
+  */
+class SqlGateway(spark: SparkSession, port: Int = 0) {
+
+  private case class Operation(
+      @volatile var status: String, // RUNNING | FINISHED | ERROR
+      @volatile var error: String = null,
+      @volatile var columns: Seq[String] = Nil,
+      @volatile var rows: Seq[Seq[Any]] = Nil)
+
+  private val sessions = new ConcurrentHashMap[String, ConcurrentHashMap[String, Operation]]()
+  private val pool = Executors.newFixedThreadPool(4)
+  private val PageSize = 1000
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/v1", handler)
+    s.setExecutor(Executors.newFixedThreadPool(4))
+    s.start()
+    s
+  }
+
+  /** Bound port (for port=0 auto-assignment). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def close(): Unit = { server.stop(0); pool.shutdownNow() }
+
+  // ---- JSON helpers (emit only; requests carry the statement as a JSON
+  // object with a "statement" field, extracted with a targeted scan) ----
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => if (n.isNaN || n.isInfinite) jstr(n.toString) else n.toString
+    case n: Double => if (n.isNaN || n.isInfinite) jstr(n.toString) else n.toString
+    case n: java.math.BigDecimal => n.toPlainString
+    case other => jstr(String.valueOf(other))
+  }
+
+  /** Value of a top-level string field in a JSON object body — enough
+    * for the gateway's single-field requests, no JSON library needed. */
+  private[graft] def stringField(body: String, field: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*\"")
+      .matcher(body)
+    if (!m.find()) return None
+    val sb = new StringBuilder
+    var i = m.end()
+    var done = false
+    while (!done && i < body.length) {
+      body.charAt(i) match {
+        case '\\' if i + 1 < body.length =>
+          body.charAt(i + 1) match {
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'u' if i + 5 < body.length =>
+              sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case c => sb.append(c)
+          }
+          i += 2
+        case '"' => done = true
+        case c => sb.append(c); i += 1
+      }
+    }
+    Some(sb.toString)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handler: HttpHandler = (ex: HttpExchange) => {
+    try route(ex)
+    catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"errors":[${jstr(String.valueOf(t.getMessage))}]}""")
+    }
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/")
+    val method = ex.getRequestMethod
+    val parts = path.split("/").filter(_.nonEmpty).toList
+    (method, parts) match {
+      case ("GET", List("info")) =>
+        respond(ex, 200, s"""{"productName":"graft","version":"${spark.version}"}""")
+
+      case ("POST", List("sessions")) =>
+        val sh = UUID.randomUUID().toString
+        sessions.put(sh, new ConcurrentHashMap[String, Operation]())
+        respond(ex, 200, s"""{"sessionHandle":"$sh"}""")
+
+      case ("DELETE", List("sessions", sh)) =>
+        sessions.remove(sh)
+        respond(ex, 200, s"""{"status":"CLOSED"}""")
+
+      case ("POST", List("sessions", sh, "statements")) =>
+        val ops = sessions.get(sh)
+        if (ops == null) { respond(ex, 404, """{"errors":["unknown session"]}"""); return }
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        stringField(body, "statement") match {
+          case None => respond(ex, 400, """{"errors":["missing 'statement'"]}""")
+          case Some(stmt) =>
+            val oh = UUID.randomUUID().toString
+            val op = Operation("RUNNING")
+            ops.put(oh, op)
+            pool.submit(new Runnable {
+              override def run(): Unit =
+                try {
+                  val df: DataFrame = Engine.sql(spark, stmt)
+                  op.columns = df.schema.fieldNames.toSeq
+                  op.rows = df.collect().toSeq.map(r =>
+                    (0 until r.length).map(i => r.get(i)))
+                  op.status = "FINISHED"
+                } catch {
+                  case t: Throwable =>
+                    op.error = String.valueOf(t.getMessage)
+                    op.status = "ERROR"
+                }
+            })
+            respond(ex, 200, s"""{"operationHandle":"$oh"}""")
+        }
+
+      case ("GET", List("sessions", sh, "operations", oh, "status")) =>
+        opOf(sh, oh) match {
+          case None => respond(ex, 404, """{"errors":["unknown operation"]}""")
+          case Some(op) => respond(ex, 200, s"""{"status":"${op.status}"}""")
+        }
+
+      case ("GET", List("sessions", sh, "operations", oh, "result", tokenStr)) =>
+        opOf(sh, oh) match {
+          case None => respond(ex, 404, """{"errors":["unknown operation"]}""")
+          case Some(op) => op.status match {
+            case "RUNNING" => respond(ex, 200, """{"resultType":"NOT_READY"}""")
+            case "ERROR" =>
+              respond(ex, 200,
+                s"""{"resultType":"ERROR","errors":[${jstr(op.error)}]}""")
+            case _ =>
+              val token = tokenStr.toInt
+              val page = op.rows.slice(token * PageSize, (token + 1) * PageSize)
+              val data = page.map(r => "[" + r.map(jval).mkString(",") + "]")
+                .mkString("[", ",", "]")
+              val cols = op.columns.map(jstr).mkString("[", ",", "]")
+              val next =
+                if ((token + 1) * PageSize < op.rows.length)
+                  s""","nextToken":${token + 1}""" else ""
+              respond(ex, 200,
+                s"""{"resultType":"PAYLOAD","columns":$cols,"data":$data$next}""")
+          }
+        }
+
+      case _ => respond(ex, 404, """{"errors":["no such route"]}""")
+    }
+  }
+
+  private def opOf(sh: String, oh: String): Option[Operation] =
+    Option(sessions.get(sh)).flatMap(m => Option(m.get(oh)))
+}
+
+object SqlGateway {
+  /** CLI entry: start the gateway over the fixture catalog and block.
+    * Usage: runMain graft.SqlGateway <sfDir> [port]. */
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session()
+    Engine.openCatalog(spark, args(0))
+    val gw = new SqlGateway(spark, if (args.length > 1) args(1).toInt else 8083)
+    println(s"graft sql gateway listening on ${gw.boundPort}")
+    Thread.currentThread().join()
+  }
+}

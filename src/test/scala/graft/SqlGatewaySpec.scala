@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** REST SQL gateway over HTTP on loopback: session lifecycle, statement
+  * execution through Engine.sql (extended dialect included), status
+  * polling, paged result fetch, error propagation — the
+  * flink-sql-gateway endpoint surface. */
+class SqlGatewaySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val catalogReady = { Engine.openCatalog(spark, TestSpark.sf); true }
+
+  private def call(port: Int, method: String, path: String,
+      body: Option[String] = None): (Int, String) = {
+    val c = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    body.foreach { b =>
+      c.setDoOutput(true)
+      val os = c.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val code = c.getResponseCode
+    val in = if (code < 400) c.getInputStream else c.getErrorStream
+    val text = if (in == null) "" else
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    (code, text)
+  }
+
+  private def field(json: String, name: String): String = {
+    val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]+)\"").r
+    m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+      fail(s"no $name in: $json"))
+  }
+
+  private def awaitResult(port: Int, sh: String, oh: String,
+      token: Int = 0, deadlineMs: Long = 30000): String = {
+    val end = System.currentTimeMillis() + deadlineMs
+    var last = ""
+    while (System.currentTimeMillis() < end) {
+      val (_, r) = call(port, "GET", s"/v1/sessions/$sh/operations/$oh/result/$token")
+      last = r
+      if (!r.contains("NOT_READY")) return r
+      Thread.sleep(50)
+    }
+    fail(s"operation not finished in time: $last")
+  }
+
+  test("session -> statement -> result flow, extended SQL included") {
+    assert(catalogReady)
+    val gw = new SqlGateway(spark, 0)
+    try {
+      val port = gw.boundPort
+      val (ic, info) = call(port, "GET", "/v1/info")
+      assert(ic == 200 && info.contains("graft"), info)
+
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+
+      // plain SQL over the fixture catalog
+      val (_, op1) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"}"""))
+      val r1 = awaitResult(port, sh, field(op1, "operationHandle"))
+      assert(r1.contains("\"resultType\":\"PAYLOAD\""), r1)
+      assert(r1.contains("\"columns\":[\"r_regionkey\",\"r_name\"]"), r1)
+      assert(r1.contains("[0,"), r1)
+
+      // extended dialect reaches the same front door (window TVF)
+      val (_, op2) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT unix_seconds(window_start) AS s, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES)) GROUP BY window_start ORDER BY s LIMIT 3"}"""))
+      val r2 = awaitResult(port, sh, field(op2, "operationHandle"))
+      assert(r2.contains("PAYLOAD") && r2.contains("\"n\""), r2)
+
+      // errors surface as ERROR results, not broken connections
+      val (_, op3) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT * FROM no_such_table_xyz"}"""))
+      val r3 = awaitResult(port, sh, field(op3, "operationHandle"))
+      assert(r3.contains("\"resultType\":\"ERROR\""), r3)
+
+      // status endpoint reports the terminal state
+      val (_, st) = call(port, "GET",
+        s"/v1/sessions/$sh/operations/${field(op3, "operationHandle")}/status")
+      assert(st.contains("ERROR"), st)
+
+      val (dc, _) = call(port, "DELETE", s"/v1/sessions/$sh")
+      assert(dc == 200)
+      val (nc, _) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT 1"}"""))
+      assert(nc == 404, "closed session must be gone")
+    } finally gw.close()
+  }
+
+  test("results page with nextToken until exhausted") {
+    assert(catalogReady)
+    val gw = new SqlGateway(spark, 0)
+    try {
+      val port = gw.boundPort
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+      // 2500 rows -> pages of 1000: tokens 0,1 carry nextToken, 2 ends
+      val (_, op) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT id FROM range(2500) ORDER BY id"}"""))
+      val oh = field(op, "operationHandle")
+      val p0 = awaitResult(port, sh, oh, token = 0)
+      assert(p0.contains("\"nextToken\":1"), p0)
+      val p1 = awaitResult(port, sh, oh, token = 1)
+      assert(p1.contains("\"nextToken\":2"), p1)
+      val p2 = awaitResult(port, sh, oh, token = 2)
+      assert(!p2.contains("nextToken"), p2)
+      val total = Seq(p0, p1, p2).map(p =>
+        "\\[\\d+\\]".r.findAllIn(p).length).sum
+      assert(total == 2500, s"paged rows: $total")
+    } finally gw.close()
+  }
+}
