@@ -38,19 +38,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
-    * reader only accepts as a raw long (spark.sql.legacy.parquet.nanosAsLong).
-    * We expose both the ns long (`ts_ns`), the µs long (`ts_us`) and a proper
-    * µs timestamp column (`ts`), truncating ns→µs exactly like a
-    * TIMESTAMP_NS→TIMESTAMP cast does, so oracle SQL can match bit-for-bit.
+  /** events.parquet has shipped `ts` in two physical layouts across driver
+    * generations: parquet TIMESTAMP(NANOS), which Spark's reader only
+    * accepts as a raw long (spark.sql.legacy.parquet.nanosAsLong), and
+    * plain TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ. Either way we
+    * expose the same three columns — the ns long (`ts_ns`), the µs long
+    * (`ts_us`) and a proper µs timestamp (`ts`) — so operators and oracle
+    * SQL (DuckDB `epoch_ns(ts)` = µs·1000 on a micros file) match
+    * bit-for-bit. The session timezone is pinned UTC, making the NTZ→
+    * TIMESTAMP cast the identity on the stored micros, exactly how DuckDB
+    * treats the naive timestamp.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    apply(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        val cols = raw.columns.map {
+          case "ts" =>
+            (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts_ns")
+          case c => col(c)
+        }
+        raw.select(cols.toIndexedSeq: _*)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    }
   }
 }
 
