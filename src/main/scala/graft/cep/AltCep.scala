@@ -1,0 +1,314 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Row-pattern ALTERNATION (`A | B`) and PERMUTE — the SQL:2016
+  * MATCH_RECOGNIZE grammar beyond Flink 1.16's own scope (its
+  * parserImpls.ftl has no alternation production; Oracle's row-pattern
+  * matching and the standard define both).
+  *
+  * Compilation is VARIANT ENUMERATION, which is the standard's own
+  * definitional semantics: SQL:2016 19075-5 defines
+  * `PERMUTE(P1, ..., Pn)` as exactly the alternation of all n!
+  * permutations in lexicographic order, and an alternation matches when
+  * any one branch matches, preferring earlier branches. So a pattern
+  * tree containing [[GroupCep.Alt]]/[[Permute]] nodes expands into an
+  * ordered list of alternation-free variants, each compiled onto the
+  * existing linear NFA ([[GroupCep.compileWithBases]]) — quantifiers,
+  * nested groups, strict contiguity and until() all compose for free.
+  * All variants fold onto the SAME logical step ids (ids are assigned by
+  * leaf position in the ORIGINAL tree; a PERMUTE operand keeps one id
+  * across every permutation), so callers see one mask/step contract.
+  *
+  * Execution runs the variants in LOCKSTEP over each key's events: one
+  * run-list per variant, every event offered to each variant's NFA with
+  * per-variant `AfterMatch.NoSkip`, and the query's after-match skip
+  * strategy applied GLOBALLY — a match found by one variant prunes the
+  * other variants' runs too, exactly as the standard treats alternation
+  * as one pattern, not independent patterns. Preference order for the
+  * emitted match under SKIP PAST LAST ROW: earliest start, then longest,
+  * then earliest variant (= leftmost alternation branch, the standard's
+  * preferment).
+  *
+  * Scope: alternation inside an UNBOUNDED group (`(A | B)+`) is
+  * rejected — a variant fixes the branch choice across loop traversals,
+  * which would silently under-match; bounded repetition `(A | B){m,n}`
+  * is supported by inlining copies (each copy chooses independently).
+  * Cost: the variant count multiplies NFA state; it is capped (720 =
+  * PERMUTE of 6) and each variant's expansion keeps the 64-step mask
+  * bound.
+  */
+object AltCep {
+  import Cep._
+  import GroupCep._
+
+  val MaxVariants = 720
+
+  final case class CompiledAlt(variants: IndexedSeq[Compiled], nLogical: Int,
+      after: AfterMatch) {
+    require(variants.nonEmpty, "alternation enumerated zero non-empty variants")
+    def within: Long = variants.head.pattern.within
+
+    /** Merge LOGICAL bound events to per-step sorted time arrays. */
+    def stepTimesOf(bound: Seq[BoundEv]): Seq[Seq[Long]] =
+      (0 until nLogical).map(i => bound.filter(_.step == i).map(_.t).sorted)
+
+    /** Feed one event to every variant's run-list; returns the new
+      * per-variant runs and the emitted matches as LOGICAL bound-event
+      * lists (expanded steps already folded, duplicates across variants
+      * removed), in preference order. */
+    private[graft] def offerAll(runs: IndexedSeq[List[Run]], t: Long,
+        logicalMask: Long, tie: Long = 0L)
+        : (IndexedSeq[List[Run]], List[List[BoundEv]]) = {
+      val results = variants.indices.map { v =>
+        Cep.offer(variants(v).pattern, runs(v), t,
+          variants(v).expandMask(logicalMask), tie)
+      }
+      var newRuns = results.map(_._1)
+      val completed: List[(Int, List[BoundEv])] =
+        variants.indices.flatMap(v => results(v)._2.map(b => (v, b))).toList
+      val emitted = after match {
+        case AfterMatch.NoSkip => completed
+        case AfterMatch.SkipPastLast =>
+          if (completed.isEmpty) Nil
+          else { // one winner; every variant's partial state is discarded
+            val w = completed.minBy { case (v, b) => (b.last.t, -b.size, v) }
+            newRuns = variants.indices.map(_ => List.empty[Run])
+            List(w)
+          }
+        case AfterMatch.SkipToNext =>
+          if (completed.isEmpty) Nil
+          else {
+            val starts = completed.map(_._2.last.t).toSet
+            newRuns = newRuns.map(_.filterNot(r => starts.contains(startT(r))))
+            completed
+          }
+        case other => throw new IllegalStateException(
+          s"$other is rejected at compile time for alternation patterns")
+      }
+      val folded = emitted
+        .sortBy { case (v, b) => (b.last.t, -b.size, v) }
+        .map { case (v, b) =>
+          b.map(ev => BoundEv(variants(v).fold(ev.step), ev.t, ev.tie))
+        }
+        .distinct
+      (newRuns, folded)
+    }
+  }
+
+  private def containsAlt(n: PatNode): Boolean = n match {
+    case Leaf(_) => false
+    case Alt(_) | Permute(_) => true
+    case Group(ch, _, _) => ch.exists(containsAlt)
+  }
+
+  private def leafCountAll(n: PatNode): Int = n match {
+    case Permute(ops) => ops.map(leafCountAll).sum
+    case Leaf(_) => 1
+    case Alt(bs) => bs.map(_.map(leafCountAll).sum).sum
+    case Group(ch, _, _) => ch.map(leafCountAll).sum
+  }
+
+  /** All ways to cross one choice per element, preserving element order;
+    * earlier choices of earlier elements come first (preference order). */
+  private def cross[A](xs: Seq[Seq[Seq[A]]]): Seq[Seq[A]] =
+    xs.foldLeft(Seq(Seq.empty[A])) { (acc, choices) =>
+      for (a <- acc; c <- choices) yield a ++ c
+    }
+
+  /** Enumerate a node's alternation-free variants as (node, logicalBase)
+    * sequences. `base` is the node's logical id base in the ORIGINAL
+    * tree; all variants of one node share it. */
+  private def nodeVariants(n: PatNode, base: Int): Seq[Seq[(PatNode, Int)]] =
+    n match {
+      case l @ Leaf(_) => Seq(Seq((l, base)))
+      case g @ Group(ch, min, max) =>
+        if (!containsAlt(g)) Seq(Seq((g, base)))
+        else if (max == -1) throw new IllegalArgumentException(
+          "alternation inside an unbounded (oneOrMore) group is not " +
+            "supported — a variant would fix the branch across loop " +
+            "traversals; use a bounded repetition (A | B){m,n} instead")
+        else {
+          // inline the copies so each repetition chooses independently
+          val bodyChoices = seqVariants(ch, base)
+          (min to max).flatMap(c => cross(Seq.fill(c)(bodyChoices)))
+        }
+      case Alt(branches) =>
+        var b = base
+        branches.flatMap { br =>
+          val out = seqVariants(br, b)
+          b += br.map(leafCountAll).sum
+          out
+        }
+      case Permute(ops) =>
+        // operands keep their ORIGINAL-order logical bases in every
+        // permutation; enumeration order is lexicographic on operand
+        // indices — exactly the standard's PERMUTE expansion order
+        val bases = ops.scanLeft(base)((b, o) => b + leafCountAll(o)).init
+        val opChoices = ops.indices.map(i => nodeVariants(ops(i), bases(i)))
+        ops.indices.toIndexedSeq.permutations.toSeq.flatMap { perm =>
+          cross(perm.map(i => opChoices(i)))
+        }
+    }
+
+  private def seqVariants(nodes: Seq[PatNode], base: Int): Seq[Seq[(PatNode, Int)]] = {
+    var b = base
+    val perNode = nodes.map { n =>
+      val out = nodeVariants(n, b)
+      b += leafCountAll(n)
+      out
+    }
+    cross(perNode)
+  }
+
+  /** Compile a pattern tree that may contain Alt/Permute nodes. */
+  def compile(nodes: Seq[PatNode], within: Long = 0L,
+      after: AfterMatch = AfterMatch.SkipPastLast,
+      maxRuns: Int = 64): CompiledAlt = {
+    require(nodes.nonEmpty, "pattern needs at least one node")
+    after match {
+      case AfterMatch.SkipToFirst(_) | AfterMatch.SkipToLast(_) =>
+        throw new IllegalArgumentException(
+          "SkipToFirst/SkipToLast are not supported with alternation " +
+            "(step identity is ambiguous across branches)")
+      case _ => ()
+    }
+    val nLogical = nodes.map(leafCountAll).sum
+    val vs = seqVariants(nodes, 0).distinct
+    val nonEmpty = vs.filter(_.nonEmpty)
+    require(nonEmpty.nonEmpty,
+      "alternation enumerated no non-empty variants (all-optional pattern)")
+    require(nonEmpty.size <= MaxVariants,
+      s"alternation enumerates ${nonEmpty.size} variants — the cap is " +
+        s"$MaxVariants (PERMUTE of 6); simplify the pattern")
+    // per-variant NoSkip: the global skip strategy is applied across
+    // variants by CompiledAlt.offerAll
+    CompiledAlt(
+      nonEmpty.map(v => GroupCep.compileWithBases(
+        v, nLogical, within, AfterMatch.NoSkip, maxRuns)).toIndexedSeq,
+      nLogical, after)
+  }
+
+  /** Drive the compiled matcher over one key's time-ordered
+    * (t, logicalMask) events — the spec surface, mirroring GroupCep.run. */
+  private[graft] def run(c: CompiledAlt, events: Seq[(Long, Long)])
+      : List[Seq[Seq[Long]]] = {
+    var runs: IndexedSeq[List[Run]] = c.variants.map(_ => List.empty[Run])
+    val out = List.newBuilder[Seq[Seq[Long]]]
+    events.foreach { case (t, mask) =>
+      val (nr, done) = c.offerAll(runs, t, mask)
+      runs = nr
+      done.foreach(b => out += c.stepTimesOf(b))
+    }
+    out.result()
+  }
+
+  /** Batch executor: same (key, t, mask, tie) contract as Cep.matchBatch
+    * with LOGICAL masks; same secondary-sort execution (one shuffle, one
+    * ordered pass, memory O(variants * maxRuns) per key). */
+  def matchBatch(spark: SparkSession, events: DataFrame, c: CompiledAlt): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("t").cast("long"),
+        col("mask").cast("long"), col("tie").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var runs: IndexedSeq[List[Run]] = c.variants.map(_ => List.empty[Run])
+        it.flatMap { case (k, t, mask, tie) =>
+          if (!started || k != curKey) {
+            runs = c.variants.map(_ => List.empty[Run]); curKey = k; started = true
+          }
+          val (nr, done) = c.offerAll(runs, t, mask, tie)
+          runs = nr
+          done.map(b => (k, c.stepTimesOf(b)))
+        }
+      }
+      .toDF("key", "step_times")
+  }
+
+  /** Like `matchBatch` but preserving each match's bound events with
+    * LOGICAL step ids — (key, match_no, bound: array<struct<step, t,
+    * tie>>), the MEASURES/ALL-ROWS raw material (mirrors
+    * Cep.matchBatchBound; the fold already happened). */
+  def matchBatchBound(spark: SparkSession, events: DataFrame, c: CompiledAlt): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("t").cast("long"),
+        col("mask").cast("long"), col("tie").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var runs: IndexedSeq[List[Run]] = c.variants.map(_ => List.empty[Run])
+        var matchNo = 0L
+        it.flatMap { case (k, t, mask, tie) =>
+          if (!started || k != curKey) {
+            runs = c.variants.map(_ => List.empty[Run])
+            curKey = k; started = true; matchNo = 0L
+          }
+          val (nr, done) = c.offerAll(runs, t, mask, tie)
+          runs = nr
+          done.map { b =>
+            matchNo += 1
+            (k, matchNo, b.map(ev => (ev.step, ev.t, ev.tie)))
+          }
+        }
+      }
+      .toDF("key", "match_no", "bound")
+  }
+
+  /** Streaming executor: same watermark-gated buffer as Cep.matchStream
+    * (rows wait in state until the watermark passes, then feed the
+    * lockstep NFAs in exact (t, tie) order). State carries one run-list
+    * per variant. */
+  def matchStream(ds: Dataset[(Long, Long, Long, Long)], c: CompiledAlt,
+      delay: String = "0 seconds")(
+      implicit ek: Encoder[Long],
+      ets: Encoder[(Long, java.sql.Timestamp, Long, Long, Long)],
+      es: Encoder[(Seq[(Long, Long, Long)], Seq[List[Run]])],
+      eo: Encoder[(Long, Seq[Seq[Long]])]): Dataset[(Long, Seq[Seq[Long]])] = {
+    val withTs = ds
+      .map(r => (r._1, new java.sql.Timestamp(r._2 / 1000), r._2, r._3, r._4))
+      .withWatermark("_2", delay)
+    withTs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+            state: GroupState[(Seq[(Long, Long, Long)], Seq[List[Run]])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(
+            (Seq.empty[(Long, Long, Long)], c.variants.map(_ => List.empty[Run]): Seq[List[Run]]))
+          val pending0 = st._1
+          var runs: IndexedSeq[List[Run]] = st._2.toIndexedSeq
+          val fresh = rows.map(r => (r._3, r._4, r._5)).filter(_._1 / 1000 > wm)
+          val (ready, pending) = (pending0 ++ fresh).partition(_._1 / 1000 <= wm)
+          val out = List.newBuilder[(Long, Seq[Seq[Long]])]
+          ready.sortBy(r => (r._1, r._3)).foreach { case (t, mask, tie) =>
+            val (nr, done) = c.offerAll(runs, t, mask, tie)
+            runs = nr
+            done.foreach(b => out += ((key, c.stepTimesOf(b))))
+          }
+          if (c.within > 0)
+            runs = runs.map(_.filter(r => wm * 1000 - startT(r) <= c.within))
+          if (pending.isEmpty && runs.forall(_.isEmpty)) state.remove()
+          else {
+            state.update((pending, runs))
+            val dataT = pending.map(_._1 / 1000).minOption
+            val live = runs.flatten
+            val cleanT = if (c.within > 0 && live.nonEmpty)
+              Some(live.map(startT).min / 1000 + c.within / 1000 + 1)
+            else None
+            (dataT.toList ++ cleanT.toList).minOption
+              .foreach(t0 => state.setTimeoutTimestamp(math.max(t0, wm + 1)))
+          }
+          out.result().iterator
+      }
+  }
+}

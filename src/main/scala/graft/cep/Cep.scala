@@ -208,7 +208,7 @@ object Cep {
   final case class Run(pos: Int, cnt: Int, guards: Seq[Int], bound: Seq[BoundEv],
       closed: Boolean = false)
 
-  private def startT(r: Run): Long =
+  private[cep] def startT(r: Run): Long =
     if (r.bound.isEmpty) Long.MaxValue else r.bound.last.t
 
   /** Position a run at pattern index `from` after a successful consume,

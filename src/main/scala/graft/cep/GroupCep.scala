@@ -37,9 +37,30 @@ object GroupCep {
 
   /** Pattern tree: a Leaf is one NFA step, a Group repeats a sub-pattern
     * between `min` and `max` times as a whole (max = -1: oneOrMore —
-    * Flink's GroupPattern, which composes recursively). */
+    * Flink's GroupPattern, which composes recursively), an Alt matches
+    * exactly one of its branches (SQL row-pattern alternation `A | B`;
+    * PERMUTE is sugar — see AltCep). Alt compiles by variant enumeration
+    * in AltCep; the linear compiler below rejects it. */
   sealed trait PatNode
   final case class Leaf(step: StepDef) extends PatNode
+  final case class Alt(branches: IndexedSeq[IndexedSeq[PatNode]]) extends PatNode {
+    require(branches.size >= 2, "alternation needs at least two branches")
+    require(branches.forall(_.nonEmpty), "alternation branches cannot be empty")
+  }
+  /** PERMUTE(P1..Pn): matches the operands in any order, each exactly
+    * once (SQL:2016 defines it as the alternation of all n! permutations
+    * in lexicographic order). Unlike a raw [[Alt]] (whose branches carry
+    * DISTINCT logical ids), permutation branches share each operand's
+    * logical ids — the same operand is the same variable in every
+    * ordering. Compiled by AltCep. */
+  final case class Permute(operands: IndexedSeq[PatNode]) extends PatNode {
+    require(operands.size >= 2, "PERMUTE needs at least two operands")
+    require(operands.size <= 6,
+      "PERMUTE beyond 6 operands explodes (n! variants) — cap is 6")
+  }
+  object Permute {
+    def of(ops: PatNode*): Permute = Permute(ops.toIndexedSeq)
+  }
   final case class Group(nodes: IndexedSeq[PatNode], min: Int = 1, max: Int = 1)
       extends PatNode {
     require(nodes.nonEmpty, "a group needs at least one node")
@@ -134,7 +155,32 @@ object GroupCep {
   def compileNodes(nodes: Seq[PatNode], within: Long = 0L,
       after: AfterMatch = AfterMatch.SkipPastLast,
       maxRuns: Int = 64): Compiled = {
-    require(nodes.nonEmpty, "pattern needs at least one node")
+    var logical = 0
+    val based = nodes.map { n =>
+      val b = logical; logical += leafCountOf(n); (n, b)
+    }
+    compileWithBases(based, logical, within, after, maxRuns)
+  }
+
+  /** Logical (pre-expansion) leaf count of a node; Alt branches all
+    * contribute — every branch's variables are distinct logical steps —
+    * while Permute operands count once (shared across permutations). */
+  def leafCountOf(n: PatNode): Int = n match {
+    case Leaf(_) => 1
+    case Alt(bs) => bs.map(_.map(leafCountOf).sum).sum
+    case Permute(ops) => ops.map(leafCountOf).sum
+    case Group(ch, _, _) => ch.map(leafCountOf).sum
+  }
+
+  /** `compileNodes` with EXPLICIT logical bases per node and an explicit
+    * logical-step count — the entry AltCep's variant enumeration uses so
+    * every alternation-free variant folds onto the SAME logical ids as
+    * the original (alternation-bearing) tree, variables in unchosen
+    * branches simply binding nothing. */
+  def compileWithBases(based: Seq[(PatNode, Int)], nLogical: Int,
+      within: Long = 0L, after: AfterMatch = AfterMatch.SkipPastLast,
+      maxRuns: Int = 64): Compiled = {
+    require(based.nonEmpty, "pattern needs at least one node")
     after match {
       case AfterMatch.SkipToFirst(_) | AfterMatch.SkipToLast(_) =>
         throw new IllegalArgumentException(
@@ -149,24 +195,28 @@ object GroupCep {
 
     def sizeOf(n: PatNode): Int = n match {
       case Leaf(_) => 1
+      case Alt(_) | Permute(_) => throw new IllegalArgumentException(
+        "alternation does not compile onto the linear NFA directly — " +
+          "enumerate variants via AltCep.compile")
       case Group(ch, _, max) =>
         val body = ch.map(sizeOf).sum
         if (max == -1) body else max * body
     }
-    def leafCount(n: PatNode): Int = n match {
-      case Leaf(_) => 1
-      case Group(ch, _, _) => ch.map(leafCount).sum
-    }
+    def leafCount(n: PatNode): Int = leafCountOf(n)
     // the loop-back of an unbounded group anchors on its LAST expanded
     // step completing — that step must be mandatory (not inside an
     // optional copy span, not itself optional/unbounded), or traversals
     // could finish the group without ever arming the cycle
     def endsMandatory(n: PatNode): Boolean = n match {
       case Leaf(s) => s.quant == Quant.One && !s.negated
+      case Alt(_) | Permute(_) => false
       case Group(ch, min, max) => max != -1 && min == max && endsMandatory(ch.last)
     }
 
     def emit(node: PatNode, logicalBase: Int): Unit = node match {
+      case Alt(_) | Permute(_) => throw new IllegalArgumentException(
+        "alternation does not compile onto the linear NFA directly — " +
+          "enumerate variants via AltCep.compile")
       case Leaf(s) =>
         steps += s
         fold += logicalBase
@@ -194,8 +244,7 @@ object GroupCep {
         }
     }
 
-    var logical = 0
-    nodes.foreach { n => emit(n, logical); logical += leafCount(n) }
+    based.foreach { case (n, b) => emit(n, b) }
     require(steps.length <= 64,
       s"expanded pattern has ${steps.length} steps — the 64-bit mask is the " +
         "limit (lower the repetition bound)")
@@ -203,7 +252,7 @@ object GroupCep {
       Pattern(steps.toIndexedSeq, within, after, maxRuns,
         skipTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap,
         loopTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap),
-      fold.toIndexedSeq, logical)
+      fold.toIndexedSeq, nLogical)
   }
 
   /** Drive the compiled matcher over one key's time-ordered

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *                                           -- applies to the sub-pattern
   *                                           -- (GroupPattern.java; runs on
   *                                           -- the GroupCep expansion)
+  *           | ( A B | C )                   -- ALTERNATION (SQL:2016; beyond
+  *                                           -- Flink 1.16's grammar) — also
+  *                                           -- quantified: (A | B){m,n}
+  *           | PERMUTE(A, B[, ...])          -- operands in any order, each
+  *                                           -- once; = alternation of all
+  *                                           -- n! orders (AltCep)
   *   WITHIN <time units of the ORDER BY column>
   *   AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *              | SKIP TO FIRST <name> | SKIP TO LAST <name>
@@ -55,7 +61,23 @@ object MatchRecognize {
       after: Cep.AfterMatch,
       defines: Map[String, String],
       measures: Seq[Measure] = Nil,
-      groups: Seq[(Int, Int, Int, Int)] = Nil)
+      groups: Seq[(Int, Int, Int, Int)] = Nil,
+      /** Set when the PATTERN uses alternation (`A | B`) or
+        * `PERMUTE(...)`: the full pattern tree, executed through
+        * AltCep's variant enumeration. `steps` then lists the LEAVES in
+        * logical-id (DFS) order; a variable name may label several
+        * leaves (one per alternation branch it appears in). */
+      tree: Option[Seq[GroupCep.PatNode]] = None) {
+    /** name -> every logical leaf id it labels (names repeat across
+      * alternation branches; elsewhere the list is a singleton). */
+    lazy val nameIds: Map[String, Seq[Int]] =
+      steps.zipWithIndex.groupMap(_._1._1.toUpperCase)(_._2)
+        .view.mapValues(_.toSeq).toMap
+    def idsOf(name: String): Seq[Int] =
+      nameIds.getOrElse(name.toUpperCase,
+        throw new IllegalArgumentException(
+          s"MATCH_RECOGNIZE: unknown pattern variable $name"))
+  }
 
   private val PartitionRe = """(?is).*PARTITION\s+BY\s+(\w+).*""".r
   private val OrderRe = """(?is).*ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?(?:\s.*)?""".r
@@ -153,6 +175,127 @@ object MatchRecognize {
     (steps.result(), groups)
   }
 
+  /** Does a PATTERN body need the tree parser? Alternation bars and
+    * PERMUTE only — plain/grouped patterns keep the battle-tested flat
+    * path. */
+  private def needsTree(body: String): Boolean =
+    body.contains("|") ||
+      """(?i)\bPERMUTE\s*\(""".r.findFirstIn(body).isDefined
+
+  /** Recursive-descent parser for the SQL:2016 row-pattern grammar with
+    * alternation and PERMUTE:
+    *
+    *   alt  := seq ('|' seq)*
+    *   seq  := term+
+    *   term := NAME[quant] | '(' alt ')'[quant] | PERMUTE '(' seq (',' seq)* ')'
+    *
+    * Returns the pattern tree plus the leaves as (name, StepDef) in
+    * DFS/logical-id order (the same order AltCep assigns logical bases:
+    * alternation branches left to right, PERMUTE operands in written
+    * order). */
+  private def parsePatternTree(body: String)
+      : (Seq[GroupCep.PatNode], Seq[(String, Cep.StepDef)]) = {
+    import GroupCep.{Alt, Group, Leaf, PatNode, Permute}
+    val names = Seq.newBuilder[(String, Cep.StepDef)]
+    var i = 0
+    def ws(): Unit = while (i < body.length && body(i).isWhitespace) i += 1
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"PATTERN: $what at '${body.substring(math.min(i, body.length))}'")
+
+    /** Trailing group quantifier -> (min, max); (1,1) if absent. */
+    def groupQuant(): (Int, Int) =
+      GroupQuantRe.findPrefixMatchOf(body.substring(i)) match {
+        case Some(mch) =>
+          i += mch.end
+          mch.group(1) match {
+            case "+" | "+?" => (1, -1)
+            case "?" => (0, 1)
+            case t => t.stripPrefix("{").stripSuffix("}").split(",") match {
+              case Array(n) => (n.trim.toInt, n.trim.toInt)
+              case Array(a, b) => (a.trim.toInt, b.trim.toInt)
+              case _ => fail(s"bad quantifier $t")
+            }
+          }
+        case None => (1, 1)
+      }
+
+    def parseTerm(): Seq[PatNode] = {
+      ws()
+      if (i >= body.length) fail("expected a pattern term")
+      if (body(i) == '(') {
+        i += 1
+        val branches = parseAlt(')')
+        if (i >= body.length || body(i) != ')') fail("expected ')'")
+        i += 1
+        val (mn, mx) = groupQuant()
+        val inner: Seq[PatNode] =
+          if (branches.size == 1) branches.head
+          else Seq(Alt(branches.map(_.toIndexedSeq).toIndexedSeq))
+        if (mn == 1 && mx == 1) inner
+        else Seq(Group(inner.toIndexedSeq, mn, mx))
+      } else {
+        val permuteM = """(?i)^PERMUTE\s*\(""".r.findPrefixMatchOf(body.substring(i))
+        if (permuteM.isDefined) {
+          i += permuteM.get.end
+          val ops = Seq.newBuilder[PatNode]
+          var more = true
+          while (more) {
+            val op = parseSeq(Set(',', ')'))
+            require(op.nonEmpty, "PATTERN: empty PERMUTE operand")
+            ops += (if (op.size == 1) op.head else Group(op.toIndexedSeq))
+            if (i < body.length && body(i) == ',') i += 1
+            else more = false
+          }
+          if (i >= body.length || body(i) != ')') fail("expected ')' closing PERMUTE")
+          i += 1
+          Seq(Permute(ops.result().toIndexedSeq))
+        } else StepTok.findPrefixMatchOf(body.substring(i)) match {
+          case Some(mch) =>
+            val sd = stepOf(Option(mch.group(2)))
+            names += (mch.group(1) -> sd)
+            i += mch.end
+            Seq(Leaf(sd))
+          case None => fail("cannot parse")
+        }
+      }
+    }
+
+    def parseSeq(stop: Set[Char]): Seq[PatNode] = {
+      val out = Seq.newBuilder[PatNode]
+      ws()
+      while (i < body.length && !stop(body(i)) && body(i) != '|') {
+        out ++= parseTerm()
+        ws()
+      }
+      out.result()
+    }
+
+    def parseAlt(stop: Char): Seq[Seq[PatNode]] = {
+      val branches = Seq.newBuilder[Seq[PatNode]]
+      var more = true
+      while (more) {
+        val b = parseSeq(Set(stop))
+        require(b.nonEmpty, "PATTERN: empty alternation branch")
+        branches += b
+        if (i < body.length && body(i) == '|') i += 1
+        else more = false
+      }
+      branches.result()
+    }
+
+    val branches = parseAlt('\u0000') // sentinel: top level stops at end/'|' only
+    ws()
+    require(i >= body.length, s"PATTERN: trailing input at '${body.substring(i)}'")
+    val tree: Seq[PatNode] =
+      if (branches.size == 1) branches.head
+      else Seq(Alt(branches.map(_.toIndexedSeq).toIndexedSeq))
+    (tree, names.result())
+  }
+
+  /** Compile a tree clause onto the AltCep variant enumeration. */
+  private def compiledAlt(c: Clause): AltCep.CompiledAlt =
+    AltCep.compile(c.tree.get, within = c.within, after = c.after)
+
   /** Compile a clause with group spans onto the GroupCep expansion. */
   private def compiledGroups(c: Clause): GroupCep.Compiled = {
     val byStart = c.groups.map(g => g._1 -> g).toMap
@@ -184,7 +327,14 @@ object MatchRecognize {
       throw new IllegalArgumentException("MATCH_RECOGNIZE: missing PATTERN"))
     val pEnd = closeParen(clause, pStart.end)
     val patternBody = clause.substring(pStart.end, pEnd - 1).trim
-    val (steps, groups) = parsePattern(patternBody)
+    val (steps, groups, treeOpt) =
+      if (needsTree(patternBody)) {
+        val (tree, leaves) = parsePatternTree(patternBody)
+        (leaves, Nil, Some(tree))
+      } else {
+        val (s, g) = parsePattern(patternBody)
+        (s, g, None)
+      }
     require(steps.nonEmpty, "MATCH_RECOGNIZE: empty PATTERN")
     val within = clause match {
       case WithinRe(ms) => ms.toLong
@@ -237,7 +387,8 @@ object MatchRecognize {
       require(stepIdx.contains(m.variable),
         s"MATCH_RECOGNIZE: unknown pattern variable ${m.variable} in MEASURES")
     }
-    Clause(partition, order, tie, steps, within, after, defines, measures, groups)
+    Clause(partition, order, tie, steps, within, after, defines, measures,
+      groups, treeOpt)
   }
 
   /** Lower a parsed clause onto (tagged events, compiled pattern). */
@@ -259,7 +410,8 @@ object MatchRecognize {
   def run(spark: SparkSession, df: DataFrame, clause: String): DataFrame = {
     val c = parse(clause)
     val (events, pattern) = lower(df, c)
-    if (c.groups.isEmpty) Cep.matchBatch(spark, events, pattern)
+    if (c.tree.isDefined) AltCep.matchBatch(spark, events, compiledAlt(c))
+    else if (c.groups.isEmpty) Cep.matchBatch(spark, events, pattern)
     else GroupCep.matchBatch(spark, events, compiledGroups(c))
   }
 
@@ -283,18 +435,29 @@ object MatchRecognize {
     val stepIdx = c.steps.map(_._1).zipWithIndex.toMap
 
     // group clauses run on the expanded pattern; measures then test step
-    // membership against the logical variable's SET of expanded copies
-    val compOpt = if (c.groups.isEmpty) None else Some(compiledGroups(c))
-    def inStepOf(i: Int): org.apache.spark.sql.Column = compOpt match {
-      case None => col("__step") === lit(i)
-      case Some(cp) =>
-        val ids = cp.fold.zipWithIndex.collect { case (li, j) if li == i => j.toLong }
+    // membership against the logical variable's SET of expanded copies.
+    // Tree (alternation/PERMUTE) clauses emit LOGICAL ids already — a
+    // variable's ids are its leaves across branches (c.idsOf).
+    val altOpt = c.tree.map(_ => compiledAlt(c))
+    val compOpt =
+      if (c.tree.isDefined || c.groups.isEmpty) None else Some(compiledGroups(c))
+    def inStepOf(i: Int): org.apache.spark.sql.Column =
+      if (altOpt.isDefined) {
+        val ids = c.idsOf(c.steps(i)._1).map(_.toLong)
         col("__step").isin(ids: _*)
-    }
-    val bound = (compOpt match {
-      case None => Cep.matchBatchBound(spark, events, pattern)
-      case Some(cp) => Cep.matchBatchBound(spark,
-        events.withColumn("mask", cp.expandMaskCol(col("mask"))), cp.pattern)
+      } else compOpt match {
+        case None => col("__step") === lit(i)
+        case Some(cp) =>
+          val ids = cp.fold.zipWithIndex.collect { case (li, j) if li == i => j.toLong }
+          col("__step").isin(ids: _*)
+      }
+    val bound = (altOpt match {
+      case Some(ca) => AltCep.matchBatchBound(spark, events, ca)
+      case None => compOpt match {
+        case None => Cep.matchBatchBound(spark, events, pattern)
+        case Some(cp) => Cep.matchBatchBound(spark,
+          events.withColumn("mask", cp.expandMaskCol(col("mask"))), cp.pattern)
+      }
     })
       .select(col("key"), col("match_no"), explode(col("bound")).as("b"))
       .select(col("key"), col("match_no"),
@@ -460,16 +623,22 @@ object MatchRecognize {
       "MATCH_RECOGNIZE: ALL ROWS PER MATCH requires ORDER BY <time>, <unique tie>")
     val (events, pattern) = lower(df, c)
     // with groups the bound steps are EXPANDED indices: classify via the
-    // expanded->logical name table (copies share their variable's name)
-    val compOpt = if (c.groups.isEmpty) None else Some(compiledGroups(c))
+    // expanded->logical name table (copies share their variable's name);
+    // tree clauses emit LOGICAL ids, whose names are c.steps in order
+    val altOpt = c.tree.map(_ => compiledAlt(c))
+    val compOpt =
+      if (c.tree.isDefined || c.groups.isEmpty) None else Some(compiledGroups(c))
     val names = compOpt.map(cp => cp.fold.map(li => c.steps(li)._1))
       .getOrElse(c.steps.map(_._1))
     val classifier = array(names.map(lit): _*)
 
-    val bound = (compOpt match {
-      case None => Cep.matchBatchBound(spark, events, pattern)
-      case Some(cp) => Cep.matchBatchBound(spark,
-        events.withColumn("mask", cp.expandMaskCol(col("mask"))), cp.pattern)
+    val bound = (altOpt match {
+      case Some(ca) => AltCep.matchBatchBound(spark, events, ca)
+      case None => compOpt match {
+        case None => Cep.matchBatchBound(spark, events, pattern)
+        case Some(cp) => Cep.matchBatchBound(spark,
+          events.withColumn("mask", cp.expandMaskCol(col("mask"))), cp.pattern)
+      }
     })
       .select(col("key"), col("match_no"), explode(col("bound")).as("b"))
       .select(col("key"), col("match_no"),
@@ -505,7 +674,11 @@ object MatchRecognize {
       ExpressionEncoder[(Seq[(Long, Long, Long)], List[Cep.Run])]()
     implicit val eo: org.apache.spark.sql.Encoder[(Long, Seq[Seq[Long]])] =
       ExpressionEncoder[(Long, Seq[Seq[Long]])]()
-    if (c.groups.isEmpty)
+    if (c.tree.isDefined) {
+      implicit val esv: org.apache.spark.sql.Encoder[(Seq[(Long, Long, Long)], Seq[List[Cep.Run]])] =
+        ExpressionEncoder[(Seq[(Long, Long, Long)], Seq[List[Cep.Run]])]()
+      AltCep.matchStream(events.as[(Long, Long, Long, Long)], compiledAlt(c), delay)
+    } else if (c.groups.isEmpty)
       Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern, delay)
     else
       GroupCep.matchStream(events.as[(Long, Long, Long, Long)],

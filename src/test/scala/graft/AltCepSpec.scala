@@ -1,0 +1,190 @@
+package graft
+
+import graft.cep.{AltCep, Cep, GroupCep}
+import graft.cep.Cep.{AfterMatch, Quant, StepDef}
+import graft.cep.GroupCep.{Alt, Group, Leaf, Permute}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-pattern ALTERNATION and PERMUTE (SQL:2016 grammar beyond Flink
+  * 1.16's MATCH_RECOGNIZE scope): variant enumeration onto the linear
+  * NFA, lockstep execution, global after-match skip, batch/stream
+  * equivalence. */
+class AltCepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def m(bits: Int*): Long = bits.foldLeft(0L)((a, b) => a | (1L << b))
+  private def leaf(q: Quant = Quant.One) = Leaf(StepDef(q))
+
+  // S (A | B) P — logical ids S=0 A=1 B=2 P=3
+  private val sAltP = Seq(
+    leaf(), Alt(IndexedSeq(IndexedSeq(leaf()), IndexedSeq(leaf()))), leaf())
+
+  test("S (A|B) P NO SKIP: each branch is its own way to match") {
+    val c = AltCep.compile(sAltP, after = AfterMatch.NoSkip)
+    assert(c.variants.size == 2 && c.nLogical == 4)
+    val got = AltCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(2)), (4L, m(3)))).toSet
+    assert(got == Set(
+      Seq(Seq(1L), Seq(2L), Seq(), Seq(4L)),   // S A P
+      Seq(Seq(1L), Seq(), Seq(3L), Seq(4L)))) // S B P
+  }
+
+  test("SKIP PAST LAST ROW is global: one winner, leftmost branch preferred") {
+    val c = AltCep.compile(sAltP, after = AfterMatch.SkipPastLast)
+    // both branches complete on p@4 with equal start and length: the A
+    // branch (earlier alternation branch) must win, and ALL variants'
+    // partial state must be discarded
+    val got = AltCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(2)), (4L, m(3)), (5L, m(3))))
+    assert(got == List(Seq(Seq(1L), Seq(2L), Seq(), Seq(4L))))
+  }
+
+  test("global skip prunes the OTHER variant's runs too") {
+    val c = AltCep.compile(sAltP, after = AfterMatch.SkipPastLast)
+    // s@1 a@2 p@3 completes via A; the B-variant run seeded at s@1 must
+    // not survive to match b@4 p@5 (its start was consumed by the match)
+    val got = AltCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(3)), (4L, m(2)), (5L, m(3))))
+    assert(got == List(Seq(Seq(1L), Seq(2L), Seq(), Seq(3L))))
+  }
+
+  test("PERMUTE(A,B): operands share logical ids across orderings") {
+    val c = AltCep.compile(Seq(Permute.of(leaf(), leaf())),
+      after = AfterMatch.NoSkip)
+    assert(c.variants.size == 2 && c.nLogical == 2)
+    val ab = AltCep.run(c, Seq((1L, m(0)), (2L, m(1))))
+    assert(ab == List(Seq(Seq(1L), Seq(2L))))
+    val ba = AltCep.run(c, Seq((1L, m(1)), (2L, m(0))))
+    assert(ba == List(Seq(Seq(2L), Seq(1L)))) // A bound later, same column
+    val aba = AltCep.run(c, Seq((1L, m(0)), (2L, m(1)), (3L, m(0)))).toSet
+    assert(aba == Set(
+      Seq(Seq(1L), Seq(2L)),   // A@1 B@2
+      Seq(Seq(3L), Seq(2L)))) // B@2 A@3
+  }
+
+  test("PERMUTE(A,B,C): 6 variants, any arrival order matches") {
+    val c = AltCep.compile(Seq(Permute.of(leaf(), leaf(), leaf())),
+      after = AfterMatch.SkipPastLast)
+    assert(c.variants.size == 6)
+    val got = AltCep.run(c, Seq((1L, m(2)), (2L, m(0)), (3L, m(1))))
+    assert(got == List(Seq(Seq(2L), Seq(3L), Seq(1L)))) // C@1 A@2 B@3
+  }
+
+  test("quantified branches: (A{2} | B)") {
+    val c = AltCep.compile(Seq(
+      Alt(IndexedSeq(IndexedSeq(leaf(Quant.Times(2))), IndexedSeq(leaf())))),
+      after = AfterMatch.NoSkip)
+    val viaA = AltCep.run(c, Seq((1L, m(0)), (2L, m(0))))
+    assert(viaA.contains(Seq(Seq(1L, 2L), Seq())))
+    val viaB = AltCep.run(c, Seq((1L, m(1))))
+    assert(viaB == List(Seq(Seq(), Seq(1L))))
+  }
+
+  test("(A|B){2}: each bounded-group copy chooses independently") {
+    val c = AltCep.compile(Seq(
+      Group(IndexedSeq(Alt(IndexedSeq(IndexedSeq(leaf()), IndexedSeq(leaf())))), 2, 2)),
+      after = AfterMatch.SkipPastLast)
+    assert(c.variants.size == 4) // AA AB BA BB
+    val got = AltCep.run(c, Seq((1L, m(0)), (2L, m(1))))
+    assert(got == List(Seq(Seq(1L), Seq(2L)))) // A then B — mixed choice
+  }
+
+  test("lockstep NoSkip equals the union of independently-run variants") {
+    val c = AltCep.compile(sAltP, after = AfterMatch.NoSkip)
+    // independent ground truth: each alternation-free variant compiled
+    // and run alone (shared logical ids), results unioned + deduped
+    val vA = GroupCep.compileWithBases(
+      Seq((leaf(), 0), (leaf(), 1), (leaf(), 3)), 4, after = AfterMatch.NoSkip)
+    val vB = GroupCep.compileWithBases(
+      Seq((leaf(), 0), (leaf(), 2), (leaf(), 3)), 4, after = AfterMatch.NoSkip)
+    val rnd = new scala.util.Random(7)
+    val events = (1L to 60L).map { t =>
+      val bits = (0 to 3).filter(_ => rnd.nextDouble() < 0.35)
+      (t, m(bits: _*))
+    }
+    val got = AltCep.run(c, events).toSet
+    val want = (GroupCep.run(vA, events) ++ GroupCep.run(vB, events)).toSet
+    assert(got == want)
+  }
+
+  test("within horizon applies per match across variants") {
+    val c = AltCep.compile(sAltP, within = 2L, after = AfterMatch.NoSkip)
+    // s@1 expired by t=5; s@4 is in-horizon for b@5 p@6
+    val got = AltCep.run(c, Seq(
+      (1L, m(0)), (4L, m(0)), (5L, m(2)), (6L, m(3))))
+    assert(got == List(Seq(Seq(4L), Seq(), Seq(5L), Seq(6L))))
+  }
+
+  test("compile guards: unbounded-group alternation, skip-to, variant cap") {
+    val alt = Alt(IndexedSeq(IndexedSeq(leaf()), IndexedSeq(leaf())))
+    assertThrows[IllegalArgumentException] { // (A|B)+ fixes the choice
+      AltCep.compile(Seq(Group(IndexedSeq(alt), 1, -1)))
+    }
+    assertThrows[IllegalArgumentException] {
+      AltCep.compile(sAltP, after = AfterMatch.SkipToFirst(0))
+    }
+    assertThrows[IllegalArgumentException] { // 2+4+...+2^10 variants
+      AltCep.compile(Seq(Group(IndexedSeq(alt), 1, 10)))
+    }
+  }
+
+  test("batch executor: per-key lockstep over the secondary sort") {
+    import spark.implicits._
+    val c = AltCep.compile(sAltP, after = AfterMatch.SkipPastLast)
+    val rows = Seq(
+      (10L, 1L, m(0), 1L), (10L, 2L, m(1), 2L), (10L, 3L, m(3), 3L),
+      (20L, 1L, m(0), 4L), (20L, 2L, m(2), 5L), (20L, 3L, m(3), 6L))
+    val got = AltCep.matchBatch(spark,
+        rows.toDF("key", "t", "mask", "tie"), c)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(got == Set(
+      (10L, Seq(Seq(1L), Seq(2L), Seq(), Seq(3L))),   // via A
+      (20L, Seq(Seq(1L), Seq(), Seq(2L), Seq(3L)))))  // via B
+  }
+
+  test("matchBatchBound: logical step ids in the bound events") {
+    import spark.implicits._
+    val c = AltCep.compile(Seq(Permute.of(leaf(), leaf())),
+      after = AfterMatch.SkipPastLast)
+    val rows = Seq((1L, 1L, m(1), 1L), (1L, 2L, m(0), 2L))
+    val got = AltCep.matchBatchBound(spark,
+        rows.toDF("key", "t", "mask", "tie"), c)
+      .as[(Long, Long, Seq[(Int, Long, Long)])].collect().toSeq
+    // bound events are newest-first (Cep.matchBatchBound contract);
+    // B@1 is logical step 1, A@2 logical step 0 — folded per ordering
+    assert(got == Seq((1L, 1L, Seq((0, 2L, 2L), (1, 1L, 1L)))))
+  }
+
+  test("streaming matches batch across watermark-delayed batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val c = AltCep.compile(sAltP, after = AfterMatch.SkipPastLast)
+    // key 20's event times sit past key 10's: batch 1 advances the
+    // watermark to 3s, and rows at/below it would be (correctly)
+    // dropped as late
+    val rows = Seq(
+      (10L, 1000000L, m(0), 1L), (10L, 2000000L, m(1), 2L),
+      (10L, 3000000L, m(3), 3L),
+      (20L, 11000000L, m(0), 4L), (20L, 12000000L, m(2), 5L),
+      (20L, 13000000L, m(3), 6L))
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = AltCep.matchStream(in.toDS(), c, "0 seconds")
+      .writeStream.format("memory").queryName("altcep_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(3))
+      q.processAllAvailable()
+      in.addData(rows.drop(3))
+      q.processAllAvailable()
+      in.addData((99L, 99000000L, 0L, 9L)) // advance watermark past all rows
+      q.processAllAvailable()
+      val got = spark.table("altcep_stream")
+        .as[(Long, Seq[Seq[Long]])].collect().toSet
+      val want = AltCep.matchBatch(spark,
+          rows.toDF("key", "t", "mask", "tie"), c)
+        .as[(Long, Seq[Seq[Long]])].collect().toSet
+      assert(got == want && want.size == 2)
+    } finally q.stop()
+  }
+}

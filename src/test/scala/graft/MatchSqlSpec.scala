@@ -134,4 +134,124 @@ class MatchSqlSpec extends AnyFunSuite {
       WHERE n_clicks > 5
     """).count() == 0)
   }
+
+  // --- SQL:2016 alternation + PERMUTE (beyond Flink 1.16's grammar) ---
+
+  private def altFixture(): Unit = {
+    import spark.implicits._
+    // u1 reaches buy via addcart, u2 via promo, u3 never buys
+    Seq(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "addcart"), (1L, 30L, 3L, "buy"),
+      (2L, 10L, 4L, "signup"), (2L, 20L, 5L, "promo"), (2L, 30L, 6L, "buy"),
+      (3L, 10L, 7L, "signup"), (3L, 20L, 8L, "promo"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("mr_alt_events")
+  }
+
+  test("alternation: (S (A | B) P) measures the branch that matched") {
+    import spark.implicits._
+    altFixture()
+    val got = Engine.sql(spark, s"""
+      SELECT uid, a_t, b_t, p_t FROM mr_alt_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES FIRST(A.t) AS a_t, FIRST(B.t) AS b_t, LAST(P.t) AS p_t
+        ONE ROW PER MATCH
+        PATTERN (S (A | B) P)
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE S AS typ = 'signup', A AS typ = 'addcart',
+               B AS typ = 'promo', P AS typ = 'buy'
+      ) ORDER BY uid
+    """).as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some(20L), None, 30L),   // via the A branch
+      (2L, None, Some(20L), 30L))) // via the B branch; u3 no match
+  }
+
+  test("PERMUTE(A, B): both arrival orders match, operands keep identity") {
+    import spark.implicits._
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 1L, "click"), (1L, 20L, 2L, "view"),
+      (2L, 10L, 3L, "view"), (2L, 20L, 4L, "click"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("mr_perm_events")
+    val got = Engine.sql(spark, s"""
+      SELECT uid, a_t, b_t FROM mr_perm_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES FIRST(A.t) AS a_t, FIRST(B.t) AS b_t
+        ONE ROW PER MATCH
+        PATTERN (PERMUTE(A, B))
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE A AS typ = 'click', B AS typ = 'view'
+      ) ORDER BY uid
+    """).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 20L), (2L, 20L, 10L)))
+  }
+
+  test("ALL ROWS PER MATCH classifies alternation-branch variables") {
+    import spark.implicits._
+    altFixture()
+    val got = Engine.sql(spark, s"""
+      SELECT uid, classifier, t FROM mr_alt_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        ALL ROWS PER MATCH
+        PATTERN (S (A | B) P)
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE S AS typ = 'signup', A AS typ = 'addcart',
+               B AS typ = 'promo', P AS typ = 'buy'
+      ) ORDER BY uid, t
+    """).as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "S", 10L), (1L, "A", 20L), (1L, "P", 30L),
+      (2L, "S", 10L), (2L, "B", 20L), (2L, "P", 30L)))
+  }
+
+  test("a variable repeated across branches folds into one measure") {
+    import spark.implicits._
+    // (A X | B X): X labels a leaf in EACH branch; COUNT(X.*) and
+    // FIRST(X.t) must see whichever leaf the matching branch bound
+    Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "x"),
+      (2L, 10L, 3L, "b"), (2L, 20L, 4L, "x"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("mr_rep_events")
+    val got = Engine.sql(spark, s"""
+      SELECT uid, n_x, x_t FROM mr_rep_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES COUNT(X.*) AS n_x, FIRST(X.t) AS x_t
+        ONE ROW PER MATCH
+        PATTERN ((A X | B X))
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE A AS typ = 'a', B AS typ = 'b', X AS typ = 'x'
+      ) ORDER BY uid
+    """).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 20L), (2L, 1L, 20L)))
+  }
+
+  test("quantified alternation (A | B){2} and the unbounded rejection") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("mr_q_events")
+    val got = Engine.sql(spark, s"""
+      SELECT uid, n_a, n_b FROM mr_q_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+        ONE ROW PER MATCH
+        PATTERN ((A | B){2})
+        AFTER MATCH SKIP PAST LAST ROW
+        DEFINE A AS typ = 'a', B AS typ = 'b'
+      )
+    """).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L))) // copy 1 chose A, copy 2 chose B
+    assertThrows[IllegalArgumentException] {
+      MatchRecognize.run(spark, spark.table("mr_q_events"), """
+        PARTITION BY uid
+        ORDER BY t, eid
+        PATTERN ((A | B)+)
+        DEFINE A AS typ = 'a', B AS typ = 'b'
+      """)
+    }
+  }
 }
