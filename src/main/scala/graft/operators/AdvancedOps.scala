@@ -823,9 +823,150 @@ object AdvancedOps extends QueryModule {
         |FROM r ORDER BY user_id, match_no, t, classifier
         |""".stripMargin)))
 
+  /** SQL:2016 row-pattern ALTERNATION and PERMUTE — grammar beyond Flink
+    * 1.16's MATCH_RECOGNIZE parser (its parserImpls.ftl has no
+    * alternation production), run through AltCep's variant enumeration.
+    * Both patterns use only One-quantified steps, so the NFA semantics
+    * ("each variable binds the FIRST qualifying event after the previous
+    * binding; a completed match prunes same-start runs under SKIP TO
+    * NEXT ROW; completions on the same event all emit") are exactly
+    * SQL-characterizable -> full rows+schema+hash oracles. */
+  private lazy val altQueries: Seq[GQuery] = Seq(
+    GQuery(
+      // S (C | V) P through the full SQL front door: each signup seeds
+      // BOTH branches; whichever branch completes on an earlier purchase
+      // wins (the completed match's start prunes the sibling run), and
+      // same-purchase completions emit both classifications.
+      "q126_cep_alternation",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT user_id, s_us, coalesce(c_us, -1) AS c_us,
+                 coalesce(v_us, -1) AS v_us, p_us
+          FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES S.ts_us AS s_us, FIRST(C.ts_us) AS c_us,
+                     FIRST(V.ts_us) AS v_us, LAST(P.ts_us) AS p_us
+            ONE ROW PER MATCH
+            PATTERN (S (C | V) P)
+            WITHIN 604800000000
+            AFTER MATCH SKIP TO NEXT ROW
+            DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+                   V AS event_type = 'view', P AS event_type = 'purchase'
+          ) ORDER BY user_id, s_us
+        """)
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |fc AS (SELECT s.user_id, s.s_us, MIN(x.us) AS x_us
+        |       FROM s JOIN e x ON x.user_id = s.user_id
+        |        AND x.event_type = 'click' AND x.us > s.s_us
+        |       GROUP BY 1, 2),
+        |fv AS (SELECT s.user_id, s.s_us, MIN(x.us) AS x_us
+        |       FROM s JOIN e x ON x.user_id = s.user_id
+        |        AND x.event_type = 'view' AND x.us > s.s_us
+        |       GROUP BY 1, 2),
+        |pc AS (SELECT fc.user_id, fc.s_us, fc.x_us, MIN(p.us) AS p_us
+        |       FROM fc JOIN e p ON p.user_id = fc.user_id
+        |        AND p.event_type = 'purchase' AND p.us > fc.x_us
+        |        AND p.us - fc.s_us <= 604800000000
+        |       GROUP BY 1, 2, 3),
+        |pv AS (SELECT fv.user_id, fv.s_us, fv.x_us, MIN(p.us) AS p_us
+        |       FROM fv JOIN e p ON p.user_id = fv.user_id
+        |        AND p.event_type = 'purchase' AND p.us > fv.x_us
+        |        AND p.us - fv.s_us <= 604800000000
+        |       GROUP BY 1, 2, 3),
+        |b AS (SELECT COALESCE(pc.user_id, pv.user_id) AS user_id,
+        |             COALESCE(pc.s_us, pv.s_us) AS s_us,
+        |             pc.x_us AS c_x, pc.p_us AS c_p,
+        |             pv.x_us AS v_x, pv.p_us AS v_p
+        |      FROM pc FULL JOIN pv
+        |        ON pv.user_id = pc.user_id AND pv.s_us = pc.s_us)
+        |SELECT user_id, s_us, c_x AS c_us, CAST(-1 AS BIGINT) AS v_us,
+        |       c_p AS p_us
+        |FROM b WHERE c_p IS NOT NULL AND (v_p IS NULL OR c_p <= v_p)
+        |UNION ALL
+        |SELECT user_id, s_us, CAST(-1 AS BIGINT), v_x, v_p
+        |FROM b WHERE v_p IS NOT NULL AND (c_p IS NULL OR v_p <= c_p)
+        |ORDER BY user_id, s_us
+        |""".stripMargin)),
+
+    GQuery(
+      // S PERMUTE(C, V) P: click and view in either order between signup
+      // and purchase. The two permutations are the alternation's
+      // branches; C/V keep their identity (shared logical ids) in both,
+      // so the measures report which event bound where per ordering.
+      "q127_cep_permute",
+      (s, d) => {
+        import s.implicits._
+        import graft.cep.MatchRecognize
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+        MatchRecognize.runMeasures(s, ev, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES S.ts_us AS s_us, FIRST(C.ts_us) AS c_us,
+                   FIRST(V.ts_us) AS v_us, LAST(P.ts_us) AS p_us
+          ONE ROW PER MATCH
+          PATTERN (S PERMUTE(C, V) P)
+          WITHIN 604800000000
+          AFTER MATCH SKIP TO NEXT ROW
+          DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+                 V AS event_type = 'view', P AS event_type = 'purchase'
+        """)
+          .select($"user_id", $"s_us", $"c_us", $"v_us", $"p_us")
+          .orderBy($"user_id", $"s_us", $"p_us", $"c_us")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |c1 AS (SELECT s.user_id, s.s_us, MIN(x.us) AS x_us
+        |       FROM s JOIN e x ON x.user_id = s.user_id
+        |        AND x.event_type = 'click' AND x.us > s.s_us
+        |       GROUP BY 1, 2),
+        |v2 AS (SELECT c1.user_id, c1.s_us, c1.x_us AS c_us, MIN(x.us) AS x_us
+        |       FROM c1 JOIN e x ON x.user_id = c1.user_id
+        |        AND x.event_type = 'view' AND x.us > c1.x_us
+        |       GROUP BY 1, 2, 3),
+        |pcv AS (SELECT v2.user_id, v2.s_us, v2.c_us, v2.x_us AS v_us,
+        |               MIN(p.us) AS p_us
+        |       FROM v2 JOIN e p ON p.user_id = v2.user_id
+        |        AND p.event_type = 'purchase' AND p.us > v2.x_us
+        |        AND p.us - v2.s_us <= 604800000000
+        |       GROUP BY 1, 2, 3, 4),
+        |v1 AS (SELECT s.user_id, s.s_us, MIN(x.us) AS x_us
+        |       FROM s JOIN e x ON x.user_id = s.user_id
+        |        AND x.event_type = 'view' AND x.us > s.s_us
+        |       GROUP BY 1, 2),
+        |c2 AS (SELECT v1.user_id, v1.s_us, v1.x_us AS v_us, MIN(x.us) AS x_us
+        |       FROM v1 JOIN e x ON x.user_id = v1.user_id
+        |        AND x.event_type = 'click' AND x.us > v1.x_us
+        |       GROUP BY 1, 2, 3),
+        |pvc AS (SELECT c2.user_id, c2.s_us, c2.x_us AS c_us, c2.v_us,
+        |               MIN(p.us) AS p_us
+        |       FROM c2 JOIN e p ON p.user_id = c2.user_id
+        |        AND p.event_type = 'purchase' AND p.us > c2.x_us
+        |        AND p.us - c2.s_us <= 604800000000
+        |       GROUP BY 1, 2, 3, 4),
+        |b AS (SELECT COALESCE(pcv.user_id, pvc.user_id) AS user_id,
+        |             COALESCE(pcv.s_us, pvc.s_us) AS s_us,
+        |             pcv.c_us AS cv_c, pcv.v_us AS cv_v, pcv.p_us AS cv_p,
+        |             pvc.c_us AS vc_c, pvc.v_us AS vc_v, pvc.p_us AS vc_p
+        |      FROM pcv FULL JOIN pvc
+        |        ON pvc.user_id = pcv.user_id AND pvc.s_us = pcv.s_us)
+        |SELECT user_id, s_us, cv_c AS c_us, cv_v AS v_us, cv_p AS p_us
+        |FROM b WHERE cv_p IS NOT NULL AND (vc_p IS NULL OR cv_p <= vc_p)
+        |UNION ALL
+        |SELECT user_id, s_us, vc_c, vc_v, vc_p
+        |FROM b WHERE vc_p IS NOT NULL AND (cv_p IS NULL OR vc_p <= cv_p)
+        |ORDER BY user_id, s_us
+        |""".stripMargin)))
+
   override def queries: Seq[GQuery] =
     baseQueries ++ moreQueries ++ subqueryQueries ++ complexSqlQueries ++
-      measuresQueries ++ allRowsQueries
+      measuresQueries ++ allRowsQueries ++ altQueries
 
   val q47Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
