@@ -105,15 +105,36 @@ object GraphOps extends QueryModule {
   def connectedComponentsLogRounds(
       spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import spark.implicits._
-    val verts = edges.select($"src".as("v0"))
-      .union(edges.select($"dst".as("v0"))).distinct().localCheckpoint()
+    // materialize the input ONCE: verts and the oriented edge list both
+    // derive from it, and callers often pass an expensive pipeline
+    // (e.g. capped near-dup pair generation) that must not run twice
+    val e0 = edges.select($"src", $"dst").localCheckpoint()
+    val verts = e0.select($"src".as("v0"))
+      .union(e0.select($"dst".as("v0"))).distinct().localCheckpoint()
     // edge pairs oriented (u, v) with v < u; self-loops drop (restored
     // from `verts` at the end as their own singleton component)
-    var e = edges
+    var e = e0
       .select(least($"src", $"dst").as("v"), greatest($"src", $"dst").as("u"))
       .filter($"v" =!= $"u").distinct()
       .select($"u", $"v").localCheckpoint()
-    var done = e.isEmpty
+    // Convergence = the oriented edge multiset reached a fixed point.
+    // Compared via (count, two independent order-invariant hash sums) in
+    // ONE cheap job over the just-checkpointed frame — the set-equality
+    // check (two counts + an except) cost three jobs per round, which
+    // dominated wall-clock at small scale. A false fixed-point needs a
+    // simultaneous collision of both 64-bit sums at equal cardinality.
+    def sig(df: DataFrame): (Long, String, String) = {
+      // sums in DECIMAL(38,0): ~1e12 edges x |hash| ~9.2e18 stays inside
+      // 38 digits, and ANSI mode would throw on a bigint sum overflow
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64($"u", $"v").cast("decimal(38,0)")),
+        sum(xxhash64(lit(17), $"v", $"u").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(_.toPlainString).getOrElse("0"),
+        Option(r.getDecimal(2)).map(_.toPlainString).getOrElse("0"))
+    }
+    var eSig = sig(e)
+    var done = eSig._1 == 0L
     var i = 0
     while (!done && i < maxIter) {
       // LARGE-STAR: attach each node's strictly-larger neighbors to the
@@ -131,8 +152,9 @@ object GraphOps extends QueryModule {
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v")).distinct()
         .localCheckpoint()
-      done = small.count() == e.count() &&
-        small.except(e).limit(1).isEmpty
+      val sSig = sig(small)
+      done = sSig == eSig
+      eSig = sSig
       e = small
       i += 1
     }
