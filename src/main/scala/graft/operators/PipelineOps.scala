@@ -1485,23 +1485,31 @@ object PipelineOps extends QueryModule {
           .cast("double"))
       .select($"doc_id", $"x", $"y")
       .localCheckpoint() // one corpus read feeds every GD round
-    var wdf = s.range(1).select(array(Seq.fill(nf)(lit(0.0)): _*).as("w"))
+    // Weights live on the DRIVER as nf doubles and enter each round as
+    // LITERAL columns — the MLlib treeAggregate shape: what crosses the
+    // cluster boundary per round is O(nf) (one gradient row out, nf
+    // literals in), not O(data). One job per round; the previous
+    // broadcast-1-row-frame variant paid a second job per round just to
+    // localCheckpoint the weights lineage. Gradient sums stay in integer
+    // micro-units, so the trained weights are bit-identical under any
+    // partitioning (and to the prior implementation).
+    def zOf(w: Array[Double]) = org.apache.spark.sql.functions.aggregate(
+      zip_with(array(w.map(lit).toIndexedSeq: _*), $"x", (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    var wts = Array.fill(nf)(0.0)
     for (_ <- 1 to iters) {
-      val g = feats.crossJoin(broadcast(wdf))
-        .withColumn("z", expr("aggregate(zip_with(w, x, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
-        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-$"z")) - $"y")
-        .withColumn("gm", expr("transform(x, xi -> CAST(floor(err * xi * 1000000.0 + 0.5) AS BIGINT))"))
+      val g = feats
+        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-zOf(wts))) - $"y")
         .agg(count(lit(1)).as("n"),
-          (1 to nf).map(i => sum(expr(s"element_at(gm, $i)")).as(s"g$i")): _*)
-      wdf = g.crossJoin(broadcast(wdf))
-        .select(array((1 to nf).map(i =>
-          expr(s"element_at(w, $i)") - lit(lr) * (col(s"g$i").cast("double") / 1000000.0 / col("n"))): _*).as("w"))
-        .localCheckpoint()
+          (1 to nf).map(i => sum(expr(
+            s"CAST(floor(err * element_at(x, $i) * 1000000.0 + 0.5) AS BIGINT)")).as(s"g$i")): _*)
+        .head()
+      val n = g.getLong(0).toDouble
+      wts = Array.tabulate(nf)(i => wts(i) - lr * (g.getLong(i + 1) / 1000000.0 / n))
     }
-    feats.crossJoin(broadcast(wdf))
-      .withColumn("z", expr("aggregate(zip_with(w, x, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
+    feats
       .select($"doc_id", $"y".cast("long").as("y"),
-        dround(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("score"))
+        dround(lit(1.0) / (lit(1.0) + exp(-zOf(wts))), 6).as("score"))
       .orderBy($"doc_id")
   }
 
