@@ -156,6 +156,43 @@ class AltCepSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, Seq((0, 2L, 2L), (1, 1L, 1L)))))
   }
 
+  test("SQL runStream routes alternation to the lockstep streaming NFA") {
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clause = """
+      PARTITION BY k
+      ORDER BY t, tie
+      PATTERN (S (A | B) P)
+      WITHIN 100000000
+      AFTER MATCH SKIP PAST LAST ROW
+      DEFINE S AS kind = 's', A AS kind = 'a', B AS kind = 'b', P AS kind = 'p'
+    """
+    def us(sec: Long): Long = sec * 1000000L
+    val rows = Seq(
+      (1L, us(1), "s", 1L), (1L, us(2), "a", 2L), (1L, us(3), "p", 3L),
+      (2L, us(5), "s", 4L), (2L, us(6), "b", 5L), (2L, us(7), "p", 6L))
+    val batch = MatchRecognize.run(spark,
+        rows.toDF("k", "t", "kind", "tie"), clause)
+      .as[(Long, Seq[Seq[Long]])].collect().toSet
+    assert(batch == Set(
+      (1L, Seq(Seq(us(1)), Seq(us(2)), Seq(), Seq(us(3)))),
+      (2L, Seq(Seq(us(5)), Seq(), Seq(us(6)), Seq(us(7))))))
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val out = MatchRecognize.runStream(in.toDF().toDF("k", "t", "kind", "tie"),
+      clause, "10 seconds")
+    val q = out.toDF("k", "m").writeStream
+      .outputMode("append").format("memory").queryName("alt_mrs_out").start()
+    try {
+      rows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      in.addData((0L, us(9999), "x", 7L)) // advance watermark to flush
+      q.processAllAvailable()
+      val streamed = spark.table("alt_mrs_out")
+        .as[(Long, Seq[Seq[Long]])].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming matches batch across watermark-delayed batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
