@@ -172,6 +172,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
+  test("alternation CEP matcher is one exchange + in-partition sort (no extra shuffle)") {
+    // variant lockstep multiplies NFA state, NOT plan stages: the AltCep
+    // batch executor must keep linear CEP's shape — a single hash
+    // exchange on the key, an in-partition sort (never a global Sort
+    // before the matcher), one object pass for the NFA.
+    import org.apache.spark.sql.functions._
+    import graft.cep.{AltCep, GroupCep}
+    import spark.implicits._
+    val c = AltCep.compile(Seq(
+      GroupCep.Leaf(graft.cep.Cep.StepDef()),
+      GroupCep.Alt(IndexedSeq(
+        IndexedSeq(GroupCep.Leaf(graft.cep.Cep.StepDef())),
+        IndexedSeq(GroupCep.Leaf(graft.cep.Cep.StepDef()))))))
+    val events = (1L to 100L).map(i => (i % 7, i, 1L << (i % 4).toInt, i))
+      .toDF("key", "t", "mask", "tie")
+    val p = AltCep.matchBatch(spark, events, c)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
+    assert("Sort \\[key".r.findFirstIn(p).isDefined &&
+      !p.contains("Exchange rangepartitioning"),
+      s"matcher must sort within partitions, not globally:\n$p")
+    assert(p.contains("MapPartitions"), s"missing the NFA partition pass:\n$p")
+  }
+
   test("q125: URL canonicalization is map-side; scan reads only doc_id") {
     // the regexp chain must run before the single aggregation exchange
     // (raw URLs cross the wire once, already canonicalized) and the scan
