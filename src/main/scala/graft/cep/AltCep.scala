@@ -104,11 +104,42 @@ object AltCep {
     case Group(ch, _, _) => ch.exists(containsAlt)
   }
 
-  private def leafCountAll(n: PatNode): Int = n match {
-    case Permute(ops) => ops.map(leafCountAll).sum
-    case Leaf(_) => 1
-    case Alt(bs) => bs.map(_.map(leafCountAll).sum).sum
-    case Group(ch, _, _) => ch.map(leafCountAll).sum
+  /** One logical-leaf counter for the whole compiler stack — the shared
+    * logical-id contract between variant enumeration here and
+    * GroupCep.compileWithBases depends on both using the same count. */
+  private def leafCountAll(n: PatNode): Int = GroupCep.leafCountOf(n)
+
+  /** Variant count WITHOUT enumerating, saturating at Cap — the guard
+    * must run BEFORE enumeration, or a pattern like (A|B){1,40} would
+    * materialize ~2^40 variants while building the list to reject. */
+  private val Cap: Long = MaxVariants.toLong + 1
+  private def satMul(a: Long, b: Long): Long =
+    if (a >= Cap || b >= Cap) Cap else math.min(Cap, a * b)
+  private def satAdd(a: Long, b: Long): Long = math.min(Cap, a + b)
+  private def countSeq(nodes: Seq[PatNode]): Long =
+    nodes.foldLeft(1L)((acc, n) => satMul(acc, countNode(n)))
+  private def countNode(n: PatNode): Long = n match {
+    case Leaf(_) => 1L
+    case g @ Group(ch, min, max) =>
+      if (!containsAlt(g)) 1L
+      else if (max == -1) 1L // rejected later with its own message
+      else {
+        val body = countSeq(ch)
+        var total = 0L
+        var c = min
+        var term = (1 until min).foldLeft(body)((t, _) => satMul(t, body))
+        if (min == 0) { total = 1L; term = body; c = 1 }
+        while (c <= max && total < Cap) {
+          total = satAdd(total, term)
+          term = satMul(term, body)
+          c += 1
+        }
+        total
+      }
+    case Alt(bs) => bs.foldLeft(0L)((acc, b) => satAdd(acc, countSeq(b)))
+    case Permute(ops) =>
+      val fact = (2 to ops.size).foldLeft(1L)((a, k) => satMul(a, k.toLong))
+      satMul(fact, countSeq(ops))
   }
 
   /** All ways to cross one choice per element, preserving element order;
@@ -176,6 +207,16 @@ object AltCep {
       case _ => ()
     }
     val nLogical = nodes.map(leafCountAll).sum
+    // the event mask carries one bit per LOGICAL leaf: without this guard
+    // a >64-leaf alternation would wrap `1L << i` silently and classify
+    // events onto the wrong variables instead of erroring
+    require(nLogical <= 64,
+      s"pattern has $nLogical logical variables across branches — the " +
+        "64-bit event mask is the limit")
+    val bound = countSeq(nodes)
+    require(bound <= MaxVariants,
+      s"alternation enumerates ${if (bound >= Cap) ">" + MaxVariants else bound} " +
+        s"variants — the cap is $MaxVariants (PERMUTE of 6); simplify the pattern")
     val vs = seqVariants(nodes, 0).distinct
     val nonEmpty = vs.filter(_.nonEmpty)
     require(nonEmpty.nonEmpty,
@@ -210,12 +251,7 @@ object AltCep {
     * ordered pass, memory O(variants * maxRuns) per key). */
   def matchBatch(spark: SparkSession, events: DataFrame, c: CompiledAlt): DataFrame = {
     import spark.implicits._
-    events
-      .select(col("key").cast("long"), col("t").cast("long"),
-        col("mask").cast("long"), col("tie").cast("long"))
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("t"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    Cep.sortedEvents(spark, events)
       .mapPartitions { it =>
         var curKey = 0L
         var started = false
@@ -238,12 +274,7 @@ object AltCep {
     * Cep.matchBatchBound; the fold already happened). */
   def matchBatchBound(spark: SparkSession, events: DataFrame, c: CompiledAlt): DataFrame = {
     import spark.implicits._
-    events
-      .select(col("key").cast("long"), col("t").cast("long"),
-        col("mask").cast("long"), col("tie").cast("long"))
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("t"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    Cep.sortedEvents(spark, events)
       .mapPartitions { it =>
         var curKey = 0L
         var started = false

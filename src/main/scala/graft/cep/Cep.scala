@@ -183,6 +183,8 @@ object Cep {
       "untilBit is a mask bit index (< 64)")
     require(steps.forall(s => s.untilBit < 0 || s.untilBit >= steps.length),
       "untilBit must not collide with a step's own predicate bit")
+    require(steps.length <= 64,
+      s"pattern has ${steps.length} steps — the 64-bit event mask is the limit")
     val nSteps: Int = steps.length
     /** precomputed so offer()'s hot loop skips greedy-optional
       * suppression bookkeeping entirely for the common patterns */
@@ -448,6 +450,21 @@ object Cep {
     out.result()
   }
 
+  /** The shared secondary-sort prologue of every batch executor (here and
+    * AltCep): cast to the (key, t, mask, tie) contract, ONE hash exchange
+    * on the key, in-place partition sort — so per-key history streams in
+    * exact order without ever materializing on the heap. */
+  private[cep] def sortedEvents(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("t").cast("long"),
+        col("mask").cast("long"), col("tie").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+  }
+
   /** Batch CEP over columns key: Long, t: Long, mask: Long (bit i = event
     * satisfies step i), tie: Long (deterministic order for equal times).
     * Output: (key, step_times: array<array<long>>) — one row per match,
@@ -458,12 +475,7 @@ object Cep {
     * never collected, memory is O(maxRuns). */
   def matchBatch(spark: SparkSession, events: DataFrame, pattern: Pattern): DataFrame = {
     import spark.implicits._
-    events
-      .select(col("key").cast("long"), col("t").cast("long"),
-        col("mask").cast("long"), col("tie").cast("long"))
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("t"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    sortedEvents(spark, events)
       .mapPartitions { it =>
         var curKey = 0L
         var started = false
@@ -485,12 +497,7 @@ object Cep {
     * Same secondary-sort execution as matchBatch. */
   def matchBatchBound(spark: SparkSession, events: DataFrame, pattern: Pattern): DataFrame = {
     import spark.implicits._
-    events
-      .select(col("key").cast("long"), col("t").cast("long"),
-        col("mask").cast("long"), col("tie").cast("long"))
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("t"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    sortedEvents(spark, events)
       .mapPartitions { it =>
         var curKey = 0L
         var started = false
@@ -523,12 +530,7 @@ object Cep {
       pattern: Pattern): DataFrame = {
     require(pattern.within > 0, "the timeout surface needs a within horizon")
     import spark.implicits._
-    events
-      .select(col("key").cast("long"), col("t").cast("long"),
-        col("mask").cast("long"), col("tie").cast("long"))
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("t"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    sortedEvents(spark, events)
       .mapPartitions { it =>
         var curKey = 0L
         var started = false

@@ -1456,8 +1456,10 @@ object PipelineOps extends QueryModule {
     * loop. Each iteration is ONE aggregate over the corpus — per-example
     * gradient contributions round to integer micro-units before the sum,
     * so training is bit-deterministic under any partitioning (the same
-    * trick as q114/q117 scoring); the weight vector moves between rounds
-    * as a broadcast 1-row DataFrame, never through the driver. The label
+    * trick as q114/q117 scoring); the weight vector is O(n_features) and
+    * lives on the driver, entering each round as literal columns — only
+    * one fixed-size gradient row crosses the cluster boundary per round
+    * (the MLlib treeAggregate shape). The label
     * distills the q85 Gopher rule gate into a soft score (the standard
     * move when a heuristic filter is too rigid to rank by); features are
     * the gate's underlying metrics, range-scaled to keep plain GD stable.

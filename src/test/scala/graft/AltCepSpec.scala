@@ -127,6 +127,20 @@ class AltCepSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { // 2+4+...+2^10 variants
       AltCep.compile(Seq(Group(IndexedSeq(alt), 1, 10)))
     }
+    // the cap must reject ARITHMETICALLY, before enumeration: (A|B){1,60}
+    // would materialize ~2^60 variants if the guard ran on the built list
+    val t0 = System.nanoTime()
+    assertThrows[IllegalArgumentException] {
+      AltCep.compile(Seq(Group(IndexedSeq(alt), 1, 60)))
+    }
+    assert((System.nanoTime() - t0) < 2e9, "variant cap enumerated before rejecting")
+    // >64 logical variables across branches would wrap the 1L << i event
+    // mask silently — must be a compile error, not wrong matches
+    val wide = (1 to 33).map(_ =>
+      IndexedSeq[GroupCep.PatNode](leaf(), leaf())) // 66 leaves, 33 variants
+    assertThrows[IllegalArgumentException] {
+      AltCep.compile(Seq(Alt(wide.toIndexedSeq)))
+    }
   }
 
   test("batch executor: per-key lockstep over the secondary sort") {

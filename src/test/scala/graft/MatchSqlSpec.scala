@@ -169,7 +169,6 @@ class MatchSqlSpec extends AnyFunSuite {
 
   test("PERMUTE(A, B): both arrival orders match, operands keep identity") {
     import spark.implicits._
-    import spark.implicits._
     Seq(
       (1L, 10L, 1L, "click"), (1L, 20L, 2L, "view"),
       (2L, 10L, 3L, "view"), (2L, 20L, 4L, "click"))
