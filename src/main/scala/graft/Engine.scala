@@ -81,8 +81,15 @@ object Engine {
     * tables. */
   private[graft] def sharedLeafSources(
       spark: SparkSession, stmts: Seq[String]): Seq[String] = {
+    // normalized to the BARE table name (last identifier part): lineage
+    // names collect bare `identifier.table`, so a qualified INSERT INTO
+    // db.t would otherwise never intersect and a view over t would be
+    // served from a stale pre-insert snapshot. Bare-name matching can
+    // only over-exclude (same table name in two databases), which
+    // degrades to the safe no-reuse path.
     val writeTargets = stmts.flatMap(s =>
-      InsertTargetRe.findAllMatchIn(s).map(_.group(1).toLowerCase)).toSet
+      InsertTargetRe.findAllMatchIn(s)
+        .map(_.group(1).toLowerCase.split('.').last)).toSet
     // extended tables write through a __<t>_base parquet table: a lineage
     // touching either spelling is tainted
     val writeReach = writeTargets ++ writeTargets.map(t => s"__${t}_base")

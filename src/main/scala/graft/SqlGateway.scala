@@ -30,22 +30,30 @@ import scala.jdk.CollectionConverters._
   * materializes, then FINISHED/ERROR). Built on the JDK's HttpServer:
   * zero dependencies beyond the JVM.
   */
-class SqlGateway(spark: SparkSession, port: Int = 0) {
+class SqlGateway(spark: SparkSession, port: Int = 0,
+    maxResultRows: Option[Int] = None) {
 
   private case class Operation(
       @volatile var status: String, // RUNNING | FINISHED | ERROR
       @volatile var error: String = null,
       @volatile var columns: Seq[String] = Nil,
-      @volatile var rows: Seq[Seq[Any]] = Nil)
+      @volatile var rows: Seq[Seq[Any]] = Nil,
+      @volatile var truncated: Boolean = false)
 
   private val sessions = new ConcurrentHashMap[String, ConcurrentHashMap[String, Operation]]()
   private val pool = Executors.newFixedThreadPool(4)
   private val PageSize = 1000
+  /** Results buffer on the gateway until the session closes; an unbounded
+    * collect() of a big SELECT would OOM the service JVM, so the buffer
+    * is capped and the result marked truncated past the cap. */
+  private val MaxResultRows = maxResultRows.getOrElse(
+    sys.env.get("GRAFT_GATEWAY_MAX_ROWS").map(_.toInt).getOrElse(100000))
 
+  private val httpPool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/v1", handler)
-    s.setExecutor(Executors.newFixedThreadPool(4))
+    s.setExecutor(httpPool)
     s.start()
     s
   }
@@ -53,7 +61,11 @@ class SqlGateway(spark: SparkSession, port: Int = 0) {
   /** Bound port (for port=0 auto-assignment). */
   def boundPort: Int = server.getAddress.getPort
 
-  def close(): Unit = { server.stop(0); pool.shutdownNow() }
+  def close(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    httpPool.shutdownNow() // non-daemon threads would otherwise pin the JVM
+  }
 
   // ---- JSON helpers (emit only; requests carry the statement as a JSON
   // object with a "statement" field, extracted with a targeted scan) ----
@@ -160,7 +172,9 @@ class SqlGateway(spark: SparkSession, port: Int = 0) {
                 try {
                   val df: DataFrame = Engine.sql(spark, stmt)
                   op.columns = df.schema.fieldNames.toSeq
-                  op.rows = df.collect().toSeq.map(r =>
+                  val capped = df.limit(MaxResultRows + 1).collect().toSeq
+                  op.truncated = capped.length > MaxResultRows
+                  op.rows = capped.take(MaxResultRows).map(r =>
                     (0 until r.length).map(i => r.get(i)))
                   op.status = "FINISHED"
                 } catch {
@@ -195,8 +209,9 @@ class SqlGateway(spark: SparkSession, port: Int = 0) {
               val next =
                 if ((token + 1) * PageSize < op.rows.length)
                   s""","nextToken":${token + 1}""" else ""
+              val trunc = if (op.truncated) s""","truncated":true""" else ""
               respond(ex, 200,
-                s"""{"resultType":"PAYLOAD","columns":$cols,"data":$data$next}""")
+                s"""{"resultType":"PAYLOAD","columns":$cols,"data":$data$next$trunc}""")
           }
         }
 

@@ -401,4 +401,31 @@ object WatermarkDdl {
       case _ => withComputed
     }
   }
+
+  /** Batch counterpart of [[readStream]]: a BOUNDED read of an extended
+    * table. Connector tables route through the connector's batch side
+    * (`ConnectorDdl.read` — a bare `spark.table` would silently read the
+    * empty parquet base that only carries the schema); plain extended
+    * tables read their base. Computed columns apply; the watermark is a
+    * streaming-only concept and is skipped. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val base = baseName(table)
+    require(spark.catalog.tableExists(base), s"no extended table $table")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val df = props.get("connector") match {
+      case Some(_) => graft.sources.ConnectorDdl.read(
+        spark, spark.table(base).schema, props.filterNot(p => isInternalProp(p._1)))
+      case None => spark.table(base)
+    }
+    props.get("graft.computed") match {
+      case Some(spec) =>
+        val exprs = spec.split(";;").toSeq.map { entry =>
+          val Array(c, e) = entry.split(":=", 2)
+          s"$e AS $c"
+        }
+        df.selectExpr("*" +: exprs: _*)
+      case None => df
+    }
+  }
 }

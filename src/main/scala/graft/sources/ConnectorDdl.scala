@@ -47,7 +47,7 @@ object ConnectorDdl {
       case Some("kafka") =>
         KafkaConnector.decode(
           spark.read.format("kafka")
-            .options(KafkaConnector.sourceOptions(options)).load(),
+            .options(KafkaConnector.sourceOptions(options, forBatch = true)).load(),
           schema, KafkaConnector.valueFormat(options))
       case Some("datagen") => DataGenConnector.read(spark, schema, options)
       case Some("filesystem") =>
@@ -66,8 +66,14 @@ object ConnectorDdl {
   * additionally needs the spark-sql-kafka connector jar and a broker. */
 object KafkaConnector {
 
-  /** Flink kafka source options -> Spark `format("kafka")` options. */
-  def sourceOptions(opts: Map[String, String]): Map[String, String] = {
+  /** Flink kafka source options -> Spark `format("kafka")` options.
+    * `forBatch`: Spark's batch kafka source rejects
+    * startingOffsets=latest (nothing bounded to read), so the UNSET
+    * startup mode maps to earliest — Spark's own batch default — and an
+    * EXPLICIT latest-offset is a clear error instead of Spark's deeper
+    * one. */
+  def sourceOptions(opts: Map[String, String],
+      forBatch: Boolean = false): Map[String, String] = {
     val bootstrap = opts.getOrElse("properties.bootstrap.servers",
       throw new IllegalArgumentException(
         "kafka connector requires 'properties.bootstrap.servers'"))
@@ -79,15 +85,21 @@ object KafkaConnector {
       // Flink separates multiple topics with ';', Spark subscribe with ','
       .map(t => "subscribe" -> t.split(";").map(_.trim).filter(_.nonEmpty).mkString(","))
       .getOrElse("subscribePattern" -> pattern.get)
-    val startup = opts.getOrElse("scan.startup.mode", "latest-offset") match {
-      case "earliest-offset" => Map("startingOffsets" -> "earliest")
-      case "latest-offset"   => Map("startingOffsets" -> "latest")
-      case "timestamp" =>
+    val startup = opts.get("scan.startup.mode") match {
+      case None =>
+        Map("startingOffsets" -> (if (forBatch) "earliest" else "latest"))
+      case Some("earliest-offset") => Map("startingOffsets" -> "earliest")
+      case Some("latest-offset") =>
+        if (forBatch) throw new IllegalArgumentException(
+          "scan.startup.mode=latest-offset has no bounded meaning for a " +
+            "batch read; use earliest-offset, timestamp or specific-offsets")
+        Map("startingOffsets" -> "latest")
+      case Some("timestamp") =>
         val ts = opts.getOrElse("scan.startup.timestamp-millis",
           throw new IllegalArgumentException(
             "scan.startup.mode=timestamp requires 'scan.startup.timestamp-millis'"))
         Map("startingTimestamp" -> ts)
-      case "specific-offsets" =>
+      case Some("specific-offsets") =>
         val spec = opts.getOrElse("scan.startup.specific-offsets",
           throw new IllegalArgumentException(
             "scan.startup.mode=specific-offsets requires 'scan.startup.specific-offsets'"))
@@ -95,11 +107,11 @@ object KafkaConnector {
           "specific-offsets startup requires a single 'topic'"))
         require(!t.contains(";"), "specific-offsets startup requires a single 'topic'")
         Map("startingOffsets" -> specificOffsetsJson(t, spec))
-      case "group-offsets" => throw new IllegalArgumentException(
+      case Some("group-offsets") => throw new IllegalArgumentException(
         "scan.startup.mode=group-offsets has no Spark equivalent " +
           "(committed group offsets are not a Spark starting point); " +
           "use earliest-offset, latest-offset, timestamp or specific-offsets")
-      case other => throw new IllegalArgumentException(
+      case Some(other) => throw new IllegalArgumentException(
         s"unknown scan.startup.mode '$other'")
     }
     // properties.* pass through to the kafka client (Spark prefixes with

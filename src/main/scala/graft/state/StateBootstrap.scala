@@ -57,8 +57,12 @@ object StateBootstrap {
     require(keyCols.forall(allCols.contains),
       s"key columns ${keyCols.mkString(",")} must exist in ${allCols.mkString(",")}")
     val valueCols = allCols.filterNot(keyCols.contains)
-    val keySchema = StructType(state.schema.fields.filter(f => keyCols.contains(f.name)))
-    val valueSchema = StructType(state.schema.fields.filter(f => valueCols.contains(f.name)))
+    // schemas in keyCols/valueCols ORDER (not state-DF schema order): the
+    // rows below are projected keyCols ++ valueCols, and the projections
+    // bind by position — a caller passing keyCols out of schema order
+    // must not get swapped/mistyped key fields
+    val keySchema = StructType(keyCols.map(n => state.schema(n)))
+    val valueSchema = StructType(valueCols.map(n => state.schema(n)))
 
     // key-first projection, partitioned like the streaming aggregate's
     // state exchange
@@ -67,10 +71,21 @@ object StateBootstrap {
     val stateRoot = new Path(checkpointDir, "state").toString
     val nKey = keySchema.length
     val providerClass = spark.sessionState.conf.stateStoreProviderClass
+    // ship the SESSION's state-store conf + hadoop conf to the executors:
+    // offsets/0 pins these same values (codec, provider), so the delta
+    // files must be written under them, and object stores need the
+    // session's fs credentials
+    val storeConf = new StateStoreConf(spark.sessionState.conf)
+    val hadoopKvs = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
 
-    ordered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+    val writtenPids = ordered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val provider = newProvider(providerClass,
-        StateStoreId(stateRoot, operatorId, pid), keySchema, valueSchema)
+        StateStoreId(stateRoot, operatorId, pid), keySchema, valueSchema,
+        storeConf, hadoopKvs)
       val store = provider.getStore(0L)
       import org.apache.spark.sql.catalyst.expressions.BoundReference
       val keyProj = UnsafeProjection.create(keySchema.fields.zipWithIndex.map {
@@ -85,20 +100,21 @@ object StateBootstrap {
       store.commit() // publishes state version 1 for this partition
       provider.close()
       Iterator.single(pid)
-    }.collect()
+    }.collect().toSet
 
     // EVERY partition must hold a committed version-1 store, including
     // ones no key hashed into — the restarted query loads version 1 in
-    // all of them
-    val fs = new Path(checkpointDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 until numPartitions).foreach { pid =>
-      val deltaFile = new Path(s"$stateRoot/$operatorId/$pid/1.delta")
-      if (!fs.exists(deltaFile)) {
-        val provider = newProvider(providerClass,
-          StateStoreId(stateRoot, operatorId, pid), keySchema, valueSchema)
-        provider.getStore(0L).commit() // empty version 1
-        provider.close()
-      }
+    // all of them. The complement comes from the pids the write job
+    // actually ran (provider-agnostic: probing for 1.delta only works
+    // for the HDFS-backed layout, and re-committing over a partition the
+    // executors DID write would erase its rows in providers that keep
+    // state outside per-version files).
+    (0 until numPartitions).filterNot(writtenPids).foreach { pid =>
+      val provider = newProvider(providerClass,
+        StateStoreId(stateRoot, operatorId, pid), keySchema, valueSchema,
+        storeConf, hadoopKvs)
+      provider.getStore(0L).commit() // empty version 1
+      provider.close()
     }
 
     writeStateSchema(spark, stateRoot, operatorId, keySchema, valueSchema)
@@ -111,15 +127,17 @@ object StateBootstrap {
     * is public — same loading route the engine's own StateStore object
     * takes). */
   private def newProvider(className: String, id: StateStoreId,
-      keySchema: StructType, valueSchema: StructType): StateStoreProvider = {
+      keySchema: StructType, valueSchema: StructType,
+      storeConf: StateStoreConf, hadoopKvs: Array[(String, String)]): StateStoreProvider = {
     val p = Class.forName(className).getDeclaredConstructor()
       .newInstance().asInstanceOf[StateStoreProvider]
     val hadoopConf = new Configuration()
+    hadoopKvs.foreach { case (k, v) => hadoopConf.set(k, v) }
     // the provider asserts a streaming run id (StreamExecution.RUN_ID_KEY);
     // the bootstrap is its own "run"
     hadoopConf.set("sql.streaming.runId", java.util.UUID.randomUUID().toString)
     p.init(id, keySchema, valueSchema, NoPrefixKeyStateEncoderSpec(keySchema),
-      useColumnFamilies = false, new StateStoreConf(new SQLConf),
+      useColumnFamilies = false, storeConf,
       hadoopConf, useMultipleValuesPerKey = false,
       stateSchemaProvider = None)
     p

@@ -28,6 +28,23 @@ class ConnectorDdlSpec extends AnyFunSuite {
     assert(m("kafka.group.id") == "g1") // properties.* passthrough
   }
 
+  test("kafka batch mapping: unset mode reads earliest, explicit latest errors") {
+    val base = Map(
+      "connector" -> "kafka", "topic" -> "t",
+      "properties.bootstrap.servers" -> "h:9092")
+    // Spark's batch kafka source rejects startingOffsets=latest, so the
+    // UNSET default must flip to earliest for a bounded read...
+    assert(KafkaConnector.sourceOptions(base, forBatch = true)
+      .apply("startingOffsets") == "earliest")
+    assert(KafkaConnector.sourceOptions(base)("startingOffsets") == "latest")
+    // ...and an EXPLICIT latest-offset is a clear error, not Spark's
+    // deeper validateBatchOptions one
+    assertThrows[IllegalArgumentException] {
+      KafkaConnector.sourceOptions(
+        base + ("scan.startup.mode" -> "latest-offset"), forBatch = true)
+    }
+  }
+
   test("kafka startup modes: timestamp, specific-offsets, group-offsets") {
     val base = Map("topic" -> "t",
       "properties.bootstrap.servers" -> "h:9092")

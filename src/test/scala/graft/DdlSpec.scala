@@ -418,6 +418,27 @@ class DdlSpec extends AnyFunSuite {
     spark.catalog.dropTempView("slf_mid")
   }
 
+  test("sharedLeafSources taints QUALIFIED insert targets too") {
+    // INSERT INTO default.slf_q writes the same table lineage collects as
+    // the bare name "slf_q" — the taint must survive qualification, or a
+    // view over it is served from a stale pre-insert snapshot
+    spark.sql("DROP TABLE IF EXISTS slf_q")
+    spark.sql("CREATE TABLE slf_q (id BIGINT) USING parquet")
+    spark.sql("CREATE OR REPLACE TEMP VIEW slf_qv AS SELECT id FROM slf_q")
+    spark.range(1).createOrReplaceTempView("slf_qc")
+    try {
+      val shared = Engine.sharedLeafSources(spark, Seq(
+        "INSERT INTO t_sink SELECT v.id FROM slf_qv v JOIN slf_qc c ON v.id = c.id",
+        "INSERT INTO default.slf_q SELECT id FROM slf_qc",
+        "INSERT INTO t_sink2 SELECT id FROM slf_qv"))
+      assert(shared == Seq("slf_qc"), s"got $shared")
+    } finally {
+      spark.catalog.dropTempView("slf_qv")
+      spark.catalog.dropTempView("slf_qc")
+      spark.sql("DROP TABLE IF EXISTS slf_q")
+    }
+  }
+
   test("sharedLeafSources excludes a view whose LINEAGE reads a write target") {
     // slf_t is a catalog table another member INSERTs into; slf_v is a
     // temp view over it. Caching slf_v would serve the post-insert read

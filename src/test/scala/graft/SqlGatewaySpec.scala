@@ -115,4 +115,22 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(total == 2500, s"paged rows: $total")
     } finally gw.close()
   }
+
+  test("result buffering is capped: oversized results mark truncated") {
+    assert(catalogReady)
+    // cap 5: a 10-row SELECT must buffer 5 rows and flag the cut, so a
+    // big query can never OOM the gateway JVM by unbounded collect()
+    val gw = new SqlGateway(spark, 0, maxResultRows = Some(5))
+    try {
+      val port = gw.boundPort
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+      val (_, op) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT id FROM range(10) ORDER BY id"}"""))
+      val oh = field(op, "operationHandle")
+      val p0 = awaitResult(port, sh, oh, token = 0)
+      assert(p0.contains("\"truncated\":true"), p0)
+      assert("\\[\\d+\\]".r.findAllIn(p0).length == 5, p0)
+    } finally gw.close()
+  }
 }

@@ -46,12 +46,15 @@ def main():
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
 
-    # key strides from the source maxima
+    # key strides from the source maxima. The customer stride comes from
+    # the CUSTOMER table: customers with no orders can hold the max key,
+    # and a stride from max(o_custkey) would overlap copies' key ranges
+    # (duplicate c_custkey, changed join fan-out per copy).
     strides = {}
-    for t, k in [("orders", "o_orderkey"), ("orders", "o_custkey"),
+    for t, k in [("orders", "o_orderkey"), ("customer", "c_custkey"),
                  ("part", "p_partkey"), ("supplier", "s_suppkey")]:
         strides[k] = con.sql(f"SELECT max({k}) + 1 FROM {rd(t)}").fetchone()[0]
-    ok, ck = strides["o_orderkey"], strides["o_custkey"]
+    ok, ck = strides["o_orderkey"], strides["c_custkey"]
     pk, sk = strides["p_partkey"], strides["s_suppkey"]
 
     write("region", f"SELECT * FROM {rd('region')}")
