@@ -60,4 +60,31 @@ class StateReaderSpec extends AnyFunSuite {
         s"first batch must reflect bootstrapped state: $out")
     } finally q.stop()
   }
+
+  test("savepoint bootstrap through the PSL-analog KvStateStoreProvider") {
+    import spark.implicits._
+    // the bootstrap must write through WHATEVER provider the session
+    // configures — and its empty-partition backfill must not re-commit
+    // over partitions the write job already filled (a 1.delta file probe
+    // would: this provider keeps rows in the KV, not per-version files)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.state.KvStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bootstrap-kv").toString
+    try {
+      graft.state.StateBootstrap.writeAggregationState(
+        spark, ckpt,
+        Seq(("a", 40L), ("b", 7L)).toDF("k", "count"),
+        keyCols = Seq("k"))
+      val seeded = spark.read.format("statestore").load(ckpt)
+        .selectExpr("key.k", "value.count").as[(String, Long)].collect().toMap
+      assert(seeded == Map("a" -> 40L, "b" -> 7L),
+        s"bootstrapped state via KvStateStoreProvider: $seeded")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
