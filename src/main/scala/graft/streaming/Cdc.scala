@@ -159,9 +159,16 @@ object Cdc {
   def upsertMaterialize(
       changelog: DataFrame, keys: Seq[String],
       orderCol: String, tieBreak: String): DataFrame = {
-    // At equal (orderCol, tieBreak) — e.g. the -U/+U pair one update emits —
-    // the after-image (+I/+U) is logically later than the before-image.
-    val kindRank = when(col(RowKind).isin(Insert, UpdateAfter), 1).otherwise(0)
+    // At equal (orderCol, tieBreak): the -U/+U pair one update emits puts
+    // the after-image (+I/+U) logically later than its before-image, and
+    // a -D outranks both — an insert+delete landing on the same change
+    // position must NOT resurrect the row (the delete-then-reinsert
+    // reading of the same tie loses a row instead, the conservative
+    // failure). Callers wanting exact Flink arrival-order semantics must
+    // supply a strict per-key (orderCol, tieBreak) total order, under
+    // which this rank only ever arbitrates a single update's own pair.
+    val kindRank = when(col(RowKind) === Delete, 2)
+      .when(col(RowKind).isin(Insert, UpdateAfter), 1).otherwise(0)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol).desc, col(tieBreak).desc, kindRank.desc)
     changelog

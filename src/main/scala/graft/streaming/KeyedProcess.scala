@@ -5,7 +5,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** KeyedProcessFunction analog (flink-streaming-java
   * .../functions/KeyedProcessFunction.java:52): per-key element handler +
-  * state + processing-time timers, on top of flatMapGroupsWithState.
+  * state + EVENT-TIME timers, on top of flatMapGroupsWithState
+  * (wall-clock timers: processWallClock below).
   *
   * Semantics mapped:
   *  - processElement(value, ctx, out)  -> onInput(key, values, state)

@@ -45,14 +45,19 @@ object KeyedProcessTws {
         case Some(s) => state.update(s)
         case None => if (state.exists()) state.clear()
       }
+      // fMGWS parity: GroupStateImpl re-initializes timeoutTimestamp to
+      // NO_TIMESTAMP on EVERY invocation, so any run that does not
+      // re-arm CANCELS a pending timer (and state.remove() drops it
+      // too). TWS timers persist until fired or deleted — mirror the
+      // reset unconditionally, not only when replacing with a new timer,
+      // or a later Emit(_, _, None) leaves a stale timer that fires
+      // extra output the fMGWS original never produces.
+      getHandle.listTimers().foreach(old =>
+        getHandle.deleteTimer(old.asInstanceOf[Long]))
       emit.setTimerAtMs.foreach { t =>
         require(emit.newState.isDefined,
           "setTimerAtMs requires newState=Some(_): kept for contract parity " +
             "with the flatMapGroupsWithState implementation")
-        // one-timer-per-key semantics of the fMGWS analog: replace any
-        // previously registered timer (TWS itself allows many per key)
-        getHandle.listTimers().foreach(old =>
-          getHandle.deleteTimer(old.asInstanceOf[Long]))
         getHandle.registerTimer(t)
       }
       emit.output.iterator.map(o => (key, o))

@@ -120,7 +120,12 @@ object Lateness {
         val (buf, n0, sum0, _, _) = state.get
         state.remove()
         val (n, sum) = fireValue(buf, n0, sum0)
-        Iterator((k, winStart, "final", n, sum))
+        // Flink's WindowOperator skips timer fires over an EMPTY window:
+        // a Purging trigger may have cleared the contents after its last
+        // partial fire, and a zero-count "final" row is a parity
+        // deviation (the same rule the partial-fire loop below applies)
+        if (n == 0) Iterator.empty
+        else Iterator((k, winStart, "final", n, sum))
       } else {
         var (buf, n, sum, baseSet, base) = state.getOption
           .getOrElse((Seq.empty[(Long, Double)], 0L, 0.0, 0, 0.0))

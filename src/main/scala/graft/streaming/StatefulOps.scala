@@ -32,7 +32,11 @@ object StatefulOps {
         .sortBy { case (score, payload) => (-score, payload) }
         .take(n)
       state.update(merged)
-      merged.iterator.zipWithIndex.map { case ((score, payload), i) =>
+      // emit-on-change (AppendOnlyTopNFunction's contract, and what every
+      // sibling operator here does): a batch whose rows all score below
+      // the current cut must not rewrite the unchanged top-N to the sink
+      if (merged == prev) Iterator.empty
+      else merged.iterator.zipWithIndex.map { case ((score, payload), i) =>
         (key, i + 1, score, payload)
       }
     }
@@ -120,7 +124,14 @@ object StatefulOps {
         acc += v
         (key, t, v, acc)
       }
-      if (pending.isEmpty && out.isEmpty && buf0.isEmpty) state.remove()
+      // The accumulator is PERMANENT state (Flink's unbounded-preceding
+      // function never drops it): an invocation that contributes nothing
+      // must not remove it. Reachable gap: Spark filters late input with
+      // the PREVIOUS batch's watermark but getCurrentWatermarkMs() is the
+      // eviction watermark, so a row between the two invokes the function
+      // and is dropped by the local filter — removing state here would
+      // silently restart the key's running sum from zero.
+      if (pending.isEmpty && out.isEmpty && state.getOption.isEmpty) ()
       else {
         state.update((pending, acc))
         if (pending.nonEmpty)

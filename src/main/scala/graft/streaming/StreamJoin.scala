@@ -38,7 +38,7 @@ import scala.collection.mutable
 object StreamJoin {
   import Cdc.{Delete, Insert, UpdateAfter}
 
-  private def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
+  import Retract.isAdd
 
   /** Counted-multiset live state per side, (de)serialized as (payload,
     * count) pairs. */

@@ -24,9 +24,8 @@ import org.apache.spark.sql.streaming._
   * provider. The fleet default remains the fMGWS implementation; see
   * KeyedProcessTws's scaladoc for the why. */
 object StreamJoinTws {
-  import Cdc.{Delete, Insert, UpdateAfter}
-
-  private def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
+  import Cdc.{Delete, Insert}
+  import Retract.isAdd
 
   private class InnerJoinProc[K, L, R](encL: Encoder[L], encR: Encoder[R])
       extends StatefulProcessor[K, (Int, K, String, Option[L], Option[R]),

@@ -350,10 +350,12 @@ class StreamingSpec extends AnyFunSuite {
     runToCompletion(q)
     val rows = spark.table("pt_out").as[(Long, Long, String, Long, Double)]
       .collect().toSeq.filter(_._2 == 0L)
-    // each partial covers only its slice; the final pane is empty
+    // each partial covers only its slice; the fully-purged pane emits NO
+    // final row — Flink's WindowOperator skips timer fires over an empty
+    // window (same rule the partial-fire loop applies)
     assert(rows.contains((1L, 0L, "partial", 2L, 3.0)), s"first purge-fire: $rows")
     assert(rows.contains((1L, 0L, "partial", 2L, 12.0)), s"second purge-fire: $rows")
-    assert(rows.contains((1L, 0L, "final", 0L, 0.0)), s"post-purge final: $rows")
+    assert(!rows.exists(_._3 == "final"), s"empty pane must not fire a final: $rows")
   }
 
   test("purging + continuous trigger: multi-boundary jump emits no empty partials") {
