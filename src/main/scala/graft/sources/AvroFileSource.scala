@@ -150,7 +150,7 @@ private[sources] class AvroScan(readSchema0: StructType, path: String,
       (0L until len by maxBytes).map { s =>
         AvroInputPartition(f, s, math.min(maxBytes, len - s)): InputPartition
       }
-    }) {
+    }, options.get("maxfilespertrigger").map(_.toInt)) {
       override def createReaderFactory(): PartitionReaderFactory =
         new AvroReaderFactory(readSchema0, new SerializableConfiguration(
           SparkSession.active.sparkContext.hadoopConfiguration))
@@ -182,10 +182,18 @@ private[sources] class AvroPartitionReader(p: AvroInputPartition,
   // only the required fields (taken verbatim from the writer schema, so
   // union-ness matches) makes the decoder SKIP everything else.
   private val writerSchema = reader.getSchema
-  private val writerFieldNames = writerSchema.getFields.asScala.map(_.name).toSet
+  // Spark resolves columns case-insensitively by default: match read
+  // fields to writer fields exactly first, then case-insensitively, or
+  // a catalog table declared with different casing reads silent nulls
+  private val writerFieldOf: String => Option[Schema.Field] = {
+    val exact = writerSchema.getFields.asScala.map(f => f.name -> f).toMap
+    val ci = writerSchema.getFields.asScala.map(f => f.name.toLowerCase -> f).toMap
+    n => exact.get(n).orElse(ci.get(n.toLowerCase))
+  }
   locally {
+    val wanted = readSchema.fieldNames.flatMap(writerFieldOf).map(_.name).toSet
     val kept = writerSchema.getFields.asScala
-      .filter(f => readSchema.fieldNames.contains(f.name))
+      .filter(f => wanted.contains(f.name))
       .map(f => new Schema.Field(f.name, f.schema, f.doc, f.defaultVal()))
     val proj = Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
       writerSchema.getNamespace, false, kept.toList.asJava)
@@ -195,12 +203,15 @@ private[sources] class AvroPartitionReader(p: AvroInputPartition,
   private val end = p.start + p.length
   private var record: GenericRecord = _
   // per-field converters precomputed against the WRITER's field schemas,
-  // so logical-type scaling (timestamp-millis, decimal scale) is correct
-  private val converters: Array[AnyRef => Any] = readSchema.fields.map { f =>
-    if (!writerFieldNames.contains(f.name)) null
-    else {
-      val (wf, _) = AvroFileSource.unwrapNullablePub(writerSchema.getField(f.name).schema)
-      AvroFileSource.converterFor(wf, f.dataType)
+  // so logical-type scaling (timestamp-millis, decimal scale) is correct;
+  // paired with the writer field's actual (possibly differently-cased)
+  // name for the datum lookup
+  private val converters: Array[(String, AnyRef => Any)] = readSchema.fields.map { f =>
+    writerFieldOf(f.name) match {
+      case None => null
+      case Some(wfield) =>
+        val (wf, _) = AvroFileSource.unwrapNullablePub(wfield.schema)
+        (wfield.name, AvroFileSource.converterFor(wf, f.dataType))
     }
   }
 
@@ -212,7 +223,7 @@ private[sources] class AvroPartitionReader(p: AvroInputPartition,
   override def get(): InternalRow = {
     InternalRow.fromSeq(readSchema.fields.indices.map { i =>
       val conv = converters(i)
-      if (conv == null) null else conv(record.get(readSchema.fields(i).name))
+      if (conv == null) null else conv._2(record.get(conv._1))
     })
   }
 
@@ -296,13 +307,22 @@ object AvroFileSource {
   /** FilePartition-style split sizing: the per-read option wins, then the
     * session's spark.sql.files.maxPartitionBytes, then the 128 MiB
     * default — identical resolution for the batch and streaming paths. */
-  private[sources] def maxSplitBytes(options: Map[String, String]): Long =
-    options.get("maxpartitionbytes").map(_.toLong).getOrElse {
+  private[sources] def maxSplitBytes(options: Map[String, String]): Long = {
+    val b = options.get("maxpartitionbytes").map { s =>
+      // accept the same byte-string syntax as the session conf ("128m"),
+      // not only raw longs
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s) }
+    }.getOrElse {
       val s = SparkSession.active.conf
         .get("spark.sql.files.maxPartitionBytes", "134217728")
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
       catch { case _: Exception => 134217728L }
     }
+    require(b > 0, s"maxPartitionBytes must be positive, got $b")
+    b
+  }
 
   private[sources] def requirePath(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

@@ -61,12 +61,22 @@ object AvroFormat {
         v.asInstanceOf[AnyRef]
       case StringType => v.asInstanceOf[AnyRef]
       case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case TimestampType =>
-        java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(
-          v.asInstanceOf[java.sql.Timestamp]))
-      case DateType =>
-        java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(
-          v.asInstanceOf[java.sql.Date]))
+      // Row-land datetime values depend on spark.sql.datetime.java8API.
+      // enabled: Timestamp/Date by default, Instant/LocalDate under the
+      // java8 API — accept both instead of a config-dependent
+      // ClassCastException per row
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t))
+        case i: java.time.Instant =>
+          java.lang.Long.valueOf(DateTimeUtils.instantToMicros(i))
+      }
+      case DateType => v match {
+        case d: java.sql.Date =>
+          java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d))
+        case d: java.time.LocalDate =>
+          java.lang.Integer.valueOf(DateTimeUtils.localDateToDays(d))
+      }
       case d: DecimalType =>
         val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
         ByteBuffer.wrap(bd.unscaledValue().toByteArray)
@@ -137,10 +147,15 @@ object AvroFormat {
     df.mapPartitions { it =>
       val schema = new Schema.Parser().parse(json)
       val writer = new GenericDatumWriter[GenericRecord](schema)
+      // stream + encoder reused across the partition (reset per row /
+      // reuse-arg) — per-row allocation was pure GC pressure in the hot
+      // encode path
+      val bos = new ByteArrayOutputStream()
+      var enc: org.apache.avro.io.BinaryEncoder = null
       it.map { row =>
         val rec = externalToAvro(sparkSchema, row, schema).asInstanceOf[GenericRecord]
-        val bos = new ByteArrayOutputStream()
-        val enc = EncoderFactory.get().binaryEncoder(bos, null)
+        bos.reset()
+        enc = EncoderFactory.get().binaryEncoder(bos, enc)
         writer.write(rec, enc)
         enc.flush()
         Row(bos.toByteArray)

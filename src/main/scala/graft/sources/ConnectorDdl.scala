@@ -29,7 +29,7 @@ object ConnectorDdl {
         KafkaConnector.decode(
           spark.readStream.format("kafka")
             .options(KafkaConnector.sourceOptions(options)).load(),
-          schema, KafkaConnector.valueFormat(options))
+          schema, KafkaConnector.valueFormat(options), options)
       case Some("datagen") => DataGenConnector.readStream(spark, schema, options)
       case Some("filesystem") =>
         val (path, fmt) = FileSystemConnector.pathFormat(options)
@@ -48,7 +48,7 @@ object ConnectorDdl {
         KafkaConnector.decode(
           spark.read.format("kafka")
             .options(KafkaConnector.sourceOptions(options, forBatch = true)).load(),
-          schema, KafkaConnector.valueFormat(options))
+          schema, KafkaConnector.valueFormat(options), options)
       case Some("datagen") => DataGenConnector.read(spark, schema, options)
       case Some("filesystem") =>
         val (path, fmt) = FileSystemConnector.pathFormat(options)
@@ -159,24 +159,51 @@ object KafkaConnector {
   /** Decode kafka wire rows (key/value binary + metadata) into the
     * declared row schema — the DeserializationSchema role. Works on any
     * frame with a binary `value` column, so it is testable without a
-    * broker. */
-  def decode(raw: DataFrame, schema: StructType, format: String): DataFrame =
+    * broker.
+    *
+    * TOMBSTONES (value = null, routine on compacted/Debezium topics) are
+    * DROPPED before decoding for every format — the value-row surface
+    * cannot represent a deletion, and feeding the null into the avro
+    * decoder would NPE the query permanently (same offset refails on
+    * every restart). Malformed json/csv payloads FAIL the query by
+    * default (the Flink formats' fail-on-error contract); set
+    * `'json.ignore-parse-errors'='true'` / `'csv.ignore-parse-errors'=
+    * 'true'` in the table options to drop them instead. */
+  def decode(raw: DataFrame, schema: StructType, format: String,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    val values = raw.filter(col("value").isNotNull)
+    def lenient(fmt: String): Boolean =
+      opts.get(s"$fmt.ignore-parse-errors").exists(_.trim.equalsIgnoreCase("true"))
     format match {
-      case "json" =>
-        raw.select(from_json(col("value").cast("string"), schema).as("r"))
+      case "json" | "csv" =>
+        val mode: Map[String, String] =
+          if (lenient(format)) Map("mode" -> "PERMISSIVE")
+          else Map("mode" -> "FAILFAST")
+        val str = col("value").cast("string")
+        val parsed = values.select((if (format == "json")
+          from_json(str, schema, mode) else from_csv(str, schema, mode)).as("r"))
+        // PERMISSIVE parse failures surface as an all-null struct (no
+        // corrupt-record column is declared): drop rows where EVERY field
+        // is null — a payload of explicit all-null values is
+        // indistinguishable and also drops, the ignore-parse-errors trade
+        (if (lenient(format))
+          parsed.filter(schema.fieldNames
+            .map(n => col(s"r.`$n`").isNotNull).reduce(_ || _))
+        else parsed)
           .select(col("r.*"))
-      case "csv" =>
-        raw.select(from_csv(col("value").cast("string"), schema,
-          Map.empty[String, String]).as("r")).select(col("r.*"))
       case "raw" =>
         require(schema.fields.length == 1,
           s"raw format requires a single-column schema, got ${schema.fieldNames.mkString(",")}")
         val f = schema.fields.head
-        raw.select(col("value").cast(f.dataType).as(f.name))
-      case "avro" => AvroFormat.decode(raw.select(col("value")), schema)
+        require(f.dataType == StringType || f.dataType == BinaryType,
+          s"raw format supports STRING or BINARY columns; '${f.name}' is " +
+            s"${f.dataType.simpleString} (big-endian numeric raw is not mapped)")
+        values.select(col("value").cast(f.dataType).as(f.name))
+      case "avro" => AvroFormat.decode(values.select(col("value")), schema)
       case other => throw new IllegalArgumentException(
         s"unsupported kafka value format '$other' (json, csv, raw, avro)")
     }
+  }
 }
 
 /** `'connector'='datagen'` -> Spark's `rate` source + per-column

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, WriterCommitMessage}
 
 /** Shared plumbing for the file-based DSv2 connectors ([[AvroFileSource]],
@@ -42,10 +42,26 @@ private[sources] case class TaskFileCommit(tempFile: String) extends WriterCommi
   * with file count like Spark's own FileStreamSource seen-map —
   * compaction is the documented trade at very long horizons.
   *
+  * FILES MUST APPEAR ATOMICALLY (write to a temporary name, then
+  * rename) — the same contract as Spark's FileStreamSource and the
+  * reference monitor: a file listed mid-write is consumed at the length
+  * captured at listing time, so later-appended bytes are never read and
+  * a half-written trailing block fails the committed batch. The
+  * connectors' own two-phase writer honors this; external producers
+  * must too.
+  *
+  * Backlog admission is throttled via SupportsAdmissionControl: at most
+  * `maxFilesPerTrigger` NEW files enter one micro-batch (Flink's
+  * monitor paces by discovery interval; Spark's FileStreamSource by the
+  * same option) — without it, starting over a deep directory would plan
+  * the whole history as batch 0.
+  *
   * `planFile` maps one new file (path, length) to that connector's
   * partitions (byte-range splits for Avro, whole-file for proto). */
 private[sources] abstract class FilesMicroBatchStream(path: String, suffix: String,
-    planFile: (String, Long) => Seq[InputPartition]) extends MicroBatchStream {
+    planFile: (String, Long) => Seq[InputPartition],
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   // The offset stores path AND length captured AT LISTING TIME
   // ("<length>\t<path>" entries): planning must never re-stat the file —
@@ -69,9 +85,22 @@ private[sources] abstract class FilesMicroBatchStream(path: String, suffix: Stri
   override def initialOffset(): StreamOffset = FilesOffset(Map.empty)
   override def deserializeOffset(json: String): StreamOffset =
     FilesOffset(AvroFileSource.fromJsonArray(json).map(parseEntry).toMap)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
   override def latestOffset(): StreamOffset =
-    FilesOffset(FileConnectorUtil.listFiles(path, suffix, conf)
-      .map(st => st.getPath.toString -> st.getLen).toMap)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is called instead (SupportsAdmissionControl)")
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val seen = start.asInstanceOf[FilesOffset].files
+    val all = FileConnectorUtil.listFiles(path, suffix, conf)
+      .map(st => st.getPath.toString -> st.getLen)
+    val cap = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => Int.MaxValue
+    }
+    // deterministic admission order (listFiles sorts by path)
+    FilesOffset(seen ++ all.filterNot(f => seen.contains(f._1)).take(cap))
+  }
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
 

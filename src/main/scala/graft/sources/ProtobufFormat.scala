@@ -152,6 +152,12 @@ object ProtobufFormat {
         case at: ArrayType =>
           val xs = if (raw == null) Seq.empty
             else raw.asInstanceOf[scala.collection.Seq[Any]]
+          // proto3 repeated fields cannot represent a null element, and
+          // Scala's unboxing would silently turn a null Long/Double into
+          // 0 on the wire — refuse loudly instead of corrupting
+          require(!xs.contains(null),
+            s"protobuf encode: repeated field '${f.name}' contains a null " +
+              "element (proto3 repeated fields have no null representation)")
           if (xs.nonEmpty) at.elementType match {
             case LongType => // packed varints
               val body = new ByteArrayOutputStream()

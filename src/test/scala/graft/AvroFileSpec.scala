@@ -142,6 +142,44 @@ class AvroFileSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger paces backlog admission across micro-batches") {
+    import spark.implicits._
+    val dir = tmp("paced")
+    val ckpt = Files.createTempDirectory("graft-avro-paced").toString
+    // three separate files (one per append)
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).select($"id".as("k")).repartition(1)
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    val stream = spark.readStream.format("graft-avro")
+      .schema(new StructType().add("k", LongType, nullable = true))
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+    val q = stream.writeStream.format("memory").queryName("avro_paced")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_paced").count() == 30) // all rows, eventually
+      // one file per micro-batch: no batch carried more than 10 rows
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3 && batches.forall(_.numInputRows <= 10),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("case-insensitive column resolution: differently-cased read schema still binds") {
+    import spark.implicits._
+    val dir = tmp("cased")
+    spark.range(5).select($"id".as("k"), ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("append").save(dir)
+    // Spark resolves columns case-insensitively by default; the reader's
+    // writer-field match must too, or every value reads as silent null
+    val got = spark.read.format("graft-avro")
+      .schema(new StructType().add("K", LongType).add("V", LongType))
+      .load(dir).as[(Long, Long)].collect().toSet
+    assert(got == (0L until 5L).map(i => (i, i * 2)).toSet, s"got $got")
+  }
+
   test("restart from checkpoint: a new query instance resumes without loss or duplication") {
     import spark.implicits._
     val dir = tmp("restart")

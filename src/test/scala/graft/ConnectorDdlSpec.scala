@@ -75,6 +75,27 @@ class ConnectorDdlSpec extends AnyFunSuite {
       .getMessage.contains("single 'topic'"))
   }
 
+  test("kafka decode drops tombstones; parse errors fail unless opted lenient") {
+    import spark.implicits._
+    val schema = new StructType().add("k", LongType).add("v", StringType)
+    // a compacted/Debezium topic routinely carries value=null tombstones:
+    // they must be dropped, never fed to a decoder (the avro path NPEs)
+    val wire = Seq(Some("""{"k":1,"v":"a"}"""), None, Some("not json"))
+      .toDF("s").select($"s".cast("binary").as("value"))
+    val lenient = KafkaConnector.decode(wire, schema, "json",
+      Map("json.ignore-parse-errors" -> "true"))
+      .as[(Long, String)].collect().toSet
+    assert(lenient == Set((1L, "a")), s"tombstone+bad row must drop: $lenient")
+    // default = the Flink formats' fail-on-error contract
+    assertThrows[org.apache.spark.SparkException] {
+      KafkaConnector.decode(wire, schema, "json").collect()
+    }
+    // raw format: numeric columns are out of scope, loudly
+    assert(intercept[IllegalArgumentException] {
+      KafkaConnector.decode(wire, new StructType().add("n", LongType), "raw")
+    }.getMessage.contains("STRING or BINARY"))
+  }
+
   // ---- kafka payload decode (wire rows -> typed rows, no broker) ----
 
   test("kafka decode: json, csv and raw value formats") {
