@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   * "generate a straight-line Java loop, never box" idea.
   */
 case class DotProductLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot_long"
@@ -60,8 +62,10 @@ case class DotProductLong(left: Expression, right: Expression)
 /** Sequential-order double dot product (bit-deterministic: same fold order
   * as a plain loop in any engine). */
 case class DotProductDouble(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot_double"
@@ -98,7 +102,9 @@ case class DotProductDouble(left: Expression, right: Expression)
 
 /** Hamming distance between two 64-bit signatures (SimHash comparison). */
 case class HammingDistance64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
@@ -122,7 +128,10 @@ case class HammingDistance64(left: Expression, right: Expression)
   * allocates a lambda frame + slice array + sequence array per position,
   * interpreted; this is a straight loop over the backing ArrayData. */
 case class ShingleArray(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1, s"graft_shingles: shingle width k must be >= 1, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -178,7 +187,10 @@ case class ShingleArray(child: Expression, k: Int)
   * aggregates whose combined codegen is expensive to JIT and whose
   * aggregation buffers bloat the shuffle. */
 case class MinHashSignature(child: Expression, nPerm: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nPerm >= 1, s"graft_minhash: nPerm must be >= 1, got $nPerm")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -190,9 +202,9 @@ case class MinHashSignature(child: Expression, nPerm: Int)
     val sig = Array.fill(nPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       var p = 0
-      while (p < nPerm) {
+      while (s != null && p < nPerm) {
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), p.toLong)
         if (h < sig(p)) sig(p) = h
@@ -216,6 +228,7 @@ case class MinHashSignature(child: Expression, nPerm: Int)
          |long[] $sig = new long[$nPerm];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue; // null elements carry no token
          |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
          |  for (int $p = 0; $p < $nPerm; $p++) {
          |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64

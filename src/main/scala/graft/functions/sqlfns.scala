@@ -14,9 +14,12 @@ object sqlfns {
 
   /** SPLIT_INDEX(str, delim, i) — i is 0-based like Flink; delim is a
     * literal string (quoted before hitting the regex-based split). Returns
-    * null when out of range, matching Flink. */
+    * null when out of range OR negative, matching Flink — without the
+    * guard, i = -1 built element_at(0) (unconditional runtime error) and
+    * i <= -2 silently counted from the END of the array. */
   def splitIndex(s: Column, delim: String, i: Int): Column =
-    try_element_at(split(s, java.util.regex.Pattern.quote(delim)), lit(i + 1))
+    if (i < 0) lit(null).cast("string")
+    else try_element_at(split(s, java.util.regex.Pattern.quote(delim)), lit(i + 1))
 
   /** IS_DECIMAL(str): can the string be parsed as a decimal number. */
   def isDecimal(c: Column): Column =

@@ -59,7 +59,11 @@ object InMemoryKvService {
     }
     override def delete(key: Array[Byte]): Unit = {
       writes.incrementAndGet()
-      m.put(key.toVector, Array(Dead)) // tombstone write (ByteKv.java:50)
+      // API semantics mirror ByteKv.java:50's tombstone write; the
+      // in-memory stand-in reclaims the cell physically (a real
+      // consensus log compacts tombstones too) — without this, pruned
+      // layer cells accumulate forever and a long-running stream OOMs
+      m.remove(key.toVector)
     }
     override def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
       val p = prefix.toVector
@@ -104,9 +108,12 @@ class KvStateStoreProvider extends StateStoreProvider {
   @volatile private var keySchema: StructType = _
   @volatile private var valueSchema: StructType = _
   private var kv: ByteKv = _
-  // steady-state cache: the merged map as of `cachedVersion`
-  @volatile private var cachedVersion: Long = -1L
-  @volatile private var cachedMap: java.util.HashMap[Vector[Byte], Array[Byte]] = _
+  // steady-state cache: (version, merged map) published as ONE volatile
+  // reference — separate fields allowed a retried task's commit to swap
+  // the map between another thread's version check and its copy,
+  // silently handing it a FUTURE version's state
+  @volatile private var cached: (Long, java.util.HashMap[Vector[Byte], Array[Byte]]) =
+    (-1L, null)
 
   override def init(
       stateStoreId: StateStoreId,
@@ -155,13 +162,27 @@ class KvStateStoreProvider extends StateStoreProvider {
   private def layerKind(v: Long): Option[Char] =
     kv.get(metaKey(v)).map(_(0).toChar)
 
-  /** Reconstruct the merged state at `version` from KV layers. */
+  /** Reconstruct the merged state at `version` from KV layers. FAILS
+    * FAST (like HDFSBackedStateStoreProvider's missing-delta error) when
+    * the version is not reconstructible — pruned below the retained
+    * window, or never committed; silently returning an empty map would
+    * resume a query over empty aggregation state and produce wrong
+    * results with no error. */
   private def loadMerged(version: Long): java.util.HashMap[Vector[Byte], Array[Byte]] = {
     val m = new java.util.HashMap[Vector[Byte], Array[Byte]]()
     if (version <= 0) return m
     var base = version
     while (base > 0 && !layerKind(base).contains('F')) base -= 1
-    (math.max(base, 1) to version).foreach { v =>
+    if (base < 1)
+      throw new IllegalStateException(
+        s"KvStateStoreProvider: version $version of $storeId is not " +
+          "reconstructible — no full layer at or below it (pruned beyond " +
+          "the retained window, or never committed)")
+    (base to version).foreach { v =>
+      if (layerKind(v).isEmpty)
+        throw new IllegalStateException(
+          s"KvStateStoreProvider: layer $v needed for version $version " +
+            s"of $storeId is missing")
       kv.scan(layerPrefix(v)).foreach { case (k, cell) =>
         val logical = k.drop(layerPrefix(v).length).toVector
         if (cell(0) == CellLive) m.put(logical, cell.drop(1))
@@ -175,10 +196,11 @@ class KvStateStoreProvider extends StateStoreProvider {
     * stages changes and tracks dirty keys; commit publishes version+1 as a
     * delta (or periodic full) layer. */
   private class KvStore(val loadVersion: Long) extends StateStore {
-    private val data: java.util.HashMap[Vector[Byte], Array[Byte]] =
-      if (loadVersion == cachedVersion && cachedMap != null)
-        new java.util.HashMap(cachedMap)
+    private val data: java.util.HashMap[Vector[Byte], Array[Byte]] = {
+      val c = cached // one volatile read: version and map move together
+      if (loadVersion == c._1 && c._2 != null) new java.util.HashMap(c._2)
       else loadMerged(loadVersion)
+    }
     private val dirty = new java.util.HashSet[Vector[Byte]]()
     private var committed = false
 
@@ -209,10 +231,17 @@ class KvStateStoreProvider extends StateStoreProvider {
     }
 
     override def iterator(colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
-      val it = data.entrySet().iterator().asScala.map { e =>
+      // SNAPSHOT the entries: the StateStore contract allows mutation
+      // during iteration (WatermarkSupport.removeKeysOlderThanWatermark
+      // calls remove() mid-iteration on every watermarked operator), and
+      // java.util.HashMap's live iterator is fail-fast
+      val snap = new java.util.ArrayList[(Vector[Byte], Array[Byte])](data.size())
+      data.entrySet().iterator().asScala
+        .foreach(e => snap.add((e.getKey, e.getValue)))
+      val it = snap.iterator().asScala.map { case (k, v) =>
         new UnsafeRowPair(
-          bytesToRow(e.getKey.toArray, keySchema.length),
-          bytesToRow(e.getValue, valueSchema.length))
+          bytesToRow(k.toArray, keySchema.length),
+          bytesToRow(v, valueSchema.length))
       }
       new StateStoreIterator(it)
     }
@@ -266,8 +295,7 @@ class KvStateStoreProvider extends StateStoreProvider {
         }
         kv.put(metaKey(next), Array('D'.toByte))
       }
-      cachedMap = new java.util.HashMap(data)
-      cachedVersion = next
+      cached = (next, new java.util.HashMap(data)) // atomic publish
       committed = true
       next
     }

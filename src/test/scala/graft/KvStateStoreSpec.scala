@@ -40,6 +40,42 @@ class KvStateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked eviction iterates and removes without failing (append mode)") {
+    // Spark's WatermarkSupport.removeKeysOlderThanWatermark removes keys
+    // WHILE iterating the store — the path complete-mode tests never hit;
+    // a fail-fast live iterator dies with ConcurrentModificationException
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKvService.clearAll()
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "graft.state.KvStateStoreProvider")
+    try {
+      val in = MemoryStream[(java.sql.Timestamp, String)]
+      val agg = in.toDF().toDF("ts", "k")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "10 seconds"), $"k").count()
+        .select($"k", $"count")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName("kv_wm_out").start()
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      in.addData((t(1), "a"), (t(2), "a"))
+      q.processAllAvailable()
+      in.addData((t(25), "b")) // watermark passes window [0,10): evict + emit
+      q.processAllAvailable()
+      in.addData((t(60), "c")) // watermark passes [20,30): evict again
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("kv_wm_out").as[(String, Long)].collect().toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L), s"evicted windows must emit: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("offline state read over a KvStateStoreProvider checkpoint") {
     // savepoint-reader parity for the PSL-analog backend: the same
     // `statestore` batch source that reads HDFS-backed checkpoints reads
