@@ -52,6 +52,12 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     val kCols = keys.map(k => s"__k_$k")
+    // SQL equi-join semantics: a NULL key matches NOTHING. The window
+    // partitioning below groups NULLs together, so null-keyed right rows
+    // must not enter the union (a null-keyed left row then sees an empty
+    // partition and comes back with a null payload, exactly like a
+    // FOR SYSTEM_TIME AS OF join would return it).
+    val rightNonNull = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -61,7 +67,7 @@ object AsOfJoin {
         Seq(col("__t"), col("__side"), col("__tie"), col("__rp")) ++
         leftCols.map(col)): _*)
 
-    val r = right
+    val r = rightNonNull
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(tieBreak).cast("long"))
@@ -104,6 +110,7 @@ object AsOfJoin {
         leftCols.map(col)): _*)
 
     val r = right
+      .filter(col(key).isNotNull) // NULL keys match nothing (same as backward)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(tieBreak).cast("long"))

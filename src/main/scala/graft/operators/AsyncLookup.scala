@@ -28,7 +28,9 @@ object AsyncLookup {
 
   /** Fixed-delay retry wrapper for flaky lookup services (Flink's
     * retryable lookup, AsyncRetryStrategies). */
-  def withRetry[I, O](attempts: Int, delayMs: Long)(lookup: I => O): I => O = { in =>
+  def withRetry[I, O](attempts: Int, delayMs: Long)(lookup: I => O): I => O = {
+    require(attempts >= 1, s"withRetry needs at least one attempt, got $attempts")
+    in =>
     var left = attempts
     var result: Option[O] = None
     var lastErr: Throwable = null
@@ -56,6 +58,11 @@ object AsyncLookup {
         t.setDaemon(true)
         t
       })
+      // limit()/take(n) stop pulling the iterator before it drains — the
+      // completion listener is the only reliable shutdown then (threads
+      // are daemons, but in-flight lookups would keep hitting the service)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val inFlight = new ArrayBlockingQueue[(I, Future[O])](capacity)
 
@@ -99,6 +106,8 @@ object AsyncLookup {
         t.setDaemon(true)
         t
       })
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val completed =
         new java.util.concurrent.LinkedBlockingQueue[(I, scala.util.Try[O])]()

@@ -25,7 +25,7 @@ import java.util.concurrent.atomic.AtomicLong
   * the TTL re-fetches, so a changed dimension row becomes visible at
   * most `ttlMs` after it changed.
   */
-final class LookupCache[I, O](maxEntries: Int, ttlMs: Long,
+final class LookupCache[I, O](val maxEntries: Int, val ttlMs: Long,
     clock: () => Long) extends Serializable {
   require(maxEntries > 0, "cache capacity must be positive")
   require(ttlMs > 0, "ttl must be positive")
@@ -119,10 +119,19 @@ object LookupCache {
     * .registerCacheIfAbsent): every partition running in this executor
     * shares it, so a hot key fetched by one task serves all. */
   def shared[I, O](name: String, maxEntries: Int, ttlMs: Long,
-      clock: () => Long = () => System.currentTimeMillis()): LookupCache[I, O] =
-    registry.computeIfAbsent(name,
+      clock: () => Long = () => System.currentTimeMillis()): LookupCache[I, O] = {
+    val c = registry.computeIfAbsent(name,
       _ => new LookupCache[I, O](maxEntries, ttlMs, clock))
       .asInstanceOf[LookupCache[I, O]]
+    // per-name singleton: a second call site with a DIFFERENT config
+    // would silently get the first registrant's cache (e.g. a 60s TTL
+    // when it asked for 500ms freshness) — refuse instead
+    require(c.maxEntries == maxEntries && c.ttlMs == ttlMs,
+      s"lookup cache '$name' already registered with maxEntries=" +
+        s"${c.maxEntries}/ttlMs=${c.ttlMs}; requested $maxEntries/$ttlMs " +
+        "(use a distinct name per config)")
+    c
+  }
 
   /** Wrap a lookup function with the shared cache `name`. The returned
     * function is serializable; the cache instance is resolved lazily on

@@ -253,16 +253,23 @@ object MultimodalOps extends QueryModule {
     val frames = Vector.newBuilder[Array[Byte]]
     def scan(start: Int, end: Int): Unit = {
       var off = start
-      while (off + 8 <= end) {
+      var ok = true
+      while (ok && off + 8 <= end) {
         val id = fourcc(off)
-        val size = u32(off + 4).toInt
-        val dataStart = off + 8
-        val dataEnd = math.min(dataStart + size, end)
-        if (id == "LIST" && dataEnd >= dataStart + 4)
-          scan(dataStart + 4, dataEnd) // list type fourcc, then sub-chunks
-        else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
-          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-        off = dataStart + size + (size & 1) // chunks pad to even size
+        val size64 = u32(off + 4) // unsigned: a >2GB or corrupt size must
+        // not wrap negative through toInt — `off` would stall or move
+        // BACKWARD and the loop would spin forever on untrusted input
+        if (size64 < 0 || size64 > end - (off + 8)) ok = false
+        else {
+          val size = size64.toInt
+          val dataStart = off + 8
+          val dataEnd = dataStart + size
+          if (id == "LIST" && dataEnd >= dataStart + 4)
+            scan(dataStart + 4, dataEnd) // list type fourcc, then sub-chunks
+          else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          off = dataStart + size + (size & 1) // chunks pad to even size
+        }
       }
     }
     scan(12, math.min(bytes.length, 8 + u32(4).toInt))

@@ -1838,7 +1838,10 @@ object PipelineOps extends QueryModule {
     val stride = math.max(1L, n / k)
     var cent = withNorm(
       db.withColumn("rk", ($"vec_id" - 10) % stride)
-        .filter($"rk" === 0).limit(k)
+        // orderBy before limit: when the stride matches MORE than k
+        // vectors, an unordered limit() keeps a partition-order-dependent
+        // subset and the "deterministic init" claim silently breaks
+        .filter($"rk" === 0).orderBy($"vec_id").limit(k)
         .select(($"vec_id" % 100000).as("cid"), $"q".as("cq")))
       .localCheckpoint()
     val assignW = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cid")

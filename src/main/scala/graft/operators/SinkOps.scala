@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object SinkOps extends QueryModule {
 
+  // per-JVM scratch dirs for the file-roundtrip queries: Bench/Verify
+  // invoke each query several times per process, and a FRESH temp dir
+  // per invocation leaked a full written dataset copy each pass
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(tag: String): String =
+    scratchDirs.computeIfAbsent(tag,
+      t => java.nio.file.Files.createTempDirectory(t).toString)
+
   sealed trait Policy
   case object ErrorPolicy extends Policy
   case object DropPolicy extends Policy
@@ -39,7 +48,11 @@ object SinkOps extends QueryModule {
     charLength.foldLeft(afterNull) { case (d, (c, n)) =>
       policy match {
         case TrimPolicy => d.withColumn(c, substring(col(c), 1, n))
-        case DropPolicy => d.filter(length(col(c)) <= n)
+        // length(NULL) <= n is NULL and a bare filter would DROP the
+        // row; length enforcement applies to non-null values only
+        // (Flink's ConstraintEnforcer), and nullability is the
+        // notNull list's concern
+        case DropPolicy => d.filter(col(c).isNull || length(col(c)) <= n)
         case ErrorPolicy => d.withColumn(c,
           when(length(col(c)) > n,
             raise_error(lit(s"CHAR length constraint violated: $c > $n"))).otherwise(col(c)))
@@ -121,8 +134,7 @@ object SinkOps extends QueryModule {
         val base = Tables.orders(s, d)
           .select($"o_orderkey", $"o_orderpriority",
             graft.Bits.dec($"o_totalprice").cast("double").as("price"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-avro-q104").toString + "/orders"
+        val dir = scratchDir("graft-avro-q104") + "/orders"
         base.write.format("graft-avro").option("codec", "deflate")
           .mode("overwrite").save(dir)
         s.read.format("graft-avro")
@@ -154,8 +166,7 @@ object SinkOps extends QueryModule {
         val base = Tables.orders(s, d)
           .select($"o_orderkey", $"o_orderpriority",
             graft.Bits.dec($"o_totalprice").cast("double").as("price"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-proto-q105").toString + "/orders"
+        val dir = scratchDir("graft-proto-q105") + "/orders"
         base.write.format("graft-proto").mode("overwrite").save(dir)
         s.read.format("graft-proto")
           .schema(new StructType().add("o_orderkey", LongType)
@@ -274,8 +285,7 @@ object SinkOps extends QueryModule {
               .otherwise($"o_orderstatus").as("status")).as("rec"),
           array($"o_orderkey" % 10, $"o_orderkey" % 100).as("xs"),
           map(lit("ck"), $"o_custkey").as("m"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-avro-q109").toString + "/orders"
+        val dir = scratchDir("graft-avro-q109") + "/orders"
         base.write.format("graft-avro").option("codec", "deflate")
           .mode("overwrite").save(dir)
         s.read.format("graft-avro").load(dir)

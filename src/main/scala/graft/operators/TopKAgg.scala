@@ -33,8 +33,17 @@ object TopKAgg extends QueryModule {
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (score, id) => (-score, id) }.take(k)
     override def zero: Seq[(Double, Long)] = Seq.empty
-    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      // the buffer is kept trimmed+sorted (every producer runs trim), so
+      // a full buffer whose cutoff beats the new row can reject it in
+      // O(1) — re-sorting k elements per input row dominated the
+      // map-side combine on large fact tables
+      if (b.size >= k) {
+        val (cutScore, cutId) = b.last
+        if (a._1 < cutScore || (a._1 == cutScore && a._2 > cutId)) return b
+      }
       trim(b :+ a)
+    }
     override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(b1 ++ b2)
     override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
