@@ -1,0 +1,343 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** The remaining `StatefulOps` operators re-based on transformWithState,
+  * completing the migration the four round-5 templates started
+  * (KeyedProcessTws / StreamJoinTws / RetractTws / DedupTws — see
+  * KeyedProcessTws's scaladoc for the API mapping table and the RocksDB
+  * prerequisite).
+  *
+  * The shared shape here is the WATERMARK-RELEASE BUFFER that
+  * `eventTimeSort` / `runningSumByKey` / `rowsBoundedSumByKey` all build
+  * on (reference flink-table-runtime RowTimeSortOperator.java,
+  * RowTimeRowsUnboundedPrecedingFunction.java,
+  * RowTimeRowsBoundedPrecedingFunction.java:56): rows wait in per-key
+  * state until the watermark passes them, then release in (t, payload)
+  * order. The fMGWS originals fold the buffer into ONE GroupState value —
+  * whole-state deserialize + rewrite per key per batch even when nothing
+  * releases. Here the buffer is a named `ListState` with a
+  * `minPending` ValueState watermark gate:
+  *
+  *   - a batch that releases nothing (the common case under a long
+  *     watermark delay) is `appendValue` point-writes only — the list is
+  *     never read, Flink's exact elementQueueState access pattern;
+  *   - the full read + rewrite happens only when the watermark actually
+  *     passed the earliest buffered row.
+  *
+  * Timer discipline matches the fMGWS originals' single
+  * `setTimeoutTimestamp`: one live timer per key, re-armed (delete +
+  * register) at the earliest pending release time, so expiry fires the
+  * flush even when the key sees no further traffic.
+  *
+  * Contract parity: each op emits EXACTLY the rows its `StatefulOps`
+  * original emits, in the same per-key order, in the same micro-batch —
+  * pinned by exact-equality specs (StatefulTwsSpec) that replay the same
+  * MemoryStream script through both implementations. */
+object StatefulTws {
+
+  private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+  private val eNum = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+
+  /** Single-timer discipline shared by the event-time processors: drop
+    * whatever is armed and re-register at `at` (clamped above the
+    * watermark, the same clamp the fMGWS originals apply). */
+  private def rearm(h: StatefulProcessorHandle, at: Option[Long], wm: Long): Unit = {
+    h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
+    at.foreach(t => h.registerTimer(math.max(t, wm + 1)))
+  }
+
+  // ---- event-time sort -------------------------------------------------
+
+  private class SortProc[K]
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, String), (K, Long, String)] {
+
+    @transient private var pending: ListState[(Long, String)] = _
+    @transient private var minPending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending", ePair, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def flush(key: K, fresh: Seq[(Long, String)], wm: Long)
+        : Iterator[(K, Long, String)] = {
+      val curMin = if (minPending.exists()) minPending.get() else Long.MaxValue
+      val newMin = fresh.iterator.map(_._1).foldLeft(curMin)(math.min)
+      if (newMin > wm) { // nothing releasable: point-append fast path
+        if (fresh.nonEmpty) { fresh.foreach(pending.appendValue); minPending.update(newMin) }
+        rearm(getHandle, if (newMin == Long.MaxValue) None else Some(newMin), wm)
+        Iterator.empty
+      } else {
+        val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
+        val (ready, still) = buf.partition(_._1 <= wm)
+        if (still.isEmpty) { pending.clear(); minPending.clear(); rearm(getHandle, None, wm) }
+        else {
+          val m = still.iterator.map(_._1).min
+          pending.put(still.toArray)
+          minPending.update(m)
+          rearm(getHandle, Some(m), wm)
+        }
+        ready.sortBy(identity).iterator.map(r => (key, r._1, r._2))
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, String)],
+        tv: TimerValues): Iterator[(K, Long, String)] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      flush(key, rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm).toSeq, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Long, String)] =
+      flush(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Drop-in swap for `StatefulOps.eventTimeSort`: identical input
+    * contract (watermarked (key, ts, payload)) and append-mode output. */
+  def eventTimeSort[K: Encoder](ds: Dataset[(K, java.sql.Timestamp, String)])(
+      implicit eo: Encoder[(K, Long, String)]): Dataset[(K, Long, String)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new SortProc[K], TimeMode.EventTime(), OutputMode.Append(), eo)
+
+  // ---- streaming OVER: unbounded-preceding running sum -----------------
+
+  private class RunningSumProc[K]
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Double), (K, Long, Double, Double)] {
+
+    @transient private var pending: ListState[(Long, Double)] = _
+    @transient private var acc: ValueState[Double] = _
+    @transient private var minPending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
+      acc = getHandle.getValueState("acc", Encoders.scalaDouble, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
+        : Iterator[(K, Long, Double, Double)] = {
+      val curMin = if (minPending.exists()) minPending.get() else Long.MaxValue
+      val newMin = fresh.iterator.map(_._1).foldLeft(curMin)(math.min)
+      if (newMin > wm) {
+        if (fresh.nonEmpty) { fresh.foreach(pending.appendValue); minPending.update(newMin) }
+        rearm(getHandle, if (newMin == Long.MaxValue) None else Some(newMin), wm)
+        Iterator.empty
+      } else {
+        val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
+        val (ready, still) = buf.partition(_._1 <= wm)
+        // the accumulator is PERMANENT state, like the fMGWS original and
+        // Flink's unbounded-preceding function: it survives empty buffers
+        var a = if (acc.exists()) acc.get() else 0.0
+        val out = ready.sortBy(_._1).map { case (t, v) => a += v; (key, t, v, a) }
+        acc.update(a)
+        if (still.isEmpty) { pending.clear(); minPending.clear(); rearm(getHandle, None, wm) }
+        else {
+          val m = still.iterator.map(_._1).min
+          pending.put(still.toArray); minPending.update(m)
+          rearm(getHandle, Some(m), wm)
+        }
+        out.iterator
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        tv: TimerValues): Iterator[(K, Long, Double, Double)] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      flush(key, rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm).toSeq, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Long, Double, Double)] =
+      flush(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Drop-in swap for `StatefulOps.runningSumByKey`. */
+  def runningSumByKey[K: Encoder](ds: Dataset[(K, java.sql.Timestamp, Double)])(
+      implicit eo: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningSumProc[K], TimeMode.EventTime(), OutputMode.Append(), eo)
+
+  // ---- streaming OVER: bounded ROWS frame ------------------------------
+
+  private class RowsBoundedProc[K](nRows: Int)
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Double), (K, Long, Double, Double)] {
+
+    @transient private var pending: ListState[(Long, Double)] = _
+    @transient private var frame: ListState[(Long, Double)] = _
+    @transient private var minPending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
+      // the eviction deque of the last nRows released rows — its own
+      // bounded ListState handle (Flink keeps the same deque in ValueState;
+      // a list handle keeps the rewrite O(nRows), never O(pending))
+      frame = getHandle.getListState("frame", eNum, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
+        : Iterator[(K, Long, Double, Double)] = {
+      val curMin = if (minPending.exists()) minPending.get() else Long.MaxValue
+      val newMin = fresh.iterator.map(_._1).foldLeft(curMin)(math.min)
+      if (newMin > wm) {
+        if (fresh.nonEmpty) { fresh.foreach(pending.appendValue); minPending.update(newMin) }
+        rearm(getHandle, if (newMin == Long.MaxValue) None else Some(newMin), wm)
+        Iterator.empty
+      } else {
+        val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
+        val (ready, still) = buf.partition(_._1 <= wm)
+        var fr = if (frame.exists()) frame.get().toSeq else Seq.empty
+        val out = ready.sortBy(identity).map { case (t, v) =>
+          fr = (fr :+ ((t, v))).takeRight(nRows)
+          (key, t, v, fr.map(_._2).sum)
+        }
+        if (out.nonEmpty) frame.put(fr.toArray)
+        if (still.isEmpty) {
+          pending.clear(); minPending.clear(); rearm(getHandle, None, wm)
+        } else {
+          val m = still.iterator.map(_._1).min
+          pending.put(still.toArray); minPending.update(m)
+          rearm(getHandle, Some(m), wm)
+        }
+        out.iterator
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        tv: TimerValues): Iterator[(K, Long, Double, Double)] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      flush(key, rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm).toSeq, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Long, Double, Double)] =
+      flush(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Drop-in swap for `StatefulOps.rowsBoundedSumByKey` (frame ROWS
+    * nRows-1 PRECEDING .. CURRENT ROW). */
+  def rowsBoundedSumByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)], nRows: Int)(
+      implicit eo: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new RowsBoundedProc[K](nRows),
+        TimeMode.EventTime(), OutputMode.Append(), eo)
+
+  // ---- streaming OVER: bounded RANGE frame -----------------------------
+
+  private class RangeBoundedProc[K](rangeMs: Long)
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Double), (K, Long, Double, Double)] {
+
+    @transient private var pending: ListState[(Long, Double)] = _
+    @transient private var frame: ListState[(Long, Double)] = _
+    @transient private var minPending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
+      frame = getHandle.getListState("frame", eNum, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
+        : Iterator[(K, Long, Double, Double)] = {
+      val curMin = if (minPending.exists()) minPending.get() else Long.MaxValue
+      val newMin = fresh.iterator.map(_._1).foldLeft(curMin)(math.min)
+      if (newMin > wm) {
+        if (fresh.nonEmpty) { fresh.foreach(pending.appendValue); minPending.update(newMin) }
+        rearm(getHandle, if (newMin == Long.MaxValue) None else Some(newMin), wm)
+        Iterator.empty
+      } else {
+        val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
+        val (ready, still) = buf.partition(_._1 <= wm)
+        var fr = if (frame.exists()) frame.get().toSeq else Seq.empty
+        val out = ready.sortBy(identity).map { case (t, v) =>
+          fr = (fr :+ ((t, v))).filter(_._1 >= t - rangeMs)
+          (key, t, v, fr.map(_._2).sum)
+        }
+        if (out.nonEmpty) frame.put(fr.toArray)
+        if (still.isEmpty) {
+          pending.clear(); minPending.clear(); rearm(getHandle, None, wm)
+        } else {
+          val m = still.iterator.map(_._1).min
+          pending.put(still.toArray); minPending.update(m)
+          rearm(getHandle, Some(m), wm)
+        }
+        out.iterator
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        tv: TimerValues): Iterator[(K, Long, Double, Double)] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      flush(key, rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm).toSeq, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Long, Double, Double)] =
+      flush(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Drop-in swap for `StatefulOps.rangeBoundedSumByKey` (frame RANGE
+    * rangeMs PRECEDING .. CURRENT ROW). */
+  def rangeBoundedSumByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)], rangeMs: Long)(
+      implicit eo: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new RangeBoundedProc[K](rangeMs),
+        TimeMode.EventTime(), OutputMode.Append(), eo)
+
+  // ---- append-only top-N ----------------------------------------------
+
+  private class TopNProc[K](n: Int)
+      extends StatefulProcessor[K, (K, Double, String), (K, Int, Double, String)] {
+
+    @transient private var live: MapState[(Double, String), Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // only rows inside the current top-N are retained — at most n live
+      // instances per key, the AppendOnlyTopNFunction dataState shape
+      // (rank/AppendOnlyTopNFunction.java:52) as a counted-entry MapState
+      live = getHandle.getMapState("live",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.STRING),
+        Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Double, String)],
+        tv: TimerValues): Iterator[(K, Int, Double, String)] = {
+      val before = live.iterator().toSeq // ≤ n instances by invariant
+      val prev = before.iterator
+        .flatMap { case (e, c) => Iterator.fill(c)(e) }.toSeq
+        .sortBy { case (score, payload) => (-score, payload) }
+      val merged = (prev ++ rows.map(r => (r._2, r._3)))
+        .sortBy { case (score, payload) => (-score, payload) }
+        .take(n)
+      if (merged == prev) Iterator.empty
+      else {
+        val after = merged.groupBy(identity).view.mapValues(_.size).toMap
+        before.foreach { case (e, c) =>
+          after.get(e) match {
+            case None => live.removeKey(e)
+            case Some(c2) => if (c2 != c) live.updateValue(e, c2)
+          }
+        }
+        val had = before.iterator.map(_._1).toSet
+        after.foreach { case (e, c) => if (!had(e)) live.updateValue(e, c) }
+        merged.iterator.zipWithIndex.map { case ((score, payload), i) =>
+          (key, i + 1, score, payload)
+        }
+      }
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Int, Double, String)] =
+      Iterator.empty // no timers: top-N state lives for the key's life
+  }
+
+  /** Drop-in swap for `StatefulOps.topNPerKey`: identical input contract
+    * (key, score, payload) and emit-on-change update-mode output. */
+  def topNPerKey[K: Encoder](ds: Dataset[(K, Double, String)], n: Int)(
+      implicit eo: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new TopNProc[K](n), TimeMode.None(), OutputMode.Update(), eo)
+}

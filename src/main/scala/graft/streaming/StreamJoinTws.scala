@@ -79,6 +79,108 @@ object StreamJoinTws {
       Iterator.empty // no timers: state lives until explicitly retracted
   }
 
+  /** The OUTER variants (left/right/full) on the same MapState split,
+    * round-7's completion of the port: pad bookkeeping needs each side's
+    * total live count BEFORE the current row applies (does this +I left
+    * row end the right side's pad era? does this -D left row restore
+    * it?), which the fMGWS original recomputes by summing its deserialized
+    * state blob. Here the totals are two named ValueState counters —
+    * point-reads — exactly the (joinKey -> count) bookkeeping Flink's
+    * OuterJoinRecordStateView adds over the inner view
+    * (join/stream/state/OuterJoinRecordStateViews.java:335's association
+    * count, degenerated to one integer because the key IS the join
+    * condition, same note as the fMGWS scaladoc). */
+  private class OuterJoinProc[K, L, R](
+      padLeft: Boolean, padRight: Boolean, encL: Encoder[L], encR: Encoder[R])
+      extends StatefulProcessor[K, (Int, K, String, Option[L], Option[R]),
+        (K, String, Option[L], Option[R])] {
+
+    @transient private var liveL: MapState[L, Int] = _
+    @transient private var liveR: MapState[R, Int] = _
+    @transient private var totL: ValueState[Int] = _
+    @transient private var totR: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      liveL = getHandle.getMapState[L, Int]("liveL", encL, Encoders.scalaInt, TTLConfig.NONE)
+      liveR = getHandle.getMapState[R, Int]("liveR", encR, Encoders.scalaInt, TTLConfig.NONE)
+      totL = getHandle.getValueState[Int]("totL", Encoders.scalaInt, TTLConfig.NONE)
+      totR = getHandle.getValueState[Int]("totR", Encoders.scalaInt, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(Int, K, String, Option[L], Option[R])],
+        tv: TimerValues): Iterator[(K, String, Option[L], Option[R])] = {
+      var tL = if (totL.exists()) totL.get() else 0
+      var tR = if (totR.exists()) totR.get() else 0
+      val out = List.newBuilder[(K, String, Option[L], Option[R])]
+      def emit(kind: String, l: Option[L], r: Option[R], times: Int): Unit =
+        (0 until times).foreach(_ => out += ((key, kind, l, r)))
+
+      rows.foreach { case (side, _, kind, lOpt, rOpt) =>
+        if (side == 0) {
+          val l = lOpt.get
+          if (isAdd(kind)) {
+            if (tR == 0) { if (padLeft) emit(Insert, Some(l), None, 1) }
+            else liveR.iterator().foreach { case (r, c) => emit(Insert, Some(l), Some(r), c) }
+            // first left row of the key: right-side pads become matched rows
+            if (padRight && tL == 0)
+              liveR.iterator().foreach { case (r, c) => emit(Delete, None, Some(r), c) }
+            liveL.updateValue(l,
+              (if (liveL.containsKey(l)) liveL.getValue(l) else 0) + 1)
+            tL += 1
+          } else if (liveL.containsKey(l)) {
+            val c = liveL.getValue(l)
+            if (c == 1) liveL.removeKey(l) else liveL.updateValue(l, c - 1)
+            tL -= 1
+            if (tR == 0) { if (padLeft) emit(Delete, Some(l), None, 1) }
+            else liveR.iterator().foreach { case (r, cr) => emit(Delete, Some(l), Some(r), cr) }
+            // last left row gone: right rows fall back to pads
+            if (padRight && tL == 0)
+              liveR.iterator().foreach { case (r, cr) => emit(Insert, None, Some(r), cr) }
+          }
+        } else {
+          val r = rOpt.get
+          if (isAdd(kind)) {
+            if (tL == 0) { if (padRight) emit(Insert, None, Some(r), 1) }
+            else liveL.iterator().foreach { case (l, c) => emit(Insert, Some(l), Some(r), c) }
+            if (padLeft && tR == 0)
+              liveL.iterator().foreach { case (l, c) => emit(Delete, Some(l), None, c) }
+            liveR.updateValue(r,
+              (if (liveR.containsKey(r)) liveR.getValue(r) else 0) + 1)
+            tR += 1
+          } else if (liveR.containsKey(r)) {
+            val c = liveR.getValue(r)
+            if (c == 1) liveR.removeKey(r) else liveR.updateValue(r, c - 1)
+            tR -= 1
+            if (tL == 0) { if (padRight) emit(Delete, None, Some(r), 1) }
+            else liveL.iterator().foreach { case (l, cl) => emit(Delete, Some(l), Some(r), cl) }
+            if (padLeft && tR == 0)
+              liveL.iterator().foreach { case (l, cl) => emit(Insert, Some(l), None, cl) }
+          }
+        }
+      }
+      if (tL == 0 && tR == 0) { totL.clear(); totR.clear() }
+      else { totL.update(tL); totR.update(tR) }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, String, Option[L], Option[R])] =
+      Iterator.empty // no timers: state lives until explicitly retracted
+  }
+
+  private def run[K, L, R](
+      left: Dataset[(K, String, L)], right: Dataset[(K, String, R)],
+      padLeft: Boolean, padRight: Boolean)(
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
+      etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])])
+      : Dataset[(K, String, Option[L], Option[R])] =
+    StreamJoin.tagged(left, right)
+      .groupByKey(_._2)
+      .transformWithState(new OuterJoinProc[K, L, R](padLeft, padRight, el, er),
+        TimeMode.None(), OutputMode.Update(), emid)
+
   /** Inner join of two keyed changelogs — same contract AND output
     * schema as `StreamJoin.innerJoin` (a drop-in swap per the migration
     * framing: an inner join never emits null payloads, so the internal
@@ -95,4 +197,36 @@ object StreamJoinTws {
       .transformWithState(new InnerJoinProc[K, L, R](el, er),
         TimeMode.None(), OutputMode.Update(), emid)
       .map { case (k, kind, l, r) => (k, kind, l.get, r.get) }
+
+  /** Drop-in swap for `StreamJoin.leftOuterJoin` (net-equal changelog,
+    * emission order store-defined like the inner port). */
+  def leftOuterJoin[K, L, R](
+      left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
+      etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])],
+      eout: Encoder[(K, String, L, Option[R])])
+      : Dataset[(K, String, L, Option[R])] =
+    run(left, right, padLeft = true, padRight = false)
+      .map { case (k, kind, l, r) => (k, kind, l.get, r) }
+
+  /** Drop-in swap for `StreamJoin.rightOuterJoin`. */
+  def rightOuterJoin[K, L, R](
+      left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
+      etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])],
+      eout: Encoder[(K, String, Option[L], R)])
+      : Dataset[(K, String, Option[L], R)] =
+    run(left, right, padLeft = false, padRight = true)
+      .map { case (k, kind, l, r) => (k, kind, l, r.get) }
+
+  /** Drop-in swap for `StreamJoin.fullOuterJoin`. */
+  def fullOuterJoin[K, L, R](
+      left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
+      etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])])
+      : Dataset[(K, String, Option[L], Option[R])] =
+    run(left, right, padLeft = true, padRight = true)
 }

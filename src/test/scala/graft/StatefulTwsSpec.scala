@@ -1,0 +1,232 @@
+package graft
+
+import graft.streaming.{CoProcess, CoProcessTws, StatefulOps, StatefulTws}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Round-7 transformWithState migration: every remaining StatefulOps
+  * operator's TWS port must emit EXACTLY what the flatMapGroupsWithState
+  * original emits for the same MemoryStream script — same rows, same
+  * per-key order (these operators' outputs are deterministically ordered
+  * by construction, unlike the MapState join where only the net is
+  * pinned). Each test replays one script through both implementations
+  * and asserts plain equality of the collected sinks. */
+class StatefulTwsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  /** Runs `body` with the RocksDB state store provider (the TWS runtime
+    * prerequisite), restoring the previous provider after. */
+  def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  // ---- event-time sort -------------------------------------------------
+
+  private def runSort(useTws: Boolean, sink: String): Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, String)]
+    val out = if (useTws) StatefulTws.eventTimeSort(watermarked)
+              else StatefulOps.eventTimeSort(watermarked)
+    val q = out.toDF("k", "t", "v").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, ts(100), "c"), (1L, ts(50), "a"), (1L, ts(80), "b"),
+        (2L, ts(60), "x"))
+      q.processAllAvailable()
+      in.addData((1L, ts(200), "d"), (1L, ts(5), "late-dropped"))
+      q.processAllAvailable()
+      in.addData((1L, ts(500), "z")) // pushes watermark; releases 200
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, String)].collect().toSeq
+  }
+
+  test("TWS event-time sort emits exactly the fMGWS original's rows") {
+    val ref = runSort(useTws = false, "twss_sort_ref")
+    val tws = withRocksDB { runSort(useTws = true, "twss_sort_new") }
+    assert(tws == ref, s"tws=$tws ref=$ref")
+    assert(ref.nonEmpty && !ref.exists(_._3 == "late-dropped"))
+  }
+
+  // ---- running sum (unbounded-preceding OVER) --------------------------
+
+  private def runRunning(useTws: Boolean, sink: String): Seq[(Long, Long, Double, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, Double)]
+    val out = if (useTws) StatefulTws.runningSumByKey(watermarked)
+              else StatefulOps.runningSumByKey(watermarked)
+    val q = out.toDF("k", "t", "v", "running").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, ts(100), 3.0), (1L, ts(50), 1.0), (1L, ts(80), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(200), 4.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(500), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Double, Double)].collect().toSeq
+  }
+
+  test("TWS running sum: exact equality incl. accumulator persistence") {
+    val ref = runRunning(useTws = false, "twss_rs_ref")
+    val tws = withRocksDB { runRunning(useTws = true, "twss_rs_new") }
+    assert(tws == ref, s"tws=$tws ref=$ref")
+    // sanity: running sums follow event time
+    assert(ref.map(r => (r._2, r._4)).take(4) ==
+      Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)))
+  }
+
+  // ---- bounded ROWS frame OVER ----------------------------------------
+
+  private def runRowsBounded(useTws: Boolean, sink: String): Seq[(Long, Long, Double, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, Double)]
+    val out = if (useTws) StatefulTws.rowsBoundedSumByKey(watermarked, nRows = 3)
+              else StatefulOps.rowsBoundedSumByKey(watermarked, nRows = 3)
+    val q = out.toDF("k", "t", "v", "frame_sum").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(30), 3.0), (1L, ts(40), 4.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(100), 5.0)) // releases 10..40 (wm=90)
+      q.processAllAvailable()
+      in.addData((1L, ts(200), 6.0)) // releases 100
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Double, Double)].collect().toSeq
+  }
+
+  test("TWS bounded ROWS frame: exact equality incl. frame carry-over") {
+    val ref = runRowsBounded(useTws = false, "twss_rb_ref")
+    val tws = withRocksDB { runRowsBounded(useTws = true, "twss_rb_new") }
+    assert(tws == ref, s"tws=$tws ref=$ref")
+    // frame ROWS 2 PRECEDING..CURRENT: 1, 3, 6, 9 then (3+4+5)=12 across batches
+    assert(ref.map(_._4) == Seq(1.0, 3.0, 6.0, 9.0, 12.0))
+  }
+
+  // ---- bounded RANGE frame OVER ---------------------------------------
+
+  private def runRangeBounded(useTws: Boolean, sink: String): Seq[(Long, Long, Double, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, Double)]
+    val out = if (useTws) StatefulTws.rangeBoundedSumByKey(watermarked, rangeMs = 15000L)
+              else StatefulOps.rangeBoundedSumByKey(watermarked, rangeMs = 15000L)
+    val q = out.toDF("k", "t", "v", "frame_sum").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(32), 3.0), (1L, ts(45), 4.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(100), 5.0)) // releases 10..45 (wm=90)
+      q.processAllAvailable()
+      in.addData((1L, ts(200), 6.0)) // releases 100
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Double, Double)].collect().toSeq
+  }
+
+  test("TWS bounded RANGE frame: exact equality incl. time-based eviction") {
+    val ref = runRangeBounded(useTws = false, "twss_rg_ref")
+    val tws = withRocksDB { runRangeBounded(useTws = true, "twss_rg_new") }
+    assert(tws == ref, s"tws=$tws ref=$ref")
+    // RANGE 15s: 1; 1+2; 2+3 (10 evicted); 3+4 (20 evicted); 5 alone
+    assert(ref.map(_._4) == Seq(1.0, 3.0, 5.0, 7.0, 5.0))
+  }
+
+  // ---- append-only top-N ----------------------------------------------
+
+  private def runTopN(useTws: Boolean, sink: String): Seq[(String, Int, Double, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, String)]
+    val out = if (useTws) StatefulTws.topNPerKey(in.toDS(), n = 2)
+              else StatefulOps.topNPerKey(in.toDS(), n = 2)
+    val q = out.toDF("k", "rank", "score", "payload").writeStream
+      .outputMode("update").format("memory").queryName(sink).start()
+    try {
+      in.addData(("a", 5.0, "x"), ("a", 9.0, "y"), ("a", 1.0, "z"), ("a", 5.0, "x"))
+      q.processAllAvailable()
+      in.addData(("a", 0.5, "below-cut")) // no change -> must emit nothing
+      q.processAllAvailable()
+      in.addData(("a", 7.0, "w"), ("b", 2.0, "q"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(String, Int, Double, String)].collect().toSeq
+  }
+
+  test("TWS top-N (counted MapState): exact equality incl. emit-on-change") {
+    val ref = runTopN(useTws = false, "twss_topn_ref")
+    val tws = withRocksDB { runTopN(useTws = true, "twss_topn_new") }
+    // per-key emission sequences must match exactly (cross-key interleaving
+    // inside a batch is partition-order-dependent for both)
+    def perKey(rows: Seq[(String, Int, Double, String)]) =
+      rows.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(perKey(tws) == perKey(ref), s"tws=$tws ref=$ref")
+    val aRows = perKey(ref)("a")
+    assert(aRows.takeRight(2).map(r => (r._2, r._4)) == Seq((1, "y"), (2, "w")))
+  }
+
+  // ---- connected streams (CoProcess) ----------------------------------
+
+  private def runConnect(useTws: Boolean, sink: String): Seq[(Long, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, Timestamp, String)]
+    val rhs = MemoryStream[(Long, Timestamp, Long)]
+    // shared state: last right-side number; left emits payload+number
+    def onLeft(k: Long, t: Long, v: String, s: Option[Long]) =
+      CoProcess.Emit[Long, String](Seq(s"$v:${s.getOrElse(-1L)}"), s)
+    def onRight(k: Long, t: Long, v: Long, s: Option[Long]) =
+      CoProcess.Emit[Long, String](Nil, Some(v))
+    val out = if (useTws) CoProcessTws.connect(lhs.toDS(), rhs.toDS())(onLeft, onRight)
+              else CoProcess.connect(lhs.toDS(), rhs.toDS())(onLeft, onRight)
+    // stage batch 1 on BOTH sides before start: a started query may form
+    // its first batch between two addData calls, splitting the script
+    lhs.addData((1L, ts(5), "a"))
+    rhs.addData((1L, ts(1), 10L)) // earlier event time: applies before "a"
+    val q = out.toDF("k", "o").writeStream
+      .outputMode("update").format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      rhs.addData((1L, ts(20), 30L))
+      q.processAllAvailable() // own batch: no cross-stream batch races
+      lhs.addData((1L, ts(25), "b"), (1L, ts(15), "mid"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, String)].collect().toSeq
+  }
+
+  test("TWS CoProcess connect: exact equality of interleaved replay") {
+    val ref = runConnect(useTws = false, "twss_cp_ref")
+    val tws = withRocksDB { runConnect(useTws = true, "twss_cp_new") }
+    assert(tws == ref, s"tws=$tws ref=$ref")
+    // batch 1 replays right(t=1) before left(t=5); batch 3's rows both see
+    // the state 30 written in batch 2 (batch boundary = replay boundary)
+    assert(ref == Seq((1L, "a:10"), (1L, "mid:30"), (1L, "b:30")))
+  }
+}

@@ -38,6 +38,76 @@ class StreamJoinTwsSpec extends AnyFunSuite {
     spark.table(sink).as[(Long, String, String, String)].collect().toSeq
   }
 
+  private def runOuterScenario(useTws: Boolean, mode: String, sink: String)
+      : Seq[(Long, String, Option[String], Option[String])] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, String, String)]
+    val rhs = MemoryStream[(Long, String, String)]
+    val out: org.apache.spark.sql.Dataset[(Long, String, Option[String], Option[String])] =
+      (useTws, mode) match {
+        case (true, "left") =>
+          StreamJoinTws.leftOuterJoin(lhs.toDS(), rhs.toDS())
+            .map { case (k, kind, l, r) => (k, kind, Option(l), r) }
+        case (false, "left") =>
+          StreamJoin.leftOuterJoin(lhs.toDS(), rhs.toDS())
+            .map { case (k, kind, l, r) => (k, kind, Option(l), r) }
+        case (true, "right") =>
+          StreamJoinTws.rightOuterJoin(lhs.toDS(), rhs.toDS())
+            .map { case (k, kind, l, r) => (k, kind, l, Option(r)) }
+        case (false, "right") =>
+          StreamJoin.rightOuterJoin(lhs.toDS(), rhs.toDS())
+            .map { case (k, kind, l, r) => (k, kind, l, Option(r)) }
+        case (true, _) => StreamJoinTws.fullOuterJoin(lhs.toDS(), rhs.toDS())
+        case (false, _) => StreamJoin.fullOuterJoin(lhs.toDS(), rhs.toDS())
+      }
+    val q = out.toDF("k", "kind", "l", "r").writeStream
+      .outputMode("update").format("memory").queryName(sink).start()
+    try {
+      lhs.addData((1L, "+I", "l1")) // unmatched: pad on left/full
+      q.processAllAvailable()
+      rhs.addData((1L, "+I", "r1"), (2L, "+I", "r-solo")) // pad era ends for k=1
+      q.processAllAvailable()
+      rhs.addData((1L, "-D", "r1")) // back to pad
+      lhs.addData((2L, "+I", "l2")) // k=2 right pad retracts on left arrival
+      q.processAllAvailable()
+      lhs.addData((1L, "-D", "l1")) // pad retracted for good
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, String, Option[String], Option[String])].collect().toSeq
+  }
+
+  private def net(rows: Seq[(Long, String, Option[String], Option[String])]) =
+    rows.groupBy(r => (r._1, r._3, r._4)).view
+      .mapValues(_.map(r => if (r._2 == "+I") 1 else -1).sum)
+      .filter(_._2 != 0).toMap
+  private def kinds(rows: Seq[(Long, String, Option[String], Option[String])]) =
+    rows.groupBy(_._2).view.mapValues(_.size).toMap
+
+  test("MapState-backed outer joins are net-equal to the GroupState originals") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    for (mode <- Seq("left", "right", "full")) {
+      val ref = runOuterScenario(useTws = false, mode, s"sjtws_${mode}_ref")
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val tws = runOuterScenario(useTws = true, mode, s"sjtws_${mode}_new")
+        assert(net(tws) == net(ref), s"[$mode] net differs: tws=${net(tws)} ref=${net(ref)}")
+        assert(kinds(tws) == kinds(ref),
+          s"[$mode] emission counts differ: tws=${kinds(tws)} ref=${kinds(ref)}")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    // end-state sanity for full outer: k=1 all retracted, k=2 live pair
+    val full = runOuterScenario(useTws = false, "full", "sjtws_full_sanity")
+    assert(net(full) == Map((2L, Some("l2"), Some("r-solo")) -> 1))
+  }
+
   test("MapState-backed inner join is net-equal to the GroupState original") {
     val ref = runScenario(useTws = false, sink = "sjtws_ref")
     val key = "spark.sql.streaming.stateStore.providerClass"
