@@ -181,11 +181,106 @@ case class ShingleArray(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature of a string set: for each of `nPerm` seeded xxhash64
-  * permutations, the minimum hash over the elements. One pass over the
-  * array computes the whole signature — replacing nPerm separate min()
-  * aggregates whose combined codegen is expensive to JIT and whose
-  * aggregation buffers bloat the shuffle. */
+/** The ORACLE-ALIGNED hash family shared by MinHash / SimHash / the LSH
+  * band keys: every piece is computable bit-identically in any ANSI SQL
+  * engine with md5 + 128-bit integers (the driver's DuckDB oracle), so
+  * the sketch queries get full rows+schema+hash correctness gates instead
+  * of rows-only checks.
+  *
+  *  - base hash  = the LOWER 64 BITS of md5(token), little-endian —
+  *    DuckDB's `md5_number_lower(s)`; masked to 60 bits for the Mersenne
+  *    family so a*x never overflows 128-bit SQL arithmetic;
+  *  - permutations = the classic universal family h_p(x) = (a_p*x + b_p)
+  *    mod M61 (M61 = 2^61-1, Mersenne): SQL-side it is one HUGEINT
+  *    mul-add-mod; JVM-side `mulAddModM61` reduces the 122-bit product
+  *    with Math.multiplyHigh (2^64 ≡ 8 mod M61 — two shift-folds, no
+  *    BigInteger);
+  *  - a_p/b_p derive from splitmix64(p) — generated once here and
+  *    INLINED as literals into the oracle SQL, never re-derived by hand.
+  */
+object MinHashParams {
+  /** 2^61 - 1 (Mersenne prime — the modulus of the permutation family). */
+  val M61: Long = 2305843009213693951L
+  /** 2^60 - 1: base-hash mask keeping a_p * x inside 122 bits. */
+  val Mask60: Long = 1152921504606846975L
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Multiplier of permutation p — in [1, M61). */
+  def aFor(p: Int): Long = {
+    val a = java.lang.Long.remainderUnsigned(splitmix64(2L * p), M61)
+    if (a == 0L) 1L else a
+  }
+
+  /** Offset of permutation p — in [0, M61). */
+  def bFor(p: Int): Long =
+    java.lang.Long.remainderUnsigned(splitmix64(2L * p + 1L), M61)
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Lower 64 bits of md5(bytes), little-endian — bit-equal to DuckDB's
+    * md5_number_lower(). */
+  def md5Lower64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (dig(8 + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  def md5Lower64(s: UTF8String): Long = md5Lower64(s.getBytes)
+
+  /** (a*x + b) mod M61 for a, b, x in [0, 2^61): Mersenne reduction of
+    * the 122-bit product (2^64 ≡ 2^3 mod M61). */
+  def mulAddModM61(a: Long, x: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, x) // < 2^58: shifts stay exact
+    val lo = a * x
+    val top = (hi << 3) | (lo >>> 61)
+    var r = (top + (lo & M61)) + b // < 3 * 2^61 < 2^63: no overflow
+    r = (r >>> 61) + (r & M61)
+    if (r >= M61) r - M61 else r
+  }
+}
+
+/** Lower 64 bits of md5(string), little-endian (DuckDB
+  * `md5_number_lower`) — the oracle-aligned token hash behind SimHash and
+  * any per-token bit tests. Returned as the signed 64-bit reinterpretation
+  * (bit pattern identical; SQL comparisons on extracted bits agree). */
+case class Md5Lower64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5lower64"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashParams.md5Lower64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.MinHashParams.md5Lower64($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a string set: for each of `nPerm` permutations of
+  * the oracle-aligned Mersenne family (MinHashParams), the minimum hash
+  * over the elements. One pass over the array computes the whole
+  * signature — replacing nPerm separate min() aggregates whose combined
+  * codegen is expensive to JIT and whose aggregation buffers bloat the
+  * shuffle. The md5 base hash is computed ONCE per token and reused by
+  * all permutations (cheaper than the former per-(token, perm) seeded
+  * xxhash64 — and, unlike it, SQL-expressible for the oracle). */
 case class MinHashSignature(child: Expression, nPerm: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(nPerm >= 1, s"graft_minhash: nPerm must be >= 1, got $nPerm")
@@ -196,19 +291,23 @@ case class MinHashSignature(child: Expression, nPerm: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_minhash"
 
+  @transient private lazy val as: Array[Long] = Array.tabulate(nPerm)(MinHashParams.aFor)
+  @transient private lazy val bs: Array[Long] = Array.tabulate(nPerm)(MinHashParams.bFor)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(nPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-      var p = 0
-      while (s != null && p < nPerm) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), p.toLong)
-        if (h < sig(p)) sig(p) = h
-        p += 1
+      if (!arr.isNullAt(i)) { // null elements carry no token
+        val base = MinHashParams.md5Lower64(arr.getUTF8String(i)) & MinHashParams.Mask60
+        var p = 0
+        while (p < nPerm) {
+          val h = MinHashParams.mulAddModM61(as(p), base, bs(p))
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
       }
       i += 1
     }
@@ -216,23 +315,25 @@ case class MinHashSignature(child: Expression, nPerm: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
+    nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
       val p = ctx.freshName("p")
       val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
-      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
       val h = ctx.freshName("h")
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
       s"""
-         |int $n = $a.numElements();
+         |int $n = $arr.numElements();
          |long[] $sig = new long[$nPerm];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) continue; // null elements carry no token
-         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  if ($arr.isNullAt($i)) continue; // null elements carry no token
+         |  long $base = graft.functions.MinHashParams.md5Lower64($arr.getUTF8String($i))
+         |    & ${MinHashParams.Mask60}L;
          |  for (int $p = 0; $p < $nPerm; $p++) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $p);
+         |    long $h = graft.functions.MinHashParams.mulAddModM61($aRef[$p], $base, $bRef[$p]);
          |    if ($h < $sig[$p]) $sig[$p] = $h;
          |  }
          |}
@@ -255,6 +356,8 @@ object GraftFunctions {
       es => DotProductDouble(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hamming64",
       es => HammingDistance64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_md5lower64",
+      es => Md5Lower64(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSignature(es(0), es(1).eval(null) match {
         case i: Int => i

@@ -26,6 +26,20 @@ object PipelineOps extends QueryModule {
   /** Whitespace tokens of the lowercased text, empties removed. */
   private val tokensExpr = "filter(split(lower(text), ' '), x -> x <> '')"
 
+  /** q37's random hyperplanes: 4 tables x 6 planes x 64 dims of +/-1,
+    * derived once from a fixed seed and inlined as literals into BOTH the
+    * Spark bucket expression and the DuckDB oracle SQL. */
+  private lazy val q37Planes: Array[Array[Array[Long]]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(4, 6, 64)(if (rng.nextBoolean()) 1L else -1L)
+  }
+
+  /** q121's dot product w·x against round-k weights, in the EXACT
+    * left-associated order Spark's aggregate(zip_with(...)) evaluates
+    * (0 + w1*x1) + w2*x2 + ... — double addition is order-sensitive. */
+  private def dotSql(k: Int): String =
+    (1 to 5).map(i => s"r$k.w$i * f.x[$i]").mkString(" + ")
+
   /** doc_id -> distinct 3-token shingles (the n-gram dedup unit).
     * Inverted-index shape: one row per (doc, shingle). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
@@ -169,10 +183,12 @@ object PipelineOps extends QueryModule {
       "q34_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        // MinHash signatures (32 perms via seeded xxhash64) -> 8 bands of 4
-        // -> band-bucket join for candidates -> exact Jaccard verification.
-        // Engine-specific hashing => no SQL oracle; recall vs q33 is asserted
-        // in DedupSpec.
+        // MinHash signatures (32 perms of the oracle-aligned Mersenne
+        // family, MinHashParams) -> 8 bands of 4 -> band-bucket join for
+        // candidates -> exact Jaccard verification. Band keys are the
+        // band's signature values joined as a string — engine-neutral, so
+        // the WHOLE pipeline (r7) has a DuckDB oracle; recall vs q33 is
+        // additionally asserted in DedupSpec.
         val nPerm = 32
         val bands = 8
         val rows = nPerm / bands
@@ -191,7 +207,7 @@ object PipelineOps extends QueryModule {
           .localCheckpoint()
         val bandCols = (0 until bands).map { b =>
           struct(lit(b).as("band_id"),
-            xxhash64((b * rows until (b + 1) * rows)
+            concat_ws(",", (b * rows until (b + 1) * rows)
               .map(i => element_at(col("sig"), i + 1)): _*)
               .as("band_key"))
         }
@@ -214,18 +230,54 @@ object PipelineOps extends QueryModule {
             dround($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))
           .orderBy($"a_id", $"b_id")
       },
-      None),
+      Some {
+        // the permutation constants INLINE from the same generator the
+        // Spark expression uses — the alignment that makes this oracle-able
+        import graft.functions.MinHashParams.{aFor, bFor, M61, Mask60}
+        val perms = (0 until 32)
+          .map(p => s"($p, ${aFor(p)}, ${bFor(p)})").mkString(", ")
+        s"""
+        |WITH s AS ($shinglesSql),
+        |perms(p, a, b) AS (VALUES $perms),
+        |h AS (SELECT doc_id, (md5_number_lower(shingle) & $Mask60)::BIGINT AS base FROM s),
+        |sig AS (SELECT doc_id, perms.p AS p,
+        |          MIN(((perms.a::HUGEINT * h.base + perms.b) % $M61)::BIGINT) AS mh
+        |        FROM h CROSS JOIN perms GROUP BY 1, 2),
+        |band AS (SELECT doc_id, p // 4 AS band_id,
+        |           string_agg(mh::VARCHAR, ',' ORDER BY p) AS band_key
+        |         FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM band x JOIN band y
+        |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |          AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+        |          FROM cand c
+        |          JOIN s sa ON sa.doc_id = c.a_id
+        |          JOIN s sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+        |          GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id,
+        |       ${droundSql("i.inter / (za.n + zb.n - i.inter)", 6)} AS jac
+        |FROM inter i JOIN sz za ON i.a_id = za.doc_id
+        |             JOIN sz zb ON i.b_id = zb.doc_id
+        |WHERE i.inter * 100 >= 20 * (za.n + zb.n - i.inter)
+        |ORDER BY a_id, b_id
+        |""".stripMargin
+      }),
 
     GQuery(
       "q35_simhash",
       (s, d) => {
         import s.implicits._
+        GraftFunctions.register(s)
         // 64-bit SimHash over the token multiset: per bit, sum +/-1 weighted
         // by the token hash bit; sign of the sum is the signature bit.
         // Single shuffle (groupBy doc_id) with 64 codegen'd conditional sums.
+        // Token hash = md5 lower 64 (r7, oracle-aligned: DuckDB's
+        // md5_number_lower) instead of engine-specific xxhash64.
         val toks = Tables.documents(s, d)
           .select($"doc_id", explode(expr(tokensExpr)).as("tok"))
-          .withColumn("th", xxhash64($"tok"))
+          .withColumn("th", expr("graft_md5lower64(tok)"))
         val bitSums = (0 until 64).map(i =>
           sum(when(expr(s"(th >> $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i"))
         val packed = (0 until 64)
@@ -236,7 +288,32 @@ object PipelineOps extends QueryModule {
           .select($"doc_id", expr(packed).as("simhash"))
           .orderBy($"doc_id")
       },
-      None),
+      Some {
+        // signed reinterpretation of the unsigned bit-pack: DuckDB sums in
+        // HUGEINT, then subtracts 2^64 when bit 63 is set, landing on the
+        // same signed BIGINT Spark's wrapping << produces
+        val bitSums = (0 until 64)
+          .map(i => s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n        |          ")
+        val packed = (0 until 64)
+          .map(i => s"(CASE WHEN b$i >= 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END)")
+          .mkString(" + ")
+        s"""
+        |WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, md5_number_lower(tok) AS th FROM t),
+        |bits AS (SELECT doc_id,
+        |          $bitSums
+        |         FROM h GROUP BY 1),
+        |packed AS (SELECT doc_id, $packed AS v FROM bits)
+        |SELECT doc_id,
+        |       (CASE WHEN v >= 9223372036854775808::HUGEINT
+        |             THEN v - 18446744073709551616::HUGEINT ELSE v END)::BIGINT AS simhash
+        |FROM packed
+        |ORDER BY doc_id
+        |""".stripMargin
+      }),
 
     GQuery(
       "q36_ann_bruteforce",
@@ -284,21 +361,19 @@ object PipelineOps extends QueryModule {
         // 6-bit bucket per table; query/data pairs that collide in ANY table
         // become candidates (multi-table OR raises recall the standard way).
         // The scale path for q36; recall is asserted in SimilaritySpec.
-        val nTables = 4
-        val nPlanes = 6
-        val rng = new scala.util.Random(42)
-        val planes = Array.fill(nTables, nPlanes, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
-        val emb = Tables.embeddings(s, d).withColumn("ed",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        def bucketExpr(t: Int): String = planes(t).zipWithIndex.map { case (p, i) =>
-          val arr = p.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-          s"(CASE WHEN graft_dot_double(ed, $arr) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $i)"
+        // r7: planes are +/-1 over the QUANTIZED vector, so the bucket dot
+        // is exact integer arithmetic an oracle can replicate literal-for-
+        // literal (doubles would tie-break differently across engines).
+        val emb = Tables.embeddings(s, d)
+        def bucketExpr(t: Int): String = q37Planes(t).zipWithIndex.map { case (p, i) =>
+          val arr = p.map(v => s"${v}L").mkString("array(", ", ", ")")
+          s"(CASE WHEN graft_dot_long(q, $arr) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $i)"
         }.mkString(" + ")
         // (vec, table, bucket) inverted index; join per (table, bucket).
         val withBucket = emb
-          .withColumn("buckets", array((0 until nTables).map(t => expr(bucketExpr(t))): _*))
           .withColumn("q",
             expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+          .withColumn("buckets", array((0 until 4).map(t => expr(bucketExpr(t))): _*))
           .select($"vec_id", $"q", posexplode($"buckets").as(Seq("tbl", "bucket")))
         val queriesDf = withBucket.filter($"vec_id" < 10)
           .select($"vec_id".as("qid"), $"q".as("qv"), $"tbl".as("qtbl"), $"bucket".as("qbucket"))
@@ -312,7 +387,39 @@ object PipelineOps extends QueryModule {
           .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
           .orderBy($"qid", $"rn")
       },
-      None),
+      Some {
+        // plane literals inlined from the same generator the Spark query
+        // uses; buckets are exact integer dots, so both engines agree
+        def planeList(t: Int, i: Int): String =
+          q37Planes(t)(i).mkString("[", ", ", "]")
+        def bucketSql(t: Int): String = (0 until 6).map { i =>
+          s"""(CASE WHEN list_sum(list_transform(range(64),
+             |     j -> q[j+1] * (${planeList(t, i)})[j+1])) >= 0
+             |     THEN 1 ELSE 0 END << $i)""".stripMargin
+        }.mkString(" + ")
+        val wbArms = (0 until 4).map(t =>
+          s"SELECT vec_id, q, $t AS tbl, ${bucketSql(t)} AS bucket FROM e")
+          .mkString("\n        |  UNION ALL ")
+        s"""
+        |WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |wb AS (
+        |  $wbArms),
+        |qs AS (SELECT vec_id AS qid, q AS qv, tbl, bucket FROM wb WHERE vec_id < 10),
+        |db AS (SELECT vec_id, q, tbl, bucket FROM wb WHERE vec_id >= 10),
+        |cand AS (SELECT DISTINCT qs.qid, db.vec_id, db.q, qs.qv
+        |         FROM db JOIN qs ON db.tbl = qs.tbl AND db.bucket = qs.bucket),
+        |dt AS (SELECT qid, vec_id,
+        |         CAST(list_sum(list_transform(range(64), i -> q[i+1] * qv[i+1])) AS BIGINT) AS dot
+        |       FROM cand),
+        |r AS (SELECT qid, vec_id, dot,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+        |      FROM dt)
+        |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, dot FROM r
+        |WHERE rn <= 5 ORDER BY qid, rn
+        |""".stripMargin
+      }),
 
     GQuery(
       "q38_text_quality",
@@ -1357,7 +1464,53 @@ object PipelineOps extends QueryModule {
       // trainer and above-baseline accuracy.
       "q121_lr_classifier",
       (s, d) => lrQualityClassifier(s, d, iters = 30, lr = 20.0),
-      None),
+      // The GD loop is bit-deterministic (gradients are integer micro-unit
+      // sums; weight updates are driver-side double arithmetic), so the 30
+      // rounds UNROLL into materialized CTEs — the q124 PageRank trick.
+      // Every double expression mirrors the Spark evaluation order
+      // token-for-token (left-assoc dot product, (err*x)*1e6+0.5 floor,
+      // w - lr*((g/1e6)/n)); DuckDB ln() is natural log like Spark's log().
+      Some {
+        val rounds = (1 to 30).map { k =>
+          val p = k - 1
+          val grads = (1 to 5)
+            .map(i => s"SUM(CAST(floor((err * x[$i]) * 1000000.0 + 0.5) AS BIGINT)) AS g$i")
+            .mkString(", ")
+          val upd = (1 to 5)
+            .map(i => s"r$p.w$i - 20.0 * ((g$k.g$i / 1000000.0) / g$k.n) AS w$i")
+            .mkString(", ")
+          s"""g$k AS MATERIALIZED (SELECT COUNT(*) AS n, $grads
+             |  FROM (SELECT f.y, f.x,
+             |          1.0 / (1.0 + exp(-(${dotSql(p)}))) - f.y AS err
+             |        FROM f CROSS JOIN r$p) e$k),
+             |r$k AS MATERIALIZED (SELECT $upd FROM g$k CROSS JOIN r$p)""".stripMargin
+        }.mkString(",\n        |")
+        s"""
+        |WITH f AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |         [1.0, ln(1.0 + n) / 10.0, mwl / 10.0, CAST(nsd AS DOUBLE) / 8.0,
+        |          CAST(ndt AS DOUBLE) / n] AS x
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST(len(toks) AS DOUBLE) AS n,
+        |           list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) AS mwl,
+        |           len(list_distinct(list_filter(toks,
+        |             x -> x IN ('the','a','of','and','to','in','is','it')))) AS nsd,
+        |           len(list_distinct(toks)) AS ndt
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 1) b
+        |  CROSS JOIN LATERAL (SELECT CAST(n BETWEEN 20.0 AND 100000.0
+        |      AND mwl BETWEEN 3.0 AND 10.0 AND nsd >= 2 AS INT)::DOUBLE AS y) yy),
+        |r0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS w5),
+        |$rounds
+        |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+        |       ${droundSql(s"1.0 / (1.0 + exp(-(${dotSql(30)})))", 6)} AS score
+        |FROM f CROSS JOIN r30
+        |ORDER BY f.doc_id
+        |""".stripMargin
+      }),
 
     GQuery(
       // BPE tokenizer APPLY (q118's trained merges encoding the corpus):
