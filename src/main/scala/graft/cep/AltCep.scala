@@ -30,7 +30,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * as one pattern, not independent patterns. Preference order for the
   * emitted match under SKIP PAST LAST ROW: earliest start, then longest,
   * then earliest variant (= leftmost alternation branch, the standard's
-  * preferment).
+  * preferment). This order holds ACROSS completion events, not only among
+  * completions landing on the same row: a completed match is HELD (not
+  * emitted) while any live run could still produce a preferred match —
+  * one starting strictly earlier, or one with the same start whose
+  * variant's maximum match length could beat the held (length, branch)
+  * key. `(A B | A)` over rows a,b therefore emits the left branch's
+  * two-row match even though the right branch completes one event
+  * earlier. Variants of bounded length unblock as soon as the held match
+  * reaches the bound; unbounded (oneOrMore) same-start runs hold the
+  * match until they die — by contiguity, `until`, or the `within`
+  * horizon — so streaming patterns with unbounded quantifiers should set
+  * WITHIN for prompt emission (batch flushes at end of key regardless).
   *
   * Scope: alternation inside an UNBOUNDED group (`(A | B)+`) is
   * rejected — a variant fixes the branch choice across loop traversals,
@@ -46,22 +57,118 @@ object AltCep {
 
   val MaxVariants = 720
 
+  /** A completed-but-unemitted match awaiting cross-variant preferment
+    * arbitration (SkipPastLast only; empty for the other strategies). */
+  type Held = List[(Int, List[BoundEv])]
+
   final case class CompiledAlt(variants: IndexedSeq[Compiled], nLogical: Int,
       after: AfterMatch) {
     require(variants.nonEmpty, "alternation enumerated zero non-empty variants")
     def within: Long = variants.head.pattern.within
 
+    /** Upper bound on a completed match's bound-event count per variant —
+      * the unblock test for held matches. Long.MaxValue when a loop makes
+      * the length unbounded (oneOrMore step or group loop-back). */
+    private[graft] lazy val maxLens: IndexedSeq[Long] = variants.map { v =>
+      val p = v.pattern
+      if (p.loopTo.nonEmpty ||
+          p.steps.exists(s => !s.negated && s.quant == Cep.Quant.OneOrMore))
+        Long.MaxValue
+      else p.steps.filterNot(_.negated).map(_.quant match {
+        case Cep.Quant.Times(n) => n.toLong
+        case Cep.Quant.TimesRange(_, mx) => mx.toLong
+        case _ => 1L // One / Opt
+      }).sum
+    }
+
     /** Merge LOGICAL bound events to per-step sorted time arrays. */
     def stepTimesOf(bound: Seq[BoundEv]): Seq[Seq[Long]] =
       (0 until nLogical).map(i => bound.filter(_.step == i).map(_.t).sorted)
 
+    /** Fold a per-variant bound list onto LOGICAL step ids. */
+    private def foldBound(v: Int, b: List[BoundEv]): List[BoundEv] =
+      b.map(ev => BoundEv(variants(v).fold(ev.step), ev.t, ev.tie))
+
+    // bound lists are newest-first: .last = match start, .head = match end
+    private def startKey(b: Seq[BoundEv]): (Long, Long) = (b.last.t, b.last.tie)
+    private def runStart(r: Run): (Long, Long) =
+      if (r.bound.isEmpty) (Long.MaxValue, Long.MaxValue)
+      else (r.bound.last.t, r.bound.last.tie)
+    private def ltK(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def prefKey(vb: (Int, List[BoundEv])): (Long, Long, Long, Int) = {
+      val (v, b) = vb
+      (b.last.t, b.last.tie, -b.size.toLong, v)
+    }
+
+    /** SkipPastLast arbitration: emit the preferred held match once no
+      * live run can still beat it — a run starting strictly earlier, or a
+      * same-start run whose variant's max length could improve the
+      * (length, branch) key. Emission prunes every run and held match
+      * whose start is at or before the winner's last row, then retries
+      * (later-starting helds may now be unblocked). */
+    private def drainHeld(runs0: IndexedSeq[List[Run]], held0: Held)
+        : (IndexedSeq[List[Run]], Held, List[(Int, List[BoundEv])]) = {
+      var rs = runs0
+      var held = held0
+      val out = List.newBuilder[(Int, List[BoundEv])]
+      var go = true
+      while (go && held.nonEmpty) {
+        val best = held.minBy(prefKey)
+        val bStart = startKey(best._2)
+        val bSize = best._2.size.toLong
+        val blocked = rs.indices.exists { u =>
+          rs(u).exists { r =>
+            val rk = runStart(r)
+            ltK(rk, bStart) || (rk == bStart &&
+              (if (u < best._1) maxLens(u) >= bSize else maxLens(u) > bSize))
+          }
+        }
+        if (blocked) go = false
+        else {
+          out += best
+          val end = (best._2.head.t, best._2.head.tie)
+          rs = rs.map(_.filter(r => ltK(end, runStart(r))))
+          held = held.filter { case (_, b) => ltK(end, startKey(b)) }
+        }
+      }
+      (rs, held, out.result())
+    }
+
+    /** Re-arbitrate held matches after runs died OUTSIDE offerAll (the
+      * streaming within-horizon expiry): no event is offered, only the
+      * block test re-runs against the surviving runs. */
+    private[graft] def drainAfterExpiry(runs: IndexedSeq[List[Run]], held: Held)
+        : (IndexedSeq[List[Run]], Held, List[List[BoundEv]]) = {
+      if (held.isEmpty) (runs, held, Nil)
+      else {
+        val (rs2, held2, wins) = drainHeld(runs, held)
+        (rs2, held2, foldEmit(wins))
+      }
+    }
+
+    /** End-of-input flush: no further events can extend a live run, so
+      * arbitrate the held matches among themselves (batch key end). */
+    private[graft] def flushHeld(held0: Held): List[List[BoundEv]] = {
+      var held = held0
+      val out = List.newBuilder[List[BoundEv]]
+      while (held.nonEmpty) {
+        val best = held.minBy(prefKey)
+        out += foldBound(best._1, best._2)
+        val end = (best._2.head.t, best._2.head.tie)
+        held = held.filter { case (_, b) => ltK(end, startKey(b)) }
+      }
+      out.result()
+    }
+
     /** Feed one event to every variant's run-list; returns the new
-      * per-variant runs and the emitted matches as LOGICAL bound-event
-      * lists (expanded steps already folded, duplicates across variants
-      * removed), in preference order. */
-    private[graft] def offerAll(runs: IndexedSeq[List[Run]], t: Long,
-        logicalMask: Long, tie: Long = 0L)
-        : (IndexedSeq[List[Run]], List[List[BoundEv]]) = {
+      * per-variant runs, the carried held matches, and the emitted
+      * matches as LOGICAL bound-event lists (expanded steps already
+      * folded, duplicates across variants removed), in preference
+      * order. */
+    private[graft] def offerAll(runs: IndexedSeq[List[Run]], held: Held,
+        t: Long, logicalMask: Long, tie: Long = 0L)
+        : (IndexedSeq[List[Run]], Held, List[List[BoundEv]]) = {
       val results = variants.indices.map { v =>
         Cep.offer(variants(v).pattern, runs(v), t,
           variants(v).expandMask(logicalMask), tie)
@@ -69,33 +176,29 @@ object AltCep {
       var newRuns = results.map(_._1)
       val completed: List[(Int, List[BoundEv])] =
         variants.indices.flatMap(v => results(v)._2.map(b => (v, b))).toList
-      val emitted = after match {
-        case AfterMatch.NoSkip => completed
+      after match {
+        case AfterMatch.NoSkip =>
+          (newRuns, Nil, foldEmit(completed))
         case AfterMatch.SkipPastLast =>
-          if (completed.isEmpty) Nil
-          else { // one winner; every variant's partial state is discarded
-            val w = completed.minBy { case (v, b) => (b.last.t, -b.size, v) }
-            newRuns = variants.indices.map(_ => List.empty[Run])
-            List(w)
-          }
+          val (rs2, held2, wins) = drainHeld(newRuns, held ++ completed)
+          (rs2, held2, foldEmit(wins))
         case AfterMatch.SkipToNext =>
-          if (completed.isEmpty) Nil
+          if (completed.isEmpty) (newRuns, Nil, Nil)
           else {
             val starts = completed.map(_._2.last.t).toSet
             newRuns = newRuns.map(_.filterNot(r => starts.contains(startT(r))))
-            completed
+            (newRuns, Nil, foldEmit(completed))
           }
         case other => throw new IllegalStateException(
           s"$other is rejected at compile time for alternation patterns")
       }
-      val folded = emitted
-        .sortBy { case (v, b) => (b.last.t, -b.size, v) }
-        .map { case (v, b) =>
-          b.map(ev => BoundEv(variants(v).fold(ev.step), ev.t, ev.tie))
-        }
-        .distinct
-      (newRuns, folded)
     }
+
+    private def foldEmit(emitted: List[(Int, List[BoundEv])]): List[List[BoundEv]] =
+      emitted
+        .sortBy(prefKey)
+        .map { case (v, b) => foldBound(v, b) }
+        .distinct
   }
 
   private def containsAlt(n: PatNode): Boolean = n match {
@@ -237,12 +340,14 @@ object AltCep {
   private[graft] def run(c: CompiledAlt, events: Seq[(Long, Long)])
       : List[Seq[Seq[Long]]] = {
     var runs: IndexedSeq[List[Run]] = c.variants.map(_ => List.empty[Run])
+    var held: Held = Nil
     val out = List.newBuilder[Seq[Seq[Long]]]
     events.foreach { case (t, mask) =>
-      val (nr, done) = c.offerAll(runs, t, mask)
-      runs = nr
+      val (nr, nh, done) = c.offerAll(runs, held, t, mask)
+      runs = nr; held = nh
       done.foreach(b => out += c.stepTimesOf(b))
     }
+    c.flushHeld(held).foreach(b => out += c.stepTimesOf(b))
     out.result()
   }
 
@@ -256,14 +361,22 @@ object AltCep {
         var curKey = 0L
         var started = false
         var runs: IndexedSeq[List[Run]] = c.variants.map(_ => List.empty[Run])
-        it.flatMap { case (k, t, mask, tie) =>
-          if (!started || k != curKey) {
-            runs = c.variants.map(_ => List.empty[Run]); curKey = k; started = true
-          }
-          val (nr, done) = c.offerAll(runs, t, mask, tie)
-          runs = nr
-          done.map(b => (k, c.stepTimesOf(b)))
+        var held: Held = Nil
+        def flushKey(): List[(Long, Seq[Seq[Long]])] = {
+          val out = c.flushHeld(held).map(b => (curKey, c.stepTimesOf(b)))
+          held = Nil
+          out
         }
+        it.flatMap { case (k, t, mask, tie) =>
+          val prior = if (started && k != curKey) flushKey() else Nil
+          if (!started || k != curKey) {
+            runs = c.variants.map(_ => List.empty[Run]); held = Nil
+            curKey = k; started = true
+          }
+          val (nr, nh, done) = c.offerAll(runs, held, t, mask, tie)
+          runs = nr; held = nh
+          prior ++ done.map(b => (k, c.stepTimesOf(b)))
+        } ++ Iterator.single(()).flatMap(_ => if (started) flushKey() else Nil)
       }
       .toDF("key", "step_times")
   }
@@ -279,19 +392,27 @@ object AltCep {
         var curKey = 0L
         var started = false
         var runs: IndexedSeq[List[Run]] = c.variants.map(_ => List.empty[Run])
+        var held: Held = Nil
         var matchNo = 0L
+        def emit(k: Long, b: List[BoundEv]): (Long, Long, Seq[(Int, Long, Long)]) = {
+          matchNo += 1
+          (k, matchNo, b.map(ev => (ev.step, ev.t, ev.tie)))
+        }
+        def flushKey(): List[(Long, Long, Seq[(Int, Long, Long)])] = {
+          val out = c.flushHeld(held).map(b => emit(curKey, b))
+          held = Nil
+          out
+        }
         it.flatMap { case (k, t, mask, tie) =>
+          val prior = if (started && k != curKey) flushKey() else Nil
           if (!started || k != curKey) {
-            runs = c.variants.map(_ => List.empty[Run])
+            runs = c.variants.map(_ => List.empty[Run]); held = Nil
             curKey = k; started = true; matchNo = 0L
           }
-          val (nr, done) = c.offerAll(runs, t, mask, tie)
-          runs = nr
-          done.map { b =>
-            matchNo += 1
-            (k, matchNo, b.map(ev => (ev.step, ev.t, ev.tie)))
-          }
-        }
+          val (nr, nh, done) = c.offerAll(runs, held, t, mask, tie)
+          runs = nr; held = nh
+          prior ++ done.map(b => emit(k, b))
+        } ++ Iterator.single(()).flatMap(_ => if (started) flushKey() else Nil)
       }
       .toDF("key", "match_no", "bound")
   }
@@ -304,7 +425,7 @@ object AltCep {
       delay: String = "0 seconds")(
       implicit ek: Encoder[Long],
       ets: Encoder[(Long, java.sql.Timestamp, Long, Long, Long)],
-      es: Encoder[(Seq[(Long, Long, Long)], Seq[List[Run]])],
+      es: Encoder[(Seq[(Long, Long, Long)], Seq[List[Run]], Seq[(Int, Seq[BoundEv])])],
       eo: Encoder[(Long, Seq[Seq[Long]])]): Dataset[(Long, Seq[Seq[Long]])] = {
     val withTs = ds
       .map(r => (r._1, new java.sql.Timestamp(r._2 / 1000), r._2, r._3, r._4))
@@ -312,25 +433,34 @@ object AltCep {
     withTs.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
-            state: GroupState[(Seq[(Long, Long, Long)], Seq[List[Run]])]) =>
+            state: GroupState[(Seq[(Long, Long, Long)], Seq[List[Run]], Seq[(Int, Seq[BoundEv])])]) =>
           val wm = state.getCurrentWatermarkMs()
           val st = state.getOption.getOrElse(
-            (Seq.empty[(Long, Long, Long)], c.variants.map(_ => List.empty[Run]): Seq[List[Run]]))
+            (Seq.empty[(Long, Long, Long)],
+              c.variants.map(_ => List.empty[Run]): Seq[List[Run]],
+              Seq.empty[(Int, Seq[BoundEv])]))
           val pending0 = st._1
           var runs: IndexedSeq[List[Run]] = st._2.toIndexedSeq
+          var held: Held = st._3.map { case (v, b) => (v, b.toList) }.toList
           val fresh = rows.map(r => (r._3, r._4, r._5)).filter(_._1 / 1000 > wm)
           val (ready, pending) = (pending0 ++ fresh).partition(_._1 / 1000 <= wm)
           val out = List.newBuilder[(Long, Seq[Seq[Long]])]
           ready.sortBy(r => (r._1, r._3)).foreach { case (t, mask, tie) =>
-            val (nr, done) = c.offerAll(runs, t, mask, tie)
-            runs = nr
+            val (nr, nh, done) = c.offerAll(runs, held, t, mask, tie)
+            runs = nr; held = nh
             done.foreach(b => out += ((key, c.stepTimesOf(b))))
           }
-          if (c.within > 0)
+          if (c.within > 0) {
             runs = runs.map(_.filter(r => wm * 1000 - startT(r) <= c.within))
-          if (pending.isEmpty && runs.forall(_.isEmpty)) state.remove()
+            // expiry may have removed the runs blocking a held match:
+            // arbitrate again on the surviving state (no new completions)
+            val (nr, nh, done) = c.drainAfterExpiry(runs, held)
+            runs = nr; held = nh
+            done.foreach(b => out += ((key, c.stepTimesOf(b))))
+          }
+          if (pending.isEmpty && runs.forall(_.isEmpty) && held.isEmpty) state.remove()
           else {
-            state.update((pending, runs))
+            state.update((pending, runs, held.map { case (v, b) => (v, b: Seq[BoundEv]) }))
             val dataT = pending.map(_._1 / 1000).minOption
             val live = runs.flatten
             val cleanT = if (c.within > 0 && live.nonEmpty)

@@ -675,8 +675,8 @@ object MatchRecognize {
     implicit val eo: org.apache.spark.sql.Encoder[(Long, Seq[Seq[Long]])] =
       ExpressionEncoder[(Long, Seq[Seq[Long]])]()
     if (c.tree.isDefined) {
-      implicit val esv: org.apache.spark.sql.Encoder[(Seq[(Long, Long, Long)], Seq[List[Cep.Run]])] =
-        ExpressionEncoder[(Seq[(Long, Long, Long)], Seq[List[Cep.Run]])]()
+      implicit val esv: org.apache.spark.sql.Encoder[(Seq[(Long, Long, Long)], Seq[List[Cep.Run]], Seq[(Int, Seq[Cep.BoundEv])])] =
+        ExpressionEncoder[(Seq[(Long, Long, Long)], Seq[List[Cep.Run]], Seq[(Int, Seq[Cep.BoundEv])])]()
       AltCep.matchStream(events.as[(Long, Long, Long, Long)], compiledAlt(c), delay)
     } else if (c.groups.isEmpty)
       Cep.matchStream(events.as[(Long, Long, Long, Long)], pattern, delay)

@@ -153,7 +153,13 @@ object GraphOps extends QueryModule {
         .select($"v".as("u"), $"m".as("v")).distinct()
         .localCheckpoint()
       val sSig = sig(small)
-      done = sSig == eSig
+      // signatures matching is NECESSARY for the fixed point but a
+      // simultaneous two-sum collision could fake it: confirm with ONE
+      // exact except() on the round the signatures first match — one
+      // extra job total, and the result is deterministic-by-construction
+      // again (a collision costs one wasted confirm, never a wrong answer)
+      done = sSig == eSig &&
+        (sSig._1 == 0L || small.except(e).isEmpty)
       eSig = sSig
       e = small
       i += 1

@@ -14,9 +14,24 @@ object SinkOps extends QueryModule {
 
   // per-JVM scratch dirs for the file-roundtrip queries: Bench/Verify
   // invoke each query several times per process, and a FRESH temp dir
-  // per invocation leaked a full written dataset copy each pass
+  // per invocation leaked a full written dataset copy each pass. A
+  // shutdown hook reclaims the disk at process exit. NOTE: sharing one
+  // dir per tag means two CONCURRENT invocations of the same roundtrip
+  // query in one JVM would race (one task's overwrite deletes files the
+  // other is planning over) — these queries are sequential-only by
+  // contract (Bench/Verify run queries one at a time).
   private val scratchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.values().forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          val ch = f.listFiles(); if (ch != null) ch.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }, "graft-sink-scratch-cleanup"))
+  }
   private def scratchDir(tag: String): String =
     scratchDirs.computeIfAbsent(tag,
       t => java.nio.file.Files.createTempDirectory(t).toString)

@@ -176,21 +176,26 @@ object KafkaConnector {
       opts.get(s"$fmt.ignore-parse-errors").exists(_.trim.equalsIgnoreCase("true"))
     format match {
       case "json" | "csv" =>
-        val mode: Map[String, String] =
-          if (lenient(format)) Map("mode" -> "PERMISSIVE")
-          else Map("mode" -> "FAILFAST")
         val str = col("value").cast("string")
-        val parsed = values.select((if (format == "json")
-          from_json(str, schema, mode) else from_csv(str, schema, mode)).as("r"))
-        // PERMISSIVE parse failures surface as an all-null struct (no
-        // corrupt-record column is declared): drop rows where EVERY field
-        // is null — a payload of explicit all-null values is
-        // indistinguishable and also drops, the ignore-parse-errors trade
-        (if (lenient(format))
-          parsed.filter(schema.fieldNames
-            .map(n => col(s"r.`$n`").isNotNull).reduce(_ || _))
-        else parsed)
-          .select(col("r.*"))
+        if (lenient(format)) {
+          // a declared corrupt-record column disambiguates parse failures
+          // from legitimately all-null payloads ('{}' / an empty CSV
+          // line): only rows the parser actually rejected carry it
+          val corrupt = Iterator.from(0).map(i => "_graft_corrupt" + i)
+            .find(n => !schema.fieldNames.contains(n)).get
+          val pschema = schema.add(corrupt, StringType)
+          val mode = Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corrupt)
+          val parsed = values.select((if (format == "json")
+            from_json(str, pschema, mode) else from_csv(str, pschema, mode)).as("r"))
+          parsed.filter(col(s"r.`$corrupt`").isNull)
+            .select(schema.fieldNames.map(n => col(s"r.`$n`")): _*)
+        } else {
+          val mode = Map("mode" -> "FAILFAST")
+          values.select((if (format == "json")
+            from_json(str, schema, mode) else from_csv(str, schema, mode)).as("r"))
+            .select(col("r.*"))
+        }
       case "raw" =>
         require(schema.fields.length == 1,
           s"raw format requires a single-column schema, got ${schema.fieldNames.mkString(",")}")

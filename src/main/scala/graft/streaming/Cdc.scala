@@ -156,19 +156,33 @@ object Cdc {
     * per-key row before writing to an upsert sink. Keeps the row with the
     * greatest (orderCol, tieBreak); keys whose last change is a delete are
     * dropped. Run inside foreachBatch. */
+  /** @param insertAfterDelete tie-break orientation at an IDENTICAL
+    *   (orderCol, tieBreak) position. Default `false`: a -D outranks
+    *   +I/+U at the same position, so a delete+re-insert pair sharing one
+    *   change position loses the row — the conservative failure, and the
+    *   only safe reading when the tie could be an update's own -U/+U pair
+    *   racing an unrelated delete. Debezium-style sources that REUSE the
+    *   source offset for a delete+insert pair and guarantee arrival order
+    *   within the tie should pass `true`: the insert is ranked after the
+    *   delete and the row survives. */
   def upsertMaterialize(
       changelog: DataFrame, keys: Seq[String],
-      orderCol: String, tieBreak: String): DataFrame = {
+      orderCol: String, tieBreak: String,
+      insertAfterDelete: Boolean = false): DataFrame = {
     // At equal (orderCol, tieBreak): the -U/+U pair one update emits puts
     // the after-image (+I/+U) logically later than its before-image, and
-    // a -D outranks both — an insert+delete landing on the same change
-    // position must NOT resurrect the row (the delete-then-reinsert
-    // reading of the same tie loses a row instead, the conservative
-    // failure). Callers wanting exact Flink arrival-order semantics must
-    // supply a strict per-key (orderCol, tieBreak) total order, under
-    // which this rank only ever arbitrates a single update's own pair.
-    val kindRank = when(col(RowKind) === Delete, 2)
-      .when(col(RowKind).isin(Insert, UpdateAfter), 1).otherwise(0)
+    // (by default) a -D outranks both — an insert+delete landing on the
+    // same change position must NOT resurrect the row. Callers wanting
+    // exact Flink arrival-order semantics must supply a strict per-key
+    // (orderCol, tieBreak) total order, under which this rank only ever
+    // arbitrates a single update's own pair.
+    val kindRank =
+      if (insertAfterDelete)
+        when(col(RowKind).isin(Insert, UpdateAfter), 2)
+          .when(col(RowKind) === Delete, 1).otherwise(0)
+      else
+        when(col(RowKind) === Delete, 2)
+          .when(col(RowKind).isin(Insert, UpdateAfter), 1).otherwise(0)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol).desc, col(tieBreak).desc, kindRank.desc)
     changelog

@@ -49,6 +49,39 @@ class AltCepSpec extends AnyFunSuite {
     assert(got == List(Seq(Seq(1L), Seq(2L), Seq(), Seq(3L))))
   }
 
+  test("preferment holds ACROSS completion events: (A B | A) emits A B") {
+    // logical ids: left-branch A=0 B=1, right-branch A=2
+    val abOrA = Seq(Alt(IndexedSeq(
+      IndexedSeq(leaf(), leaf()), IndexedSeq(leaf()))))
+    val c = AltCep.compile(abOrA, after = AfterMatch.SkipPastLast)
+    // the right branch completes one event earlier (a@1), but the left
+    // branch's same-start run is still alive and its 2-step match is
+    // preferred (longer, leftmost) — SQL:2016 preferment, not
+    // first-completion-wins. The held right-branch match must be
+    // discarded once the left branch lands.
+    val got = AltCep.run(c, Seq((1L, m(0) | m(2)), (2L, m(1))))
+    assert(got == List(Seq(Seq(1L), Seq(2L), Seq())))
+    // when the left branch can no longer complete (no B ever arrives),
+    // the held right-branch match flushes at end of input
+    val fallback = AltCep.run(c, Seq((1L, m(0) | m(2))))
+    assert(fallback == List(Seq(Seq(), Seq(), Seq(1L))))
+    // and non-overlapping matches keep emitting after a preferment win
+    val two = AltCep.run(c, Seq(
+      (1L, m(0) | m(2)), (2L, m(1)), (3L, m(0) | m(2)), (4L, m(1))))
+    assert(two == List(
+      Seq(Seq(1L), Seq(2L), Seq()), Seq(Seq(3L), Seq(4L), Seq())))
+  }
+
+  test("(A | A B): longer right-branch match wins per documented preferment") {
+    val aOrAb = Seq(Alt(IndexedSeq(
+      IndexedSeq(leaf()), IndexedSeq(leaf(), leaf()))))
+    val c = AltCep.compile(aOrAb, after = AfterMatch.SkipPastLast)
+    // preferment is (earliest start, LONGEST, then leftmost): the right
+    // branch's A B beats the left branch's A despite branch order
+    val got = AltCep.run(c, Seq((1L, m(0) | m(1)), (2L, m(2))))
+    assert(got == List(Seq(Seq(), Seq(1L), Seq(2L))))
+  }
+
   test("PERMUTE(A,B): operands share logical ids across orderings") {
     val c = AltCep.compile(Seq(Permute.of(leaf(), leaf())),
       after = AfterMatch.NoSkip)
@@ -210,7 +243,13 @@ class AltCepSpec extends AnyFunSuite {
   test("streaming matches batch across watermark-delayed batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val c = AltCep.compile(sAltP, after = AfterMatch.SkipPastLast)
+    // within matters for stream/batch equality: key 20 matches via the B
+    // branch while the A branch's same-start run stays alive (relaxed
+    // contiguity) — the held match can only emit once that run EXPIRES.
+    // Batch flushes at end of key; streaming needs the within horizon to
+    // retire the blocker when the watermark passes 12s+5s.
+    val c = AltCep.compile(sAltP, within = 5000000L,
+      after = AfterMatch.SkipPastLast)
     // key 20's event times sit past key 10's: batch 1 advances the
     // watermark to 3s, and rows at/below it would be (correctly)
     // dropped as late

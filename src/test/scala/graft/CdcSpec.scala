@@ -128,4 +128,32 @@ class CdcSpec extends AnyFunSuite {
     // id=1 ends at name=b; id=2 was deleted last -> gone
     assert(fin == Set((1L, "b")))
   }
+
+  test("upsertMaterialize tie orientation: delete-wins default, opt-in insert-after-delete") {
+    import spark.implicits._
+    // a delete and a re-insert REUSING the same change position (Debezium
+    // sources reusing the source offset for the pair)
+    val log = Seq(("-D", 1000L, 7L, "old"), ("+I", 1000L, 7L, "new"))
+      .toDF(Cdc.RowKind, "cdc_ts", "id", "name")
+    // default: the delete outranks the insert at an identical position —
+    // the row is conservatively dropped
+    val strict = Cdc.upsertMaterialize(log, Seq("id"), "cdc_ts", "cdc_ts")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(strict == Set.empty[(Long, String)])
+    // opt-in: the source guarantees arrival order within the tie — the
+    // insert lands after the delete and the row survives
+    val lenient = Cdc.upsertMaterialize(log, Seq("id"), "cdc_ts", "cdc_ts",
+        insertAfterDelete = true)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(lenient == Set((7L, "new")))
+    // an update's own -U/+U pair resolves to the after-image either way
+    val upd = Seq(("-U", 5L, 1L, "a"), ("+U", 5L, 1L, "b"))
+      .toDF(Cdc.RowKind, "cdc_ts", "id", "name")
+    Seq(false, true).foreach { o =>
+      val got = Cdc.upsertMaterialize(upd, Seq("id"), "cdc_ts", "cdc_ts",
+          insertAfterDelete = o)
+        .select("id", "name").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "b")), s"insertAfterDelete=$o")
+    }
+  }
 }
