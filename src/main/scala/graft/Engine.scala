@@ -230,7 +230,11 @@ object Engine {
         val df =
           try {
             streams.foreach { case (t, sdf) => sdf.createOrReplaceTempView(t) }
-            spark.sql(select)
+            // event-time OVER would be rejected by Spark's streaming
+            // planner ("non-time-based windows"): lower it onto the
+            // stateful OVER operators (StreamExecOverAggregate role)
+            if (StreamOverSql.matches(select)) StreamOverSql.lower(spark, select)
+            else spark.sql(select)
           } finally streamed.foreach { t =>
             priorTempViews.get(t) match {
               case Some(orig) => orig.createOrReplaceTempView(t)

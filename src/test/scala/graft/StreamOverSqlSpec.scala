@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time OVER through the streaming SQL front door
+  * (StreamExecOverAggregate role): `SUM(v) OVER (PARTITION BY k ORDER BY
+  * rowtime <frame>)` in a continuous INSERT must produce exactly the
+  * batch window-function result once the watermark has passed every row
+  * — for the unbounded, ROWS-bounded and RANGE-bounded frames. */
+class StreamOverSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val h = math.abs(getClass.getName.hashCode)
+
+  private def runOne(tag: String, overClause: String,
+      batchFrame: org.apache.spark.sql.expressions.WindowSpec): Unit = {
+    val (src, sink) = (s"ovr_src_${tag}_$h", s"ovr_sink_${tag}_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (k BIGINT, ts TIMESTAMP, v DOUBLE, agg DOUBLE) USING parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-over-$tag").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, ts, v, SUM(v) OVER (PARTITION BY k ORDER BY ts $overClause) AS agg
+      FROM $src WHERE v < 900""", ckpt)
+    try {
+      // the junk v=5000 row exercises the WHERE path; it is filtered
+      // BELOW the watermark node (see StreamOverSql scaladoc) so it
+      // cannot be the clock — the watermark-advancing rows pass WHERE
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
+        (1, 2.5,  TIMESTAMP '2024-01-01 00:00:05'),
+        (1, 5000.0, TIMESTAMP '2024-01-01 00:00:06'),
+        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 4.0,  TIMESTAMP '2024-01-01 00:01:30'),
+        (2, 1.0,  TIMESTAMP '2024-01-01 00:01:40')""")
+      q.processAllAvailable()
+      // two watermark-advancing batches (in-WHERE rows): the first makes
+      // the real rows releasable, the second triggers their release; the
+      // final clock row itself can never release, so both sides compare
+      // below the cutoff
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (7, 0.0, TIMESTAMP '2024-01-01 01:00:00')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (7, 0.0, TIMESTAMP '2024-01-01 02:00:00')""")
+      q.processAllAvailable()
+
+      val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
+      val got = spark.table(sink)
+        .select("k", "ts", "v", "agg")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getDouble(2), r.getDouble(3))).filter(_._2 < cutoff).toSet
+      val want = WatermarkDdl.read(spark, src).filter(col("v") < 900)
+        .select(col("k"), col("ts"), col("v"),
+          sum("v").over(batchFrame).as("agg"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getDouble(2), r.getDouble(3))).filter(_._2 < cutoff).toSet
+      assert(got == want && want.size == 5,
+        s"[$tag] stream $got != batch $want")
+    } finally {
+      q.stop()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
+  test("unbounded running SUM equals the batch window result") {
+    runOne("unb", "",
+      Window.partitionBy("k").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
+  test("ROWS n PRECEDING frame equals the batch window result") {
+    runOne("rows", "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+      Window.partitionBy("k").orderBy("ts").rowsBetween(-1, 0))
+  }
+
+  test("RANGE interval PRECEDING frame equals the batch window result") {
+    runOne("range", "RANGE BETWEEN INTERVAL '90' SECOND PRECEDING AND CURRENT ROW",
+      Window.partitionBy("k").orderBy(col("ts").cast("long") * 1000)
+        .rangeBetween(-90000, 0))
+  }
+
+  test("unsupported shapes are rejected loudly") {
+    val (src, sink) = (s"ovr_src_rej_$h", s"ovr_sink_rej_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    try {
+      // ORDER BY must be the declared watermark attribute
+      val e1 = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO $sink
+          SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY v) AS agg FROM $src""",
+          java.nio.file.Files.createTempDirectory("graft-over-rej").toString)
+      }
+      assert(e1.getMessage.contains("WATERMARK column"))
+      // arbitrary extra select items are out of the supported shape
+      val e2 = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO $sink
+          SELECT k, v + 1 AS w, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS agg
+          FROM $src""",
+          java.nio.file.Files.createTempDirectory("graft-over-rej2").toString)
+      }
+      assert(e2.getMessage.contains("select items"))
+    } finally {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    }
+  }
+}
