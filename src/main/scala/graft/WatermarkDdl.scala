@@ -194,14 +194,22 @@ object WatermarkDdl {
     m
   }
 
+
+  /** Unredacted table properties straight from the session catalog.
+    * SHOW TBLPROPERTIES redacts values whose keys match
+    * spark.sql.redaction.options.regex (default "(?i)url"), which would
+    * destroy a jdbc connector's 'url' option on the read path. */
+  private def propsOf(spark: SparkSession, table: String): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+
   /** Reconstruct an existing table's extended TableSpec from the catalog:
     * extended tables from the base-table schema + persisted TBLPROPERTIES,
     * plain tables/views from their Spark schema (no computed / watermark). */
   private def specOf(spark: SparkSession, table: String): TableSpec = {
     val base = baseName(table)
     if (spark.catalog.tableExists(base)) {
-      val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val props = propsOf(spark, base)
       val physical = spark.table(base).schema.fields.toSeq
         .map(f => f.name -> f.dataType.sql)
       val computed = props.get("graft.computed").toSeq.flatMap(_.split(";;").toSeq.map { e =>
@@ -356,9 +364,7 @@ object WatermarkDdl {
   def watermarkCol(spark: SparkSession, table: String): Option[String] = {
     val base = baseName(table)
     if (!spark.catalog.tableExists(base)) None
-    else spark.sql(s"SHOW TBLPROPERTIES $base").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-      .get("graft.watermark.col")
+    else propsOf(spark, base).get("graft.watermark.col")
   }
 
   /** All persisted table options (WITH clause / TBLPROPERTIES) of an
@@ -370,16 +376,14 @@ object WatermarkDdl {
       else if (spark.catalog.tableExists(table)) Some(table)
       else None
     target.map { t =>
-      spark.sql(s"SHOW TBLPROPERTIES $t").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
+      propsOf(spark, t)
     }.getOrElse(Map.empty)
   }
 
   def readStream(spark: SparkSession, table: String): DataFrame = {
     val base = baseName(table)
     require(spark.catalog.tableExists(base), s"no extended table $table")
-    val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = propsOf(spark, base)
     // a 'connector' option binds the stream to an external source (kafka/
     // datagen/filesystem); the parquet base then only carries the schema
     val df = props.get("connector") match {
@@ -411,8 +415,7 @@ object WatermarkDdl {
   def read(spark: SparkSession, table: String): DataFrame = {
     val base = baseName(table)
     require(spark.catalog.tableExists(base), s"no extended table $table")
-    val props = spark.sql(s"SHOW TBLPROPERTIES $base").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = propsOf(spark, base)
     val df = props.get("connector") match {
       case Some(_) => graft.sources.ConnectorDdl.read(
         spark, spark.table(base).schema, props.filterNot(p => isInternalProp(p._1)))

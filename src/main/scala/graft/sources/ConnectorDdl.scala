@@ -34,6 +34,10 @@ object ConnectorDdl {
       case Some("filesystem") =>
         val (path, fmt) = FileSystemConnector.pathFormat(options)
         spark.readStream.format(fmt).schema(schema).load(path)
+      case Some("jdbc") =>
+        throw new IllegalArgumentException(
+          "jdbc is a bounded source (Flink's JDBC source is bounded too); " +
+            "use a batch read, or CDC formats over kafka for change streams")
       case Some(other) =>
         throw new IllegalArgumentException(s"unsupported connector '$other'")
       case None =>
@@ -53,11 +57,88 @@ object ConnectorDdl {
       case Some("filesystem") =>
         val (path, fmt) = FileSystemConnector.pathFormat(options)
         spark.read.format(fmt).schema(schema).load(path)
+      case Some("jdbc") => JdbcConnector.read(spark, schema, options)
       case Some(other) =>
         throw new IllegalArgumentException(s"unsupported connector '$other'")
       case None =>
         throw new IllegalArgumentException("table declares no connector")
     }
+}
+
+/** `'connector'='jdbc'` -> Spark's JDBC source/sink — the
+  * JdbcDynamicTableFactory role (reference flink-connectors/
+  * flink-connector-jdbc/.../table/JdbcConnectorOptions.java:34-113,
+  * JdbcDynamicTableFactory.java). Bounded scans only — Flink's JDBC
+  * source is bounded too (no changelog reading). The declared schema is
+  * PROJECTED AND CAST onto the database's columns: a declared column
+  * missing in the DB fails at analysis, a type difference becomes an
+  * explicit cast — the factory-time validation Flink performs.
+  * Option mapping:
+  *  - url / table-name / username / password / driver ->
+  *    url / dbtable / user / password / driver
+  *  - scan.fetch-size -> fetchsize (0 = driver default, like Flink)
+  *  - scan.partition.{column,num,lower-bound,upper-bound} ->
+  *    partitionColumn/numPartitions/lowerBound/upperBound (all four
+  *    required together, exactly Flink's contract) — the parallel-scan
+  *    path that matters at scale: N executors each pull one range
+  *  - sink.buffer-flush.max-rows -> batchsize on the write side
+  *  - connection.max-retry-timeout (seconds) -> queryTimeout
+  *  - scan.auto-commit / sink.max-retries / lookup.*: executor-internal
+  *    knobs with no Spark JDBC equivalent; accepted and ignored (lookup
+  *    joins route through operators.LookupCache over a batch read)
+  */
+object JdbcConnector {
+
+  private val PartKeys = Seq("scan.partition.column", "scan.partition.num",
+    "scan.partition.lower-bound", "scan.partition.upper-bound")
+
+  def sourceOptions(opts: Map[String, String]): Map[String, String] = {
+    val base = commonOptions(opts) ++
+      opts.get("scan.fetch-size").filter(_.trim != "0").map("fetchsize" -> _)
+    val present = PartKeys.filter(opts.contains)
+    require(present.isEmpty || present.size == PartKeys.size,
+      s"jdbc partitioned scan requires all of ${PartKeys.mkString(", ")}; " +
+        s"got only ${present.mkString(", ")}")
+    if (present.isEmpty) base
+    else base ++ Map(
+      "partitionColumn" -> opts("scan.partition.column"),
+      "numPartitions" -> opts("scan.partition.num"),
+      "lowerBound" -> opts("scan.partition.lower-bound"),
+      "upperBound" -> opts("scan.partition.upper-bound"))
+  }
+
+  def sinkOptions(opts: Map[String, String]): Map[String, String] =
+    commonOptions(opts) ++
+      opts.get("sink.buffer-flush.max-rows").map("batchsize" -> _)
+
+  private def commonOptions(opts: Map[String, String]): Map[String, String] = {
+    val url = opts.getOrElse("url",
+      throw new IllegalArgumentException("jdbc connector requires 'url'"))
+    val table = opts.getOrElse("table-name",
+      throw new IllegalArgumentException("jdbc connector requires 'table-name'"))
+    Map("url" -> url, "dbtable" -> table) ++
+      opts.get("username").map("user" -> _) ++
+      opts.get("password").map("password" -> _) ++
+      opts.get("driver").map("driver" -> _) ++
+      opts.get("connection.max-retry-timeout").map { d =>
+        // Flink takes a Duration ("60 s"); Spark's queryTimeout is seconds
+        "queryTimeout" -> d.trim.replaceAll("(?i)\\s*s(ec(onds?)?)?$", "")
+      }
+  }
+
+  def read(spark: SparkSession, schema: StructType,
+      options: Map[String, String]): DataFrame = {
+    val df = spark.read.format("jdbc").options(sourceOptions(options)).load()
+    df.select(schema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Append the frame to the JDBC table (the JdbcDynamicTableSink role;
+    * upsert semantics need a keyed sink — compose upsertMaterialize +
+    * overwrite for the batch analog). */
+  def write(df: DataFrame, options: Map[String, String]): Unit =
+    df.write.format("jdbc").options(sinkOptions(options))
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
 }
 
 /** `'connector'='kafka'` option mapping + payload decode — the
