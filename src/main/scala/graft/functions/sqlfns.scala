@@ -67,6 +67,12 @@ object sqlfns {
   def jsonExists(j: Column, path: String): Column =
     get_json_object(j, path).isNotNull
 
+  /** IS_JSON predicate (BuiltInFunctionDefinitions IS_JSON): does the
+    * string parse as JSON. Built on get_json_object's root extraction —
+    * shares this dialect's lax caveat that the JSON literal `null` reads
+    * as missing and reports false. */
+  def isJson(j: Column): Column = get_json_object(j, "$").isNotNull
+
   // --- JSON constructors (BuiltInFunctionDefinitions JSON_OBJECT /
   // JSON_ARRAY; runtime in SqlJsonUtils). Built on codegen'd to_json over
   // a struct/array, so values keep their SQL types (BIGINT unquoted,
@@ -92,5 +98,50 @@ object sqlfns {
   def jsonArray(arr: Column, nullOnNull: Boolean = false): Column = {
     val src = if (nullOnNull) arr else filter(arr, _.isNotNull)
     to_json(src, Map("ignoreNullFields" -> "false"))
+  }
+
+  // --- Function-parity stragglers (FUNCTIONS.md): the expressible
+  // BuiltInFunctionDefinitions entries Spark lacks verbatim. ---
+
+  /** `(lStart, lEnd) OVERLAPS (rStart, rEnd)` — TEMPORAL_OVERLAPS
+    * (BuiltInFunctionDefinitions.java:1493, validation in
+    * flink-table-planner .../expressions/time.scala:118). Calcite's
+    * standard-SQL lowering Flink inherits: each period is normalized so
+    * start <= end, endpoints inclusive — overlap iff
+    * max(starts) <= min(ends). An `end` given as an INTERVAL is added to
+    * its start by the caller (Spark intervals add with `+`). */
+  def temporalOverlaps(lStart: Column, lEnd: Column,
+      rStart: Column, rEnd: Column): Column =
+    greatest(least(lStart, lEnd), least(rStart, rEnd)) <=
+      least(greatest(lStart, lEnd), greatest(rStart, rEnd))
+
+  /** TRUNCATE(x, d): round toward zero at d decimal digits (Flink
+    * BuiltInFunctionDefinitions.java TRUNCATE; SqlFunctions-style
+    * scale-shift). d may be negative (truncates to tens/hundreds).
+    * Codegen-friendly: floor/ceil by sign at the shifted scale. */
+  def truncateNum(x: Column, d: Int): Column = {
+    val shift = pow(lit(10.0), lit(d))
+    (when(x >= 0, floor(x * shift)).otherwise(ceil(x * shift)) / shift)
+  }
+
+  /** RAND_INTEGER(bound) — DETERMINISTIC form: Flink's is a stateful
+    * JDK Random per task (BuiltInFunctionDefinitions RAND_INTEGER),
+    * which no distributed re-run can reproduce; this derives the draw
+    * from a seed expression (e.g. the row key) through the same
+    * Mersenne-61 universal family the MinHash oracle alignment uses
+    * (`MinHashParams`), so results are stable under any partitioning AND
+    * SQL-recomputable by an oracle engine: ((a*x + b) mod (2^61-1)) mod
+    * bound, with x = seed masked to 60 bits and a/b the family's
+    * member-777 constants. DECIMAL(38,0) holds the 122-bit product
+    * exactly; the whole expression stays in codegen. */
+  def randInteger(seedExpr: Column, bound: Int): Column = {
+    require(bound > 0, "RAND_INTEGER bound must be positive")
+    val d38 = "decimal(38,0)"
+    val x = seedExpr.cast("long")
+      .bitwiseAND(lit(MinHashParams.Mask60)).cast(d38)
+    val prod = x * lit(MinHashParams.aFor(777)).cast(d38) +
+      lit(MinHashParams.bFor(777)).cast(d38)
+    ((prod % lit(MinHashParams.M61).cast(d38)) % lit(bound.toLong).cast(d38))
+      .cast("int")
   }
 }

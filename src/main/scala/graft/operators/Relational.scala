@@ -668,6 +668,57 @@ object Relational extends QueryModule {
         |              ELSE '' END || ']' AS arr_absent
         |FROM orders WHERE o_orderkey < 200
         |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
+      // FUNCTIONS.md stragglers: the last expressible
+      // BuiltInFunctionDefinitions entries with no earlier parity query —
+      // TEMPORAL_OVERLAPS (:1493), BIN, HEX, TRUNCATE, ENCODE/DECODE,
+      // and the deterministic RAND_INTEGER variant. The oracle recomputes
+      // each from DuckDB primitives (inclusive-endpoint overlap algebra,
+      // floor/ceil-by-sign truncation, HUGEINT Mersenne-61 mul-add-mod).
+      "q128_scalar_parity_tail",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.sqlfns._
+        Tables.orders(s, d).filter($"o_orderkey" < 200)
+          .select($"o_orderkey",
+            temporalOverlaps(
+              $"o_orderdate", $"o_orderdate" + expr("INTERVAL 5 DAYS"),
+              lit("1997-06-01").cast("timestamp"),
+              lit("1997-06-30").cast("timestamp")).cast("long").as("overlaps97"),
+            bin($"o_orderkey").as("bin_key"),
+            hex($"o_orderkey").as("hex_key"),
+            hex($"o_orderpriority").as("hex_pri"),
+            truncateNum($"o_totalprice" / 7.0, 2).as("trunc2"),
+            truncateNum(-$"o_totalprice" / 7.0, 2).as("trunc2_neg"),
+            truncateNum($"o_totalprice", -2).as("trunc_hundreds"),
+            decode(encode($"o_orderpriority", "UTF-8"), "UTF-8").as("enc_dec"),
+            randInteger($"o_orderkey", 100).cast("long").as("rnd"))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""
+        |SELECT o_orderkey,
+        |       CAST(GREATEST(LEAST(o_orderdate, o_orderdate + INTERVAL 5 DAY),
+        |                     TIMESTAMP '1997-06-01') <=
+        |            LEAST(GREATEST(o_orderdate, o_orderdate + INTERVAL 5 DAY),
+        |                  TIMESTAMP '1997-06-30') AS BIGINT) AS overlaps97,
+        |       bin(o_orderkey) AS bin_key,
+        |       hex(o_orderkey) AS hex_key,
+        |       hex(o_orderpriority) AS hex_pri,
+        |       CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice / 7.0 * 100.0) / 100.0
+        |            ELSE ceil(o_totalprice / 7.0 * 100.0) / 100.0 END AS trunc2,
+        |       CASE WHEN o_totalprice <= 0 THEN floor(-o_totalprice / 7.0 * 100.0) / 100.0
+        |            ELSE ceil(-o_totalprice / 7.0 * 100.0) / 100.0 END AS trunc2_neg,
+        |       CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 0.01) / 0.01
+        |            ELSE ceil(o_totalprice * 0.01) / 0.01 END AS trunc_hundreds,
+        |       decode(encode(o_orderpriority)) AS enc_dec,
+        |       CAST((CAST(${graft.functions.MinHashParams.aFor(777)} AS HUGEINT) *
+        |             (o_orderkey & ${graft.functions.MinHashParams.Mask60}) +
+        |             ${graft.functions.MinHashParams.bFor(777)})
+        |            % ${graft.functions.MinHashParams.M61} % 100 AS BIGINT) AS rnd
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey
         |""".stripMargin))
   )
 }

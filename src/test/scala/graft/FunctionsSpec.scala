@@ -104,6 +104,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got._5 == "[1,3]", got._5)
   }
 
+  test("parity stragglers: temporalOverlaps, truncateNum, randInteger, isJson") {
+    import spark.implicits._
+    import graft.functions.sqlfns._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val periods = Seq(
+      // touching endpoints overlap (inclusive, Calcite semantics)
+      (ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"),
+        ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"), true),
+      // disjoint
+      (ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"),
+        ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00"), false),
+      // swapped endpoints normalize
+      (ts("2024-01-05 00:00:00"), ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"), true))
+      .toDF("ls", "le", "rs", "re", "want")
+    assert(periods.filter(
+      temporalOverlaps(col("ls"), col("le"), col("rs"), col("re")) =!= col("want"))
+      .isEmpty)
+
+    val t = Seq((123.456, -123.456)).toDF("p", "n")
+      .select(truncateNum(col("p"), 2).as("p2"), truncateNum(col("n"), 2).as("n2"),
+        truncateNum(col("p"), 0).as("p0"), truncateNum(col("p"), -2).as("pm2"))
+      .head()
+    assert(t.getDouble(0) == 123.45 && t.getDouble(1) == -123.45 &&
+      t.getDouble(2) == 123.0 && t.getDouble(3) == 100.0, t.toString)
+
+    // deterministic, in-bounds, and not constant across seeds
+    val draws = spark.range(1000)
+      .select(randInteger(col("id"), 97).as("r")).as[Int].collect()
+    assert(draws.forall(r => r >= 0 && r < 97))
+    assert(draws.distinct.length > 50, "draws look degenerate")
+    val again = spark.range(1000)
+      .repartition(7) // partitioning must not change the draws
+      .select(col("id"), randInteger(col("id"), 97).as("r"))
+      .as[(Long, Int)].collect().sortBy(_._1).map(_._2)
+    assert(draws.toSeq == again.toSeq)
+
+    val js = Seq(("""{"a":1}""", """[1,2]""", """"s"""", "not json"))
+      .toDF("o", "a", "s", "bad")
+      .select(isJson(col("o")), isJson(col("a")), isJson(col("s")), isJson(col("bad")))
+      .head()
+    assert(js.getBoolean(0) && js.getBoolean(1) && js.getBoolean(2) && !js.getBoolean(3))
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._
