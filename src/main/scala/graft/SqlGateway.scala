@@ -31,21 +31,73 @@ import scala.jdk.CollectionConverters._
   * zero dependencies beyond the JVM.
   */
 class SqlGateway(spark: SparkSession, port: Int = 0,
-    maxResultRows: Option[Int] = None) {
+    maxResultRows: Option[Int] = None, pageSize: Int = 1000) {
 
-  private case class Operation(
-      @volatile var status: String, // RUNNING | FINISHED | ERROR
-      @volatile var error: String = null,
-      @volatile var columns: Seq[String] = Nil,
-      @volatile var rows: Seq[Seq[Any]] = Nil,
-      @volatile var truncated: Boolean = false)
+  /** One statement's lifecycle (the reference's OperationManager entry).
+    * Results are PULLED lazily: `iter` is a `toLocalIterator` over the
+    * frame, advanced page-by-page on fetch — a client that stops after
+    * page 0 never materializes the cap, and pages already served stay
+    * re-fetchable by token (the reference's fetch contract). All pulls
+    * synchronize on the operation; the cap bounds total buffered rows. */
+  private class Operation {
+    @volatile var status: String = "RUNNING" // RUNNING|FINISHED|ERROR|CANCELED
+    @volatile var error: String = null
+    @volatile var columns: Seq[String] = Nil
+    @volatile var truncated = false
+    private val pages = new scala.collection.mutable.ArrayBuffer[Seq[Seq[Any]]]()
+    private var iter: Iterator[org.apache.spark.sql.Row] = null
+    private var fetchedRows = 0
+    private var exhausted = false
+
+    def bind(it: Iterator[org.apache.spark.sql.Row]): Unit =
+      synchronized { iter = it }
+
+    /** Transition RUNNING -> FINISHED (a racing cancel wins). */
+    def finish(): Unit = synchronized {
+      if (status == "RUNNING") status = "FINISHED"
+    }
+
+    def fail(t: Throwable): Unit = synchronized {
+      if (status == "RUNNING") { error = String.valueOf(t.getMessage); status = "ERROR" }
+    }
+
+    def cancel(oh: String): Unit = synchronized {
+      if (status == "RUNNING" || status == "FINISHED") {
+        status = "CANCELED"
+        error = "operation canceled"
+        iter = null // drop the source; buffered pages free with the op
+        pages.clear()
+        spark.sparkContext.cancelJobGroup(oh)
+      }
+    }
+
+    /** The page at `token`, materializing up to it; None past the end.
+      * Returns (page, moreAvailable). */
+    def page(token: Int, cap: Int): (Option[Seq[Seq[Any]]], Boolean) = synchronized {
+      while (pages.length <= token && !exhausted && iter != null) {
+        val buf = Vector.newBuilder[Seq[Any]]
+        var n = 0
+        while (n < pageSize && fetchedRows < cap && iter.hasNext) {
+          val r = iter.next()
+          buf += (0 until r.length).map(r.get)
+          n += 1; fetchedRows += 1
+        }
+        if (fetchedRows >= cap && iter.hasNext) { truncated = true; exhausted = true }
+        else if (!iter.hasNext) exhausted = true
+        val p = buf.result()
+        if (p.nonEmpty) pages += p
+      }
+      val out = if (token < pages.length) Some(pages(token)) else None
+      (out, pages.length > token + 1 || !exhausted)
+    }
+  }
 
   private val sessions = new ConcurrentHashMap[String, ConcurrentHashMap[String, Operation]]()
   private val pool = Executors.newFixedThreadPool(4)
-  private val PageSize = 1000
+  private val PageSize = pageSize
   /** Results buffer on the gateway until the session closes; an unbounded
-    * collect() of a big SELECT would OOM the service JVM, so the buffer
-    * is capped and the result marked truncated past the cap. */
+    * fetch of a big SELECT would OOM the service JVM, so the pull stops
+    * at the cap and the result is marked truncated past it. */
   private val MaxResultRows = maxResultRows.getOrElse(
     sys.env.get("GRAFT_GATEWAY_MAX_ROWS").map(_.toInt).getOrElse(100000))
 
@@ -165,25 +217,35 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
           case None => respond(ex, 400, """{"errors":["missing 'statement'"]}""")
           case Some(stmt) =>
             val oh = UUID.randomUUID().toString
-            val op = Operation("RUNNING")
+            val op = new Operation
             ops.put(oh, op)
             pool.submit(new Runnable {
               override def run(): Unit =
                 try {
+                  // tag this operation's jobs so cancel() can kill them;
+                  // lazy page pulls from HTTP threads re-tag themselves
+                  spark.sparkContext.setJobGroup(oh, s"gateway $oh",
+                    interruptOnCancel = true)
                   val df: DataFrame = Engine.sql(spark, stmt)
                   op.columns = df.schema.fieldNames.toSeq
-                  val capped = df.limit(MaxResultRows + 1).collect().toSeq
-                  op.truncated = capped.length > MaxResultRows
-                  op.rows = capped.take(MaxResultRows).map(r =>
-                    (0 until r.length).map(i => r.get(i)))
-                  op.status = "FINISHED"
+                  op.bind(df.toLocalIterator().asScala)
+                  // prefetch page 0 so FINISHED means "fetchable now";
+                  // later pages pull on demand
+                  op.page(0, MaxResultRows)
+                  op.finish()
                 } catch {
-                  case t: Throwable =>
-                    op.error = String.valueOf(t.getMessage)
-                    op.status = "ERROR"
-                }
+                  case t: Throwable => op.fail(t)
+                } finally spark.sparkContext.clearJobGroup()
             })
             respond(ex, 200, s"""{"operationHandle":"$oh"}""")
+        }
+
+      case ("POST", List("sessions", sh, "operations", oh, "cancel")) =>
+        opOf(sh, oh) match {
+          case None => respond(ex, 404, """{"errors":["unknown operation"]}""")
+          case Some(op) =>
+            op.cancel(oh)
+            respond(ex, 200, s"""{"status":"${op.status}"}""")
         }
 
       case ("GET", List("sessions", sh, "operations", oh, "status")) =>
@@ -197,18 +259,23 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
           case None => respond(ex, 404, """{"errors":["unknown operation"]}""")
           case Some(op) => op.status match {
             case "RUNNING" => respond(ex, 200, """{"resultType":"NOT_READY"}""")
-            case "ERROR" =>
+            case "ERROR" | "CANCELED" =>
               respond(ex, 200,
                 s"""{"resultType":"ERROR","errors":[${jstr(op.error)}]}""")
             case _ =>
               val token = tokenStr.toInt
-              val page = op.rows.slice(token * PageSize, (token + 1) * PageSize)
-              val data = page.map(r => "[" + r.map(jval).mkString(",") + "]")
+              // lazy page pulls run Spark jobs on THIS thread: tag them
+              // with the operation's group so cancel() reaches them
+              spark.sparkContext.setJobGroup(oh, s"gateway $oh",
+                interruptOnCancel = true)
+              val (page, more) =
+                try op.page(token, MaxResultRows)
+                finally spark.sparkContext.clearJobGroup()
+              val data = page.getOrElse(Nil)
+                .map(r => "[" + r.map(jval).mkString(",") + "]")
                 .mkString("[", ",", "]")
               val cols = op.columns.map(jstr).mkString("[", ",", "]")
-              val next =
-                if ((token + 1) * PageSize < op.rows.length)
-                  s""","nextToken":${token + 1}""" else ""
+              val next = if (more) s""","nextToken":${token + 1}""" else ""
               val trunc = if (op.truncated) s""","truncated":true""" else ""
               respond(ex, 200,
                 s"""{"resultType":"PAYLOAD","columns":$cols,"data":$data$next$trunc}""")

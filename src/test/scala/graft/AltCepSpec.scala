@@ -240,6 +240,66 @@ class AltCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q126/q127 pattern shapes: streaming SQL equals batch over a replayed stream") {
+    // the StreamExecMatch role for the ORACLE-GATED grammar: the same
+    // MATCH_RECOGNIZE clauses q126 (alternation, SKIP TO NEXT ROW,
+    // WITHIN) and q127 (PERMUTE) run through runStream over a chunked
+    // MemoryStream replay and must reproduce the batch result exactly.
+    import graft.cep.MatchRecognize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(2026)
+    val kinds = Array("s", "c", "v", "p", "x")
+    val rows: Seq[(Long, Long, String, Long)] = (1L to 240L).map { i =>
+      (i % 8, i * 1000000L, kinds(rnd.nextInt(kinds.length)), i)
+    }
+    val clauses = Seq(
+      // q126's shape: alternation + within + skip-to-next
+      """PARTITION BY k
+         ORDER BY t, tie
+         PATTERN (S (C | V) P)
+         WITHIN 60000000
+         AFTER MATCH SKIP TO NEXT ROW
+         DEFINE S AS kind = 's', C AS kind = 'c', V AS kind = 'v', P AS kind = 'p'""",
+      // q127's shape: PERMUTE + within + skip-to-next
+      """PARTITION BY k
+         ORDER BY t, tie
+         PATTERN (S PERMUTE(C, V) P)
+         WITHIN 90000000
+         AFTER MATCH SKIP TO NEXT ROW
+         DEFINE S AS kind = 's', C AS kind = 'c', V AS kind = 'v', P AS kind = 'p'""",
+      // the same alternation under SKIP PAST LAST ROW (cross-variant
+      // preferment path) — within makes held-match emission prompt
+      """PARTITION BY k
+         ORDER BY t, tie
+         PATTERN (S (C | V) P)
+         WITHIN 60000000
+         AFTER MATCH SKIP PAST LAST ROW
+         DEFINE S AS kind = 's', C AS kind = 'c', V AS kind = 'v', P AS kind = 'p'""")
+    clauses.zipWithIndex.foreach { case (clause, ci) =>
+      val batch = MatchRecognize.run(spark,
+          rows.toDF("k", "t", "kind", "tie"), clause)
+        .as[(Long, Seq[Seq[Long]])].collect().toSet
+      assert(batch.nonEmpty, s"clause $ci matched nothing — weak test data")
+      val in = MemoryStream[(Long, Long, String, Long)]
+      val out = MatchRecognize.runStream(
+        in.toDF().toDF("k", "t", "kind", "tie"), clause, "0 seconds")
+      val q = out.toDF("k", "m").writeStream
+        .outputMode("append").format("memory").queryName(s"alt_e2e_$ci").start()
+      try {
+        rows.grouped(37).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        in.addData((99L, 999000000000L, "x", 9999L)) // flush watermark
+        q.processAllAvailable()
+        val streamed = spark.table(s"alt_e2e_$ci")
+          .as[(Long, Seq[Seq[Long]])].collect().toSet
+        assert(streamed == batch,
+          s"clause $ci: stream(${streamed.size}) != batch(${batch.size})")
+      } finally q.stop()
+    }
+  }
+
   test("streaming matches batch across watermark-delayed batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -116,6 +116,68 @@ class SqlGatewaySpec extends AnyFunSuite {
     } finally gw.close()
   }
 
+  test("lazy paging: token re-fetch is stable, small pages chain, cancel kills") {
+    assert(catalogReady)
+    // pageSize 3 exercises the lazy pull path: page 0 is prefetched,
+    // pages 1+ materialize on first request and stay re-fetchable
+    val gw = new SqlGateway(spark, 0, maxResultRows = Some(100), pageSize = 3)
+    try {
+      val port = gw.boundPort
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+      val (_, op) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT id FROM range(10) ORDER BY id"}"""))
+      val oh = field(op, "operationHandle")
+      val p0 = awaitResult(port, sh, oh, token = 0)
+      assert(p0.contains("\"data\":[[0],[1],[2]]") && p0.contains("\"nextToken\":1"), p0)
+      val p2 = awaitResult(port, sh, oh, token = 2) // skips ahead: pulls 1+2
+      assert(p2.contains("\"data\":[[6],[7],[8]]"), p2)
+      // an earlier token re-fetches the SAME page (reference contract)
+      val p1 = awaitResult(port, sh, oh, token = 1)
+      assert(p1.contains("\"data\":[[3],[4],[5]]"), p1)
+      val p3 = awaitResult(port, sh, oh, token = 3)
+      assert(p3.contains("\"data\":[[9]]") && !p3.contains("nextToken"), p3)
+
+      // cancellation: a deliberately huge cartesian count gets killed;
+      // the operation lands in CANCELED and results read as ERROR
+      val (_, big) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some("""{"statement":"SELECT COUNT(*) AS n FROM range(100000) a CROSS JOIN range(1000000) b WHERE a.id*b.id % 7 = 3"}"""))
+      val boh = field(big, "operationHandle")
+      Thread.sleep(200) // let it start
+      val (_, cx) = call(port, "POST", s"/v1/sessions/$sh/operations/$boh/cancel")
+      assert(cx.contains("CANCELED"), cx)
+      val (_, st) = call(port, "GET", s"/v1/sessions/$sh/operations/$boh/status")
+      assert(st.contains("CANCELED"), st)
+      val (_, r) = call(port, "GET", s"/v1/sessions/$sh/operations/$boh/result/0")
+      assert(r.contains("ERROR") && r.contains("canceled"), r)
+    } finally gw.close()
+  }
+
+  test("concurrent sessions execute independently") {
+    assert(catalogReady)
+    val gw = new SqlGateway(spark, 0)
+    try {
+      val port = gw.boundPort
+      val handles = (1 to 3).map { i =>
+        val (_, sess) = call(port, "POST", "/v1/sessions")
+        val sh = field(sess, "sessionHandle")
+        val (_, op) = call(port, "POST", s"/v1/sessions/$sh/statements",
+          Some(s"""{"statement":"SELECT COUNT(*) AS n FROM region WHERE r_regionkey < $i"}"""))
+        (i, sh, field(op, "operationHandle"))
+      }
+      handles.foreach { case (i, sh, oh) =>
+        val r = awaitResult(port, sh, oh)
+        assert(r.contains(s"[[$i]]"), s"session $i: $r")
+      }
+      // one session's close must not disturb the others
+      call(port, "DELETE", s"/v1/sessions/${handles.head._2}")
+      val (_, sh2, _) = handles(1)
+      val (_, op2) = call(port, "POST", s"/v1/sessions/$sh2/statements",
+        Some("""{"statement":"SELECT 42 AS x"}"""))
+      assert(awaitResult(port, sh2, field(op2, "operationHandle")).contains("[[42]]"))
+    } finally gw.close()
+  }
+
   test("result buffering is capped: oversized results mark truncated") {
     assert(catalogReady)
     // cap 5: a 10-row SELECT must buffer 5 rows and flag the cut, so a
