@@ -187,7 +187,12 @@ object LookupCache {
   }
 
   /** Parse the lookup-cache options out of a table's option map; None =
-    * caching not declared (or declared 'NONE'). */
+    * caching not declared (or declared 'NONE'). Also accepts the JDBC
+    * connector's LEGACY vocabulary (reference flink-connector-jdbc
+    * .../table/JdbcConnectorOptions.java:123-151:
+    * 'lookup.cache.max-rows' + 'lookup.cache.ttl', default 10 s) — a
+    * positive max-rows without a unified 'lookup.cache' declaration
+    * means PARTIAL, exactly the factory's translation. */
   def specOf(options: Map[String, String]): Option[CacheSpec] =
     options.get("lookup.cache").map(_.trim.toUpperCase) match {
       case Some("PARTIAL") => Some(PartialSpec(
@@ -198,7 +203,14 @@ object LookupCache {
       case Some("FULL") => Some(FullSpec(
         reloadIntervalMs = options.get("lookup.full-cache.periodic-reload.interval")
           .map(parseDurationMs).getOrElse(300000L)))
-      case Some("NONE") | None => None
+      case Some("NONE") => None
+      case None =>
+        options.get("lookup.cache.max-rows").map(_.trim.toLong)
+          .filter(_ > 0) // Flink's -1 default = caching off
+          .map(max => PartialSpec(
+            maxRows = max.toInt,
+            ttlMs = options.get("lookup.cache.ttl")
+              .map(parseDurationMs).getOrElse(10000L)))
       case Some(other) => throw new IllegalArgumentException(
         s"lookup.cache: expected PARTIAL, FULL or NONE, got '$other'")
     }

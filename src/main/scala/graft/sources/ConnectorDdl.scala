@@ -139,6 +139,70 @@ object JdbcConnector {
   def write(df: DataFrame, options: Map[String, String]): Unit =
     df.write.format("jdbc").options(sinkOptions(options))
       .mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  // one connection per (url,user) per JVM for the lookup path — the
+  // executor-side sharing JdbcRowDataLookupFunction's open() gives each
+  // task slot; closed by a JVM shutdown hook
+  private lazy val lookupConns = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, java.sql.Connection]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      m.values().forEach(c => try c.close() catch { case _: Exception => () }),
+      "graft-jdbc-lookup-conns"))
+    m
+  }
+
+  /** Per-key lookup over the JDBC table — the LookupTableSource side of
+    * the factory (reference flink-connector-jdbc
+    * .../table/JdbcRowDataLookupFunction.java: one prepared SELECT per
+    * key, retried `lookup.max-retries` times). Returns the FIRST match's
+    * values in `cols` order; compose with `LookupCache.forTable` (the
+    * legacy `lookup.cache.max-rows`/`lookup.cache.ttl` options map onto
+    * the PARTIAL cache via `LookupCache.specOf`). The returned function
+    * is serializable; connections are per-JVM and lazy. */
+  def lookup(options: Map[String, String], keyCol: String,
+      cols: Seq[String]): Any => Option[Seq[Any]] = {
+    val opts = commonOptions(options)
+    val (url, table) = (opts("url"), opts("dbtable"))
+    val user = opts.get("user")
+    val pass = opts.get("password")
+    val maxRetries = options.get("lookup.max-retries").map(_.trim.toInt).getOrElse(3)
+    val sql = s"SELECT ${cols.mkString(", ")} FROM $table WHERE $keyCol = ?"
+    key => {
+      // one connection PER TASK THREAD (JDBC connections are not safe
+      // for concurrent statements; Flink opens one per task slot in
+      // JdbcRowDataLookupFunction.open). Bounded by the executor's
+      // fixed task-thread pool.
+      val connKey = url + user.getOrElse("") + "#" + Thread.currentThread().getId
+      def conn = lookupConns.computeIfAbsent(connKey, _ =>
+        user match {
+          case Some(u) => java.sql.DriverManager.getConnection(url, u, pass.getOrElse(""))
+          case None => java.sql.DriverManager.getConnection(url)
+        })
+      var attempt = 0
+      var out: Option[Seq[Any]] = None
+      var done = false
+      while (!done) {
+        try {
+          val st = conn.prepareStatement(sql)
+          try {
+            st.setObject(1, key)
+            val rs = st.executeQuery()
+            out = if (rs.next()) Some(cols.indices.map(i => rs.getObject(i + 1)))
+                  else None
+            rs.close()
+          } finally st.close()
+          done = true
+        } catch {
+          case e: java.sql.SQLException =>
+            attempt += 1
+            // a broken connection must not poison every later lookup
+            lookupConns.remove(connKey)
+            if (attempt > maxRetries) throw e
+        }
+      }
+      out
+    }
+  }
 }
 
 /** `'connector'='kafka'` option mapping + payload decode — the

@@ -141,6 +141,56 @@ class AltCepSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("lockstep SkipPastLast equals brute-force preferment over the NoSkip match set") {
+    // ground truth: enumerate EVERY match of every variant independently
+    // (NoSkip), then select greedily by the documented preferment —
+    // earliest start, longest, leftmost variant — skipping past each
+    // winner's last row. The incremental held-buffer engine must emit
+    // exactly that selection, on randomized event streams.
+    val c = AltCep.compile(sAltP, after = AfterMatch.SkipPastLast)
+    val perVariant = Seq( // alternation-free variants with shared logical ids
+      GroupCep.compileWithBases(
+        Seq((leaf(), 0), (leaf(), 1), (leaf(), 3)), 4, after = AfterMatch.NoSkip),
+      GroupCep.compileWithBases(
+        Seq((leaf(), 0), (leaf(), 2), (leaf(), 3)), 4, after = AfterMatch.NoSkip))
+    val rnd = new scala.util.Random(41)
+    (1 to 30).foreach { trial =>
+      val events = (1L to 40L).map { t =>
+        val bits = (0 to 3).filter(_ => rnd.nextDouble() < 0.3)
+        (t, m(bits: _*))
+      }
+      // every (variant, match) with its bound events, via the raw NFA
+      val all = perVariant.zipWithIndex.flatMap { case (vc, v) =>
+        var runs = List.empty[Cep.Run]
+        val out = List.newBuilder[(Int, List[Cep.BoundEv])]
+        events.foreach { case (t, mask) =>
+          val (nr, done) = Cep.offer(vc.pattern, runs, t, vc.expandMask(mask))
+          runs = nr
+          done.foreach(b => out += ((v, b)))
+        }
+        out.result()
+      }
+      // greedy preferment selection (bound lists are newest-first)
+      val selected = List.newBuilder[Seq[Seq[Long]]]
+      var cur = Long.MinValue
+      var remaining = all
+      var go = true
+      while (go) {
+        val eligible = remaining.filter(_._2.last.t > cur)
+        if (eligible.isEmpty) go = false
+        else {
+          val (v, b) = eligible.minBy { case (v, b) => (b.last.t, -b.size, v) }
+          selected += c.stepTimesOf(
+            b.map(ev => Cep.BoundEv(perVariant(v).fold(ev.step), ev.t, ev.tie)))
+          cur = b.head.t
+          remaining = eligible
+        }
+      }
+      val got = AltCep.run(c, events)
+      assert(got == selected.result(), s"trial $trial: events=$events")
+    }
+  }
+
   test("within horizon applies per match across variants") {
     val c = AltCep.compile(sAltP, within = 2L, after = AfterMatch.NoSkip)
     // s@1 expired by t=5; s@4 is in-horizon for b@5 p@6

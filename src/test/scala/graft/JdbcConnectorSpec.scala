@@ -97,6 +97,33 @@ class JdbcConnectorSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
   }
 
+  test("per-key lookup + legacy cache options: JdbcRowDataLookupFunction role") {
+    fixture
+    import graft.operators.LookupCache
+    val opts = Map("connector" -> "jdbc", "url" -> dbUrl,
+      "table-name" -> "people",
+      "lookup.cache.max-rows" -> "100", "lookup.cache.ttl" -> "60 s")
+    // the jdbc LEGACY cache vocabulary maps onto the PARTIAL spec
+    assert(LookupCache.specOf(opts) ==
+      Some(LookupCache.PartialSpec(100, 60000L)))
+    // Flink's -1 default (and explicit NONE) = caching off
+    assert(LookupCache.specOf(Map("lookup.cache.max-rows" -> "-1")).isEmpty)
+
+    val raw = JdbcConnector.lookup(opts, "id", Seq("name", "score"))
+    assert(raw(7L).map(_.toList) == Some(List("n7", 10.5)))
+    assert(raw(9999L).isEmpty)
+
+    // wrap with the declared PARTIAL cache: the second probe of a key is
+    // served from memory (hit counter moves, DB not consulted again)
+    LookupCache.invalidate("jdbc-spec")
+    val cached = LookupCache.cached[Long, Option[Seq[Any]]](
+      "jdbc-spec", 100, 60000L)(raw)
+    assert(cached(3L).map(_.toList) == Some(List("n3", 4.5)))
+    assert(cached(3L).map(_.toList) == Some(List("n3", 4.5)))
+    val c = LookupCache.shared[Long, Option[Seq[Any]]]("jdbc-spec", 100, 60000L)
+    assert(c.hits >= 1, s"expected a cache hit, got hits=${c.hits}")
+  }
+
   test("sink append: write lands rows in the database table") {
     import spark.implicits._
     withConn { c =>
