@@ -232,7 +232,11 @@ object Engine {
             streams.foreach { case (t, sdf) => sdf.createOrReplaceTempView(t) }
             // event-time OVER would be rejected by Spark's streaming
             // planner ("non-time-based windows"): lower it onto the
-            // stateful OVER operators (StreamExecOverAggregate role)
+            // stateful OVER operators (StreamExecOverAggregate role).
+            // matches() is SHAPE-PRECISE: statements outside the
+            // supported single-table surface (e.g. an OVER on the
+            // batch-side subquery of a stream-batch join) fall through
+            // to spark.sql, which plans them as before.
             if (StreamOverSql.matches(select)) StreamOverSql.lower(spark, select)
             else spark.sql(select)
           } finally streamed.foreach { t =>

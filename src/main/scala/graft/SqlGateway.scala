@@ -49,8 +49,11 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
     private var fetchedRows = 0
     private var exhausted = false
 
-    def bind(it: Iterator[org.apache.spark.sql.Row]): Unit =
-      synchronized { iter = it }
+    /** Bind the lazy result source — a no-op if a cancel raced ahead
+      * (the worker must not resurrect a canceled operation). Returns
+      * whether the operation is still live. */
+    def bind(it: Iterator[org.apache.spark.sql.Row]): Boolean =
+      synchronized { if (status == "CANCELED") false else { iter = it; true } }
 
     /** Transition RUNNING -> FINISHED (a racing cancel wins). */
     def finish(): Unit = synchronized {
@@ -58,34 +61,49 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
     }
 
     def fail(t: Throwable): Unit = synchronized {
+      // a cancel-induced job kill surfaces as an exception in the
+      // worker/fetch thread: CANCELED is the truthful terminal state
       if (status == "RUNNING") { error = String.valueOf(t.getMessage); status = "ERROR" }
     }
 
-    def cancel(oh: String): Unit = synchronized {
+    /** Cancel must NOT wait for the operation monitor: a page() pull may
+      * be blocked inside a long Spark job holding it. The status flip
+      * (volatile) and the job-group kill happen lock-free — the kill
+      * makes the blocked iterator throw, releasing the monitor — and
+      * only the buffer cleanup synchronizes. */
+    def cancel(oh: String): Unit = {
       if (status == "RUNNING" || status == "FINISHED") {
         status = "CANCELED"
         error = "operation canceled"
-        iter = null // drop the source; buffered pages free with the op
-        pages.clear()
         spark.sparkContext.cancelJobGroup(oh)
+        synchronized { iter = null; pages.clear() }
       }
     }
 
     /** The page at `token`, materializing up to it; None past the end.
       * Returns (page, moreAvailable). */
     def page(token: Int, cap: Int): (Option[Seq[Seq[Any]]], Boolean) = synchronized {
-      while (pages.length <= token && !exhausted && iter != null) {
-        val buf = Vector.newBuilder[Seq[Any]]
-        var n = 0
-        while (n < pageSize && fetchedRows < cap && iter.hasNext) {
-          val r = iter.next()
-          buf += (0 until r.length).map(r.get)
-          n += 1; fetchedRows += 1
+      try {
+        while (pages.length <= token && !exhausted && iter != null &&
+            status != "CANCELED") {
+          val buf = Vector.newBuilder[Seq[Any]]
+          var n = 0
+          while (n < pageSize && fetchedRows < cap && iter.hasNext) {
+            val r = iter.next()
+            buf += (0 until r.length).map(r.get)
+            n += 1; fetchedRows += 1
+          }
+          if (fetchedRows >= cap && iter.hasNext) { truncated = true; exhausted = true }
+          else if (!iter.hasNext) exhausted = true
+          val p = buf.result()
+          if (p.nonEmpty) pages += p
         }
-        if (fetchedRows >= cap && iter.hasNext) { truncated = true; exhausted = true }
-        else if (!iter.hasNext) exhausted = true
-        val p = buf.result()
-        if (p.nonEmpty) pages += p
+      } catch {
+        // a cancel mid-pull kills the running job under this iterator:
+        // swallow the kill and report the canceled state, any other
+        // failure is the operation's error
+        case _: Throwable if status == "CANCELED" => iter = null
+        case t: Throwable => fail(t); iter = null
       }
       val out = if (token < pages.length) Some(pages(token)) else None
       (out, pages.length > token + 1 || !exhausted)
@@ -228,11 +246,15 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
                     interruptOnCancel = true)
                   val df: DataFrame = Engine.sql(spark, stmt)
                   op.columns = df.schema.fieldNames.toSeq
-                  op.bind(df.toLocalIterator().asScala)
-                  // prefetch page 0 so FINISHED means "fetchable now";
-                  // later pages pull on demand
-                  op.page(0, MaxResultRows)
-                  op.finish()
+                  // bind + prefetch only while still live: a cancel that
+                  // landed during planning must not have its job-group
+                  // kill outrun by fresh jobs submitted here
+                  if (op.bind(df.toLocalIterator().asScala)) {
+                    // prefetch page 0 so FINISHED means "fetchable now";
+                    // later pages pull on demand
+                    op.page(0, MaxResultRows)
+                    op.finish()
+                  }
                 } catch {
                   case t: Throwable => op.fail(t)
                 } finally spark.sparkContext.clearJobGroup()

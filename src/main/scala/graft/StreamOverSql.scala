@@ -44,11 +44,28 @@ import org.apache.spark.sql.functions._
   */
 object StreamOverSql {
 
-  /** Dispatch predicate: a SELECT whose only window function is an
-    * event-time OVER with PARTITION BY — cheap text check, exact parse
-    * happens in [[lower]]. */
-  def matches(select: String): Boolean =
-    """(?is)\bOVER\s*\(\s*PARTITION\s+BY\b""".r.findFirstIn(select).isDefined
+  /** Dispatch predicate — SHAPE-PRECISE: true only when the whole
+    * statement fits the supported single-table form (one SUM/COUNT OVER
+    * item with a recognized frame). A statement that merely CONTAINS an
+    * OVER — e.g. a window function on the batch-side subquery of a
+    * stream-batch join — must fall through to spark.sql, which plans it
+    * as before; a statement that fits the shape but is semantically
+    * invalid (wrong ORDER BY column, extra select items) stays here and
+    * is rejected loudly by [[lower]]. */
+  def matches(select: String): Boolean = select match {
+    case SelRe(itemsText, _, _) =>
+      val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
+      val overs = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
+      overs.size == 1 && (overs.head match {
+        case OverItemRe(f, _, _, _, frameText, _) =>
+          val fr = frameText.trim
+          val frameOk = UnboundedFrameRe.matches(fr) ||
+            RowsFrameRe.matches(fr) || RangeFrameRe.matches(fr)
+          frameOk && Set("SUM", "COUNT")(f.toUpperCase)
+        case _ => false
+      })
+    case _ => false
+  }
 
   private val SelRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
@@ -84,8 +101,7 @@ object StreamOverSql {
           s"got: $select")
     }
     val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
-    val overs = items.filter(i => matches(i) || """(?is)\bOVER\b""".r
-      .findFirstIn(i).isDefined)
+    val overs = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
     require(overs.size == 1,
       s"streaming OVER supports exactly one windowed aggregate, got ${overs.size}")
     val (fn, valueText, pk, rowtime, frameText, aggAlias) = overs.head match {
@@ -128,9 +144,13 @@ object StreamOverSql {
 
     // normalize non-aggregate items: each must be pk / rowtime / the
     // value expression, carrying its output alias. Output column order
-    // follows the select-item order, the OVER item included.
+    // follows the select-item order, the OVER item included. Insertion
+    // order matters: when the aggregated expression IS the partition or
+    // rowtime column (SUM(k) OVER (PARTITION BY k ...)), the later
+    // pk/rowtime entries win, so a projected `k` stays the key column,
+    // never the DOUBLE-cast aggregate input.
     def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
-    val known = Map(norm(pk) -> "k", norm(rowtime) -> "t", norm(valueText) -> "v")
+    val known = Map(norm(valueText) -> "v", norm(rowtime) -> "t", norm(pk) -> "k")
     val outCols: Seq[(String, String)] = items.map {
       case i if i == overs.head => ("__agg", aggAlias)
       case AliasRe(e, al) => (norm(e), al)
@@ -140,11 +160,15 @@ object StreamOverSql {
       s"streaming OVER select items must be the partition column, the " +
         s"rowtime or the aggregated expression; got '$e'") }
 
+    // SQL SUM ignores NULLs: a NULL value contributes zero to every
+    // frame (and would otherwise kill the non-nullable Double encoder —
+    // the streaming query would die permanently on the first NULL).
+    // Deviation at the margin: an all-NULL frame reads 0.0, not NULL.
     val valueCol =
       if (fn == "COUNT" && valueText == "*") lit(1.0)
       else if (fn == "COUNT")
         when(expr(valueText).isNotNull, 1.0).otherwise(0.0)
-      else expr(valueText).cast("double")
+      else coalesce(expr(valueText).cast("double"), lit(0.0))
     // the rowtime column is selected UNCAST: the source's watermark (set
     // by WatermarkDdl.readStream) propagates through a plain alias but
     // not through a cast, and re-declaring it here would trip Spark's

@@ -121,8 +121,12 @@ object JdbcConnector {
       opts.get("password").map("password" -> _) ++
       opts.get("driver").map("driver" -> _) ++
       opts.get("connection.max-retry-timeout").map { d =>
-        // Flink takes a Duration ("60 s"); Spark's queryTimeout is seconds
-        "queryTimeout" -> d.trim.replaceAll("(?i)\\s*s(ec(onds?)?)?$", "")
+        // Flink takes a full Duration ("60 s", "1 min", "60000 ms");
+        // Spark's queryTimeout is whole seconds — parse through the
+        // shared duration grammar and round up so a sub-second timeout
+        // never becomes 0 (= infinite in JDBC)
+        val ms = graft.operators.LookupCache.parseDurationMs(d)
+        "queryTimeout" -> math.max(1L, (ms + 999) / 1000).toString
       }
   }
 
@@ -195,8 +199,11 @@ object JdbcConnector {
         } catch {
           case e: java.sql.SQLException =>
             attempt += 1
-            // a broken connection must not poison every later lookup
-            lookupConns.remove(connKey)
+            // a broken connection must not poison every later lookup —
+            // and must be CLOSED, not just dropped, or flaky lookups
+            // leak sockets/server sessions until the DB's limit
+            Option(lookupConns.remove(connKey))
+              .foreach(c => try c.close() catch { case _: Exception => () })
             if (attempt > maxRetries) throw e
         }
       }
@@ -325,7 +332,11 @@ object KafkaConnector {
         if (lenient(format)) {
           // a declared corrupt-record column disambiguates parse failures
           // from legitimately all-null payloads ('{}' / an empty CSV
-          // line): only rows the parser actually rejected carry it
+          // line). Flink's ignore-parse-errors contract is "fields are
+          // set to null in case of errors" — a PARTIALLY parseable row
+          // (one bad field, corrupt column set, other fields populated)
+          // is KEPT with the bad field nulled; only a wholly-malformed
+          // payload (corrupt set AND every declared field null) drops.
           val corrupt = Iterator.from(0).map(i => "_graft_corrupt" + i)
             .find(n => !schema.fieldNames.contains(n)).get
           val pschema = schema.add(corrupt, StringType)
@@ -333,7 +344,8 @@ object KafkaConnector {
             "columnNameOfCorruptRecord" -> corrupt)
           val parsed = values.select((if (format == "json")
             from_json(str, pschema, mode) else from_csv(str, pschema, mode)).as("r"))
-          parsed.filter(col(s"r.`$corrupt`").isNull)
+          parsed.filter(col(s"r.`$corrupt`").isNull ||
+              schema.fieldNames.map(n => col(s"r.`$n`").isNotNull).reduce(_ || _))
             .select(schema.fieldNames.map(n => col(s"r.`$n`")): _*)
         } else {
           val mode = Map("mode" -> "FAILFAST")

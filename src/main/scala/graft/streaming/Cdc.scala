@@ -155,8 +155,9 @@ object Cdc {
     * SinkUpsertMaterializer.java): collapse a changelog batch to the final
     * per-key row before writing to an upsert sink. Keeps the row with the
     * greatest (orderCol, tieBreak); keys whose last change is a delete are
-    * dropped. Run inside foreachBatch. */
-  /** @param insertAfterDelete tie-break orientation at an IDENTICAL
+    * dropped. Run inside foreachBatch.
+    *
+    * @param insertAfterDelete tie-break orientation at an IDENTICAL
     *   (orderCol, tieBreak) position. Default `false`: a -D outranks
     *   +I/+U at the same position, so a delete+re-insert pair sharing one
     *   change position loses the row — the conservative failure, and the

@@ -50,7 +50,12 @@ object TemporalJoinTws {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       val pendingMin = if (minFact.exists()) Some(minFact.get()) else None
       pendingMin match {
-        case Some(m) => getHandle.registerTimer(math.max(m, wm + 1))
+        // m + 1, not m: fMGWS event-time timeouts fire only when the
+        // watermark strictly EXCEEDS the timestamp, while a TWS timer
+        // fires at equality — registering at m would release a fact the
+        // original holds one watermark advance longer (drop-in timing
+        // parity, pinned by the edge-script spec)
+        case Some(m) => getHandle.registerTimer(math.max(m + 1, wm + 1))
         case None =>
           if (maxIdleMs > 0 && lastTouch.exists())
             getHandle.registerTimer(math.max(lastTouch.get() + maxIdleMs + 1, wm + 1))
@@ -96,7 +101,15 @@ object TemporalJoinTws {
         pruneVersions(wm)
         if (still.isEmpty) {
           facts.clear(); minFact.clear()
-          if (!versions.exists()) { lastTouch.clear() }
+          val lt = if (lastTouch.exists()) lastTouch.get() else wm
+          if (!versions.exists()) lastTouch.clear()
+          else if (maxIdleMs > 0 && wm - lt > maxIdleMs) {
+            // the original applies the idle check in the SAME invocation
+            // that releases the last facts: a watermark jump past both
+            // the facts and the idle horizon must not leave a stale
+            // version matchable for later facts
+            versions.clear(); lastTouch.clear()
+          }
         } else {
           facts.put(still.toArray)
           minFact.update(still.iterator.map(_._1).min)
@@ -118,7 +131,18 @@ object TemporalJoinTws {
         val t = t0.getTime
         if (t > wm) { // rows at/below the watermark are late: dropped
           if (side == 0) freshFacts += ((t, p))
-          else { versions.updateValue(t, p); sawVersions = true }
+          else {
+            // duplicate version timestamps: the original retains every
+            // row but always MATCHES the (t, payload)-max (sortBy
+            // identity + lastOption), so keeping the max payload per
+            // timestamp is behavior-identical with one entry per t
+            val winner = if (versions.containsKey(t)) {
+              val prev = versions.getValue(t)
+              if (prev > p) prev else p
+            } else p
+            versions.updateValue(t, winner)
+            sawVersions = true
+          }
         }
       }
       if (sawRows) {

@@ -87,13 +87,19 @@ class ConnectorDdlSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(lenient == Set((1L, "a")), s"tombstone+bad row must drop: $lenient")
     // the corrupt-record column disambiguates: a legitimately all-null
-    // payload ('{}') is DATA and survives; only parser rejects drop
-    val withEmpty = Seq(Some("""{"k":1,"v":"a"}"""), Some("{}"), Some("not json"))
+    // payload ('{}') is DATA and survives; a PARTIALLY-parseable row
+    // keeps its good fields with the bad one nulled (Flink's
+    // ignore-parse-errors contract); only wholly-malformed text drops
+    val withEmpty = Seq(Some("""{"k":1,"v":"a"}"""), Some("{}"),
+      Some("""{"k":"oops","v":"b"}"""), Some("not json"))
       .toDF("s").select($"s".cast("binary").as("value"))
     val kept = KafkaConnector.decode(withEmpty, schema, "json",
       Map("json.ignore-parse-errors" -> "true")).collect()
-    assert(kept.length == 2 && kept.exists(r => r.isNullAt(0) && r.isNullAt(1)),
+    assert(kept.length == 3, s"lenient decode kept: ${kept.mkString(";")}")
+    assert(kept.exists(r => r.isNullAt(0) && r.isNullAt(1)),
       s"all-null payload must survive lenient decode: ${kept.mkString(";")}")
+    assert(kept.exists(r => r.isNullAt(0) && r.getString(1) == "b"),
+      s"partial parse must keep the row with the bad field nulled: ${kept.mkString(";")}")
     // default = the Flink formats' fail-on-error contract
     assertThrows[org.apache.spark.SparkException] {
       KafkaConnector.decode(wire, schema, "json").collect()

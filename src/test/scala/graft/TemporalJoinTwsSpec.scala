@@ -82,4 +82,47 @@ class TemporalJoinTwsSpec extends AnyFunSuite {
       rows.groupBy(_._1).view.mapValues(_.toSeq).toMap
     assert(perKey(tws) == perKey(ref), s"tws=$tws ref=$ref")
   }
+
+  private def runEdgeScript(useTws: Boolean, sink: String, maxIdleMs: Long)
+      : Seq[(Long, Long, String, Option[String])] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[(Long, Timestamp, String)]
+    val versions = MemoryStream[(Long, Timestamp, String)]
+    val out =
+      if (useTws) TemporalJoinTws.temporalJoin(facts.toDS(), versions.toDS(), "0 seconds", maxIdleMs)
+      else TemporalJoin.temporalJoin(facts.toDS(), versions.toDS(), "0 seconds", maxIdleMs)
+    // DUPLICATE version timestamps: both engines must match the
+    // (t, payload)-max ("vb" > "va" lexicographically)
+    versions.addData((1L, ts(10), "vb"), (1L, ts(10), "va"))
+    facts.addData((1L, ts(20), "f1"))
+    val q = out.toDF("k", "t", "fact", "version").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      facts.addData((1L, ts(30), "f2")) // advances wm past f1
+      q.processAllAvailable()
+      // watermark JUMP releasing f2 and passing the idle horizon in the
+      // SAME firing: the retained version must expire with it, so f3
+      // (arriving later, fresh activity) pads NULL, not the stale "vb"
+      facts.addData((1L, ts(5000), "f3"))
+      q.processAllAvailable()
+      facts.addData((1L, ts(5010), "f4"))
+      q.processAllAvailable()
+      facts.addData((1L, ts(9000), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, String, Option[String])].collect().toSeq
+  }
+
+  test("TWS temporal join: duplicate version timestamps + same-firing idle expiry") {
+    Seq(0L, 60000L).foreach { idle =>
+      val ref = runEdgeScript(useTws = false, s"tjtws_edge_ref_$idle", idle)
+      val tws = withRocksDB { runEdgeScript(useTws = true, s"tjtws_edge_new_$idle", idle) }
+      assert(tws.sortBy(r => (r._1, r._2)) == ref.sortBy(r => (r._1, r._2)),
+        s"idle=$idle tws=$tws ref=$ref")
+      // the duplicate-t tie resolves to the payload-max in both
+      assert(ref.exists(r => r._3 == "f1" && r._4 == Some("vb")), ref.toString)
+    }
+  }
 }
