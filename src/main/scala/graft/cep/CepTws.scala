@@ -53,7 +53,11 @@ object CepTws {
         Some(live.map(startT).min / 1000 + pattern.within / 1000 + 1)
       else None
       (dataT.toList ++ cleanT.toList).minOption
-        .foreach(t0 => getHandle.registerTimer(math.max(t0, wm + 1)))
+      // t0 + 1, not t0: fMGWS event-time timeouts fire only when the
+      // watermark strictly EXCEEDS the timestamp, while a TWS timer
+      // fires at equality — registering at t0 would release rows one
+      // watermark advance earlier than the original (timing parity)
+        .foreach(t0 => getHandle.registerTimer(math.max(t0 + 1, wm + 1)))
     }
 
     private def flush(key: Long, fresh: Seq[(Long, Long, Long)], wm: Long)

@@ -45,7 +45,11 @@ object StatefulTws {
     * watermark, the same clamp the fMGWS originals apply). */
   private def rearm(h: StatefulProcessorHandle, at: Option[Long], wm: Long): Unit = {
     h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
-    at.foreach(t => h.registerTimer(math.max(t, wm + 1)))
+      // t + 1, not t: fMGWS event-time timeouts fire only when the
+      // watermark strictly EXCEEDS the timestamp, while a TWS timer
+      // fires at equality — registering at t would release rows one
+      // watermark advance earlier than the original (timing parity)
+    at.foreach(t => h.registerTimer(math.max(t + 1, wm + 1)))
   }
 
   // ---- event-time sort -------------------------------------------------

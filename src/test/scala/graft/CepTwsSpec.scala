@@ -72,6 +72,38 @@ class CepTwsSpec extends AnyFunSuite {
       Seq((1L, us(300), 0L, 4L))), "late")
   }
 
+  test("TWS CEP: watermark-equals-timestamp boundary releases in the same batch as fMGWS") {
+    // wm lands EXACTLY on the pending row's timestamp (dummy@30s - 10s
+    // delay = 20s): fMGWS event-time timeouts fire only when wm strictly
+    // exceeds the timeout, so the row must NOT release yet — the TWS
+    // timer registers at t+1 for the same timing. Without the final
+    // advance both executors must have emitted nothing; after it, both
+    // release the row (non-vacuous tail).
+    val p = Pattern.linear(1, 0L)
+    def script(useTws: Boolean, sink: String, withTail: Boolean): Seq[(Long, Seq[Seq[Long]])] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long)]
+      val out = if (useTws) CepTws.matchStream(in.toDS(), p, "10 seconds")
+                else Cep.matchStream(in.toDS(), p, "10 seconds")
+      val q = out.toDF("key", "step_times").writeStream
+        .outputMode("append").format("memory").queryName(sink).start()
+      try {
+        in.addData(Seq((1L, us(20), 1L, 0L), (1L, us(30), 0L, 1L)))
+        q.processAllAvailable() // wm == 20s: boundary
+        if (withTail) { in.addData(Seq((1L, us(100), 0L, 2L))); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(sink).as[(Long, Seq[Seq[Long]])].collect().toSeq
+    }
+    Seq(false, true).foreach { tail =>
+      val ref = script(useTws = false, s"ctws_bnd_ref_$tail", tail)
+      val tws = withRocksDB { script(useTws = true, s"ctws_bnd_new_$tail", tail) }
+      assert(tws == ref, s"tail=$tail tws=$tws ref=$ref")
+      if (tail) assert(ref.nonEmpty) else assert(ref.isEmpty,
+        s"boundary row released at wm==t: $ref")
+    }
+  }
+
   test("TWS CEP: quantified pattern with within horizon prunes identically") {
     val p = Pattern(IndexedSeq(
       StepDef(quant = Quant.OneOrMore),
