@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming OVER aggregation through the SQL front door — the
@@ -10,29 +10,32 @@ import org.apache.spark.sql.functions._
   * compiles to the RowTime{Rows,Range}{Bounded,Unbounded}Preceding
   * process functions). Spark's window functions reject streaming frames
   * ("non-time-based windows are not supported"), so the clause is lowered
-  * onto the stateful operators instead:
+  * onto [[graft.streaming.StatefulOps.overSumsByKey]]: every aggregate
+  * becomes one or two slots of a value VECTOR summed over the frame in a
+  * SINGLE stateful pass — exactly how StreamExecOverAggregate fuses all
+  * of a window's aggregates into one operator.
   *
-  *  - `ROWS BETWEEN n PRECEDING AND CURRENT ROW` ->
-  *    [[graft.streaming.StatefulOps.rowsBoundedSumByKey]]
-  *  - `RANGE BETWEEN INTERVAL '<n>' <unit> PRECEDING AND CURRENT ROW` ->
-  *    [[graft.streaming.StatefulOps.rangeBoundedSumByKey]]
-  *  - no frame / `... UNBOUNDED PRECEDING AND CURRENT ROW` ->
-  *    [[graft.streaming.StatefulOps.runningSumByKey]]
-  *
-  * Supported statement shape (the Flink streaming-OVER test shape):
+  * Supported statement shape:
   * {{{
-  * SELECT <pk>, <rowtime>, <valueExpr>, SUM|COUNT(<valueExpr>|*)
-  *        OVER (PARTITION BY <pk> ORDER BY <rowtime> [frame]) AS <alias>
+  * SELECT <pk>, <rowtime>,
+  *        SUM(expr) OVER w AS s, COUNT(expr|*) OVER w AS c, AVG(expr) OVER w AS a
   * FROM <watermarked table> [WHERE <predicate>]
+  * -- w = (PARTITION BY <pk> ORDER BY <rowtime> [ROWS n PRECEDING |
+  * --      RANGE INTERVAL '<n>' <unit> PRECEDING | UNBOUNDED])
   * }}}
-  * Non-aggregate select items must be the partition column and/or the
-  * rowtime (optionally aliased); the value expression may also be
-  * projected (emitted as DOUBLE — the aggregate's input representation).
-  * The ORDER BY column must be the table's declared WATERMARK attribute.
-  * Rows are released in watermark order; ties in rowtime are processed
-  * row-at-a-time (ROWS semantics) — an explicit RANGE frame over
-  * distinct rowtimes is exact, Flink's RANGE peer-sharing on tied
-  * rowtimes is not reproduced.
+  * Any number of SUM/COUNT/AVG items, all sharing ONE identical window
+  * spec. Non-aggregate select items must be the partition column, the
+  * rowtime, or one of the aggregated expressions (projected as DOUBLE —
+  * the aggregate's input representation). The ORDER BY column must be
+  * the table's declared WATERMARK attribute. Rows are released in
+  * watermark order; ties in rowtime are processed row-at-a-time (ROWS
+  * semantics) — an explicit RANGE frame over distinct rowtimes is exact,
+  * Flink's RANGE peer-sharing on tied rowtimes is not reproduced.
+  *
+  * NULL semantics: SUM/AVG/COUNT(expr) ignore NULL inputs (a NULL
+  * contributes zero to the sum slot and zero to the count slot; AVG of a
+  * frame with no non-null inputs is NULL). Deviation at the margin: an
+  * all-NULL frame reads SUM = 0.0, not NULL.
   *
   * Watermark caveat: Catalyst pushes a WHERE predicate that doesn't
   * reference the rowtime BELOW the EventTimeWatermark node
@@ -44,33 +47,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamOverSql {
 
-  /** Dispatch predicate — SHAPE-PRECISE: true only when the whole
-    * statement fits the supported single-table form (one SUM/COUNT OVER
-    * item with a recognized frame). A statement that merely CONTAINS an
-    * OVER — e.g. a window function on the batch-side subquery of a
-    * stream-batch join — must fall through to spark.sql, which plans it
-    * as before; a statement that fits the shape but is semantically
-    * invalid (wrong ORDER BY column, extra select items) stays here and
-    * is rejected loudly by [[lower]]. */
-  def matches(select: String): Boolean = select match {
-    case SelRe(itemsText, _, _) =>
-      val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
-      val overs = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
-      overs.size == 1 && (overs.head match {
-        case OverItemRe(f, _, _, _, frameText, _) =>
-          val fr = frameText.trim
-          val frameOk = UnboundedFrameRe.matches(fr) ||
-            RowsFrameRe.matches(fr) || RangeFrameRe.matches(fr)
-          frameOk && Set("SUM", "COUNT")(f.toUpperCase)
-        case _ => false
-      })
-    case _ => false
-  }
-
   private val SelRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
   private val OverItemRe =
-    ("""(?is)^\s*(SUM|COUNT)\s*\(\s*(.+?|\*)\s*\)\s+OVER\s*\(\s*""" +
+    ("""(?is)^\s*(SUM|COUNT|AVG)\s*\(\s*(.+?|\*)\s*\)\s+OVER\s*\(\s*""" +
       """PARTITION\s+BY\s+`?(\w+)`?\s+ORDER\s+BY\s+`?(\w+)`?\s*(.*?)\)""" +
       """\s*(?:AS\s+`?(\w+)`?)?\s*$""").r
   private val RowsFrameRe =
@@ -83,16 +63,49 @@ object StreamOverSql {
       """AND\s+CURRENT\s+ROW|UNBOUNDED\s+PRECEDING))?\s*$""").r
   private val AliasRe = """(?is)^\s*(.+?)\s+AS\s+`?(\w+)`?\s*$""".r
 
-  private sealed trait Frame
-  private case object Unbounded extends Frame
-  private final case class RowsN(n: Int) extends Frame
-  private final case class RangeMs(ms: Long) extends Frame
+  private final case class AggItem(fn: String, valueText: String,
+      pk: String, rowtime: String, frameText: String, alias: String)
+
+  private def parseOverItem(item: String, idx: Int): Option[AggItem] = item match {
+    case OverItemRe(f, v, p, o, fr, al) =>
+      Some(AggItem(f.toUpperCase, v.trim, p, o, fr.trim,
+        Option(al).getOrElse(f.toLowerCase + s"_over$idx")))
+    case _ => None
+  }
+
+  private def frameOk(fr: String): Boolean =
+    UnboundedFrameRe.matches(fr) || RowsFrameRe.matches(fr) ||
+      RangeFrameRe.matches(fr)
+
+  /** Dispatch predicate — SHAPE-PRECISE: true only when the whole
+    * statement fits the supported single-table form (one or more
+    * SUM/COUNT/AVG OVER items sharing one recognized window spec). A
+    * statement that merely CONTAINS an OVER — e.g. a window function on
+    * the batch-side subquery of a stream-batch join — must fall through
+    * to spark.sql, which plans it as before; a statement that fits the
+    * shape but is semantically invalid (wrong ORDER BY column, extra
+    * select items) stays here and is rejected loudly by [[lower]]. */
+  def matches(select: String): Boolean = select match {
+    case SelRe(itemsText, _, _) =>
+      val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
+      val overs = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
+      overs.nonEmpty && {
+        val parsed = overs.zipWithIndex.map { case (i, n) => parseOverItem(i, n) }
+        parsed.forall(_.isDefined) && {
+          val ps = parsed.flatten
+          ps.forall(p => frameOk(p.frameText)) &&
+            ps.map(p => (p.pk, p.rowtime, p.frameText)).distinct.size == 1
+        }
+      }
+    case _ => false
+  }
 
   /** Lower the SELECT to a STREAMING DataFrame. Resolves `FROM <table>`
     * via `spark.table` — callers (sqlStreamInsert) shadow the name with
     * the watermarked streaming view first. */
   def lower(spark: SparkSession, select: String): DataFrame = {
     import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.OverFrame
     import spark.implicits._
     val (itemsText, table, whereOpt) = select match {
       case SelRe(items, t, w) => (items, t, Option(w))
@@ -101,22 +114,23 @@ object StreamOverSql {
           s"got: $select")
     }
     val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
-    val overs = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
-    require(overs.size == 1,
-      s"streaming OVER supports exactly one windowed aggregate, got ${overs.size}")
-    val (fn, valueText, pk, rowtime, frameText, aggAlias) = overs.head match {
-      case OverItemRe(f, v, p, o, fr, al) =>
-        (f.toUpperCase, v.trim, p, o, fr.trim,
-          Option(al).getOrElse(f.toLowerCase + "_over"))
-      case other => throw new IllegalArgumentException(
-        "unsupported OVER item (need SUM|COUNT(expr) OVER (PARTITION BY " +
-          s"col ORDER BY rowtime [ROWS|RANGE frame]) [AS alias]): $other")
+    val overTexts = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
+    require(overTexts.nonEmpty, "no OVER item in streaming OVER statement")
+    val aggs = overTexts.zipWithIndex.map { case (i, n) =>
+      parseOverItem(i, n).getOrElse(throw new IllegalArgumentException(
+        "unsupported OVER item (need SUM|COUNT|AVG(expr) OVER (PARTITION " +
+          s"BY col ORDER BY rowtime [ROWS|RANGE frame]) [AS alias]): $i"))
     }
-    val frame: Frame = frameText match {
-      case UnboundedFrameRe() => Unbounded
-      case RowsFrameRe(n) => RowsN(n.toInt)
+    require(aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct.size == 1,
+      "every OVER item must share one identical window spec " +
+        s"(got: ${aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct})")
+    val pk = aggs.head.pk
+    val rowtime = aggs.head.rowtime
+    val frame: OverFrame = aggs.head.frameText match {
+      case UnboundedFrameRe() => OverFrame.Unbounded
+      case RowsFrameRe(n) => OverFrame.Rows(n.toInt + 1)
       case RangeFrameRe(n, unit) =>
-        RangeMs(n.toLong * (unit.toUpperCase match {
+        OverFrame.Range(n.toLong * (unit.toUpperCase match {
           case "SECOND" => 1000L
           case "MINUTE" => 60000L
           case "HOUR" => 3600000L
@@ -125,9 +139,14 @@ object StreamOverSql {
       case other => throw new IllegalArgumentException(
         s"unsupported OVER frame for streaming: $other")
     }
-    require(fn == "SUM" || fn == "COUNT", s"unsupported OVER aggregate $fn")
-    require(fn == "SUM" || valueText == "*" || !valueText.contains("("),
-      s"COUNT supports * or a plain column, got COUNT($valueText)")
+    aggs.foreach { a =>
+      require(a.fn == "SUM" || a.fn == "COUNT" || a.fn == "AVG",
+        s"unsupported OVER aggregate ${a.fn}")
+      require(a.fn == "SUM" || a.fn == "AVG" || a.valueText == "*" ||
+          !a.valueText.contains("("),
+        s"COUNT supports * or a plain column, got COUNT(${a.valueText})")
+      require(a.fn != "AVG" || a.valueText != "*", "AVG(*) is not SQL")
+    }
 
     val wmCol = WatermarkDdl.watermarkCol(spark, table)
     require(wmCol.contains(rowtime),
@@ -142,33 +161,53 @@ object StreamOverSql {
       org.apache.spark.sql.types.TimestampType,
       s"rowtime $rowtime must be TIMESTAMP, got ${src.schema(rowtime).dataType}")
 
-    // normalize non-aggregate items: each must be pk / rowtime / the
-    // value expression, carrying its output alias. Output column order
-    // follows the select-item order, the OVER item included. Insertion
-    // order matters: when the aggregated expression IS the partition or
-    // rowtime column (SUM(k) OVER (PARTITION BY k ...)), the later
-    // pk/rowtime entries win, so a projected `k` stays the key column,
-    // never the DOUBLE-cast aggregate input.
+    // slot assembly: SUM -> one coalesced value slot; COUNT -> one
+    // indicator slot; AVG -> a (sum, non-null count) slot pair. NULL
+    // inputs contribute zero everywhere — SQL's NULL-ignoring aggregates
+    // without killing the non-nullable encoder.
+    val slotCols = Vector.newBuilder[Column]
+    var nSlots = 0
+    val aggSlots: Seq[(AggItem, Int, Int)] = aggs.map { a =>
+      def nextSlot(c: Column): Int = { slotCols += c; nSlots += 1; nSlots - 1 }
+      a.fn match {
+        case "SUM" =>
+          (a, nextSlot(coalesce(expr(a.valueText).cast("double"), lit(0.0))), -1)
+        case "COUNT" =>
+          val c = if (a.valueText == "*") lit(1.0)
+            else when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0)
+          (a, nextSlot(c), -1)
+        case "AVG" =>
+          val s = nextSlot(coalesce(expr(a.valueText).cast("double"), lit(0.0)))
+          val c = nextSlot(when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0))
+          (a, s, c)
+      }
+    }
+
+    // normalize non-aggregate items: each must be pk / rowtime / one of
+    // the aggregated expressions, carrying its output alias. Output
+    // column order follows the select-item order, OVER items included.
+    // Insertion order matters: when an aggregated expression IS the
+    // partition or rowtime column (SUM(k) OVER (PARTITION BY k ...)),
+    // the later pk/rowtime entries win, so a projected `k` stays the key
+    // column, never the DOUBLE-cast aggregate input.
     def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
-    val known = Map(norm(valueText) -> "v", norm(rowtime) -> "t", norm(pk) -> "k")
+    val valueSlotByText: Map[String, Int] =
+      aggSlots.map { case (a, s, _) => norm(a.valueText) -> s }
+        .reverse.toMap // first declaration wins
+    val known: Map[String, String] =
+      valueSlotByText.map { case (txt, s) => txt -> s"v$s" } ++
+        Map(norm(rowtime) -> "t", norm(pk) -> "k")
+    val overIdx: Map[String, Int] = overTexts.zipWithIndex.toMap
     val outCols: Seq[(String, String)] = items.map {
-      case i if i == overs.head => ("__agg", aggAlias)
+      case i if overIdx.contains(i) => (s"__agg${overIdx(i)}", aggs(overIdx(i)).alias)
       case AliasRe(e, al) => (norm(e), al)
       case e => (norm(e), e.trim.replace("`", ""))
     }
-    outCols.foreach { case (e, _) => require(e == "__agg" || known.contains(e),
-      s"streaming OVER select items must be the partition column, the " +
-        s"rowtime or the aggregated expression; got '$e'") }
+    outCols.foreach { case (e, _) =>
+      require(e.startsWith("__agg") || known.contains(e),
+        s"streaming OVER select items must be the partition column, the " +
+          s"rowtime or an aggregated expression; got '$e'") }
 
-    // SQL SUM ignores NULLs: a NULL value contributes zero to every
-    // frame (and would otherwise kill the non-nullable Double encoder —
-    // the streaming query would die permanently on the first NULL).
-    // Deviation at the margin: an all-NULL frame reads 0.0, not NULL.
-    val valueCol =
-      if (fn == "COUNT" && valueText == "*") lit(1.0)
-      else if (fn == "COUNT")
-        when(expr(valueText).isNotNull, 1.0).otherwise(0.0)
-      else coalesce(expr(valueText).cast("double"), lit(0.0))
     // the rowtime column is selected UNCAST: the source's watermark (set
     // by WatermarkDdl.readStream) propagates through a plain alias but
     // not through a cast, and re-declaring it here would trip Spark's
@@ -176,21 +215,28 @@ object StreamOverSql {
     val typed = src.select(
         col(pk).cast("string").as("k"),
         col(rowtime).as("t"),
-        valueCol.as("v"))
-      .as[(String, java.sql.Timestamp, Double)]
+        array(slotCols.result(): _*).as("v"))
+      .as[(String, java.sql.Timestamp, Seq[Double])]
 
-    val ran = (frame match {
-      case Unbounded => StatefulOps.runningSumByKey(typed)
-      case RowsN(n) => StatefulOps.rowsBoundedSumByKey(typed, n + 1)
-      case RangeMs(ms) => StatefulOps.rangeBoundedSumByKey(typed, ms)
-    }).toDF("k", "t_ms", "v", "agg")
+    val ran = StatefulOps.overSumsByKey(typed, frame)
+      .toDF("k", "t_ms", "vals", "sums")
 
-    val aggOut = if (fn == "COUNT") col("agg").cast("long") else col("agg")
+    def aggCol(i: Int): Column = {
+      val (a, s, c) = aggSlots(i)
+      a.fn match {
+        case "SUM" => col("sums").getItem(s)
+        case "COUNT" => col("sums").getItem(s).cast("long")
+        case "AVG" =>
+          when(col("sums").getItem(c) === 0.0, lit(null).cast("double"))
+            .otherwise(col("sums").getItem(s) / col("sums").getItem(c))
+      }
+    }
     val projected = outCols.map { case (e, alias) =>
-      (if (e == "__agg") aggOut else known(e) match {
+      (if (e.startsWith("__agg")) aggCol(e.stripPrefix("__agg").toInt)
+       else known(e) match {
         case "k" => col("k").cast(pkType)
         case "t" => timestamp_millis(col("t_ms"))
-        case "v" => col("v")
+        case vs => col("vals").getItem(vs.stripPrefix("v").toInt)
       }).as(alias)
     }
     ran.select(projected: _*)

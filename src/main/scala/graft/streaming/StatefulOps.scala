@@ -221,6 +221,78 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** OVER frame shapes shared by [[overSumsByKey]] and the SQL lowering
+    * (StreamOverSql) — the RowTime{Rows,Range}{Bounded,Unbounded}
+    * Preceding family as one parameter. */
+  sealed trait OverFrame extends Serializable
+  object OverFrame {
+    case object Unbounded extends OverFrame
+    final case class Rows(n: Int) extends OverFrame
+    final case class Range(ms: Long) extends OverFrame
+  }
+
+  /** Generalized streaming OVER: each row, released in event-time order,
+    * is annotated with the ELEMENTWISE SUMS of a value VECTOR over the
+    * frame — so one stateful pass serves several aggregates sharing one
+    * window spec (a SUM is a value slot, COUNT an indicator slot, AVG a
+    * sum slot divided by a count slot downstream). Frame semantics are
+    * exactly the single-value operators' (runningSumByKey /
+    * rowsBoundedSumByKey / rangeBoundedSumByKey): same late-row drops,
+    * same permanent accumulator for the unbounded frame, same
+    * O(pending + frame) state for the bounded ones. */
+  def overSumsByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])], frame: OverFrame)(
+      implicit e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
+
+    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      if (a.isEmpty) b else a.lazyZip(b).map(_ + _).toSeq
+    def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
+      rows.foldLeft(Seq.empty[Double])((acc, r) => plus(acc, r._2))
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Seq[Double])],
+        state: GroupState[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])])
+        : Iterator[(K, Long, Seq[Double], Seq[Double])] = {
+      val (pending0, acc0, frame0) = state.getOption.getOrElse(
+        (Seq.empty[(Long, Seq[Double])], Seq.empty[Double],
+          Seq.empty[(Long, Seq[Double])]))
+      val wm = state.getCurrentWatermarkMs()
+      val buf = pending0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
+      val (ready, pending) = buf.partition(_._1 <= wm)
+      var acc = acc0
+      var frm = frame0
+      val out = ready.sortBy(_._1).map { case (t, v) =>
+        val sums = frame match {
+          case OverFrame.Unbounded => acc = plus(acc, v); acc
+          case OverFrame.Rows(n) =>
+            frm = (frm :+ ((t, v))).takeRight(n); sumOf(frm)
+          case OverFrame.Range(ms) =>
+            frm = (frm :+ ((t, v))).filter(_._1 >= t - ms); sumOf(frm)
+        }
+        (key, t, v, sums)
+      }
+      // the unbounded accumulator is PERMANENT state (the
+      // runningSumByKey contract and Flink's unbounded-preceding
+      // function): a contributing-nothing invocation must not reset it
+      val removable = frame match {
+        case OverFrame.Unbounded => state.getOption.isEmpty
+        case _ => pending0.isEmpty && frame0.isEmpty
+      }
+      if (pending.isEmpty && out.isEmpty && removable) {
+        if (state.exists) state.remove()
+      } else {
+        state.update((pending, acc, frm))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming LIMIT (flink-table-runtime StreamExecLimit): pass through
     * the first `n` rows of the stream, drop the rest. Like Flink's global
     * limit this necessarily runs at parallelism 1 (a single counter key)

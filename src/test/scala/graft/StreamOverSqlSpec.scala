@@ -92,6 +92,88 @@ class StreamOverSqlSpec extends AnyFunSuite {
         .rangeBetween(-90000, 0))
   }
 
+  test("multiple aggregates share one window: SUM + COUNT + AVG in one pass") {
+    val (src, sink) = (s"ovr_src_multi_$h", s"ovr_sink_multi_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink
+      (k BIGINT, ts TIMESTAMP, s DOUBLE, c BIGINT, a DOUBLE) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-over-multi").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, ts,
+             SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+             COUNT(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c,
+             AVG(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a
+      FROM $src""", ckpt)
+    try {
+      // the NULL row exercises SQL's NULL-ignoring aggregates: it joins
+      // the frame but contributes to neither SUM nor COUNT(v) nor AVG
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
+        (1, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 00:00:02'),
+        (1, 2.0,  TIMESTAMP '2024-01-01 00:00:05'),
+        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 4.0, TIMESTAMP '2024-01-01 00:01:30')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.0, TIMESTAMP '2024-01-01 01:00:00')")
+      q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.0, TIMESTAMP '2024-01-01 02:00:00')")
+      q.processAllAvailable()
+
+      val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
+      def rowOf(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))
+      val got = spark.table(sink).collect().map(rowOf).filter(_._2 < cutoff).toSet
+      val w = Window.partitionBy("k").orderBy("ts").rowsBetween(-2, 0)
+      val want = WatermarkDdl.read(spark, src)
+        .select(col("k"), col("ts"), sum("v").over(w).as("s"),
+          count("v").over(w).as("c"), avg("v").over(w).as("a"))
+        .collect().map(rowOf).filter(_._2 < cutoff).toSet
+      assert(got == want && want.size == 5, s"multi-agg stream $got != batch $want")
+    } finally {
+      q.stop()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
+  test("mismatched window specs across OVER items are rejected loudly") {
+    val (src, sink) = (s"ovr_src_mm_$h", s"ovr_sink_mm_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    try {
+      // differing frames -> matches() is false -> falls through to
+      // spark.sql -> Spark's own streaming planner rejects the window
+      val e = intercept[Exception] {
+        val q = Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO $sink
+          SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s,
+                 SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2
+          FROM $src""",
+          java.nio.file.Files.createTempDirectory("graft-over-mm").toString)
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e.getMessage != null)
+    } finally {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    }
+  }
+
   test("unsupported shapes are rejected loudly") {
     val (src, sink) = (s"ovr_src_rej_$h", s"ovr_sink_rej_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
