@@ -87,4 +87,57 @@ class StateReaderSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("offline read of transformWithState variables by name") {
+    // the TWS ports' point-write state layout stays inspectable — each
+    // named state variable reads back through the `statestore` source's
+    // stateVarName option (State Processor API parity for the Spark 4
+    // state shape the migration landed on)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ValueState: DedupTws's per-key best (ts, payload)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-read").toString
+      val in = MemoryStream[(Long, Long, String)]
+      val q = graft.streaming.DedupTws.keepLastByKey(in.toDS())
+        .toDF("k", "t", "p").writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").format("memory").queryName("tws_sr_out").start()
+      in.addData((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
+      q.processAllAvailable(); q.stop()
+      val best = spark.read.format("statestore")
+        .option("stateVarName", "best").load(ckpt)
+        .selectExpr("key.value", "value._1", "value._2")
+        .as[(Long, Long, String)].collect().toSet
+      assert(best == Set((1L, 20L, "b"), (2L, 5L, "x")), s"best state: $best")
+
+      // ListState: CepTws's pending element queue, one row per entry
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-tws-read2").toString
+      val in2 = MemoryStream[(Long, Long, Long, Long)]
+      val q2 = graft.cep.CepTws.matchStream(in2.toDS(),
+          graft.cep.Cep.Pattern.linear(2, 0L), "1000 seconds")
+        .toDF("k", "m").writeStream
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append").format("memory").queryName("tws_sr_out2").start()
+      // huge delay keeps both rows pending in the element queue
+      in2.addData((7L, 1000000L, 1L, 0L), (7L, 2000000L, 2L, 1L))
+      q2.processAllAvailable(); q2.stop()
+      val pending = spark.read.format("statestore")
+        .option("stateVarName", "pending")
+        .option("flattenCollectionTypes", "true").load(ckpt2)
+        .selectExpr("key.value", "list_element._1")
+        .as[(Long, Long)].collect().toSet
+      assert(pending == Set((7L, 1000000L), (7L, 2000000L)),
+        s"pending queue state: $pending")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
