@@ -67,6 +67,21 @@ object sqlfns {
   def jsonExists(j: Column, path: String): Column =
     get_json_object(j, path).isNotNull
 
+  /** SUM0 (BuiltInFunctionDefinitions SUM0): SUM that returns 0, not
+    * NULL, over an empty/all-NULL group — the planner's aggregate for
+    * COUNT-like rollups. */
+  def sum0(c: Column): Column = coalesce(sum(c), lit(0L))
+
+  /** JSON_STRING(value) — serialize any value to JSON text (Flink
+    * JSON_STRING; NULL in, NULL out). Scalars go through a one-field
+    * struct (to_json rejects bare scalars), then the `{"v":...}`
+    * wrapper is stripped; structs/arrays/maps serialize directly. */
+  def jsonString(c: Column): Column = {
+    val w = to_json(struct(c.as("v"))) // {"v":<json>}
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(w.substr(lit(6), length(w) - 6))
+  }
+
   /** IS_JSON predicate (BuiltInFunctionDefinitions IS_JSON): does the
     * string parse as JSON. Built on get_json_object's root extraction —
     * shares this dialect's lax caveat that the JSON literal `null` reads

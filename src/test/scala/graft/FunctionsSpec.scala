@@ -146,6 +146,17 @@ class FunctionsSpec extends AnyFunSuite {
       .select(isJson(col("o")), isJson(col("a")), isJson(col("s")), isJson(col("bad")))
       .head()
     assert(js.getBoolean(0) && js.getBoolean(1) && js.getBoolean(2) && !js.getBoolean(3))
+
+    // JSON_STRING: scalars quote/number correctly, structs nest, NULL in
+    // -> NULL out; SUM0 returns 0 over an all-NULL group
+    val base = Seq((1L, "x", Option.empty[Long])).toDF("n", "s", "none")
+    val jsr = base
+      .select(jsonString(col("n")), jsonString(col("s")),
+        jsonString(struct(col("n").as("a"))), jsonString(col("none")))
+      .head()
+    assert(jsr.getString(0) == "1" && jsr.getString(1) == "\"x\"" &&
+      jsr.getString(2) == """{"a":1}""" && jsr.isNullAt(3), jsr.toString)
+    assert(base.agg(sum0(col("none"))).head().getLong(0) == 0L)
   }
 
   test("expressions survive both codegen and interpreted paths") {
