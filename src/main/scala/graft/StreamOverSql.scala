@@ -64,12 +64,16 @@ object StreamOverSql {
   private val AliasRe = """(?is)^\s*(.+?)\s+AS\s+`?(\w+)`?\s*$""".r
 
   private final case class AggItem(fn: String, valueText: String,
-      pk: String, rowtime: String, frameText: String, alias: String)
+      pk: String, rowtime: String, frameText: String, aliasOpt: Option[String]) {
+    /** A single unaliased item keeps the historical `sum_over` name;
+      * multiple items disambiguate by position. */
+    def alias(idx: Int, total: Int): String = aliasOpt.getOrElse(
+      fn.toLowerCase + (if (total == 1) "_over" else s"_over$idx"))
+  }
 
-  private def parseOverItem(item: String, idx: Int): Option[AggItem] = item match {
+  private def parseOverItem(item: String): Option[AggItem] = item match {
     case OverItemRe(f, v, p, o, fr, al) =>
-      Some(AggItem(f.toUpperCase, v.trim, p, o, fr.trim,
-        Option(al).getOrElse(f.toLowerCase + s"_over$idx")))
+      Some(AggItem(f.toUpperCase, v.trim, p, o, fr.trim, Option(al)))
     case _ => None
   }
 
@@ -90,7 +94,7 @@ object StreamOverSql {
       val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
       val overs = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
       overs.nonEmpty && {
-        val parsed = overs.zipWithIndex.map { case (i, n) => parseOverItem(i, n) }
+        val parsed = overs.map(parseOverItem)
         parsed.forall(_.isDefined) && {
           val ps = parsed.flatten
           ps.forall(p => frameOk(p.frameText)) &&
@@ -114,13 +118,18 @@ object StreamOverSql {
           s"got: $select")
     }
     val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
-    val overTexts = items.filter(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
+    val isOver: Seq[Boolean] =
+      items.map(i => """(?is)\bOVER\b""".r.findFirstIn(i).isDefined)
+    val overTexts = items.zip(isOver).collect { case (i, true) => i }
     require(overTexts.nonEmpty, "no OVER item in streaming OVER statement")
-    val aggs = overTexts.zipWithIndex.map { case (i, n) =>
-      parseOverItem(i, n).getOrElse(throw new IllegalArgumentException(
+    val aggs = overTexts.map { i =>
+      parseOverItem(i).getOrElse(throw new IllegalArgumentException(
         "unsupported OVER item (need SUM|COUNT|AVG(expr) OVER (PARTITION " +
           s"BY col ORDER BY rowtime [ROWS|RANGE frame]) [AS alias]): $i"))
     }
+    val aliases = aggs.zipWithIndex.map { case (a, i) => a.alias(i, aggs.size) }
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate OVER output aliases: ${aliases.mkString(", ")}")
     require(aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct.size == 1,
       "every OVER item must share one identical window spec " +
         s"(got: ${aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct})")
@@ -164,49 +173,58 @@ object StreamOverSql {
     // slot assembly: SUM -> one coalesced value slot; COUNT -> one
     // indicator slot; AVG -> a (sum, non-null count) slot pair. NULL
     // inputs contribute zero everywhere — SQL's NULL-ignoring aggregates
-    // without killing the non-nullable encoder.
+    // without killing the non-nullable encoder. Slots DEDUP by
+    // (kind, expression): SUM(v) + COUNT(v) + AVG(v) share one value and
+    // one indicator slot — every buffered row in state carries the
+    // minimal vector.
+    def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
     val slotCols = Vector.newBuilder[Column]
     var nSlots = 0
+    val slotCache = scala.collection.mutable.Map.empty[(String, String), Int]
+    def slotOf(kind: String, txt: String)(c: => Column): Int =
+      slotCache.getOrElseUpdate((kind, txt),
+        { slotCols += c; nSlots += 1; nSlots - 1 })
+    def valueSlot(a: AggItem): Int = slotOf("val", norm(a.valueText))(
+      coalesce(expr(a.valueText).cast("double"), lit(0.0)))
+    def indicatorSlot(a: AggItem): Int =
+      if (a.valueText == "*") slotOf("star", "")(lit(1.0))
+      else slotOf("ind", norm(a.valueText))(
+        when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0))
     val aggSlots: Seq[(AggItem, Int, Int)] = aggs.map { a =>
-      def nextSlot(c: Column): Int = { slotCols += c; nSlots += 1; nSlots - 1 }
       a.fn match {
-        case "SUM" =>
-          (a, nextSlot(coalesce(expr(a.valueText).cast("double"), lit(0.0))), -1)
-        case "COUNT" =>
-          val c = if (a.valueText == "*") lit(1.0)
-            else when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0)
-          (a, nextSlot(c), -1)
-        case "AVG" =>
-          val s = nextSlot(coalesce(expr(a.valueText).cast("double"), lit(0.0)))
-          val c = nextSlot(when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0))
-          (a, s, c)
+        case "SUM" => (a, valueSlot(a), -1)
+        case "COUNT" => (a, indicatorSlot(a), -1)
+        case "AVG" => (a, valueSlot(a), indicatorSlot(a))
       }
     }
 
     // normalize non-aggregate items: each must be pk / rowtime / one of
     // the aggregated expressions, carrying its output alias. Output
-    // column order follows the select-item order, OVER items included.
-    // Insertion order matters: when an aggregated expression IS the
-    // partition or rowtime column (SUM(k) OVER (PARTITION BY k ...)),
-    // the later pk/rowtime entries win, so a projected `k` stays the key
-    // column, never the DOUBLE-cast aggregate input.
-    def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
+    // column order follows the select-item order, OVER items included
+    // (matched by POSITION, so textually identical items stay distinct).
+    // Mapping precedence: only SUM/AVG VALUE slots back a projected
+    // expression (COUNT's 0/1 indicator is not the value — an expression
+    // aggregated solely by COUNT cannot be projected); pk/rowtime
+    // entries are added last and win collisions, so a projected `k`
+    // stays the key column even when SUM(k) is among the aggregates.
     val valueSlotByText: Map[String, Int] =
-      aggSlots.map { case (a, s, _) => norm(a.valueText) -> s }
-        .reverse.toMap // first declaration wins
+      aggSlots.collect { case (a, s, _) if a.fn != "COUNT" =>
+        norm(a.valueText) -> s }.reverse.toMap // first declaration wins
     val known: Map[String, String] =
       valueSlotByText.map { case (txt, s) => txt -> s"v$s" } ++
         Map(norm(rowtime) -> "t", norm(pk) -> "k")
-    val overIdx: Map[String, Int] = overTexts.zipWithIndex.toMap
-    val outCols: Seq[(String, String)] = items.map {
-      case i if overIdx.contains(i) => (s"__agg${overIdx(i)}", aggs(overIdx(i)).alias)
-      case AliasRe(e, al) => (norm(e), al)
-      case e => (norm(e), e.trim.replace("`", ""))
+    var overPos = -1
+    val outCols: Seq[(String, String)] = items.zip(isOver).map {
+      case (_, true) =>
+        overPos += 1
+        (s"__agg$overPos", aliases(overPos))
+      case (AliasRe(e, al), _) => (norm(e), al)
+      case (e, _) => (norm(e), e.trim.replace("`", ""))
     }
     outCols.foreach { case (e, _) =>
       require(e.startsWith("__agg") || known.contains(e),
         s"streaming OVER select items must be the partition column, the " +
-          s"rowtime or an aggregated expression; got '$e'") }
+          s"rowtime or a SUM/AVG-aggregated expression; got '$e'") }
 
     // the rowtime column is selected UNCAST: the source's watermark (set
     // by WatermarkDdl.readStream) propagates through a plain alias but

@@ -60,9 +60,9 @@ object AltCepTws {
       (dataT.toList ++ cleanT.toList).minOption
       // t0 + 1, not t0: fMGWS event-time timeouts fire only when the
       // watermark strictly EXCEEDS the timestamp, while a TWS timer
-      // fires at equality — registering at t0 would release rows one
+      // fires at equality — the timer registers strictly AFTER the fMGWS timeout value (max(t0, wm+1) + 1, covering the watermark-clamped corner too) or rows would release one
       // watermark advance earlier than the original (timing parity)
-        .foreach(t0 => getHandle.registerTimer(math.max(t0 + 1, wm + 1)))
+        .foreach(t0 => getHandle.registerTimer(math.max(t0, wm + 1) + 1))
     }
 
     private def flush(key: Long, fresh: Seq[(Long, Long, Long)], wm: Long)

@@ -101,124 +101,57 @@ object StatefulOps {
   }
 
   /** Streaming OVER aggregation: event-time-ordered running sum per key
-    * (Flink RowTimeRowsUnboundedPrecedingFunction). Combines the
-    * event-time sort buffer with a running accumulator: rows are released
-    * in (time, payload) order once the watermark passes, each annotated
-    * with the running sum over everything released so far for the key. */
+    * (Flink RowTimeRowsUnboundedPrecedingFunction). Rows are released in
+    * watermark order, each annotated with the running sum over everything
+    * released so far for the key. The single-slot special case of
+    * [[overSumsByKey]] — semantic parity is by construction. */
   def runningSumByKey[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)])(
-      implicit e1: Encoder[(Seq[(Long, Double)], Double)],
-      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
+      implicit em: Encoder[(K, java.sql.Timestamp, Seq[Double])],
+      e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      ev: Encoder[(K, Long, Seq[Double], Seq[Double])],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    singleSlot(ds, OverFrame.Unbounded)
 
-    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
-        state: GroupState[(Seq[(Long, Double)], Double)])
-        : Iterator[(K, Long, Double, Double)] = {
-      val (buf0, acc0) = state.getOption.getOrElse((Seq.empty[(Long, Double)], 0.0))
-      val wm = state.getCurrentWatermarkMs()
-      // same late-data policy as eventTimeSort: a late row would corrupt the
-      // running accumulator for rows already released.
-      val buf = buf0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
-      val (ready, pending) = buf.partition(_._1 <= wm)
-      var acc = acc0
-      val out = ready.sortBy(_._1).map { case (t, v) =>
-        acc += v
-        (key, t, v, acc)
-      }
-      // The accumulator is PERMANENT state (Flink's unbounded-preceding
-      // function never drops it): an invocation that contributes nothing
-      // must not remove it. Reachable gap: Spark filters late input with
-      // the PREVIOUS batch's watermark but getCurrentWatermarkMs() is the
-      // eviction watermark, so a row between the two invokes the function
-      // and is dropped by the local filter — removing state here would
-      // silently restart the key's running sum from zero.
-      if (pending.isEmpty && out.isEmpty && state.getOption.isEmpty) ()
-      else {
-        state.update((pending, acc))
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
-      }
-      out.iterator
-    }
-
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
-  }
-
-  /** Streaming OVER with a bounded ROWS frame: each row released in
-    * event-time order is annotated with the aggregate over the last
-    * `nRows` rows (frame ROWS nRows-1 PRECEDING .. CURRENT ROW) of its
-    * key — Flink RowTimeRowsBoundedPrecedingFunction.java:56. State: the
-    * watermark-pending buffer plus an eviction deque of the last nRows
-    * released (t, v) pairs, so state is O(pending + nRows) per key.
-    * Late rows (t <= watermark at ingest) are dropped. */
+  /** Streaming OVER with a bounded ROWS frame: each released row is
+    * annotated with the aggregate over the last `nRows` rows (frame ROWS
+    * nRows-1 PRECEDING .. CURRENT ROW) of its key — Flink
+    * RowTimeRowsBoundedPrecedingFunction.java:56. State is
+    * O(pending + nRows) per key; [[overSumsByKey]]'s Rows case. */
   def rowsBoundedSumByKey[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)], nRows: Int)(
-      implicit e1: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
-      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
-
-    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
-        state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])])
-        : Iterator[(K, Long, Double, Double)] = {
-      val (pending0, frame0) = state.getOption.getOrElse(
-        (Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
-      val wm = state.getCurrentWatermarkMs()
-      val buf = pending0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
-      val (ready, pending) = buf.partition(_._1 <= wm)
-      var frame = frame0
-      val out = ready.sortBy(identity).map { case (t, v) =>
-        frame = (frame :+ ((t, v))).takeRight(nRows)
-        (key, t, v, frame.map(_._2).sum)
-      }
-      if (pending.isEmpty && out.isEmpty && pending0.isEmpty && frame0.isEmpty) {
-        state.remove()
-      } else {
-        state.update((pending, frame))
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
-      }
-      out.iterator
-    }
-
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
-  }
+      implicit em: Encoder[(K, java.sql.Timestamp, Seq[Double])],
+      e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      ev: Encoder[(K, Long, Seq[Double], Seq[Double])],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    singleSlot(ds, OverFrame.Rows(nRows))
 
   /** Streaming OVER with a bounded RANGE frame: each released row is
-    * annotated with the aggregate over rows of its key with
-    * t in [cur - rangeMs, cur] (frame RANGE rangeMs PRECEDING .. CURRENT
-    * ROW) — Flink RowTimeRangeBoundedPrecedingFunction.java. Rows older
-    * than the range evict from the retained frame as newer rows release,
-    * so state is O(pending + rows-inside-range) per key. */
+    * annotated with the aggregate over rows of its key with t in
+    * [cur - rangeMs, cur] — Flink RowTimeRangeBoundedPrecedingFunction
+    * .java. State is O(pending + rows-inside-range) per key;
+    * [[overSumsByKey]]'s Range case. */
   def rangeBoundedSumByKey[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)], rangeMs: Long)(
-      implicit e1: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
+      implicit em: Encoder[(K, java.sql.Timestamp, Seq[Double])],
+      e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      ev: Encoder[(K, Long, Seq[Double], Seq[Double])],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    singleSlot(ds, OverFrame.Range(rangeMs))
+
+  private def singleSlot[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)], frame: OverFrame)(
+      implicit em: Encoder[(K, java.sql.Timestamp, Seq[Double])],
+      e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      ev: Encoder[(K, Long, Seq[Double], Seq[Double])],
       e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
-
-    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
-        state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])])
-        : Iterator[(K, Long, Double, Double)] = {
-      val (pending0, frame0) = state.getOption.getOrElse(
-        (Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
-      val wm = state.getCurrentWatermarkMs()
-      val buf = pending0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
-      val (ready, pending) = buf.partition(_._1 <= wm)
-      var frame = frame0
-      val out = ready.sortBy(identity).map { case (t, v) =>
-        frame = (frame :+ ((t, v))).filter(_._1 >= t - rangeMs)
-        (key, t, v, frame.map(_._2).sum)
-      }
-      if (pending.isEmpty && out.isEmpty && pending0.isEmpty && frame0.isEmpty) {
-        state.remove()
-      } else {
-        state.update((pending, frame))
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
-      }
-      out.iterator
-    }
-
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+    import org.apache.spark.sql.functions._
+    // COLUMN ops, not a typed map: map() drops the caller's watermark
+    // designation and the stateful operator's event-time timeout needs it
+    val vec = ds.toDF("k", "t", "v")
+      .select(col("k"), col("t"), array(col("v")).as("vs"))
+      .as[(K, java.sql.Timestamp, Seq[Double])]
+    overSumsByKey(vec, frame).map(r => (r._1, r._2, r._3.head, r._4.head))
   }
 
   /** OVER frame shapes shared by [[overSumsByKey]] and the SQL lowering
@@ -262,7 +195,25 @@ object StatefulOps {
       val (ready, pending) = buf.partition(_._1 <= wm)
       var acc = acc0
       var frm = frame0
-      val out = ready.sortBy(_._1).map { case (t, v) =>
+      // tie order at equal timestamps: the bounded frames process in
+      // (t, vector) order — deterministic under any shuffle/retry, and
+      // the single-slot (t, v) order the pre-fusion operators had; the
+      // unbounded frame keeps arrival order (its historical contract —
+      // only transient prefix sums differ on ties, the totals don't)
+      val ordered = frame match {
+        case OverFrame.Unbounded => ready.sortBy(_._1)
+        case _ => ready.sortWith { (a, b) =>
+          if (a._1 != b._1) a._1 < b._1
+          else {
+            val (x, y) = (a._2, b._2)
+            var i = 0
+            while (i < x.length && i < y.length && x(i) == y(i)) i += 1
+            if (i < x.length && i < y.length) x(i) < y(i)
+            else x.length < y.length
+          }
+        }
+      }
+      val out = ordered.map { case (t, v) =>
         val sums = frame match {
           case OverFrame.Unbounded => acc = plus(acc, v); acc
           case OverFrame.Rows(n) =>

@@ -47,9 +47,9 @@ object StatefulTws {
     h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
       // t + 1, not t: fMGWS event-time timeouts fire only when the
       // watermark strictly EXCEEDS the timestamp, while a TWS timer
-      // fires at equality — registering at t would release rows one
+      // fires at equality — the timer registers strictly AFTER the fMGWS timeout value (max(t, wm+1) + 1, covering the watermark-clamped corner too) or rows would release one
       // watermark advance earlier than the original (timing parity)
-    at.foreach(t => h.registerTimer(math.max(t + 1, wm + 1)))
+    at.foreach(t => h.registerTimer(math.max(t, wm + 1) + 1))
   }
 
   // ---- event-time sort -------------------------------------------------

@@ -50,15 +50,15 @@ object TemporalJoinTws {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       val pendingMin = if (minFact.exists()) Some(minFact.get()) else None
       pendingMin match {
-        // m + 1, not m: fMGWS event-time timeouts fire only when the
-        // watermark strictly EXCEEDS the timestamp, while a TWS timer
-        // fires at equality — registering at m would release a fact the
-        // original holds one watermark advance longer (drop-in timing
-        // parity, pinned by the edge-script spec)
-        case Some(m) => getHandle.registerTimer(math.max(m + 1, wm + 1))
+        // max(m, wm+1) + 1, not max(m, wm+1): fMGWS event-time timeouts
+        // fire only when the watermark strictly EXCEEDS the timeout
+        // value, while a TWS timer fires at equality — registering
+        // strictly after (clamped corner included) keeps the release
+        // batch identical (drop-in timing parity, edge-script spec)
+        case Some(m) => getHandle.registerTimer(math.max(m, wm + 1) + 1)
         case None =>
           if (maxIdleMs > 0 && lastTouch.exists())
-            getHandle.registerTimer(math.max(lastTouch.get() + maxIdleMs + 1, wm + 1))
+            getHandle.registerTimer(math.max(lastTouch.get() + maxIdleMs + 1, wm + 1) + 1)
       }
     }
 

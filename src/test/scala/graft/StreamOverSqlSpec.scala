@@ -39,21 +39,24 @@ class StreamOverSqlSpec extends AnyFunSuite {
         (1, 2.5,  TIMESTAMP '2024-01-01 00:00:05'),
         (1, 5000.0, TIMESTAMP '2024-01-01 00:00:06'),
         (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
-      q.processAllAvailable()
+      // twice: the watermark computed at batch end only takes effect in
+      // the NEXT (possibly no-data) batch, and processAllAvailable can
+      // return between the two — the second call closes that race
+      q.processAllAvailable(); q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (1, 4.0,  TIMESTAMP '2024-01-01 00:01:30'),
         (2, 1.0,  TIMESTAMP '2024-01-01 00:01:40')""")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
       // two watermark-advancing batches (in-WHERE rows): the first makes
       // the real rows releasable, the second triggers their release; the
       // final clock row itself can never release, so both sides compare
       // below the cutoff
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (7, 0.0, TIMESTAMP '2024-01-01 01:00:00')""")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (7, 0.0, TIMESTAMP '2024-01-01 02:00:00')""")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
 
       val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
       val got = spark.table(sink)
@@ -118,14 +121,14 @@ class StreamOverSqlSpec extends AnyFunSuite {
         (1, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 00:00:02'),
         (1, 2.0,  TIMESTAMP '2024-01-01 00:00:05'),
         (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (1, 4.0, TIMESTAMP '2024-01-01 00:01:30')""")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.0, TIMESTAMP '2024-01-01 01:00:00')")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.0, TIMESTAMP '2024-01-01 02:00:00')")
-      q.processAllAvailable()
+      q.processAllAvailable(); q.processAllAvailable()
 
       val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
       def rowOf(r: org.apache.spark.sql.Row) =
@@ -190,6 +193,24 @@ class StreamOverSqlSpec extends AnyFunSuite {
           java.nio.file.Files.createTempDirectory("graft-over-rej").toString)
       }
       assert(e1.getMessage.contains("WATERMARK column"))
+      // COUNT's 0/1 indicator slot is NOT the value: an expression
+      // aggregated only by COUNT cannot be projected as data
+      val eCnt = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO $sink
+          SELECT k, v, COUNT(v) OVER (PARTITION BY k ORDER BY ts) AS c FROM $src""",
+          java.nio.file.Files.createTempDirectory("graft-over-rejc").toString)
+      }
+      assert(eCnt.getMessage.contains("SUM/AVG-aggregated"))
+      // explicit duplicate aliases would collide in the sink
+      val eDup = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO $sink
+          SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS a,
+                 COUNT(v) OVER (PARTITION BY k ORDER BY ts) AS a FROM $src""",
+          java.nio.file.Files.createTempDirectory("graft-over-rejd").toString)
+      }
+      assert(eDup.getMessage.contains("duplicate OVER output aliases"))
       // arbitrary extra select items are out of the supported shape
       val e2 = intercept[IllegalArgumentException] {
         Engine.sqlStreamInsert(spark, s"""
