@@ -20,9 +20,15 @@ class StreamOverSqlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    // 5-MINUTE delay, not seconds: the file source can pick up a
+    // multi-file INSERT across TWO micro-batches (the query polls while
+    // the write is in flight), and with a tight delay the first file's
+    // max ts would mark the second file's earlier rows late. The slack
+    // makes any intra-insert split harmless; release still comes from
+    // the 01:00/02:00 clock rows, which sit > delay past the cutoff.
     Engine.sql(spark, s"""
       CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+        WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
     Engine.sql(spark,
       s"CREATE TABLE $sink (k BIGINT, ts TIMESTAMP, v DOUBLE, agg DOUBLE) USING parquet")
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-over-$tag").toString
@@ -100,9 +106,10 @@ class StreamOverSqlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    // same 5-minute slack as runOne: immune to intra-insert batch splits
     Engine.sql(spark, s"""
       CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+        WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
     Engine.sql(spark, s"""CREATE TABLE $sink
       (k BIGINT, ts TIMESTAMP, s DOUBLE, c BIGINT, a DOUBLE) USING parquet""")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-over-multi").toString
