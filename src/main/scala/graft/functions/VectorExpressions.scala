@@ -370,5 +370,31 @@ object GraftFunctions {
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
       }), "built-in")
+    // SIMILAR TO: translate the SQL:2016 dialect once at plan time, then
+    // run through the codegen'd RLIKE path. Pattern (and optional escape)
+    // must be string literals — same restriction Spark's own `str RLIKE
+    // pattern` codegen fast path assumes.
+    reg.createOrReplaceTempFunction("graft_similar",
+      es => {
+        def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): String = e.eval(null) match {
+          case s: UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"graft_similar: $what must be a string literal, got $other")
+        }
+        val pat = strLit(es(1), "pattern")
+        val esc: Option[Char] =
+          if (es.length > 2) {
+            val s = strLit(es(2), "escape")
+            if (s.length != 1) throw new IllegalArgumentException(
+              s"graft_similar: escape must be a single character, got '$s'")
+            Some(s.charAt(0))
+          } else Some('\\')
+        org.apache.spark.sql.catalyst.expressions.RLike(
+          es(0),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            UTF8String.fromString(Similar.toAnchoredRegex(pat, esc))))
+      }, "built-in")
   }
 }

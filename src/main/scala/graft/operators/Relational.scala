@@ -719,6 +719,49 @@ object Relational extends QueryModule {
         |            % ${graft.functions.MinHashParams.M61} % 100 AS BIGINT) AS rnd
         |FROM orders WHERE o_orderkey < 200
         |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
+      // SIMILAR TO (BuiltInFunctionDefinitions SIMILAR; runtime
+      // flink-table-runtime SqlLikeUtils.similar) — the SQL:2016 dialect
+      // translated to an anchored Java regex at plan time (Similar.scala),
+      // closing the last translated-dialect gap in FUNCTIONS.md. The
+      // oracle recomputes each pattern as a HAND-derived RE2 regex under
+      // DuckDB regexp_full_match (DuckDB's own SIMILAR TO is raw regex,
+      // NOT the SQL dialect — probing it: 'abc' SIMILAR TO 'a%' is false
+      // there). sim_dot is the discriminating case: in the dialect '.' is
+      // a literal, so 'Customer.%' matches nothing, where a raw regex
+      // would match every row.
+      "q129_similar_to",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Similar.similarTo
+        Tables.customer(s, d).filter($"c_custkey" < 2000)
+          .select($"c_custkey",
+            similarTo($"c_mktsegment", "%(MACH|AUTO)%").cast("long").as("sim_contains"),
+            similarTo($"c_mktsegment", "_U%").cast("long").as("sim_wild"),
+            similarTo($"c_name", "Customer#[[:DIGIT:]]+").cast("long").as("sim_class"),
+            similarTo($"c_mktsegment", "(BUILDING|HOUSEHOLD)").cast("long").as("sim_alt"),
+            similarTo($"c_name", "Customer#0{4,9}1%").cast("long").as("sim_rep"),
+            similarTo($"c_mktsegment", "M%Y").cast("long").as("sim_span"),
+            similarTo($"c_name", "Customer.%").cast("long").as("sim_dot"),
+            similarTo($"c_name", "%\\_%").cast("long").as("sim_esc"),
+            similarTo($"c_mktsegment", "[^AB]%E").cast("long").as("sim_negcls"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        |SELECT c_custkey,
+        |       CAST(regexp_full_match(c_mktsegment, '.*(MACH|AUTO).*') AS BIGINT) AS sim_contains,
+        |       CAST(regexp_full_match(c_mktsegment, '.U.*') AS BIGINT) AS sim_wild,
+        |       CAST(regexp_full_match(c_name, 'Customer#[0-9]+') AS BIGINT) AS sim_class,
+        |       CAST(regexp_full_match(c_mktsegment, '(BUILDING|HOUSEHOLD)') AS BIGINT) AS sim_alt,
+        |       CAST(regexp_full_match(c_name, 'Customer#0{4,9}1.*') AS BIGINT) AS sim_rep,
+        |       CAST(regexp_full_match(c_mktsegment, 'M.*Y') AS BIGINT) AS sim_span,
+        |       CAST(regexp_full_match(c_name, 'Customer\..*') AS BIGINT) AS sim_dot,
+        |       CAST(regexp_full_match(c_name, '.*_.*') AS BIGINT) AS sim_esc,
+        |       CAST(regexp_full_match(c_mktsegment, '[^AB].*E') AS BIGINT) AS sim_negcls
+        |FROM customer WHERE c_custkey < 2000
+        |ORDER BY c_custkey
         |""".stripMargin))
   )
 }

@@ -159,6 +159,60 @@ class FunctionsSpec extends AnyFunSuite {
     assert(base.agg(sum0(col("none"))).head().getLong(0) == 0L)
   }
 
+  test("SIMILAR TO dialect translation") {
+    import Similar.toRegex
+    // wildcards + pass-through regex operators
+    assert(toRegex("a%c") == "a.*c")
+    assert(toRegex("a_c") == "a.c")
+    assert(toRegex("(a|b)+c?") == "(a|b)+c?")
+    assert(toRegex("a{2,3}[b-z]") == "a{2,3}[b-z]")
+    // dialect literals that are regex metachars
+    assert(toRegex("a.c") == "a\\.c")
+    assert(toRegex("a$^c") == "a\\$\\^c")
+    // escape quotes specials only; the escape char can be rebound
+    assert(toRegex("a\\%c") == "a%c")
+    assert(toRegex("a\\_c") == "a_c")
+    assert(toRegex("a\\[c", Some('\\')) == "a\\[c")
+    assert(toRegex("a#%c", Some('#')) == "a%c")
+    assert(toRegex("a\\c", Some('#')) == "a\\\\c") // bare backslash is ordinary
+    // named character classes, standalone and bracketed
+    assert(toRegex("[:DIGIT:]+") == "\\d+")
+    assert(toRegex("x[[:ALPHA:]0-9]") == "x[\\p{Alpha}0-9]")
+    assert(toRegex("[^ab]%") == "[^ab].*")
+    intercept[IllegalArgumentException](toRegex("a\\zc"))
+    intercept[IllegalArgumentException](toRegex("a\\"))
+    intercept[IllegalArgumentException](toRegex("[abc"))
+    intercept[IllegalArgumentException](toRegex("[:NOPE:]"))
+    intercept[IllegalArgumentException](toRegex("ab]"))
+  }
+
+  test("SIMILAR TO behavior matches the SQL standard cases") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import Similar.similarTo
+    // the PostgreSQL-doc canon: 'abc' SIMILAR TO 'abc' t, 'a' f,
+    // '%(b|d)%' t, '(b|c)%' f; plus full-match anchoring and literal dot
+    val df = Seq("abc").toDF("s")
+    def one(p: String): Boolean =
+      df.select(similarTo(col("s"), p)).as[Boolean].head()
+    assert(one("abc"))
+    assert(!one("a"))
+    assert(one("%(b|d)%"))
+    assert(!one("(b|c)%"))
+    assert(!one("ab")) // whole-string match, not prefix
+    assert(!one("a.c")) // '.' is literal in the dialect
+    assert(one("a_c"))
+    assert(one("[:LOWER:]{3}"))
+    // SQL-text route + null propagation + ESCAPE rebinding
+    val r = spark.sql(
+      "SELECT graft_similar('abc', 'a%'), graft_similar(CAST(NULL AS STRING), 'a%'), " +
+        "graft_similar('a%c', 'a#%c', '#')").head()
+    assert(r.getBoolean(0) && r.isNullAt(1) && r.getBoolean(2))
+    // trailing newline must not fake an anchored match
+    assert(!Seq("abc\n").toDF("s").select(similarTo(col("s"), "abc"))
+      .as[Boolean].head())
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._
