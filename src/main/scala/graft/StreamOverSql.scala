@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   * rowtime, or one of the aggregated expressions (projected as DOUBLE —
   * the aggregate's input representation). The ORDER BY column must be
   * the table's declared WATERMARK attribute. Rows are released in
-  * watermark order; ties in rowtime are processed row-at-a-time (ROWS
-  * semantics) — an explicit RANGE frame over distinct rowtimes is exact,
-  * Flink's RANGE peer-sharing on tied rowtimes is not reproduced.
+  * watermark order. Tied rowtimes follow the standard: under a RANGE
+  * frame — explicit, or the implicit default when no frame clause is
+  * written — tied rows are PEERS and share one aggregate value (Flink's
+  * RowTimeRange*Function semantics, and what the same text computes in
+  * batch); under a ROWS frame they are processed row-at-a-time in
+  * deterministic (t, values) order.
   *
   * NULL semantics: SUM/AVG/COUNT(expr) ignore NULL inputs (a NULL
   * contributes zero to the sum slot and zero to the count slot; AVG of a
@@ -59,7 +62,7 @@ object StreamOverSql {
     ("""(?is)^\s*RANGE\s+BETWEEN\s+INTERVAL\s+'(\d+)'\s+""" +
       """(SECOND|MINUTE|HOUR|DAY)S?\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$""").r
   private val UnboundedFrameRe =
-    ("""(?is)^\s*(?:(?:ROWS|RANGE)\s+(?:BETWEEN\s+UNBOUNDED\s+PRECEDING\s+""" +
+    ("""(?is)^\s*(?:(ROWS|RANGE)\s+(?:BETWEEN\s+UNBOUNDED\s+PRECEDING\s+""" +
       """AND\s+CURRENT\s+ROW|UNBOUNDED\s+PRECEDING))?\s*$""").r
   private val AliasRe = """(?is)^\s*(.+?)\s+AS\s+`?(\w+)`?\s*$""".r
 
@@ -136,7 +139,11 @@ object StreamOverSql {
     val pk = aggs.head.pk
     val rowtime = aggs.head.rowtime
     val frame: OverFrame = aggs.head.frameText match {
-      case UnboundedFrameRe() => OverFrame.Unbounded
+      // no frame clause = the SQL default, RANGE UNBOUNDED PRECEDING —
+      // peer-sharing semantics, same as batch spark.sql / DuckDB
+      case UnboundedFrameRe(kw) =>
+        if (kw != null && kw.equalsIgnoreCase("ROWS")) OverFrame.Unbounded
+        else OverFrame.UnboundedRange
       case RowsFrameRe(n) => OverFrame.Rows(n.toInt + 1)
       case RangeFrameRe(n, unit) =>
         OverFrame.Range(n.toLong * (unit.toUpperCase match {

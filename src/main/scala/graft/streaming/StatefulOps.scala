@@ -129,8 +129,9 @@ object StatefulOps {
   /** Streaming OVER with a bounded RANGE frame: each released row is
     * annotated with the aggregate over rows of its key with t in
     * [cur - rangeMs, cur] — Flink RowTimeRangeBoundedPrecedingFunction
-    * .java. State is O(pending + rows-inside-range) per key;
-    * [[overSumsByKey]]'s Range case. */
+    * .java. Rows sharing a rowtime are SQL peers and share one aggregate
+    * value (see [[overSumsByKey]]). State is O(pending +
+    * rows-inside-range) per key; [[overSumsByKey]]'s Range case. */
   def rangeBoundedSumByKey[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)], rangeMs: Long)(
       implicit em: Encoder[(K, java.sql.Timestamp, Seq[Double])],
@@ -138,6 +139,19 @@ object StatefulOps {
       ev: Encoder[(K, Long, Seq[Double], Seq[Double])],
       e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
     singleSlot(ds, OverFrame.Range(rangeMs))
+
+  /** Streaming OVER, unbounded RANGE frame (SQL's DEFAULT frame for an
+    * ORDER BY without an explicit frame): the running sum where rows
+    * sharing a rowtime are peers and read the same value — Flink
+    * RowTimeRangeUnboundedPrecedingFunction.java, vs the row-at-a-time
+    * [[runningSumByKey]] (its ROWS sibling). */
+  def rangeRunningSumByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)])(
+      implicit em: Encoder[(K, java.sql.Timestamp, Seq[Double])],
+      e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      ev: Encoder[(K, Long, Seq[Double], Seq[Double])],
+      e2: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    singleSlot(ds, OverFrame.UnboundedRange)
 
   private def singleSlot[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Double)], frame: OverFrame)(
@@ -159,9 +173,12 @@ object StatefulOps {
     * Preceding family as one parameter. */
   sealed trait OverFrame extends Serializable
   object OverFrame {
+    /** Unbounded ROWS frame — row-at-a-time running aggregate. */
     case object Unbounded extends OverFrame
     final case class Rows(n: Int) extends OverFrame
     final case class Range(ms: Long) extends OverFrame
+    /** Unbounded RANGE frame — SQL's default; tied rowtimes share. */
+    case object UnboundedRange extends OverFrame
   }
 
   /** Generalized streaming OVER: each row, released in event-time order,
@@ -183,6 +200,19 @@ object StatefulOps {
       if (a.isEmpty) b else a.lazyZip(b).map(_ + _).toSeq
     def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
       rows.foldLeft(Seq.empty[Double])((acc, r) => plus(acc, r._2))
+    // consecutive-equal-timestamp runs of an already-time-sorted seq
+    def groupByTime(rows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Seq[Double]])] = {
+      val out = Seq.newBuilder[(Long, Seq[Seq[Double]])]
+      var i = 0
+      while (i < rows.length) {
+        val t = rows(i)._1
+        var j = i
+        while (j < rows.length && rows(j)._1 == t) j += 1
+        out += ((t, rows.slice(i, j).map(_._2)))
+        i = j
+      }
+      out.result()
+    }
 
     def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Seq[Double])],
         state: GroupState[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])])
@@ -198,8 +228,8 @@ object StatefulOps {
       // tie order at equal timestamps: the bounded frames process in
       // (t, vector) order — deterministic under any shuffle/retry, and
       // the single-slot (t, v) order the pre-fusion operators had; the
-      // unbounded frame keeps arrival order (its historical contract —
-      // only transient prefix sums differ on ties, the totals don't)
+      // unbounded ROWS frame keeps arrival order (its historical contract
+      // — only transient prefix sums differ on ties, the totals don't)
       val ordered = frame match {
         case OverFrame.Unbounded => ready.sortBy(_._1)
         case _ => ready.sortWith { (a, b) =>
@@ -213,21 +243,44 @@ object StatefulOps {
           }
         }
       }
-      val out = ordered.map { case (t, v) =>
-        val sums = frame match {
-          case OverFrame.Unbounded => acc = plus(acc, v); acc
-          case OverFrame.Rows(n) =>
-            frm = (frm :+ ((t, v))).takeRight(n); sumOf(frm)
-          case OverFrame.Range(ms) =>
-            frm = (frm :+ ((t, v))).filter(_._1 >= t - ms); sumOf(frm)
-        }
-        (key, t, v, sums)
+      // RANGE frames: rows sharing a rowtime are SQL PEERS — the frame's
+      // upper bound is the current row's TIME, so every peer's frame
+      // contains all of them and they read ONE shared aggregate (Flink's
+      // RowTimeRange{Bounded,Unbounded}PrecedingFunction fires one timer
+      // per timestamp and emits the same accumulator to the whole list).
+      // Peer groups cannot split across micro-batches: all non-late rows
+      // at a timestamp release in the batch where the watermark crossed
+      // it, and a same-t row arriving after that is late and dropped.
+      val out = frame match {
+        case OverFrame.Unbounded | OverFrame.Rows(_) =>
+          ordered.map { case (t, v) =>
+            val sums = frame match {
+              case OverFrame.Unbounded => acc = plus(acc, v); acc
+              case OverFrame.Rows(n) =>
+                frm = (frm :+ ((t, v))).takeRight(n); sumOf(frm)
+              case _ => throw new IllegalStateException("unreachable")
+            }
+            (key, t, v, sums)
+          }
+        case _ =>
+          groupByTime(ordered).flatMap { case (t, peers) =>
+            val sums = frame match {
+              case OverFrame.Range(ms) =>
+                frm = (frm ++ peers.map(v => (t, v))).filter(_._1 >= t - ms)
+                sumOf(frm)
+              case OverFrame.UnboundedRange =>
+                acc = peers.foldLeft(acc)(plus); acc
+              case _ => throw new IllegalStateException("unreachable")
+            }
+            peers.map(v => (key, t, v, sums))
+          }
       }
-      // the unbounded accumulator is PERMANENT state (the
+      // the unbounded accumulators are PERMANENT state (the
       // runningSumByKey contract and Flink's unbounded-preceding
-      // function): a contributing-nothing invocation must not reset it
+      // functions): a contributing-nothing invocation must not reset them
       val removable = frame match {
-        case OverFrame.Unbounded => state.getOption.isEmpty
+        case OverFrame.Unbounded | OverFrame.UnboundedRange =>
+          state.getOption.isEmpty
         case _ => pending0.isEmpty && frame0.isEmpty
       }
       if (pending.isEmpty && out.isEmpty && removable) {

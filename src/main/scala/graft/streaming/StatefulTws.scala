@@ -40,6 +40,22 @@ object StatefulTws {
   private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
   private val eNum = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
+  /** Consecutive-equal-timestamp runs of an already-(t, v)-sorted seq —
+    * the RANGE frames' peer groups (complete by the watermark-release
+    * argument in StatefulOps.overSumsByKey). */
+  private def groupPeers(rows: Seq[(Long, Double)]): Seq[(Long, Seq[Double])] = {
+    val out = Seq.newBuilder[(Long, Seq[Double])]
+    var i = 0
+    while (i < rows.length) {
+      val t = rows(i)._1
+      var j = i
+      while (j < rows.length && rows(j)._1 == t) j += 1
+      out += ((t, rows.slice(i, j).map(_._2)))
+      i = j
+    }
+    out.result()
+  }
+
   /** Single-timer discipline shared by the event-time processors: drop
     * whatever is armed and re-register at `at` (clamped above the
     * watermark, the same clamp the fMGWS originals apply). */
@@ -163,6 +179,68 @@ object StatefulTws {
     ds.groupByKey(_._1)
       .transformWithState(new RunningSumProc[K], TimeMode.EventTime(), OutputMode.Append(), eo)
 
+  // ---- streaming OVER: unbounded RANGE frame (peer-sharing) ------------
+
+  private class RangeRunningSumProc[K]
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Double), (K, Long, Double, Double)] {
+
+    @transient private var pending: ListState[(Long, Double)] = _
+    @transient private var acc: ValueState[Double] = _
+    @transient private var minPending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
+      acc = getHandle.getValueState("acc", Encoders.scalaDouble, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
+        : Iterator[(K, Long, Double, Double)] = {
+      val curMin = if (minPending.exists()) minPending.get() else Long.MaxValue
+      val newMin = fresh.iterator.map(_._1).foldLeft(curMin)(math.min)
+      if (newMin > wm) {
+        if (fresh.nonEmpty) { fresh.foreach(pending.appendValue); minPending.update(newMin) }
+        rearm(getHandle, if (newMin == Long.MaxValue) None else Some(newMin), wm)
+        Iterator.empty
+      } else {
+        val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
+        val (ready, still) = buf.partition(_._1 <= wm)
+        var a = if (acc.exists()) acc.get() else 0.0
+        // SQL's default frame: tied rowtimes are peers reading one value
+        // (RowTimeRangeUnboundedPrecedingFunction's per-timestamp emit)
+        val out = groupPeers(ready.sortBy(identity)).flatMap { case (t, vs) =>
+          a += vs.sum
+          vs.map(v => (key, t, v, a))
+        }
+        acc.update(a)
+        if (still.isEmpty) { pending.clear(); minPending.clear(); rearm(getHandle, None, wm) }
+        else {
+          val m = still.iterator.map(_._1).min
+          pending.put(still.toArray); minPending.update(m)
+          rearm(getHandle, Some(m), wm)
+        }
+        out.iterator
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+        tv: TimerValues): Iterator[(K, Long, Double, Double)] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      flush(key, rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm).toSeq, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Long, Double, Double)] =
+      flush(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Drop-in swap for `StatefulOps.rangeRunningSumByKey` (the SQL default
+    * frame, RANGE UNBOUNDED PRECEDING — tied rowtimes share). */
+  def rangeRunningSumByKey[K: Encoder](ds: Dataset[(K, java.sql.Timestamp, Double)])(
+      implicit eo: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new RangeRunningSumProc[K], TimeMode.EventTime(), OutputMode.Append(), eo)
+
   // ---- streaming OVER: bounded ROWS frame ------------------------------
 
   private class RowsBoundedProc[K](nRows: Int)
@@ -256,9 +334,12 @@ object StatefulTws {
         val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
         val (ready, still) = buf.partition(_._1 <= wm)
         var fr = if (frame.exists()) frame.get().toSeq else Seq.empty
-        val out = ready.sortBy(identity).map { case (t, v) =>
-          fr = (fr :+ ((t, v))).filter(_._1 >= t - rangeMs)
-          (key, t, v, fr.map(_._2).sum)
+        // tied rowtimes are SQL peers: one shared aggregate per timestamp
+        // (RowTimeRangeBoundedPrecedingFunction's per-timer list emit)
+        val out = groupPeers(ready.sortBy(identity)).flatMap { case (t, vs) =>
+          fr = (fr ++ vs.map(v => (t, v))).filter(_._1 >= t - rangeMs)
+          val s = fr.map(_._2).sum
+          vs.map(v => (key, t, v, s))
         }
         if (out.nonEmpty) frame.put(fr.toArray)
         if (still.isEmpty) {

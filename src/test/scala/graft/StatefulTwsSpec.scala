@@ -140,7 +140,8 @@ class StatefulTwsSpec extends AnyFunSuite {
     val q = out.toDF("k", "t", "v", "frame_sum").writeStream
       .outputMode("append").format("memory").queryName(sink).start()
     try {
-      in.addData((1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(32), 3.0), (1L, ts(45), 4.0))
+      in.addData((1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(32), 3.0),
+        (1L, ts(32), 2.5), (1L, ts(45), 4.0)) // tie at t=32: SQL peers
       q.processAllAvailable()
       in.addData((1L, ts(100), 5.0)) // releases 10..45 (wm=90)
       q.processAllAvailable()
@@ -154,8 +155,53 @@ class StatefulTwsSpec extends AnyFunSuite {
     val ref = runRangeBounded(useTws = false, "twss_rg_ref")
     val tws = withRocksDB { runRangeBounded(useTws = true, "twss_rg_new") }
     assert(tws == ref, s"tws=$tws ref=$ref")
-    // RANGE 15s: 1; 1+2; 2+3 (10 evicted); 3+4 (20 evicted); 5 alone
-    assert(ref.map(_._4) == Seq(1.0, 3.0, 5.0, 7.0, 5.0))
+    // RANGE 15s: 1; 1+2; the t=32 PEERS both read 2+2.5+3 (10 evicted);
+    // 2.5+3+4 at 45 (20 evicted); 5 alone — tied rowtimes share one value
+    assert(ref.map(_._4) == Seq(1.0, 3.0, 7.5, 7.5, 9.5, 5.0))
+    // batch cross-check: Spark's own RANGE frame has the same peer rule
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val batch = Seq((1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(32), 3.0),
+        (1L, ts(32), 2.5), (1L, ts(45), 4.0), (1L, ts(100), 5.0))
+      .toDF("k", "ts", "v")
+      .select(col("k"), (col("ts").cast("long") * 1000).as("t"), col("v"),
+        sum("v").over(Window.partitionBy("k")
+          .orderBy(col("ts").cast("long") * 1000).rangeBetween(-15000, 0))
+          .as("frame_sum"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(ref.toSet == batch, s"stream ${ref.toSet} != batch $batch")
+  }
+
+  // ---- unbounded RANGE frame OVER (SQL default; peers share) ----------
+
+  private def runRangeRunning(useTws: Boolean, sink: String): Seq[(Long, Long, Double, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val watermarked = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, Double)]
+    val out = if (useTws) StatefulTws.rangeRunningSumByKey(watermarked)
+              else StatefulOps.rangeRunningSumByKey(watermarked)
+    val q = out.toDF("k", "t", "v", "run_sum").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, ts(10), 1.0), (1L, ts(20), 3.0), (1L, ts(20), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(100), 5.0)) // releases 10, 20, 20 (wm=90)
+      q.processAllAvailable()
+      in.addData((1L, ts(200), 6.0)) // releases 100: accumulator carried
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Double, Double)].collect().toSeq
+  }
+
+  test("TWS unbounded RANGE frame: exact equality; tied rowtimes share") {
+    val ref = runRangeRunning(useTws = false, "twss_rr_ref")
+    val tws = withRocksDB { runRangeRunning(useTws = true, "twss_rr_new") }
+    assert(tws == ref, s"tws=$tws ref=$ref")
+    // the SQL default frame: both t=20 peers read 1+2+3, not 3-then-6
+    assert(ref.map(_._4) == Seq(1.0, 6.0, 6.0, 11.0))
   }
 
   // ---- append-only top-N ----------------------------------------------

@@ -15,7 +15,8 @@ class StreamOverSqlSpec extends AnyFunSuite {
   private val h = math.abs(getClass.getName.hashCode)
 
   private def runOne(tag: String, overClause: String,
-      batchFrame: org.apache.spark.sql.expressions.WindowSpec): Unit = {
+      batchFrame: org.apache.spark.sql.expressions.WindowSpec,
+      tied: Boolean = false): Unit = {
     val (src, sink) = (s"ovr_src_${tag}_$h", s"ovr_sink_${tag}_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
@@ -40,11 +41,14 @@ class StreamOverSqlSpec extends AnyFunSuite {
       // the junk v=5000 row exercises the WHERE path; it is filtered
       // BELOW the watermark node (see StreamOverSql scaladoc) so it
       // cannot be the clock — the watermark-advancing rows pass WHERE
+      // the tied pair at 00:00:05 exercises SQL peer semantics: under a
+      // RANGE frame (incl. the default) both rows must read one value
+      val tieRow = if (tied) ",\n        (1, 3.5, TIMESTAMP '2024-01-01 00:00:05')" else ""
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
         (1, 2.5,  TIMESTAMP '2024-01-01 00:00:05'),
         (1, 5000.0, TIMESTAMP '2024-01-01 00:00:06'),
-        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
+        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')$tieRow""")
       // twice: the watermark computed at batch end only takes effect in
       // the NEXT (possibly no-data) batch, and processAllAvailable can
       // return between the two — the second call closes that race
@@ -74,7 +78,7 @@ class StreamOverSqlSpec extends AnyFunSuite {
           sum("v").over(batchFrame).as("agg"))
         .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
           r.getDouble(2), r.getDouble(3))).filter(_._2 < cutoff).toSet
-      assert(got == want && want.size == 5,
+      assert(got == want && want.size == (if (tied) 6 else 5),
         s"[$tag] stream $got != batch $want")
     } finally {
       q.stop()
@@ -99,6 +103,20 @@ class StreamOverSqlSpec extends AnyFunSuite {
     runOne("range", "RANGE BETWEEN INTERVAL '90' SECOND PRECEDING AND CURRENT ROW",
       Window.partitionBy("k").orderBy(col("ts").cast("long") * 1000)
         .rangeBetween(-90000, 0))
+  }
+
+  test("tied rowtimes share the default (RANGE unbounded) frame value") {
+    // no frame clause = SQL's RANGE UNBOUNDED PRECEDING: the batch side
+    // uses the same default frame, so the tied pair must read one value
+    // on both sides — this is the Flink RowTimeRangeUnboundedPreceding
+    // peer rule the row-at-a-time running sum would get wrong
+    runOne("tieunb", "", Window.partitionBy("k").orderBy("ts"), tied = true)
+  }
+
+  test("tied rowtimes share a bounded RANGE frame value") {
+    runOne("tierng", "RANGE BETWEEN INTERVAL '90' SECOND PRECEDING AND CURRENT ROW",
+      Window.partitionBy("k").orderBy(col("ts").cast("long") * 1000)
+        .rangeBetween(-90000, 0), tied = true)
   }
 
   test("multiple aggregates share one window: SUM + COUNT + AVG in one pass") {
