@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   * Supported statement shape:
   * {{{
   * SELECT <pk>, <rowtime>,
-  *        SUM(expr) OVER w AS s, COUNT(expr|*) OVER w AS c, AVG(expr) OVER w AS a
+  *        SUM(expr) OVER w AS s, COUNT(expr|*) OVER w AS c, AVG(expr) OVER w AS a,
+  *        MIN(expr) OVER w AS lo, MAX(expr) OVER w AS hi
   * FROM <watermarked table> [WHERE <predicate>]
   * -- w = (PARTITION BY <pk> ORDER BY <rowtime> [ROWS n PRECEDING |
   * --      RANGE INTERVAL '<n>' <unit> PRECEDING | UNBOUNDED])
   * }}}
-  * Any number of SUM/COUNT/AVG items, all sharing ONE identical window
-  * spec. Non-aggregate select items must be the partition column, the
+  * Any number of SUM/COUNT/AVG/MIN/MAX items, all sharing ONE identical
+  * window spec (MIN/MAX ride a NaN-sentinel slot with a Min/Max combine
+  * op; a NaN DATA value is indistinguishable from NULL there — the
+  * standard float-aggregate caveat). Non-aggregate select items must be the partition column, the
   * rowtime, or one of the aggregated expressions (projected as DOUBLE —
   * the aggregate's input representation). The ORDER BY column must be
   * the table's declared WATERMARK attribute. Rows are released in
@@ -53,7 +56,7 @@ object StreamOverSql {
   private val SelRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
   private val OverItemRe =
-    ("""(?is)^\s*(SUM|COUNT|AVG)\s*\(\s*(.+?|\*)\s*\)\s+OVER\s*\(\s*""" +
+    ("""(?is)^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(.+?|\*)\s*\)\s+OVER\s*\(\s*""" +
       """PARTITION\s+BY\s+`?(\w+)`?\s+ORDER\s+BY\s+`?(\w+)`?\s*(.*?)\)""" +
       """\s*(?:AS\s+`?(\w+)`?)?\s*$""").r
   private val RowsFrameRe =
@@ -156,12 +159,12 @@ object StreamOverSql {
         s"unsupported OVER frame for streaming: $other")
     }
     aggs.foreach { a =>
-      require(a.fn == "SUM" || a.fn == "COUNT" || a.fn == "AVG",
+      require(Set("SUM", "COUNT", "AVG", "MIN", "MAX")(a.fn),
         s"unsupported OVER aggregate ${a.fn}")
-      require(a.fn == "SUM" || a.fn == "AVG" || a.valueText == "*" ||
+      require(a.fn != "COUNT" || a.valueText == "*" ||
           !a.valueText.contains("("),
         s"COUNT supports * or a plain column, got COUNT(${a.valueText})")
-      require(a.fn != "AVG" || a.valueText != "*", "AVG(*) is not SQL")
+      require(a.fn == "COUNT" || a.valueText != "*", s"${a.fn}(*) is not SQL")
     }
 
     val wmCol = WatermarkDdl.watermarkCol(spark, table)
@@ -178,30 +181,39 @@ object StreamOverSql {
       s"rowtime $rowtime must be TIMESTAMP, got ${src.schema(rowtime).dataType}")
 
     // slot assembly: SUM -> one coalesced value slot; COUNT -> one
-    // indicator slot; AVG -> a (sum, non-null count) slot pair. NULL
-    // inputs contribute zero everywhere — SQL's NULL-ignoring aggregates
+    // indicator slot; AVG -> a (sum, non-null count) slot pair; MIN/MAX
+    // -> a NaN-sentinel slot with a Min/Max combine op (NaN = NULL input,
+    // skipped by the op; an all-NULL frame reads back NULL). Sum-slot
+    // NULL inputs contribute zero — SQL's NULL-ignoring aggregates
     // without killing the non-nullable encoder. Slots DEDUP by
     // (kind, expression): SUM(v) + COUNT(v) + AVG(v) share one value and
     // one indicator slot — every buffered row in state carries the
     // minimal vector.
+    import graft.streaming.StatefulOps.SlotOp
     def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
     val slotCols = Vector.newBuilder[Column]
+    val slotOps = Vector.newBuilder[SlotOp]
     var nSlots = 0
     val slotCache = scala.collection.mutable.Map.empty[(String, String), Int]
-    def slotOf(kind: String, txt: String)(c: => Column): Int =
+    def slotOf(kind: String, txt: String, op: SlotOp = SlotOp.Sum)(c: => Column): Int =
       slotCache.getOrElseUpdate((kind, txt),
-        { slotCols += c; nSlots += 1; nSlots - 1 })
+        { slotCols += c; slotOps += op; nSlots += 1; nSlots - 1 })
     def valueSlot(a: AggItem): Int = slotOf("val", norm(a.valueText))(
       coalesce(expr(a.valueText).cast("double"), lit(0.0)))
     def indicatorSlot(a: AggItem): Int =
       if (a.valueText == "*") slotOf("star", "")(lit(1.0))
       else slotOf("ind", norm(a.valueText))(
         when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0))
+    def extremeSlot(a: AggItem, op: SlotOp): Int =
+      slotOf(if (op == SlotOp.Min) "min" else "max", norm(a.valueText), op)(
+        coalesce(expr(a.valueText).cast("double"), lit(Double.NaN)))
     val aggSlots: Seq[(AggItem, Int, Int)] = aggs.map { a =>
       a.fn match {
         case "SUM" => (a, valueSlot(a), -1)
         case "COUNT" => (a, indicatorSlot(a), -1)
         case "AVG" => (a, valueSlot(a), indicatorSlot(a))
+        case "MIN" => (a, extremeSlot(a, SlotOp.Min), -1)
+        case "MAX" => (a, extremeSlot(a, SlotOp.Max), -1)
       }
     }
 
@@ -215,7 +227,7 @@ object StreamOverSql {
     // entries are added last and win collisions, so a projected `k`
     // stays the key column even when SUM(k) is among the aggregates.
     val valueSlotByText: Map[String, Int] =
-      aggSlots.collect { case (a, s, _) if a.fn != "COUNT" =>
+      aggSlots.collect { case (a, s, _) if a.fn == "SUM" || a.fn == "AVG" =>
         norm(a.valueText) -> s }.reverse.toMap // first declaration wins
     val known: Map[String, String] =
       valueSlotByText.map { case (txt, s) => txt -> s"v$s" } ++
@@ -243,7 +255,7 @@ object StreamOverSql {
         array(slotCols.result(): _*).as("v"))
       .as[(String, java.sql.Timestamp, Seq[Double])]
 
-    val ran = StatefulOps.overSumsByKey(typed, frame)
+    val ran = StatefulOps.overAggsByKey(typed, frame, slotOps.result())
       .toDF("k", "t_ms", "vals", "sums")
 
     def aggCol(i: Int): Column = {
@@ -254,6 +266,9 @@ object StreamOverSql {
         case "AVG" =>
           when(col("sums").getItem(c) === 0.0, lit(null).cast("double"))
             .otherwise(col("sums").getItem(s) / col("sums").getItem(c))
+        case "MIN" | "MAX" => // NaN sentinel = all-NULL frame
+          when(isnan(col("sums").getItem(s)), lit(null).cast("double"))
+            .otherwise(col("sums").getItem(s))
       }
     }
     val projected = outCols.map { case (e, alias) =>

@@ -181,6 +181,17 @@ object StatefulOps {
     case object UnboundedRange extends OverFrame
   }
 
+  /** Per-slot combine op of the fused OVER pass ([[overAggsByKey]]). A
+    * NaN operand means "NULL input" and is skipped by every op — SQL's
+    * NULL-ignoring aggregates in slot form; an all-NaN frame reduces to
+    * NaN, which the SQL layer reads back as NULL. */
+  sealed trait SlotOp extends Serializable
+  object SlotOp {
+    case object Sum extends SlotOp
+    case object Min extends SlotOp
+    case object Max extends SlotOp
+  }
+
   /** Generalized streaming OVER: each row, released in event-time order,
     * is annotated with the ELEMENTWISE SUMS of a value VECTOR over the
     * frame — so one stateful pass serves several aggregates sharing one
@@ -194,10 +205,36 @@ object StatefulOps {
       ds: Dataset[(K, java.sql.Timestamp, Seq[Double])], frame: OverFrame)(
       implicit e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
       e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] =
+    overAggsByKey(ds, frame, null)
+
+  /** [[overSumsByKey]] with a per-slot combine op: slot i reduces with
+    * ops(i) (Sum / Min / Max) over the frame, letting one stateful pass
+    * also serve MIN/MAX OVER items. `ops = null` (the overSumsByKey
+    * delegate) means all-Sum. NaN encodes a NULL input — skipped by every
+    * op (SQL NULL-ignoring aggregates); an all-NaN frame reduces to NaN. */
+  def overAggsByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])], frame: OverFrame,
+      ops: IndexedSeq[SlotOp])(
+      implicit e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
       : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
 
+    def comb(op: SlotOp, x: Double, y: Double): Double =
+      if (x.isNaN) y else if (y.isNaN) x
+      else op match {
+        case SlotOp.Sum => x + y
+        case SlotOp.Min => math.min(x, y)
+        case SlotOp.Max => math.max(x, y)
+      }
+    def opAt(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
     def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-      if (a.isEmpty) b else a.lazyZip(b).map(_ + _).toSeq
+      if (a.isEmpty) b
+      else {
+        require(a.length == b.length,
+          s"overAggsByKey: slot vectors disagree (${a.length} vs ${b.length})")
+        Seq.tabulate(a.length)(i => comb(opAt(i), a(i), b(i)))
+      }
     def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
       rows.foldLeft(Seq.empty[Double])((acc, r) => plus(acc, r._2))
     // consecutive-equal-timestamp runs of an already-time-sorted seq
@@ -221,7 +258,11 @@ object StatefulOps {
         (Seq.empty[(Long, Seq[Double])], Seq.empty[Double],
           Seq.empty[(Long, Seq[Double])]))
       val wm = state.getCurrentWatermarkMs()
-      val buf = pending0 ++ rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm)
+      val buf = pending0 ++ rows.map { r =>
+        require(ops == null || r._3.length == ops.length,
+          s"overAggsByKey: row carries ${r._3.length} slots, ops has ${ops.length}")
+        (r._2.getTime, r._3)
+      }.filter(_._1 > wm)
       val (ready, pending) = buf.partition(_._1 <= wm)
       var acc = acc0
       var frm = frame0

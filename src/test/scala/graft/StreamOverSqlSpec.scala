@@ -129,14 +129,17 @@ class StreamOverSqlSpec extends AnyFunSuite {
       CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
         WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
     Engine.sql(spark, s"""CREATE TABLE $sink
-      (k BIGINT, ts TIMESTAMP, s DOUBLE, c BIGINT, a DOUBLE) USING parquet""")
+      (k BIGINT, ts TIMESTAMP, s DOUBLE, c BIGINT, a DOUBLE,
+       lo DOUBLE, hi DOUBLE) USING parquet""")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-over-multi").toString
     val q = Engine.sqlStreamInsert(spark, s"""
       INSERT INTO $sink
       SELECT k, ts,
              SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
              COUNT(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c,
-             AVG(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a
+             AVG(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a,
+             MIN(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lo,
+             MAX(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS hi
       FROM $src""", ckpt)
     try {
       // the NULL row exercises SQL's NULL-ignoring aggregates: it joins
@@ -160,12 +163,15 @@ class StreamOverSqlSpec extends AnyFunSuite {
         (r.getLong(0), r.getTimestamp(1).getTime,
           if (r.isNullAt(2)) null else r.getDouble(2),
           if (r.isNullAt(3)) null else r.getLong(3),
-          if (r.isNullAt(4)) null else r.getDouble(4))
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6))
       val got = spark.table(sink).collect().map(rowOf).filter(_._2 < cutoff).toSet
       val w = Window.partitionBy("k").orderBy("ts").rowsBetween(-2, 0)
       val want = WatermarkDdl.read(spark, src)
         .select(col("k"), col("ts"), sum("v").over(w).as("s"),
-          count("v").over(w).as("c"), avg("v").over(w).as("a"))
+          count("v").over(w).as("c"), avg("v").over(w).as("a"),
+          min("v").over(w).as("lo"), max("v").over(w).as("hi"))
         .collect().map(rowOf).filter(_._2 < cutoff).toSet
       assert(got == want && want.size == 5, s"multi-agg stream $got != batch $want")
     } finally {

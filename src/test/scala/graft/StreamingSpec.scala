@@ -161,6 +161,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._2) == got.map(_._2).sorted, "not emitted in time order")
   }
 
+  test("fused OVER Min/Max slots skip NaN (NULL) inputs; all-NULL frame stays NaN") {
+    import spark.implicits._
+    import StatefulOps.{OverFrame, SlotOp}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val watermarked = in.toDF().toDF("k", "ts", "vs")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Timestamp, Seq[Double])]
+    // slot 0 sums, slot 1 takes the frame MIN with NaN-as-NULL inputs
+    val out = StatefulOps.overAggsByKey(watermarked, OverFrame.Rows(3),
+      Vector(SlotOp.Sum, SlotOp.Min))
+    val q = out.toDF("k", "t", "vs", "aggs").writeStream
+      .outputMode("append").format("memory").queryName("minmax_out").start()
+    in.addData((1L, ts(10), Seq(1.0, Double.NaN)), // NULL min input
+      (1L, ts(20), Seq(2.0, 5.0)), (1L, ts(30), Seq(0.5, 2.0)))
+    q.processAllAvailable()
+    in.addData((1L, ts(100), Seq(0.0, Double.NaN))) // releases 10..30
+    q.processAllAvailable()
+    in.addData((1L, ts(200), Seq(0.0, Double.NaN))) // releases 100
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("minmax_out")
+      .selectExpr("t", "aggs[0]", "aggs[1]")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // t10: 1-row frame, min input NULL -> NaN sentinel survives;
+    // t20: min(NaN, 5) skips the NaN; t30: min over all three = 2;
+    // t100: frame rows 20,30,100 -> min(5, 2, NaN) = 2
+    assert(got.map(_._2) == Seq(1.0, 3.0, 3.5, 2.5), s"sum slot: $got")
+    assert(got.head._3.isNaN, s"all-NULL frame must stay NaN: $got")
+    assert(got.map(_._3).drop(1) == Seq(5.0, 2.0, 2.0), s"min slot: $got")
+  }
+
   test("streaming OVER: running sum released in event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
