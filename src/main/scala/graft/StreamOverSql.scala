@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *        SUM(expr) OVER w AS s, COUNT(expr|*) OVER w AS c, AVG(expr) OVER w AS a,
   *        MIN(expr) OVER w AS lo, MAX(expr) OVER w AS hi
   * FROM <watermarked table> [WHERE <predicate>]
-  * -- w = (PARTITION BY <pk> ORDER BY <rowtime> [ROWS n PRECEDING |
+  * -- w = ([PARTITION BY <pk>] ORDER BY <rowtime> [ROWS n PRECEDING |
   * --      RANGE INTERVAL '<n>' <unit> PRECEDING | UNBOUNDED])
   * }}}
+  * Without PARTITION BY the whole stream shares one state key — a
+  * parallelism-1 operator by construction, exactly Flink's
+  * non-partitioned OVER (a result-shaping operator, not a data-path one).
   * Any number of SUM/COUNT/AVG/MIN/MAX items, all sharing ONE identical
   * window spec (MIN/MAX ride a NaN-sentinel slot with a Min/Max combine
   * op; a NaN DATA value is indistinguishable from NULL there — the
@@ -57,7 +60,7 @@ object StreamOverSql {
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
   private val OverItemRe =
     ("""(?is)^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(.+?|\*)\s*\)\s+OVER\s*\(\s*""" +
-      """PARTITION\s+BY\s+`?(\w+)`?\s+ORDER\s+BY\s+`?(\w+)`?\s*(.*?)\)""" +
+      """(?:PARTITION\s+BY\s+`?(\w+)`?\s+)?ORDER\s+BY\s+`?(\w+)`?\s*(.*?)\)""" +
       """\s*(?:AS\s+`?(\w+)`?)?\s*$""").r
   private val RowsFrameRe =
     """(?is)^\s*ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$""".r
@@ -70,7 +73,8 @@ object StreamOverSql {
   private val AliasRe = """(?is)^\s*(.+?)\s+AS\s+`?(\w+)`?\s*$""".r
 
   private final case class AggItem(fn: String, valueText: String,
-      pk: String, rowtime: String, frameText: String, aliasOpt: Option[String]) {
+      pk: Option[String], rowtime: String, frameText: String,
+      aliasOpt: Option[String]) {
     /** A single unaliased item keeps the historical `sum_over` name;
       * multiple items disambiguate by position. */
     def alias(idx: Int, total: Int): String = aliasOpt.getOrElse(
@@ -79,7 +83,7 @@ object StreamOverSql {
 
   private def parseOverItem(item: String): Option[AggItem] = item match {
     case OverItemRe(f, v, p, o, fr, al) =>
-      Some(AggItem(f.toUpperCase, v.trim, p, o, fr.trim, Option(al)))
+      Some(AggItem(f.toUpperCase, v.trim, Option(p), o, fr.trim, Option(al)))
     case _ => None
   }
 
@@ -139,7 +143,10 @@ object StreamOverSql {
     require(aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct.size == 1,
       "every OVER item must share one identical window spec " +
         s"(got: ${aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct})")
-    val pk = aggs.head.pk
+    // PARTITION BY is optional (Flink's non-partitioned OVER): without
+    // it the whole stream shares ONE state key — a parallelism-1
+    // operator by construction, same as the reference's global OVER
+    val pkOpt = aggs.head.pk
     val rowtime = aggs.head.rowtime
     val frame: OverFrame = aggs.head.frameText match {
       // no frame clause = the SQL default, RANGE UNBOUNDED PRECEDING —
@@ -175,7 +182,7 @@ object StreamOverSql {
     require(src0.isStreaming,
       s"$table did not resolve to a streaming read (batch OVER is spark.sql's job)")
     val src = whereOpt.map(src0.where).getOrElse(src0)
-    val pkType = src.schema(pk).dataType
+    val pkTypeOpt = pkOpt.map(p => src.schema(p).dataType)
     require(src.schema(rowtime).dataType ==
       org.apache.spark.sql.types.TimestampType,
       s"rowtime $rowtime must be TIMESTAMP, got ${src.schema(rowtime).dataType}")
@@ -231,7 +238,8 @@ object StreamOverSql {
         norm(a.valueText) -> s }.reverse.toMap // first declaration wins
     val known: Map[String, String] =
       valueSlotByText.map { case (txt, s) => txt -> s"v$s" } ++
-        Map(norm(rowtime) -> "t", norm(pk) -> "k")
+        Map(norm(rowtime) -> "t") ++
+        pkOpt.map(p => norm(p) -> "k")
     var overPos = -1
     val outCols: Seq[(String, String)] = items.zip(isOver).map {
       case (_, true) =>
@@ -250,7 +258,7 @@ object StreamOverSql {
     // not through a cast, and re-declaring it here would trip Spark's
     // "redefining watermark" guard
     val typed = src.select(
-        col(pk).cast("string").as("k"),
+        pkOpt.map(p => col(p).cast("string")).getOrElse(lit("")).as("k"),
         col(rowtime).as("t"),
         array(slotCols.result(): _*).as("v"))
       .as[(String, java.sql.Timestamp, Seq[Double])]
@@ -274,7 +282,7 @@ object StreamOverSql {
     val projected = outCols.map { case (e, alias) =>
       (if (e.startsWith("__agg")) aggCol(e.stripPrefix("__agg").toInt)
        else known(e) match {
-        case "k" => col("k").cast(pkType)
+        case "k" => col("k").cast(pkTypeOpt.get) // "k" only mapped when partitioned
         case "t" => timestamp_millis(col("t_ms"))
         case vs => col("vals").getItem(vs.stripPrefix("v").toInt)
       }).as(alias)

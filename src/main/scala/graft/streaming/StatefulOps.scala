@@ -360,6 +360,36 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Count-based SLIDING window per key (Flink countWindow(size, slide) —
+    * GlobalWindow + CountTrigger.of(slide) + CountEvictor.of(size)): every
+    * `slide`-th row of a key fires an aggregate over the key's last
+    * min(size, seen) rows, early fires included, exactly the
+    * trigger/evictor composition's behavior. State: the last `size`
+    * values + a fire counter — O(size) per key. */
+  def countSlideWindow[K: Encoder](
+      ds: Dataset[(K, Double)], size: Int, slide: Int)(
+      implicit e1: Encoder[(Seq[Double], Long)],
+      e2: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] = {
+    require(size >= 1 && slide >= 1, s"countSlideWindow: size=$size slide=$slide")
+
+    def update(key: K, rows: Iterator[(K, Double)],
+        state: GroupState[(Seq[Double], Long)]): Iterator[(K, Long, Double)] = {
+      var (buf, seen) = state.getOption.getOrElse((Seq.empty[Double], 0L))
+      val out = Seq.newBuilder[(K, Long, Double)]
+      rows.foreach { r =>
+        buf = (buf :+ r._2).takeRight(size)
+        seen += 1
+        if (seen % slide == 0)
+          out += ((key, seen / slide - 1, buf.sum)) // 0-based fire index
+      }
+      state.update((buf, seen))
+      out.result().iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Count-based tumbling window per key (Flink countWindow — no Spark
     * equivalent): buffers rows per key and emits an aggregate every
     * `size` rows. State: the current partial buffer. */

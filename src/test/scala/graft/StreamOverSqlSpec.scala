@@ -119,6 +119,50 @@ class StreamOverSqlSpec extends AnyFunSuite {
         .rangeBetween(-90000, 0), tied = true)
   }
 
+  test("non-partitioned OVER: global running sum equals the batch window") {
+    val (src, sink) = (s"ovr_src_glob_$h", s"ovr_sink_glob_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (ts TIMESTAMP, v DOUBLE, agg DOUBLE) USING parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-over-glob").toString
+    // no PARTITION BY: one global state key, Flink's non-partitioned OVER
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT ts, v, SUM(v) OVER (ORDER BY ts) AS agg FROM $src""", ckpt)
+    try {
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
+        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03'),
+        (1, 2.5,  TIMESTAMP '2024-01-01 00:00:05')""")
+      q.processAllAvailable(); q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.5, TIMESTAMP '2024-01-01 01:00:00')")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.5, TIMESTAMP '2024-01-01 02:00:00')")
+      q.processAllAvailable(); q.processAllAvailable()
+      val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
+      val got = spark.table(sink).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2)))
+        .filter(_._1 < cutoff).toSet
+      val want = WatermarkDdl.read(spark, src)
+        .select(col("ts"), col("v"),
+          sum("v").over(Window.orderBy("ts")).as("agg"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2)))
+        .filter(_._1 < cutoff).toSet
+      assert(got == want && want.size == 3, s"global stream $got != batch $want")
+    } finally {
+      q.stop()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
   test("multiple aggregates share one window: SUM + COUNT + AVG in one pass") {
     val (src, sink) = (s"ovr_src_multi_$h", s"ovr_sink_multi_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")

@@ -133,6 +133,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("a", 0L, 3.0), ("a", 1L, 7.0)))
   }
 
+  test("count sliding window fires every slide rows over the last size rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    // countWindow(3, 2): fire every 2nd row over the last <=3 rows —
+    // the GlobalWindow + CountTrigger(2) + CountEvictor(3) composition,
+    // early fires (fewer than size rows) included
+    val out = StatefulOps.countSlideWindow(in.toDS(), size = 3, slide = 2)
+    val q = out.toDF("k", "fire", "sum").writeStream
+      .outputMode("append").format("memory").queryName("csw_out").start()
+    in.addData(("a", 1.0), ("a", 2.0), ("a", 3.0))
+    q.processAllAvailable()
+    in.addData(("a", 4.0), ("a", 5.0), ("b", 10.0)) // fires span batches
+    runToCompletion(q)
+    val rows = spark.table("csw_out").as[(String, Long, Double)].collect().toSet
+    // a: fire0 after rows 1,2 -> 3 (early, 2 rows); fire1 after row 4 ->
+    // 2+3+4 = 9 (evicted to last 3); b: below slide -> no fire yet
+    assert(rows == Set(("a", 0L, 3.0), ("a", 1L, 9.0)))
+  }
+
   test("event-time sort releases rows in order as the watermark advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
