@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   * window spec (MIN/MAX ride a NaN-sentinel slot with a Min/Max combine
   * op; a NaN DATA value is indistinguishable from NULL there — the
   * standard float-aggregate caveat). Non-aggregate select items must be the partition column, the
-  * rowtime, or one of the aggregated expressions (projected as DOUBLE —
-  * the aggregate's input representation). The ORDER BY column must be
+  * rowtime, or one of the aggregated expressions (projected as nullable
+  * DOUBLE — the aggregate's input, NULLs preserved). The ORDER BY column must be
   * the table's declared WATERMARK attribute. Rows are released in
   * watermark order. Tied rowtimes follow the standard: under a RANGE
   * frame — explicit, or the implicit default when no frame clause is
@@ -41,10 +41,11 @@ import org.apache.spark.sql.functions._
   * batch); under a ROWS frame they are processed row-at-a-time in
   * deterministic (t, values) order.
   *
-  * NULL semantics: SUM/AVG/COUNT(expr) ignore NULL inputs (a NULL
-  * contributes zero to the sum slot and zero to the count slot; AVG of a
-  * frame with no non-null inputs is NULL). Deviation at the margin: an
-  * all-NULL frame reads SUM = 0.0, not NULL.
+  * NULL semantics: all five aggregates ignore NULL inputs, and a frame
+  * with no non-null inputs reads NULL — exact SQL semantics, including
+  * SUM (NULL inputs ride a NaN sentinel every combine op skips; the
+  * standard float caveat applies: a NaN DATA value is indistinguishable
+  * from NULL in the aggregated/projected output).
   *
   * Watermark caveat: Catalyst pushes a WHERE predicate that doesn't
   * reference the rowtime BELOW the EventTimeWatermark node
@@ -187,15 +188,15 @@ object StreamOverSql {
       org.apache.spark.sql.types.TimestampType,
       s"rowtime $rowtime must be TIMESTAMP, got ${src.schema(rowtime).dataType}")
 
-    // slot assembly: SUM -> one coalesced value slot; COUNT -> one
-    // indicator slot; AVG -> a (sum, non-null count) slot pair; MIN/MAX
-    // -> a NaN-sentinel slot with a Min/Max combine op (NaN = NULL input,
-    // skipped by the op; an all-NULL frame reads back NULL). Sum-slot
-    // NULL inputs contribute zero — SQL's NULL-ignoring aggregates
-    // without killing the non-nullable encoder. Slots DEDUP by
-    // (kind, expression): SUM(v) + COUNT(v) + AVG(v) share one value and
-    // one indicator slot — every buffered row in state carries the
-    // minimal vector.
+    // slot assembly: SUM/AVG -> one NaN-sentinel value slot (Sum op);
+    // COUNT -> one indicator slot; AVG adds the non-null-count slot;
+    // MIN/MAX -> a NaN-sentinel slot with a Min/Max combine op. NaN
+    // encodes a NULL input, skipped by every combine op, so a frame with
+    // no non-null inputs reduces to NaN and reads back NULL — SQL's
+    // NULL-ignoring aggregates without killing the non-nullable encoder.
+    // Slots DEDUP by (kind, expression): SUM(v) + COUNT(v) + AVG(v)
+    // share one value and one indicator slot — every buffered row in
+    // state carries the minimal vector.
     import graft.streaming.StatefulOps.SlotOp
     def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
     val slotCols = Vector.newBuilder[Column]
@@ -206,7 +207,7 @@ object StreamOverSql {
       slotCache.getOrElseUpdate((kind, txt),
         { slotCols += c; slotOps += op; nSlots += 1; nSlots - 1 })
     def valueSlot(a: AggItem): Int = slotOf("val", norm(a.valueText))(
-      coalesce(expr(a.valueText).cast("double"), lit(0.0)))
+      coalesce(expr(a.valueText).cast("double"), lit(Double.NaN)))
     def indicatorSlot(a: AggItem): Int =
       if (a.valueText == "*") slotOf("star", "")(lit(1.0))
       else slotOf("ind", norm(a.valueText))(
@@ -269,12 +270,11 @@ object StreamOverSql {
     def aggCol(i: Int): Column = {
       val (a, s, c) = aggSlots(i)
       a.fn match {
-        case "SUM" => col("sums").getItem(s)
         case "COUNT" => col("sums").getItem(s).cast("long")
         case "AVG" =>
           when(col("sums").getItem(c) === 0.0, lit(null).cast("double"))
             .otherwise(col("sums").getItem(s) / col("sums").getItem(c))
-        case "MIN" | "MAX" => // NaN sentinel = all-NULL frame
+        case "SUM" | "MIN" | "MAX" => // NaN sentinel = all-NULL frame
           when(isnan(col("sums").getItem(s)), lit(null).cast("double"))
             .otherwise(col("sums").getItem(s))
       }
@@ -284,7 +284,9 @@ object StreamOverSql {
        else known(e) match {
         case "k" => col("k").cast(pkTypeOpt.get) // "k" only mapped when partitioned
         case "t" => timestamp_millis(col("t_ms"))
-        case vs => col("vals").getItem(vs.stripPrefix("v").toInt)
+        case vs => // NaN sentinel = the row's own input was NULL
+          val v = col("vals").getItem(vs.stripPrefix("v").toInt)
+          when(isnan(v), lit(null).cast("double")).otherwise(v)
       }).as(alias)
     }
     ran.select(projected: _*)

@@ -40,6 +40,16 @@ object StatefulTws {
   private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
   private val eNum = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
+  /** NaN-skipping sum, matching StatefulOps.overAggsByKey's combine op:
+    * NaN encodes a NULL input and is ignored; an all-NaN (or empty)
+    * reduction stays NaN. Keeps the TWS ports output-equal to the fMGWS
+    * originals on NaN-sentinel inputs. */
+  private def nanSum(acc: Double, v: Double): Double =
+    if (acc.isNaN) v else if (v.isNaN) acc else acc + v
+
+  private def nanSumOf(vs: Iterable[Double]): Double =
+    vs.foldLeft(Double.NaN)(nanSum)
+
   /** Consecutive-equal-timestamp runs of an already-(t, v)-sorted seq —
     * the RANGE frames' peer groups (complete by the watermark-release
     * argument in StatefulOps.overSumsByKey). */
@@ -149,8 +159,9 @@ object StatefulTws {
         val (ready, still) = buf.partition(_._1 <= wm)
         // the accumulator is PERMANENT state, like the fMGWS original and
         // Flink's unbounded-preceding function: it survives empty buffers
-        var a = if (acc.exists()) acc.get() else 0.0
-        val out = ready.sortBy(_._1).map { case (t, v) => a += v; (key, t, v, a) }
+        var a = if (acc.exists()) acc.get() else Double.NaN
+        val out = ready.sortBy(_._1).map { case (t, v) =>
+          a = nanSum(a, v); (key, t, v, a) }
         acc.update(a)
         if (still.isEmpty) { pending.clear(); minPending.clear(); rearm(getHandle, None, wm) }
         else {
@@ -205,11 +216,11 @@ object StatefulTws {
       } else {
         val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
         val (ready, still) = buf.partition(_._1 <= wm)
-        var a = if (acc.exists()) acc.get() else 0.0
+        var a = if (acc.exists()) acc.get() else Double.NaN
         // SQL's default frame: tied rowtimes are peers reading one value
         // (RowTimeRangeUnboundedPrecedingFunction's per-timestamp emit)
         val out = groupPeers(ready.sortBy(identity)).flatMap { case (t, vs) =>
-          a += vs.sum
+          a = vs.foldLeft(a)(nanSum)
           vs.map(v => (key, t, v, a))
         }
         acc.update(a)
@@ -273,7 +284,7 @@ object StatefulTws {
         var fr = if (frame.exists()) frame.get().toSeq else Seq.empty
         val out = ready.sortBy(identity).map { case (t, v) =>
           fr = (fr :+ ((t, v))).takeRight(nRows)
-          (key, t, v, fr.map(_._2).sum)
+          (key, t, v, nanSumOf(fr.map(_._2)))
         }
         if (out.nonEmpty) frame.put(fr.toArray)
         if (still.isEmpty) {
@@ -338,7 +349,7 @@ object StatefulTws {
         // (RowTimeRangeBoundedPrecedingFunction's per-timer list emit)
         val out = groupPeers(ready.sortBy(identity)).flatMap { case (t, vs) =>
           fr = (fr ++ vs.map(v => (t, v))).filter(_._1 >= t - rangeMs)
-          val s = fr.map(_._2).sum
+          val s = nanSumOf(fr.map(_._2))
           vs.map(v => (key, t, v, s))
         }
         if (out.nonEmpty) frame.put(fr.toArray)

@@ -77,7 +77,10 @@ class StatefulTwsSpec extends AnyFunSuite {
     val q = out.toDF("k", "t", "v", "running").writeStream
       .outputMode("append").format("memory").queryName(sink).start()
     try {
-      in.addData((1L, ts(100), 3.0), (1L, ts(50), 1.0), (1L, ts(80), 2.0))
+      // the NaN row is a NULL-sentinel input (the SQL layer's encoding):
+      // both implementations must skip it, not poison the accumulator
+      in.addData((1L, ts(100), 3.0), (1L, ts(50), 1.0), (1L, ts(80), 2.0),
+        (1L, ts(60), Double.NaN))
       q.processAllAvailable()
       in.addData((1L, ts(200), 4.0))
       q.processAllAvailable()
@@ -90,10 +93,15 @@ class StatefulTwsSpec extends AnyFunSuite {
   test("TWS running sum: exact equality incl. accumulator persistence") {
     val ref = runRunning(useTws = false, "twss_rs_ref")
     val tws = withRocksDB { runRunning(useTws = true, "twss_rs_new") }
-    assert(tws == ref, s"tws=$tws ref=$ref")
-    // sanity: running sums follow event time
-    assert(ref.map(r => (r._2, r._4)).take(4) ==
-      Seq((50000L, 1.0), (80000L, 3.0), (100000L, 6.0), (200000L, 10.0)))
+    // NaN-safe comparison: Scala's == on Double treats NaN != NaN
+    def canon(s: Seq[(Long, Long, Double, Double)]) =
+      s.map { case (k, t, v, r) => (k, t, v.toString, r.toString) }
+    assert(canon(tws) == canon(ref), s"tws=$tws ref=$ref")
+    // sanity: running sums follow event time; the NaN input at t=60
+    // reads the unchanged accumulator
+    assert(ref.map(r => (r._2, r._4)).take(5) ==
+      Seq((50000L, 1.0), (60000L, 1.0), (80000L, 3.0), (100000L, 6.0),
+        (200000L, 10.0)))
   }
 
   // ---- bounded ROWS frame OVER ----------------------------------------

@@ -187,12 +187,15 @@ class StreamOverSqlSpec extends AnyFunSuite {
       FROM $src""", ckpt)
     try {
       // the NULL row exercises SQL's NULL-ignoring aggregates: it joins
-      // the frame but contributes to neither SUM nor COUNT(v) nor AVG
+      // the frame but contributes to neither SUM nor COUNT(v) nor AVG;
+      // key 3's lone NULL row is the all-NULL frame — every aggregate
+      // except COUNT must read NULL (SUM included, the exact-SQL corner)
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
         (1, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 00:00:02'),
         (1, 2.0,  TIMESTAMP '2024-01-01 00:00:05'),
-        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
+        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03'),
+        (3, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 00:00:04')""")
       q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (1, 4.0, TIMESTAMP '2024-01-01 00:01:30')""")
@@ -217,7 +220,7 @@ class StreamOverSqlSpec extends AnyFunSuite {
           count("v").over(w).as("c"), avg("v").over(w).as("a"),
           min("v").over(w).as("lo"), max("v").over(w).as("hi"))
         .collect().map(rowOf).filter(_._2 < cutoff).toSet
-      assert(got == want && want.size == 5, s"multi-agg stream $got != batch $want")
+      assert(got == want && want.size == 6, s"multi-agg stream $got != batch $want")
     } finally {
       q.stop()
       Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
