@@ -1303,16 +1303,21 @@ object PipelineOps extends QueryModule {
       // IVF (inverted-file) ANN — the third scale path next to brute force
       // (q36) and hyperplane LSH (q37): spherical k-means coarse quantizer
       // trained with DataFrame iterations (assign = broadcast-centroid max
-      // cosine; recenter = per-dimension avg), then search only the
-      // query's nprobe nearest cells. Search cost drops from O(N) to
-      // O(N * nprobe / k) per query; at 100 TB the cell assignment is a
-      // one-off pass and queries touch only their probed cells'
-      // partitions. Iterative float training => rows-only; recall vs the
-      // q36 ground truth is asserted in PipelineSpec.
+      // cosine; recenter = per-dimension exact-integer mean), then search
+      // only the query's nprobe nearest cells. Search cost drops from
+      // O(N) to O(N * nprobe / k) per query; at 100 TB the cell
+      // assignment is a one-off pass and queries touch only their probed
+      // cells' partitions. FULL hash-match oracle (was rows-only): the
+      // whole 4-round k-means is bit-reproducible cross-engine — long
+      // quantization, integer dot products, exact LONG-sum/count means
+      // with one correctly-rounded double division, IEEE sqrt norms —
+      // so DuckDB re-runs the identical iteration as unrolled CTEs
+      // (ivfOracleSql). Recall vs the q36 ground truth additionally
+      // asserted in PipelineSpec.
       "q76_ann_ivf",
       (s, d) => annIvf(s, d, k = 8, iters = 4, nprobe = 2, topK = 5)
         .orderBy(col("qid"), col("rn")),
-      None),
+      Some(ivfOracleSql(k = 8, iters = 4, nprobe = 2, topK = 5))),
 
     GQuery(
       // Exact duplicated-substring spans (the ExactSubstr dedup of Lee et
@@ -1973,6 +1978,76 @@ object PipelineOps extends QueryModule {
   }
 
   /** IVF ANN over the quantized embeddings (see q76). */
+  /** DuckDB oracle for [[annIvf]]: the SAME 4-round spherical k-means,
+    * unrolled as CTEs (the q124/q121 unrolled-iteration technique). Every
+    * arithmetic step is bit-reproducible across engines: quantization is
+    * floor(x*1e4) on exactly-widened floats, dot products and norms are
+    * integer sums below 2^53 (exact in DOUBLE), the recenter mean is an
+    * exact LONG sum / count with one correctly-rounded IEEE division +
+    * half-up floor, and every ranking carries a total tie-break. The dot
+    * product is inlined per use (the driver runs plain SQL — no macros);
+    * dims are fixed at 64, the fixtures' embedding width. */
+  private def ivfOracleSql(k: Int, iters: Int, nprobe: Int, topK: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
+    def norm(l: String): String =
+      s"sqrt(CAST(list_sum(list_transform($l, v -> v * v)) AS DOUBLE))"
+    def round(prev: String, r: Int): String = s"""
+      |assign$r AS (
+      |  SELECT cid, q FROM (
+      |    SELECT d.vec_id, d.q, c.cid,
+      |           row_number() OVER (PARTITION BY d.vec_id
+      |             ORDER BY (CAST(${dot("d.q", "c.cq")} AS DOUBLE) / c.cnorm) DESC, c.cid) AS rn
+      |    FROM db d CROSS JOIN $prev c) WHERE rn = 1
+      |),
+      |cent$r AS (
+      |  SELECT cid, list(m ORDER BY pos) AS cq,
+      |         ${norm("list(m ORDER BY pos)")} AS cnorm
+      |  FROM (
+      |    SELECT cid, t.i AS pos,
+      |           CAST(floor(CAST(sum(q[t.i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+      |    FROM assign$r, range(1, 65) t(i)
+      |    GROUP BY cid, t.i)
+      |  GROUP BY cid
+      |)""".stripMargin
+    val rounds = (1 to iters).map(r => "," + round(s"cent${r - 1}", r)).mkString
+    val last = s"cent$iters"
+    s"""
+      |WITH base AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |qs AS (SELECT vec_id AS qid, q AS qv FROM base WHERE vec_id < 10),
+      |db AS (SELECT vec_id, q FROM base WHERE vec_id >= 10),
+      |params AS (SELECT greatest(1, CAST(floor(count(*) / $k) AS BIGINT)) AS stride FROM db),
+      |cent0 AS (
+      |  SELECT (vec_id % 100000) AS cid, q AS cq, ${norm("q")} AS cnorm
+      |  FROM db, params WHERE (vec_id - 10) % stride = 0 ORDER BY vec_id LIMIT $k
+      |)$rounds,
+      |cells AS (
+      |  SELECT vec_id, q, cid FROM (
+      |    SELECT d.vec_id, d.q, c.cid,
+      |           row_number() OVER (PARTITION BY d.vec_id
+      |             ORDER BY (CAST(${dot("d.q", "c.cq")} AS DOUBLE) / c.cnorm) DESC, c.cid) AS rn
+      |    FROM db d CROSS JOIN $last c) WHERE rn = 1
+      |),
+      |probes AS (
+      |  SELECT qid, qv, cid FROM (
+      |    SELECT qy.qid, qy.qv, c.cid,
+      |           row_number() OVER (PARTITION BY qy.qid
+      |             ORDER BY (CAST(${dot("qy.qv", "c.cq")} AS DOUBLE) / c.cnorm) DESC, c.cid) AS rn
+      |    FROM qs qy CROSS JOIN $last c) WHERE rn <= $nprobe
+      |)
+      |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, dot FROM (
+      |  SELECT p.qid, ce.vec_id, CAST(${dot("ce.q", "p.qv")} AS BIGINT) AS dot,
+      |         row_number() OVER (PARTITION BY p.qid
+      |           ORDER BY CAST(${dot("ce.q", "p.qv")} AS BIGINT) DESC, ce.vec_id) AS rn
+      |  FROM cells ce JOIN probes p USING (cid)) WHERE rn <= $topK
+      |ORDER BY qid, rn
+      |""".stripMargin
+  }
+
   private[graft] def annIvf(
       s: SparkSession, d: String,
       k: Int, iters: Int, nprobe: Int, topK: Int): DataFrame = {
@@ -2004,14 +2079,22 @@ object PipelineOps extends QueryModule {
         .withColumn("rn", row_number().over(assignW))
         .filter($"rn" === 1)
         .select($"cid", $"q")
-      // recenter: per-dimension mean, re-quantized to the same long scale
+      // recenter: per-dimension mean, re-quantized to the same long
+      // scale. EXACT-integer arithmetic: LONG sum / count with one
+      // deterministic double division + half-up floor — avg() would
+      // partial-sum in DOUBLE in partition order, which is
+      // aggregation-order-dependent and would break the cross-engine
+      // (DuckDB oracle) bit-equality of the whole iteration
       cent = withNorm(
         assigned.select($"cid", posexplode($"q").as(Seq("pos", "v")))
-          .groupBy($"cid", $"pos").agg(avg($"v").as("m"))
+          .groupBy($"cid", $"pos")
+          .agg(expr(
+            "CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT)")
+            .as("m"))
           .groupBy($"cid")
           .agg(collect_list(struct($"pos", $"m")).as("pm"))
           .select($"cid",
-            expr("transform(array_sort(pm), x -> CAST(round(x.m) AS BIGINT))").as("cq")))
+            expr("transform(array_sort(pm), x -> x.m)").as("cq")))
         .localCheckpoint()
     }
     // final cell assignment of the database side
