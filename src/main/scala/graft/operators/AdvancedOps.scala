@@ -54,11 +54,19 @@ object AdvancedOps extends QueryModule {
 
     GQuery(
       // Full NFA semantics (AFTER MATCH SKIP PAST LAST ROW, multi-partial
-      // tracking, relaxed contiguity, within-horizon pruning) — skip-mode
-      // interleaving isn't SQL-expressible; CepSpec asserts batch/stream
-      // equivalence and hand-built scenarios. Executes via the
-      // secondary-sort path (repartition + sortWithinPartitions +
+      // tracking, relaxed contiguity, within-horizon pruning). Executes
+      // via the secondary-sort path (repartition + sortWithinPartitions +
       // mapPartitions), so per-key history never sits on the heap.
+      // FULL hash-match oracle (was rows-only): for a LINEAR pattern the
+      // skip-past-last NFA has an exact sequential characterization —
+      // from the boundary, the next match ends at the first step-3 event
+      // with a completable (s, c) chain; the emitted s is the earliest
+      // in-window start with a middle event, c the earliest middle after
+      // it; the boundary jumps past the match — which DuckDB replays as a
+      // RECURSIVE CTE over (t, event_id)-ordered positions, one match
+      // per key per iteration. Skip-mode interleaving for NON-linear
+      // patterns (quantifiers/alternation) remains NFA-only; CepSpec
+      // additionally asserts batch/stream equivalence.
       "q46_cep_matches",
       (s, d) => {
         import s.implicits._
@@ -72,7 +80,50 @@ object AdvancedOps extends QueryModule {
             element_at($"step_times", 3).as("p_us"))
           .orderBy($"user_id", $"s_us")
       },
-      None),
+      Some("""
+        |WITH RECURSIVE ev AS (
+        |  SELECT user_id AS k, epoch_ns(ts)//1000 AS t,
+        |         CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+        |              WHEN 'purchase' THEN 2 ELSE -1 END AS step,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts)//1000, event_id) AS pos
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |),
+        |m AS (
+        |  SELECT k, CAST(NULL AS BIGINT) AS s_us, CAST(NULL AS BIGINT) AS c_us,
+        |         CAST(NULL AS BIGINT) AS p_us, CAST(0 AS BIGINT) AS bpos
+        |  FROM (SELECT DISTINCT k FROM ev)
+        |  UNION ALL
+        |  SELECT x.k,
+        |         (SELECT t FROM ev WHERE ev.k = x.k AND ev.pos = x.spos) AS s_us,
+        |         (SELECT min(t) FROM ev
+        |          WHERE ev.k = x.k AND ev.step = 1 AND ev.pos > x.spos AND ev.pos < x.ppos) AS c_us,
+        |         (SELECT t FROM ev WHERE ev.k = x.k AND ev.pos = x.ppos) AS p_us,
+        |         x.ppos AS bpos
+        |  FROM (
+        |    SELECT y.k, y.ppos,
+        |           (SELECT min(e1.pos) FROM ev e1
+        |            WHERE e1.k = y.k AND e1.step = 0 AND e1.pos > y.bpos
+        |              AND (SELECT t FROM ev WHERE ev.k = y.k AND ev.pos = y.ppos) - e1.t <= 604800000000
+        |              AND EXISTS (SELECT 1 FROM ev e2 WHERE e2.k = y.k AND e2.step = 1
+        |                          AND e2.pos > e1.pos AND e2.pos < y.ppos)) AS spos
+        |    FROM (
+        |      SELECT m.k, m.bpos,
+        |             (SELECT min(e3.pos) FROM ev e3
+        |              WHERE e3.k = m.k AND e3.step = 2 AND e3.pos > m.bpos
+        |                AND EXISTS (SELECT 1 FROM ev e1 JOIN ev e2
+        |                              ON e2.k = e1.k AND e2.step = 1
+        |                             AND e2.pos > e1.pos AND e2.pos < e3.pos
+        |                            WHERE e1.k = e3.k AND e1.step = 0 AND e1.pos > m.bpos
+        |                              AND e3.t - e1.t <= 604800000000)) AS ppos
+        |      FROM m) y
+        |    WHERE y.ppos IS NOT NULL) x
+        |)
+        |SELECT k AS user_id, s_us, c_us, p_us FROM m
+        |WHERE s_us IS NOT NULL
+        |ORDER BY user_id, s_us
+        |""".stripMargin)),
 
     GQuery(
       // CEP with a quantified middle step: signup -> click oneOrMore ->

@@ -1374,13 +1374,21 @@ object PipelineOps extends QueryModule {
     GQuery(
       // BPE tokenizer training (Sennrich et al. 2016) as an iterative
       // DataFrame loop: per round, the globally most frequent adjacent
-      // symbol pair (deterministic tie-break) merges corpus-wide. The
-      // argmax is data-dependent control flow => no SQL oracle;
-      // PipelineSpec proves the merge table equals a reference driver-side
-      // BPE trainer run on the same corpus.
+      // symbol pair (deterministic tie-break) merges corpus-wide. FULL
+      // hash-match oracle (was rows-only): the data-dependent argmax
+      // unrolls as one CTE round per merge (bpeOracleCtes) — the greedy
+      // non-overlap merge fold is windowing (run-parity selection), so
+      // DuckDB replays training exactly. PipelineSpec additionally
+      // proves the merge table equals a reference driver-side trainer.
       "q118_bpe_train",
       (s, d) => bpeTrain(s, d, rounds = 6),
-      None),
+      Some(bpeOracleCtes(6) + """
+        |SELECT CAST(round AS BIGINT) AS round, p1, p2, cnt
+        |FROM (SELECT * FROM mg1 UNION ALL SELECT * FROM mg2
+        |      UNION ALL SELECT * FROM mg3 UNION ALL SELECT * FROM mg4
+        |      UNION ALL SELECT * FROM mg5 UNION ALL SELECT * FROM mg6)
+        |ORDER BY round
+        |""".stripMargin)),
 
     GQuery(
       // Edit-distance-VERIFIED fuzzy dedup: the standard two-phase shape —
@@ -1522,11 +1530,19 @@ object PipelineOps extends QueryModule {
       // per-doc BPE-token / whitespace-token / char counts — the
       // token-count estimate a pre-training data pipeline runs before
       // committing compute. Vocab-join encode, no per-byte tokenizer
-      // pass. Data-dependent merges => rows-only + spec equality with the
-      // reference trainer's segmentation.
+      // pass. FULL hash-match oracle: DuckDB retrains the 6 merge rounds
+      // (bpeOracleCtes, same unroll as q118) and joins the exploded
+      // corpus against the trained segmentation exactly like bpeEncode.
       "q122_bpe_encode",
       (s, d) => bpeEncode(s, d, rounds = 6),
-      None),
+      Some(bpeOracleCtes(6) + """
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+        |       CAST(sum(len(v6.seq)) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, unnest(toks) AS w FROM toks) t
+        |JOIN v6 ON t.w = v6.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id
+        |""".stripMargin)),
 
     GQuery(
       // Canonical-URL dedup (crawl-pipeline role): normalize scheme/host
@@ -1746,6 +1762,58 @@ object PipelineOps extends QueryModule {
     * table (round, p1, p2, cnt). */
   private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
     bpeTrainFull(s, d, rounds)._1
+
+  /** DuckDB oracle CTE chain replaying [[bpeTrainFull]] exactly: the
+    * word-frequency vocab, then `rounds` unrolled merge rounds. Each
+    * round takes the (cnt DESC, p1, p2)-argmax adjacent pair — counting
+    * overlapping occurrences, as the Spark transform does — and applies
+    * it greedily left-to-right. The greedy non-overlap fold has a pure
+    * windowing form: inside each RUN of consecutive matching positions,
+    * exactly the even offsets merge (gaps-and-islands + offset parity),
+    * and the position after a merged one is dropped. Shared by the q118
+    * (merge table) and q122 (vocab-join encode) oracles. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def round(r: Int): String = {
+      val p = s"v${r - 1}"
+      s""",
+      |mg$r AS MATERIALIZED (
+      |  SELECT $r AS round, p1, p2, cnt FROM (
+      |    SELECT seq[i] AS p1, seq[i+1] AS p2, CAST(sum(freq) AS BIGINT) AS cnt
+      |    FROM $p, LATERAL (SELECT unnest(range(1, len(seq))) AS i) t
+      |    WHERE len(seq) >= 2
+      |    GROUP BY 1, 2)
+      |  ORDER BY cnt DESC, p1, p2 LIMIT 1
+      |),
+      |v$r AS MATERIALIZED (
+      |  SELECT w, freq, list(tok ORDER BY i) AS seq FROM (
+      |    SELECT w, freq, i,
+      |           CASE WHEN sel THEN tok || tok2 ELSE tok END AS tok,
+      |           lag(sel) OVER (PARTITION BY w ORDER BY i) AS prev_sel
+      |    FROM (
+      |      SELECT w, freq, i, tok, tok2, m,
+      |             m AND (i - min(i) OVER (PARTITION BY w, grp)) % 2 = 0 AS sel
+      |      FROM (
+      |        SELECT w, freq, i, tok, tok2, m,
+      |               CASE WHEN m THEN i - row_number() OVER (PARTITION BY w, m ORDER BY i) END AS grp
+      |        FROM (
+      |          SELECT v.w, v.freq, t.i, v.seq[t.i] AS tok, v.seq[t.i+1] AS tok2,
+      |                 (t.i < len(v.seq) AND v.seq[t.i] = mg$r.p1 AND v.seq[t.i+1] = mg$r.p2) AS m
+      |          FROM $p v CROSS JOIN mg$r,
+      |               LATERAL (SELECT unnest(range(1, len(v.seq) + 1)) AS i) t))))
+      |  WHERE NOT coalesce(prev_sel, false)
+      |  GROUP BY w, freq
+      |)""".stripMargin
+    }
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |words AS (SELECT unnest(toks) AS w FROM toks),
+      |v0 AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |         list_transform(range(1, length(w) + 1), i -> w[i]) AS seq
+      |  FROM words GROUP BY w)""".stripMargin +
+      (1 to rounds).map(round).mkString
+  }
 
   /** bpeTrain plus the trained segmentation: returns (merge table,
     * word -> final symbol sequence). The vocab table keeps the source
