@@ -560,16 +560,25 @@ object PipelineOps extends QueryModule {
       "q43_approx_distinct",
       (s, d) => {
         import s.implicits._
-        // HLL++ approximate distinct (reference: BatchApproxCountDistinct-
-        // AggFunctions.java + hyperloglog/). Sketch is engine-specific =>
-        // rows-only check here; accuracy asserted in PipelineSpec.
-        Tables.lineitem(s, d).agg(
-          approx_count_distinct($"l_partkey").as("apx_parts"),
-          approx_count_distinct($"l_suppkey").as("apx_supps"),
-          approx_count_distinct($"l_orderkey").as("apx_orders"),
-          countDistinct($"l_partkey").as("exact_parts"))
+        // HLL approximate distinct (reference: BatchApproxCountDistinct-
+        // AggFunctions.java + hyperloglog/). FULL hash-match oracle (was
+        // rows-only around Spark's built-in sketch): a from-scratch HLL —
+        // 1024 registers over the oracle-aligned Mersenne-61 hash family,
+        // leading-zero ranks via binary string length (no float log2),
+        // exact-integer harmonic sum, and the small-range linear-counting
+        // correction read from a JVM-precomputed literal table inlined
+        // into BOTH engines (the q37 hyperplane-literal technique), so no
+        // transcendental is ever evaluated at query time by either
+        // engine. The estimator is the standard HLL shape the reference's
+        // HyperLogLogPlusPlus* classes implement; accuracy (<5% on
+        // l_partkey) stays asserted in PipelineSpec.
+        val li = Tables.lineitem(s, d)
+        hllEstimate(li, "l_partkey", "apx_parts")
+          .crossJoin(hllEstimate(li, "l_suppkey", "apx_supps"))
+          .crossJoin(hllEstimate(li, "l_orderkey", "apx_orders"))
+          .crossJoin(li.agg(countDistinct($"l_partkey").as("exact_parts")))
       },
-      None),
+      Some(hllOracleSql)),
 
     GQuery(
       "q44_listagg",
@@ -1760,6 +1769,90 @@ object PipelineOps extends QueryModule {
     * cost is O(rounds × |vocab|) regardless of corpus size — the corpus
     * is read once for the frequency count. Returns the learned merge
     * table (round, p1, p2, cnt). */
+  // ---- HLL approximate distinct (q43) ---------------------------------
+
+  private val HllM = 1024
+
+  /** Linear-counting estimates m*ln(m/V) for V = 1..m, computed ONCE on
+    * the JVM and inlined as double literals into both the Spark plan and
+    * the DuckDB oracle — neither engine evaluates ln() at query time, so
+    * libm differences cannot break the hash match. */
+  private lazy val hllLnTable: IndexedSeq[Double] =
+    (1 to HllM).map(v => HllM.toDouble * math.log(HllM.toDouble / v))
+
+  /** alpha_m * m^2 * 2^52 — the raw-estimate numerator over the integer
+    * harmonic sum S = sum over registers of 2^(52 - rank). */
+  private lazy val hllAlphaK: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
+      math.pow(2.0, 52)
+
+  private def hllEstExpr(sCol: String, vCol: String, lnArr: String): String =
+    s"CASE WHEN ($hllAlphaK / CAST($sCol AS DOUBLE)) <= ${2.5 * HllM} AND $vCol > 0 " +
+      s"THEN element_at($lnArr, CAST($vCol AS INT)) " +
+      s"ELSE $hllAlphaK / CAST($sCol AS DOUBLE) END"
+
+  /** One-row DataFrame `alias -> floor(HLL estimate)` for `key`. The
+    * value hash is the oracle-aligned MD5 lower-64 (graft_md5lower64 ==
+    * DuckDB md5_number_lower — full avalanche; an affine M61 hash is
+    * NOT usable here: its low bits are lattice-structured on sequential
+    * keys and collapse the register index). Register = low 10 bits;
+    * rank = 52 - bitlength(bits 10..60) (52 when they are all zero). */
+  private def hllEstimate(df: DataFrame, key: String,
+      alias: String): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lnArr = hllLnTable.map(d => s"CAST($d AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    df.filter(col(key).isNotNull)
+      .select(expr(s"graft_md5lower64(CAST($key AS STRING))").as("h"))
+      .select(expr(s"h & ${HllM - 1}").as("idx"),
+        expr("shiftright(h, 10) & 2251799813685247").as("w")) // bits 10..60
+      .select($"idx",
+        expr("IF(w = 0, 52, 52 - length(conv(w, 10, 2)))").cast("int").as("rho"))
+      .groupBy($"idx").agg(max($"rho").as("mr"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - mr)")).as("sp"),
+        count(lit(1)).as("nr"))
+      .select((lit(HllM.toLong) - $"nr").as("v"),
+        ($"sp" + (lit(HllM.toLong) - $"nr") * lit(1L << 52)).as("s"))
+      .select(expr(hllEstExpr("s", "v", lnArr)).as("e"))
+      .select(expr("CAST(floor(e) AS BIGINT)").as(alias))
+  }
+
+  /** DuckDB mirror of the three q43 sketches: md5_number_lower is
+    * unsigned, so register = h % 1024 and rank bits = (h // 1024) % 2^51
+    * — identical bits to the Spark side's mask-and-shift; bitlength via
+    * bin(); the SAME inlined literals. */
+  private lazy val hllOracleSql: String = {
+    val lnList = hllLnTable.map(_.toString).mkString("[", ", ", "]")
+    def sketch(i: Int, key: String): String = {
+      s"""sk$i AS (
+        |  SELECT ($HllM - count(*)) AS v,
+        |         CAST(sum(CAST(1 AS BIGINT) << (52 - mr))
+        |              + ($HllM - count(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT idx, max(rho) AS mr FROM (
+        |      SELECT CAST(h % $HllM AS BIGINT) AS idx,
+        |             CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END AS rho
+        |      FROM (SELECT h, CAST((h // $HllM) % 2251799813685248 AS BIGINT) AS w
+        |            FROM (SELECT md5_number_lower(CAST($key AS VARCHAR)) AS h
+        |                  FROM lineitem WHERE $key IS NOT NULL)))
+        |    GROUP BY idx)
+        |),
+        |e$i AS (
+        |  SELECT CAST(floor(CASE WHEN ($hllAlphaK / CAST(s AS DOUBLE)) <= ${2.5 * HllM} AND v > 0
+        |                         THEN ($lnList)[CAST(v AS INT)]
+        |                         ELSE $hllAlphaK / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM sk$i)""".stripMargin
+    }
+    s"""WITH ${sketch(1, "l_partkey")},
+      |${sketch(2, "l_suppkey")},
+      |${sketch(3, "l_orderkey")},
+      |ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts FROM lineitem)
+      |SELECT e1.est AS apx_parts, e2.est AS apx_supps, e3.est AS apx_orders, ex.exact_parts
+      |FROM e1, e2, e3, ex
+      |""".stripMargin
+  }
+
   private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
     bpeTrainFull(s, d, rounds)._1
 
