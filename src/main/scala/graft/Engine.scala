@@ -212,10 +212,15 @@ object Engine {
             case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
               r.multipartIdentifier.mkString(".")
           }.distinct
+        // a declared PROCTIME() attribute also marks a streaming source:
+        // proc-time pipelines (arrival-order OVER etc.) legitimately have
+        // no watermark at all
         val streamed = leaves.filter(t =>
-          WatermarkDdl.watermarkCol(spark, t).isDefined)
+          WatermarkDdl.watermarkCol(spark, t).isDefined ||
+            WatermarkDdl.proctimeCol(spark, t).isDefined)
         require(streamed.nonEmpty,
-          "streaming INSERT needs at least one WATERMARK-declared source " +
+          "streaming INSERT needs at least one WATERMARK- or " +
+            "PROCTIME()-declared source " +
             s"(referenced: ${leaves.mkString(", ")}); use sql() for batch INSERT")
         // Bind each streamed source by SHADOWING its name with a temp
         // view over the streaming read — no text rewrite (a regex

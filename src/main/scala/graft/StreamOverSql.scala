@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * Without PARTITION BY the whole stream shares one state key — a
   * parallelism-1 operator by construction, exactly Flink's
   * non-partitioned OVER (a result-shaping operator, not a data-path one).
+  *
+  * Ordering by a declared `PROCTIME()` attribute instead of the
+  * watermark column selects the PROCESSING-TIME executors (Flink's
+  * ProcTime{Rows,Range}{Bounded,Unbounded}PrecedingFunction family):
+  * rows aggregate in per-key arrival order with no watermark buffering,
+  * processing time being the micro-batch tick — so RANGE frames treat a
+  * key's whole micro-batch as peers, Flink's same-proctime peer rule at
+  * batch granularity (see StatefulOps.procOverAggsByKey).
   * Any number of SUM/COUNT/AVG/MIN/MAX items, all sharing ONE identical
   * window spec (MIN/MAX ride a NaN-sentinel slot with a Min/Max combine
   * op; a NaN DATA value is indistinguishable from NULL there — the
@@ -176,9 +184,13 @@ object StreamOverSql {
     }
 
     val wmCol = WatermarkDdl.watermarkCol(spark, table)
-    require(wmCol.contains(rowtime),
+    // ORDER BY a declared PROCTIME() attribute selects the
+    // processing-time executors (ProcTime*Function family): arrival-order
+    // aggregation, no watermark buffering
+    val procTime = WatermarkDdl.proctimeCol(spark, table).contains(rowtime)
+    require(procTime || wmCol.contains(rowtime),
       s"streaming OVER must ORDER BY the declared WATERMARK column " +
-        s"(${wmCol.getOrElse("<none>")}), got $rowtime")
+        s"(${wmCol.getOrElse("<none>")}) or a PROCTIME() attribute, got $rowtime")
     val src0 = spark.table(table)
     require(src0.isStreaming,
       s"$table did not resolve to a streaming read (batch OVER is spark.sql's job)")
@@ -258,14 +270,22 @@ object StreamOverSql {
     // by WatermarkDdl.readStream) propagates through a plain alias but
     // not through a cast, and re-declaring it here would trip Spark's
     // "redefining watermark" guard
-    val typed = src.select(
-        pkOpt.map(p => col(p).cast("string")).getOrElse(lit("")).as("k"),
-        col(rowtime).as("t"),
-        array(slotCols.result(): _*).as("v"))
-      .as[(String, java.sql.Timestamp, Seq[Double])]
-
-    val ran = StatefulOps.overAggsByKey(typed, frame, slotOps.result())
-      .toDF("k", "t_ms", "vals", "sums")
+    val keyCol = pkOpt.map(p => col(p).cast("string")).getOrElse(lit("")).as("k")
+    val ran =
+      if (procTime) {
+        // proc-time executors ignore the (computed) proctime column's
+        // values — processing time IS the batch tick, emitted as t_ms
+        val typed = src.select(keyCol, array(slotCols.result(): _*).as("v"))
+          .as[(String, Seq[Double])]
+        StatefulOps.procOverAggsByKey(typed, frame, slotOps.result())
+          .toDF("k", "t_ms", "vals", "sums")
+      } else {
+        val typed = src.select(keyCol, col(rowtime).as("t"),
+            array(slotCols.result(): _*).as("v"))
+          .as[(String, java.sql.Timestamp, Seq[Double])]
+        StatefulOps.overAggsByKey(typed, frame, slotOps.result())
+          .toDF("k", "t_ms", "vals", "sums")
+      }
 
     def aggCol(i: Int): Column = {
       val (a, s, c) = aggSlots(i)

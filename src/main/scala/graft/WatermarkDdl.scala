@@ -344,10 +344,36 @@ object WatermarkDdl {
   /** (Re)build the user-visible view of an extended table from its base
     * table's current schema + persisted computed columns — the step that
     * exposes ALTERed physical columns and survives a base rename. */
+  /** Flink's PROCTIME() time attribute (parserImpls.ftl, TimestampKind
+    * PROCTIME): in a micro-batch runtime processing time is the batch
+    * evaluation clock, so the computed column materializes as
+    * current_timestamp() — SURVEY §2's documented mapping. Case-insensitive
+    * function-call match; anything else in the expression passes through. */
+  private val ProctimeRe = """(?i)\bPROCTIME\s*\(\s*\)""".r
+
+  private def rewriteComputed(e: String): String =
+    ProctimeRe.replaceAllIn(e, "current_timestamp()")
+
+  /** The declared PROCTIME() attribute of an extended table, if any —
+    * the processing-time analog of [[watermarkCol]] (StreamOverSql routes
+    * `OVER (ORDER BY <proctime col>)` onto the arrival-order executors). */
+  def proctimeCol(spark: SparkSession, table: String): Option[String] = {
+    val base = baseName(table)
+    if (!spark.catalog.tableExists(base)) None
+    else propsOf(spark, base).get("graft.computed").flatMap { spec =>
+      spec.split(";;").toSeq.collectFirst {
+        case entry if {
+          val Array(_, e) = entry.split(":=", 2)
+          ProctimeRe.findFirstIn(e.trim).exists(_.length == e.trim.length)
+        } => entry.split(":=", 2)(0)
+      }
+    }
+  }
+
   private def recreateView(spark: SparkSession, table: String): Unit = {
     val spec = specOf(spark, table)
     val sel = (spec.physical.map(_._1) ++
-      spec.computed.map { case (c, e) => s"$e AS $c" }).mkString(", ")
+      spec.computed.map { case (c, e) => s"${rewriteComputed(e)} AS $c" }).mkString(", ")
     spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT $sel FROM ${baseName(table)}")
   }
 
@@ -395,7 +421,7 @@ object WatermarkDdl {
       case Some(spec) =>
         val exprs = spec.split(";;").toSeq.map { entry =>
           val Array(c, e) = entry.split(":=", 2)
-          s"$e AS $c"
+          s"${rewriteComputed(e)} AS $c"
         }
         df.selectExpr("*" +: exprs: _*)
       case None => df
@@ -425,7 +451,7 @@ object WatermarkDdl {
       case Some(spec) =>
         val exprs = spec.split(";;").toSeq.map { entry =>
           val Array(c, e) = entry.split(":=", 2)
-          s"$e AS $c"
+          s"${rewriteComputed(e)} AS $c"
         }
         df.selectExpr("*" +: exprs: _*)
       case None => df

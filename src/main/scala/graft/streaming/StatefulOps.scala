@@ -338,6 +338,66 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** PROCESSING-TIME streaming OVER: the ProcTime{Rows,Range}{Bounded,
+    * Unbounded}PrecedingFunction family — no watermark, no reordering;
+    * rows aggregate in per-key ARRIVAL order the moment they arrive.
+    * Processing time is the micro-batch clock (the runtime's batch-tick
+    * analog of Flink's per-element wall clock, same convention as
+    * temporalJoinProcTime), so under the RANGE frames every row of a
+    * key's micro-batch is a PEER sharing one aggregate, and Range(ms)
+    * evicts whole earlier batch-ticks past the window. Output rows carry
+    * the batch-tick in epoch-ms. State: O(1) accumulator (unbounded),
+    * O(n) deque (Rows), O(rows-in-range) (Range) per key. */
+  def procOverAggsByKey[K: Encoder](
+      ds: Dataset[(K, Seq[Double])], frame: OverFrame,
+      ops: IndexedSeq[SlotOp] = null)(
+      implicit e1: Encoder[(Seq[Double], Seq[(Long, Seq[Double])])],
+      e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
+
+    def comb(op: SlotOp, x: Double, y: Double): Double =
+      if (x.isNaN) y else if (y.isNaN) x
+      else op match {
+        case SlotOp.Sum => x + y
+        case SlotOp.Min => math.min(x, y)
+        case SlotOp.Max => math.max(x, y)
+      }
+    def opAt(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
+    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      if (a.isEmpty) b
+      else Seq.tabulate(a.length)(i => comb(opAt(i), a(i), b(i)))
+
+    def update(key: K, rows: Iterator[(K, Seq[Double])],
+        state: GroupState[(Seq[Double], Seq[(Long, Seq[Double])])])
+        : Iterator[(K, Long, Seq[Double], Seq[Double])] = {
+      val now = state.getCurrentProcessingTimeMs()
+      var (acc, frm) = state.getOption.getOrElse(
+        (Seq.empty[Double], Seq.empty[(Long, Seq[Double])]))
+      val vs = rows.map(_._2).toSeq
+      val out = frame match {
+        case OverFrame.Unbounded => // per-row running aggregate
+          vs.map { v => acc = plus(acc, v); (key, now, v, acc) }
+        case OverFrame.Rows(n) => // per-row frame over the last n rows
+          vs.map { v =>
+            frm = (frm :+ ((now, v))).takeRight(n)
+            (key, now, v, frm.map(_._2).foldLeft(Seq.empty[Double])(plus))
+          }
+        case OverFrame.UnboundedRange => // batch-tick peers share one value
+          acc = vs.foldLeft(acc)(plus)
+          vs.map(v => (key, now, v, acc))
+        case OverFrame.Range(ms) => // evict ticks older than now - ms
+          frm = (frm ++ vs.map(v => (now, v))).filter(_._1 >= now - ms)
+          val sums = frm.map(_._2).foldLeft(Seq.empty[Double])(plus)
+          vs.map(v => (key, now, v, sums))
+      }
+      state.update((acc, frm))
+      out.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming LIMIT (flink-table-runtime StreamExecLimit): pass through
     * the first `n` rows of the stream, drop the rest. Like Flink's global
     * limit this necessarily runs at parallelism 1 (a single counter key)

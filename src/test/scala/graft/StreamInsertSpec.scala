@@ -53,7 +53,7 @@ class StreamInsertSpec extends AnyFunSuite {
       Engine.sqlStreamInsert(spark,
         s"INSERT INTO $sink SELECT win_start, total FROM $sink", ckpt + "2")
     }
-    assert(err.getMessage.contains("WATERMARK-declared source"))
+    assert(err.getMessage.contains("PROCTIME()-declared source"))
 
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")

@@ -163,6 +163,44 @@ class StreamOverSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("PROCTIME() attribute: ORDER BY pt runs the arrival-order executors") {
+    val (src, sink) = (s"ovr_src_pt_$h", s"ovr_sink_pt_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    // pt is a PROCTIME() computed column — no WATERMARK declared at all
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, pt AS PROCTIME())""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (k BIGINT, v DOUBLE, agg DOUBLE) USING parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-over-pt").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, v, SUM(v) OVER (PARTITION BY k ORDER BY pt
+        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS agg FROM $src""", ckpt)
+    try {
+      // one row per key per insert: per-key arrival order is insert order
+      // no matter how the file source batches the files
+      Engine.sql(spark, s"INSERT INTO $src VALUES (1, 10.0), (2, 5.0)")
+      q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (1, 2.0), (2, 1.0)")
+      q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (1, 4.0)")
+      q.processAllAvailable()
+      val got = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      // ROWS 1 PRECEDING over arrival order — emitted immediately, no
+      // watermark ever needed
+      assert(got == Set((1L, 10.0, 10.0), (1L, 2.0, 12.0), (1L, 4.0, 6.0),
+        (2L, 5.0, 5.0), (2L, 1.0, 6.0)), s"proc-time stream: $got")
+    } finally {
+      q.stop()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
   test("multiple aggregates share one window: SUM + COUNT + AVG in one pass") {
     val (src, sink) = (s"ovr_src_multi_$h", s"ovr_sink_multi_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")

@@ -213,6 +213,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._3).drop(1) == Seq(5.0, 2.0, 2.0), s"min slot: $got")
   }
 
+  test("proc-time OVER: arrival-order frames; batch-tick RANGE peers") {
+    import spark.implicits._
+    import StatefulOps.OverFrame
+    implicit val sqlCtx = spark.sqlContext
+    def run(frame: OverFrame, sink: String): Seq[(Long, Double, Double)] = {
+      val in = MemoryStream[(Long, Seq[Double])]
+      val out = StatefulOps.procOverAggsByKey(in.toDS(), frame)
+      val q = out.map(r => (r._1, r._3.head, r._4.head))
+        .toDF("k", "v", "agg").writeStream
+        .outputMode("append").format("memory").queryName(sink).start()
+      try {
+        in.addData((1L, Seq(10.0)), (1L, Seq(2.0)), (2L, Seq(5.0)))
+        q.processAllAvailable()
+        in.addData((1L, Seq(4.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).as[(Long, Double, Double)].collect().toSeq
+    }
+    // unbounded ROWS: per-row running sums in arrival order
+    assert(run(OverFrame.Unbounded, "pov_unb").toSet ==
+      Set((1L, 10.0, 10.0), (1L, 2.0, 12.0), (2L, 5.0, 5.0), (1L, 4.0, 16.0)))
+    // ROWS 1 PRECEDING: last-2 frames across batches
+    assert(run(OverFrame.Rows(2), "pov_rows").toSet ==
+      Set((1L, 10.0, 10.0), (1L, 2.0, 12.0), (2L, 5.0, 5.0), (1L, 4.0, 6.0)))
+    // unbounded RANGE: a batch's rows are proc-time PEERS sharing one value
+    assert(run(OverFrame.UnboundedRange, "pov_rng").toSet ==
+      Set((1L, 10.0, 12.0), (1L, 2.0, 12.0), (2L, 5.0, 5.0), (1L, 4.0, 16.0)))
+  }
+
   test("streaming OVER: running sum released in event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
