@@ -384,6 +384,154 @@ object StatefulTws {
       .transformWithState(new RangeBoundedProc[K](rangeMs),
         TimeMode.EventTime(), OutputMode.Append(), eo)
 
+  // ---- fused multi-slot OVER (the StreamOverSql execution shape) -------
+
+  private val eVecRow = Encoders.product[(Long, Seq[Double])]
+  private val eVecBox = Encoders.product[Tuple1[Seq[Double]]]
+
+  private class OverAggsProc[K](frame: StatefulOps.OverFrame,
+      ops: IndexedSeq[StatefulOps.SlotOp])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Seq[Double]),
+        (K, Long, Seq[Double], Seq[Double])] {
+    import StatefulOps.{OverFrame, SlotOp}
+
+    @transient private var pending: ListState[(Long, Seq[Double])] = _
+    @transient private var frm: ListState[(Long, Seq[Double])] = _
+    @transient private var acc: ValueState[Tuple1[Seq[Double]]] = _
+    @transient private var minPending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending", eVecRow, TTLConfig.NONE)
+      frm = getHandle.getListState("frame", eVecRow, TTLConfig.NONE)
+      acc = getHandle.getValueState("acc", eVecBox, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def comb(op: SlotOp, x: Double, y: Double): Double =
+      if (x.isNaN) y else if (y.isNaN) x
+      else op match {
+        case SlotOp.Sum => x + y
+        case SlotOp.Min => math.min(x, y)
+        case SlotOp.Max => math.max(x, y)
+      }
+    private def opAt(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
+    private def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      if (a.isEmpty) b else Seq.tabulate(a.length)(i => comb(opAt(i), a(i), b(i)))
+    private def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
+      rows.foldLeft(Seq.empty[Double])((z, r) => plus(z, r._2))
+
+    // same deterministic tie order as the fMGWS original
+    private def ordered(ready: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+      frame match {
+        case OverFrame.Unbounded => ready.sortBy(_._1)
+        case _ => ready.sortWith { (a, b) =>
+          if (a._1 != b._1) a._1 < b._1
+          else {
+            val (x, y) = (a._2, b._2)
+            var i = 0
+            while (i < x.length && i < y.length && x(i) == y(i)) i += 1
+            if (i < x.length && i < y.length) x(i) < y(i)
+            else x.length < y.length
+          }
+        }
+      }
+
+    private def groupByTime(rows: Seq[(Long, Seq[Double])])
+        : Seq[(Long, Seq[Seq[Double]])] = {
+      val out = Seq.newBuilder[(Long, Seq[Seq[Double]])]
+      var i = 0
+      while (i < rows.length) {
+        val t = rows(i)._1
+        var j = i
+        while (j < rows.length && rows(j)._1 == t) j += 1
+        out += ((t, rows.slice(i, j).map(_._2)))
+        i = j
+      }
+      out.result()
+    }
+
+    private def flush(key: K, fresh: Seq[(Long, Seq[Double])], wm: Long)
+        : Iterator[(K, Long, Seq[Double], Seq[Double])] = {
+      val curMin = if (minPending.exists()) minPending.get() else Long.MaxValue
+      val newMin = fresh.iterator.map(_._1).foldLeft(curMin)(math.min)
+      if (newMin > wm) { // nothing releasable: point-append fast path
+        if (fresh.nonEmpty) { fresh.foreach(pending.appendValue); minPending.update(newMin) }
+        rearm(getHandle, if (newMin == Long.MaxValue) None else Some(newMin), wm)
+        Iterator.empty
+      } else {
+        val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
+        val (ready, still) = buf.partition(_._1 <= wm)
+        var a = if (acc.exists()) acc.get()._1 else Seq.empty[Double]
+        var fr = if (frm.exists()) frm.get().toSeq else Seq.empty
+        val out = frame match {
+          case OverFrame.Unbounded | OverFrame.Rows(_) =>
+            ordered(ready).map { case (t, v) =>
+              val sums = frame match {
+                case OverFrame.Unbounded => a = plus(a, v); a
+                case OverFrame.Rows(n) =>
+                  fr = (fr :+ ((t, v))).takeRight(n); sumOf(fr)
+                case _ => throw new IllegalStateException("unreachable")
+              }
+              (key, t, v, sums)
+            }
+          case _ => // RANGE frames: tied rowtimes are peers
+            groupByTime(ordered(ready)).flatMap { case (t, peers) =>
+              val sums = frame match {
+                case OverFrame.Range(ms) =>
+                  fr = (fr ++ peers.map(v => (t, v))).filter(_._1 >= t - ms)
+                  sumOf(fr)
+                case OverFrame.UnboundedRange =>
+                  a = peers.foldLeft(a)(plus); a
+                case _ => throw new IllegalStateException("unreachable")
+              }
+              peers.map(v => (key, t, v, sums))
+            }
+        }
+        if (out.nonEmpty) {
+          frame match {
+            case OverFrame.Unbounded | OverFrame.UnboundedRange =>
+              acc.update(Tuple1(a)) // PERMANENT accumulator
+            case _ => frm.put(fr.toArray)
+          }
+        }
+        if (still.isEmpty) { pending.clear(); minPending.clear(); rearm(getHandle, None, wm) }
+        else {
+          val m = still.iterator.map(_._1).min
+          pending.put(still.toArray); minPending.update(m)
+          rearm(getHandle, Some(m), wm)
+        }
+        out.iterator
+      }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, Seq[Double])],
+        tv: TimerValues): Iterator[(K, Long, Seq[Double], Seq[Double])] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      flush(key, rows.map(r => (r._2.getTime, r._3)).filter(_._1 > wm).toSeq, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, Long, Seq[Double], Seq[Double])] =
+      flush(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Drop-in swap for `StatefulOps.overAggsByKey` — the FUSED multi-slot
+    * OVER pass the SQL front door executes, on point-write state: the
+    * watermark buffer is a ListState (append-only until release), the
+    * unbounded accumulator a ValueState, the bounded frame its own
+    * ListState. Exact output equality with the fMGWS original incl.
+    * per-slot combine ops, RANGE peer sharing and NaN-as-NULL skipping. */
+  def overAggsByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])],
+      frame: StatefulOps.OverFrame,
+      ops: IndexedSeq[StatefulOps.SlotOp] = null)(
+      implicit eo: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] =
+    ds.groupByKey(_._1)
+      .transformWithState(new OverAggsProc[K](frame, ops),
+        TimeMode.EventTime(), OutputMode.Append(), eo)
+
   // ---- append-only top-N ----------------------------------------------
 
   private class TopNProc[K](n: Int)

@@ -212,6 +212,56 @@ class StatefulTwsSpec extends AnyFunSuite {
     assert(ref.map(_._4) == Seq(1.0, 6.0, 6.0, 11.0))
   }
 
+  // ---- fused multi-slot OVER ------------------------------------------
+
+  private def runOverAggs(useTws: Boolean, sink: String,
+      frame: graft.streaming.StatefulOps.OverFrame)
+      : Seq[(Long, Long, Seq[Double], Seq[Double])] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.SlotOp
+    implicit val sqlCtx = spark.sqlContext
+    val ops = Vector[SlotOp](SlotOp.Sum, SlotOp.Min)
+    val in = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val watermarked = in.toDF().toDF("k", "ts", "vs")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, Seq[Double])]
+    val out = if (useTws) StatefulTws.overAggsByKey(watermarked, frame, ops)
+              else StatefulOps.overAggsByKey(watermarked, frame, ops)
+    val q = out.toDF("k", "t", "vs", "aggs").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // out-of-order + a tie at t=20 + a NaN (NULL-sentinel) min input
+      in.addData((1L, ts(30), Seq(3.0, 7.0)), (1L, ts(10), Seq(1.0, Double.NaN)),
+        (1L, ts(20), Seq(2.0, 5.0)), (1L, ts(20), Seq(2.5, 4.0)))
+      q.processAllAvailable()
+      in.addData((1L, ts(100), Seq(4.0, 6.0))) // releases 10..30
+      q.processAllAvailable()
+      in.addData((1L, ts(200), Seq(0.0, 9.0))) // releases 100: state carry
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Seq[Double], Seq[Double])].collect().toSeq
+  }
+
+  test("TWS fused OVER: exact equality across frames, ties, NaN slots") {
+    import graft.streaming.StatefulOps.OverFrame
+    def canon(s: Seq[(Long, Long, Seq[Double], Seq[Double])]) =
+      s.map { case (k, t, vs, ag) => (k, t, vs.mkString(","), ag.mkString(",")) }
+    for ((frame, tag) <- Seq(
+        (OverFrame.Rows(2), "rows"),
+        (OverFrame.Range(15000L), "range"),
+        (OverFrame.UnboundedRange, "urange"),
+        (OverFrame.Unbounded: OverFrame, "unb"))) {
+      val ref = runOverAggs(useTws = false, s"twss_oa_${tag}_ref", frame)
+      val tws = withRocksDB { runOverAggs(useTws = true, s"twss_oa_${tag}_new", frame) }
+      assert(canon(tws) == canon(ref), s"[$tag] tws=$tws ref=$ref")
+      assert(ref.size == 5, s"[$tag] expected 5 released rows, got $ref")
+    }
+    // spot-pin the RANGE peer rule on the tws output: both t=20 rows
+    // share one aggregate under a RANGE frame
+    val rng = runOverAggs(useTws = false, "twss_oa_pin", OverFrame.Range(15000L))
+      .filter(_._2 == 20000L).map(_._4)
+    assert(rng.size == 2 && rng.distinct.size == 1, s"peers differ: $rng")
+  }
+
   // ---- append-only top-N ----------------------------------------------
 
   private def runTopN(useTws: Boolean, sink: String): Seq[(String, Int, Double, String)] = {
