@@ -189,8 +189,34 @@ object AltCep {
             newRuns = newRuns.map(_.filterNot(r => starts.contains(startT(r))))
             (newRuns, Nil, foldEmit(completed))
           }
-        case other => throw new IllegalStateException(
-          s"$other is rejected at compile time for alternation patterns")
+        // SkipToFirst/SkipToLast: the skip variable is a LOGICAL id
+        // (shared across branches), so the boundary is computed on the
+        // FOLDED bound list of the preferred match — same boundary/prune
+        // rule as the linear executor (Cep.offer), branch-aware.
+        case AfterMatch.SkipToFirst(stepIdx) =>
+          if (completed.isEmpty) (newRuns, Nil, Nil)
+          else {
+            val pref = completed.minBy(prefKey)
+            val boundary = foldBound(pref._1, pref._2)
+              .filter(_.step == stepIdx).map(_.t)
+              .minOption.getOrElse(Long.MaxValue)
+            val emitted = pref :: completed.filterNot(_ eq pref)
+              .filter(_._2.last.t >= boundary)
+            newRuns = newRuns.map(_.filter(r => startT(r) >= boundary))
+            (newRuns, Nil, foldEmit(emitted))
+          }
+        case AfterMatch.SkipToLast(stepIdx) =>
+          if (completed.isEmpty) (newRuns, Nil, Nil)
+          else {
+            val pref = completed.minBy(prefKey)
+            val boundary = foldBound(pref._1, pref._2)
+              .filter(_.step == stepIdx).map(_.t)
+              .maxOption.getOrElse(Long.MaxValue)
+            val emitted = pref :: completed.filterNot(_ eq pref)
+              .filter(_._2.last.t >= boundary)
+            newRuns = newRuns.map(_.filter(r => startT(r) >= boundary))
+            (newRuns, Nil, foldEmit(emitted))
+          }
       }
     }
 
@@ -302,14 +328,19 @@ object AltCep {
       after: AfterMatch = AfterMatch.SkipPastLast,
       maxRuns: Int = 64): CompiledAlt = {
     require(nodes.nonEmpty, "pattern needs at least one node")
+    val nLogical = nodes.map(leafCountAll).sum
     after match {
-      case AfterMatch.SkipToFirst(_) | AfterMatch.SkipToLast(_) =>
-        throw new IllegalArgumentException(
-          "SkipToFirst/SkipToLast are not supported with alternation " +
-            "(step identity is ambiguous across branches)")
+      // the skip variable is a LOGICAL id shared across branches (same
+      // name -> same id): validated here, resolved per match via the
+      // variant's fold at emission (offerAll)
+      case AfterMatch.SkipToFirst(i) =>
+        require(i >= 0 && i < nLogical,
+          s"SKIP TO FIRST: logical step $i out of range (0 until $nLogical)")
+      case AfterMatch.SkipToLast(i) =>
+        require(i >= 0 && i < nLogical,
+          s"SKIP TO LAST: logical step $i out of range (0 until $nLogical)")
       case _ => ()
     }
-    val nLogical = nodes.map(leafCountAll).sum
     // the event mask carries one bit per LOGICAL leaf: without this guard
     // a >64-leaf alternation would wrap `1L << i` silently and classify
     // events onto the wrong variables instead of erroring

@@ -199,13 +199,39 @@ class AltCepSpec extends AnyFunSuite {
     assert(got == List(Seq(Seq(4L), Seq(), Seq(5L), Seq(6L))))
   }
 
+  test("SKIP TO FIRST/LAST with alternation: logical-id boundary, branch-aware") {
+    // (A | B) P — logical ids A=0 B=1 P=2
+    val altP = Seq(Alt(IndexedSeq(IndexedSeq(leaf()), IndexedSeq(leaf()))), leaf())
+    val ev = Seq((1L, m(0)), (2L, m(1)), (3L, m(2)), (4L, m(2)))
+    // SKIP TO FIRST A: the boundary is the A event (t=1), so the
+    // B-variant run seeded at t=2 SURVIVES the first emission and both
+    // completions at p@3 emit — where PAST LAST ROW prunes it
+    val first = AltCep.run(
+      AltCep.compile(altP, after = AfterMatch.SkipToFirst(0)), ev)
+    assert(first.toSet == Set(
+      Seq(Seq(1L), Seq(), Seq(3L)), Seq(Seq(), Seq(2L), Seq(3L))), s"$first")
+    val past = AltCep.run(
+      AltCep.compile(altP, after = AfterMatch.SkipPastLast), ev)
+    assert(past == List(Seq(Seq(1L), Seq(), Seq(3L))))
+    // skip variable ABSENT from the winning branch: boundary is +inf —
+    // every run is pruned and only the preferred match emits (the linear
+    // executor's minOption.getOrElse(MaxValue) rule, branch-aware)
+    val absent = AltCep.run(
+      AltCep.compile(altP, after = AfterMatch.SkipToFirst(1)), ev)
+    assert(absent == List(Seq(Seq(1L), Seq(), Seq(3L))), s"$absent")
+    // SKIP TO LAST P: boundary = the match end; nothing can rematch
+    val last = AltCep.run(
+      AltCep.compile(altP, after = AfterMatch.SkipToLast(2)), ev)
+    assert(last == List(Seq(Seq(1L), Seq(), Seq(3L))), s"$last")
+  }
+
   test("compile guards: unbounded-group alternation, skip-to, variant cap") {
     val alt = Alt(IndexedSeq(IndexedSeq(leaf()), IndexedSeq(leaf())))
     assertThrows[IllegalArgumentException] { // (A|B)+ fixes the choice
       AltCep.compile(Seq(Group(IndexedSeq(alt), 1, -1)))
     }
-    assertThrows[IllegalArgumentException] {
-      AltCep.compile(sAltP, after = AfterMatch.SkipToFirst(0))
+    assertThrows[IllegalArgumentException] { // skip variable out of range
+      AltCep.compile(sAltP, after = AfterMatch.SkipToFirst(9))
     }
     assertThrows[IllegalArgumentException] { // 2+4+...+2^10 variants
       AltCep.compile(Seq(Group(IndexedSeq(alt), 1, 10)))
