@@ -149,7 +149,13 @@ object Cep {
       after: AfterMatch = AfterMatch.SkipPastLast,
       maxRuns: Int = 64,
       skipTo: Map[Int, Seq[Int]] = Map.empty,
-      loopTo: Map[Int, Seq[Int]] = Map.empty) {
+      loopTo: Map[Int, Seq[Int]] = Map.empty,
+      // expanded-step -> LOGICAL-step fold (GroupCep): SkipToFirst/Last's
+      // step index is a logical id, and the boundary must consider every
+      // expanded copy of that variable. null = identity (linear patterns).
+      stepClass: IndexedSeq[Int] = null) {
+    /** Logical id of expanded step j for skip-boundary purposes. */
+    def classOf(j: Int): Int = if (stepClass == null) j else stepClass(j)
     require(steps.nonEmpty, "pattern needs at least one step")
     require(!steps.head.negated && !steps.last.negated,
       "notFollowedBy cannot be the first or last step (Flink contract)")
@@ -412,7 +418,8 @@ object Cep {
       case AfterMatch.SkipToFirst(stepIdx) =>
         if (completed.isEmpty) (surviving, Nil)
         else {
-          val boundary = completed.head.filter(_.step == stepIdx)
+          // fold-aware: any expanded copy of the logical variable counts
+          val boundary = completed.head.filter(b => p.classOf(b.step) == stepIdx)
             .map(_.t).minOption.getOrElse(Long.MaxValue)
           // the found (earliest-started) match emits; everything else —
           // completed or partial — starting before the boundary is skipped
@@ -423,7 +430,7 @@ object Cep {
       case AfterMatch.SkipToLast(stepIdx) =>
         if (completed.isEmpty) (surviving, Nil)
         else {
-          val boundary = completed.head.filter(_.step == stepIdx)
+          val boundary = completed.head.filter(b => p.classOf(b.step) == stepIdx)
             .map(_.t).maxOption.getOrElse(Long.MaxValue)
           val emitted = completed.head ::
             completed.tail.filter(_.last.t >= boundary)

@@ -182,10 +182,15 @@ object GroupCep {
       maxRuns: Int = 64): Compiled = {
     require(based.nonEmpty, "pattern needs at least one node")
     after match {
-      case AfterMatch.SkipToFirst(_) | AfterMatch.SkipToLast(_) =>
-        throw new IllegalArgumentException(
-          "SkipToFirst/SkipToLast are not supported with group patterns " +
-            "(step identity is ambiguous across copies)")
+      // the skip variable is a LOGICAL id; the linear executor resolves
+      // it through the fold (Pattern.stepClass), so every expanded copy
+      // of the variable counts toward the boundary
+      case AfterMatch.SkipToFirst(i) =>
+        require(i >= 0 && i < nLogical,
+          s"SKIP TO FIRST: logical step $i out of range (0 until $nLogical)")
+      case AfterMatch.SkipToLast(i) =>
+        require(i >= 0 && i < nLogical,
+          s"SKIP TO LAST: logical step $i out of range (0 until $nLogical)")
       case _ => ()
     }
     val steps = scala.collection.mutable.ArrayBuffer.empty[StepDef]
@@ -251,7 +256,8 @@ object GroupCep {
     Compiled(
       Pattern(steps.toIndexedSeq, within, after, maxRuns,
         skipTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap,
-        loopTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap),
+        loopTo.view.mapValues(_.reverse.distinct: Seq[Int]).toMap,
+        stepClass = fold.toIndexedSeq),
       fold.toIndexedSeq, nLogical)
   }
 

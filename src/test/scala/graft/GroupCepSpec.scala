@@ -248,14 +248,29 @@ class GroupCepSpec extends AnyFunSuite {
       (1L, "A", 30L), (1L, "B", 40L), (1L, "C", 50L)))
   }
 
+  test("SKIP TO LAST of a quantified group variable is fold-aware across copies") {
+    // A B{1,2} D — logical ids A=0 B=1 D=2; B expands to two copies
+    val c = GroupCep.compile(Seq(
+      Seg.step(), Seg.timesRange(1, 2, StepDef()), Seg.step()),
+      within = 1000L, after = AfterMatch.SkipToLast(1))
+    val got = GroupCep.run(c, Seq(
+      (1L, m(0)), (2L, m(1)), (3L, m(0)), (4L, m(1)), (5L, m(2)),
+      (6L, m(1)), (7L, m(2))))
+    // the greedy match binds BOTH B copies (t=2 and t=4); the boundary is
+    // the LAST bound B across copies (t=4) — the a@3 run (start < 4) is
+    // pruned, so no second match forms. A boundary computed on the first
+    // expanded copy only (t=2) would wrongly let a@3 b@4/6 d@7 emit.
+    assert(got == List(Seq(Seq(1L), Seq(2L, 4L), Seq(5L))), s"$got")
+  }
+
   test("compile guards: bit budget, skip targets, unsupported shapes") {
     val e1 = intercept[IllegalArgumentException](
       GroupCep.compile(Seq(Seg.times(40, StepDef(), StepDef()))))
     assert(e1.getMessage.contains("64"))
     val e2 = intercept[IllegalArgumentException](GroupCep.compile(
       Seq(Seg.oneOrMore(StepDef(), StepDef())),
-      after = AfterMatch.SkipToFirst(0)))
-    assert(e2.getMessage.contains("group"))
+      after = AfterMatch.SkipToFirst(9))) // out-of-range logical id
+    assert(e2.getMessage.contains("out of range"))
     val c = GroupCep.compile(Seq(
       Seg.step(), Seg.timesRange(1, 3, StepDef(), StepDef())))
     // copies 2 and 3 of the group are optional; both skip past copy 3
