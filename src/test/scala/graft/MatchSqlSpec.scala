@@ -57,6 +57,30 @@ class MatchSqlSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("AFTER MATCH SKIP TO FIRST with alternation through the SQL front door") {
+    import spark.implicits._
+    Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "p"),
+      (1L, 4L, 4L, "p"))
+      .toDF("uid", "t", "eid", "typ").createOrReplaceTempView("mr_alt_skip")
+    val got = Engine.sql(spark, s"""
+      SELECT uid, a_t, b_t, p_t FROM mr_alt_skip MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES FIRST(A.t) AS a_t, FIRST(B.t) AS b_t, FIRST(P.t) AS p_t
+        ONE ROW PER MATCH
+        PATTERN ((A | B) P)
+        AFTER MATCH SKIP TO FIRST A
+        DEFINE A AS typ = 'a', B AS typ = 'b', P AS typ = 'p'
+      )
+    """).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getLong(1),
+      if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toSet
+    // the A-boundary (t=1) lets the B-branch run survive the preferred
+    // emission: BOTH completions at p@3 emit — SKIP PAST LAST would
+    // emit only the A-branch match (AltCepSpec pins the library level)
+    assert(got == Set((1L, 1L, null, 3L), (1L, null, 2L, 3L)), s"$got")
+  }
+
   test("ALL ROWS PER MATCH dispatches to the all-rows executor") {
     import spark.implicits._
     fixture()
