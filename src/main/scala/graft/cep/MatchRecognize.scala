@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   ORDER BY <timeCol> [, <tieCol>]
   *   MEASURES <measure> AS <alias>, ...  -- measure := VAR.col (= FIRST)
   *            | FIRST|LAST|MIN|MAX|SUM(VAR.col) | COUNT(VAR.*)
+  *            -- VAR may be a SUBSET union variable
+  *   SUBSET <name> = (<var>, ...), ...   -- union variables (MEASURES only)
   *   ONE ROW PER MATCH                   -- the only supported mode
   *   PATTERN ( NAME[+|+?|?|{n}|{m,n}] ... )  -- + is GREEDY (SQL default),
   *                                           -- +? reluctant -> relaxed loop
@@ -61,6 +63,10 @@ object MatchRecognize {
       after: Cep.AfterMatch,
       defines: Map[String, String],
       measures: Seq[Measure] = Nil,
+      /** SUBSET union variables: name -> member pattern variables. Usable
+        * in MEASURES (a union variable measures over every member's bound
+        * events); not referenceable from DEFINE. */
+      subsets: Map[String, Seq[String]] = Map.empty,
       groups: Seq[(Int, Int, Int, Int)] = Nil,
       /** Set when the PATTERN uses alternation (`A | B`) or
         * `PERMUTE(...)`: the full pattern tree, executed through
@@ -86,6 +92,11 @@ object MatchRecognize {
   private val AfterRe =
     """(?is).*AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+FIRST\s+\w+|SKIP\s+TO\s+LAST\s+\w+).*""".r
   private val DefineRe = """(?is).*DEFINE\s+(.*)$""".r
+  // SQL:2016 SUBSET clause (union variables): between PATTERN and DEFINE
+  // (terminates at whichever clause follows — order-tolerant)
+  private val SubsetRe =
+    """(?is).*\bSUBSET\s+(.*?)\s*\b(?:DEFINE|AFTER\s+MATCH|WITHIN)\b.*""".r
+  private val SubsetEntryRe = """(?is)^\s*(\w+)\s*=\s*\(\s*(.*?)\s*\)\s*$""".r
   private val MeasuresRe =
     """(?is).*MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|PATTERN\s*\(|AFTER\s+MATCH|WITHIN\s|DEFINE\s).*""".r
   private val StepTok = """(\w+)(\+\?|\+|\?|\{\d+(?:,\d+)?\})?""".r
@@ -383,12 +394,27 @@ object MatchRecognize {
       }
       case _ => Nil
     }
+    val subsets: Map[String, Seq[String]] = clause match {
+      case SubsetRe(body) =>
+        splitTopLevel(body).map {
+          case SubsetEntryRe(name, members) =>
+            require(!stepIdx.contains(name),
+              s"MATCH_RECOGNIZE: SUBSET name $name collides with a pattern variable")
+            val ms = members.split(",").map(_.trim).toSeq
+            ms.foreach(v => require(stepIdx.contains(v),
+              s"MATCH_RECOGNIZE: SUBSET $name references unknown variable $v"))
+            name -> ms
+          case other => throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: bad SUBSET entry (need NAME = (V, ...)): $other")
+        }.toMap
+      case _ => Map.empty
+    }
     measures.foreach { m =>
-      require(stepIdx.contains(m.variable),
+      require(stepIdx.contains(m.variable) || subsets.contains(m.variable),
         s"MATCH_RECOGNIZE: unknown pattern variable ${m.variable} in MEASURES")
     }
     Clause(partition, order, tie, steps, within, after, defines, measures,
-      groups, treeOpt)
+      subsets, groups, treeOpt)
   }
 
   /** Lower a parsed clause onto (tagged events, compiled pattern). */
@@ -475,8 +501,10 @@ object MatchRecognize {
         col("__tie") === col("__ptie"))
 
     val aggs = c.measures.map { m =>
-      val i = stepIdx(m.variable)
-      val inStep = inStepOf(i)
+      // a SUBSET (union) variable is the OR of its members' predicates
+      val inStep =
+        if (stepIdx.contains(m.variable)) inStepOf(stepIdx(m.variable))
+        else c.subsets(m.variable).map(v => inStepOf(stepIdx(v))).reduce(_ || _)
       (m.fn match {
         case "COUNT" => count(when(inStep, lit(1)))
         case "AVG" => avg(when(inStep, col(m.column)))

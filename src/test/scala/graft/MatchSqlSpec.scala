@@ -57,6 +57,42 @@ class MatchSqlSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("SUBSET union variables measure over every member's bound events") {
+    import spark.implicits._
+    fixture()
+    val got = Engine.sql(spark, s"""
+      SELECT uid, n_edge, first_edge_t, last_edge_t, sum_edge_t
+      FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY uid
+        ORDER BY t, eid
+        MEASURES COUNT(U.*) AS n_edge, FIRST(U.t) AS first_edge_t,
+                 LAST(U.t) AS last_edge_t, SUM(U.t) AS sum_edge_t
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B+? C)
+        SUBSET U = (A, C)
+        DEFINE A AS typ = 'signup', B AS typ = 'click', C AS typ = 'buy'
+      )
+    """).as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // U unions the signup (t=10) and buy (t=40) bindings
+    assert(got == Seq((1L, 2L, 10L, 40L, 50L)), s"$got")
+    // bad subsets reject loudly
+    val eCol = intercept[IllegalArgumentException](Engine.sql(spark, s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY uid ORDER BY t, eid
+        MEASURES COUNT(A.*) AS n ONE ROW PER MATCH
+        PATTERN (A C) SUBSET A = (C)
+        DEFINE A AS typ = 'signup', C AS typ = 'buy')"""))
+    assert(eCol.getMessage.contains("collides"))
+    val eUnk = intercept[IllegalArgumentException](Engine.sql(spark, s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY uid ORDER BY t, eid
+        MEASURES COUNT(U.*) AS n ONE ROW PER MATCH
+        PATTERN (A C) SUBSET U = (A, Z)
+        DEFINE A AS typ = 'signup', C AS typ = 'buy')"""))
+    assert(eUnk.getMessage.contains("unknown variable"))
+  }
+
   test("AFTER MATCH SKIP TO FIRST with alternation through the SQL front door") {
     import spark.implicits._
     Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "p"),
