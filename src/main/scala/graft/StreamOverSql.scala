@@ -241,13 +241,14 @@ object StreamOverSql {
     // the aggregated expressions, carrying its output alias. Output
     // column order follows the select-item order, OVER items included
     // (matched by POSITION, so textually identical items stay distinct).
-    // Mapping precedence: only SUM/AVG VALUE slots back a projected
-    // expression (COUNT's 0/1 indicator is not the value — an expression
+    // Mapping precedence: any VALUE-carrying slot backs a projected
+    // expression — SUM/AVG/MIN/MAX all store the NaN-sentinel input
+    // itself (COUNT's 0/1 indicator is not the value — an expression
     // aggregated solely by COUNT cannot be projected); pk/rowtime
     // entries are added last and win collisions, so a projected `k`
     // stays the key column even when SUM(k) is among the aggregates.
     val valueSlotByText: Map[String, Int] =
-      aggSlots.collect { case (a, s, _) if a.fn == "SUM" || a.fn == "AVG" =>
+      aggSlots.collect { case (a, s, _) if a.fn != "COUNT" =>
         norm(a.valueText) -> s }.reverse.toMap // first declaration wins
     val known: Map[String, String] =
       valueSlotByText.map { case (txt, s) => txt -> s"v$s" } ++
@@ -264,7 +265,8 @@ object StreamOverSql {
     outCols.foreach { case (e, _) =>
       require(e.startsWith("__agg") || known.contains(e),
         s"streaming OVER select items must be the partition column, the " +
-          s"rowtime or a SUM/AVG-aggregated expression; got '$e'") }
+          s"rowtime or an aggregated expression (COUNT-only doesn't " +
+          s"qualify — its 0/1 indicator is not the value); got '$e'") }
 
     // the rowtime column is selected UNCAST: the source's watermark (set
     // by WatermarkDdl.readStream) propagates through a plain alias but

@@ -341,9 +341,6 @@ object WatermarkDdl {
     recreateView(spark, spec.name)
   }
 
-  /** (Re)build the user-visible view of an extended table from its base
-    * table's current schema + persisted computed columns — the step that
-    * exposes ALTERed physical columns and survives a base rename. */
   /** Flink's PROCTIME() time attribute (parserImpls.ftl, TimestampKind
     * PROCTIME): in a micro-batch runtime processing time is the batch
     * evaluation clock, so the computed column materializes as
@@ -370,6 +367,9 @@ object WatermarkDdl {
     }
   }
 
+  /** (Re)build the user-visible view of an extended table from its base
+    * table's current schema + persisted computed columns — the step that
+    * exposes ALTERed physical columns and survives a base rename. */
   private def recreateView(spark: SparkSession, table: String): Unit = {
     val spec = specOf(spark, table)
     val sel = (spec.physical.map(_._1) ++

@@ -1895,6 +1895,10 @@ object PipelineOps extends QueryModule {
       |               LATERAL (SELECT unnest(range(1, len(v.seq) + 1)) AS i) t))))
       |  WHERE NOT coalesce(prev_sel, false)
       |  GROUP BY w, freq
+      |  UNION ALL
+      |  -- training exhausted before this round (mg$r empty): carry the
+      |  -- vocab forward unchanged, as bpeTrainFull keeps its last `cur`
+      |  SELECT w, freq, seq FROM $p WHERE NOT EXISTS (SELECT 1 FROM mg$r)
       |)""".stripMargin
     }
     s"""WITH toks AS (

@@ -192,6 +192,67 @@ object StatefulOps {
     case object Max extends SlotOp
   }
 
+  /** Shared slot arithmetic and tie ordering of the fused OVER passes —
+    * ONE definition serving the fMGWS executor, the transformWithState
+    * port and the proc-time executor, so the NULL-skip and tie-order
+    * semantics cannot drift between them. */
+  private[streaming] object Slots {
+    def comb(op: SlotOp, x: Double, y: Double): Double =
+      if (x.isNaN) y else if (y.isNaN) x
+      else op match {
+        case SlotOp.Sum => x + y
+        case SlotOp.Min => math.min(x, y)
+        case SlotOp.Max => math.max(x, y)
+      }
+
+    /** Elementwise combine; `ops = null` means all-Sum. */
+    def plus(ops: IndexedSeq[SlotOp], a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      if (a.isEmpty) b
+      else {
+        require(a.length == b.length,
+          s"over slots disagree (${a.length} vs ${b.length})")
+        Seq.tabulate(a.length)(i =>
+          comb(if (ops == null) SlotOp.Sum else ops(i), a(i), b(i)))
+      }
+
+    def sumOf(ops: IndexedSeq[SlotOp], rows: Seq[(Long, Seq[Double])]): Seq[Double] =
+      rows.foldLeft(Seq.empty[Double])((z, r) => plus(ops, z, r._2))
+
+    /** TOTAL order on (t, values) — the deterministic tie order of the
+      * bounded/RANGE frames. Slot comparisons go through
+      * java.lang.Double.compare, which totals NaN (greater than every
+      * value, equal to itself): the NaN NULL-sentinel must not violate
+      * sortWith's strict-weak-ordering contract (TimSort throws
+      * "Comparison method violates its general contract!") or make the
+      * tie order nondeterministic across retries. */
+    def tieLess(a: (Long, Seq[Double]), b: (Long, Seq[Double])): Boolean =
+      if (a._1 != b._1) a._1 < b._1
+      else {
+        val (x, y) = (a._2, b._2)
+        var i = 0
+        while (i < x.length && i < y.length &&
+          java.lang.Double.compare(x(i), y(i)) == 0) i += 1
+        if (i < x.length && i < y.length)
+          java.lang.Double.compare(x(i), y(i)) < 0
+        else x.length < y.length
+      }
+
+    /** Consecutive-equal-timestamp runs of an already-time-sorted seq —
+      * the RANGE frames' peer groups. */
+    def groupByTime(rows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Seq[Double]])] = {
+      val out = Seq.newBuilder[(Long, Seq[Seq[Double]])]
+      var i = 0
+      while (i < rows.length) {
+        val t = rows(i)._1
+        var j = i
+        while (j < rows.length && rows(j)._1 == t) j += 1
+        out += ((t, rows.slice(i, j).map(_._2)))
+        i = j
+      }
+      out.result()
+    }
+  }
+
   /** Generalized streaming OVER: each row, released in event-time order,
     * is annotated with the ELEMENTWISE SUMS of a value VECTOR over the
     * frame — so one stateful pass serves several aggregates sharing one
@@ -220,36 +281,10 @@ object StatefulOps {
       e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
       : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
 
-    def comb(op: SlotOp, x: Double, y: Double): Double =
-      if (x.isNaN) y else if (y.isNaN) x
-      else op match {
-        case SlotOp.Sum => x + y
-        case SlotOp.Min => math.min(x, y)
-        case SlotOp.Max => math.max(x, y)
-      }
-    def opAt(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
-    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-      if (a.isEmpty) b
-      else {
-        require(a.length == b.length,
-          s"overAggsByKey: slot vectors disagree (${a.length} vs ${b.length})")
-        Seq.tabulate(a.length)(i => comb(opAt(i), a(i), b(i)))
-      }
-    def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
-      rows.foldLeft(Seq.empty[Double])((acc, r) => plus(acc, r._2))
-    // consecutive-equal-timestamp runs of an already-time-sorted seq
-    def groupByTime(rows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Seq[Double]])] = {
-      val out = Seq.newBuilder[(Long, Seq[Seq[Double]])]
-      var i = 0
-      while (i < rows.length) {
-        val t = rows(i)._1
-        var j = i
-        while (j < rows.length && rows(j)._1 == t) j += 1
-        out += ((t, rows.slice(i, j).map(_._2)))
-        i = j
-      }
-      out.result()
-    }
+    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] = Slots.plus(ops, a, b)
+    def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] = Slots.sumOf(ops, rows)
+    def groupByTime(rows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Seq[Double]])] =
+      Slots.groupByTime(rows)
 
     def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Seq[Double])],
         state: GroupState[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])])
@@ -267,22 +302,14 @@ object StatefulOps {
       var acc = acc0
       var frm = frame0
       // tie order at equal timestamps: the bounded frames process in
-      // (t, vector) order — deterministic under any shuffle/retry, and
-      // the single-slot (t, v) order the pre-fusion operators had; the
-      // unbounded ROWS frame keeps arrival order (its historical contract
-      // — only transient prefix sums differ on ties, the totals don't)
+      // total (t, vector) order (Slots.tieLess — NaN-safe) — deterministic
+      // under any shuffle/retry, and the single-slot (t, v) order the
+      // pre-fusion operators had; the unbounded ROWS frame keeps arrival
+      // order (its historical contract — only transient prefix sums
+      // differ on ties, the totals don't)
       val ordered = frame match {
         case OverFrame.Unbounded => ready.sortBy(_._1)
-        case _ => ready.sortWith { (a, b) =>
-          if (a._1 != b._1) a._1 < b._1
-          else {
-            val (x, y) = (a._2, b._2)
-            var i = 0
-            while (i < x.length && i < y.length && x(i) == y(i)) i += 1
-            if (i < x.length && i < y.length) x(i) < y(i)
-            else x.length < y.length
-          }
-        }
+        case _ => ready.sortWith(Slots.tieLess)
       }
       // RANGE frames: rows sharing a rowtime are SQL PEERS — the frame's
       // upper bound is the current row's TIME, so every peer's frame
@@ -355,17 +382,7 @@ object StatefulOps {
       e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
       : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
 
-    def comb(op: SlotOp, x: Double, y: Double): Double =
-      if (x.isNaN) y else if (y.isNaN) x
-      else op match {
-        case SlotOp.Sum => x + y
-        case SlotOp.Min => math.min(x, y)
-        case SlotOp.Max => math.max(x, y)
-      }
-    def opAt(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
-    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-      if (a.isEmpty) b
-      else Seq.tabulate(a.length)(i => comb(opAt(i), a(i), b(i)))
+    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] = Slots.plus(ops, a, b)
 
     def update(key: K, rows: Iterator[(K, Seq[Double])],
         state: GroupState[(Seq[Double], Seq[(Long, Seq[Double])])])

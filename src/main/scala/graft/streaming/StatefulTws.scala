@@ -40,12 +40,11 @@ object StatefulTws {
   private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
   private val eNum = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
-  /** NaN-skipping sum, matching StatefulOps.overAggsByKey's combine op:
-    * NaN encodes a NULL input and is ignored; an all-NaN (or empty)
-    * reduction stays NaN. Keeps the TWS ports output-equal to the fMGWS
-    * originals on NaN-sentinel inputs. */
+  /** NaN-skipping sum — StatefulOps.Slots.comb's Sum op, shared so the
+    * TWS ports stay output-equal to the fMGWS originals on NaN-sentinel
+    * (NULL) inputs. An all-NaN (or empty) reduction stays NaN. */
   private def nanSum(acc: Double, v: Double): Double =
-    if (acc.isNaN) v else if (v.isNaN) acc else acc + v
+    StatefulOps.Slots.comb(StatefulOps.SlotOp.Sum, acc, v)
 
   private def nanSumOf(vs: Iterable[Double]): Double =
     vs.foldLeft(Double.NaN)(nanSum)
@@ -407,48 +406,19 @@ object StatefulTws {
       minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def comb(op: SlotOp, x: Double, y: Double): Double =
-      if (x.isNaN) y else if (y.isNaN) x
-      else op match {
-        case SlotOp.Sum => x + y
-        case SlotOp.Min => math.min(x, y)
-        case SlotOp.Max => math.max(x, y)
-      }
-    private def opAt(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
+    // slot arithmetic / tie order / peer grouping shared with the fMGWS
+    // executor (StatefulOps.Slots) — semantics defined exactly once
     private def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-      if (a.isEmpty) b else Seq.tabulate(a.length)(i => comb(opAt(i), a(i), b(i)))
+      StatefulOps.Slots.plus(ops, a, b)
     private def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
-      rows.foldLeft(Seq.empty[Double])((z, r) => plus(z, r._2))
-
-    // same deterministic tie order as the fMGWS original
+      StatefulOps.Slots.sumOf(ops, rows)
     private def ordered(ready: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
       frame match {
         case OverFrame.Unbounded => ready.sortBy(_._1)
-        case _ => ready.sortWith { (a, b) =>
-          if (a._1 != b._1) a._1 < b._1
-          else {
-            val (x, y) = (a._2, b._2)
-            var i = 0
-            while (i < x.length && i < y.length && x(i) == y(i)) i += 1
-            if (i < x.length && i < y.length) x(i) < y(i)
-            else x.length < y.length
-          }
-        }
+        case _ => ready.sortWith(StatefulOps.Slots.tieLess)
       }
-
     private def groupByTime(rows: Seq[(Long, Seq[Double])])
-        : Seq[(Long, Seq[Seq[Double]])] = {
-      val out = Seq.newBuilder[(Long, Seq[Seq[Double]])]
-      var i = 0
-      while (i < rows.length) {
-        val t = rows(i)._1
-        var j = i
-        while (j < rows.length && rows(j)._1 == t) j += 1
-        out += ((t, rows.slice(i, j).map(_._2)))
-        i = j
-      }
-      out.result()
-    }
+        : Seq[(Long, Seq[Seq[Double]])] = StatefulOps.Slots.groupByTime(rows)
 
     private def flush(key: K, fresh: Seq[(Long, Seq[Double])], wm: Long)
         : Iterator[(K, Long, Seq[Double], Seq[Double])] = {

@@ -317,7 +317,7 @@ class StreamOverSqlSpec extends AnyFunSuite {
           SELECT k, v, COUNT(v) OVER (PARTITION BY k ORDER BY ts) AS c FROM $src""",
           java.nio.file.Files.createTempDirectory("graft-over-rejc").toString)
       }
-      assert(eCnt.getMessage.contains("SUM/AVG-aggregated"))
+      assert(eCnt.getMessage.contains("COUNT-only doesn't"))
       // explicit duplicate aliases would collide in the sink
       val eDup = intercept[IllegalArgumentException] {
         Engine.sqlStreamInsert(spark, s"""
@@ -336,9 +336,19 @@ class StreamOverSqlSpec extends AnyFunSuite {
           java.nio.file.Files.createTempDirectory("graft-over-rej2").toString)
       }
       assert(e2.getMessage.contains("select items"))
+      // positive counterpart: an expression aggregated ONLY by MIN is
+      // still projectable — its slot carries the value itself
+      Engine.sql(spark,
+        s"CREATE TABLE $sink (k BIGINT, v DOUBLE, lo DOUBLE) USING parquet")
+      val ok = Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT k, v, MIN(v) OVER (PARTITION BY k ORDER BY ts) AS lo FROM $src""",
+        java.nio.file.Files.createTempDirectory("graft-over-okmin").toString)
+      ok.stop()
     } finally {
       Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
       Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
     }
   }
 }
