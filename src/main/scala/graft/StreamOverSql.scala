@@ -285,7 +285,13 @@ object StreamOverSql {
         val typed = src.select(keyCol, col(rowtime).as("t"),
             array(slotCols.result(): _*).as("v"))
           .as[(String, java.sql.Timestamp, Seq[Double])]
-        StatefulOps.overAggsByKey(typed, frame, slotOps.result())
+        // graft.over.tws=true selects the transformWithState port of the
+        // fused pass (point-write state — the RocksDB/scale path; exact
+        // output equality with the default is spec-pinned)
+        val useTws = spark.conf.getOption("graft.over.tws").contains("true")
+        (if (useTws)
+          graft.streaming.StatefulTws.overAggsByKey(typed, frame, slotOps.result())
+        else StatefulOps.overAggsByKey(typed, frame, slotOps.result()))
           .toDF("k", "t_ms", "vals", "sums")
       }
 
