@@ -69,13 +69,15 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
     /** Cancel must NOT wait for the operation monitor: a page() pull may
       * be blocked inside a long Spark job holding it. The status flip
       * (volatile) and the job-group kill happen lock-free — the kill
-      * makes the blocked iterator throw, releasing the monitor — and
-      * only the buffer cleanup synchronizes. */
+      * makes the blocked iterator throw (tasks poll the kill flag per
+      * record via InterruptibleIterator; no thread interrupt involved),
+      * releasing the monitor — and only the buffer cleanup synchronizes. */
     def cancel(oh: String): Unit = {
       if (status == "RUNNING" || status == "FINISHED") {
         status = "CANCELED"
         error = "operation canceled"
-        spark.sparkContext.cancelJobGroup(oh)
+        spark.sparkContext.cancelJobsWithTag(tagOf(oh),
+          s"gateway operation $oh canceled")
         synchronized { iter = null; pages.clear() }
       }
     }
@@ -88,7 +90,8 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
             status != "CANCELED") {
           val buf = Vector.newBuilder[Seq[Any]]
           var n = 0
-          while (n < pageSize && fetchedRows < cap && iter.hasNext) {
+          while (n < pageSize && fetchedRows < cap &&
+              status != "CANCELED" && iter.hasNext) {
             val r = iter.next()
             buf += (0 until r.length).map(r.get)
             n += 1; fetchedRows += 1
@@ -109,6 +112,28 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
       (out, pages.length > token + 1 || !exhausted)
     }
   }
+
+  /** Tag Spark jobs submitted on behalf of operation `oh` so cancel()
+    * can reach them. Job TAGS, not job groups: an AQE query runs its
+    * shuffle-stage and broadcast jobs from Spark's own pools, and tags
+    * are the mechanism Spark's SQL cancellation propagates through those
+    * submission paths — a thread-local job GROUP misses them, leaving
+    * the canceled query's heavy stage running and starving every later
+    * query of executor slots (the round-7 SqlGatewaySpec timeouts: the
+    * two tests after the cancel test waited 30 s behind a zombie
+    * cartesian join). add/removeJobTag also avoids
+    * setJobGroup/clearJobGroup's thread-inherited state. Cancellation
+    * relies on the task kill flag (polled per record by
+    * InterruptibleIterator), NOT thread interrupts: on a shared
+    * local-mode executor a stale interrupt landing after its task
+    * completed would poison the pooled thread for whatever runs next. */
+  private def tagged[T](oh: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    sc.addJobTag(SqlGateway.tagOf(oh))
+    try f finally sc.removeJobTag(SqlGateway.tagOf(oh))
+  }
+
+  private def tagOf(oh: String): String = SqlGateway.tagOf(oh)
 
   private val sessions = new ConcurrentHashMap[String, ConcurrentHashMap[String, Operation]]()
   private val pool = Executors.newFixedThreadPool(4)
@@ -239,17 +264,15 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
             ops.put(oh, op)
             pool.submit(new Runnable {
               override def run(): Unit =
-                try {
-                  // tag this operation's jobs so cancel() can kill them;
-                  // lazy page pulls from HTTP threads re-tag themselves
-                  spark.sparkContext.setJobGroup(oh, s"gateway $oh",
-                    interruptOnCancel = true)
+                try tagged(oh) {
                   val df: DataFrame = Engine.sql(spark, stmt)
                   op.columns = df.schema.fieldNames.toSeq
                   // bind + prefetch only while still live: a cancel that
-                  // landed during planning must not have its job-group
-                  // kill outrun by fresh jobs submitted here
-                  if (op.bind(df.toLocalIterator().asScala)) {
+                  // landed during planning must not have its tag-kill
+                  // outrun by fresh stage jobs submitted here (an AQE
+                  // toLocalIterator materializes upstream stages eagerly)
+                  if (op.status == "RUNNING" &&
+                      op.bind(df.toLocalIterator().asScala)) {
                     // prefetch page 0 so FINISHED means "fetchable now";
                     // later pages pull on demand
                     op.page(0, MaxResultRows)
@@ -257,7 +280,7 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
                   }
                 } catch {
                   case t: Throwable => op.fail(t)
-                } finally spark.sparkContext.clearJobGroup()
+                }
             })
             respond(ex, 200, s"""{"operationHandle":"$oh"}""")
         }
@@ -288,11 +311,7 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
               val token = tokenStr.toInt
               // lazy page pulls run Spark jobs on THIS thread: tag them
               // with the operation's group so cancel() reaches them
-              spark.sparkContext.setJobGroup(oh, s"gateway $oh",
-                interruptOnCancel = true)
-              val (page, more) =
-                try op.page(token, MaxResultRows)
-                finally spark.sparkContext.clearJobGroup()
+              val (page, more) = tagged(oh) { op.page(token, MaxResultRows) }
               val data = page.getOrElse(Nil)
                 .map(r => "[" + r.map(jval).mkString(",") + "]")
                 .mkString("[", ",", "]")
@@ -313,6 +332,11 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
 }
 
 object SqlGateway {
+  /** Job tag carried by every Spark job an operation submits — the unit
+    * cancel() kills by, and the handle tests/tools use to observe an
+    * operation's jobs via SparkStatusTracker.getJobIdsForTag. */
+  private[graft] def tagOf(oh: String): String = s"graft-gateway-$oh"
+
   /** CLI entry: start the gateway over the fixture catalog and block.
     * Usage: runMain graft.SqlGateway <sfDir> [port]. */
   def main(args: Array[String]): Unit = {

@@ -35,10 +35,18 @@ import org.apache.spark.sql.functions._
   * processing time being the micro-batch tick — so RANGE frames treat a
   * key's whole micro-batch as peers, Flink's same-proctime peer rule at
   * batch granularity (see StatefulOps.procOverAggsByKey).
-  * Any number of SUM/COUNT/AVG/MIN/MAX items, all sharing ONE identical
-  * window spec (MIN/MAX ride a NaN-sentinel slot with a Min/Max combine
-  * op; a NaN DATA value is indistinguishable from NULL there — the
-  * standard float-aggregate caveat). Non-aggregate select items must be the partition column, the
+  * Any number of SUM/COUNT/AVG/MIN/MAX/FIRST_VALUE/LAST_VALUE items
+  * sharing ONE PARTITION BY + ORDER BY; since r8 the FRAMES may DIFFER
+  * per item — every item still runs in the single fused pass, each slot
+  * aggregating over its own window (Slots.Multi; the reference's
+  * StreamExecOverAggregate chains one operator per window instead).
+  * MIN/MAX/FIRST_VALUE/LAST_VALUE ride a NaN-sentinel slot with a
+  * Min/Max/First/Last combine op (a NaN DATA value is indistinguishable
+  * from NULL there — the standard float-aggregate caveat);
+  * FIRST_VALUE/LAST_VALUE follow the reference's aggregates
+  * (FirstValueAggFunction: first/last NON-NULL, i.e. IGNORE NULLS —
+  * batch spark.sql needs an explicit IGNORE NULLS for the same result).
+  * Non-aggregate select items must be the partition column, the
   * rowtime, or one of the aggregated expressions (projected as nullable
   * DOUBLE — the aggregate's input, NULLs preserved). The ORDER BY column must be
   * the table's declared WATERMARK attribute. Rows are released in
@@ -68,7 +76,8 @@ object StreamOverSql {
   private val SelRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
   private val OverItemRe =
-    ("""(?is)^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(.+?|\*)\s*\)\s+OVER\s*\(\s*""" +
+    ("""(?is)^\s*(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE)\s*\(\s*(.+?|\*)\s*\)""" +
+      """(?:\s+(IGNORE|RESPECT)\s+NULLS)?\s+OVER\s*\(\s*""" +
       """(?:PARTITION\s+BY\s+`?(\w+)`?\s+)?ORDER\s+BY\s+`?(\w+)`?\s*(.*?)\)""" +
       """\s*(?:AS\s+`?(\w+)`?)?\s*$""").r
   private val RowsFrameRe =
@@ -82,8 +91,8 @@ object StreamOverSql {
   private val AliasRe = """(?is)^\s*(.+?)\s+AS\s+`?(\w+)`?\s*$""".r
 
   private final case class AggItem(fn: String, valueText: String,
-      pk: Option[String], rowtime: String, frameText: String,
-      aliasOpt: Option[String]) {
+      nullsOpt: Option[String], pk: Option[String], rowtime: String,
+      frameText: String, aliasOpt: Option[String]) {
     /** A single unaliased item keeps the historical `sum_over` name;
       * multiple items disambiguate by position. */
     def alias(idx: Int, total: Int): String = aliasOpt.getOrElse(
@@ -91,8 +100,9 @@ object StreamOverSql {
   }
 
   private def parseOverItem(item: String): Option[AggItem] = item match {
-    case OverItemRe(f, v, p, o, fr, al) =>
-      Some(AggItem(f.toUpperCase, v.trim, Option(p), o, fr.trim, Option(al)))
+    case OverItemRe(f, v, nl, p, o, fr, al) =>
+      Some(AggItem(f.toUpperCase, v.trim, Option(nl).map(_.toUpperCase),
+        Option(p), o, fr.trim, Option(al)))
     case _ => None
   }
 
@@ -102,12 +112,14 @@ object StreamOverSql {
 
   /** Dispatch predicate — SHAPE-PRECISE: true only when the whole
     * statement fits the supported single-table form (one or more
-    * SUM/COUNT/AVG OVER items sharing one recognized window spec). A
-    * statement that merely CONTAINS an OVER — e.g. a window function on
-    * the batch-side subquery of a stream-batch join — must fall through
-    * to spark.sql, which plans it as before; a statement that fits the
-    * shape but is semantically invalid (wrong ORDER BY column, extra
-    * select items) stays here and is rejected loudly by [[lower]]. */
+    * SUM/COUNT/AVG/MIN/MAX/FIRST_VALUE/LAST_VALUE OVER items sharing one
+    * PARTITION BY + ORDER BY; frames may DIFFER per item — each item
+    * aggregates over its own window in one fused pass). A statement that
+    * merely CONTAINS an OVER — e.g. a window function on the batch-side
+    * subquery of a stream-batch join — must fall through to spark.sql,
+    * which plans it as before; a statement that fits the shape but is
+    * semantically invalid (wrong ORDER BY column, extra select items)
+    * stays here and is rejected loudly by [[lower]]. */
   def matches(select: String): Boolean = select match {
     case SelRe(itemsText, _, _) =>
       val items = graft.util.SqlSplit.splitTopLevel(itemsText).map(_.trim)
@@ -117,7 +129,7 @@ object StreamOverSql {
         parsed.forall(_.isDefined) && {
           val ps = parsed.flatten
           ps.forall(p => frameOk(p.frameText)) &&
-            ps.map(p => (p.pk, p.rowtime, p.frameText)).distinct.size == 1
+            ps.map(p => (p.pk, p.rowtime)).distinct.size == 1
         }
       }
     case _ => false
@@ -149,15 +161,20 @@ object StreamOverSql {
     val aliases = aggs.zipWithIndex.map { case (a, i) => a.alias(i, aggs.size) }
     require(aliases.distinct.size == aliases.size,
       s"duplicate OVER output aliases: ${aliases.mkString(", ")}")
-    require(aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct.size == 1,
-      "every OVER item must share one identical window spec " +
-        s"(got: ${aggs.map(a => (a.pk, a.rowtime, a.frameText)).distinct})")
+    // one shared PARTITION BY + ORDER BY; FRAMES may differ per item —
+    // each item aggregates over its own window in one fused pass
+    // (Slots.Multi). Different partition/order columns would need
+    // re-keyed chained operators; rejected loudly.
+    require(aggs.map(a => (a.pk, a.rowtime)).distinct.size == 1,
+      "every OVER item must share one PARTITION BY + ORDER BY " +
+        "(frames may differ; different keys/orderings are not supported) " +
+        s"(got: ${aggs.map(a => (a.pk, a.rowtime)).distinct})")
     // PARTITION BY is optional (Flink's non-partitioned OVER): without
     // it the whole stream shares ONE state key — a parallelism-1
     // operator by construction, same as the reference's global OVER
     val pkOpt = aggs.head.pk
     val rowtime = aggs.head.rowtime
-    val frame: OverFrame = aggs.head.frameText match {
+    def parseFrame(text: String): OverFrame = text match {
       // no frame clause = the SQL default, RANGE UNBOUNDED PRECEDING —
       // peer-sharing semantics, same as batch spark.sql / DuckDB
       case UnboundedFrameRe(kw) =>
@@ -175,12 +192,26 @@ object StreamOverSql {
         s"unsupported OVER frame for streaming: $other")
     }
     aggs.foreach { a =>
-      require(Set("SUM", "COUNT", "AVG", "MIN", "MAX")(a.fn),
+      require(Set("SUM", "COUNT", "AVG", "MIN", "MAX",
+          "FIRST_VALUE", "LAST_VALUE")(a.fn),
         s"unsupported OVER aggregate ${a.fn}")
       require(a.fn != "COUNT" || a.valueText == "*" ||
           !a.valueText.contains("("),
         s"COUNT supports * or a plain column, got COUNT(${a.valueText})")
       require(a.fn == "COUNT" || a.valueText != "*", s"${a.fn}(*) is not SQL")
+      // FIRST_VALUE/LAST_VALUE follow the reference's aggregate
+      // semantics — first/last NON-NULL value (FirstValueAggFunction /
+      // LastValueAggFunction), i.e. IGNORE NULLS. RESPECT NULLS cannot
+      // be expressed through the NaN-sentinel NULL encoding and differs
+      // from the reference; rejected loudly. NOTE: batch spark.sql
+      // defaults to RESPECT NULLS for the same text — write IGNORE NULLS
+      // explicitly for batch/stream parity on NULL data.
+      require(a.nullsOpt.isEmpty ||
+          Set("FIRST_VALUE", "LAST_VALUE")(a.fn),
+        s"${a.fn} does not take an ${a.nullsOpt.getOrElse("")} NULLS clause")
+      require(!a.nullsOpt.contains("RESPECT"),
+        s"${a.fn} RESPECT NULLS is not supported: the reference's " +
+          "FIRST_VALUE/LAST_VALUE aggregates ignore NULLs")
     }
 
     val wmCol = WatermarkDdl.watermarkCol(spark, table)
@@ -202,38 +233,45 @@ object StreamOverSql {
 
     // slot assembly: SUM/AVG -> one NaN-sentinel value slot (Sum op);
     // COUNT -> one indicator slot; AVG adds the non-null-count slot;
-    // MIN/MAX -> a NaN-sentinel slot with a Min/Max combine op. NaN
-    // encodes a NULL input, skipped by every combine op, so a frame with
-    // no non-null inputs reduces to NaN and reads back NULL — SQL's
-    // NULL-ignoring aggregates without killing the non-nullable encoder.
-    // Slots DEDUP by (kind, expression): SUM(v) + COUNT(v) + AVG(v)
-    // share one value and one indicator slot — every buffered row in
-    // state carries the minimal vector.
+    // MIN/MAX -> a NaN-sentinel slot with a Min/Max combine op;
+    // FIRST_VALUE/LAST_VALUE -> a NaN-sentinel slot with a First/Last
+    // combine op. NaN encodes a NULL input, skipped by every combine op,
+    // so a frame with no non-null inputs reduces to NaN and reads back
+    // NULL — SQL's NULL-ignoring aggregates without killing the
+    // non-nullable encoder. Slots DEDUP by (kind, expression, FRAME):
+    // SUM(v) + COUNT(v) + AVG(v) over one window share one value and one
+    // indicator slot — every buffered row in state carries the minimal
+    // vector; the same aggregate over a different frame is its own slot.
     import graft.streaming.StatefulOps.SlotOp
     def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
     val slotCols = Vector.newBuilder[Column]
     val slotOps = Vector.newBuilder[SlotOp]
+    val slotFrames = Vector.newBuilder[OverFrame]
     var nSlots = 0
-    val slotCache = scala.collection.mutable.Map.empty[(String, String), Int]
-    def slotOf(kind: String, txt: String, op: SlotOp = SlotOp.Sum)(c: => Column): Int =
-      slotCache.getOrElseUpdate((kind, txt),
-        { slotCols += c; slotOps += op; nSlots += 1; nSlots - 1 })
-    def valueSlot(a: AggItem): Int = slotOf("val", norm(a.valueText))(
+    val slotCache = scala.collection.mutable.Map.empty[(String, String, String), Int]
+    def slotOf(a: AggItem, kind: String, txt: String,
+        op: SlotOp = SlotOp.Sum)(c: => Column): Int =
+      slotCache.getOrElseUpdate((kind, txt, norm(a.frameText)),
+        { slotCols += c; slotOps += op; slotFrames += parseFrame(a.frameText)
+          nSlots += 1; nSlots - 1 })
+    def valueSlot(a: AggItem): Int = slotOf(a, "val", norm(a.valueText))(
       coalesce(expr(a.valueText).cast("double"), lit(Double.NaN)))
     def indicatorSlot(a: AggItem): Int =
-      if (a.valueText == "*") slotOf("star", "")(lit(1.0))
-      else slotOf("ind", norm(a.valueText))(
+      if (a.valueText == "*") slotOf(a, "star", "")(lit(1.0))
+      else slotOf(a, "ind", norm(a.valueText))(
         when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0))
-    def extremeSlot(a: AggItem, op: SlotOp): Int =
-      slotOf(if (op == SlotOp.Min) "min" else "max", norm(a.valueText), op)(
+    def opSlot(a: AggItem, kind: String, op: SlotOp): Int =
+      slotOf(a, kind, norm(a.valueText), op)(
         coalesce(expr(a.valueText).cast("double"), lit(Double.NaN)))
     val aggSlots: Seq[(AggItem, Int, Int)] = aggs.map { a =>
       a.fn match {
         case "SUM" => (a, valueSlot(a), -1)
         case "COUNT" => (a, indicatorSlot(a), -1)
         case "AVG" => (a, valueSlot(a), indicatorSlot(a))
-        case "MIN" => (a, extremeSlot(a, SlotOp.Min), -1)
-        case "MAX" => (a, extremeSlot(a, SlotOp.Max), -1)
+        case "MIN" => (a, opSlot(a, "min", SlotOp.Min), -1)
+        case "MAX" => (a, opSlot(a, "max", SlotOp.Max), -1)
+        case "FIRST_VALUE" => (a, opSlot(a, "first", SlotOp.First), -1)
+        case "LAST_VALUE" => (a, opSlot(a, "last", SlotOp.Last), -1)
       }
     }
 
@@ -273,13 +311,19 @@ object StreamOverSql {
     // not through a cast, and re-declaring it here would trip Spark's
     // "redefining watermark" guard
     val keyCol = pkOpt.map(p => col(p).cast("string")).getOrElse(lit("")).as("k")
+    val frames = slotFrames.result()
     val ran =
       if (procTime) {
         // proc-time executors ignore the (computed) proctime column's
-        // values — processing time IS the batch tick, emitted as t_ms
+        // values — processing time IS the batch tick, emitted as t_ms.
+        // Multi-frame proc-time OVER is not lowered (the reference's
+        // ProcTime*Function family is one operator per window too).
+        require(frames.distinct.size == 1,
+          "processing-time OVER supports one shared frame per statement " +
+            s"(got: ${frames.distinct.mkString(", ")})")
         val typed = src.select(keyCol, array(slotCols.result(): _*).as("v"))
           .as[(String, Seq[Double])]
-        StatefulOps.procOverAggsByKey(typed, frame, slotOps.result())
+        StatefulOps.procOverAggsByKey(typed, frames.head, slotOps.result())
           .toDF("k", "t_ms", "vals", "sums")
       } else {
         val typed = src.select(keyCol, col(rowtime).as("t"),
@@ -290,8 +334,8 @@ object StreamOverSql {
         // output equality with the default is spec-pinned)
         val useTws = spark.conf.getOption("graft.over.tws").contains("true")
         (if (useTws)
-          graft.streaming.StatefulTws.overAggsByKey(typed, frame, slotOps.result())
-        else StatefulOps.overAggsByKey(typed, frame, slotOps.result()))
+          graft.streaming.StatefulTws.overMultiAggsByKey(typed, frames, slotOps.result())
+        else StatefulOps.overMultiAggsByKey(typed, frames, slotOps.result()))
           .toDF("k", "t_ms", "vals", "sums")
       }
 
@@ -302,7 +346,7 @@ object StreamOverSql {
         case "AVG" =>
           when(col("sums").getItem(c) === 0.0, lit(null).cast("double"))
             .otherwise(col("sums").getItem(s) / col("sums").getItem(c))
-        case "SUM" | "MIN" | "MAX" => // NaN sentinel = all-NULL frame
+        case _ => // SUM/MIN/MAX/FIRST_VALUE/LAST_VALUE: NaN = all-NULL frame
           when(isnan(col("sums").getItem(s)), lit(null).cast("double"))
             .otherwise(col("sums").getItem(s))
       }

@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The correctness gate runs the sketch family (MinHash/SimHash/HLL)
+    // in its oracle-aligned md5/M61 form so the DuckDB compare is
+    // bit-exact; production (and Bench) default to xxhash64 / built-in
+    // sketches — provability is a gate property, not a production one.
+    spark.conf.set("graft.sketch.oracleHash", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

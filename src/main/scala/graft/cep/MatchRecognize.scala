@@ -91,11 +91,15 @@ object MatchRecognize {
   private val WithinRe = """(?is).*WITHIN\s+(\d+).*""".r
   private val AfterRe =
     """(?is).*AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+FIRST\s+\w+|SKIP\s+TO\s+LAST\s+\w+).*""".r
-  private val DefineRe = """(?is).*DEFINE\s+(.*)$""".r
-  // SQL:2016 SUBSET clause (union variables): between PATTERN and DEFINE
-  // (terminates at whichever clause follows — order-tolerant)
+  // DEFINE body ends at a following SUBSET clause or end-of-input — the
+  // parser is clause-order-tolerant, so SUBSET may legally come after
+  // DEFINE and must not leak into the definitions
+  private val DefineRe = """(?is).*\bDEFINE\s+(.*?)\s*(?:\bSUBSET\b.*|$)""".r
+  // SQL:2016 SUBSET clause (union variables): terminates at whichever
+  // clause follows OR at end-of-input (SUBSET written last — the
+  // round-7 silent-drop case the r7 ADVICE flagged)
   private val SubsetRe =
-    """(?is).*\bSUBSET\s+(.*?)\s*\b(?:DEFINE|AFTER\s+MATCH|WITHIN)\b.*""".r
+    """(?is).*\bSUBSET\s+(.*?)\s*(?:\b(?:DEFINE|AFTER\s+MATCH|WITHIN)\b.*|$)""".r
   private val SubsetEntryRe = """(?is)^\s*(\w+)\s*=\s*\(\s*(.*?)\s*\)\s*$""".r
   private val MeasuresRe =
     """(?is).*MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|PATTERN\s*\(|AFTER\s+MATCH|WITHIN\s|DEFINE\s).*""".r

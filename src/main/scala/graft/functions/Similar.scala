@@ -8,21 +8,24 @@ import org.apache.spark.sql.functions._
   * (no UDF in the hot loop; the translation itself happens once on the
   * driver because SIMILAR patterns are literals in practice).
   *
-  * Reference semantics: flink-table-runtime
-  * functions/SqlLikeUtils.java `similar(...)` (Calcite's
-  * Like.sqlToRegexSimilar port) — the dialect differs from a raw regex in
-  * exactly three ways, all handled here:
-  *   - `%` / `_` are the SQL wildcards (`.*` / `.`), as in LIKE;
-  *   - `.`, `$`, `^` and a bare `\` (when `\` is not the escape char) are
-  *     ORDINARY characters — `'Customer.%'` requires a literal dot;
-  *   - `[:ALPHA:]`-style named character classes are allowed, standalone
-  *     or inside a bracket expression.
-  * Everything regex-like that the standard keeps — alternation `|`,
-  * repetition `* + ? {n} {n,} {n,m}`, grouping `()`, bracket expressions
-  * `[a-z]` / `[^a-z]` — passes through unchanged. The escape character
-  * (default `\`, per the optional ESCAPE clause) may quote only a special
-  * character or itself; escaping anything else is an error, matching the
-  * reference ("Invalid escape sequence").
+  * Reference semantics: flink-table-api-java
+  * functions/SqlLikeUtils.java `sqlToRegexSimilar` (Calcite's translator,
+  * lines 127-297) — mirrored rule-for-rule:
+  *   - `%` -> `(?s:.*)` (dotall: a multiline value still matches across
+  *     embedded newlines, SqlLikeUtils.java:262) and `_` -> `.`;
+  *   - a bare `\` (when not the escape char) and `$` are quoted; every
+  *     OTHER character passes through untouched — so `.` is a regex
+  *     any-char and `|`, `*`, `+`, `?`, `{n,m}`, `()`, `[...]` keep their
+  *     regex meaning (SqlLikeUtils.java:278-288);
+  *   - the escape character (default `\`, per the optional ESCAPE clause)
+  *     may quote exactly the SIMILAR specials `[]()|^-+*_%?{}` or itself
+  *     (SQL_SIMILAR_SPECIALS, SqlLikeUtils.java:29) — anything else is an
+  *     "Invalid escape sequence";
+  *   - inside a bracket enumeration, `[:ALPHA:]`-style named classes (both
+  *     cases, REG_CHAR_CLASSES SqlLikeUtils.java:30-45) expand, `-`/`^`
+  *     keep their class meaning, escaped specials unquote, and any OTHER
+  *     special is an "Invalid regular expression"
+  *     (sqlSimilarRewriteCharEnumeration, SqlLikeUtils.java:159-199).
   *
   * The whole input must match (Pattern.matches in the reference), so the
   * translated regex is anchored with `\A(?:...)\z` before handing it to
@@ -30,85 +33,124 @@ import org.apache.spark.sql.functions._
   */
 object Similar {
 
-  /** Named character classes of SQL:2016 <regular character set identifier>,
-    * with the reference's Java translations (SqlLikeUtils REG_CHAR_CLASSES).
-    * Names are case-sensitive upper, as in the reference. */
-  private val NamedClasses: Map[String, String] = Map(
+  /** Java regex metacharacters needing a backslash when emitted literally
+    * (SqlLikeUtils JAVA_REGEX_SPECIALS). */
+  private val JavaRegexSpecials = "[]()|^-+*?{}$\\"
+
+  /** Characters an ESCAPE char may quote (SqlLikeUtils
+    * SQL_SIMILAR_SPECIALS): the SQL wildcards + retained regex operators. */
+  private val SqlSimilarSpecials = "[]()|^-+*_%?{}"
+
+  /** Named character classes of SQL:2016 <regular character set
+    * identifier> with their Java translations — registered in BOTH cases,
+    * as in the reference's REG_CHAR_CLASSES. */
+  private val RegCharClasses: Seq[(String, String)] = Seq(
     "ALPHA" -> "\\p{Alpha}",
-    "DIGIT" -> "\\d",
-    "ALNUM" -> "\\p{Alnum}",
     "UPPER" -> "\\p{Upper}",
     "LOWER" -> "\\p{Lower}",
+    "DIGIT" -> "\\d",
     "SPACE" -> " ",
-    "WHITESPACE" -> "\\s")
-
-  /** Characters an ESCAPE char may quote: the two SQL wildcards, the
-    * retained regex operators, and the escape character itself. */
-  private def escapable(c: Char, esc: Char): Boolean =
-    c == esc || "%_|*+?(){}[]".indexOf(c.toInt) >= 0
-
-  /** Regex metacharacters that need a backslash when emitted literally. */
-  private def quoteChar(c: Char): String =
-    if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) "\\" + c else c.toString
+    "WHITESPACE" -> "\\s",
+    "ALNUM" -> "\\p{Alnum}"
+  ).flatMap { case (n, re) =>
+    Seq(s"[:$n:]" -> re, s"[:${n.toLowerCase}:]" -> re)
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SIMILAR TO pattern error: $msg")
 
-  /** Translate a SIMILAR dialect pattern to an (unanchored) Java regex. */
-  def toRegex(pattern: String, escape: Option[Char] = Some('\\')): String = {
-    val sb = new StringBuilder(pattern.length + 8)
-    var i = 0
-    var inBracket = false
-
-    // Consume "[:NAME:]" starting at index `from` (which points at '[');
-    // returns the index just past ":]" or fails.
-    def namedClass(from: Int): Int = {
-      val end = pattern.indexOf(":]", from + 2)
-      if (end < 0) fail(s"unterminated character class at index $from")
-      val name = pattern.substring(from + 2, end)
-      NamedClasses.get(name) match {
-        case Some(re) => sb.append(re); end + 2
-        case None => fail(s"unknown character class [:$name:]")
-      }
-    }
-
-    while (i < pattern.length) {
-      val ch = pattern.charAt(i)
-      if (escape.contains(ch)) {
-        if (i + 1 >= pattern.length) fail("pattern ends with the escape character")
-        val nxt = pattern.charAt(i + 1)
-        if (!escapable(nxt, ch)) fail(s"invalid escape sequence '$ch$nxt'")
-        sb.append(quoteChar(nxt))
-        i += 2
-      } else if (inBracket) {
-        ch match {
-          case '[' if pattern.startsWith("[:", i) => i = namedClass(i)
-          case ']' => inBracket = false; sb.append(']'); i += 1
-          case '\\' => sb.append("\\\\"); i += 1 // ordinary char (escape != '\')
-          case c => sb.append(c); i += 1
+  /** SQL 2003 Part 2 Section 8.6 General Rule 3.b: when the escape char is
+    * itself a SIMILAR special, pre-validate every use (the reference's
+    * similarEscapeRuleChecking). */
+  private def escapeRuleChecking(pattern: String, esc: Char): Unit =
+    if (SqlSimilarSpecials.indexOf(esc.toInt) >= 0) {
+      var i = 0
+      while (i < pattern.length) {
+        if (pattern.charAt(i) == esc) {
+          if (i == pattern.length - 1) fail(s"invalid escape sequence at $i")
+          val c = pattern.charAt(i + 1)
+          if (SqlSimilarSpecials.indexOf(c.toInt) < 0 && c != esc)
+            fail(s"invalid escape sequence '$esc$c'")
         }
-      } else ch match {
-        case '%' => sb.append(".*"); i += 1
-        case '_' => sb.append('.'); i += 1
-        case '[' if pattern.startsWith("[:", i) => i = namedClass(i)
-        case '[' =>
-          inBracket = true
-          sb.append('[')
-          i += 1
-          if (i < pattern.length && pattern.charAt(i) == '^') {
-            sb.append('^'); i += 1
-          }
-        case ']' => fail(s"unmatched ']' at index $i")
-        case '.' | '$' | '^' | '\\' => sb.append(quoteChar(ch)); i += 1
-        case c => sb.append(c); i += 1
+        i += 1
       }
     }
-    if (inBracket) fail("unterminated bracket expression")
+
+  /** Translate a bracket enumeration body starting just past `[` at `pos`;
+    * returns the index of the char before the closing `]` (the reference's
+    * sqlSimilarRewriteCharEnumeration — same return convention). */
+  private def rewriteCharEnumeration(pattern: String, sb: StringBuilder,
+      pos: Int, esc: Option[Char]): Int = {
+    var i = pos + 1
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == ']') return i - 1
+      else if (esc.contains(c)) {
+        i += 1
+        if (i >= pattern.length) fail("pattern ends with the escape character")
+        val nxt = pattern.charAt(i)
+        if (SqlSimilarSpecials.indexOf(nxt.toInt) >= 0) {
+          if (JavaRegexSpecials.indexOf(nxt.toInt) >= 0) sb.append('\\')
+          sb.append(nxt)
+        } else if (esc.contains(nxt)) sb.append(nxt)
+        else fail(s"invalid regular expression at $i")
+      } else if (c == '-') sb.append('-')
+      else if (c == '^') sb.append('^')
+      else if (pattern.startsWith("[:", i)) {
+        RegCharClasses.find { case (n, _) => pattern.startsWith(n, i) } match {
+          case Some((n, re)) => sb.append(re); i += n.length - 1
+          case None => fail(s"unknown character class at index $i")
+        }
+      } else if (SqlSimilarSpecials.indexOf(c.toInt) >= 0)
+        fail(s"invalid regular expression: special '$c' inside a bracket expression")
+      else sb.append(c)
+      i += 1
+    }
+    i - 1
+  }
+
+  /** Translate a SIMILAR dialect pattern to an (unanchored) Java regex —
+    * the reference's sqlToRegexSimilar, rule for rule. */
+  def toRegex(pattern: String, escape: Option[Char] = Some('\\')): String = {
+    escape.foreach(escapeRuleChecking(pattern, _))
+    val sb = new StringBuilder(pattern.length * 2)
+    var insideEnum = false
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (escape.contains(c)) {
+        if (i == pattern.length - 1) fail("pattern ends with the escape character")
+        val nxt = pattern.charAt(i + 1)
+        if (SqlSimilarSpecials.indexOf(nxt.toInt) >= 0) {
+          if (JavaRegexSpecials.indexOf(nxt.toInt) >= 0) sb.append('\\')
+          sb.append(nxt)
+        } else if (escape.contains(nxt)) sb.append(nxt)
+        else fail(s"invalid escape sequence '$c$nxt'")
+        i += 1 // the quoted char is consumed
+      } else c match {
+        case '_' => sb.append('.')
+        case '%' => sb.append("(?s:.*)")
+        case '[' =>
+          sb.append('[')
+          insideEnum = true
+          i = rewriteCharEnumeration(pattern, sb, i, escape)
+        case ']' =>
+          if (!insideEnum) fail(s"unmatched ']' at index $i")
+          insideEnum = false
+          sb.append(']')
+        case '\\' => sb.append("\\\\")
+        case '$' => sb.append("\\$") // regular in SQL regex, special in Java
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    if (insideEnum) fail("unterminated bracket expression")
     sb.toString
   }
 
-  /** Full-match anchoring: SIMILAR TO matches the ENTIRE string. `\z` (not
-    * `$`) so a trailing newline in the data can't fake a match. */
+  /** Full-match anchoring: SIMILAR TO matches the ENTIRE string
+    * (Pattern.matches in the reference). `\z` (not `$`) so a trailing
+    * newline in the data can't fake a match. */
   def toAnchoredRegex(pattern: String, escape: Option[Char] = Some('\\')): String =
     "\\A(?:" + toRegex(pattern, escape) + ")\\z"
 

@@ -238,6 +238,23 @@ object MinHashParams {
 
   def md5Lower64(s: UTF8String): Long = md5Lower64(s.getBytes)
 
+  /** PRODUCTION base hash: xxhash64 over the string bytes, seed 42 — the
+    * same function and seed as Spark's built-in `xxhash64`, zero-copy off
+    * the UTF8String. Roughly an order of magnitude cheaper than md5 in
+    * the hottest map-side loop of the sketch family; not SQL-expressible
+    * in the oracle engine, which is the ONLY reason the md5 family
+    * exists. */
+  def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** The pluggable family switch: oracle-aligned md5 under the
+    * correctness gate, codegen-cheap xxhash64 in production. Both feed
+    * the same Mersenne-61 permutation family, so recall/locality
+    * properties hold identically (asserted on both in PipelineSpec). */
+  def baseHash(s: UTF8String, oracleAligned: Boolean): Long =
+    if (oracleAligned) md5Lower64(s) else xxh64(s)
+
   /** (a*x + b) mod M61 for a, b, x in [0, 2^61): Mersenne reduction of
     * the 122-bit product (2^64 ≡ 2^3 mod M61). */
   def mulAddModM61(a: Long, x: Long, b: Long): Long = {
@@ -274,14 +291,16 @@ case class Md5Lower64(child: Expression)
 }
 
 /** MinHash signature of a string set: for each of `nPerm` permutations of
-  * the oracle-aligned Mersenne family (MinHashParams), the minimum hash
-  * over the elements. One pass over the array computes the whole
-  * signature — replacing nPerm separate min() aggregates whose combined
-  * codegen is expensive to JIT and whose aggregation buffers bloat the
-  * shuffle. The md5 base hash is computed ONCE per token and reused by
-  * all permutations (cheaper than the former per-(token, perm) seeded
-  * xxhash64 — and, unlike it, SQL-expressible for the oracle). */
-case class MinHashSignature(child: Expression, nPerm: Int)
+  * the Mersenne family (MinHashParams), the minimum hash over the
+  * elements. One pass over the array computes the whole signature —
+  * replacing nPerm separate min() aggregates whose combined codegen is
+  * expensive to JIT and whose aggregation buffers bloat the shuffle. The
+  * base hash is computed ONCE per token and reused by all permutations;
+  * `oracleAligned` picks the family — md5 lower-64 (SQL-expressible, the
+  * gate's oracle) vs xxhash64 (the production default: ~10x cheaper in
+  * this hottest map-side loop, MinHashParams.baseHash). */
+case class MinHashSignature(child: Expression, nPerm: Int,
+    oracleAligned: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(nPerm >= 1, s"graft_minhash: nPerm must be >= 1, got $nPerm")
 
@@ -301,7 +320,8 @@ case class MinHashSignature(child: Expression, nPerm: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) { // null elements carry no token
-        val base = MinHashParams.md5Lower64(arr.getUTF8String(i)) & MinHashParams.Mask60
+        val base = MinHashParams.baseHash(arr.getUTF8String(i), oracleAligned) &
+          MinHashParams.Mask60
         var p = 0
         while (p < nPerm) {
           val h = MinHashParams.mulAddModM61(as(p), base, bs(p))
@@ -330,7 +350,8 @@ case class MinHashSignature(child: Expression, nPerm: Int)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($arr.isNullAt($i)) continue; // null elements carry no token
-         |  long $base = graft.functions.MinHashParams.md5Lower64($arr.getUTF8String($i))
+         |  long $base = graft.functions.MinHashParams.baseHash(
+         |      $arr.getUTF8String($i), $oracleAligned)
          |    & ${MinHashParams.Mask60}L;
          |  for (int $p = 0; $p < $nPerm; $p++) {
          |    long $h = graft.functions.MinHashParams.mulAddModM61($aRef[$p], $base, $bRef[$p]);
@@ -363,7 +384,10 @@ object GraftFunctions {
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(s"nPerm must be an int literal, got $other")
-      }), "built-in")
+      }, oracleAligned = if (es.length > 2) es(2).eval(null) match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(s"oracleAligned must be a boolean literal, got $other")
+      } else true), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       es => ShingleArray(es(0), es(1).eval(null) match {
         case i: Int => i

@@ -792,24 +792,14 @@ object GraphOps extends QueryModule {
         |ORDER BY supplier
         |""".stripMargin)),
 
-    GQuery(
-      // PageRank over the customer->supplier order graph (who a customer's
-      // money flows to). Iterative float arithmetic is engine-specific =>
-      // rows-only check; invariants (mass conservation, determinism) in
-      // GraphSpec.
-      "q61_pagerank",
-      (s, d) => {
-        import s.implicits._
-        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 2000)
-        val edges = li.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-          .select($"o_custkey".as("src"), ($"l_suppkey" + 100000L).as("dst"))
-          .distinct()
-        pageRank(s, edges, iterations = 8)
-          .select($"v", graft.Bits.dround($"pr" * 1000000.0, 4).as("pr_ppm"))
-          .orderBy($"v")
-      },
-      None),
-
+    // q61_pagerank (classic double-precision PageRank, rows-only gate)
+    // was RETIRED in r8 for its hash-gated sibling q124_pagerank_units:
+    // iterative float arithmetic is engine-specific, so the double form
+    // can never graduate past a rows-only check, and q124 computes the
+    // same ranking in order-independent integer micro-units under the
+    // full oracle. The double implementation ([[pageRank]]) remains the
+    // production API; GraphSpec asserts it agrees with the unit variant
+    // to 1e-6 of total mass and conserves mass.
     GQuery(
       // k-core decomposition (k=4) of the part–supplier bipartite graph
       // (disjoint id spaces: parts even, suppliers odd). The iterative

@@ -723,15 +723,18 @@ object Relational extends QueryModule {
 
     GQuery(
       // SIMILAR TO (BuiltInFunctionDefinitions SIMILAR; runtime
-      // flink-table-runtime SqlLikeUtils.similar) — the SQL:2016 dialect
-      // translated to an anchored Java regex at plan time (Similar.scala),
-      // closing the last translated-dialect gap in FUNCTIONS.md. The
-      // oracle recomputes each pattern as a HAND-derived RE2 regex under
-      // DuckDB regexp_full_match (DuckDB's own SIMILAR TO is raw regex,
-      // NOT the SQL dialect — probing it: 'abc' SIMILAR TO 'a%' is false
-      // there). sim_dot is the discriminating case: in the dialect '.' is
-      // a literal, so 'Customer.%' matches nothing, where a raw regex
-      // would match every row.
+      // SqlLikeUtils.similar) — the SQL:2016 dialect translated to an
+      // anchored Java regex at plan time (Similar.scala), closing the last
+      // translated-dialect gap in FUNCTIONS.md. The oracle recomputes each
+      // pattern as a HAND-derived RE2 regex under DuckDB
+      // regexp_full_match (DuckDB's own SIMILAR TO is raw regex, NOT the
+      // SQL dialect — probing it: 'abc' SIMILAR TO 'a%' is false there).
+      // r8: dialect realigned to the reference translator rule-for-rule —
+      // '.' passes through as a regex any-char (Calcite semantics, NOT
+      // PostgreSQL's literal dot: SqlLikeUtils.java:287 appends it
+      // untouched), so sim_dot now matches every 'Customer#...' row; the
+      // discriminating dialect cases are sim_wild/sim_rep ('%'/'_'
+      // rewritten, where a raw-regex engine would treat them literally).
       "q129_similar_to",
       (s, d) => {
         import s.implicits._
@@ -757,7 +760,7 @@ object Relational extends QueryModule {
         |       CAST(regexp_full_match(c_mktsegment, '(BUILDING|HOUSEHOLD)') AS BIGINT) AS sim_alt,
         |       CAST(regexp_full_match(c_name, 'Customer#0{4,9}1.*') AS BIGINT) AS sim_rep,
         |       CAST(regexp_full_match(c_mktsegment, 'M.*Y') AS BIGINT) AS sim_span,
-        |       CAST(regexp_full_match(c_name, 'Customer\..*') AS BIGINT) AS sim_dot,
+        |       CAST(regexp_full_match(c_name, 'Customer..*') AS BIGINT) AS sim_dot,
         |       CAST(regexp_full_match(c_name, '.*_.*') AS BIGINT) AS sim_esc,
         |       CAST(regexp_full_match(c_mktsegment, '[^AB].*E') AS BIGINT) AS sim_negcls
         |FROM customer WHERE c_custkey < 2000

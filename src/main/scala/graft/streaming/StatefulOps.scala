@@ -184,12 +184,18 @@ object StatefulOps {
   /** Per-slot combine op of the fused OVER pass ([[overAggsByKey]]). A
     * NaN operand means "NULL input" and is skipped by every op — SQL's
     * NULL-ignoring aggregates in slot form; an all-NaN frame reduces to
-    * NaN, which the SQL layer reads back as NULL. */
+    * NaN, which the SQL layer reads back as NULL. First/Last fold to the
+    * first/latest non-NULL value in frame order — Flink's
+    * FIRST_VALUE/LAST_VALUE aggregates (FirstValueAggFunction /
+    * LastValueAggFunction: "first/last non-null value"), i.e. IGNORE
+    * NULLS semantics. */
   sealed trait SlotOp extends Serializable
   object SlotOp {
     case object Sum extends SlotOp
     case object Min extends SlotOp
     case object Max extends SlotOp
+    case object First extends SlotOp
+    case object Last extends SlotOp
   }
 
   /** Shared slot arithmetic and tie ordering of the fused OVER passes —
@@ -203,6 +209,8 @@ object StatefulOps {
         case SlotOp.Sum => x + y
         case SlotOp.Min => math.min(x, y)
         case SlotOp.Max => math.max(x, y)
+        case SlotOp.First => x // fold in frame order: first non-NULL sticks
+        case SlotOp.Last => y // latest non-NULL wins
       }
 
     /** Elementwise combine; `ops = null` means all-Sum. */
@@ -251,6 +259,128 @@ object StatefulOps {
       }
       out.result()
     }
+
+    /** PER-SLOT-FRAME release loop of the fused OVER pass — the
+      * generalization letting ONE stateful operator serve several OVER
+      * items with DIFFERENT frames (the reference's
+      * StreamExecOverAggregate.java multi-window support, minus its
+      * chained-operator cost — one state buffer retains what the longest
+      * frame needs and every slot reads its own window from it): slot i
+      * reduces with ops(i) over frames(i). One definition serves the
+      * fMGWS executor and the TWS port, so the semantics cannot drift.
+      *
+      * Per-slot semantics:
+      *  - Unbounded (ROWS): permanent running accumulator, snapshot per
+      *    row in release order;
+      *  - Rows(n): combine over the last n released rows ending at the
+      *    row;
+      *  - Range(ms) / UnboundedRange: tied rowtimes are SQL PEERS — every
+      *    row of a timestamp reads ONE value computed after the whole
+      *    peer group is absorbed.
+      * With a UNIFORM frame this reduces exactly to the historical
+      * single-frame behavior (same tie order, same retention buffer) —
+      * pinned by the executor-equality specs. */
+    final class Multi(shared: OverFrame, framesOrNull: IndexedSeq[OverFrame],
+        ops: IndexedSeq[SlotOp]) extends Serializable {
+      private def frameOf(i: Int): OverFrame =
+        if (framesOrNull == null) shared else framesOrNull(i)
+      private def opOf(i: Int): SlotOp = if (ops == null) SlotOp.Sum else ops(i)
+      private val allFrames: Seq[OverFrame] =
+        if (framesOrNull == null) Seq(shared) else framesOrNull
+      private val maxRows: Int =
+        allFrames.collect { case OverFrame.Rows(n) => n }.maxOption.getOrElse(0)
+      private val maxMs: Option[Long] =
+        allFrames.collect { case OverFrame.Range(ms) => ms }.maxOption
+      private val hasRowAcc = allFrames.contains(OverFrame.Unbounded)
+      private val hasGroupAcc = allFrames.contains(OverFrame.UnboundedRange)
+      private val allUnboundedRows = allFrames.forall(_ == OverFrame.Unbounded)
+      /** Any slot with an unbounded frame => the accumulator is PERMANENT
+        * key state (the runningSumByKey contract) — never auto-removed. */
+      val permanent: Boolean = hasRowAcc || hasGroupAcc
+      /** Any bounded frame => the retention buffer is live state. */
+      val bounded: Boolean = maxRows > 0 || maxMs.isDefined
+
+      /** Release tie order: arrival order on ties for the pure
+        * unbounded-ROWS pass (its historical contract), the total
+        * (t, values) order otherwise. */
+      def ordered(ready: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+        if (allUnboundedRows) ready.sortBy(_._1) else ready.sortWith(tieLess)
+
+      private def accAt(acc: Seq[Double], i: Int): Double =
+        if (i < acc.length) acc(i) else Double.NaN
+
+      private def slotOver(i: Int, rows: Seq[(Long, Seq[Double])]): Double =
+        rows.foldLeft(Double.NaN)((z, r) => comb(opOf(i), z, r._2(i)))
+
+      /** Release `ready` rows (already watermark-filtered). Returns the
+        * per-row (t, values, sums) outputs in release order plus the new
+        * accumulator and retention buffer. */
+      def release(ready: Seq[(Long, Seq[Double])], acc0: Seq[Double],
+          buf0: Seq[(Long, Seq[Double])])
+          : (Seq[(Long, Seq[Double], Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])]) = {
+        var acc = acc0
+        var buf = buf0
+        val out = Seq.newBuilder[(Long, Seq[Double], Seq[Double])]
+        groupByTime(ordered(ready)).foreach { case (t, peers) =>
+          val n = peers.head.length
+          // row phase: append to the retention buffer, advance the
+          // row-granularity accumulators, snapshot the ROWS-frame values
+          val rowVals: Seq[Array[Double]] = peers.map { v =>
+            buf = buf :+ ((t, v))
+            if (hasRowAcc)
+              acc = Seq.tabulate(math.max(acc.length, n)) { i =>
+                frameOf(i) match {
+                  case OverFrame.Unbounded => comb(opOf(i), accAt(acc, i), v(i))
+                  case _ => accAt(acc, i)
+                }
+              }
+            Array.tabulate(n) { i =>
+              frameOf(i) match {
+                case OverFrame.Unbounded => accAt(acc, i)
+                case OverFrame.Rows(fn) => slotOver(i, buf.takeRight(fn))
+                case _ => Double.NaN // peer-group phase fills these
+              }
+            }
+          }
+          // peer-group phase: all peers absorbed — advance the
+          // group-granularity accumulators, compute the RANGE values the
+          // whole peer group shares
+          if (hasGroupAcc)
+            acc = Seq.tabulate(math.max(acc.length, n)) { i =>
+              frameOf(i) match {
+                case OverFrame.UnboundedRange =>
+                  peers.foldLeft(accAt(acc, i))((z, v) => comb(opOf(i), z, v(i)))
+                case _ => accAt(acc, i)
+              }
+            }
+          val groupVals = Array.tabulate(n) { i =>
+            frameOf(i) match {
+              case OverFrame.Range(ms) => slotOver(i, buf.filter(_._1 >= t - ms))
+              case OverFrame.UnboundedRange => accAt(acc, i)
+              case _ => Double.NaN
+            }
+          }
+          // retention trim: time-window entries form a SUFFIX (release
+          // order is time-nondecreasing), so the union of "last maxRows"
+          // and "within maxMs of t" is just the longer suffix
+          buf =
+            if (!bounded) Seq.empty
+            else {
+              val keepTime = maxMs.map(ms => buf.count(_._1 >= t - ms)).getOrElse(0)
+              buf.takeRight(math.max(maxRows, keepTime))
+            }
+          peers.zip(rowVals).foreach { case (v, rv) =>
+            out += ((t, v, Seq.tabulate(n) { i =>
+              frameOf(i) match {
+                case OverFrame.Range(_) | OverFrame.UnboundedRange => groupVals(i)
+                case _ => rv(i)
+              }
+            }))
+          }
+        }
+        (out.result(), acc, buf)
+      }
+    }
   }
 
   /** Generalized streaming OVER: each row, released in event-time order,
@@ -279,12 +409,43 @@ object StatefulOps {
       ops: IndexedSeq[SlotOp])(
       implicit e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
       e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] =
+    overMultiImpl(ds, frame, null, ops)
+
+  /** [[overAggsByKey]] with a PER-SLOT frame: slot i reduces with ops(i)
+    * over frames(i) — several OVER items with different windows fused
+    * into one stateful pass (Slots.Multi; the reference chains one
+    * operator per window instead — StreamExecOverAggregate.java). */
+  def overMultiAggsByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])],
+      frames: IndexedSeq[OverFrame], ops: IndexedSeq[SlotOp])(
+      implicit e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
+    require(frames != null && frames.nonEmpty, "overMultiAggsByKey: no frames")
+    require(ops == null || ops.length == frames.length,
+      s"overMultiAggsByKey: ${frames.length} frames but ${ops.length} ops")
+    overMultiImpl(ds, frames.head, frames, ops)
+  }
+
+  private def overMultiImpl[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])], frame: OverFrame,
+      framesOrNull: IndexedSeq[OverFrame], ops: IndexedSeq[SlotOp])(
+      implicit e1: Encoder[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])],
+      e2: Encoder[(K, Long, Seq[Double], Seq[Double])])
       : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
 
-    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] = Slots.plus(ops, a, b)
-    def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] = Slots.sumOf(ops, rows)
-    def groupByTime(rows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Seq[Double]])] =
-      Slots.groupByTime(rows)
+    // tie order, peer sharing, per-slot frames and NULL-skip live in ONE
+    // place (Slots.Multi) shared with the TWS port — see its scaladoc.
+    // RANGE frames: rows sharing a rowtime are SQL PEERS — the frame's
+    // upper bound is the current row's TIME, so every peer's frame
+    // contains all of them and they read ONE shared aggregate (Flink's
+    // RowTimeRange{Bounded,Unbounded}PrecedingFunction fires one timer
+    // per timestamp and emits the same accumulator to the whole list).
+    // Peer groups cannot split across micro-batches: all non-late rows
+    // at a timestamp release in the batch where the watermark crossed
+    // it, and a same-t row arriving after that is late and dropped.
+    val multi = new Slots.Multi(frame, framesOrNull, ops)
 
     def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Seq[Double])],
         state: GroupState[(Seq[(Long, Seq[Double])], Seq[Double], Seq[(Long, Seq[Double])])])
@@ -299,58 +460,14 @@ object StatefulOps {
         (r._2.getTime, r._3)
       }.filter(_._1 > wm)
       val (ready, pending) = buf.partition(_._1 <= wm)
-      var acc = acc0
-      var frm = frame0
-      // tie order at equal timestamps: the bounded frames process in
-      // total (t, vector) order (Slots.tieLess — NaN-safe) — deterministic
-      // under any shuffle/retry, and the single-slot (t, v) order the
-      // pre-fusion operators had; the unbounded ROWS frame keeps arrival
-      // order (its historical contract — only transient prefix sums
-      // differ on ties, the totals don't)
-      val ordered = frame match {
-        case OverFrame.Unbounded => ready.sortBy(_._1)
-        case _ => ready.sortWith(Slots.tieLess)
-      }
-      // RANGE frames: rows sharing a rowtime are SQL PEERS — the frame's
-      // upper bound is the current row's TIME, so every peer's frame
-      // contains all of them and they read ONE shared aggregate (Flink's
-      // RowTimeRange{Bounded,Unbounded}PrecedingFunction fires one timer
-      // per timestamp and emits the same accumulator to the whole list).
-      // Peer groups cannot split across micro-batches: all non-late rows
-      // at a timestamp release in the batch where the watermark crossed
-      // it, and a same-t row arriving after that is late and dropped.
-      val out = frame match {
-        case OverFrame.Unbounded | OverFrame.Rows(_) =>
-          ordered.map { case (t, v) =>
-            val sums = frame match {
-              case OverFrame.Unbounded => acc = plus(acc, v); acc
-              case OverFrame.Rows(n) =>
-                frm = (frm :+ ((t, v))).takeRight(n); sumOf(frm)
-              case _ => throw new IllegalStateException("unreachable")
-            }
-            (key, t, v, sums)
-          }
-        case _ =>
-          groupByTime(ordered).flatMap { case (t, peers) =>
-            val sums = frame match {
-              case OverFrame.Range(ms) =>
-                frm = (frm ++ peers.map(v => (t, v))).filter(_._1 >= t - ms)
-                sumOf(frm)
-              case OverFrame.UnboundedRange =>
-                acc = peers.foldLeft(acc)(plus); acc
-              case _ => throw new IllegalStateException("unreachable")
-            }
-            peers.map(v => (key, t, v, sums))
-          }
-      }
+      val (outRows, acc, frm) = multi.release(ready, acc0, frame0)
+      val out = outRows.map { case (t, v, sums) => (key, t, v, sums) }
       // the unbounded accumulators are PERMANENT state (the
       // runningSumByKey contract and Flink's unbounded-preceding
       // functions): a contributing-nothing invocation must not reset them
-      val removable = frame match {
-        case OverFrame.Unbounded | OverFrame.UnboundedRange =>
-          state.getOption.isEmpty
-        case _ => pending0.isEmpty && frame0.isEmpty
-      }
+      val removable =
+        if (multi.permanent) state.getOption.isEmpty
+        else pending0.isEmpty && frame0.isEmpty
       if (pending.isEmpty && out.isEmpty && removable) {
         if (state.exists) state.remove()
       } else {

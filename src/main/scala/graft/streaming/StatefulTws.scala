@@ -389,15 +389,20 @@ object StatefulTws {
   private val eVecBox = Encoders.product[Tuple1[Seq[Double]]]
 
   private class OverAggsProc[K](frame: StatefulOps.OverFrame,
+      framesOrNull: IndexedSeq[StatefulOps.OverFrame],
       ops: IndexedSeq[StatefulOps.SlotOp])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, Seq[Double]),
         (K, Long, Seq[Double], Seq[Double])] {
-    import StatefulOps.{OverFrame, SlotOp}
 
     @transient private var pending: ListState[(Long, Seq[Double])] = _
     @transient private var frm: ListState[(Long, Seq[Double])] = _
     @transient private var acc: ValueState[Tuple1[Seq[Double]]] = _
     @transient private var minPending: ValueState[Long] = _
+
+    // slot arithmetic / tie order / peer grouping / PER-SLOT frames
+    // shared with the fMGWS executor (StatefulOps.Slots.Multi) —
+    // semantics defined exactly once
+    private val multi = new StatefulOps.Slots.Multi(frame, framesOrNull, ops)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", eVecRow, TTLConfig.NONE)
@@ -405,20 +410,6 @@ object StatefulTws {
       acc = getHandle.getValueState("acc", eVecBox, TTLConfig.NONE)
       minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
     }
-
-    // slot arithmetic / tie order / peer grouping shared with the fMGWS
-    // executor (StatefulOps.Slots) — semantics defined exactly once
-    private def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-      StatefulOps.Slots.plus(ops, a, b)
-    private def sumOf(rows: Seq[(Long, Seq[Double])]): Seq[Double] =
-      StatefulOps.Slots.sumOf(ops, rows)
-    private def ordered(ready: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
-      frame match {
-        case OverFrame.Unbounded => ready.sortBy(_._1)
-        case _ => ready.sortWith(StatefulOps.Slots.tieLess)
-      }
-    private def groupByTime(rows: Seq[(Long, Seq[Double])])
-        : Seq[(Long, Seq[Seq[Double]])] = StatefulOps.Slots.groupByTime(rows)
 
     private def flush(key: K, fresh: Seq[(Long, Seq[Double])], wm: Long)
         : Iterator[(K, Long, Seq[Double], Seq[Double])] = {
@@ -431,38 +422,13 @@ object StatefulTws {
       } else {
         val buf = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ fresh
         val (ready, still) = buf.partition(_._1 <= wm)
-        var a = if (acc.exists()) acc.get()._1 else Seq.empty[Double]
-        var fr = if (frm.exists()) frm.get().toSeq else Seq.empty
-        val out = frame match {
-          case OverFrame.Unbounded | OverFrame.Rows(_) =>
-            ordered(ready).map { case (t, v) =>
-              val sums = frame match {
-                case OverFrame.Unbounded => a = plus(a, v); a
-                case OverFrame.Rows(n) =>
-                  fr = (fr :+ ((t, v))).takeRight(n); sumOf(fr)
-                case _ => throw new IllegalStateException("unreachable")
-              }
-              (key, t, v, sums)
-            }
-          case _ => // RANGE frames: tied rowtimes are peers
-            groupByTime(ordered(ready)).flatMap { case (t, peers) =>
-              val sums = frame match {
-                case OverFrame.Range(ms) =>
-                  fr = (fr ++ peers.map(v => (t, v))).filter(_._1 >= t - ms)
-                  sumOf(fr)
-                case OverFrame.UnboundedRange =>
-                  a = peers.foldLeft(a)(plus); a
-                case _ => throw new IllegalStateException("unreachable")
-              }
-              peers.map(v => (key, t, v, sums))
-            }
-        }
+        val a0 = if (acc.exists()) acc.get()._1 else Seq.empty[Double]
+        val fr0 = if (frm.exists()) frm.get().toSeq else Seq.empty
+        val (outRows, a, fr) = multi.release(ready, a0, fr0)
+        val out = outRows.map { case (t, v, sums) => (key, t, v, sums) }
         if (out.nonEmpty) {
-          frame match {
-            case OverFrame.Unbounded | OverFrame.UnboundedRange =>
-              acc.update(Tuple1(a)) // PERMANENT accumulator
-            case _ => frm.put(fr.toArray)
-          }
+          if (multi.permanent) acc.update(Tuple1(a)) // PERMANENT accumulator
+          if (multi.bounded) frm.put(fr.toArray)
         }
         if (still.isEmpty) { pending.clear(); minPending.clear(); rearm(getHandle, None, wm) }
         else {
@@ -499,8 +465,24 @@ object StatefulTws {
       implicit eo: Encoder[(K, Long, Seq[Double], Seq[Double])])
       : Dataset[(K, Long, Seq[Double], Seq[Double])] =
     ds.groupByKey(_._1)
-      .transformWithState(new OverAggsProc[K](frame, ops),
+      .transformWithState(new OverAggsProc[K](frame, null, ops),
         TimeMode.EventTime(), OutputMode.Append(), eo)
+
+  /** Drop-in swap for `StatefulOps.overMultiAggsByKey` — the PER-SLOT
+    * frame pass (several OVER windows fused into one operator) on
+    * point-write state; exact output equality with the fMGWS original
+    * (both delegate the release loop to StatefulOps.Slots.Multi). */
+  def overMultiAggsByKey[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])],
+      frames: IndexedSeq[StatefulOps.OverFrame],
+      ops: IndexedSeq[StatefulOps.SlotOp])(
+      implicit eo: Encoder[(K, Long, Seq[Double], Seq[Double])])
+      : Dataset[(K, Long, Seq[Double], Seq[Double])] = {
+    require(frames != null && frames.nonEmpty, "overMultiAggsByKey: no frames")
+    ds.groupByKey(_._1)
+      .transformWithState(new OverAggsProc[K](frames.head, frames, ops),
+        TimeMode.EventTime(), OutputMode.Append(), eo)
+  }
 
   // ---- append-only top-N ----------------------------------------------
 

@@ -161,29 +161,41 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("SIMILAR TO dialect translation") {
     import Similar.toRegex
-    // wildcards + pass-through regex operators
-    assert(toRegex("a%c") == "a.*c")
+    // wildcards (dotall '%', SqlLikeUtils.java:262) + pass-through
+    // regex operators
+    assert(toRegex("a%c") == "a(?s:.*)c")
     assert(toRegex("a_c") == "a.c")
     assert(toRegex("(a|b)+c?") == "(a|b)+c?")
     assert(toRegex("a{2,3}[b-z]") == "a{2,3}[b-z]")
-    // dialect literals that are regex metachars
-    assert(toRegex("a.c") == "a\\.c")
-    assert(toRegex("a$^c") == "a\\$\\^c")
-    // escape quotes specials only; the escape char can be rebound
+    // Calcite semantics: '.' and '^' pass through raw (only '$' and a
+    // bare '\' are quoted — SqlLikeUtils.java:278-288)
+    assert(toRegex("a.c") == "a.c")
+    assert(toRegex("a$c") == "a\\$c")
+    assert(toRegex("a^c") == "a^c")
+    // escape quotes the SIMILAR specials "[]()|^-+*_%?{}" or itself;
+    // the escape char can be rebound
     assert(toRegex("a\\%c") == "a%c")
     assert(toRegex("a\\_c") == "a_c")
+    assert(toRegex("a\\^c") == "a\\^c") // r8: '^' joined the escapables
     assert(toRegex("a\\[c", Some('\\')) == "a\\[c")
     assert(toRegex("a#%c", Some('#')) == "a%c")
     assert(toRegex("a\\c", Some('#')) == "a\\\\c") // bare backslash is ordinary
-    // named character classes, standalone and bracketed
-    assert(toRegex("[:DIGIT:]+") == "\\d+")
+    // named character classes live INSIDE a bracket enumeration (the
+    // reference expands "[:" only there; both cases registered);
+    // standalone "[:DIGIT:]" is an enumeration of the literal chars
     assert(toRegex("x[[:ALPHA:]0-9]") == "x[\\p{Alpha}0-9]")
-    assert(toRegex("[^ab]%") == "[^ab].*")
+    assert(toRegex("x[[:digit:]]") == "x[\\d]")
+    assert(toRegex("[:DIGIT:]+") == "[:DIGIT:]+")
+    assert(toRegex("[a\\-b]") == "[a\\-b]") // r8: '-' escapable in a class
+    assert(toRegex("[^ab]%") == "[^ab](?s:.*)")
     intercept[IllegalArgumentException](toRegex("a\\zc"))
     intercept[IllegalArgumentException](toRegex("a\\"))
     intercept[IllegalArgumentException](toRegex("[abc"))
-    intercept[IllegalArgumentException](toRegex("[:NOPE:]"))
+    intercept[IllegalArgumentException](toRegex("[[:NOPE:]]"))
+    intercept[IllegalArgumentException](toRegex("[a|b]")) // special in a class
     intercept[IllegalArgumentException](toRegex("ab]"))
+    // '%' is dotall: a value with an embedded newline still matches
+    assert(java.util.regex.Pattern.matches(toRegex("a%b"), "a\nb"))
   }
 
   test("SIMILAR TO behavior matches the SQL standard cases") {
@@ -191,7 +203,7 @@ class FunctionsSpec extends AnyFunSuite {
     import spark.implicits._
     import Similar.similarTo
     // the PostgreSQL-doc canon: 'abc' SIMILAR TO 'abc' t, 'a' f,
-    // '%(b|d)%' t, '(b|c)%' f; plus full-match anchoring and literal dot
+    // '%(b|d)%' t, '(b|c)%' f; plus full-match anchoring
     val df = Seq("abc").toDF("s")
     def one(p: String): Boolean =
       df.select(similarTo(col("s"), p)).as[Boolean].head()
@@ -200,9 +212,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("%(b|d)%"))
     assert(!one("(b|c)%"))
     assert(!one("ab")) // whole-string match, not prefix
-    assert(!one("a.c")) // '.' is literal in the dialect
+    assert(one("a.c")) // '.' is a regex any-char (Calcite, NOT PostgreSQL)
     assert(one("a_c"))
-    assert(one("[:LOWER:]{3}"))
+    assert(one("[[:LOWER:]]{3}")) // named classes live inside a bracket pair
     // SQL-text route + null propagation + ESCAPE rebinding
     val r = spark.sql(
       "SELECT graft_similar('abc', 'a%'), graft_similar(CAST(NULL AS STRING), 'a%'), " +

@@ -8,19 +8,52 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("minhash-lsh candidates verified-exact are a subset of exact jaccard pairs") {
+  test("minhash-lsh candidates verified-exact are a subset of exact jaccard " +
+      "pairs — BOTH hash families") {
     import spark.implicits._
-    val exact = SparkEntry.queries("q33_jaccard_pairs")(spark, sf)
+    // the exact O(n²) generator is a spec-only baseline since r8 (demoted
+    // from the gated/benched set — quadratic by construction)
+    val exact = operators.PipelineOps.jaccardPairs(spark, sf, 20)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    val lsh = SparkEntry.queries("q34_minhash_lsh")(spark, sf)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
-    // 8 bands of 4 rows at jaccard>=0.2 typically catches most true pairs;
-    // require non-trivial recall when there are pairs at all.
-    if (exact.nonEmpty) {
-      val recall = lsh.size.toDouble / exact.size
-      assert(recall >= 0.3, s"recall $recall too low (${lsh.size}/${exact.size})")
+    // production family (xxhash64) and the gate's oracle-aligned md5/M61
+    // family must BOTH satisfy subset + recall: the family switch changes
+    // throughput, never the locality property
+    for (oracle <- Seq(false, true)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val lsh = SparkEntry.queries("q34_minhash_lsh")(spark, sf)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        assert(lsh.subsetOf(exact),
+          s"[oracle=$oracle] LSH emitted non-pairs: ${lsh.diff(exact)}")
+        // 8 bands of 4 rows at jaccard>=0.2 typically catches most true
+        // pairs; require non-trivial recall when there are pairs at all.
+        if (exact.nonEmpty) {
+          val recall = lsh.size.toDouble / exact.size
+          assert(recall >= 0.3,
+            s"[oracle=$oracle] recall $recall too low (${lsh.size}/${exact.size})")
+        }
+      } finally spark.conf.unset("graft.sketch.oracleHash")
     }
+  }
+
+  test("exact embedding near-dup baseline equals a driver-side recomputation") {
+    import spark.implicits._
+    // sf0.001 only: the exact form is O(n²) by construction — it verifies
+    // the bucketed candidate paths (q37 LSH / q76 IVF / q94 SemDeDup) and
+    // was demoted from the gate in r8 (62× cost at 10× data at sf1)
+    val got = operators.PipelineOps.embeddingNearDupExact(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val q = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 10000.0).toLong) }
+      .sortBy(_._1)
+    val expect = for {
+      (a, qa) <- q.toSeq; (b, qb) <- q.toSeq if a < b
+      dot = qa.zip(qb).map { case (x, y) => x * y }.sum if dot >= 30000000L
+    } yield (a, b, dot)
+    assert(got == expect.sortBy(t => (t._1, t._2)),
+      s"got ${got.size} pairs, expected ${expect.size}")
   }
 
   test("lsh ANN results are true neighbors from the brute-force ranking universe") {
@@ -56,21 +89,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
-  test("approx_count_distinct within 5% of exact") {
-    val r = SparkEntry.queries("q43_approx_distinct")(spark, sf).head()
-    val apx = r.getAs[Long]("apx_parts").toDouble
-    val exact = r.getAs[Long]("exact_parts").toDouble
-    assert(math.abs(apx - exact) / exact < 0.05, s"apx=$apx exact=$exact")
+  test("approx_count_distinct within 5% of exact — BOTH estimators") {
+    // production = Spark's built-in sketch; gate = the from-scratch
+    // oracle-provable HLL; the accuracy property must hold for both
+    for (oracle <- Seq(false, true)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val r = SparkEntry.queries("q43_approx_distinct")(spark, sf).head()
+        val apx = r.getAs[Long]("apx_parts").toDouble
+        val exact = r.getAs[Long]("exact_parts").toDouble
+        assert(math.abs(apx - exact) / exact < 0.05,
+          s"[oracle=$oracle] apx=$apx exact=$exact")
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
   }
 
-  test("simhash: identical text => identical signature") {
+  test("simhash: identical text => identical signature — BOTH hash families") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val sh = SparkEntry.queries("q35_simhash")(spark, sf)
-    val docs = Tables.documents(spark, sf).select("doc_id", "text")
-    val joined = sh.join(docs, "doc_id")
-      .groupBy("text").agg(countDistinct("simhash").as("n"))
-    assert(joined.filter(col("n") > 1).count() == 0)
+    for (oracle <- Seq(false, true)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val sh = SparkEntry.queries("q35_simhash")(spark, sf)
+        val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        val joined = sh.join(docs, "doc_id")
+          .groupBy("text").agg(countDistinct("simhash").as("n"))
+        assert(joined.filter(col("n") > 1).count() == 0, s"[oracle=$oracle]")
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
   }
 
   test("duplicate spans equal an independent driver-side recomputation") {

@@ -10,8 +10,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // Queries where an empty result at sf0.001 is legitimate (tiny data can
   // yield zero qualifying pairs).
-  private val mayBeEmpty = Set("q33_jaccard_pairs", "q34_minhash_lsh",
-    "q42_embedding_neardup", "q27_interval_join", "q05_anti_join_no_orders")
+  private val mayBeEmpty = Set("q34_minhash_lsh",
+    "q27_interval_join", "q05_anti_join_no_orders")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 /** REST SQL gateway over HTTP on loopback: session lifecycle, statement
   * execution through Engine.sql (extended dialect included), status
@@ -46,7 +47,14 @@ class SqlGatewaySpec extends AnyFunSuite {
       if (!r.contains("NOT_READY")) return r
       Thread.sleep(50)
     }
-    fail(s"operation not finished in time: $last")
+    // diagnose the wedge before failing: where are the gateway workers?
+    val stacks = Thread.getAllStackTraces.asScala
+      .filter { case (t, _) => t.getName.startsWith("pool-") }
+      .map { case (t, st) =>
+        s"${t.getName} [${t.getState}]\n" +
+          st.take(12).map("    " + _).mkString("\n")
+      }.mkString("\n")
+    fail(s"operation not finished in time: $last\nworker threads:\n$stacks")
   }
 
   test("session -> statement -> result flow, extended SQL included") {
@@ -138,10 +146,18 @@ class SqlGatewaySpec extends AnyFunSuite {
       val p3 = awaitResult(port, sh, oh, token = 3)
       assert(p3.contains("\"data\":[[9]]") && !p3.contains("nextToken"), p3)
 
-      // cancellation: a deliberately huge cartesian count gets killed;
-      // the operation lands in CANCELED and results read as ERROR
+      // cancellation: a deliberately huge query gets killed; the
+      // operation lands in CANCELED and results read as ERROR. The query
+      // is MANY SMALL TASKS (10k partitions, ~1e8 rows each), because
+      // that is the granularity Spark cancellation actually has: a job
+      // kill drops every queued task instantly and the few in-flight
+      // tasks finish in well under a second. (A single fused codegen
+      // loop — e.g. a cartesian COUNT — never polls the task kill flag
+      // and runs to completion as a zombie holding all local[4] slots,
+      // which is exactly the round-7 flake: the two tests AFTER this one
+      // timed out waiting behind it.)
       val (_, big) = call(port, "POST", s"/v1/sessions/$sh/statements",
-        Some("""{"statement":"SELECT COUNT(*) AS n FROM range(100000) a CROSS JOIN range(1000000) b WHERE a.id*b.id % 7 = 3"}"""))
+        Some("""{"statement":"SELECT COUNT(*) AS n FROM range(0, 1000000000000, 1, 10000) WHERE id % 7 = 3"}"""))
       val boh = field(big, "operationHandle")
       Thread.sleep(200) // let it start
       val (_, cx) = call(port, "POST", s"/v1/sessions/$sh/operations/$boh/cancel")
@@ -150,6 +166,18 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(st.contains("CANCELED"), st)
       val (_, r) = call(port, "GET", s"/v1/sessions/$sh/operations/$boh/result/0")
       assert(r.contains("ERROR") && r.contains("canceled"), r)
+      // the kill must actually LAND: this operation's jobs drain long
+      // before the ~45-minute uncanceled runtime, so later tests never
+      // queue behind a zombie (scoped to the operation's tag — other
+      // suites share this SparkContext under parallel sbt test)
+      val tracker = spark.sparkContext.statusTracker
+      def stillRunning = tracker.getJobIdsForTag(SqlGateway.tagOf(boh))
+        .intersect(tracker.getActiveJobIds())
+      val drainEnd = System.currentTimeMillis() + 30000
+      while (stillRunning.nonEmpty && System.currentTimeMillis() < drainEnd)
+        Thread.sleep(100)
+      assert(stillRunning.isEmpty,
+        s"canceled query left active jobs: ${stillRunning.mkString(",")}")
     } finally gw.close()
   }
 

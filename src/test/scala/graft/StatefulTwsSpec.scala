@@ -262,6 +262,57 @@ class StatefulTwsSpec extends AnyFunSuite {
     assert(rng.size == 2 && rng.distinct.size == 1, s"peers differ: $rng")
   }
 
+  private def runOverMulti(useTws: Boolean, sink: String)
+      : Seq[(Long, Long, Seq[Double], Seq[Double])] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{OverFrame, SlotOp}
+    implicit val sqlCtx = spark.sqlContext
+    // four slots, four DIFFERENT frames incl. First/Last ops (r8
+    // Slots.Multi): slot 0 SUM over ROWS-2, slot 1 MIN over RANGE-15s,
+    // slot 2 FIRST over unbounded-range, slot 3 LAST over unbounded rows
+    val ops = Vector[SlotOp](SlotOp.Sum, SlotOp.Min, SlotOp.First, SlotOp.Last)
+    val frames = Vector[OverFrame](OverFrame.Rows(2), OverFrame.Range(15000L),
+      OverFrame.UnboundedRange, OverFrame.Unbounded)
+    val in = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val watermarked = in.toDF().toDF("k", "ts", "vs")
+      .withWatermark("ts", "10 seconds").as[(Long, Timestamp, Seq[Double])]
+    val out = if (useTws) StatefulTws.overMultiAggsByKey(watermarked, frames, ops)
+              else graft.streaming.StatefulOps.overMultiAggsByKey(watermarked, frames, ops)
+    val q = out.toDF("k", "t", "vs", "aggs").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, ts(30), Seq(3.0, 7.0, 3.0, 7.0)),
+        (1L, ts(10), Seq(1.0, Double.NaN, Double.NaN, 1.0)),
+        (1L, ts(20), Seq(2.0, 5.0, 2.0, Double.NaN)),
+        (1L, ts(20), Seq(2.5, 4.0, 2.5, 4.0)))
+      q.processAllAvailable()
+      in.addData((1L, ts(100), Seq(4.0, 6.0, 4.0, 6.0)))
+      q.processAllAvailable()
+      in.addData((1L, ts(200), Seq(0.0, 9.0, 0.0, 9.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Seq[Double], Seq[Double])].collect().toSeq
+  }
+
+  test("TWS multi-frame OVER: per-slot frames + First/Last, exact equality") {
+    def canon(s: Seq[(Long, Long, Seq[Double], Seq[Double])]) =
+      s.sortBy(r => (r._2, r._3.mkString(",")))
+        .map { case (k, t, vs, ag) => (k, t, vs.mkString(","), ag.mkString(",")) }
+    val ref = runOverMulti(useTws = false, "twss_om_ref")
+    val tws = withRocksDB { runOverMulti(useTws = true, "twss_om_new") }
+    assert(canon(tws) == canon(ref), s"tws=$tws ref=$ref")
+    assert(ref.size == 5, s"expected 5 released rows, got $ref")
+    // pin the per-slot semantics on the released t=30 row: SUM over the
+    // last 2 rows (Rows(2)), MIN over [15s,30s], FIRST non-null ever
+    // (2.0 — the t=10 slot-2 input is the NULL sentinel), LAST non-null
+    // so far (7.0)
+    val r30 = ref.find(_._2 == 30000L).get._4
+    assert(r30(0) == 2.5 + 3.0, s"sum slot: $r30")
+    assert(r30(1) == 4.0, s"min slot: $r30")
+    assert(r30(2) == 2.0, s"first slot: $r30")
+    assert(r30(3) == 7.0, s"last slot: $r30")
+  }
+
   // ---- append-only top-N ----------------------------------------------
 
   private def runTopN(useTws: Boolean, sink: String): Seq[(String, Int, Double, String)] = {

@@ -288,7 +288,83 @@ class StreamOverSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("mismatched window specs across OVER items are rejected loudly") {
+  test("different frames per OVER item: one fused pass, per-slot windows " +
+      "+ FIRST_VALUE/LAST_VALUE") {
+    // r8: every item carries its OWN frame (Slots.Multi — the reference's
+    // StreamExecOverAggregate multi-window support, fused into a single
+    // operator instead of its chained ones), plus the FIRST_VALUE /
+    // LAST_VALUE slots (reference FirstValue/LastValueAggFunction: IGNORE
+    // NULLS — the batch side says so explicitly for the same result)
+    val (src, sink) = (s"ovr_src_mf_$h", s"ovr_sink_mf_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink
+      (k BIGINT, ts TIMESTAMP, s2 DOUBLE, cu BIGINT, ar DOUBLE,
+       fv DOUBLE, lv DOUBLE) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-over-mf").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, ts,
+             SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s2,
+             COUNT(v) OVER (PARTITION BY k ORDER BY ts) AS cu,
+             AVG(v) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN INTERVAL '90' SECOND PRECEDING AND CURRENT ROW) AS ar,
+             FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv,
+             LAST_VALUE(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY ts) AS lv
+      FROM $src""", ckpt)
+    try {
+      // NULL rows exercise the NULL-ignoring slots across ALL frames at
+      // once; key 3's lone NULL row is the all-NULL frame for each
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
+        (1, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 00:00:02'),
+        (1, 2.0,  TIMESTAMP '2024-01-01 00:00:05'),
+        (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03'),
+        (3, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 00:00:04')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 4.0, TIMESTAMP '2024-01-01 00:01:30')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.0, TIMESTAMP '2024-01-01 01:00:00')")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"INSERT INTO $src VALUES (7, 0.0, TIMESTAMP '2024-01-01 02:00:00')")
+      q.processAllAvailable(); q.processAllAvailable()
+
+      val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
+      def rowOf(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6))
+      val got = spark.table(sink).collect().map(rowOf).filter(_._2 < cutoff).toSet
+      val wRows2 = Window.partitionBy("k").orderBy("ts").rowsBetween(-2, 0)
+      val wUnb = Window.partitionBy("k").orderBy("ts")
+      val wRng90 = Window.partitionBy("k").orderBy(col("ts").cast("long") * 1000)
+        .rangeBetween(-90000, 0)
+      val want = WatermarkDdl.read(spark, src)
+        .select(col("k"), col("ts"),
+          sum("v").over(wRows2).as("s2"),
+          count("v").over(wUnb).as("cu"),
+          avg("v").over(wRng90).as("ar"),
+          first(col("v"), ignoreNulls = true).over(wRows2).as("fv"),
+          last(col("v"), ignoreNulls = true).over(wUnb).as("lv"))
+        .collect().map(rowOf).filter(_._2 < cutoff).toSet
+      assert(got == want && want.size == 6,
+        s"multi-frame stream $got != batch $want")
+    } finally {
+      q.stop()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
+  test("mismatched PARTITION BY / RESPECT NULLS are rejected loudly") {
     val (src, sink) = (s"ovr_src_mm_$h", s"ovr_sink_mm_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
@@ -296,18 +372,29 @@ class StreamOverSqlSpec extends AnyFunSuite {
       CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
         WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
     try {
-      // differing frames -> matches() is false -> falls through to
+      // differing PARTITION BY -> matches() is false -> falls through to
       // spark.sql -> Spark's own streaming planner rejects the window
+      // (frames may differ since r8, partition/order may not)
       val e = intercept[Exception] {
         val q = Engine.sqlStreamInsert(spark, s"""
           INSERT INTO $sink
           SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s,
-                 SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2
+                 SUM(v) OVER (ORDER BY ts) AS s2
           FROM $src""",
           java.nio.file.Files.createTempDirectory("graft-over-mm").toString)
         try q.processAllAvailable() finally q.stop()
       }
       assert(e.getMessage != null)
+      // RESPECT NULLS cannot ride the NaN-sentinel encoding and differs
+      // from the reference's IGNORE-NULLS aggregates: rejected in lower()
+      val e2 = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO $sink
+          SELECT k, FIRST_VALUE(v) RESPECT NULLS OVER (PARTITION BY k ORDER BY ts) AS f
+          FROM $src""",
+          java.nio.file.Files.createTempDirectory("graft-over-rn").toString)
+      }
+      assert(e2.getMessage.contains("RESPECT NULLS"), e2.getMessage)
     } finally {
       Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
       Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
