@@ -180,11 +180,19 @@ object Engine {
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(m))
       Seq(plan).toDF("plan")
     case _ =>
-      if (WindowTvfSql.matches(query)) WindowTvfSql.sql(spark, query)
-      else if (TemporalSql.matches(query)) TemporalSql.sql(spark, query)
-      else if (graft.cep.MatchRecognize.matchesSql(query))
-        graft.cep.MatchRecognize.sql(spark, query)
-      else WatermarkDdl.sql(spark, query)
+      // Compositional normalize pass (ParserImpl role, SqlComposer): DDL
+      // with extended-dialect bodies runs the body through this same
+      // entry first; extended subqueries are lifted to temp views so the
+      // shape-precise lowerings below see the bare-relation forms they
+      // parse. Plain statements pass through untouched.
+      SqlComposer.composedDdl(spark, query).getOrElse {
+        val q = SqlComposer.lift(spark, query)
+        if (WindowTvfSql.matches(q)) WindowTvfSql.sql(spark, q)
+        else if (TemporalSql.matches(q)) TemporalSql.sql(spark, q)
+        else if (graft.cep.MatchRecognize.matchesSql(q))
+          graft.cep.MatchRecognize.sql(spark, q)
+        else WatermarkDdl.sql(spark, q)
+      }
   }
 
   private val StreamInsertRe =
@@ -238,12 +246,31 @@ object Engine {
             // event-time OVER would be rejected by Spark's streaming
             // planner ("non-time-based windows"): lower it onto the
             // stateful OVER operators (StreamExecOverAggregate role).
-            // matches() is SHAPE-PRECISE: statements outside the
-            // supported single-table surface (e.g. an OVER on the
-            // batch-side subquery of a stream-batch join) fall through
-            // to spark.sql, which plans them as before.
-            if (StreamOverSql.matches(select)) StreamOverSql.lower(spark, select)
-            else spark.sql(select)
+            // Composed form — OVER above a streaming join/subquery
+            // (`SELECT ... OVER ... FROM (SELECT ... JOIN ...) t`) —
+            // lifts the subquery first (lowerComposed). A streaming OVER
+            // that fits NEITHER shape is rejected LOUDLY here instead of
+            // falling into spark.sql's unsupported-operation error at
+            // stream start; an OVER that spark.sql can genuinely plan
+            // (e.g. on the batch side of a stream-batch join) still falls
+            // through — the reject triggers only when the analyzed plan
+            // has a window operator over streaming input.
+            StreamOverSql.lowerComposed(spark, select).getOrElse {
+              val df = spark.sql(select)
+              val streamingWindow = df.queryExecution.analyzed.collect {
+                case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                    if w.isStreaming => w
+              }.nonEmpty
+              if (streamingWindow)
+                throw new IllegalArgumentException(
+                  "unsupported streaming OVER: supported forms are " +
+                    "SELECT <items> FROM <watermarked table> [WHERE ...] and " +
+                    "SELECT <items> FROM (<streaming subquery>) [AS] a " +
+                    "[WHERE ...] with every OVER item sharing one PARTITION " +
+                    "BY + ORDER BY <rowtime> (wrap joins in the subquery " +
+                    s"form); got: $select")
+              df
+            }
           } finally streamed.foreach { t =>
             priorTempViews.get(t) match {
               case Some(orig) => orig.createOrReplaceTempView(t)

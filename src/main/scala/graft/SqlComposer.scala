@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Compositional front step of the engine's SQL front door — the single
+  * parse/normalize pass every statement crosses before the dialect
+  * lowerings run (the role of the reference's one Calcite entry,
+  * flink-table-planner ParserImpl.java:91: parse once, THEN hand the
+  * tree to planner rules; here: normalize once, then hand the residual
+  * statement to the shape-precise lowering backends).
+  *
+  * The extended dialect constructs — MATCH_RECOGNIZE, `FOR SYSTEM_TIME
+  * AS OF` temporal joins, window TVFs — were historically whole-statement
+  * routers: each recognized exactly its own top-level shape, so a
+  * COMPOSED statement (MATCH_RECOGNIZE in a subquery, a window TVF over
+  * a temporal-join subquery, extended DDL bodies) either hit a confusing
+  * Spark parse error or, worse, executed with the outer clause silently
+  * dropped. This pass makes composition work by INSIDE-OUT REWRITING:
+  *
+  *  1. every parenthesized `(SELECT ...)` subquery that contains an
+  *     extended construct is recursively lowered through [[Engine.sql]]
+  *     (so arbitrary nesting terminates at the innermost construct),
+  *     bound as a generated temp view, and spliced back into the text —
+  *     as a bare relation name in FROM/JOIN/`TABLE(...)` position (the
+  *     forms the shape-precise backends accept), as `(SELECT * FROM v)`
+  *     in expression position;
+  *  2. when the OUTER statement is extended, plain FROM/JOIN/TVF-arg
+  *     subqueries are lifted the same way, so `FROM (SELECT ...)
+  *     MATCH_RECOGNIZE (...)` and `TABLE(TUMBLE(TABLE (SELECT ...), ...))`
+  *     reach their backends as the bare-name forms they parse;
+  *  3. extended DDL bodies — `CREATE [OR REPLACE] [TEMPORARY] VIEW ... AS
+  *     <extended select>`, `CREATE TABLE ... AS <extended select>`,
+  *     `INSERT INTO|OVERWRITE <t> <extended select>` — lower the body
+  *     first and then perform the DDL action on the result (previously
+  *     the MATCH_RECOGNIZE router would match the embedded SELECT and
+  *     silently discard the CREATE VIEW around it).
+  *
+  * Correlated subqueries referencing outer columns cannot be lifted into
+  * a standalone view; lifting one fails inside Engine.sql with Spark's
+  * unresolved-column error (loud, names the missing column). Only
+  * subqueries containing extended constructs are ever lifted from
+  * expression position, so plain correlated EXISTS/IN subqueries are
+  * untouched and plan exactly as before.
+  *
+  * All scanning happens on literal-blanked text (string contents become
+  * spaces, indices preserved), so quoted `'MATCH_RECOGNIZE('` never
+  * triggers a rewrite and parentheses inside literals never unbalance
+  * the walk.
+  */
+object SqlComposer {
+
+  private val viewCounter = new AtomicInteger(0)
+
+  /** Same-length literal blanking: single-quoted string contents become
+    * spaces so keyword finds and paren walks ignore SQL inside literals
+    * while every index still maps into the original text. */
+  private[graft] def blank(s: String): String = {
+    val arr = s.toCharArray
+    var i = 0
+    var in = false
+    while (i < arr.length) {
+      if (arr(i) == '\'') in = !in
+      else if (in) arr(i) = ' '
+      i += 1
+    }
+    new String(arr)
+  }
+
+  /** The extended-dialect constructs this pass composes over. Legacy
+    * grouped windows (GROUP BY TUMBLE(...)) are deliberately absent: that
+    * surface is top-level-only syntax WindowTvfSql rewrites in place, and
+    * its TUMBLE/HOP/SESSION names would false-positive on the TVF forms. */
+  private val MarkerRes = Seq(
+    """(?is)\bMATCH_RECOGNIZE\s*\(""".r,
+    """(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b""".r,
+    """(?is)\bTABLE\s*\(\s*(?:TUMBLE|HOP|CUMULATE|SESSION)\s*\(""".r)
+
+  private[graft] def hasMarker(blanked: String): Boolean =
+    MarkerRes.exists(_.findFirstIn(blanked).isDefined)
+
+  /** Index of the ')' matching the '(' at `open` (blanked text — literal
+    * parens are already spaces). */
+  private def matchParen(b: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < b.length) {
+      b(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced parentheses in SQL statement at offset $open")
+  }
+
+  private val SubOpenRe = """(?is)\(\s*SELECT\b""".r
+
+  /** Outermost `( SELECT ...)` spans — non-overlapping; nested subqueries
+    * inside a span are handled by the recursion through Engine.sql when
+    * that span lowers. */
+  private def subquerySpans(b: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var from = 0
+    var continue = true
+    while (continue) {
+      SubOpenRe.findFirstMatchIn(b.drop(from)) match {
+        case None => continue = false
+        case Some(mm) =>
+          val open = from + mm.start
+          val close = matchParen(b, open)
+          out += ((open, close))
+          from = close + 1
+      }
+    }
+    out.result()
+  }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** The identifier/keyword immediately before `pos` (skipping
+    * whitespace), or "" when none. */
+  private def prevWord(b: String, pos: Int): String = {
+    var i = pos - 1
+    while (i >= 0 && b(i).isWhitespace) i -= 1
+    val end = i
+    while (i >= 0 && isWordChar(b(i))) i -= 1
+    if (end < 0 || i == end) "" else b.substring(i + 1, end + 1)
+  }
+
+  /** The identifier/keyword starting at or after `pos` (skipping
+    * whitespace), or "" when none. */
+  private def nextWord(b: String, pos: Int): String = {
+    var i = pos
+    while (i < b.length && b(i).isWhitespace) i += 1
+    val start = i
+    while (i < b.length && isWordChar(b(i))) i += 1
+    b.substring(start, i)
+  }
+
+  /** Lift composable subqueries out of `stmt` until the residual text is
+    * a shape the dialect backends (or spark.sql) can take whole. Returns
+    * the rewritten statement; statements without extended constructs are
+    * returned untouched (zero overhead on the plain-SQL path). */
+  def lift(spark: SparkSession, stmt: String): String = {
+    var q = stmt
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val b = blank(q)
+      if (!hasMarker(b)) return q
+      val spans = subquerySpans(b) match {
+        case s if s.nonEmpty => s
+        case _               => return q
+      }
+      // outer text = statement with every subquery span blanked out
+      val outerArr = b.toCharArray
+      spans.foreach { case (s, e) =>
+        var i = s; while (i <= e) { outerArr(i) = ' '; i += 1 }
+      }
+      val outerExtended = hasMarker(new String(outerArr))
+      def relationPos(s: Int, e: Int): Boolean = {
+        val pw = prevWord(b, s)
+        val nw = nextWord(b, e + 1)
+        pw.equalsIgnoreCase("FROM") || pw.equalsIgnoreCase("JOIN") ||
+          pw.equalsIgnoreCase("TABLE") || nw.equalsIgnoreCase("MATCH_RECOGNIZE")
+      }
+      val target = spans.find { case (s, e) => hasMarker(b.substring(s, e + 1)) }
+        .orElse(if (outerExtended) spans.find { case (s, e) => relationPos(s, e) }
+                else None)
+      target match {
+        case None => return q
+        case Some((s, e)) =>
+          val inner = q.substring(s + 1, e).trim
+          val view = s"__graft_sub_${viewCounter.incrementAndGet()}"
+          Engine.sql(spark, inner).createOrReplaceTempView(view)
+          val replacement =
+            if (relationPos(s, e)) view else s"(SELECT * FROM $view)"
+          q = q.substring(0, s) + replacement + q.substring(e + 1)
+      }
+    }
+    throw new IllegalStateException(
+      "SQL composition did not converge after 64 rewrites — " +
+        s"residual statement: $q")
+  }
+
+  // ------------------------------------------------- extended DDL bodies
+
+  private val CreateViewRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+""" +
+      """`?([\w.]+)`?\s+AS\s+(.+)""").r
+  private val CtasRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+AS\s+(.+)""".r
+  private val InsertSelRe =
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(SELECT\b.+|WITH\b.+|\(\s*SELECT\b.+)""".r
+
+  /** DDL statements whose SELECT body uses the extended dialect: lower
+    * the body through the front door first, then perform the DDL action
+    * on the result. Returns None for anything else (including the same
+    * DDL over plain SQL — those keep their existing catalog paths, which
+    * persist view TEXT rather than a materialized lineage). */
+  def composedDdl(spark: SparkSession, stmt: String): Option[DataFrame] =
+    stmt match {
+      case CreateViewRe(_, temp, name, body) if hasMarker(blank(body)) =>
+        val df = Engine.sql(spark, body)
+        // The extended dialect lowers to a DataFrame, not to view text a
+        // later session could re-parse: materialize the LINEAGE as a temp
+        // view (session-scoped). A non-TEMPORARY extended view cannot
+        // survive the session — reject loudly rather than silently
+        // downgrade persistence.
+        if (temp == null)
+          throw new IllegalArgumentException(
+            "CREATE VIEW over an extended-dialect SELECT must be TEMPORARY " +
+              "(the lowered plan is session-scoped); use CREATE TEMPORARY " +
+              s"VIEW $name AS ..., or CREATE TABLE $name AS ... to persist rows")
+        df.createOrReplaceTempView(name)
+        Some(spark.emptyDataFrame)
+      case CtasRe(name, body) if hasMarker(blank(body)) =>
+        Engine.sql(spark, body).write.saveAsTable(name)
+        Some(spark.emptyDataFrame)
+      case InsertSelRe(mode, table, body) if hasMarker(blank(body)) =>
+        val df = Engine.sql(spark, body)
+        val target = // extended sinks store through their physical base table
+          if (spark.catalog.tableExists(s"__${table}_base")) s"__${table}_base"
+          else table
+        val writer = df.write
+        if (mode.equalsIgnoreCase("OVERWRITE"))
+          writer.mode("overwrite").insertInto(target)
+        else writer.mode("append").insertInto(target)
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+}

@@ -73,6 +73,35 @@ import org.apache.spark.sql.functions._
   */
 object StreamOverSql {
 
+  private val subCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Same-length literal blanking (single-quoted contents -> spaces). */
+  private def blanked(s: String): String = {
+    val arr = s.toCharArray
+    var i = 0
+    var in = false
+    while (i < arr.length) {
+      if (arr(i) == '\'') in = !in
+      else if (in) arr(i) = ' '
+      i += 1
+    }
+    new String(arr)
+  }
+
+  private def matchParen(b: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < b.length) {
+      b(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
   private val SelRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
   private val OverItemRe =
@@ -133,6 +162,67 @@ object StreamOverSql {
         }
       }
     case _ => false
+  }
+
+  private val FromSubHeadRe = """(?is)^\s*SELECT\s+(.+?)\s+FROM\s*\(""".r
+  private val AliasHeadRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\b(.*)$""".r
+
+  /** Remove `alias.`-qualified prefixes outside string literals, so a
+    * select list written against a subquery alias resolves against the
+    * lifted single-table view ("t.price" -> "price"). */
+  private def stripQualifier(text: String, alias: String): String = {
+    val b = blanked(text)
+    val re = ("""(?i)\b""" + java.util.regex.Pattern.quote(alias) + """\s*\.\s*""").r
+    val cut = re.findAllMatchIn(b).map(m => (m.start, m.end)).toList
+    if (cut.isEmpty) text
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      cut.foreach { case (s, e) => sb.append(text.substring(i, s)); i = e }
+      sb.append(text.substring(i)).toString
+    }
+  }
+
+  /** COMPOSED streaming OVER — the round-7 verdict's "streaming OVER +
+    * join" gap: `SELECT <over items> FROM (<subquery>) [AS] a [WHERE ...]`
+    * where the subquery is arbitrary streaming SQL (typically a
+    * stream-batch or stream-stream join that assembles the OVER's input).
+    * The subquery lowers through spark.sql first (the caller has already
+    * shadowed watermarked sources with streaming reads), binds as a
+    * generated temp view, alias qualifiers are stripped from the outer
+    * items, and the rewritten single-table statement takes the normal
+    * [[lower]] path. The watermark column is recognized through Spark's
+    * event-time column METADATA (spark.watermarkDelayMs survives
+    * projection, rename and joins), since a lifted view has no catalog
+    * watermark declaration. None = not this shape (caller decides whether
+    * to fall through to spark.sql or reject loudly). */
+  def lowerComposed(spark: SparkSession, select: String): Option[DataFrame] = {
+    if (matches(select)) return Some(lower(spark, select))
+    val b = blanked(select)
+    if ("""(?is)\bOVER\s*\(""".r.findFirstIn(b).isEmpty) return None
+    val head = FromSubHeadRe.findFirstMatchIn(b).getOrElse(return None)
+    val open = head.end - 1
+    val close = matchParen(b, open)
+    if (close < 0) return None
+    val inner = select.substring(open + 1, close).trim
+    if (!inner.regionMatches(true, 0, "SELECT", 0, 6)) return None
+    var tail = select.substring(close + 1)
+    var aliasOpt: Option[String] = None
+    tail match {
+      case AliasHeadRe(w, rest) if !w.equalsIgnoreCase("WHERE") =>
+        aliasOpt = Some(w); tail = rest
+      case _ => ()
+    }
+    // an inner that doesn't analyze is not this shape — let the caller's
+    // spark.sql path report the error on the ORIGINAL statement text
+    val innerDf = scala.util.Try(spark.sql(inner)).getOrElse(return None)
+    if (!innerDf.isStreaming) return None // batch statement: spark.sql plans it whole
+    val view = s"__graft_over_sub_${subCounter.incrementAndGet()}"
+    innerDf.createOrReplaceTempView(view)
+    val items0 = select.substring(head.start(1), head.end(1))
+    val strip = (s: String) => aliasOpt.map(a => stripQualifier(s, a)).getOrElse(s)
+    val rewritten = s"SELECT ${strip(items0)} FROM $view ${strip(tail)}".trim
+    if (matches(rewritten)) Some(lower(spark, rewritten)) else None
   }
 
   /** Lower the SELECT to a STREAMING DataFrame. Resolves `FROM <table>`
@@ -214,15 +304,24 @@ object StreamOverSql {
           "FIRST_VALUE/LAST_VALUE aggregates ignore NULLs")
     }
 
-    val wmCol = WatermarkDdl.watermarkCol(spark, table)
+    val wmCol = scala.util.Try(
+      WatermarkDdl.watermarkCol(spark, table)).toOption.flatten
     // ORDER BY a declared PROCTIME() attribute selects the
     // processing-time executors (ProcTime*Function family): arrival-order
     // aggregation, no watermark buffering
-    val procTime = WatermarkDdl.proctimeCol(spark, table).contains(rowtime)
-    require(procTime || wmCol.contains(rowtime),
-      s"streaming OVER must ORDER BY the declared WATERMARK column " +
-        s"(${wmCol.getOrElse("<none>")}) or a PROCTIME() attribute, got $rowtime")
+    val procTime = scala.util.Try(
+      WatermarkDdl.proctimeCol(spark, table)).toOption.flatten.contains(rowtime)
     val src0 = spark.table(table)
+    // A lifted subquery view (lowerComposed) has no catalog watermark
+    // declaration; Spark marks the event-time attribute with column
+    // metadata (EventTimeWatermark.delayKey) that survives projection,
+    // rename and joins — accept that as the declared rowtime.
+    val wmMeta = src0.schema.find(_.name == rowtime)
+      .exists(f => f.metadata.contains("spark.watermarkDelayMs"))
+    require(procTime || wmCol.contains(rowtime) || wmMeta,
+      s"streaming OVER must ORDER BY the declared WATERMARK column " +
+        s"(${wmCol.getOrElse("<none>")}), a watermarked (event-time) " +
+        s"column of the input, or a PROCTIME() attribute, got $rowtime")
     require(src0.isStreaming,
       s"$table did not resolve to a streaming read (batch OVER is spark.sql's job)")
     val src = whereOpt.map(src0.where).getOrElse(src0)

@@ -768,6 +768,112 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // COMPOSED SQL under the oracle gate (round-8 SqlComposer,
+      // ParserImpl.java:91 role): MATCH_RECOGNIZE inside a SUBQUERY whose
+      // result joins a second catalog table — the statement the round-7
+      // verdict named as silently unlowerable under whole-statement
+      // routers. The composer lifts the extended subquery to a view and
+      // the outer join plans as plain Catalyst SQL (broadcast-able dim).
+      // Oracle = q101's relational replay wrapped in the same join.
+      "q130_composed_mr_join",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT m.user_id, m.s_us, m.n_clicks, c.c_name
+          FROM (SELECT user_id, s_us, n_clicks
+                FROM events MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts_us, event_id
+                  MEASURES A.ts_us AS s_us, COUNT(B.*) AS n_clicks
+                  ONE ROW PER MATCH
+                  PATTERN (A B+? C)
+                  WITHIN 604800000000
+                  AFTER MATCH SKIP TO NEXT ROW
+                  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+                         C AS event_type = 'purchase'
+                )) m
+          JOIN customer c ON m.user_id = c.c_custkey
+          ORDER BY m.user_id, m.s_us
+        """)
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT s.user_id, s.s_us, MIN(pe.us) AS p_us
+        |      FROM s JOIN e pe ON pe.user_id = s.user_id
+        |      WHERE pe.event_type = 'purchase' AND pe.us > s.s_us
+        |        AND pe.us - s.s_us <= 604800000000
+        |        AND EXISTS (SELECT 1 FROM e c WHERE c.user_id = s.user_id
+        |              AND c.event_type = 'click' AND c.us > s.s_us AND c.us < pe.us)
+        |      GROUP BY 1, 2),
+        |m AS (SELECT p.user_id, p.s_us, COUNT(*) AS n_clicks
+        |      FROM p JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |        AND c.us > p.s_us AND c.us < p.p_us
+        |      GROUP BY 1, 2)
+        |SELECT m.user_id, m.s_us, CAST(m.n_clicks AS BIGINT) AS n_clicks, c.c_name
+        |FROM m JOIN customer c ON m.user_id = c.c_custkey
+        |ORDER BY m.user_id, m.s_us
+        |""".stripMargin)),
+
+    GQuery(
+      // COMPOSED SQL #2 under the oracle gate: a window TVF whose TABLE
+      // argument is a TEMPORAL-JOIN SUBQUERY — hourly attribution counts
+      // over `purchase FOR SYSTEM_TIME AS OF click` output. The composer
+      // lowers the inner `FOR SYSTEM_TIME` statement first (TemporalSql
+      // -> AsOfJoin.backward, one sort-shuffle), binds it as a view, and
+      // the TVF + GROUP BY plan as one more shuffle on (window) — the
+      // exact two-exchange plan a hand-built pipeline would use. The dim
+      // declares its version time via the WATERMARK DDL clause (the
+      // versioned-table contract TemporalSql reads from the catalog).
+      "q131_composed_tvf_temporal",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, "DROP VIEW IF EXISTS q131_dim")
+        Engine.sql(s, "DROP TABLE IF EXISTS __q131_dim_base")
+        Engine.sql(s, """
+          CREATE TABLE q131_dim (ck BIGINT, ct TIMESTAMP, click_id BIGINT,
+            WATERMARK FOR ct AS ct - INTERVAL '1' SECOND)""")
+        Engine.sql(s, """
+          INSERT INTO q131_dim
+          SELECT user_id, ts, MAX(event_id) FROM events
+          WHERE event_type = 'click'
+          GROUP BY user_id, ts""")
+        Engine.sql(s, """
+          CREATE OR REPLACE TEMPORARY VIEW q131_fact AS
+          SELECT user_id AS k, ts AS pts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'""")
+        Engine.sql(s, """
+          SELECT unix_seconds(window_start) AS win_start_sec,
+                 COUNT(*) AS n_purchases, COUNT(click_id) AS n_attributed
+          FROM TABLE(TUMBLE(TABLE (
+            SELECT f.pts AS ts, d.click_id AS click_id
+            FROM q131_fact f
+            JOIN q131_dim FOR SYSTEM_TIME AS OF f.pts AS d
+            ON f.k = d.ck
+          ), DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          GROUP BY window_start
+          ORDER BY win_start_sec
+        """)
+      },
+      Some("""
+        |WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us, event_type
+        |           FROM events),
+        |f AS (SELECT event_id AS purchase_id, user_id, t_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, t_us AS ct, MAX(event_id) AS click_id FROM e
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT f.purchase_id, f.t_us,
+        |             (SELECT d.click_id FROM d
+        |              WHERE d.user_id = f.user_id AND d.ct <= f.t_us
+        |              ORDER BY d.ct DESC LIMIT 1) AS click_id
+        |      FROM f)
+        |SELECT (t_us//1000000//3600)*3600 AS win_start_sec,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(click_id) AS BIGINT) AS n_attributed
+        |FROM j GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    GQuery(
       // q21's tumbling aggregation as ONE SQL STATEMENT through the
       // window-TVF front door (Engine.sql -> WindowTvfSql): the
       // TABLE(TUMBLE(...)) call is spliced to an expanded view and the
