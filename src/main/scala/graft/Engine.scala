@@ -215,11 +215,23 @@ object Engine {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     statement match {
       case StreamInsertRe(sink, select) =>
-        val leaves = spark.sessionState.sqlParser.parsePlan(select)
-          .collectWithSubqueries {
-            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-              r.multipartIdentifier.mkString(".")
-          }.distinct
+        val leaves = (try {
+          spark.sessionState.sqlParser.parsePlan(select)
+            .collectWithSubqueries {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                r.multipartIdentifier.mkString(".")
+            }
+        } catch {
+          case _: Exception =>
+            // extended dialect (window TVF text, MATCH_RECOGNIZE) doesn't
+            // parse with Spark's parser: conservative identifier scan
+            // against the catalog's visible tables (the sharedLeafSources
+            // fallback) — over-matching only binds extra streaming views
+            val visible = spark.catalog.listTables().collect()
+              .map(_.name.toLowerCase).toSet
+            """\b[A-Za-z_][A-Za-z0-9_]*\b""".r.findAllIn(select)
+              .map(_.toLowerCase).toSeq.distinct.filter(visible)
+        }).distinct
         // a declared PROCTIME() attribute also marks a streaming source:
         // proc-time pipelines (arrival-order OVER etc.) legitimately have
         // no watermark at all
@@ -255,7 +267,14 @@ object Engine {
             // (e.g. on the batch side of a stream-batch join) still falls
             // through — the reject triggers only when the analyzed plan
             // has a window operator over streaming input.
-            StreamOverSql.lowerComposed(spark, select).getOrElse {
+            // Window-TVF text (TUMBLE/HOP/SESSION over TABLE src, or the
+            // legacy grouped-window forms) lowers through WindowTvfSql,
+            // which rewrites the grouped streaming shape onto native
+            // window()/session_window() aggregation — the reference's
+            // `INSERT INTO sink SELECT ... FROM TABLE(TUMBLE(...))
+            // GROUP BY window_start` streaming job shape.
+            if (WindowTvfSql.matches(select)) WindowTvfSql.sql(spark, select)
+            else StreamOverSql.lowerComposed(spark, select).getOrElse {
               val df = spark.sql(select)
               val streamingWindow = df.queryExecution.analyzed.collect {
                 case w: org.apache.spark.sql.catalyst.plans.logical.Window

@@ -59,9 +59,11 @@ import org.apache.spark.sql.functions._
   *
   * NULL semantics: all five aggregates ignore NULL inputs, and a frame
   * with no non-null inputs reads NULL — exact SQL semantics, including
-  * SUM (NULL inputs ride a NaN sentinel every combine op skips; the
-  * standard float caveat applies: a NaN DATA value is indistinguishable
-  * from NULL in the aggregated/projected output).
+  * SUM (NULL inputs ride a NaN sentinel every combine op skips). A NaN
+  * DATA value would be indistinguishable from NULL under that encoding
+  * (batch spark.sql propagates NaN for the same text), so NaN inputs are
+  * rejected EAGERLY with a clear error by default — set
+  * `graft.streamOver.nanInput=allow` to accept them reading back NULL.
   *
   * Watermark caveat: Catalyst pushes a WHERE predicate that doesn't
   * reference the rowtime BELOW the EventTimeWatermark node
@@ -353,15 +355,33 @@ object StreamOverSql {
       slotCache.getOrElseUpdate((kind, txt, norm(a.frameText)),
         { slotCols += c; slotOps += op; slotFrames += parseFrame(a.frameText)
           nSlots += 1; nSlots - 1 })
+    // NULL inputs ride a NaN sentinel — so a genuine NaN DATA value would
+    // silently read back NULL, diverging from batch spark.sql where NaN
+    // propagates. Guard the ambiguity EAGERLY (one codegen'd isnan branch
+    // per slot): a NaN input fails the query with a clear message.
+    // graft.streamOver.nanInput=allow restores the documented
+    // NaN-reads-as-NULL behavior for pipelines that accept it.
+    val rejectNaN = spark.conf.get(
+      "graft.streamOver.nanInput", "reject") != "allow"
+    def sentinel(ve: Column): Column = {
+      val guarded =
+        if (!rejectNaN) ve
+        else when(isnan(ve), raise_error(lit(
+          "NaN input to a streaming OVER aggregate: the NaN-sentinel NULL " +
+            "encoding cannot represent it (batch OVER would propagate NaN). " +
+            "Filter NaNs out, or set graft.streamOver.nanInput=allow to " +
+            "read them back as NULL")).cast("double")).otherwise(ve)
+      coalesce(guarded, lit(Double.NaN))
+    }
     def valueSlot(a: AggItem): Int = slotOf(a, "val", norm(a.valueText))(
-      coalesce(expr(a.valueText).cast("double"), lit(Double.NaN)))
+      sentinel(expr(a.valueText).cast("double")))
     def indicatorSlot(a: AggItem): Int =
       if (a.valueText == "*") slotOf(a, "star", "")(lit(1.0))
       else slotOf(a, "ind", norm(a.valueText))(
         when(expr(a.valueText).isNotNull, 1.0).otherwise(0.0))
     def opSlot(a: AggItem, kind: String, op: SlotOp): Int =
       slotOf(a, kind, norm(a.valueText), op)(
-        coalesce(expr(a.valueText).cast("double"), lit(Double.NaN)))
+        sentinel(expr(a.valueText).cast("double")))
     val aggSlots: Seq[(AggItem, Int, Int)] = aggs.map { a =>
       a.fn match {
         case "SUM" => (a, valueSlot(a), -1)

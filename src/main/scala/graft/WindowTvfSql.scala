@@ -83,14 +83,40 @@ object WindowTvfSql {
       val openFn = b.indexOf('(', b.indexOf(mm.group(1), openTable))
       val closeFn = matchParen(b, openFn)
       val args = q.substring(openFn + 1, closeFn)
-      if (fn == "SESSION" && isStreamingTable(spark, args)) {
-        // A streaming session TVF cannot annotate rows (the per-row
-        // gaps-and-islands form needs the whole session); the only
-        // streaming-expressible shape is the aggregated one, so rewrite
-        // the WHOLE statement onto session_window in the GROUP BY —
-        // Spark's native streaming session aggregation with watermark-
-        // driven merge (the StreamExecWindowAggregate SESSION role).
-        q = rewriteStreamingSession(q, mm.start, closeTable, args)
+      // top-level GROUP BY (depth 0 of the blanked text) = the
+      // aggregated shape; per-row TVF annotation with no aggregate is
+      // streaming-legal and keeps the expand path
+      val hasTopGroupBy = {
+        var d = 0
+        var found = false
+        var i = 0
+        while (!found && i < b.length) {
+          b.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case 'g' | 'G' if d == 0 && b.regionMatches(true, i, "group", 0, 5) &&
+                (i == 0 || !b.charAt(i - 1).isLetterOrDigit) &&
+                """(?is)^GROUP\s+BY\b""".r.findFirstIn(b.substring(i)).isDefined =>
+              found = true
+            case _ => ()
+          }
+          i += 1
+        }
+        found
+      }
+      if (isStreamingTable(spark, fn, args) &&
+          (fn == "SESSION" || hasTopGroupBy)) {
+        // A streaming TVF cannot aggregate per-row annotated window
+        // columns (the event-time marker doesn't survive the struct
+        // projection, and SESSION's gaps-and-islands form needs the
+        // whole session): rewrite the WHOLE statement onto the native
+        // grouping expression — window()/session_window() in the GROUP
+        // BY, Spark's watermark-driven streaming window aggregation
+        // (the StreamExecWindowAggregate role). CUMULATE in the grouped
+        // streaming shape has no native form and rejects loudly inside
+        // the rewrite; per-row annotation (no GROUP BY) stays on the
+        // expand path, which is streaming-legal without aggregation.
+        q = rewriteStreamingWindow(q, mm.start, closeTable, fn, args)
       } else {
         val view = s"__graft_window_tvf_${viewCounter.incrementAndGet()}"
         expand(spark, fn, args).createOrReplaceTempView(view)
@@ -226,26 +252,56 @@ object WindowTvfSql {
 
   private def durText(i: (Long, String)): String = s"${i._1} ${i._2.toLowerCase}s"
 
-  private def isStreamingTable(spark: SparkSession, argText: String): Boolean =
+  private def isStreamingTable(spark: SparkSession, fn: String,
+      argText: String): Boolean =
     scala.util.Try {
-      val (table, _, _, _) = parseTvfArgs("SESSION", argText)
+      val (table, _, _, _) = parseTvfArgs(fn, argText)
       spark.table(table).isStreaming
     }.getOrElse(false)
 
-  /** Rewrite a streaming SESSION TVF statement onto `session_window`:
-    * the TVF span becomes the bare source table, `window_start` /
-    * `window_end` / `window_time` in GROUP BY are dropped in favor of the
-    * `session_window(ts, gap)` grouping expression, and the same names
-    * elsewhere resolve to the session_window struct (bare top-level
-    * select items keep their TVF output names via aliases). PARTITION BY
-    * keys need no translation — the aggregated shape already lists them
-    * in GROUP BY, exactly Flink's streaming session-TVF requirement. */
-  private[graft] def rewriteStreamingSession(
-      q0: String, spanStart: Int, spanEnd: Int, argText: String): String = {
-    val (table, _, tsCol, intervals) = parseTvfArgs("SESSION", argText)
-    require(intervals.length == 1,
-      "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
-    val sw = s"session_window($tsCol, '${durText(intervals.head)}')"
+  /** Rewrite a streaming window-TVF statement onto Spark's NATIVE
+    * grouping expression — `window(ts, size[, slide[, offset]])` for
+    * TUMBLE/HOP, `session_window(ts, gap)` for SESSION: the TVF span
+    * becomes the bare source table, `window_start` / `window_end` /
+    * `window_time` in GROUP BY are dropped in favor of the grouping
+    * expression (streaming append-mode aggregation requires grouping by
+    * the time-window expression itself — a per-row-annotated
+    * window_start column loses the event-time marker), and the same
+    * names elsewhere resolve to the window struct (bare top-level select
+    * items keep their TVF output names via aliases). PARTITION BY keys
+    * need no translation — the aggregated shape already lists them in
+    * GROUP BY, exactly Flink's streaming TVF requirement
+    * (StreamExecWindowAggregate). */
+  private[graft] def rewriteStreamingWindow(
+      q0: String, spanStart: Int, spanEnd: Int, fn: String,
+      argText: String): String = {
+    val (table, _, tsCol, intervals) = parseTvfArgs(fn, argText)
+    val (sw, struct) = fn match {
+      case "SESSION" =>
+        require(intervals.length == 1,
+          "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
+        (s"session_window($tsCol, '${durText(intervals.head)}')",
+          "session_window")
+      case "TUMBLE" =>
+        require(intervals.length == 1 || intervals.length == 2,
+          "TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])")
+        val size = durText(intervals(0))
+        val offset = if (intervals.length == 2)
+          s", '$size', '${durText(intervals(1))}'" else ""
+        (s"window($tsCol, '$size'$offset)", "window")
+      case "HOP" =>
+        require(intervals.length == 2 || intervals.length == 3,
+          "HOP(TABLE t, DESCRIPTOR(ts), slide, size [, offset])")
+        val (slide, size) = (durText(intervals(0)), durText(intervals(1)))
+        val offset = if (intervals.length == 3)
+          s", '${durText(intervals(2))}'" else ""
+        (s"window($tsCol, '$size', '$slide'$offset)", "window")
+      case other => throw new IllegalArgumentException(
+        s"streaming $other TVF has no native grouping form: CUMULATE " +
+          "assigns each row to MULTIPLE open windows (per-row expansion), " +
+          "which streaming append-mode aggregation cannot finalize — use " +
+          "HOP with slide = step for a streaming-safe near-equivalent")
+    }
     var q = q0.substring(0, spanStart) + table + q0.substring(spanEnd + 1)
 
     // ---- GROUP BY surgery: drop the window columns, lead with the
@@ -273,7 +329,7 @@ object WindowTvfSql {
     val b1 = blanked(q)
     val gbRe = """(?is)\bGROUP\s+BY\b""".r
     val gb = topLevel(b1, gbRe).getOrElse(throw new IllegalArgumentException(
-      "streaming SESSION TVF requires an aggregated shape: " +
+      s"streaming $fn TVF requires an aggregated shape: " +
         "GROUP BY window_start, window_end[, keys...]"))
     val tailKw = """(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b""".r
     val gbEnd = topLevel(b1, tailKw, gb.end).map(_.start).getOrElse(q.length)
@@ -302,18 +358,18 @@ object WindowTvfSql {
       }
       i += 1
     }
-    require(fromIdx > 0, "streaming SESSION TVF: no FROM clause")
+    require(fromIdx > 0, s"streaming $fn TVF: no FROM clause")
     def subst(s: String): String = s
-      .replaceAll("(?i)\\bwindow_time\\b", "(session_window.end - INTERVAL 1 MILLISECOND)")
-      .replaceAll("(?i)\\bwindow_start\\b", "session_window.start")
-      .replaceAll("(?i)\\bwindow_end\\b", "session_window.end")
+      .replaceAll("(?i)\\bwindow_time\\b", s"($struct.end - INTERVAL 1 MILLISECOND)")
+      .replaceAll("(?i)\\bwindow_start\\b", s"$struct.start")
+      .replaceAll("(?i)\\bwindow_end\\b", s"$struct.end")
     val selItems = SqlSplit.splitTopLevel(q.substring(sel.end, fromIdx)).map(_.trim)
       .map { item =>
         item.toLowerCase match {
-          case "window_start" => "session_window.start AS window_start"
-          case "window_end" => "session_window.end AS window_end"
+          case "window_start" => s"$struct.start AS window_start"
+          case "window_end" => s"$struct.end AS window_end"
           case "window_time" =>
-            "(session_window.end - INTERVAL 1 MILLISECOND) AS window_time"
+            s"($struct.end - INTERVAL 1 MILLISECOND) AS window_time"
           case _ => subst(item)
         }
       }
@@ -384,7 +440,7 @@ object WindowTvfSql {
       case "SESSION" =>
         require(intervals.length == 1, "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
         // streaming sources never reach this batch lowering — sql()
-        // diverts them to rewriteStreamingSession (session_window form)
+        // diverts them to rewriteStreamingWindow (session_window form)
         require(!src.isStreaming,
           "SESSION TVF over a streaming table must go through " +
             "WindowTvfSql.sql, which rewrites it onto session_window")

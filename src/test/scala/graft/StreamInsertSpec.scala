@@ -100,4 +100,59 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
+
+  test("TUMBLE TVF text streams: grouped shape rewrites onto window()") {
+    // The reference's canonical streaming job text — INSERT INTO sink
+    // SELECT ... FROM TABLE(TUMBLE(...)) GROUP BY window_start — must
+    // lower onto Spark's native window() aggregation (per-row TVF
+    // annotation loses the event-time marker and cannot finalize).
+    val h = math.abs(getClass.getName.hashCode) + 2
+    val (src, sink) = (s"cs_tvf_$h", s"cs_tvfsink_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (win_start TIMESTAMP, total BIGINT) USING parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cstvf").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT window_start AS win_start, SUM(v) AS total
+      FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+      GROUP BY window_start""", ckpt)
+    try {
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10, TIMESTAMP '2024-01-01 00:00:05'),
+        (2, 20, TIMESTAMP '2024-01-01 00:00:40')""")
+      q.processAllAvailable()
+      assert(spark.table(sink).isEmpty, "window must not finalize early")
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (3, 7, TIMESTAMP '2024-01-01 00:02:30')""")
+      q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (4, 1, TIMESTAMP '2024-01-01 00:04:00')""")
+      q.processAllAvailable()
+      val fin = spark.table(sink).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(fin.contains(("2024-01-01 00:00:00.0", 30L)),
+        s"minute-0 TVF window (total 30) not finalized: $fin")
+    } finally q.stop()
+
+    // grouped CUMULATE over a streaming table has no native form: loud
+    val eCum = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT window_start AS win_start, SUM(v) AS total
+        FROM TABLE(CUMULATE(TABLE $src, DESCRIPTOR(ts),
+                            INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))
+        GROUP BY window_start""", ckpt + "c")
+    }
+    assert(eCum.getMessage.contains("CUMULATE"))
+
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+  }
 }

@@ -459,4 +459,36 @@ class StreamOverSqlSpec extends AnyFunSuite {
       Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
     }
   }
+
+  test("NaN data input fails eagerly (sentinel ambiguity guard)") {
+    val (src, sink) = (s"ovr_src_nan_$h", s"ovr_sink_nan_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (k BIGINT, ts TIMESTAMP, v DOUBLE, agg DOUBLE) USING parquet")
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, ts, v, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS agg
+      FROM $src""",
+      java.nio.file.Files.createTempDirectory("graft-over-nan").toString)
+    try {
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, CAST('NaN' AS DOUBLE), TIMESTAMP '2024-01-01 00:00:01')""")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("NaN input")),
+        s"expected the eager NaN guard, got: ${messages(e)}")
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
 }

@@ -222,8 +222,9 @@ class WindowTvfSqlSpec extends AnyFunSuite {
       "GROUP BY window_start, window_end, t.k"
     val spanStart = q.indexOf("TABLE(SESSION")
     val spanEnd = q.indexOf("))", spanStart) + 1
-    val out = WindowTvfSql.rewriteStreamingSession(
-      q, spanStart, spanEnd, "TABLE src, DESCRIPTOR(ts), INTERVAL '5' SECOND")
+    val out = WindowTvfSql.rewriteStreamingWindow(
+      q, spanStart, spanEnd, "SESSION",
+      "TABLE src, DESCRIPTOR(ts), INTERVAL '5' SECOND")
     assert(out.contains("GROUP BY k LIMIT 3"), s"derived table mangled: $out")
     assert(out.contains("GROUP BY session_window(ts, '5 seconds'), t.k"),
       s"outer GROUP BY not rewritten: $out")
