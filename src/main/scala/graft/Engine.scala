@@ -196,7 +196,7 @@ object Engine {
   }
 
   private val StreamInsertRe =
-    """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+((?:SELECT|WITH)\b.*)""".r
 
   /** Continuous INSERT — the Flink streaming-SQL job shape
     * (`INSERT INTO sink SELECT ... FROM watermarked_source`, SURVEY.md
@@ -274,6 +274,18 @@ object Engine {
             // `INSERT INTO sink SELECT ... FROM TABLE(TUMBLE(...))
             // GROUP BY window_start` streaming job shape.
             if (WindowTvfSql.matches(select)) WindowTvfSql.sql(spark, select)
+            else if (graft.cep.MatchRecognize.matchesSql(select))
+              // the MR SQL bridge's MEASURES/ALL-ROWS relations are
+              // batch lowerings (join-back against the bound events);
+              // continuous pattern output has a dedicated streaming NFA
+              // entry — reject the unsupported composition loudly
+              // instead of dying in spark.sql's parser
+              throw new IllegalArgumentException(
+                "MATCH_RECOGNIZE in a streaming INSERT is not supported: " +
+                  "the SQL bridge's MEASURES/ALL ROWS relations are batch " +
+                  "lowerings. Use MatchRecognize.runStream (the " +
+                  "StreamExecMatch NFA) for continuous pattern output, or " +
+                  "run the statement in batch via sql()")
             else StreamOverSql.lowerComposed(spark, select).getOrElse {
               val df = spark.sql(select)
               val streamingWindow = df.queryExecution.analyzed.collect {

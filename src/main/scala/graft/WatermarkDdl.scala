@@ -337,8 +337,31 @@ object WatermarkDdl {
       }
     val props =
       if (propEntries.isEmpty) "" else propEntries.mkString(" TBLPROPERTIES (", ", ", ")")
+    dropStaleLocation(spark, baseName(spec.name))
     spark.sql(s"CREATE TABLE ${baseName(spec.name)} ($cols) USING parquet$props")
     recreateView(spark, spec.name)
+  }
+
+  /** Remove an ORPHANED managed location for an internal `__<t>_base`
+    * table the session catalog does not know: a prior session's
+    * in-memory catalog entry died with its JVM, but the managed
+    * directory under the warehouse survives and makes the next CREATE
+    * fail with LOCATION_ALREADY_EXISTS. The catalog is the source of
+    * truth for these engine-internal tables — a location without an
+    * entry is garbage by construction. No-op when the table exists (a
+    * real duplicate CREATE still fails with TABLE_ALREADY_EXISTS). */
+  private def dropStaleLocation(spark: SparkSession, base: String): Unit = {
+    if (spark.catalog.tableExists(base)) return
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val path = if (wh.contains(":")) scala.util.Try(
+      new java.io.File(new java.net.URI(wh))).getOrElse(new java.io.File(wh))
+    else new java.io.File(wh)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(path, base.toLowerCase)
+    if (loc.exists()) rmrf(loc)
   }
 
   /** Flink's PROCTIME() time attribute (parserImpls.ftl, TimestampKind

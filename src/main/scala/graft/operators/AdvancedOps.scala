@@ -830,21 +830,8 @@ object AdvancedOps extends QueryModule {
         Engine.openCatalog(s, d)
         Engine.sql(s, "DROP VIEW IF EXISTS q131_dim")
         Engine.sql(s, "DROP TABLE IF EXISTS __q131_dim_base")
-        // a PRIOR session's managed location survives the in-memory
-        // catalog (DROP above is a no-op for a table the fresh session
-        // never saw) — remove the stale directory or CREATE fails with
-        // LOCATION_ALREADY_EXISTS
-        locally {
-          val wh = s.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse")
-          val path = if (wh.startsWith("file:"))
-            new java.net.URI(wh).getPath else wh
-          def rmrf(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-            f.delete(): Unit
-          }
-          rmrf(new java.io.File(path, "__q131_dim_base"))
-        }
+        // a PRIOR session's orphaned managed location is removed by the
+        // DDL path itself (WatermarkDdl.dropStaleLocation)
         Engine.sql(s, """
           CREATE TABLE q131_dim (ck BIGINT, ct TIMESTAMP, click_id BIGINT,
             WATERMARK FOR ct AS ct - INTERVAL '1' SECOND)""")

@@ -211,4 +211,26 @@ class PlanSpec extends AnyFunSuite {
       p.contains("HashAggregate(keys=[url_canonical"),
       s"expected partial aggregation on url_canonical:\n$p")
   }
+
+  test("q130: composed MR-subquery join broadcasts the customer dim") {
+    // the composer must hand the OUTER join to Catalyst as plain SQL —
+    // the lifted MATCH_RECOGNIZE view streams, the small dim broadcasts
+    val p = plan("q130_composed_mr_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"composed dim join must not sort-merge:\n$p")
+  }
+
+  test("q131: composed TVF-over-temporal keeps the two-exchange shape") {
+    // inner FOR SYSTEM_TIME lowering = AsOfJoin.backward's single
+    // sort-shuffle; outer TVF GROUP BY adds exactly one more exchange on
+    // the window key — no cartesian, no extra shuffles from composition
+    val df = SparkEntry.queries("q131_composed_tvf_temporal")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composition introduced a product join:\n$p")
+    val exchanges = "(?i)Exchange (hash|range)partitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 3, s"composed plan shuffles $exchanges times:\n$p")
+  }
 }

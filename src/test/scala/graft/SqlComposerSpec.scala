@@ -15,6 +15,24 @@ class SqlComposerSpec extends AnyFunSuite {
 
   private val h = math.abs(getClass.getName.hashCode)
 
+  /** DROP + stale-managed-location cleanup for a PLAIN parquet table:
+    * a prior JVM's managed dir survives this session's in-memory
+    * catalog, so CREATE would die with LOCATION_ALREADY_EXISTS
+    * (extended `__<t>_base` tables are healed by WatermarkDdl itself). */
+  private def freshTable(name: String): Unit = {
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val dir = if (wh.contains(":")) scala.util.Try(
+      new java.io.File(new java.net.URI(wh))).getOrElse(new java.io.File(wh))
+    else new java.io.File(wh)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(dir, name.toLowerCase)
+    if (loc.exists()) rmrf(loc)
+  }
+
   private def mrFixture(): Unit = {
     import spark.implicits._
     Seq(
@@ -139,7 +157,7 @@ class SqlComposerSpec extends AnyFunSuite {
   test("INSERT INTO with an extended-dialect SELECT body") {
     import spark.implicits._
     mrFixture()
-    Engine.sql(spark, s"DROP TABLE IF EXISTS cmp_sink_$h")
+    freshTable(s"cmp_sink_$h")
     Engine.sql(spark,
       s"CREATE TABLE cmp_sink_$h (uid BIGINT, n_clicks BIGINT) USING parquet")
     Engine.sql(spark, s"""
@@ -175,7 +193,7 @@ class SqlComposerSpec extends AnyFunSuite {
     val (src, sink, dim) = (s"ovj_src_$h", s"ovj_sink_$h", s"ovj_dim_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
-    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    freshTable(sink)
     Engine.sql(spark, s"""
       CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
         WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
@@ -227,7 +245,7 @@ class SqlComposerSpec extends AnyFunSuite {
     val (src, sink, dim) = (s"ovx_src_$h", s"ovx_sink_$h", s"ovx_dim_$h")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
-    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    freshTable(sink)
     Engine.sql(spark, s"""
       CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
         WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
@@ -244,5 +262,15 @@ class SqlComposerSpec extends AnyFunSuite {
         FROM $src s JOIN $dim d ON s.k = d.k""", ckpt)
     }
     assert(e.getMessage.contains("subquery"))
+    // MATCH_RECOGNIZE in a streaming INSERT: guided rejection, not a
+    // parser stack trace
+    val eMr = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT * FROM $src MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          PATTERN (A) DEFINE A AS v > 0)""", ckpt + "mr")
+    }
+    assert(eMr.getMessage.contains("runStream"))
   }
 }
