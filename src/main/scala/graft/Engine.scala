@@ -189,9 +189,20 @@ object Engine {
         val q = SqlComposer.lift(spark, query)
         if (WindowTvfSql.matches(q)) WindowTvfSql.sql(spark, q)
         else if (TemporalSql.matches(q)) TemporalSql.sql(spark, q)
-        else if (graft.cep.MatchRecognize.matchesSql(q))
+        else if (graft.cep.MatchRecognize.matchesSql(q)) {
+          // the MR bridge parses SELECT statements; any other statement
+          // shape carrying MATCH_RECOGNIZE text (an unrecognized DDL
+          // form, WITH-led CTEs) must reject LOUDLY — the bridge's
+          // head-regex would otherwise match the embedded SELECT and
+          // silently discard the clause around it
+          require(q.trim.regionMatches(true, 0, "SELECT", 0, 6),
+            "MATCH_RECOGNIZE is supported in SELECT statements, in " +
+              "subqueries (lifted by the composer), and in the composed " +
+              "DDL bodies CREATE [OR REPLACE] [GLOBAL] TEMPORARY VIEW / " +
+              "CREATE TABLE AS / INSERT INTO ... SELECT; " +
+              s"got statement: ${q.trim.take(120)}")
           graft.cep.MatchRecognize.sql(spark, q)
-        else WatermarkDdl.sql(spark, q)
+        } else WatermarkDdl.sql(spark, q)
       }
   }
 

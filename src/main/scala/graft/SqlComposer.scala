@@ -192,7 +192,7 @@ object SqlComposer {
   // ------------------------------------------------- extended DDL bodies
 
   private val CreateViewRe =
-    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+""" +
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:(GLOBAL)\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+""" +
       """`?([\w.]+)`?\s+AS\s+(.+)""").r
   private val CtasRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+AS\s+(.+)""".r
@@ -206,7 +206,7 @@ object SqlComposer {
     * persist view TEXT rather than a materialized lineage). */
   def composedDdl(spark: SparkSession, stmt: String): Option[DataFrame] =
     stmt match {
-      case CreateViewRe(_, temp, name, body) if hasMarker(blank(body)) =>
+      case CreateViewRe(_, global, temp, name, body) if hasMarker(blank(body)) =>
         val df = Engine.sql(spark, body)
         // The extended dialect lowers to a DataFrame, not to view text a
         // later session could re-parse: materialize the LINEAGE as a temp
@@ -218,7 +218,8 @@ object SqlComposer {
             "CREATE VIEW over an extended-dialect SELECT must be TEMPORARY " +
               "(the lowered plan is session-scoped); use CREATE TEMPORARY " +
               s"VIEW $name AS ..., or CREATE TABLE $name AS ... to persist rows")
-        df.createOrReplaceTempView(name)
+        if (global != null) df.createOrReplaceGlobalTempView(name)
+        else df.createOrReplaceTempView(name)
         Some(spark.emptyDataFrame)
       case CtasRe(name, body) if hasMarker(blank(body)) =>
         Engine.sql(spark, body).write.saveAsTable(name)

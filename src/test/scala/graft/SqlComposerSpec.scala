@@ -154,6 +154,27 @@ class SqlComposerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TEMPORARY"))
   }
 
+  test("GLOBAL TEMPORARY VIEW over an extended body; odd MR statements reject") {
+    import spark.implicits._
+    mrFixture()
+    Engine.sql(spark, s"""
+      CREATE OR REPLACE GLOBAL TEMPORARY VIEW cmp_gv_$h AS
+      SELECT uid, n_clicks FROM cmp_events MATCH_RECOGNIZE ($mrClause)
+    """)
+    val got = Engine.sql(spark,
+      s"SELECT COUNT(*) FROM global_temp.cmp_gv_$h").as[Long].head()
+    assert(got == 2L)
+    // an unrecognized statement shape carrying MR text must NOT let the
+    // bridge execute the embedded SELECT and drop the rest silently
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"""
+        WITH z AS (SELECT uid FROM cmp_users)
+        SELECT uid FROM cmp_events MATCH_RECOGNIZE ($mrClause)
+      """)
+    }
+    assert(e.getMessage.contains("MATCH_RECOGNIZE is supported in SELECT"))
+  }
+
   test("INSERT INTO with an extended-dialect SELECT body") {
     import spark.implicits._
     mrFixture()
