@@ -186,23 +186,30 @@ object Engine {
       // shape-precise lowerings below see the bare-relation forms they
       // parse. Plain statements pass through untouched.
       SqlComposer.composedDdl(spark, query).getOrElse {
-        val q = SqlComposer.lift(spark, query)
-        if (WindowTvfSql.matches(q)) WindowTvfSql.sql(spark, q)
-        else if (TemporalSql.matches(q)) TemporalSql.sql(spark, q)
-        else if (graft.cep.MatchRecognize.matchesSql(q)) {
-          // the MR bridge parses SELECT statements; any other statement
-          // shape carrying MATCH_RECOGNIZE text (an unrecognized DDL
-          // form, WITH-led CTEs) must reject LOUDLY — the bridge's
-          // head-regex would otherwise match the embedded SELECT and
-          // silently discard the clause around it
-          require(q.trim.regionMatches(true, 0, "SELECT", 0, 6),
-            "MATCH_RECOGNIZE is supported in SELECT statements, in " +
-              "subqueries (lifted by the composer), and in the composed " +
-              "DDL bodies CREATE [OR REPLACE] [GLOBAL] TEMPORARY VIEW / " +
-              "CREATE TABLE AS / INSERT INTO ... SELECT; " +
-              s"got statement: ${q.trim.take(120)}")
-          graft.cep.MatchRecognize.sql(spark, q)
-        } else WatermarkDdl.sql(spark, q)
+        // WITH-led extended statements bind their CTEs first (each
+        // body through this same entry), then the main statement
+        // recurses back in here CTE-free — before lift(), so a lifted
+        // subquery never tries to resolve a CTE name that is not yet a
+        // view
+        SqlComposer.composedWith(spark, query).getOrElse {
+          val q = SqlComposer.lift(spark, query)
+          if (WindowTvfSql.matches(q)) WindowTvfSql.sql(spark, q)
+          else if (TemporalSql.matches(q)) TemporalSql.sql(spark, q)
+          else if (graft.cep.MatchRecognize.matchesSql(q)) {
+            // the MR bridge parses SELECT statements; any other
+            // statement shape carrying MATCH_RECOGNIZE text (an
+            // unrecognized DDL form) must reject LOUDLY — the bridge's
+            // head-regex would otherwise match the embedded SELECT and
+            // silently discard the clause around it
+            require(q.trim.regionMatches(true, 0, "SELECT", 0, 6),
+              "MATCH_RECOGNIZE is supported in SELECT statements, in " +
+                "subqueries and WITH-led CTE statements (lifted by the " +
+                "composer), and in the composed DDL bodies CREATE [OR " +
+                "REPLACE] [GLOBAL] TEMPORARY VIEW / CREATE TABLE AS / " +
+                s"INSERT INTO ... SELECT; got statement: ${q.trim.take(120)}")
+            graft.cep.MatchRecognize.sql(spark, q)
+          } else WatermarkDdl.sql(spark, q)
+        }
       }
   }
 

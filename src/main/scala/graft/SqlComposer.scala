@@ -189,6 +189,93 @@ object SqlComposer {
         s"residual statement: $q")
   }
 
+  // ------------------------------------------------- WITH-led statements
+
+  private val WithHeadRe = """(?is)^\s*WITH\b""".r
+
+  /** WITH-led statement containing extended-dialect constructs — the
+    * reference's canonical job text often opens with CTEs
+    * (`WITH sessions AS (...) SELECT ... MATCH_RECOGNIZE (...)`), which
+    * no shape-precise backend parses. Each CTE body is bound IN ORDER as
+    * a temp view through this same front door (so extended CTE bodies
+    * lower too, and later CTEs see earlier ones), the residual main
+    * statement recurses through [[Engine.sql]], and any temp view the
+    * CTE names shadowed is restored afterwards — a CTE is
+    * statement-scoped; the temp views are an implementation detail that
+    * must not leak. Restoration after the recursive call is sound
+    * because Spark resolves view references during analysis, which
+    * completes when the DataFrame is constructed. Returns None for
+    * statements without extended constructs (native WITH handling in
+    * spark.sql is untouched). */
+  def composedWith(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    val b = blank(stmt)
+    val head = WithHeadRe.findFirstMatchIn(b).getOrElse(return None)
+    if (!hasMarker(b)) return None
+    var i = head.end
+    if (nextWord(b, i).equalsIgnoreCase("RECURSIVE"))
+      throw new IllegalArgumentException(
+        "WITH RECURSIVE cannot be combined with extended-dialect " +
+          "constructs (MATCH_RECOGNIZE / FOR SYSTEM_TIME AS OF / window " +
+          "TVFs); materialize the recursive CTE with CREATE TABLE AS " +
+          "first, then run the extended statement over the table")
+    val ctes = Seq.newBuilder[(String, Option[Seq[String]], String)]
+    var done = false
+    while (!done) {
+      while (i < b.length && b(i).isWhitespace) i += 1
+      val nameStart = i
+      if (i < b.length && b(i) == '`') {
+        i += 1; while (i < b.length && b(i) != '`') i += 1
+        if (i < b.length) i += 1
+      } else while (i < b.length && isWordChar(b(i))) i += 1
+      val name = stmt.substring(nameStart, i).replace("`", "")
+      require(name.nonEmpty,
+        s"WITH: expected a CTE name at offset $nameStart in: ${stmt.trim.take(120)}")
+      while (i < b.length && b(i).isWhitespace) i += 1
+      val cols =
+        if (i < b.length && b(i) == '(' &&
+            !nextWord(b, i + 1).equalsIgnoreCase("SELECT")) {
+          val close = matchParen(b, i)
+          val cs = stmt.substring(i + 1, close)
+            .split(",").map(_.trim.replace("`", "")).toSeq
+          i = close + 1
+          while (i < b.length && b(i).isWhitespace) i += 1
+          Some(cs)
+        } else None
+      val asEnd = { var j = i; while (j < b.length && isWordChar(b(j))) j += 1; j }
+      require(b.substring(i, asEnd).equalsIgnoreCase("AS"),
+        s"WITH: expected AS after CTE name $name in: ${stmt.trim.take(120)}")
+      i = asEnd
+      while (i < b.length && b(i).isWhitespace) i += 1
+      require(i < b.length && b(i) == '(',
+        s"WITH: expected ( after $name AS in: ${stmt.trim.take(120)}")
+      val close = matchParen(b, i)
+      ctes += ((name, cols, stmt.substring(i + 1, close)))
+      i = close + 1
+      while (i < b.length && b(i).isWhitespace) i += 1
+      if (i < b.length && b(i) == ',') i += 1 else done = true
+    }
+    val main = stmt.substring(i)
+    require(main.trim.nonEmpty,
+      s"WITH: missing main statement after CTE list in: ${stmt.trim.take(120)}")
+    val bound = scala.collection.mutable.ListBuffer.empty[(String, Option[DataFrame])]
+    try {
+      ctes.result().foreach { case (name, cols, body) =>
+        val prior =
+          if (spark.sessionState.catalog.getTempView(name).isDefined)
+            Some(spark.table(name))
+          else None
+        val df0 = Engine.sql(spark, body)
+        val df = cols.fold(df0)(cs => df0.toDF(cs: _*))
+        df.createOrReplaceTempView(name)
+        bound += ((name, prior))
+      }
+      Some(Engine.sql(spark, main))
+    } finally bound.reverse.foreach {
+      case (name, Some(prior)) => prior.createOrReplaceTempView(name)
+      case (name, None)        => spark.catalog.dropTempView(name): Unit
+    }
+  }
+
   // ------------------------------------------------- extended DDL bodies
 
   private val CreateViewRe =

@@ -164,15 +164,47 @@ class SqlComposerSpec extends AnyFunSuite {
     val got = Engine.sql(spark,
       s"SELECT COUNT(*) FROM global_temp.cmp_gv_$h").as[Long].head()
     assert(got == 2L)
-    // an unrecognized statement shape carrying MR text must NOT let the
-    // bridge execute the embedded SELECT and drop the rest silently
+  }
+
+  test("WITH-led CTEs compose with an extended main body") {
+    import spark.implicits._
+    mrFixture()
+    // marker at the TOP LEVEL of the main body, FROM a CTE; a second CTE
+    // with a column-alias list feeds the first through a scalar subquery
+    val got = Engine.sql(spark, s"""
+      WITH lim(maxuid) AS (SELECT 1),
+           ev AS (SELECT * FROM cmp_events
+                  WHERE uid <= (SELECT maxuid FROM lim))
+      SELECT uid, n_clicks FROM ev MATCH_RECOGNIZE ($mrClause)
+    """).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+    // the CTE names are statement-scoped: neither leaked into the session
+    assert(!spark.catalog.tableExists("lim") && !spark.catalog.tableExists("ev"))
+    // ... and a pre-existing temp view SHADOWED by a CTE name is restored
+    Seq((42L, "w")).toDF("uid", "name").createOrReplaceTempView("cmp_shadow")
+    val shadowed = Engine.sql(spark, s"""
+      WITH cmp_shadow AS (SELECT * FROM cmp_events WHERE uid = 2)
+      SELECT uid, n_clicks FROM cmp_shadow MATCH_RECOGNIZE ($mrClause)
+    """).as[(Long, Long)].collect().toSeq
+    assert(shadowed == Seq((2L, 1L)))
+    assert(spark.table("cmp_shadow").as[(Long, String)].head() == ((42L, "w")))
+    // a window TVF whose TABLE argument names a CTE only resolves when
+    // the CTE is bound before the TVF expansion runs
+    fxFixture()
+    val tv = Engine.sql(spark, s"""
+      WITH ords AS (SELECT * FROM fx_orders_$h WHERE cur = 'EUR')
+      SELECT COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE ords, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+    """).as[Long].head()
+    assert(tv == 2L)
+    // WITH RECURSIVE over the extended dialect cannot lower: loud reject
     val e = intercept[IllegalArgumentException] {
       Engine.sql(spark, s"""
-        WITH z AS (SELECT uid FROM cmp_users)
+        WITH RECURSIVE r AS (SELECT 1 AS n)
         SELECT uid FROM cmp_events MATCH_RECOGNIZE ($mrClause)
       """)
     }
-    assert(e.getMessage.contains("MATCH_RECOGNIZE is supported in SELECT"))
+    assert(e.getMessage.contains("RECURSIVE"))
   }
 
   test("INSERT INTO with an extended-dialect SELECT body") {
