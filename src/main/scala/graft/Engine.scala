@@ -192,7 +192,8 @@ object Engine {
         // subquery never tries to resolve a CTE name that is not yet a
         // view
         SqlComposer.composedWith(spark, query).getOrElse {
-          val q = SqlComposer.lift(spark, query)
+          val (q, lifted) = SqlComposer.lift(spark, query)
+          try {
           if (WindowTvfSql.matches(q)) WindowTvfSql.sql(spark, q)
           else if (TemporalSql.matches(q)) TemporalSql.sql(spark, q)
           else if (graft.cep.MatchRecognize.matchesSql(q)) {
@@ -209,6 +210,10 @@ object Engine {
                 s"INSERT INTO ... SELECT; got statement: ${q.trim.take(120)}")
             graft.cep.MatchRecognize.sql(spark, q)
           } else WatermarkDdl.sql(spark, q)
+          // the lifted __graft_sub_N views are an implementation detail:
+          // drop them now that the statement's DataFrame is constructed
+          // (analysis has already inlined the view plans)
+          } finally lifted.foreach(v => spark.catalog.dropTempView(v): Unit)
         }
       }
   }

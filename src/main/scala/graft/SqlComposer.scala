@@ -53,20 +53,10 @@ object SqlComposer {
 
   private val viewCounter = new AtomicInteger(0)
 
-  /** Same-length literal blanking: single-quoted string contents become
-    * spaces so keyword finds and paren walks ignore SQL inside literals
-    * while every index still maps into the original text. */
-  private[graft] def blank(s: String): String = {
-    val arr = s.toCharArray
-    var i = 0
-    var in = false
-    while (i < arr.length) {
-      if (arr(i) == '\'') in = !in
-      else if (in) arr(i) = ' '
-      i += 1
-    }
-    new String(arr)
-  }
+  /** Same-length literal blanking (single/double quotes, escapes,
+    * ''/"" doubling — one shared implementation, SqlSplit). */
+  private[graft] def blank(s: String): String =
+    graft.util.SqlSplit.blankLiterals(s)
 
   /** The extended-dialect constructs this pass composes over. Legacy
     * grouped windows (GROUP BY TUMBLE(...)) are deliberately absent: that
@@ -145,18 +135,23 @@ object SqlComposer {
 
   /** Lift composable subqueries out of `stmt` until the residual text is
     * a shape the dialect backends (or spark.sql) can take whole. Returns
-    * the rewritten statement; statements without extended constructs are
-    * returned untouched (zero overhead on the plain-SQL path). */
-  def lift(spark: SparkSession, stmt: String): String = {
+    * the rewritten statement plus the generated temp views it bound —
+    * the caller drops them once the statement's DataFrame is constructed
+    * (analysis has captured the plans; a long-lived session must not
+    * accumulate orphan __graft_sub_N views). Statements without extended
+    * constructs are returned untouched (zero overhead on the plain-SQL
+    * path). */
+  def lift(spark: SparkSession, stmt: String): (String, Seq[String]) = {
     var q = stmt
+    val made = Seq.newBuilder[String]
     var guard = 0
     while (guard < 64) {
       guard += 1
       val b = blank(q)
-      if (!hasMarker(b)) return q
+      if (!hasMarker(b)) return (q, made.result())
       val spans = subquerySpans(b) match {
         case s if s.nonEmpty => s
-        case _               => return q
+        case _               => return (q, made.result())
       }
       // outer text = statement with every subquery span blanked out
       val outerArr = b.toCharArray
@@ -174,11 +169,12 @@ object SqlComposer {
         .orElse(if (outerExtended) spans.find { case (s, e) => relationPos(s, e) }
                 else None)
       target match {
-        case None => return q
+        case None => return (q, made.result())
         case Some((s, e)) =>
           val inner = q.substring(s + 1, e).trim
           val view = s"__graft_sub_${viewCounter.incrementAndGet()}"
           Engine.sql(spark, inner).createOrReplaceTempView(view)
+          made += view
           val replacement =
             if (relationPos(s, e)) view else s"(SELECT * FROM $view)"
           q = q.substring(0, s) + replacement + q.substring(e + 1)
@@ -282,7 +278,7 @@ object SqlComposer {
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:(GLOBAL)\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+""" +
       """`?([\w.]+)`?\s+AS\s+(.+)""").r
   private val CtasRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+AS\s+(.+)""".r
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+AS\s+(.+)""".r
   private val InsertSelRe =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(SELECT\b.+|WITH\b.+|\(\s*SELECT\b.+)""".r
 
@@ -308,8 +304,13 @@ object SqlComposer {
         if (global != null) df.createOrReplaceGlobalTempView(name)
         else df.createOrReplaceTempView(name)
         Some(spark.emptyDataFrame)
-      case CtasRe(name, body) if hasMarker(blank(body)) =>
-        Engine.sql(spark, body).write.saveAsTable(name)
+      case CtasRe(ifNotExists, name, body) if hasMarker(blank(body)) =>
+        // IF NOT EXISTS: mode("ignore") makes the CTAS a no-op on an
+        // existing table instead of TABLE_ALREADY_EXISTS (the body still
+        // lowers first — a malformed extended body fails either way)
+        val writer = Engine.sql(spark, body).write
+        (if (ifNotExists != null) writer.mode("ignore") else writer)
+          .saveAsTable(name)
         Some(spark.emptyDataFrame)
       case InsertSelRe(mode, table, body) if hasMarker(blank(body)) =>
         val df = Engine.sql(spark, body)

@@ -77,18 +77,9 @@ object StreamOverSql {
 
   private val subCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Same-length literal blanking (single-quoted contents -> spaces). */
-  private def blanked(s: String): String = {
-    val arr = s.toCharArray
-    var i = 0
-    var in = false
-    while (i < arr.length) {
-      if (arr(i) == '\'') in = !in
-      else if (in) arr(i) = ' '
-      i += 1
-    }
-    new String(arr)
-  }
+  /** Same-length literal blanking (shared implementation — SqlSplit). */
+  private def blanked(s: String): String =
+    graft.util.SqlSplit.blankLiterals(s)
 
   private def matchParen(b: String, open: Int): Int = {
     var depth = 0
@@ -221,10 +212,15 @@ object StreamOverSql {
     if (!innerDf.isStreaming) return None // batch statement: spark.sql plans it whole
     val view = s"__graft_over_sub_${subCounter.incrementAndGet()}"
     innerDf.createOrReplaceTempView(view)
-    val items0 = select.substring(head.start(1), head.end(1))
-    val strip = (s: String) => aliasOpt.map(a => stripQualifier(s, a)).getOrElse(s)
-    val rewritten = s"SELECT ${strip(items0)} FROM $view ${strip(tail)}".trim
-    if (matches(rewritten)) Some(lower(spark, rewritten)) else None
+    // drop the generated view whichever way this returns: on the None
+    // path nothing references it, and on the lowered path analysis has
+    // already captured the subquery's plan inside the returned DataFrame
+    try {
+      val items0 = select.substring(head.start(1), head.end(1))
+      val strip = (s: String) => aliasOpt.map(a => stripQualifier(s, a)).getOrElse(s)
+      val rewritten = s"SELECT ${strip(items0)} FROM $view ${strip(tail)}".trim
+      if (matches(rewritten)) Some(lower(spark, rewritten)) else None
+    } finally spark.catalog.dropTempView(view): Unit
   }
 
   /** Lower the SELECT to a STREAMING DataFrame. Resolves `FROM <table>`

@@ -219,11 +219,10 @@ object TemporalSql {
       "unsupported FOR SYSTEM_TIME AS OF shape — see TemporalSql scaladoc")
   }
 
-  /** Blank single-quoted literals so alias scans don't match inside them. */
+  /** Blank string literals so alias scans don't match inside them
+    * (shared implementation — SqlSplit handles escapes and doubling). */
   private def blankLiterals(s: String): String =
-    s.split("'", -1).zipWithIndex.map { case (seg, i) =>
-      if (i % 2 == 1) " " * seg.length else seg
-    }.mkString("'")
+    graft.util.SqlSplit.blankLiterals(s)
 
   /** Qualified references resolve to unqualified joined columns; strip the
     * alias prefixes — but only OUTSIDE single-quoted string literals (a

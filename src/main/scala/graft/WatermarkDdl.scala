@@ -356,12 +356,41 @@ object WatermarkDdl {
     val path = if (wh.contains(":")) scala.util.Try(
       new java.io.File(new java.net.URI(wh))).getOrElse(new java.io.File(wh))
     else new java.io.File(wh)
+    val loc = new java.io.File(path, base.toLowerCase)
+    if (!loc.exists()) return
+    // The catalog lacking the entry is NOT proof the directory is garbage:
+    // with in-memory catalogs sharing a warehouse, another live session
+    // (or data a user meant to keep) may own it. Healing is (a) gated by
+    // a conf, and (b) refuses to delete anything that doesn't LOOK like
+    // an abandoned managed parquet table — only Spark writer artifacts
+    // (part-* / _SUCCESS / _committed / _started / .crc) at any depth.
+    if (!spark.conf.get("graft.healOrphanedLocations", "true").toBoolean)
+      throw new IllegalStateException(
+        s"managed location $loc exists but table $base is not in this " +
+          "session's catalog, and graft.healOrphanedLocations=false; " +
+          s"remove the directory (or DROP TABLE $base from the owning " +
+          "session) before CREATE")
+    def artifacts(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles).forall(_.forall(artifacts))
+      else {
+        val n = f.getName
+        n.startsWith("part-") || n.startsWith("_SUCCESS") ||
+          n.startsWith("_committed") || n.startsWith("_started") ||
+          n.endsWith(".crc") || n.endsWith(".parquet")
+      }
+    if (!artifacts(loc))
+      throw new IllegalStateException(
+        s"refusing to heal $loc: directory holds files that are not " +
+          s"Spark table artifacts — not an abandoned managed table for " +
+          s"$base; remove it manually if the data is truly garbage")
+    org.apache.log4j.Logger.getLogger(getClass).warn(
+      s"healing orphaned managed location $loc for $base (no catalog " +
+        "entry; set graft.healOrphanedLocations=false to fail instead)")
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
       f.delete(): Unit
     }
-    val loc = new java.io.File(path, base.toLowerCase)
-    if (loc.exists()) rmrf(loc)
+    rmrf(loc)
   }
 
   /** Flink's PROCTIME() time attribute (parserImpls.ftl, TimestampKind

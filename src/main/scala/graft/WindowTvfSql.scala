@@ -48,18 +48,10 @@ object WindowTvfSql {
 
   /** Same-length literal blanking: string contents become spaces so regex
     * finds and paren walks never react to SQL inside a quoted literal,
-    * while every index still maps into the original text. */
-  private def blanked(s: String): String = {
-    val arr = s.toCharArray
-    var i = 0
-    var in = false
-    while (i < arr.length) {
-      if (arr(i) == '\'') in = !in
-      else if (in) arr(i) = ' '
-      i += 1
-    }
-    new String(arr)
-  }
+    * while every index still maps into the original text (shared
+    * implementation — SqlSplit handles escapes and quote doubling). */
+  private def blanked(s: String): String =
+    graft.util.SqlSplit.blankLiterals(s)
 
   def matches(sql: String): Boolean = {
     val b = blanked(sql)
@@ -71,6 +63,7 @@ object WindowTvfSql {
     * re-dispatch the spliced statement through the engine's SQL entry. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     var q = query
+    val madeViews = Seq.newBuilder[String]
     var b = blanked(q)
     var m = FindRe.findFirstMatchIn(b)
     while (m.isDefined) {
@@ -120,13 +113,17 @@ object WindowTvfSql {
       } else {
         val view = s"__graft_window_tvf_${viewCounter.incrementAndGet()}"
         expand(spark, fn, args).createOrReplaceTempView(view)
+        madeViews += view
         q = q.substring(0, mm.start) + view + q.substring(closeTable + 1)
       }
       b = blanked(q)
       m = FindRe.findFirstMatchIn(b)
     }
     if (LegacyRe.findFirstIn(b).isDefined) q = rewriteLegacy(q)
-    Engine.sql(spark, q)
+    // generated expansion views are statement-scoped: drop them once the
+    // re-dispatched statement's DataFrame exists (plan already captured)
+    try Engine.sql(spark, q)
+    finally madeViews.result().foreach(v => spark.catalog.dropTempView(v): Unit)
   }
 
   // ------------------------------------------- legacy grouped windows
@@ -335,6 +332,17 @@ object WindowTvfSql {
     val gbEnd = topLevel(b1, tailKw, gb.end).map(_.start).getOrElse(q.length)
     val items = SqlSplit.splitTopLevel(q.substring(gb.end, gbEnd)).map(_.trim)
     val winNames = Set("window_start", "window_end", "window_time")
+    // A GROUP BY with no window column at all is a REGULAR per-key
+    // aggregate over the TVF scan (valid update-mode SQL in the
+    // reference) — silently re-scoping it onto the window expression
+    // would change results. Append mode cannot finalize an unwindowed
+    // aggregate, so reject loudly instead.
+    require(items.exists(i => winNames.contains(i.toLowerCase)),
+      s"streaming $fn TVF: GROUP BY must include window_start/window_end " +
+        "(the windowed aggregate Spark's append mode can finalize); an " +
+        "unwindowed per-key aggregate over a streaming TVF scan is " +
+        "update-mode semantics this engine does not run — got GROUP BY " +
+        items.mkString(", "))
     val kept = items.filterNot(i => winNames.contains(i.toLowerCase))
     q = q.substring(0, gb.end) + " " + (sw +: kept).mkString(", ") +
       (if (gbEnd < q.length) " " + q.substring(gbEnd) else "")

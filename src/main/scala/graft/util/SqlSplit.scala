@@ -102,6 +102,36 @@ object SqlSplit {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Same-length literal blanking shared by every SQL text scanner
+    * (SqlComposer marker detection, the dialect routers' paren walks):
+    * single- AND double-quoted string contents become spaces — Spark's
+    * non-ANSI default reads "..." as a string literal — with backslash
+    * escapes (\' \" \\) and SQL ''/"" quote doubling handled, so a
+    * literal like 'don\'t' or "a(b" never desyncs the scan, while every
+    * index still maps into the original text. */
+  def blankLiterals(s: String): String = {
+    val arr = s.toCharArray
+    var i = 0
+    while (i < arr.length) {
+      val q = arr(i)
+      if (q == '\'' || q == '"') {
+        i += 1
+        var closed = false
+        while (i < arr.length && !closed) {
+          arr(i) match {
+            case '\\' if i + 1 < arr.length => // escape: both chars inert
+              arr(i) = ' '; arr(i + 1) = ' '; i += 2
+            case `q` if i + 1 < arr.length && arr(i + 1) == q => // doubling
+              arr(i) = ' '; arr(i + 1) = ' '; i += 2
+            case `q` => closed = true; i += 1
+            case _ => arr(i) = ' '; i += 1
+          }
+        }
+      } else i += 1
+    }
+    new String(arr)
+  }
+
   def splitTopLevel(s: String, angleTypes: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder

@@ -465,4 +465,46 @@ class DdlSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS slf_t")
     }
   }
+
+  test("orphaned-location healing is content-verified and conf-gated") {
+    val t = s"ddl_heal_${math.abs(getClass.getName.hashCode)}"
+    val base = s"__${t}_base"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $base")
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val dir = if (wh.contains(":")) new java.io.File(new java.net.URI(wh))
+      else new java.io.File(wh)
+    val loc = new java.io.File(dir, base.toLowerCase)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(loc)
+    // an abandoned managed dir: Spark writer artifacts only
+    loc.mkdirs()
+    new java.io.File(loc, "_SUCCESS").createNewFile()
+    new java.io.File(loc, "part-00000-feed.snappy.parquet").createNewFile()
+    val ddl = s"""CREATE TABLE $t (k BIGINT, ts TIMESTAMP,
+      WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)"""
+    // 1. foreign content in the dir — NOT an abandoned managed table:
+    //    refuse to delete, loud error, data intact
+    val foreign = new java.io.File(loc, "notes.txt")
+    foreign.createNewFile()
+    val e1 = intercept[IllegalStateException] { Engine.sql(spark, ddl) }
+    assert(e1.getMessage.contains("refusing"), e1.getMessage)
+    assert(foreign.exists(), "refusal must leave the directory untouched")
+    foreign.delete()
+    // 2. healing disabled by conf: loud error naming the conf, no delete
+    spark.conf.set("graft.healOrphanedLocations", "false")
+    try {
+      val e2 = intercept[IllegalStateException] { Engine.sql(spark, ddl) }
+      assert(e2.getMessage.contains("healOrphanedLocations"), e2.getMessage)
+      assert(loc.exists(), "disabled healing must not delete")
+    } finally spark.conf.unset("graft.healOrphanedLocations")
+    // 3. default: artifact-only orphan heals and CREATE succeeds
+    Engine.sql(spark, ddl)
+    assert(spark.catalog.tableExists(base))
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $base")
+  }
 }

@@ -326,4 +326,75 @@ class SqlComposerSpec extends AnyFunSuite {
     }
     assert(eMr.getMessage.contains("runStream"))
   }
+
+  // ---------------------------------------------- round-9 advice fixes
+
+  test("literal blanking: backslash escapes, '' doubling, double-quoted strings") {
+    // 'don\'t' — the escaped quote must NOT close the literal
+    val s1 = """SELECT 'don\'t MATCH_RECOGNIZE(' AS a FROM cmp_users"""
+    val b1 = SqlComposer.blank(s1)
+    assert(b1.length == s1.length)
+    assert(!SqlComposer.hasMarker(b1), s"escaped quote desynced blanking: $b1")
+    // 'it''s (' — SQL doubling must stay inside the literal
+    val s2 = "SELECT 'it''s MATCH_RECOGNIZE(' AS a FROM cmp_users"
+    assert(!SqlComposer.hasMarker(SqlComposer.blank(s2)))
+    // "a(b" — Spark's non-ANSI default reads double quotes as a string;
+    // its paren must be inert to the paren walk
+    val s3 = """SELECT "a(b" AS a FROM cmp_users"""
+    assert(!SqlComposer.blank(s3).contains("a(b"))
+    // end-to-end: an extended statement whose WHERE carries an escaped
+    // quote AND an unbalanced paren inside a literal still composes
+    import spark.implicits._
+    mrFixture()
+    val got = Engine.sql(spark, s"""
+      SELECT m.uid, u.name
+      FROM (SELECT uid FROM cmp_events MATCH_RECOGNIZE ($mrClause)) m
+      JOIN cmp_users u ON m.uid = u.uid
+      WHERE u.name != 'don\\'t (' AND u.name != 'x))('
+      ORDER BY m.uid
+    """).as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "ada"), (2L, "lin")))
+  }
+
+  test("CREATE TABLE IF NOT EXISTS AS <extended select> is a no-op when present") {
+    mrFixture()
+    val t = s"cmp_ctas_$h"
+    freshTable(t)
+    val ctas = (ine: String) =>
+      s"CREATE TABLE $ine$t AS SELECT uid, n_clicks FROM cmp_events MATCH_RECOGNIZE ($mrClause)"
+    Engine.sql(spark, ctas(""))
+    val before = spark.table(t).count()
+    assert(before > 0)
+    // without IF NOT EXISTS: loud duplicate-table error
+    intercept[Exception] { Engine.sql(spark, ctas("")) }
+    // with IF NOT EXISTS: no throw, no rows written
+    Engine.sql(spark, ctas("IF NOT EXISTS "))
+    assert(spark.table(t).count() == before)
+    Engine.sql(spark, s"DROP TABLE $t")
+  }
+
+  test("composition drops every generated temp view it binds") {
+    import spark.implicits._
+    mrFixture()
+    def graftViews: Seq[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(n => n.startsWith("__graft_sub_") ||
+        n.startsWith("__graft_over_sub_") || n.startsWith("__graft_window_tvf_"))
+      .toSeq
+    // subquery lift (FROM-position and expression-position)
+    Engine.sql(spark, s"""
+      SELECT m.uid FROM (SELECT uid FROM cmp_events MATCH_RECOGNIZE ($mrClause)) m
+      JOIN cmp_users u ON m.uid = u.uid""").collect()
+    Engine.sql(spark, s"""
+      SELECT name, (SELECT COUNT(*) FROM cmp_events MATCH_RECOGNIZE ($mrClause)) AS n
+      FROM cmp_users""").collect()
+    // window TVF expansion views (batch path)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")))
+      .toDF("v", "ts").createOrReplaceTempView(s"cmp_tvt_$h")
+    Engine.sql(spark, s"""
+      SELECT window_start, SUM(v) AS s
+      FROM TABLE(TUMBLE(TABLE cmp_tvt_$h, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+      GROUP BY window_start""").collect()
+    assert(graftViews.isEmpty,
+      s"generated views leaked into the session catalog: $graftViews")
+  }
 }

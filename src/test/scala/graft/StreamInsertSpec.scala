@@ -151,6 +151,19 @@ class StreamInsertSpec extends AnyFunSuite {
     }
     assert(eCum.getMessage.contains("CUMULATE"))
 
+    // GROUP BY with NO window column is a regular per-key aggregate
+    // (update-mode semantics in the reference) — silently re-scoping it
+    // onto the window would change results: loud reject instead
+    val eNoWin = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT k AS win_start, SUM(v) AS total
+        FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        GROUP BY k""", ckpt + "n")
+    }
+    assert(eNoWin.getMessage.contains("window_start"),
+      s"expected the GROUP-BY-must-include-window guidance, got: ${eNoWin.getMessage}")
+
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
