@@ -97,6 +97,15 @@ object WindowTvfSql {
         }
         found
       }
+      if (fn == "CUMULATE" && hasTopGroupBy &&
+          isStreamingTable(spark, "CUMULATE", args)) {
+        // grouped streaming CUMULATE has no native grouping expression
+        // (a row belongs to MULTIPLE open slices): lower the whole
+        // statement onto the dedicated stateful slice operator
+        val df = lowerStreamingCumulate(spark, q, mm.start, closeTable, args)
+        madeViews.result().foreach(v => spark.catalog.dropTempView(v): Unit)
+        return df
+      }
       if (isStreamingTable(spark, fn, args) &&
           (fn == "SESSION" || hasTopGroupBy)) {
         // A streaming TVF cannot aggregate per-row annotated window
@@ -249,6 +258,176 @@ object WindowTvfSql {
 
   private def durText(i: (Long, String)): String = s"${i._1} ${i._2.toLowerCase}s"
 
+  // ------------------------------------- streaming CUMULATE lowering
+
+  private def intervalUs(i: (Long, String)): Long = i._1 * (i._2 match {
+    case "SECOND" => 1000000L
+    case "MINUTE" => 60000000L
+    case "HOUR" => 3600000000L
+    case "DAY" => 86400000000L
+  })
+
+  private val CumSelRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+__graft_cumulate_src__\s*""" +
+      """(?:WHERE\s+(.+?))?\s*GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val CumAggRe =
+    """(?is)^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(.+?|\*)\s*\)\s*(?:AS\s+`?(\w+)`?)?$""".r
+  private val CumPlainRe = """(?is)^`?(\w+)`?\s*(?:AS\s+`?(\w+)`?)?$""".r
+
+  /** Lower a grouped streaming CUMULATE statement onto
+    * [[graft.streaming.StatefulOps.cumulateWindow]] — the Flink
+    * cumulative slice assigner's role. Spark's window()/session_window()
+    * cannot express it (a row belongs to MULTIPLE open slices), so the
+    * statement lowers whole: SELECT items over the operator's output,
+    * WHERE onto the SOURCE (pre-window — a predicate on window columns
+    * fails loudly as unresolved), GROUP BY must list window_start/
+    * window_end plus plain key columns. HAVING/ORDER BY/LIMIT are not
+    * supported on the streaming form (they don't finalize in append
+    * mode) and reject loudly. Aggregates: SUM/COUNT/AVG/MIN/MAX with the
+    * NaN-sentinel NULL semantics of the streaming OVER family; integral
+    * SUM/MIN/MAX read back as BIGINT (batch parity). */
+  private def lowerStreamingCumulate(spark: SparkSession, q0: String,
+      spanStart: Int, spanEnd: Int, argText: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.SlotOp
+    import spark.implicits._
+    val (table, _, tsCol, intervals) = parseTvfArgs("CUMULATE", argText)
+    require(intervals.length == 2,
+      "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize)")
+    val (stepUs, sizeUs) = (intervalUs(intervals(0)), intervalUs(intervals(1)))
+    require(stepUs > 0 && sizeUs % stepUs == 0,
+      "CUMULATE: maxSize must be a positive multiple of step")
+    val q = q0.substring(0, spanStart) + "__graft_cumulate_src__" +
+      q0.substring(spanEnd + 1)
+    """(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b""".r.findFirstIn(blanked(q)).foreach(kw =>
+      throw new IllegalArgumentException(
+        s"streaming CUMULATE does not support $kw (append mode emits each " +
+          "slice exactly once on watermark passage; run the statement in " +
+          "batch for post-aggregate shaping)"))
+    val (itemsText, whereOpt, grpText) = q match {
+      case CumSelRe(items, w, g) => (items, Option(w), g)
+      case _ => throw new IllegalArgumentException(
+        "streaming CUMULATE supports SELECT <items> FROM TABLE(CUMULATE(...)) " +
+          s"[WHERE ...] GROUP BY window_start, window_end[, keys]; got: $q0")
+    }
+    val winNames = Set("window_start", "window_end", "window_time")
+    val grpItems = SqlSplit.splitTopLevel(grpText).map(_.trim)
+    require(grpItems.exists(g => winNames.contains(g.toLowerCase)),
+      "streaming CUMULATE: GROUP BY must include window_start/window_end " +
+        "(an unwindowed per-key aggregate is update-mode semantics this " +
+        s"engine does not run); got GROUP BY $grpText")
+    val keys = grpItems.filterNot(g => winNames.contains(g.toLowerCase))
+      .map {
+        case CumPlainRe(c, null) => c
+        case other => throw new IllegalArgumentException(
+          s"streaming CUMULATE: GROUP BY keys must be plain columns, got '$other'")
+      }
+
+    val src0 = spark.table(table)
+    val src = whereOpt.map(src0.where).getOrElse(src0)
+
+    // slot assembly — the StreamOverSql NaN-sentinel family: NULL inputs
+    // ride NaN (skipped by every combine op), genuine NaN data rejects
+    // eagerly unless graft.streamOver.nanInput=allow
+    val rejectNaN = spark.conf.get("graft.streamOver.nanInput", "reject") != "allow"
+    def sentinel(ve: Column): Column = {
+      val guarded =
+        if (!rejectNaN) ve
+        else when(isnan(ve), raise_error(lit(
+          "NaN input to a streaming CUMULATE aggregate: the NaN-sentinel " +
+            "NULL encoding cannot represent it. Filter NaNs out, or set " +
+            "graft.streamOver.nanInput=allow to read them back as NULL"))
+          .cast("double")).otherwise(ve)
+      coalesce(guarded, lit(Double.NaN))
+    }
+    def norm(s: String): String = s.toLowerCase.replaceAll("[\\s`]+", "")
+    val slotCols = Vector.newBuilder[Column]
+    val slotOps = Vector.newBuilder[SlotOp]
+    var nSlots = 0
+    val slotCache = scala.collection.mutable.Map.empty[(String, String), Int]
+    def slotOf(kind: String, txt: String, op: SlotOp)(c: => Column): Int =
+      slotCache.getOrElseUpdate((kind, txt),
+        { slotCols += c; slotOps += op; nSlots += 1; nSlots - 1 })
+
+    def integral(text: String): Boolean = {
+      import org.apache.spark.sql.types._
+      src.select(expr(text)).schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    // deferred agg outputs: resolve slot indices now, build columns after
+    // the operator output frame exists
+    val items = SqlSplit.splitTopLevel(itemsText).map(_.trim)
+    val planned: Seq[(String, () => Column)] = items.map {
+      case CumAggRe(fn0, v, al) =>
+        val fn = fn0.toUpperCase
+        val vt = v.trim
+        val alias = Option(al).getOrElse(s"${fn.toLowerCase}(${norm(vt)})")
+        require(fn == "COUNT" || vt != "*", s"$fn(*) is not SQL")
+        fn match {
+          case "COUNT" if vt == "*" =>
+            (alias, () => col("cnt"))
+          case "COUNT" =>
+            val s = slotOf("ind", norm(vt), SlotOp.Sum)(
+              when(expr(vt).isNotNull, 1.0).otherwise(0.0))
+            (alias, () => col("vals").getItem(s).cast("long"))
+          case "AVG" =>
+            val s = slotOf("val", norm(vt), SlotOp.Sum)(
+              sentinel(expr(vt).cast("double")))
+            val c = slotOf("ind", norm(vt), SlotOp.Sum)(
+              when(expr(vt).isNotNull, 1.0).otherwise(0.0))
+            (alias, () => when(col("vals").getItem(c) === 0.0,
+              lit(null).cast("double"))
+              .otherwise(col("vals").getItem(s) / col("vals").getItem(c)))
+          case _ =>
+            val op = fn match {
+              case "MIN" => SlotOp.Min
+              case "MAX" => SlotOp.Max
+              case _ => SlotOp.Sum
+            }
+            val s = slotOf(fn.toLowerCase, norm(vt), op)(
+              sentinel(expr(vt).cast("double")))
+            val isInt = integral(vt)
+            (alias, () => {
+              val raw = when(isnan(col("vals").getItem(s)),
+                lit(null).cast("double")).otherwise(col("vals").getItem(s))
+              if (isInt) raw.cast("long") else raw
+            })
+        }
+      case CumPlainRe(c, al) if winNames.contains(c.toLowerCase) =>
+        val alias = Option(al).getOrElse(c.toLowerCase)
+        c.toLowerCase match {
+          case "window_start" => (alias, () => timestamp_micros(col("ws")))
+          case "window_end" => (alias, () => timestamp_micros(col("we")))
+          case _ => (alias, () => timestamp_micros(col("we") - 1000L))
+        }
+      case CumPlainRe(c, al) if keys.exists(_.equalsIgnoreCase(c)) =>
+        (Option(al).getOrElse(c), () => col("__ks").getField(c))
+      case other => throw new IllegalArgumentException(
+        "streaming CUMULATE select items must be window_start/window_end/" +
+          "window_time, a GROUP BY key, or SUM/COUNT/AVG/MIN/MAX(expr) " +
+          s"[AS alias]; got '$other'")
+    }
+
+    val keyCol =
+      if (keys.isEmpty) lit("{}")
+      else to_json(struct(keys.map(col): _*))
+    val typed = src.select(keyCol.as("k"), col(tsCol).as("t"),
+        array(slotCols.result(): _*).as("v"))
+      .as[(String, java.sql.Timestamp, Seq[Double])]
+    val ran = StatefulOps.cumulateWindow(typed, stepUs, sizeUs, slotOps.result())
+      .toDF("k", "ws", "we", "vals", "cnt")
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(kc => src.schema.find(_.name.equalsIgnoreCase(kc)).getOrElse(
+        throw new IllegalArgumentException(
+          s"streaming CUMULATE: GROUP BY key '$kc' is not a column of $table"))))
+    val withKeys =
+      if (keys.isEmpty) ran.withColumn("__ks", lit(null))
+      else ran.withColumn("__ks", from_json(col("k"), keySchema))
+    withKeys.select(planned.map { case (alias, c) => c().as(alias) }: _*)
+  }
+
   private def isStreamingTable(spark: SparkSession, fn: String,
       argText: String): Boolean =
     scala.util.Try {
@@ -294,10 +473,9 @@ object WindowTvfSql {
           s", '${durText(intervals(2))}'" else ""
         (s"window($tsCol, '$size', '$slide'$offset)", "window")
       case other => throw new IllegalArgumentException(
-        s"streaming $other TVF has no native grouping form: CUMULATE " +
-          "assigns each row to MULTIPLE open windows (per-row expansion), " +
-          "which streaming append-mode aggregation cannot finalize — use " +
-          "HOP with slide = step for a streaming-safe near-equivalent")
+        s"streaming $other TVF has no native grouping form (CUMULATE " +
+          "routes through lowerStreamingCumulate before this rewrite — " +
+          "reaching here is a dispatch bug)")
     }
     var q = q0.substring(0, spanStart) + table + q0.substring(spanEnd + 1)
 

@@ -611,4 +611,91 @@ object StatefulOps {
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming CUMULATE window aggregation — the grouped-TVF shape Spark
+    * has no native form for (Flink's cumulative slice assigner,
+    * flink-table-runtime .../window/slicing/SliceAssigners.java
+    * `CumulativeSliceAssigner`; StreamExecWindowAggregate CUMULATE):
+    * rows of a max-size window [W, W+size) aggregate into cumulative
+    * slices [W, W+step), [W, W+2·step), …, [W, W+size); slice k
+    * append-emits ONCE when the watermark passes its end, covering every
+    * row with ts < W+(k+1)·step — exactly the batch expansion's
+    * `us < window_end` membership.
+    *
+    * State per (key, open window): one partial accumulator vector and a
+    * row count PER SLICE — O(slices · slots) doubles, never raw rows —
+    * so state size is bounded by (keys · size/step · slots) regardless
+    * of row volume: the property that holds at 100 TB. A row whose final
+    * slice has fired (wm ≥ W+size) is dropped late; a row arriving after
+    * ITS slice fired still joins the remaining cumulative slices. A
+    * slice emits only when its cumulative prefix holds ≥1 row (a window
+    * only exists for slices some row was assigned to — the batch
+    * expansion emits exactly those).
+    *
+    * Input (key, rowtime, slot values) with a watermark on rowtime;
+    * output (key, winStartUs, sliceEndUs, combined slots, cumulative row
+    * count), times in MICROSECONDS (the TVF alignment grid). */
+  def cumulateWindow[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Seq[Double])],
+      stepUs: Long, sizeUs: Long, ops: IndexedSeq[SlotOp])(
+      implicit e1: Encoder[Seq[(Long, Seq[Long], Seq[Seq[Double]], Int)]],
+      e2: Encoder[(K, Long, Long, Seq[Double], Long)])
+      : Dataset[(K, Long, Long, Seq[Double], Long)] = {
+    require(stepUs > 0 && sizeUs > 0 && sizeUs % stepUs == 0,
+      s"cumulateWindow: size ($sizeUs) must be a positive multiple of step ($stepUs)")
+    val nSlices = (sizeUs / stepUs).toInt
+    // (winStartUs, per-slice row counts, per-slice partials, slices fired)
+    type Win = (Long, Seq[Long], Seq[Seq[Double]], Int)
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Seq[Double])],
+        state: GroupState[Seq[Win]]): Iterator[(K, Long, Long, Seq[Double], Long)] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var wins = state.getOption.getOrElse(Seq.empty)
+      rows.foreach { case (_, ts, vals) =>
+        val us = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+        val ws = Math.floorDiv(us, sizeUs) * sizeUs
+        if (wmUs < ws + sizeUs) { // else: late past the final slice, drop
+          val slice = ((us - ws) / stepUs).toInt
+          wins.indexWhere(_._1 == ws) match {
+            case -1 =>
+              wins :+= ((ws,
+                Seq.fill(nSlices)(0L).updated(slice, 1L),
+                Seq.fill(nSlices)(Seq.empty[Double]).updated(slice, vals), 0))
+            case i =>
+              val w = wins(i)
+              wins = wins.updated(i, (w._1,
+                w._2.updated(slice, w._2(slice) + 1L),
+                w._3.updated(slice, Slots.plus(ops, w._3(slice), vals)),
+                w._4))
+          }
+        }
+      }
+      val out = Seq.newBuilder[(K, Long, Long, Seq[Double], Long)]
+      wins = wins.flatMap { case (ws, cnts, parts, fired0) =>
+        var fired = fired0
+        while (fired < nSlices && wmUs >= ws + (fired + 1) * stepUs) {
+          // skip row-less slices: their Seq.empty partial is "no data",
+          // not a zero vector (Slots.plus only widens from empty)
+          val cum = parts.take(fired + 1).filter(_.nonEmpty)
+            .foldLeft(Seq.empty[Double])((z, p) => Slots.plus(ops, z, p))
+          val cnt = cnts.take(fired + 1).sum
+          if (cnt > 0L) out += ((key, ws, ws + (fired + 1) * stepUs, cum, cnt))
+          fired += 1
+        }
+        if (fired >= nSlices) None else Some((ws, cnts, parts, fired))
+      }
+      if (wins.isEmpty) state.remove()
+      else {
+        state.update(wins)
+        val nextUs = wins.map { case (ws, _, _, fired) =>
+          ws + (fired + 1) * stepUs }.min
+        state.setTimeoutTimestamp(
+          math.max(nextUs / 1000L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

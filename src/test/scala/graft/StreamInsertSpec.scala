@@ -111,6 +111,19 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    // a PRIOR aborted run can leave the managed dir without its catalog
+    // entry (plain tables get no healing) — remove the location physically
+    Seq(sink, s"cs_cumsink_$h").foreach { t =>
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      val dir = if (wh.contains(":")) scala.util.Try(
+        new java.io.File(new java.net.URI(wh))).getOrElse(new java.io.File(wh))
+      else new java.io.File(wh)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(dir, t.toLowerCase))
+    }
     Engine.sql(spark, s"""
       CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
         WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
@@ -140,16 +153,50 @@ class StreamInsertSpec extends AnyFunSuite {
         s"minute-0 TVF window (total 30) not finalized: $fin")
     } finally q.stop()
 
-    // grouped CUMULATE over a streaming table has no native form: loud
+    // grouped CUMULATE over a streaming table lowers onto the stateful
+    // slice operator (Flink's CumulativeSliceAssigner role): finalized
+    // slices equal the batch expansion exactly
+    val cumSink = s"cs_cumsink_$h"
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $cumSink")
+    Engine.sql(spark, s"""CREATE TABLE $cumSink (ws TIMESTAMP, we TIMESTAMP,
+      total BIGINT, n BIGINT) USING parquet""")
+    val cumStmt = (from: String) => s"""
+      SELECT window_start AS ws, window_end AS we,
+             SUM(v) AS total, COUNT(*) AS n
+      FROM TABLE(CUMULATE(TABLE $from, DESCRIPTOR(ts),
+                          INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))
+      GROUP BY window_start, window_end"""
+    val qc = Engine.sqlStreamInsert(spark,
+      s"INSERT INTO $cumSink ${cumStmt(src)}", ckpt + "cum")
+    try {
+      qc.processAllAvailable(); qc.processAllAvailable(); qc.processAllAvailable()
+    } finally qc.stop()
+    val cut = java.sql.Timestamp.valueOf("2024-01-01 00:03:59")
+    val gotCum = spark.table(cumSink)
+      .filter(org.apache.spark.sql.functions.col("we") <= cut)
+      .orderBy("ws", "we").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3))).toSeq
+    val expCum = Engine.sql(spark, cumStmt(s"__${src}_base"))
+      .filter(org.apache.spark.sql.functions.col("we") <= cut)
+      .orderBy("ws", "we").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(gotCum.nonEmpty, "no finalized CUMULATE slices reached the sink")
+    assert(gotCum == expCum,
+      s"stream CUMULATE diverged from the batch expansion:\n$gotCum\nvs\n$expCum")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $cumSink")
+
+    // CUMULATE whose GROUP BY omits the window columns: loud reject
     val eCum = intercept[IllegalArgumentException] {
       Engine.sqlStreamInsert(spark, s"""
         INSERT INTO $sink
-        SELECT window_start AS win_start, SUM(v) AS total
+        SELECT k AS win_start, SUM(v) AS total
         FROM TABLE(CUMULATE(TABLE $src, DESCRIPTOR(ts),
                             INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))
-        GROUP BY window_start""", ckpt + "c")
+        GROUP BY k""", ckpt + "c")
     }
-    assert(eCum.getMessage.contains("CUMULATE"))
+    assert(eCum.getMessage.contains("window_start"))
 
     // GROUP BY with NO window column is a regular per-key aggregate
     // (update-mode semantics in the reference) — silently re-scoping it

@@ -199,6 +199,61 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming grouped CUMULATE equals the batch expansion (keys, NULLs, every aggregate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.lang.Double)]
+    mem.toDF().select(timestamp_micros($"_1").as("ts"), $"_2".as("k"), $"_3".as("v"))
+      .withWatermark("ts", "1 second")
+      .createOrReplaceTempView("cum_stream_src")
+    val stmt = (t: String) => s"""
+      SELECT window_start, window_end, k,
+             SUM(v) AS sv, AVG(v) AS av, MIN(v) AS mn, MAX(v) AS mx,
+             COUNT(v) AS cv, COUNT(*) AS n
+      FROM TABLE(CUMULATE(TABLE $t, DESCRIPTOR(ts),
+                          INTERVAL '30' SECOND, INTERVAL '2' MINUTE))
+      GROUP BY window_start, window_end, k"""
+    val agg = Engine.sql(spark, stmt("cum_stream_src"))
+    assert(agg.isStreaming, "CUMULATE lowering must preserve streaming-ness")
+    val q = agg.writeStream.format("memory").queryName("cum_stream_out")
+      .outputMode(OutputMode.Append).start()
+    val data = Seq[(Long, String, java.lang.Double)](
+      (5_000_000L, "a", 1.5), (20_000_000L, "b", null),
+      (40_000_000L, "a", 2.0), (100_000_000L, "a", -1.0))
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData((125_000_000L, "b", java.lang.Double.valueOf(9.0)))
+      q.processAllAvailable()
+      // 300s advances the watermark to 299s: every slice of [0,120s) and
+      // [120s,240s) fires; the 300s row's own window stays open
+      mem.addData((300_000_000L, "z", java.lang.Double.valueOf(0.0)))
+      q.processAllAvailable(); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getString(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+        r.getLong(7), r.getLong(8))
+    }.toSet
+    val cut = java.sql.Timestamp.valueOf("1970-01-01 00:04:59")
+    val got = canon(spark.table("cum_stream_out").filter($"window_end" <= cut))
+    (data :+ ((125_000_000L, "b", java.lang.Double.valueOf(9.0)))
+      :+ ((300_000_000L, "z", java.lang.Double.valueOf(0.0))))
+      .toDF("us", "k", "v")
+      .select(timestamp_micros($"us").as("ts"), $"k", $"v")
+      .createOrReplaceTempView("cum_batch_src")
+    val want = canon(Engine.sql(spark, stmt("cum_batch_src"))
+      .filter($"window_end" <= cut))
+    assert(got == want, s"stream CUMULATE diverged:\n$got\nvs\n$want")
+    // NULL semantics spot-check: k=b's first slice holds one all-NULL row
+    assert(got.exists { case (_, we, k, sv, av, mn, mx, cv, n) =>
+      we.startsWith("1970-01-01 00:00:30") && k == "b" &&
+        sv.isEmpty && av.isEmpty && mn.isEmpty && mx.isEmpty && cv == 0L && n == 1L
+    }, s"missing the all-NULL b slice in $got")
+  }
+
   test("TUMBLE with an OFFSET interval shifts the window alignment") {
     val plain = run("""
       SELECT DISTINCT unix_seconds(window_start) % 300 AS rem
