@@ -1636,6 +1636,22 @@ object PipelineOps extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM c GROUP BY url_canonical ORDER BY url_canonical
         |""".stripMargin)),
+
+    GQuery(
+      // First principal component of the embedding corpus (the
+      // dimensionality-reduction / outlier-scoring step of embedding
+      // pipelines — whitening before clustering, detecting dominant-
+      // direction artifacts): one combiner-friendly moments pass (exact
+      // integer [n, S1, S2] sums over quantized vectors — the
+      // treeAggregate shape, O(d^2) crossing the cluster boundary ONCE),
+      // then power iteration on the DRIVER over the 64x64 scale-free
+      // integer covariance n*S2 - S1*S1^T, then one map-side projection
+      // scan. Every step is exact integer or identically-rounded IEEE
+      // arithmetic, so the 10-round eigenvector and the top-k scores are
+      // bit-reproducible in DuckDB (the q76/q121 unrolled-CTE technique).
+      "q132_embedding_pca",
+      (s, d) => embeddingPcaTop(s, d, rounds = 10, topK = 20),
+      Some(pcaOracleSql(rounds = 10, topK = 20))),
   )
 
   /** Quality-classifier trainer (the fastText-classifier role in
@@ -2287,5 +2303,169 @@ object PipelineOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= topK)
       .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
+  }
+
+  // ------------------------------------------------------ embedding PCA
+
+  /** Exact integer moment sums for [[embeddingPcaTop]]: one
+    * combiner-friendly pass producing [n, S1(d), S2(d x d)] — every entry
+    * an exact BIGINT sum over the quantized vectors, so the moments are
+    * bit-identical under ANY partitioning and reproducible by the DuckDB
+    * oracle. The buffer is d*d+d+1 longs (~33 KB at d=64): map-side
+    * partials carry one buffer per task and the d^2-sized result crosses
+    * the cluster boundary once (the MLlib treeAggregate shape).
+    * Overflow headroom: |q| <= 1e4, so S2 entries stay under n * 1e8 —
+    * exact to n ~ 9e10 rows; beyond that shard the pass and merge the
+    * per-shard moments (they are plain sums). */
+  private final class PcaMoments(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](1 + dim + dim * dim)
+    override def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
+      b(0) += 1L
+      val qa = q.toArray
+      var i = 0
+      while (i < dim) {
+        b(1 + i) += qa(i)
+        val base = 1 + dim + i * dim
+        var j = 0
+        while (j < dim) { b(base + j) += qa(i) * qa(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Top-|score| documents along the corpus' first principal component
+    * (see q132). Pipeline: quantize (floor(x*1e4), the ANN convention) ->
+    * ONE moments aggregate -> driver-side power iteration on the
+    * scale-free integer covariance M = n*S2 - S1*S1^T (eigenvectors are
+    * invariant under positive scaling, so neither the 1/n nor the 1e-8
+    * quantization factor is applied) -> one projection scan. Determinism:
+    * M is exact; each round's matvec is an exact integer dot against the
+    * 1e6-quantized eigenvector estimate; only norm/rescale touch IEEE
+    * doubles, and those operate on identical exact integers in both
+    * engines. The centered projection n*(q . v) - S1 . v is again exact
+    * BIGINT. What crosses the cluster boundary: one d^2 row out, d
+    * literals in — O(data) work is two scans, zero shuffles beyond the
+    * aggregate's partial exchange. */
+  private[graft] def embeddingPcaTop(
+      s: SparkSession, d: String, rounds: Int, topK: Int): DataFrame =
+    pcaTopOf(s, Tables.embeddings(s, d), rounds, topK)
+
+  /** [[embeddingPcaTop]] over an explicit (vec_id, embedding) frame —
+    * the spec entry point for partition-invariance (any physical layout
+    * of `embIn` must produce the identical result). */
+  private[graft] def pcaTopOf(
+      s: SparkSession, embIn: DataFrame, rounds: Int, topK: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val dim = 64
+    val emb = embIn.select($"vec_id", expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("q"))
+    val (n, s1, v) = pcaEigen(s, emb, rounds)
+    val tv = (0 until dim).map(i => s1(i) * v(i)).sum
+    val vLit = v.map(x => s"${x}L").mkString("array(", ", ", ")")
+    emb.withColumn("dot", expr(s"graft_dot_long(q, $vLit)"))
+      .select($"vec_id", ($"dot" * lit(n) - lit(tv)).as("pc1"))
+      .orderBy(abs($"pc1").desc, $"vec_id")
+      .limit(topK)
+  }
+
+  /** Moments pass + driver power iteration of [[pcaTopOf]]; returns
+    * (row count, exact S1 sums, 1e6-quantized eigenvector estimate).
+    * `emb` must already carry the quantized `q` column. Exposed for the
+    * spec's quantization-fidelity check. */
+  private[graft] def pcaEigen(s: SparkSession,
+      emb: DataFrame, rounds: Int): (Long, Array[Long], Array[Long]) = {
+    import s.implicits._
+    val dim = 64
+    val m = emb.select($"q").as[Seq[Long]]
+      .select(new PcaMoments(dim).toColumn).head()
+    val n = m(0)
+    require(n > 0, "embeddingPcaTop: empty embeddings table")
+    val s1 = Array.tabulate(dim)(i => m(1 + i))
+    def s2(i: Int, j: Int): Long = m(1 + dim + i * dim + j)
+    val raw = Array.tabulate(dim, dim)((i, j) => n * s2(i, j) - s1(i) * s1(j))
+    val mv = raw.flatten.map(math.abs).max.toDouble
+    require(mv > 0, "embeddingPcaTop: degenerate (constant) embeddings")
+    val m6 = raw.map(_.map(x => math.floor(x.toDouble / mv * 1000000.0 + 0.5).toLong))
+    var v = Array.fill(dim)(125000L) // 1/sqrt(64) at 1e6 scale
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += m6(i)(j) * v(j); j += 1 }
+        acc
+      }
+      // exact integer sum of squares (can exceed Long), then one
+      // correctly-rounded conversion — matches DuckDB's HUGEINT sum
+      val norm = math.sqrt(
+        w.foldLeft(BigInt(0))((z, x) => z + BigInt(x) * BigInt(x)).toDouble)
+      v = w.map(x => math.floor(x.toDouble / norm * 1000000.0 + 0.5).toLong)
+    }
+    (n, s1, v)
+  }
+
+  /** DuckDB oracle for [[embeddingPcaTop]] — the same pipeline end to
+    * end: exact integer moments via an unnested self-join, the scale-free
+    * integer covariance, `rounds` unrolled power-iteration CTEs (the
+    * q76/q121 technique), and the exact integer centered projection. The
+    * only IEEE steps (covariance rescale, round norms) consume identical
+    * exact integers in both engines, so results hash-match. */
+  private def pcaOracleSql(rounds: Int, topK: Int): String = {
+    // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and the
+    // round chain references each previous round twice (matvec + norm) —
+    // inlined, the parquet scan would expand 2^rounds times and exhaust
+    // file handles before doing exponential work
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""|w$r AS MATERIALIZED (SELECT m6.i, SUM(m6.v * $prev.val) AS w
+          |        FROM m6 JOIN $prev ON $prev.i = m6.j GROUP BY m6.i),
+          |v$r AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE) /
+          |          sqrt((SELECT CAST(SUM(w * w) AS DOUBLE) FROM w$r)) *
+          |          1000000.0 + 0.5) AS BIGINT) AS val FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH e AS MATERIALIZED (SELECT vec_id,
+    |             list_transform(embedding,
+    |               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+    |           FROM embeddings),
+    |idx AS (SELECT unnest(range(64)) AS i),
+    |u AS MATERIALIZED (SELECT vec_id, i, q[i + 1] AS x FROM e CROSS JOIN idx),
+    |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    |s1 AS MATERIALIZED (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM u GROUP BY i),
+    |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s
+    |       FROM u a JOIN u b USING (vec_id) GROUP BY a.i, b.i),
+    |m AS MATERIALIZED (SELECT s2.i, s2.j,
+    |        (SELECT n FROM nn) * s2.s - sa.s * sb.s AS raw
+    |      FROM s2 JOIN s1 sa ON sa.i = s2.i JOIN s1 sb ON sb.i = s2.j),
+    |m6 AS MATERIALIZED (SELECT i, j,
+    |         CAST(floor(CAST(raw AS DOUBLE) /
+    |           (SELECT CAST(MAX(ABS(raw)) AS DOUBLE) FROM m) *
+    |           1000000.0 + 0.5) AS BIGINT) AS v
+    |       FROM m),
+    |v0 AS (SELECT i, CAST(125000 AS BIGINT) AS val FROM idx),
+    |$roundsSql,
+    |tv AS (SELECT CAST(SUM(s1.s * v$rounds.val) AS BIGINT) AS t
+    |       FROM s1 JOIN v$rounds ON v$rounds.i = s1.i),
+    |p AS (SELECT u.vec_id, CAST(SUM(u.x * v$rounds.val) AS BIGINT) AS dot
+    |      FROM u JOIN v$rounds ON v$rounds.i = u.i GROUP BY u.vec_id),
+    |scored AS (SELECT vec_id,
+    |             (SELECT n FROM nn) * dot - (SELECT t FROM tv) AS pc1
+    |           FROM p)
+    |SELECT vec_id, pc1 FROM scored
+    |ORDER BY ABS(pc1) DESC, vec_id
+    |LIMIT $topK
+    |""".stripMargin
   }
 }

@@ -292,4 +292,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq,
       s"got=${got.toSeq.take(5)} expect=${expect.toSeq.take(5)}")
   }
+
+  test("embedding PCA: bit-deterministic under repartition, aligned with " +
+      "the dominant direction") {
+    import spark.implicits._
+    val base = operators.PipelineOps.embeddingPcaTop(spark, sf, rounds = 10, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(base.size == 20 && base.map(_._1).distinct.size == 20)
+    // partition-invariance: the moments pass sums exact integers, so ANY
+    // physical layout must yield the identical top-20 (the claim the
+    // oracle hash-match rests on)
+    val shuffled = operators.PipelineOps.pcaTopOf(spark,
+        Tables.embeddings(spark, sf)
+          .repartition(17, ($"vec_id" % 17).cast("int"))
+          .sortWithinPartitions($"vec_id".desc),
+        rounds = 10, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(shuffled == base, "PCA result changed under repartition")
+    // quantization fidelity: the 1e6-quantized integer iteration must
+    // track an UNQUANTIZED double iteration (same covariance, same v0,
+    // same round count) to a tiny angle — i.e. the per-round rounding
+    // that buys cross-engine bit-determinism does not distort the
+    // direction (convergence *rate* is the data's eigengap, not ours)
+    val emb = Tables.embeddings(spark, sf).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q")
+    val (n, s1, vq) = operators.PipelineOps.pcaEigen(spark, emb, rounds = 10)
+    val d = 64
+    val rows = emb.collect().map(_.getSeq[Long](1).toArray)
+    def s2(i: Int, j: Int): Long = rows.map(x => x(i) * x(j)).sum
+    val cov = Array.tabulate(d, d)((i, j) => (n * s2(i, j) - s1(i) * s1(j)).toDouble)
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to 10) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    val vqd = vq.map(_.toDouble / 1e6)
+    val cos = math.abs((0 until d).map(i => v(i) * vqd(i)).sum) /
+      math.sqrt(vqd.map(x => x * x).sum)
+    assert(cos > 0.9999,
+      s"quantized eigenvector drifted from the double iteration: cos=$cos")
+  }
 }
