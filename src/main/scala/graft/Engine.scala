@@ -320,9 +320,9 @@ object Engine {
                   "unsupported streaming OVER: supported forms are " +
                     "SELECT <items> FROM <watermarked table> [WHERE ...] and " +
                     "SELECT <items> FROM (<streaming subquery>) [AS] a " +
-                    "[WHERE ...] with every OVER item sharing one PARTITION " +
-                    "BY + ORDER BY <rowtime> (wrap joins in the subquery " +
-                    s"form); got: $select")
+                    "[WHERE ...] with every OVER item sharing one ORDER BY " +
+                    "<rowtime> (PARTITION BY may differ per item — chained " +
+                    "passes; wrap joins in the subquery form); got: $select")
               df
             }
           } finally streamed.foreach { t =>

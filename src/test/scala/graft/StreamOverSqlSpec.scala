@@ -491,4 +491,71 @@ class StreamOverSqlSpec extends AnyFunSuite {
       Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
     }
   }
+  test("multi-spec OVER: different PARTITION BY per item runs as chained passes") {
+    // round-9: the last StreamExecOverAggregate gap — several window
+    // SPECS in one statement (per-key, per-group AND non-partitioned),
+    // lowered onto chained transformWithState passes re-keyed per spec;
+    // exact stream==batch equality once the watermark passes every row
+    val (src, sink) = (s"ovr_src_multi_$h", s"ovr_sink_multi_$h")
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevP = spark.conf.getOption(pKey)
+    spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, g STRING, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink (k BIGINT, g STRING, ts TIMESTAMP,
+      per_k DOUBLE, per_g BIGINT, gmax DOUBLE) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-over-multi").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, g, ts,
+             SUM(v) OVER (PARTITION BY k ORDER BY ts) AS per_k,
+             COUNT(*) OVER (PARTITION BY g ORDER BY ts
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS per_g,
+             MAX(v) OVER (ORDER BY ts) AS gmax
+      FROM $src""", ckpt)
+    try {
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 'a', 10.0, TIMESTAMP '2024-01-01 00:00:01'),
+        (2, 'a', 7.0,  TIMESTAMP '2024-01-01 00:00:03'),
+        (1, 'b', 2.5,  TIMESTAMP '2024-01-01 00:00:05'),
+        (2, 'b', 1.0,  TIMESTAMP '2024-01-01 00:00:07')""")
+      q.processAllAvailable(); q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 'a', 4.0, TIMESTAMP '2024-01-01 00:01:30')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (7, 'x', 0.0, TIMESTAMP '2024-01-01 01:00:00')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (7, 'x', 0.0, TIMESTAMP '2024-01-01 02:00:00')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getDouble(3), r.getLong(4), r.getDouble(5)))
+        .filter(_._3 < cutoff).toSet
+      val got = canon(spark.table(sink).select("k", "g", "ts", "per_k", "per_g", "gmax"))
+      val want = canon(WatermarkDdl.read(spark, src).select(col("k"), col("g"), col("ts"),
+        sum("v").over(Window.partitionBy("k").orderBy("ts")).as("per_k"),
+        count(lit(1)).over(Window.partitionBy("g").orderBy("ts")
+          .rowsBetween(-1, 0)).as("per_g"),
+        max("v").over(Window.orderBy("ts")).as("gmax")))
+      assert(want.size == 5, s"fixture drift: $want")
+      assert(got == want, s"chained multi-spec OVER diverged:\n$got\nvs\n$want")
+    } finally {
+      q.stop()
+      prevP match {
+        case Some(v) => spark.conf.set(pKey, v)
+        case None => spark.conf.unset(pKey)
+      }
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
 }
