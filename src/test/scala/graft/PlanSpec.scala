@@ -212,6 +212,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial aggregation on url_canonical:\n$p")
   }
 
+  test("q132: PCA projection is one scan into TakeOrderedAndProject (no join, no wide shuffle)") {
+    // the moments pass runs eagerly inside the query (one aggregate whose
+    // d^2 buffer crosses the boundary once); the RETURNED plan is the
+    // projection scan — it must be scan -> project -> k-bounded top-k,
+    // with no join and no full sort
+    val p = plan("q132_embedding_pca")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"PCA projection must be join-free:\n$p")
+  }
+
   test("q130: composed MR-subquery join broadcasts the customer dim") {
     // the composer must hand the OUTER join to Catalyst as plain SQL —
     // the lifted MATCH_RECOGNIZE view streams, the small dim broadcasts
