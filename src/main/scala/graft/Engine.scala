@@ -278,6 +278,50 @@ object Engine {
         val df =
           try {
             streams.foreach { case (t, sdf) => sdf.createOrReplaceTempView(t) }
+            // CURRENT_WATERMARK(rowtime) — Flink's watermark-reading
+            // scalar (BuiltInFunctionDefinitions.java CURRENT_WATERMARK):
+            // no Spark expression can see the watermark, so the call
+            // lowers onto StatefulOps.annotateCurrentWatermark (a
+            // stateless pass appending the batch watermark as a column)
+            // and the text rewrites to that column. Scoped to plain
+            // SELECT/WHERE statements over ONE watermarked source — the
+            // annotation pass consumes the event-time marker, so window
+            // TVFs / MATCH_RECOGNIZE / OVER cannot sit downstream;
+            // composed forms reject loudly.
+            val CwRe = """(?i)CURRENT_WATERMARK\s*\(\s*`?(\w+)`?\s*\)""".r
+            val selectB = SqlComposer.blank(select)
+            val select1 =
+              if (CwRe.findFirstIn(selectB).isEmpty) select
+              else {
+                require(streamed.size == 1,
+                  "CURRENT_WATERMARK needs exactly ONE watermarked source " +
+                    s"in the statement (got: ${streamed.mkString(", ")})")
+                require(!WindowTvfSql.matches(select) &&
+                    !graft.cep.MatchRecognize.matchesSql(select) &&
+                    """(?is)\bOVER\s*\(""".r.findFirstIn(selectB).isEmpty,
+                  "CURRENT_WATERMARK composes with plain streaming " +
+                    "SELECT/WHERE statements only — the annotation pass " +
+                    "consumes the event-time attribute, so window TVFs, " +
+                    "MATCH_RECOGNIZE and OVER cannot run downstream of it")
+                val wmc = WatermarkDdl.watermarkCol(spark, streamed.head)
+                CwRe.findAllMatchIn(selectB).foreach(m0 => require(
+                  wmc.exists(_.equalsIgnoreCase(m0.group(1))),
+                  s"CURRENT_WATERMARK(${m0.group(1)}): argument must be " +
+                    s"the declared WATERMARK column ${wmc.getOrElse("<none>")} " +
+                    s"of ${streamed.head}"))
+                graft.streaming.StatefulOps
+                  .annotateCurrentWatermark(spark.table(streamed.head))
+                  .createOrReplaceTempView(streamed.head)
+                // splice on blanked-text positions so a quoted
+                // 'CURRENT_WATERMARK(' literal is never rewritten
+                val sb = new StringBuilder
+                var last = 0
+                CwRe.findAllMatchIn(selectB).foreach { m0 =>
+                  sb.append(select.substring(last, m0.start)).append("__graft_wm")
+                  last = m0.end
+                }
+                sb.append(select.substring(last)).toString
+              }
             // event-time OVER would be rejected by Spark's streaming
             // planner ("non-time-based windows"): lower it onto the
             // stateful OVER operators (StreamExecOverAggregate role).
@@ -296,8 +340,8 @@ object Engine {
             // window()/session_window() aggregation — the reference's
             // `INSERT INTO sink SELECT ... FROM TABLE(TUMBLE(...))
             // GROUP BY window_start` streaming job shape.
-            if (WindowTvfSql.matches(select)) WindowTvfSql.sql(spark, select)
-            else if (graft.cep.MatchRecognize.matchesSql(select))
+            if (WindowTvfSql.matches(select1)) WindowTvfSql.sql(spark, select1)
+            else if (graft.cep.MatchRecognize.matchesSql(select1))
               // the MR SQL bridge's MEASURES/ALL-ROWS relations are
               // batch lowerings (join-back against the bound events);
               // continuous pattern output has a dedicated streaming NFA
@@ -309,8 +353,8 @@ object Engine {
                   "lowerings. Use MatchRecognize.runStream (the " +
                   "StreamExecMatch NFA) for continuous pattern output, or " +
                   "run the statement in batch via sql()")
-            else StreamOverSql.lowerComposed(spark, select).getOrElse {
-              val df = spark.sql(select)
+            else StreamOverSql.lowerComposed(spark, select1).getOrElse {
+              val df = spark.sql(select1)
               val streamingWindow = df.queryExecution.analyzed.collect {
                 case w: org.apache.spark.sql.catalyst.plans.logical.Window
                     if w.isStreaming => w

@@ -612,6 +612,40 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Row-level CURRENT_WATERMARK annotation (BuiltInFunctionDefinitions
+    * CURRENT_WATERMARK — Flink returns the operator's current watermark,
+    * NULL before the first one). Spark exposes no watermark to
+    * expressions, so the SQL route lowers the call onto this pass: a
+    * STATELESS flatMapGroupsWithState whose only job is reading the
+    * batch watermark from GroupState and appending it as a TIMESTAMP
+    * column (`__graft_wm`, NULL while the watermark is unset — micro-
+    * batch semantics: every row of a batch reads the batch-start
+    * watermark, Flink's per-record operator watermark at batch
+    * granularity). Rows pass through via a salted 64-key grouping —
+    * one exchange, zero state; late rows are NOT dropped (the function
+    * exists precisely to SEE lateness: `WHERE ts <= CURRENT_WATERMARK(ts)`
+    * is the reference's late-data side-channel idiom). */
+  def annotateCurrentWatermark(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.TimestampType
+    val schema = df.schema
+    val outSchema = schema.add("__graft_wm", TimestampType, nullable = true)
+    val rowEnc: Encoder[Row] = Encoders.row(schema)
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    def annotate(k: Int, rows: Iterator[Row],
+        state: GroupState[Int]): Iterator[Row] = {
+      val wm = state.getCurrentWatermarkMs()
+      val wmVal: java.sql.Timestamp =
+        if (wm <= 0L) null else new java.sql.Timestamp(wm)
+      rows.map(r => Row.fromSeq(r.toSeq :+ wmVal))
+    }
+    df.as[Row](rowEnc)
+      .groupByKey(r => math.floorMod(r.hashCode, 64))(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        annotate _)(Encoders.scalaInt, outEnc)
+  }
+
   /** Streaming CUMULATE window aggregation — the grouped-TVF shape Spark
     * has no native form for (Flink's cumulative slice assigner,
     * flink-table-runtime .../window/slicing/SliceAssigners.java

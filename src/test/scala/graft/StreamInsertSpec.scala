@@ -215,4 +215,72 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
+  test("CURRENT_WATERMARK annotates rows with the batch watermark (NULL first)") {
+    // BuiltInFunctionDefinitions CURRENT_WATERMARK: the reference reads
+    // the operator's watermark per record; here every row of a
+    // micro-batch reads the batch-start watermark (NULL before the
+    // first), and the late-data idiom ts <= CURRENT_WATERMARK(ts) works
+    val h = math.abs(getClass.getName.hashCode) + 3
+    val (src, sink) = (s"cs_cw_$h", s"cs_cwsink_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '10' SECOND)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink (k BIGINT, ts TIMESTAMP,
+      wm TIMESTAMP, is_late BOOLEAN) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cw").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, ts, CURRENT_WATERMARK(ts) AS wm,
+             ts <= CURRENT_WATERMARK(ts) AS is_late
+      FROM $src""", ckpt)
+    try {
+      Engine.sql(spark,
+        s"INSERT INTO $src VALUES (2, TIMESTAMP '2024-01-01 00:02:00')")
+      q.processAllAvailable(); q.processAllAvailable()
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (3, TIMESTAMP '2024-01-01 00:03:00'),
+        (4, TIMESTAMP '2024-01-01 00:01:30')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      val rows = spark.table(sink).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(2)).map(_.toString),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+      assert(rows.keySet == Set(2L, 3L, 4L), s"rows: $rows")
+      // first batch: no watermark yet -> NULL wm, NULL comparison
+      assert(rows(2L) == ((None, None)), s"row 2: ${rows(2L)}")
+      // second batch: wm = 00:02:00 - 10s = 00:01:50
+      assert(rows(3L) == ((Some("2024-01-01 00:01:50.0"), Some(false))),
+        s"row 3: ${rows(3L)}")
+      // row 4 is LATE (01:30 <= wm); its wm reading is 01:50, or 02:50
+      // when the file source split the insert across two micro-batches
+      val (wm4, late4) = rows(4L)
+      assert(late4.contains(true) && wm4.exists(w =>
+        w == "2024-01-01 00:01:50.0" || w == "2024-01-01 00:02:50.0"),
+        s"row 4: ${rows(4L)}")
+    } finally {
+      q.stop()
+    }
+    // composition with event-time operators downstream rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT k, ts, CURRENT_WATERMARK(ts) AS wm,
+               SUM(k) OVER (ORDER BY ts) IS NULL AS is_late
+        FROM $src""", ckpt + "x")
+    }
+    assert(e.getMessage.contains("plain streaming"), e.getMessage)
+    // the argument must be the declared watermark column
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT k, ts, CURRENT_WATERMARK(k) AS wm, true AS is_late
+        FROM $src""", ckpt + "y")
+    }
+    assert(e2.getMessage.contains("WATERMARK column"), e2.getMessage)
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+  }
 }

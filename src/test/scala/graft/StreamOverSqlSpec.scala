@@ -508,7 +508,8 @@ class StreamOverSqlSpec extends AnyFunSuite {
       CREATE TABLE $src (k BIGINT, g STRING, v DOUBLE, ts TIMESTAMP,
         WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
     Engine.sql(spark, s"""CREATE TABLE $sink (k BIGINT, g STRING, ts TIMESTAMP,
-      per_k DOUBLE, per_g BIGINT, gmax DOUBLE) USING parquet""")
+      per_k DOUBLE, per_g BIGINT, gmax DOUBLE, kfirst DOUBLE, grng DOUBLE)
+      USING parquet""")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-over-multi").toString
     val q = Engine.sqlStreamInsert(spark, s"""
       INSERT INTO $sink
@@ -516,7 +517,11 @@ class StreamOverSqlSpec extends AnyFunSuite {
              SUM(v) OVER (PARTITION BY k ORDER BY ts) AS per_k,
              COUNT(*) OVER (PARTITION BY g ORDER BY ts
                             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS per_g,
-             MAX(v) OVER (ORDER BY ts) AS gmax
+             MAX(v) OVER (ORDER BY ts) AS gmax,
+             FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY ts) AS kfirst,
+             SUM(v) OVER (PARTITION BY g ORDER BY ts
+                          RANGE BETWEEN INTERVAL '1' MINUTE PRECEDING
+                          AND CURRENT ROW) AS grng
       FROM $src""", ckpt)
     try {
       Engine.sql(spark, s"""INSERT INTO $src VALUES
@@ -537,14 +542,22 @@ class StreamOverSqlSpec extends AnyFunSuite {
       val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
       def canon(df: org.apache.spark.sql.DataFrame) = df
         .collect().map(r => (r.getLong(0), r.getString(1),
-          r.getTimestamp(2).getTime, r.getDouble(3), r.getLong(4), r.getDouble(5)))
+          r.getTimestamp(2).getTime, r.getDouble(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))
         .filter(_._3 < cutoff).toSet
-      val got = canon(spark.table(sink).select("k", "g", "ts", "per_k", "per_g", "gmax"))
+      val got = canon(spark.table(sink)
+        .select("k", "g", "ts", "per_k", "per_g", "gmax", "kfirst", "grng"))
+      val rangeMs = 60000L
       val want = canon(WatermarkDdl.read(spark, src).select(col("k"), col("g"), col("ts"),
         sum("v").over(Window.partitionBy("k").orderBy("ts")).as("per_k"),
         count(lit(1)).over(Window.partitionBy("g").orderBy("ts")
           .rowsBetween(-1, 0)).as("per_g"),
-        max("v").over(Window.orderBy("ts")).as("gmax")))
+        max("v").over(Window.orderBy("ts")).as("gmax"),
+        first("v", ignoreNulls = true).over(Window.partitionBy("k")
+          .orderBy("ts")).as("kfirst"),
+        sum("v").over(Window.partitionBy("g")
+          .orderBy(col("ts").cast("long") * 1000)
+          .rangeBetween(-rangeMs, 0)).as("grng")))
       assert(want.size == 5, s"fixture drift: $want")
       assert(got == want, s"chained multi-spec OVER diverged:\n$got\nvs\n$want")
     } finally {
@@ -557,5 +570,30 @@ class StreamOverSqlSpec extends AnyFunSuite {
       Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
       Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
     }
+  }
+
+  test("multi-spec OVER without the RocksDB provider rejects loudly") {
+    val (src, sink) = (s"ovr_src_mrej_$h", s"ovr_sink_mrej_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, g STRING, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (a DOUBLE, b DOUBLE) USING parquet")
+    val e = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT SUM(v) OVER (PARTITION BY k ORDER BY ts) AS a,
+               SUM(v) OVER (PARTITION BY g ORDER BY ts) AS b
+        FROM $src""",
+        java.nio.file.Files.createTempDirectory("graft-over-mrej").toString)
+    }
+    assert(e.getMessage.contains("RocksDB"),
+      s"expected the RocksDB-provider guidance, got: ${e.getMessage}")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
 }

@@ -208,13 +208,16 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     mem.toDF().select(timestamp_micros($"_1").as("ts"), $"_2".as("k"), $"_3".as("v"))
       .withWatermark("ts", "1 second")
       .createOrReplaceTempView("cum_stream_src")
+    // WHERE (applied to the SOURCE pre-window — excludes only the 9.0
+    // row, NULLs kept) and window_time exercise the full item surface
     val stmt = (t: String) => s"""
-      SELECT window_start, window_end, k,
+      SELECT window_start, window_end, window_time AS wt, k,
              SUM(v) AS sv, AVG(v) AS av, MIN(v) AS mn, MAX(v) AS mx,
              COUNT(v) AS cv, COUNT(*) AS n
       FROM TABLE(CUMULATE(TABLE $t, DESCRIPTOR(ts),
                           INTERVAL '30' SECOND, INTERVAL '2' MINUTE))
-      GROUP BY window_start, window_end, k"""
+      WHERE v IS NULL OR v <= 8.0
+      GROUP BY window_start, window_end, window_time, k"""
     val agg = Engine.sql(spark, stmt("cum_stream_src"))
     assert(agg.isStreaming, "CUMULATE lowering must preserve streaming-ness")
     val q = agg.writeStream.format("memory").queryName("cum_stream_out")
@@ -233,9 +236,10 @@ class WindowTvfSqlSpec extends AnyFunSuite {
       q.processAllAvailable(); q.processAllAvailable()
     } finally q.stop()
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
-      (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getString(2),
-        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
-        r.getLong(7), r.getLong(8))
+      (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getString(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)),
+        r.getLong(8), r.getLong(9))
     }.toSet
     val cut = java.sql.Timestamp.valueOf("1970-01-01 00:04:59")
     val got = canon(spark.table("cum_stream_out").filter($"window_end" <= cut))
@@ -248,7 +252,7 @@ class WindowTvfSqlSpec extends AnyFunSuite {
       .filter($"window_end" <= cut))
     assert(got == want, s"stream CUMULATE diverged:\n$got\nvs\n$want")
     // NULL semantics spot-check: k=b's first slice holds one all-NULL row
-    assert(got.exists { case (_, we, k, sv, av, mn, mx, cv, n) =>
+    assert(got.exists { case (_, we, _, k, sv, av, mn, mx, cv, n) =>
       we.startsWith("1970-01-01 00:00:30") && k == "b" &&
         sv.isEmpty && av.isEmpty && mn.isEmpty && mx.isEmpty && cv == 0L && n == 1L
     }, s"missing the all-NULL b slice in $got")
