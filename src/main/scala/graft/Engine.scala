@@ -180,6 +180,29 @@ object Engine {
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(m))
       Seq(plan).toDF("plan")
     case _ =>
+      // Batch CURRENT_WATERMARK = NULL (Flink's batch-mode semantics —
+      // no watermark exists outside a streaming job; the STREAMING form
+      // lowers onto the annotation pass in sqlStreamInsert). Rewritten
+      // on blanked-text positions so quoted literals survive.
+      val query1 = {
+        val CwRe = """(?i)CURRENT_WATERMARK\s*\(\s*[^)]*\)""".r
+        val b = SqlComposer.blank(query)
+        if (CwRe.findFirstIn(b).isEmpty) query
+        else {
+          val sb = new StringBuilder
+          var last = 0
+          CwRe.findAllMatchIn(b).foreach { m =>
+            sb.append(query.substring(last, m.start))
+              .append("CAST(NULL AS TIMESTAMP)")
+            last = m.end
+          }
+          sb.append(query.substring(last)).toString
+        }
+      }
+      sqlDispatch(spark, query1)
+  }
+
+  private def sqlDispatch(spark: SparkSession, query: String): DataFrame = {
       // Compositional normalize pass (ParserImpl role, SqlComposer): DDL
       // with extended-dialect bodies runs the body through this same
       // entry first; extended subqueries are lifted to temp views so the

@@ -279,6 +279,15 @@ class StreamInsertSpec extends AnyFunSuite {
         FROM $src""", ckpt + "y")
     }
     assert(e2.getMessage.contains("WATERMARK column"), e2.getMessage)
+    // BATCH mode: CURRENT_WATERMARK is NULL (Flink's batch semantics —
+    // no watermark exists), and a quoted literal is never rewritten
+    val batch = Engine.sql(spark,
+      s"""SELECT k, CURRENT_WATERMARK(ts) AS wm,
+         'CURRENT_WATERMARK(x)' AS lit FROM $src ORDER BY k""").collect()
+    assert(batch.nonEmpty && batch.forall(_.isNullAt(1)),
+      "batch CURRENT_WATERMARK must read NULL")
+    assert(batch.head.getString(2) == "CURRENT_WATERMARK(x)",
+      "literal was rewritten")
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
