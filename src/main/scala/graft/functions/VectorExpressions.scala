@@ -366,6 +366,64 @@ case class MinHashSignature(child: Expression, nPerm: Int,
     copy(child = newChild)
 }
 
+/** The k Bloom-filter bit positions of a string: base hash (md5
+  * lower-64 & Mask60, the oracle-aligned family — or xxhash64 in
+  * production) pushed through k Mersenne-61 permutations `(a_j·x + b_j)
+  * mod M61`, reduced mod `bits`. The a/b pairs derive from
+  * splitmix64(seed + j) — the same generator the oracle SQL inlines as
+  * literals, so build and probe agree bit-for-bit across engines. One
+  * hash per string, k cheap mul-add-mods — the map-side cost profile a
+  * 100 TB Bloom pre-filter needs. */
+case class BloomPositions(child: Expression, k: Int, bits: Int, seed: Int,
+    oracleAligned: Boolean = true)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1 && bits >= 2, s"graft_bloom_positions: k=$k bits=$bits")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_positions"
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(j => MinHashParams.aFor(seed + j))
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(j => MinHashParams.bFor(seed + j))
+
+  override def nullSafeEval(input: Any): Any = {
+    val base = MinHashParams.baseHash(
+      input.asInstanceOf[UTF8String], oracleAligned) & MinHashParams.Mask60
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      out(j) = MinHashParams.mulAddModM61(as(j), base, bs(j)) % bits
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val out = ctx.freshName("out")
+      val aRef = ctx.addReferenceObj("bloomA", as, "long[]")
+      val bRef = ctx.addReferenceObj("bloomB", bs, "long[]")
+      s"""
+         |long $base = graft.functions.MinHashParams.baseHash($s, $oracleAligned)
+         |  & ${MinHashParams.Mask60}L;
+         |long[] $out = new long[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  $out[$j] = graft.functions.MinHashParams.mulAddModM61(
+         |      $aRef[$j], $base, $bRef[$j]) % $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL registration so queries can use the expressions via expr("...") and
   * users via spark.sql. Idempotent per session. */
 object GraftFunctions {
@@ -388,6 +446,23 @@ object GraftFunctions {
         case b: Boolean => b
         case other => throw new IllegalArgumentException(s"oracleAligned must be a boolean literal, got $other")
       } else true), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_positions",
+      es => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_positions: $what must be an int literal, got $other")
+        }
+        BloomPositions(es(0), intLit(es(1), "k"), intLit(es(2), "bits"),
+          intLit(es(3), "seed"),
+          oracleAligned = if (es.length > 4) es(4).eval(null) match {
+            case b: Boolean => b
+            case other => throw new IllegalArgumentException(
+              s"oracleAligned must be a boolean literal, got $other")
+          } else true)
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       es => ShingleArray(es(0), es(1).eval(null) match {
         case i: Int => i

@@ -1638,6 +1638,26 @@ object PipelineOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // Bloom-filter decontamination — the 100 TB form of q92: instead of
+      // broadcasting the EVAL SHINGLE SET into a join (O(eval shingles)
+      // per executor), the eval set folds into a 4096-bit Bloom filter
+      // (64 BIGINT words via one bit_or aggregate) and the train side
+      // probes it MAP-SIDE against a 64-long literal — the standard
+      // pre-filter that turns decontamination into a scan. k=3
+      // positions per shingle from the oracle-aligned md5/M61 family
+      // (graft_bloom_positions; xxhash64 in production via
+      // graft.sketch.oracleHash=false), so the flagged set is
+      // deterministic and the oracle replays the SAME filter as a
+      // position-set semijoin (the bitmask is an implementation detail —
+      // membership is "every position set"). Approximate by design:
+      // q92's exact join is the ground truth, and BloomSpec asserts the
+      // no-false-negative containment.
+      "q133_bloom_decontaminate",
+      (s, d) => bloomDecontaminate(s, d, k = 3, bits = 4096, seed = 100,
+        minHits = 5),
+      Some(bloomOracleSql(k = 3, bits = 4096, seed = 100, minHits = 5))),
+
+    GQuery(
       // First principal component of the embedding corpus (the
       // dimensionality-reduction / outlier-scoring step of embedding
       // pipelines — whitening before clustering, detecting dominant-
@@ -2303,6 +2323,70 @@ object PipelineOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= topK)
       .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"dot")
+  }
+
+  // --------------------------------------------- Bloom decontamination
+
+  /** Bloom-filter decontamination (see q133): eval shingles -> k bit
+    * positions -> ONE bit_or aggregate into `bits/64` BIGINT words (the
+    * whole filter is a driver literal of 64 longs at bits=4096 — at
+    * production scale a few MB for billions of eval shingles, the point
+    * of the structure); train shingles probe the literal with a
+    * codegen'd forall — zero join, zero shuffle until the per-doc count.
+    * Flag a train doc when >= minHits of its distinct shingles hit. */
+  private[graft] def bloomDecontaminate(s: SparkSession, d: String,
+      k: Int, bits: Int, seed: Int, minHits: Int): DataFrame = {
+    import s.implicits._
+    val words = bits / 64
+    val sh = shingles(s, d)
+    val posExpr = s"graft_bloom_positions(shingle, $k, $bits, $seed, ${oracleHash(s)})"
+    val filter: Array[Long] = {
+      val set = sh.filter($"doc_id" < 20)
+        .select(explode(expr(posExpr)).as("p"))
+        .selectExpr("CAST(p DIV 64 AS INT) AS w",
+          "shiftleft(1L, CAST(p % 64 AS INT)) AS m")
+        .groupBy($"w").agg(expr("bit_or(m)").as("mask"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array.tabulate(words)(w => set.getOrElse(w, 0L))
+    }
+    val wLit = filter.map(x => s"${x}L").mkString("array(", ", ", ")")
+    val memberExpr =
+      s"""forall($posExpr, p ->
+         |  (shiftright(element_at($wLit, CAST(p DIV 64 AS INT) + 1),
+         |              CAST(p % 64 AS INT)) & 1) = 1)""".stripMargin
+    sh.filter($"doc_id" >= 20)
+      .filter(expr(memberExpr))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter($"n_hits" >= minHits)
+      .select($"doc_id".as("train_id"), $"n_hits")
+      .orderBy($"train_id")
+  }
+
+  /** DuckDB oracle for [[bloomDecontaminate]]: the same md5/M61 position
+    * family (a/b literals inlined from MinHashParams), with membership
+    * replayed as a position-SET semijoin — logically identical to the
+    * bitmask (a position is either set or not), with no engine-specific
+    * bit arithmetic. */
+  private def bloomOracleSql(k: Int, bits: Int, seed: Int, minHits: Int): String = {
+    import graft.functions.MinHashParams.{aFor, bFor, M61, Mask60}
+    def posList(h: String): String = (0 until k).map(j =>
+      s"((${aFor(seed + j)}::HUGEINT * $h + ${bFor(seed + j)}) % $M61) % $bits")
+      .mkString("[", ", ", "]")
+    s"""
+    |WITH s AS ($shinglesSql),
+    |hh AS (SELECT doc_id, shingle,
+    |         (md5_number_lower(shingle) & $Mask60)::HUGEINT AS h
+    |       FROM s),
+    |setpos AS (SELECT DISTINCT CAST(p AS BIGINT) AS p FROM (
+    |  SELECT unnest(${posList("h")}) AS p FROM hh WHERE doc_id < 20)),
+    |tp AS (SELECT doc_id, shingle, CAST(unnest(${posList("h")}) AS BIGINT) AS p
+    |       FROM hh WHERE doc_id >= 20),
+    |memb AS (SELECT doc_id, shingle FROM tp JOIN setpos USING (p)
+    |         GROUP BY doc_id, shingle HAVING COUNT(*) = $k)
+    |SELECT doc_id AS train_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    |FROM memb GROUP BY doc_id HAVING COUNT(*) >= $minHits
+    |ORDER BY train_id
+    |""".stripMargin
   }
 
   // ------------------------------------------------------ embedding PCA

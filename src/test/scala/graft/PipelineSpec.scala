@@ -293,6 +293,27 @@ class PipelineSpec extends AnyFunSuite {
       s"got=${got.toSeq.take(5)} expect=${expect.toSeq.take(5)}")
   }
 
+  test("bloom decontamination flags a SUPERSET of the exact q92 set — " +
+      "BOTH hash families") {
+    // a Bloom filter admits false positives, never false negatives: every
+    // train doc the exact per-eval-doc join (q92) flags shares >= 5
+    // shingles with ONE eval doc; all of those shingles are in the
+    // filter, so its union-count is >= 5 too
+    for (oracle <- Seq(true, false)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val bloom = operators.PipelineOps
+          .bloomDecontaminate(spark, sf, k = 3, bits = 4096, seed = 100, minHits = 5)
+          .collect().map(_.getLong(0)).toSet
+        val exact = SparkEntry.queries("q92_decontaminate")(spark, sf)
+          .collect().map(_.getLong(0)).toSet
+        assert(exact.subsetOf(bloom),
+          s"[oracle=$oracle] Bloom false negatives: ${exact.diff(bloom)}")
+        assert(bloom.nonEmpty)
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
+  }
+
   test("embedding PCA: bit-deterministic under repartition, aligned with " +
       "the dominant direction") {
     import spark.implicits._
