@@ -70,6 +70,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up outside the timed region.

@@ -18,6 +18,9 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Flink's TIME type (LogicalTypeRoot TIME_WITHOUT_TIME_ZONE) maps
+      // onto Spark 4.1's TimeType, which ships behind this flag.
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)
@@ -199,7 +202,29 @@ object Engine {
           sb.append(query.substring(last)).toString
         }
       }
-      sqlDispatch(spark, query1)
+      // LOCALTIME / LOCAL_TIME / LOCALTIMESTAMP / LOCAL_TIMESTAMP:
+      // SQL-standard niladics (and optional empty call parens) onto
+      // Spark's current_time() / localtimestamp() — Flink's LOCAL_TIME
+      // and CURRENT_TIME are the same session-local TIME value
+      // (BuiltInFunctionDefinitions.java:1452,1473), and Spark's parser
+      // accepts neither keyword bare (it only special-cases CURRENT_DATE/
+      // CURRENT_TIMESTAMP/CURRENT_TIME).
+      val query2 = {
+        val LtRe = """(?i)\bLOCAL_?TIME(STAMP)?\b(\s*\(\s*\))?""".r
+        val b = SqlComposer.blank(query1)
+        if (LtRe.findFirstIn(b).isEmpty) query1
+        else {
+          val sb = new StringBuilder
+          var last = 0
+          LtRe.findAllMatchIn(b).foreach { m =>
+            val fn = if (m.group(1) == null) "current_time()" else "localtimestamp()"
+            sb.append(query1.substring(last, m.start)).append(fn)
+            last = m.end
+          }
+          sb.append(query1.substring(last)).toString
+        }
+      }
+      sqlDispatch(spark, query2)
   }
 
   private def sqlDispatch(spark: SparkSession, query: String): DataFrame = {

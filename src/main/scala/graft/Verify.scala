@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The correctness gate runs the sketch family (MinHash/SimHash/HLL)

@@ -463,6 +463,15 @@ object GraftFunctions {
               s"oracleAligned must be a boolean literal, got $other")
           } else true)
       }, "built-in")
+    // LOCALTIME / LOCAL_TIME (BuiltInFunctionDefinitions.java:1473) —
+    // Flink returns the session-local TIME; Spark 4.1's CurrentTime is
+    // exactly that (session-tz wall time, TimeType) but only registers
+    // the CURRENT_TIME name. Engine.sql also rewrites the niladic
+    // keyword form onto current_time().
+    reg.createOrReplaceTempFunction("localtime",
+      _ => new org.apache.spark.sql.catalyst.expressions.CurrentTime(), "built-in")
+    reg.createOrReplaceTempFunction("local_time",
+      _ => new org.apache.spark.sql.catalyst.expressions.CurrentTime(), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       es => ShingleArray(es(0), es(1).eval(null) match {
         case i: Int => i

@@ -765,6 +765,56 @@ object Relational extends QueryModule {
         |       CAST(regexp_full_match(c_mktsegment, '[^AB].*E') AS BIGINT) AS sim_negcls
         |FROM customer WHERE c_custkey < 2000
         |ORDER BY c_custkey
+        |""".stripMargin)),
+
+    GQuery(
+      // TIME type parity (LogicalTypeRoot TIME_WITHOUT_TIME_ZONE;
+      // CURRENT_TIME/LOCAL_TIME BuiltInFunctionDefinitions.java:1452,1473)
+      // — Spark 4.1 ships TimeType behind spark.sql.timeType.enabled
+      // (set in every engine session builder), closing the last two
+      // declared scalar gaps in FUNCTIONS.md. Deterministic derivations
+      // (the wall-clock niladics themselves are un-oracle-able) exercise
+      // make_time, VARCHAR→TIME cast, TIME comparison, min/max over TIME
+      // ordering, field extraction, and TIME→VARCHAR cast, all checked
+      // bit-exact against DuckDB's native TIME.
+      "q134_time_type",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d).filter($"o_orderkey" < 2000)
+          .withColumn("t", expr(
+            """make_time(cast(o_orderkey % 24 as int),
+              |          cast((o_orderkey * 7) % 60 as int),
+              |          cast((o_orderkey * 13) % 60 as int))""".stripMargin))
+          .withColumn("t2", expr(
+            "cast(concat(lpad(cast(o_orderkey % 12 as string), 2, '0'), ':30:00') as time)"))
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(when(expr("t < to_time('12:00:00')"), 1L).otherwise(0L)).as("morning"),
+            sum(when(expr("t >= t2"), 1L).otherwise(0L)).as("ge_t2"),
+            expr("cast(min(t) as string)").as("min_t"),
+            expr("cast(max(t) as string)").as("max_t"),
+            expr("cast(sum(hour(t)) as bigint)").as("sum_hr"),
+            expr("cast(max(minute(t)) * 60 + max(second(t)) as bigint)").as("max_ms"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |SELECT o_orderpriority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CASE WHEN t < TIME '12:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS morning,
+        |       CAST(sum(CASE WHEN t >= t2 THEN 1 ELSE 0 END) AS BIGINT) AS ge_t2,
+        |       CAST(min(t) AS VARCHAR) AS min_t,
+        |       CAST(max(t) AS VARCHAR) AS max_t,
+        |       CAST(sum(extract(hour FROM t)) AS BIGINT) AS sum_hr,
+        |       CAST(max(extract(minute FROM t)) * 60 + max(extract(second FROM t)) AS BIGINT) AS max_ms
+        |FROM (SELECT o_orderpriority,
+        |             make_time(CAST(o_orderkey % 24 AS BIGINT),
+        |                       CAST((o_orderkey * 7) % 60 AS BIGINT),
+        |                       CAST((o_orderkey * 13) % 60 AS DOUBLE)) AS t,
+        |             CAST(lpad(CAST(o_orderkey % 12 AS VARCHAR), 2, '0') || ':30:00' AS TIME) AS t2
+        |      FROM orders WHERE o_orderkey < 2000) src
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
         |""".stripMargin))
   )
 }

@@ -225,6 +225,56 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Boolean].head())
   }
 
+  test("TIME type: CURRENT_TIME / LOCALTIME / LOCAL_TIME are session-local TIME") {
+    GraftFunctions.register(spark)
+    // the builder flag must be on for TimeType to resolve at all
+    assert(spark.conf.get("spark.sql.timeType.enabled") == "true")
+    val row = Engine.sql(spark,
+      "SELECT CURRENT_TIME AS ct, LOCALTIME AS lt, localtime() AS ltf, LOCAL_TIME AS lt2")
+    import org.apache.spark.sql.types.TimeType
+    assert(row.schema.fields.forall(_.dataType.isInstanceOf[TimeType]))
+    // all four evaluate in one projection — same wall-clock instant family;
+    // just assert they are real LocalTimes, not nulls
+    val r = row.head()
+    (0 to 3).foreach(i => assert(r.get(i).isInstanceOf[java.time.LocalTime]))
+    // LOCALTIMESTAMP must NOT be rewritten by the LOCALTIME token pass
+    val ts = Engine.sql(spark, "SELECT LOCALTIMESTAMP AS t").schema.head.dataType
+    assert(ts == org.apache.spark.sql.types.TimestampNTZType)
+    // a string literal containing LOCALTIME survives the blanked rewrite
+    val lit = Engine.sql(spark, "SELECT 'LOCALTIME is a keyword' AS s").head().getString(0)
+    assert(lit == "LOCALTIME is a keyword")
+  }
+
+  test("TIME type: deterministic functions, ordering, and parquet round-trip") {
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT id,
+        |       make_time(cast(id % 24 as int), cast((id * 7) % 60 as int),
+        |                 cast((id * 13) % 60 as int)) AS t,
+        |       cast(concat(lpad(cast(id % 12 as string), 2, '0'), ':30:00') as time) AS t2
+        |FROM range(50)""".stripMargin)
+    val got = df.selectExpr(
+      "cast(t as string)", "hour(t)", "minute(t)", "second(t)",
+      "cast(t < to_time('12:00:00') as int)", "cast(t >= t2 as int)")
+      .where("id = 13").head()
+    // 13 % 24 = 13, 91 % 60 = 31, 169 % 60 = 49
+    assert(got.getString(0) == "13:31:49" && got.getInt(1) == 13 &&
+      got.getInt(2) == 31 && got.getInt(3) == 49 &&
+      got.getInt(4) == 0 && got.getInt(5) == 1)
+    // ordering + min/max agree with seconds-of-day ordering
+    val mm = df.selectExpr("cast(min(t) as string) AS mn", "cast(max(t) as string) AS mx").head()
+    val viaInt = df.selectExpr("hour(t)*3600 + minute(t)*60 + second(t) AS s", "cast(t as string) AS ts")
+      .orderBy($"s").select($"ts").as[String].collect()
+    assert(mm.getString(0) == viaInt.head && mm.getString(1) == viaInt.last)
+    // parquet round-trip preserves TimeType and values
+    val path = java.nio.file.Files.createTempDirectory("graft_time").toString + "/pq"
+    df.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    import org.apache.spark.sql.types.TimeType
+    assert(back.schema("t").dataType.isInstanceOf[TimeType])
+    assert(back.selectExpr("cast(t as string)").where("id = 13").head().getString(0) == "13:31:49")
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._

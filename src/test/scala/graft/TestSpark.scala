@@ -12,6 +12,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
