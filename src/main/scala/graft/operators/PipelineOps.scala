@@ -1672,6 +1672,141 @@ object PipelineOps extends QueryModule {
       "q132_embedding_pca",
       (s, d) => embeddingPcaTop(s, d, rounds = 10, topK = 20),
       Some(pcaOracleSql(rounds = 10, topK = 20))),
+
+    GQuery(
+      // DOMAIN-MIXTURE RESAMPLING (the data-mixing step of pretraining
+      // corpus construction — Pile/DoReMi-style: re-weight per-domain
+      // token mass to target proportions). Per-language target weights
+      // (ppm) plus a 60% total-token budget derive one deterministic
+      // sampling rate per domain: rate_ppm = w_ppm * T / tokens_domain
+      // in pure BIGINT arithmetic (no doubles near the keep boundary).
+      // rate < 1 downsamples by hash threshold; rate > 1 upsamples with
+      // floor(rate) full copies + one fractional-hash copy — both exact.
+      // Scale shape: ONE tiny per-domain aggregate broadcast back, then
+      // a map-side hash + filter — scan-speed at 100 TB, shuffle-free
+      // but for the per-domain totals. Hash family pluggable like the
+      // sketch queries: xxhash64 in production, md5/M61 under the gate.
+      "q135_domain_mixture",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val wSql = "map('en', 350000L, 'zh', 250000L, 'es', 150000L, " +
+          "'de', 150000L, 'fr', 100000L)"
+        val docs = Tables.documents(s, d)
+          .withColumn("tok", size(expr(tokensExpr)).cast("long"))
+          .withColumn("w_ppm", expr(s"element_at($wSql, lang)"))
+          .filter($"w_ppm".isNotNull)
+        // integer DIV throughout — Spark's `/` is double division and a
+        // double near the keep threshold would not be oracle-exact
+        val totals = docs.groupBy($"lang")
+          .agg(sum($"tok").as("tok_l"), count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(
+            docs.agg(expr("sum(tok) * 3 DIV 5").as("t_target"))))
+          .withColumn("w_ppm", expr(s"element_at($wSql, lang)"))
+          .withColumn("rate_ppm", expr("w_ppm * t_target DIV tok_l"))
+        val hexpr = if (oracleHash(s))
+          "graft_md5lower64(CAST(doc_id AS STRING))" else
+          "xxhash64(CAST(doc_id AS STRING))"
+        docs.drop("w_ppm")
+          .join(broadcast(totals.select($"lang", $"rate_ppm")), Seq("lang"))
+          .withColumn("copies",
+            expr(s"rate_ppm DIV 1000000 + IF((($hexpr) & " +
+              s"${graft.functions.MinHashParams.Mask60}) % 1000000 < " +
+              "rate_ppm % 1000000, 1, 0)"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_l"),
+            max($"rate_ppm").as("rate_ppm"),
+            sum($"copies").as("emitted_docs"),
+            sum($"copies" * $"tok").as("emitted_toks"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        |WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS BIGINT) AS tok
+        |  FROM documents
+        |  WHERE lang IN ('en', 'zh', 'es', 'de', 'fr')),
+        |w AS (SELECT * FROM (VALUES ('en', CAST(350000 AS BIGINT)),
+        |        ('zh', 250000), ('es', 150000), ('de', 150000),
+        |        ('fr', 100000)) AS w(lang, ppm)),
+        |tgt AS (SELECT CAST(SUM(tok) AS BIGINT) * 3 // 5 AS t FROM docs),
+        |lt AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS tok_l,
+        |              CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM docs GROUP BY lang),
+        |r AS (SELECT lt.lang, lt.tok_l, lt.n_docs,
+        |             CAST(w.ppm * (SELECT t FROM tgt) // lt.tok_l AS BIGINT)
+        |               AS rate_ppm
+        |      FROM lt JOIN w USING (lang)),
+        |e AS (SELECT d.lang, d.tok, r.rate_ppm, r.n_docs, r.tok_l,
+        |             CAST(r.rate_ppm // 1000000 +
+        |               CASE WHEN (md5_number_lower(CAST(d.doc_id AS VARCHAR))
+        |                          & ${graft.functions.MinHashParams.Mask60})
+        |                          % 1000000 < r.rate_ppm % 1000000
+        |                    THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |      FROM docs d JOIN r USING (lang))
+        |SELECT lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(MAX(tok_l) AS BIGINT) AS tok_l,
+        |       CAST(MAX(rate_ppm) AS BIGINT) AS rate_ppm,
+        |       CAST(SUM(copies) AS BIGINT) AS emitted_docs,
+        |       CAST(SUM(copies * tok) AS BIGINT) AS emitted_toks
+        |FROM e GROUP BY lang ORDER BY lang
+        |""".stripMargin)),
+
+    GQuery(
+      // SLIDING-WINDOW DOCUMENT CHUNKING (the RAG / embedding-prep step:
+      // split documents into fixed-size token windows with overlap,
+      // stable chunk identity). W=64-token windows at stride 48
+      // (16-token overlap); n_chunks = 1 + ceil((n-W)/S) in BIGINT
+      // arithmetic; chunk identity = md5 of the reassembled window text.
+      // Scale shape: pure map-side — sequence() explode bounded by n/S
+      // per document, slice() on the already-split token array, no
+      // shuffle at all (the ORDER BY is gate-only); at 100 TB this is a
+      // scan that emits ~n/S rows per doc, exactly the production
+      // chunker's cost.
+      "q136_doc_chunks",
+      (s, d) => {
+        import s.implicits._
+        val (w, st) = (64, 48)
+        Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("n", size($"toks").cast("long"))
+          .filter($"n" > 0)
+          .withColumn("n_chunks",
+            expr(s"1L + IF(n <= $w, 0L, (n - $w + $st - 1) DIV $st)"))
+          .select($"doc_id", $"toks", $"n", $"n_chunks",
+            explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+          .withColumn("ctext",
+            expr(s"array_join(slice(toks, CAST(chunk_idx * $st + 1 AS INT), $w), ' ')"))
+          .select($"doc_id", $"chunk_idx",
+            expr(s"CAST(size(slice(toks, CAST(chunk_idx * $st + 1 AS INT), $w)) AS BIGINT)")
+              .as("n_toks"),
+            expr("substr(md5(ctext), 1, 16)").as("fp"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+        |         CAST(len(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |             1 + CASE WHEN n <= 64 THEN 0
+        |                      ELSE (n - 64 + 47) // 48 END AS n_chunks
+        |      FROM t WHERE n > 0),
+        |x AS (SELECT doc_id, toks, n,
+        |             unnest(range(n_chunks)) AS chunk_idx
+        |      FROM c),
+        |s AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |             list_slice(toks, chunk_idx * 48 + 1,
+        |                        least(chunk_idx * 48 + 64, n)) AS ctoks
+        |      FROM x)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(ctoks) AS BIGINT) AS n_toks,
+        |       substr(md5(array_to_string(ctoks, ' ')), 1, 16) AS fp
+        |FROM s ORDER BY doc_id, chunk_idx
+        |""".stripMargin)),
   )
 
   /** Quality-classifier trainer (the fastText-classifier role in

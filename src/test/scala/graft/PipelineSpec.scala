@@ -354,4 +354,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos > 0.9999,
       s"quantized eigenvector drifted from the double iteration: cos=$cos")
   }
+
+  test("domain mixture: realized token mix tracks the target weights — " +
+      "BOTH hash families") {
+    // targets from the q135 literal map; the emitted corpus must land on
+    // them (hash thresholds are uniform: tolerance covers the per-doc
+    // granularity at sf0.001), with both directions exercised —
+    // at least one lang downsampled (rate < 1) and one upsampled (> 1)
+    val target = Map("en" -> 0.35, "zh" -> 0.25, "es" -> 0.15,
+      "de" -> 0.15, "fr" -> 0.10)
+    for (oracle <- Seq(true, false)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val rows = SparkEntry.queries("q135_domain_mixture")(spark, sf)
+          .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(5)))
+        val emitted = rows.map(_._3).sum.toDouble
+        rows.foreach { case (lang, _, toks) =>
+          val realized = toks / emitted
+          assert(math.abs(realized - target(lang)) < 0.06,
+            s"[oracle=$oracle] $lang realized $realized vs target ${target(lang)}")
+        }
+        val rates = rows.map(_._2)
+        assert(rates.exists(_ < 1000000L) && rates.exists(_ > 1000000L),
+          s"[oracle=$oracle] expected both down- and up-sampling, rates=${rates.toSeq}")
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
+  }
+
+  test("doc chunking: full coverage, exact window/stride geometry") {
+    import spark.implicits._
+    val (w, st) = (64, 48)
+    val chunks = SparkEntry.queries("q136_doc_chunks")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "CAST(size(filter(split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n")
+      .where("n > 0").as[(Long, Long)].collect().toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "chunker dropped or invented documents")
+    for ((doc, cs) <- byDoc) {
+      val n = docs(doc)
+      val expected = 1 + (if (n <= w) 0L else (n - w + st - 1) / st)
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, expected $expected")
+      val sorted = cs.sortBy(_._2)
+      // every chunk but the last is a full window; sizes follow the
+      // slice geometry, so consecutive chunks overlap by exactly w - st
+      sorted.init.foreach { case (_, i, len) =>
+        assert(len == w, s"doc $doc chunk $i: interior chunk of $len tokens") }
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastLen == n - lastIdx * st || (n <= w && lastLen == n),
+        s"doc $doc: last chunk $lastLen tokens at idx $lastIdx (n=$n)")
+      // coverage: windows at stride st starting from 0 reach every token
+      assert(lastIdx * st + lastLen == n, s"doc $doc: tail tokens uncovered")
+    }
+  }
 }

@@ -244,4 +244,22 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).size
     assert(exchanges <= 3, s"composed plan shuffles $exchanges times:\n$p")
   }
+
+  test("q135: mixture rates ride broadcast joins; docs shuffle only for the lang aggregate") {
+    val p = plan("q135_domain_mixture")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-lang rates must broadcast back, not shuffle-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture join must never sort-merge the corpus:\n$p")
+  }
+
+  test("q136: chunking is map-side — no shuffle before the output sort") {
+    val p = plan("q136_doc_chunks")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+      !p.contains("SortAggregate"), s"chunker grew an aggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val rangeExchanges = p.linesIterator.count(_.contains("rangepartitioning"))
+    assert(exchanges == rangeExchanges,
+      s"chunker has a non-sort shuffle ($exchanges vs $rangeExchanges):\n$p")
+  }
 }
