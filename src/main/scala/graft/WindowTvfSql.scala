@@ -292,9 +292,10 @@ object WindowTvfSql {
     import graft.streaming.StatefulOps.SlotOp
     import spark.implicits._
     val (table, _, tsCol, intervals) = parseTvfArgs("CUMULATE", argText)
-    require(intervals.length == 2,
-      "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize)")
+    require(intervals.length == 2 || intervals.length == 3,
+      "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize [, offset])")
     val (stepUs, sizeUs) = (intervalUs(intervals(0)), intervalUs(intervals(1)))
+    val offUs = if (intervals.length == 3) intervalUs(intervals(2)) else 0L
     require(stepUs > 0 && sizeUs % stepUs == 0,
       "CUMULATE: maxSize must be a positive multiple of step")
     val q = q0.substring(0, spanStart) + "__graft_cumulate_src__" +
@@ -416,7 +417,7 @@ object WindowTvfSql {
     val typed = src.select(keyCol.as("k"), col(tsCol).as("t"),
         array(slotCols.result(): _*).as("v"))
       .as[(String, java.sql.Timestamp, Seq[Double])]
-    val ran = StatefulOps.cumulateWindow(typed, stepUs, sizeUs, slotOps.result())
+    val ran = StatefulOps.cumulateWindow(typed, stepUs, sizeUs, slotOps.result(), offUs)
       .toDF("k", "ws", "we", "vals", "cnt")
     val keySchema = org.apache.spark.sql.types.StructType(
       keys.map(kc => src.schema.find(_.name.equalsIgnoreCase(kc)).getOrElse(
@@ -607,15 +608,22 @@ object WindowTvfSql {
           .drop("__w"))
 
       case "CUMULATE" =>
-        require(intervals.length == 2, "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize)")
+        require(intervals.length == 2 || intervals.length == 3,
+          "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize [, offset])")
         val (stepUs, maxUs) = (micros(intervals(0)), micros(intervals(1)))
         require(stepUs > 0 && maxUs % stepUs == 0,
           "CUMULATE: maxSize must be a positive multiple of step")
+        // optional offset shifts the max-window alignment grid — the
+        // CumulativeSliceAssigner.withOffset / getWindowStartWithOffset
+        // contract (TimeWindow.java:222: negative-safe remainder), which
+        // pmod reproduces directly
+        val offUs = if (intervals.length == 3) micros(intervals(2)) else 0L
         // each row joins every cumulative slice whose end lies after it —
-        // slice ends are aligned to the maxSize boundary (q24's algorithm)
+        // slice ends are aligned to the (offset-shifted) maxSize boundary
+        // (q24's algorithm)
         withTime(src
           .withColumn("__us", unix_micros(col(tsCol)))
-          .withColumn("__ws", (col("__us").cast("long") / maxUs).cast("long") * maxUs)
+          .withColumn("__ws", col("__us") - pmod(col("__us") - offUs, lit(maxUs)))
           .withColumn("__we", explode(sequence(
             col("__ws") + stepUs, col("__ws") + maxUs, lit(stepUs))))
           .filter(col("__us") < col("__we"))

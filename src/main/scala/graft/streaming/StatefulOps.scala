@@ -671,7 +671,8 @@ object StatefulOps {
     * count), times in MICROSECONDS (the TVF alignment grid). */
   def cumulateWindow[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Seq[Double])],
-      stepUs: Long, sizeUs: Long, ops: IndexedSeq[SlotOp])(
+      stepUs: Long, sizeUs: Long, ops: IndexedSeq[SlotOp],
+      offUs: Long = 0L)(
       implicit e1: Encoder[Seq[(Long, Seq[Long], Seq[Seq[Double]], Int)]],
       e2: Encoder[(K, Long, Long, Seq[Double], Long)])
       : Dataset[(K, Long, Long, Seq[Double], Long)] = {
@@ -687,7 +688,9 @@ object StatefulOps {
       var wins = state.getOption.getOrElse(Seq.empty)
       rows.foreach { case (_, ts, vals) =>
         val us = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
-        val ws = Math.floorDiv(us, sizeUs) * sizeUs
+        // offset shifts the max-window alignment grid — the
+        // getWindowStartWithOffset contract (TimeWindow.java:222)
+        val ws = us - Math.floorMod(us - offUs, sizeUs)
         if (wmUs < ws + sizeUs) { // else: late past the final slice, drop
           val slice = ((us - ws) / stepUs).toInt
           wins.indexWhere(_._1 == ws) match {

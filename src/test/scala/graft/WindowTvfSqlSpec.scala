@@ -258,6 +258,51 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     }, s"missing the all-NULL b slice in $got")
   }
 
+  test("CUMULATE offset shifts the alignment grid — batch and stream agree") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stmt = (t: String) => s"""
+      SELECT window_start, window_end, COUNT(*) AS n
+      FROM TABLE(CUMULATE(TABLE $t, DESCRIPTOR(ts),
+                          INTERVAL '30' SECOND, INTERVAL '2' MINUTE,
+                          INTERVAL '10' SECOND))
+      GROUP BY window_start, window_end"""
+    val data = Seq(5_000_000L, 20_000_000L, 100_000_000L)
+    data.toDF("us").select(timestamp_micros($"us").as("ts"))
+      .createOrReplaceTempView("cum_off_batch")
+    val batch = Engine.sql(spark, stmt("cum_off_batch"))
+      .collect().map(r => (r.getTimestamp(0).toString,
+        r.getTimestamp(1).toString, r.getLong(2))).toSet
+    // 10s offset: the 5s row's max window is [-110s, 10s) — its only
+    // remaining slice end is 10s; the 20s/100s rows share [10s, 130s)
+    assert(batch.exists(_._1 == "1969-12-31 23:58:10.0"),
+      s"offset grid missing the shifted pre-epoch window: $batch")
+    assert(batch.exists { case (ws, we, n) =>
+      ws == "1970-01-01 00:00:10.0" && we == "1970-01-01 00:02:10.0" && n == 2L },
+      s"offset grid misaligned: $batch")
+    val mem = MemoryStream[Long]
+    mem.toDF().select(timestamp_micros($"value").as("ts"))
+      .withWatermark("ts", "1 second")
+      .createOrReplaceTempView("cum_off_stream")
+    val q = Engine.sql(spark, stmt("cum_off_stream"))
+      .writeStream.format("memory").queryName("cum_off_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(400_000_000L) // watermark past every slice of both windows
+      q.processAllAvailable(); q.processAllAvailable()
+    } finally q.stop()
+    val cut = java.sql.Timestamp.valueOf("1970-01-01 00:03:00")
+    val got = spark.table("cum_off_out").filter($"window_end" <= cut)
+      .collect().map(r => (r.getTimestamp(0).toString,
+        r.getTimestamp(1).toString, r.getLong(2))).toSet
+    val want = batch.filter(_._2 <= "1970-01-01 00:03:00.0")
+    assert(got == want, s"offset stream CUMULATE diverged:\n$got\nvs\n$want")
+  }
+
   test("TUMBLE with an OFFSET interval shifts the window alignment") {
     val plain = run("""
       SELECT DISTINCT unix_seconds(window_start) % 300 AS rem
