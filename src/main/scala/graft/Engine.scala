@@ -188,7 +188,11 @@ object Engine {
       // lowers onto the annotation pass in sqlStreamInsert). Rewritten
       // on blanked-text positions so quoted literals survive.
       val query1 = {
-        val CwRe = """(?i)CURRENT_WATERMARK\s*\(\s*[^)]*\)""".r
+        // \b so identifiers merely ENDING in the name survive; the
+        // argument must be a bare (possibly qualified) column — a nested
+        // expression stays untouched and fails loudly in the parser
+        // instead of leaving a stray paren behind
+        val CwRe = """(?i)\bCURRENT_WATERMARK\s*\(\s*`?[\w.]*`?\s*\)""".r
         val b = SqlComposer.blank(query)
         if (CwRe.findFirstIn(b).isEmpty) query
         else {
@@ -217,8 +221,12 @@ object Engine {
           val sb = new StringBuilder
           var last = 0
           LtRe.findAllMatchIn(b).foreach { m =>
+            // a backtick-quoted `localtime` is an identifier, not the
+            // niladic keyword (blank() masks string literals only)
+            val quoted = m.start > 0 && query1.charAt(m.start - 1) == '`'
             val fn = if (m.group(1) == null) "current_time()" else "localtimestamp()"
-            sb.append(query1.substring(last, m.start)).append(fn)
+            sb.append(query1.substring(last, m.start))
+              .append(if (quoted) query1.substring(m.start, m.end) else fn)
             last = m.end
           }
           sb.append(query1.substring(last)).toString
@@ -370,6 +378,17 @@ object Engine {
                 }
                 sb.append(select.substring(last)).toString
               }
+            // any CURRENT_WATERMARK the rewrite did NOT consume
+            // (qualified column, nested expression, zero args) must stop
+            // HERE: downstream lowerings re-enter Engine.sql, whose
+            // batch rewrite would silently turn the call into NULL and
+            // filter every row
+            require("""(?i)\bCURRENT_WATERMARK\b""".r
+                .findFirstIn(SqlComposer.blank(select1)).isEmpty,
+              "CURRENT_WATERMARK in a streaming statement must be the " +
+                "bare unqualified WATERMARK column of the single " +
+                "streamed source, e.g. CURRENT_WATERMARK(ts) — " +
+                s"unsupported form in: $select")
             // event-time OVER would be rejected by Spark's streaming
             // planner ("non-time-based windows"): lower it onto the
             // stateful OVER operators (StreamExecOverAggregate role).
@@ -414,7 +433,7 @@ object Engine {
                     "SELECT <items> FROM (<streaming subquery>) [AS] a " +
                     "[WHERE ...] with every OVER item sharing one ORDER BY " +
                     "<rowtime> (PARTITION BY may differ per item — chained " +
-                    "passes; wrap joins in the subquery form); got: $select")
+                    s"passes; wrap joins in the subquery form); got: $select")
               df
             }
           } finally streamed.foreach { t =>

@@ -74,6 +74,10 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
       * releasing the monitor — and only the buffer cleanup synchronizes. */
     def cancel(oh: String): Unit = {
       if (status == "RUNNING" || status == "FINISHED") {
+        // tag registration FIRST: a job whose submission races past the
+        // direct kill below is reaped by the onJobStart listener (which
+        // observes the set after this add), so no ordering loses the job
+        canceledTags.add(tagOf(oh))
         status = "CANCELED"
         error = "operation canceled"
         spark.sparkContext.cancelJobsWithTag(tagOf(oh),
@@ -137,6 +141,35 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
 
   private val sessions = new ConcurrentHashMap[String, ConcurrentHashMap[String, Operation]]()
   private val pool = Executors.newFixedThreadPool(4)
+
+  /** Tags of canceled operations, consulted by [[reaper]]. */
+  private val canceledTags =
+    ConcurrentHashMap.newKeySet[String]()
+
+  /** Closes the cancel/submit race that made cancellation flaky:
+    * cancelJobsWithTag only reaches jobs ALREADY submitted, but an AQE
+    * toLocalIterator submits its stage jobs from inside the (blocked)
+    * worker thread — a cancel landing during planning killed nothing,
+    * and the late-submitted job ran as a zombie holding every local
+    * executor slot (the round-7..9 SqlGatewaySpec flake: the two tests
+    * after the cancel test starved behind it). Any job that STARTS
+    * carrying a canceled operation's tag is killed on arrival; together
+    * with the direct kill in cancel() every submission order is covered
+    * (submitted-before-cancel -> direct kill; submitted-after ->
+    * listener, which observes canceledTags AFTER cancel()'s add). */
+  private val reaper = new org.apache.spark.scheduler.SparkListener {
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val tags = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.tags")))
+        .toSeq.flatMap(_.split(",")).map(_.trim)
+      tags.filter(canceledTags.contains).foreach { t =>
+        spark.sparkContext.cancelJobsWithTag(t,
+          "gateway operation canceled (reaping a late-submitted job)")
+      }
+    }
+  }
+  spark.sparkContext.addSparkListener(reaper)
   private val PageSize = pageSize
   /** Results buffer on the gateway until the session closes; an unbounded
     * fetch of a big SELECT would OOM the service JVM, so the pull stops
@@ -160,6 +193,7 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
     server.stop(0)
     pool.shutdownNow()
     httpPool.shutdownNow() // non-daemon threads would otherwise pin the JVM
+    spark.sparkContext.removeSparkListener(reaper) // gateways share the context
   }
 
   // ---- JSON helpers (emit only; requests carry the statement as a JSON
@@ -249,7 +283,8 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
         respond(ex, 200, s"""{"sessionHandle":"$sh"}""")
 
       case ("DELETE", List("sessions", sh)) =>
-        sessions.remove(sh)
+        Option(sessions.remove(sh)).foreach(ops =>
+          ops.keySet().asScala.foreach(oh => canceledTags.remove(tagOf(oh))))
         respond(ex, 200, s"""{"status":"CLOSED"}""")
 
       case ("POST", List("sessions", sh, "statements")) =>
@@ -280,6 +315,11 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
                   }
                 } catch {
                   case t: Throwable => op.fail(t)
+                } finally if (op.status == "CANCELED") {
+                  // third layer: whatever this worker submitted while the
+                  // cancel raced is certainly visible to a kill by now
+                  spark.sparkContext.cancelJobsWithTag(tagOf(oh),
+                    s"gateway operation $oh canceled (worker exit sweep)")
                 }
             })
             respond(ex, 200, s"""{"operationHandle":"$oh"}""")

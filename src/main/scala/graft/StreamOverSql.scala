@@ -542,12 +542,22 @@ object StreamOverSql {
     // extended-vector length entering pass j: original slots + carries
     // appended after passes 0..j-1
     def lenAt(j: Int): Int = n0 + readSlots.take(j).map(_.size).sum
-    def extFrames(len: Int): IndexedSeq[OverFrame] =
-      IndexedSeq.tabulate(len)(i => if (i < n0) frames(i) else OverFrame.Rows(1))
+    // pass j materializes sums ONLY for the slots spec j's items read —
+    // every other slot (other specs' originals AND carries) runs under a
+    // Rows(1) frame, so pass j's row-buffer retention is driven by spec
+    // j's own frames alone (a pass never pays another spec's 1-day RANGE)
+    val ownSlots: Seq[Set[Int]] = readSlots.map(_.toSet)
+    def extFrames(j: Int, len: Int): IndexedSeq[OverFrame] =
+      IndexedSeq.tabulate(len)(i =>
+        if (i < n0 && ownSlots(j)(i)) frames(i) else OverFrame.Rows(1))
     def extOps(len: Int): IndexedSeq[SlotOp] =
       IndexedSeq.tabulate(len)(i => if (i < n0) ops(i) else SlotOp.Sum)
+    // components are base64-encoded so a partition VALUE containing the
+    // separator (or equal to the null tag) can never desync the split —
+    // the base64 alphabet contains neither the u0001 separator nor the u0000 null tag
     def compOf(p: Option[String]): Column = p match {
-      case Some(c) => when(col(c).isNull, lit(nullTag)).otherwise(col(c).cast("string"))
+      case Some(c) => when(col(c).isNull, lit(nullTag))
+        .otherwise(base64(encode(col(c).cast("string"), "UTF-8")))
       case None => lit("")
     }
     val composite = concat_ws(sep, specs.map(compOf): _*)
@@ -555,7 +565,7 @@ object StreamOverSql {
       src.select(compOf(specs.head).as("_1"), composite.as("_2"),
           col(rowtime).as("_3"), array(slotCols: _*).as("_4"))
         .as[(String, String, java.sql.Timestamp, Seq[Double])],
-      extFrames(n0), extOps(n0), dropLate = true).toDF("ck", "ts", "vals", "sums")
+      extFrames(0, n0), extOps(n0), dropLate = true).toDF("ck", "ts", "vals", "sums")
     for (j <- 1 until m) {
       val carries = readSlots(j - 1).map(i => col("sums").getItem(i))
       val gk = element_at(split(col("ck"), sep, -1), j + 1)
@@ -563,7 +573,7 @@ object StreamOverSql {
         df.select(gk.as("_1"), col("ck").as("_2"), col("ts").as("_3"),
             concat(col("vals"), array(carries: _*)).as("_4"))
           .as[(String, String, java.sql.Timestamp, Seq[Double])],
-        extFrames(lenAt(j)), extOps(lenAt(j)), dropLate = false)
+        extFrames(j, lenAt(j)), extOps(lenAt(j)), dropLate = false)
         .toDF("ck", "ts", "vals", "sums")
     }
     // spec j's aggregates: the LAST pass reads its own sums; earlier
@@ -593,7 +603,8 @@ object StreamOverSql {
            val comp = element_at(split(col("ck"), sep, -1), i + 1)
            val tpe = src.schema.find(_.name.equalsIgnoreCase(specs(i).get))
              .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
-           when(comp === nullTag, lit(null)).otherwise(comp).cast(tpe)
+           when(comp === nullTag, lit(null))
+             .otherwise(decode(unbase64(comp), "UTF-8")).cast(tpe)
          case vs =>
            val v = col("vals").getItem(vs.stripPrefix("v").toInt)
            when(isnan(v), lit(null).cast("double")).otherwise(v)

@@ -101,10 +101,11 @@ object WindowTvfSql {
           isStreamingTable(spark, "CUMULATE", args)) {
         // grouped streaming CUMULATE has no native grouping expression
         // (a row belongs to MULTIPLE open slices): lower the whole
-        // statement onto the dedicated stateful slice operator
-        val df = lowerStreamingCumulate(spark, q, mm.start, closeTable, args)
-        madeViews.result().foreach(v => spark.catalog.dropTempView(v): Unit)
-        return df
+        // statement onto the dedicated stateful slice operator. finally,
+        // not post-hoc: a reject inside the lowering must not leak the
+        // expansion views made for earlier TVFs in this statement
+        try return lowerStreamingCumulate(spark, q, mm.start, closeTable, args)
+        finally madeViews.result().foreach(v => spark.catalog.dropTempView(v): Unit)
       }
       if (isStreamingTable(spark, fn, args) &&
           (fn == "SESSION" || hasTopGroupBy)) {
@@ -566,12 +567,7 @@ object WindowTvfSql {
 
   private def expand(spark: SparkSession, fn: String, argText: String): DataFrame = {
     val (table, partitionKeys, tsCol, intervals) = parseTvfArgs(fn, argText)
-    def micros(i: (Long, String)): Long = i._1 * (i._2 match {
-      case "SECOND" => 1000000L
-      case "MINUTE" => 60000000L
-      case "HOUR" => 3600000000L
-      case "DAY" => 86400000000L
-    })
+    def micros(i: (Long, String)): Long = intervalUs(i)
     def durStr(i: (Long, String)): String = durText(i)
 
     val src = spark.table(table)

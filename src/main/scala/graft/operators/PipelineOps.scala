@@ -1697,11 +1697,16 @@ object PipelineOps extends QueryModule {
           .withColumn("w_ppm", expr(s"element_at($wSql, lang)"))
           .filter($"w_ppm".isNotNull)
         // integer DIV throughout — Spark's `/` is double division and a
-        // double near the keep threshold would not be oracle-exact
-        val totals = docs.groupBy($"lang")
+        // double near the keep threshold would not be oracle-exact.
+        // t_target derives from the per-lang totals (sum of sums == the
+        // global sum over the same filtered set), so the corpus is
+        // tokenized exactly twice: once into the 5-row totals frame,
+        // once in the emitting scan — never a third time
+        val perLang = docs.groupBy($"lang")
           .agg(sum($"tok").as("tok_l"), count(lit(1)).as("n_docs"))
+        val totals = perLang
           .crossJoin(broadcast(
-            docs.agg(expr("sum(tok) * 3 DIV 5").as("t_target"))))
+            perLang.agg(expr("sum(tok_l) * 3 DIV 5").as("t_target"))))
           .withColumn("w_ppm", expr(s"element_at($wSql, lang)"))
           .withColumn("rate_ppm", expr("w_ppm * t_target DIV tok_l"))
         val hexpr = if (oracleHash(s))

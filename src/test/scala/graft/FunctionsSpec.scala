@@ -243,6 +243,13 @@ class FunctionsSpec extends AnyFunSuite {
     // a string literal containing LOCALTIME survives the blanked rewrite
     val lit = Engine.sql(spark, "SELECT 'LOCALTIME is a keyword' AS s").head().getString(0)
     assert(lit == "LOCALTIME is a keyword")
+    // a backtick-quoted identifier named localtime is NOT the keyword
+    import spark.implicits._
+    Seq("colval").toDF("localtime").createOrReplaceTempView("lt_ident_tbl")
+    try {
+      val v = Engine.sql(spark, "SELECT `localtime` FROM lt_ident_tbl").head().getString(0)
+      assert(v == "colval", s"backticked localtime column was rewritten: $v")
+    } finally spark.catalog.dropTempView("lt_ident_tbl")
   }
 
   test("TIME type: deterministic functions, ordering, and parquet round-trip") {

@@ -279,6 +279,16 @@ class StreamInsertSpec extends AnyFunSuite {
         FROM $src""", ckpt + "y")
     }
     assert(e2.getMessage.contains("WATERMARK column"), e2.getMessage)
+    // a form the annotation pass cannot consume (qualified column) must
+    // reject loudly HERE — falling through would reach the batch
+    // NULL-rewrite and silently filter every row
+    val e3 = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT k, ts, CURRENT_WATERMARK($src.ts) AS wm, true AS is_late
+        FROM $src""", ckpt + "z")
+    }
+    assert(e3.getMessage.contains("unsupported form"), e3.getMessage)
     // BATCH mode: CURRENT_WATERMARK is NULL (Flink's batch semantics —
     // no watermark exists), and a quoted literal is never rewritten
     val batch = Engine.sql(spark,
@@ -288,6 +298,19 @@ class StreamInsertSpec extends AnyFunSuite {
       "batch CURRENT_WATERMARK must read NULL")
     assert(batch.head.getString(2) == "CURRENT_WATERMARK(x)",
       "literal was rewritten")
+    // an identifier merely ENDING in the name is not the builtin: the
+    // rewrite has a left word boundary, so a user function keeps working
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "my_current_watermark", es => es.head, "built-in")
+    assert(Engine.sql(spark, "SELECT my_current_watermark(7) AS v")
+      .head().getInt(0) == 7, "user fn ending in current_watermark was mangled")
+    // a nested-expression argument stays intact and fails LOUDLY in the
+    // analyzer (unresolved routine) instead of leaving a stray paren
+    val e4 = intercept[Exception] {
+      Engine.sql(spark,
+        s"SELECT CURRENT_WATERMARK(coalesce(ts, ts)) AS wm FROM $src").collect()
+    }
+    assert(e4.getMessage.toUpperCase.contains("CURRENT_WATERMARK"), e4.getMessage)
     Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")

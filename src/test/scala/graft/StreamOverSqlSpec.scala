@@ -533,6 +533,12 @@ class StreamOverSqlSpec extends AnyFunSuite {
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (1, 'a', 4.0, TIMESTAMP '2024-01-01 00:01:30')""")
       q.processAllAvailable(); q.processAllAvailable()
+      // a partition value CONTAINING the composite-key separator byte
+      // (\\u0001) must not desync the chained re-keying (components are
+      // base64-encoded)
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (9, 'a' || chr(1) || 'b', 3.0, TIMESTAMP '2024-01-01 00:02:00')""")
+      q.processAllAvailable(); q.processAllAvailable()
       Engine.sql(spark, s"""INSERT INTO $src VALUES
         (7, 'x', 0.0, TIMESTAMP '2024-01-01 01:00:00')""")
       q.processAllAvailable(); q.processAllAvailable()
@@ -558,7 +564,9 @@ class StreamOverSqlSpec extends AnyFunSuite {
         sum("v").over(Window.partitionBy("g")
           .orderBy(col("ts").cast("long") * 1000)
           .rangeBetween(-rangeMs, 0)).as("grng")))
-      assert(want.size == 5, s"fixture drift: $want")
+      assert(want.size == 6, s"fixture drift: $want")
+      assert(want.exists(_._2 == "a\u0001b"),
+        s"separator-byte key missing from the batch oracle: $want")
       assert(got == want, s"chained multi-spec OVER diverged:\n$got\nvs\n$want")
     } finally {
       q.stop()
