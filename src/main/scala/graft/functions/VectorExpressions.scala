@@ -290,6 +290,42 @@ case class Md5Lower64(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — the text-cleanup
+  * pass that must precede any hashing/dedup: canonically-equivalent byte
+  * sequences (e + U+0301 vs precomposed é) hash differently raw, so a
+  * near-dup pipeline that skips it silently misses duplicates. Matches
+  * DuckDB's `nfc_normalize` (both implement Unicode canonical
+  * composition), making the pass fully oracle-checkable. The isNormalized
+  * fast path keeps already-composed (and all-ASCII) text allocation-free
+  * — the overwhelmingly common case in the hot scan loop. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcNormalize.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** MinHash signature of a string set: for each of `nPerm` permutations of
   * the Mersenne family (MinHashParams), the minimum hash over the
   * elements. One pass over the array computes the whole signature —
@@ -437,6 +473,8 @@ object GraftFunctions {
       es => HammingDistance64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_md5lower64",
       es => Md5Lower64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSignature(es(0), es(1).eval(null) match {
         case i: Int => i

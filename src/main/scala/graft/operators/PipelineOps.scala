@@ -1812,7 +1812,134 @@ object PipelineOps extends QueryModule {
         |       substr(md5(array_to_string(ctoks, ' ')), 1, 16) AS fp
         |FROM s ORDER BY doc_id, chunk_idx
         |""".stripMargin)),
+
+    GQuery(
+      // UNICODE NFC NORMALIZATION (graft_nfc — java.text.Normalizer,
+      // bit-identical to DuckDB nfc_normalize): the cleanup pass before
+      // any text hashing — decomposed sequences (e + U+0301) and their
+      // precomposed forms (é) must dedup together. The fixture text is
+      // ASCII, so each row gets a deterministic decomposed suffix
+      // (combining acute/diaeresis/ring/tilde by doc_id % 4) plus messy
+      // whitespace; outputs prove composition happened (len shrinks by
+      // exactly the combining marks) and fingerprint the normalized and
+      // whitespace-collapsed forms. Pure map-side — scan-speed at 100 TB.
+      "q137_unicode_normalize",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val suffix = when($"doc_id" % 4 === 0, lit("é"))
+          .when($"doc_id" % 4 === 1, lit("ö"))
+          .when($"doc_id" % 4 === 2, lit("å"))
+          .otherwise(lit("ñ"))
+        Tables.documents(s, d)
+          .withColumn("decomp",
+            concat(substring($"text", 1, 40), lit(" "), suffix, lit("  x\ty")))
+          .select($"doc_id",
+            length($"decomp").cast("long").as("len_raw"),
+            expr("length(graft_nfc(decomp))").cast("long").as("len_nfc"),
+            expr("substr(md5(graft_nfc(decomp)), 1, 16)").as("fp"),
+            expr("substr(md5(trim(regexp_replace(graft_nfc(decomp), " +
+              "'\\\\s+', ' '))), 1, 16)").as("wfp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 40) || ' ' ||
+        |         CASE CAST(doc_id % 4 AS INT)
+        |           WHEN 0 THEN 'e' || chr(769)
+        |           WHEN 1 THEN 'o' || chr(776)
+        |           WHEN 2 THEN 'a' || chr(778)
+        |           ELSE 'n' || chr(771) END ||
+        |         '  x' || chr(9) || 'y' AS decomp
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(decomp) AS BIGINT) AS len_raw,
+        |       CAST(length(nfc_normalize(decomp)) AS BIGINT) AS len_nfc,
+        |       substr(md5(nfc_normalize(decomp)), 1, 16) AS fp,
+        |       substr(md5(trim(regexp_replace(nfc_normalize(decomp),
+        |                                      '\s+', ' ', 'g'))), 1, 16) AS wfp
+        |FROM t ORDER BY doc_id
+        |""".stripMargin)),
+
+    GQuery(
+      // COUNT-MIN-SKETCH HEAVY HITTERS (the fixed-memory frequency
+      // estimator for token/URL/domain streams): depth=4 x width=1024
+      // cells, positions from the same pluggable hash family as
+      // Bloom/MinHash (graft_bloom_positions — xxhash64 production,
+      // md5/M61 under the gate), built with ONE vocabulary-sized
+      // aggregate; estimates are min over the 4 rows, never under the
+      // exact count (PipelineSpec asserts the one-sided guarantee over
+      // the whole vocabulary). At 100 TB the sketch stays 4096 BIGINTs
+      // no matter the corpus — the property that replaces an unbounded
+      // exact-count state; the exact counts here exist to oracle the
+      // estimates. Deterministic end to end, so DuckDB replays the
+      // sketch bit-exact.
+      "q138_cms_heavy_hitters",
+      (s, d) => cmsHeavyHitters(s, d, depth = 4, width = 1024, seed = 555,
+        topK = 10),
+      Some(cmsOracleSql(depth = 4, width = 1024, seed = 555, topK = 10))),
   )
+
+  /** Count-min sketch build + point estimates for the exact top-k
+    * tokens (see q138). Counting per token FIRST and folding counts into
+    * cells is equivalent to streaming increments (sums commute) and
+    * keeps the position computation vocabulary-sized. */
+  private[graft] def cmsHeavyHitters(s: SparkSession, d: String,
+      depth: Int, width: Int, seed: Int, topK: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val posExpr =
+      s"graft_bloom_positions(tok, $depth, $width, $seed, ${oracleHash(s)})"
+    val counts = Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint() // feeds the sketch build AND the top-k probe
+    val cells = counts
+      .select($"exact_cnt", posexplode(expr(posExpr)).as(Seq("j", "pos")))
+      .groupBy($"j", $"pos").agg(sum($"exact_cnt").as("cell"))
+    counts.orderBy($"exact_cnt".desc, $"tok").limit(topK)
+      .select($"tok", $"exact_cnt", posexplode(expr(posExpr)).as(Seq("j", "pos")))
+      .join(cells, Seq("j", "pos"))
+      .groupBy($"tok", $"exact_cnt")
+      .agg(min($"cell").as("cms_est"))
+      .select($"tok", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"tok")
+  }
+
+  private def cmsOracleSql(depth: Int, width: Int, seed: Int,
+      topK: Int): String = {
+    import graft.functions.MinHashParams.{aFor, bFor, M61, Mask60}
+    val posArr = (0 until depth).map(j =>
+      s"((${aFor(seed + j)}::HUGEINT * hh + ${bFor(seed + j)}) % $M61) % $width")
+      .mkString("[", ", ", "]")
+    s"""
+    |WITH toks AS (
+    |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+    |                            x -> x <> '')) AS tok
+    |  FROM documents),
+    |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    |      FROM toks GROUP BY tok),
+    |h AS (SELECT tok, exact_cnt,
+    |             (md5_number_lower(tok) & $Mask60)::HUGEINT AS hh
+    |      FROM c),
+    |p AS (SELECT tok, exact_cnt, j.j AS j,
+    |             CAST(($posArr)[j.j + 1] AS BIGINT) AS pos
+    |      FROM h CROSS JOIN (SELECT unnest(range($depth)) AS j) j),
+    |cells AS (SELECT j, pos, CAST(SUM(exact_cnt) AS BIGINT) AS cell
+    |          FROM p GROUP BY j, pos),
+    |top AS (SELECT tok, exact_cnt FROM c
+    |        ORDER BY exact_cnt DESC, tok LIMIT $topK)
+    |SELECT p.tok, top.exact_cnt,
+    |       CAST(MIN(cells.cell) AS BIGINT) AS cms_est,
+    |       CAST(MIN(cells.cell) - top.exact_cnt AS BIGINT) AS overcount
+    |FROM top JOIN p ON p.tok = top.tok
+    |JOIN cells ON cells.j = p.j AND cells.pos = p.pos
+    |GROUP BY p.tok, top.exact_cnt
+    |ORDER BY p.tok
+    |""".stripMargin
+  }
 
   /** Quality-classifier trainer (the fastText-classifier role in
     * LLaMA/GPT-style data pipelines, reduced to logistic regression over

@@ -282,6 +282,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(back.selectExpr("cast(t as string)").where("id = 13").head().getString(0) == "13:31:49")
   }
 
+  test("graft_nfc: canonical composition, idempotence, ASCII fast path") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "e\u0301o\u0308" // e+acute, o+diaeresis (decomposed)
+    val composed = "\u00e9\u00f6" // precomposed
+    val r = Seq((decomposed, composed, "plain ascii"))
+      .toDF("d", "c", "a")
+      .selectExpr("graft_nfc(d) = c AS eq", "graft_nfc(graft_nfc(d)) = graft_nfc(d) AS idem",
+        "graft_nfc(a) = a AS ascii_id", "length(d) AS ld", "length(graft_nfc(d)) AS ln")
+      .head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getInt(3) == 4 && r.getInt(4) == 2, "composition must halve the pairs")
+    // both execution paths
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = Seq(decomposed).toDF("s").selectExpr("graft_nfc(s)").head().getString(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val gen = Seq(decomposed).toDF("s").selectExpr("graft_nfc(s)").head().getString(0)
+    assert(interp == composed && gen == composed)
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -381,6 +381,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: estimates never undercount — whole vocabulary, " +
+      "BOTH hash families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (oracle <- Seq(true, false)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        // rebuild the sketch and probe EVERY token (not just the top-k):
+        // CMS's one-sided error bound must hold pointwise
+        val posExpr = s"graft_bloom_positions(tok, 4, 1024, 555, $oracle)"
+        val counts = Tables.documents(spark, sf)
+          .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+          .localCheckpoint()
+        val cells = counts
+          .select($"exact_cnt", posexplode(expr(posExpr)).as(Seq("j", "pos")))
+          .groupBy($"j", $"pos").agg(sum($"exact_cnt").as("cell"))
+        val probed = counts
+          .select($"tok", $"exact_cnt", posexplode(expr(posExpr)).as(Seq("j", "pos")))
+          .join(cells, Seq("j", "pos"))
+          .groupBy($"tok", $"exact_cnt").agg(min($"cell").as("est"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(probed.nonEmpty)
+        val under = probed.filter { case (_, exact, est) => est < exact }
+        assert(under.isEmpty, s"[oracle=$oracle] CMS undercounted: ${under.take(5).toSeq}")
+        // the sketch must also be USEFUL: the heaviest token's estimate
+        // is within the classic eps*N additive bound (w=1024 -> e/w ~ 0.27%)
+        val n = probed.map(_._2).sum
+        val worst = probed.map { case (_, exact, est) => est - exact }.max
+        assert(worst <= (2.72 * n) / 1024 + 1,
+          s"[oracle=$oracle] overcount $worst exceeds the eps*N bound for N=$n")
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
+  }
+
   test("doc chunking: full coverage, exact window/stride geometry") {
     import spark.implicits._
     val (w, st) = (64, 48)

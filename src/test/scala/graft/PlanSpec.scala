@@ -253,6 +253,22 @@ class PlanSpec extends AnyFunSuite {
       s"mixture join must never sort-merge the corpus:\n$p")
   }
 
+  test("q137: NFC normalization is map-side — no shuffle before the output sort") {
+    val p = plan("q137_unicode_normalize")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+      !p.contains("SortAggregate"), s"normalizer grew an aggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val rangeExchanges = p.linesIterator.count(_.contains("rangepartitioning"))
+    assert(exchanges == rangeExchanges,
+      s"normalizer has a non-sort shuffle ($exchanges vs $rangeExchanges):\n$p")
+  }
+
+  test("q138: CMS estimate join never degenerates to a product") {
+    val p = plan("q138_cms_heavy_hitters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CMS probe joined as a product:\n$p")
+  }
+
   test("q136: chunking is map-side — no shuffle before the output sort") {
     val p = plan("q136_doc_chunks")
     assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
