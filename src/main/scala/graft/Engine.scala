@@ -433,7 +433,10 @@ object Engine {
                     "SELECT <items> FROM (<streaming subquery>) [AS] a " +
                     "[WHERE ...] with every OVER item sharing one ORDER BY " +
                     "<rowtime> (PARTITION BY may differ per item — chained " +
-                    s"passes; wrap joins in the subquery form); got: $select")
+                    "passes; wrap joins in the subquery form). ROW_NUMBER " +
+                    "over a window TVF — the reference's WindowRank / " +
+                    "WindowDeduplicate — runs through StatefulOps." +
+                    s"windowTopN / windowDedup. got: $select")
               df
             }
           } finally streamed.foreach { t =>

@@ -735,4 +735,105 @@ object StatefulOps {
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming WINDOW TOP-N — the StreamExecWindowRank role (reference
+    * flink-table-runtime .../rank/window/processors/WindowRankProcessor
+    * .java: ROW_NUMBER over (window, key) finalized on watermark
+    * passage). Rows of a tumbling window buffer into a BOUNDED per-
+    * (key, window) top-N list (insertion keeps only the N best — O(n)
+    * state per open window, never the window's raw rows); when the
+    * watermark passes the window end the ranked rows append-emit exactly
+    * once, matching the batch `row_number() over (partition by window, k
+    * order by score [desc], payload)` on the same data. Ordering is
+    * total — (score asc|desc, payload asc) — so results are
+    * deterministic under any arrival order. Late rows (window already
+    * closed) drop, exactly the window-TVF aggregation contract.
+    *
+    * Window dedup (StreamExecWindowDeduplicate: keep first/last row per
+    * window and key) is the n=1 case — see [[windowDedup]].
+    *
+    * Input (key, rowtime, score, payload) with a watermark on rowtime;
+    * output (key, winStartUs, winEndUs, rank, score, payload). */
+  def windowTopN[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double, String)],
+      sizeUs: Long, n: Int, asc: Boolean = false, offUs: Long = 0L)(
+      implicit e1: Encoder[Seq[(Long, Seq[(Double, String)])]],
+      e2: Encoder[(K, Long, Long, Int, Double, String)])
+      : Dataset[(K, Long, Long, Int, Double, String)] = {
+    require(sizeUs > 0 && n >= 1,
+      s"windowTopN: size ($sizeUs) and n ($n) must be positive")
+    // (winStartUs, top rows best-first)
+    type Win = (Long, Seq[(Double, String)])
+    val ord: Ordering[(Double, String)] = {
+      val base = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+      if (asc) base
+      else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String)
+    }
+
+    def update(key: K, rows: Iterator[(K, java.sql.Timestamp, Double, String)],
+        state: GroupState[Seq[Win]]): Iterator[(K, Long, Long, Int, Double, String)] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var wins = state.getOption.getOrElse(Seq.empty)
+      rows.foreach { case (_, ts, score, payload) =>
+        val us = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+        val ws = us - Math.floorMod(us - offUs, sizeUs)
+        if (wmUs < ws + sizeUs) { // else: late past the closed window
+          val row = (score, payload)
+          wins.indexWhere(_._1 == ws) match {
+            case -1 => wins :+= ((ws, Seq(row)))
+            case i =>
+              val buf = (wins(i)._2 :+ row).sorted(ord).take(n)
+              wins = wins.updated(i, (wins(i)._1, buf))
+          }
+        }
+      }
+      val out = Seq.newBuilder[(K, Long, Long, Int, Double, String)]
+      wins = wins.flatMap { case (ws, buf) =>
+        if (wmUs >= ws + sizeUs) {
+          buf.sorted(ord).iterator.zipWithIndex.foreach {
+            case ((score, payload), i) =>
+              out += ((key, ws, ws + sizeUs, i + 1, score, payload))
+          }
+          None
+        } else Some((ws, buf))
+      }
+      if (wins.isEmpty) state.remove()
+      else {
+        state.update(wins)
+        val nextUs = wins.map(_._1 + sizeUs).min
+        state.setTimeoutTimestamp(
+          math.max(nextUs / 1000L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming WINDOW DEDUPLICATE — StreamExecWindowDeduplicate: the
+    * first (or last) row per key within each tumbling window, emitted
+    * once on window close. The n=1 window rank ordered by rowtime with
+    * the payload as the total-order tie-break (Flink keeps the FIRST
+    * arrival among equal rowtimes in proc-time order; a deterministic
+    * engine breaks the tie on the row itself). */
+  def windowDedup[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, String)],
+      sizeUs: Long, keepFirst: Boolean = true, offUs: Long = 0L)(
+      implicit e1: Encoder[Seq[(Long, Seq[(Double, String)])]],
+      e2: Encoder[(K, Long, Long, Int, Double, String)],
+      e3: Encoder[(K, Long, Long, String)],
+      e4: Encoder[(K, java.sql.Timestamp, Double, String)])
+      : Dataset[(K, Long, Long, String)] = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // untyped projection, NOT a typed map: MapElements re-serializes and
+    // drops the event-time marker the downstream EventTimeTimeout needs
+    val scored = ds.toDF("k", "t", "p")
+      .select(col("k"), col("t"),
+        unix_micros(col("t")).cast("double").as("score"), // µs exact < 2^53
+        col("p"))
+      .as[(K, java.sql.Timestamp, Double, String)]
+    windowTopN(scored, sizeUs, n = 1, asc = keepFirst, offUs = offUs)
+      .map { case (k, ws, we, _, _, payload) => (k, ws, we, payload) }
+  }
 }

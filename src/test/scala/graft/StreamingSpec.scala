@@ -85,6 +85,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalTop == Set((1, "y"), (2, "w")))
   }
 
+  test("window top-N finalizes each tumbling window once, matching batch row_number") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double, String)]
+    val src = in.toDS().toDF("k", "t", "score", "p")
+      .withWatermark("t", "0 seconds")
+      .as[(String, Timestamp, Double, String)]
+    val ranked = StatefulOps.windowTopN(src, sizeUs = 60_000_000L, n = 2)
+    val q = ranked.toDF("k", "ws", "we", "rank", "score", "p")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wtopn_out").start()
+    // window [0,60): a has 3 rows (top-2 must cut one), b has a TIE on
+    // score (payload breaks it); window [60,120): one row
+    in.addData(("a", ts(5), 1.0, "a1"), ("a", ts(10), 9.0, "a9"),
+      ("a", ts(20), 5.0, "a5"), ("b", ts(30), 4.0, "bZ"), ("b", ts(40), 4.0, "bA"))
+    q.processAllAvailable()
+    in.addData(("a", ts(70), 2.0, "a2")) // closes [0,60)
+    q.processAllAvailable(); q.processAllAvailable()
+    in.addData(("a", ts(200), 0.0, "clock")) // closes [60,120)
+    q.processAllAvailable(); q.processAllAvailable()
+    val got = spark.table("wtopn_out")
+      .select($"k", $"ws", $"rank", $"score", $"p")
+      .as[(String, Long, Int, Double, String)].collect().toSet
+    val want = Set(
+      ("a", 0L, 1, 9.0, "a9"), ("a", 0L, 2, 5.0, "a5"),
+      ("b", 0L, 1, 4.0, "bA"), ("b", 0L, 2, 4.0, "bZ"),
+      ("a", 60_000_000L, 1, 2.0, "a2"))
+    assert(got == want, s"window top-N diverged: $got")
+    // batch equivalence on the same rows (the closed windows)
+    val batch = Seq(("a", ts(5), 1.0, "a1"), ("a", ts(10), 9.0, "a9"),
+      ("a", ts(20), 5.0, "a5"), ("b", ts(30), 4.0, "bZ"), ("b", ts(40), 4.0, "bA"),
+      ("a", ts(70), 2.0, "a2"))
+      .toDF("k", "t", "score", "p")
+      .withColumn("w", window($"t", "60 seconds"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"w", $"k").orderBy($"score".desc, $"p")))
+      .filter($"rank" <= 2)
+      .select($"k", unix_micros($"w.start"), $"rank", $"score", $"p")
+      .as[(String, Long, Int, Double, String)].collect().toSet
+    assert(got == batch, s"stream != batch row_number: $got vs $batch")
+    q.stop()
+  }
+
+  test("window dedup keeps exactly the first (or last) row per key and window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, String)]
+    val src = in.toDS().toDF("k", "t", "p")
+      .withWatermark("t", "0 seconds")
+      .as[(String, Timestamp, String)]
+    val first = StatefulOps.windowDedup(src, sizeUs = 60_000_000L, keepFirst = true)
+    val q = first.toDF("k", "ws", "we", "p")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wdedup_out").start()
+    in.addData(("a", ts(10), "early"), ("a", ts(50), "late"),
+      ("b", ts(20), "only"), ("a", ts(70), "next-window"))
+    q.processAllAvailable()
+    in.addData(("z", ts(300), "clock"))
+    q.processAllAvailable(); q.processAllAvailable()
+    val got = spark.table("wdedup_out").select($"k", $"ws", $"p")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("a", 0L, "early"), ("b", 0L, "only"),
+      ("a", 60_000_000L, "next-window")), s"window dedup diverged: $got")
+    q.stop()
+  }
+
   test("keepLastByKey emits only on change") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
