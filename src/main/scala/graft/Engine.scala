@@ -215,18 +215,27 @@ object Engine {
       // CURRENT_TIMESTAMP/CURRENT_TIME).
       val query2 = {
         val LtRe = """(?i)\bLOCAL_?TIME(STAMP)?\b(\s*\(\s*\))?""".r
-        val b = SqlComposer.blank(query1)
+        // blank() masks string literals only; a backtick-quoted span is
+        // an identifier wherever the keyword sits inside it (`localtime`,
+        // `my localtime`), so backtick spans are blanked here too
+        val b = {
+          val arr = SqlComposer.blank(query1).toCharArray
+          var i = 0
+          var in = false
+          while (i < arr.length) {
+            if (arr(i) == '`') in = !in
+            else if (in) arr(i) = ' '
+            i += 1
+          }
+          new String(arr)
+        }
         if (LtRe.findFirstIn(b).isEmpty) query1
         else {
           val sb = new StringBuilder
           var last = 0
           LtRe.findAllMatchIn(b).foreach { m =>
-            // a backtick-quoted `localtime` is an identifier, not the
-            // niladic keyword (blank() masks string literals only)
-            val quoted = m.start > 0 && query1.charAt(m.start - 1) == '`'
             val fn = if (m.group(1) == null) "current_time()" else "localtimestamp()"
-            sb.append(query1.substring(last, m.start))
-              .append(if (quoted) query1.substring(m.start, m.end) else fn)
+            sb.append(query1.substring(last, m.start)).append(fn)
             last = m.end
           }
           sb.append(query1.substring(last)).toString
@@ -344,7 +353,7 @@ object Engine {
             // annotation pass consumes the event-time marker, so window
             // TVFs / MATCH_RECOGNIZE / OVER cannot sit downstream;
             // composed forms reject loudly.
-            val CwRe = """(?i)CURRENT_WATERMARK\s*\(\s*`?(\w+)`?\s*\)""".r
+            val CwRe = """(?i)\bCURRENT_WATERMARK\s*\(\s*`?(\w+)`?\s*\)""".r
             val selectB = SqlComposer.blank(select)
             val select1 =
               if (CwRe.findFirstIn(selectB).isEmpty) select
@@ -378,13 +387,17 @@ object Engine {
                 }
                 sb.append(select.substring(last)).toString
               }
-            // any CURRENT_WATERMARK the rewrite did NOT consume
+            // any CURRENT_WATERMARK CALL the rewrite did NOT consume
             // (qualified column, nested expression, zero args) must stop
             // HERE: downstream lowerings re-enter Engine.sql, whose
             // batch rewrite would silently turn the call into NULL and
-            // filter every row
-            require("""(?i)\bCURRENT_WATERMARK\b""".r
-                .findFirstIn(SqlComposer.blank(select1)).isEmpty,
+            // filter every row. Only the call form (name followed by an
+            // open paren) trips this — the bare word as an identifier or
+            // inside a comment is not a call. Line comments are stripped
+            // from the blanked text first so commented-out calls pass.
+            require("""(?i)\bCURRENT_WATERMARK\s*\(""".r
+                .findFirstIn(SqlComposer.blank(select1)
+                  .replaceAll("(?m)--.*$", "")).isEmpty,
               "CURRENT_WATERMARK in a streaming statement must be the " +
                 "bare unqualified WATERMARK column of the single " +
                 "streamed source, e.g. CURRENT_WATERMARK(ts) — " +

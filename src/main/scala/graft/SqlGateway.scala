@@ -77,7 +77,7 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
         // tag registration FIRST: a job whose submission races past the
         // direct kill below is reaped by the onJobStart listener (which
         // observes the set after this add), so no ordering loses the job
-        canceledTags.add(tagOf(oh))
+        tagCanceled(tagOf(oh))
         status = "CANCELED"
         error = "operation canceled"
         spark.sparkContext.cancelJobsWithTag(tagOf(oh),
@@ -142,9 +142,24 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
   private val sessions = new ConcurrentHashMap[String, ConcurrentHashMap[String, Operation]]()
   private val pool = Executors.newFixedThreadPool(4)
 
-  /** Tags of canceled operations, consulted by [[reaper]]. */
+  /** Tags of canceled operations, consulted by [[reaper]]. Bounded:
+    * entries drop at worker exit (after the exit sweep no thread can
+    * submit for that operation — RUNNING cancels, the common case), on
+    * session close, and by a FIFO cap as a backstop for
+    * canceled-after-FINISHED operations on very long-lived gateways. */
   private val canceledTags =
     ConcurrentHashMap.newKeySet[String]()
+  private val canceledOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def tagCanceled(tag: String): Unit = {
+    if (canceledTags.add(tag)) {
+      canceledOrder.add(tag)
+      while (canceledOrder.size > 1024) { // day-old tags have no pending jobs
+        val old = canceledOrder.poll()
+        if (old != null) canceledTags.remove(old)
+      }
+    }
+  }
 
   /** Closes the cancel/submit race that made cancellation flaky:
     * cancelJobsWithTag only reaches jobs ALREADY submitted, but an AQE
@@ -317,9 +332,13 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
                   case t: Throwable => op.fail(t)
                 } finally if (op.status == "CANCELED") {
                   // third layer: whatever this worker submitted while the
-                  // cancel raced is certainly visible to a kill by now
+                  // cancel raced is certainly visible to a kill by now —
+                  // and with the worker gone (and result fetches rejected
+                  // at the route for CANCELED ops) nothing can submit for
+                  // this operation again, so the reaper tag can drop
                   spark.sparkContext.cancelJobsWithTag(tagOf(oh),
                     s"gateway operation $oh canceled (worker exit sweep)")
+                  canceledTags.remove(tagOf(oh))
                 }
             })
             respond(ex, 200, s"""{"operationHandle":"$oh"}""")

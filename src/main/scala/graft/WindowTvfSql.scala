@@ -567,8 +567,6 @@ object WindowTvfSql {
 
   private def expand(spark: SparkSession, fn: String, argText: String): DataFrame = {
     val (table, partitionKeys, tsCol, intervals) = parseTvfArgs(fn, argText)
-    def micros(i: (Long, String)): Long = intervalUs(i)
-    def durStr(i: (Long, String)): String = durText(i)
 
     val src = spark.table(table)
     val withTime = (df: DataFrame) => df.withColumn("window_time",
@@ -580,9 +578,9 @@ object WindowTvfSql {
         // fourth operand) maps onto window()'s startTime parameter
         require(intervals.length == 1 || intervals.length == 2,
           "TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])")
-        val size = durStr(intervals(0))
+        val size = durText(intervals(0))
         val w = if (intervals.length == 2)
-          window(col(tsCol), size, size, durStr(intervals(1)))
+          window(col(tsCol), size, size, durText(intervals(1)))
         else window(col(tsCol), size)
         withTime(src
           .withColumn("__w", w)
@@ -595,8 +593,8 @@ object WindowTvfSql {
           "HOP(TABLE t, DESCRIPTOR(ts), slide, size [, offset])")
         val (slide, size) = (intervals(0), intervals(1))
         val w = if (intervals.length == 3)
-          window(col(tsCol), durStr(size), durStr(slide), durStr(intervals(2)))
-        else window(col(tsCol), durStr(size), durStr(slide))
+          window(col(tsCol), durText(size), durText(slide), durText(intervals(2)))
+        else window(col(tsCol), durText(size), durText(slide))
         withTime(src
           .withColumn("__w", w)
           .withColumn("window_start", col("__w.start"))
@@ -606,14 +604,14 @@ object WindowTvfSql {
       case "CUMULATE" =>
         require(intervals.length == 2 || intervals.length == 3,
           "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize [, offset])")
-        val (stepUs, maxUs) = (micros(intervals(0)), micros(intervals(1)))
+        val (stepUs, maxUs) = (intervalUs(intervals(0)), intervalUs(intervals(1)))
         require(stepUs > 0 && maxUs % stepUs == 0,
           "CUMULATE: maxSize must be a positive multiple of step")
         // optional offset shifts the max-window alignment grid — the
         // CumulativeSliceAssigner.withOffset / getWindowStartWithOffset
         // contract (TimeWindow.java:222: negative-safe remainder), which
         // pmod reproduces directly
-        val offUs = if (intervals.length == 3) micros(intervals(2)) else 0L
+        val offUs = if (intervals.length == 3) intervalUs(intervals(2)) else 0L
         // each row joins every cumulative slice whose end lies after it —
         // slice ends are aligned to the (offset-shifted) maxSize boundary
         // (q24's algorithm)
@@ -634,7 +632,7 @@ object WindowTvfSql {
         require(!src.isStreaming,
           "SESSION TVF over a streaming table must go through " +
             "WindowTvfSql.sql, which rewrites it onto session_window")
-        val gapUs = micros(intervals(0))
+        val gapUs = intervalUs(intervals(0))
         // gaps-and-islands (the batch form of the session assigner, same
         // [start, last+gap) half-open contract as q23's oracle)
         val keys: Seq[Column] =

@@ -295,9 +295,9 @@ case class Md5Lower64(child: Expression)
   * sequences (e + U+0301 vs precomposed é) hash differently raw, so a
   * near-dup pipeline that skips it silently misses duplicates. Matches
   * DuckDB's `nfc_normalize` (both implement Unicode canonical
-  * composition), making the pass fully oracle-checkable. The isNormalized
-  * fast path keeps already-composed (and all-ASCII) text allocation-free
-  * — the overwhelmingly common case in the hot scan loop. */
+  * composition), making the pass fully oracle-checkable. All-ASCII text
+  * (always NFC) returns via a zero-allocation byte scan; non-ASCII
+  * already-composed text returns after one isNormalized walk. */
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -319,6 +319,9 @@ case class NfcNormalize(child: Expression)
 
 object NfcNormalize {
   def nfc(s: UTF8String): UTF8String = {
+    // pure ASCII is always NFC: byte scan, zero allocation — the
+    // overwhelmingly common case in the hot scan loop
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -243,12 +243,16 @@ class FunctionsSpec extends AnyFunSuite {
     // a string literal containing LOCALTIME survives the blanked rewrite
     val lit = Engine.sql(spark, "SELECT 'LOCALTIME is a keyword' AS s").head().getString(0)
     assert(lit == "LOCALTIME is a keyword")
-    // a backtick-quoted identifier named localtime is NOT the keyword
+    // a backtick-quoted identifier named localtime is NOT the keyword —
+    // including when the keyword is not the whole quoted span
     import spark.implicits._
-    Seq("colval").toDF("localtime").createOrReplaceTempView("lt_ident_tbl")
+    Seq(("colval", "v2")).toDF("localtime", "my localtime")
+      .createOrReplaceTempView("lt_ident_tbl")
     try {
-      val v = Engine.sql(spark, "SELECT `localtime` FROM lt_ident_tbl").head().getString(0)
-      assert(v == "colval", s"backticked localtime column was rewritten: $v")
+      val r2 = Engine.sql(spark,
+        "SELECT `localtime`, `my localtime` FROM lt_ident_tbl").head()
+      assert(r2.getString(0) == "colval" && r2.getString(1) == "v2",
+        s"backticked localtime identifiers were rewritten: $r2")
     } finally spark.catalog.dropTempView("lt_ident_tbl")
   }
 

@@ -289,6 +289,17 @@ class StreamInsertSpec extends AnyFunSuite {
         FROM $src""", ckpt + "z")
     }
     assert(e3.getMessage.contains("unsupported form"), e3.getMessage)
+    // but NOT a false positive: a user function merely ENDING in the
+    // name, and the bare word in a line comment, must both pass the
+    // leftover check and stream normally
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "my_current_watermark", es => es.head, "built-in")
+    val qOk = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, ts, my_current_watermark(ts) AS wm,
+             true AS is_late -- not CURRENT_WATERMARK(ts), a comment
+      FROM $src""", ckpt + "w")
+    try qOk.processAllAvailable() finally qOk.stop()
     // BATCH mode: CURRENT_WATERMARK is NULL (Flink's batch semantics —
     // no watermark exists), and a quoted literal is never rewritten
     val batch = Engine.sql(spark,
