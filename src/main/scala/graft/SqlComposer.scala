@@ -149,6 +149,10 @@ object SqlComposer {
       guard += 1
       val b = blank(q)
       if (!hasMarker(b)) return (q, made.result())
+      // the window-rank shape (ROW_NUMBER over a window TVF + outer rank
+      // filter) must reach WindowTvfSql WHOLE: lifting the derived table
+      // would plan a bare streaming ROW_NUMBER, which cannot run
+      if (WindowTvfSql.matchesWindowRank(q)) return (q, made.result())
       val spans = subquerySpans(b) match {
         case s if s.nonEmpty => s
         case _               => return (q, made.result())

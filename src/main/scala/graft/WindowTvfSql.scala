@@ -107,6 +107,25 @@ object WindowTvfSql {
         try return lowerStreamingCumulate(spark, q, mm.start, closeTable, args)
         finally madeViews.result().foreach(v => spark.catalog.dropTempView(v): Unit)
       }
+      if (!hasTopGroupBy && isStreamingTable(spark, fn, args)) {
+        // WINDOW RANK detection (StreamExecWindowRank: ROW_NUMBER over
+        // (window_start, window_end [, keys]) inside a derived table,
+        // outer filter on the rank) — lowered whole onto the bounded
+        // windowTopN operator; the per-row expand path cannot carry a
+        // streaming ROW_NUMBER
+        val qr = q.substring(0, mm.start) + "__graft_rank_src__" +
+          q.substring(closeTable + 1)
+        if (RankShapeRe.findFirstMatchIn(blanked(qr)).isDefined) {
+          require(fn == "TUMBLE",
+            s"streaming window rank over $fn: only TUMBLE windows lower " +
+              "onto the bounded top-N operator (HOP/CUMULATE would rank " +
+              "each slice independently — run those in batch, or " +
+              "aggregate instead)")
+          try return lowerStreamingWindowRank(spark, qr, args)
+          finally madeViews.result()
+            .foreach(v => spark.catalog.dropTempView(v): Unit)
+        }
+      }
       if (isStreamingTable(spark, fn, args) &&
           (fn == "SESSION" || hasTopGroupBy)) {
         // A streaming TVF cannot aggregate per-row annotated window
@@ -274,6 +293,132 @@ object WindowTvfSql {
   private val CumAggRe =
     """(?is)^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(.+?|\*)\s*\)\s*(?:AS\s+`?(\w+)`?)?$""".r
   private val CumPlainRe = """(?is)^`?(\w+)`?\s*(?:AS\s+`?(\w+)`?)?$""".r
+
+  // ------------------------------------- streaming window rank lowering
+
+  private val RankShapeRe = (
+    """(?is)^\s*SELECT\s+(.+?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*""" +
+    """ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+(.+?)\s+""" +
+    """ORDER\s+BY\s+`?(\w+)`?\s*(ASC|DESC)?\s*\)\s+AS\s+`?(\w+)`?\s+""" +
+    """FROM\s+__graft_rank_src__\s*\)\s*(?:AS\s+`?\w+`?\s*)?""" +
+    """WHERE\s+`?(\w+)`?\s*(<=|=)\s*(\d+)\s*;?\s*$""").r
+
+  /** True when the WHOLE statement is the window-rank shape (ROW_NUMBER
+    * over window columns inside a derived table over a window TVF, outer
+    * rank filter). The composer must NOT lift the derived table out of
+    * such a statement — the rank only lowers (streaming) or plans
+    * (batch) with the filter still attached. */
+  private[graft] def matchesWindowRank(stmt: String): Boolean = {
+    val b = blanked(stmt)
+    FindRe.findFirstMatchIn(b).exists { mm =>
+      val openTable = b.indexOf('(', mm.start)
+      val closeTable =
+        try matchParen(b, openTable) catch { case _: Exception => -1 }
+      closeTable > 0 && {
+        val qr = stmt.substring(0, mm.start) + "__graft_rank_src__" +
+          stmt.substring(closeTable + 1)
+        RankShapeRe.findFirstMatchIn(blanked(qr)).isDefined
+      }
+    }
+  }
+
+  /** Lower a streaming WINDOW TOP-N statement (the reference's
+    * StreamExecWindowRank SQL shape, `window-topn` doc page):
+    * {{{
+    * SELECT <items> FROM (
+    *   SELECT *, ROW_NUMBER() OVER (
+    *     PARTITION BY window_start, window_end [, keys]
+    *     ORDER BY <numeric-or-timestamp col> [ASC|DESC]) AS rn
+    *   FROM TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), size [, offset])))
+    * WHERE rn <= N   -- or rn = 1 (window deduplication)
+    * }}}
+    * onto [[graft.streaming.StatefulOps.windowTopN]]: the bounded
+    * per-(key, window) buffer that append-emits ranked rows exactly once
+    * on watermark passage. The full source row rides the operator as a
+    * JSON payload and is re-projected afterwards, so <items> may name
+    * any source column plus window_start/window_end/window_time and the
+    * rank alias. Ties on the ORDER BY value break on the serialized row
+    * (deterministic; batch ROW_NUMBER leaves tie order undefined). */
+  private def lowerStreamingWindowRank(spark: SparkSession, q0: String,
+      argText: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    val (table, _, tsCol, intervals) = parseTvfArgs("TUMBLE", argText)
+    require(intervals.length == 1 || intervals.length == 2,
+      "TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])")
+    val sizeUs = intervalUs(intervals(0))
+    val offUs = if (intervals.length == 2) intervalUs(intervals(1)) else 0L
+    val b = blanked(q0)
+    val m = RankShapeRe.findFirstMatchIn(b).get
+    // groups sliced from the ORIGINAL text by blanked positions, so
+    // literals inside <items> survive
+    def grp(i: Int): String =
+      if (m.start(i) < 0) null else q0.substring(m.start(i), m.end(i))
+    val (itemsText, pText, oCol, dirOpt, rnAs, rnWhere, cmpOp, nText) =
+      (grp(1), grp(2), grp(3), Option(grp(4)), grp(5), grp(6), grp(7), grp(8))
+    require(rnWhere.equalsIgnoreCase(rnAs),
+      s"window rank: WHERE filters '$rnWhere' but the rank is aliased '$rnAs'")
+    val n = nText.toInt
+    require(n >= 1 && (cmpOp == "<=" || n == 1),
+      s"window rank: WHERE $rnAs $cmpOp $n — use $rnAs <= N, or $rnAs = 1")
+    val winNames = Set("window_start", "window_end", "window_time")
+    val pCols = SqlSplit.splitTopLevel(pText).map(_.trim.stripPrefix("`").stripSuffix("`"))
+    require(pCols.exists(_.equalsIgnoreCase("window_start")) &&
+        pCols.exists(_.equalsIgnoreCase("window_end")),
+      "window rank: PARTITION BY must list window_start AND window_end " +
+        s"(the reference's WindowRank requirement); got: $pText")
+    val keys = pCols.filterNot(c => winNames.contains(c.toLowerCase))
+
+    val src = spark.table(table)
+    def srcField(c: String) = src.schema.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"window rank: '$c' is not a column of $table"))
+    keys.foreach(srcField)
+    val oType = srcField(oCol).dataType
+    val score = oType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(oCol)).cast("double")
+      case _: org.apache.spark.sql.types.NumericType => col(oCol).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"window rank: ORDER BY $oCol has type $other — rank on a " +
+          "numeric or timestamp column")
+    }
+    val asc = !dirOpt.exists(_.equalsIgnoreCase("DESC"))
+
+    val keyCol = if (keys.isEmpty) lit("{}") else to_json(struct(keys.map(col): _*))
+    val typed = src
+      .select(keyCol.as("_1"), col(tsCol).as("_2"), score.as("_3"),
+        to_json(struct(src.columns.map(col).toIndexedSeq: _*)).as("_4"))
+      .as[(String, java.sql.Timestamp, Double, String)]
+    val ranked = StatefulOps.windowTopN(typed, sizeUs, n, asc, offUs)
+      .toDF("k", "ws", "we", "rn", "score", "payload")
+      .withColumn("__row", from_json(col("payload"), src.schema))
+
+    val ItemRe = """(?is)^\s*(?:`?(\w+)`?|\*)\s*(?:AS\s+`?(\w+)`?)?\s*$""".r
+    val items = SqlSplit.splitTopLevel(itemsText).map(_.trim)
+    val projected = items.flatMap {
+      case "*" =>
+        // the TVF output order: source columns, then the window columns,
+        // then the rank
+        src.columns.map(c => col("__row").getField(c).as(c)).toSeq ++ Seq(
+          timestamp_micros(col("ws")).as("window_start"),
+          timestamp_micros(col("we")).as("window_end"),
+          timestamp_micros(col("we") - 1000L).as("window_time"),
+          col("rn").as(rnAs))
+      case ItemRe(c, al) if c != null =>
+        val alias = Option(al).getOrElse(c)
+        Seq(c.toLowerCase match {
+          case "window_start" => timestamp_micros(col("ws")).as(alias)
+          case "window_end" => timestamp_micros(col("we")).as(alias)
+          case "window_time" => timestamp_micros(col("we") - 1000L).as(alias)
+          case _ if c.equalsIgnoreCase(rnAs) => col("rn").cast("long").as(alias)
+          case _ => col("__row").getField(srcField(c).name).as(alias)
+        })
+      case other => throw new IllegalArgumentException(
+        "window rank select items must be plain columns, window_start/" +
+          s"window_end/window_time, the rank alias, or *; got '$other'")
+    }
+    ranked.select(projected: _*)
+  }
 
   /** Lower a grouped streaming CUMULATE statement onto
     * [[graft.streaming.StatefulOps.cumulateWindow]] — the Flink

@@ -258,6 +258,80 @@ class WindowTvfSqlSpec extends AnyFunSuite {
     }, s"missing the all-NULL b slice in $got")
   }
 
+  test("streaming window TOP-N SQL lowers onto the bounded rank operator, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stmt = (t: String) => s"""
+      SELECT k, window_start, v, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start, window_end, k ORDER BY v DESC) AS rn
+        FROM TABLE(TUMBLE(TABLE $t, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+      WHERE rn <= 2"""
+    val data = Seq(
+      ("a", 5_000_000L, 1.0), ("a", 10_000_000L, 9.0), ("a", 20_000_000L, 5.0),
+      ("b", 30_000_000L, 4.0), ("a", 70_000_000L, 2.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    mem.toDF().select($"_1".as("k"), timestamp_micros($"_2").as("ts"), $"_3".as("v"))
+      .withWatermark("ts", "1 second")
+      .createOrReplaceTempView("rank_stream_src")
+    val ranked = Engine.sql(spark, stmt("rank_stream_src"))
+    assert(ranked.isStreaming, "window rank lowering must stay streaming")
+    val q = ranked.writeStream.format("memory").queryName("rank_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(("z", 400_000_000L, 0.0)) // clock: closes both windows
+      q.processAllAvailable(); q.processAllAvailable()
+    } finally q.stop()
+    val cut = java.sql.Timestamp.valueOf("1970-01-01 00:03:00")
+    def canonRank(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"window_start" <= cut)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getAs[Number](3).longValue)).toSet
+    val got = canonRank(spark.table("rank_stream_out"))
+    data.toDF("k", "us", "v").select($"k", timestamp_micros($"us").as("ts"), $"v")
+      .createOrReplaceTempView("rank_batch_src")
+    val want = canonRank(Engine.sql(spark, stmt("rank_batch_src")))
+    assert(want.size == 4, s"fixture drift: $want") // a drops its 1.0 row
+    assert(got == want, s"stream window rank diverged:\n$got\nvs\n$want")
+
+    // rn = 1 is window DEDUP (keep highest v per key and window)
+    val dedupStmt = s"""
+      SELECT k, window_start, v FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start, window_end, k ORDER BY v DESC) AS rn
+        FROM TABLE(TUMBLE(TABLE rank_batch_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+      WHERE rn = 1"""
+    assert(Engine.sql(spark, dedupStmt).count() == 3) // a/[0,60) a/[60,120) b/[0,60)
+
+    // loud rejects: HOP rank, and PARTITION BY missing window_end
+    val memH = MemoryStream[(String, Long, Double)]
+    memH.toDF().select($"_1".as("k"), timestamp_micros($"_2").as("ts"), $"_3".as("v"))
+      .withWatermark("ts", "1 second")
+      .createOrReplaceTempView("rank_hop_src")
+    val eH = intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"""
+        SELECT k FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window_start, window_end ORDER BY v) AS rn
+          FROM TABLE(HOP(TABLE rank_hop_src, DESCRIPTOR(ts),
+                         INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)))
+        WHERE rn <= 1""")
+    }
+    assert(eH.getMessage.contains("TUMBLE"), eH.getMessage)
+    val eP = intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"""
+        SELECT k FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start, k ORDER BY v) AS rn
+          FROM TABLE(TUMBLE(TABLE rank_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+        WHERE rn <= 1""")
+    }
+    assert(eP.getMessage.contains("window_start AND window_end"), eP.getMessage)
+  }
+
   test("CUMULATE offset shifts the alignment grid — batch and stream agree") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
