@@ -97,8 +97,8 @@ object WindowTvfSql {
         }
         found
       }
-      if (fn == "CUMULATE" && hasTopGroupBy &&
-          isStreamingTable(spark, "CUMULATE", args)) {
+      val streaming = isStreamingTable(spark, fn, args)
+      if (fn == "CUMULATE" && hasTopGroupBy && streaming) {
         // grouped streaming CUMULATE has no native grouping expression
         // (a row belongs to MULTIPLE open slices): lower the whole
         // statement onto the dedicated stateful slice operator. finally,
@@ -107,7 +107,7 @@ object WindowTvfSql {
         try return lowerStreamingCumulate(spark, q, mm.start, closeTable, args)
         finally madeViews.result().foreach(v => spark.catalog.dropTempView(v): Unit)
       }
-      if (!hasTopGroupBy && isStreamingTable(spark, fn, args)) {
+      if (!hasTopGroupBy && streaming) {
         // WINDOW RANK detection (StreamExecWindowRank: ROW_NUMBER over
         // (window_start, window_end [, keys]) inside a derived table,
         // outer filter on the rank) — lowered whole onto the bounded
@@ -115,7 +115,7 @@ object WindowTvfSql {
         // streaming ROW_NUMBER
         val qr = q.substring(0, mm.start) + "__graft_rank_src__" +
           q.substring(closeTable + 1)
-        if (RankShapeRe.findFirstMatchIn(blanked(qr)).isDefined) {
+        if (rankShapeMatch(blanked(qr)).isDefined) {
           require(fn == "TUMBLE",
             s"streaming window rank over $fn: only TUMBLE windows lower " +
               "onto the bounded top-N operator (HOP/CUMULATE would rank " +
@@ -126,8 +126,7 @@ object WindowTvfSql {
             .foreach(v => spark.catalog.dropTempView(v): Unit)
         }
       }
-      if (isStreamingTable(spark, fn, args) &&
-          (fn == "SESSION" || hasTopGroupBy)) {
+      if (streaming && (fn == "SESSION" || hasTopGroupBy)) {
         // A streaming TVF cannot aggregate per-row annotated window
         // columns (the event-time marker doesn't survive the struct
         // projection, and SESSION's gaps-and-islands form needs the
@@ -303,11 +302,23 @@ object WindowTvfSql {
     """FROM\s+__graft_rank_src__\s*\)\s*(?:AS\s+`?\w+`?\s*)?""" +
     """WHERE\s+`?(\w+)`?\s*(<=|=)\s*(\d+)\s*;?\s*$""").r
 
+  /** The rank-shape match, valid only when the outer WHERE filters the
+    * RANK alias itself — `WHERE qty <= 3` over the same text is an
+    * ordinary row filter, not a rank cut, and must take the normal
+    * paths. */
+  private def rankShapeMatch(blankedQr: String)
+      : Option[scala.util.matching.Regex.Match] =
+    RankShapeRe.findFirstMatchIn(blankedQr)
+      .filter(m => m.group(6).equalsIgnoreCase(m.group(5)))
+
   /** True when the WHOLE statement is the window-rank shape (ROW_NUMBER
-    * over window columns inside a derived table over a window TVF, outer
-    * rank filter). The composer must NOT lift the derived table out of
-    * such a statement — the rank only lowers (streaming) or plans
-    * (batch) with the filter still attached. */
+    * over window columns inside a derived table over a window TVF on a
+    * BARE table name, outer filter on the rank alias). The composer must
+    * NOT lift the derived table out of such a statement — the rank only
+    * lowers (streaming) or plans (batch) with the filter still attached.
+    * A TVF over `TABLE (SELECT ...)` is NOT claimed: the composer lifts
+    * that inner derived table first, and the redispatched statement
+    * (now over a bare view name) is claimed on the next pass. */
   private[graft] def matchesWindowRank(stmt: String): Boolean = {
     val b = blanked(stmt)
     FindRe.findFirstMatchIn(b).exists { mm =>
@@ -315,9 +326,16 @@ object WindowTvfSql {
       val closeTable =
         try matchParen(b, openTable) catch { case _: Exception => -1 }
       closeTable > 0 && {
-        val qr = stmt.substring(0, mm.start) + "__graft_rank_src__" +
-          stmt.substring(closeTable + 1)
-        RankShapeRe.findFirstMatchIn(blanked(qr)).isDefined
+        val openFn = b.indexOf('(', b.indexOf(mm.group(1), openTable))
+        val closeFn = matchParen(b, openFn)
+        val bareTableArgs = scala.util.Try(
+          parseTvfArgs(mm.group(1).toUpperCase,
+            stmt.substring(openFn + 1, closeFn))).isSuccess
+        bareTableArgs && {
+          val qr = stmt.substring(0, mm.start) + "__graft_rank_src__" +
+            stmt.substring(closeTable + 1)
+          rankShapeMatch(blanked(qr)).isDefined
+        }
       }
     }
   }
@@ -338,7 +356,14 @@ object WindowTvfSql {
     * JSON payload and is re-projected afterwards, so <items> may name
     * any source column plus window_start/window_end/window_time and the
     * rank alias. Ties on the ORDER BY value break on the serialized row
-    * (deterministic; batch ROW_NUMBER leaves tie order undefined). */
+    * (deterministic; batch ROW_NUMBER leaves tie order undefined).
+    * NULL ORDER BY values rank like Spark's batch default (NULLS FIRST
+    * ascending, NULLS LAST descending — they ride a ±Infinity score, so
+    * genuine infinite data would tie with them); NULL-rowtime rows drop,
+    * the reference's null-rowtime contract. Integer/decimal ORDER BY
+    * values rank through a DOUBLE — exact to 2^53, the standard
+    * float-rank caveat (beyond it, near-equal values become payload-
+    * order ties). */
   private def lowerStreamingWindowRank(spark: SparkSession, q0: String,
       argText: String): DataFrame = {
     import graft.streaming.StatefulOps
@@ -375,7 +400,7 @@ object WindowTvfSql {
         s"window rank: '$c' is not a column of $table"))
     keys.foreach(srcField)
     val oType = srcField(oCol).dataType
-    val score = oType match {
+    val rawScore = oType match {
       case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(oCol)).cast("double")
       case _: org.apache.spark.sql.types.NumericType => col(oCol).cast("double")
       case other => throw new IllegalArgumentException(
@@ -383,9 +408,16 @@ object WindowTvfSql {
           "numeric or timestamp column")
     }
     val asc = !dirOpt.exists(_.equalsIgnoreCase("DESC"))
+    // NULL scores take Spark's batch ordering — null is the SMALLEST
+    // value in both directions (ASC NULLS FIRST / DESC NULLS LAST), so
+    // the sentinel is -Infinity regardless of direction; the encoder's
+    // primitive Double field cannot carry NULL
+    val score = when(col(oCol).isNull, lit(Double.NegativeInfinity))
+      .otherwise(rawScore)
 
     val keyCol = if (keys.isEmpty) lit("{}") else to_json(struct(keys.map(col): _*))
     val typed = src
+      .where(col(tsCol).isNotNull) // null rowtime cannot be windowed
       .select(keyCol.as("_1"), col(tsCol).as("_2"), score.as("_3"),
         to_json(struct(src.columns.map(col).toIndexedSeq: _*)).as("_4"))
       .as[(String, java.sql.Timestamp, Double, String)]
@@ -410,7 +442,8 @@ object WindowTvfSql {
           case "window_start" => timestamp_micros(col("ws")).as(alias)
           case "window_end" => timestamp_micros(col("we")).as(alias)
           case "window_time" => timestamp_micros(col("we") - 1000L).as(alias)
-          case _ if c.equalsIgnoreCase(rnAs) => col("rn").cast("long").as(alias)
+          // INT like batch ROW_NUMBER, so stream and batch schemas agree
+          case _ if c.equalsIgnoreCase(rnAs) => col("rn").cast("int").as(alias)
           case _ => col("__row").getField(srcField(c).name).as(alias)
         })
       case other => throw new IllegalArgumentException(

@@ -330,6 +330,54 @@ class WindowTvfSqlSpec extends AnyFunSuite {
         WHERE rn <= 1""")
     }
     assert(eP.getMessage.contains("window_start AND window_end"), eP.getMessage)
+
+    // a WHERE on an ORDINARY column over the same inner text is NOT the
+    // rank shape: it takes the normal composed paths (Spark itself
+    // rejects the bare streaming ROW_NUMBER at stream start) — it must
+    // never hit our alias-mismatch error at plan time
+    val dfW = Engine.sql(spark, s"""
+      SELECT k FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start, window_end ORDER BY v) AS rn
+        FROM TABLE(TUMBLE(TABLE rank_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+      WHERE v <= 3""")
+    assert(dfW.isStreaming, "ordinary-filter statement lost streaming-ness")
+
+    // NULL ORDER BY values rank like batch (DESC -> NULLS LAST)
+    val memN = MemoryStream[(String, Long, java.lang.Double)]
+    memN.toDF().select($"_1".as("k"), timestamp_micros($"_2").as("ts"), $"_3".as("v"))
+      .withWatermark("ts", "1 second")
+      .createOrReplaceTempView("rank_null_src")
+    val qN = Engine.sql(spark, s"""
+      SELECT k, v, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start, window_end ORDER BY v DESC) AS rn
+        FROM TABLE(TUMBLE(TABLE rank_null_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+      WHERE rn <= 3""").writeStream.format("memory")
+      .queryName("rank_null_out").outputMode(OutputMode.Append).start()
+    try {
+      memN.addData(("a", 5_000_000L, java.lang.Double.valueOf(1.0)),
+        ("b", 10_000_000L, null), ("c", 20_000_000L, java.lang.Double.valueOf(7.0)))
+      qN.processAllAvailable()
+      memN.addData(("z", 400_000_000L, java.lang.Double.valueOf(0.0)))
+      qN.processAllAvailable(); qN.processAllAvailable()
+    } finally qN.stop()
+    val gotN = spark.table("rank_null_out").filter($"rn".isNotNull)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getInt(2)))
+      .filter(_._1 != "z").toSet
+    assert(gotN == Set(("c", Some(7.0), 1), ("a", Some(1.0), 2), ("b", None, 3)),
+      s"NULL score ordering diverged: $gotN")
+
+    // batch rank over a TVF on a DERIVED table still composes (the
+    // lifter binds the inner SELECT first; the rank claims the residue)
+    val composed = Engine.sql(spark, s"""
+      SELECT k, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start, window_end ORDER BY v DESC) AS rn
+        FROM TABLE(TUMBLE(TABLE (SELECT k, ts, v * 2 AS v FROM rank_batch_src),
+                          DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+      WHERE rn <= 1""")
+    assert(composed.count() == 2, "composed derived-table rank lost rows") // 2 windows, rank over (window) only
   }
 
   test("CUMULATE offset shifts the alignment grid — batch and stream agree") {
