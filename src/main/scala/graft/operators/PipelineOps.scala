@@ -1879,6 +1879,50 @@ object PipelineOps extends QueryModule {
       (s, d) => cmsHeavyHitters(s, d, depth = 4, width = 1024, seed = 555,
         topK = 10),
       Some(cmsOracleSql(depth = 4, width = 1024, seed = 555, topK = 10))),
+
+    GQuery(
+      // DETERMINISTIC TRAIN/VAL/TEST SPLIT (the dataset-versioning step
+      // every training pipeline needs): each document lands in exactly
+      // one of train/val/test by hash threshold (90/5/5 ppm cuts on the
+      // same pluggable family as q135 — xxhash64 production, md5/M61
+      // under the gate), so the split is reproducible on any cluster,
+      // any partitioning, any re-run, and adding documents never moves
+      // an existing one between splits (the property random splits
+      // lack). Output is the per-(lang, split) census — the stratum
+      // audit. Map-side hash + one aggregate: scan-speed at 100 TB.
+      "q139_train_val_test_split",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val hexpr = if (oracleHash(s))
+          "graft_md5lower64(CAST(doc_id AS STRING))" else
+          "xxhash64(CAST(doc_id AS STRING))"
+        Tables.documents(s, d)
+          .withColumn("tok", size(expr(tokensExpr)).cast("long"))
+          .withColumn("u",
+            expr(s"(($hexpr) & ${graft.functions.MinHashParams.Mask60}) % 1000000"))
+          .withColumn("split",
+            when($"u" < 900000L, "train")
+              .when($"u" < 950000L, "val").otherwise("test"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"tok").as("toks"))
+          .orderBy($"lang", $"split")
+      },
+      Some(s"""
+        |WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS BIGINT) AS tok,
+        |         (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |          & ${graft.functions.MinHashParams.Mask60}) % 1000000 AS u
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN u < 900000 THEN 'train'
+        |            WHEN u < 950000 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(tok) AS BIGINT) AS toks
+        |FROM d GROUP BY 1, 2 ORDER BY lang, split
+        |""".stripMargin)),
   )
 
   /** Count-min sketch build + point estimates for the exact top-k

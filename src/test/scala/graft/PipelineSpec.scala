@@ -416,6 +416,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("train/val/test split: exact partition of the corpus, stable under growth — " +
+      "BOTH hash families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (oracle <- Seq(true, false)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val census = SparkEntry.queries("q139_train_val_test_split")(spark, sf)
+          .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val total = Tables.documents(spark, sf).count()
+        // the splits PARTITION the corpus: every doc in exactly one
+        assert(census.values.sum == total, s"[oracle=$oracle] split lost docs")
+        // global proportions near 90/5/5 (hash uniformity; sf0.001 is
+        // 500 docs so the tolerance is generous but one-sided errors
+        // or an off-by-one threshold would blow straight through it)
+        val bySplit = census.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+        val train = bySplit.getOrElse("train", 0L).toDouble / total
+        assert(train > 0.80 && train < 0.97, s"[oracle=$oracle] train share $train")
+        assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0,
+          s"[oracle=$oracle] holdout splits empty")
+        // STABILITY UNDER GROWTH: the split of an existing doc never
+        // changes when the corpus doubles (hash of doc_id only)
+        val hexpr = if (oracle) "graft_md5lower64(CAST(doc_id AS STRING))"
+          else "xxhash64(CAST(doc_id AS STRING))"
+        val splitOf = (df: org.apache.spark.sql.DataFrame) => df
+          .withColumn("u", expr(
+            s"(($hexpr) & ${graft.functions.MinHashParams.Mask60}) % 1000000"))
+          .withColumn("split", when($"u" < 900000L, "train")
+            .when($"u" < 950000L, "val").otherwise("test"))
+          .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+        val base = splitOf(Tables.documents(spark, sf))
+        val grown = splitOf(Tables.documents(spark, sf).union(
+          Tables.documents(spark, sf).withColumn("doc_id", $"doc_id" + 1000000L)))
+        base.foreach { case (id, s0) =>
+          assert(grown(id) == s0, s"[oracle=$oracle] doc $id moved splits on growth") }
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
+  }
+
   test("doc chunking: full coverage, exact window/stride geometry") {
     import spark.implicits._
     val (w, st) = (64, 48)

@@ -269,6 +269,15 @@ class PlanSpec extends AnyFunSuite {
       s"CMS probe joined as a product:\n$p")
   }
 
+  test("q139: split census is one map-side hash pass into one aggregate") {
+    val p = plan("q139_train_val_test_split")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"split census grew a join:\n$p")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"split census shuffles $hashExchanges times:\n$p")
+  }
+
   test("q136: chunking is map-side — no shuffle before the output sort") {
     val p = plan("q136_doc_chunks")
     assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
