@@ -153,10 +153,48 @@ object WatermarkDdl {
       case None => statement match {
         case InsertRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
           spark.sql(s"INSERT INTO ${baseName(table)} $rest")
-        case _ => spark.sql(statement)
+        case _ => sqlHealingCreate(spark, statement)
       }
     }
   }
+
+  private val PlainCreateRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.`]+?)`?\s*[\s(].*$""".r
+
+  /** Fall-through `spark.sql` with LOCATION_ALREADY_EXISTS healing for
+    * PLAIN managed CREATE TABLE statements — [[dropStaleLocation]]'s rule
+    * (r8, extended-DDL base tables) applied at the front door: a prior
+    * JVM's in-memory catalog died but its managed warehouse directory
+    * survived, and the next session's CREATE TABLE of the same name trips
+    * over the garbage. Healing fires only when the failed statement is a
+    * CREATE TABLE with NO explicit LOCATION clause and the table is absent
+    * from the catalog; dropStaleLocation keeps its own guards (conf gate +
+    * Spark-writer-artifacts-only content check), then the CREATE retries
+    * once. Any other failure — or a CTAS/CREATE pointing at a real user
+    * LOCATION — rethrows untouched. */
+  private def sqlHealingCreate(spark: SparkSession, statement: String): DataFrame =
+    try spark.sql(statement)
+    catch {
+      case e: Throwable with org.apache.spark.SparkThrowable
+          if e.getCondition == "LOCATION_ALREADY_EXISTS" =>
+        val b = graft.util.SqlSplit.blankLiterals(statement)
+        val healable = b match {
+          case PlainCreateRe(_) =>
+            """(?i)\bLOCATION\b""".r.findFirstIn(b).isEmpty
+          case _ => false
+        }
+        val nameOpt = b match {
+          case PlainCreateRe(n) if healable =>
+            Some(n.split('.').last.replace("`", ""))
+          case _ => None
+        }
+        nameOpt match {
+          case Some(short) if !spark.catalog.tableExists(short) =>
+            dropStaleLocation(spark, short)
+            spark.sql(statement)
+          case _ => throw e
+        }
+    }
 
   // ---- CREATE TABLE ... LIKE (SqlTableLike.java, MergeTableLikeUtil.java) ----
 

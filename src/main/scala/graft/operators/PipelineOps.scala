@@ -4,7 +4,7 @@ import graft.{GQuery, QueryModule, Tables}
 import graft.functions.GraftFunctions
 import graft.Bits.{dround, droundSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data pipeline operators over `documents` and
@@ -1923,7 +1923,239 @@ object PipelineOps extends QueryModule {
         |       CAST(SUM(tok) AS BIGINT) AS toks
         |FROM d GROUP BY 1, 2 ORDER BY lang, split
         |""".stripMargin)),
+
+    GQuery(
+      // KMV (k-minimum-values / bottom-k) SKETCH CORPUS OVERLAP — the
+      // O(k)-state answer to "how much do these two corpora overlap?"
+      // without ever joining them (Beyer et al., "On Synopses for
+      // Distinct-Value Estimation Under Multiset Operations"). Each
+      // corpus folds its shingle universe into the k smallest DISTINCT
+      // hash values via ONE combiner-enabled aggregate: map tasks trim
+      // to k before the exchange (the TopKAgg buffer contract), so the
+      // shuffle carries k-bounded buffers per corpus — a few KB at
+      // 100 TB, vs q33's inverted-index join that must move the shingle
+      // universe. The merged bottom-k of the two sketches is itself the
+      // sketch of the union (closure under union is THE KMV property),
+      // giving |A∪B| ≈ (k-1)·2^60/h_k and Jaccard ≈ |sketch(A∪B) ∩ A ∩
+      // B| / k with no second pass. Hash family pluggable as ever:
+      // xxhash64 production, md5 lower-64 under the gate — both masked
+      // to 60 bits so the uniformity the estimator needs holds.
+      // All estimator arithmetic is one exact integer product cast to
+      // double and a single IEEE division — bit-identical in DuckDB.
+      "q140_kmv_overlap",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val k = 256
+        val mask = graft.functions.MinHashParams.Mask60
+        val hSql = if (oracleHash(s)) s"graft_md5lower64(shingle) & $mask"
+                   else s"xxhash64(shingle) & $mask"
+        val two60 = lit(1.152921504606846976e18) // 2^60, exact as a double
+        val sh = Tables.documents(s, d)
+          .withColumn("corpus", expr("CAST(substring(source, 4) AS INT) % 2"))
+          .withColumn("toks", expr(tokensExpr))
+          .filter(size($"toks") >= 3)
+          .select($"corpus", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+          .select($"corpus", expr(hSql).as("h"))
+        val bottomK = udaf(new BottomKDistinct(k))
+        // single shuffle; the aggregation buffer IS the sketch
+        val sk = sh.groupBy($"corpus").agg(bottomK($"h").as("sketch"))
+          .localCheckpoint() // 2 tiny rows; fans out into the a/b branches
+        val a = sk.filter($"corpus" === 0).select($"sketch".as("sa"))
+        val b = sk.filter($"corpus" === 1).select($"sketch".as("sb"))
+        // KMV estimator; a sketch smaller than k saw its whole universe,
+        // so the count is exact, not estimated
+        def est(sz: org.apache.spark.sql.Column,
+            hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          dround(when(sz < k, sz.cast("double")).otherwise(
+            (sz - 1).cast("double") * two60 / hk.cast("double")), 4)
+        a.crossJoin(b)
+          .withColumn("merged", slice(array_sort(array_union($"sa", $"sb")), 1, k))
+          .withColumn("inter", size(expr(
+            "filter(merged, v -> array_contains(sa, v) AND array_contains(sb, v))")))
+          .select(
+            size($"sa").cast("long").as("ka"),
+            element_at($"sa", size($"sa")).as("hk_a"),
+            est(size($"sa"), element_at($"sa", size($"sa"))).as("est_a"),
+            size($"sb").cast("long").as("kb"),
+            element_at($"sb", size($"sb")).as("hk_b"),
+            est(size($"sb"), element_at($"sb", size($"sb"))).as("est_b"),
+            size($"merged").cast("long").as("ku"),
+            element_at($"merged", size($"merged")).as("hk_u"),
+            est(size($"merged"), element_at($"merged", size($"merged"))).as("est_union"),
+            $"inter".cast("long").as("inter_cnt"),
+            dround($"inter".cast("double") / size($"merged").cast("double"), 6)
+              .as("jac_est"))
+      },
+      Some {
+        val mask = graft.functions.MinHashParams.Mask60
+        val estSql = (sz: String, hk: String) =>
+          droundSql(s"CASE WHEN $sz < 256 THEN CAST($sz AS DOUBLE) ELSE " +
+            s"(CAST($sz - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))" +
+            s" / CAST($hk AS DOUBLE) END", 4)
+        s"""
+        |WITH s AS (
+        |  SELECT CAST(substring(source, 4) AS INT) % 2 AS corpus,
+        |         unnest(list_transform(range(len(toks) - 2),
+        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+        |  FROM (SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t
+        |  WHERE len(toks) >= 3),
+        |h AS (SELECT DISTINCT corpus,
+        |        (md5_number_lower(shingle) & $mask)::BIGINT AS h FROM s),
+        |ska AS (SELECT h FROM h WHERE corpus = 0 ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM h WHERE corpus = 1 ORDER BY h LIMIT 256),
+        |mg AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+        |       ORDER BY h LIMIT 256),
+        |sta AS (SELECT COUNT(*) AS ka, MAX(h) AS hka FROM ska),
+        |stb AS (SELECT COUNT(*) AS kb, MAX(h) AS hkb FROM skb),
+        |stu AS (SELECT COUNT(*) AS ku, MAX(h) AS hku FROM mg),
+        |ic AS (SELECT COUNT(*) AS inter FROM mg
+        |       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+        |SELECT CAST(sta.ka AS BIGINT) AS ka, sta.hka AS hk_a,
+        |       ${estSql("sta.ka", "sta.hka")} AS est_a,
+        |       CAST(stb.kb AS BIGINT) AS kb, stb.hkb AS hk_b,
+        |       ${estSql("stb.kb", "stb.hkb")} AS est_b,
+        |       CAST(stu.ku AS BIGINT) AS ku, stu.hku AS hk_u,
+        |       ${estSql("stu.ku", "stu.hku")} AS est_union,
+        |       CAST(ic.inter AS BIGINT) AS inter_cnt,
+        |       ${droundSql("CAST(ic.inter AS DOUBLE) / CAST(stu.ku AS DOUBLE)", 6)} AS jac_est
+        |FROM sta, stb, stu, ic
+        |""".stripMargin
+      }),
+
+    GQuery(
+      // FUZZY (MinHash-LSH) DECONTAMINATION — q92's exact n-gram scrub
+      // catches verbatim leakage; real eval contamination is usually
+      // NEAR-duplicate (reformatted, truncated, lightly edited), which is
+      // a bipartite near-dup join: flag every TRAIN document whose
+      // shingle-Jaccard to ANY eval document (source='src0') clears the
+      // threshold. The scale shape is the decisive part: the eval side is
+      // always tiny relative to 100 TB of train, so its band buckets AND
+      // its shingle sets ship as BROADCASTs — the train side is touched
+      // exactly once, map-side (shingle→signature→bucket probe→verify),
+      // with no train-train pairing and no shuffle of train data; the
+      // only exchange is the per-train-doc argmax over the (small)
+      // verified candidate set. Same 32-perm/8-band signature family as
+      // q34 (xxhash64 production / md5/M61 under the gate), so the whole
+      // pipeline is oracle-replayable.
+      "q141_fuzzy_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val nPerm = 32
+        val bands = 8
+        val rows = nPerm / bands
+        val docSets = Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", $"source", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+          .distinct()
+          .groupBy($"doc_id", $"source")
+          .agg(collect_list($"shingle").as("sset"))
+          .withColumn("n", size($"sset"))
+          .withColumn("sig", expr(s"graft_minhash(sset, $nPerm, ${oracleHash(s)})"))
+          .localCheckpoint()
+        def buckets(df: DataFrame): DataFrame = {
+          val bandCols = (0 until bands).map { b =>
+            struct(lit(b).as("band_id"),
+              concat_ws(",", (b * rows until (b + 1) * rows)
+                .map(i => element_at(col("sig"), i + 1)): _*)
+                .as("band_key"))
+          }
+          df.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+            .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
+        }
+        val evalSets = docSets.filter($"source" === "src0")
+        val trainSets = docSets.filter($"source" =!= "src0")
+        val cand = buckets(trainSets).as("x")
+          .join(broadcast(buckets(evalSets)).as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key"))
+          .select(col("x.doc_id").as("t_id"), col("y.doc_id").as("e_id"))
+          .distinct()
+        val verified = cand
+          .join(trainSets.select($"doc_id".as("t_id"), $"sset".as("sa"), $"n".as("na")), Seq("t_id"))
+          .join(broadcast(evalSets.select($"doc_id".as("e_id"), $"sset".as("sb"), $"n".as("nb"))), Seq("e_id"))
+          .withColumn("inter", size(array_intersect($"sa", $"sb")))
+          .filter($"inter" * 100 >= lit(20) * ($"na" + $"nb" - $"inter"))
+          .withColumn("jac_raw", $"inter" / ($"na" + $"nb" - $"inter"))
+        // per train doc: the worst (highest-Jaccard) eval match — the row
+        // a contamination report leads with. jac_raw is one exact-integer
+        // division (deterministic ordering in both engines); ties break
+        // on the smaller eval id.
+        verified
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"t_id").orderBy($"jac_raw".desc, $"e_id")))
+          .filter($"rn" === 1)
+          .select($"t_id", $"e_id", dround($"jac_raw", 6).as("jac"))
+          .orderBy($"t_id")
+      },
+      Some {
+        import graft.functions.MinHashParams.{aFor, bFor, M61, Mask60}
+        val perms = (0 until 32)
+          .map(p => s"($p, ${aFor(p)}, ${bFor(p)})").mkString(", ")
+        s"""
+        |WITH s AS ($shinglesSql),
+        |perms(p, a, b) AS (VALUES $perms),
+        |h AS (SELECT doc_id, (md5_number_lower(shingle) & $Mask60)::BIGINT AS base FROM s),
+        |sig AS (SELECT doc_id, perms.p AS p,
+        |          MIN(((perms.a::HUGEINT * h.base + perms.b) % $M61)::BIGINT) AS mh
+        |        FROM h CROSS JOIN perms GROUP BY 1, 2),
+        |band AS (SELECT doc_id, p // 4 AS band_id,
+        |           string_agg(mh::VARCHAR, ',' ORDER BY p) AS band_key
+        |         FROM sig GROUP BY 1, 2),
+        |ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |cand AS (SELECT DISTINCT x.doc_id AS t_id, y.doc_id AS e_id
+        |         FROM band x JOIN band y
+        |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |         JOIN ev ON y.doc_id = ev.doc_id
+        |         WHERE x.doc_id NOT IN (SELECT doc_id FROM ev)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |inter AS (SELECT c.t_id, c.e_id, COUNT(*) AS inter
+        |          FROM cand c
+        |          JOIN s sa ON sa.doc_id = c.t_id
+        |          JOIN s sb ON sb.doc_id = c.e_id AND sb.shingle = sa.shingle
+        |          GROUP BY 1, 2),
+        |scored AS (SELECT i.t_id, i.e_id,
+        |             CAST(i.inter AS DOUBLE) / (za.n + zb.n - i.inter) AS jac_raw,
+        |             ROW_NUMBER() OVER (PARTITION BY i.t_id
+        |               ORDER BY CAST(i.inter AS DOUBLE) / (za.n + zb.n - i.inter) DESC,
+        |                        i.e_id) AS rn
+        |           FROM inter i JOIN sz za ON i.t_id = za.doc_id
+        |                        JOIN sz zb ON i.e_id = zb.doc_id
+        |           WHERE i.inter * 100 >= 20 * (za.n + zb.n - i.inter))
+        |SELECT t_id, e_id, ${droundSql("jac_raw", 6)} AS jac
+        |FROM scored WHERE rn = 1 ORDER BY t_id
+        |""".stripMargin
+      }),
   )
+
+  /** The k smallest DISTINCT long values as a combine-enabled aggregate —
+    * the KMV sketch builder (q140). The buffer is kept sorted-ascending,
+    * distinct and k-bounded through reduce AND merge, so Spark runs it
+    * with map-side partial aggregation: the exchange carries at most one
+    * k-long buffer per (group, mapper), never the value universe. A full
+    * buffer rejects values >= its current maximum in O(1) — after the
+    * buffer fills, accepted inserts become geometrically rare. */
+  final class BottomKDistinct(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 1, s"BottomKDistinct: k must be >= 1, got $k")
+    private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] = {
+      if (b.size >= k && a >= b.last) b
+      else if (b.contains(a)) b
+      else trim(b :+ a)
+    }
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[Long]): Seq[Long] = trim(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      bufferEncoder
+  }
 
   /** Count-min sketch build + point estimates for the exact top-k
     * tokens (see q138). Counting per token FIRST and folding counts into

@@ -314,6 +314,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV overlap sketch: estimates within theory error of exact counts, " +
+      "partition-invariant — BOTH hash families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // exact ground truth over the same hashed shingle universes the
+    // sketch sees (hash-space semantics: collisions merge by design)
+    for (oracle <- Seq(false, true)) {
+      spark.conf.set("graft.sketch.oracleHash", oracle.toString)
+      try {
+        val mask = functions.MinHashParams.Mask60
+        val hSql = if (oracle) s"graft_md5lower64(shingle) & $mask"
+                   else s"xxhash64(shingle) & $mask"
+        functions.GraftFunctions.register(spark)
+        val hashes = Tables.documents(spark, sf)
+          .withColumn("corpus", expr("CAST(substring(source, 4) AS INT) % 2"))
+          .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .filter(size($"toks") >= 3)
+          .select($"corpus", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+          .select($"corpus", expr(hSql).as("h"))
+        val exactA = hashes.filter($"corpus" === 0).select($"h").distinct().count()
+        val exactB = hashes.filter($"corpus" === 1).select($"h").distinct().count()
+        val exactU = hashes.select($"h").distinct().count()
+        val exactJac = (exactA + exactB - exactU).toDouble / exactU
+        val row = SparkEntry.queries("q140_kmv_overlap")(spark, sf).collect().head
+        def f(n: String): Double = row.getAs[Double](n)
+        // k=256 ⇒ stderr ≈ 1/sqrt(k-2) ≈ 6.3%; 3-sigma bound
+        for ((est, exact, what) <- Seq((f("est_a"), exactA, "A"),
+            (f("est_b"), exactB, "B"), (f("est_union"), exactU, "U"))) {
+          val rel = math.abs(est - exact) / exact
+          assert(rel <= 0.20,
+            s"[oracle=$oracle] $what estimate $est vs exact $exact (rel $rel)")
+        }
+        assert(math.abs(f("jac_est") - exactJac) <= 0.15,
+          s"[oracle=$oracle] jac_est ${f("jac_est")} vs exact $exactJac")
+        // the sketch is a deterministic function of the value SET — any
+        // partitioning/combine order lands on the same bottom-k
+        val k = 256
+        val agg = udaf(new operators.PipelineOps.BottomKDistinct(k))
+        val s1 = hashes.repartition(3).groupBy($"corpus").agg(agg($"h").as("sk"))
+          .orderBy($"corpus").collect().map(_.getSeq[Long](1))
+        val s2 = hashes.repartition(17, $"h").groupBy($"corpus").agg(agg($"h").as("sk"))
+          .orderBy($"corpus").collect().map(_.getSeq[Long](1))
+        assert(s1.map(_.toList).toList == s2.map(_.toList).toList)
+        assert(s1.forall(sk => sk.size <= k && sk == sk.distinct.sorted))
+      } finally spark.conf.unset("graft.sketch.oracleHash")
+    }
+  }
+
   test("embedding PCA: bit-deterministic under repartition, aligned with " +
       "the dominant direction") {
     import spark.implicits._
