@@ -107,6 +107,35 @@ object StreamOps {
       .reduce(_ unionByName _)
   }
 
+  /** Streaming WINDOW JOIN (flink-table-runtime
+    * .../join/window/WindowJoinOperator.java:66, exec node
+    * StreamExecWindowJoin): both streams bucket into the SAME tumbling
+    * window, then equi-join on (window, keys). Spark's native
+    * stream-stream join accepts window-column equality as its state
+    * eviction bound — when the shared watermark passes a window's end,
+    * both sides drop that window's state, exactly the reference's
+    * per-window state cleanup — so the lowering is the built-in join on
+    * the `window()` bucket column, no custom stateful op. Inner and
+    * outer types: an outer side's unmatched rows null-pad once their
+    * window expires (the WindowJoinOperator emit-on-window-end rule).
+    *
+    * Both sides' payload columns must be pre-projected to distinct
+    * names (usual join hygiene); the bucket column comes back as
+    * `w` (struct start/end). At 100 TB the join shuffles on
+    * (window, keys) — the same hash exchange the reference's window
+    * join uses, with AQE handling skewed windows. */
+  def windowJoin(
+      left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
+      maxOutOfOrder: String, windowSize: String, keys: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "windowJoin needs at least one equi-join key")
+    val l = left.withWatermark(leftTs, maxOutOfOrder)
+      .withColumn("w", window(col(leftTs), windowSize))
+    val r = right.withWatermark(rightTs, maxOutOfOrder)
+      .withColumn("w", window(col(rightTs), windowSize))
+    l.join(r, Seq("w") ++ keys, joinType)
+  }
+
   /** Stream-stream interval join: right rows within
     * [left.ts + lowerBound, left.ts + upperBound]. Both sides must carry
     * watermarks; Spark bounds state exactly like Flink's interval join

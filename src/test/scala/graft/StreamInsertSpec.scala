@@ -326,4 +326,57 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
+
+  test("streaming WINDOW JOIN SQL: two TUMBLE TVFs joined on (window, key)") {
+    // StreamExecWindowJoin's statement shape: both streams bucketed by
+    // the same TUMBLE TVF, equi-joined on window bounds + key, running
+    // as a continuous INSERT. The TVF expansion must leave the join
+    // playable by Spark's native stream-stream join with per-window
+    // state eviction.
+    val h = math.abs(getClass.getName.hashCode) + 11
+    val (a, b, sink) = (s"cs_wja_$h", s"cs_wjb_$h", s"cs_wjsink_$h")
+    Seq(a, b).foreach { t =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    }
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $a (k BIGINT, v STRING, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    Engine.sql(spark, s"""
+      CREATE TABLE $b (k BIGINT, v STRING, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink
+      (ws TIMESTAMP, k BIGINT, lv STRING, rv STRING) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wjoin").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT x.window_start AS ws, x.k AS k, x.v AS lv, y.v AS rv
+      FROM TABLE(TUMBLE(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) x
+      JOIN TABLE(TUMBLE(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) y
+        ON x.window_start = y.window_start AND x.k = y.k""", ckpt)
+    try {
+      Engine.sql(spark, s"""INSERT INTO $a VALUES
+        (1, 'L1', TIMESTAMP '2024-01-01 00:00:10'),
+        (1, 'L2', TIMESTAMP '2024-01-01 00:01:10'),
+        (2, 'L3', TIMESTAMP '2024-01-01 00:00:20')""")
+      Engine.sql(spark, s"""INSERT INTO $b VALUES
+        (1, 'R1', TIMESTAMP '2024-01-01 00:00:30'),
+        (2, 'R2', TIMESTAMP '2024-01-01 00:02:15')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      val got = spark.table(sink)
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getLong(1), r.getString(2), r.getString(3))).toSet
+      // window [00:00,00:01): (k1 L1,R1); L2 in the next window and R2's
+      // key-2 row in [00:02,00:03) never pair
+      assert(got == Set(("2024-01-01 00:00:00.0", 1L, "L1", "R1")), s"got $got")
+    } finally {
+      q.stop()
+      Seq(a, b).foreach { t =>
+        Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+        Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+      }
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
 }

@@ -1004,6 +1004,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(vs.contains("has-match") && !vs.contains("no-match"), s"got $vs")
   }
 
+  test("streaming window join (inner): equals the batch window join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamOps.windowJoin(
+      l.toDF().toDF("lts", "k", "lv"), "lts",
+      r.toDF().toDF("rts", "k", "rv"), "rts",
+      "10 seconds", "1 minute", Seq("k"))
+    val q = joined.select($"w.start".cast("long").as("ws"), $"k", $"lv", $"rv")
+      .writeStream.outputMode("append").format("memory").queryName("wj_out").start()
+    // same window + key -> joins; same key different window -> doesn't;
+    // rows arriving out of order ACROSS micro-batches still join as long
+    // as they stay above the watermark (below it = late, dropped — the
+    // same rule Flink's window join applies)
+    l.addData((ts(10), 1L, "L1"))
+    r.addData((ts(20), 1L, "R1"))
+    q.processAllAvailable() // wm = min(0, 10) = 0
+    l.addData((ts(15), 2L, "L3"), (ts(55), 1L, "L4"))
+    r.addData((ts(30), 1L, "R3")) // second right row, same window+key
+    q.processAllAvailable() // wm = min(45, 20) = 20
+    l.addData((ts(70), 1L, "L2")) // next window, no right match
+    r.addData((ts(130), 2L, "R2")) // next-next window, no left match
+    q.processAllAvailable()
+    l.addData((ts(500), 9L, "flush")) ; r.addData((ts(500), 9L, "flush"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wj_out").as[(Long, Long, String, String)].collect().toSet
+    // batch ground truth: identical window bucketing + join on static data
+    val lb = Seq((ts(10), 1L, "L1"), (ts(70), 1L, "L2"), (ts(15), 2L, "L3"),
+      (ts(55), 1L, "L4"), (ts(500), 9L, "flush")).toDF("lts", "k", "lv")
+    val rb = Seq((ts(20), 1L, "R1"), (ts(130), 2L, "R2"), (ts(30), 1L, "R3"),
+      (ts(500), 9L, "flush")).toDF("rts", "k", "rv")
+    val expect = lb.withColumn("w", window($"lts", "1 minute"))
+      .join(rb.withColumn("w", window($"rts", "1 minute")), Seq("w", "k"))
+      .select($"w.start".cast("long"), $"k", $"lv", $"rv")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == expect, s"stream $got vs batch $expect")
+    assert(got.exists(_._3 == "L4"), "cross-batch row must join in its window")
+  }
+
+  test("streaming window join (left outer): unmatched rows null-pad on " +
+      "window expiry, equal to the batch outer join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamOps.windowJoin(
+      l.toDF().toDF("lts", "k", "lv"), "lts",
+      r.toDF().toDF("rts", "k", "rv"), "rts",
+      "10 seconds", "1 minute", Seq("k"), "left_outer")
+    val q = joined.select($"w.start".cast("long").as("ws"), $"k", $"lv", $"rv")
+      .writeStream.outputMode("append").format("memory").queryName("wjo_out").start()
+    l.addData((ts(10), 1L, "matched"), (ts(20), 2L, "unmatched"))
+    r.addData((ts(30), 1L, "R1"))
+    q.processAllAvailable()
+    // watermark far past the window end: the unmatched left row emits
+    // with a null right side (two advancing batches so the wm applies)
+    l.addData((ts(500), 9L, "flush")); r.addData((ts(500), 9L, "flush"))
+    q.processAllAvailable()
+    l.addData((ts(510), 9L, "flush2")); r.addData((ts(510), 9L, "flush2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wjo_out").as[(Long, Long, String, Option[String])]
+      .collect().toSet
+    assert(got.contains((0L, 1L, "matched", Some("R1"))), s"got $got")
+    assert(got.contains((0L, 2L, "unmatched", None)), s"got $got")
+  }
+
   test("stream-stream interval join within bounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
