@@ -29,6 +29,41 @@ class StateReaderSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 2L, "b" -> 1L), s"state was: $rows")
   }
 
+  test("queryable-state analog: point lookup against a RUNNING query's state") {
+    // Flink's queryable state (KeyedStream.java:1031 asQueryableState +
+    // QueryableStateClient — deprecated upstream and scoped out as an
+    // engine feature): the micro-batch analog is a point read of the
+    // last COMMITTED batch's state while the query keeps running — the
+    // `statestore` source reads the version the running query has
+    // already sealed, so no stop, no snapshot copy, and successive
+    // lookups observe successive committed versions.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-qstate").toString
+    val in = MemoryStream[(String, Long)]
+    val agg = in.toDF().toDF("k", "v").groupBy("k").count()
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("qs_out").start()
+    try {
+      in.addData(("a", 1L), ("b", 1L), ("a", 1L))
+      q.processAllAvailable()
+      def lookup(k: String): Option[Long] =
+        spark.read.format("statestore").load(ckpt)
+          .filter($"key.k" === k).select($"value.count")
+          .as[Long].collect().headOption
+      assert(q.isActive, "the query must still be running")
+      assert(lookup("a").contains(2L) && lookup("b").contains(1L))
+      assert(lookup("missing").isEmpty)
+      // a later lookup against the still-running query sees the newer
+      // committed version
+      in.addData(("a", 1L))
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(lookup("a").contains(3L), s"got ${lookup("a")}")
+    } finally q.stop()
+  }
+
   test("savepoint bootstrap: offline-written state seeds a new streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
