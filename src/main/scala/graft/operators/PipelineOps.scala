@@ -1945,21 +1945,10 @@ object PipelineOps extends QueryModule {
       "q140_kmv_overlap",
       (s, d) => {
         import s.implicits._
-        GraftFunctions.register(s)
         val k = 256
-        val mask = graft.functions.MinHashParams.Mask60
-        val hSql = if (oracleHash(s)) s"graft_md5lower64(shingle) & $mask"
-                   else s"xxhash64(shingle) & $mask"
         val two60 = lit(1.152921504606846976e18) // 2^60, exact as a double
-        val sh = Tables.documents(s, d)
-          .withColumn("corpus", expr("CAST(substring(source, 4) AS INT) % 2"))
-          .withColumn("toks", expr(tokensExpr))
-          .filter(size($"toks") >= 3)
-          .select($"corpus", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
-          .select($"corpus", expr(hSql).as("h"))
-        val bottomK = udaf(new BottomKDistinct(k))
         // single shuffle; the aggregation buffer IS the sketch
-        val sk = sh.groupBy($"corpus").agg(bottomK($"h").as("sketch"))
+        val sk = kmvSketches(s, d, k)
           .localCheckpoint() // 2 tiny rows; fans out into the a/b branches
         val a = sk.filter($"corpus" === 0).select($"sketch".as("sa"))
         val b = sk.filter($"corpus" === 1).select($"sketch".as("sb"))
@@ -2130,6 +2119,26 @@ object PipelineOps extends QueryModule {
         |""".stripMargin
       }),
   )
+
+  /** q140's sketch stage, pre-checkpoint (PlanSpec pins the partial+final
+    * aggregate shape on this sub-plan — localCheckpoint truncates the
+    * lineage the full query exposes): per-corpus hashed shingles into
+    * ONE combine-enabled bottom-k aggregate. */
+  private[graft] def kmvSketches(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val mask = graft.functions.MinHashParams.Mask60
+    val hSql = if (oracleHash(s)) s"graft_md5lower64(shingle) & $mask"
+               else s"xxhash64(shingle) & $mask"
+    val bottomK = udaf(new BottomKDistinct(k))
+    Tables.documents(s, d)
+      .withColumn("corpus", expr("CAST(substring(source, 4) AS INT) % 2"))
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size($"toks") >= 3)
+      .select($"corpus", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+      .select($"corpus", expr(hSql).as("h"))
+      .groupBy($"corpus").agg(bottomK($"h").as("sketch"))
+  }
 
   /** The k smallest DISTINCT long values as a combine-enabled aggregate —
     * the KMV sketch builder (q140). The buffer is kept sorted-ascending,

@@ -287,4 +287,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == rangeExchanges,
       s"chunker has a non-sort shuffle ($exchanges vs $rangeExchanges):\n$p")
   }
+
+  test("q140: the KMV sketch combines map-side — partial before the exchange") {
+    // the whole 100 TB argument: the exchange carries k-bounded buffers,
+    // so the sketch aggregate must run partial+final (same contract as
+    // q78's top-k), and the sketch pipeline must not join or sort the
+    // hashed-shingle universe
+    // the SKETCH sub-plan (pre-checkpoint: the full query's executedPlan
+    // starts at the checkpointed RDD scan, hiding the aggregate)
+    val p = operators.PipelineOps.kmvSketches(spark, sf, 256)
+      .queryExecution.executedPlan.toString
+    val aggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final sketch aggregate, got $aggs:\n$p")
+    assert(p.toLowerCase.contains("bottomkdistinct"),
+      s"missing the bottom-k aggregate in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"the sketch path must never join the shingle universe:\n$p")
+  }
+
+  test("q141: the eval side broadcasts — train is never shuffled for pairing") {
+    // bipartite decontamination's scale shape: both eval-side joins
+    // (band buckets + verification sets) are broadcasts; no sort-merge
+    // join and no cartesian anywhere
+    val p = plan("q141_fuzzy_decontaminate")
+    val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts >= 2, s"expected >=2 broadcast exchanges (buckets + sets):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontamination:\n$p")
+  }
 }
