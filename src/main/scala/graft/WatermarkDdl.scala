@@ -158,42 +158,52 @@ object WatermarkDdl {
     }
   }
 
-  private val PlainCreateRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.`]+?)`?\s*[\s(].*$""".r
+  private val CreateHeadRe =
+    """(?is)^\s*CREATE\s+TABLE\b.*$""".r
 
   /** Fall-through `spark.sql` with LOCATION_ALREADY_EXISTS healing for
-    * PLAIN managed CREATE TABLE statements — [[dropStaleLocation]]'s rule
-    * (r8, extended-DDL base tables) applied at the front door: a prior
-    * JVM's in-memory catalog died but its managed warehouse directory
-    * survived, and the next session's CREATE TABLE of the same name trips
-    * over the garbage. Healing fires only when the failed statement is a
-    * CREATE TABLE with NO explicit LOCATION clause and the table is absent
-    * from the catalog; dropStaleLocation keeps its own guards (conf gate +
-    * Spark-writer-artifacts-only content check), then the CREATE retries
-    * once. Any other failure — or a CTAS/CREATE pointing at a real user
-    * LOCATION — rethrows untouched. */
+    * managed CREATE TABLE statements — [[dropStaleLocation]]'s rule (r8,
+    * extended-DDL base tables) applied at the front door: a prior JVM's
+    * in-memory catalog died but its managed warehouse directory survived,
+    * and the next session's CREATE TABLE of the same name trips over the
+    * garbage. The healed directory is the EXACT path the error reports
+    * (its `location` message parameter), never re-derived from the table
+    * name — a db-qualified name or a non-default current database would
+    * otherwise resolve to the wrong directory. Guards: the statement is a
+    * CREATE TABLE, the reported location lies UNDER the session warehouse
+    * (the managed-table signature — an explicit user LOCATION outside the
+    * warehouse never heals), the reported identifier is absent from the
+    * catalog, and [[healLocationDir]] applies its own conf gate +
+    * Spark-writer-artifacts-only content check. Then the CREATE retries
+    * once; any other failure rethrows untouched. */
   private def sqlHealingCreate(spark: SparkSession, statement: String): DataFrame =
     try spark.sql(statement)
     catch {
       case e: Throwable with org.apache.spark.SparkThrowable
-          if e.getCondition == "LOCATION_ALREADY_EXISTS" =>
-        val b = graft.util.SqlSplit.blankLiterals(statement)
-        val healable = b match {
-          case PlainCreateRe(_) =>
-            """(?i)\bLOCATION\b""".r.findFirstIn(b).isEmpty
-          case _ => false
+          if e.getCondition == "LOCATION_ALREADY_EXISTS" &&
+            CreateHeadRe.matches(graft.util.SqlSplit.blankLiterals(statement)) =>
+        val params = e.getMessageParameters
+        val locRaw = Option(params.get("location")).getOrElse(throw e)
+          .stripPrefix("'").stripSuffix("'")
+        val ident = Option(params.get("identifier")).getOrElse(throw e)
+          .replace("`", "")
+        val loc = scala.util.Try(new java.io.File(new java.net.URI(locRaw)))
+          .getOrElse(new java.io.File(locRaw)).getCanonicalFile
+        val wh = warehouseDir(spark).getCanonicalFile
+        val underWarehouse = {
+          var f = loc.getParentFile
+          var found = false
+          while (f != null && !found) { found = f == wh; f = f.getParentFile }
+          found
         }
-        val nameOpt = b match {
-          case PlainCreateRe(n) if healable =>
-            Some(n.split('.').last.replace("`", ""))
-          case _ => None
-        }
-        nameOpt match {
-          case Some(short) if !spark.catalog.tableExists(short) =>
-            dropStaleLocation(spark, short)
-            spark.sql(statement)
-          case _ => throw e
-        }
+        // a 3-part identifier the Catalog API can't resolve defaults to
+        // EXISTS (= don't heal) — deletion must never ride on a lookup error
+        val identExists =
+          scala.util.Try(spark.catalog.tableExists(ident)).getOrElse(true)
+        if (underWarehouse && !identExists) {
+          healLocationDir(spark, loc, ident)
+          spark.sql(statement)
+        } else throw e
     }
 
   // ---- CREATE TABLE ... LIKE (SqlTableLike.java, MergeTableLikeUtil.java) ----
@@ -390,23 +400,32 @@ object WatermarkDdl {
     * real duplicate CREATE still fails with TABLE_ALREADY_EXISTS). */
   private def dropStaleLocation(spark: SparkSession, base: String): Unit = {
     if (spark.catalog.tableExists(base)) return
+    val loc = new java.io.File(warehouseDir(spark), base.toLowerCase)
+    healLocationDir(spark, loc, base)
+  }
+
+  private def warehouseDir(spark: SparkSession): java.io.File = {
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    val path = if (wh.contains(":")) scala.util.Try(
+    if (wh.contains(":")) scala.util.Try(
       new java.io.File(new java.net.URI(wh))).getOrElse(new java.io.File(wh))
     else new java.io.File(wh)
-    val loc = new java.io.File(path, base.toLowerCase)
+  }
+
+  /** The guarded delete both healing entry points share. The catalog
+    * lacking an entry is NOT proof the directory is garbage: with
+    * in-memory catalogs sharing a warehouse, another live session (or
+    * data a user meant to keep) may own it. Healing is (a) gated by a
+    * conf, and (b) refuses to delete anything that doesn't LOOK like an
+    * abandoned managed parquet table — only Spark writer artifacts
+    * (part-* / _SUCCESS / _committed / _started / .crc) at any depth. */
+  private def healLocationDir(spark: SparkSession, loc: java.io.File,
+      what: String): Unit = {
     if (!loc.exists()) return
-    // The catalog lacking the entry is NOT proof the directory is garbage:
-    // with in-memory catalogs sharing a warehouse, another live session
-    // (or data a user meant to keep) may own it. Healing is (a) gated by
-    // a conf, and (b) refuses to delete anything that doesn't LOOK like
-    // an abandoned managed parquet table — only Spark writer artifacts
-    // (part-* / _SUCCESS / _committed / _started / .crc) at any depth.
     if (!spark.conf.get("graft.healOrphanedLocations", "true").toBoolean)
       throw new IllegalStateException(
-        s"managed location $loc exists but table $base is not in this " +
+        s"managed location $loc exists but table $what is not in this " +
           "session's catalog, and graft.healOrphanedLocations=false; " +
-          s"remove the directory (or DROP TABLE $base from the owning " +
+          s"remove the directory (or DROP TABLE $what from the owning " +
           "session) before CREATE")
     def artifacts(f: java.io.File): Boolean =
       if (f.isDirectory) Option(f.listFiles).forall(_.forall(artifacts))
@@ -420,9 +439,9 @@ object WatermarkDdl {
       throw new IllegalStateException(
         s"refusing to heal $loc: directory holds files that are not " +
           s"Spark table artifacts — not an abandoned managed table for " +
-          s"$base; remove it manually if the data is truly garbage")
+          s"$what; remove it manually if the data is truly garbage")
     org.apache.log4j.Logger.getLogger(getClass).warn(
-      s"healing orphaned managed location $loc for $base (no catalog " +
+      s"healing orphaned managed location $loc for $what (no catalog " +
         "entry; set graft.healOrphanedLocations=false to fail instead)")
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))

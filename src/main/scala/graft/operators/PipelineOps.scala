@@ -23,8 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps extends QueryModule {
 
-  /** Whitespace tokens of the lowercased text, empties removed. */
-  private val tokensExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+  /** Whitespace tokens of the lowercased text, empties removed. Shared
+    * with the streaming ingest filter (LshDedup) — the tokenization must
+    * stay bit-identical across the batch and streaming dedup paths. */
+  private[graft] val tokensExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+
+  /** LSH band keys over a MinHash signature column: band b's key is its
+    * `nPerm/bands` signature slots joined as a string, prefixed with the
+    * band id — engine-neutral (the DuckDB oracles rebuild the same
+    * string), and the SINGLE implementation behind q34, q141 and the
+    * streaming LshDedup so the banding layout can never desynchronize
+    * between the batch dedup, the decontamination join and the ingest
+    * filter. */
+  private[graft] def bandKeyCols(nPerm: Int, bands: Int,
+      sigCol: String): Seq[org.apache.spark.sql.Column] = {
+    require(nPerm % bands == 0, s"nPerm=$nPerm not divisible by bands=$bands")
+    val rows = nPerm / bands
+    (0 until bands).map { b =>
+      concat_ws(",", lit(b) +: (b * rows until (b + 1) * rows)
+        .map(i => element_at(col(sigCol), i + 1)): _*)
+    }
+  }
 
   /** The correctness gate (graft.Verify) sets
     * `graft.sketch.oracleHash=true`, selecting the oracle-aligned md5/M61
@@ -208,7 +227,6 @@ object PipelineOps extends QueryModule {
         // additionally asserted in DedupSpec.
         val nPerm = 32
         val bands = 8
-        val rows = nPerm / bands
         // Single shuffle: collect the shingle set per doc, then ONE codegen
         // pass computes the whole 32-perm signature (graft_minhash) — nPerm
         // separate min() aggregates would bloat both the aggregation buffer
@@ -224,17 +242,12 @@ object PipelineOps extends QueryModule {
           .withColumn("n", size($"sset"))
           .withColumn("sig", expr(s"graft_minhash(sset, $nPerm, ${oracleHash(s)})"))
           .localCheckpoint()
-        val bandCols = (0 until bands).map { b =>
-          struct(lit(b).as("band_id"),
-            concat_ws(",", (b * rows until (b + 1) * rows)
-              .map(i => element_at(col("sig"), i + 1)): _*)
-              .as("band_key"))
-        }
-        val buckets = docSets.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-          .select($"doc_id", $"bk.band_id", $"bk.band_key")
+        // band-id-prefixed combined keys (the shared bandKeyCols layout):
+        // equality on the single string == equality on (band_id, band_key)
+        val buckets = docSets.select($"doc_id",
+          explode(array(bandKeyCols(nPerm, bands, "sig"): _*)).as("bucket"))
         val cand = buckets.as("x").join(buckets.as("y"),
-            col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
+            col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
@@ -1947,33 +1960,44 @@ object PipelineOps extends QueryModule {
         import s.implicits._
         val k = 256
         val two60 = lit(1.152921504606846976e18) // 2^60, exact as a double
-        // single shuffle; the aggregation buffer IS the sketch
-        val sk = kmvSketches(s, d, k)
-          .localCheckpoint() // 2 tiny rows; fans out into the a/b branches
-        val a = sk.filter($"corpus" === 0).select($"sketch".as("sa"))
-        val b = sk.filter($"corpus" === 1).select($"sketch".as("sb"))
+        // single shuffle; the aggregation buffer IS the sketch. The pair
+        // row is ONE pivot aggregate (never a filter+crossJoin: an empty
+        // corpus would collapse the cross join to zero rows while the
+        // oracle's scalar CTEs always yield one — this shape emits
+        // exactly one row on any input, empty corpora included)
+        val empty = array().cast("array<bigint>")
+        val one = kmvSketches(s, d, k).agg(
+          coalesce(first(when($"corpus" === 0, $"sketch"), ignoreNulls = true),
+            empty).as("sa"),
+          coalesce(first(when($"corpus" === 1, $"sketch"), ignoreNulls = true),
+            empty).as("sb"))
         // KMV estimator; a sketch smaller than k saw its whole universe,
-        // so the count is exact, not estimated
+        // so the count is exact, not estimated. An empty sketch reads
+        // NULL h_k and 0.0 estimate, same as the oracle's MAX-over-empty.
+        def hk(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(size(c) === 0, lit(null).cast("bigint"))
+            .otherwise(element_at(c, size(c)))
         def est(sz: org.apache.spark.sql.Column,
-            hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            hkc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           dround(when(sz < k, sz.cast("double")).otherwise(
-            (sz - 1).cast("double") * two60 / hk.cast("double")), 4)
-        a.crossJoin(b)
+            (sz - 1).cast("double") * two60 / hkc.cast("double")), 4)
+        one
           .withColumn("merged", slice(array_sort(array_union($"sa", $"sb")), 1, k))
           .withColumn("inter", size(expr(
             "filter(merged, v -> array_contains(sa, v) AND array_contains(sb, v))")))
           .select(
             size($"sa").cast("long").as("ka"),
-            element_at($"sa", size($"sa")).as("hk_a"),
-            est(size($"sa"), element_at($"sa", size($"sa"))).as("est_a"),
+            hk($"sa").as("hk_a"),
+            est(size($"sa"), hk($"sa")).as("est_a"),
             size($"sb").cast("long").as("kb"),
-            element_at($"sb", size($"sb")).as("hk_b"),
-            est(size($"sb"), element_at($"sb", size($"sb"))).as("est_b"),
+            hk($"sb").as("hk_b"),
+            est(size($"sb"), hk($"sb")).as("est_b"),
             size($"merged").cast("long").as("ku"),
-            element_at($"merged", size($"merged")).as("hk_u"),
-            est(size($"merged"), element_at($"merged", size($"merged"))).as("est_union"),
+            hk($"merged").as("hk_u"),
+            est(size($"merged"), hk($"merged")).as("est_union"),
             $"inter".cast("long").as("inter_cnt"),
-            dround($"inter".cast("double") / size($"merged").cast("double"), 6)
+            when(size($"merged") === 0, lit(null).cast("double")).otherwise(
+              dround($"inter".cast("double") / size($"merged").cast("double"), 6))
               .as("jac_est"))
       },
       Some {
@@ -2008,7 +2032,9 @@ object PipelineOps extends QueryModule {
         |       CAST(stu.ku AS BIGINT) AS ku, stu.hku AS hk_u,
         |       ${estSql("stu.ku", "stu.hku")} AS est_union,
         |       CAST(ic.inter AS BIGINT) AS inter_cnt,
-        |       ${droundSql("CAST(ic.inter AS DOUBLE) / CAST(stu.ku AS DOUBLE)", 6)} AS jac_est
+        |       CASE WHEN stu.ku = 0 THEN NULL ELSE
+        |         ${droundSql("CAST(ic.inter AS DOUBLE) / CAST(stu.ku AS DOUBLE)", 6)}
+        |       END AS jac_est
         |FROM sta, stb, stu, ic
         |""".stripMargin
       }),
@@ -2034,7 +2060,6 @@ object PipelineOps extends QueryModule {
         GraftFunctions.register(s)
         val nPerm = 32
         val bands = 8
-        val rows = nPerm / bands
         val docSets = Tables.documents(s, d)
           .withColumn("toks", expr(tokensExpr))
           .filter(size($"toks") >= 3)
@@ -2045,22 +2070,14 @@ object PipelineOps extends QueryModule {
           .withColumn("n", size($"sset"))
           .withColumn("sig", expr(s"graft_minhash(sset, $nPerm, ${oracleHash(s)})"))
           .localCheckpoint()
-        def buckets(df: DataFrame): DataFrame = {
-          val bandCols = (0 until bands).map { b =>
-            struct(lit(b).as("band_id"),
-              concat_ws(",", (b * rows until (b + 1) * rows)
-                .map(i => element_at(col("sig"), i + 1)): _*)
-                .as("band_key"))
-          }
-          df.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-            .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
-        }
+        def buckets(df: DataFrame): DataFrame =
+          df.select(col("doc_id"),
+            explode(array(bandKeyCols(nPerm, bands, "sig"): _*)).as("bucket"))
         val evalSets = docSets.filter($"source" === "src0")
         val trainSets = docSets.filter($"source" =!= "src0")
         val cand = buckets(trainSets).as("x")
           .join(broadcast(buckets(evalSets)).as("y"),
-            col("x.band_id") === col("y.band_id") &&
-              col("x.band_key") === col("y.band_key"))
+            col("x.bucket") === col("y.bucket"))
           .select(col("x.doc_id").as("t_id"), col("y.doc_id").as("e_id"))
           .distinct()
         val verified = cand

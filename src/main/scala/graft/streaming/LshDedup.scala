@@ -30,11 +30,15 @@ import org.apache.spark.sql.streaming._
   * with an (event-time, doc_id) tiebreak INSIDE a batch so replays are
   * deterministic.
   *
-  * State: one long per CLAIMED bucket — bands × distinct-survivor count,
-  * independent of stream volume (duplicates add no state); the verdict
-  * stage holds only open windows. At 100 TB/day the bucket map is the
-  * working set a RocksDB store pages; an optional TTL would bound it to
-  * a dedup horizon (Flink's state TTL on the dedup operator).
+  * State: one long per CLAIMED bucket. Survivors claim all `bands`
+  * buckets; a near-duplicate claims only the buckets it does NOT share
+  * with its cluster (an exact duplicate claims none) — so state grows
+  * with distinct clusters plus partial-overlap spill, never with exact
+  * duplicates, and never with stream volume for a saturating corpus.
+  * The verdict stage holds only open windows. At 100 TB/day the bucket
+  * map is the working set a RocksDB store pages; an optional TTL would
+  * bound it to a dedup horizon (Flink's state TTL on the dedup
+  * operator).
   *
   * Requires the RocksDB state store provider (transformWithState
   * runtime) and a watermark on the input's event-time column.
@@ -70,10 +74,15 @@ object LshDedup {
 
   /** Lower the dedup over a streaming `docs` frame with columns
     * (doc_id BIGINT, ts TIMESTAMP watermarked, text STRING). Returns a
-    * streaming frame (doc_id, ts, is_dup) that finalizes per document
-    * once the watermark passes its window — `filter(!is_dup)` is the
-    * ingest-keep stream. Signature family pluggable like the batch
-    * sketches (oracleAligned=false ⇒ xxhash64 production hash). */
+    * streaming frame (doc_id, ts, is_dup, nb) — ts is the document's own
+    * event time, nb the number of folded band verdicts (0 for a
+    * too-short doc) — finalizing per document once the watermark passes
+    * its 1-second verdict window; `filter(!is_dup)` is the ingest-keep
+    * stream. Documents with fewer than 3 tokens cannot shingle and
+    * cannot near-dup: they pass through with is_dup=false (they are
+    * ingest rows, not filterable ones). Signature family pluggable like
+    * the batch sketches (oracleAligned=false ⇒ xxhash64 production
+    * hash). */
   def dedup(spark: SparkSession, docs: DataFrame, nPerm: Int = 32,
       bands: Int = 8, oracleAligned: Boolean = false): DataFrame = {
     require(nPerm % bands == 0, s"nPerm=$nPerm not divisible by bands=$bands")
@@ -84,18 +93,15 @@ object LshDedup {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val rows = nPerm / bands
-    val sig = docs
-      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    val toked = docs
+      .withColumn("toks", expr(graft.operators.PipelineOps.tokensExpr))
+    val sig = toked
       .filter(size($"toks") >= 3)
       .withColumn("sset", expr("array_distinct(graft_shingles(toks, 3))"))
       .withColumn("sig", expr(s"graft_minhash(sset, $nPerm, $oracleAligned)"))
-    val bandCols = (0 until bands).map { b =>
-      concat_ws(",", lit(b) +: (b * rows until (b + 1) * rows)
-        .map(i => element_at(col("sig"), i + 1)): _*)
-    }
     val banded = sig
-      .select($"doc_id", $"ts", explode(array(bandCols: _*)).as("bucket"))
+      .select($"doc_id", $"ts", explode(array(
+        graft.operators.PipelineOps.bandKeyCols(nPerm, bands, "sig"): _*)).as("bucket"))
       .select($"bucket", $"doc_id", $"ts")
       .as[(String, Long, java.sql.Timestamp)]
     val verdicts = banded.groupByKey(_._1)(Encoders.STRING)
@@ -104,12 +110,17 @@ object LshDedup {
           org.apache.spark.sql.Encoders.TIMESTAMP, Encoders.scalaBoolean))
       .toDF("doc_id", "ts", "hit")
     // the verdict fold: all of a doc's band rows share its timestamp, so
-    // one tumbling window holds exactly its `bands` verdicts; the window
-    // finalizes (append mode) when the watermark passes — the document's
-    // single (doc_id, is_dup) emission
-    verdicts
+    // one tumbling window holds exactly its `bands` verdicts (min(ts)
+    // restores the exact event time); the window finalizes (append mode)
+    // when the watermark passes — the document's single emission.
+    // Too-short docs never reach the LSH: they bypass as a STATELESS
+    // branch with is_dup=false, so the keep stream never loses them.
+    val folded = verdicts
       .groupBy(window($"ts", "1 second").as("w"), $"doc_id")
-      .agg(count(lit(1)).as("nb"), max($"hit").as("is_dup"))
-      .select($"doc_id", $"w.start".as("ts"), $"is_dup", $"nb")
+      .agg(min($"ts").as("ts"), count(lit(1)).as("nb"), max($"hit").as("is_dup"))
+      .select($"doc_id", $"ts", $"is_dup", $"nb")
+    val short = toked.filter(size($"toks") < 3)
+      .select($"doc_id", $"ts", lit(false).as("is_dup"), lit(0L).as("nb"))
+    folded.unionByName(short)
   }
 }

@@ -129,6 +129,11 @@ object StreamOps {
       maxOutOfOrder: String, windowSize: String, keys: Seq[String],
       joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "windowJoin needs at least one equi-join key")
+    // "w" is the reserved bucket column — silently overwriting a payload
+    // column of that name would corrupt caller data
+    require(!left.columns.contains("w") && !right.columns.contains("w"),
+      "windowJoin reserves the column name 'w' for the window bucket; " +
+        "rename the input's 'w' column first")
     val l = left.withWatermark(leftTs, maxOutOfOrder)
       .withColumn("w", window(col(leftTs), windowSize))
     val r = right.withWatermark(rightTs, maxOutOfOrder)

@@ -44,7 +44,8 @@ class LshDedupSpec extends AnyFunSuite {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try {
-          in.addData((1L, ts(10), textA), (3L, ts(11), textB))
+          in.addData((1L, ts(10), textA), (3L, ts(11), textB),
+            (5L, ts(12), "hello world")) // <3 tokens: must pass through
           q.processAllAvailable()
           // doc 2 = byte-identical to doc 1, arriving TWO batches later:
           // every band bucket is already claimed from state
@@ -68,6 +69,11 @@ class LshDedupSpec extends AnyFunSuite {
       // every doc's verdict folded exactly its 8 band rows
       assert(Set(1L, 2L, 3L, 4L).forall(rows(_)._2 == 8L),
         s"[oracle=$oracle] band fold counts: $rows")
+      // a too-short doc cannot near-dup: it passes through the stateless
+      // bypass with is_dup=false and nb=0 — the ingest-keep stream must
+      // never lose it
+      assert(rows.get(5L).contains((false, 0L)),
+        s"[oracle=$oracle] short doc lost or flagged: $rows")
     }
   }
 
