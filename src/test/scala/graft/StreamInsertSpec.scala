@@ -327,6 +327,60 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
 
+  test("streaming WINDOW JOIN SQL: two HOP TVFs joined on (window, key)") {
+    // the sliding-window variant of StreamExecWindowJoin: each side's
+    // rows expand into their size/slide containing windows (the HOP TVF
+    // expansion), then the same per-window equi-join; a pair sharing two
+    // overlapping windows joins once PER window, the TVF contract
+    val h = math.abs(getClass.getName.hashCode) + 12
+    val (a, b, sink) = (s"cs_hja_$h", s"cs_hjb_$h", s"cs_hjsink_$h")
+    Seq(a, b).foreach { t =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    }
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $a (k BIGINT, v STRING, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    Engine.sql(spark, s"""
+      CREATE TABLE $b (k BIGINT, v STRING, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink
+      (ws TIMESTAMP, k BIGINT, lv STRING, rv STRING) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hjoin").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT x.window_start AS ws, x.k AS k, x.v AS lv, y.v AS rv
+      FROM TABLE(HOP(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) x
+      JOIN TABLE(HOP(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) y
+        ON x.window_start = y.window_start AND x.k = y.k""", ckpt)
+    try {
+      // L at 00:01:10 lives in windows starting 00:00 and 00:01;
+      // R at 00:01:40 lives in the same two -> the pair emits TWICE
+      Engine.sql(spark, s"""INSERT INTO $a VALUES
+        (1, 'L1', TIMESTAMP '2024-01-01 00:01:10')""")
+      Engine.sql(spark, s"""INSERT INTO $b VALUES
+        (1, 'R1', TIMESTAMP '2024-01-01 00:01:40'),
+        (1, 'R2', TIMESTAMP '2024-01-01 00:02:40')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      val got = spark.table(sink)
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getLong(1), r.getString(2), r.getString(3))).toSet
+      // R2 (windows 00:01/00:02) overlaps L1 only in the 00:01 window
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", 1L, "L1", "R1"),
+        ("2024-01-01 00:01:00.0", 1L, "L1", "R1"),
+        ("2024-01-01 00:01:00.0", 1L, "L1", "R2")), s"got $got")
+    } finally {
+      q.stop()
+      Seq(a, b).foreach { t =>
+        Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+        Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+      }
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
   test("streaming WINDOW JOIN SQL: two TUMBLE TVFs joined on (window, key)") {
     // StreamExecWindowJoin's statement shape: both streams bucketed by
     // the same TUMBLE TVF, equi-joined on window bounds + key, running

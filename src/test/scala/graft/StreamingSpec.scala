@@ -1075,6 +1075,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((0L, 2L, "unmatched", None)), s"got $got")
   }
 
+  test("streaming window join: semi and anti variants") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def run(joinType: String, sink: String): Set[(Long, Long, String)] = {
+      val l = MemoryStream[(Timestamp, Long, String)]
+      val r = MemoryStream[(Timestamp, Long, String)]
+      val joined = StreamOps.windowJoin(
+        l.toDF().toDF("lts", "k", "lv"), "lts",
+        r.toDF().toDF("rts", "k", "rv"), "rts",
+        "10 seconds", "1 minute", Seq("k"), joinType)
+      // anti flattens to w_start/w_end scalars; semi keeps the w struct
+      val ws = if (joined.columns.contains("w_start")) $"w_start" else $"w.start"
+      val q = joined.select(ws.cast("long").as("ws"), $"k", $"lv")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        l.addData((ts(10), 1L, "has-match"), (ts(20), 2L, "no-match"))
+        r.addData((ts(30), 1L, "R1"))
+        q.processAllAvailable()
+        l.addData((ts(500), 9L, "fl")); r.addData((ts(500), 9L, "fl"))
+        q.processAllAvailable()
+        l.addData((ts(510), 9L, "fl2")); r.addData((ts(510), 9L, "fl2"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).as[(Long, Long, String)].collect().toSet
+        .filterNot(_._3.startsWith("fl"))
+    }
+    // semi: left rows WITH a same-window same-key right match, once
+    assert(run("left_semi", "wjs_semi") == Set((0L, 1L, "has-match")))
+    // anti: left rows WITHOUT one, emitted when their window expires
+    assert(run("left_anti", "wjs_anti") == Set((0L, 2L, "no-match")))
+  }
+
   test("stream-stream interval join within bounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
