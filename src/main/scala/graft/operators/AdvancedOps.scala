@@ -928,6 +928,45 @@ object AdvancedOps extends QueryModule {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2
+        |""".stripMargin)),
+
+    GQuery(
+      // WINDOW JOIN through the TVF SQL statement (StreamExecWindowJoin's
+      // text form, batch-gated here; the streaming run of the same shape
+      // is spec'd in StreamInsertSpec): both sides of a self-join are HOP
+      // TVF expansions (each row lands in its size/slide containing
+      // windows), equi-joined on (window_start, user_id). Flink argument
+      // order HOP(TABLE t, DESCRIPTOR(ts), slide, size). The oracle
+      // replays the expansion with q22's i∈{0,1} hop convention; the
+      // row-level join count equals nc·np per (window, user).
+      "q142_window_tvf_join_sql",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT unix_seconds(x.window_start) AS ws, x.user_id AS user_id,
+                 COUNT(*) AS n_pairs
+          FROM (SELECT window_start, user_id
+                FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+                WHERE event_type = 'click') x
+          JOIN (SELECT window_start, user_id
+                FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+                WHERE event_type = 'purchase') y
+            ON x.window_start = y.window_start AND x.user_id = y.user_id
+          GROUP BY x.window_start, x.user_id
+          ORDER BY ws, user_id
+        """)
+      },
+      Some("""
+        |WITH w AS (
+        |  SELECT (epoch_ns(ts)//1000000000//300 - i.i)*300 AS ws, user_id, event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1)) i(i)),
+        |c AS (SELECT ws, user_id, COUNT(*) AS nc FROM w
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT ws, user_id, COUNT(*) AS np FROM w
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.ws AS ws, c.user_id AS user_id, CAST(c.nc * p.np AS BIGINT) AS n_pairs
+        |FROM c JOIN p ON c.ws = p.ws AND c.user_id = p.user_id
+        |ORDER BY ws, user_id
         |""".stripMargin)))
 
   private lazy val allRowsQueries: Seq[GQuery] = Seq(
