@@ -142,18 +142,16 @@ object StreamOps {
       // Spark has no stream-stream LeftAnti: lower onto left_outer +
       // right-null filter — the null pad emits exactly when the window
       // expires with no match, which IS the window anti join's
-      // emit-on-window-end rule. The right's watermark column is never
-      // null on a real match, so it is the null-test column; only the
-      // left's columns (+ the bucket) survive, the anti-join contract.
-      // the join result is fully FLATTENED to untagged scalars
-      // (w_start/w_end + left payload): the anti join is terminal by
-      // contract — its output carries no event-time column, so a second
-      // stateful operator cannot chain behind it (Spark's
-      // one-event-time-column rule would reject the ambiguity anyway)
+      // emit-on-window-end rule (the right's watermark column is never
+      // null on a real match, so it is the null-test column). Each side
+      // exposes exactly ONE event-time column for the anti-shaped state
+      // watermark — the bucket keeps its tag (it drives per-window
+      // eviction), the raw ts columns travel untagged — and the output
+      // flattens to untagged scalars (w_start/w_end + the left's
+      // columns): the anti join is terminal by contract, since with no
+      // event-time column no second stateful operator can chain behind
+      // it (Spark's one-event-time-column rule would reject that anyway).
       val md = org.apache.spark.sql.types.Metadata.empty
-      // each join side must expose exactly ONE event-time column for the
-      // anti-shaped state watermark: the bucket keeps its tag (it drives
-      // per-window eviction), the raw ts columns travel untagged
       val lAnti = l.withColumn(leftTs, col(leftTs).as(leftTs, md))
       val rAnti = r.withColumn(rightTs, col(rightTs).as(rightTs, md))
       lAnti.join(rAnti, Seq("w") ++ keys, "left_outer")

@@ -19,18 +19,7 @@ class AltCepTwsSpec extends AnyFunSuite {
   private def m(bits: Int*): Long = bits.foldLeft(0L)((a, b) => a | (1L << b))
   private def leaf(q: Quant = Quant.One) = Leaf(StepDef(q))
 
-  private def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+  private def withRocksDB[T](body: => T): T = TestSpark.withRocksDB(body)
 
   private def run(useTws: Boolean, sink: String, c: AltCep.CompiledAlt,
       delay: String, batches: Seq[Seq[(Long, Long, Long, Long)]])

@@ -15,18 +15,7 @@ class CepTwsSpec extends AnyFunSuite {
 
   private def us(sec: Long): Long = sec * 1000000L
 
-  private def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+  private def withRocksDB[T](body: => T): T = TestSpark.withRocksDB(body)
 
   /** Replays `batches` through either executor and collects the sink. */
   private def run(useTws: Boolean, sink: String, pattern: Pattern,

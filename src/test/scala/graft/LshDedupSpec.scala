@@ -14,17 +14,7 @@ class LshDedupSpec extends AnyFunSuite {
 
   private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
 
-  private def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withRocksDB[T](body: => T): T = TestSpark.withRocksDB(body)
 
   private val textA = "the quick brown fox jumps over the lazy dog tonight"
   private val textB = "completely different words about spark catalyst plans"

@@ -20,18 +20,7 @@ class StatefulTwsSpec extends AnyFunSuite {
 
   /** Runs `body` with the RocksDB state store provider (the TWS runtime
     * prerequisite), restoring the previous provider after. */
-  def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+  def withRocksDB[T](body: => T): T = TestSpark.withRocksDB(body)
 
   // ---- event-time sort -------------------------------------------------
 

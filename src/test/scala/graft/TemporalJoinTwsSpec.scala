@@ -18,18 +18,7 @@ class TemporalJoinTwsSpec extends AnyFunSuite {
 
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
 
-  private def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+  private def withRocksDB[T](body: => T): T = TestSpark.withRocksDB(body)
 
   private def runScript(useTws: Boolean, sink: String, maxIdleMs: Long)
       : Seq[(Long, Long, String, Option[String])] = {

@@ -20,4 +20,19 @@ object TestSpark {
   }
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Runs `body` with the RocksDB state store provider (the
+    * transformWithState runtime), restoring the previous provider after —
+    * shared by every TWS-driving spec. */
+  def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
