@@ -2135,6 +2135,113 @@ object PipelineOps extends QueryModule {
         |FROM scored WHERE rn = 1 ORDER BY t_id
         |""".stripMargin
       }),
+
+    GQuery(
+      // END-TO-END PIPELINE COMPOSITION — the operators above are only
+      // useful if they CHAIN: this is the canonical training-data
+      // pipeline as ONE query — quality gate (token count + integer
+      // mean-word-length bounds, q38/q85's family) → normalized exact
+      // dedup keep-min (q32's rule) → eval-set decontamination scrub
+      // (≥5 distinct shared 3-shingles with the src0 eval corpus, q92's
+      // threshold against the corpus-level eval set) → deterministic
+      // train/val/test census (q139's 90/5/5 ppm hash cuts). Every stage
+      // keeps its standalone scale shape (map-side gates, one dedup
+      // window, broadcast eval side, one census aggregate), so the
+      // composition is a linear chain of the already-audited plans; the
+      // oracle replays all four stages as one CTE chain.
+      "q143_pipeline_e2e",
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("ntok", size($"toks").cast("long"))
+        // stage 1: quality gate — integer arithmetic only (sumlen/ntok
+        // bounds cross-multiplied, no doubles near the threshold)
+        val quality = docs
+          .filter($"source" =!= "src0" && $"ntok" >= 10)
+          .withColumn("sumlen", expr(
+            "aggregate(transform(toks, x -> length(x)), CAST(0 AS BIGINT), (a, b) -> a + b)"))
+          .filter($"sumlen" >= $"ntok" * 2 && $"sumlen" <= $"ntok" * 12)
+        // stage 2: normalized exact dedup, min-id survivor
+        val survivors = quality
+          .withColumn("norm",
+            trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"norm").orderBy($"doc_id")))
+          .filter($"rk" === 1)
+          .localCheckpoint() // feeds both the scrub join and the census
+        // stage 3: decontamination — the eval corpus' distinct shingles
+        // BROADCAST, survivors sharing >= 5 drop
+        val sShing = survivors
+          .select($"doc_id", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+          .distinct()
+        val evalSh = broadcast(docs
+          .filter($"source" === "src0" && size($"toks") >= 3)
+          .select(explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+          .distinct())
+        val contaminated = sShing.join(evalSh, "shingle")
+          .groupBy($"doc_id").agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 5)
+        val clean = survivors
+          .join(contaminated.select($"doc_id"), Seq("doc_id"), "left_anti")
+        // stage 4: deterministic split census (q139's cuts)
+        val hexpr = if (oracleHash(s))
+          "graft_md5lower64(CAST(doc_id AS STRING))" else
+          "xxhash64(CAST(doc_id AS STRING))"
+        clean
+          .withColumn("u",
+            expr(s"(($hexpr) & ${graft.functions.MinHashParams.Mask60}) % 1000000"))
+          .withColumn("split",
+            when($"u" < 900000L, "train")
+              .when($"u" < 950000L, "val").otherwise("test"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("toks"))
+          .orderBy($"lang", $"split")
+      },
+      Some {
+        val mask = graft.functions.MinHashParams.Mask60
+        s"""
+        |WITH base AS (
+        |  SELECT doc_id, lang, source, text,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(len(toks) AS BIGINT) AS ntok,
+        |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sumlen
+        |  FROM base WHERE source <> 'src0' AND len(toks) >= 10),
+        |qf AS (SELECT * FROM q WHERE sumlen >= ntok * 2 AND sumlen <= ntok * 12),
+        |srv AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) ORDER BY doc_id) AS rk
+        |    FROM qf) z WHERE rk = 1),
+        |ssh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+        |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+        |    FROM srv) a),
+        |esh AS (
+        |  SELECT DISTINCT unnest(list_transform(range(len(toks) - 2),
+        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+        |  FROM base WHERE source = 'src0' AND len(toks) >= 3),
+        |cont AS (SELECT doc_id FROM ssh JOIN esh USING (shingle)
+        |         GROUP BY doc_id HAVING COUNT(*) >= 5),
+        |clean AS (SELECT * FROM srv
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |c AS (
+        |  SELECT lang, ntok,
+        |         (md5_number_lower(CAST(doc_id AS VARCHAR)) & $mask) % 1000000 AS u
+        |  FROM clean)
+        |SELECT lang,
+        |       CASE WHEN u < 900000 THEN 'train'
+        |            WHEN u < 950000 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS toks
+        |FROM c GROUP BY 1, 2 ORDER BY lang, split
+        |""".stripMargin
+      }),
   )
 
   /** q140's sketch stage, pre-checkpoint (PlanSpec pins the partial+final
