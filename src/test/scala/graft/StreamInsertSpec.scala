@@ -381,6 +381,58 @@ class StreamInsertSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming WINDOW JOIN SQL: two CUMULATE TVFs joined on (window, key)") {
+    // the expanding-window variant: each row lands in every open slice
+    // window that contains it (slice 1min, max 2min -> windows
+    // [aligned, aligned+1m) and [aligned, aligned+2m)); pairs join once
+    // per shared (window_start, window_end)
+    val h = math.abs(getClass.getName.hashCode) + 13
+    val (a, b, sink) = (s"cs_cja_$h", s"cs_cjb_$h", s"cs_cjsink_$h")
+    Seq(a, b).foreach { t =>
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    }
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $a (k BIGINT, v STRING, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    Engine.sql(spark, s"""
+      CREATE TABLE $b (k BIGINT, v STRING, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    Engine.sql(spark, s"""CREATE TABLE $sink
+      (ws TIMESTAMP, we TIMESTAMP, k BIGINT, lv STRING, rv STRING) USING parquet""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cjoin").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT x.window_start AS ws, x.window_end AS we, x.k AS k,
+             x.v AS lv, y.v AS rv
+      FROM TABLE(CUMULATE(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) x
+      JOIN TABLE(CUMULATE(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) y
+        ON x.window_start = y.window_start AND x.window_end = y.window_end
+           AND x.k = y.k""", ckpt)
+    try {
+      // L at 00:00:10 -> slices [00:00,00:01) and [00:00,00:02);
+      // R at 00:01:30 -> slice [00:00,00:02) only: ONE shared window
+      Engine.sql(spark, s"""INSERT INTO $a VALUES
+        (1, 'L1', TIMESTAMP '2024-01-01 00:00:10')""")
+      Engine.sql(spark, s"""INSERT INTO $b VALUES
+        (1, 'R1', TIMESTAMP '2024-01-01 00:01:30')""")
+      q.processAllAvailable(); q.processAllAvailable()
+      val got = spark.table(sink)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getString(3), r.getString(4))).toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "2024-01-01 00:02:00.0", 1L, "L1", "R1")), s"got $got")
+    } finally {
+      q.stop()
+      Seq(a, b).foreach { t =>
+        Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+        Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+      }
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+  }
+
   test("streaming WINDOW JOIN SQL: two TUMBLE TVFs joined on (window, key)") {
     // StreamExecWindowJoin's statement shape: both streams bucketed by
     // the same TUMBLE TVF, equi-joined on window bounds + key, running
