@@ -1075,6 +1075,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((0L, 2L, "unmatched", None)), s"got $got")
   }
 
+  test("streaming window join (full outer): both sides null-pad on expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamOps.windowJoin(
+      l.toDF().toDF("lts", "k", "lv"), "lts",
+      r.toDF().toDF("rts", "k", "rv"), "rts",
+      "10 seconds", "1 minute", Seq("k"), "full_outer")
+    val q = joined.select($"w.start".cast("long").as("ws"), $"k", $"lv", $"rv")
+      .writeStream.outputMode("append").format("memory").queryName("wjf_out").start()
+    l.addData((ts(10), 1L, "both-l"), (ts(20), 2L, "left-only"))
+    r.addData((ts(30), 1L, "both-r"), (ts(40), 3L, "right-only"))
+    q.processAllAvailable()
+    l.addData((ts(500), 9L, "fl")); r.addData((ts(500), 9L, "fl"))
+    q.processAllAvailable()
+    l.addData((ts(510), 9L, "fl2")); r.addData((ts(510), 9L, "fl2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wjf_out")
+      .as[(Long, Long, Option[String], Option[String])].collect().toSet
+      .filterNot(t => t._3.exists(_.startsWith("fl")) || t._4.exists(_.startsWith("fl")))
+    assert(got == Set(
+      (0L, 1L, Some("both-l"), Some("both-r")),
+      (0L, 2L, Some("left-only"), None),
+      (0L, 3L, None, Some("right-only"))), s"got $got")
+  }
+
   test("streaming window join: semi and anti variants") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
