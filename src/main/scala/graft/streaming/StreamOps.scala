@@ -145,21 +145,23 @@ object StreamOps {
       // emit-on-window-end rule (the right's watermark column is never
       // null on a real match, so it is the null-test column). Each side
       // exposes exactly ONE event-time column for the anti-shaped state
-      // watermark — the bucket keeps its tag (it drives per-window
-      // eviction), the raw ts columns travel untagged — and the output
-      // flattens to untagged scalars (w_start/w_end + the left's
-      // columns): the anti join is terminal by contract, since with no
-      // event-time column no second stateful operator can chain behind
-      // it (Spark's one-event-time-column rule would reject that anyway).
+      // watermark — the bucket keeps its tag through the join (it drives
+      // per-window eviction), the raw ts columns travel untagged — and
+      // the output keeps the SAME (w struct + left columns) shape as the
+      // other join types, with every event-time tag stripped: the anti
+      // join is terminal by contract, since with no event-time column no
+      // second stateful operator can chain behind it (Spark's
+      // one-event-time-column rule would reject that anyway). Columns
+      // resolve by LINEAGE (lAnti(c)), so shared left/right names —
+      // including both ts columns being named "ts" — stay unambiguous.
       val md = org.apache.spark.sql.types.Metadata.empty
       val lAnti = l.withColumn(leftTs, col(leftTs).as(leftTs, md))
       val rAnti = r.withColumn(rightTs, col(rightTs).as(rightTs, md))
       lAnti.join(rAnti, Seq("w") ++ keys, "left_outer")
-        .filter(col(rightTs).isNull)
-        .select((Seq(col("w.start").as("w_start", md),
-            col("w.end").as("w_end", md)) ++ keys.map(col) ++
+        .filter(rAnti(rightTs).isNull)
+        .select((Seq(col("w").as("w", md)) ++ keys.map(col) ++
           left.columns.filterNot(keys.contains)
-            .map(c => col(c).as(c, md))): _*)
+            .map(c => lAnti(c).as(c, md))): _*)
     } else l.join(r, Seq("w") ++ keys, joinType)
   }
 

@@ -327,57 +327,63 @@ class StreamInsertSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
 
-  test("streaming WINDOW JOIN SQL: two HOP TVFs joined on (window, key)") {
-    // the sliding-window variant of StreamExecWindowJoin: each side's
-    // rows expand into their size/slide containing windows (the HOP TVF
-    // expansion), then the same per-window equi-join; a pair sharing two
-    // overlapping windows joins once PER window, the TVF contract
-    val h = math.abs(getClass.getName.hashCode) + 12
-    val (a, b, sink) = (s"cs_hja_$h", s"cs_hjb_$h", s"cs_hjsink_$h")
-    Seq(a, b).foreach { t =>
-      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
-      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
-    }
-    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
-    Engine.sql(spark, s"""
-      CREATE TABLE $a (k BIGINT, v STRING, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
-    Engine.sql(spark, s"""
-      CREATE TABLE $b (k BIGINT, v STRING, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
-    Engine.sql(spark, s"""CREATE TABLE $sink
-      (ws TIMESTAMP, k BIGINT, lv STRING, rv STRING) USING parquet""")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-hjoin").toString
-    val q = Engine.sqlStreamInsert(spark, s"""
-      INSERT INTO $sink
-      SELECT x.window_start AS ws, x.k AS k, x.v AS lv, y.v AS rv
-      FROM TABLE(HOP(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) x
-      JOIN TABLE(HOP(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) y
-        ON x.window_start = y.window_start AND x.k = y.k""", ckpt)
-    try {
-      // L at 00:01:10 lives in windows starting 00:00 and 00:01;
-      // R at 00:01:40 lives in the same two -> the pair emits TWICE
-      Engine.sql(spark, s"""INSERT INTO $a VALUES
-        (1, 'L1', TIMESTAMP '2024-01-01 00:01:10')""")
-      Engine.sql(spark, s"""INSERT INTO $b VALUES
-        (1, 'R1', TIMESTAMP '2024-01-01 00:01:40'),
-        (1, 'R2', TIMESTAMP '2024-01-01 00:02:40')""")
-      q.processAllAvailable(); q.processAllAvailable()
-      val got = spark.table(sink)
-        .collect().map(r => (r.getTimestamp(0).toString,
-          r.getLong(1), r.getString(2), r.getString(3))).toSet
-      // R2 (windows 00:01/00:02) overlaps L1 only in the 00:01 window
-      assert(got == Set(
-        ("2024-01-01 00:00:00.0", 1L, "L1", "R1"),
-        ("2024-01-01 00:01:00.0", 1L, "L1", "R1"),
-        ("2024-01-01 00:01:00.0", 1L, "L1", "R2")), s"got $got")
-    } finally {
-      q.stop()
+  /** Shared fixture for the window-TVF-join statements: two WATERMARK
+    * source tables (k BIGINT, v STRING, ts TIMESTAMP) + a parquet sink
+    * with `sinkCols`, created fresh and torn down either way — the
+    * create/drop choreography lives ONCE, not per window variant. */
+  private def withWindowJoinTables(prefix: String, sinkCols: String)(
+      body: (String, String, String) => Unit): Unit = {
+    val h = math.abs(getClass.getName.hashCode)
+    val (a, b, sink) = (s"${prefix}a_$h", s"${prefix}b_$h", s"${prefix}sink_$h")
+    def dropAll(): Unit = {
       Seq(a, b).foreach { t =>
         Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
         Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
       }
       Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    }
+    dropAll()
+    Seq(a, b).foreach { t =>
+      Engine.sql(spark, s"""
+        CREATE TABLE $t (k BIGINT, v STRING, ts TIMESTAMP,
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
+    }
+    Engine.sql(spark, s"CREATE TABLE $sink ($sinkCols) USING parquet")
+    try body(a, b, sink) finally dropAll()
+  }
+
+  test("streaming WINDOW JOIN SQL: two HOP TVFs joined on (window, key)") {
+    // the sliding-window variant of StreamExecWindowJoin: each side's
+    // rows expand into their size/slide containing windows (the HOP TVF
+    // expansion), then the same per-window equi-join; a pair sharing two
+    // overlapping windows joins once PER window, the TVF contract
+    withWindowJoinTables("cs_hj",
+        "ws TIMESTAMP, k BIGINT, lv STRING, rv STRING") { (a, b, sink) =>
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-hjoin").toString
+      val q = Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT x.window_start AS ws, x.k AS k, x.v AS lv, y.v AS rv
+        FROM TABLE(HOP(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) x
+        JOIN TABLE(HOP(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) y
+          ON x.window_start = y.window_start AND x.k = y.k""", ckpt)
+      try {
+        // L at 00:01:10 lives in windows starting 00:00 and 00:01;
+        // R at 00:01:40 lives in the same two -> the pair emits TWICE
+        Engine.sql(spark, s"""INSERT INTO $a VALUES
+          (1, 'L1', TIMESTAMP '2024-01-01 00:01:10')""")
+        Engine.sql(spark, s"""INSERT INTO $b VALUES
+          (1, 'R1', TIMESTAMP '2024-01-01 00:01:40'),
+          (1, 'R2', TIMESTAMP '2024-01-01 00:02:40')""")
+        q.processAllAvailable(); q.processAllAvailable()
+        val got = spark.table(sink)
+          .collect().map(r => (r.getTimestamp(0).toString,
+            r.getLong(1), r.getString(2), r.getString(3))).toSet
+        // R2 (windows 00:01/00:02) overlaps L1 only in the 00:01 window
+        assert(got == Set(
+          ("2024-01-01 00:00:00.0", 1L, "L1", "R1"),
+          ("2024-01-01 00:01:00.0", 1L, "L1", "R1"),
+          ("2024-01-01 00:01:00.0", 1L, "L1", "R2")), s"got $got")
+      } finally q.stop()
     }
   }
 
@@ -386,50 +392,31 @@ class StreamInsertSpec extends AnyFunSuite {
     // window that contains it (slice 1min, max 2min -> windows
     // [aligned, aligned+1m) and [aligned, aligned+2m)); pairs join once
     // per shared (window_start, window_end)
-    val h = math.abs(getClass.getName.hashCode) + 13
-    val (a, b, sink) = (s"cs_cja_$h", s"cs_cjb_$h", s"cs_cjsink_$h")
-    Seq(a, b).foreach { t =>
-      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
-      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
-    }
-    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
-    Engine.sql(spark, s"""
-      CREATE TABLE $a (k BIGINT, v STRING, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
-    Engine.sql(spark, s"""
-      CREATE TABLE $b (k BIGINT, v STRING, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
-    Engine.sql(spark, s"""CREATE TABLE $sink
-      (ws TIMESTAMP, we TIMESTAMP, k BIGINT, lv STRING, rv STRING) USING parquet""")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-cjoin").toString
-    val q = Engine.sqlStreamInsert(spark, s"""
-      INSERT INTO $sink
-      SELECT x.window_start AS ws, x.window_end AS we, x.k AS k,
-             x.v AS lv, y.v AS rv
-      FROM TABLE(CUMULATE(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) x
-      JOIN TABLE(CUMULATE(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) y
-        ON x.window_start = y.window_start AND x.window_end = y.window_end
-           AND x.k = y.k""", ckpt)
-    try {
-      // L at 00:00:10 -> slices [00:00,00:01) and [00:00,00:02);
-      // R at 00:01:30 -> slice [00:00,00:02) only: ONE shared window
-      Engine.sql(spark, s"""INSERT INTO $a VALUES
-        (1, 'L1', TIMESTAMP '2024-01-01 00:00:10')""")
-      Engine.sql(spark, s"""INSERT INTO $b VALUES
-        (1, 'R1', TIMESTAMP '2024-01-01 00:01:30')""")
-      q.processAllAvailable(); q.processAllAvailable()
-      val got = spark.table(sink)
-        .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
-          r.getLong(2), r.getString(3), r.getString(4))).toSet
-      assert(got == Set(
-        ("2024-01-01 00:00:00.0", "2024-01-01 00:02:00.0", 1L, "L1", "R1")), s"got $got")
-    } finally {
-      q.stop()
-      Seq(a, b).foreach { t =>
-        Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
-        Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
-      }
-      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    withWindowJoinTables("cs_cj",
+        "ws TIMESTAMP, we TIMESTAMP, k BIGINT, lv STRING, rv STRING") { (a, b, sink) =>
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cjoin").toString
+      val q = Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT x.window_start AS ws, x.window_end AS we, x.k AS k,
+               x.v AS lv, y.v AS rv
+        FROM TABLE(CUMULATE(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) x
+        JOIN TABLE(CUMULATE(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) y
+          ON x.window_start = y.window_start AND x.window_end = y.window_end
+             AND x.k = y.k""", ckpt)
+      try {
+        // L at 00:00:10 -> slices [00:00,00:01) and [00:00,00:02);
+        // R at 00:01:30 -> slice [00:00,00:02) only: ONE shared window
+        Engine.sql(spark, s"""INSERT INTO $a VALUES
+          (1, 'L1', TIMESTAMP '2024-01-01 00:00:10')""")
+        Engine.sql(spark, s"""INSERT INTO $b VALUES
+          (1, 'R1', TIMESTAMP '2024-01-01 00:01:30')""")
+        q.processAllAvailable(); q.processAllAvailable()
+        val got = spark.table(sink)
+          .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+            r.getLong(2), r.getString(3), r.getString(4))).toSet
+        assert(got == Set(
+          ("2024-01-01 00:00:00.0", "2024-01-01 00:02:00.0", 1L, "L1", "R1")), s"got $got")
+      } finally q.stop()
     }
   }
 
@@ -439,50 +426,31 @@ class StreamInsertSpec extends AnyFunSuite {
     // as a continuous INSERT. The TVF expansion must leave the join
     // playable by Spark's native stream-stream join with per-window
     // state eviction.
-    val h = math.abs(getClass.getName.hashCode) + 11
-    val (a, b, sink) = (s"cs_wja_$h", s"cs_wjb_$h", s"cs_wjsink_$h")
-    Seq(a, b).foreach { t =>
-      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
-      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
-    }
-    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
-    Engine.sql(spark, s"""
-      CREATE TABLE $a (k BIGINT, v STRING, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
-    Engine.sql(spark, s"""
-      CREATE TABLE $b (k BIGINT, v STRING, ts TIMESTAMP,
-        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)""")
-    Engine.sql(spark, s"""CREATE TABLE $sink
-      (ws TIMESTAMP, k BIGINT, lv STRING, rv STRING) USING parquet""")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-wjoin").toString
-    val q = Engine.sqlStreamInsert(spark, s"""
-      INSERT INTO $sink
-      SELECT x.window_start AS ws, x.k AS k, x.v AS lv, y.v AS rv
-      FROM TABLE(TUMBLE(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) x
-      JOIN TABLE(TUMBLE(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) y
-        ON x.window_start = y.window_start AND x.k = y.k""", ckpt)
-    try {
-      Engine.sql(spark, s"""INSERT INTO $a VALUES
-        (1, 'L1', TIMESTAMP '2024-01-01 00:00:10'),
-        (1, 'L2', TIMESTAMP '2024-01-01 00:01:10'),
-        (2, 'L3', TIMESTAMP '2024-01-01 00:00:20')""")
-      Engine.sql(spark, s"""INSERT INTO $b VALUES
-        (1, 'R1', TIMESTAMP '2024-01-01 00:00:30'),
-        (2, 'R2', TIMESTAMP '2024-01-01 00:02:15')""")
-      q.processAllAvailable(); q.processAllAvailable()
-      val got = spark.table(sink)
-        .collect().map(r => (r.getTimestamp(0).toString,
-          r.getLong(1), r.getString(2), r.getString(3))).toSet
-      // window [00:00,00:01): (k1 L1,R1); L2 in the next window and R2's
-      // key-2 row in [00:02,00:03) never pair
-      assert(got == Set(("2024-01-01 00:00:00.0", 1L, "L1", "R1")), s"got $got")
-    } finally {
-      q.stop()
-      Seq(a, b).foreach { t =>
-        Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
-        Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
-      }
-      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    withWindowJoinTables("cs_wj",
+        "ws TIMESTAMP, k BIGINT, lv STRING, rv STRING") { (a, b, sink) =>
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-wjoin").toString
+      val q = Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT x.window_start AS ws, x.k AS k, x.v AS lv, y.v AS rv
+        FROM TABLE(TUMBLE(TABLE $a, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) x
+        JOIN TABLE(TUMBLE(TABLE $b, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) y
+          ON x.window_start = y.window_start AND x.k = y.k""", ckpt)
+      try {
+        Engine.sql(spark, s"""INSERT INTO $a VALUES
+          (1, 'L1', TIMESTAMP '2024-01-01 00:00:10'),
+          (1, 'L2', TIMESTAMP '2024-01-01 00:01:10'),
+          (2, 'L3', TIMESTAMP '2024-01-01 00:00:20')""")
+        Engine.sql(spark, s"""INSERT INTO $b VALUES
+          (1, 'R1', TIMESTAMP '2024-01-01 00:00:30'),
+          (2, 'R2', TIMESTAMP '2024-01-01 00:02:15')""")
+        q.processAllAvailable(); q.processAllAvailable()
+        val got = spark.table(sink)
+          .collect().map(r => (r.getTimestamp(0).toString,
+            r.getLong(1), r.getString(2), r.getString(3))).toSet
+        // window [00:00,00:01): (k1 L1,R1); L2 in the next window and R2's
+        // key-2 row in [00:02,00:03) never pair
+        assert(got == Set(("2024-01-01 00:00:00.0", 1L, "L1", "R1")), s"got $got")
+      } finally q.stop()
     }
   }
 }

@@ -1111,13 +1111,14 @@ class StreamingSpec extends AnyFunSuite {
     def run(joinType: String, sink: String): Set[(Long, Long, String)] = {
       val l = MemoryStream[(Timestamp, Long, String)]
       val r = MemoryStream[(Timestamp, Long, String)]
+      // both ts columns share the name "ts" on purpose: the anti
+      // lowering must resolve them by lineage, not by (ambiguous) name
       val joined = StreamOps.windowJoin(
-        l.toDF().toDF("lts", "k", "lv"), "lts",
-        r.toDF().toDF("rts", "k", "rv"), "rts",
+        l.toDF().toDF("ts", "k", "lv"), "ts",
+        r.toDF().toDF("ts", "k", "rv"), "ts",
         "10 seconds", "1 minute", Seq("k"), joinType)
-      // anti flattens to w_start/w_end scalars; semi keeps the w struct
-      val ws = if (joined.columns.contains("w_start")) $"w_start" else $"w.start"
-      val q = joined.select(ws.cast("long").as("ws"), $"k", $"lv")
+      // every joinType (anti included) keeps the shared w-struct shape
+      val q = joined.select($"w.start".cast("long").as("ws"), $"k", $"lv")
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
       try {
         l.addData((ts(10), 1L, "has-match"), (ts(20), 2L, "no-match"))
