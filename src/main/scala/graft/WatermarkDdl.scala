@@ -175,7 +175,22 @@ object WatermarkDdl {
     * warehouse never heals), the reported identifier is absent from the
     * catalog, and [[healLocationDir]] applies its own conf gate +
     * Spark-writer-artifacts-only content check. Then the CREATE retries
-    * once; any other failure rethrows untouched. */
+    * once; any other failure rethrows untouched.
+    *
+    * The front door is RISKIER than the internal `__<t>_base` path: a
+    * plain table name can collide with a LIVE managed table owned by a
+    * concurrent session sharing the warehouse (in-memory catalogs don't
+    * see each other), and its directory is content-indistinguishable
+    * from an orphan — exactly part-* / _SUCCESS files. Two extra guards
+    * here: (a) STALENESS — every file under the location must predate
+    * this JVM's start; a concurrent session that wrote the table during
+    * our lifetime leaves fresh mtimes and is never healed, while a prior
+    * crashed JVM's garbage always predates us; (b) the heal is logged at
+    * ERROR, naming the deleted path. `graft.healOrphanedLocations
+    * .frontDoor=false` disables this path entirely (the CREATE fails
+    * with the original LOCATION_ALREADY_EXISTS). A fresh-looking
+    * directory fails LOUDLY with remediation steps instead of deleting —
+    * shared-warehouse data loss is worse than a failed CREATE. */
   private def sqlHealingCreate(spark: SparkSession, statement: String): DataFrame =
     try spark.sql(statement)
     catch {
@@ -200,11 +215,43 @@ object WatermarkDdl {
         // EXISTS (= don't heal) — deletion must never ride on a lookup error
         val identExists =
           scala.util.Try(spark.catalog.tableExists(ident)).getOrElse(true)
-        if (underWarehouse && !identExists) {
+        val frontDoorOn = spark.conf
+          .get("graft.healOrphanedLocations.frontDoor", "true").toBoolean
+        if (underWarehouse && !identExists && frontDoorOn) {
+          requireStale(loc, ident)
           healLocationDir(spark, loc, ident)
+          org.apache.log4j.Logger.getLogger(getClass).error(
+            s"front-door heal DELETED orphaned managed location $loc for " +
+              s"$ident (stale artifacts-only dir, no catalog entry; set " +
+              "graft.healOrphanedLocations.frontDoor=false to fail instead)")
           spark.sql(statement)
         } else throw e
     }
+
+  private val jvmStartMs: Long =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+
+  /** Front-door staleness guard: refuse to heal unless EVERY file under
+    * `loc` predates this JVM's start. A directory a concurrent session
+    * wrote during our lifetime has fresh mtimes — deleting it would be
+    * silent cross-session data loss; a crashed prior JVM's leftover
+    * never does. Directory-entry mtimes are skipped (they change on
+    * listing in some filesystems); files are the write signal. */
+  private def requireStale(loc: java.io.File, what: String): Unit = {
+    def newest(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.foldLeft(0L)((m, c) => math.max(m, newest(c))))
+          .getOrElse(0L)
+      else f.lastModified
+    val n = newest(loc)
+    if (n >= jvmStartMs)
+      throw new IllegalStateException(
+        s"refusing to heal $loc for $what: directory holds files written " +
+          s"after this JVM started (newest=$n, jvmStart=$jvmStartMs) — " +
+          "possibly a LIVE table owned by a concurrent session sharing " +
+          "this warehouse. If the data is truly garbage, remove the " +
+          "directory manually (or DROP TABLE from the owning session)")
+  }
 
   // ---- CREATE TABLE ... LIKE (SqlTableLike.java, MergeTableLikeUtil.java) ----
 

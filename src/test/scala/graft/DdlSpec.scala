@@ -528,16 +528,46 @@ class DdlSpec extends AnyFunSuite {
     loc.mkdirs()
     new java.io.File(loc, "_SUCCESS").createNewFile()
     new java.io.File(loc, "part-00000-feed.snappy.parquet").createNewFile()
+    def stamp(ms: Long): Unit = {
+      loc.setLastModified(ms)
+      Option(loc.listFiles).foreach(_.foreach(_.setLastModified(ms)))
+    }
+    val jvmStart = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    // 0. FRESH files (written during this JVM's lifetime — the signature
+    //    of a LIVE table owned by a concurrent session sharing the
+    //    warehouse): the front door must refuse loudly, never delete
+    val eFresh = intercept[IllegalStateException] {
+      Engine.sql(spark, s"CREATE TABLE $t (k BIGINT) USING parquet")
+    }
+    assert(eFresh.getMessage.contains("concurrent session"), eFresh.getMessage)
+    assert(loc.exists(), "fresh-dir refusal must leave the data intact")
+    // from here on, simulate a prior crashed JVM: all mtimes predate us
+    stamp(jvmStart - 60000)
     // foreign content still refuses
     val foreign = new java.io.File(loc, "keep.txt")
     foreign.createNewFile()
+    foreign.setLastModified(jvmStart - 60000)
     val e1 = intercept[IllegalStateException] {
       Engine.sql(spark, s"CREATE TABLE $t (k BIGINT) USING parquet")
     }
     assert(e1.getMessage.contains("refusing"), e1.getMessage)
     assert(foreign.exists())
     foreign.delete()
-    // artifacts-only orphan heals; the CREATE retries and succeeds
+    stamp(jvmStart - 60000)
+    // front-door healing disabled by its own conf: the ORIGINAL
+    // LOCATION_ALREADY_EXISTS surfaces, nothing deleted
+    spark.conf.set("graft.healOrphanedLocations.frontDoor", "false")
+    try {
+      val eOff = intercept[Exception] {
+        Engine.sql(spark, s"CREATE TABLE $t (k BIGINT) USING parquet")
+      }
+      assert(eOff.getMessage.toUpperCase.contains("LOCATION_ALREADY_EXISTS")
+        || eOff.getMessage.contains("already exists"), eOff.getMessage)
+      assert(loc.exists(), "disabled front-door healing must not delete")
+    } finally spark.conf.unset("graft.healOrphanedLocations.frontDoor")
+    stamp(jvmStart - 60000)
+    // stale artifacts-only orphan heals; the CREATE retries and succeeds
     Engine.sql(spark, s"CREATE TABLE $t (k BIGINT) USING parquet")
     assert(spark.catalog.tableExists(t))
     // an explicit-LOCATION CREATE must NOT heal (user data): simulate by
