@@ -2060,30 +2060,60 @@ object PipelineOps extends QueryModule {
         GraftFunctions.register(s)
         val nPerm = 32
         val bands = 8
-        val docSets = Tables.documents(s, d)
-          .withColumn("toks", expr(tokensExpr))
-          .filter(size($"toks") >= 3)
-          .select($"doc_id", $"source", explode(expr("graft_shingles(toks, 3)")).as("shingle"))
-          .distinct()
+        // shingle-frame builder, invoked twice: corpus-wide to derive
+        // SIGNATURES (the only thing checkpointed), and once more
+        // restricted to the tiny verified-candidate id set — re-shingling
+        // a banding-bounded handful of docs beats persisting corpus-sized
+        // shingle arrays (the r10 checkpoint carried every train doc's
+        // full sset: a corpus-sized executor-disk write at 100 TB)
+        def shingleRows(pre: DataFrame => DataFrame): DataFrame =
+          pre(Tables.documents(s, d))
+            .withColumn("toks", expr(tokensExpr))
+            .filter(size($"toks") >= 3)
+            .select($"doc_id", $"source",
+              explode(expr("graft_shingles(toks, 3)")).as("shingle"))
+            .distinct()
+        // the checkpointed frame carries (doc_id, source, n, sig) ONLY —
+        // O(nPerm) per doc; the transient collect_list feeding
+        // graft_minhash never reaches executor disk
+        val docSigs = shingleRows(identity)
           .groupBy($"doc_id", $"source")
           .agg(collect_list($"shingle").as("sset"))
-          .withColumn("n", size($"sset"))
-          .withColumn("sig", expr(s"graft_minhash(sset, $nPerm, ${oracleHash(s)})"))
+          .select($"doc_id", $"source", size($"sset").as("n"),
+            expr(s"graft_minhash(sset, $nPerm, ${oracleHash(s)})").as("sig"))
           .localCheckpoint()
         def buckets(df: DataFrame): DataFrame =
           df.select(col("doc_id"),
             explode(array(bandKeyCols(nPerm, bands, "sig"): _*)).as("bucket"))
-        val evalSets = docSets.filter($"source" === "src0")
-        val trainSets = docSets.filter($"source" =!= "src0")
-        val cand = buckets(trainSets).as("x")
-          .join(broadcast(buckets(evalSets)).as("y"),
+        val evalSigs = docSigs.filter($"source" === "src0")
+        val trainSigs = docSigs.filter($"source" =!= "src0")
+        val cand = buckets(trainSigs).as("x")
+          .join(broadcast(buckets(evalSigs)).as("y"),
             col("x.bucket") === col("y.bucket"))
           .select(col("x.doc_id").as("t_id"), col("y.doc_id").as("e_id"))
           .distinct()
+        // exact-verify inputs: eval ssets are corpus-tiny (broadcast);
+        // train ssets re-derived for CANDIDATE ids only — the broadcast
+        // semi-join sits below the tokenizer, so only flagged docs are
+        // ever re-shingled
+        val candIds = broadcast(cand.select($"t_id").distinct())
+        val trainCandSets = shingleRows(df =>
+            df.join(candIds, df("doc_id") === candIds("t_id"), "left_semi"))
+          .groupBy($"doc_id")
+          .agg(collect_list($"shingle").as("sa"), count(lit(1)).as("na"))
+          .select($"doc_id".as("t_id"), $"sa", $"na")
+        val evalSets = shingleRows(_.filter($"source" === "src0"))
+          .groupBy($"doc_id")
+          .agg(collect_list($"shingle").as("sb"), count(lit(1)).as("nb"))
+          .select($"doc_id".as("e_id"), $"sb", $"nb")
         val verified = cand
-          .join(trainSets.select($"doc_id".as("t_id"), $"sset".as("sa"), $"n".as("na")), Seq("t_id"))
-          .join(broadcast(evalSets.select($"doc_id".as("e_id"), $"sset".as("sb"), $"n".as("nb"))), Seq("e_id"))
-          .withColumn("inter", size(array_intersect($"sa", $"sb")))
+          .join(trainCandSets, Seq("t_id"))
+          .join(broadcast(evalSets), Seq("e_id"))
+          // intersection count as LONG before the cross-multiplication:
+          // size() is IntegerType, and a >21M-shingle doc would overflow
+          // inter*100 and silently flip the threshold (na/nb are LONG
+          // counts already)
+          .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
           .filter($"inter" * 100 >= lit(20) * ($"na" + $"nb" - $"inter"))
           .withColumn("jac_raw", $"inter" / ($"na" + $"nb" - $"inter"))
         // per train doc: the worst (highest-Jaccard) eval match — the row

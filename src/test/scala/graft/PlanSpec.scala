@@ -313,5 +313,12 @@ class PlanSpec extends AnyFunSuite {
     val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
     assert(bcasts >= 2, s"expected >=2 broadcast exchanges (buckets + sets):\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in decontamination:\n$p")
+    // r11: the localCheckpoint persists SIGNATURES only — the scan of the
+    // checkpointed RDD must not expose a corpus-sized shingle-set column
+    // (ssets are re-derived for the banding-bounded candidate ids)
+    val rddScans = p.linesIterator.filter(_.contains("ExistingRDD")).toList
+    assert(rddScans.nonEmpty, s"expected a checkpointed-RDD scan in:\n$p")
+    assert(rddScans.forall(l => !l.contains("sset")),
+      s"checkpoint still carries shingle-set arrays:\n${rddScans.mkString("\n")}")
   }
 }
