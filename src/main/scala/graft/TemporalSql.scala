@@ -63,7 +63,7 @@ object TemporalSql {
     * stays a plain Spark query. */
   def matches(query: String): Boolean =
     """(?is).*\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b.*""".r
-      .matches(query.replaceAll("'[^']*'", "''"))
+      .matches(graft.util.SqlSplit.blankLiterals(query))
 
   def sql(spark: SparkSession, query: String,
       versionTime: Option[String] = None): DataFrame = query match {

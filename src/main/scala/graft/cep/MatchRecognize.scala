@@ -552,11 +552,13 @@ object MatchRecognize {
   private val MrTailAliasRe = """(?is)^(?:AS\s+)?(\w+)\s*(.*)$""".r
 
   /** Dispatch predicate for a SQL front-end: is this statement a
-    * MATCH_RECOGNIZE query this bridge should run? String literals are
-    * blanked first so `SELECT 'MATCH_RECOGNIZE('` stays a plain query. */
+    * MATCH_RECOGNIZE query this bridge should run? String literals and
+    * comments are blanked first (the shared scanner pass) so
+    * `SELECT 'MATCH_RECOGNIZE('` — or the same text in a comment —
+    * stays a plain query. */
   def matchesSql(query: String): Boolean =
     """(?is).*\bMATCH_RECOGNIZE\s*\(.*""".r
-      .matches(query.replaceAll("'[^']*'", "''"))
+      .matches(graft.util.SqlSplit.blankLiterals(query))
 
   /** Index just past the parenthesis that closes the MATCH_RECOGNIZE
     * clause opened at `start` (start = index AFTER the open paren).

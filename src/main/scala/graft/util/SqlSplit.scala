@@ -102,13 +102,19 @@ object SqlSplit {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Same-length literal blanking shared by every SQL text scanner
-    * (SqlComposer marker detection, the dialect routers' paren walks):
-    * single- AND double-quoted string contents become spaces — Spark's
-    * non-ANSI default reads "..." as a string literal — with backslash
-    * escapes (\' \" \\) and SQL ''/"" quote doubling handled, so a
-    * literal like 'don\'t' or "a(b" never desyncs the scan, while every
-    * index still maps into the original text. */
+  /** Same-length literal AND comment blanking shared by every SQL text
+    * scanner (SqlComposer marker detection, the dialect routers' paren
+    * walks): single- and double-quoted string contents become spaces —
+    * Spark's non-ANSI default reads "..." as a string literal — with
+    * backslash escapes (\' \" \\) and SQL ''/"" quote doubling handled,
+    * so a literal like 'don\'t' or "a(b" never desyncs the scan, while
+    * every index still maps into the original text. Comments — `-- …`
+    * to end of line, and slash-star bracketed ones, which NEST in Spark
+    * (SPARK-28880) — blank entirely, delimiters included: a comment is
+    * whitespace to SQL, and leaving its text visible would false-trigger
+    * marker detection or — worse — desync a paren walk on an unbalanced
+    * '(' inside it. A comment opener inside a string literal never
+    * starts a comment (one pass tracks both states). */
   def blankLiterals(s: String): String = {
     val arr = s.toCharArray
     var i = 0
@@ -126,6 +132,18 @@ object SqlSplit {
             case `q` => closed = true; i += 1
             case _ => arr(i) = ' '; i += 1
           }
+        }
+      } else if (q == '-' && i + 1 < arr.length && arr(i + 1) == '-') {
+        while (i < arr.length && arr(i) != '\n') { arr(i) = ' '; i += 1 }
+      } else if (q == '/' && i + 1 < arr.length && arr(i + 1) == '*') {
+        arr(i) = ' '; arr(i + 1) = ' '; i += 2
+        var depth = 1
+        while (i < arr.length && depth > 0) {
+          if (arr(i) == '/' && i + 1 < arr.length && arr(i + 1) == '*') {
+            arr(i) = ' '; arr(i + 1) = ' '; i += 2; depth += 1
+          } else if (arr(i) == '*' && i + 1 < arr.length && arr(i + 1) == '/') {
+            arr(i) = ' '; arr(i + 1) = ' '; i += 2; depth -= 1
+          } else { arr(i) = ' '; i += 1 }
         }
       } else i += 1
     }

@@ -1,0 +1,268 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Negative-space sweep for the SQL front door (Engine.sql → SqlComposer
+  * → dialect lowerings): the regex front end's failure mode is SILENT —
+  * a missed marker falls through to batch spark.sql, a false marker
+  * drags a plain statement through the composer — so this spec pins the
+  * boundary from BOTH sides. Three groups:
+  *
+  *   1. must FALL THROUGH unchanged: extended-dialect marker text hiding
+  *      in string literals, line/bracketed/nested comments, and
+  *      marker-adjacent identifiers (`MY_MATCH_RECOGNIZE(`) must not
+  *      trigger detection — and must not desync the paren walk;
+  *   2. must REJECT LOUDLY: WITH RECURSIVE + extended constructs,
+  *      non-TEMPORARY CREATE VIEW over an extended body, unbalanced
+  *      parentheses, correlated subqueries containing extended
+  *      constructs (unliftable — the inner lowering names the missing
+  *      column), malformed WITH clauses;
+  *   3. must STILL LOWER: a real extended construct next to a decoy
+  *      literal spelling the same marker.
+  *
+  * The detection-level cases drive SqlComposer.blank/hasMarker directly;
+  * the behavior-level cases run end to end through Engine.sql. */
+class SqlFrontDoorNegativeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def blank(s: String) = SqlComposer.blank(s)
+  private def marker(s: String) = SqlComposer.hasMarker(blank(s))
+
+  // ---- group 1a: detection must NOT fire ------------------------------
+
+  private val noMarkerCases: Seq[(String, String)] = Seq(
+    "single-quoted literal" ->
+      "SELECT 'MATCH_RECOGNIZE(' AS s",
+    "double-quoted literal" ->
+      """SELECT "FOR SYSTEM_TIME AS OF" AS s""",
+    "quote-doubled literal" ->
+      "SELECT 'it''s MATCH_RECOGNIZE(' AS s",
+    "backslash-escaped literal" ->
+      """SELECT 'don\'t TABLE(TUMBLE(' AS s""",
+    "line comment" ->
+      "SELECT 1 AS x -- MATCH_RECOGNIZE( lives here\n",
+    "line comment at end of input" ->
+      "SELECT 1 AS x -- FOR SYSTEM_TIME AS OF",
+    "bracketed comment" ->
+      "/* FOR SYSTEM_TIME AS OF */ SELECT 2 AS x",
+    "NESTED bracketed comment (SPARK-28880)" ->
+      "/* outer /* TABLE(TUMBLE( */ still comment */ SELECT 3 AS x",
+    "marker-adjacent identifier prefix" ->
+      "SELECT MY_MATCH_RECOGNIZE(1)",
+    "marker-adjacent identifier suffix" ->
+      "SELECT MATCH_RECOGNIZE_V2(1)",
+    "snake-cased temporal phrase as identifier" ->
+      "SELECT for_system_time_as_of FROM t",
+    "TUMBLE not in TABLE() position" ->
+      "SELECT RETABLE(TUMBLE(x)) FROM t",
+    "temporal phrase split across identifiers" ->
+      "SELECT 1 FROM for_t JOIN system_time_t ON 1=1")
+
+  noMarkerCases.foreach { case (label, stmt) =>
+    test(s"no marker: $label") {
+      assert(!marker(stmt), s"false marker on: $stmt\nblanked: ${blank(stmt)}")
+    }
+  }
+
+  // ---- group 1b: detection MUST fire (boundary positives) -------------
+
+  private val markerCases: Seq[(String, String)] = Seq(
+    "spaced MATCH_RECOGNIZE" ->
+      "SELECT * FROM t MATCH_RECOGNIZE   ( PARTITION BY k )",
+    "lower-case temporal join" ->
+      "SELECT * FROM a JOIN b for system_time as of a.ts ON a.k = b.k",
+    "HOP TVF with inner spacing" ->
+      "SELECT * FROM TABLE ( HOP (TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))",
+    "marker AFTER a decoy literal" ->
+      "SELECT 'MATCH_RECOGNIZE(' AS s FROM t MATCH_RECOGNIZE (PARTITION BY k)",
+    "marker AFTER a decoy comment" ->
+      "SELECT 1 /* TABLE(TUMBLE( */ FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))")
+
+  markerCases.foreach { case (label, stmt) =>
+    test(s"marker fires: $label") {
+      assert(marker(stmt), s"missed marker on: $stmt\nblanked: ${blank(stmt)}")
+    }
+  }
+
+  // ---- group 1c: blanking must preserve geometry and non-literal text --
+
+  test("blanking preserves length and the position of real SQL") {
+    val s = "SELECT '--x' AS s, 1 /* c(c */ AS y FROM t -- tail("
+    val b = blank(s)
+    assert(b.length == s.length, "blanking must be same-length")
+    assert(b.indexOf("FROM t") == s.indexOf("FROM t"),
+      s"real SQL moved:\n$s\n$b")
+    assert(!b.contains("tail("), "line comment text must blank")
+    assert(!b.contains("c(c"), "bracketed comment text must blank")
+    assert(b.contains("AS s"), "alias outside the literal must survive")
+  }
+
+  test("comment openers inside string literals are literal text") {
+    // '--' and '/*' inside a literal must not start a comment — the
+    // text AFTER the literal is real SQL and must survive blanking
+    val s = "SELECT '-- not a comment /* nope' AS s, 42 AS x"
+    val b = blank(s)
+    assert(b.contains("AS x"), s"statement tail swallowed: $b")
+    import spark.implicits._
+    val r = Engine.sql(spark, s).as[(String, Int)].collect().head
+    assert(r == (("-- not a comment /* nope", 42)), s"got $r")
+  }
+
+  test("parens inside literals and comments never desync the subquery walk") {
+    import spark.implicits._
+    // an unbalanced '(' in a literal + one in a comment, around a REAL
+    // subquery — historically either would throw 'unbalanced
+    // parentheses' or shift the span splice
+    val r = Engine.sql(spark,
+      "SELECT s, v FROM (SELECT '((' AS s, /* ) */ 7 AS v) t -- (((")
+      .as[(String, Int)].collect().head
+    assert(r == (("((", 7)), s"got $r")
+  }
+
+  // ---- group 2: behavior — must fall through to batch spark.sql -------
+
+  test("fall-through: literal/comment decoys execute as plain batch SQL") {
+    import spark.implicits._
+    val decoys = Seq(
+      "SELECT 'MATCH_RECOGNIZE(' AS s" -> "MATCH_RECOGNIZE(",
+      "/* FOR SYSTEM_TIME AS OF */ SELECT 'x' AS s" -> "x",
+      "SELECT 'TABLE(TUMBLE(' AS s -- FOR SYSTEM_TIME AS OF" -> "TABLE(TUMBLE(")
+    decoys.foreach { case (stmt, expect) =>
+      val got = Engine.sql(spark, stmt).as[String].collect().toSeq
+      assert(got == Seq(expect), s"$stmt -> $got")
+    }
+  }
+
+  test("fall-through: plain correlated EXISTS subquery is never lifted") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("neg_a")
+    Seq(1L).toDF("k").createOrReplaceTempView("neg_b")
+    try {
+      val got = Engine.sql(spark,
+        "SELECT v FROM neg_a WHERE EXISTS (SELECT 1 FROM neg_b WHERE neg_b.k = neg_a.k)")
+        .as[String].collect().toSeq
+      assert(got == Seq("a"), s"got $got")
+    } finally {
+      spark.catalog.dropTempView("neg_a")
+      spark.catalog.dropTempView("neg_b")
+    }
+  }
+
+  test("fall-through: WITH RECURSIVE without extended constructs is native") {
+    import spark.implicits._
+    val got = Engine.sql(spark,
+      "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS s FROM r").as[Long].collect().toSeq
+    assert(got == Seq(6L), s"got $got")
+  }
+
+  // ---- group 3: behavior — must reject LOUDLY --------------------------
+
+  private def evRows = {
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:40")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:01:10")))
+      .toDF("k", "ts")
+  }
+
+  test("reject: WITH RECURSIVE combined with an extended construct") {
+    evRows.createOrReplaceTempView("neg_ev")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "WITH RECURSIVE r(n) AS (SELECT 1) SELECT * FROM TABLE(TUMBLE(" +
+            "TABLE neg_ev, DESCRIPTOR(ts), INTERVAL '1' MINUTE))")
+      }
+      assert(e.getMessage.contains("WITH RECURSIVE"), e.getMessage)
+    } finally spark.catalog.dropTempView("neg_ev")
+  }
+
+  test("reject: non-TEMPORARY CREATE VIEW over an extended body") {
+    evRows.createOrReplaceTempView("neg_ev")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "CREATE VIEW neg_perm_v AS SELECT * FROM TABLE(TUMBLE(" +
+            "TABLE neg_ev, DESCRIPTOR(ts), INTERVAL '1' MINUTE))")
+      }
+      assert(e.getMessage.contains("TEMPORARY"), e.getMessage)
+      assert(!spark.catalog.tableExists("neg_perm_v"),
+        "rejected CREATE VIEW must not half-create")
+    } finally spark.catalog.dropTempView("neg_ev")
+  }
+
+  test("reject: unbalanced parentheses in an extended statement") {
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(spark, "SELECT 1 FROM (SELECT 2 WHERE TABLE(TUMBLE(")
+    }
+    assert(e.getMessage.contains("unbalanced"), e.getMessage)
+  }
+
+  test("reject: correlated subquery CONTAINING an extended construct " +
+      "fails naming the unresolvable column") {
+    import spark.implicits._
+    evRows.createOrReplaceTempView("neg_ev")
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("neg_outer")
+    try {
+      // the lift cannot bind outer.k inside a standalone view: the inner
+      // lowering must fail LOUDLY (Spark's unresolved-column error),
+      // never silently drop the correlation
+      val e = intercept[Exception] {
+        Engine.sql(spark,
+          "SELECT k FROM neg_outer o WHERE EXISTS (SELECT 1 FROM TABLE(" +
+            "TUMBLE(TABLE neg_ev, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) w " +
+            "WHERE w.k = o.k)")
+      }
+      val msg = Option(e.getMessage).getOrElse("")
+      assert(msg.toUpperCase.contains("O.K") || msg.contains("`o`.`k`") ||
+        msg.toUpperCase.contains("UNRESOLVED") || msg.toUpperCase.contains("RESOLVE"),
+        s"rejection must name the unresolvable reference: $msg")
+    } finally {
+      spark.catalog.dropTempView("neg_ev")
+      spark.catalog.dropTempView("neg_outer")
+    }
+  }
+
+  test("reject: EXECUTE STATEMENT SET with an empty body") {
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(spark, "EXECUTE STATEMENT SET BEGIN END")
+    }
+    assert(e.getMessage.contains("empty body"), e.getMessage)
+  }
+
+  test("reject: extended WITH missing AS / missing main statement") {
+    evRows.createOrReplaceTempView("neg_ev")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "WITH c (SELECT 1) SELECT * FROM neg_ev MATCH_RECOGNIZE (" +
+            "PARTITION BY k ORDER BY ts MEASURES FIRST(A.ts) AS t0 " +
+            "PATTERN (A) DEFINE A AS true)")
+      }
+      assert(e1.getMessage.contains("expected AS"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "WITH c AS (SELECT * FROM neg_ev MATCH_RECOGNIZE (PARTITION BY k " +
+            "ORDER BY ts MEASURES FIRST(A.ts) AS t0 PATTERN (A) DEFINE A AS true))")
+      }
+      assert(e2.getMessage.contains("missing main statement"), e2.getMessage)
+    } finally spark.catalog.dropTempView("neg_ev")
+  }
+
+  // ---- group 4: a decoy literal next to the REAL construct still lowers
+
+  test("decoy literal does not mask a real window TVF") {
+    import spark.implicits._
+    evRows.createOrReplaceTempView("neg_ev")
+    try {
+      val got = Engine.sql(spark,
+        "SELECT window_start, COUNT(*) AS c, 'TABLE(TUMBLE(' AS decoy " +
+          "FROM TABLE(TUMBLE(TABLE neg_ev, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) " +
+          "GROUP BY window_start ORDER BY window_start")
+        .select($"c", $"decoy").as[(Long, String)].collect().toSeq
+      assert(got == Seq((2L, "TABLE(TUMBLE("), (1L, "TABLE(TUMBLE(")),
+        s"got $got")
+    } finally spark.catalog.dropTempView("neg_ev")
+  }
+}
