@@ -25,14 +25,18 @@ import org.apache.spark.sql.streaming._
   * runtime prerequisite: the RocksDB state store provider. */
 object DedupTws {
 
-  private class KeepLastProc[K]
+  private class KeepLastProc[K](ttl: Option[java.time.Duration])
       extends StatefulProcessor[K, (K, Long, String), (K, Long, String)] {
 
     @transient private var best: ValueState[(Long, String)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       best = getHandle.getValueState[(Long, String)]("best",
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+        // the NATIVE TTL path (vs the fMGWS original's timeout emulation):
+        // transformWithState state TTL is Flink StateTtlConfig's direct
+        // analog — OnCreateAndWrite, lazily cleaned, processing-time
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: K,
         rows: Iterator[(K, Long, String)],
@@ -51,11 +55,16 @@ object DedupTws {
   }
 
   /** Drop-in swap for `StatefulOps.keepLastByKey`: identical input
-    * contract (key, ts, payload) and update-mode emissions. */
-  def keepLastByKey[K](ds: Dataset[(K, Long, String)])(
+    * contract (key, ts, payload) and update-mode emissions. `ttl`
+    * (None = forever) bounds per-key state to a wall-clock horizon —
+    * Flink's table.exec.state.ttl on ChangelogNormalize; state TTL
+    * requires processing-time mode, so the time mode follows the knob. */
+  def keepLastByKey[K](ds: Dataset[(K, Long, String)],
+      ttl: Option[java.time.Duration] = None)(
       implicit ek: Encoder[K],
       eout: Encoder[(K, Long, String)]): Dataset[(K, Long, String)] =
     ds.groupByKey(_._1)
-      .transformWithState(new KeepLastProc[K],
-        TimeMode.None(), OutputMode.Update(), eout)
+      .transformWithState(new KeepLastProc[K](ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update(), eout)
 }

@@ -36,17 +36,25 @@ import org.apache.spark.sql.streaming._
   * with distinct clusters plus partial-overlap spill, never with exact
   * duplicates, and never with stream volume for a saturating corpus.
   * The verdict stage holds only open windows. At 100 TB/day the bucket
-  * map is the working set a RocksDB store pages; an optional TTL would
-  * bound it to a dedup horizon (Flink's state TTL on the dedup
-  * operator).
+  * map is the working set a RocksDB store pages; the optional `horizon`
+  * bounds it to a DEDUP HORIZON — Flink's state TTL on the dedup
+  * operator (flink-core/.../api/common/state/StateTtlConfig.java,
+  * OnCreateAndWrite visibility): a bucket claim expires `horizon` of
+  * EVENT time after the claiming document's timestamp (an event-time
+  * timer fired by watermark passage — deterministic and replayable,
+  * unlike a wall-clock TTL), after which the bucket is free and the
+  * next arrival claims it as a fresh survivor. With a saturating
+  * stream, state is bounded by clusters-per-horizon instead of
+  * clusters-ever.
   *
   * Requires the RocksDB state store provider (transformWithState
   * runtime) and a watermark on the input's event-time column.
   */
 object LshDedup {
 
-  /** Bucket-claim processor: ValueState per bucket key = claiming doc. */
-  private class BucketClaimProc
+  /** Bucket-claim processor: ValueState per bucket key = claiming doc.
+    * `horizonMs` <= 0 means claims never expire. */
+  private class BucketClaimProc(horizonMs: Long)
       extends StatefulProcessor[String,
         (String, Long, java.sql.Timestamp),
         (Long, java.sql.Timestamp, Boolean)] {
@@ -66,9 +74,24 @@ object LshDedup {
       sorted.iterator.map { case (_, doc, ts) =>
         val owner =
           if (claimed.exists()) claimed.get()
-          else { claimed.update(doc); doc }
+          else {
+            claimed.update(doc)
+            // expiry timer rides the claimer's EVENT time, clamped above
+            // the watermark so a late claim still gets a live timer
+            // (a past-due registration would clear it on the next batch)
+            if (horizonMs > 0)
+              getHandle.registerTimer(math.max(ts.getTime + horizonMs,
+                tv.getCurrentWatermarkInMs() + 1))
+            doc
+          }
         (doc, ts, owner != doc) // hit = this bucket belongs to another doc
       }
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
+      claimed.clear() // horizon passed: the bucket is claimable again
+      Iterator.empty
     }
   }
 
@@ -82,9 +105,13 @@ object LshDedup {
     * cannot near-dup: they pass through with is_dup=false (they are
     * ingest rows, not filterable ones). Signature family pluggable like
     * the batch sketches (oracleAligned=false ⇒ xxhash64 production
-    * hash). */
+    * hash). `horizon` (None = forever) bounds bucket-claim state to a
+    * dedup horizon: a claim expires that much EVENT time after the
+    * claiming document's timestamp, so a re-arrival past the horizon
+    * survives as a fresh document. */
   def dedup(spark: SparkSession, docs: DataFrame, nPerm: Int = 32,
-      bands: Int = 8, oracleAligned: Boolean = false): DataFrame = {
+      bands: Int = 8, oracleAligned: Boolean = false,
+      horizon: Option[java.time.Duration] = None): DataFrame = {
     require(nPerm % bands == 0, s"nPerm=$nPerm not divisible by bands=$bands")
     require(spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", "").contains("RocksDB"),
@@ -105,7 +132,8 @@ object LshDedup {
       .select($"bucket", $"doc_id", $"ts")
       .as[(String, Long, java.sql.Timestamp)]
     val verdicts = banded.groupByKey(_._1)(Encoders.STRING)
-      .transformWithState(new BucketClaimProc, "_2", OutputMode.Append(),
+      .transformWithState(new BucketClaimProc(horizon.map(_.toMillis).getOrElse(0L)),
+        "_2", OutputMode.Append(),
         Encoders.tuple(Encoders.scalaLong,
           org.apache.spark.sql.Encoders.TIMESTAMP, Encoders.scalaBoolean))
       .toDF("doc_id", "ts", "hit")

@@ -61,4 +61,45 @@ class DedupTwsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("native TTLConfig on the ValueState port: idle-key state expires") {
+    // the transformWithState-native path for Flink's StateTtlConfig —
+    // same observable contract as the fMGWS ttl: a stale row arriving
+    // after the key idled past the ttl emits as a FRESH winner
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, String)]
+      val out = DedupTws.keepLastByKey(in.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(300)))
+      val q = out.toDF("k", "ts", "payload").writeStream
+        .outputMode("update").format("memory").queryName("dtws_ttl").start()
+      // processing-time mode reruns batches continuously (TWS
+      // shouldRunAnotherBatch is always true there, so
+      // processAllAvailable never settles) — poll the sink instead
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(cond, s"timed out waiting for $what")
+      }
+      def rows = spark.table("dtws_ttl").as[(Long, Long, String)].collect().toSeq
+      try {
+        in.addData((1L, 20L, "b"))
+        await(rows.contains((1L, 20L, "b")), "first emission")
+        Thread.sleep(900) // idle past the ttl
+        in.addData((1L, 10L, "a")) // older than the expired winner
+        await(rows.contains((1L, 10L, "a")),
+          s"post-expiry stale row to emit as fresh (got $rows)")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
@@ -88,5 +89,64 @@ class LshDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(rows.get(10L).contains(false), s"tiebreak winner flagged: $rows")
     assert(rows.get(11L).contains(true), s"tiebreak loser kept: $rows")
+  }
+
+  test("bucket claims expire past the dedup horizon: a post-horizon " +
+      "re-arrival survives and the expired claims leave the store") {
+    // the state-TTL analog (Flink StateTtlConfig on the dedup operator):
+    // horizon = 60s of EVENT time from the claiming doc's timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "5 seconds")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsh-ttl").toString
+    withRocksDB {
+      val out = streaming.LshDedup.dedup(spark, docs,
+        horizon = Some(java.time.Duration.ofSeconds(60)))
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("lsh_ttl").start()
+      try {
+        in.addData((1L, ts(10), textA))
+        q.processAllAvailable()
+        // WITHIN the horizon (ts=30 < 10+60): still a duplicate
+        in.addData((2L, ts(30), textA))
+        q.processAllAvailable()
+        // watermark far past 10+60: doc 1's claims expire
+        in.addData((50L, ts(300), textB))
+        q.processAllAvailable()
+        // AFTER the horizon: the buckets are free — doc 3 survives
+        in.addData((3L, ts(310), textA))
+        q.processAllAvailable()
+        // flush so doc 3's verdict window finalizes
+        in.addData((60L, ts(600), textC)); q.processAllAvailable()
+        in.addData((61L, ts(700), textB + " tail marker")); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val rows = spark.table("lsh_ttl")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows.get(1L).contains(false), s"original flagged: $rows")
+    assert(rows.get(2L).contains(true), s"within-horizon dup missed: $rows")
+    assert(rows.get(3L).contains(false),
+      s"post-horizon re-arrival still flagged — claims did not expire: $rows")
+    // state bounded: by end of stream the watermark (695) has passed
+    // every claim's expiry except the last doc's (61: 700 + 60) — the
+    // committed store must hold EXACTLY that one in-horizon claimer's
+    // 8 band buckets. That is the saturation contract: state holds
+    // clusters-per-horizon, not clusters-ever (docs 1, 2, 3, 50, 60
+    // all aged out, including the post-horizon re-claimer itself).
+    // Two stateful operators share the checkpoint (bucket-claim TWS +
+    // the windowed verdict fold); pick the TWS one by operator id.
+    val twsOp = spark.read.format("state-metadata").load(ckpt)
+      .filter(col("operatorName") === "transformWithStateExec")
+      .select("operatorId").collect().head.getLong(0)
+    val owners = spark.read.format("statestore")
+      .option("operatorId", twsOp)
+      .option("stateVarName", "claimed").load(ckpt)
+      .selectExpr("value.value").as[Long].collect().toSeq
+    assert(owners.toSet == Set(61L) && owners.size == 8,
+      s"expected only doc 61's 8 in-horizon claims in the store " +
+        s"(owners=$owners)")
   }
 }
