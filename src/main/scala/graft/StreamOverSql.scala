@@ -1,5 +1,6 @@
 package graft
 
+import graft.streaming.StatefulOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,10 +102,33 @@ object StreamOverSql {
   private val SelRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+`?(\w+)`?\s*(?:\bWHERE\s+(.+?))?\s*;?\s*$""".r
   private val OverItemRe =
-    ("""(?is)^\s*(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE)\s*\(\s*(.+?|\*)\s*\)""" +
+    ("""(?is)^\s*([A-Za-z_]\w*)\s*\(\s*(.+?|\*)\s*\)""" +
       """(?:\s+(IGNORE|RESPECT)\s+NULLS)?\s+OVER\s*\(\s*""" +
       """(?:PARTITION\s+BY\s+`?(\w+)`?\s+)?ORDER\s+BY\s+`?(\w+)`?\s*(.*?)\)""" +
       """\s*(?:AS\s+`?(\w+)`?)?\s*$""").r
+
+  private val BuiltinOverFns =
+    Set("SUM", "COUNT", "AVG", "MIN", "MAX", "FIRST_VALUE", "LAST_VALUE")
+
+  // ---- user-defined OVER aggregates (StatefulOps.OverAgg) -------------
+  // the SQL route's registry for arbitrary aggregate slots — the
+  // AggsHandlerCodeGenerator.scala:57 surface: any aggregate with a
+  // fixed-width accumulator runs inside the fused event-time pass.
+  // Registered names are recognized exactly like the built-ins (an
+  // UNregistered name means the statement is not this shape and falls
+  // through to spark.sql, which rejects it as an unknown function).
+  private val customAggs =
+    new java.util.concurrent.ConcurrentHashMap[String, StatefulOps.OverAgg]()
+
+  /** Register `name` (case-insensitive) as a streaming OVER aggregate. */
+  def registerAggregate(name: String, agg: StatefulOps.OverAgg): Unit = {
+    require(!BuiltinOverFns(name.toUpperCase),
+      s"cannot override built-in OVER aggregate $name")
+    customAggs.put(name.toUpperCase, agg): Unit
+  }
+
+  private def customAgg(fn: String): Option[StatefulOps.OverAgg] =
+    Option(customAggs.get(fn.toUpperCase))
   private val RowsFrameRe =
     """(?is)^\s*ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$""".r
   private val RangeFrameRe =
@@ -125,7 +149,8 @@ object StreamOverSql {
   }
 
   private def parseOverItem(item: String): Option[AggItem] = item match {
-    case OverItemRe(f, v, nl, p, o, fr, al) =>
+    case OverItemRe(f, v, nl, p, o, fr, al)
+        if BuiltinOverFns(f.toUpperCase) || customAgg(f).isDefined =>
       Some(AggItem(f.toUpperCase, v.trim, Option(nl).map(_.toUpperCase),
         Option(p), o, fr.trim, Option(al)))
     case _ => None
@@ -289,8 +314,7 @@ object StreamOverSql {
         s"unsupported OVER frame for streaming: $other")
     }
     aggs.foreach { a =>
-      require(Set("SUM", "COUNT", "AVG", "MIN", "MAX",
-          "FIRST_VALUE", "LAST_VALUE")(a.fn),
+      require(BuiltinOverFns(a.fn) || customAgg(a.fn).isDefined,
         s"unsupported OVER aggregate ${a.fn}")
       require(a.fn != "COUNT" || a.valueText == "*" ||
           !a.valueText.contains("("),
@@ -396,6 +420,9 @@ object StreamOverSql {
         case "MAX" => (a, opSlot(a, "max", SlotOp.Max), -1)
         case "FIRST_VALUE" => (a, opSlot(a, "first", SlotOp.First), -1)
         case "LAST_VALUE" => (a, opSlot(a, "last", SlotOp.Last), -1)
+        case fn => // registered user-defined aggregate (parseOverItem
+          // admits only built-ins and registry hits)
+          (a, opSlot(a, s"uda:$fn", SlotOp.Agg(customAgg(fn).get)), -1)
       }
     }
 
@@ -454,9 +481,14 @@ object StreamOverSql {
         require(frames.distinct.size == 1,
           "processing-time OVER supports one shared frame per statement " +
             s"(got: ${frames.distinct.mkString(", ")})")
+        val opsV = slotOps.result()
+        require(!opsV.exists(_.isInstanceOf[SlotOp.Agg]),
+          "processing-time OVER does not support user-defined aggregates " +
+            "(the proc-time executors reduce pairwise); use the " +
+            "event-time route")
         val typed = src.select(keyCol, array(slotCols.result(): _*).as("v"))
           .as[(String, Seq[Double])]
-        StatefulOps.procOverAggsByKey(typed, frames.head, slotOps.result())
+        StatefulOps.procOverAggsByKey(typed, frames.head, opsV)
           .toDF("k", "t_ms", "vals", "sums")
       } else {
         val typed = src.select(keyCol, col(rowtime).as("t"),

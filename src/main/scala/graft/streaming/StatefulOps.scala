@@ -48,23 +48,39 @@ object StatefulOps {
   /** ChangelogNormalize / keep-last-row per key: emits the key's latest row
     * (by event-time, then tie-break) whenever it changes. Downstream of an
     * upsert source this reconstructs a clean changelog exactly like
-    * StreamExecChangelogNormalize. State: one (ts, payload) per key. */
+    * StreamExecChangelogNormalize. State: one (ts, payload) per key.
+    *
+    * `ttl` (None = forever) is Flink's state-TTL knob on ChangelogNormalize
+    * (table.exec.state.ttl via StateTtlConfig.java, OnCreateAndWrite): a
+    * key idle for `ttl` of WALL-CLOCK time drops its state, so an
+    * unbounded key universe (e.g. rotating session ids) stops growing
+    * state forever. After expiry the next row for the key is treated as
+    * fresh — emitted even if it is older than the forgotten winner,
+    * exactly the staleness-vs-state trade Flink documents. */
   def keepLastByKey[K: Encoder](
-      ds: Dataset[(K, Long, String)])(
+      ds: Dataset[(K, Long, String)],
+      ttl: Option[java.time.Duration] = None)(
       implicit e1: Encoder[(Long, String)],
       e2: Encoder[(K, Long, String)]): Dataset[(K, Long, String)] = {
 
     def update(key: K, rows: Iterator[(K, Long, String)],
         state: GroupState[(Long, String)]): Iterator[(K, Long, String)] = {
-      val best = (state.getOption.iterator ++ rows.map(r => (r._2, r._3)))
-        .maxBy { case (ts, payload) => (ts, payload) }
-      val changed = !state.getOption.contains(best)
-      state.update(best)
-      if (changed) Iterator((key, best._1, best._2)) else Iterator.empty
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val best = (state.getOption.iterator ++ rows.map(r => (r._2, r._3)))
+          .maxBy { case (ts, payload) => (ts, payload) }
+        val changed = !state.getOption.contains(best)
+        state.update(best)
+        // OnCreateAndWrite: every write re-arms the clock
+        ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+        if (changed) Iterator((key, best._1, best._2)) else Iterator.empty
+      }
     }
 
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Update,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Event-time sort (Flink RowTimeSortOperator: emit rows in event-time
@@ -196,6 +212,36 @@ object StatefulOps {
     case object Max extends SlotOp
     case object First extends SlotOp
     case object Last extends SlotOp
+    /** User-defined aggregate slot ([[OverAgg]]) — not a pairwise
+      * combine: bounded frames re-fold the retention buffer through the
+      * aggregate, unbounded frames keep its accumulator vector as a
+      * REGION of the permanent acc state (appended after the scalar
+      * cells), so state stays O(buffer), never O(history). */
+    final case class Agg(agg: OverAgg) extends SlotOp
+  }
+
+  /** User-defined OVER aggregate: Double input, fixed-width Double
+    * vector accumulator, Double result — the engine's analog of the
+    * reference's arbitrary per-frame aggregate functions
+    * (AggsHandlerCodeGenerator.scala:57 generates handlers whose
+    * accumulators are ROWS of fields; here the accumulator is the
+    * Double vector those fields flatten to). Inputs arrive through the
+    * same NaN-sentinel channel as the built-in slots: a NULL input is
+    * NEVER passed to [[reduce]] (SQL NULL-ignoring aggregates), and
+    * [[finish]] on a zero (no-input) accumulator must return NaN —
+    * read back as SQL NULL. No retract method: bounded frames re-fold
+    * rather than retract (the fused pass keeps the frame's rows
+    * anyway), which is why arbitrary non-retractable aggregates are
+    * admissible here while Flink's OVER needs *WithRetract variants. */
+  trait OverAgg extends Serializable {
+    /** Accumulator width (number of Double cells). */
+    def size: Int
+    /** Fresh accumulator (length == size). */
+    def zero: Array[Double]
+    /** Absorb one non-NULL input, in place. */
+    def reduce(buf: Array[Double], x: Double): Unit
+    /** Result; NaN = NULL (required for a no-input accumulator). */
+    def finish(buf: Array[Double]): Double
   }
 
   /** Shared slot arithmetic and tie ordering of the fused OVER passes —
@@ -211,6 +257,9 @@ object StatefulOps {
         case SlotOp.Max => math.max(x, y)
         case SlotOp.First => x // fold in frame order: first non-NULL sticks
         case SlotOp.Last => y // latest non-NULL wins
+        case SlotOp.Agg(_) => throw new IllegalStateException(
+          "OverAgg slots are not pairwise combines — only the fused OVER " +
+            "release loop (Slots.Multi) evaluates them")
       }
 
     /** Elementwise combine; `ops = null` means all-Sum. */
@@ -300,6 +349,56 @@ object StatefulOps {
       /** Any bounded frame => the retention buffer is live state. */
       val bounded: Boolean = maxRows > 0 || maxMs.isDefined
 
+      // ---- user-defined aggregate slots (SlotOp.Agg): their unbounded
+      // accumulators are fixed-width REGIONS appended to the scalar acc
+      // cells — acc layout = [0, nSlots) scalars ++ custom buffers —
+      // so the permanent state stays O(Σ buffer widths), never O(history)
+      private val customIdx: IndexedSeq[Int] =
+        if (ops == null) Vector.empty
+        else ops.indices.filter(i => ops(i).isInstanceOf[SlotOp.Agg]).toVector
+      private def aggAt(i: Int): OverAgg =
+        ops(i).asInstanceOf[SlotOp.Agg].agg
+      val hasCustom: Boolean = customIdx.nonEmpty
+      /** Region start of custom slot `i` given `n` row slots. */
+      private def regionBase(i: Int, n: Int): Int =
+        n + customIdx.takeWhile(_ < i).map(j => aggAt(j).size).sum
+      private def accFullLen(n: Int): Int =
+        n + customIdx.map(j => aggAt(j).size).sum
+      /** acc as a mutable array of full layout length, custom regions
+        * initialized to their zero accumulators when acc doesn't cover
+        * them yet (first write for the key). */
+      private def ensureArr(acc: Seq[Double], n: Int): Array[Double] = {
+        val arr = Array.fill(math.max(acc.length, accFullLen(n)))(Double.NaN)
+        var i = 0
+        while (i < acc.length) { arr(i) = acc(i); i += 1 }
+        customIdx.foreach { j =>
+          val b = regionBase(j, n)
+          if (acc.length < b + aggAt(j).size) {
+            val z = aggAt(j).zero
+            System.arraycopy(z, 0, arr, b, z.length)
+          }
+        }
+        arr
+      }
+      private def reduceRegion(arr: Array[Double], i: Int, n: Int, x: Double): Unit = {
+        val a = aggAt(i)
+        val b = regionBase(i, n)
+        val tmp = java.util.Arrays.copyOfRange(arr, b, b + a.size)
+        a.reduce(tmp, x)
+        System.arraycopy(tmp, 0, arr, b, a.size)
+      }
+      private def finishRegion(acc: Seq[Double], i: Int, n: Int): Double = {
+        val a = aggAt(i)
+        val b = regionBase(i, n)
+        val tmp = new Array[Double](a.size)
+        var t = 0
+        while (t < a.size) {
+          tmp(t) = if (b + t < acc.length) acc(b + t) else a.zero(t)
+          t += 1
+        }
+        a.finish(tmp)
+      }
+
       /** Release tie order: arrival order on ties for the pure
         * unbounded-ROWS pass (its historical contract), the total
         * (t, values) order otherwise. */
@@ -310,7 +409,19 @@ object StatefulOps {
         if (i < acc.length) acc(i) else Double.NaN
 
       private def slotOver(i: Int, rows: Seq[(Long, Seq[Double])]): Double =
-        rows.foldLeft(Double.NaN)((z, r) => comb(opOf(i), z, r._2(i)))
+        opOf(i) match {
+          case SlotOp.Agg(a) =>
+            // bounded frames re-fold the retention rows through the
+            // aggregate (zero -> reduce each non-NULL -> finish); an
+            // all-NULL frame never calls reduce and finish(zero) = NaN
+            val b = a.zero.clone()
+            rows.foreach { r =>
+              val x = r._2(i)
+              if (!x.isNaN) a.reduce(b, x)
+            }
+            a.finish(b)
+          case op => rows.foldLeft(Double.NaN)((z, r) => comb(op, z, r._2(i)))
+        }
 
       /** Release `ready` rows (already watermark-filtered). Returns the
         * per-row (t, values, sums) outputs in release order plus the new
@@ -327,16 +438,28 @@ object StatefulOps {
           // row-granularity accumulators, snapshot the ROWS-frame values
           val rowVals: Seq[Array[Double]] = peers.map { v =>
             buf = buf :+ ((t, v))
-            if (hasRowAcc)
-              acc = Seq.tabulate(math.max(acc.length, n)) { i =>
+            if (hasRowAcc) {
+              val arr = ensureArr(acc, n)
+              var i = 0
+              while (i < n) {
                 frameOf(i) match {
-                  case OverFrame.Unbounded => comb(opOf(i), accAt(acc, i), v(i))
-                  case _ => accAt(acc, i)
+                  case OverFrame.Unbounded => opOf(i) match {
+                    case SlotOp.Agg(_) =>
+                      if (!v(i).isNaN) reduceRegion(arr, i, n, v(i))
+                    case op => arr(i) = comb(op, arr(i), v(i))
+                  }
+                  case _ => ()
                 }
+                i += 1
               }
+              acc = arr.toSeq
+            }
             Array.tabulate(n) { i =>
               frameOf(i) match {
-                case OverFrame.Unbounded => accAt(acc, i)
+                case OverFrame.Unbounded => opOf(i) match {
+                  case SlotOp.Agg(_) => finishRegion(acc, i, n)
+                  case _ => accAt(acc, i)
+                }
                 case OverFrame.Rows(fn) => slotOver(i, buf.takeRight(fn))
                 case _ => Double.NaN // peer-group phase fills these
               }
@@ -345,18 +468,30 @@ object StatefulOps {
           // peer-group phase: all peers absorbed — advance the
           // group-granularity accumulators, compute the RANGE values the
           // whole peer group shares
-          if (hasGroupAcc)
-            acc = Seq.tabulate(math.max(acc.length, n)) { i =>
+          if (hasGroupAcc) {
+            val arr = ensureArr(acc, n)
+            var i = 0
+            while (i < n) {
               frameOf(i) match {
-                case OverFrame.UnboundedRange =>
-                  peers.foldLeft(accAt(acc, i))((z, v) => comb(opOf(i), z, v(i)))
-                case _ => accAt(acc, i)
+                case OverFrame.UnboundedRange => opOf(i) match {
+                  case SlotOp.Agg(_) =>
+                    peers.foreach(v => if (!v(i).isNaN) reduceRegion(arr, i, n, v(i)))
+                  case op =>
+                    arr(i) = peers.foldLeft(arr(i))((z, v) => comb(op, z, v(i)))
+                }
+                case _ => ()
               }
+              i += 1
             }
+            acc = arr.toSeq
+          }
           val groupVals = Array.tabulate(n) { i =>
             frameOf(i) match {
               case OverFrame.Range(ms) => slotOver(i, buf.filter(_._1 >= t - ms))
-              case OverFrame.UnboundedRange => accAt(acc, i)
+              case OverFrame.UnboundedRange => opOf(i) match {
+                case SlotOp.Agg(_) => finishRegion(acc, i, n)
+                case _ => accAt(acc, i)
+              }
               case _ => Double.NaN
             }
           }

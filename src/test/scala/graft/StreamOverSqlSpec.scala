@@ -604,4 +604,91 @@ class StreamOverSqlSpec extends AnyFunSuite {
     Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
     Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
   }
+
+  /** Geometric mean as a user-defined OVER aggregate: accumulator =
+    * (Σ ln x, count), finish = exp(Σ/count) — batch equivalent
+    * EXP(AVG(LN(v)) OVER w), identical double arithmetic (same sum
+    * order), so equality is EXACT. finish(zero) = NaN per the OverAgg
+    * NULL contract. */
+  private object GeoMean extends graft.streaming.StatefulOps.OverAgg {
+    val size = 2
+    def zero: Array[Double] = Array(0.0, 0.0)
+    // StrictMath, not math.*: Spark's LOG/EXP expressions evaluate via
+    // StrictMath, and the two differ by an ulp on some inputs — the
+    // exact-equality contract needs identical primitives
+    def reduce(b: Array[Double], x: Double): Unit = {
+      b(0) += StrictMath.log(x); b(1) += 1.0
+    }
+    def finish(b: Array[Double]): Double =
+      if (b(1) == 0.0) Double.NaN else StrictMath.exp(b(0) / b(1))
+  }
+
+  test("user-defined GEO_MEAN OVER aggregate: stream == batch exactly, " +
+      "unbounded accumulator-region and bounded re-fold frames") {
+    StreamOverSql.registerAggregate("GEO_MEAN", GeoMean)
+    val cases = Seq(
+      // default frame: RANGE UNBOUNDED — the permanent accumulator
+      // REGION path (custom buffer rides the acc state, O(size) per key)
+      ("udau", "", (w: org.apache.spark.sql.expressions.WindowSpec) =>
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)),
+      // bounded ROWS frame — the retention-buffer re-fold path
+      ("udar", "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        (w: org.apache.spark.sql.expressions.WindowSpec) => w.rowsBetween(-2, 0)))
+    cases.foreach { case (tag, overClause, frameOf) =>
+      val (src, sink) = (s"ovr_src_${tag}_$h", s"ovr_sink_${tag}_$h")
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+      Engine.sql(spark, s"""
+        CREATE TABLE $src (k BIGINT, v DOUBLE, ts TIMESTAMP,
+          WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)""")
+      Engine.sql(spark, s"CREATE TABLE $sink " +
+        "(k BIGINT, ts TIMESTAMP, v DOUBLE, s DOUBLE, g DOUBLE) USING parquet")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-over-$tag").toString
+      // SUM + GEO_MEAN fused in ONE statement: the custom buffer region
+      // sits AFTER the scalar slots in the shared accumulator layout
+      val q = Engine.sqlStreamInsert(spark, s"""
+        INSERT INTO $sink
+        SELECT k, ts, v,
+               SUM(v) OVER (PARTITION BY k ORDER BY ts $overClause) AS s,
+               GEO_MEAN(v) OVER (PARTITION BY k ORDER BY ts $overClause) AS g
+        FROM $src""", ckpt)
+      try {
+        Engine.sql(spark, s"""INSERT INTO $src VALUES
+          (1, 10.0, TIMESTAMP '2024-01-01 00:00:01'),
+          (1, 2.5,  TIMESTAMP '2024-01-01 00:00:05'),
+          (1, 40.0, TIMESTAMP '2024-01-01 00:00:09'),
+          (1, 0.25, TIMESTAMP '2024-01-01 00:00:13'),
+          (2, 7.0,  TIMESTAMP '2024-01-01 00:00:03')""")
+        q.processAllAvailable(); q.processAllAvailable(); q.processAllAvailable()
+        Engine.sql(spark, s"""INSERT INTO $src VALUES
+          (7, 1.0, TIMESTAMP '2024-01-01 01:00:00')""")
+        q.processAllAvailable(); q.processAllAvailable()
+        Engine.sql(spark, s"""INSERT INTO $src VALUES
+          (7, 1.0, TIMESTAMP '2024-01-01 02:00:00')""")
+        q.processAllAvailable(); q.processAllAvailable()
+        val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:50:00").getTime
+        val got = spark.table(sink).select("k", "ts", "v", "s", "g")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          .filter(_._2 < cutoff).toSet
+        val w = frameOf(Window.partitionBy(col("k")).orderBy(col("ts")))
+        val want = WatermarkDdl.read(spark, src)
+          .select(col("k"), col("ts"), col("v"),
+            sum("v").over(w).as("s"),
+            exp(avg(log(col("v"))).over(w)).as("g"))
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          .filter(_._2 < cutoff).toSet
+        assert(got == want && want.size == 5,
+          s"[$tag] stream $got != batch $want")
+      } finally {
+        q.stop()
+        Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+        Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+        Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+      }
+    }
+  }
 }

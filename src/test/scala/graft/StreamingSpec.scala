@@ -168,6 +168,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_._1 == 1L) == 1) // stale row emitted nothing new
   }
 
+  test("keepLastByKey ttl drops idle-key state: a post-expiry stale row " +
+      "is treated as fresh") {
+    // Flink's table.exec.state.ttl on ChangelogNormalize: without the
+    // ttl a (1L, 10L, "a") after (1L, 20L, "b") emits nothing (stale);
+    // once the key has been idle past the ttl its state is dropped, so
+    // the same stale row emits as a fresh winner — the documented
+    // staleness-vs-state trade
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val out = StatefulOps.keepLastByKey(in.toDS(),
+      ttl = Some(java.time.Duration.ofMillis(300)))
+    val q = out.toDF("k", "ts", "v").writeStream
+      .outputMode("update").format("memory").queryName("kl_ttl_out").start()
+    // ProcessingTimeTimeout makes fMGWS request a batch per trigger
+    // (shouldRunAnotherBatch is clock-driven), so processAllAvailable
+    // can spin — poll the sink for the expected emissions instead
+    def rows = spark.table("kl_ttl_out").as[(Long, Long, String)].collect().toSeq
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    try {
+      in.addData((1L, 20L, "b"))
+      await(rows.contains((1L, 20L, "b")), "first emission")
+      Thread.sleep(900) // sail past the ttl while key 1 is idle
+      in.addData((2L, 5L, "x")) // unrelated data: batches keep running
+      await(rows.contains((2L, 5L, "x")), "unrelated emission")
+      Thread.sleep(400) // a no-data rerun fires key 1's timeout
+      in.addData((1L, 10L, "a")) // OLDER than the forgotten winner
+      await(rows.contains((1L, 10L, "a")),
+        s"post-expiry stale row to emit as fresh (got $rows)")
+    } finally q.stop()
+  }
+
   test("streaming limit passes exactly the first n rows across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
