@@ -967,6 +967,83 @@ object AdvancedOps extends QueryModule {
         |SELECT c.ws AS ws, c.user_id AS user_id, CAST(c.nc * p.np AS BIGINT) AS n_pairs
         |FROM c JOIN p ON c.ws = p.ws AND c.user_id = p.user_id
         |ORDER BY ws, user_id
+        |""".stripMargin)),
+
+    GQuery(
+      // WINDOW JOIN over the TUMBLE TVF (the canonical
+      // StreamExecWindowJoin statement shape, SqlTumbleTableFunction —
+      // FlinkSqlOperatorTable.java:1219): q142's join but with
+      // non-overlapping windows, so each row joins in exactly one
+      // bucket. Oracle: per-(5-min bucket, user) click×purchase product.
+      "q144_window_tvf_join_tumble",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT unix_seconds(x.window_start) AS ws, x.user_id AS user_id,
+                 COUNT(*) AS n_pairs
+          FROM (SELECT window_start, user_id
+                FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+                WHERE event_type = 'click') x
+          JOIN (SELECT window_start, user_id
+                FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+                WHERE event_type = 'purchase') y
+            ON x.window_start = y.window_start AND x.user_id = y.user_id
+          GROUP BY x.window_start, x.user_id
+          ORDER BY ws, user_id
+        """)
+      },
+      Some("""
+        |WITH w AS (SELECT (epoch_ns(ts)//1000000000//300)*300 AS ws, user_id, event_type
+        |           FROM events),
+        |c AS (SELECT ws, user_id, COUNT(*) AS nc FROM w
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT ws, user_id, COUNT(*) AS np FROM w
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.ws AS ws, c.user_id AS user_id, CAST(c.nc * p.np AS BIGINT) AS n_pairs
+        |FROM c JOIN p ON c.ws = p.ws AND c.user_id = p.user_id
+        |ORDER BY ws, user_id
+        |""".stripMargin)),
+
+    GQuery(
+      // WINDOW JOIN over the CUMULATE TVF (SqlCumulateTableFunction —
+      // FlinkSqlOperatorTable.java:1221): cumulate slices share
+      // window_start and differ in window_end, so the join key must
+      // carry BOTH bounds (StreamExecWindowJoin joins on the full
+      // window descriptor). Step 5 min, size 20 min — q24's slice
+      // convention (k∈1..4, event counted in every slice ending after
+      // it) replayed as the oracle's expansion.
+      "q145_window_tvf_join_cumulate",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT unix_seconds(x.window_start) AS ws, unix_seconds(x.window_end) AS we,
+                 x.user_id AS user_id, COUNT(*) AS n_pairs
+          FROM (SELECT window_start, window_end, user_id
+                FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '20' MINUTES))
+                WHERE event_type = 'click') x
+          JOIN (SELECT window_start, window_end, user_id
+                FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '20' MINUTES))
+                WHERE event_type = 'purchase') y
+            ON x.window_start = y.window_start AND x.window_end = y.window_end
+               AND x.user_id = y.user_id
+          GROUP BY x.window_start, x.window_end, x.user_id
+          ORDER BY ws, we, user_id
+        """)
+      },
+      Some("""
+        |WITH e AS (SELECT epoch_ns(ts)//1000000000 AS sec, user_id, event_type FROM events),
+        |x AS (SELECT (sec//1200)*1200 AS ws, (sec//1200)*1200 + k.k*300 AS we,
+        |             user_id, event_type, sec
+        |      FROM e CROSS JOIN (VALUES (1), (2), (3), (4)) k(k)),
+        |f AS (SELECT ws, we, user_id, event_type FROM x WHERE sec < we),
+        |c AS (SELECT ws, we, user_id, COUNT(*) AS nc FROM f
+        |      WHERE event_type = 'click' GROUP BY 1, 2, 3),
+        |p AS (SELECT ws, we, user_id, COUNT(*) AS np FROM f
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2, 3)
+        |SELECT c.ws AS ws, c.we AS we, c.user_id AS user_id,
+        |       CAST(c.nc * p.np AS BIGINT) AS n_pairs
+        |FROM c JOIN p ON c.ws = p.ws AND c.we = p.we AND c.user_id = p.user_id
+        |ORDER BY ws, we, user_id
         |""".stripMargin)))
 
   private lazy val allRowsQueries: Seq[GQuery] = Seq(
