@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Changelog-mode SQL entry — the front door's analog of Flink's
+  * changelog-inference pass (FlinkChangelogModeInferenceProgram, wired
+  * at FlinkStreamProgram.scala:298): when a plain GROUP-BY aggregate
+  * statement reads a relation that IS a changelog — by the engine's
+  * convention, a frame carrying the `row_kind` column the CDC decoders
+  * emit (+I/-U/+U/-D, `Cdc.decodeDebezium` et al.) — the aggregates
+  * must CONSUME retractions instead of counting every change row as
+  * data. Flink infers this from the source's declared changelog mode
+  * and swaps in retractable aggregate functions; here the inference
+  * signal is the schema (row_kind present) and the lowering is a
+  * two-stage batch plan:
+  *
+  *  1. LIVE MULTISET: group the changelog by every payload column
+  *     (row_kind and the decoder's `cdc_ts` metadata column excluded —
+  *     a -U retraction carries its +I's payload but the UPDATE
+  *     envelope's timestamp, so netting must ignore metadata) and net
+  *     the signs: `__net = Σ(+1 for +I/+U, -1 for -U/-D)`. This is the
+  *     batch shape of the retract-agg state in
+  *     `Retract.groupAggregate` — additions and retractions of the
+  *     same logical row cancel;
+  *  2. AGGREGATE REWRITE over the live multiset:
+  *     COUNT(*)  -> SUM(__net)
+  *     COUNT(e)  -> SUM(CASE WHEN (e) IS NOT NULL THEN __net ELSE 0 END)
+  *     SUM(e)    -> SUM((e) * __net)
+  *     AVG(e)    -> SUM((e) * __net) / SUM(__net)
+  *     MIN(e)    -> MIN(CASE WHEN __net > 0 THEN (e) END)
+  *     MAX(e)    -> MAX(CASE WHEN __net > 0 THEN (e) END)
+  *     (MIN/MAX need the live filter, not the sign algebra — exactly
+  *     why Flink's MinWithRetractAggFunction keeps full value state.)
+  *
+  * Any OTHER aggregate over a changelog relation rejects LOUDLY — a
+  * silent plain-SQL fall-through would aggregate retraction rows as
+  * data, the exact silent-wrongness this front door bans. Statements
+  * over row_kind relations that don't fit the supported shape (joins,
+  * subqueries, references to row_kind/cdc_ts themselves — the user is
+  * deliberately reading the raw changelog) fall through untouched.
+  *
+  * WHERE applies BEFORE netting: predicates read payload columns only,
+  * so a retraction passes the filter iff the row it retracts did.
+  */
+object ChangelogSql {
+
+  private val counter = new AtomicInteger(0)
+
+  private def blank(s: String) = graft.util.SqlSplit.blankLiterals(s)
+
+  /** Top-level clause offsets (paren depth 0 of the blanked text). */
+  private case class Clauses(selectList: String, relation: String,
+      where: Option[String], groupBy: Option[String],
+      having: Option[String], orderBy: Option[String])
+
+  private def parse(stmt: String): Option[Clauses] = {
+    val b = blank(stmt)
+    if (!b.trim.regionMatches(true, 0, "SELECT", 0, 6)) return None
+    // first DEPTH-0 occurrence of each clause keyword (flexible inner
+    // whitespace); depth-0 means a window's OVER(... ORDER BY) or a
+    // subquery's clauses never split the outer statement
+    def findFlex(kw: String): Option[(Int, Int)] = {
+      val re = ("(?is)\\b" + kw.replace(" ", "\\s+") + "\\b").r
+      var pos = -1
+      var end = -1
+      re.findAllMatchIn(b).foreach { m =>
+        if (pos < 0) {
+          // only depth-0 hits count
+          val d = b.take(m.start).count(_ == '(') - b.take(m.start).count(_ == ')')
+          if (d == 0) { pos = m.start; end = m.end }
+        }
+      }
+      if (pos < 0) None else Some((pos, end))
+    }
+    val from = findFlex("FROM").getOrElse(return None)
+    val where = findFlex("WHERE")
+    val group = findFlex("GROUP BY")
+    val havingKw = findFlex("HAVING")
+    val order = findFlex("ORDER BY")
+    if (findFlex("LIMIT").isDefined) return None // keep the shape tight
+    val selectKw = """(?is)^\s*SELECT\b""".r.findFirstMatchIn(b).get
+    val boundaries =
+      (Seq(from) ++ where ++ group ++ havingKw ++ order).map(_._1).sorted
+    def sliceAfter(kwEnd: Int): String = {
+      val next = boundaries.filter(_ > kwEnd)
+      val stop = if (next.isEmpty) stmt.length else next.head
+      stmt.substring(kwEnd, stop).trim
+    }
+    val rel = sliceAfter(from._2)
+    // single bare (possibly qualified) identifier only — joins,
+    // subqueries and aliases fall through to the untouched path
+    if (!rel.matches("`?[\\w.]+`?")) return None
+    Some(Clauses(
+      stmt.substring(selectKw.end, from._1).trim,
+      rel.replace("`", ""),
+      where.map(w => sliceAfter(w._2)),
+      group.map(g => sliceAfter(g._2)),
+      havingKw.map(h => sliceAfter(h._2)),
+      order.map(o => sliceAfter(o._2))))
+  }
+
+  /** Aggregates beyond the rewrite set that must REJECT over a
+    * changelog (silently treating change rows as data is the failure
+    * mode this entry exists to prevent). */
+  private val UnsupportedAggRe =
+    ("""(?i)\b(STDDEV\w*|VAR\w*|PERCENTILE\w*|MEDIAN|LISTAGG|STRING_AGG|""" +
+      """COLLECT_\w+|ARRAY_AGG|FIRST(_VALUE)?|LAST(_VALUE)?|ANY_VALUE|""" +
+      """APPROX_\w+|BIT_\w+|BOOL_\w+|CORR|COVAR\w*|SKEWNESS|KURTOSIS|""" +
+      """MODE|HISTOGRAM\w*)\s*\(""").r
+
+  private val AggRe = """(?i)\b(COUNT|SUM|AVG|MIN|MAX)\s*\(""".r
+
+  private def matchParen(b: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < b.length) {
+      b(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced parentheses in SQL statement at offset $open")
+  }
+
+  /** Rewrite every COUNT/SUM/AVG/MIN/MAX call in `list` into its
+    * retraction-consuming form over the live multiset. */
+  private def rewriteAggs(list: String): String = {
+    val b = blank(list)
+    val sb = new StringBuilder
+    var last = 0
+    AggRe.findAllMatchIn(b).foreach { m =>
+      if (m.start >= last) {
+        val fn = m.group(1).toUpperCase
+        val open = b.indexOf('(', m.start)
+        val close = matchParen(b, open)
+        val arg = list.substring(open + 1, close).trim
+        require(!arg.toUpperCase.startsWith("DISTINCT"),
+          s"changelog aggregate $fn(DISTINCT ...) is not supported; " +
+            "aggregate the materialized state instead")
+        val repl = fn match {
+          case "COUNT" if arg == "*" => "SUM(__net)"
+          case "COUNT" =>
+            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN __net ELSE 0 END)"
+          case "SUM" => s"SUM(($arg) * __net)"
+          // denominator = live NON-NULL count (plain AVG ignores nulls)
+          case "AVG" => s"(SUM(($arg) * __net) / " +
+            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN __net ELSE 0 END))"
+          case "MIN" => s"MIN(CASE WHEN __net > 0 THEN ($arg) END)"
+          case "MAX" => s"MAX(CASE WHEN __net > 0 THEN ($arg) END)"
+        }
+        sb.append(list.substring(last, m.start)).append(repl)
+        last = close + 1
+      }
+    }
+    sb.append(list.substring(last)).toString
+  }
+
+  /** Lower `stmt` if it is a supported aggregate over a changelog
+    * relation; None = not this entry's statement (plain fall-through).
+    * The changelog signal is the RESOLVED schema, never text. */
+  def sql(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    val c = parse(stmt).getOrElse(return None)
+    val src = scala.util.Try(spark.table(c.relation)).getOrElse(return None)
+    if (!src.columns.contains(streaming.Cdc.RowKind)) return None
+    val bl = blank(c.selectList)
+    val hasAgg = AggRe.findFirstIn(bl).isDefined
+    val refsMeta = Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
+      ("(?i)\\b" + m + "\\b").r.findFirstIn(
+        bl + " " + c.where.map(blank).getOrElse("") + " " +
+          c.groupBy.map(blank).getOrElse("")).isDefined)
+    if (refsMeta) return None // raw changelog read: untouched
+    // an UNSUPPORTED aggregate must reject BEFORE the no-supported-agg
+    // fall-through — a silent spark.sql pass would aggregate retraction
+    // rows as data, the exact wrongness this entry exists to prevent
+    UnsupportedAggRe.findFirstMatchIn(bl).foreach { m =>
+      throw new IllegalArgumentException(
+        s"aggregate ${m.group(1).toUpperCase} over changelog relation " +
+          s"${c.relation} has no retraction-consuming rewrite " +
+          "(supported: COUNT/SUM/AVG/MIN/MAX); materialize the final " +
+          "state first (Cdc.upsertMaterialize) and aggregate that")
+    }
+    if (!hasAgg) return None // plain projection: untouched
+    // stage 1: live multiset — net the signs per distinct payload row
+    val dataCols = src.columns.filterNot(n =>
+      n == streaming.Cdc.RowKind || n == "cdc_ts").toSeq
+    val sign = when(col(streaming.Cdc.RowKind)
+      .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
+      .otherwise(-1)
+    val filtered = c.where.fold(src)(w => src.filter(expr(w)))
+    val live = filtered
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(sign).as("__net"))
+    val view = s"__graft_changelog_live_${counter.incrementAndGet()}"
+    live.createOrReplaceTempView(view)
+    try {
+      // stage 2: the user's statement with retract-aware aggregates
+      val sqlText = new StringBuilder("SELECT ")
+        .append(rewriteAggs(c.selectList))
+        .append(s" FROM $view")
+      c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
+      c.having.foreach(h => sqlText.append(" HAVING ").append(rewriteAggs(h)))
+      c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(o))
+      Some(spark.sql(sqlText.toString))
+    } finally spark.catalog.dropTempView(view): Unit
+  }
+}

@@ -274,7 +274,12 @@ object Engine {
                 "REPLACE] [GLOBAL] TEMPORARY VIEW / CREATE TABLE AS / " +
                 s"INSERT INTO ... SELECT; got statement: ${q.trim.take(120)}")
             graft.cep.MatchRecognize.sql(spark, q)
-          } else WatermarkDdl.sql(spark, q)
+          }
+          // changelog-mode inference (FlinkChangelogModeInferenceProgram
+          // role): a plain aggregate over a row_kind-carrying relation
+          // lowers to retraction-consuming aggregates; anything else
+          // keeps the untouched fall-through
+          else ChangelogSql.sql(spark, q).getOrElse(WatermarkDdl.sql(spark, q))
           // the lifted __graft_sub_N views are an implementation detail:
           // drop them now that the statement's DataFrame is constructed
           // (analysis has already inlined the view plans)

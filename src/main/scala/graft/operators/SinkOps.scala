@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQuery, QueryModule, Tables}
+import graft.{Engine, GQuery, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,76 @@ object SinkOps extends QueryModule {
         |            AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey % 17 <> 0
         |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
+      // CHANGELOG-MODE SQL ENTRY under the oracle gate (the reference's
+      // changelog-inference path as a SQL-level analog,
+      // FlinkChangelogModeInferenceProgram via FlinkStreamProgram.scala:298):
+      // a debezium envelope stream (q103's synthetic changelog: insert
+      // all orders at ts 1, +100 price update for keys %10=0 at ts 2,
+      // delete for keys %17=0 at ts 3 — the delete's before-image
+      // carries the CURRENT row, bumped where updated, as a well-formed
+      // changelog must) decodes to a row_kind view, and a PLAIN GROUP-BY
+      // aggregate statement over that view runs through the front door —
+      // ChangelogSql swaps in the retraction-consuming forms, so the
+      // result equals the same aggregate over the FINAL state. The
+      // oracle states exactly that: aggregate the surviving rows. Any
+      // sign-algebra, netting or live-filter bug (e.g. counting -U rows
+      // as data) breaks every column.
+      "q146_changelog_sql_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Cdc
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val payload = new StructType().add("o_orderkey", LongType)
+          .add("o_orderpriority", StringType).add("price", DoubleType)
+        val inserts = base.select(to_json(struct(
+          lit("c").as("op"), lit(1L).as("ts_ms"),
+          lit(null).cast(payload).as("before"),
+          struct($"o_orderkey", $"o_orderpriority", $"price").as("after"))).as("value"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val updates = base.filter($"o_orderkey" % 10 === 0)
+          .select(to_json(struct(
+            lit("u").as("op"), lit(2L).as("ts_ms"),
+            struct($"o_orderkey", $"o_orderpriority", $"price").as("before"),
+            struct($"o_orderkey", $"o_orderpriority", bumped).as("after"))).as("value"))
+        val current = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val deletes = base.filter($"o_orderkey" % 17 === 0)
+          .select(to_json(struct(
+            lit("d").as("op"), lit(3L).as("ts_ms"),
+            struct($"o_orderkey", $"o_orderpriority", current).as("before"),
+            lit(null).cast(payload).as("after"))).as("value"))
+        val log = Cdc.decodeDebezium(
+          inserts.unionByName(updates).unionByName(deletes), payload)
+        log.createOrReplaceTempView("orders_changelog")
+        try Engine.sql(s, """
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                 CAST(MIN(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+                 CAST(MAX(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+          FROM orders_changelog
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority
+        """)
+        finally s.catalog.dropTempView("orders_changelog"): Unit
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS total,
+        |       CAST(MIN(price) AS DOUBLE) AS min_price,
+        |       CAST(MAX(price) AS DOUBLE) AS max_price
+        |FROM fs GROUP BY 1 ORDER BY 1
         |""".stripMargin)),
 
     GQuery(

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Changelog-mode SQL inference (ChangelogSql): a plain GROUP-BY
+  * aggregate over a row_kind-carrying relation consumes retractions;
+  * raw changelog reads fall through untouched; unsupported aggregates
+  * reject loudly. Equality oracle in every positive case: the same
+  * aggregate over the MATERIALIZED final state. */
+class ChangelogSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // a small changelog: k1 inserted then updated (10 -> 25), k2 inserted
+  // then deleted, k3 inserted with a NULL measure, k4 plain insert.
+  // Final state: k1=25, k3=null, k4=7  (group g1: k1, k3; g2: k4)
+  private def changelog() = {
+    import spark.implicits._
+    Seq(
+      ("+I", 100L, "g1", "k1", Option(10.0)),
+      ("+I", 100L, "g1", "k2", Option(4.0)),
+      ("+I", 100L, "g1", "k3", Option.empty[Double]),
+      ("+I", 100L, "g2", "k4", Option(7.0)),
+      ("-U", 200L, "g1", "k1", Option(10.0)),
+      ("+U", 200L, "g1", "k1", Option(25.0)),
+      ("-D", 300L, "g1", "k2", Option(4.0)))
+      .toDF("row_kind", "cdc_ts", "g", "k", "x")
+  }
+
+  test("retract-aware COUNT/SUM/AVG/MIN/MAX equal the final-state aggregate") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_v")
+    try {
+      val got = Engine.sql(spark, """
+        SELECT g, COUNT(*) AS n, COUNT(x) AS n_x, SUM(x) AS total,
+               AVG(x) AS mean, MIN(x) AS lo, MAX(x) AS hi
+        FROM cl_v GROUP BY g ORDER BY g
+      """).as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+      // final state: g1 -> rows (k1, 25.0), (k3, null); g2 -> (k4, 7.0)
+      assert(got == Seq(
+        ("g1", 2L, 1L, Some(25.0), Some(25.0), Some(25.0), Some(25.0)),
+        ("g2", 1L, 1L, Some(7.0), Some(7.0), Some(7.0), Some(7.0))),
+        s"got $got")
+    } finally spark.catalog.dropTempView("cl_v")
+  }
+
+  test("WHERE filters payload before netting; HAVING rewrites too") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_w")
+    try {
+      // WHERE x < 20: k1's +I(10)/-U(10) still cancel even though its
+      // +U(25) is filtered out — a retraction passes the filter iff the
+      // row it retracts did
+      val got = Engine.sql(spark, """
+        SELECT g, COUNT(*) AS n, SUM(x) AS total
+        FROM cl_w WHERE x < 20 GROUP BY g HAVING COUNT(*) > 0 ORDER BY g
+      """).as[(String, Long, Option[Double])].collect().toSeq
+      // live rows with x<20: only k4 (k2 deleted, k1's 10 retracted,
+      // k3 null fails x<20)
+      assert(got == Seq(("g2", 1L, Some(7.0))), s"got $got")
+    } finally spark.catalog.dropTempView("cl_w")
+  }
+
+  test("raw changelog reads (row_kind/cdc_ts referenced) fall through") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_raw")
+    try {
+      val kinds = Engine.sql(spark,
+        "SELECT row_kind, COUNT(*) AS n FROM cl_raw GROUP BY row_kind ORDER BY row_kind")
+        .as[(String, Long)].collect().toMap
+      // the user asked about the changelog ITSELF: change rows counted
+      assert(kinds == Map("+I" -> 4L, "-U" -> 1L, "+U" -> 1L, "-D" -> 1L),
+        s"got $kinds")
+      // and a plain projection is untouched too
+      val n = Engine.sql(spark, "SELECT k FROM cl_raw").count()
+      assert(n == 7L, s"raw projection rows: $n")
+    } finally spark.catalog.dropTempView("cl_raw")
+  }
+
+  test("non-changelog relations never take the changelog path") {
+    import spark.implicits._
+    Seq(("g1", 1.0), ("g1", 2.0)).toDF("g", "x")
+      .createOrReplaceTempView("plain_v")
+    try {
+      val got = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n, SUM(x) AS s FROM plain_v GROUP BY g")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got == Seq(("g1", 2L, 3.0)), s"got $got")
+    } finally spark.catalog.dropTempView("plain_v")
+  }
+
+  test("unsupported aggregates over a changelog reject loudly") {
+    changelog().createOrReplaceTempView("cl_rej")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "SELECT g, ANY_VALUE(x) AS a FROM cl_rej GROUP BY g")
+      }
+      assert(e.getMessage.contains("retraction-consuming"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "SELECT g, COUNT(DISTINCT k) AS n FROM cl_rej GROUP BY g")
+      }
+      assert(e2.getMessage.contains("DISTINCT"), e2.getMessage)
+    } finally spark.catalog.dropTempView("cl_rej")
+  }
+
+  test("global aggregate (no GROUP BY) consumes retractions too") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_g")
+    try {
+      val got = Engine.sql(spark,
+        "SELECT COUNT(*) AS n, SUM(x) AS total FROM cl_g")
+        .as[(Long, Option[Double])].collect().head
+      assert(got == ((3L, Some(32.0))), s"got $got")
+    } finally spark.catalog.dropTempView("cl_g")
+  }
+}
