@@ -54,9 +54,13 @@ object ChangelogSql {
   /** Top-level clause offsets (paren depth 0 of the blanked text). */
   private case class Clauses(selectList: String, relation: String,
       where: Option[String], groupBy: Option[String],
-      having: Option[String], orderBy: Option[String])
+      having: Option[String], orderBy: Option[String],
+      limit: Option[String])
 
-  private def parse(stmt: String): Option[Clauses] = {
+  private def parse(stmt0: String): Option[Clauses] = {
+    // trailing semicolon would make the relation token unparseable and
+    // silently fall a changelog aggregate through to plain SQL
+    val stmt = stmt0.trim.replaceAll(";\\s*$", "")
     val b = blank(stmt)
     if (!b.trim.regionMatches(true, 0, "SELECT", 0, 6)) return None
     // first DEPTH-0 occurrence of each clause keyword (flexible inner
@@ -80,10 +84,11 @@ object ChangelogSql {
     val group = findFlex("GROUP BY")
     val havingKw = findFlex("HAVING")
     val order = findFlex("ORDER BY")
-    if (findFlex("LIMIT").isDefined) return None // keep the shape tight
+    val limit = findFlex("LIMIT")
     val selectKw = """(?is)^\s*SELECT\b""".r.findFirstMatchIn(b).get
     val boundaries =
-      (Seq(from) ++ where ++ group ++ havingKw ++ order).map(_._1).sorted
+      (Seq(from) ++ where ++ group ++ havingKw ++ order ++ limit)
+        .map(_._1).sorted
     def sliceAfter(kwEnd: Int): String = {
       val next = boundaries.filter(_ > kwEnd)
       val stop = if (next.isEmpty) stmt.length else next.head
@@ -99,7 +104,8 @@ object ChangelogSql {
       where.map(w => sliceAfter(w._2)),
       group.map(g => sliceAfter(g._2)),
       havingKw.map(h => sliceAfter(h._2)),
-      order.map(o => sliceAfter(o._2))))
+      order.map(o => sliceAfter(o._2)),
+      limit.map(l => sliceAfter(l._2))))
   }
 
   /** Aggregates beyond the rewrite set that must REJECT over a
@@ -206,6 +212,7 @@ object ChangelogSql {
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
       c.having.foreach(h => sqlText.append(" HAVING ").append(rewriteAggs(h)))
       c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(o))
+      c.limit.foreach(l => sqlText.append(" LIMIT ").append(l))
       Some(spark.sql(sqlText.toString))
     } finally spark.catalog.dropTempView(view): Unit
   }

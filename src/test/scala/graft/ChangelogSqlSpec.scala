@@ -115,4 +115,17 @@ class ChangelogSqlSpec extends AnyFunSuite {
       assert(got == ((3L, Some(32.0))), s"got $got")
     } finally spark.catalog.dropTempView("cl_g")
   }
+
+  test("LIMIT and a trailing semicolon stay on the changelog path") {
+    // either used to make parse() bail and silently aggregate the raw
+    // change rows through plain spark.sql
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_lim")
+    try {
+      val got = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n FROM cl_lim GROUP BY g ORDER BY g LIMIT 1;")
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("g1", 2L)), s"got $got") // 7 raw rows, 2 live
+    } finally spark.catalog.dropTempView("cl_lim")
+  }
 }
