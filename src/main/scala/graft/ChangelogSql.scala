@@ -167,24 +167,50 @@ object ChangelogSql {
     sb.append(list.substring(last)).toString
   }
 
+  /** The relation's column names via a CATALOG lookup — cheap enough
+    * for the hot plain-SQL path (every single-table SELECT passes this
+    * gate); full `spark.table` analysis happens only once the relation
+    * is known to carry row_kind. Falls back to `spark.table` for
+    * relations the session catalog can't describe. */
+  private def relationColumns(spark: SparkSession, rel: String): Option[Seq[String]] =
+    scala.util.Try {
+      val cat = spark.sessionState.catalog
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(rel)
+      cat.getTempView(id.table) match {
+        case Some(p) if id.database.isEmpty => p.output.map(_.name)
+        case _ => cat.getTableMetadata(id).schema.fieldNames.toSeq
+      }
+    }.orElse(scala.util.Try(spark.table(rel).columns.toSeq)).toOption
+
   /** Lower `stmt` if it is a supported aggregate over a changelog
     * relation; None = not this entry's statement (plain fall-through).
     * The changelog signal is the RESOLVED schema, never text. */
   def sql(spark: SparkSession, stmt: String): Option[DataFrame] = {
     val c = parse(stmt).getOrElse(return None)
-    val src = scala.util.Try(spark.table(c.relation)).getOrElse(return None)
-    if (!src.columns.contains(streaming.Cdc.RowKind)) return None
+    val cols = relationColumns(spark, c.relation).getOrElse(return None)
+    if (!cols.contains(streaming.Cdc.RowKind)) return None
     val bl = blank(c.selectList)
-    val hasAgg = AggRe.findFirstIn(bl).isDefined
+    // the three AGGREGATE-CARRYING clauses share one scan: an aggregate
+    // hiding in HAVING or ORDER BY needs the same rewrite (or the same
+    // loud reject) as one in the select list
+    val aggClauses = bl + " " + c.having.map(blank).getOrElse("") + " " +
+      c.orderBy.map(blank).getOrElse("")
+    val allClauses = aggClauses + " " + c.where.map(blank).getOrElse("") +
+      " " + c.groupBy.map(blank).getOrElse("")
+    val hasAgg = AggRe.findFirstIn(aggClauses).isDefined
     val refsMeta = Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
-      ("(?i)\\b" + m + "\\b").r.findFirstIn(
-        bl + " " + c.where.map(blank).getOrElse("") + " " +
-          c.groupBy.map(blank).getOrElse("")).isDefined)
+      ("(?i)\\b" + m + "\\b").r.findFirstIn(allClauses).isDefined)
     if (refsMeta) return None // raw changelog read: untouched
+    // window functions (agg OVER) and subqueries are beyond this
+    // entry's rewrite: the user is reading the changelog itself (OVER)
+    // or mixing in other relations — both keep the documented
+    // raw-fall-through semantics rather than a half-right rewrite
+    if ("""(?i)\bOVER\s*\(""".r.findFirstIn(allClauses).isDefined) return None
+    if ("""(?i)\(\s*SELECT\b""".r.findFirstIn(allClauses).isDefined) return None
     // an UNSUPPORTED aggregate must reject BEFORE the no-supported-agg
     // fall-through — a silent spark.sql pass would aggregate retraction
     // rows as data, the exact wrongness this entry exists to prevent
-    UnsupportedAggRe.findFirstMatchIn(bl).foreach { m =>
+    UnsupportedAggRe.findFirstMatchIn(aggClauses).foreach { m =>
       throw new IllegalArgumentException(
         s"aggregate ${m.group(1).toUpperCase} over changelog relation " +
           s"${c.relation} has no retraction-consuming rewrite " +
@@ -192,6 +218,7 @@ object ChangelogSql {
           "state first (Cdc.upsertMaterialize) and aggregate that")
     }
     if (!hasAgg) return None // plain projection: untouched
+    val src = spark.table(c.relation)
     // stage 1: live multiset — net the signs per distinct payload row
     val dataCols = src.columns.filterNot(n =>
       n == streaming.Cdc.RowKind || n == "cdc_ts").toSeq
@@ -211,7 +238,9 @@ object ChangelogSql {
         .append(s" FROM $view")
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
       c.having.foreach(h => sqlText.append(" HAVING ").append(rewriteAggs(h)))
-      c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(o))
+      // ORDER BY can carry aggregates too (ORDER BY COUNT(*)) — netted
+      // like every other aggregate position
+      c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(rewriteAggs(o)))
       c.limit.foreach(l => sqlText.append(" LIMIT ").append(l))
       Some(spark.sql(sqlText.toString))
     } finally spark.catalog.dropTempView(view): Unit

@@ -124,6 +124,12 @@ object StreamOverSql {
   def registerAggregate(name: String, agg: StatefulOps.OverAgg): Unit = {
     require(!BuiltinOverFns(name.toUpperCase),
       s"cannot override built-in OVER aggregate $name")
+    // contract checks at REGISTRATION, not first use: a zero/size
+    // mismatch would silently corrupt the shared accumulator layout
+    // (regions are sized by `size` but seeded by arraycopy of `zero`)
+    require(agg.size >= 1, s"OverAgg $name: size must be >= 1, got ${agg.size}")
+    require(agg.zero.length == agg.size,
+      s"OverAgg $name: zero.length ${agg.zero.length} != size ${agg.size}")
     customAggs.put(name.toUpperCase, agg): Unit
   }
 

@@ -235,15 +235,27 @@ object WatermarkDdl {
     * `loc` predates this JVM's start. A directory a concurrent session
     * wrote during our lifetime has fresh mtimes — deleting it would be
     * silent cross-session data loss; a crashed prior JVM's leftover
-    * never does. Directory-entry mtimes are skipped (they change on
-    * listing in some filesystems); files are the write signal. */
+    * never does. Directory-entry mtimes are skipped when files exist
+    * (they change on listing in some filesystems) — but a FILE-LESS
+    * tree falls back to the directory mtimes themselves: an empty
+    * location is exactly what a concurrent session's CREATE leaves
+    * before its first write, and judging it "stale" on a zero file max
+    * would let the guard delete a table the other session just made. */
   private def requireStale(loc: java.io.File, what: String): Unit = {
-    def newest(f: java.io.File): Long =
+    def newestFile(f: java.io.File): Long =
       if (f.isDirectory)
-        Option(f.listFiles).map(_.foldLeft(0L)((m, c) => math.max(m, newest(c))))
+        Option(f.listFiles).map(_.foldLeft(0L)((m, c) => math.max(m, newestFile(c))))
           .getOrElse(0L)
       else f.lastModified
-    val n = newest(loc)
+    def newestAny(f: java.io.File): Long = {
+      val own = f.lastModified
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.foldLeft(own)((m, c) => math.max(m, newestAny(c))))
+          .getOrElse(own)
+      else own
+    }
+    val files = newestFile(loc)
+    val n = if (files > 0L) files else newestAny(loc)
     if (n >= jvmStartMs)
       throw new IllegalStateException(
         s"refusing to heal $loc for $what: directory holds files written " +

@@ -116,6 +116,69 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_g")
   }
 
+  test("aggregates in HAVING alone still take the changelog path") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_hav")
+    try {
+      // netted counts: g1=2, g2=1; raw change-row counts would be 6/1,
+      // so HAVING COUNT(*) = 2 separates the two lowerings
+      val got = Engine.sql(spark,
+        "SELECT g FROM cl_hav GROUP BY g HAVING COUNT(*) = 2")
+        .as[String].collect().toSeq
+      assert(got == Seq("g1"), s"got $got")
+    } finally spark.catalog.dropTempView("cl_hav")
+  }
+
+  test("aggregates in ORDER BY are netted too") {
+    import spark.implicits._
+    // ga: 1 live row + 2 insert/delete pairs -> raw 5, net 1;
+    // gb: 3 live rows -> raw 3, net 3. Raw ordering by COUNT(*) would
+    // invert the netted one.
+    Seq(
+      ("+I", 1L, "ga", "a1", 1.0), ("+I", 1L, "ga", "a2", 2.0),
+      ("-D", 2L, "ga", "a2", 2.0), ("+I", 1L, "ga", "a3", 3.0),
+      ("-D", 2L, "ga", "a3", 3.0),
+      ("+I", 1L, "gb", "b1", 1.0), ("+I", 1L, "gb", "b2", 2.0),
+      ("+I", 1L, "gb", "b3", 3.0))
+      .toDF("row_kind", "cdc_ts", "g", "k", "x")
+      .createOrReplaceTempView("cl_ord")
+    try {
+      val got = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n FROM cl_ord GROUP BY g ORDER BY COUNT(*), g")
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("ga", 1L), ("gb", 3L)), s"got $got")
+    } finally spark.catalog.dropTempView("cl_ord")
+  }
+
+  test("window functions and scalar subqueries fall through as raw reads") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_win")
+    try {
+      // agg OVER (...) is a window over the changelog ITSELF — no
+      // half-right group rewrite; all 7 change rows count
+      val win = Engine.sql(spark,
+        "SELECT k, COUNT(*) OVER () AS n FROM cl_win")
+        .as[(String, Long)].collect().toSeq
+      assert(win.size == 7 && win.forall(_._2 == 7L), s"got $win")
+      // a scalar subquery aggregates a DIFFERENT relation: untouched
+      val sub = Engine.sql(spark,
+        "SELECT k, (SELECT 41 + 1) AS x FROM cl_win")
+        .as[(String, Int)].collect().toSeq
+      assert(sub.size == 7 && sub.forall(_._2 == 42), s"got $sub")
+    } finally spark.catalog.dropTempView("cl_win")
+  }
+
+  test("unsupported aggregate in HAVING rejects loudly too") {
+    changelog().createOrReplaceTempView("cl_hrej")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "SELECT g, COUNT(*) AS n FROM cl_hrej GROUP BY g HAVING ANY_VALUE(x) > 0")
+      }
+      assert(e.getMessage.contains("retraction-consuming"), e.getMessage)
+    } finally spark.catalog.dropTempView("cl_hrej")
+  }
+
   test("LIMIT and a trailing semicolon stay on the changelog path") {
     // either used to make parse() bail and silently aggregate the raw
     // change rows through plain spark.sql

@@ -567,7 +567,23 @@ class DdlSpec extends AnyFunSuite {
       assert(loc.exists(), "disabled front-door healing must not delete")
     } finally spark.conf.unset("graft.healOrphanedLocations.frontDoor")
     stamp(jvmStart - 60000)
-    // stale artifacts-only orphan heals; the CREATE retries and succeeds
+    // a FILE-LESS tree (a fresh empty partition/staging subdir — a
+    // concurrent session's CREATE+mkdir before its first data file)
+    // must be judged by DIRECTORY mtimes: a zero file-max must not
+    // read as "stale". (A fully empty location never reaches healing —
+    // Spark's CREATE adopts it without LOCATION_ALREADY_EXISTS.)
+    Option(loc.listFiles).foreach(_.foreach(rmrf))
+    val sub = new java.io.File(loc, "staging")
+    sub.mkdirs()
+    val eEmpty = intercept[IllegalStateException] {
+      Engine.sql(spark, s"CREATE TABLE $t (k BIGINT) USING parquet")
+    }
+    assert(eEmpty.getMessage.contains("concurrent session"), eEmpty.getMessage)
+    assert(sub.exists(), "fresh file-less tree must survive")
+    // ...while the STALE file-less tree (crashed prior JVM) heals: the
+    // CREATE retries and succeeds
+    loc.setLastModified(jvmStart - 60000)
+    sub.setLastModified(jvmStart - 60000)
     Engine.sql(spark, s"CREATE TABLE $t (k BIGINT) USING parquet")
     assert(spark.catalog.tableExists(t))
     // an explicit-LOCATION CREATE must NOT heal (user data): simulate by

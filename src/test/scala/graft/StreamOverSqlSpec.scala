@@ -623,6 +623,23 @@ class StreamOverSqlSpec extends AnyFunSuite {
       if (b(1) == 0.0) Double.NaN else StrictMath.exp(b(0) / b(1))
   }
 
+  test("registerAggregate validates the OverAgg contract at registration") {
+    val bad = new graft.streaming.StatefulOps.OverAgg {
+      val size = 2
+      def zero: Array[Double] = Array(0.0, 0.0, 0.0) // wrong width
+      def reduce(b: Array[Double], x: Double): Unit = ()
+      def finish(b: Array[Double]): Double = Double.NaN
+    }
+    val e = intercept[IllegalArgumentException] {
+      StreamOverSql.registerAggregate("BAD_AGG", bad)
+    }
+    assert(e.getMessage.contains("zero.length"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOverSql.registerAggregate("SUM", GeoMean)
+    }
+    assert(e2.getMessage.contains("built-in"), e2.getMessage)
+  }
+
   test("user-defined GEO_MEAN OVER aggregate: stream == batch exactly, " +
       "unbounded accumulator-region and bounded re-fold frames") {
     StreamOverSql.registerAggregate("GEO_MEAN", GeoMean)
