@@ -136,7 +136,17 @@ object ChangelogSql {
 
   /** Rewrite every COUNT/SUM/AVG/MIN/MAX call in `list` into its
     * retraction-consuming form over the live multiset. */
-  private def rewriteAggs(list: String): String = {
+  private def rewriteAggs(list: String): String =
+    rewriteWith(list, "__net")
+
+  /** Sign-algebra forms for the SINGLE-EXCHANGE path: COUNT/SUM/AVG
+    * distribute over the change signs (Σ over live rows == Σ x·sign
+    * over change rows), so no netting shuffle is needed — `__sign` is
+    * ±1 per change row. MIN/MAX callers never reach this. */
+  private def rewriteSigned(list: String): String =
+    rewriteWith(list, "__sign")
+
+  private def rewriteWith(list: String, weight: String): String = {
     val b = blank(list)
     val sb = new StringBuilder
     var last = 0
@@ -150,15 +160,20 @@ object ChangelogSql {
           s"changelog aggregate $fn(DISTINCT ...) is not supported; " +
             "aggregate the materialized state instead")
         val repl = fn match {
-          case "COUNT" if arg == "*" => "SUM(__net)"
+          case "COUNT" if arg == "*" => s"SUM($weight)"
           case "COUNT" =>
-            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN __net ELSE 0 END)"
-          case "SUM" => s"SUM(($arg) * __net)"
+            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN $weight ELSE 0 END)"
+          case "SUM" => s"SUM(($arg) * $weight)"
           // denominator = live NON-NULL count (plain AVG ignores nulls)
-          case "AVG" => s"(SUM(($arg) * __net) / " +
-            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN __net ELSE 0 END))"
-          case "MIN" => s"MIN(CASE WHEN __net > 0 THEN ($arg) END)"
-          case "MAX" => s"MAX(CASE WHEN __net > 0 THEN ($arg) END)"
+          case "AVG" => s"(SUM(($arg) * $weight) / " +
+            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN $weight ELSE 0 END))"
+          case "MIN" =>
+            require(weight == "__net",
+              "MIN has no sign-algebra form") // callers pre-check
+            s"MIN(CASE WHEN __net > 0 THEN ($arg) END)"
+          case "MAX" =>
+            require(weight == "__net", "MAX has no sign-algebra form")
+            s"MAX(CASE WHEN __net > 0 THEN ($arg) END)"
         }
         sb.append(list.substring(last, m.start)).append(repl)
         last = close + 1
@@ -219,28 +234,40 @@ object ChangelogSql {
     }
     if (!hasAgg) return None // plain projection: untouched
     val src = spark.table(c.relation)
-    // stage 1: live multiset — net the signs per distinct payload row
-    val dataCols = src.columns.filterNot(n =>
-      n == streaming.Cdc.RowKind || n == "cdc_ts").toSeq
     val sign = when(col(streaming.Cdc.RowKind)
       .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
       .otherwise(-1)
     val filtered = c.where.fold(src)(w => src.filter(expr(w)))
-    val live = filtered
-      .groupBy(dataCols.map(col): _*)
-      .agg(sum(sign).as("__net"))
+    // SINGLE-EXCHANGE shortcut: COUNT/SUM/AVG distribute over the
+    // change signs, so without MIN/MAX the payload-wide netting shuffle
+    // (the dominant cost at scale) is skipped entirely — the statement
+    // aggregates the raw changelog with a ±1 weight column and pays
+    // only its own GROUP BY exchange, partial-aggregated map-side.
+    val needsNet =
+      """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined
+    val (stage1, rewrite) =
+      if (!needsNet)
+        (filtered.withColumn("__sign", sign), rewriteSigned _)
+      else {
+        // stage 1: live multiset — net the signs per distinct payload
+        // row (MIN/MAX need the surviving VALUES, not just sums)
+        val dataCols = src.columns.filterNot(n =>
+          n == streaming.Cdc.RowKind || n == "cdc_ts").toSeq
+        (filtered.groupBy(dataCols.map(col): _*).agg(sum(sign).as("__net")),
+          rewriteAggs _)
+      }
     val view = s"__graft_changelog_live_${counter.incrementAndGet()}"
-    live.createOrReplaceTempView(view)
+    stage1.createOrReplaceTempView(view)
     try {
       // stage 2: the user's statement with retract-aware aggregates
       val sqlText = new StringBuilder("SELECT ")
-        .append(rewriteAggs(c.selectList))
+        .append(rewrite(c.selectList))
         .append(s" FROM $view")
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
-      c.having.foreach(h => sqlText.append(" HAVING ").append(rewriteAggs(h)))
+      c.having.foreach(h => sqlText.append(" HAVING ").append(rewrite(h)))
       // ORDER BY can carry aggregates too (ORDER BY COUNT(*)) — netted
       // like every other aggregate position
-      c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(rewriteAggs(o)))
+      c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(rewrite(o)))
       c.limit.foreach(l => sqlText.append(" LIMIT ").append(l))
       Some(spark.sql(sqlText.toString))
     } finally spark.catalog.dropTempView(view): Unit

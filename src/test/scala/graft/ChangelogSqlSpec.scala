@@ -179,6 +179,37 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_hrej")
   }
 
+  test("COUNT/SUM/AVG-only statements take the single-exchange sign path") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_fast")
+    try {
+      // sign algebra distributes for COUNT/SUM/AVG: no netting shuffle
+      val fast = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n, COUNT(x) AS nx, SUM(x) AS s, AVG(x) AS m " +
+          "FROM cl_fast GROUP BY g")
+      // MIN forces the live-multiset netting (needs surviving VALUES)
+      val slow = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n, COUNT(x) AS nx, SUM(x) AS s, AVG(x) AS m, " +
+          "MIN(x) AS lo FROM cl_fast GROUP BY g")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges(fast) == 1,
+        s"sign path must pay exactly ONE exchange:\n${fast.queryExecution.executedPlan}")
+      assert(exchanges(slow) == 2,
+        s"netting path pays the netting + GROUP BY exchanges:\n${slow.queryExecution.executedPlan}")
+      // and both paths agree on every shared column
+      val f = fast.orderBy("g")
+        .as[(String, Long, Long, Option[Double], Option[Double])].collect().toSeq
+      val s = slow.orderBy("g")
+        .select($"g", $"n", $"nx", $"s", $"m")
+        .as[(String, Long, Long, Option[Double], Option[Double])].collect().toSeq
+      assert(f == s, s"sign path $f != netting path $s")
+      assert(f == Seq(("g1", 2L, 1L, Some(25.0), Some(25.0)),
+        ("g2", 1L, 1L, Some(7.0), Some(7.0))), s"got $f")
+    } finally spark.catalog.dropTempView("cl_fast")
+  }
+
   test("LIMIT and a trailing semicolon stay on the changelog path") {
     // either used to make parse() bail and silently aggregate the raw
     // change rows through plain spark.sql
