@@ -17,30 +17,52 @@ import java.util.concurrent.atomic.AtomicInteger
   * signal is the schema (row_kind present) and the lowering is a
   * two-stage batch plan:
   *
-  *  1. LIVE MULTISET: group the changelog by every payload column
-  *     (row_kind and the decoder's `cdc_ts` metadata column excluded —
-  *     a -U retraction carries its +I's payload but the UPDATE
-  *     envelope's timestamp, so netting must ignore metadata) and net
-  *     the signs: `__net = Σ(+1 for +I/+U, -1 for -U/-D)`. This is the
-  *     batch shape of the retract-agg state in
-  *     `Retract.groupAggregate` — additions and retractions of the
-  *     same logical row cancel;
+  *  1. LIVE MULTISET: group the changelog by the REFERENCED payload
+  *     columns (row_kind and the decoder's `cdc_ts` metadata column
+  *     excluded — a -U retraction carries its +I's payload but the
+  *     UPDATE envelope's timestamp, so netting must ignore metadata;
+  *     columns the statement never reads are projected away first —
+  *     netting commutes with projection on a well-formed changelog, so
+  *     the exchange never pays for unreferenced payload bytes) and net
+  *     the signs: `__net = Σ(+1 for +I/+U, -1 for -U/-D)`. Rows whose
+  *     net is 0 are FILTERED — a fully-retracted row is absent from the
+  *     live multiset, so a fully-retracted group is absent from the
+  *     result (Flink's GroupAggFunction deletes a group when its count
+  *     drops to 0, GroupAggFunction.java:43);
   *  2. AGGREGATE REWRITE over the live multiset:
-  *     COUNT(*)  -> SUM(__net)
-  *     COUNT(e)  -> SUM(CASE WHEN (e) IS NOT NULL THEN __net ELSE 0 END)
+  *     COUNT(*)  -> COALESCE(SUM(__net), 0)
+  *     COUNT(e)  -> COALESCE(SUM(CASE WHEN (e) IS NOT NULL THEN __net ELSE 0 END), 0)
   *     SUM(e)    -> SUM((e) * __net)
-  *     AVG(e)    -> SUM((e) * __net) / SUM(__net)
+  *     AVG(e)    -> SUM((e) * __net) / SUM(__net over non-null e)
   *     MIN(e)    -> MIN(CASE WHEN __net > 0 THEN (e) END)
   *     MAX(e)    -> MAX(CASE WHEN __net > 0 THEN (e) END)
   *     (MIN/MAX need the live filter, not the sign algebra — exactly
   *     why Flink's MinWithRetractAggFunction keeps full value state.)
+  *     A registered RETRACTABLE user-defined aggregate
+  *     (StatefulOps.RetractableOverAgg via StreamOverSql
+  *     .registerAggregate — the ImperativeAggregateFunction.retract
+  *     surface) lowers too: FN(e) -> a weighted UDAF that accumulates
+  *     on +1 weights and retracts on -1 (or folds the netted weight),
+  *     merging partial accumulators map-side.
   *
-  * Any OTHER aggregate over a changelog relation rejects LOUDLY — a
-  * silent plain-SQL fall-through would aggregate retraction rows as
-  * data, the exact silent-wrongness this front door bans. Statements
-  * over row_kind relations that don't fit the supported shape (joins,
-  * subqueries, references to row_kind/cdc_ts themselves — the user is
-  * deliberately reading the raw changelog) fall through untouched.
+  * The statement's function calls are checked against an ALLOWLIST, not
+  * a blacklist: over a row_kind relation, every call in the
+  * aggregate-carrying clauses must be one of the five supported
+  * aggregates, a registered retractable aggregate, or a call that
+  * RESOLVES in the session's function registry to a non-aggregate
+  * expression. Anything else — an aggregate with no rewrite (MAX_BY,
+  * COUNT_IF, STDDEV, ...), a non-retractable registered aggregate, or a
+  * call the registry cannot classify — rejects LOUDLY: a silent
+  * plain-SQL fall-through would aggregate retraction rows as data, the
+  * exact silent-wrongness this front door bans. Statements over
+  * row_kind relations that reference row_kind/cdc_ts themselves, use
+  * window functions, or carry subqueries are deliberate raw-changelog
+  * reads and fall through untouched; an aggregate whose FROM reaches a
+  * row_kind relation through a JOIN, subquery or set operation rejects
+  * loudly until a join rewrite exists (Flink propagates changelog mode
+  * through the whole tree — FlinkChangelogModeInferenceProgram; joins
+  * consume and produce retractions, StreamingJoinOperator.java:36 —
+  * so running such a statement as plain SQL is never right).
   *
   * WHERE applies BEFORE netting: predicates read payload columns only,
   * so a retraction passes the filter iff the row it retracts did.
@@ -94,13 +116,9 @@ object ChangelogSql {
       val stop = if (next.isEmpty) stmt.length else next.head
       stmt.substring(kwEnd, stop).trim
     }
-    val rel = sliceAfter(from._2)
-    // single bare (possibly qualified) identifier only — joins,
-    // subqueries and aliases fall through to the untouched path
-    if (!rel.matches("`?[\\w.]+`?")) return None
     Some(Clauses(
       stmt.substring(selectKw.end, from._1).trim,
-      rel.replace("`", ""),
+      sliceAfter(from._2),
       where.map(w => sliceAfter(w._2)),
       group.map(g => sliceAfter(g._2)),
       havingKw.map(h => sliceAfter(h._2)),
@@ -108,16 +126,99 @@ object ChangelogSql {
       limit.map(l => sliceAfter(l._2))))
   }
 
-  /** Aggregates beyond the rewrite set that must REJECT over a
-    * changelog (silently treating change rows as data is the failure
-    * mode this entry exists to prevent). */
-  private val UnsupportedAggRe =
-    ("""(?i)\b(STDDEV\w*|VAR\w*|PERCENTILE\w*|MEDIAN|LISTAGG|STRING_AGG|""" +
-      """COLLECT_\w+|ARRAY_AGG|FIRST(_VALUE)?|LAST(_VALUE)?|ANY_VALUE|""" +
-      """APPROX_\w+|BIT_\w+|BOOL_\w+|CORR|COVAR\w*|SKEWNESS|KURTOSIS|""" +
-      """MODE|HISTOGRAM\w*)\s*\(""").r
+  /** Single bare (possibly qualified) relation with an optional alias —
+    * the shape the two-stage lowering rewrites. Anything else in FROM
+    * (joins, subqueries, comma lists, set operations spilling into the
+    * relation slice) takes the composite guard instead. */
+  private val RelRe =
+    """(?is)^`?([\w.]+)`?(?:\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?)?$""".r
 
-  private val AggRe = """(?i)\b(COUNT|SUM|AVG|MIN|MAX)\s*\(""".r
+  /** Every `ident (` call site in blanked text. */
+  private val FnRe = """(?i)\b([A-Za-z_]\w*)\s*\(""".r
+
+  private val Supported = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+  /** Call-LIKE syntax that is not a catalog function: CAST targets and
+    * parameterized type names, plus EXTRACT-style keyword forms the
+    * registry does not describe. */
+  private val SyntacticForms = Set(
+    "CAST", "TRY_CAST", "DECIMAL", "DEC", "NUMERIC", "VARCHAR", "CHAR",
+    "CHARACTER", "INTERVAL")
+
+  /** SQL keywords that can precede '(' in expression position without
+    * being calls (`x IN (...)`, `CASE WHEN (...)`, `a AND (b OR c)`). */
+  private val KeywordForms = Set(
+    "AND", "OR", "NOT", "IN", "WHEN", "THEN", "ELSE", "CASE", "END",
+    "LIKE", "ILIKE", "RLIKE", "REGEXP", "BETWEEN", "IS", "EXISTS", "ALL",
+    "ANY", "SOME", "ASC", "DESC", "DIV", "ON", "USING", "AS", "BY",
+    "DISTINCT", "ESCAPE", "SELECT", "FROM", "WHERE", "HAVING", "GROUP",
+    "ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT", "OVER")
+
+  private def callNames(blanked: String): Seq[String] =
+    FnRe.findAllMatchIn(blanked).map(_.group(1).toUpperCase)
+      .filterNot(KeywordForms).toSeq.distinct
+
+  /** Registered retractable UDA for `fn`, if any. */
+  private def retractableUda(
+      fn: String): Option[streaming.StatefulOps.RetractableOverAgg] =
+    StreamOverSql.customAgg(fn).collect {
+      case r: streaming.StatefulOps.RetractableOverAgg => r
+    }
+
+  /** Classify `name` through the session's function registry
+    * (FunctionRegistry is the engine's ground truth for what a name
+    * means — the allowlist's "known scalar" test): Some(true) =
+    * aggregate function, Some(false) = non-aggregate expression,
+    * None = unresolvable / unclassifiable. */
+  private def isAggregateFn(spark: SparkSession, name: String): Option[Boolean] =
+    scala.util.Try {
+      val info = spark.sessionState.catalog.lookupFunctionInfo(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))
+      val cn = info.getClassName
+      // builder-registered aggregates (TRY_SUM -> TrySumExpressionBuilder)
+      // are not AggregateFunction subclasses but live in the aggregate
+      // package — the package IS the classification for those
+      cn.startsWith("org.apache.spark.sql.catalyst.expressions.aggregate.") || {
+        val cls = Class.forName(cn, false,
+          Thread.currentThread().getContextClassLoader)
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction]
+          .isAssignableFrom(cls)
+      }
+    }.toOption
+
+  private def rejectAgg(fn: String, rel: String, why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"aggregate-carrying clause over changelog relation $rel: $fn $why " +
+        "— it has no retraction-consuming rewrite (supported: " +
+        "COUNT/SUM/AVG/MIN/MAX and registered RETRACTABLE aggregates); " +
+        "materialize the final state first (Cdc.upsertMaterialize) and " +
+        "aggregate that")
+
+  /** ALLOWLIST check over the aggregate-carrying clauses: every call
+    * must be a supported aggregate, a registered retractable UDA, or a
+    * registry-classified non-aggregate. Returns the UDA names in use. */
+  private def checkAllowlist(
+      spark: SparkSession, rel: String, aggClauses: String): Seq[String] = {
+    val calls = callNames(aggClauses)
+    calls.foreach { n =>
+      if (!Supported(n) && !SyntacticForms(n)) {
+        StreamOverSql.customAgg(n) match {
+          case Some(_: streaming.StatefulOps.RetractableOverAgg) => ()
+          case Some(_) => rejectAgg(n, rel,
+            "is a registered aggregate WITHOUT a retract method " +
+              "(StatefulOps.RetractableOverAgg)")
+          case None => isAggregateFn(spark, n) match {
+            case Some(false) => () // known scalar/window expression
+            case Some(true)  => rejectAgg(n, rel, "is an aggregate function")
+            case None        => rejectAgg(n, rel,
+              "cannot be classified in the session's function registry " +
+                "(an unclassifiable call could be an aggregate)")
+          }
+        }
+      }
+    }
+    calls.filter(n => retractableUda(n).isDefined)
+  }
 
   private def matchParen(b: String, open: Int): Int = {
     var depth = 0
@@ -134,39 +235,51 @@ object ChangelogSql {
       s"unbalanced parentheses in SQL statement at offset $open")
   }
 
-  /** Rewrite every COUNT/SUM/AVG/MIN/MAX call in `list` into its
-    * retraction-consuming form over the live multiset. */
-  private def rewriteAggs(list: String): String =
-    rewriteWith(list, "__net")
-
-  /** Sign-algebra forms for the SINGLE-EXCHANGE path: COUNT/SUM/AVG
-    * distribute over the change signs (Σ over live rows == Σ x·sign
-    * over change rows), so no netting shuffle is needed — `__sign` is
-    * ±1 per change row. MIN/MAX callers never reach this. */
-  private def rewriteSigned(list: String): String =
-    rewriteWith(list, "__sign")
-
-  private def rewriteWith(list: String, weight: String): String = {
+  /** Rewrite every supported-aggregate / retractable-UDA call in `list`
+    * into its retraction-consuming form. `weight` is `__net` (live
+    * multiset, netting path) or `__sign` (±1 per change row, the
+    * SINGLE-EXCHANGE path: COUNT/SUM/AVG and retractable UDAs
+    * distribute over the change signs — Σ over live rows == Σ x·sign
+    * over change rows — so no netting shuffle is needed; MIN/MAX
+    * callers never reach the sign path). */
+  private def rewriteWith(list: String, weight: String, grouped: Boolean,
+      streamMinMax: Boolean = false): String = {
     val b = blank(list)
     val sb = new StringBuilder
     var last = 0
-    AggRe.findAllMatchIn(b).foreach { m =>
-      if (m.start >= last) {
-        val fn = m.group(1).toUpperCase
+    FnRe.findAllMatchIn(b).foreach { m =>
+      val fn = m.group(1).toUpperCase
+      if (m.start >= last && (Supported(fn) || retractableUda(fn).isDefined)) {
         val open = b.indexOf('(', m.start)
         val close = matchParen(b, open)
         val arg = list.substring(open + 1, close).trim
         require(!arg.toUpperCase.startsWith("DISTINCT"),
           s"changelog aggregate $fn(DISTINCT ...) is not supported; " +
             "aggregate the materialized state instead")
+        // COALESCE on GLOBAL counts only: a fully-retracted input nets to
+        // EMPTY, and COUNT over empty input is 0, not NULL. Grouped
+        // statements never need it — the phantom-group guard drops empty
+        // groups, and any surviving group has >= 1 row, so the SUM is
+        // non-null — and skipping it matters: a non-trivial aggregate
+        // expression in the select list combined with HAVING + an
+        // aggregate ORDER BY trips an analyzer resolution corner.
+        def zeroSafe(e: String) = if (grouped) e else s"COALESCE($e, 0)"
         val repl = fn match {
-          case "COUNT" if arg == "*" => s"SUM($weight)"
+          case "COUNT" if arg == "*" => zeroSafe(s"SUM($weight)")
           case "COUNT" =>
-            s"SUM(CASE WHEN ($arg) IS NOT NULL THEN $weight ELSE 0 END)"
+            zeroSafe(s"SUM(CASE WHEN ($arg) IS NOT NULL THEN $weight ELSE 0 END)")
           case "SUM" => s"SUM(($arg) * $weight)"
           // denominator = live NON-NULL count (plain AVG ignores nulls)
           case "AVG" => s"(SUM(($arg) * $weight) / " +
             s"SUM(CASE WHEN ($arg) IS NOT NULL THEN $weight ELSE 0 END))"
+          // the STREAMING path keeps per-value net counts in a UDAF
+          // accumulator instead of a netting exchange (Spark supports
+          // only ONE streaming aggregation per query) — Flink's
+          // MinWithRetractAggFunction state, value -> live count
+          case "MIN" if streamMinMax =>
+            s"$MinRetName(CAST(($arg) AS DOUBLE), CAST($weight AS BIGINT))"
+          case "MAX" if streamMinMax =>
+            s"$MaxRetName(CAST(($arg) AS DOUBLE), CAST($weight AS BIGINT))"
           case "MIN" =>
             require(weight == "__net",
               "MIN has no sign-algebra form") // callers pre-check
@@ -174,6 +287,8 @@ object ChangelogSql {
           case "MAX" =>
             require(weight == "__net", "MAX has no sign-algebra form")
             s"MAX(CASE WHEN __net > 0 THEN ($arg) END)"
+          case uda => // registered retractable UDA: weighted-fold UDAF
+            s"${udafName(uda)}(CAST(($arg) AS DOUBLE), CAST($weight AS BIGINT))"
         }
         sb.append(list.substring(last, m.start)).append(repl)
         last = close + 1
@@ -181,6 +296,51 @@ object ChangelogSql {
     }
     sb.append(list.substring(last)).toString
   }
+
+  // ---- retractable user-defined aggregates ---------------------------
+
+  private def udafName(fn: String): String = s"__graft_cl_${fn.toLowerCase}"
+
+  /** Weighted fold of a retractable UDA: weight > 0 accumulates that
+    * many times, weight < 0 retracts (the ±1 sign algebra, or the
+    * netted multiplicity on the netting path). NULL inputs are skipped
+    * (SQL NULL-ignoring aggregates); a no-input accumulator finishes to
+    * NaN, read back as SQL NULL. `merge` is the UDA's own partial
+    * combine — map-side partial aggregation stays enabled. */
+  private case class WeightedUda(
+      agg: streaming.StatefulOps.RetractableOverAgg)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Option[Double], Long), Array[Double], java.lang.Double] {
+    def zero: Array[Double] = agg.zero.clone()
+    def reduce(b: Array[Double], in: (Option[Double], Long)): Array[Double] = {
+      in._1.foreach { x =>
+        var n = in._2
+        while (n > 0) { agg.reduce(b, x); n -= 1 }
+        while (n < 0) { agg.retract(b, x); n += 1 }
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      agg.merge(a, b); a
+    }
+    def finish(b: Array[Double]): java.lang.Double = {
+      val r = agg.finish(b)
+      if (r.isNaN) null else java.lang.Double.valueOf(r)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[java.lang.Double] =
+      org.apache.spark.sql.Encoders.DOUBLE
+  }
+
+  private def registerUdafs(spark: SparkSession, udas: Seq[String]): Unit =
+    udas.foreach { n =>
+      val agg = retractableUda(n).getOrElse(
+        throw new IllegalStateException(s"UDA $n vanished from the registry"))
+      spark.udf.register(udafName(n), udaf(WeightedUda(agg),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Option[Double], Long)]()))
+    }
 
   /** The relation's column names via a CATALOG lookup — cheap enough
     * for the hot plain-SQL path (every single-table SELECT passes this
@@ -197,13 +357,34 @@ object ChangelogSql {
       }
     }.orElse(scala.util.Try(spark.table(rel).columns.toSeq)).toOption
 
+  private def isChangelogRel(spark: SparkSession, rel: String): Boolean =
+    relationColumns(spark, rel).exists(_.contains(streaming.Cdc.RowKind))
+
+  /** Table identifiers in FROM/JOIN position anywhere in the blanked
+    * statement (subqueries included) — the composite guard's reach. */
+  private val FromJoinIdRe = """(?is)\b(?:FROM|JOIN)\s+`?([\w.]+)`?""".r
+
   /** Lower `stmt` if it is a supported aggregate over a changelog
     * relation; None = not this entry's statement (plain fall-through).
-    * The changelog signal is the RESOLVED schema, never text. */
+    * The changelog signal is the RESOLVED schema, never text. Throws
+    * for aggregate statements that read a changelog in a shape with no
+    * retraction-consuming rewrite (composite FROM, unsupported or
+    * unclassifiable aggregate calls). */
   def sql(spark: SparkSession, stmt: String): Option[DataFrame] = {
-    val c = parse(stmt).getOrElse(return None)
-    val cols = relationColumns(spark, c.relation).getOrElse(return None)
-    if (!cols.contains(streaming.Cdc.RowKind)) return None
+    val c = parse(stmt).getOrElse {
+      // WITH-led (and otherwise clause-unparseable) SELECT forms still
+      // cross the composite guard: a CTE statement aggregating a
+      // changelog has no rewrite, and plain SQL would count change rows
+      val b = blank(stmt)
+      if ("""(?is)^\s*(WITH|SELECT)\b""".r.findFirstIn(b).isDefined) {
+        val refsMeta = Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
+          ("(?i)\\b" + m + "\\b").r.findFirstIn(b).isDefined)
+        compositeGuard(spark, stmt,
+          groupByDefined = """(?is)\bGROUP\s+BY\b""".r.findFirstIn(b).isDefined,
+          refsMeta = refsMeta)
+      }
+      return None
+    }
     val bl = blank(c.selectList)
     // the three AGGREGATE-CARRYING clauses share one scan: an aggregate
     // hiding in HAVING or ORDER BY needs the same rewrite (or the same
@@ -212,9 +393,53 @@ object ChangelogSql {
       c.orderBy.map(blank).getOrElse("")
     val allClauses = aggClauses + " " + c.where.map(blank).getOrElse("") +
       " " + c.groupBy.map(blank).getOrElse("")
-    val hasAgg = AggRe.findFirstIn(aggClauses).isDefined
     val refsMeta = Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
       ("(?i)\\b" + m + "\\b").r.findFirstIn(allClauses).isDefined)
+    c.relation match {
+      case RelRe(name, alias) if isChangelogRel(spark, name) =>
+        lowerBare(spark, c, name, Option(alias), aggClauses, allClauses, refsMeta)
+      case RelRe(_, _) => None // single non-changelog relation: untouched
+      case _ =>
+        compositeGuard(spark, stmt, c.groupBy.isDefined, refsMeta); None
+    }
+  }
+
+  /** Composite FROM (join / subquery / comma list / set operation):
+    * plain SQL is correct only when no changelog is read, or when the
+    * user deliberately reads the raw changelog (row_kind/cdc_ts
+    * referenced). An AGGREGATE over a changelog reached through a
+    * composite FROM must reject loudly — counting retraction rows as
+    * data is exactly the wrongness this module bans, and no join
+    * rewrite exists yet. */
+  private def compositeGuard(spark: SparkSession, stmt: String,
+      groupByDefined: Boolean, refsMeta: Boolean): Unit = {
+    if (refsMeta) return // deliberate raw changelog read
+    val b = blank(stmt)
+    val changelogRels = FromJoinIdRe.findAllMatchIn(b).map(_.group(1))
+      .toSeq.distinct.filter(r => isChangelogRel(spark, r))
+    if (changelogRels.isEmpty) return
+    // aggregate-shaped: GROUP BY, a supported-aggregate or UDA call, or
+    // any call the registry classifies as an aggregate — ANYWHERE in the
+    // statement (a scalar subquery aggregating the changelog is just as
+    // wrong as a top-level aggregate)
+    val calls = callNames(b)
+    val aggShaped = groupByDefined || calls.exists(n =>
+      Supported(n) || StreamOverSql.customAgg(n).isDefined ||
+        isAggregateFn(spark, n).contains(true))
+    if (aggShaped) throw new IllegalArgumentException(
+      s"aggregate over a composite FROM reading changelog relation" +
+        s"${if (changelogRels.size > 1) "s" else ""} " +
+        s"${changelogRels.mkString(", ")} has no retraction-consuming " +
+        "rewrite (running it as plain SQL would aggregate retraction " +
+        "rows as data); materialize the final state first " +
+        "(Cdc.upsertMaterialize) and join/aggregate that, or reference " +
+        "row_kind explicitly to read the raw changelog")
+  }
+
+  private def lowerBare(
+      spark: SparkSession, c: Clauses, name: String, alias: Option[String],
+      aggClauses: String, allClauses: String,
+      refsMeta: Boolean): Option[DataFrame] = {
     if (refsMeta) return None // raw changelog read: untouched
     // window functions (agg OVER) and subqueries are beyond this
     // entry's rewrite: the user is reading the changelog itself (OVER)
@@ -222,54 +447,369 @@ object ChangelogSql {
     // raw-fall-through semantics rather than a half-right rewrite
     if ("""(?i)\bOVER\s*\(""".r.findFirstIn(allClauses).isDefined) return None
     if ("""(?i)\(\s*SELECT\b""".r.findFirstIn(allClauses).isDefined) return None
-    // an UNSUPPORTED aggregate must reject BEFORE the no-supported-agg
-    // fall-through — a silent spark.sql pass would aggregate retraction
-    // rows as data, the exact wrongness this entry exists to prevent
-    UnsupportedAggRe.findFirstMatchIn(aggClauses).foreach { m =>
-      throw new IllegalArgumentException(
-        s"aggregate ${m.group(1).toUpperCase} over changelog relation " +
-          s"${c.relation} has no retraction-consuming rewrite " +
-          "(supported: COUNT/SUM/AVG/MIN/MAX); materialize the final " +
-          "state first (Cdc.upsertMaterialize) and aggregate that")
-    }
-    if (!hasAgg) return None // plain projection: untouched
-    val src = spark.table(c.relation)
+    // ALLOWLIST over the aggregate-carrying clauses — runs even when no
+    // supported aggregate is present: `SELECT MAX_BY(k, x) FROM cl` has
+    // no COUNT/SUM/AVG/MIN/MAX and no GROUP BY, yet silently running it
+    // raw would aggregate change rows as data
+    val udas = checkAllowlist(spark, name, aggClauses)
+    val isDistinct =
+      """(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined
+    val hasAgg = callNames(aggClauses).exists(Supported) || udas.nonEmpty
+    // plain projection (no aggregate, no GROUP BY, no DISTINCT): a raw
+    // changelog read, untouched
+    if (!hasAgg && c.groupBy.isEmpty && !isDistinct) return None
+    registerUdafs(spark, udas)
+    val src0 = spark.table(name)
+    val src = alias.fold(src0)(a => src0.as(a))
     val sign = when(col(streaming.Cdc.RowKind)
       .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
       .otherwise(-1)
     val filtered = c.where.fold(src)(w => src.filter(expr(w)))
-    // SINGLE-EXCHANGE shortcut: COUNT/SUM/AVG distribute over the
-    // change signs, so without MIN/MAX the payload-wide netting shuffle
-    // (the dominant cost at scale) is skipped entirely — the statement
-    // aggregates the raw changelog with a ±1 weight column and pays
-    // only its own GROUP BY exchange, partial-aggregated map-side.
-    val needsNet =
+    // SINGLE-EXCHANGE shortcut: COUNT/SUM/AVG and retractable UDAs
+    // distribute over the change signs, so without MIN/MAX (which need
+    // surviving VALUES) or DISTINCT (which needs live ROWS) the netting
+    // shuffle — the dominant cost at scale — is skipped entirely: the
+    // statement aggregates the raw changelog with a ±1 weight column
+    // and pays only its own GROUP BY exchange, partial-aggregated
+    // map-side.
+    val needsNet = isDistinct ||
       """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined
-    val (stage1, rewrite) =
-      if (!needsNet)
-        (filtered.withColumn("__sign", sign), rewriteSigned _)
+    val (stage1, weight) =
+      if (!needsNet) (filtered.withColumn("__sign", sign), "__sign")
       else {
         // stage 1: live multiset — net the signs per distinct payload
-        // row (MIN/MAX need the surviving VALUES, not just sums)
-        val dataCols = src.columns.filterNot(n =>
-          n == streaming.Cdc.RowKind || n == "cdc_ts").toSeq
-        (filtered.groupBy(dataCols.map(col): _*).agg(sum(sign).as("__net")),
-          rewriteAggs _)
+        // row, projected to the REFERENCED columns (GROUP BY ∪ aggregate
+        // args ∪ WHERE/HAVING/ORDER BY columns): netting commutes with
+        // projection on a well-formed changelog (every retraction
+        // matches a prior insertion), so unreferenced payload columns
+        // never ride the exchange. Fully-retracted rows (net 0) leave
+        // the live multiset.
+        val refd = """[A-Za-z_]\w*""".r.findAllIn(allClauses)
+          .map(_.toLowerCase).toSet
+        val dataCols = src0.columns.toSeq.filterNot(n =>
+          n == streaming.Cdc.RowKind || n == "cdc_ts")
+          .filter(n => refd(n.toLowerCase))
+        (filtered.groupBy(dataCols.map(col): _*).agg(sum(sign).as("__net"))
+          .filter(col("__net") =!= 0), "__net")
       }
+    val grouped = c.groupBy.isDefined
+    def rewrite(s: String) = rewriteWith(s, weight, grouped)
+    // ORDER BY can carry aggregates too (ORDER BY COUNT(*)) — netted
+    // like every other aggregate position. On GROUPED statements the
+    // phantom-group guard puts a HAVING in play, and Spark's analyzer
+    // cannot resolve an aggregate ORDER BY above a HAVING when the
+    // select list holds non-trivial aggregate EXPRESSIONS (the MIN/AVG
+    // rewrites are exactly that) — so aggregate order items are
+    // projected as HIDDEN columns and the sort runs on the DataFrame,
+    // where only resolved attributes are referenced.
+    val orderItems: Seq[(String, Option[String], Option[String])] =
+      c.orderBy.toSeq.flatMap(graft.util.SqlSplit.splitTopLevel(_)).map { it =>
+        val OrdRe = """(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+        it.trim match {
+          case OrdRe(e, dir, nulls) =>
+            (e.trim, Option(dir).map(_.toUpperCase), Option(nulls).map(_.toUpperCase))
+        }
+      }
+    def itemHasAgg(e: String): Boolean =
+      callNames(blank(e)).exists(n => Supported(n) || retractableUda(n).isDefined)
+    val hiddenSort = grouped && orderItems.exists(i => itemHasAgg(i._1))
     val view = s"__graft_changelog_live_${counter.incrementAndGet()}"
     stage1.createOrReplaceTempView(view)
     try {
       // stage 2: the user's statement with retract-aware aggregates
       val sqlText = new StringBuilder("SELECT ")
         .append(rewrite(c.selectList))
-        .append(s" FROM $view")
+      val hidden = if (!hiddenSort) Seq.empty else
+        orderItems.zipWithIndex.collect { case ((e, _, _), i) if itemHasAgg(e) =>
+          val name = s"__graft_ord_$i"
+          sqlText.append(", ").append(rewrite(e)).append(s" AS $name")
+          i -> name
+        }.toMap.toSeq
+      val hiddenByIdx = hidden.toMap
+      sqlText.append(s" FROM $view")
+      alias.foreach(a => sqlText.append(s" AS $a"))
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
-      c.having.foreach(h => sqlText.append(" HAVING ").append(rewrite(h)))
-      // ORDER BY can carry aggregates too (ORDER BY COUNT(*)) — netted
-      // like every other aggregate position
-      c.orderBy.foreach(o => sqlText.append(" ORDER BY ").append(rewrite(o)))
-      c.limit.foreach(l => sqlText.append(" LIMIT ").append(l))
-      Some(spark.sql(sqlText.toString))
+      // grouped statements guard against PHANTOM groups: a group whose
+      // rows all retracted has live count 0 and must be ABSENT (Flink's
+      // GroupAggFunction deletes the group when its count drops to 0) —
+      // on the sign path dead rows are still present, so the guard is
+      // load-bearing; on the netting path the net<>0 filter already
+      // dropped them and the guard is belt and braces. Global aggregates
+      // stay unguarded: one row over empty input is correct SQL.
+      val guard = if (grouped) Some(s"SUM($weight) <> 0") else None
+      val havingParts = c.having.map(h => s"(${rewrite(h)})").toSeq ++ guard
+      if (havingParts.nonEmpty)
+        sqlText.append(" HAVING ").append(havingParts.mkString(" AND "))
+      if (!hiddenSort) {
+        orderItems.zipWithIndex.foreach { case ((e, dir, nulls), i) =>
+          sqlText.append(if (i == 0) " ORDER BY " else ", ").append(rewrite(e))
+          dir.foreach(d => sqlText.append(" ").append(d))
+          nulls.foreach(n => sqlText.append(" NULLS ").append(n))
+        }
+        c.limit.foreach(l => sqlText.append(" LIMIT ").append(l))
+        Some(spark.sql(sqlText.toString))
+      } else {
+        val df = spark.sql(sqlText.toString)
+        val userCols = df.columns.filterNot(_.startsWith("__graft_ord_"))
+        val sortCols = orderItems.zipWithIndex.map { case ((e, dir, nulls), i) =>
+          val base = hiddenByIdx.get(i) match {
+            case Some(name) => col(name)
+            // positional ORDER BY resolves against the USER select list
+            // (hidden columns are appended after it)
+            case None if e.matches("""\d+""") => col(userCols(e.toInt - 1))
+            case None => expr(e)
+          }
+          (dir, nulls) match {
+            case (Some("DESC"), Some("FIRST")) => base.desc_nulls_first
+            case (Some("DESC"), Some("LAST"))  => base.desc_nulls_last
+            case (Some("DESC"), None)          => base.desc
+            case (_, Some("FIRST"))            => base.asc_nulls_first
+            case (_, Some("LAST"))             => base.asc_nulls_last
+            case _                             => base.asc
+          }
+        }
+        val sorted = df.orderBy(sortCols: _*)
+        val limited = c.limit.fold(sorted) { l =>
+          require(l.trim.matches("""\d+"""),
+            s"LIMIT over a changelog aggregate must be a literal count, got: $l")
+          sorted.limit(l.trim.toInt)
+        }
+        Some(limited.select(userCols.map(col): _*))
+      }
     } finally spark.catalog.dropTempView(view): Unit
+  }
+
+  // ==== STREAMING mode ==================================================
+  // Changelog-mode SQL while the stream RUNS — the reference's actual
+  // changelog-inference behavior: FlinkChangelogModeInferenceProgram
+  // marks the aggregate's input as retracting and the runtime executes
+  // GroupAggFunction.java:43 with retraction inputs, emitting +U per
+  // refreshed group and -D when a group empties. Here the continuous
+  // statement lowers onto ONE Spark streaming aggregation (update mode):
+  // COUNT/SUM/AVG and retractable UDAs ride the ±1 sign algebra (the
+  // running sums ARE Spark's own aggregation state, partial-aggregated
+  // map-side); MIN/MAX keep a value -> live-count map in a UDAF
+  // accumulator (MinWithRetractAggFunction's MapState shape — a second
+  // streaming aggregation for a netting exchange is not plannable).
+
+  private[graft] val MinRetName = "__graft_cl_minret"
+  private[graft] val MaxRetName = "__graft_cl_maxret"
+  private val LiveCol = "__graft_cl_live"
+  private[graft] val SeqCol = "__graft_cl_seq"
+
+  /** MIN/MAX with retraction: net count per VALUE; the result is the
+    * extreme of positive-count values — Flink's
+    * Min/MaxWithRetractAggFunction (flink-table-runtime
+    * .../aggregate/MinWithRetractAggFunction.java: MapState value ->
+    * count). State is O(distinct values per group), the honest lower
+    * bound for exact retractable extremes. */
+  private case class MinMaxRetract(isMin: Boolean)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Option[Double], Long), Map[Double, Long], java.lang.Double] {
+    def zero: Map[Double, Long] = Map.empty
+    def reduce(m: Map[Double, Long], in: (Option[Double], Long)): Map[Double, Long] =
+      in._1.fold(m) { x =>
+        val c = m.getOrElse(x, 0L) + in._2
+        if (c == 0) m - x else m.updated(x, c)
+      }
+    def merge(a: Map[Double, Long], b: Map[Double, Long]): Map[Double, Long] =
+      b.foldLeft(a) { case (m, (x, c0)) =>
+        val c = m.getOrElse(x, 0L) + c0
+        if (c == 0) m - x else m.updated(x, c)
+      }
+    def finish(m: Map[Double, Long]): java.lang.Double = {
+      val live = m.collect { case (x, c) if c > 0 => x }
+      if (live.isEmpty) null
+      else java.lang.Double.valueOf(if (isMin) live.min else live.max)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[Double, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Double, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[java.lang.Double] =
+      org.apache.spark.sql.Encoders.DOUBLE
+  }
+
+  private def registerStreamMinMax(spark: SparkSession): Unit = {
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Option[Double], Long)]()
+    spark.udf.register(MinRetName, udaf(MinMaxRetract(isMin = true), enc))
+    spark.udf.register(MaxRetName, udaf(MinMaxRetract(isMin = false), enc)): Unit
+  }
+
+  /** Unbounded read of a changelog table: the extended-table stream when
+    * one exists (connector / computed columns / watermark reconstructed
+    * from TBLPROPERTIES), else a native streaming table read. */
+  private def changelogReadStream(spark: SparkSession, t: String): DataFrame =
+    if (spark.catalog.tableExists(s"__${t}_base")) WatermarkDdl.readStream(spark, t)
+    else spark.readStream.table(t)
+
+  /** Does `select` parse as a changelog AGGREGATE over one bare
+    * row_kind-carrying relation — the statement shape [[streamInsert]]
+    * owns? (Raw projections of a changelog stream keep the plain
+    * append-insert path.) */
+  private[graft] def streamMatches(spark: SparkSession, select: String): Boolean =
+    parse(select).exists { c =>
+      c.relation match {
+        case RelRe(name, _) if isChangelogRel(spark, name) =>
+          val aggish = blank(c.selectList) + " " +
+            c.having.map(blank).getOrElse("")
+          val all = aggish + " " + c.where.map(blank).getOrElse("") + " " +
+            c.groupBy.map(blank).getOrElse("")
+          // a statement reading row_kind/cdc_ts itself is a raw
+          // changelog passthrough — the plain append-insert path's job
+          val refsMeta = Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
+            ("(?i)\\b" + m + "\\b").r.findFirstIn(all).isDefined)
+          !refsMeta && (c.groupBy.isDefined || callNames(aggish).exists(n =>
+            Supported(n) || retractableUda(n).isDefined))
+        case _ => false
+      }
+    }
+
+  /** Lower the SELECT of a continuous changelog aggregate onto one
+    * update-mode streaming aggregation. Returns (df, upsert keys): df's
+    * columns are the user's select list plus a hidden boolean `LiveCol`
+    * — false means the group emptied (or left the HAVING set) and the
+    * sink must DELETE it; keys are the GROUP BY columns' OUTPUT names
+    * (the upsert key of the refreshed rows). */
+  private def streamAgg(
+      spark: SparkSession, select: String): (DataFrame, Seq[String]) = {
+    val c = parse(select).getOrElse(throw new IllegalArgumentException(
+      s"not a changelog aggregate statement: $select"))
+    val (name, alias) = c.relation match {
+      case RelRe(n, a) => (n, Option(a))
+      case other => throw new IllegalArgumentException(
+        "streaming changelog aggregates read ONE bare changelog relation " +
+          s"(joins/subqueries have no retraction-consuming rewrite); got FROM $other")
+    }
+    require(isChangelogRel(spark, name),
+      s"$name carries no ${streaming.Cdc.RowKind} column — not a changelog")
+    require(c.orderBy.isEmpty && c.limit.isEmpty,
+      "ORDER BY / LIMIT are not available on a CONTINUOUS changelog " +
+        "aggregate (update mode has no final ordering); aggregate the " +
+        "materialized sink instead")
+    val bl = blank(c.selectList)
+    val aggClauses = bl + " " + c.having.map(blank).getOrElse("")
+    val all = aggClauses + " " + c.where.map(blank).getOrElse("") + " " +
+      c.groupBy.map(blank).getOrElse("")
+    require(!Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
+      ("(?i)\\b" + m + "\\b").r.findFirstIn(all).isDefined),
+      "a continuous changelog AGGREGATE cannot reference " +
+        "row_kind/cdc_ts (the sign algebra consumes them); read the raw " +
+        "changelog with a plain streaming SELECT instead")
+    require(!"""(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined,
+      "SELECT DISTINCT over a continuous changelog is not supported; " +
+        "use GROUP BY (same live-group semantics, update-mode output)")
+    val udas = checkAllowlist(spark, name, aggClauses)
+    registerUdafs(spark, udas)
+    registerStreamMinMax(spark)
+    def rewrite(s: String) =
+      rewriteWith(s, "__sign", grouped = true, streamMinMax = true)
+    // upsert keys: every GROUP BY item must be a bare column that appears
+    // in the select list (possibly aliased) — the sink needs a key
+    val selectItems = graft.util.SqlSplit.splitTopLevel(c.selectList)
+    val ItemRe = """(?is)^(.*?)(?:\s+AS\s+`?(\w+)`?)?$""".r
+    val keys = c.groupBy.toSeq.flatMap(graft.util.SqlSplit.splitTopLevel(_))
+      .map { g =>
+        val gcol = g.trim.replace("`", "")
+        require(gcol.matches("""[\w.]+"""),
+          s"streaming changelog GROUP BY items must be bare columns, got: $g")
+        val out = selectItems.map(_.trim).collectFirst {
+          case ItemRe(e, a) if e.trim.replace("`", "")
+            .equalsIgnoreCase(gcol) => Option(a).getOrElse(gcol.split('.').last)
+        }
+        out.getOrElse(throw new IllegalArgumentException(
+          s"GROUP BY column $gcol must appear in the select list — it is " +
+            "the sink's upsert key"))
+      }
+    val src = changelogReadStream(spark, name)
+    require(src.isStreaming, s"$name did not bind as a streaming read")
+    val sign = when(col(streaming.Cdc.RowKind)
+      .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
+      .otherwise(-1)
+    val prior = spark.sessionState.catalog.getTempView(name).isDefined
+    val priorDf = if (prior) Some(spark.table(name)) else None
+    val signed = alias.fold(src)(a => src.as(a)).withColumn("__sign", sign)
+    try {
+      signed.createOrReplaceTempView(name)
+      // live = the group still has net rows AND (when a HAVING exists)
+      // still satisfies it — a group leaving the HAVING set must emit a
+      // DELETE, not silently stop updating (Flink's Calc over an update
+      // stream forwards the retraction)
+      val live = (Seq(s"SUM(__sign) <> 0") ++
+        c.having.map(h => s"(${rewrite(h)})")).mkString(" AND ")
+      val sqlText = new StringBuilder("SELECT ")
+        .append(rewrite(c.selectList))
+        .append(", ").append(live).append(s" AS $LiveCol")
+        .append(s" FROM $name")
+      c.where.foreach(w => sqlText.append(" WHERE ").append(w))
+      c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
+      val df = spark.sql(sqlText.toString)
+      assert(df.isStreaming, "changelog aggregate lost streaming-ness")
+      (df, keys)
+    } finally priorDf match {
+      case Some(d) => d.createOrReplaceTempView(name)
+      case None    => spark.catalog.dropTempView(name): Unit
+    }
+  }
+
+  /** Continuous `INSERT INTO sink SELECT <agg> FROM <changelog>` — the
+    * streaming statement form of this module. Each micro-batch appends
+    * the REFRESHED groups to `sink` as an upsert changelog: the user's
+    * columns plus `row_kind` (+U while the group lives, -D when it
+    * empties) and a commit sequence column — exactly what an external
+    * upsert sink (kafka-upsert, JDBC) consumes row by row; on the local
+    * parquet emulation the append IS the scalable write path and
+    * [[materializeUpsertSink]] is the reader's keep-last collapse
+    * (SinkUpsertMaterializer role). The sink table is created by the
+    * stream with this augmented schema. */
+  def streamInsert(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamInsert expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val (df, keys) = streamAgg(spark, select)
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val log = batch
+          .withColumn(streaming.Cdc.RowKind,
+            when(col(LiveCol), streaming.Cdc.UpdateAfter)
+              .otherwise(streaming.Cdc.Delete))
+          .drop(LiveCol)
+          .withColumn(SeqCol, lit(batchId))
+        log.write.mode("append").saveAsTable(sink)
+        // record the upsert keys once, for materializeUpsertSink readers
+        if (!keys.isEmpty && batchId == 0)
+          spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
+            s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
+      }
+      .start()
+  }
+
+  private val StreamInsertRe =
+    """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*)""".r
+
+  /** Keep-last collapse of a [[streamInsert]] sink: the CURRENT
+    * aggregate state per key (rows whose latest change is a -D are
+    * gone) — what an external upsert sink's compacted view would show.
+    * Keys default to the ones the stream recorded in TBLPROPERTIES. */
+  def materializeUpsertSink(spark: SparkSession, sink: String,
+      keys: Seq[String] = Seq.empty): DataFrame = {
+    val ks =
+      if (keys.nonEmpty) keys
+      else scala.util.Try {
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(sink))
+          .properties.get("graft.upsert.keys")
+      }.toOption.flatten.map(_.split(",").toSeq).getOrElse(Seq.empty)
+    // the stream's foreachBatch appends through its micro-batch session
+    // clone, so THIS session's cached file listing of the sink is stale
+    // by exactly the batches committed since the last read
+    spark.catalog.refreshTable(sink)
+    streaming.Cdc.upsertMaterialize(
+      spark.table(sink), ks, SeqCol, SeqCol, insertAfterDelete = false)
+      .drop(SeqCol, streaming.Cdc.RowKind)
   }
 }

@@ -325,6 +325,16 @@ object Engine {
             """\b[A-Za-z_][A-Za-z0-9_]*\b""".r.findAllIn(select)
               .map(_.toLowerCase).toSeq.distinct.filter(visible)
         }).distinct
+        // CHANGELOG-MODE streaming route (the reference's actual
+        // changelog-inference behavior — retract-aware aggregation while
+        // the stream runs, FlinkChangelogModeInferenceProgram +
+        // GroupAggFunction.java:43): an aggregate statement over ONE
+        // row_kind-carrying relation lowers onto the retraction-consuming
+        // streaming aggregate and writes the sink as an upsert changelog.
+        // A changelog is unbounded by nature, so no WATERMARK/PROCTIME
+        // declaration is required to bind it as a stream.
+        if (ChangelogSql.streamMatches(spark, select))
+          return ChangelogSql.streamInsert(spark, statement, checkpointDir)
         // a declared PROCTIME() attribute also marks a streaming source:
         // proc-time pipelines (arrival-order OVER etc.) legitimately have
         // no watermark at all

@@ -58,79 +58,103 @@ object SqlComposer {
   private[graft] def blank(s: String): String =
     graft.util.SqlSplit.blankLiterals(s)
 
-  /** The extended-dialect constructs this pass composes over. Legacy
-    * grouped windows (GROUP BY TUMBLE(...)) are deliberately absent: that
-    * surface is top-level-only syntax WindowTvfSql rewrites in place, and
-    * its TUMBLE/HOP/SESSION names would false-positive on the TVF forms. */
-  private val MarkerRes = Seq(
-    """(?is)\bMATCH_RECOGNIZE\s*\(""".r,
-    """(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b""".r,
-    """(?is)\bTABLE\s*\(\s*(?:TUMBLE|HOP|CUMULATE|SESSION)\s*\(""".r)
+  import graft.util.SqlTokens
+  import graft.util.SqlTokens.Kind
 
-  private[graft] def hasMarker(blanked: String): Boolean =
-    MarkerRes.exists(_.findFirstIn(blanked).isDefined)
+  /** Structural (comment-free) tokens of `s` — the walkable stream every
+    * detection below runs on. `s` may be raw or blanked text: blanking
+    * preserves quote delimiters and positions, so the token boundaries
+    * are identical either way. */
+  private def toks(s: String): Vector[SqlTokens.Tok] =
+    SqlTokens.structural(SqlTokens.tokenize(s))
 
-  /** Index of the ')' matching the '(' at `open` (blanked text — literal
-    * parens are already spaces). */
-  private def matchParen(b: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < b.length) {
-      b(i) match {
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return i
+  /** A BARE (non-backticked) identifier token's uppercased text; "" for
+    * anything else — a backtick-quoted `match_recognize` is an ordinary
+    * identifier, never a dialect keyword. */
+  private def kw(s: String, t: Vector[SqlTokens.Tok], i: Int): String =
+    if (i < 0 || i >= t.length || t(i).kind != Kind.Ident ||
+      s.charAt(t(i).start) == '`') "" else t(i).text(s).toUpperCase
+
+  private val TvfNames = Set("TUMBLE", "HOP", "CUMULATE", "SESSION")
+
+  /** The extended-dialect constructs this pass composes over, detected on
+    * the TOKEN stream (a marker inside a string literal is a Str token
+    * and can never false-positive; comments between marker words are
+    * whitespace, exactly as SQL reads them). Legacy grouped windows
+    * (GROUP BY TUMBLE(...)) are deliberately absent: that surface is
+    * top-level-only syntax WindowTvfSql rewrites in place, and its
+    * TUMBLE/HOP/SESSION names would false-positive on the TVF forms. */
+  private[graft] def hasMarker(blanked: String): Boolean = {
+    val t = toks(blanked)
+    def k(i: Int) = if (i < t.length) t(i).kind else null
+    var i = 0
+    while (i < t.length) {
+      kw(blanked, t, i) match {
+        case "MATCH_RECOGNIZE" if k(i + 1) == Kind.LParen => return true
+        case "FOR" if kw(blanked, t, i + 1) == "SYSTEM_TIME" &&
+          kw(blanked, t, i + 2) == "AS" && kw(blanked, t, i + 3) == "OF" =>
+          return true
+        case "TABLE" if k(i + 1) == Kind.LParen &&
+          TvfNames(kw(blanked, t, i + 2)) && k(i + 3) == Kind.LParen =>
+          return true
         case _ => ()
       }
       i += 1
     }
-    throw new IllegalArgumentException(
-      s"unbalanced parentheses in SQL statement at offset $open")
+    false
   }
 
-  private val SubOpenRe = """(?is)\(\s*SELECT\b""".r
+  /** Index of the ')' matching the '(' at char offset `open` — walked on
+    * tokens, so parens inside literals/comments can never desync it. */
+  private def matchParen(b: String, open: Int): Int = {
+    val t = toks(b)
+    val oi = t.indexWhere(tt => tt.start == open && tt.kind == Kind.LParen)
+    val ci = if (oi < 0) -1 else SqlTokens.matchParen(t, oi)
+    if (ci < 0) throw new IllegalArgumentException(
+      s"unbalanced parentheses in SQL statement at offset $open")
+    t(ci).start
+  }
 
-  /** Outermost `( SELECT ...)` spans — non-overlapping; nested subqueries
-    * inside a span are handled by the recursion through Engine.sql when
-    * that span lowers. */
+  /** Outermost `( SELECT ...)` spans as (open, close) char offsets —
+    * non-overlapping; nested subqueries inside a span are handled by the
+    * recursion through Engine.sql when that span lowers. */
   private def subquerySpans(b: String): Seq[(Int, Int)] = {
+    val t = toks(b)
     val out = Seq.newBuilder[(Int, Int)]
-    var from = 0
-    var continue = true
-    while (continue) {
-      SubOpenRe.findFirstMatchIn(b.drop(from)) match {
-        case None => continue = false
-        case Some(mm) =>
-          val open = from + mm.start
-          val close = matchParen(b, open)
-          out += ((open, close))
-          from = close + 1
-      }
+    var i = 0
+    while (i < t.length) {
+      if (t(i).kind == Kind.LParen && kw(b, t, i + 1) == "SELECT") {
+        val ci = SqlTokens.matchParen(t, i)
+        if (ci < 0) throw new IllegalArgumentException(
+          s"unbalanced parentheses in SQL statement at offset ${t(i).start}")
+        out += ((t(i).start, t(ci).start))
+        i = ci + 1
+      } else i += 1
     }
     out.result()
   }
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
-  /** The identifier/keyword immediately before `pos` (skipping
-    * whitespace), or "" when none. */
+  /** The identifier/keyword token ending at or before `pos` — "" when the
+    * nearest structural token is not a bare identifier. */
   private def prevWord(b: String, pos: Int): String = {
-    var i = pos - 1
-    while (i >= 0 && b(i).isWhitespace) i -= 1
-    val end = i
-    while (i >= 0 && isWordChar(b(i))) i -= 1
-    if (end < 0 || i == end) "" else b.substring(i + 1, end + 1)
+    val t = toks(b)
+    var i = t.length - 1
+    while (i >= 0 && t(i).end > pos) i -= 1
+    if (i < 0 || t(i).kind != Kind.Ident || b.charAt(t(i).start) == '`') ""
+    else t(i).text(b)
   }
 
-  /** The identifier/keyword starting at or after `pos` (skipping
-    * whitespace), or "" when none. */
+  /** The identifier/keyword token starting at or after `pos` — "" when
+    * the nearest structural token is not a bare identifier. */
   private def nextWord(b: String, pos: Int): String = {
-    var i = pos
-    while (i < b.length && b(i).isWhitespace) i += 1
-    val start = i
-    while (i < b.length && isWordChar(b(i))) i += 1
-    b.substring(start, i)
+    val t = toks(b)
+    t.find(_.start >= pos) match {
+      case Some(tt) if tt.kind == Kind.Ident && b.charAt(tt.start) != '`' =>
+        tt.text(b)
+      case _ => ""
+    }
   }
 
   /** Lift composable subqueries out of `stmt` until the residual text is
@@ -286,46 +310,65 @@ object SqlComposer {
   private val InsertSelRe =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(SELECT\b.+|WITH\b.+|\(\s*SELECT\b.+)""".r
 
-  /** DDL statements whose SELECT body uses the extended dialect: lower
-    * the body through the front door first, then perform the DDL action
-    * on the result. Returns None for anything else (including the same
-    * DDL over plain SQL — those keep their existing catalog paths, which
-    * persist view TEXT rather than a materialized lineage). */
+  /** A DDL body that needs the front door: extended-dialect constructs
+    * recurse through [[Engine.sql]]; a changelog-mode aggregate (a plain
+    * SELECT over a row_kind relation — no marker text, the signal is the
+    * resolved schema) lowers through [[ChangelogSql]] — without this, a
+    * `CREATE TABLE x AS SELECT COUNT(*) FROM changelog` would slip past
+    * the inference and persist counts of retraction rows. None = plain
+    * body, keep the native catalog path. */
+  private def composedBody(spark: SparkSession, body: String): Option[DataFrame] =
+    if (hasMarker(blank(body))) Some(Engine.sql(spark, body))
+    else ChangelogSql.sql(spark, body)
+
+  /** DDL statements whose SELECT body uses the extended dialect (or is a
+    * changelog-mode aggregate): lower the body through the front door
+    * first, then perform the DDL action on the result. Returns None for
+    * anything else (including the same DDL over plain SQL — those keep
+    * their existing catalog paths, which persist view TEXT rather than a
+    * materialized lineage). */
   def composedDdl(spark: SparkSession, stmt: String): Option[DataFrame] =
     stmt match {
-      case CreateViewRe(_, global, temp, name, body) if hasMarker(blank(body)) =>
-        val df = Engine.sql(spark, body)
-        // The extended dialect lowers to a DataFrame, not to view text a
-        // later session could re-parse: materialize the LINEAGE as a temp
-        // view (session-scoped). A non-TEMPORARY extended view cannot
-        // survive the session — reject loudly rather than silently
-        // downgrade persistence.
-        if (temp == null)
-          throw new IllegalArgumentException(
-            "CREATE VIEW over an extended-dialect SELECT must be TEMPORARY " +
-              "(the lowered plan is session-scoped); use CREATE TEMPORARY " +
-              s"VIEW $name AS ..., or CREATE TABLE $name AS ... to persist rows")
-        if (global != null) df.createOrReplaceGlobalTempView(name)
-        else df.createOrReplaceTempView(name)
-        Some(spark.emptyDataFrame)
-      case CtasRe(ifNotExists, name, body) if hasMarker(blank(body)) =>
-        // IF NOT EXISTS: mode("ignore") makes the CTAS a no-op on an
-        // existing table instead of TABLE_ALREADY_EXISTS (the body still
-        // lowers first — a malformed extended body fails either way)
-        val writer = Engine.sql(spark, body).write
-        (if (ifNotExists != null) writer.mode("ignore") else writer)
-          .saveAsTable(name)
-        Some(spark.emptyDataFrame)
-      case InsertSelRe(mode, table, body) if hasMarker(blank(body)) =>
-        val df = Engine.sql(spark, body)
-        val target = // extended sinks store through their physical base table
-          if (spark.catalog.tableExists(s"__${table}_base")) s"__${table}_base"
-          else table
-        val writer = df.write
-        if (mode.equalsIgnoreCase("OVERWRITE"))
-          writer.mode("overwrite").insertInto(target)
-        else writer.mode("append").insertInto(target)
-        Some(spark.emptyDataFrame)
+      case CreateViewRe(_, global, temp, name, body) =>
+        composedBody(spark, body).map { df =>
+          // The extended dialect lowers to a DataFrame, not to view text a
+          // later session could re-parse: materialize the LINEAGE as a temp
+          // view (session-scoped). A non-TEMPORARY extended view cannot
+          // survive the session — reject loudly rather than silently
+          // downgrade persistence (a changelog-aggregate view persisted as
+          // TEXT would re-parse WITHOUT the inference in a later session
+          // and count change rows — same reject).
+          if (temp == null)
+            throw new IllegalArgumentException(
+              "CREATE VIEW over an extended-dialect or changelog-aggregate " +
+                "SELECT must be TEMPORARY (the lowered plan is " +
+                "session-scoped); use CREATE TEMPORARY " +
+                s"VIEW $name AS ..., or CREATE TABLE $name AS ... to persist rows")
+          if (global != null) df.createOrReplaceGlobalTempView(name)
+          else df.createOrReplaceTempView(name)
+          spark.emptyDataFrame
+        }
+      case CtasRe(ifNotExists, name, body) =>
+        composedBody(spark, body).map { df =>
+          // IF NOT EXISTS: mode("ignore") makes the CTAS a no-op on an
+          // existing table instead of TABLE_ALREADY_EXISTS (the body still
+          // lowers first — a malformed extended body fails either way)
+          val writer = df.write
+          (if (ifNotExists != null) writer.mode("ignore") else writer)
+            .saveAsTable(name)
+          spark.emptyDataFrame
+        }
+      case InsertSelRe(mode, table, body) =>
+        composedBody(spark, body).map { df =>
+          val target = // extended sinks store through their physical base table
+            if (spark.catalog.tableExists(s"__${table}_base")) s"__${table}_base"
+            else table
+          val writer = df.write
+          if (mode.equalsIgnoreCase("OVERWRITE"))
+            writer.mode("overwrite").insertInto(target)
+          else writer.mode("append").insertInto(target)
+          spark.emptyDataFrame
+        }
       case _ => None
     }
 }

@@ -133,7 +133,9 @@ object StreamOverSql {
     customAggs.put(name.toUpperCase, agg): Unit
   }
 
-  private def customAgg(fn: String): Option[StatefulOps.OverAgg] =
+  /** Registry lookup shared with ChangelogSql (retractable registered
+    * aggregates are admissible over changelog relations too). */
+  private[graft] def customAgg(fn: String): Option[StatefulOps.OverAgg] =
     Option(customAggs.get(fn.toUpperCase))
   private val RowsFrameRe =
     """(?is)^\s*ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$""".r

@@ -1044,6 +1044,49 @@ object AdvancedOps extends QueryModule {
         |       CAST(c.nc * p.np AS BIGINT) AS n_pairs
         |FROM c JOIN p ON c.ws = p.ws AND c.we = p.we AND c.user_id = p.user_id
         |ORDER BY ws, we, user_id
+        |""".stripMargin)),
+
+    GQuery(
+      // FULL OUTER window join over the TUMBLE TVF — StreamExecWindowJoin
+      // with FlinkJoinType.FULL (flink-table-planner
+      // .../exec/stream/StreamExecWindowJoin.java: the window join
+      // supports all join types; non-matching windows null-pad the other
+      // side once the window closes). Each side pre-aggregates its
+      // window, so a (window, user) with clicks but no purchases exists
+      // ONLY because of the outer join's null padding — surfaced as 0
+      // per the repo's null-free output convention (q07's COALESCE
+      // pattern; a present side always counts >= 1, so 0 is unambiguous).
+      "q147_window_tvf_join_full_outer",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT unix_seconds(COALESCE(x.window_start, y.window_start)) AS ws,
+                 COALESCE(x.user_id, y.user_id) AS user_id,
+                 COALESCE(x.nc, 0) AS n_clicks, COALESCE(y.np, 0) AS n_purchases
+          FROM (SELECT window_start, user_id, COUNT(*) AS nc
+                FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+                WHERE event_type = 'click' GROUP BY window_start, user_id) x
+          FULL OUTER JOIN
+               (SELECT window_start, user_id, COUNT(*) AS np
+                FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+                WHERE event_type = 'purchase' GROUP BY window_start, user_id) y
+            ON x.window_start = y.window_start AND x.user_id = y.user_id
+          ORDER BY ws, user_id
+        """)
+      },
+      Some("""
+        |WITH w AS (SELECT (epoch_ns(ts)//1000000000//300)*300 AS ws, user_id, event_type
+        |           FROM events),
+        |c AS (SELECT ws, user_id, COUNT(*) AS nc FROM w
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT ws, user_id, COUNT(*) AS np FROM w
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(c.ws, p.ws) AS ws,
+        |       COALESCE(c.user_id, p.user_id) AS user_id,
+        |       CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_clicks,
+        |       CAST(COALESCE(p.np, 0) AS BIGINT) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.ws = p.ws AND c.user_id = p.user_id
+        |ORDER BY ws, user_id
         |""".stripMargin)))
 
   private lazy val allRowsQueries: Seq[GQuery] = Seq(

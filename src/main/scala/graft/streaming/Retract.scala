@@ -58,6 +58,46 @@ object Retract {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming group aggregate applying a user-defined RETRACTABLE
+    * aggregate (StatefulOps.RetractableOverAgg — accumulate/retract, the
+    * reference's ImperativeAggregateFunction.retract surface) to a
+    * changelog of (key, row_kind, value). State per key = (live count,
+    * accumulator vector) — O(keys·size), never O(history). Emits the
+    * refreshed (key, "+U", result) after every micro-batch that changes
+    * the group and a final (key, "-D", NaN) when retractions empty it —
+    * GroupAggFunction's emit contract, with the UDA in the accumulator
+    * slot exactly where Flink requires a *WithRetract variant. */
+  def groupAggregateWith[K: Encoder](
+      ds: Dataset[(K, String, Double)],
+      agg: StatefulOps.RetractableOverAgg)(
+      implicit e1: Encoder[(Long, Array[Double])],
+      e2: Encoder[(K, String, Double)]): Dataset[(K, String, Double)] = {
+
+    def update(key: K, rows: Iterator[(K, String, Double)],
+        state: GroupState[(Long, Array[Double])]): Iterator[(K, String, Double)] = {
+      val (cnt0, buf0) = state.getOption.getOrElse((0L, agg.zero.clone()))
+      val buf = buf0.clone()
+      var cnt = cnt0
+      var changed = false
+      rows.foreach { case (_, kind, v) =>
+        if (isAdd(kind)) { cnt += 1; agg.reduce(buf, v); changed = true }
+        else if (isRetract(kind)) { cnt -= 1; agg.retract(buf, v); changed = true }
+      }
+      if (!changed) Iterator.empty
+      else if (cnt <= 0) {
+        val existed = state.exists
+        state.remove()
+        if (existed) Iterator((key, Delete, Double.NaN)) else Iterator.empty
+      } else {
+        state.update((cnt, buf))
+        Iterator((key, UpdateAfter, agg.finish(buf.clone())))
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Retractable top-N per key over a changelog of
     * (key, row_kind, score, payload). A retraction (-U/-D) removes one
     * matching (score, payload) instance; the refreshed top-N — including

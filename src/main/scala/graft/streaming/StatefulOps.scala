@@ -244,6 +244,25 @@ object StatefulOps {
     def finish(buf: Array[Double]): Double
   }
 
+  /** [[OverAgg]] with the reference's OPTIONAL retract/merge surface
+    * (ImperativeAggregateFunction.java: `retract(ACC, input)` undoes one
+    * prior accumulate; `merge(ACC, Iterable[ACC])` folds partial
+    * accumulators). A plain OverAgg is admissible in OVER windows only
+    * (frames re-fold, so nothing ever needs undoing); a RETRACTABLE one
+    * is additionally admissible over changelogs — ChangelogSql lowers
+    * registered retractable aggregates with the ±1 sign algebra
+    * (retractions call [[retract]]), and [[Retract.groupAggregateWith]]
+    * applies them in continuous streaming state, exactly where Flink
+    * requires the *WithRetract aggregate variants. [[merge]] is what
+    * makes the batch lowering DISTRIBUTED: partial accumulators combine
+    * map-side before the group exchange. */
+  trait RetractableOverAgg extends OverAgg {
+    /** Remove one previously-accumulated non-NULL input, in place. */
+    def retract(buf: Array[Double], x: Double): Unit
+    /** Fold `b` into `a`, in place (partial-aggregate combine). */
+    def merge(a: Array[Double], b: Array[Double]): Unit
+  }
+
   /** Shared slot arithmetic and tie ordering of the fused OVER passes —
     * ONE definition serving the fMGWS executor, the transformWithState
     * port and the proc-time executor, so the NULL-skip and tie-order

@@ -114,41 +114,10 @@ object SqlSplit {
     * whitespace to SQL, and leaving its text visible would false-trigger
     * marker detection or — worse — desync a paren walk on an unbalanced
     * '(' inside it. A comment opener inside a string literal never
-    * starts a comment (one pass tracks both states). */
-  def blankLiterals(s: String): String = {
-    val arr = s.toCharArray
-    var i = 0
-    while (i < arr.length) {
-      val q = arr(i)
-      if (q == '\'' || q == '"') {
-        i += 1
-        var closed = false
-        while (i < arr.length && !closed) {
-          arr(i) match {
-            case '\\' if i + 1 < arr.length => // escape: both chars inert
-              arr(i) = ' '; arr(i + 1) = ' '; i += 2
-            case `q` if i + 1 < arr.length && arr(i + 1) == q => // doubling
-              arr(i) = ' '; arr(i + 1) = ' '; i += 2
-            case `q` => closed = true; i += 1
-            case _ => arr(i) = ' '; i += 1
-          }
-        }
-      } else if (q == '-' && i + 1 < arr.length && arr(i + 1) == '-') {
-        while (i < arr.length && arr(i) != '\n') { arr(i) = ' '; i += 1 }
-      } else if (q == '/' && i + 1 < arr.length && arr(i + 1) == '*') {
-        arr(i) = ' '; arr(i + 1) = ' '; i += 2
-        var depth = 1
-        while (i < arr.length && depth > 0) {
-          if (arr(i) == '/' && i + 1 < arr.length && arr(i + 1) == '*') {
-            arr(i) = ' '; arr(i + 1) = ' '; i += 2; depth += 1
-          } else if (arr(i) == '*' && i + 1 < arr.length && arr(i + 1) == '/') {
-            arr(i) = ' '; arr(i + 1) = ' '; i += 2; depth -= 1
-          } else { arr(i) = ' '; i += 1 }
-        }
-      } else i += 1
-    }
-    new String(arr)
-  }
+    * starts a comment. Derived from the ONE shared tokenizer
+    * ([[SqlTokens.blank]]) — the character-level scanning rules live
+    * there exactly once. */
+  def blankLiterals(s: String): String = SqlTokens.blank(s)
 
   def splitTopLevel(s: String, angleTypes: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]

@@ -50,15 +50,230 @@ class ChangelogSqlSpec extends AnyFunSuite {
     try {
       // WHERE x < 20: k1's +I(10)/-U(10) still cancel even though its
       // +U(25) is filtered out — a retraction passes the filter iff the
-      // row it retracts did
+      // row it retracts did. No HAVING crutch: the fully-retracted g1
+      // group must be ABSENT on its own (the phantom-group guard).
       val got = Engine.sql(spark, """
         SELECT g, COUNT(*) AS n, SUM(x) AS total
-        FROM cl_w WHERE x < 20 GROUP BY g HAVING COUNT(*) > 0 ORDER BY g
+        FROM cl_w WHERE x < 20 GROUP BY g ORDER BY g
       """).as[(String, Long, Option[Double])].collect().toSeq
       // live rows with x<20: only k4 (k2 deleted, k1's 10 retracted,
       // k3 null fails x<20)
       assert(got == Seq(("g2", 1L, Some(7.0))), s"got $got")
     } finally spark.catalog.dropTempView("cl_w")
+  }
+
+  test("fully-retracted groups are absent; global aggregates keep the empty row") {
+    import spark.implicits._
+    // gdead: one insert + its delete -> NO live rows; glive: one insert
+    Seq(
+      ("+I", 1L, "gdead", "k1", Option(5.0)),
+      ("-D", 2L, "gdead", "k1", Option(5.0)),
+      ("+I", 1L, "glive", "k2", Option(3.0)))
+      .toDF("row_kind", "cdc_ts", "g", "k", "x")
+      .createOrReplaceTempView("cl_dead")
+    try {
+      // sign path (COUNT/SUM only): the dead group must not surface as a
+      // phantom (COUNT=0, SUM=null) row
+      val fast = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n, SUM(x) AS s FROM cl_dead GROUP BY g")
+        .as[(String, Long, Option[Double])].collect().toSeq
+      assert(fast == Seq(("glive", 1L, Some(3.0))), s"sign path got $fast")
+      // netting path (MIN forces it): same absence
+      val net = Engine.sql(spark,
+        "SELECT g, COUNT(*) AS n, MIN(x) AS lo FROM cl_dead GROUP BY g")
+        .as[(String, Long, Option[Double])].collect().toSeq
+      assert(net == Seq(("glive", 1L, Some(3.0))), s"netting path got $net")
+      // GLOBAL aggregate over a fully-retracted changelog: one row,
+      // COUNT 0 (not NULL, not absent) — correct SQL over empty input
+      Seq(("+I", 1L, "g", "k", Option(1.0)), ("-D", 2L, "g", "k", Option(1.0)))
+        .toDF("row_kind", "cdc_ts", "g", "k", "x")
+        .createOrReplaceTempView("cl_empty")
+      val glob = Engine.sql(spark,
+        "SELECT COUNT(*) AS n, SUM(x) AS s, MIN(x) AS lo FROM cl_empty")
+        .as[(Long, Option[Double], Option[Double])].collect().toSeq
+      assert(glob == Seq((0L, None, None)), s"global got $glob")
+    } finally {
+      spark.catalog.dropTempView("cl_dead")
+      spark.catalog.dropTempView("cl_empty"): Unit
+    }
+  }
+
+  test("aliased changelog relations take the changelog path (qualified refs too)") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_al")
+    try {
+      for (from <- Seq("cl_al AS oc", "cl_al oc")) {
+        val got = Engine.sql(spark,
+          s"SELECT oc.g AS g, COUNT(*) AS n, SUM(oc.x) AS s, MIN(oc.x) AS lo " +
+            s"FROM $from WHERE oc.g IS NOT NULL GROUP BY oc.g ORDER BY oc.g")
+          .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+        assert(got == Seq(("g1", 2L, Some(25.0), Some(25.0)),
+          ("g2", 1L, Some(7.0), Some(7.0))), s"FROM $from got $got")
+      }
+    } finally spark.catalog.dropTempView("cl_al")
+  }
+
+  test("allowlist: unclassified and unrewritable aggregates reject; scalars pass") {
+    changelog().createOrReplaceTempView("cl_allow")
+    try {
+      // aggregates OUTSIDE the old blacklist regex — the r11 hole: these
+      // silently fell through and counted change rows as data
+      for (bad <- Seq(
+        "SELECT g, MAX_BY(k, x) AS m FROM cl_allow GROUP BY g",
+        "SELECT g, COUNT_IF(x > 5) AS c FROM cl_allow GROUP BY g",
+        "SELECT g, MIN_BY(k, x) AS m FROM cl_allow GROUP BY g",
+        "SELECT MAX_BY(k, x) AS m FROM cl_allow", // global, no GROUP BY
+        "SELECT g, TRY_SUM(x) AS s FROM cl_allow GROUP BY g")) {
+        val e = intercept[IllegalArgumentException](Engine.sql(spark, bad))
+        assert(e.getMessage.contains("retraction-consuming"),
+          s"$bad -> ${e.getMessage}")
+      }
+      // known scalars compose freely with the supported aggregates
+      import spark.implicits._
+      val ok = Engine.sql(spark,
+        "SELECT UPPER(g) AS g, COUNT(*) AS n, SUM(ABS(x)) AS s, " +
+          "CAST(MAX(COALESCE(x, 0)) AS DECIMAL(10,2)) AS hi " +
+          "FROM cl_allow GROUP BY UPPER(g) ORDER BY 1")
+        .as[(String, Long, Option[Double], Option[java.math.BigDecimal])]
+        .collect().toSeq
+      assert(ok.map(r => (r._1, r._2, r._3)) ==
+        Seq(("G1", 2L, Some(25.0)), ("G2", 1L, Some(7.0))), s"got $ok")
+    } finally spark.catalog.dropTempView("cl_allow")
+  }
+
+  test("aggregate over a composite FROM reading a changelog rejects loudly") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_join")
+    Seq(("g1", "west"), ("g2", "east")).toDF("g", "region")
+      .createOrReplaceTempView("dim_plain")
+    try {
+      // the r11 silent-wrongness hole: this used to run as plain SQL,
+      // counting retraction rows as data
+      for (bad <- Seq(
+        "SELECT d.region, COUNT(*) AS n FROM cl_join c JOIN dim_plain d ON c.g = d.g GROUP BY d.region",
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM cl_join) t",
+        "SELECT COUNT(*) AS n FROM cl_join UNION ALL SELECT COUNT(*) FROM dim_plain")) {
+        val e = intercept[IllegalArgumentException](Engine.sql(spark, bad))
+        assert(e.getMessage.contains("retraction-consuming") ||
+          e.getMessage.contains("materialize the final state"),
+          s"$bad -> ${e.getMessage}")
+      }
+      // raw (non-aggregating) join SELECT still falls through: the user
+      // is enriching the changelog itself — all 7 change rows survive
+      val raw = Engine.sql(spark,
+        "SELECT c.k, d.region FROM cl_join c JOIN dim_plain d ON c.g = d.g")
+      assert(raw.count() == 7L, s"raw join rows: ${raw.count()}")
+      // aggregating join that references row_kind is a deliberate raw
+      // changelog read: untouched
+      val kinds = Engine.sql(spark,
+        "SELECT c.row_kind, COUNT(*) AS n FROM cl_join c JOIN dim_plain d " +
+          "ON c.g = d.g GROUP BY c.row_kind")
+        .as[(String, Long)].collect().toMap
+      assert(kinds("+I") == 4L, s"got $kinds")
+      // non-changelog joins are untouched
+      val plain = Engine.sql(spark,
+        "SELECT d.region, COUNT(*) AS n FROM dim_plain d JOIN dim_plain e " +
+          "ON d.g = e.g GROUP BY d.region")
+      assert(plain.count() == 2L)
+    } finally {
+      spark.catalog.dropTempView("cl_join")
+      spark.catalog.dropTempView("dim_plain"): Unit
+    }
+  }
+
+  test("netting exchange carries only the REFERENCED payload columns") {
+    import spark.implicits._
+    // a wide changelog: `wide_payload` is never referenced by the
+    // statement, so the netting groupBy must not shuffle it
+    Seq(
+      ("+I", 1L, "g1", "k1", Option(10.0), "x" * 100),
+      ("+I", 1L, "g1", "k2", Option(4.0), "y" * 100),
+      ("-D", 2L, "g1", "k2", Option(4.0), "y" * 100))
+      .toDF("row_kind", "cdc_ts", "g", "k", "x", "wide_payload")
+      .createOrReplaceTempView("cl_wide")
+    try {
+      val df = Engine.sql(spark,
+        "SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM cl_wide GROUP BY g")
+      val inner = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.last // innermost aggregate = the netting stage
+      val grouped = inner.groupingExpressions.map(_.sql.toLowerCase).toSet
+      assert(grouped.exists(_.contains("g")) && grouped.exists(_.contains("x")),
+        s"netting must group by the referenced cols: $grouped")
+      assert(!grouped.exists(_.contains("wide_payload")) &&
+        !grouped.exists(_.contains("k")),
+        s"netting must NOT shuffle unreferenced payload: $grouped")
+      val got = df.as[(String, Option[Double], Option[Double])].collect().toSeq
+      assert(got == Seq(("g1", Some(10.0), Some(10.0))), s"got $got")
+    } finally spark.catalog.dropTempView("cl_wide")
+  }
+
+  test("GROUP BY without aggregates and SELECT DISTINCT net to live groups") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_dis")
+    Seq(
+      ("+I", 1L, "gone", "k9", Option(1.0)),
+      ("-D", 2L, "gone", "k9", Option(1.0)))
+      .toDF("row_kind", "cdc_ts", "g", "k", "x")
+      .union(changelog()).createOrReplaceTempView("cl_dis")
+    try {
+      // `gone` has no live rows: neither form may surface it
+      val grp = Engine.sql(spark,
+        "SELECT g FROM cl_dis GROUP BY g ORDER BY g").as[String].collect().toSeq
+      assert(grp == Seq("g1", "g2"), s"GROUP BY got $grp")
+      val dis = Engine.sql(spark,
+        "SELECT DISTINCT g FROM cl_dis ORDER BY g").as[String].collect().toSeq
+      assert(dis == Seq("g1", "g2"), s"DISTINCT got $dis")
+    } finally spark.catalog.dropTempView("cl_dis")
+  }
+
+  test("registered retractable UDA lowers through the changelog statement shape") {
+    import spark.implicits._
+    // GEO_MEAN with the ImperativeAggregateFunction retract/merge
+    // surface: [Σ log x, n] — exact under adds AND retractions
+    object GeoMean extends graft.streaming.StatefulOps.RetractableOverAgg {
+      val size = 2
+      def zero = Array(0.0, 0.0)
+      def reduce(b: Array[Double], x: Double): Unit = { b(0) += math.log(x); b(1) += 1 }
+      def retract(b: Array[Double], x: Double): Unit = { b(0) -= math.log(x); b(1) -= 1 }
+      def merge(a: Array[Double], b: Array[Double]): Unit = { a(0) += b(0); a(1) += b(1) }
+      def finish(b: Array[Double]): Double =
+        if (b(1) <= 0) Double.NaN else math.exp(b(0) / b(1))
+    }
+    StreamOverSql.registerAggregate("GEO_MEAN_CL", GeoMean)
+    // a non-retractable UDA must reject over a changelog
+    object NoRetract extends graft.streaming.StatefulOps.OverAgg {
+      val size = 1
+      def zero = Array(0.0)
+      def reduce(b: Array[Double], x: Double): Unit = b(0) += x
+      def finish(b: Array[Double]): Double = b(0)
+    }
+    StreamOverSql.registerAggregate("SUMISH_CL", NoRetract)
+    changelog().createOrReplaceTempView("cl_uda")
+    try {
+      // q146's statement shape with the UDA alongside built-ins
+      val got = Engine.sql(spark, """
+        SELECT g, COUNT(*) AS n, GEO_MEAN_CL(x) AS gm
+        FROM cl_uda GROUP BY g ORDER BY g
+      """).as[(String, Long, Option[Double])].collect().toSeq
+      // final state: g1 -> (25.0, null) => geo-mean over non-null = 25;
+      // g2 -> (7.0) => 7. Exact final-state equality.
+      assert(got.map(_._1) == Seq("g1", "g2"))
+      assert(got.map(_._2) == Seq(2L, 1L))
+      assert(math.abs(got(0)._3.get - 25.0) < 1e-9 &&
+        math.abs(got(1)._3.get - 7.0) < 1e-9, s"got $got")
+      // with MIN alongside, the UDA rides the NETTING path (weight __net)
+      val netted = Engine.sql(spark, """
+        SELECT g, MIN(x) AS lo, GEO_MEAN_CL(x) AS gm
+        FROM cl_uda GROUP BY g ORDER BY g
+      """).as[(String, Option[Double], Option[Double])].collect().toSeq
+      assert(math.abs(netted(0)._3.get - 25.0) < 1e-9 &&
+        math.abs(netted(1)._3.get - 7.0) < 1e-9, s"netted $netted")
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark, "SELECT g, SUMISH_CL(x) AS s FROM cl_uda GROUP BY g")
+      }
+      assert(e.getMessage.contains("retract"), e.getMessage)
+    } finally spark.catalog.dropTempView("cl_uda")
   }
 
   test("raw changelog reads (row_kind/cdc_ts referenced) fall through") {

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Changelog-mode SQL in STREAMING mode (ChangelogSql.streamInsert via
+  * Engine.sqlStreamInsert): a debezium envelope stream decodes to a
+  * row_kind table, a continuous `INSERT INTO sink SELECT <agg>` consumes
+  * retractions while the stream runs, and the materialized upsert sink
+  * equals the BATCH ChangelogSql answer over the same prefix at every
+  * commit — the FlinkChangelogModeInferenceProgram behavior end to end
+  * (GroupAggFunction.java:43 retraction inputs; MIN/MAX through the
+  * MinWithRetractAggFunction-shaped value-multiset state). */
+class ChangelogStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val payload = new StructType()
+    .add("g", StringType).add("k", StringType).add("x", DoubleType)
+
+  /** Debezium JSON batches: inserts at ts 1, an update (k1: 10 -> 25) at
+    * ts 2, a delete emptying group g3 at ts 3. */
+  private def envelopes: Seq[Seq[String]] = Seq(
+    Seq(
+      """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"k1","x":10.0}}""",
+      """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"k2","x":4.0}}""",
+      """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g3","k":"k5","x":9.0}}"""),
+    Seq(
+      """{"op":"u","ts_ms":2,"before":{"g":"g1","k":"k1","x":10.0},"after":{"g":"g1","k":"k1","x":25.0}}""",
+      """{"op":"c","ts_ms":2,"before":null,"after":{"g":"g2","k":"k4","x":7.0}}"""),
+    Seq(
+      """{"op":"d","ts_ms":3,"before":{"g":"g3","k":"k5","x":9.0},"after":null}"""))
+
+  private def decoded(batch: Seq[String]) = {
+    import spark.implicits._
+    graft.streaming.Cdc.decodeDebezium(batch.toDF("value"), payload)
+  }
+
+  private def createChangelogTable(name: String): Unit =
+    spark.sql(s"""CREATE TABLE $name
+      (row_kind STRING, cdc_ts BIGINT, g STRING, k STRING, x DOUBLE)
+      USING parquet"""): Unit
+
+  private def append(name: String, batch: Seq[String]): Unit = {
+    decoded(batch).createOrReplaceTempView(s"__${name}_in")
+    try spark.sql(s"INSERT INTO $name SELECT * FROM __${name}_in"): Unit
+    finally spark.catalog.dropTempView(s"__${name}_in"): Unit
+  }
+
+  test("continuous changelog aggregate equals the batch answer at every commit") {
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_stream_src_$h", s"cl_stream_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    // the decoded changelog lands in a catalog table the stream tails —
+    // envelope decode happens at ingest, exactly once per message
+    createChangelogTable(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clstream").toString
+    val stmt = s"""
+      INSERT INTO $sink
+      SELECT g, COUNT(*) AS n, SUM(x) AS total, MIN(x) AS lo, MAX(x) AS hi
+      FROM $src GROUP BY g"""
+    val q = Engine.sqlStreamInsert(spark, stmt, ckpt)
+    try {
+      envelopes.zipWithIndex.foreach { case (batch, i) =>
+        append(src, batch)
+        q.processAllAvailable()
+        // batch oracle over the SAME prefix through the batch front door
+        import spark.implicits._
+        val batchAns = Engine.sql(spark,
+          s"SELECT g, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS total, " +
+            s"CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi " +
+            s"FROM $src GROUP BY g")
+          .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+          .collect().toSet
+        val streamAns = ChangelogSql.materializeUpsertSink(spark, sink)
+          .select(col("g"), col("n"), col("total").cast("double"),
+            col("lo").cast("double"), col("hi").cast("double"))
+          .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+          .collect().toSet
+        assert(streamAns == batchAns,
+          s"commit $i: stream $streamAns != batch $batchAns")
+      }
+      // after batch 2 the g3 group emptied: the sink's changelog must
+      // carry its -D and the materialized view must not show it
+      import spark.implicits._
+      spark.catalog.refreshTable(sink)
+      val kinds = spark.table(sink)
+        .filter(col("g") === "g3").select("row_kind")
+        .as[String].collect().toSeq
+      assert(kinds.contains("-D"), s"g3 delete not recorded: $kinds")
+      assert(!ChangelogSql.materializeUpsertSink(spark, sink)
+        .filter(col("g") === "g3").collect().nonEmpty,
+        "fully-retracted group visible in the materialized sink")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
+  test("HAVING emits deletes when a group leaves the set; UDAs stream too") {
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_having_src_$h", s"cl_having_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    createChangelogTable(src)
+    object GeoMeanS extends graft.streaming.StatefulOps.RetractableOverAgg {
+      val size = 2
+      def zero = Array(0.0, 0.0)
+      def reduce(b: Array[Double], x: Double): Unit = { b(0) += math.log(x); b(1) += 1 }
+      def retract(b: Array[Double], x: Double): Unit = { b(0) -= math.log(x); b(1) -= 1 }
+      def merge(a: Array[Double], b: Array[Double]): Unit = { a(0) += b(0); a(1) += b(1) }
+      def finish(b: Array[Double]): Double =
+        if (b(1) <= 0) Double.NaN else math.exp(b(0) / b(1))
+    }
+    StreamOverSql.registerAggregate("GEO_MEAN_ST", GeoMeanS)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clhaving").toString
+    // HAVING COUNT(*) >= 2: g1 enters the set once its second row lands,
+    // then LEAVES it when the deletes drop it back to one row
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT g, COUNT(*) AS n, GEO_MEAN_ST(x) AS gm
+      FROM $src GROUP BY g HAVING COUNT(*) >= 2""", ckpt)
+    try {
+      import spark.implicits._
+      def current(): Map[String, (Long, Double)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .as[(String, Long, Option[Double])].collect()
+          .map(r => r._1 -> ((r._2, r._3.getOrElse(Double.NaN)))).toMap
+      append(src, Seq(
+        """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"a","x":2.0}}"""))
+      q.processAllAvailable()
+      assert(current().isEmpty, s"below HAVING threshold: ${current()}")
+      append(src, Seq(
+        """{"op":"c","ts_ms":2,"before":null,"after":{"g":"g1","k":"b","x":8.0}}"""))
+      q.processAllAvailable()
+      val in = current()
+      assert(in.keySet == Set("g1") && in("g1")._1 == 2L &&
+        math.abs(in("g1")._2 - 4.0) < 1e-9, // geomean(2, 8) = 4
+        s"got $in")
+      append(src, Seq(
+        """{"op":"d","ts_ms":3,"before":{"g":"g1","k":"b","x":8.0},"after":null}"""))
+      q.processAllAvailable()
+      // back below the HAVING threshold: the sink saw a -D for g1
+      assert(current().isEmpty, s"group must leave the HAVING set: ${current()}")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
+  test("raw changelog passthrough and malformed shapes keep their contracts") {
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_raw_src_$h"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    createChangelogTable(src)
+    try {
+      // raw SELECT (references row_kind) is NOT the changelog-agg shape
+      assert(!ChangelogSql.streamMatches(spark,
+        s"SELECT row_kind, g, x FROM $src"))
+      // plain projection without aggregates: not this path either
+      assert(!ChangelogSql.streamMatches(spark, s"SELECT g, x FROM $src"))
+      // the aggregate shape IS matched
+      assert(ChangelogSql.streamMatches(spark,
+        s"SELECT g, COUNT(*) AS n FROM $src GROUP BY g"))
+      // ORDER BY on a continuous aggregate rejects loudly
+      val e = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark,
+          s"INSERT INTO nowhere_$h SELECT g, COUNT(*) AS n FROM $src " +
+            "GROUP BY g ORDER BY n", "/tmp/never")
+      }
+      assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $src"): Unit
+  }
+}

@@ -250,6 +250,61 @@ class SqlFrontDoorNegativeSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("neg_ev")
   }
 
+  // ---- group 5 (r12): adversarial cases for the TOKEN path -------------
+  // the composer's marker detection and clause slicing now walk
+  // SqlTokens streams; these pin the lexical corners regex-over-blanked
+  // text historically got wrong (or right only by luck)
+
+  private val tokenNoMarkerCases: Seq[(String, String)] = Seq(
+    "$-carrying identifier fused to a marker word" ->
+      "SELECT MATCH_RECOGNIZE$v2(1) FROM t", // \b regex split at '$' and false-fired
+    "$$ identifier in relation position" ->
+      "SELECT a$$b FROM t$$v WHERE c$ > 0",
+    "backtick-quoted marker word is an identifier" ->
+      "SELECT `match_recognize`(1) FROM t",
+    "quote inside a backticked identifier stays an identifier" ->
+      "SELECT `it's MATCH_RECOGNIZE(` FROM t",
+    "unicode quotation marks are not string delimiters" ->
+      "SELECT '‘MATCH_RECOGNIZE(’' AS s, '«TABLE(TUMBLE(»' AS r",
+    "unterminated literal swallows the marker tail" ->
+      "SELECT 'MATCH_RECOGNIZE( FROM t",
+    "nested comment containing quotes and a marker" ->
+      "/* 'not /* a string */ still comment' MATCH_RECOGNIZE( */ SELECT 4 AS x",
+    "literal comment-opener then real comment with quote + marker" ->
+      "SELECT '/*' AS a, 5 AS x /* ') TABLE(TUMBLE( */")
+
+  tokenNoMarkerCases.foreach { case (label, stmt) =>
+    test(s"token path, no marker: $label") {
+      assert(!marker(stmt), s"false marker on: $stmt\nblanked: ${blank(stmt)}")
+    }
+  }
+
+  private val tokenMarkerCases: Seq[(String, String)] = Seq(
+    "comment BETWEEN temporal marker words (comment = whitespace)" ->
+      "SELECT * FROM a JOIN b FOR /* sure */ SYSTEM_TIME AS OF a.ts ON a.k = b.k",
+    "comment between TABLE and the TVF paren" ->
+      "SELECT * FROM TABLE /* hop */ (HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))",
+    "line comment + newline inside the temporal phrase" ->
+      "SELECT * FROM a JOIN b FOR -- x\n SYSTEM_TIME AS OF a.ts ON a.k = b.k")
+
+  tokenMarkerCases.foreach { case (label, stmt) =>
+    test(s"token path, marker fires: $label") {
+      assert(marker(stmt), s"missed marker on: $stmt\nblanked: ${blank(stmt)}")
+    }
+  }
+
+  test("token path: literal/comment interleavings execute end to end") {
+    import spark.implicits._
+    val r = Engine.sql(spark,
+      "SELECT 'it''s /* not */ a string' AS s, 1 AS x /* ')(' */ -- ('")
+      .as[(String, Int)].collect().head
+    assert(r == (("it's /* not */ a string", 1)), s"got $r")
+    // a backticked alias carrying a quote must survive the walk
+    val r2 = Engine.sql(spark,
+      "SELECT v FROM (SELECT 7 AS v) `it's a name`").as[Int].collect().head
+    assert(r2 == 7, s"got $r2")
+  }
+
   // ---- group 4: a decoy literal next to the REAL construct still lowers
 
   test("decoy literal does not mask a real window TVF") {

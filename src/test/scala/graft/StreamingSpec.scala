@@ -693,6 +693,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("b", "-D", 0L, 0.0)), s"missing -D for b: $rows")
   }
 
+  test("retractable UDA group aggregate: retract/merge surface in streaming state") {
+    import graft.streaming.{Retract, StatefulOps}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    object GeoMeanR extends StatefulOps.RetractableOverAgg {
+      val size = 2
+      def zero = Array(0.0, 0.0)
+      def reduce(b: Array[Double], x: Double): Unit = { b(0) += math.log(x); b(1) += 1 }
+      def retract(b: Array[Double], x: Double): Unit = { b(0) -= math.log(x); b(1) -= 1 }
+      def merge(a: Array[Double], b: Array[Double]): Unit = { a(0) += b(0); a(1) += b(1) }
+      def finish(b: Array[Double]): Double =
+        if (b(1) <= 0) Double.NaN else math.exp(b(0) / b(1))
+    }
+    val in = MemoryStream[(String, String, Double)]
+    val out = Retract.groupAggregateWith(in.toDS(), GeoMeanR)
+    val q = out.toDF("k", "kind", "gm").writeStream
+      .outputMode("update").format("memory").queryName("rau_out").start()
+    in.addData(("a", "+I", 2.0), ("a", "+I", 8.0), ("b", "+I", 3.0))
+    q.processAllAvailable()
+    // update a: retract 8, accumulate 32 -> geomean(2, 32) = 8; empty b
+    in.addData(("a", "-U", 8.0), ("a", "+U", 32.0), ("b", "-D", 3.0))
+    runToCompletion(q)
+    val rows = spark.table("rau_out").as[(String, String, Double)].collect().toSeq
+    assert(rows.exists(r => r._1 == "a" && r._2 == "+U" && math.abs(r._3 - 4.0) < 1e-9),
+      s"batch-1 geomean(2,8)=4 missing: $rows")
+    assert(rows.exists(r => r._1 == "a" && r._2 == "+U" && math.abs(r._3 - 8.0) < 1e-9),
+      s"batch-2 geomean(2,32)=8 missing: $rows")
+    assert(rows.exists(r => r._1 == "b" && r._2 == "-D"), s"missing -D for b: $rows")
+  }
+
   test("retractable top-N backfills when a ranked row is deleted") {
     import graft.streaming.Retract
     import spark.implicits._

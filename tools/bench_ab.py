@@ -34,11 +34,16 @@ def run_sweep(workdir, sf_dir, cpus="32"):
 
 def main():
     dir_a, dir_b, sf_dir, out_path = sys.argv[1:5]
-    sweeps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    sweeps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     runs = {"A": [], "B": []}
     order = []
     for i in range(sweeps):
-        for side, d in (("A", dir_a), ("B", dir_b)):
+        # alternate the start side per round (A,B then B,A ...): a warmup
+        # or contamination effect tied to position-in-round hits both
+        # sides equally across the session
+        pair = (("A", dir_a), ("B", dir_b)) if i % 2 == 0 else \
+            (("B", dir_b), ("A", dir_a))
+        for side, d in pair:
             print(f"[ab] sweep {i + 1}/{sweeps} side {side} ({d})", flush=True)
             r = run_sweep(d, sf_dir)
             runs[side].append(r)
@@ -51,9 +56,16 @@ def main():
                     best_q[q] = min(best_q.get(q, float("inf")), t)
         return best_q
     a, b = best("A"), best("B")
+    def spread(side, q):
+        ts = [r["queries"][q] for r in runs[side]
+              if isinstance(r.get("queries", {}).get(q), (int, float))]
+        return (round(min(ts), 3), round(max(ts), 3)) if ts else None
     common = sorted(set(a) & set(b))
     per_query = {
         q: {"a_sec": round(a[q], 3), "b_sec": round(b[q], 3),
+            # per-sweep spread per side: an attribution is solid only
+            # when the two [min,max] ranges do not overlap
+            "a_range": spread("A", q), "b_range": spread("B", q),
             "ratio": round(a[q] / b[q], 3) if b[q] > 0 else None}
         for q in common}
     flagged = {q: v for q, v in per_query.items()
