@@ -227,6 +227,53 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_dis")
   }
 
+  test("DDL doors: CTAS/INSERT bodies lower; persistent views and WITH reject") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_ddl")
+    val h = math.abs(getClass.getName.hashCode)
+    val (ctas, tgt) = (s"cl_ctas_$h", s"cl_tgt_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $ctas")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    try {
+      // CTAS body over a changelog must run through the inference — a
+      // raw pass-through would PERSIST counts of retraction rows
+      Engine.sql(spark,
+        s"CREATE TABLE $ctas AS SELECT g, COUNT(*) AS n FROM cl_ddl GROUP BY g")
+      val got = spark.table(ctas).as[(String, Long)].collect().toMap
+      assert(got == Map("g1" -> 2L, "g2" -> 1L), s"CTAS persisted $got")
+      // INSERT INTO ... SELECT the same way
+      spark.sql(s"CREATE TABLE $tgt (g STRING, n BIGINT) USING parquet")
+      Engine.sql(spark,
+        s"INSERT INTO $tgt SELECT g, COUNT(*) AS n FROM cl_ddl GROUP BY g")
+      val ins = spark.table(tgt).as[(String, Long)].collect().toMap
+      assert(ins == Map("g1" -> 2L, "g2" -> 1L), s"INSERT persisted $ins")
+      // a TEMPORARY view materializes the lowered lineage
+      Engine.sql(spark,
+        "CREATE TEMPORARY VIEW cl_ddl_v AS SELECT g, COUNT(*) AS n FROM cl_ddl GROUP BY g")
+      val v = spark.table("cl_ddl_v").as[(String, Long)].collect().toMap
+      assert(v == Map("g1" -> 2L, "g2" -> 1L), s"temp view shows $v")
+      spark.catalog.dropTempView("cl_ddl_v")
+      // a PERSISTENT view cannot carry the lowered plan across sessions:
+      // its TEXT would re-parse without the inference — loud reject
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          s"CREATE VIEW cl_perm_$h AS SELECT g, COUNT(*) AS n FROM cl_ddl GROUP BY g")
+      }
+      assert(e.getMessage.contains("TEMPORARY"), e.getMessage)
+      // WITH-led changelog aggregates have no rewrite yet: loud reject,
+      // never a silent raw aggregate
+      val e2 = intercept[IllegalArgumentException] {
+        Engine.sql(spark,
+          "WITH t AS (SELECT 1 AS one) SELECT COUNT(*) AS n FROM cl_ddl")
+      }
+      assert(e2.getMessage.contains("materialize the final state"), e2.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ctas")
+      spark.sql(s"DROP TABLE IF EXISTS $tgt")
+      spark.catalog.dropTempView("cl_ddl"): Unit
+    }
+  }
+
   test("registered retractable UDA lowers through the changelog statement shape") {
     import spark.implicits._
     // GEO_MEAN with the ImperativeAggregateFunction retract/merge
