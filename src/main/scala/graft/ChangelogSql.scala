@@ -400,17 +400,208 @@ object ChangelogSql {
         lowerBare(spark, c, name, Option(alias), aggClauses, allClauses, refsMeta)
       case RelRe(_, _) => None // single non-changelog relation: untouched
       case _ =>
-        compositeGuard(spark, stmt, c.groupBy.isDefined, refsMeta); None
+        // a linear join chain with exactly ONE changelog lowers through
+        // the sign/netting algebra; every other composite shape keeps
+        // the loud guard
+        lowerJoin(spark, c, aggClauses, allClauses).orElse {
+          compositeGuard(spark, stmt, c.groupBy.isDefined, refsMeta); None
+        }
     }
   }
 
-  /** Composite FROM (join / subquery / comma list / set operation):
-    * plain SQL is correct only when no changelog is read, or when the
-    * user deliberately reads the raw changelog (row_kind/cdc_ts
-    * referenced). An AGGREGATE over a changelog reached through a
-    * composite FROM must reject loudly — counting retraction rows as
-    * data is exactly the wrongness this module bans, and no join
-    * rewrite exists yet. */
+  // ---- join chains: changelog ⋈ static relations ----------------------
+
+  /** One relation of a linear join chain. `joinType` (INNER/CROSS/LEFT/
+    * RIGHT/FULL) is the join CONNECTING this relation to the accumulated
+    * left part — None for the first relation; `on` its ON text. */
+  private case class ChainRel(name: String, alias: Option[String],
+      joinType: Option[String], on: Option[String])
+
+  private val JoinHeads = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+
+  /** Parse a linear `rel [AS a] [<type> JOIN rel [AS a] ON ...]*` chain
+    * on the token stream; None for anything else (subqueries, commas,
+    * USING, NATURAL, LATERAL — those keep the composite guard). */
+  private def parseJoinChain(fromText: String): Option[Seq[ChainRel]] = {
+    import graft.util.SqlTokens
+    import graft.util.SqlTokens.Kind
+    val b = blank(fromText)
+    val t = SqlTokens.structural(SqlTokens.tokenize(b))
+    var i = 0
+    def word(j: Int): String =
+      if (j < t.length && t(j).kind == Kind.Ident) t(j).word(b) else ""
+    // a (possibly dot-qualified, possibly backticked) identifier
+    def relName(): Option[String] = {
+      if (i >= t.length || t(i).kind != Kind.Ident || JoinHeads(word(i))) return None
+      val sb = new StringBuilder(t(i).text(b).replace("`", ""))
+      i += 1
+      while (i + 1 < t.length && t(i).kind == Kind.Op && t(i).text(b) == "." &&
+        t(i + 1).kind == Kind.Ident) {
+        sb.append(".").append(t(i + 1).text(b).replace("`", ""))
+        i += 2
+      }
+      Some(sb.toString)
+    }
+    def relWithAlias(joinType: Option[String], on: Option[String]): Option[ChainRel] = {
+      val name = relName().getOrElse(return None)
+      var alias: Option[String] = None
+      if (word(i) == "AS") {
+        i += 1
+        alias = relName()
+        if (alias.isEmpty) return None
+      } else if (i < t.length && t(i).kind == Kind.Ident &&
+        !JoinHeads(word(i)) && word(i) != "ON") {
+        alias = relName()
+        if (alias.isEmpty) return None
+      }
+      Some(ChainRel(name, alias, joinType, on))
+    }
+    val out = Seq.newBuilder[ChainRel]
+    out += relWithAlias(None, None).getOrElse(return None)
+    while (i < t.length) {
+      // the join phrase
+      val jt = word(i) match {
+        case "JOIN"  => i += 1; "INNER"
+        case "INNER" if word(i + 1) == "JOIN" => i += 2; "INNER"
+        case "CROSS" if word(i + 1) == "JOIN" => i += 2; "CROSS"
+        case d @ ("LEFT" | "RIGHT" | "FULL") if word(i + 1) == "JOIN" =>
+          i += 2; d
+        case d @ ("LEFT" | "RIGHT" | "FULL")
+          if word(i + 1) == "OUTER" && word(i + 2) == "JOIN" => i += 3; d
+        case _ => return None // comma list, USING, NATURAL, anything else
+      }
+      val name = relName().getOrElse(return None)
+      var alias: Option[String] = None
+      if (word(i) == "AS") { i += 1; alias = relName(); if (alias.isEmpty) return None }
+      else if (i < t.length && t(i).kind == Kind.Ident &&
+        !JoinHeads(word(i)) && word(i) != "ON") {
+        alias = relName(); if (alias.isEmpty) return None
+      }
+      val on = if (jt == "CROSS") None else {
+        if (word(i) != "ON") return None
+        i += 1
+        val start = if (i < t.length) t(i).start else b.length
+        // the ON expression runs to the next DEPTH-0 join head
+        var depth = 0
+        var stop = fromText.length
+        var j = i
+        var found = false
+        while (j < t.length && !found) {
+          t(j).kind match {
+            case Kind.LParen => depth += 1
+            case Kind.RParen => depth -= 1
+            case Kind.Ident if depth == 0 && JoinHeads(t(j).word(b)) =>
+              stop = t(j).start; found = true
+            case _ => ()
+          }
+          if (!found) j += 1
+        }
+        i = j
+        Some(fromText.substring(start, stop).trim)
+      }
+      out += ChainRel(name, alias, Some(jt), on)
+    }
+    val chain = out.result()
+    if (chain.size >= 2) Some(chain) else None
+  }
+
+  /** Lower an aggregate over `changelog ⋈ static relations` — Flink
+    * propagates changelog mode through joins
+    * (FlinkChangelogModeInferenceProgram; StreamingJoinOperator.java:36
+    * consumes retractions): against STATIC sides the propagation is
+    * pure algebra, because a retraction carries its insert's payload
+    * and therefore joins to exactly the same static rows — the ±1 signs
+    * (or netted multiplicities) distribute through the join. Admissible
+    * shapes: INNER/CROSS joins freely; LEFT only with the changelog in
+    * the left (preserved) part; RIGHT only with the changelog as the
+    * right operand. A changelog on a PADDED side is rejected: its dead
+    * pairs would still "match" the preserved side, so a fully-retracted
+    * key would never null-pad — silent wrongness. FULL is both at once.
+    * Returns None when the statement is not this shape at all (the
+    * composite guard then decides). */
+  private def lowerJoin(spark: SparkSession, c: Clauses,
+      aggClauses: String, allClauses: String): Option[DataFrame] = {
+    val chain = parseJoinChain(c.relation).getOrElse(return None)
+    val clIdxs = chain.zipWithIndex.collect {
+      case (r, i) if isChangelogRel(spark, r.name) => i
+    }
+    if (clIdxs.size != 1) return None // multi-changelog: guard decides
+    val clIdx = clIdxs.head
+    // raw intent / unsupported positions: fall back to the guard's
+    // decision (ON conditions are part of the statement's references)
+    val withFrom = allClauses + " " + blank(c.relation)
+    if (Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
+      ("(?i)\\b" + m + "\\b").r.findFirstIn(withFrom).isDefined)) return None
+    if ("""(?i)\bOVER\s*\(""".r.findFirstIn(allClauses).isDefined) return None
+    if ("""(?i)\(\s*SELECT\b""".r.findFirstIn(allClauses).isDefined) return None
+    val udas = checkAllowlist(spark, chain(clIdx).name, aggClauses)
+    val isDistinct =
+      """(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined
+    val hasAgg = callNames(aggClauses).exists(Supported) || udas.nonEmpty
+    if (!hasAgg && c.groupBy.isEmpty && !isDistinct) return None // raw join read
+    // join-type admissibility (join i connects rels [0..i-1] with rel i)
+    chain.zipWithIndex.drop(1).foreach { case (r, i) =>
+      def bad(msg: String): Nothing = throw new IllegalArgumentException(
+        s"changelog relation ${chain(clIdx).name} sits on the NULL-PADDED " +
+          s"side of a ${r.joinType.get} JOIN: $msg — a fully-retracted key " +
+          "would still match and never null-pad, so no retraction-consuming " +
+          "rewrite exists; materialize the final state first " +
+          "(Cdc.upsertMaterialize) and join that")
+      r.joinType.get match {
+        case "INNER" | "CROSS" => ()
+        case "LEFT" if clIdx < i => ()
+        case "RIGHT" if clIdx == i => ()
+        case "FULL" => bad("FULL pads both sides")
+        case t => bad(s"the changelog must be on the $t-preserved side")
+      }
+    }
+    registerUdafs(spark, udas)
+    val clRel = chain(clIdx)
+    val src0 = spark.table(clRel.name)
+    val sign = when(col(streaming.Cdc.RowKind)
+      .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
+      .otherwise(-1)
+    val needsNet = isDistinct ||
+      """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined
+    val (stage1, weight) =
+      if (!needsNet) (src0.withColumn("__sign", sign), "__sign")
+      else {
+        // referenced columns include the ON conditions' (netting must
+        // preserve the join keys)
+        val refd = """[A-Za-z_]\w*""".r.findAllIn(withFrom)
+          .map(_.toLowerCase).toSet
+        val dataCols = src0.columns.toSeq.filterNot(n =>
+          n == streaming.Cdc.RowKind || n == "cdc_ts")
+          .filter(n => refd(n.toLowerCase))
+        (src0.groupBy(dataCols.map(col): _*).agg(sum(sign).as("__net"))
+          .filter(col("__net") =!= 0), "__net")
+      }
+    def fromSql(view: String): String =
+      chain.zipWithIndex.map { case (r, i) =>
+        val base =
+          if (i == clIdx)
+            // re-alias the stage-1 view under the ORIGINAL name (or the
+            // user's alias) so qualified references keep resolving
+            s"$view AS ${r.alias.getOrElse(r.name.split('.').last)}"
+          else s"${r.name}${r.alias.fold("")(a => s" AS $a")}"
+        val prefix = r.joinType match {
+          case None          => ""
+          case Some("INNER") => "JOIN "
+          case Some("CROSS") => "CROSS JOIN "
+          case Some(t)       => s"$t JOIN "
+        }
+        prefix + base + r.on.fold("")(o => s" ON $o")
+      }.mkString(" ")
+    assembleStage2(spark, c, stage1, weight, fromSql, whereInStage2 = true)
+  }
+
+  /** Composite FROM (subquery / comma list / set operation / join
+    * shapes beyond [[lowerJoin]]): plain SQL is correct only when no
+    * changelog is read, or when the user deliberately reads the raw
+    * changelog (row_kind/cdc_ts referenced). An AGGREGATE over a
+    * changelog reached through any OTHER composite FROM must reject
+    * loudly — counting retraction rows as data is exactly the
+    * wrongness this module bans. */
   private def compositeGuard(spark: SparkSession, stmt: String,
       groupByDefined: Boolean, refsMeta: Boolean): Unit = {
     if (refsMeta) return // deliberate raw changelog read
@@ -431,9 +622,11 @@ object ChangelogSql {
         s"${if (changelogRels.size > 1) "s" else ""} " +
         s"${changelogRels.mkString(", ")} has no retraction-consuming " +
         "rewrite (running it as plain SQL would aggregate retraction " +
-        "rows as data); materialize the final state first " +
-        "(Cdc.upsertMaterialize) and join/aggregate that, or reference " +
-        "row_kind explicitly to read the raw changelog")
+        "rows as data); supported: ONE changelog joined to static " +
+        "relations with INNER/CROSS joins (LEFT/RIGHT only with the " +
+        "changelog on the preserved side). Otherwise materialize the " +
+        "final state first (Cdc.upsertMaterialize) and join/aggregate " +
+        "that, or reference row_kind explicitly to read the raw changelog")
   }
 
   private def lowerBare(
@@ -492,6 +685,21 @@ object ChangelogSql {
         (filtered.groupBy(dataCols.map(col): _*).agg(sum(sign).as("__net"))
           .filter(col("__net") =!= 0), "__net")
       }
+    assembleStage2(spark, c, stage1, weight,
+      view => s"$view${alias.fold("")(a => s" AS $a")}",
+      whereInStage2 = false) // the bare path filtered BEFORE netting
+  }
+
+  /** Stage 2 shared by the bare-relation and join lowerings: the user's
+    * statement with retract-aware aggregates over the stage-1 frame,
+    * bound as a temp view and spliced into the FROM text `fromSqlOf`
+    * produces. `whereInStage2`: the join path must filter AFTER the
+    * join (predicates may read the static sides); the bare path already
+    * filtered before netting (same live multiset — the predicate is
+    * deterministic on the payload — but a smaller netting exchange). */
+  private def assembleStage2(spark: SparkSession, c: Clauses,
+      stage1: DataFrame, weight: String,
+      fromSqlOf: String => String, whereInStage2: Boolean): Option[DataFrame] = {
     val grouped = c.groupBy.isDefined
     def rewrite(s: String) = rewriteWith(s, weight, grouped)
     // ORDER BY can carry aggregates too (ORDER BY COUNT(*)) — netted
@@ -526,8 +734,9 @@ object ChangelogSql {
           i -> name
         }.toMap.toSeq
       val hiddenByIdx = hidden.toMap
-      sqlText.append(s" FROM $view")
-      alias.foreach(a => sqlText.append(s" AS $a"))
+      sqlText.append(" FROM ").append(fromSqlOf(view))
+      if (whereInStage2)
+        c.where.foreach(w => sqlText.append(" WHERE ").append(w))
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
       // grouped statements guard against PHANTOM groups: a group whose
       // rows all retracted has live count 0 and must be ABSENT (Flink's
@@ -646,21 +855,40 @@ object ChangelogSql {
     * row_kind-carrying relation — the statement shape [[streamInsert]]
     * owns? (Raw projections of a changelog stream keep the plain
     * append-insert path.) */
+  /** The chain's single changelog relation, when `fromText` is either a
+    * bare changelog relation or a linear join of exactly one changelog
+    * with other relations. */
+  private def changelogOfFrom(
+      spark: SparkSession, fromText: String): Option[(Seq[ChainRel], Int)] =
+    fromText match {
+      case RelRe(name, alias) if isChangelogRel(spark, name) =>
+        Some((Seq(ChainRel(name, Option(alias), None, None)), 0))
+      case RelRe(_, _) => None
+      case _ => parseJoinChain(fromText).flatMap { chain =>
+        chain.zipWithIndex.collect {
+          case (r, i) if isChangelogRel(spark, r.name) => i
+        } match {
+          case Seq(i) => Some((chain, i))
+          case _      => None
+        }
+      }
+    }
+
   private[graft] def streamMatches(spark: SparkSession, select: String): Boolean =
     parse(select).exists { c =>
-      c.relation match {
-        case RelRe(name, _) if isChangelogRel(spark, name) =>
+      changelogOfFrom(spark, c.relation) match {
+        case Some(_) =>
           val aggish = blank(c.selectList) + " " +
             c.having.map(blank).getOrElse("")
           val all = aggish + " " + c.where.map(blank).getOrElse("") + " " +
-            c.groupBy.map(blank).getOrElse("")
+            c.groupBy.map(blank).getOrElse("") + " " + blank(c.relation)
           // a statement reading row_kind/cdc_ts itself is a raw
           // changelog passthrough — the plain append-insert path's job
           val refsMeta = Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
             ("(?i)\\b" + m + "\\b").r.findFirstIn(all).isDefined)
           !refsMeta && (c.groupBy.isDefined || callNames(aggish).exists(n =>
             Supported(n) || retractableUda(n).isDefined))
-        case _ => false
+        case None => false
       }
     }
 
@@ -674,14 +902,36 @@ object ChangelogSql {
       spark: SparkSession, select: String): (DataFrame, Seq[String]) = {
     val c = parse(select).getOrElse(throw new IllegalArgumentException(
       s"not a changelog aggregate statement: $select"))
-    val (name, alias) = c.relation match {
-      case RelRe(n, a) => (n, Option(a))
-      case other => throw new IllegalArgumentException(
-        "streaming changelog aggregates read ONE bare changelog relation " +
-          s"(joins/subqueries have no retraction-consuming rewrite); got FROM $other")
+    val (chain, clIdx) = changelogOfFrom(spark, c.relation).getOrElse(
+      throw new IllegalArgumentException(
+        "streaming changelog aggregates read ONE changelog relation, " +
+          "bare or linearly joined to STATIC relations " +
+          s"(subqueries/multi-changelog have no rewrite); got FROM ${c.relation}"))
+    val name = chain(clIdx).name
+    // the static sides must BE static: the sign algebra requires a
+    // retraction to join exactly the rows its insert joined — a growing
+    // (streaming) side breaks that, and two changelogs need pairwise
+    // sign products
+    chain.zipWithIndex.foreach { case (r, i) =>
+      if (i != clIdx)
+        require(!scala.util.Try(spark.table(r.name).isStreaming).getOrElse(false),
+          s"join side ${r.name} is a STREAM — a continuous changelog " +
+            "aggregate joins static relations only (a retraction must " +
+            "join exactly the rows its insert joined)")
+      if (i > 0) {
+        def bad(msg: String): Nothing = throw new IllegalArgumentException(
+          s"changelog relation $name on the null-padded side of a " +
+            s"${r.joinType.getOrElse("?")} JOIN: $msg — no " +
+            "retraction-consuming rewrite exists")
+        r.joinType.foreach {
+          case "INNER" | "CROSS" => ()
+          case "LEFT" if clIdx < i => ()
+          case "RIGHT" if clIdx == i => ()
+          case "FULL" => bad("FULL pads both sides")
+          case t => bad(s"the changelog must be on the $t-preserved side")
+        }
+      }
     }
-    require(isChangelogRel(spark, name),
-      s"$name carries no ${streaming.Cdc.RowKind} column — not a changelog")
     require(c.orderBy.isEmpty && c.limit.isEmpty,
       "ORDER BY / LIMIT are not available on a CONTINUOUS changelog " +
         "aggregate (update mode has no final ordering); aggregate the " +
@@ -689,7 +939,7 @@ object ChangelogSql {
     val bl = blank(c.selectList)
     val aggClauses = bl + " " + c.having.map(blank).getOrElse("")
     val all = aggClauses + " " + c.where.map(blank).getOrElse("") + " " +
-      c.groupBy.map(blank).getOrElse("")
+      c.groupBy.map(blank).getOrElse("") + " " + blank(c.relation)
     require(!Seq(streaming.Cdc.RowKind, "cdc_ts").exists(m =>
       ("(?i)\\b" + m + "\\b").r.findFirstIn(all).isDefined),
       "a continuous changelog AGGREGATE cannot reference " +
@@ -727,8 +977,12 @@ object ChangelogSql {
       .otherwise(-1)
     val prior = spark.sessionState.catalog.getTempView(name).isDefined
     val priorDf = if (prior) Some(spark.table(name)) else None
-    val signed = alias.fold(src)(a => src.as(a)).withColumn("__sign", sign)
+    val signed = src.withColumn("__sign", sign)
     try {
+      // SHADOW the changelog's name with the signed streaming read and
+      // keep the ORIGINAL FROM text — aliases and any static join sides
+      // resolve unchanged, the changelog name now binds the stream
+      // (Spark plans the stream-static join natively)
       signed.createOrReplaceTempView(name)
       // live = the group still has net rows AND (when a HAVING exists)
       // still satisfies it — a group leaving the HAVING set must emit a
@@ -739,7 +993,7 @@ object ChangelogSql {
       val sqlText = new StringBuilder("SELECT ")
         .append(rewrite(c.selectList))
         .append(", ").append(live).append(s" AS $LiveCol")
-        .append(s" FROM $name")
+        .append(" FROM ").append(c.relation)
       c.where.foreach(w => sqlText.append(" WHERE ").append(w))
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
       val df = spark.sql(sqlText.toString)

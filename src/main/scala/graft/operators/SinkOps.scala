@@ -353,6 +353,77 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CHANGELOG-MODE INFERENCE THROUGH A JOIN (r12): Flink propagates
+      // changelog mode through the whole tree
+      // (FlinkChangelogModeInferenceProgram; joins consume retractions,
+      // StreamingJoinOperator.java:36) — against a STATIC side the
+      // propagation is pure sign algebra, because a retraction joins to
+      // exactly the rows its insert joined to. q146's synthetic debezium
+      // changelog (keyed by o_custkey this time) JOINs the customer dim
+      // and aggregates per market segment; ChangelogSql rewrites the
+      // aggregates with the ±1/netted weights THROUGH the join text. The
+      // oracle aggregates the final state joined to the same dim — any
+      // leak of a retraction row through the join breaks every column.
+      "q148_changelog_join_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Cdc
+        import org.apache.spark.sql.types._
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val payload = new StructType().add("o_orderkey", LongType)
+          .add("o_custkey", LongType).add("price", DoubleType)
+        val inserts = base.select(to_json(struct(
+          lit("c").as("op"), lit(1L).as("ts_ms"),
+          lit(null).cast(payload).as("before"),
+          struct($"o_orderkey", $"o_custkey", $"price").as("after"))).as("value"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val updates = base.filter($"o_orderkey" % 10 === 0)
+          .select(to_json(struct(
+            lit("u").as("op"), lit(2L).as("ts_ms"),
+            struct($"o_orderkey", $"o_custkey", $"price").as("before"),
+            struct($"o_orderkey", $"o_custkey", bumped).as("after"))).as("value"))
+        val current = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val deletes = base.filter($"o_orderkey" % 17 === 0)
+          .select(to_json(struct(
+            lit("d").as("op"), lit(3L).as("ts_ms"),
+            struct($"o_orderkey", $"o_custkey", current).as("before"),
+            lit(null).cast(payload).as("after"))).as("value"))
+        val log = Cdc.decodeDebezium(
+          inserts.unionByName(updates).unionByName(deletes), payload)
+        log.createOrReplaceTempView("orders_changelog_j")
+        Tables.customer(s, d).createOrReplaceTempView("customer_dim_j")
+        try Engine.sql(s, """
+          SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+                 CAST(SUM(CAST(o.price AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                 CAST(MIN(CAST(o.price AS DECIMAL(12,2))) AS DOUBLE) AS min_price
+          FROM orders_changelog_j o
+          JOIN customer_dim_j c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment
+          ORDER BY segment
+        """)
+        finally {
+          s.catalog.dropTempView("orders_changelog_j")
+          s.catalog.dropTempView("customer_dim_j"): Unit
+        }
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(fs.price) AS DOUBLE) AS total,
+        |       CAST(MIN(fs.price) AS DOUBLE) AS min_price
+        |FROM fs JOIN customer c ON fs.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

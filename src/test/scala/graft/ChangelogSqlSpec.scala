@@ -141,23 +141,37 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_allow")
   }
 
-  test("aggregate over a composite FROM reading a changelog rejects loudly") {
+  test("changelog JOIN static: aggregates consume retractions through the join") {
     import spark.implicits._
     changelog().createOrReplaceTempView("cl_join")
-    Seq(("g1", "west"), ("g2", "east")).toDF("g", "region")
-      .createOrReplaceTempView("dim_plain")
+    Seq(("g1", "west"), ("g2", "east"), ("g9", "north"))
+      .toDF("g", "region").createOrReplaceTempView("dim_plain")
     try {
-      // the r11 silent-wrongness hole: this used to run as plain SQL,
-      // counting retraction rows as data
-      for (bad <- Seq(
-        "SELECT d.region, COUNT(*) AS n FROM cl_join c JOIN dim_plain d ON c.g = d.g GROUP BY d.region",
-        "SELECT COUNT(*) AS n FROM (SELECT * FROM cl_join) t",
-        "SELECT COUNT(*) AS n FROM cl_join UNION ALL SELECT COUNT(*) FROM dim_plain")) {
-        val e = intercept[IllegalArgumentException](Engine.sql(spark, bad))
-        assert(e.getMessage.contains("retraction-consuming") ||
-          e.getMessage.contains("materialize the final state"),
-          s"$bad -> ${e.getMessage}")
-      }
+      // the r11 silent-wrongness hole, now a REWRITE: final state is
+      // g1 -> (k1=25, k3=null), g2 -> (k4=7); dims west/east
+      val inner = Engine.sql(spark,
+        "SELECT d.region AS region, COUNT(*) AS n, SUM(c.x) AS s, " +
+          "MIN(c.x) AS lo FROM cl_join c JOIN dim_plain d ON c.g = d.g " +
+          "GROUP BY d.region ORDER BY d.region")
+        .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+      assert(inner == Seq(("east", 1L, Some(7.0), Some(7.0)),
+        ("west", 2L, Some(25.0), Some(25.0))), s"inner got $inner")
+      // LEFT with the changelog PRESERVED: unmatched live rows null-pad
+      // the dim; dims only matched by dead rows never resurface
+      Seq(("gone", "ghost")).toDF("g", "region").union(
+        Seq(("g1", "west"), ("g2", "east")).toDF("g", "region"))
+        .createOrReplaceTempView("dim_plain")
+      val left = Engine.sql(spark,
+        "SELECT c.g AS g, COUNT(*) AS n FROM cl_join c LEFT JOIN dim_plain d " +
+          "ON c.g = d.g GROUP BY c.g ORDER BY c.g")
+        .as[(String, Long)].collect().toSeq
+      assert(left == Seq(("g1", 2L), ("g2", 1L)), s"left got $left")
+      // WHERE over BOTH sides applies to live join rows
+      val where = Engine.sql(spark,
+        "SELECT COUNT(*) AS n FROM cl_join c JOIN dim_plain d ON c.g = d.g " +
+          "WHERE d.region = 'west' AND c.x > 10")
+        .as[Long].collect().head
+      assert(where == 1L, s"where got $where") // only k1=25 (10 retracted)
       // raw (non-aggregating) join SELECT still falls through: the user
       // is enriching the changelog itself — all 7 change rows survive
       val raw = Engine.sql(spark,
@@ -174,10 +188,38 @@ class ChangelogSqlSpec extends AnyFunSuite {
       val plain = Engine.sql(spark,
         "SELECT d.region, COUNT(*) AS n FROM dim_plain d JOIN dim_plain e " +
           "ON d.g = e.g GROUP BY d.region")
-      assert(plain.count() == 2L)
+      assert(plain.count() == 3L)
     } finally {
       spark.catalog.dropTempView("cl_join")
       spark.catalog.dropTempView("dim_plain"): Unit
+    }
+  }
+
+  test("inadmissible changelog join shapes still reject loudly") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_rejj")
+    Seq(("g1", "west"), ("g2", "east")).toDF("g", "region")
+      .createOrReplaceTempView("dim_rejj")
+    try {
+      // changelog on the NULL-PADDED side: a fully-retracted key would
+      // still match and never null-pad — no rewrite exists
+      for (bad <- Seq(
+        "SELECT d.region, COUNT(*) AS n FROM dim_rejj d LEFT JOIN cl_rejj c ON c.g = d.g GROUP BY d.region",
+        "SELECT d.region, COUNT(*) AS n FROM cl_rejj c RIGHT JOIN dim_rejj d ON c.g = d.g GROUP BY d.region",
+        "SELECT d.region, COUNT(*) AS n FROM cl_rejj c FULL JOIN dim_rejj d ON c.g = d.g GROUP BY d.region",
+        // beyond the linear-chain shape: subquery FROM, set operation
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM cl_rejj) t",
+        "SELECT COUNT(*) AS n FROM cl_rejj UNION ALL SELECT COUNT(*) FROM dim_rejj",
+        // two changelog occurrences (changelog x changelog)
+        "SELECT COUNT(*) AS n FROM cl_rejj a JOIN cl_rejj b ON a.k = b.k")) {
+        val e = intercept[IllegalArgumentException](Engine.sql(spark, bad))
+        assert(e.getMessage.contains("retraction-consuming") ||
+          e.getMessage.contains("materialize the final state"),
+          s"$bad -> ${e.getMessage}")
+      }
+    } finally {
+      spark.catalog.dropTempView("cl_rejj")
+      spark.catalog.dropTempView("dim_rejj"): Unit
     }
   }
 
