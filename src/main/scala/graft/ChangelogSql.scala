@@ -241,9 +241,14 @@ object ChangelogSql {
     * SINGLE-EXCHANGE path: COUNT/SUM/AVG and retractable UDAs
     * distribute over the change signs — Σ over live rows == Σ x·sign
     * over change rows — so no netting shuffle is needed; MIN/MAX
-    * callers never reach the sign path). */
+    * callers never reach the sign path) — or a PRODUCT of per-side
+    * weights for multi-changelog joins (Σ over live pairs == Σ
+    * f·s₁·s₂). `liveCond` is the MIN/MAX live filter matching the
+    * weight (e.g. `__net > 0`, or a conjunction over the sides);
+    * None = sign path, where MIN/MAX must not appear. */
   private def rewriteWith(list: String, weight: String, grouped: Boolean,
-      streamMinMax: Boolean = false): String = {
+      streamMinMax: Boolean = false,
+      liveCond: Option[String] = None): String = {
     val b = blank(list)
     val sb = new StringBuilder
     var last = 0
@@ -281,12 +286,12 @@ object ChangelogSql {
           case "MAX" if streamMinMax =>
             s"$MaxRetName(CAST(($arg) AS DOUBLE), CAST($weight AS BIGINT))"
           case "MIN" =>
-            require(weight == "__net",
+            require(liveCond.isDefined,
               "MIN has no sign-algebra form") // callers pre-check
-            s"MIN(CASE WHEN __net > 0 THEN ($arg) END)"
+            s"MIN(CASE WHEN ${liveCond.get} THEN ($arg) END)"
           case "MAX" =>
-            require(weight == "__net", "MAX has no sign-algebra form")
-            s"MAX(CASE WHEN __net > 0 THEN ($arg) END)"
+            require(liveCond.isDefined, "MAX has no sign-algebra form")
+            s"MAX(CASE WHEN ${liveCond.get} THEN ($arg) END)"
           case uda => // registered retractable UDA: weighted-fold UDAF
             s"${udafName(uda)}(CAST(($arg) AS DOUBLE), CAST($weight AS BIGINT))"
         }
@@ -505,28 +510,31 @@ object ChangelogSql {
     if (chain.size >= 2) Some(chain) else None
   }
 
-  /** Lower an aggregate over `changelog ⋈ static relations` — Flink
+  /** Lower an aggregate over a join chain reading changelogs — Flink
     * propagates changelog mode through joins
     * (FlinkChangelogModeInferenceProgram; StreamingJoinOperator.java:36
-    * consumes retractions): against STATIC sides the propagation is
-    * pure algebra, because a retraction carries its insert's payload
-    * and therefore joins to exactly the same static rows — the ±1 signs
-    * (or netted multiplicities) distribute through the join. Admissible
-    * shapes: INNER/CROSS joins freely; LEFT only with the changelog in
-    * the left (preserved) part; RIGHT only with the changelog as the
-    * right operand. A changelog on a PADDED side is rejected: its dead
-    * pairs would still "match" the preserved side, so a fully-retracted
-    * key would never null-pad — silent wrongness. FULL is both at once.
-    * Returns None when the statement is not this shape at all (the
-    * composite guard then decides). */
+    * consumes retractions): in batch the propagation is pure algebra. A
+    * retraction carries its insert's payload and therefore joins to
+    * exactly the same rows, so per-side ±1 signs (or netted
+    * multiplicities) distribute through the join and the joint weight
+    * is their PRODUCT — `Σ f over live tuples == Σ f · s₁·s₂·…` over
+    * change-row tuples, the batch form of two retraction streams
+    * meeting in StreamingJoinOperator. Admissible shapes: ONE changelog
+    * joins static relations with INNER/CROSS freely, LEFT only with the
+    * changelog in the left (preserved) part, RIGHT only with the
+    * changelog as the right operand; MULTIPLE changelogs join with
+    * INNER/CROSS only. A changelog on a PADDED side is rejected: its
+    * dead pairs would still "match" the preserved side, so a
+    * fully-retracted key would never null-pad — silent wrongness
+    * (FULL is both at once). Returns None when the statement is not
+    * this shape at all (the composite guard then decides). */
   private def lowerJoin(spark: SparkSession, c: Clauses,
       aggClauses: String, allClauses: String): Option[DataFrame] = {
     val chain = parseJoinChain(c.relation).getOrElse(return None)
     val clIdxs = chain.zipWithIndex.collect {
       case (r, i) if isChangelogRel(spark, r.name) => i
     }
-    if (clIdxs.size != 1) return None // multi-changelog: guard decides
-    val clIdx = clIdxs.head
+    if (clIdxs.isEmpty) return None // no changelog anywhere: untouched
     // raw intent / unsupported positions: fall back to the guard's
     // decision (ON conditions are part of the statement's references)
     val withFrom = allClauses + " " + blank(c.relation)
@@ -534,7 +542,7 @@ object ChangelogSql {
       ("(?i)\\b" + m + "\\b").r.findFirstIn(withFrom).isDefined)) return None
     if ("""(?i)\bOVER\s*\(""".r.findFirstIn(allClauses).isDefined) return None
     if ("""(?i)\(\s*SELECT\b""".r.findFirstIn(allClauses).isDefined) return None
-    val udas = checkAllowlist(spark, chain(clIdx).name, aggClauses)
+    val udas = checkAllowlist(spark, chain(clIdxs.head).name, aggClauses)
     val isDistinct =
       """(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined
     val hasAgg = callNames(aggClauses).exists(Supported) || udas.nonEmpty
@@ -542,48 +550,73 @@ object ChangelogSql {
     // join-type admissibility (join i connects rels [0..i-1] with rel i)
     chain.zipWithIndex.drop(1).foreach { case (r, i) =>
       def bad(msg: String): Nothing = throw new IllegalArgumentException(
-        s"changelog relation ${chain(clIdx).name} sits on the NULL-PADDED " +
-          s"side of a ${r.joinType.get} JOIN: $msg — a fully-retracted key " +
+        s"changelog relation${if (clIdxs.size > 1) "s" else ""} " +
+          s"${clIdxs.map(chain(_).name).mkString(", ")} under a " +
+          s"${r.joinType.get} JOIN: $msg — a fully-retracted key " +
           "would still match and never null-pad, so no retraction-consuming " +
           "rewrite exists; materialize the final state first " +
           "(Cdc.upsertMaterialize) and join that")
       r.joinType.get match {
         case "INNER" | "CROSS" => ()
-        case "LEFT" if clIdx < i => ()
-        case "RIGHT" if clIdx == i => ()
+        case _ if clIdxs.size > 1 => bad(
+          "multiple changelogs compose with INNER/CROSS joins only " +
+            "(an outer join would need padded-side retraction semantics)")
+        case "LEFT" if clIdxs.head < i => ()
+        case "RIGHT" if clIdxs.head == i => ()
         case "FULL" => bad("FULL pads both sides")
         case t => bad(s"the changelog must be on the $t-preserved side")
       }
     }
     registerUdafs(spark, udas)
-    val clRel = chain(clIdx)
-    val src0 = spark.table(clRel.name)
     val sign = when(col(streaming.Cdc.RowKind)
       .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
       .otherwise(-1)
     val needsNet = isDistinct ||
       """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined
-    val (stage1, weight) =
-      if (!needsNet) (src0.withColumn("__sign", sign), "__sign")
-      else {
-        // referenced columns include the ON conditions' (netting must
-        // preserve the join keys)
-        val refd = """[A-Za-z_]\w*""".r.findAllIn(withFrom)
-          .map(_.toLowerCase).toSet
-        val dataCols = src0.columns.toSeq.filterNot(n =>
-          n == streaming.Cdc.RowKind || n == "cdc_ts")
-          .filter(n => refd(n.toLowerCase))
-        (src0.groupBy(dataCols.map(col): _*).agg(sum(sign).as("__net"))
-          .filter(col("__net") =!= 0), "__net")
+    // one stage-1 frame per changelog, each with an ORDINAL weight
+    // column (the joint weight is their product)
+    val refd = """[A-Za-z_]\w*""".r.findAllIn(withFrom)
+      .map(_.toLowerCase).toSet
+    val stages: Seq[(Int, DataFrame, String)] =
+      clIdxs.zipWithIndex.map { case (idx, j) =>
+        val src0 = spark.table(chain(idx).name)
+        if (!needsNet) (idx, src0.withColumn(s"__sign_$j", sign), s"__sign_$j")
+        else {
+          // referenced columns include the ON conditions' (netting must
+          // preserve the join keys)
+          val dataCols = src0.columns.toSeq.filterNot(n =>
+            n == streaming.Cdc.RowKind || n == "cdc_ts")
+            .filter(n => refd(n.toLowerCase))
+          (idx, src0.groupBy(dataCols.map(col): _*)
+            .agg(sum(sign).as(s"__net_$j")).filter(col(s"__net_$j") =!= 0),
+            s"__net_$j")
+        }
       }
-    def fromSql(view: String): String =
+    val weight =
+      if (stages.size == 1) stages.head._3
+      else stages.map(_._3).mkString("(", " * ", ")")
+    val liveCond = if (!needsNet) None
+      else Some(stages.map(s => s"${s._3} > 0").mkString("(", " AND ", ")"))
+    // extra changelogs (beyond the first, which assembleStage2 binds)
+    // get their own stage-1 views, dropped once the statement's
+    // DataFrame is constructed
+    val extraViews = stages.drop(1).map { case (idx, df, _) =>
+      val v = s"__graft_changelog_live_${counter.incrementAndGet()}"
+      df.createOrReplaceTempView(v)
+      idx -> v
+    }.toMap
+    def fromSql(view0: String): String =
       chain.zipWithIndex.map { case (r, i) =>
-        val base =
-          if (i == clIdx)
+        val viewOf =
+          if (clIdxs.headOption.contains(i)) Some(view0)
+          else extraViews.get(i)
+        val base = viewOf match {
+          case Some(v) =>
             // re-alias the stage-1 view under the ORIGINAL name (or the
             // user's alias) so qualified references keep resolving
-            s"$view AS ${r.alias.getOrElse(r.name.split('.').last)}"
-          else s"${r.name}${r.alias.fold("")(a => s" AS $a")}"
+            s"$v AS ${r.alias.getOrElse(r.name.split('.').last)}"
+          case None => s"${r.name}${r.alias.fold("")(a => s" AS $a")}"
+        }
         val prefix = r.joinType match {
           case None          => ""
           case Some("INNER") => "JOIN "
@@ -592,7 +625,9 @@ object ChangelogSql {
         }
         prefix + base + r.on.fold("")(o => s" ON $o")
       }.mkString(" ")
-    assembleStage2(spark, c, stage1, weight, fromSql, whereInStage2 = true)
+    try assembleStage2(spark, c, stages.head._2, weight, fromSql,
+      whereInStage2 = true, liveCond = liveCond)
+    finally extraViews.values.foreach(v => spark.catalog.dropTempView(v): Unit)
   }
 
   /** Composite FROM (subquery / comma list / set operation / join
@@ -687,7 +722,8 @@ object ChangelogSql {
       }
     assembleStage2(spark, c, stage1, weight,
       view => s"$view${alias.fold("")(a => s" AS $a")}",
-      whereInStage2 = false) // the bare path filtered BEFORE netting
+      whereInStage2 = false, // the bare path filtered BEFORE netting
+      liveCond = if (needsNet) Some("__net > 0") else None)
   }
 
   /** Stage 2 shared by the bare-relation and join lowerings: the user's
@@ -699,9 +735,11 @@ object ChangelogSql {
     * deterministic on the payload — but a smaller netting exchange). */
   private def assembleStage2(spark: SparkSession, c: Clauses,
       stage1: DataFrame, weight: String,
-      fromSqlOf: String => String, whereInStage2: Boolean): Option[DataFrame] = {
+      fromSqlOf: String => String, whereInStage2: Boolean,
+      liveCond: Option[String]): Option[DataFrame] = {
     val grouped = c.groupBy.isDefined
-    def rewrite(s: String) = rewriteWith(s, weight, grouped)
+    def rewrite(s: String) =
+      rewriteWith(s, weight, grouped, liveCond = liveCond)
     // ORDER BY can carry aggregates too (ORDER BY COUNT(*)) — netted
     // like every other aggregate position. On GROUPED statements the
     // phantom-group guard puts a HAVING in play, and Spark's analyzer

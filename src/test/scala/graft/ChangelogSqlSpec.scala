@@ -210,8 +210,8 @@ class ChangelogSqlSpec extends AnyFunSuite {
         // beyond the linear-chain shape: subquery FROM, set operation
         "SELECT COUNT(*) AS n FROM (SELECT * FROM cl_rejj) t",
         "SELECT COUNT(*) AS n FROM cl_rejj UNION ALL SELECT COUNT(*) FROM dim_rejj",
-        // two changelog occurrences (changelog x changelog)
-        "SELECT COUNT(*) AS n FROM cl_rejj a JOIN cl_rejj b ON a.k = b.k")) {
+        // multiple changelogs compose with INNER/CROSS only
+        "SELECT COUNT(*) AS n FROM cl_rejj a LEFT JOIN cl_rejj b ON a.k = b.k")) {
         val e = intercept[IllegalArgumentException](Engine.sql(spark, bad))
         assert(e.getMessage.contains("retraction-consuming") ||
           e.getMessage.contains("materialize the final state"),
@@ -221,6 +221,31 @@ class ChangelogSqlSpec extends AnyFunSuite {
       spark.catalog.dropTempView("cl_rejj")
       spark.catalog.dropTempView("dim_rejj"): Unit
     }
+  }
+
+  test("changelog x changelog INNER join: pairwise sign products are exact") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_pair")
+    try {
+      // final live state: g1 -> {k1: 25.0, k3: null}, g2 -> {k4: 7.0};
+      // live PAIRS per g: g1 = 2x2 = 4, g2 = 1. Raw change-row pairs
+      // would be g1: 6x6=36, g2: 1 — any sign-product bug is loud.
+      val counts = Engine.sql(spark,
+        "SELECT a.g AS g, COUNT(*) AS n, SUM(a.x * b.x) AS xx " +
+          "FROM cl_pair a JOIN cl_pair b ON a.g = b.g GROUP BY a.g ORDER BY a.g")
+        .as[(String, Long, Option[Double])].collect().toSeq
+      // SUM over live pairs of a.x*b.x: g1 = 25*25 (null-x pairs drop
+      // out of SUM), g2 = 49
+      assert(counts == Seq(("g1", 4L, Some(625.0)), ("g2", 1L, Some(49.0))),
+        s"got $counts")
+      // MIN forces BOTH sides onto netted live multisets
+      val mins = Engine.sql(spark,
+        "SELECT a.g AS g, COUNT(*) AS n, MIN(b.x) AS lo " +
+          "FROM cl_pair a JOIN cl_pair b ON a.g = b.g GROUP BY a.g ORDER BY a.g")
+        .as[(String, Long, Option[Double])].collect().toSeq
+      assert(mins == Seq(("g1", 4L, Some(25.0)), ("g2", 1L, Some(7.0))),
+        s"got $mins")
+    } finally spark.catalog.dropTempView("cl_pair")
   }
 
   test("netting exchange carries only the REFERENCED payload columns") {
