@@ -57,12 +57,22 @@ import java.util.concurrent.atomic.AtomicInteger
   * exact silent-wrongness this front door bans. Statements over
   * row_kind relations that reference row_kind/cdc_ts themselves, use
   * window functions, or carry subqueries are deliberate raw-changelog
-  * reads and fall through untouched; an aggregate whose FROM reaches a
-  * row_kind relation through a JOIN, subquery or set operation rejects
-  * loudly until a join rewrite exists (Flink propagates changelog mode
-  * through the whole tree — FlinkChangelogModeInferenceProgram; joins
-  * consume and produce retractions, StreamingJoinOperator.java:36 —
-  * so running such a statement as plain SQL is never right).
+  * reads and fall through untouched.
+  *
+  * JOINS: Flink propagates changelog mode through the whole tree
+  * (FlinkChangelogModeInferenceProgram; joins consume and produce
+  * retractions, StreamingJoinOperator.java:36). In batch that
+  * propagation is pure algebra — a retraction carries its insert's
+  * payload and joins to exactly the same rows — so [[lowerJoin]]
+  * rewrites linear join chains: one changelog joined to static
+  * relations (INNER/CROSS freely; LEFT/RIGHT with the changelog on the
+  * preserved side), and multiple changelogs under INNER/CROSS with
+  * pairwise weight PRODUCTS. Inadmissible shapes — a changelog on a
+  * null-padded side (its dead pairs would still match, so a
+  * fully-retracted key would never null-pad), FULL joins, subqueries,
+  * set operations — reject loudly with materialize-first guidance, as
+  * do aggregates reaching a changelog through DDL bodies or WITH-led
+  * statements (SqlComposer.composedBody routes the supported ones).
   *
   * WHERE applies BEFORE netting: predicates read payload columns only,
   * so a retraction passes the filter iff the row it retracts did.
