@@ -244,7 +244,71 @@ object Engine {
       sqlDispatch(spark, query2)
   }
 
-  private def sqlDispatch(spark: SparkSession, query: String): DataFrame = {
+  /** Statement-scoped BATCH binding of connector tables: a bounded read
+    * of every referenced `'connector'=...` table is bound as a temp view
+    * shadowing its schema-only catalog view, so `SELECT ... FROM
+    * datagen_or_jdbc_table` reads the connector (Flink's batch-mode
+    * bounded source semantics) instead of silently scanning the empty
+    * parquet base. Write targets are excluded (INSERT must keep
+    * resolving the catalog object). Returns the shadowed names for the
+    * caller to drop. */
+  private def bindConnectorReads(
+      spark: SparkSession, query: String): Seq[String] = {
+    val head = query.trim.takeWhile(c => c.isLetter).toUpperCase
+    if (!Set("SELECT", "WITH", "INSERT", "EXPLAIN", "TABLE").contains(head))
+      return Nil
+    val writeTargets = InsertTargetRe.findAllMatchIn(query)
+      .map(_.group(1).toLowerCase.split('.').last).toSet
+    lazy val visible: Set[String] =
+      spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
+    val leaves = (try {
+      spark.sessionState.sqlParser.parsePlan(query).collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
+      }
+    } catch {
+      case _: Exception => // extended dialect: identifier scan fallback
+        """\b[A-Za-z_][A-Za-z0-9_]*\b""".r.findAllIn(query)
+          .map(_.toLowerCase).toSeq.filter(visible)
+    }).distinct.filterNot(n => writeTargets.contains(n.split('.').last))
+    leaves.flatMap { n =>
+      scala.util.Try {
+        val props = WatermarkDdl.tableOptions(spark, n)
+        if (props.contains("connector") &&
+            spark.sessionState.catalog.getTempView(n).isEmpty) {
+          WatermarkDdl.read(spark, n).createOrReplaceTempView(n)
+          Some(n)
+        } else None
+      }.toOption.flatten
+    }
+  }
+
+  private def sqlDispatch(spark: SparkSession, query0: String): DataFrame = {
+      // Planner hints first (FlinkHints/JoinStrategy/LookupJoinHintOptions
+      // analog, SqlHints): join-strategy hints translate onto Spark's
+      // native hint names, OPTIONS table hints lift a re-read with merged
+      // connector options, a LOOKUP hint reroutes the temporal join onto
+      // the per-row lookup path. Statements without hint blocks pass
+      // through untouched.
+      val hinted = SqlHints(spark, query0)
+      val query = hinted.query
+      try {
+      hinted.lookup match {
+        case Some(opts) =>
+          require(TemporalSql.matches(query),
+            "the LOOKUP hint applies to lookup joins — the statement must " +
+              "contain a JOIN ... FOR SYSTEM_TIME AS OF ... clause")
+          return TemporalSql.sqlLookup(spark, query, opts)
+        case None => ()
+      }
+      require(!hinted.joinHints || !extendedMatches(query),
+        "join strategy hints are supported on Spark-parsable statements; " +
+          "this statement uses an extended dialect (window TVF / temporal " +
+          "join / MATCH_RECOGNIZE) whose lowering does not consume hints")
+      // batch reads of connector tables resolve to the connector, not the
+      // schema-only base (statement-scoped shadow views)
+      val bound = bindConnectorReads(spark, query)
+      try {
       // Compositional normalize pass (ParserImpl role, SqlComposer): DDL
       // with extended-dialect bodies runs the body through this same
       // entry first; extended subqueries are lifted to temp views so the
@@ -286,6 +350,10 @@ object Engine {
           } finally lifted.foreach(v => spark.catalog.dropTempView(v): Unit)
         }
       }
+      } finally bound.foreach(v => spark.catalog.dropTempView(v): Unit)
+      // the __graft_opts_N views (OPTIONS-hint re-reads) are statement-
+      // scoped, like the composer's lifted subqueries
+      } finally hinted.lifted.foreach(v => spark.catalog.dropTempView(v): Unit)
   }
 
   private val StreamInsertRe =

@@ -219,6 +219,169 @@ object TemporalSql {
       "unsupported FOR SYSTEM_TIME AS OF shape — see TemporalSql scaladoc")
   }
 
+  // ------------------------------------------------- LOOKUP-hinted route
+
+  private val lookupViewCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** The statement above executed as a real LOOKUP JOIN — the reference's
+    * lookup-join physical choice (flink-table-runtime .../join/lookup/
+    * LookupJoinRunner.java + AsyncLookupJoinRunner.java, selected by the
+    * LOOKUP hint, LookupJoinHintOptions.java): each fact row probes the
+    * dimension's CURRENT row for its key instead of joining a scanned
+    * snapshot, which is the processing-time temporal join's semantics
+    * (the time attribute in FOR SYSTEM_TIME AS OF names the probe time;
+    * the probe always reads the dim's present state).
+    *
+    * Execution: per-partition JDBC point lookups (JdbcConnector.lookup),
+    * optionally through the dim's DDL-declared lookup cache
+    * ('lookup.cache'='PARTIAL'/'FULL'), retried on MISS when the hint asks
+    * ('retry-predicate'='lookup_miss' + fixed_delay — Flink's retryable
+    * lookup), and asynchronously when 'async'='true' (bounded in-flight
+    * window per partition; 'output-mode'='allow_unordered' emits in
+    * completion order — AsyncWaitOperator's two modes). Misses drop the
+    * fact row (inner-join semantics of the JOIN keyword).
+    *
+    * At scale this plan is per-row remote probes — exactly what the hint
+    * REQUESTS over a scan join; the cache + async window are the two
+    * levers the reference offers for the same trade.
+    *
+    * Requirements: the dim is a 'jdbc' connector table, the ON clause is
+    * a single equi-key, and fact/dim payload column names are disjoint. */
+  def sqlLookup(spark: SparkSession, query: String,
+      hintOpts: Map[String, String]): DataFrame = query match {
+    case Re(proj, factTbl, f, dimTbl, ofAlias, _, d, onBody, whereOpt, orderOpt) =>
+      import graft.operators.{AsyncLookup, LookupCache}
+      import graft.sources.JdbcConnector
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+
+      require(ofAlias == f,
+        s"FOR SYSTEM_TIME AS OF must reference the fact alias '$f', got '$ofAlias'")
+      val target = hintOpts("table")
+      require(target.equalsIgnoreCase(dimTbl) || target.equalsIgnoreCase(d),
+        s"LOOKUP hint 'table'='$target' does not name this statement's " +
+          s"FOR SYSTEM_TIME AS OF table '$dimTbl' (alias '$d')")
+      val props = WatermarkDdl.tableOptions(spark, dimTbl)
+      require(props.get("connector").contains("jdbc"),
+        s"the LOOKUP-hinted join probes per key — '$dimTbl' must be a " +
+          "'jdbc' connector table (LookupTableSource role)")
+
+      val keyPairs = SqlSplit.splitTopLevelAnd(onBody).map {
+        case OnRe(a1, c1, a2, c2) =>
+          if (a1 == f && a2 == d) (c1, c2)
+          else if (a1 == d && a2 == f) (c2, c1)
+          else throw new IllegalArgumentException(
+            s"ON conjuncts must join aliases '$f' and '$d', got '$a1'/'$a2'")
+        case other => throw new IllegalArgumentException(
+          s"ON conjuncts must be <alias>.<col> = <alias>.<col>, got '$other'")
+      }
+      require(keyPairs.size == 1,
+        "the lookup path probes one key column per row — composite ON " +
+          "keys stay on the as-of lowering (drop the LOOKUP hint)")
+      val (fKey, dKey) = keyPairs.head
+
+      val fact = spark.table(factTbl)
+      val dimSchema = WatermarkDdl.read(spark, dimTbl).schema
+      require(dimSchema.fieldNames.contains(dKey),
+        s"dim '$dimTbl' has no column '$dKey'")
+      val payloadCols = dimSchema.fieldNames.toSeq.filterNot(_ == dKey)
+      val overlap = payloadCols.toSet.intersect(fact.columns.toSet)
+      require(overlap.isEmpty,
+        s"fact and dim column names must be disjoint, both have: ${overlap.mkString(",")}")
+
+      // probe fn: JDBC point lookup -> retry-on-miss -> DDL cache
+      val base = JdbcConnector.lookup(props, dKey, payloadCols)
+      val retried: Any => Option[Seq[Any]] = hintOpts.get("retry-predicate") match {
+        case Some(_) => // validated: lookup_miss + fixed_delay
+          val attempts = hintOpts("max-attempts").trim.toInt
+          val delayMs = SqlHints.parseDurationMs(hintOpts("fixed-delay"))
+          k => {
+            var left = attempts
+            var r = base(k)
+            while (r.isEmpty && left > 1) {
+              if (delayMs > 0) Thread.sleep(delayMs)
+              r = base(k)
+              left -= 1
+            }
+            r
+          }
+        case None => base
+      }
+      val looked: Any => Option[Seq[Any]] = LookupCache.specOf(props) match {
+        case Some(LookupCache.FullSpec(reloadMs)) =>
+          LookupCache.fullCached[Any, Seq[Any]](s"lookup:$dimTbl", reloadMs)(
+            JdbcConnector.scanAll(props, dKey, payloadCols))
+        case Some(LookupCache.PartialSpec(maxRows, ttlMs)) =>
+          LookupCache.cached[Any, Option[Seq[Any]]](
+            s"lookup:$dimTbl", maxRows, ttlMs)(retried)
+        case None => retried
+      }
+
+      val async = hintOpts.get("async").exists(_.toBoolean)
+      val unorderedMode =
+        hintOpts.get("output-mode").exists(_.equalsIgnoreCase("allow_unordered"))
+      // reference defaults: table.exec.async-lookup.buffer-capacity=100,
+      // .timeout=3 min (ExecutionConfigOptions)
+      val capacity = hintOpts.get("capacity").map(_.trim.toInt).getOrElse(100)
+      val timeoutMs = hintOpts.get("timeout")
+        .map(SqlHints.parseDurationMs).getOrElse(180000L)
+
+      val keyIdx = fact.schema.fieldIndex(fKey)
+      val payloadTypes = payloadCols.map(c => dimSchema(c).dataType)
+      val joinedSchema = StructType(fact.schema.fields ++
+        payloadCols.map(c => dimSchema(c).copy(nullable = true)))
+      // JDBC objects -> the external types createDataFrame expects
+      def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+        case (null, _) => null
+        case (n: java.lang.Number, IntegerType) => n.intValue
+        case (n: java.lang.Number, LongType) => n.longValue
+        case (n: java.lang.Number, DoubleType) => n.doubleValue
+        case (n: java.lang.Number, FloatType) => n.floatValue
+        case (n: java.lang.Number, ShortType) => n.shortValue
+        case (n: java.lang.Number, ByteType) => n.byteValue
+        case _ => v
+      }
+      val rdd = fact.rdd.mapPartitions { rows =>
+        val probe: Row => Option[Seq[Any]] = r => looked(r.get(keyIdx))
+        val resolved: Iterator[(Row, Option[Seq[Any]])] =
+          if (!async) rows.map(r => r -> probe(r))
+          else if (unorderedMode)
+            AsyncLookup.unorderedIter(rows, capacity, timeoutMs)(probe)
+          else AsyncLookup.orderedIter(rows, capacity, timeoutMs)(probe)
+        resolved.collect { case (r, Some(vals)) =>
+          Row.fromSeq(r.toSeq ++
+            vals.zip(payloadTypes).map { case (v, t) => coerce(v, t) })
+        }
+      }
+      val joined = spark.createDataFrame(rdd, joinedSchema)
+
+      // run the residual projection/WHERE/ORDER BY over the joined frame:
+      // dim-key refs resolve to the fact key (the join condition), alias
+      // prefixes strip, stars expand to their side's columns
+      val view = s"__graft_lookup_${lookupViewCounter.incrementAndGet()}"
+      joined.createOrReplaceTempView(view)
+      def fix(s: String): String = stripAliases(
+        s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+          if (i % 2 == 1) seg
+          else seg.replaceAll(s"(?i)\\b$d\\.$dKey\\b", s"$f.$fKey")
+        }.mkString("'"), f, d)
+      val entries = SqlSplit.splitTopLevel(proj).map {
+        case StarRe(a) if a == f => fact.columns.mkString(", ")
+        case StarRe(a) if a == d => payloadCols.mkString(", ")
+        case StarRe(a) =>
+          throw new IllegalArgumentException(s"unknown alias '$a' in projection")
+        case e => fix(e)
+      }
+      val text = s"SELECT ${entries.mkString(", ")} FROM $view" +
+        Option(whereOpt).map(w => s" WHERE ${fix(w)}").getOrElse("") +
+        Option(orderOpt).map(o => s" ORDER BY ${fix(o)}").getOrElse("")
+      try spark.sql(text)
+      finally spark.catalog.dropTempView(view): Unit
+    case _ => throw new IllegalArgumentException(
+      "unsupported FOR SYSTEM_TIME AS OF shape for the LOOKUP hint — " +
+        "see TemporalSql scaladoc")
+  }
+
   /** Blank string literals so alias scans don't match inside them
     * (shared implementation — SqlSplit handles escapes and doubling). */
   private def blankLiterals(s: String): String =

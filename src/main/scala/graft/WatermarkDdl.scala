@@ -606,10 +606,17 @@ object WatermarkDdl {
     * empty parquet base that only carries the schema); plain extended
     * tables read their base. Computed columns apply; the watermark is a
     * streaming-only concept and is skipped. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  def read(spark: SparkSession, table: String): DataFrame =
+    read(spark, table, Map.empty)
+
+  /** [[read]] with per-statement option overrides — the OPTIONS-hint
+    * merge (FlinkHints.mergeTableOptions: hints win over the DDL's WITH
+    * clause). */
+  def read(spark: SparkSession, table: String,
+      extraOptions: Map[String, String]): DataFrame = {
     val base = baseName(table)
     require(spark.catalog.tableExists(base), s"no extended table $table")
-    val props = propsOf(spark, base)
+    val props = propsOf(spark, base) ++ extraOptions
     val df = props.get("connector") match {
       case Some(_) => graft.sources.ConnectorDdl.read(
         spark, spark.table(base).schema, props.filterNot(p => isInternalProp(p._1)))

@@ -47,46 +47,50 @@ object AsyncLookup {
 
   def ordered[I, O](
       ds: Dataset[I], capacity: Int, timeoutMs: Long)(
-      lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] = {
+      lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] =
+    ds.mapPartitions(rows => orderedIter(rows, capacity, timeoutMs)(lookup))
+
+  /** Partition-level ORDERED window — shared by [[ordered]] and the
+    * LOOKUP-hinted SQL join ([[graft.TemporalSql.sqlLookup]]), which
+    * probes Row iterators the Dataset encoder surface can't type. */
+  def orderedIter[I, O](rows: Iterator[I], capacity: Int, timeoutMs: Long)(
+      lookup: I => O): Iterator[(I, O)] = {
     require(capacity > 0)
-    ds.mapPartitions { rows =>
-      // Per-partition bounded async window. Daemon threads + shutdown on
-      // both success and failure paths: a timed-out lookup must not pin the
-      // executor JVM.
-      val pool = Executors.newFixedThreadPool(capacity, r => {
-        val t = new Thread(r, "graft-async-lookup")
-        t.setDaemon(true)
-        t
-      })
-      // limit()/take(n) stop pulling the iterator before it drains — the
-      // completion listener is the only reliable shutdown then (threads
-      // are daemons, but in-flight lookups would keep hitting the service)
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val inFlight = new ArrayBlockingQueue[(I, Future[O])](capacity)
+    // Per-partition bounded async window. Daemon threads + shutdown on
+    // both success and failure paths: a timed-out lookup must not pin the
+    // executor JVM.
+    val pool = Executors.newFixedThreadPool(capacity, r => {
+      val t = new Thread(r, "graft-async-lookup")
+      t.setDaemon(true)
+      t
+    })
+    // limit()/take(n) stop pulling the iterator before it drains — the
+    // completion listener is the only reliable shutdown then (threads
+    // are daemons, but in-flight lookups would keep hitting the service)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val inFlight = new ArrayBlockingQueue[(I, Future[O])](capacity)
 
-      def drainOne(): (I, O) = {
-        val (in, fut) = inFlight.take()
-        try in -> Await.result(fut, Duration(timeoutMs, TimeUnit.MILLISECONDS))
-        catch { case e: Throwable => pool.shutdownNow(); throw e }
-      }
+    def drainOne(): (I, O) = {
+      val (in, fut) = inFlight.take()
+      try in -> Await.result(fut, Duration(timeoutMs, TimeUnit.MILLISECONDS))
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
+    }
 
-      val out = new Iterator[(I, O)] {
-        override def hasNext: Boolean = {
-          val more = rows.hasNext || !inFlight.isEmpty
-          if (!more) pool.shutdown()
-          more
-        }
-        override def next(): (I, O) = {
-          while (rows.hasNext && inFlight.remainingCapacity() > 0) {
-            val in = rows.next()
-            inFlight.put((in, Future(lookup(in))))
-          }
-          drainOne()
-        }
+    new Iterator[(I, O)] {
+      override def hasNext: Boolean = {
+        val more = rows.hasNext || !inFlight.isEmpty
+        if (!more) pool.shutdown()
+        more
       }
-      out
+      override def next(): (I, O) = {
+        while (rows.hasNext && inFlight.remainingCapacity() > 0) {
+          val in = rows.next()
+          inFlight.put((in, Future(lookup(in))))
+        }
+        drainOne()
+      }
     }
   }
 
@@ -98,44 +102,47 @@ object AsyncLookup {
     * the executor). */
   def unordered[I, O](
       ds: Dataset[I], capacity: Int, timeoutMs: Long)(
-      lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] = {
-    require(capacity > 0)
-    ds.mapPartitions { rows =>
-      val pool = Executors.newFixedThreadPool(capacity, r => {
-        val t = new Thread(r, "graft-async-lookup-unordered")
-        t.setDaemon(true)
-        t
-      })
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val completed =
-        new java.util.concurrent.LinkedBlockingQueue[(I, scala.util.Try[O])]()
-      var inFlight = 0
+      lookup: I => O)(implicit e: Encoder[(I, O)]): Dataset[(I, O)] =
+    ds.mapPartitions(rows => unorderedIter(rows, capacity, timeoutMs)(lookup))
 
-      new Iterator[(I, O)] {
-        override def hasNext: Boolean = {
-          val more = rows.hasNext || inFlight > 0
-          if (!more) pool.shutdown()
-          more
+  /** Partition-level UNORDERED window (see [[orderedIter]]). */
+  def unorderedIter[I, O](rows: Iterator[I], capacity: Int, timeoutMs: Long)(
+      lookup: I => O): Iterator[(I, O)] = {
+    require(capacity > 0)
+    val pool = Executors.newFixedThreadPool(capacity, r => {
+      val t = new Thread(r, "graft-async-lookup-unordered")
+      t.setDaemon(true)
+      t
+    })
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val completed =
+      new java.util.concurrent.LinkedBlockingQueue[(I, scala.util.Try[O])]()
+    var inFlight = 0
+
+    new Iterator[(I, O)] {
+      override def hasNext: Boolean = {
+        val more = rows.hasNext || inFlight > 0
+        if (!more) pool.shutdown()
+        more
+      }
+      override def next(): (I, O) = {
+        while (rows.hasNext && inFlight < capacity) {
+          val in = rows.next()
+          inFlight += 1
+          Future(lookup(in)).onComplete(t => completed.put((in, t)))
         }
-        override def next(): (I, O) = {
-          while (rows.hasNext && inFlight < capacity) {
-            val in = rows.next()
-            inFlight += 1
-            Future(lookup(in)).onComplete(t => completed.put((in, t)))
-          }
-          val polled = completed.poll(timeoutMs, TimeUnit.MILLISECONDS)
-          if (polled == null) {
-            pool.shutdownNow()
-            throw new java.util.concurrent.TimeoutException(
-              s"async lookup: no completion within ${timeoutMs}ms")
-          }
-          inFlight -= 1
-          polled._2 match {
-            case scala.util.Success(v) => (polled._1, v)
-            case scala.util.Failure(err) => pool.shutdownNow(); throw err
-          }
+        val polled = completed.poll(timeoutMs, TimeUnit.MILLISECONDS)
+        if (polled == null) {
+          pool.shutdownNow()
+          throw new java.util.concurrent.TimeoutException(
+            s"async lookup: no completion within ${timeoutMs}ms")
+        }
+        inFlight -= 1
+        polled._2 match {
+          case scala.util.Success(v) => (polled._1, v)
+          case scala.util.Failure(err) => pool.shutdownNow(); throw err
         }
       }
     }

@@ -424,6 +424,74 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // JOIN STRATEGY HINTS at the front door (r12): the reference's
+      // hint names (JoinStrategy.java — BROADCAST, SHUFFLE_HASH,
+      // SHUFFLE_MERGE, NEST_LOOP) translate onto Spark's native hints
+      // with loud argument validation (SqlHints). BROADCAST(n) pins the
+      // nation dim broadcast; SHUFFLE_MERGE(o) forces the
+      // orders join onto sort-merge where broadcast would win
+      // by default — the PLAN assertion lives in PlanSpec; the oracle
+      // (the identical statement — a hint is a comment to DuckDB) pins
+      // that strategy hints never change RESULTS.
+      "q149_join_strategy_hints",
+      (s, d) => {
+        Engine.openCatalog(s, d)
+        Engine.sql(s, """
+          SELECT /*+ BROADCAST(n), SHUFFLE_MERGE(o) */
+                 n.n_name AS n_name, COUNT(*) AS cnt
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY n.n_name
+          ORDER BY n_name
+        """)
+      },
+      Some("""
+        |SELECT /*+ BROADCAST(n), SHUFFLE_MERGE(o) */
+        |       n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY n.n_name
+        |ORDER BY n_name
+        |""".stripMargin)),
+
+    GQuery(
+      // DYNAMIC TABLE OPTIONS (r12): FROM t /*+ OPTIONS('k'='v') */
+      // merges per-statement options over the DDL's WITH clause,
+      // hint-wins (FlinkHints.mergeTableOptions), gated by
+      // table.dynamic-table-options.enabled. A bounded datagen table
+      // declared with 7 rows reads 19 under the hint and 7 without it —
+      // the merge is observable in the row counts; the oracle pins both.
+      "q150_dynamic_table_options",
+      (s, d) => {
+        val t = "dg_q150"
+        Engine.sql(s, s"DROP VIEW IF EXISTS $t")
+        Engine.sql(s, s"DROP TABLE IF EXISTS __${t}_base")
+        Engine.sql(s, s"""
+          CREATE TABLE $t (id BIGINT)
+          WITH ('connector' = 'datagen', 'number-of-rows' = '7',
+                'fields.id.kind' = 'sequence', 'fields.id.start' = '0')""")
+        try {
+          val hinted = Engine.sql(s,
+            s"SELECT 'hinted' AS mode, COUNT(*) AS n " +
+              s"FROM $t /*+ OPTIONS('number-of-rows'='19') */")
+          val static = Engine.sql(s,
+            s"SELECT 'static' AS mode, COUNT(*) AS n FROM $t")
+          hinted.unionByName(static).orderBy("mode")
+        } finally {
+          Engine.sql(s, s"DROP VIEW IF EXISTS $t")
+          Engine.sql(s, s"DROP TABLE IF EXISTS __${t}_base"): Unit
+        }
+      },
+      Some("""
+        |SELECT 'hinted' AS mode, CAST(19 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'static' AS mode, CAST(7 AS BIGINT) AS n
+        |ORDER BY mode
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

@@ -210,6 +210,36 @@ object JdbcConnector {
       out
     }
   }
+
+  /** Whole-dimension loader for FULL lookup caching (LookupFullCache's
+    * CacheLoader role): one SELECT of key + payload per (re)load, own
+    * short-lived connection — reloads are rare by construction. */
+  def scanAll(options: Map[String, String], keyCol: String,
+      cols: Seq[String]): () => Map[Any, Seq[Any]] = {
+    val opts = commonOptions(options)
+    val (url, table) = (opts("url"), opts("dbtable"))
+    val user = opts.get("user")
+    val pass = opts.get("password")
+    val sql = s"SELECT $keyCol, ${cols.mkString(", ")} FROM $table"
+    () => {
+      val conn = user match {
+        case Some(u) =>
+          java.sql.DriverManager.getConnection(url, u, pass.getOrElse(""))
+        case None => java.sql.DriverManager.getConnection(url)
+      }
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          val out = Map.newBuilder[Any, Seq[Any]]
+          while (rs.next())
+            out += rs.getObject(1) -> cols.indices.map(i => rs.getObject(i + 2))
+          rs.close()
+          out.result()
+        } finally st.close()
+      } finally conn.close()
+    }
+  }
 }
 
 /** `'connector'='kafka'` option mapping + payload decode — the

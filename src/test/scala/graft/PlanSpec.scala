@@ -321,4 +321,28 @@ class PlanSpec extends AnyFunSuite {
     assert(rddScans.forall(l => !l.contains("sset")),
       s"checkpoint still carries shingle-set arrays:\n${rddScans.mkString("\n")}")
   }
+
+  test("q149: join strategy hints flip the physical strategy") {
+    // BROADCAST(n) keeps the nation dim on a broadcast hash join;
+    // SHUFFLE_MERGE(o) forces the orders join onto sort-merge where
+    // broadcast would win by default — both strategies must appear in
+    // one plan, exactly what the hints dictate
+    val df = SparkEntry.queries("q149_join_strategy_hints")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"BROADCAST(n) must broadcast the nation dim:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"SHUFFLE_MERGE(o) must sort-merge the orders join:\n$p")
+    // the same statement WITHOUT hints broadcasts everything at sf0.001
+    val unhinted = Engine.sql(spark, """
+      SELECT n.n_name AS n_name, COUNT(*) AS cnt
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_name ORDER BY n_name""")
+    unhinted.collect()
+    assert(!unhinted.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "control: without hints the tiny sides broadcast — the SMJ above is the hint's doing")
+  }
 }
