@@ -76,6 +76,21 @@ import java.util.concurrent.atomic.AtomicInteger
   *
   * WHERE applies BEFORE netting: predicates read payload columns only,
   * so a retraction passes the filter iff the row it retracts did.
+  *
+  * UPSERT MODE: a relation DECLARED upsert (`graft.upsert.keys` catalog
+  * property — the encoding [[streamInsert]] writes to its own sinks and
+  * Flink's upsert-kafka tables carry: +U/-D keyed by those columns, no
+  * -U) normalizes BEFORE any read ([[normalizeUpsertRels]], the
+  * StreamExecChangelogNormalize role): keep-last per key by the commit
+  * sequence (falling back to cdc_ts), keys whose latest change is -D
+  * dropped, encoding columns stripped. Two +U rows for one key are one
+  * logical row — the retract netting above would double-count them, so
+  * upsert relations never enter it; the normalized state is a plain
+  * relation and the statement executes directly. Statements referencing
+  * the encoding columns are deliberate raw reads and skip
+  * normalization. The STREAM form of the same operator is
+  * [[streaming.StatefulOps.normalizeUpsert]] (+I / -U,+U / -D
+  * transition emission from keyed state).
   */
 object ChangelogSql {
 
@@ -379,13 +394,89 @@ object ChangelogSql {
     * statement (subqueries included) — the composite guard's reach. */
   private val FromJoinIdRe = """(?is)\b(?:FROM|JOIN)\s+`?([\w.]+)`?""".r
 
+  /** The relation's declared UPSERT key columns, when it is an
+    * UPSERT-mode changelog (row_kind ∈ {+U, -D}, keyed — the encoding
+    * [[streamInsert]] writes and Flink's upsert-kafka tables carry).
+    * Mode is declared where Flink declares it — on the TABLE: the
+    * `graft.upsert.keys` catalog property (streamInsert records it on
+    * its sinks automatically). */
+  private def upsertKeysOf(spark: SparkSession, rel: String): Option[Seq[String]] =
+    scala.util.Try {
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(rel))
+        .properties.get("graft.upsert.keys")
+    }.toOption.flatten.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+
+  /** ChangelogNormalize for batch (StreamExecChangelogNormalize /
+    * upsert-source materialization): every statement relation that is a
+    * DECLARED upsert changelog is shadowed by its normalized CURRENT
+    * state — keep-last per key (ordered by the stream's commit sequence,
+    * falling back to cdc_ts), keys whose latest change is -D dropped,
+    * encoding columns stripped. An upsert changelog MUST normalize
+    * before any read: two +U rows for one key are one logical row, so
+    * the retract-mode netting (and plain SQL even more so) would
+    * double-count. Statements referencing the encoding columns
+    * themselves are deliberate raw reads and skip normalization.
+    * Returns (shadowed names, prior temp-view frames to restore). */
+  private def normalizeUpsertRels(
+      spark: SparkSession, stmt: String): Seq[(String, Option[DataFrame])] = {
+    val b = blank(stmt)
+    val rawRead = Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).exists(m =>
+      ("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
+        .findFirstIn(b).isDefined)
+    if (rawRead) return Nil
+    FromJoinIdRe.findAllMatchIn(b).map(_.group(1)).toSeq.distinct.flatMap { rel =>
+      upsertKeysOf(spark, rel) match {
+        case Some(keys) if isChangelogRel(spark, rel) =>
+          val cols = relationColumns(spark, rel).getOrElse(Seq.empty)
+          val orderCol =
+            if (cols.contains(SeqCol)) SeqCol
+            else if (cols.contains("cdc_ts")) "cdc_ts"
+            else throw new IllegalArgumentException(
+              s"upsert changelog '$rel' declares keys but carries no " +
+                s"order column ($SeqCol or cdc_ts) — keep-last is undefined")
+          require(keys.forall(cols.contains),
+            s"upsert changelog '$rel': declared key(s) " +
+              s"${keys.filterNot(cols.contains).mkString(",")} not in schema")
+          require(!rel.contains("."),
+            s"upsert changelog '$rel': qualified reads cannot be " +
+              "normalized in place — reference the table by its bare " +
+              "name (or read the raw encoding via its row_kind column)")
+          val bare = rel
+          val prior = spark.sessionState.catalog.getTempView(bare)
+            .map(_ => spark.table(bare))
+          streaming.Cdc.upsertMaterialize(
+            spark.table(rel), keys, orderCol, orderCol,
+            insertAfterDelete = false)
+            .drop(streaming.Cdc.RowKind, orderCol)
+            .createOrReplaceTempView(bare)
+          Seq(bare -> prior)
+        case _ => Nil
+      }
+    }
+  }
+
   /** Lower `stmt` if it is a supported aggregate over a changelog
     * relation; None = not this entry's statement (plain fall-through).
     * The changelog signal is the RESOLVED schema, never text. Throws
     * for aggregate statements that read a changelog in a shape with no
     * retraction-consuming rewrite (composite FROM, unsupported or
-    * unclassifiable aggregate calls). */
+    * unclassifiable aggregate calls). UPSERT-mode relations (declared
+    * `graft.upsert.keys`) are normalized FIRST (ChangelogNormalize) —
+    * and since the normalized state is a plain relation, the statement
+    * over it executes directly. */
   def sql(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    val shadows = normalizeUpsertRels(spark, stmt)
+    if (shadows.isEmpty) sqlInner(spark, stmt)
+    else try sqlInner(spark, stmt).orElse(Some(spark.sql(stmt)))
+    finally shadows.foreach {
+      case (name, Some(prior)) => prior.createOrReplaceTempView(name)
+      case (name, None)        => spark.catalog.dropTempView(name): Unit
+    }
+  }
+
+  private def sqlInner(spark: SparkSession, stmt: String): Option[DataFrame] = {
     val c = parse(stmt).getOrElse {
       // WITH-led (and otherwise clause-unparseable) SELECT forms still
       // cross the composite guard: a CTE statement aggregating a

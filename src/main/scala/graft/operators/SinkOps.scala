@@ -492,6 +492,61 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // UPSERT-MODE CHANGELOG NORMALIZATION (r12): a relation declared
+      // upsert (graft.upsert.keys — the encoding ChangelogSql.streamInsert
+      // writes and Flink's upsert-kafka carries: +U/-D keyed, NO -U) must
+      // normalize to its CURRENT state before any read
+      // (StreamExecChangelogNormalize): two +U rows for one key are ONE
+      // logical row, so the retract netting — and plain SQL even more so —
+      // would double-count. History: every order +U at seq 1, keys %10=0
+      // re-upserted with price+100 at seq 2, keys %17=0 deleted at seq 3.
+      // The oracle aggregates the final state; a normalization bug
+      // (stale row wins, deleted key survives, history row leaks)
+      // breaks every column.
+      "q151_upsert_normalize",
+      (s, d) => {
+        import s.implicits._
+        val t = "ups_q151"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val v1 = base.select(lit("+U").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderpriority", $"price")
+        val v2 = base.filter($"o_orderkey" % 10 === 0)
+          .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", bumped)
+        val current = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val dels = base.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", current)
+        v1.unionByName(v2).unionByName(dels)
+          .write.mode("overwrite").saveAsTable(t)
+        s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'o_orderkey')")
+        Engine.sql(s, s"""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                 CAST(MIN(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS lo
+          FROM $t
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS total,
+        |       CAST(MIN(price) AS DOUBLE) AS lo
+        |FROM fs GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

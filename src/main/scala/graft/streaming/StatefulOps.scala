@@ -83,6 +83,68 @@ object StatefulOps {
         else GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** FULL ChangelogNormalize (StreamExecChangelogNormalize /
+    * flink-table-runtime deduplicate.ProcTimeDeduplicateKeepLastRowFunction
+    * with generateUpdateBefore): turns an UPSERT stream — (key, seq,
+    * payload, isDelete) rows where each key's latest row IS its state —
+    * into a RETRACT changelog: `+I` on first sight, `-U` old / `+U` new
+    * on change, `-D` carrying the last image on delete. This is the
+    * stream form of the batch normalization ChangelogSql applies to
+    * declared upsert relations; its output feeds any retraction-consuming
+    * operator (Retract.groupAggregate, retractableTopN, ...).
+    *
+    * Rows within a batch fold in `seq` order; a row older than the
+    * state's seq is DROPPED (the upsert contract says the newest row
+    * wins — replaying an older image would retract forward progress).
+    * A delete for an absent key emits nothing. State: one
+    * (seq, payload, live) per key; `ttl` is the same OnCreateAndWrite
+    * state-TTL knob as [[keepLastByKey]]. */
+  def normalizeUpsert[K: Encoder](
+      ds: Dataset[(K, Long, String, Boolean)],
+      ttl: Option[java.time.Duration] = None)(
+      implicit e1: Encoder[(Long, String, Boolean)],
+      e2: Encoder[(String, K, Long, String)]): Dataset[(String, K, Long, String)] = {
+
+    def update(key: K, rows: Iterator[(K, Long, String, Boolean)],
+        state: GroupState[(Long, String, Boolean)]): Iterator[(String, K, Long, String)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val out = Seq.newBuilder[(String, K, Long, String)]
+        var cur = state.getOption
+        rows.toSeq.sortBy(_._2).foreach { case (_, seq, payload, isDelete) =>
+          if (!cur.exists(_._1 > seq)) {
+            cur match {
+              case Some((_, prev, true)) if isDelete =>
+                out += (("-D", key, seq, prev))
+                cur = Some((seq, prev, false))
+              case Some((_, prev, true)) =>
+                if (prev != payload) {
+                  out += (("-U", key, seq, prev))
+                  out += (("+U", key, seq, payload))
+                }
+                cur = Some((seq, payload, true))
+              case _ if isDelete => // delete of an absent key: no-op
+                cur = cur.map { case (_, p, _) => (seq, p, false) }
+              case _ =>
+                out += (("+I", key, seq, payload))
+                cur = Some((seq, payload, true))
+            }
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+        }
+        out.result().iterator
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Event-time sort (Flink RowTimeSortOperator: emit rows in event-time
     * order once the watermark passes them). Input must carry a watermark on
     * its timestamp column; buffered rows are released in (time, payload)

@@ -1,0 +1,177 @@
+package graft
+
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UPSERT-mode changelogs (ChangelogNormalize analogs): a relation whose
+  * row_kind stream carries only +U/-D keyed by declared columns must
+  * normalize to its CURRENT state before ANY read — two +U rows for one
+  * key are one logical row (the retract-mode netting would double-count
+  * them). Batch: ChangelogSql.normalizeUpsertRels shadows declared
+  * upsert tables (graft.upsert.keys) with their keep-last collapse.
+  * Stream: StatefulOps.normalizeUpsert is the full
+  * StreamExecChangelogNormalize — +I / -U,+U / -D transition emission
+  * from keyed state. */
+class ChangelogUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val h = math.abs(getClass.getName.hashCode)
+
+  /** An upsert changelog table: k1 set twice (4.0 then 7.5), k2 set then
+    * deleted, k3 set once. Current state: k1=7.5, k3=2.0. */
+  private def mkUpsertTable(t: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq(
+      ("+U", 1L, "k1", 4.0), ("+U", 1L, "k2", 9.0),
+      ("+U", 2L, "k1", 7.5), ("+U", 2L, "k3", 2.0),
+      ("-D", 3L, "k2", 9.0))
+      .toDF("row_kind", "cdc_ts", "k", "v")
+      .write.saveAsTable(t)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'k')"): Unit
+  }
+
+  test("aggregates over a declared upsert table read the normalized state") {
+    import spark.implicits._
+    val t = s"ups_tbl_$h"
+    mkUpsertTable(t)
+    try {
+      val got = Engine.sql(spark,
+        s"SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total, " +
+          s"CAST(MAX(v) AS DOUBLE) AS hi FROM $t")
+        .as[(Long, Double, Double)].collect().head
+      assert(got == ((2L, 9.5, 7.5)), got.toString)
+      // grouped form
+      val per = Engine.sql(spark,
+        s"SELECT k, COUNT(*) AS n FROM $t GROUP BY k ORDER BY k")
+        .as[(String, Long)].collect().toSeq
+      assert(per == Seq(("k1", 1L), ("k3", 1L)), per.toString)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+  }
+
+  test("plain reads show current state; encoding reads fall through raw") {
+    import spark.implicits._
+    val t = s"ups_tbl2_$h"
+    mkUpsertTable(t)
+    try {
+      // SELECT * = the table's logical content (Flink: the upsert
+      // encoding belongs to the source, not the query)
+      val rows = Engine.sql(spark, s"SELECT k, v FROM $t ORDER BY k")
+        .as[(String, Double)].collect().toSeq
+      assert(rows == Seq(("k1", 7.5), ("k3", 2.0)), rows.toString)
+      // referencing the encoding columns is a deliberate raw read
+      val raw = Engine.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $t WHERE row_kind = '+U'")
+        .as[Long].collect().head
+      assert(raw == 4L, s"raw read must see all change rows, got $raw")
+      // a join of the upsert table with a static side normalizes too
+      Seq(("k1", "alpha"), ("k3", "beta"), ("k2", "gone"))
+        .toDF("k", "name").createOrReplaceTempView("ups_dim")
+      val joined = Engine.sql(spark, s"""
+        SELECT d.name AS name, COUNT(*) AS n
+        FROM $t u JOIN ups_dim d ON u.k = d.k
+        GROUP BY d.name ORDER BY name""")
+        .as[(String, Long)].collect().toSeq
+      assert(joined == Seq(("alpha", 1L), ("beta", 1L)), joined.toString)
+      spark.catalog.dropTempView("ups_dim")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+  }
+
+  test("a streamInsert sink re-queried through the front door equals its materialization") {
+    // the loop-closer: ChangelogSql.streamInsert writes an upsert
+    // changelog and declares graft.upsert.keys on it; a plain aggregate
+    // over that sink must therefore aggregate the CURRENT groups — not
+    // the +U/-D history rows
+    import spark.implicits._
+    val (src, sink) = (s"ups_loop_src_$h", s"ups_loop_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    spark.sql(s"""CREATE TABLE $src
+      (row_kind STRING, cdc_ts BIGINT, g STRING, x DOUBLE) USING parquet""")
+    // two commits so groups REFRESH (g1 gets updated totals -> multiple
+    // +U rows per key in the sink history)
+    def put(rows: (String, Long, String, Double)*): Unit = {
+      rows.toSeq.toDF("row_kind", "cdc_ts", "g", "x")
+        .createOrReplaceTempView(s"__${src}_in")
+      spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-loop").toString
+    val q = ChangelogSql.streamInsert(spark,
+      s"INSERT INTO $sink SELECT g, COUNT(*) AS n, SUM(x) AS total FROM $src GROUP BY g",
+      ckpt)
+    try {
+      put(("+I", 1L, "g1", 10.0), ("+I", 1L, "g2", 5.0))
+      q.processAllAvailable()
+      put(("+I", 2L, "g1", 3.0), ("-D", 2L, "g2", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable(sink)
+    val viaFrontDoor = Engine.sql(spark,
+      s"SELECT g, n, CAST(total AS DOUBLE) AS total FROM $sink ORDER BY g")
+      .as[(String, Long, Double)].collect().toSeq
+    val viaMaterialize = ChangelogSql.materializeUpsertSink(spark, sink)
+      .select($"g", $"n", $"total".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaFrontDoor == viaMaterialize, s"$viaFrontDoor vs $viaMaterialize")
+    assert(viaFrontDoor == Seq(("g1", 2L, 13.0)), viaFrontDoor.toString)
+    // and an aggregate OVER the sink consumes the normalized state
+    val n = Engine.sql(spark, s"SELECT COUNT(*) AS n FROM $sink")
+      .as[Long].collect().head
+    assert(n == 1L, s"history rows leaked into the aggregate: $n")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+  }
+
+  test("normalizeUpsert emits the full retract transition stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String, Boolean)]
+    val out = StatefulOps.normalizeUpsert(in.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(s"norm_out_$h").start()
+    try {
+      // batch 1: first sight of k1, k2
+      in.addData(("k1", 1L, "v1", false), ("k2", 1L, "w1", false))
+      q.processAllAvailable()
+      // batch 2: k1 changes, k2 deleted, k3 appears; a STALE row for k1
+      // (seq 0) must be dropped; an idempotent re-set of k3 emits nothing
+      in.addData(("k1", 2L, "v2", false), ("k1", 0L, "old", false),
+        ("k2", 2L, "w1", true), ("k3", 2L, "z1", false),
+        ("k9", 2L, "ghost", true)) // delete of an absent key: no-op
+      q.processAllAvailable()
+      in.addData(("k3", 3L, "z1", false)) // same payload: no transition
+      q.processAllAvailable()
+      val got = spark.table(s"norm_out_$h")
+        .as[(String, String, Long, String)].collect().toSet
+      assert(got == Set(
+        ("+I", "k1", 1L, "v1"), ("+I", "k2", 1L, "w1"),
+        ("-U", "k1", 2L, "v1"), ("+U", "k1", 2L, "v2"),
+        ("-D", "k2", 2L, "w1"), ("+I", "k3", 2L, "z1")), got.toString)
+    } finally q.stop()
+  }
+
+  test("normalizeUpsert output feeds retraction consumers: collapse == keep-last") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String, Boolean)]
+    val out = StatefulOps.normalizeUpsert(in.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(s"norm_out2_$h").start()
+    try {
+      in.addData(("a", 1L, "x", false), ("b", 1L, "y", false),
+        ("a", 2L, "x2", false), ("b", 3L, "y", true),
+        ("c", 1L, "q", false), ("c", 2L, "q2", false))
+      q.processAllAvailable()
+    } finally q.stop()
+    // net the emitted changelog: +1 for +I/+U, -1 for -U/-D — surviving
+    // rows are exactly the final state (the retract-agg consumption path)
+    val live = spark.table(s"norm_out2_$h").toDF("kind", "k", "seq", "payload")
+      .withColumn("sign", when(col("kind").isin("+I", "+U"), 1).otherwise(-1))
+      .groupBy("k", "payload").agg(sum("sign").as("net"))
+      .filter(col("net") > 0).select("k", "payload")
+      .as[(String, String)].collect().toSet
+    assert(live == Set(("a", "x2"), ("c", "q2")), live.toString)
+  }
+}
