@@ -503,8 +503,23 @@ object Engine {
             // window()/session_window() aggregation — the reference's
             // `INSERT INTO sink SELECT ... FROM TABLE(TUMBLE(...))
             // GROUP BY window_start` streaming job shape.
-            if (WindowTvfSql.matches(select1)) WindowTvfSql.sql(spark, select1)
-            else if (graft.cep.MatchRecognize.matchesSql(select1))
+            // planner hints in the streaming statement (SqlHints): join
+            // hints translate in place, OPTIONS lifts batch connector
+            // re-reads, and a LOOKUP hint reroutes the temporal join onto
+            // the per-row probe path over the STREAMING fact — the
+            // reference's lookup join IS a streaming operator
+            // (LookupJoinRunner / AsyncLookupJoinRunner per arriving row)
+            val hinted = SqlHints(spark, select1)
+            val select2 = hinted.query
+            try {
+            hinted.lookup.map { opts =>
+              require(TemporalSql.matches(select2),
+                "the LOOKUP hint applies to lookup joins — the statement " +
+                  "must contain a JOIN ... FOR SYSTEM_TIME AS OF ... clause")
+              TemporalSql.sqlLookup(spark, select2, opts)
+            }.getOrElse {
+            if (WindowTvfSql.matches(select2)) WindowTvfSql.sql(spark, select2)
+            else if (graft.cep.MatchRecognize.matchesSql(select2))
               // the MR SQL bridge's MEASURES/ALL-ROWS relations are
               // batch lowerings (join-back against the bound events);
               // continuous pattern output has a dedicated streaming NFA
@@ -516,8 +531,8 @@ object Engine {
                   "lowerings. Use MatchRecognize.runStream (the " +
                   "StreamExecMatch NFA) for continuous pattern output, or " +
                   "run the statement in batch via sql()")
-            else StreamOverSql.lowerComposed(spark, select1).getOrElse {
-              val df = spark.sql(select1)
+            else StreamOverSql.lowerComposed(spark, select2).getOrElse {
+              val df = spark.sql(select2)
               val streamingWindow = df.queryExecution.analyzed.collect {
                 case w: org.apache.spark.sql.catalyst.plans.logical.Window
                     if w.isStreaming => w
@@ -535,6 +550,9 @@ object Engine {
                     s"windowTopN / windowDedup. got: $select")
               df
             }
+            }
+            } finally hinted.lifted.foreach(v =>
+              spark.catalog.dropTempView(v): Unit)
           } finally streamed.foreach { t =>
             priorTempViews.get(t) match {
               case Some(orig) => orig.createOrReplaceTempView(t)

@@ -341,7 +341,10 @@ object TemporalSql {
         case (n: java.lang.Number, ByteType) => n.byteValue
         case _ => v
       }
-      val rdd = fact.rdd.mapPartitions { rows =>
+      // encoder-based mapPartitions (not .rdd) so the SAME probe plan
+      // runs over a STREAMING fact — the reference's lookup join is
+      // first a streaming operator (LookupJoinRunner per arriving row)
+      val joined = fact.mapPartitions { rows: Iterator[Row] =>
         val probe: Row => Option[Seq[Any]] = r => looked(r.get(keyIdx))
         val resolved: Iterator[(Row, Option[Seq[Any]])] =
           if (!async) rows.map(r => r -> probe(r))
@@ -352,8 +355,7 @@ object TemporalSql {
           Row.fromSeq(r.toSeq ++
             vals.zip(payloadTypes).map { case (v, t) => coerce(v, t) })
         }
-      }
-      val joined = spark.createDataFrame(rdd, joinedSchema)
+      }(org.apache.spark.sql.Encoders.row(joinedSchema))
 
       // run the residual projection/WHERE/ORDER BY over the joined frame:
       // dim-key refs resolve to the fact key (the join condition), alias

@@ -276,6 +276,62 @@ class SqlHintsSpec extends AnyFunSuite {
     } finally dropLookupTables(d)
   }
 
+  test("STREAMING lookup join probes the dim's CURRENT state per micro-batch") {
+    // the reference's lookup join is a streaming operator: each arriving
+    // fact row probes the dimension's PRESENT state, so a dim update
+    // between micro-batches is visible to later rows only
+    derbyDim
+    val hh = math.abs(getClass.getName.hashCode)
+    val d = s"hints_sdim_$hh"
+    val fct = s"hints_sfact_$hh"
+    val sink = s"hints_lkp_sink_$hh"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $d")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${d}_base")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $fct")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${fct}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $d (cid BIGINT, cname STRING, tier DOUBLE)
+      WITH ('connector' = 'jdbc', 'url' = '$dbUrl',
+            'table-name' = 'dim_cust')""")
+    Engine.sql(spark, s"""
+      CREATE TABLE $fct (oid BIGINT, cust BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-slkp").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT /*+ LOOKUP('table'='d') */ o.oid, d.cname
+      FROM $fct AS o
+      JOIN $d FOR SYSTEM_TIME AS OF o.ts AS d ON o.cust = d.cid""", ckpt)
+    def derby(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      try { val st = c.createStatement(); st.execute(sql); st.close() }
+      finally c.close()
+    }
+    try {
+      Engine.sql(spark,
+        s"INSERT INTO $fct VALUES (1, 3, TIMESTAMP '2024-01-01 00:00:01')")
+      q.processAllAvailable()
+      // the dim row CHANGES between batches
+      derby("UPDATE dim_cust SET cname = 'c3_v2' WHERE cid = 3")
+      Engine.sql(spark,
+        s"INSERT INTO $fct VALUES (2, 3, TIMESTAMP '2024-01-01 00:00:02')")
+      q.processAllAvailable()
+      import spark.implicits._
+      val got = spark.table(sink).as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "c3"), (2L, "c3_v2")),
+        s"each batch must see the dim state AT PROBE TIME, got $got")
+    } finally {
+      q.stop()
+      derby("UPDATE dim_cust SET cname = 'c3' WHERE cid = 3")
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $d")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${d}_base")
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $fct")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${fct}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
   test("retry-on-miss re-probes until the row appears (lookup_miss)") {
     val d = mkLookupTables()
     try {
