@@ -522,8 +522,13 @@ object SinkOps extends QueryModule {
         val dels = base.filter($"o_orderkey" % 17 === 0)
           .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
             $"o_orderkey", $"o_orderpriority", current)
+        // CTAS through the front door so a prior JVM's orphaned managed
+        // directory heals (sqlHealingCreate) — bare saveAsTable would die
+        // with LOCATION_ALREADY_EXISTS on the second fresh-metastore run
         v1.unionByName(v2).unionByName(dels)
-          .write.mode("overwrite").saveAsTable(t)
+          .createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
         s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'o_orderkey')")
         Engine.sql(s, s"""
           SELECT o_orderpriority, COUNT(*) AS n,
