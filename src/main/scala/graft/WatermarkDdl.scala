@@ -29,7 +29,8 @@ object WatermarkDdl {
       physical: Seq[(String, String)], // (colName, sqlType)
       computed: Seq[(String, String)], // (colName, sqlExpr)
       watermark: Option[(String, String)], // (timeCol, delay e.g. "5 seconds")
-      options: Seq[(String, String)] = Nil) // WITH ('k'='v', ...) connector options
+      options: Seq[(String, String)] = Nil, // WITH ('k'='v', ...) connector options
+      primaryKey: Seq[String] = Nil) // PRIMARY KEY (...) NOT ENFORCED
 
   /** CREATE TABLE ... LIKE (SqlTableLike.java:91): new-table body and WITH
     * clause are both optional, the LIKE clause is trailing, and the merge
@@ -54,6 +55,13 @@ object WatermarkDdl {
   private val WatermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val ComputedRe = """(?is)(\w+)\s+AS\s+(.+)""".r
+  // [CONSTRAINT name] PRIMARY KEY (k1, k2) NOT ENFORCED — Flink accepts
+  // ONLY the NOT ENFORCED form (SqlValidateException in
+  // SqlCreateTable.java: "Flink doesn't support ENFORCED mode")
+  private val PrimaryKeyRe =
+    """(?is)(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED""".r
+  private val PrimaryKeyHeadRe =
+    """(?is)(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\b.*""".r
   private val PhysicalRe = """(?is)(\w+)\s+([\w()<>,\s]+)""".r
   private val InsertRe = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(.*)""".r
 
@@ -62,20 +70,33 @@ object WatermarkDdl {
   /** Classify the entries of a CREATE TABLE column body into physical
     * columns, computed columns, and the watermark clause. */
   private def parseBody(body: String):
-      (Seq[(String, String)], Seq[(String, String)], Option[(String, String)]) = {
+      (Seq[(String, String)], Seq[(String, String)], Option[(String, String)],
+       Seq[String]) = {
     var physical = Vector.empty[(String, String)]
     var computed = Vector.empty[(String, String)]
     var watermark = Option.empty[(String, String)]
+    var primaryKey = Seq.empty[String]
     if (body.trim.nonEmpty) splitTopLevel(body).foreach {
       case WatermarkRe(col, n, unit) =>
         watermark = Some((col, s"$n ${unit.toLowerCase}"))
+      case PrimaryKeyRe(cols) =>
+        require(primaryKey.isEmpty, "CREATE TABLE: duplicate PRIMARY KEY")
+        primaryKey = cols.split(",").toSeq.map(_.trim.replace("`", ""))
+          .filter(_.nonEmpty)
+        require(primaryKey.nonEmpty, "PRIMARY KEY needs at least one column")
+      case e if PrimaryKeyHeadRe.matches(e) =>
+        // an ENFORCED (or bare) primary key is the reference's loud
+        // validation error, never silently accepted
+        throw new IllegalArgumentException(
+          s"PRIMARY KEY must be declared NOT ENFORCED (Flink supports " +
+            s"only unenforced keys): $e")
       case ComputedRe(col, e) if !e.trim.isEmpty && !col.equalsIgnoreCase("watermark") =>
         computed :+= (col, e.trim)
       case PhysicalRe(col, tpe) => physical :+= (col, tpe.trim)
       case other =>
         throw new IllegalArgumentException(s"CREATE TABLE: bad column entry: $other")
     }
-    (physical, computed, watermark)
+    (physical, computed, watermark, primaryKey)
   }
 
   // nested types (array<struct<...>>) don't split; spaced comparisons in
@@ -101,15 +122,18 @@ object WatermarkDdl {
     }
     core match {
       case CreateRe(name, body) =>
-        val (physical, computed, watermark) = parseBody(body)
-        if (computed.isEmpty && watermark.isEmpty && options.isEmpty) None
+        val (physical, computed, watermark, pk) = parseBody(body)
+        if (computed.isEmpty && watermark.isEmpty && options.isEmpty &&
+            pk.isEmpty) None
         else {
           require(physical.nonEmpty, "CREATE TABLE needs at least one physical column")
           watermark.foreach { case (col, _) =>
             require(physical.exists(_._1 == col) || computed.exists(_._1 == col),
               s"WATERMARK FOR $col: no such column")
           }
-          Some(TableSpec(name, physical, computed, watermark, options))
+          pk.foreach(c => require(physical.exists(_._1 == c),
+            s"PRIMARY KEY column $c: no such physical column"))
+          Some(TableSpec(name, physical, computed, watermark, options, pk))
         }
       case _ => None
     }
@@ -274,6 +298,7 @@ object WatermarkDdl {
   /** Catalog bookkeeping keys that are never connector options. */
   private def isInternalProp(k: String): Boolean =
     k.startsWith("graft.watermark") || k == "graft.computed" ||
+      k == "graft.primary.key" ||
       k.startsWith("option.") || k.startsWith("spark.") ||
       k.startsWith("created.") ||
       Set("transient_lastddltime", "owner", "external", "location",
@@ -327,7 +352,9 @@ object WatermarkDdl {
         d <- props.get("graft.watermark.delay")
       } yield (c, d)
       val options = props.toSeq.filterNot { case (k, _) => isInternalProp(k) }.sortBy(_._1)
-      TableSpec(table, physical, computed, wm, options)
+      val pk = props.get("graft.primary.key").toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim)).filter(_.nonEmpty)
+      TableSpec(table, physical, computed, wm, options, pk)
     } else {
       require(spark.catalog.tableExists(table),
         s"CREATE TABLE LIKE: no such table $table")
@@ -349,6 +376,8 @@ object WatermarkDdl {
     val colLines =
       spec.physical.map { case (c, t) => s"  $c $t" } ++
         spec.computed.map { case (c, e) => s"  $c AS $e" } ++
+        (if (spec.primaryKey.isEmpty) Nil
+         else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")}) NOT ENFORCED")) ++
         spec.watermark.toSeq.map { case (c, d) =>
           val Array(n, unit) = d.split("\\s+", 2)
           s"  WATERMARK FOR $c AS $c - INTERVAL '$n' ${unit.toUpperCase.stripSuffix("S")}"
@@ -373,7 +402,7 @@ object WatermarkDdl {
       withOpts: Option[String], src: String, likeOpts: Option[String]): Unit = {
     val strat = likeStrategies(likeOpts)
     val source = specOf(spark, src)
-    val (newPhys, newComp, newWm) = parseBody(body.getOrElse(""))
+    val (newPhys, newComp, newWm, newPk) = parseBody(body.getOrElse(""))
     val newOpts = withOpts.filter(_.trim.nonEmpty).map { props =>
       graft.util.SqlSplit.splitTopLevel(props).map {
         case PropRe(k, v) => (k, v)
@@ -422,7 +451,20 @@ object WatermarkDdl {
       case _ =>
         source.options.filterNot(so => newOpts.exists(_._1 == so._1)) ++ newOpts
     }
-    create(spark, TableSpec(name, physical, computed, watermark, options))
+    // CONSTRAINTS strategy governs the primary key (MergeTableLikeUtil's
+    // constraint merge): INCLUDING fails on a double declaration,
+    // EXCLUDING drops the source's, OVERWRITING lets this statement win
+    val primaryKey = strat("CONSTRAINTS") match {
+      case "EXCLUDING" => newPk
+      case "INCLUDING" =>
+        require(source.primaryKey.isEmpty || newPk.isEmpty,
+          s"CREATE TABLE LIKE: $src already declares a PRIMARY KEY " +
+            "(INCLUDING CONSTRAINTS; use OVERWRITING CONSTRAINTS to replace)")
+        if (newPk.nonEmpty) newPk else source.primaryKey
+      case _ => if (newPk.nonEmpty) newPk else source.primaryKey
+    }
+    create(spark, TableSpec(name, physical, computed, watermark, options,
+      primaryKey))
   }
 
   private def create(spark: SparkSession, spec: TableSpec): Unit = {
@@ -441,7 +483,27 @@ object WatermarkDdl {
       // consumer can read them back via tableOptions
       spec.options.map { case (k, v) =>
         s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+      } ++
+      // PRIMARY KEY persists like the watermark; on an UPSERT connector
+      // it additionally DECLARES the table an upsert changelog keyed by
+      // the pk (UpsertKafkaDynamicTableFactory requires a pk and keys
+      // the ChangelogNormalize on it) — graft.upsert.keys is exactly
+      // what ChangelogSql's normalization reads
+      spec.primaryKey.headOption.toSeq.flatMap { _ =>
+        val pk = spec.primaryKey.mkString(",")
+        // a round-tripped DDL already carries the derived key as a
+        // visible WITH option — never duplicate the TBLPROPERTIES entry
+        Seq(s"'graft.primary.key'='$pk'") ++
+          (if (spec.options.exists(o =>
+              o._1 == "connector" && o._2 == "upsert-kafka") &&
+              !spec.options.exists(_._1 == "graft.upsert.keys"))
+            Seq(s"'graft.upsert.keys'='$pk'") else Nil)
       }
+    if (spec.options.exists(o => o._1 == "connector" && o._2 == "upsert-kafka"))
+      require(spec.primaryKey.nonEmpty,
+        "the 'upsert-kafka' connector requires a PRIMARY KEY ... NOT " +
+          "ENFORCED (UpsertKafkaDynamicTableFactory: the key fields ARE " +
+          "the kafka message key)")
     val props =
       if (propEntries.isEmpty) "" else propEntries.mkString(" TBLPROPERTIES (", ", ", ")")
     dropStaleLocation(spark, baseName(spec.name))

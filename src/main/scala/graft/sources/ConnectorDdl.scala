@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   */
 object ConnectorDdl {
 
+  /** The pk-derived upsert key columns (persisted by the DDL as
+    * graft.upsert.keys). */
+  private def upsertKeys(options: Map[String, String]): Seq[String] =
+    options.get("graft.upsert.keys").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim)).filter(_.nonEmpty)
+
   /** The declared connector of a DDL table, if any. */
   def connectorOf(options: Map[String, String]): Option[String] =
     options.get("connector").map(_.trim.toLowerCase)
@@ -30,6 +36,11 @@ object ConnectorDdl {
           spark.readStream.format("kafka")
             .options(KafkaConnector.sourceOptions(options)).load(),
           schema, KafkaConnector.valueFormat(options), options)
+      case Some("upsert-kafka") =>
+        KafkaConnector.upsertDecode(
+          spark.readStream.format("kafka")
+            .options(KafkaConnector.upsertSourceOptions(options)).load(),
+          schema, upsertKeys(options), options)
       case Some("datagen") => DataGenConnector.readStream(spark, schema, options)
       case Some("filesystem") =>
         val (path, fmt) = FileSystemConnector.pathFormat(options)
@@ -53,6 +64,14 @@ object ConnectorDdl {
           spark.read.format("kafka")
             .options(KafkaConnector.sourceOptions(options, forBatch = true)).load(),
           schema, KafkaConnector.valueFormat(options), options)
+      case Some("upsert-kafka") =>
+        // the batch read yields the raw upsert changelog; ChangelogSql's
+        // normalization (graft.upsert.keys, set by the pk DDL) collapses
+        // it to current state at the front door
+        KafkaConnector.upsertDecode(
+          spark.read.format("kafka")
+            .options(KafkaConnector.upsertSourceOptions(options)).load(),
+          schema, upsertKeys(options), options)
       case Some("datagen") => DataGenConnector.read(spark, schema, options)
       case Some("filesystem") =>
         val (path, fmt) = FileSystemConnector.pathFormat(options)
@@ -395,6 +414,100 @@ object KafkaConnector {
       case other => throw new IllegalArgumentException(
         s"unsupported kafka value format '$other' (json, csv, raw, avro)")
     }
+  }
+
+  // ---- upsert-kafka (reference flink-connectors/flink-connector-kafka
+  // .../table/UpsertKafkaDynamicTableFactory.java): a compacted topic
+  // read as an UPSERT changelog — the message KEY carries the PRIMARY
+  // KEY fields, a non-null value is an upsert (+U), a tombstone (null
+  // value) a delete (-D). ----
+
+  /** Option mapping for `'connector'='upsert-kafka'`. The factory has NO
+    * startup options — an upsert source is only correct over the FULL
+    * (compacted) topic, so reads always start earliest; Flink rejects
+    * scan.startup.* the same way. Exactly one plain 'topic' (the key
+    * space is per-topic). */
+  def upsertSourceOptions(opts: Map[String, String]): Map[String, String] = {
+    val bootstrap = opts.getOrElse("properties.bootstrap.servers",
+      throw new IllegalArgumentException(
+        "upsert-kafka connector requires 'properties.bootstrap.servers'"))
+    val topic = opts.getOrElse("topic", throw new IllegalArgumentException(
+      "upsert-kafka connector requires a single 'topic'"))
+    require(!topic.contains(";") && !opts.contains("topic-pattern"),
+      "upsert-kafka reads ONE topic (the key space is per-topic); " +
+        "topic lists and patterns are not supported")
+    opts.keys.find(_.startsWith("scan.startup")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"upsert-kafka has no '$k': an upsert source is only correct " +
+          "over the full compacted topic, so reads always start earliest"))
+    require(opts.contains("key.format"),
+      "upsert-kafka requires 'key.format' (the key carries the PRIMARY KEY)")
+    require(opts.contains("value.format"),
+      "upsert-kafka requires 'value.format'")
+    val passthrough = opts.collect {
+      case (k, v) if k.startsWith("properties.") &&
+          k != "properties.bootstrap.servers" =>
+        s"kafka.${k.stripPrefix("properties.")}" -> v
+    }
+    Map("kafka.bootstrap.servers" -> bootstrap, "subscribe" -> topic,
+      "startingOffsets" -> "earliest", "includeHeaders" -> "false") ++ passthrough
+  }
+
+  /** Decode a raw kafka frame (key, value, offset) to the engine's
+    * UPSERT changelog convention: row_kind ('+U' non-null value, '-D'
+    * tombstone), the commit-sequence column from the kafka offset (the
+    * per-key order ChangelogNormalize collapses on), PRIMARY KEY columns
+    * decoded from the KEY bytes (authoritative even for tombstones,
+    * which carry no value), remaining columns from the value — NULL on
+    * deletes. 'value.fields-include'='ALL' (default) reads non-key
+    * columns from a full-row value; 'EXCEPT_KEY' from a key-less value.
+    * Key/value formats: json, csv, raw (single column) — the
+    * expression-level parsers that keep key and value ALIGNED per row;
+    * frame-level formats (avro) reject loudly. */
+  def upsertDecode(raw: DataFrame, schema: StructType, pk: Seq[String],
+      opts: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructType => ST}
+    require(pk.nonEmpty, "upsert-kafka decode requires the PRIMARY KEY columns")
+    pk.foreach(c => require(schema.fieldNames.contains(c),
+      s"PRIMARY KEY column $c not in the declared schema"))
+    val include = opts.getOrElse("value.fields-include", "ALL").toUpperCase
+    require(include == "ALL" || include == "EXCEPT_KEY",
+      s"value.fields-include must be ALL or EXCEPT_KEY, got '$include'")
+    val keySchema = ST(pk.map(schema(_)).toArray)
+    val nonKey = schema.fields.toSeq.filterNot(f => pk.contains(f.name))
+    val valueSchema =
+      if (include == "EXCEPT_KEY") ST(nonKey.toArray) else schema
+
+    def parseExpr(c: Column, fmt: String, sch: ST, what: String): Column =
+      fmt match {
+        case "json" =>
+          from_json(c.cast("string"), sch, Map("mode" -> "FAILFAST"))
+        case "csv" =>
+          from_csv(c.cast("string"), sch, Map("mode" -> "FAILFAST"))
+        case "raw" =>
+          require(sch.fields.length == 1,
+            s"raw $what format requires a single column, got " +
+              sch.fieldNames.mkString(","))
+          val f = sch.fields.head
+          require(f.dataType == StringType || f.dataType == BinaryType,
+            s"raw format supports STRING or BINARY; '${f.name}' is " +
+              f.dataType.simpleString)
+          struct(c.cast(f.dataType).as(f.name))
+        case other => throw new IllegalArgumentException(
+          s"upsert-kafka $what format '$other' is not row-aligned " +
+            "decodable (json, csv, raw)")
+      }
+
+    val k = parseExpr(col("key"), opts("key.format"), keySchema, "key")
+    val v = when(col("value").isNotNull,
+      parseExpr(col("value"), opts("value.format"), valueSchema, "value"))
+    val rowKind = when(col("value").isNull, lit(graft.streaming.Cdc.Delete))
+      .otherwise(lit(graft.streaming.Cdc.UpdateAfter))
+    raw.select(
+      (rowKind.as(graft.streaming.Cdc.RowKind) +:
+        col("offset").as(graft.ChangelogSql.SeqCol) +:
+        (pk.map(c => k.getField(c).as(c)) ++
+          nonKey.map(f => v.getField(f.name).as(f.name)))): _*)
   }
 }
 

@@ -305,6 +305,52 @@ class SqlFrontDoorNegativeSpec extends AnyFunSuite {
     assert(r2 == 7, s"got $r2")
   }
 
+  // ---- hint-block negative space (r12, SqlHints) ----
+
+  test("hints: malformed blocks reject loudly, benign shapes survive") {
+    import spark.implicits._
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("neg_h")
+    try {
+      // a nested comment INSIDE a hint block is whitespace to the parser
+      val ok = Engine.sql(spark,
+        "SELECT /*+ BROADCAST(neg_h) /* why: tiny */ */ a FROM neg_h")
+        .as[Int].collect().head
+      assert(ok == 1)
+      // empty block, kv-missing-=, ident args on OPTIONS: all loud
+      for (bad <- Seq(
+          "SELECT /*+ */ a FROM neg_h",
+          "SELECT /*+ LOOKUP('table' 'd') */ a FROM neg_h",
+          "SELECT a FROM neg_h /*+ OPTIONS(x) */")) {
+        val e = intercept[IllegalArgumentException](Engine.sql(spark, bad))
+        assert(e.getMessage.toLowerCase.contains("hint"), s"$bad -> ${e.getMessage}")
+      }
+      // a hint block in a position that is neither after SELECT nor after
+      // a relation is a grammar error, not a silent comment
+      intercept[IllegalArgumentException](Engine.sql(spark,
+        "SELECT a FROM neg_h WHERE /*+ BROADCAST(neg_h) */ a > 0"))
+    } finally spark.catalog.dropTempView("neg_h")
+  }
+
+  test("hints: a join hint over a changelog aggregate keeps retract semantics") {
+    import spark.implicits._
+    // the hint text rides through the changelog rewrite as a comment —
+    // the retraction-consuming lowering must still produce the
+    // final-state answer, never the raw change-row count
+    Seq(("+I", 1L, "g1", 4.0), ("+I", 1L, "g1", 6.0), ("-D", 2L, "g1", 4.0))
+      .toDF("row_kind", "cdc_ts", "g", "x").createOrReplaceTempView("neg_hcl")
+    Seq(("g1", "n1")).toDF("g", "nm").createOrReplaceTempView("neg_hdim")
+    try {
+      val r = Engine.sql(spark,
+        "SELECT /*+ BROADCAST(d) */ d.nm AS nm, COUNT(*) AS n, SUM(c.x) AS t " +
+          "FROM neg_hcl c JOIN neg_hdim d ON c.g = d.g GROUP BY d.nm")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(r == Seq(("n1", 1L, 6.0)), s"got $r")
+    } finally {
+      spark.catalog.dropTempView("neg_hcl")
+      spark.catalog.dropTempView("neg_hdim")
+    }
+  }
+
   // ---- group 4: a decoy literal next to the REAL construct still lowers
 
   test("decoy literal does not mask a real window TVF") {

@@ -1,0 +1,182 @@
+package graft
+
+import graft.sources.KafkaConnector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `PRIMARY KEY ... NOT ENFORCED` DDL + the `upsert-kafka` connector
+  * (UpsertKafkaDynamicTableFactory): the pk declares the table an upsert
+  * changelog keyed by those columns, the option mapping pins the
+  * no-startup-choice contract, and the decode turns (key, value, offset)
+  * messages into the engine's row_kind/seq convention — tombstone = -D,
+  * key fields authoritative from the KEY bytes. Broker-side e2e needs
+  * the kafka jars (environment-blocked, like the plain kafka connector);
+  * everything testable offline is pinned here. */
+class UpsertKafkaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val h = math.abs(getClass.getName.hashCode)
+
+  private def drop(t: String): Unit = {
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base"): Unit
+  }
+
+  test("PRIMARY KEY NOT ENFORCED persists, round-trips, and keys the upsert mode") {
+    val t = s"upk_tbl_$h"
+    drop(t)
+    try {
+      Engine.sql(spark, s"""
+        CREATE TABLE $t (uid BIGINT, region STRING, amount DOUBLE,
+          PRIMARY KEY (uid) NOT ENFORCED)
+        WITH ('connector' = 'upsert-kafka', 'topic' = 'users',
+              'properties.bootstrap.servers' = 'h:9092',
+              'key.format' = 'json', 'value.format' = 'json')""")
+      val ddl = Engine.sql(spark, s"SHOW CREATE TABLE $t").collect()(0).getString(0)
+      assert(ddl.contains("PRIMARY KEY (uid) NOT ENFORCED"), ddl)
+      assert(!ddl.contains("graft.primary.key"), s"pk leaked into WITH:\n$ddl")
+      val props = WatermarkDdl.tableOptions(spark, t)
+      assert(props.get("graft.upsert.keys").contains("uid"), props.toString)
+      // the round-tripped DDL re-executes
+      val t2 = s"${t}_rt"
+      drop(t2)
+      Engine.sql(spark, ddl.replace(s"CREATE TABLE $t", s"CREATE TABLE $t2"))
+      assert(WatermarkDdl.tableOptions(spark, t2)
+        .get("graft.upsert.keys").contains("uid"))
+      drop(t2)
+    } finally drop(t)
+  }
+
+  test("DDL guards: ENFORCED pk, missing pk on upsert-kafka, unknown pk column") {
+    val t = s"upk_bad_$h"
+    drop(t)
+    val e1 = intercept[IllegalArgumentException](Engine.sql(spark,
+      s"CREATE TABLE $t (uid BIGINT, PRIMARY KEY (uid) ENFORCED) " +
+        "WITH ('connector' = 'upsert-kafka', 'topic' = 'x', " +
+        "'properties.bootstrap.servers' = 'h:9092', " +
+        "'key.format' = 'json', 'value.format' = 'json')"))
+    assert(e1.getMessage.contains("NOT ENFORCED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Engine.sql(spark,
+      s"CREATE TABLE $t (uid BIGINT) " +
+        "WITH ('connector' = 'upsert-kafka', 'topic' = 'x', " +
+        "'properties.bootstrap.servers' = 'h:9092', " +
+        "'key.format' = 'json', 'value.format' = 'json')"))
+    assert(e2.getMessage.contains("requires a PRIMARY KEY"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Engine.sql(spark,
+      s"CREATE TABLE $t (uid BIGINT, PRIMARY KEY (nope) NOT ENFORCED)"))
+    assert(e3.getMessage.contains("no such physical column"), e3.getMessage)
+  }
+
+  test("upsert-kafka option mapping: earliest-only, one topic, format checks") {
+    val base = Map("connector" -> "upsert-kafka", "topic" -> "users",
+      "properties.bootstrap.servers" -> "h:9092",
+      "key.format" -> "json", "value.format" -> "json",
+      "properties.group.id" -> "g1")
+    val m = KafkaConnector.upsertSourceOptions(base)
+    assert(m("subscribe") == "users" && m("startingOffsets") == "earliest" &&
+      m("kafka.bootstrap.servers") == "h:9092" && m("kafka.group.id") == "g1")
+    assert(intercept[IllegalArgumentException](KafkaConnector
+      .upsertSourceOptions(base + ("scan.startup.mode" -> "latest-offset")))
+      .getMessage.contains("always start earliest"))
+    assert(intercept[IllegalArgumentException](KafkaConnector
+      .upsertSourceOptions(base + ("topic" -> "a;b")))
+      .getMessage.contains("ONE topic"))
+    assert(intercept[IllegalArgumentException](KafkaConnector
+      .upsertSourceOptions(base - "key.format"))
+      .getMessage.contains("key.format"))
+  }
+
+  test("upsertDecode: +U from values, -D from tombstones, key authoritative") {
+    import spark.implicits._
+    val schema = new StructType().add("uid", LongType)
+      .add("region", StringType).add("amount", DoubleType)
+    // history: uid 1 set twice, uid 2 set then tombstoned
+    val raw = Seq(
+      ("""{"uid":1}""", """{"uid":1,"region":"eu","amount":5.0}""", 0L),
+      ("""{"uid":2}""", """{"uid":2,"region":"us","amount":9.0}""", 1L),
+      ("""{"uid":1}""", """{"uid":1,"region":"eu","amount":7.5}""", 2L),
+      ("""{"uid":2}""", null, 3L))
+      .toDF("ks", "vs", "offset")
+      .select(col("ks").cast("binary").as("key"),
+        col("vs").cast("binary").as("value"), col("offset"))
+    val opts = Map("key.format" -> "json", "value.format" -> "json")
+    val got = KafkaConnector.upsertDecode(raw, schema, Seq("uid"), opts)
+      .as[(String, Long, Long, Option[String], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      ("+U", 0L, 1L, Some("eu"), Some(5.0)),
+      ("+U", 1L, 2L, Some("us"), Some(9.0)),
+      ("+U", 2L, 1L, Some("eu"), Some(7.5)),
+      ("-D", 3L, 2L, None, None)), got.toString)
+
+    // EXCEPT_KEY: the value carries only non-key columns
+    val rawEk = Seq(
+      ("""{"uid":7}""", """{"region":"ap","amount":1.0}""", 0L))
+      .toDF("ks", "vs", "offset")
+      .select(col("ks").cast("binary").as("key"),
+        col("vs").cast("binary").as("value"), col("offset"))
+    val gotEk = KafkaConnector.upsertDecode(rawEk, schema, Seq("uid"),
+      opts + ("value.fields-include" -> "EXCEPT_KEY"))
+      .as[(String, Long, Long, Option[String], Option[Double])]
+      .collect().toSeq
+    assert(gotEk == Seq(("+U", 0L, 7L, Some("ap"), Some(1.0))), gotEk.toString)
+
+    // frame-level formats cannot stay row-aligned: loud
+    assert(intercept[IllegalArgumentException](KafkaConnector.upsertDecode(
+      raw, schema, Seq("uid"), Map("key.format" -> "json",
+        "value.format" -> "avro"))).getMessage.contains("row-aligned"))
+  }
+
+  test("decoded upsert history aggregates to current state through the front door") {
+    import spark.implicits._
+    val schema = new StructType().add("uid", LongType)
+      .add("region", StringType).add("amount", DoubleType)
+    val raw = Seq(
+      ("""{"uid":1}""", """{"uid":1,"region":"eu","amount":5.0}""", 0L),
+      ("""{"uid":2}""", """{"uid":2,"region":"us","amount":9.0}""", 1L),
+      ("""{"uid":1}""", """{"uid":1,"region":"eu","amount":7.5}""", 2L),
+      ("""{"uid":2}""", null, 3L),
+      ("""{"uid":3}""", """{"uid":3,"region":"eu","amount":2.0}""", 4L))
+      .toDF("ks", "vs", "offset")
+      .select(col("ks").cast("binary").as("key"),
+        col("vs").cast("binary").as("value"), col("offset"))
+    val decoded = KafkaConnector.upsertDecode(raw, schema, Seq("uid"),
+      Map("key.format" -> "json", "value.format" -> "json"))
+    val t = s"upk_hist_$h"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    decoded.createOrReplaceTempView(s"__${t}_src")
+    try {
+      Engine.sql(spark, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'uid')")
+      // the aggregate sees CURRENT state: uid1=7.5, uid3=2.0 (uid2 deleted)
+      val got = Engine.sql(spark,
+        s"SELECT region, COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total " +
+          s"FROM $t GROUP BY region ORDER BY region")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got == Seq(("eu", 2L, 9.5)), got.toString)
+    } finally {
+      spark.catalog.dropTempView(s"__${t}_src")
+      spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+    }
+  }
+
+  test("CREATE TABLE LIKE inherits the pk under INCLUDING CONSTRAINTS") {
+    val src = s"upk_like_src_$h"
+    val dst = s"upk_like_dst_$h"
+    drop(src); drop(dst)
+    try {
+      Engine.sql(spark,
+        s"CREATE TABLE $src (uid BIGINT, v DOUBLE, PRIMARY KEY (uid) NOT ENFORCED)")
+      Engine.sql(spark, s"CREATE TABLE $dst (extra STRING) LIKE $src")
+      val ddl = Engine.sql(spark, s"SHOW CREATE TABLE $dst")
+        .collect()(0).getString(0)
+      assert(ddl.contains("PRIMARY KEY (uid) NOT ENFORCED"), ddl)
+      // a second pk under INCLUDING CONSTRAINTS is a loud conflict
+      val dst2 = s"${dst}2"
+      drop(dst2)
+      val e = intercept[IllegalArgumentException](Engine.sql(spark,
+        s"CREATE TABLE $dst2 (k2 BIGINT, PRIMARY KEY (k2) NOT ENFORCED) LIKE $src"))
+      assert(e.getMessage.contains("already declares a PRIMARY KEY"), e.getMessage)
+    } finally { drop(src); drop(dst) }
+  }
+}
