@@ -509,6 +509,35 @@ object KafkaConnector {
         (pk.map(c => k.getField(c).as(c)) ++
           nonKey.map(f => v.getField(f.name).as(f.name)))): _*)
   }
+
+  /** SINK side of the upsert contract (UpsertKafkaDynamicTableFactory's
+    * sink + DynamicKafkaRecordSerializationSchema): encode a
+    * row_kind-carrying changelog to (key, value) kafka messages — the
+    * key always serializes the PRIMARY KEY fields (that's the partition
+    * and compaction identity), +I/+U rows serialize the value per
+    * 'value.fields-include', and -D/-U rows become TOMBSTONES (null
+    * value). Hand the result to `df.write.format("kafka")` with
+    * [[upsertSinkOptions]]. json key/value only (the row-aligned
+    * expression encoder); spec'd as encode∘decode == identity. */
+  def upsertEncode(changelog: DataFrame, schema: StructType,
+      pk: Seq[String], opts: Map[String, String]): DataFrame = {
+    require(pk.nonEmpty, "upsert-kafka encode requires the PRIMARY KEY columns")
+    def fmtOf(which: String): String = opts.getOrElse(which,
+      throw new IllegalArgumentException(s"upsert-kafka requires '$which'"))
+    require(fmtOf("key.format") == "json" && fmtOf("value.format") == "json",
+      "upsert-kafka encode supports json key/value formats")
+    val include = opts.getOrElse("value.fields-include", "ALL").toUpperCase
+    val valueCols =
+      if (include == "EXCEPT_KEY")
+        schema.fieldNames.toSeq.filterNot(pk.contains)
+      else schema.fieldNames.toSeq
+    val live = col(graft.streaming.Cdc.RowKind)
+      .isin(graft.streaming.Cdc.Insert, graft.streaming.Cdc.UpdateAfter)
+    changelog.select(
+      to_json(struct(pk.map(col): _*)).cast("binary").as("key"),
+      when(live, to_json(struct(valueCols.map(col): _*)))
+        .cast("binary").as("value"))
+  }
 }
 
 /** `'connector'='datagen'` -> Spark's `rate` source + per-column

@@ -160,6 +160,36 @@ class UpsertKafkaSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertEncode: pk key, tombstones for deletes, encode∘decode identity") {
+    import spark.implicits._
+    val schema = new StructType().add("uid", LongType)
+      .add("region", StringType).add("amount", DoubleType)
+    val opts = Map("key.format" -> "json", "value.format" -> "json")
+    val changelog = Seq(
+      ("+U", 0L, 1L, Option("eu"), Option(5.0)),
+      ("+U", 1L, 2L, Option("us"), Option(9.0)),
+      ("-D", 2L, 2L, Option.empty[String], Option.empty[Double]))
+      .toDF("row_kind", "__graft_cl_seq", "uid", "region", "amount")
+    val wire = KafkaConnector.upsertEncode(
+      changelog.drop("__graft_cl_seq"), schema, Seq("uid"), opts)
+    val rows = wire.select(col("key").cast("string"),
+      col("value").cast("string")).as[(String, Option[String])].collect().toSet
+    assert(rows.contains(("""{"uid":2}""", None)),
+      s"delete must encode a tombstone: $rows")
+    assert(rows.exists { case (k, v) =>
+      k == """{"uid":1}""" && v.exists(_.contains("\"region\":\"eu\"")) })
+    // identity: wire + synthetic offsets decodes back to the changelog
+    val raw = wire.withColumn("offset",
+      monotonically_increasing_id())
+    val back = KafkaConnector.upsertDecode(raw, schema, Seq("uid"), opts)
+      .select("row_kind", "uid", "region", "amount")
+      .as[(String, Long, Option[String], Option[Double])].collect().toSet
+    assert(back == Set(
+      ("+U", 1L, Some("eu"), Some(5.0)),
+      ("+U", 2L, Some("us"), Some(9.0)),
+      ("-D", 2L, None, None)), back.toString)
+  }
+
   test("CREATE TABLE LIKE inherits the pk under INCLUDING CONSTRAINTS") {
     val src = s"upk_like_src_$h"
     val dst = s"upk_like_dst_$h"
