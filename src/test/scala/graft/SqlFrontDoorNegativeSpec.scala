@@ -328,6 +328,12 @@ class SqlFrontDoorNegativeSpec extends AnyFunSuite {
       // a relation is a grammar error, not a silent comment
       intercept[IllegalArgumentException](Engine.sql(spark,
         "SELECT a FROM neg_h WHERE /*+ BROADCAST(neg_h) */ a > 0"))
+      // a '*/' INSIDE a hint option value ends the bracketed comment at
+      // the lexical layer (hints ride comment tokens here, unlike
+      // Calcite's grammar-level hints) — the truncated block must fail
+      // LOUDLY as unbalanced, never silently half-apply
+      intercept[IllegalArgumentException](Engine.sql(spark,
+        "SELECT a FROM neg_h /*+ OPTIONS('x'='*/') */"))
     } finally spark.catalog.dropTempView("neg_h")
   }
 
