@@ -1047,6 +1047,20 @@ object ChangelogSql {
           "bare or linearly joined to STATIC relations " +
           s"(subqueries/multi-changelog have no rewrite); got FROM ${c.relation}"))
     val name = chain(clIdx).name
+    // the ±1 sign algebra below assumes a RETRACT changelog (every
+    // update carries its -U). A declared UPSERT relation would
+    // double-count re-upserted keys — the same hole the batch path
+    // closes by normalizing, but a streaming normalize (stateful
+    // keep-last emitting retractions) feeding a second stateful
+    // aggregate is a two-stage topology: reject with the composition
+    // instead of planning something silently wrong
+    require(upsertKeysOf(spark, name).isEmpty,
+      s"'$name' is a declared UPSERT changelog (graft.upsert.keys): the " +
+        "continuous sign-algebra aggregate requires a retract stream. " +
+        "Normalize first — StatefulOps.normalizeUpsert emits the full " +
+        "-U/+U retraction stream into an intermediate table; aggregate " +
+        "THAT changelog continuously (or query the table in batch, " +
+        "where normalization is applied automatically)")
     // the static sides must BE static: the sign algebra requires a
     // retraction to join exactly the rows its insert joined — a growing
     // (streaming) side breaks that, and two changelogs need pairwise

@@ -140,7 +140,29 @@ object Engine {
     * `graft.statementSet.reuseSources=false` to opt out, e.g. when the
     * shared source is too large to spill-cache). The whole implemented
     * surface is reachable from one SQL-text front door. */
+  private val SetQuotedRe =
+    """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
+  private val SetBareRe = """(?is)\s*SET\s*;?\s*""".r
+  private val ResetQuotedRe = """(?is)\s*RESET\s+'([^']+)'\s*;?\s*""".r
+
   def sql(spark: SparkSession, query: String): DataFrame = query match {
+    // SqlClient session-config statements (flink-sql-client
+    // SqlSetOperation/SqlResetOperation): Flink's QUOTED spelling —
+    // SET 'key' = 'value' / RESET 'key' — which Spark's own SET grammar
+    // rejects ("invalid property key"). Spark's unquoted SET/RESET
+    // forms fall through to spark.sql untouched. Bare SET lists the
+    // session configuration, like the client.
+    case SetQuotedRe(k, v) =>
+      import spark.implicits._
+      spark.conf.set(k, v)
+      Seq((k, v)).toDF("key", "value")
+    case ResetQuotedRe(k) =>
+      import spark.implicits._
+      spark.conf.unset(k)
+      Seq((k, "<reset>")).toDF("key", "value")
+    case SetBareRe() =>
+      import spark.implicits._
+      spark.conf.getAll.toSeq.sortBy(_._1).toDF("key", "value")
     case StmtSetRe(body) =>
       import spark.implicits._
       val stmts = graft.util.SqlSplit.splitStatements(body)

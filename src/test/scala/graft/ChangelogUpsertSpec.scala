@@ -124,6 +124,21 @@ class ChangelogUpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
   }
 
+  test("a CONTINUOUS aggregate over an upsert table rejects with guidance") {
+    // the streaming sign algebra assumes a retract stream; an upsert
+    // input would double-count re-upserted keys — loud, with the
+    // normalize-first composition, never silently wrong
+    val t = s"ups_stream_$h"
+    mkUpsertTable(t)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-rej").toString
+    try {
+      val e = intercept[IllegalArgumentException](ChangelogSql.streamInsert(
+        spark, s"INSERT INTO ${t}_sink SELECT k, COUNT(*) AS n FROM $t GROUP BY k",
+        ckpt))
+      assert(e.getMessage.contains("normalizeUpsert"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+  }
+
   test("normalizeUpsert emits the full retract transition stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -145,6 +145,33 @@ class SqlHintsSpec extends AnyFunSuite {
     }
   }
 
+  test("SET 'k'='v' / RESET 'k' statements drive the session conf") {
+    val t = s"hints_dg3_${math.abs(getClass.getName.hashCode)}"
+    mkDatagen(t)
+    try {
+      // the SqlClient quoted spelling, which Spark's own SET grammar
+      // rejects — end to end against the hints gate
+      Engine.sql(spark, "SET 'table.dynamic-table-options.enabled' = 'false'")
+      val e = intercept[IllegalArgumentException](Engine.sql(spark,
+        s"SELECT COUNT(*) FROM $t /*+ OPTIONS('number-of-rows'='19') */"))
+      assert(e.getMessage.contains("dynamic-table-options"))
+      Engine.sql(spark, "RESET 'table.dynamic-table-options.enabled'")
+      assert(Engine.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $t /*+ OPTIONS('number-of-rows'='19') */")
+        .collect()(0).getLong(0) == 19)
+      // bare SET lists the session configuration
+      val all = Engine.sql(spark, "SET")
+      assert(all.columns.toSeq == Seq("key", "value") && all.count() > 10)
+      // Spark's UNQUOTED spelling still reaches spark.sql untouched
+      Engine.sql(spark, "SET spark.sql.shuffle.partitions=4")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    } finally {
+      spark.conf.unset("table.dynamic-table-options.enabled")
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    }
+  }
+
   test("OPTIONS on a non-connector relation rejects loudly") {
     fixtures()
     val e = intercept[Exception](Engine.sql(spark,
