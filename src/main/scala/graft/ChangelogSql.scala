@@ -457,6 +457,77 @@ object ChangelogSql {
     }
   }
 
+  /** `EXPLAIN CHANGELOG_MODE <statement>` — Flink's ExplainDetail
+    * .CHANGELOG_MODE (SqlRichExplain + ExecNode changelog annotations):
+    * per-relation changelog modes and the lowering this entry selects,
+    * above the lowered Spark plan. The mode vocabulary is the
+    * reference's: insert-only [+I], retract [+I,-U,+U,-D], upsert
+    * [+U,-D] with its key. */
+  def explainChangelog(spark: SparkSession, stmt: String): DataFrame = {
+    import spark.implicits._
+    val b = blank(stmt)
+    val rels = FromJoinIdRe.findAllMatchIn(b).map(_.group(1)).toSeq.distinct
+    def upsertOf(r: String) =
+      upsertKeysOf(spark, r).filter(_ => isChangelogRel(spark, r))
+    val modeLines = rels.map { r =>
+      val mode = upsertOf(r) match {
+        case Some(keys) => s"upsert [+U, -D] keyed by (${keys.mkString(", ")})"
+        case None if isChangelogRel(spark, r) => "retract [+I, -U, +U, -D]"
+        case None => "insert-only [+I]"
+      }
+      s"  $r: $mode"
+    }
+    val rawRead = Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).exists(m =>
+      ("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
+        .findFirstIn(b).isDefined)
+    val upsertRels = rels.filter(r => upsertOf(r).isDefined)
+    val retractRels = rels.filter(r =>
+      upsertOf(r).isEmpty && isChangelogRel(spark, r))
+    val route: Seq[String] =
+      if (upsertRels.isEmpty && retractRels.isEmpty) Nil
+      else if (rawRead)
+        Seq("  route: RAW changelog read (encoding columns referenced) — " +
+          "no rewrite")
+      else {
+        val norm =
+          if (upsertRels.isEmpty) Nil
+          else Seq("  route: ChangelogNormalize (keep-last per key) " +
+            s"applied to: ${upsertRels.mkString(", ")}")
+        val agg =
+          if (retractRels.isEmpty) Nil
+          else parse(stmt) match {
+            case Some(c) =>
+              val aggClauses = blank(c.selectList) + " " +
+                c.having.map(blank).getOrElse("") + " " +
+                c.orderBy.map(blank).getOrElse("")
+              val isDistinct =
+                """(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined
+              val hasAgg = callNames(aggClauses).exists(Supported)
+              if (!hasAgg && c.groupBy.isEmpty && !isDistinct)
+                Seq("  route: raw changelog projection — no rewrite")
+              else if (isDistinct ||
+                  """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined)
+                Seq("  route: retraction-consuming aggregate — NETTED " +
+                  "live multiset (net<>0 filter; MIN/MAX or DISTINCT " +
+                  "need surviving rows)")
+              else
+                Seq("  route: retraction-consuming aggregate — " +
+                  "single-exchange ±1 sign algebra (COUNT/SUM/AVG " +
+                  "distribute over change signs)")
+            case None =>
+              Seq("  route: composite statement — see this module's " +
+                "admissible-shape guards")
+          }
+        norm ++ agg
+      }
+    val plan = scala.util.Try(
+      Engine.sql(spark, stmt).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple")))
+      .getOrElse("<statement does not lower to a single batch plan>")
+    Seq("== Changelog Modes ==\n" + (modeLines ++ route).mkString("\n") +
+      "\n\n== Physical Plan ==\n" + plan).toDF("plan")
+  }
+
   /** Lower `stmt` if it is a supported aggregate over a changelog
     * relation; None = not this entry's statement (plain fall-through).
     * The changelog signal is the RESOLVED schema, never text. Throws

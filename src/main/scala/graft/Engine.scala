@@ -140,6 +140,15 @@ object Engine {
     * `graft.statementSet.reuseSources=false` to opt out, e.g. when the
     * shared source is too large to spill-cache). The whole implemented
     * surface is reachable from one SQL-text front door. */
+  // Flink's EXPLAIN details (SqlRichExplain, ExplainDetail): modes the
+  // stock EXPLAIN grammar lacks
+  private val ExplainChangelogRe =
+    """(?is)\s*EXPLAIN\s+CHANGELOG_MODE\s+(\S.*)""".r
+  private val ExplainCostDetailRe =
+    """(?is)\s*EXPLAIN\s+ESTIMATED_COST\s+(\S.*)""".r
+  private val ExplainJsonRe =
+    """(?is)\s*EXPLAIN\s+JSON_EXECUTION_PLAN\s+(\S.*)""".r
+
   private val SetQuotedRe =
     """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
   private val SetBareRe = """(?is)\s*SET\s*;?\s*""".r
@@ -152,6 +161,21 @@ object Engine {
     // rejects ("invalid property key"). Spark's unquoted SET/RESET
     // forms fall through to spark.sql untouched. Bare SET lists the
     // session configuration, like the client.
+    // EXPLAIN CHANGELOG_MODE / ESTIMATED_COST / JSON_EXECUTION_PLAN —
+    // the reference's rich-explain details (ExplainDetail.java):
+    // changelog modes annotate per-relation encodings + the inference
+    // route; ESTIMATED_COST maps onto Catalyst's cost mode;
+    // JSON_EXECUTION_PLAN serializes the optimized plan tree.
+    case ExplainChangelogRe(body) =>
+      ChangelogSql.explainChangelog(spark, body)
+    case ExplainCostDetailRe(body) =>
+      import spark.implicits._
+      Seq(sql(spark, body).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("cost")))
+        .toDF("plan")
+    case ExplainJsonRe(body) =>
+      import spark.implicits._
+      Seq(sql(spark, body).queryExecution.optimizedPlan.toJSON).toDF("plan")
     case SetQuotedRe(k, v) =>
       import spark.implicits._
       spark.conf.set(k, v)

@@ -549,7 +549,12 @@ object WatermarkDdl {
           s"remove the directory (or DROP TABLE $what from the owning " +
           "session) before CREATE")
     def artifacts(f: java.io.File): Boolean =
-      if (f.isDirectory) Option(f.listFiles).forall(_.forall(artifacts))
+      if (f.isDirectory)
+        // a _spark_metadata dir is the STREAMING sink's commit log — its
+        // batch-id/.compact entries are Spark-written by construction
+        // (a crashed toTable() sink leaves exactly this shape)
+        f.getName == "_spark_metadata" ||
+          Option(f.listFiles).forall(_.forall(artifacts))
       else {
         val n = f.getName
         n.startsWith("part-") || n.startsWith("_SUCCESS") ||

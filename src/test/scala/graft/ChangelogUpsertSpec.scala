@@ -139,6 +139,52 @@ class ChangelogUpsertSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
   }
 
+  test("EXPLAIN CHANGELOG_MODE annotates modes and the inference route") {
+    import spark.implicits._
+    val t = s"ups_expl_$h"
+    mkUpsertTable(t)
+    Seq(("+I", 1L, "g1", 4.0), ("-D", 2L, "g1", 4.0))
+      .toDF("row_kind", "cdc_ts", "g", "x").createOrReplaceTempView("expl_cl")
+    try {
+      // upsert table: mode + normalize route
+      val up = Engine.sql(spark,
+        s"EXPLAIN CHANGELOG_MODE SELECT COUNT(*) AS n FROM $t")
+        .as[String].collect().head
+      assert(up.contains(s"$t: upsert [+U, -D] keyed by (k)"), up)
+      assert(up.contains("ChangelogNormalize"), up)
+      assert(up.contains("== Physical Plan =="), up)
+      // retract changelog: sign route for COUNT/SUM, netted for MIN
+      val sgn = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT g, COUNT(*) AS n FROM expl_cl GROUP BY g")
+        .as[String].collect().head
+      assert(sgn.contains("expl_cl: retract [+I, -U, +U, -D]") &&
+        sgn.contains("sign algebra"), sgn)
+      val net = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT g, MIN(x) AS lo FROM expl_cl GROUP BY g")
+        .as[String].collect().head
+      assert(net.contains("NETTED live multiset"), net)
+      // raw-encoding reads and plain tables annotate honestly
+      val raw = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT row_kind, g FROM expl_cl")
+        .as[String].collect().head
+      assert(raw.contains("RAW changelog read"), raw)
+      val plain = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT 1 AS one FROM expl_cl WHERE cdc_ts > 0")
+        .as[String].collect().head
+      assert(plain.contains("RAW changelog read"), plain)
+      // the other rich-explain details
+      val cost = Engine.sql(spark,
+        s"EXPLAIN ESTIMATED_COST SELECT k FROM $t").as[String].collect().head
+      assert(cost.contains("Statistics") || cost.contains("sizeInBytes"), cost)
+      val js = Engine.sql(spark,
+        s"EXPLAIN JSON_EXECUTION_PLAN SELECT k FROM $t").as[String].collect().head
+      assert(js.trim.startsWith("[{") && js.contains("\"class\""), js.take(200))
+    } finally {
+      spark.catalog.dropTempView("expl_cl")
+      spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+    }
+  }
+
   test("normalizeUpsert emits the full retract transition stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
