@@ -552,6 +552,70 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // UPSERT-KAFKA DECODE under the oracle gate (r12,
+      // UpsertKafkaDynamicTableFactory + DynamicKafkaRecordSerialization
+      // Schema): orders history rendered as WIRE MESSAGES — json key
+      // bytes carrying the pk, json value bytes (tombstone NULL for
+      // deletes), offsets as the per-key order — decoded by
+      // KafkaConnector.upsertDecode into the row_kind/seq convention,
+      // landed as a declared upsert table, and aggregated through the
+      // front door (ChangelogNormalize applies). Same history as q151
+      // (+U at 1, %10 re-upserted at 2, %17 tombstoned at 3), so the
+      // oracle is the same final state: a decode bug (key/value
+      // misalignment, tombstone mishandling, offset ordering) breaks
+      // every column.
+      "q152_upsert_kafka_decode",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val t = "upk_q152"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double")
+        val keyJson = to_json(struct($"o_orderkey")).cast("binary").as("key")
+        val w1 = base.select(keyJson,
+          to_json(struct($"o_orderkey", $"o_orderpriority", $"price"))
+            .cast("binary").as("value"),
+          lit(1L).as("offset"))
+        val w2 = base.filter($"o_orderkey" % 10 === 0).select(keyJson,
+          to_json(struct($"o_orderkey", $"o_orderpriority",
+            bumped.as("price"))).cast("binary").as("value"),
+          lit(2L).as("offset"))
+        val w3 = base.filter($"o_orderkey" % 17 === 0).select(keyJson,
+          lit(null).cast("binary").as("value"), lit(3L).as("offset"))
+        val schema = new StructType().add("o_orderkey", LongType)
+          .add("o_orderpriority", StringType).add("price", DoubleType)
+        val decoded = graft.sources.KafkaConnector.upsertDecode(
+          w1.unionByName(w2).unionByName(w3), schema, Seq("o_orderkey"),
+          Map("key.format" -> "json", "value.format" -> "json"))
+        decoded.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'o_orderkey')")
+        Engine.sql(s, s"""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                 CAST(MAX(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS hi
+          FROM $t
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS total,
+        |       CAST(MAX(price) AS DOUBLE) AS hi
+        |FROM fs GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with
