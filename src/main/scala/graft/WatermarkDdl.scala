@@ -176,9 +176,57 @@ object WatermarkDdl {
       case Some(spec) => create(spark, spec); spark.emptyDataFrame
       case None => statement match {
         case InsertRe(table, rest) if spark.catalog.tableExists(baseName(table)) =>
-          spark.sql(s"INSERT INTO ${baseName(table)} $rest")
+          propsOf(spark, baseName(table)).get("connector") match {
+            case Some(conn) =>
+              // a connector table's base is schema-only: an INSERT must
+              // reach the CONNECTOR (writing the base would make the
+              // rows invisible to every read). jdbc appends — or
+              // UPSERTS when the table declares a PRIMARY KEY, Flink's
+              // JdbcDynamicTableSink keyed mode; filesystem appends
+              // files; sources with no reachable sink reject loudly.
+              insertConnector(spark, table, conn, rest)
+            case None => spark.sql(s"INSERT INTO ${baseName(table)} $rest")
+          }
         case _ => sqlHealingCreate(spark, statement)
       }
+    }
+  }
+
+  /** Batch INSERT into a connector table: evaluate the source query,
+    * align by position onto the declared physical schema, and write
+    * through the connector's sink. */
+  private def insertConnector(spark: SparkSession, table: String,
+      connector: String, rest: String): DataFrame = {
+    require("""(?is)^\s*(SELECT|VALUES|WITH|TABLE)\b""".r
+        .findFirstIn(rest).isDefined,
+      s"INSERT INTO $table: expected a SELECT/VALUES source, got: " +
+        rest.trim.take(80))
+    val declared = spark.table(baseName(table)).schema
+    val src = Engine.sql(spark, rest)
+    require(src.columns.length == declared.fields.length,
+      s"INSERT INTO $table: ${declared.fields.length} columns declared, " +
+        s"query produces ${src.columns.length}")
+    val aligned = src.toDF(declared.fieldNames.toIndexedSeq: _*)
+      .select(declared.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val props = propsOf(spark, baseName(table))
+      .filterNot(p => isInternalProp(p._1))
+    connector match {
+      case "jdbc" =>
+        val keys = propsOf(spark, baseName(table)).get("graft.primary.key")
+          .toSeq.flatMap(_.split(",").toSeq.map(_.trim)).filter(_.nonEmpty)
+        if (keys.nonEmpty)
+          graft.sources.JdbcConnector.upsertWrite(aligned, props, keys)
+        else graft.sources.JdbcConnector.write(aligned, props)
+        spark.emptyDataFrame
+      case "filesystem" =>
+        val (path, fmt) = graft.sources.FileSystemConnector.pathFormat(props)
+        aligned.write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(path)
+        spark.emptyDataFrame
+      case other => throw new IllegalArgumentException(
+        s"INSERT INTO $table: connector '$other' has no batch sink here " +
+          "(kafka needs the client jar + a broker; datagen is read-only)")
     }
   }
 

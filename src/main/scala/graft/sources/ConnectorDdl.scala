@@ -157,11 +157,81 @@ object JdbcConnector {
   }
 
   /** Append the frame to the JDBC table (the JdbcDynamicTableSink role;
-    * upsert semantics need a keyed sink — compose upsertMaterialize +
-    * overwrite for the batch analog). */
+    * upsert semantics need a keyed sink — [[upsertWrite]]). */
   def write(df: DataFrame, options: Map[String, String]): Unit =
     df.write.format("jdbc").options(sinkOptions(options))
       .mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  /** KEYED (upsert) write — the JdbcDynamicTableSink's upsert mode when
+    * the table declares a PRIMARY KEY (reference flink-connector-jdbc
+    * .../internal/executor/InsertOrUpdateJdbcExecutor.java — the generic
+    * try-UPDATE-else-INSERT fallback Flink uses exactly when the dialect
+    * has no native upsert statement, which is Derby's case). A
+    * `row_kind` column, if present, drives the changelog contract of
+    * Flink's upsert sink: +I/+U upsert, -D deletes by key, -U is
+    * skipped (the following +U carries the key's new image). Rows
+    * execute per partition over one connection; statements are
+    * prepared once. */
+  def upsertWrite(df: DataFrame, options: Map[String, String],
+      keys: Seq[String]): Unit = {
+    val opts = commonOptions(options)
+    val (url, table) = (opts("url"), opts("dbtable"))
+    val user = opts.get("user")
+    val pass = opts.get("password")
+    val kindIdx = df.columns.indexOf(graft.streaming.Cdc.RowKind)
+    val cols = df.columns.toSeq.filterNot(_ == graft.streaming.Cdc.RowKind)
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"upsert write needs key columns present in the frame; keys=" +
+        s"${keys.mkString(",")} cols=${cols.mkString(",")}")
+    val nonKeys = cols.filterNot(keys.contains)
+    val colIdx = cols.map(c => c -> df.columns.indexOf(c)).toMap
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val updateSql =
+      if (nonKeys.isEmpty) null
+      else s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
+    val deleteSql =
+      s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val conn = user match {
+        case Some(u) =>
+          java.sql.DriverManager.getConnection(url, u, pass.getOrElse(""))
+        case None => java.sql.DriverManager.getConnection(url)
+      }
+      try {
+        val ins = conn.prepareStatement(insertSql)
+        val upd = Option(updateSql).map(conn.prepareStatement)
+        val del = conn.prepareStatement(deleteSql)
+        def bind(st: java.sql.PreparedStatement, r: org.apache.spark.sql.Row,
+            order: Seq[String]): Unit =
+          order.zipWithIndex.foreach { case (c, i) =>
+            st.setObject(i + 1, r.get(colIdx(c)))
+          }
+        rows.foreach { r =>
+          val kind =
+            if (kindIdx < 0) graft.streaming.Cdc.Insert else r.getString(kindIdx)
+          kind match {
+            case graft.streaming.Cdc.UpdateBefore => () // the +U carries it
+            case graft.streaming.Cdc.Delete =>
+              bind(del, r, keys); del.executeUpdate(): Unit
+            case _ => upd match {
+              case Some(u) =>
+                bind(u, r, nonKeys ++ keys)
+                if (u.executeUpdate() == 0) { bind(ins, r, cols); ins.executeUpdate(): Unit }
+              case None => // all-key table: insert-if-absent
+                try { bind(ins, r, cols); ins.executeUpdate(): Unit }
+                catch {
+                  case e: java.sql.SQLException
+                      if e.getSQLState == "23505" => () // duplicate key
+                }
+            }
+          }
+        }
+        ins.close(); upd.foreach(_.close()); del.close()
+      } finally conn.close()
+    }
+  }
 
   // one connection per (url,user) per JVM for the lookup path — the
   // executor-side sharing JdbcRowDataLookupFunction's open() gives each
@@ -627,7 +697,7 @@ object DataGenConnector {
 
 /** `'connector'='filesystem'` -> Spark's file sources. */
 object FileSystemConnector {
-  private[sources] def pathFormat(opts: Map[String, String]): (String, String) = {
+  private[graft] def pathFormat(opts: Map[String, String]): (String, String) = {
     val path = opts.getOrElse("path", throw new IllegalArgumentException(
       "filesystem connector requires 'path'"))
     val fmt = opts.getOrElse("format", throw new IllegalArgumentException(

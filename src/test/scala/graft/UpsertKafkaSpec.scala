@@ -190,6 +190,67 @@ class UpsertKafkaSpec extends AnyFunSuite {
       ("-D", 2L, None, None)), back.toString)
   }
 
+  // ---- JDBC sink routing: INSERT reaches the CONNECTOR, keyed = upsert
+
+  private val sinkDbUrl =
+    s"jdbc:derby:memory:graftupksink$h"
+
+  test("INSERT INTO a jdbc table writes through the connector; pk upserts") {
+    import spark.implicits._
+    val c = java.sql.DriverManager.getConnection(s"$sinkDbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute(
+        "CREATE TABLE accounts (uid BIGINT NOT NULL PRIMARY KEY, " +
+          "region VARCHAR(16), amount DOUBLE)")
+      st.close()
+    } finally c.close()
+    val t = s"upk_jdbc_$h"
+    drop(t)
+    try {
+      Engine.sql(spark, s"""
+        CREATE TABLE $t (uid BIGINT, region STRING, amount DOUBLE,
+          PRIMARY KEY (uid) NOT ENFORCED)
+        WITH ('connector' = 'jdbc', 'url' = '$sinkDbUrl',
+              'table-name' = 'accounts')""")
+      Engine.sql(spark,
+        s"INSERT INTO $t VALUES (1, 'eu', 5.0), (2, 'us', 9.0)")
+      // the rows are readable back THROUGH the front door (connector
+      // read, not the schema-only base)
+      def state() = Engine.sql(spark,
+        s"SELECT uid, region, amount FROM $t ORDER BY uid")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(state() == Seq((1L, "eu", 5.0), (2L, "us", 9.0)), state().toString)
+      // same keys again: the PRIMARY KEY makes the sink UPSERT — no
+      // duplicate-key failure, values refreshed
+      Engine.sql(spark,
+        s"INSERT INTO $t VALUES (1, 'eu', 7.5), (3, 'ap', 2.0)")
+      assert(state() == Seq((1L, "eu", 7.5), (2L, "us", 9.0), (3L, "ap", 2.0)),
+        state().toString)
+      // a row_kind changelog through the library writer: -D deletes,
+      // -U is skipped (its +U carries the image)
+      val log = Seq(
+        ("-U", 1L, "eu", 7.5), ("+U", 1L, "eu", 8.0), ("-D", 2L, "us", 9.0))
+        .toDF("row_kind", "uid", "region", "amount")
+      graft.sources.JdbcConnector.upsertWrite(log,
+        Map("url" -> sinkDbUrl, "table-name" -> "accounts"), Seq("uid"))
+      assert(state() == Seq((1L, "eu", 8.0), (3L, "ap", 2.0)), state().toString)
+    } finally drop(t)
+  }
+
+  test("INSERT INTO a read-only connector rejects loudly") {
+    val t = s"upk_dg_$h"
+    drop(t)
+    try {
+      Engine.sql(spark, s"""
+        CREATE TABLE $t (id BIGINT)
+        WITH ('connector' = 'datagen', 'number-of-rows' = '3')""")
+      val e = intercept[IllegalArgumentException](
+        Engine.sql(spark, s"INSERT INTO $t VALUES (1)"))
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+    } finally drop(t)
+  }
+
   test("CREATE TABLE LIKE inherits the pk under INCLUDING CONSTRAINTS") {
     val src = s"upk_like_src_$h"
     val dst = s"upk_like_dst_$h"
