@@ -606,13 +606,58 @@ object Engine {
             }
           }
         assert(df.isStreaming, "rewritten SELECT lost streaming-ness")
-        // an extended sink's computed columns are virtual: write the base
-        val target =
-          if (spark.catalog.tableExists(s"__${sink}_base")) s"__${sink}_base" else sink
-        df.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", checkpointDir)
-          .toTable(target)
+        // a CONNECTOR sink receives each micro-batch through the
+        // connector's writer (a base write would be invisible to reads):
+        // jdbc appends — or UPSERTS when the sink declares a PRIMARY KEY,
+        // Flink's streaming JdbcDynamicTableSink keyed mode; filesystem
+        // appends files per commit. Read-only sources reject loudly.
+        val sinkProps = scala.util.Try(WatermarkDdl.tableOptions(spark, sink))
+          .getOrElse(Map.empty[String, String])
+        sinkProps.get("connector") match {
+          case Some(conn) =>
+            val declared = spark.table(s"__${sink}_base").schema
+            require(df.columns.length == declared.fields.length,
+              s"INSERT INTO $sink: ${declared.fields.length} columns " +
+                s"declared, query produces ${df.columns.length}")
+            val props = sinkProps.filterNot(p =>
+              WatermarkDdl.isInternalPropName(p._1))
+            val keys = sinkProps.get("graft.primary.key").toSeq
+              .flatMap(_.split(",").toSeq.map(_.trim)).filter(_.nonEmpty)
+            val writeBatch: DataFrame => Unit = conn match {
+              case "jdbc" =>
+                if (keys.nonEmpty)
+                  b => graft.sources.JdbcConnector.upsertWrite(b, props, keys)
+                else b => graft.sources.JdbcConnector.write(b, props)
+              case "filesystem" =>
+                val (path, fmt) =
+                  graft.sources.FileSystemConnector.pathFormat(props)
+                b => b.write.format(fmt)
+                  .mode(org.apache.spark.sql.SaveMode.Append).save(path)
+              case other => throw new IllegalArgumentException(
+                s"INSERT INTO $sink: connector '$other' has no streaming " +
+                  "sink here (kafka needs the client jar + a broker; " +
+                  "datagen is read-only)")
+            }
+            df.writeStream
+              .outputMode("append")
+              .option("checkpointLocation", checkpointDir)
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                writeBatch(batch.toDF(declared.fieldNames.toIndexedSeq: _*)
+                  .select(declared.fields.toSeq.map(f =>
+                    org.apache.spark.sql.functions.col(f.name)
+                      .cast(f.dataType)): _*))
+              }
+              .start()
+          case None =>
+            // an extended sink's computed columns are virtual: write the base
+            val target =
+              if (spark.catalog.tableExists(s"__${sink}_base")) s"__${sink}_base"
+              else sink
+            df.writeStream
+              .outputMode("append")
+              .option("checkpointLocation", checkpointDir)
+              .toTable(target)
+        }
       case other => throw new IllegalArgumentException(
         s"sqlStreamInsert expects INSERT INTO <table> SELECT ..., got: $other")
     }

@@ -344,6 +344,10 @@ object WatermarkDdl {
       "PARTITIONS", "WATERMARKS")
 
   /** Catalog bookkeeping keys that are never connector options. */
+  /** Public gate for consumers outside this object (Engine's streaming
+    * connector-sink routing). */
+  private[graft] def isInternalPropName(k: String): Boolean = isInternalProp(k)
+
   private def isInternalProp(k: String): Boolean =
     k.startsWith("graft.watermark") || k == "graft.computed" ||
       k == "graft.primary.key" ||

@@ -238,6 +238,55 @@ class UpsertKafkaSpec extends AnyFunSuite {
     } finally drop(t)
   }
 
+  test("a CONTINUOUS INSERT into a keyed jdbc table upserts per commit") {
+    import spark.implicits._
+    val c = java.sql.DriverManager.getConnection(s"$sinkDbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute(
+        "CREATE TABLE live_totals (uid BIGINT NOT NULL PRIMARY KEY, amount DOUBLE)")
+      st.close()
+    } finally c.close()
+    val (src, snk) = (s"upk_ssrc_$h", s"upk_ssnk_$h")
+    drop(src); drop(snk)
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (uid BIGINT, amount DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark, s"""
+      CREATE TABLE $snk (uid BIGINT, amount DOUBLE,
+        PRIMARY KEY (uid) NOT ENFORCED)
+      WITH ('connector' = 'jdbc', 'url' = '$sinkDbUrl',
+            'table-name' = 'live_totals')""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjdbc").toString
+    val q = Engine.sqlStreamInsert(spark,
+      s"INSERT INTO $snk SELECT uid, amount FROM $src", ckpt)
+    def state() = {
+      val cc = java.sql.DriverManager.getConnection(sinkDbUrl)
+      try {
+        val rs = cc.createStatement()
+          .executeQuery("SELECT uid, amount FROM live_totals ORDER BY uid")
+        val out = Seq.newBuilder[(Long, Double)]
+        while (rs.next()) out += ((rs.getLong(1), rs.getDouble(2)))
+        out.result()
+      } finally cc.close()
+    }
+    try {
+      Engine.sql(spark,
+        s"INSERT INTO $src VALUES (1, 5.0, TIMESTAMP '2024-01-01 00:00:01'), " +
+          "(2, 9.0, TIMESTAMP '2024-01-01 00:00:01')")
+      q.processAllAvailable()
+      assert(state() == Seq((1L, 5.0), (2L, 9.0)), state().toString)
+      // a later commit REFRESHES key 1 (pk upsert, no duplicate-key)
+      Engine.sql(spark,
+        s"INSERT INTO $src VALUES (1, 7.5, TIMESTAMP '2024-01-01 00:00:02')")
+      q.processAllAvailable()
+      assert(state() == Seq((1L, 7.5), (2L, 9.0)), state().toString)
+    } finally {
+      q.stop()
+      drop(src); drop(snk)
+    }
+  }
+
   test("INSERT INTO a read-only connector rejects loudly") {
     val t = s"upk_dg_$h"
     drop(t)
