@@ -105,44 +105,79 @@ object ChangelogSql {
       limit: Option[String])
 
   private def parse(stmt0: String): Option[Clauses] = {
+    import graft.util.SqlTokens
     // trailing semicolon would make the relation token unparseable and
     // silently fall a changelog aggregate through to plain SQL
     val stmt = stmt0.trim.replaceAll(";\\s*$", "")
-    val b = blank(stmt)
-    if (!b.trim.regionMatches(true, 0, "SELECT", 0, 6)) return None
-    // first DEPTH-0 occurrence of each clause keyword (flexible inner
-    // whitespace); depth-0 means a window's OVER(... ORDER BY) or a
-    // subquery's clauses never split the outer statement
-    def findFlex(kw: String): Option[(Int, Int)] = {
-      val re = ("(?is)\\b" + kw.replace(" ", "\\s+") + "\\b").r
-      var pos = -1
-      var end = -1
-      re.findAllMatchIn(b).foreach { m =>
-        if (pos < 0) {
-          // only depth-0 hits count
-          val d = b.take(m.start).count(_ == '(') - b.take(m.start).count(_ == ')')
-          if (d == 0) { pos = m.start; end = m.end }
-        }
+    // clause boundaries walk the TOKEN stream (SqlTokens.structural —
+    // the single lexical layer): a keyword inside a string literal is a
+    // Str token, one inside a comment never reaches the walk, a
+    // backtick-quoted `from` is a QUOTED identifier and never a clause
+    // keyword, and a paren inside either can't desync the depth count —
+    // the bug classes the old blanked-regex slicing had to handle one
+    // by one are impossible by construction here
+    val toks = SqlTokens.structural(SqlTokens.tokenize(stmt))
+    def word(i: Int): String =
+      if (i < toks.length && toks(i).kind == SqlTokens.Kind.Ident &&
+          stmt.charAt(toks(i).start) != '`') toks(i).word(stmt)
+      else ""
+    if (word(0) != "SELECT") return None
+    // first DEPTH-0 occurrence of each clause keyword; depth-0 means a
+    // window's OVER(... ORDER BY) or a subquery's clauses never split
+    // the outer statement. Two-word clauses pair with the NEXT
+    // structural token, so comments between GROUP and BY are fine.
+    val found = scala.collection.mutable.Map.empty[String, (Int, Int)]
+    var depth = 0
+    var i = 1
+    while (i < toks.length) {
+      toks(i).kind match {
+        case SqlTokens.Kind.LParen => depth += 1
+        case SqlTokens.Kind.RParen => depth -= 1
+        case SqlTokens.Kind.Ident if depth == 0 =>
+          word(i) match {
+            case "FROM" | "WHERE" | "HAVING" | "LIMIT" =>
+              val k = word(i)
+              if (!found.contains(k))
+                found(k) = (toks(i).start, toks(i).end)
+            case "GROUP" | "ORDER" if word(i + 1) == "BY" =>
+              val k = word(i) + " BY"
+              if (!found.contains(k))
+                found(k) = (toks(i).start, toks(i + 1).end)
+            case _ => ()
+          }
+        case _ => ()
       }
-      if (pos < 0) None else Some((pos, end))
+      i += 1
     }
-    val from = findFlex("FROM").getOrElse(return None)
-    val where = findFlex("WHERE")
-    val group = findFlex("GROUP BY")
-    val havingKw = findFlex("HAVING")
-    val order = findFlex("ORDER BY")
-    val limit = findFlex("LIMIT")
-    val selectKw = """(?is)^\s*SELECT\b""".r.findFirstMatchIn(b).get
+    val from = found.get("FROM").getOrElse(return None)
+    val where = found.get("WHERE")
+    val group = found.get("GROUP BY")
+    val havingKw = found.get("HAVING")
+    val order = found.get("ORDER BY")
+    val limit = found.get("LIMIT")
     val boundaries =
       (Seq(from) ++ where ++ group ++ havingKw ++ order ++ limit)
         .map(_._1).sorted
+    // slices come from a COMMENT-BLANKED copy (comments are whitespace
+    // to SQL — leaving them in would, e.g., make a relation slice
+    // `t /* c */` fail the bare-relation shape); literal contents stay
+    val src = {
+      val arr = stmt.toCharArray
+      SqlTokens.tokenize(stmt).foreach { t =>
+        if (t.kind == SqlTokens.Kind.Comment) {
+          var j = t.start
+          while (j < t.end) { arr(j) = ' '; j += 1 }
+        }
+      }
+      new String(arr)
+    }
     def sliceAfter(kwEnd: Int): String = {
       val next = boundaries.filter(_ > kwEnd)
       val stop = if (next.isEmpty) stmt.length else next.head
-      stmt.substring(kwEnd, stop).trim
+      src.substring(kwEnd, stop).trim
     }
     Some(Clauses(
-      stmt.substring(selectKw.end, from._1).trim,
+      src.substring(toks(0).end, from._1).trim,
       sliceAfter(from._2),
       where.map(w => sliceAfter(w._2)),
       group.map(g => sliceAfter(g._2)),
@@ -399,13 +434,22 @@ object ChangelogSql {
     * [[streamInsert]] writes and Flink's upsert-kafka tables carry).
     * Mode is declared where Flink declares it — on the TABLE: the
     * `graft.upsert.keys` catalog property (streamInsert records it on
-    * its sinks automatically). */
-  private def upsertKeysOf(spark: SparkSession, rel: String): Option[Seq[String]] =
-    scala.util.Try {
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(rel))
-        .properties.get("graft.upsert.keys")
-    }.toOption.flatten.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    * its sinks automatically). Resolution is BASE-AWARE: a DDL-declared
+    * connector table persists its properties on `__<rel>_base` (the
+    * user-facing name is a props-less catalog view), so the lookup goes
+    * through [[WatermarkDdl.tableOptions]] — which checks the base
+    * first — and falls back to the direct table metadata for plain
+    * tables carrying the property in their own TBLPROPERTIES. */
+  private[graft] def upsertKeysOf(
+      spark: SparkSession, rel: String): Option[Seq[String]] =
+    scala.util.Try(WatermarkDdl.tableOptions(spark, rel))
+      .toOption.flatMap(_.get("graft.upsert.keys"))
+      .orElse(scala.util.Try {
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(rel))
+          .properties.get("graft.upsert.keys")
+      }.toOption.flatten)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
 
   /** ChangelogNormalize for batch (StreamExecChangelogNormalize /
@@ -540,7 +584,14 @@ object ChangelogSql {
   def sql(spark: SparkSession, stmt: String): Option[DataFrame] = {
     val shadows = normalizeUpsertRels(spark, stmt)
     if (shadows.isEmpty) sqlInner(spark, stmt)
-    else try sqlInner(spark, stmt).orElse(Some(spark.sql(stmt)))
+    // with shadows active the statement must still execute THROUGH the
+    // extended dispatch (WatermarkDdl owns INSERT-into-connector routing
+    // and the healing CREATE path) — the shadow views stay bound for the
+    // duration, so the normalized state is what resolves; a raw
+    // spark.sql here would lose that routing (e.g. INSERT INTO
+    // <connector table> SELECT ... FROM <upsert table> would try to
+    // write the catalog view and fail)
+    else try sqlInner(spark, stmt).orElse(Some(WatermarkDdl.sql(spark, stmt)))
     finally shadows.foreach {
       case (name, Some(prior)) => prior.createOrReplaceTempView(name)
       case (name, None)        => spark.catalog.dropTempView(name): Unit

@@ -149,6 +149,23 @@ object Engine {
   private val ExplainJsonRe =
     """(?is)\s*EXPLAIN\s+JSON_EXECUTION_PLAN\s+(\S.*)""".r
 
+  /** The rich-EXPLAIN modes route their body through the EXTENDED sql()
+    * dispatch, which executes statements EAGERLY — so a side-effecting
+    * body (INSERT into a connector table, CREATE, SET, ...) would
+    * actually run under EXPLAIN. Flink's EXPLAIN never executes the job;
+    * until a plan-without-execute path exists for the extended dialect,
+    * only query-shaped bodies (SELECT / WITH / TABLE / VALUES) are
+    * admitted — everything else rejects loudly instead of silently
+    * committing a write. */
+  private def requireQueryShapedExplainBody(body: String, mode: String): Unit = {
+    val head = graft.util.SqlSplit.blankLiterals(body).trim
+      .takeWhile(_.isLetter).toUpperCase
+    require(Set("SELECT", "WITH", "TABLE", "VALUES").contains(head),
+      s"EXPLAIN $mode takes a QUERY body (SELECT/WITH/TABLE/VALUES); " +
+        s"'${body.trim.take(60)}' is a statement with side effects and " +
+        "will not be executed under EXPLAIN")
+  }
+
   private val SetQuotedRe =
     """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
   private val SetBareRe = """(?is)\s*SET\s*;?\s*""".r
@@ -167,14 +184,17 @@ object Engine {
     // route; ESTIMATED_COST maps onto Catalyst's cost mode;
     // JSON_EXECUTION_PLAN serializes the optimized plan tree.
     case ExplainChangelogRe(body) =>
+      requireQueryShapedExplainBody(body, "CHANGELOG_MODE")
       ChangelogSql.explainChangelog(spark, body)
     case ExplainCostDetailRe(body) =>
       import spark.implicits._
+      requireQueryShapedExplainBody(body, "ESTIMATED_COST")
       Seq(sql(spark, body).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("cost")))
         .toDF("plan")
     case ExplainJsonRe(body) =>
       import spark.implicits._
+      requireQueryShapedExplainBody(body, "JSON_EXECUTION_PLAN")
       Seq(sql(spark, body).queryExecution.optimizedPlan.toJSON).toDF("plan")
     case SetQuotedRe(k, v) =>
       import spark.implicits._

@@ -360,14 +360,29 @@ object SqlComposer {
         }
       case InsertSelRe(mode, table, body) =>
         composedBody(spark, body).map { df =>
-          val target = // extended sinks store through their physical base table
-            if (spark.catalog.tableExists(s"__${table}_base")) s"__${table}_base"
-            else table
-          val writer = df.write
-          if (mode.equalsIgnoreCase("OVERWRITE"))
-            writer.mode("overwrite").insertInto(target)
-          else writer.mode("append").insertInto(target)
-          spark.emptyDataFrame
+          // a CONNECTOR sink must receive the rows through the
+          // connector's writer — its base only carries the schema, so a
+          // base write would be invisible to every read of the table
+          val connectorOf = scala.util.Try(
+            graft.WatermarkDdl.tableOptions(spark, table)).toOption
+            .flatMap(_.get("connector"))
+          connectorOf match {
+            case Some(conn) =>
+              require(!mode.equalsIgnoreCase("OVERWRITE"),
+                s"INSERT OVERWRITE into connector table $table is not " +
+                  "supported (the connector sink appends/upserts)")
+              graft.WatermarkDdl.insertConnectorFrame(spark, table, conn, df)
+            case None =>
+              val target = // extended sinks store through their physical base
+                if (spark.catalog.tableExists(s"__${table}_base"))
+                  s"__${table}_base"
+                else table
+              val writer = df.write
+              if (mode.equalsIgnoreCase("OVERWRITE"))
+                writer.mode("overwrite").insertInto(target)
+              else writer.mode("append").insertInto(target)
+              spark.emptyDataFrame
+          }
         }
       case _ => None
     }

@@ -307,13 +307,18 @@ object TemporalSql {
           }
         case None => base
       }
+      // the cache identity must carry the KEY COLUMN and payload list,
+      // not just the table: two LOOKUP-hinted statements probing
+      // different key columns of one dim table otherwise share a cache
+      // keyed only by value, serving wrong payload rows across keyspaces
+      val cacheName = s"lookup:$dimTbl:$dKey:${payloadCols.mkString(",")}"
       val looked: Any => Option[Seq[Any]] = LookupCache.specOf(props) match {
         case Some(LookupCache.FullSpec(reloadMs)) =>
-          LookupCache.fullCached[Any, Seq[Any]](s"lookup:$dimTbl", reloadMs)(
+          LookupCache.fullCached[Any, Seq[Any]](cacheName, reloadMs)(
             JdbcConnector.scanAll(props, dKey, payloadCols))
         case Some(LookupCache.PartialSpec(maxRows, ttlMs)) =>
           LookupCache.cached[Any, Option[Seq[Any]]](
-            s"lookup:$dimTbl", maxRows, ttlMs)(retried)
+            cacheName, maxRows, ttlMs)(retried)
         case None => retried
       }
 

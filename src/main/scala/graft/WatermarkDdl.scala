@@ -201,8 +201,15 @@ object WatermarkDdl {
         .findFirstIn(rest).isDefined,
       s"INSERT INTO $table: expected a SELECT/VALUES source, got: " +
         rest.trim.take(80))
+    insertConnectorFrame(spark, table, connector, Engine.sql(spark, rest))
+  }
+
+  /** Frame-level connector INSERT — shared by the SQL route above and
+    * the composer's `INSERT INTO <t> <extended/changelog body>` form
+    * (whose body is already a DataFrame when the target resolves). */
+  private[graft] def insertConnectorFrame(spark: SparkSession, table: String,
+      connector: String, src: DataFrame): DataFrame = {
     val declared = spark.table(baseName(table)).schema
-    val src = Engine.sql(spark, rest)
     require(src.columns.length == declared.fields.length,
       s"INSERT INTO $table: ${declared.fields.length} columns declared, " +
         s"query produces ${src.columns.length}")

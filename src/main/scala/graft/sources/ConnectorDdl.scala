@@ -169,22 +169,54 @@ object JdbcConnector {
     * has no native upsert statement, which is Derby's case). A
     * `row_kind` column, if present, drives the changelog contract of
     * Flink's upsert sink: +I/+U upsert, -D deletes by key, -U is
-    * skipped (the following +U carries the key's new image). Rows
-    * execute per partition over one connection; statements are
-    * prepared once. */
+    * skipped (the following +U carries the key's new image).
+    *
+    * BATCHED AND KEYED like the reference's sink
+    * (JdbcOutputFormat + TableBufferReducedStatementExecutor,
+    * JdbcExecutionOptions.batchSize — default 100 there): the frame is
+    * REPARTITIONED BY THE KEY columns (Flink keys the stream by pk
+    * before the sink — two changes to one key must never race across
+    * partitions) and ordered within each partition by the changelog's
+    * commit sequence when it carries one; each partition holds one
+    * connection, one TRANSACTION, and a pk-keyed reduce buffer — the
+    * LAST action per key wins, exactly the reduced executor's contract,
+    * which preserves per-key INSERT/UPDATE/DELETE order by construction.
+    * A full buffer (`sink.buffer-flush.max-rows`, default 500) flushes
+    * as three addBatch/executeBatch round-trips: DELETEs, UPDATEs, then
+    * INSERTs for the keys the UPDATE batch missed — O(rows/batch)
+    * statements instead of O(rows). A 23505 (duplicate key) on the
+    * INSERT batch — a row landed between our UPDATE and INSERT — retries
+    * that buffer row-by-row with a follow-up UPDATE.
+    * `sink.buffer-flush.interval` is validated (the reference's
+    * time-based flush) but a bounded partition write always flushes at
+    * partition end, which is at least as fresh. Round-trips are counted
+    * in [[JdbcWriteStats]] so tests can assert the batching. */
   def upsertWrite(df: DataFrame, options: Map[String, String],
       keys: Seq[String]): Unit = {
     val opts = commonOptions(options)
     val (url, table) = (opts("url"), opts("dbtable"))
     val user = opts.get("user")
     val pass = opts.get("password")
+    val flushRows = options.get("sink.buffer-flush.max-rows")
+      .map(_.trim.toInt).getOrElse(500)
+    require(flushRows > 0, "sink.buffer-flush.max-rows must be positive")
+    // accepted + validated; a bounded partition write flushes at end
+    options.get("sink.buffer-flush.interval")
+      .foreach(graft.operators.LookupCache.parseDurationMs(_): Unit)
     val kindIdx = df.columns.indexOf(graft.streaming.Cdc.RowKind)
-    val cols = df.columns.toSeq.filterNot(_ == graft.streaming.Cdc.RowKind)
+    // changelog ENCODING columns order the changes but are not payload:
+    // the commit sequence (and, on a row_kind-carrying frame, cdc_ts)
+    // never reaches the database table — Flink's sink writes the
+    // declared sink schema, not the changelog metadata
+    val encodingCols = Seq(graft.streaming.Cdc.RowKind, graft.ChangelogSql.SeqCol) ++
+      (if (kindIdx >= 0) Seq("cdc_ts") else Nil)
+    val cols = df.columns.toSeq.filterNot(encodingCols.contains)
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"upsert write needs key columns present in the frame; keys=" +
         s"${keys.mkString(",")} cols=${cols.mkString(",")}")
     val nonKeys = cols.filterNot(keys.contains)
     val colIdx = cols.map(c => c -> df.columns.indexOf(c)).toMap
+    val keyIdxs = keys.map(colIdx)
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val updateSql =
@@ -193,12 +225,22 @@ object JdbcConnector {
         s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
     val deleteSql =
       s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    // co-locate each key's changes and keep their commit order: the
+    // reduce buffer's last-wins is only correct if "last" is real
+    val keyed = df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+    val orderCol = Seq(graft.ChangelogSql.SeqCol, "cdc_ts").find(df.columns.contains)
+    val ordered = orderCol.fold(keyed)(c => keyed.sortWithinPartitions(c))
+    ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // empty partitions (repartition spreads keys over the shuffle
+      // width) must not open connections or count commits
+      if (rows.hasNext) {
       val conn = user match {
         case Some(u) =>
           java.sql.DriverManager.getConnection(url, u, pass.getOrElse(""))
         case None => java.sql.DriverManager.getConnection(url)
       }
+      val hadAutoCommit = conn.getAutoCommit
+      conn.setAutoCommit(false)
       try {
         val ins = conn.prepareStatement(insertSql)
         val upd = Option(updateSql).map(conn.prepareStatement)
@@ -208,29 +250,105 @@ object JdbcConnector {
           order.zipWithIndex.foreach { case (c, i) =>
             st.setObject(i + 1, r.get(colIdx(c)))
           }
+        // pk -> (isDelete, row): TableBufferReducedStatementExecutor's
+        // buffer — the LAST action per key is the only one flushed
+        val buf = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[Any], (Boolean, org.apache.spark.sql.Row)]
+        def rowByRow(r: org.apache.spark.sql.Row): Unit = upd match {
+          case Some(u) =>
+            try { bind(ins, r, cols); ins.executeUpdate(): Unit }
+            catch {
+              case e: java.sql.SQLException if e.getSQLState == "23505" =>
+                bind(u, r, nonKeys ++ keys); u.executeUpdate(): Unit
+            }
+            JdbcWriteStats.roundTrips.incrementAndGet(): Unit
+          case None =>
+            try { bind(ins, r, cols); ins.executeUpdate(): Unit }
+            catch {
+              case e: java.sql.SQLException if e.getSQLState == "23505" => ()
+            }
+            JdbcWriteStats.roundTrips.incrementAndGet(): Unit
+        }
+        def flush(): Unit = if (buf.nonEmpty) {
+          val (dels, ups) = buf.values.toSeq.partition(_._1)
+          if (dels.nonEmpty) {
+            dels.foreach { case (_, r) => bind(del, r, keys); del.addBatch() }
+            del.executeBatch()
+            JdbcWriteStats.roundTrips.incrementAndGet(): Unit
+          }
+          if (ups.nonEmpty) upd match {
+            case Some(u) =>
+              ups.foreach { case (_, r) => bind(u, r, nonKeys ++ keys); u.addBatch() }
+              val counts = u.executeBatch()
+              JdbcWriteStats.roundTrips.incrementAndGet()
+              val missed = ups.zip(counts.toSeq).collect {
+                case ((_, r), 0) => r
+              }
+              if (missed.nonEmpty) {
+                try {
+                  missed.foreach { r => bind(ins, r, cols); ins.addBatch() }
+                  ins.executeBatch()
+                  JdbcWriteStats.roundTrips.incrementAndGet(): Unit
+                } catch {
+                  case e: java.sql.BatchUpdateException
+                      if e.getSQLState == "23505" ||
+                        Option(e.getNextException)
+                          .exists(_.getSQLState == "23505") =>
+                    // a row landed concurrently: clear the poisoned
+                    // batch, settle these rows one by one
+                    ins.clearBatch()
+                    missed.foreach(rowByRow)
+                }
+              }
+            case None =>
+              // all-key table: DELETE+INSERT is the batched
+              // insert-if-absent (final state identical, no 23505 path)
+              ups.foreach { case (_, r) => bind(del, r, keys); del.addBatch() }
+              del.executeBatch()
+              ups.foreach { case (_, r) => bind(ins, r, cols); ins.addBatch() }
+              ins.executeBatch()
+              JdbcWriteStats.roundTrips.addAndGet(2): Unit
+          }
+          buf.clear()
+        }
         rows.foreach { r =>
           val kind =
             if (kindIdx < 0) graft.streaming.Cdc.Insert else r.getString(kindIdx)
           kind match {
             case graft.streaming.Cdc.UpdateBefore => () // the +U carries it
             case graft.streaming.Cdc.Delete =>
-              bind(del, r, keys); del.executeUpdate(): Unit
-            case _ => upd match {
-              case Some(u) =>
-                bind(u, r, nonKeys ++ keys)
-                if (u.executeUpdate() == 0) { bind(ins, r, cols); ins.executeUpdate(): Unit }
-              case None => // all-key table: insert-if-absent
-                try { bind(ins, r, cols); ins.executeUpdate(): Unit }
-                catch {
-                  case e: java.sql.SQLException
-                      if e.getSQLState == "23505" => () // duplicate key
-                }
-            }
+              buf.update(keyIdxs.map(r.get), (true, r))
+              if (buf.size >= flushRows) flush()
+            case _ =>
+              buf.update(keyIdxs.map(r.get), (false, r))
+              if (buf.size >= flushRows) flush()
           }
         }
+        flush()
+        conn.commit()
+        JdbcWriteStats.roundTrips.incrementAndGet()
         ins.close(); upd.foreach(_.close()); del.close()
-      } finally conn.close()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case _: Exception => () }
+          throw t
+      } finally {
+        try conn.setAutoCommit(hadAutoCommit) catch { case _: Exception => () }
+        conn.close()
+      }
+      }
     }
+  }
+
+  /** JDBC round-trip counter (statements/batches sent to the server +
+    * commits), incremented by the sink paths. A per-JVM observability
+    * probe: on a cluster each executor counts its own traffic; in tests
+    * (single JVM) it asserts the batching — a batched write of N rows
+    * must issue O(N / batch-size) round-trips, not O(N). */
+  object JdbcWriteStats {
+    val roundTrips = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = roundTrips.set(0)
+    def get: Long = roundTrips.get
   }
 
   // one connection per (url,user) per JVM for the lookup path — the

@@ -124,6 +124,109 @@ class ChangelogUpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
   }
 
+  test("DDL-DECLARED upsert keys resolve base-aware (the __t_base props route)") {
+    // a connector table created through the extended DDL persists its
+    // WITH options — graft.upsert.keys included — on `__<t>_base`; the
+    // user-facing name is a props-less catalog view. Key resolution must
+    // check the base, or ChangelogNormalize is SILENTLY skipped and a
+    // batch read returns the raw changelog (re-upserted keys
+    // double-counted, tombstoned keys surviving).
+    import spark.implicits._
+    val t = s"ups_ddl_$h"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ups-ddl").toString
+    // same history as mkUpsertTable, landed as parquet FILES the
+    // filesystem connector reads
+    Seq(
+      ("+U", 1L, "k1", 4.0), ("+U", 1L, "k2", 9.0),
+      ("+U", 2L, "k1", 7.5), ("+U", 2L, "k3", 2.0),
+      ("-D", 3L, "k2", 9.0))
+      .toDF("row_kind", "cdc_ts", "k", "v")
+      .write.mode("overwrite").parquet(dir)
+    def dropDdl(): Unit = {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base"): Unit
+    }
+    dropDdl()
+    try {
+      Engine.sql(spark, s"""
+        CREATE TABLE $t (row_kind STRING, cdc_ts BIGINT, k STRING, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '$dir',
+              'format' = 'parquet', 'graft.upsert.keys' = 'k')""")
+      val got = Engine.sql(spark,
+        s"SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total FROM $t")
+        .as[(Long, Double)].collect().head
+      // normalized state: k1=7.5, k3=2.0 — NOT the 4 raw +U rows
+      assert(got == ((2L, 9.5)), s"PK-DDL upsert keys not applied: $got")
+      val rows = Engine.sql(spark, s"SELECT k, v FROM $t ORDER BY k")
+        .as[(String, Double)].collect().toSeq
+      assert(rows == Seq(("k1", 7.5), ("k3", 2.0)), rows.toString)
+    } finally dropDdl()
+  }
+
+  test("INSERT INTO a connector table FROM an upsert table keeps both routings") {
+    // shadows active (the upsert source normalizes) AND the statement
+    // must still dispatch through WatermarkDdl — the INSERT writes
+    // through the jdbc connector, never the catalog view
+    import spark.implicits._
+    val src = s"ups_insrc_$h"
+    val snk = s"ups_insnk_$h"
+    val dbUrl = s"jdbc:derby:memory:graftupsins$h"
+    mkUpsertTable(src)
+    val c = java.sql.DriverManager.getConnection(s"$dbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE normed (k VARCHAR(32), v DOUBLE)")
+      st.close()
+    } finally c.close()
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $snk")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${snk}_base")
+    try {
+      Engine.sql(spark, s"""
+        CREATE TABLE $snk (k STRING, v DOUBLE)
+        WITH ('connector' = 'jdbc', 'url' = '$dbUrl',
+              'table-name' = 'normed')""")
+      Engine.sql(spark, s"INSERT INTO $snk SELECT k, v FROM $src")
+      val back = {
+        val cc = java.sql.DriverManager.getConnection(dbUrl)
+        try {
+          val rs = cc.createStatement()
+            .executeQuery("SELECT k, v FROM normed ORDER BY k")
+          val out = Seq.newBuilder[(String, Double)]
+          while (rs.next()) out += ((rs.getString(1), rs.getDouble(2)))
+          out.result()
+        } finally cc.close()
+      }
+      // normalized current state reached the database: k1=7.5, k3=2.0
+      assert(back == Seq(("k1", 7.5), ("k3", 2.0)), back.toString)
+    } finally {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $snk")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${snk}_base")
+      spark.sql(s"DROP TABLE IF EXISTS $src"): Unit
+    }
+  }
+
+  test("rich EXPLAIN never executes a side-effecting body") {
+    import spark.implicits._
+    val t = s"ups_expl_sink_$h"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k STRING, v DOUBLE) USING parquet")
+    try {
+      Seq("CHANGELOG_MODE", "ESTIMATED_COST", "JSON_EXECUTION_PLAN")
+        .foreach { mode =>
+          val e = intercept[IllegalArgumentException](Engine.sql(spark,
+            s"EXPLAIN $mode INSERT INTO $t VALUES ('a', 1.0)"))
+          assert(e.getMessage.contains("side effects"), e.getMessage)
+        }
+      val n = spark.table(t).count()
+      assert(n == 0, s"EXPLAIN committed a write: $n rows")
+      // query bodies still explain
+      val plan = Engine.sql(spark,
+        s"EXPLAIN ESTIMATED_COST SELECT COUNT(*) FROM $t")
+        .as[String].collect().head
+      assert(plan.nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+  }
+
   test("a CONTINUOUS aggregate over an upsert table rejects with guidance") {
     // the streaming sign algebra assumes a retract stream; an upsert
     // input would double-count re-upserted keys — loud, with the

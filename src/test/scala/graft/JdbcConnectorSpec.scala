@@ -140,4 +140,108 @@ class JdbcConnectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back == Set((1L, "a"), (2L, "b")))
   }
+
+  // ---- batched keyed sink: JdbcOutputFormat/JdbcExecutionOptions role
+
+  private def readAll(table: String): Seq[(Long, String, Double)] = {
+    val c = java.sql.DriverManager.getConnection(dbUrl)
+    try {
+      val rs = c.createStatement()
+        .executeQuery(s"SELECT id, name, score FROM $table ORDER BY id")
+      val out = Seq.newBuilder[(Long, String, Double)]
+      while (rs.next()) out += ((rs.getLong(1), rs.getString(2), rs.getDouble(3)))
+      out.result()
+    } finally c.close()
+  }
+
+  test("keyed sink batches: N rows cost O(N/batch) JDBC round-trips") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE batched_t (id BIGINT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(32), score DOUBLE)")
+      st.close()
+    }
+    val n = 1000
+    val df = (1 to n).map(i => (i.toLong, s"n$i", i * 2.0))
+      .toDF("id", "name", "score").repartition(4)
+    JdbcConnector.JdbcWriteStats.reset()
+    JdbcConnector.upsertWrite(df,
+      Map("url" -> dbUrl, "table-name" -> "batched_t",
+        "sink.buffer-flush.max-rows" -> "100"), Seq("id"))
+    val trips = JdbcConnector.JdbcWriteStats.get
+    // 1000 fresh rows, flush every 100, 4 partitions: each flush is one
+    // UPDATE batch (all miss) + one INSERT batch, plus one commit per
+    // partition — ~24 round-trips. The per-row path would take 2000+.
+    assert(trips < 3 * n / 10, s"batched write took $trips round-trips for $n rows")
+    assert(readAll("batched_t").size == n)
+    // refresh half the keys: UPDATE batches hit, no INSERT batch needed
+    JdbcConnector.JdbcWriteStats.reset()
+    val upd = (1 to n / 2).map(i => (i.toLong, s"m$i", i * 3.0))
+      .toDF("id", "name", "score")
+    JdbcConnector.upsertWrite(upd,
+      Map("url" -> dbUrl, "table-name" -> "batched_t",
+        "sink.buffer-flush.max-rows" -> "100"), Seq("id"))
+    assert(JdbcConnector.JdbcWriteStats.get < n / 10)
+    val got = readAll("batched_t")
+    assert(got.take(2) == Seq((1L, "m1", 3.0), (2L, "m2", 6.0)))
+    assert(got.size == n && got.last == ((n.toLong, s"n$n", n * 2.0)))
+  }
+
+  test("kind interleaving across flush boundaries keeps per-key order") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE interleave_t (id BIGINT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(32), score DOUBLE)")
+      st.close()
+    }
+    // per-key histories mixing +I/+U/-D with an explicit commit order
+    // (cdc_ts); scattered over partitions on a NON-key layout, so the
+    // sink's own repartition-by-key must co-locate them. max-rows=2
+    // forces flushes INSIDE each key's history.
+    val log = Seq(
+      // key 1: insert, update, delete, re-insert -> survives with v4
+      ("+I", 1L, "a", 1.0, 1L), ("+U", 1L, "b", 2.0, 2L),
+      ("-D", 1L, "b", 2.0, 3L), ("+I", 1L, "c", 4.0, 4L),
+      // key 2: insert then delete -> absent
+      ("+I", 2L, "x", 9.0, 1L), ("-D", 2L, "x", 9.0, 2L),
+      // key 3: -U is skipped, its +U carries the image
+      ("+I", 3L, "p", 5.0, 1L), ("-U", 3L, "p", 5.0, 2L),
+      ("+U", 3L, "q", 6.0, 3L))
+      .toDF("row_kind", "id", "name", "score", "cdc_ts")
+      .repartition(5) // round-robin: same key lands on different partitions
+    JdbcConnector.upsertWrite(log,
+      Map("url" -> dbUrl, "table-name" -> "interleave_t",
+        "sink.buffer-flush.max-rows" -> "2"), Seq("id"))
+    assert(readAll("interleave_t") ==
+      Seq((1L, "c", 4.0), (3L, "q", 6.0)))
+  }
+
+  test("all-key table: batched insert-if-absent, duplicates settle") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE allkey_t (id BIGINT NOT NULL, " +
+        "name VARCHAR(32) NOT NULL, PRIMARY KEY (id, name))")
+      st.close()
+      val st2 = c.createStatement()
+      st2.execute("INSERT INTO allkey_t VALUES (1, 'a')")
+      st2.close()
+    }
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    JdbcConnector.JdbcWriteStats.reset()
+    JdbcConnector.upsertWrite(df,
+      Map("url" -> dbUrl, "table-name" -> "allkey_t"), Seq("id", "name"))
+    assert(JdbcConnector.JdbcWriteStats.get < df.count() * 2)
+    val c2 = java.sql.DriverManager.getConnection(dbUrl)
+    val got = try {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT id, name FROM allkey_t ORDER BY id")
+      val out = Seq.newBuilder[(Long, String)]
+      while (rs.next()) out += ((rs.getLong(1), rs.getString(2)))
+      out.result()
+    } finally c2.close()
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }

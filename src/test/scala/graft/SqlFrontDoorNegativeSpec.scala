@@ -357,6 +357,78 @@ class SqlFrontDoorNegativeSpec extends AnyFunSuite {
     }
   }
 
+  // ---- group 3b: changelog clause boundaries walk TOKENS --------------
+  // The changelog parser's clause slicing runs on SqlTokens.structural
+  // offsets: clause keywords hiding in literals/comments, comments
+  // splitting two-word clauses, and backtick-quoted keyword-named
+  // columns must all slice correctly — each case pins the FINAL-STATE
+  // answer (1 group, count 1, sum 6.0), which the raw change rows
+  // (3 rows) would break.
+
+  private def withChangelog[A](f: String => A): A = {
+    import spark.implicits._
+    val v = "neg_cltok"
+    Seq(("+I", 1L, "g1", 4.0), ("+I", 1L, "g1", 6.0), ("-D", 2L, "g1", 4.0))
+      .toDF("row_kind", "cdc_ts", "g", "x").createOrReplaceTempView(v)
+    try f(v) finally spark.catalog.dropTempView(v)
+  }
+
+  test("clause boundary: ' from ' inside a literal never splits the statement") {
+    import spark.implicits._
+    withChangelog { v =>
+      val r = Engine.sql(spark,
+        s"SELECT ' from where group by ' AS tag, COUNT(*) AS n, SUM(x) AS t " +
+          s"FROM $v GROUP BY g")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(r == Seq((" from where group by ", 1L, 6.0)), s"got $r")
+    }
+  }
+
+  test("clause boundary: a bracketed comment carrying FROM and a stray paren") {
+    import spark.implicits._
+    withChangelog { v =>
+      val r = Engine.sql(spark,
+        s"SELECT /* from ( where */ COUNT(*) AS n, SUM(x) AS t FROM $v " +
+          "/* ) group by */ GROUP BY g")
+        .as[(Long, Double)].collect().toSeq
+      assert(r == Seq((1L, 6.0)), s"got $r")
+    }
+  }
+
+  test("clause boundary: a comment between GROUP and BY still pairs the clause") {
+    import spark.implicits._
+    withChangelog { v =>
+      val r = Engine.sql(spark,
+        s"SELECT g, COUNT(*) AS n FROM $v GROUP /* two-word clause */ BY g")
+        .as[(String, Long)].collect().toSeq
+      assert(r == Seq(("g1", 1L)), s"got $r")
+    }
+  }
+
+  test("clause boundary: a line comment naming WHERE/LIMIT mid-statement") {
+    import spark.implicits._
+    withChangelog { v =>
+      val r = Engine.sql(spark,
+        s"SELECT COUNT(*) AS n, -- where limit 1\n  SUM(x) AS t\nFROM $v")
+        .as[(Long, Double)].collect().toSeq
+      assert(r == Seq((1L, 6.0)), s"got $r")
+    }
+  }
+
+  test("clause boundary: a backtick-quoted `limit` column is not a LIMIT clause") {
+    import spark.implicits._
+    val v = "neg_cltok_kw"
+    // a changelog whose payload column is NAMED limit
+    Seq(("+I", 1L, 5.0), ("+I", 1L, 7.0), ("-D", 2L, 5.0))
+      .toDF("row_kind", "cdc_ts", "limit").createOrReplaceTempView(v)
+    try {
+      val r = Engine.sql(spark,
+        s"SELECT COUNT(*) AS n, SUM(`limit`) AS t FROM $v WHERE `limit` > 0")
+        .as[(Long, Double)].collect().toSeq
+      assert(r == Seq((1L, 7.0)), s"got $r")
+    } finally spark.catalog.dropTempView(v)
+  }
+
   // ---- group 4: a decoy literal next to the REAL construct still lowers
 
   test("decoy literal does not mask a real window TVF") {

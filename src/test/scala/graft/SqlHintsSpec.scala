@@ -259,6 +259,53 @@ class SqlHintsSpec extends AnyFunSuite {
     } finally dropLookupTables(d)
   }
 
+  test("two LOOKUP statements probing DIFFERENT key columns never share a cache") {
+    // the cache identity carries the key column: a key VALUE cached
+    // under one keyspace (cid) must not serve payload rows to a probe
+    // on another keyspace (altid) of the same dim table
+    import spark.implicits._
+    val c = java.sql.DriverManager.getConnection(s"$dbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE dim_two (cid BIGINT NOT NULL, " +
+        "altid BIGINT NOT NULL, label VARCHAR(32))")
+      // altid = 9 - cid: the same probe VALUE names different rows in
+      // the two keyspaces
+      (1 to 8).foreach(i =>
+        st.execute(s"INSERT INTO dim_two VALUES ($i, ${9 - i}, 'row$i')"))
+      st.close()
+    } finally c.close()
+    val d = s"hints_dim2_${math.abs(getClass.getName.hashCode)}"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $d")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${d}_base")
+    Engine.sql(spark, s"""
+      CREATE TABLE $d (cid BIGINT, altid BIGINT, label STRING)
+      WITH ('connector' = 'jdbc', 'url' = '$dbUrl',
+            'table-name' = 'dim_two',
+            'lookup.cache' = 'PARTIAL',
+            'lookup.partial-cache.max-rows' = '100',
+            'lookup.partial-cache.expire-after-write' = '10 min')""")
+    Seq((1L, 3L)).toDF("oid", "k")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .createOrReplaceTempView("hints_fact2")
+    try {
+      def probe(keyCol: String): Seq[(Long, String)] = Engine.sql(spark, s"""
+        SELECT /*+ LOOKUP('table'='d') */ o.oid, d.label
+        FROM hints_fact2 AS o
+        JOIN $d FOR SYSTEM_TIME AS OF o.ts AS d ON o.k = d.$keyCol""")
+        .as[(Long, String)].collect().toSeq
+      // prime the cid cache with value 3 -> row3, then probe altid=3,
+      // which is cid 6's row
+      assert(probe("cid") == Seq((1L, "row3")))
+      assert(probe("altid") == Seq((1L, "row6")),
+        "altid probe served payloads from the cid keyspace cache")
+    } finally {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $d")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${d}_base")
+      spark.catalog.dropTempView("hints_fact2")
+    }
+  }
+
   test("async ordered and allow_unordered modes return the same rows") {
     val d = mkLookupTables()
     try {
