@@ -378,11 +378,10 @@ object ChangelogSql {
         (Option[Double], Long), Array[Double], java.lang.Double] {
     def zero: Array[Double] = agg.zero.clone()
     def reduce(b: Array[Double], in: (Option[Double], Long)): Array[Double] = {
-      in._1.foreach { x =>
-        var n = in._2
-        while (n > 0) { agg.reduce(b, x); n -= 1 }
-        while (n < 0) { agg.retract(b, x); n += 1 }
-      }
+      // reduceWeighted: O(1) for linear UDAs that override it, the
+      // replay loop otherwise — the multiplicity can be large on the
+      // netting path (one netted row carries a key's whole live count)
+      in._1.foreach(x => agg.reduceWeighted(b, x, in._2))
       b
     }
     def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
@@ -547,17 +546,53 @@ object ChangelogSql {
               val isDistinct =
                 """(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined
               val hasAgg = callNames(aggClauses).exists(Supported)
-              if (!hasAgg && c.groupBy.isEmpty && !isDistinct)
-                Seq("  route: raw changelog projection — no rewrite")
-              else if (isDistinct ||
-                  """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined)
-                Seq("  route: retraction-consuming aggregate — NETTED " +
-                  "live multiset (net<>0 filter; MIN/MAX or DISTINCT " +
-                  "need surviving rows)")
-              else
-                Seq("  route: retraction-consuming aggregate — " +
-                  "single-exchange ±1 sign algebra (COUNT/SUM/AVG " +
-                  "distribute over change signs)")
+              val needsNet = isDistinct ||
+                """(?i)\b(MIN|MAX)\s*\(""".r.findFirstIn(aggClauses).isDefined
+              // a JOIN chain reports the join lowering's chosen
+              // per-side weight columns + admissibility (the weights
+              // lowerJoin will bind, by its ordinal naming)
+              val joinChain = parseJoinChain(c.relation).filter(_.size > 1)
+              joinChain match {
+                case Some(chain) if hasAgg || c.groupBy.isDefined || isDistinct =>
+                  val clIdxs = chain.zipWithIndex.collect {
+                    case (r, i) if isChangelogRel(spark, r.name) => i
+                  }
+                  val wName = (j: Int) =>
+                    if (needsNet) s"__net_$j" else s"__sign_$j"
+                  val sides = clIdxs.zipWithIndex.map { case (idx, j) =>
+                    s"${chain(idx).name} -> ${wName(j)}"
+                  }
+                  val joint = clIdxs.indices.map(wName).mkString(" * ")
+                  val inadmissible = chain.zipWithIndex.drop(1).collectFirst {
+                    case (r, i) if !(r.joinType.contains("INNER") ||
+                        r.joinType.contains("CROSS") ||
+                        (clIdxs.size == 1 &&
+                          ((r.joinType.contains("LEFT") && clIdxs.head < i) ||
+                           (r.joinType.contains("RIGHT") && clIdxs.head == i)))) =>
+                      s"  route: INADMISSIBLE join shape — changelog on " +
+                        s"the padded side of a ${r.joinType.getOrElse("?")} " +
+                        "JOIN (the statement will reject loudly)"
+                  }
+                  inadmissible.map(Seq(_)).getOrElse(Seq(
+                    "  route: changelog join lowering — per-side weight " +
+                      s"columns: ${sides.mkString(", ")}; joint weight = " +
+                      joint + (if (needsNet)
+                        " (netted multiplicities; live = all nets > 0)"
+                      else " (±1 sign products, zero extra exchange)")))
+                case Some(_) =>
+                  Seq("  route: raw changelog join read — no rewrite")
+                case None =>
+                  if (!hasAgg && c.groupBy.isEmpty && !isDistinct)
+                    Seq("  route: raw changelog projection — no rewrite")
+                  else if (needsNet)
+                    Seq("  route: retraction-consuming aggregate — NETTED " +
+                      "live multiset (net<>0 filter; MIN/MAX or DISTINCT " +
+                      "need surviving rows)")
+                  else
+                    Seq("  route: retraction-consuming aggregate — " +
+                      "single-exchange ±1 sign algebra (COUNT/SUM/AVG " +
+                      "distribute over change signs)")
+              }
             case None =>
               Seq("  route: composite statement — see this module's " +
                 "admissible-shape guards")

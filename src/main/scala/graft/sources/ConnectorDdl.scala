@@ -705,26 +705,42 @@ object KafkaConnector {
     * and compaction identity), +I/+U rows serialize the value per
     * 'value.fields-include', and -D/-U rows become TOMBSTONES (null
     * value). Hand the result to `df.write.format("kafka")` with
-    * [[upsertSinkOptions]]. json key/value only (the row-aligned
-    * expression encoder); spec'd as encode∘decode == identity. */
+    * [[upsertSinkOptions]]. Key/value formats mirror [[upsertDecode]]'s
+    * set exactly — json, csv, raw (single column) — so every declared
+    * table round-trips; spec'd as encode∘decode == identity. */
   def upsertEncode(changelog: DataFrame, schema: StructType,
       pk: Seq[String], opts: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
     require(pk.nonEmpty, "upsert-kafka encode requires the PRIMARY KEY columns")
     def fmtOf(which: String): String = opts.getOrElse(which,
       throw new IllegalArgumentException(s"upsert-kafka requires '$which'"))
-    require(fmtOf("key.format") == "json" && fmtOf("value.format") == "json",
-      "upsert-kafka encode supports json key/value formats")
     val include = opts.getOrElse("value.fields-include", "ALL").toUpperCase
     val valueCols =
       if (include == "EXCEPT_KEY")
         schema.fieldNames.toSeq.filterNot(pk.contains)
       else schema.fieldNames.toSeq
+    def encodeExpr(fmt: String, cols: Seq[String], what: String): Column =
+      fmt match {
+        case "json" => to_json(struct(cols.map(col): _*)).cast("binary")
+        case "csv"  => to_csv(struct(cols.map(col): _*)).cast("binary")
+        case "raw" =>
+          require(cols.length == 1,
+            s"raw $what format requires a single column, got ${cols.mkString(",")}")
+          val dt = schema(cols.head).dataType
+          require(dt == StringType || dt == BinaryType,
+            s"raw format supports STRING or BINARY; '${cols.head}' is " +
+              dt.simpleString)
+          col(cols.head).cast(BinaryType)
+        case other => throw new IllegalArgumentException(
+          s"upsert-kafka $what format '$other' is not row-aligned " +
+            "encodable (json, csv, raw)")
+      }
     val live = col(graft.streaming.Cdc.RowKind)
       .isin(graft.streaming.Cdc.Insert, graft.streaming.Cdc.UpdateAfter)
     changelog.select(
-      to_json(struct(pk.map(col): _*)).cast("binary").as("key"),
-      when(live, to_json(struct(valueCols.map(col): _*)))
-        .cast("binary").as("value"))
+      encodeExpr(fmtOf("key.format"), pk, "key").as("key"),
+      when(live, encodeExpr(fmtOf("value.format"), valueCols, "value"))
+        .cast(BinaryType).as("value"))
   }
 }
 

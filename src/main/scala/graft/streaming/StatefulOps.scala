@@ -323,6 +323,17 @@ object StatefulOps {
     def retract(buf: Array[Double], x: Double): Unit
     /** Fold `b` into `a`, in place (partial-aggregate combine). */
     def merge(a: Array[Double], b: Array[Double]): Unit
+    /** Absorb one input with multiplicity `w` (negative = retract that
+      * many times), in place. The default REPLAYS reduce/retract |w|
+      * times — always correct; LINEAR aggregates should override with
+      * the O(1) weighted fold (e.g. sum += x*w), which is what the
+      * netting path of ChangelogSql hands high-multiplicity netted
+      * changelog rows to. */
+    def reduceWeighted(buf: Array[Double], x: Double, w: Long): Unit = {
+      var n = w
+      while (n > 0) { reduce(buf, x); n -= 1 }
+      while (n < 0) { retract(buf, x); n += 1 }
+    }
   }
 
   /** Shared slot arithmetic and tie ordering of the fused OVER passes —

@@ -390,6 +390,57 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_uda")
   }
 
+  test("reduceWeighted override equals the replay default on a netted changelog") {
+    import spark.implicits._
+    // linear UDA (weighted sum of logs) two ways: the replay-loop
+    // default vs an O(1) weighted-fold override. A HIGH-MULTIPLICITY
+    // netted changelog (one key inserted 500×, retracted 200×) makes
+    // the netting path hand a single row with |weight| = 300 to the
+    // accumulator, so a wrong override (or a wrong replay) diverges.
+    object Replay extends graft.streaming.StatefulOps.RetractableOverAgg {
+      val size = 2
+      def zero = Array(0.0, 0.0)
+      def reduce(b: Array[Double], x: Double): Unit = { b(0) += math.log(x); b(1) += 1 }
+      def retract(b: Array[Double], x: Double): Unit = { b(0) -= math.log(x); b(1) -= 1 }
+      def merge(a: Array[Double], b: Array[Double]): Unit = { a(0) += b(0); a(1) += b(1) }
+      def finish(b: Array[Double]): Double =
+        if (b(1) <= 0) Double.NaN else math.exp(b(0) / b(1))
+    }
+    object Weighted extends graft.streaming.StatefulOps.RetractableOverAgg {
+      val size = 2
+      def zero = Array(0.0, 0.0)
+      def reduce(b: Array[Double], x: Double): Unit = { b(0) += math.log(x); b(1) += 1 }
+      def retract(b: Array[Double], x: Double): Unit = { b(0) -= math.log(x); b(1) -= 1 }
+      def merge(a: Array[Double], b: Array[Double]): Unit = { a(0) += b(0); a(1) += b(1) }
+      def finish(b: Array[Double]): Double =
+        if (b(1) <= 0) Double.NaN else math.exp(b(0) / b(1))
+      override def reduceWeighted(b: Array[Double], x: Double, w: Long): Unit = {
+        b(0) += math.log(x) * w; b(1) += w
+      }
+    }
+    StreamOverSql.registerAggregate("GM_REPLAY", Replay)
+    StreamOverSql.registerAggregate("GM_WEIGHTED", Weighted)
+    val hi = (1 to 500).map(i => ("+I", i.toLong, "g1", 3.0)) ++
+      (1 to 200).map(i => ("-D", 500L + i, "g1", 3.0)) ++
+      Seq(("+I", 900L, "g1", 12.0), ("+I", 901L, "g2", 7.0))
+    hi.toDF("row_kind", "cdc_ts", "g", "x").createOrReplaceTempView("cl_wfold")
+    try {
+      // MIN alongside forces the NETTING path: per-value net counts
+      // become the weights the accumulator folds
+      def run(fn: String) = Engine.sql(spark,
+        s"SELECT g, MIN(x) AS lo, $fn(x) AS gm FROM cl_wfold GROUP BY g ORDER BY g")
+        .as[(String, Option[Double], Option[Double])].collect().toSeq
+      val (a, b) = (run("GM_REPLAY"), run("GM_WEIGHTED"))
+      assert(a.map(_._1) == b.map(_._1) && a.map(_._2) == b.map(_._2))
+      a.zip(b).foreach { case (ra, rb) =>
+        assert(math.abs(ra._3.get - rb._3.get) < 1e-9, s"$ra vs $rb") }
+      // exactness: g1 = geomean(3.0×300, 12.0×1), g2 = 7.0
+      val expected = math.exp((300 * math.log(3.0) + math.log(12.0)) / 301)
+      assert(math.abs(a(0)._3.get - expected) < 1e-9, a.toString)
+      assert(math.abs(a(1)._3.get - 7.0) < 1e-9, a.toString)
+    } finally spark.catalog.dropTempView("cl_wfold")
+  }
+
   test("raw changelog reads (row_kind/cdc_ts referenced) fall through") {
     import spark.implicits._
     changelog().createOrReplaceTempView("cl_raw")

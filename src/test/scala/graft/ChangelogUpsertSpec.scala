@@ -275,6 +275,35 @@ class ChangelogUpsertSpec extends AnyFunSuite {
         "EXPLAIN CHANGELOG_MODE SELECT 1 AS one FROM expl_cl WHERE cdc_ts > 0")
         .as[String].collect().head
       assert(plain.contains("RAW changelog read"), plain)
+      // JOIN statements name the lowering's per-side weight columns
+      Seq(("g1", "west"), ("g2", "east")).toDF("g", "nm")
+        .createOrReplaceTempView("expl_dim")
+      Seq(("+I", 1L, "g1", 2.0), ("-D", 2L, "g1", 2.0))
+        .toDF("row_kind", "cdc_ts", "g", "y").createOrReplaceTempView("expl_cl2")
+      val jn = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT d.nm AS nm, COUNT(*) AS n " +
+          "FROM expl_cl c JOIN expl_dim d ON c.g = d.g GROUP BY d.nm")
+        .as[String].collect().head
+      assert(jn.contains("changelog join lowering") &&
+        jn.contains("expl_cl -> __sign_0") &&
+        jn.contains("sign products"), jn)
+      // two changelogs under MIN: netted weights, joint product
+      val jn2 = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT MIN(c.x) AS lo " +
+          "FROM expl_cl c JOIN expl_cl2 e ON c.g = e.g")
+        .as[String].collect().head
+      assert(jn2.contains("expl_cl -> __net_0") &&
+        jn2.contains("expl_cl2 -> __net_1") &&
+        jn2.contains("__net_0 * __net_1") &&
+        jn2.contains("netted multiplicities"), jn2)
+      // inadmissible shape announces the reject
+      val badj = Engine.sql(spark,
+        "EXPLAIN CHANGELOG_MODE SELECT d.nm AS nm, COUNT(*) AS n " +
+          "FROM expl_dim d LEFT JOIN expl_cl c ON c.g = d.g GROUP BY d.nm")
+        .as[String].collect().head
+      assert(badj.contains("INADMISSIBLE"), badj)
+      spark.catalog.dropTempView("expl_dim")
+      spark.catalog.dropTempView("expl_cl2")
       // the other rich-explain details
       val cost = Engine.sql(spark,
         s"EXPLAIN ESTIMATED_COST SELECT k FROM $t").as[String].collect().head

@@ -190,6 +190,50 @@ class UpsertKafkaSpec extends AnyFunSuite {
       ("-D", 2L, None, None)), back.toString)
   }
 
+  test("upsertEncode csv and raw round-trip; frame formats reject") {
+    import spark.implicits._
+    // csv: the decode-supported formats all encode — no sink asymmetry
+    val schema = new StructType().add("uid", LongType)
+      .add("region", StringType).add("amount", DoubleType)
+    val opts = Map("key.format" -> "csv", "value.format" -> "csv")
+    val changelog = Seq(
+      ("+U", 1L, Option("eu"), Option(5.0)),
+      ("+U", 2L, Option("us"), Option(9.0)),
+      ("-D", 2L, Option.empty[String], Option.empty[Double]))
+      .toDF("row_kind", "uid", "region", "amount")
+    val wire = KafkaConnector.upsertEncode(changelog, schema, Seq("uid"), opts)
+    assert(wire.filter(col("value").isNull).count() == 1,
+      "csv delete must encode a tombstone")
+    val back = KafkaConnector.upsertDecode(
+      wire.withColumn("offset", monotonically_increasing_id()),
+      schema, Seq("uid"), opts)
+      .select("row_kind", "uid", "region", "amount")
+      .as[(String, Long, Option[String], Option[Double])].collect().toSet
+    assert(back == Set(
+      ("+U", 1L, Some("eu"), Some(5.0)),
+      ("+U", 2L, Some("us"), Some(9.0)),
+      ("-D", 2L, None, None)), back.toString)
+    // raw: single STRING pk key + EXCEPT_KEY single-column raw value
+    val rschema = new StructType().add("k", StringType).add("payload", StringType)
+    val ropts = Map("key.format" -> "raw", "value.format" -> "raw",
+      "value.fields-include" -> "EXCEPT_KEY")
+    val rlog = Seq(("+U", "a", Option("pay-a")), ("-D", "b", Option.empty[String]))
+      .toDF("row_kind", "k", "payload")
+    val rwire = KafkaConnector.upsertEncode(rlog, rschema, Seq("k"), ropts)
+    val rback = KafkaConnector.upsertDecode(
+      rwire.withColumn("offset", monotonically_increasing_id()),
+      rschema, Seq("k"), ropts)
+      .select("row_kind", "k", "payload")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(rback == Set(("+U", "a", Some("pay-a")), ("-D", "b", None)),
+      rback.toString)
+    // a frame-level format rejects loudly on BOTH sides
+    val e = intercept[IllegalArgumentException](KafkaConnector.upsertEncode(
+      changelog, schema, Seq("uid"),
+      Map("key.format" -> "json", "value.format" -> "avro")))
+    assert(e.getMessage.contains("avro"), e.getMessage)
+  }
+
   // ---- JDBC sink routing: INSERT reaches the CONNECTOR, keyed = upsert
 
   private val sinkDbUrl =
