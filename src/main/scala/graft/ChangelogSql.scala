@@ -1147,6 +1147,51 @@ object ChangelogSql {
     if (spark.catalog.tableExists(s"__${t}_base")) WatermarkDdl.readStream(spark, t)
     else spark.readStream.table(t)
 
+  /** STREAMING read of changelog relation `name` as a RETRACT changelog
+    * (+I/-U,+U/-D with every update carrying its -U) — what every
+    * retraction-consuming streaming operator here requires. A plain
+    * retract relation streams as-is; a DECLARED UPSERT relation
+    * (graft.upsert.keys) chains [[streaming.StatefulOps.normalizeUpsert]]
+    * in FRONT of the consumer — ChangelogNormalize feeding the
+    * downstream stateful operator as ONE topology, exactly the
+    * reference's StreamExecChangelogNormalize → GroupAggregate plan
+    * (flatMapGroupsWithState in append mode composes with a downstream
+    * streaming aggregation). The returned frame carries row_kind plus
+    * the relation's payload columns; encoding columns are consumed. */
+  private[graft] def retractStreamOf(spark: SparkSession, name: String): DataFrame = {
+    val raw = changelogReadStream(spark, name)
+    require(raw.isStreaming, s"$name did not bind as a streaming read")
+    upsertKeysOf(spark, name) match {
+      case None => raw
+      case Some(keys) =>
+        import spark.implicits._
+        val cols = raw.columns.toSeq
+        val orderCol = Seq(SeqCol, "cdc_ts").find(cols.contains).getOrElse(
+          throw new IllegalArgumentException(
+            s"upsert changelog '$name' declares keys but carries no " +
+              s"order column ($SeqCol or cdc_ts) — keep-last is undefined"))
+        require(keys.forall(cols.contains),
+          s"upsert changelog '$name': declared key(s) " +
+            s"${keys.filterNot(cols.contains).mkString(",")} not in schema")
+        val payloadCols =
+          cols.filterNot(c => c == streaming.Cdc.RowKind || c == orderCol)
+        val payloadSchema = org.apache.spark.sql.types.StructType(
+          payloadCols.map(c => raw.schema(c)))
+        val typed = raw.select(
+          to_json(struct(keys.map(col): _*)).as("_1"),
+          col(orderCol).cast("long").as("_2"),
+          to_json(struct(payloadCols.map(col): _*)).as("_3"),
+          (col(streaming.Cdc.RowKind) === streaming.Cdc.Delete).as("_4"))
+          .as[(String, Long, String, Boolean)]
+        streaming.StatefulOps.normalizeUpsert(typed)
+          .toDF("__kind", "__key", "__seq", "__payload")
+          .select(col("__kind").as(streaming.Cdc.RowKind),
+            from_json(col("__payload"), payloadSchema).as("__r"))
+          .select(col(streaming.Cdc.RowKind) +: payloadCols.map(c =>
+            col(s"__r.`$c`").as(c)): _*)
+    }
+  }
+
   /** Does `select` parse as a changelog AGGREGATE over one bare
     * row_kind-carrying relation — the statement shape [[streamInsert]]
     * owns? (Raw projections of a changelog stream keep the plain
@@ -1205,19 +1250,11 @@ object ChangelogSql {
           s"(subqueries/multi-changelog have no rewrite); got FROM ${c.relation}"))
     val name = chain(clIdx).name
     // the ±1 sign algebra below assumes a RETRACT changelog (every
-    // update carries its -U). A declared UPSERT relation would
-    // double-count re-upserted keys — the same hole the batch path
-    // closes by normalizing, but a streaming normalize (stateful
-    // keep-last emitting retractions) feeding a second stateful
-    // aggregate is a two-stage topology: reject with the composition
-    // instead of planning something silently wrong
-    require(upsertKeysOf(spark, name).isEmpty,
-      s"'$name' is a declared UPSERT changelog (graft.upsert.keys): the " +
-        "continuous sign-algebra aggregate requires a retract stream. " +
-        "Normalize first — StatefulOps.normalizeUpsert emits the full " +
-        "-U/+U retraction stream into an intermediate table; aggregate " +
-        "THAT changelog continuously (or query the table in batch, " +
-        "where normalization is applied automatically)")
+    // update carries its -U). A declared UPSERT relation is
+    // auto-normalized by [[retractStreamOf]] — ChangelogNormalize
+    // chained in front of the aggregation as one topology
+    // (StreamExecChangelogNormalize feeding GroupAggFunction), so one
+    // front-door statement covers both encodings.
     // the static sides must BE static: the sign algebra requires a
     // retraction to join exactly the rows its insert joined — a growing
     // (streaming) side breaks that, and two changelogs need pairwise
@@ -1280,8 +1317,7 @@ object ChangelogSql {
           s"GROUP BY column $gcol must appear in the select list — it is " +
             "the sink's upsert key"))
       }
-    val src = changelogReadStream(spark, name)
-    require(src.isStreaming, s"$name did not bind as a streaming read")
+    val src = retractStreamOf(spark, name)
     val sign = when(col(streaming.Cdc.RowKind)
       .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
       .otherwise(-1)
@@ -1354,6 +1390,116 @@ object ChangelogSql {
 
   private val StreamInsertRe =
     """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*)""".r
+
+  // ---- continuous retractable top-N (rank/RetractableTopNFunction) ---
+
+  /** The reference's streaming top-N statement shape over a retract
+    * input: `SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY
+    * k ORDER BY v [ASC|DESC]) AS rn FROM changelog) WHERE rn <= N`. */
+  private val StreamTopNRe =
+    ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*""" +
+      """ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY\s+""" +
+      """([\w`\s,.]+?)\s+ORDER\s+BY\s+`?(\w+)`?(?:\s+(ASC|DESC))?\s*\)\s+""" +
+      """AS\s+`?(\w+)`?\s+FROM\s+`?(\w+)`?\s*\)(?:\s+(?:AS\s+)?(\w+))?\s+""" +
+      """WHERE\s+`?[\w.]*?(\w+)`?\s*(<=|<)\s*(\d+)\s*$""").r
+
+  private case class TopNShape(outer: Seq[String], parts: Seq[String],
+      orderCol: String, desc: Boolean, rnAlias: String, rel: String, n: Int)
+
+  private def parseStreamTopN(
+      spark: SparkSession, select: String): Option[TopNShape] =
+    blank(select.trim.replaceAll(";\\s*$", "")) match {
+      case StreamTopNRe(outer, parts, ocol, dir, rn, rel, alias, rnRef, op, nStr)
+          if isChangelogRel(spark, rel) =>
+        val aliasOpt = Option(alias)
+        def bare(s: String): String = {
+          val t = s.trim.replace("`", "")
+          aliasOpt.filter(a => t.toLowerCase.startsWith(a.toLowerCase + "."))
+            .map(a => t.drop(a.length + 1)).getOrElse(t)
+        }
+        if (bare(rnRef) != rn) return None
+        val outerCols = graft.util.SqlSplit.splitTopLevel(outer).map(bare)
+        val partCols = parts.split(",").toSeq.map(bare).filter(_.nonEmpty)
+        if (!(outerCols :+ ocol).forall(_.matches("""\w+"""))) return None
+        val n0 = nStr.toInt
+        val n = if (op == "<") n0 - 1 else n0
+        if (n < 1) return None
+        Some(TopNShape(outerCols, partCols, ocol,
+          Option(dir).forall(_.equalsIgnoreCase("DESC")), rn, rel, n))
+      case _ => None
+    }
+
+  private[graft] def streamTopNMatches(
+      spark: SparkSession, select: String): Boolean =
+    parseStreamTopN(spark, select).isDefined
+
+  /** Continuous `INSERT INTO sink SELECT ... FROM (... ROW_NUMBER() ...)
+    * WHERE rn <= N` over a changelog relation — the streaming statement
+    * form of RetractableTopNFunction.java:56 (sorted per-key state,
+    * re-ranks and backfills when a ranked row retracts, emits deletes
+    * when the top shrinks). The sink receives an upsert changelog keyed
+    * by (partition columns, rank): +U refreshed ranks, -D vacated
+    * ranks, commit-sequence column per micro-batch —
+    * [[materializeUpsertSink]] shows exactly the current top-N. A
+    * DECLARED UPSERT input chains ChangelogNormalize first
+    * ([[retractStreamOf]]). */
+  def streamTopN(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamTopN expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val shape = parseStreamTopN(spark, select).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a streaming top-N statement: $select"))
+    val src = retractStreamOf(spark, shape.rel)
+    val cols = src.columns.toSeq
+    val payloadCols = cols.filterNot(c =>
+      c == streaming.Cdc.RowKind || c == SeqCol || c == "cdc_ts")
+    shape.parts.foreach(p => require(payloadCols.contains(p),
+      s"PARTITION BY column $p not a payload column of ${shape.rel}"))
+    require(payloadCols.contains(shape.orderCol),
+      s"ORDER BY column ${shape.orderCol} not a payload column of ${shape.rel}")
+    shape.outer.filterNot(_ == shape.rnAlias).foreach(c =>
+      require(payloadCols.contains(c),
+        s"select column $c not a payload column of ${shape.rel}"))
+    // the sink upsert key is (partition cols, rank): all must be selected
+    (shape.parts :+ shape.rnAlias).foreach(c => require(shape.outer.contains(c),
+      s"column $c is part of the sink's upsert key (partition + rank) " +
+        "and must appear in the select list"))
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => src.schema(c)))
+    val score0 = col(shape.orderCol).cast("double")
+    val typed = src.select(
+      to_json(struct(shape.parts.map(col): _*)).as("_1"),
+      col(streaming.Cdc.RowKind).as("_2"),
+      (if (shape.desc) score0 else score0 * -1).as("_3"),
+      to_json(struct(payloadCols.map(col): _*)).as("_4"))
+      .as[(String, String, Double, String)]
+    val ranked = streaming.Retract.retractableTopNChangelog(typed, shape.n)
+      .toDF("__kind", "__key", "__rank", "__score", "__payload")
+    val out = ranked.select(
+      col("__kind").as(streaming.Cdc.RowKind),
+      col("__rank").cast("long").as(shape.rnAlias),
+      from_json(col("__payload"), payloadSchema).as("__r"))
+      .select((col(streaming.Cdc.RowKind) +: shape.outer.map(c =>
+        if (c == shape.rnAlias) col(shape.rnAlias)
+        else col(s"__r.`$c`").as(c))): _*)
+    val keys = shape.parts :+ shape.rnAlias
+    out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn(SeqCol, lit(batchId))
+          .write.mode("append").saveAsTable(sink)
+        if (batchId == 0)
+          spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
+            s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
+      }
+      .start()
+  }
 
   /** Keep-last collapse of a [[streamInsert]] sink: the CURRENT
     * aggregate state per key (rows whose latest change is a -D are

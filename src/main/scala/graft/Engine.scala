@@ -467,6 +467,12 @@ object Engine {
         // streaming aggregate and writes the sink as an upsert changelog.
         // A changelog is unbounded by nature, so no WATERMARK/PROCTIME
         // declaration is required to bind it as a stream.
+        // retractable TOP-N over a changelog (RetractableTopNFunction):
+        // ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) WHERE rn<=N
+        // in the FROM-subquery shape lowers onto the sorted per-key
+        // state operator, refreshing the sink as an upsert changelog
+        if (ChangelogSql.streamTopNMatches(spark, select))
+          return ChangelogSql.streamTopN(spark, statement, checkpointDir)
         if (ChangelogSql.streamMatches(spark, select))
           return ChangelogSql.streamInsert(spark, statement, checkpointDir)
         // a declared PROCTIME() attribute also marks a streaming source:

@@ -616,6 +616,152 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CONTINUOUS RETRACTABLE TOP-N (r13, RetractableTopNFunction.java:
+      // 56): the streaming statement `ROW_NUMBER() OVER (PARTITION BY
+      // ... ORDER BY ...) WHERE rn <= N` over a RETRACT changelog,
+      // running WHILE the history lands in three commits — inserts,
+      // -U/+U price updates (payload refresh at unchanged rank), -D
+      // deletes (rank backfills + explicit vacated-rank deletes). The
+      // materialized upsert sink must equal DuckDB's row_number over
+      // the FINAL state; a missed retraction, stale rank, or surviving
+      // vacated rank breaks rows and hash.
+      "q153_stream_retractable_topn",
+      (s, d) => {
+        import s.implicits._
+        val t = "cl_q153"
+        val sink = "cl_q153_sink"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val c1 = base.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderpriority", $"price")
+        val c2 = base.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", $"price")
+          .unionByName(base.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_orderpriority", bumped))
+        val current = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val c3 = base.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", current)
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        def append(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q153").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderpriority, o_orderkey, price, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_orderkey DESC) AS rn
+            FROM $t) x
+          WHERE rn <= 5""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(c2); q.processAllAvailable()
+          append(c3); q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderpriority", $"o_orderkey",
+            $"price".cast("double").as("price"), $"rn")
+          .orderBy($"o_orderpriority", $"rn")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price, rn
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, price,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_orderkey DESC) AS rn
+        |  FROM fs) t
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn
+        |""".stripMargin)),
+
+    GQuery(
+      // ONE-STATEMENT CONTINUOUS AGGREGATE OVER A DECLARED UPSERT
+      // STREAM (r13, StreamExecChangelogNormalize feeding
+      // GroupAggFunction as one topology): q151's upsert history — +U
+      // at 1, %10 keys RE-UPSERTED at 2 (the double-count trap), %17
+      // tombstoned at 3 — lands in three commits while ONE
+      // `INSERT INTO ... SELECT` aggregates it continuously. The
+      // normalize chain emits the -U/+U retract transitions the sign
+      // algebra consumes, so the materialized sink equals the batch
+      // normalize+aggregate: same oracle as q151's final state.
+      "q154_stream_upsert_aggregate",
+      (s, d) => {
+        import s.implicits._
+        val t = "ups_q154"
+        val sink = "ups_q154_sink"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val v1 = base.select(lit("+U").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderpriority", $"price")
+        val v2 = base.filter($"o_orderkey" % 10 === 0)
+          .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", bumped)
+        val current = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val dels = base.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", current)
+        v1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'o_orderkey')")
+        def append(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q154").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                 CAST(MIN(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS lo
+          FROM $t GROUP BY o_orderpriority""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(v2); q.processAllAvailable()
+          append(dels); q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderpriority", $"n", $"total".cast("double").as("total"),
+            $"lo".cast("double").as("lo"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS total,
+        |       CAST(MIN(price) AS DOUBLE) AS lo
+        |FROM fs GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

@@ -142,6 +142,62 @@ object Retract {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** [[retractableTopN]] with an explicit DOWNSTREAM CHANGELOG — the
+    * full RetractableTopNFunction emit contract
+    * (rank/RetractableTopNFunction.java:56 emits updates AND deletes so
+    * a sink keyed by (key, rank) stays exact): whenever a key's top-N
+    * changes, the refreshed ranks emit as ("+U", key, rank, score,
+    * payload) and ranks the refreshed top no longer covers (the top
+    * SHRANK — a retraction below N with nothing to backfill) emit
+    * ("-D", key, rank, oldScore, oldPayload). Feeding an upsert sink
+    * keyed by (key, rank) therefore always materializes to exactly the
+    * current top-N. */
+  def retractableTopNChangelog[K: Encoder](
+      ds: Dataset[(K, String, Double, String)], n: Int)(
+      implicit e1: Encoder[Seq[(Double, String, Int)]],
+      e2: Encoder[(String, K, Int, Double, String)])
+      : Dataset[(String, K, Int, Double, String)] = {
+
+    def topOf(live: Iterable[(Double, String, Int)]): Seq[(Double, String)] =
+      live.toSeq.sortBy { case (score, payload, _) => (-score, payload) }
+        .iterator.flatMap { case (s, p, c) => Iterator.fill(c)((s, p)) }
+        .take(n).toSeq
+
+    def update(key: K, rows: Iterator[(K, String, Double, String)],
+        state: GroupState[Seq[(Double, String, Int)]])
+        : Iterator[(String, K, Int, Double, String)] = {
+      val before = state.getOption.getOrElse(Seq.empty)
+      val live = scala.collection.mutable.LinkedHashMap.from(
+        before.map { case (s, p, c) => ((s, p), c) })
+      rows.foreach { case (_, kind, score, payload) =>
+        if (isAdd(kind))
+          live.updateWith((score, payload))(c => Some(c.getOrElse(0) + 1))
+        else if (isRetract(kind)) live.get((score, payload)).foreach { c =>
+          if (c == 1) live.remove((score, payload))
+          else live.update((score, payload), c - 1)
+        }
+      }
+      val after = live.toSeq.map { case ((s, p), c) => (s, p, c) }
+      if (after.isEmpty) state.remove() else state.update(after)
+      val (oldTop, newTop) = (topOf(before), topOf(after))
+      if (newTop == oldTop) Iterator.empty
+      else {
+        val refreshed = newTop.iterator.zipWithIndex.collect {
+          case ((score, payload), i)
+              if oldTop.lift(i) != Some((score, payload)) =>
+            (UpdateAfter, key, i + 1, score, payload)
+        }
+        val shrunk = oldTop.iterator.zipWithIndex.drop(newTop.size).map {
+          case ((score, payload), i) => (Delete, key, i + 1, score, payload)
+        }
+        refreshed ++ shrunk
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Upsert-keyed top-N (rank/UpdatableTopNFunction.java:71): input rows
     * (key, id, score) are UPSERTS — a new score for an existing id
     * replaces the old one without an explicit retraction (the

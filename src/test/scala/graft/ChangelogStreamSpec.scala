@@ -195,6 +195,129 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous retractable TOP-N statement equals batch ROW_NUMBER at every commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_topn_src_$h", s"cl_topn_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    createChangelogTable(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cltopn").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT g, k, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+        FROM $src) t
+      WHERE rn <= 2""", ckpt)
+    try {
+      def batchTopN(): Set[(String, String, Double, Long)] = {
+        // batch oracle: row_number over the MATERIALIZED current state
+        val cur = graft.streaming.Cdc.upsertMaterialize(
+          spark.table(src), Seq("g", "k"), "cdc_ts", "cdc_ts")
+          .drop("row_kind", "cdc_ts")
+        cur.createOrReplaceTempView("topn_cur")
+        try spark.sql("""SELECT g, k, x, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+            FROM topn_cur) WHERE rn <= 2""")
+          .as[(String, String, Double, Long)].collect().toSet
+        finally spark.catalog.dropTempView("topn_cur")
+      }
+      def streamTopN(): Set[(String, String, Double, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .as[(String, String, Double, Long)].collect().toSet
+      // commit 1: inserts (g1: k1=10 > k2=4; g3: k5=9)
+      // commit 2: UPDATE k1 10->25 + insert g2
+      // commit 3: delete g3's only row — rank 1 must VANISH
+      envelopes.zipWithIndex.foreach { case (batch, i) =>
+        append(src, batch)
+        q.processAllAvailable()
+        assert(streamTopN() == batchTopN(),
+          s"commit $i: stream ${streamTopN()} != batch ${batchTopN()}")
+      }
+      assert(!streamTopN().exists(_._1 == "g3"),
+        "deleted group's ranks must not survive in the sink")
+      // a backfill case: third row enters g1, then the leader retracts
+      append(src, Seq(
+        """{"op":"c","ts_ms":4,"before":null,"after":{"g":"g1","k":"k9","x":1.0}}"""))
+      q.processAllAvailable()
+      assert(streamTopN() == batchTopN(), "after third-row insert")
+      append(src, Seq(
+        """{"op":"d","ts_ms":5,"before":{"g":"g1","k":"k1","x":25.0},"after":null}"""))
+      q.processAllAvailable()
+      val end = streamTopN()
+      assert(end == batchTopN(), s"after leader retraction: $end")
+      assert(end.contains(("g1", "k9", 1.0, 2L)),
+        s"k9 must backfill into rank 2: $end")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
+  test("ONE statement aggregates a DECLARED UPSERT stream continuously") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_ups_src_$h", s"cl_ups_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    // q152's convention: +U/-D keyed by k, cdc_ts as the commit order,
+    // declared via graft.upsert.keys — the statement must chain
+    // ChangelogNormalize -> GroupAggregate as one topology
+    spark.sql(s"""CREATE TABLE $src
+      (row_kind STRING, cdc_ts BIGINT, k STRING, g STRING, x DOUBLE)
+      USING parquet""")
+    spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES ('graft.upsert.keys' = 'k')")
+    def put(rows: (String, Long, String, String, Double)*): Unit = {
+      rows.toSeq.toDF("row_kind", "cdc_ts", "k", "g", "x")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clups").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT g, COUNT(*) AS n, SUM(x) AS total, MIN(x) AS lo
+      FROM $src GROUP BY g""", ckpt)
+    try {
+      def batchAns(): Set[(String, Long, Option[Double], Option[Double])] =
+        // the batch front door normalizes the upsert table automatically
+        Engine.sql(spark,
+          s"SELECT g, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS total, " +
+            s"CAST(MIN(x) AS DOUBLE) AS lo FROM $src GROUP BY g")
+          .as[(String, Long, Option[Double], Option[Double])].collect().toSet
+      def streamAns(): Set[(String, Long, Option[Double], Option[Double])] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .select(org.apache.spark.sql.functions.col("g"),
+            org.apache.spark.sql.functions.col("n"),
+            org.apache.spark.sql.functions.col("total").cast("double"),
+            org.apache.spark.sql.functions.col("lo").cast("double"))
+          .as[(String, Long, Option[Double], Option[Double])].collect().toSet
+      // commit 1: three keys, two groups
+      put(("+U", 1L, "k1", "g1", 10.0), ("+U", 1L, "k2", "g1", 4.0),
+        ("+U", 1L, "k3", "g2", 7.0))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} vs ${batchAns()}")
+      // commit 2: k1 RE-UPSERTED (the double-count trap: without
+      // normalize, g1's count would read 3) + k2 tombstoned
+      put(("+U", 2L, "k1", "g1", 25.0), ("-D", 3L, "k2", "g1", 0.0))
+      q.processAllAvailable()
+      val s2 = streamAns()
+      assert(s2 == batchAns(), s"c2: $s2 vs ${batchAns()}")
+      assert(s2.exists(r => r._1 == "g1" && r._2 == 1L && r._3 == Some(25.0)),
+        s"re-upserted key double-counted: $s2")
+      // commit 3: g2's only key tombstoned -> group deleted from sink
+      put(("-D", 4L, "k3", "g2", 0.0))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns() && !streamAns().exists(_._1 == "g2"),
+        s"c3: ${streamAns()}")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
   test("raw changelog passthrough and malformed shapes keep their contracts") {
     val h = math.abs(getClass.getName.hashCode)
     val src = s"cl_raw_src_$h"

@@ -227,19 +227,33 @@ class ChangelogUpsertSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
   }
 
-  test("a CONTINUOUS aggregate over an upsert table rejects with guidance") {
-    // the streaming sign algebra assumes a retract stream; an upsert
-    // input would double-count re-upserted keys — loud, with the
-    // normalize-first composition, never silently wrong
+  test("a CONTINUOUS aggregate over an upsert table chains ChangelogNormalize") {
+    // r12 rejected this shape with manual-composition guidance; the
+    // reference plans StreamExecChangelogNormalize -> GroupAggregate as
+    // one topology, and r13 does too: the sign algebra consumes the
+    // normalize's emitted retract stream, so re-upserted keys are NOT
+    // double-counted and tombstoned keys leave their groups
+    import spark.implicits._
     val t = s"ups_stream_$h"
+    val sink = s"${t}_sink"
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
     mkUpsertTable(t)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-rej").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-chain").toString
+    val q = ChangelogSql.streamInsert(spark,
+      s"INSERT INTO $sink SELECT k, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) " +
+        s"AS total FROM $t GROUP BY k", ckpt)
     try {
-      val e = intercept[IllegalArgumentException](ChangelogSql.streamInsert(
-        spark, s"INSERT INTO ${t}_sink SELECT k, COUNT(*) AS n FROM $t GROUP BY k",
-        ckpt))
-      assert(e.getMessage.contains("normalizeUpsert"), e.getMessage)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+      q.processAllAvailable()
+      val got = ChangelogSql.materializeUpsertSink(spark, sink)
+        .as[(String, Long, Option[Double])].collect().toSet
+      // history: k1 upserted twice (4.0 -> 7.5), k2 deleted, k3 = 2.0
+      assert(got == Set(("k1", 1L, Some(7.5)), ("k3", 1L, Some(2.0))),
+        s"normalize not chained (double-count / surviving tombstone): $got")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
   }
 
   test("EXPLAIN CHANGELOG_MODE annotates modes and the inference route") {

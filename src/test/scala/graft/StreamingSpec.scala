@@ -743,6 +743,32 @@ class StreamingSpec extends AnyFunSuite {
       s"no backfill after retraction: $all")
   }
 
+  test("retractable top-N changelog emits -D when the top shrinks") {
+    import graft.streaming.Retract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, String)]
+    val out = Retract.retractableTopNChangelog(in.toDS(), n = 2)
+    val q = out.toDF("kind", "k", "rk", "score", "id").writeStream
+      .outputMode("update").format("memory").queryName("rtc_out").start()
+    in.addData(("g", "+I", 30.0, "x"), ("g", "+I", 20.0, "y"))
+    q.processAllAvailable()
+    val top1 = spark.table("rtc_out")
+      .as[(String, String, Int, Double, String)].collect().toSet
+    assert(top1 == Set(("+U", "g", 1, 30.0, "x"), ("+U", "g", 2, 20.0, "y")),
+      top1.toString)
+    // retract y with nothing to backfill: rank 2 must emit an explicit
+    // -D (the sink keyed by (k, rank) would otherwise keep it forever)
+    in.addData(("g", "-D", 20.0, "y"))
+    runToCompletion(q)
+    val all = spark.table("rtc_out")
+      .as[(String, String, Int, Double, String)].collect().toSeq
+    assert(all.contains(("-D", "g", 2, 20.0, "y")), s"no rank-2 delete: $all")
+    // rank 1 unchanged -> NOT re-emitted in the second commit
+    assert(all.count(r => r._1 == "+U" && r._3 == 1) == 1,
+      s"unchanged rank re-emitted: $all")
+  }
+
   test("updatable top-N: an upsert demoting the leader re-ranks and backfills") {
     import graft.streaming.Retract
     import spark.implicits._
