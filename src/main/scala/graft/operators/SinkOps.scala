@@ -657,6 +657,13 @@ object SinkOps extends QueryModule {
           try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
           finally s.catalog.dropTempView(s"__${t}_in"): Unit
         }
+        // pre-create the sink through the HEALING front door: a prior
+        // JVM's orphaned managed dir would otherwise kill the stream's
+        // first saveAsTable (the catalog is per-JVM, the warehouse isn't)
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderpriority STRING, o_orderkey BIGINT,
+           price DOUBLE, rn BIGINT, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q153").toString
         val q = Engine.sqlStreamInsert(s, s"""
           INSERT INTO $sink
@@ -731,6 +738,11 @@ object SinkOps extends QueryModule {
           try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
           finally s.catalog.dropTempView(s"__${t}_in"): Unit
         }
+        // healing pre-create, as in q153 (orphaned-location defense)
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (o_orderpriority STRING, n BIGINT, total DOUBLE, lo DOUBLE,
+           row_kind STRING, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q154").toString
         val q = Engine.sqlStreamInsert(s, s"""
           INSERT INTO $sink
