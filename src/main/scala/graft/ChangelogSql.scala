@@ -1398,8 +1398,8 @@ object ChangelogSql {
     * k ORDER BY v [ASC|DESC]) AS rn FROM changelog) WHERE rn <= N`. */
   private val StreamTopNRe =
     ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*""" +
-      """ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY\s+""" +
-      """([\w`\s,.]+?)\s+ORDER\s+BY\s+`?(\w+)`?(?:\s+(ASC|DESC))?\s*\)\s+""" +
+      """ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*(?:PARTITION\s+BY\s+""" +
+      """([\w`\s,.]+?)\s+)?ORDER\s+BY\s+`?(\w+)`?(?:\s+(ASC|DESC))?\s*\)\s+""" +
       """AS\s+`?(\w+)`?\s+FROM\s+`?(\w+)`?\s*\)(?:\s+(?:AS\s+)?(\w+))?\s+""" +
       """WHERE\s+`?[\w.]*?(\w+)`?\s*(<=|<)\s*(\d+)\s*$""").r
 
@@ -1419,7 +1419,10 @@ object ChangelogSql {
         }
         if (bare(rnRef) != rn) return None
         val outerCols = graft.util.SqlSplit.splitTopLevel(outer).map(bare)
-        val partCols = parts.split(",").toSeq.map(bare).filter(_.nonEmpty)
+        // no PARTITION BY = the GLOBAL top-N (Flink's parallelism-1
+        // rank): one constant state key
+        val partCols = Option(parts).map(_.split(",").toSeq.map(bare)
+          .filter(_.nonEmpty)).getOrElse(Seq.empty)
         if (!(outerCols :+ ocol).forall(_.matches("""\w+"""))) return None
         val n0 = nStr.toInt
         val n = if (op == "<") n0 - 1 else n0
@@ -1472,8 +1475,11 @@ object ChangelogSql {
     val payloadSchema = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => src.schema(c)))
     val score0 = col(shape.orderCol).cast("double")
+    val keyExpr =
+      if (shape.parts.isEmpty) lit("") // global top-N: one state key
+      else to_json(struct(shape.parts.map(col): _*))
     val typed = src.select(
-      to_json(struct(shape.parts.map(col): _*)).as("_1"),
+      keyExpr.as("_1"),
       col(streaming.Cdc.RowKind).as("_2"),
       (if (shape.desc) score0 else score0 * -1).as("_3"),
       to_json(struct(payloadCols.map(col): _*)).as("_4"))
@@ -1489,7 +1495,7 @@ object ChangelogSql {
         else col(s"__r.`$c`").as(c))): _*)
     val keys = shape.parts :+ shape.rnAlias
     out.writeStream
-      .outputMode("update")
+      .outputMode("append") // fMGWS chain (normalize -> top-N) needs append
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn(SeqCol, lit(batchId))

@@ -194,8 +194,12 @@ object Retract {
       }
     }
 
+    // APPEND mode: the emitted rows are changelog DELTAS (+U/-D), not
+    // keyed updates — and append is what lets this operator CHAIN
+    // downstream of ChangelogNormalize (Spark allows multiple
+    // flatMapGroupsWithState only when all run in append mode)
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Upsert-keyed top-N (rank/UpdatableTopNFunction.java:71): input rows

@@ -80,4 +80,67 @@ object RetractTws {
     ds.groupByKey(_._1)
       .transformWithState(new TopNProc[K](n),
         TimeMode.None(), OutputMode.Update(), eout)
+
+  private class TopNChangelogProc[K](n: Int)
+      extends StatefulProcessor[K, (K, String, Double, String),
+        (String, K, Int, Double, String)] {
+
+    @transient private var live: MapState[(Double, String), Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      live = getHandle.getMapState[(Double, String), Int]("live",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.STRING),
+        Encoders.scalaInt, TTLConfig.NONE)
+
+    private def topOf(): Seq[(Double, String)] =
+      live.iterator().toSeq
+        .sortBy { case ((score, payload), _) => (-score, payload) }
+        .iterator.flatMap { case ((s, p), c) => Iterator.fill(c)((s, p)) }
+        .take(n).toSeq
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, String, Double, String)],
+        tv: TimerValues): Iterator[(String, K, Int, Double, String)] = {
+      val before = topOf()
+      rows.foreach { case (_, kind, score, payload) =>
+        val entry = (score, payload)
+        if (isAdd(kind))
+          live.updateValue(entry,
+            (if (live.containsKey(entry)) live.getValue(entry) else 0) + 1)
+        else if (isRetract(kind) && live.containsKey(entry)) {
+          val c = live.getValue(entry)
+          if (c == 1) live.removeKey(entry) else live.updateValue(entry, c - 1)
+        }
+      }
+      val after = topOf()
+      if (after == before) Iterator.empty
+      else {
+        val refreshed = after.iterator.zipWithIndex.collect {
+          case ((score, payload), i)
+              if before.lift(i) != Some((score, payload)) =>
+            (Cdc.UpdateAfter, key, i + 1, score, payload)
+        }
+        val shrunk = before.iterator.zipWithIndex.drop(after.size).map {
+          case ((score, payload), i) => (Cdc.Delete, key, i + 1, score, payload)
+        }
+        refreshed ++ shrunk
+      }
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(String, K, Int, Double, String)] =
+      Iterator.empty
+  }
+
+  /** Drop-in swap for `Retract.retractableTopNChangelog`: the full
+    * downstream-changelog emit contract (+U refreshed ranks, explicit
+    * -D for vacated ranks) on MapState point writes. */
+  def retractableTopNChangelog[K](
+      ds: Dataset[(K, String, Double, String)], n: Int)(
+      implicit ek: Encoder[K],
+      eout: Encoder[(String, K, Int, Double, String)])
+      : Dataset[(String, K, Int, Double, String)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new TopNChangelogProc[K](n),
+        TimeMode.None(), OutputMode.Update(), eout)
 }

@@ -255,6 +255,97 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL (no PARTITION BY) ASC top-N statement streams correctly") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_gtopn_src_$h", s"cl_gtopn_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    spark.sql(s"""CREATE TABLE $src
+      (row_kind STRING, cdc_ts BIGINT, k STRING, x DOUBLE) USING parquet""")
+    def put(rows: (String, Long, String, Double)*): Unit = {
+      rows.toSeq.toDF("row_kind", "cdc_ts", "k", "x")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gtopn").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT k, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY x ASC) AS rn FROM $src) t
+      WHERE rn <= 2""", ckpt)
+    try {
+      def state(): Set[(String, Double, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .as[(String, Double, Long)].collect().toSet
+      put(("+I", 1L, "k1", 5.0), ("+I", 1L, "k2", 3.0), ("+I", 1L, "k3", 9.0))
+      q.processAllAvailable()
+      assert(state() == Set(("k2", 3.0, 1L), ("k1", 5.0, 2L)), state().toString)
+      // retract the ASC leader: k1 promotes, k3 backfills
+      put(("-D", 2L, "k2", 3.0))
+      q.processAllAvailable()
+      assert(state() == Set(("k1", 5.0, 1L), ("k3", 9.0, 2L)), state().toString)
+      // a smaller value enters at rank 1
+      put(("+I", 3L, "k0", 1.0))
+      q.processAllAvailable()
+      assert(state() == Set(("k0", 1.0, 1L), ("k1", 5.0, 2L)), state().toString)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
+  test("top-N over a DECLARED UPSERT stream with a composite partition key") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_utopn_src_$h", s"cl_utopn_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    spark.sql(s"""CREATE TABLE $src
+      (row_kind STRING, cdc_ts BIGINT, id STRING, ga STRING, gb STRING,
+       x DOUBLE) USING parquet""")
+    spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES ('graft.upsert.keys' = 'id')")
+    def put(rows: (String, Long, String, String, String, Double)*): Unit = {
+      rows.toSeq.toDF("row_kind", "cdc_ts", "id", "ga", "gb", "x")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-utopn").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT ga, gb, id, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY x DESC)
+          AS rn FROM $src) t
+      WHERE rn <= 1""", ckpt)
+    try {
+      def state(): Set[(String, String, String, Double, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .as[(String, String, String, Double, Long)].collect().toSet
+      put(("+U", 1L, "a", "g1", "h1", 4.0), ("+U", 1L, "b", "g1", "h1", 7.0),
+        ("+U", 1L, "c", "g1", "h2", 2.0))
+      q.processAllAvailable()
+      assert(state() == Set(("g1", "h1", "b", 7.0, 1L), ("g1", "h2", "c", 2.0, 1L)),
+        state().toString)
+      // RE-UPSERT the (g1,h1) leader DOWN: the normalize chain must
+      // retract b=7 (not leave a phantom) so a takes rank 1
+      put(("+U", 2L, "b", "g1", "h1", 1.0))
+      q.processAllAvailable()
+      assert(state() == Set(("g1", "h1", "a", 4.0, 1L), ("g1", "h2", "c", 2.0, 1L)),
+        state().toString)
+      // tombstone (g1,h2)'s only key: its rank must vanish
+      put(("-D", 3L, "c", "g1", "h2", 0.0))
+      q.processAllAvailable()
+      assert(state() == Set(("g1", "h1", "a", 4.0, 1L)), state().toString)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
   test("ONE statement aggregates a DECLARED UPSERT stream continuously") {
     import spark.implicits._
     val h = math.abs(getClass.getName.hashCode)

@@ -43,6 +43,46 @@ class RetractTwsSpec extends AnyFunSuite {
     spark.table(sink).as[(Long, Int, Double, String)].collect().toSeq
   }
 
+  private def runChangelogScenario(useTws: Boolean, sink: String)
+      : Seq[(String, Long, Int, Double, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double, String)]
+    val out =
+      if (useTws) RetractTws.retractableTopNChangelog(in.toDS(), n = 2)
+      else Retract.retractableTopNChangelog(in.toDS(), n = 2)
+    // the fMGWS original runs in APPEND mode (delta emission, chainable
+    // downstream of ChangelogNormalize); the TWS port keeps Update
+    val q = out.toDF("kind", "k", "rank", "score", "payload").writeStream
+      .outputMode(if (useTws) "update" else "append")
+      .format("memory").queryName(sink).start()
+    try {
+      in.addData((1L, "+I", 30.0, "a"), (1L, "+I", 20.0, "b"))
+      q.processAllAvailable()
+      // retract b with nothing to backfill: rank 2 vacates -> -D
+      in.addData((1L, "-D", 20.0, "b"))
+      q.processAllAvailable()
+      // re-fill, then retract the leader: promotion without shrink
+      in.addData((1L, "+I", 25.0, "c"))
+      q.processAllAvailable()
+      in.addData((1L, "-D", 30.0, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(String, Long, Int, Double, String)].collect().toSeq
+  }
+
+  test("MapState-backed changelog top-N equals the GroupState original") {
+    val ref = runChangelogScenario(useTws = false, sink = "rtwsc_ref")
+    val tws = TestSpark.withRocksDB(
+      runChangelogScenario(useTws = true, sink = "rtwsc_new"))
+    def multiset(rows: Seq[(String, Long, Int, Double, String)]) =
+      rows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(multiset(tws) == multiset(ref),
+      s"emissions differ:\n tws=${tws.sorted}\n ref=${ref.sorted}")
+    // the vacated rank's explicit delete is present on both sides
+    assert(tws.contains(("-D", 1L, 2, 20.0, "b")), tws.toString)
+  }
+
   test("MapState-backed retractable top-N equals the GroupState original") {
     val ref = runScenario(useTws = false, sink = "rtws_ref")
     val key = "spark.sql.streaming.stateStore.providerClass"

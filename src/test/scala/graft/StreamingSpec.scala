@@ -750,7 +750,7 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(String, String, Double, String)]
     val out = Retract.retractableTopNChangelog(in.toDS(), n = 2)
     val q = out.toDF("kind", "k", "rk", "score", "id").writeStream
-      .outputMode("update").format("memory").queryName("rtc_out").start()
+      .outputMode("append").format("memory").queryName("rtc_out").start()
     in.addData(("g", "+I", 30.0, "x"), ("g", "+I", 20.0, "y"))
     q.processAllAvailable()
     val top1 = spark.table("rtc_out")
