@@ -225,11 +225,7 @@ object JdbcConnector {
         s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
     val deleteSql =
       s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
-    // co-locate each key's changes and keep their commit order: the
-    // reduce buffer's last-wins is only correct if "last" is real
-    val keyed = df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
-    val orderCol = Seq(graft.ChangelogSql.SeqCol, "cdc_ts").find(df.columns.contains)
-    val ordered = orderCol.fold(keyed)(c => keyed.sortWithinPartitions(c))
+    val ordered = keyedLayout(df, keys)
     ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // empty partitions (repartition spreads keys over the shuffle
       // width) must not open connections or count commits
@@ -338,6 +334,19 @@ object JdbcConnector {
       }
       }
     }
+  }
+
+  /** The sink's physical LAYOUT: hash-repartition by the primary key
+    * (two changes to one key must share a partition/connection — Flink
+    * keys the stream by pk before the sink) and, when the frame carries
+    * a commit-sequence column, sort within partitions so the reduce
+    * buffer's last-wins reads real commit order. Factored out so the
+    * plan shape is testable (`JdbcConnectorSpec` pins the
+    * hashpartitioning). */
+  private[graft] def keyedLayout(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyed = df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+    val orderCol = Seq(graft.ChangelogSql.SeqCol, "cdc_ts").find(df.columns.contains)
+    orderCol.fold(keyed)(c => keyed.sortWithinPartitions(c))
   }
 
   /** JDBC round-trip counter (statements/batches sent to the server +

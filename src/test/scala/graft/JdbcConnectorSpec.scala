@@ -218,6 +218,23 @@ class JdbcConnectorSpec extends AnyFunSuite {
       Seq((1L, "c", 4.0), (3L, "q", 6.0)))
   }
 
+  test("sink layout plan: hash-repartition by pk, in-partition commit order") {
+    import spark.implicits._
+    val df = Seq(("+U", 1L, 2L, "a", 1.0), ("+U", 2L, 1L, "b", 2.0))
+      .toDF("row_kind", "cdc_ts", "id", "name", "score")
+    val plan = JdbcConnector.keyedLayout(df, Seq("id"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("RepartitionByExpression [id"),
+      s"sink frame not hash-partitioned by the key:\n$plan")
+    assert(plan.contains("Sort [cdc_ts") && plan.contains("false"),
+      s"sink frame not commit-ordered within partitions:\n$plan")
+    // no order column: layout is just the repartition (no phantom sort)
+    val plain = JdbcConnector.keyedLayout(
+      Seq((1L, "a")).toDF("id", "name"), Seq("id"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plain.contains("Sort ["), s"unexpected sort:\n$plain")
+  }
+
   test("all-key table: batched insert-if-absent, duplicates settle") {
     import spark.implicits._
     withConn { c =>
