@@ -500,6 +500,70 @@ object ChangelogSql {
     }
   }
 
+  /** `FINAL_STATE(<changelog table>)` in relation position — the SQL
+    * spelling of this module's materialize-first guidance: the
+    * changelog's CURRENT live multiset as a plain relation, so shapes
+    * with no retraction-consuming rewrite (window functions, ranks,
+    * composite joins) run CORRECTLY over the final state instead of
+    * rejecting. Exactly what the reference's BATCH mode does with a
+    * bounded changelog source: materialize at the source, then plan the
+    * statement insert-only (SinkUpsertMaterializer / bounded
+    * ChangelogNormalize role). An UPSERT-declared relation materializes
+    * keep-last per key ([[streaming.Cdc.upsertMaterialize]]); a RETRACT
+    * relation nets every distinct payload row's sign sum and replicates
+    * rows by their live multiplicity — one exchange over the payload
+    * columns, the cost any final-state read must pay once. */
+  private val FinalStateRe =
+    """(?i)\bFINAL_STATE\s*\(\s*`?([\w.]+)`?\s*\)""".r
+
+  /** Rewrite every `FINAL_STATE(t)` in `stmt` to a statement-scoped view
+    * of t's materialized live state. Returns (rewritten statement, view
+    * names to drop after execution); (stmt, Nil) when absent. */
+  def bindFinalState(spark: SparkSession, stmt: String): (String, Seq[String]) = {
+    val b = blank(stmt)
+    val ms = FinalStateRe.findAllMatchIn(b).toSeq
+    if (ms.isEmpty) return (stmt, Nil)
+    val views = scala.collection.mutable.Map.empty[String, String]
+    def viewOf(rel: String): String = views.getOrElseUpdate(rel, {
+      require(isChangelogRel(spark, rel),
+        s"FINAL_STATE($rel): not a changelog relation (no row_kind " +
+          "column) — read the table directly")
+      val df = spark.table(rel)
+      val state = upsertKeysOf(spark, rel) match {
+        case Some(keys) =>
+          val orderCol = Seq(SeqCol, "cdc_ts").find(df.columns.contains)
+            .getOrElse(throw new IllegalArgumentException(
+              s"FINAL_STATE($rel): upsert relation carries no order column"))
+          streaming.Cdc.upsertMaterialize(df, keys, orderCol, orderCol,
+            insertAfterDelete = false)
+            .drop(streaming.Cdc.RowKind, orderCol)
+        case None =>
+          // retract netting: live multiplicity per distinct payload row,
+          // rows replicated by their net count
+          val payloadCols = df.columns.toSeq.filterNot(c =>
+            c == streaming.Cdc.RowKind || c == "cdc_ts" || c == SeqCol)
+          val sign = when(col(streaming.Cdc.RowKind)
+            .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1L)
+            .otherwise(-1L)
+          df.groupBy(payloadCols.map(col): _*)
+            .agg(sum(sign).as("__net")).filter(col("__net") > 0)
+            .withColumn("__dup", explode(sequence(lit(1L), col("__net"))))
+            .drop("__net", "__dup")
+      }
+      val v = s"__graft_final_${counter.incrementAndGet()}"
+      state.createOrReplaceTempView(v)
+      v
+    })
+    val sb = new StringBuilder
+    var last = 0
+    ms.foreach { m =>
+      sb.append(stmt.substring(last, m.start)).append(viewOf(m.group(1)))
+      last = m.end
+    }
+    sb.append(stmt.substring(last))
+    (sb.toString, views.values.toSeq)
+  }
+
   /** `EXPLAIN CHANGELOG_MODE <statement>` — Flink's ExplainDetail
     * .CHANGELOG_MODE (SqlRichExplain + ExecNode changelog annotations):
     * per-relation changelog modes and the lowering this entry selects,

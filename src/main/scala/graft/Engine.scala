@@ -357,23 +357,28 @@ object Engine {
       // the per-row lookup path. Statements without hint blocks pass
       // through untouched.
       val hinted = SqlHints(spark, query0)
-      val query = hinted.query
+      val query1 = hinted.query
       try {
       hinted.lookup match {
         case Some(opts) =>
-          require(TemporalSql.matches(query),
+          require(TemporalSql.matches(query1),
             "the LOOKUP hint applies to lookup joins — the statement must " +
               "contain a JOIN ... FOR SYSTEM_TIME AS OF ... clause")
-          return TemporalSql.sqlLookup(spark, query, opts)
+          return TemporalSql.sqlLookup(spark, query1, opts)
         case None => ()
       }
-      require(!hinted.joinHints || !extendedMatches(query),
+      require(!hinted.joinHints || !extendedMatches(query1),
         "join strategy hints are supported on Spark-parsable statements; " +
           "this statement uses an extended dialect (window TVF / temporal " +
           "join / MATCH_RECOGNIZE) whose lowering does not consume hints")
       // batch reads of connector tables resolve to the connector, not the
       // schema-only base (statement-scoped shadow views)
-      val bound = bindConnectorReads(spark, query)
+      val bound = bindConnectorReads(spark, query1)
+      try {
+      // FINAL_STATE(t) relations materialize the changelog's live state
+      // (statement-scoped views; after connector binding so a connector
+      // changelog decodes first)
+      val (query, finals) = ChangelogSql.bindFinalState(spark, query1)
       try {
       // Compositional normalize pass (ParserImpl role, SqlComposer): DDL
       // with extended-dialect bodies runs the body through this same
@@ -416,6 +421,7 @@ object Engine {
           } finally lifted.foreach(v => spark.catalog.dropTempView(v): Unit)
         }
       }
+      } finally finals.foreach(v => spark.catalog.dropTempView(v): Unit)
       } finally bound.foreach(v => spark.catalog.dropTempView(v): Unit)
       // the __graft_opts_N views (OPTIONS-hint re-reads) are statement-
       // scoped, like the composer's lifted subqueries

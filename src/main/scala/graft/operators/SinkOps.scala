@@ -774,6 +774,68 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // FINAL_STATE(t) (r13): the SQL spelling of materialize-first —
+      // a BATCH window-function statement (ROW_NUMBER top-3 per
+      // priority) over a retract changelog's CURRENT live multiset,
+      // the statement shape that deliberately REJECTS over the raw
+      // changelog (no retraction-consuming rewrite). Same three-phase
+      // history as q153 (+I all, -U/+U %10 price bumps, -D %17), so
+      // the oracle is row_number over the final state; a netting bug
+      // (lost multiplicity, surviving delete, un-retracted -U) breaks
+      // rows and hash.
+      "q155_final_state_topn",
+      (s, d) => {
+        import s.implicits._
+        val t = "cl_q155"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val c1 = base.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderpriority", $"price")
+        val c2 = base.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", $"price")
+          .unionByName(base.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_orderpriority", bumped))
+        val current = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val c3 = base.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", current)
+        c1.unionByName(c2).unionByName(c3)
+          .createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        Engine.sql(s, s"""
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(price AS DOUBLE) AS price, CAST(rn AS BIGINT) AS rn
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_orderkey DESC) AS rn
+            FROM FINAL_STATE($t)) x
+          WHERE rn <= 3
+          ORDER BY o_orderpriority, rn""")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price, rn
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, price,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_orderkey DESC) AS rn
+        |  FROM fs) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

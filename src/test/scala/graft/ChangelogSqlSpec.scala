@@ -441,6 +441,64 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_wfold")
   }
 
+  test("FINAL_STATE(t) materializes the live multiset for reject-shaped statements") {
+    import spark.implicits._
+    changelog().createOrReplaceTempView("cl_fs")
+    try {
+      // the ROW_NUMBER-subquery shape has no retraction-consuming
+      // rewrite and REJECTS over the raw changelog...
+      val e = intercept[IllegalArgumentException](Engine.sql(spark, """
+        SELECT g, k, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+          FROM cl_fs) t WHERE rn <= 1"""))
+      assert(e.getMessage.contains("materialize"), e.getMessage)
+      // ...and runs CORRECTLY over FINAL_STATE: final rows are
+      // g1 -> (k1, 25.0), (k3, null); g2 -> (k4, 7.0)
+      val got = Engine.sql(spark, """
+        SELECT g, k, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+          FROM FINAL_STATE(cl_fs)) t WHERE rn <= 1 ORDER BY g""")
+        .as[(String, String, Long)].collect().toSeq
+      assert(got == Seq(("g1", "k1", 1L), ("g2", "k4", 1L)), got.toString)
+      // live MULTIPLICITY is replicated: two identical live rows count 2
+      Seq(("+I", 1L, "a", 1.0), ("+I", 2L, "a", 1.0), ("+I", 3L, "a", 1.0),
+        ("-D", 4L, "a", 1.0))
+        .toDF("row_kind", "cdc_ts", "k", "x").createOrReplaceTempView("cl_fs2")
+      val dup = Engine.sql(spark,
+        "SELECT COUNT(*) AS n FROM FINAL_STATE(cl_fs2)").as[Long].collect().head
+      assert(dup == 2L, s"net multiplicity lost: $dup")
+      // joins of two final states work too (composite FROM, no reject)
+      val j = Engine.sql(spark, """
+        SELECT COUNT(*) AS n FROM FINAL_STATE(cl_fs) a
+        JOIN FINAL_STATE(cl_fs2) b ON a.x > b.x""").as[Long].collect().head
+      assert(j == 4L, s"2 live rows x (25.0, 7.0) > 1.0: $j") // k3 null drops
+      // a non-changelog relation rejects loudly
+      Seq((1, "p")).toDF("a", "b").createOrReplaceTempView("plain_fs")
+      val e2 = intercept[IllegalArgumentException](
+        Engine.sql(spark, "SELECT * FROM FINAL_STATE(plain_fs)"))
+      assert(e2.getMessage.contains("not a changelog"), e2.getMessage)
+      spark.catalog.dropTempView("cl_fs2")
+      spark.catalog.dropTempView("plain_fs")
+    } finally spark.catalog.dropTempView("cl_fs")
+  }
+
+  test("FINAL_STATE over a DECLARED UPSERT table is the keep-last collapse") {
+    import spark.implicits._
+    val t = s"cl_fs_ups_${math.abs(getClass.getName.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq(("+U", 1L, "k1", 4.0), ("+U", 2L, "k1", 7.5),
+      ("+U", 1L, "k2", 9.0), ("-D", 3L, "k2", 9.0))
+      .toDF("row_kind", "cdc_ts", "k", "v").write.saveAsTable(t)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.upsert.keys' = 'k')")
+    try {
+      val got = Engine.sql(spark,
+        s"SELECT k, v, ROW_NUMBER() OVER (ORDER BY v) AS rn " +
+          s"FROM FINAL_STATE($t) ORDER BY rn")
+        .as[(String, Double, Long)].collect().toSeq
+      assert(got == Seq(("k1", 7.5, 1L)), got.toString)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
+  }
+
   test("raw changelog reads (row_kind/cdc_ts referenced) fall through") {
     import spark.implicits._
     changelog().createOrReplaceTempView("cl_raw")
