@@ -184,8 +184,34 @@ object Engine {
     // route; ESTIMATED_COST maps onto Catalyst's cost mode;
     // JSON_EXECUTION_PLAN serializes the optimized plan tree.
     case ExplainChangelogRe(body) =>
-      requireQueryShapedExplainBody(body, "CHANGELOG_MODE")
-      ChangelogSql.explainChangelog(spark, body)
+      body match {
+        // an INSERT INTO ... SELECT body is EXPLAINED as the streaming
+        // job it would start (Flink's EXPLAIN over an INSERT plans the
+        // job without running it): the route line names the continuous
+        // operator sqlStreamInsert would choose, the select's
+        // changelog modes follow — and nothing executes, no stream
+        // starts, no write commits
+        case StreamInsertRe(sink, select) =>
+          import spark.implicits._
+          val route =
+            if (ChangelogSql.streamTopNMatches(spark, select))
+              "continuous retractable top-N (RetractableTopNFunction) " +
+                "-> upsert changelog keyed by (partition columns, rank)"
+            else if (ChangelogSql.streamMatches(spark, select))
+              "continuous retraction-consuming aggregate (update mode) " +
+                "-> upsert changelog keyed by the GROUP BY columns"
+            else
+              "append INSERT (continuous append-mode when a referenced " +
+                "source declares WATERMARK/PROCTIME, plain batch write " +
+                "otherwise)"
+          val inner = ChangelogSql.explainChangelog(spark, select)
+            .as[String].collect().head
+          Seq(s"== Streaming Insert ==\n  sink: $sink\n  route: $route" +
+            s"\n\n$inner").toDF("plan")
+        case _ =>
+          requireQueryShapedExplainBody(body, "CHANGELOG_MODE")
+          ChangelogSql.explainChangelog(spark, body)
+      }
     case ExplainCostDetailRe(body) =>
       import spark.implicits._
       requireQueryShapedExplainBody(body, "ESTIMATED_COST")

@@ -217,6 +217,22 @@ class ChangelogUpsertSpec extends AnyFunSuite {
             s"EXPLAIN $mode INSERT INTO $t VALUES ('a', 1.0)"))
           assert(e.getMessage.contains("side effects"), e.getMessage)
         }
+      // CHANGELOG_MODE over an INSERT ... SELECT body PLANS the
+      // streaming job without starting it (Flink's EXPLAIN over INSERT)
+      Seq(("+I", 1L, "g1", 2.0)).toDF("row_kind", "cdc_ts", "g", "x")
+        .createOrReplaceTempView("expl_ins_cl")
+      val sp = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE INSERT INTO $t " +
+        "SELECT g, COUNT(*) AS n FROM expl_ins_cl GROUP BY g")
+        .as[String].collect().head
+      assert(sp.contains("Streaming Insert") &&
+        sp.contains("retraction-consuming aggregate (update mode)"), sp)
+      val tp = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE INSERT INTO $t " +
+        "SELECT g, x, rn FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g " +
+        "ORDER BY x DESC) AS rn FROM expl_ins_cl) z WHERE rn <= 2")
+        .as[String].collect().head
+      assert(tp.contains("retractable top-N"), tp)
+      spark.catalog.dropTempView("expl_ins_cl")
+      // an ESTIMATED_COST/JSON INSERT still rejects, and nothing wrote
       val n = spark.table(t).count()
       assert(n == 0, s"EXPLAIN committed a write: $n rows")
       // query bodies still explain
