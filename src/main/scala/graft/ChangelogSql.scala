@@ -1433,6 +1433,7 @@ object ChangelogSql {
         s"streamInsert expects INSERT INTO <table> SELECT ..., got: $other")
     }
     val (df, keys) = streamAgg(spark, select)
+    val write = upsertSinkWriter(spark, sink, keys)
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -1443,17 +1444,87 @@ object ChangelogSql {
               .otherwise(streaming.Cdc.Delete))
           .drop(LiveCol)
           .withColumn(SeqCol, lit(batchId))
-        log.write.mode("append").saveAsTable(sink)
-        // record the upsert keys once, for materializeUpsertSink readers
-        if (!keys.isEmpty && batchId == 0)
-          spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
-            s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
+        write(log, batchId)
       }
       .start()
   }
 
   private val StreamInsertRe =
     """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*)""".r
+
+  /** Per-commit writer for an UPDATE stream (an upsert changelog of the
+    * user's columns + row_kind + commit sequence, keyed by `keys`) into
+    * `sink` — Flink's "table sink must support consuming update and
+    * delete changes" contract:
+    *   - a `'connector'='jdbc'` sink with a PRIMARY KEY consumes each
+    *     commit through the KEYED batched writer
+    *     ([[sources.JdbcConnector.upsertWrite]]: +U upserts, -D deletes
+    *     by key) — the stream's key columns must map onto the declared
+    *     pk, and the select list aligns positionally onto the declared
+    *     schema exactly like the append connector route;
+    *   - any other connector rejects loudly (filesystem/append sinks
+    *     cannot consume update/delete changes — the reference's
+    *     validation error);
+    *   - a plain catalog table appends the ENCODED changelog rows and
+    *     records the upsert keys ([[materializeUpsertSink]] is the
+    *     reader's keep-last collapse). */
+  private def upsertSinkWriter(spark: SparkSession, sink: String,
+      keys: Seq[String]): (DataFrame, Long) => Unit = {
+    val props = scala.util.Try(WatermarkDdl.tableOptions(spark, sink))
+      .getOrElse(Map.empty[String, String])
+    props.get("connector") match {
+      case Some("jdbc") =>
+        val pk = props.get("graft.primary.key").toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim)).filter(_.nonEmpty)
+        require(pk.nonEmpty,
+          s"continuous INSERT of an UPDATE stream into jdbc table $sink: " +
+            "the sink must declare a PRIMARY KEY ... NOT ENFORCED " +
+            "(a keyless sink cannot consume update and delete changes)")
+        val declared = spark.table(s"__${sink}_base").schema
+        val connProps = props.filterNot(p =>
+          WatermarkDdl.isInternalPropName(p._1))
+        (log0: DataFrame, _: Long) => {
+          val userCols = log0.columns.toSeq.filterNot(c =>
+            c == streaming.Cdc.RowKind || c == SeqCol)
+          require(userCols.length == declared.fields.length,
+            s"INSERT INTO $sink: ${declared.fields.length} columns " +
+              s"declared, the stream produces ${userCols.length}")
+          // positional alignment onto the declared schema (the same
+          // contract as the append connector route); the stream's key
+          // columns must land on the declared PRIMARY KEY positions
+          val mappedKeys = keys.map { k =>
+            val i = userCols.indexOf(k)
+            require(i >= 0, s"stream key column $k missing from the select list")
+            declared.fields(i).name
+          }
+          require(mappedKeys.map(_.toLowerCase).toSet ==
+              pk.map(_.toLowerCase).toSet,
+            s"INSERT INTO $sink: the stream's upsert key " +
+              s"(${keys.mkString(",")} -> ${mappedKeys.mkString(",")}) must " +
+              s"equal the sink's PRIMARY KEY (${pk.mkString(",")})")
+          val aligned = log0.select(
+            declared.fields.toSeq.zip(userCols).map { case (f, c) =>
+              col(c).cast(f.dataType).as(f.name)
+            } :+ col(streaming.Cdc.RowKind) :+ col(SeqCol): _*)
+          sources.JdbcConnector.upsertWrite(aligned, connProps, mappedKeys)
+        }
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"continuous INSERT of an UPDATE stream into '$other' table " +
+            s"$sink: this sink cannot consume update and delete changes " +
+            "(the reference's filesystem/append sinks reject the same " +
+            "way); use a jdbc sink with a PRIMARY KEY, or a plain table " +
+            "(the encoded upsert changelog lands there)")
+      case None =>
+        (log: DataFrame, batchId: Long) => {
+          log.write.mode("append").saveAsTable(sink)
+          // record the upsert keys once, for materializeUpsertSink readers
+          if (keys.nonEmpty && batchId == 0)
+            spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
+              s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
+        }
+    }
+  }
 
   // ---- continuous retractable top-N (rank/RetractableTopNFunction) ---
 
@@ -1558,15 +1629,12 @@ object ChangelogSql {
         if (c == shape.rnAlias) col(shape.rnAlias)
         else col(s"__r.`$c`").as(c))): _*)
     val keys = shape.parts :+ shape.rnAlias
+    val write = upsertSinkWriter(spark, sink, keys)
     out.writeStream
       .outputMode("append") // fMGWS chain (normalize -> top-N) needs append
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn(SeqCol, lit(batchId))
-          .write.mode("append").saveAsTable(sink)
-        if (batchId == 0)
-          spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
-            s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
+        write(batch.withColumn(SeqCol, lit(batchId)), batchId)
       }
       .start()
   }

@@ -409,6 +409,106 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("a changelog aggregate feeds a KEYED JDBC sink: upserts + deletes per commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, snk) = (s"cl_jsink_src_$h", s"cl_jsink_$h")
+    val dbUrl = s"jdbc:derby:memory:graftclsink$h"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $snk")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${snk}_base")
+    createChangelogTable(src)
+    val c = java.sql.DriverManager.getConnection(s"$dbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE live_groups (grp VARCHAR(16) NOT NULL " +
+        "PRIMARY KEY, n BIGINT, total DOUBLE)")
+      st.close()
+    } finally c.close()
+    Engine.sql(spark, s"""
+      CREATE TABLE $snk (grp STRING, n BIGINT, total DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED)
+      WITH ('connector' = 'jdbc', 'url' = '$dbUrl',
+            'table-name' = 'live_groups')""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cljsink").toString
+    // select-output name g maps positionally onto the declared pk 'grp'
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $snk
+      SELECT g, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS total
+      FROM $src GROUP BY g""", ckpt)
+    def dbState(): Set[(String, Long, Double)] = {
+      val cc = java.sql.DriverManager.getConnection(dbUrl)
+      try {
+        val rs = cc.createStatement()
+          .executeQuery("SELECT grp, n, total FROM live_groups ORDER BY grp")
+        val out = Set.newBuilder[(String, Long, Double)]
+        while (rs.next()) out += ((rs.getString(1), rs.getLong(2), rs.getDouble(3)))
+        out.result()
+      } finally cc.close()
+    }
+    try {
+      envelopes.zipWithIndex.foreach { case (batch, i) =>
+        append(src, batch)
+        q.processAllAvailable()
+        import spark.implicits._
+        val batchAns = Engine.sql(spark,
+          s"SELECT g, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS total " +
+            s"FROM $src GROUP BY g")
+          .as[(String, Long, Double)].collect().toSet
+        assert(dbState() == batchAns,
+          s"commit $i: db ${dbState()} != batch $batchAns")
+      }
+      // commit 3 emptied g3: its DB row must be GONE (the -D route)
+      assert(!dbState().exists(_._1 == "g3"), dbState().toString)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $snk")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${snk}_base"): Unit
+    }
+  }
+
+  test("UPDATE streams into keyless/append sinks reject loudly") {
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_badsink_src_$h"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    createChangelogTable(src)
+    val dbUrl = s"jdbc:derby:memory:graftbadsink$h"
+    val c = java.sql.DriverManager.getConnection(s"$dbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE nokey_t (g VARCHAR(16), n BIGINT)")
+      st.close()
+    } finally c.close()
+    def mk(name: String, withClause: String): Unit = {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $name")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${name}_base")
+      Engine.sql(spark,
+        s"CREATE TABLE $name (g STRING, n BIGINT) WITH ($withClause)"): Unit
+    }
+    val jl = s"cl_badsink_j_$h"
+    val fl = s"cl_badsink_f_$h"
+    val dir = java.nio.file.Files.createTempDirectory("graft-badsink").toString
+    mk(jl, s"'connector' = 'jdbc', 'url' = '$dbUrl', 'table-name' = 'nokey_t'")
+    mk(fl, s"'connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet'")
+    try {
+      val e1 = intercept[IllegalArgumentException](Engine.sqlStreamInsert(spark,
+        s"INSERT INTO $jl SELECT g, COUNT(*) AS n FROM $src GROUP BY g",
+        "/tmp/never1"))
+      assert(e1.getMessage.contains("PRIMARY KEY"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](Engine.sqlStreamInsert(spark,
+        s"INSERT INTO $fl SELECT g, COUNT(*) AS n FROM $src GROUP BY g",
+        "/tmp/never2"))
+      assert(e2.getMessage.contains("update and delete"), e2.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      Seq(jl, fl).foreach { t =>
+        Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+        Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base"): Unit
+      }
+    }
+  }
+
   test("raw changelog passthrough and malformed shapes keep their contracts") {
     val h = math.abs(getClass.getName.hashCode)
     val src = s"cl_raw_src_$h"
