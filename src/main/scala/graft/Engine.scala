@@ -719,4 +719,44 @@ object Engine {
       case other => throw new IllegalArgumentException(
         s"sqlStreamInsert expects INSERT INTO <table> SELECT ..., got: $other")
     }
+
+  /** STREAMING statement set — `EXECUTE STATEMENT SET BEGIN <INSERT>;
+    * ... END` where every member is a continuous INSERT
+    * (StreamStatementSet.execute: Flink runs the members as one deployed
+    * job). Each member starts through [[sqlStreamInsert]] with its own
+    * checkpoint subdirectory; the returned handles are the job. Honesty
+    * note: Flink's streaming set additionally MERGES common source
+    * operators into one DAG — Spark's independent streaming queries
+    * cannot share operators, so each member scans its sources itself
+    * (the batch statement set's persist()-based reuse has no streaming
+    * analog); the semantic surface — N continuous INSERTs from one
+    * statement — is what this provides. A member that fails to START
+    * stops the already-started members before rethrowing: Flink deploys
+    * all-or-nothing. */
+  def sqlStreamStatementSet(spark: SparkSession, statement: String,
+      checkpointDir: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    statement match {
+      case StmtSetRe(body) =>
+        val stmts = graft.util.SqlSplit.splitStatements(body)
+        require(stmts.nonEmpty, "EXECUTE STATEMENT SET: empty body")
+        stmts.foreach(s => require(
+          """(?is)^\s*INSERT\s+INTO\b""".r.findFirstIn(s).isDefined,
+          "a STREAMING statement set takes INSERT INTO members only; " +
+            s"got: ${s.trim.take(80)}"))
+        val started = Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
+        try {
+          stmts.zipWithIndex.foreach { case (s, i) =>
+            started += sqlStreamInsert(spark, s, s"$checkpointDir/member_$i")
+          }
+          started.result()
+        } catch {
+          case t: Throwable =>
+            started.result().foreach(q =>
+              try q.stop() catch { case _: Exception => () })
+            throw t
+        }
+      case other => throw new IllegalArgumentException(
+        "sqlStreamStatementSet expects EXECUTE STATEMENT SET BEGIN " +
+          s"<INSERT INTO ...;>+ END, got: ${other.trim.take(80)}")
+    }
 }

@@ -453,4 +453,71 @@ class StreamInsertSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("STREAMING statement set runs every INSERT member as its own job") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, cl, s1, s2) =
+      (s"sset_src_$h", s"sset_cl_$h", s"sset_sink1_$h", s"sset_sink2_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Seq(cl, s1, s2).foreach(t => Engine.sql(spark, s"DROP TABLE IF EXISTS $t"))
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $s1 (win_start TIMESTAMP, total BIGINT) USING parquet")
+    spark.sql(s"""CREATE TABLE $cl
+      (row_kind STRING, cdc_ts BIGINT, g STRING, x DOUBLE) USING parquet""")
+    Engine.sql(spark,
+      s"CREATE TABLE $s2 (g STRING, n BIGINT, row_kind STRING, " +
+        s"__graft_cl_seq BIGINT) USING parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sset").toString
+    // two members of DIFFERENT routes: an append-mode windowed INSERT
+    // and a changelog update-mode aggregate, one statement
+    val qs = Engine.sqlStreamStatementSet(spark, s"""
+      EXECUTE STATEMENT SET BEGIN
+        INSERT INTO $s1
+        SELECT window.start AS win_start, SUM(v) AS total
+        FROM $src GROUP BY window(ts, '1 minute');
+        INSERT INTO $s2 SELECT g, COUNT(*) AS n FROM $cl GROUP BY g;
+      END""", ckpt)
+    try {
+      assert(qs.size == 2, s"expected two running jobs, got ${qs.size}")
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (1, 10, TIMESTAMP '2024-01-01 00:00:05')""")
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (2, 3, TIMESTAMP '2024-01-01 00:02:30')""")
+      Engine.sql(spark, s"""INSERT INTO $src VALUES
+        (3, 1, TIMESTAMP '2024-01-01 00:04:00')""")
+      Seq(("+I", 1L, "g1", 4.0), ("+I", 1L, "g1", 6.0), ("-D", 2L, "g1", 4.0))
+        .toDF("row_kind", "cdc_ts", "g", "x")
+        .createOrReplaceTempView(s"__${cl}_in")
+      spark.sql(s"INSERT INTO $cl SELECT * FROM __${cl}_in")
+      spark.catalog.dropTempView(s"__${cl}_in")
+      qs.foreach(_.processAllAvailable())
+      val w = spark.table(s1).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(w.contains(("2024-01-01 00:00:00.0", 10L)), s"member 1: $w")
+      val a = ChangelogSql.materializeUpsertSink(spark, s2)
+        .as[(String, Long)].collect().toSet
+      assert(a == Set(("g1", 1L)), s"member 2: $a")
+    } finally qs.foreach(_.stop())
+    // a non-INSERT member rejects before anything starts
+    val e = intercept[IllegalArgumentException](Engine.sqlStreamStatementSet(
+      spark, s"EXECUTE STATEMENT SET BEGIN SELECT 1; END", ckpt + "x"))
+    assert(e.getMessage.contains("INSERT INTO members only"), e.getMessage)
+    // a member that fails to START stops the already-started ones
+    val e2 = intercept[Exception](Engine.sqlStreamStatementSet(spark, s"""
+      EXECUTE STATEMENT SET BEGIN
+        INSERT INTO $s2 SELECT g, COUNT(*) AS n FROM $cl GROUP BY g;
+        INSERT INTO $s1 SELECT win_start, total FROM $s1;
+      END""", ckpt + "y"))
+    assert(e2.getMessage != null)
+    assert(spark.streams.active.isEmpty,
+      s"failed set leaked running members: ${spark.streams.active.map(_.name).toSeq}")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Seq(cl, s1, s2).foreach(t => Engine.sql(spark, s"DROP TABLE IF EXISTS $t"): Unit)
+  }
 }
