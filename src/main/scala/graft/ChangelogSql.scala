@@ -1508,13 +1508,34 @@ object ChangelogSql {
             } :+ col(streaming.Cdc.RowKind) :+ col(SeqCol): _*)
           sources.JdbcConnector.upsertWrite(aligned, connProps, mappedKeys)
         }
+      case Some("upsert-kafka") =>
+        // the reference's PRIMARY upsert sink: +U rows become keyed
+        // kafka messages, -D rows tombstones
+        // (DynamicKafkaRecordSerializationSchema). The encode half is
+        // [[encodeUpsertSinkBatch]] (spec'd offline); the save needs
+        // the kafka client jar + a broker — environment-blocked here,
+        // same posture as every kafka e2e.
+        val pk = props.get("graft.upsert.keys")
+          .orElse(props.get("graft.primary.key")).toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim)).filter(_.nonEmpty)
+        require(pk.nonEmpty,
+          s"upsert-kafka sink $sink declares no key (the DDL requires " +
+            "PRIMARY KEY ... NOT ENFORCED)")
+        val declared = spark.table(s"__${sink}_base").schema
+        val connProps = props.filterNot(p =>
+          WatermarkDdl.isInternalPropName(p._1))
+        (log0: DataFrame, _: Long) =>
+          encodeUpsertSinkBatch(log0, declared, pk, keys, connProps)
+            .write.format("kafka")
+            .options(sources.KafkaConnector.sinkOptions(connProps))
+            .save()
       case Some(other) =>
         throw new IllegalArgumentException(
           s"continuous INSERT of an UPDATE stream into '$other' table " +
             s"$sink: this sink cannot consume update and delete changes " +
             "(the reference's filesystem/append sinks reject the same " +
-            "way); use a jdbc sink with a PRIMARY KEY, or a plain table " +
-            "(the encoded upsert changelog lands there)")
+            "way); use a jdbc or upsert-kafka sink with a PRIMARY KEY, " +
+            "or a plain table (the encoded upsert changelog lands there)")
       case None =>
         (log: DataFrame, batchId: Long) => {
           log.write.mode("append").saveAsTable(sink)
@@ -1524,6 +1545,36 @@ object ChangelogSql {
               s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
         }
     }
+  }
+
+  /** The testable encode half of the upsert-kafka sink route: align one
+    * commit of an UPDATE stream (user columns + row_kind + [[SeqCol]],
+    * keyed by `streamKeys`) positionally onto the DECLARED schema,
+    * require the stream keys to land on the declared primary key, and
+    * encode to (key, value) wire messages — +U rows keyed upserts, -D
+    * rows tombstones ([[sources.KafkaConnector.upsertEncode]]). */
+  private[graft] def encodeUpsertSinkBatch(log0: DataFrame,
+      declared: org.apache.spark.sql.types.StructType, pk: Seq[String],
+      streamKeys: Seq[String], opts: Map[String, String]): DataFrame = {
+    val userCols = log0.columns.toSeq.filterNot(c =>
+      c == streaming.Cdc.RowKind || c == SeqCol)
+    require(userCols.length == declared.fields.length,
+      s"upsert-kafka sink: ${declared.fields.length} columns declared, " +
+        s"the stream produces ${userCols.length}")
+    val mappedKeys = streamKeys.map { k =>
+      val i = userCols.indexOf(k)
+      require(i >= 0, s"stream key column $k missing from the select list")
+      declared.fields(i).name
+    }
+    require(mappedKeys.map(_.toLowerCase).toSet == pk.map(_.toLowerCase).toSet,
+      s"the stream's upsert key (${streamKeys.mkString(",")} -> " +
+        s"${mappedKeys.mkString(",")}) must equal the sink's PRIMARY KEY " +
+        s"(${pk.mkString(",")})")
+    val aligned = log0.select(
+      declared.fields.toSeq.zip(userCols).map { case (f, c) =>
+        col(c).cast(f.dataType).as(f.name)
+      } :+ col(streaming.Cdc.RowKind): _*)
+    sources.KafkaConnector.upsertEncode(aligned, declared, pk, opts)
   }
 
   // ---- continuous retractable top-N (rank/RetractableTopNFunction) ---

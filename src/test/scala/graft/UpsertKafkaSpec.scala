@@ -190,6 +190,35 @@ class UpsertKafkaSpec extends AnyFunSuite {
       ("-D", 2L, None, None)), back.toString)
   }
 
+  test("an UPDATE stream's commit encodes for an upsert-kafka sink") {
+    // the encode half of ChangelogSql.upsertSinkWriter's upsert-kafka
+    // route (the save needs broker+jar — environment-blocked): a
+    // changelog-aggregate commit (select-output names, row_kind, seq)
+    // aligns onto the declared sink schema and becomes keyed messages
+    // with tombstones for emptied groups
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val declared = new StructType().add("grp", StringType).add("total", DoubleType)
+    val log = Seq(
+      ("g1", 13.0, "+U", 4L),
+      ("g2", 7.0, "-D", 4L))
+      .toDF("g", "sum_x", "row_kind", "__graft_cl_seq")
+    val wire = ChangelogSql.encodeUpsertSinkBatch(log, declared,
+      Seq("grp"), Seq("g"),
+      Map("key.format" -> "json", "value.format" -> "json"))
+    val rows = wire.select(col("key").cast("string"),
+      col("value").cast("string")).as[(String, Option[String])].collect().toSet
+    assert(rows == Set(
+      ("""{"grp":"g1"}""", Some("""{"grp":"g1","total":13.0}""")),
+      ("""{"grp":"g2"}""", None)), rows.toString)
+    // a key mismatch (stream keyed by a non-pk column) rejects loudly
+    val e = intercept[IllegalArgumentException](
+      ChangelogSql.encodeUpsertSinkBatch(log, declared,
+        Seq("total"), Seq("g"),
+        Map("key.format" -> "json", "value.format" -> "json")))
+    assert(e.getMessage.contains("PRIMARY KEY"), e.getMessage)
+  }
+
   test("upsertEncode csv and raw round-trip; frame formats reject") {
     import spark.implicits._
     // csv: the decode-supported formats all encode — no sink asymmetry
