@@ -158,9 +158,20 @@ object JdbcConnector {
 
   /** Append the frame to the JDBC table (the JdbcDynamicTableSink role;
     * upsert semantics need a keyed sink — [[upsertWrite]]). */
-  def write(df: DataFrame, options: Map[String, String]): Unit =
-    df.write.format("jdbc").options(sinkOptions(options))
+  def write(df: DataFrame, options: Map[String, String]): Unit = {
+    // 'sink.parallelism' (FactoryUtil.SINK_PARALLELISM): the sink
+    // operator's parallelism = the number of concurrent DB connections
+    val sized = sinkParallelism(options).fold(df)(df.repartition)
+    sized.write.format("jdbc").options(sinkOptions(options))
       .mode(org.apache.spark.sql.SaveMode.Append).save()
+  }
+
+  private def sinkParallelism(opts: Map[String, String]): Option[Int] =
+    opts.get("sink.parallelism").map { v =>
+      val n = v.trim.toInt
+      require(n > 0, s"sink.parallelism must be positive, got $n")
+      n
+    }
 
   /** KEYED (upsert) write — the JdbcDynamicTableSink's upsert mode when
     * the table declares a PRIMARY KEY (reference flink-connector-jdbc
@@ -225,7 +236,7 @@ object JdbcConnector {
         s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
     val deleteSql =
       s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
-    val ordered = keyedLayout(df, keys)
+    val ordered = keyedLayout(df, keys, sinkParallelism(options))
     ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // empty partitions (repartition spreads keys over the shuffle
       // width) must not open connections or count commits
@@ -343,8 +354,15 @@ object JdbcConnector {
     * buffer's last-wins reads real commit order. Factored out so the
     * plan shape is testable (`JdbcConnectorSpec` pins the
     * hashpartitioning). */
-  private[graft] def keyedLayout(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val keyed = df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+  private[graft] def keyedLayout(df: DataFrame, keys: Seq[String],
+      parallelism: Option[Int] = None): DataFrame = {
+    val cols = keys.map(org.apache.spark.sql.functions.col)
+    // 'sink.parallelism' fixes the partition count (= concurrent DB
+    // connections); default = the session's shuffle parallelism
+    val keyed = parallelism match {
+      case Some(n) => df.repartition(n, cols: _*)
+      case None => df.repartition(cols: _*)
+    }
     val orderCol = Seq(graft.ChangelogSql.SeqCol, "cdc_ts").find(df.columns.contains)
     orderCol.fold(keyed)(c => keyed.sortWithinPartitions(c))
   }

@@ -235,6 +235,35 @@ class JdbcConnectorSpec extends AnyFunSuite {
     assert(!plain.contains("Sort ["), s"unexpected sort:\n$plain")
   }
 
+  test("sink.parallelism fixes the connection fan-out (FactoryUtil role)") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val sized = JdbcConnector.keyedLayout(df, Seq("id"), Some(3))
+    assert(sized.rdd.getNumPartitions == 3,
+      s"expected 3 sink partitions, got ${sized.rdd.getNumPartitions}")
+    // write path honors it too: 40 rows over exactly 3 partitions hit
+    // Derby without loss
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE par_t (id BIGINT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(32))")
+      st.close()
+    }
+    JdbcConnector.upsertWrite(df,
+      Map("url" -> dbUrl, "table-name" -> "par_t",
+        "sink.parallelism" -> "3"), Seq("id"))
+    val cc = java.sql.DriverManager.getConnection(dbUrl)
+    val n = try {
+      val rs = cc.createStatement().executeQuery("SELECT COUNT(*) FROM par_t")
+      rs.next(); rs.getLong(1)
+    } finally cc.close()
+    assert(n == 40L, s"rows lost under fixed parallelism: $n")
+    assert(intercept[IllegalArgumentException](JdbcConnector.upsertWrite(df,
+      Map("url" -> dbUrl, "table-name" -> "par_t",
+        "sink.parallelism" -> "0"), Seq("id")))
+      .getMessage.contains("positive"))
+  }
+
   test("all-key table: batched insert-if-absent, duplicates settle") {
     import spark.implicits._
     withConn { c =>
