@@ -499,6 +499,15 @@ object Engine {
         // streaming aggregate and writes the sink as an upsert changelog.
         // A changelog is unbounded by nature, so no WATERMARK/PROCTIME
         // declaration is required to bind it as a stream.
+        // FINAL_STATE is a BATCH materialization (one full pass over the
+        // changelog); a continuous query reads the changelog itself —
+        // reject before the watermark check produces a misleading error
+        require("""(?i)\bFINAL_STATE\s*\(""".r
+            .findFirstIn(SqlComposer.blank(select)).isEmpty,
+          "FINAL_STATE(t) materializes a changelog's final state — a " +
+            "BATCH read; a continuous INSERT reads the changelog " +
+            "directly (the retraction-consuming operators maintain the " +
+            "live state incrementally)")
         // retractable TOP-N over a changelog (RetractableTopNFunction):
         // ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) WHERE rn<=N
         // in the FROM-subquery shape lowers onto the sorted per-key

@@ -482,6 +482,42 @@ class ChangelogSqlSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("cl_fs")
   }
 
+  test("FINAL_STATE composes with the extended dialect and rejects in streams") {
+    import spark.implicits._
+    // MATCH_RECOGNIZE over the materialized final state: the rewrite
+    // happens before the composer, so the MR bridge sees a plain view
+    Seq(
+      ("+I", 1L, 7L, 1L, 10.0), ("+I", 1L, 7L, 2L, 5.0),
+      ("+I", 1L, 7L, 3L, 12.0),
+      ("-U", 2L, 7L, 2L, 5.0), ("+U", 2L, 7L, 2L, 11.0))
+      .toDF("row_kind", "cdc_ts", "sym", "seq", "price")
+      .createOrReplaceTempView("cl_fs_mr")
+    try {
+      // final state: (a,1,10), (a,2,11), (a,3,12) — strictly rising, so
+      // UP+ matches the whole run; over the RAW changelog the dip to 5
+      // would break it (and MR over a changelog would be wrong anyway)
+      val got = Engine.sql(spark, """
+        SELECT * FROM FINAL_STATE(cl_fs_mr)
+        MATCH_RECOGNIZE (
+          PARTITION BY sym ORDER BY seq, price
+          MEASURES FIRST(UP.price) AS lo, LAST(UP.price) AS hi
+          ONE ROW PER MATCH
+          PATTERN (UP{3})
+          DEFINE UP AS price > 0
+        )""").select("lo", "hi").as[(Double, Double)].collect().toSeq
+      assert(got == Seq((10.0, 12.0)), got.toString)
+      // streaming INSERT over FINAL_STATE rejects with guidance
+      val t = s"cl_fs_mr_tbl_${math.abs(getClass.getName.hashCode)}"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.table("cl_fs_mr").write.saveAsTable(t)
+      val e = intercept[IllegalArgumentException](Engine.sqlStreamInsert(
+        spark, s"INSERT INTO nowhere SELECT sym, COUNT(*) AS n " +
+          s"FROM FINAL_STATE($t) GROUP BY sym", "/tmp/never-fs"))
+      assert(e.getMessage.contains("BATCH read"), e.getMessage)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally spark.catalog.dropTempView("cl_fs_mr")
+  }
+
   test("FINAL_STATE over a DECLARED UPSERT table is the keep-last collapse") {
     import spark.implicits._
     val t = s"cl_fs_ups_${math.abs(getClass.getName.hashCode)}"
