@@ -202,6 +202,49 @@ object Retract {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** FAST top-1 (rank/FastTop1Function.java:54 — the
+    * RankProcessStrategy.UpdateFastStrategy plan): top-1 over an UPSERT
+    * stream whose sort value per id is MONOTONICALLY NON-DECREASING
+    * (Flink's planner picks this exactly when the upstream operator
+    * guarantees it, e.g. a COUNT/SUM-of-positives aggregate). Under
+    * that contract the current leader can never be silently demoted, so
+    * state is ONE (id, score) pair per key — O(1), against
+    * [[updatableTopN]]'s full id->score map. Emits the refreshed
+    * (key, 1, score, id) whenever the leader row changes; a row
+    * violating the monotonicity contract (same id, lower score) fails
+    * loudly — a silent accept would corrupt every later answer. */
+  def fastTop1[K: Encoder](
+      ds: Dataset[(K, String, Double)])(
+      implicit e1: Encoder[(String, Double)],
+      e2: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
+
+    def update(key: K, rows: Iterator[(K, String, Double)],
+        state: GroupState[(String, Double)]): Iterator[(K, Int, Double, String)] = {
+      val before = state.getOption
+      var cur = before
+      rows.foreach { case (_, id, score) =>
+        cur match {
+          case Some((curId, curScore)) =>
+            if (id == curId) {
+              require(score >= curScore,
+                s"fastTop1: id $id decreased $curScore -> $score — the " +
+                  "UpdateFastStrategy contract requires monotonically " +
+                  "non-decreasing sort values; use updatableTopN")
+              cur = Some((id, score))
+            } else if (score > curScore ||
+                (score == curScore && id < curId)) cur = Some((id, score))
+          case None => cur = Some((id, score))
+        }
+      }
+      cur.foreach(state.update)
+      if (cur == before) Iterator.empty
+      else cur.iterator.map { case (id, score) => (key, 1, score, id) }
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Upsert-keyed top-N (rank/UpdatableTopNFunction.java:71): input rows
     * (key, id, score) are UPSERTS — a new score for an existing id
     * replaces the old one without an explicit retraction (the

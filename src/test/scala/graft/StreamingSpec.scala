@@ -769,6 +769,39 @@ class StreamingSpec extends AnyFunSuite {
       s"unchanged rank re-emitted: $all")
   }
 
+  test("fastTop1: O(1) leader state under monotone upserts; demotion fails loudly") {
+    import graft.streaming.Retract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val out = Retract.fastTop1(in.toDS())
+    val q = out.toDF("k", "rk", "score", "id").writeStream
+      .outputMode("update").format("memory").queryName("ft1_out").start()
+    // count-like monotone scores: x grows, y overtakes, x retakes
+    in.addData(("g", "x", 3.0), ("g", "y", 2.0))
+    q.processAllAvailable()
+    in.addData(("g", "y", 5.0))
+    q.processAllAvailable()
+    in.addData(("g", "x", 6.0), ("h", "z", 1.0))
+    q.processAllAvailable()
+    // leader unchanged: no emission
+    in.addData(("g", "y", 5.5))
+    q.processAllAvailable()
+    val rows = spark.table("ft1_out")
+      .as[(String, Int, Double, String)].collect().toSeq
+    assert(rows.filter(_._1 == "g") ==
+      Seq(("g", 1, 3.0, "x"), ("g", 1, 5.0, "y"), ("g", 1, 6.0, "x")), rows.toString)
+    assert(rows.contains(("h", 1, 1.0, "z")))
+    // a decreasing update violates the UpdateFastStrategy contract
+    in.addData(("g", "x", 4.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("monoton") ||
+      Option(e.getCause).exists(_.getMessage.contains("monoton")), e.getMessage)
+    try q.stop() catch { case _: Exception => () }
+  }
+
   test("updatable top-N: an upsert demoting the leader re-ranks and backfills") {
     import graft.streaming.Retract
     import spark.implicits._
