@@ -42,6 +42,10 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
   private class Operation {
     @volatile var status: String = "RUNNING" // RUNNING|FINISHED|ERROR|CANCELED
     @volatile var error: String = null
+    /** The running job, when the statement was a CONTINUOUS INSERT
+      * (Flink gateway: the operation's result is the job id and the job
+      * outlives the fetch; cancel/close stops it). */
+    @volatile var stream: org.apache.spark.sql.streaming.StreamingQuery = null
     @volatile var columns: Seq[String] = Nil
     @volatile var truncated = false
     private val pages = new scala.collection.mutable.ArrayBuffer[Seq[Seq[Any]]]()
@@ -73,6 +77,9 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
       * record via InterruptibleIterator; no thread interrupt involved),
       * releasing the monitor — and only the buffer cleanup synchronizes. */
     def cancel(oh: String): Unit = {
+      // a continuous INSERT's cancel is the JOB's stop (Flink gateway
+      // closeOperation on a streaming job cancels it)
+      Option(stream).foreach(q => try q.stop() catch { case _: Exception => () })
       if (status == "RUNNING" || status == "FINISHED") {
         // tag registration FIRST: a job whose submission races past the
         // direct kill below is reaped by the onJobStart listener (which
@@ -298,8 +305,11 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
         respond(ex, 200, s"""{"sessionHandle":"$sh"}""")
 
       case ("DELETE", List("sessions", sh)) =>
-        Option(sessions.remove(sh)).foreach(ops =>
-          ops.keySet().asScala.foreach(oh => canceledTags.remove(tagOf(oh))))
+        Option(sessions.remove(sh)).foreach { ops =>
+          ops.values().asScala.foreach(op => Option(op.stream).foreach(q =>
+            try q.stop() catch { case _: Exception => () }))
+          ops.keySet().asScala.foreach(oh => canceledTags.remove(tagOf(oh)))
+        }
         respond(ex, 200, s"""{"status":"CLOSED"}""")
 
       case ("POST", List("sessions", sh, "statements")) =>
@@ -315,6 +325,35 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
             pool.submit(new Runnable {
               override def run(): Unit =
                 try tagged(oh) {
+                  // a CONTINUOUS INSERT becomes a RUNNING JOB whose
+                  // one-row result is the job id (the Flink gateway's
+                  // streaming-statement contract); a batch INSERT falls
+                  // through to the eager path below
+                  val continuous =
+                    """(?is)^\s*INSERT\s+INTO\b.*\b(SELECT|WITH)\b""".r
+                      .findFirstIn(graft.util.SqlSplit.blankLiterals(stmt))
+                      .isDefined &&
+                      (try {
+                        val ckpt = java.nio.file.Files
+                          .createTempDirectory(s"graft-gw-$oh").toString
+                        op.stream = Engine.sqlStreamInsert(spark, stmt, ckpt)
+                        true
+                      } catch {
+                        case e: IllegalArgumentException
+                            if e.getMessage != null &&
+                              e.getMessage.contains("use sql() for batch") =>
+                          false
+                      })
+                  if (continuous) {
+                    op.columns = Seq("jobId", "status")
+                    if (op.status == "RUNNING" && op.bind(Iterator(
+                        org.apache.spark.sql.Row(
+                          op.stream.id.toString, "RUNNING")))) {
+                      op.page(0, MaxResultRows)
+                      op.finish()
+                    } else Option(op.stream).foreach(q =>
+                      try q.stop() catch { case _: Exception => () })
+                  } else {
                   val df: DataFrame = Engine.sql(spark, stmt)
                   op.columns = df.schema.fieldNames.toSeq
                   // bind + prefetch only while still live: a cancel that
@@ -327,6 +366,7 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
                     // later pages pull on demand
                     op.page(0, MaxResultRows)
                     op.finish()
+                  }
                   }
                 } catch {
                   case t: Throwable => op.fail(t)

@@ -223,4 +223,70 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert("\\[\\d+\\]".r.findAllIn(p0).length == 5, p0)
     } finally gw.close()
   }
+
+  test("a CONTINUOUS INSERT statement becomes a running job; cancel stops it") {
+    assert(catalogReady)
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"gw_stream_src_$h", s"gw_stream_sink_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS $sink")
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark,
+      s"CREATE TABLE $sink (k BIGINT, v BIGINT) USING parquet")
+    val gw = new SqlGateway(spark, 0)
+    try {
+      val port = gw.boundPort
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+      val before = spark.streams.active.map(_.id).toSet
+      val (_, opr) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some(s"""{"statement": "INSERT INTO $sink SELECT k, v FROM $src"}"""))
+      val oh = field(opr, "operationHandle")
+      // the operation FINISHES with the job id while the JOB keeps running
+      val res = awaitResult(port, sh, oh)
+      assert(res.contains("jobId") && res.contains("RUNNING"), res)
+      val started = spark.streams.active.filterNot(q => before(q.id))
+      assert(started.length == 1, s"expected one new job, got ${started.length}")
+      // rows flow through the running job
+      Engine.sql(spark,
+        s"INSERT INTO $src VALUES (1, 10, TIMESTAMP '2024-01-01 00:00:05')")
+      started.head.processAllAvailable()
+      assert(spark.table(sink).count() == 1L, "job did not consume the commit")
+      // cancel stops the job
+      val (cc, _) = call(port, "POST", s"/v1/sessions/$sh/operations/$oh/cancel")
+      assert(cc == 200)
+      val end = System.currentTimeMillis() + 15000
+      while (spark.streams.active.exists(q => started.head.id == q.id) &&
+        System.currentTimeMillis() < end) Thread.sleep(50)
+      assert(!spark.streams.active.exists(q => started.head.id == q.id),
+        "cancel did not stop the streaming job")
+      // a BATCH insert (SELECT from an unwatermarked table) falls
+      // through to the eager path. A SEPARATE batch sink: the streaming
+      // file sink left a _spark_metadata log in the first sink's
+      // directory, and reads of such a table list files from the log —
+      // a batch append there would be invisible (Spark's own
+      // FileStreamSink contract, not a route bug)
+      val plain = s"gw_plain_$h"
+      val bsink = s"gw_bsink_$h"
+      Seq(plain, bsink).foreach(t => Engine.sql(spark, s"DROP TABLE IF EXISTS $t"))
+      Engine.sql(spark, s"CREATE TABLE $plain (k BIGINT, v BIGINT) USING parquet")
+      Engine.sql(spark, s"CREATE TABLE $bsink (k BIGINT, v BIGINT) USING parquet")
+      Engine.sql(spark, s"INSERT INTO $plain VALUES (9, 90)")
+      val (_, opr2) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some(s"""{"statement": "INSERT INTO $bsink SELECT k, v FROM $plain"}"""))
+      val oh2 = field(opr2, "operationHandle")
+      val res2 = awaitResult(port, sh, oh2)
+      assert(spark.table(bsink).count() == 1L,
+        s"batch INSERT route broken; op result: $res2")
+      Seq(plain, bsink).foreach(t => Engine.sql(spark, s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      gw.close()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
 }
