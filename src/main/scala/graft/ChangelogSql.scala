@@ -524,6 +524,8 @@ object ChangelogSql {
     val ms = FinalStateRe.findAllMatchIn(b).toSeq
     if (ms.isEmpty) return (stmt, Nil)
     val views = scala.collection.mutable.Map.empty[String, String]
+    // NOTE: callers drop the returned views after execution; a FAILURE
+    // partway through binding must not leak the ones already created
     def viewOf(rel: String): String = views.getOrElseUpdate(rel, {
       require(isChangelogRel(spark, rel),
         s"FINAL_STATE($rel): not a changelog relation (no row_kind " +
@@ -536,7 +538,7 @@ object ChangelogSql {
               s"FINAL_STATE($rel): upsert relation carries no order column"))
           streaming.Cdc.upsertMaterialize(df, keys, orderCol, orderCol,
             insertAfterDelete = false)
-            .drop(streaming.Cdc.RowKind, orderCol)
+            .drop(streaming.Cdc.RowKind, SeqCol, "cdc_ts")
         case None =>
           // retract netting: live multiplicity per distinct payload row,
           // rows replicated by their net count
@@ -554,14 +556,20 @@ object ChangelogSql {
       state.createOrReplaceTempView(v)
       v
     })
-    val sb = new StringBuilder
-    var last = 0
-    ms.foreach { m =>
-      sb.append(stmt.substring(last, m.start)).append(viewOf(m.group(1)))
-      last = m.end
+    try {
+      val sb = new StringBuilder
+      var last = 0
+      ms.foreach { m =>
+        sb.append(stmt.substring(last, m.start)).append(viewOf(m.group(1)))
+        last = m.end
+      }
+      sb.append(stmt.substring(last))
+      (sb.toString, views.values.toSeq)
+    } catch {
+      case t: Throwable =>
+        views.values.foreach(v => spark.catalog.dropTempView(v): Unit)
+        throw t
     }
-    sb.append(stmt.substring(last))
-    (sb.toString, views.values.toSeq)
   }
 
   /** `EXPLAIN CHANGELOG_MODE <statement>` — Flink's ExplainDetail
@@ -1613,8 +1621,10 @@ object ChangelogSql {
         val n0 = nStr.toInt
         val n = if (op == "<") n0 - 1 else n0
         if (n < 1) return None
+        // SQL's default sort direction is ASCENDING — a missing
+        // keyword must NOT read as DESC
         Some(TopNShape(outerCols, partCols, ocol,
-          Option(dir).forall(_.equalsIgnoreCase("DESC")), rn, rel, n))
+          Option(dir).exists(_.equalsIgnoreCase("DESC")), rn, rel, n))
       case _ => None
     }
 
@@ -1651,6 +1661,17 @@ object ChangelogSql {
       s"PARTITION BY column $p not a payload column of ${shape.rel}"))
     require(payloadCols.contains(shape.orderCol),
       s"ORDER BY column ${shape.orderCol} not a payload column of ${shape.rel}")
+    // the ranking state is keyed on a DOUBLE score: only types whose
+    // order survives the cast are admissible — a string would rank
+    // '10' above '9' differently than SQL, a date would cast to null
+    src.schema(shape.orderCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType => ()
+      case other => throw new IllegalArgumentException(
+        s"streaming top-N ORDER BY ${shape.orderCol}: type " +
+          s"${other.simpleString} has no order-preserving numeric form " +
+          "(numeric and timestamp columns are supported)")
+    }
     shape.outer.filterNot(_ == shape.rnAlias).foreach(c =>
       require(payloadCols.contains(c),
         s"select column $c not a payload column of ${shape.rel}"))

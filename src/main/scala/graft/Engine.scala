@@ -158,8 +158,16 @@ object Engine {
     * admitted — everything else rejects loudly instead of silently
     * committing a write. */
   private def requireQueryShapedExplainBody(body: String, mode: String): Unit = {
-    val head = graft.util.SqlSplit.blankLiterals(body).trim
-      .takeWhile(_.isLetter).toUpperCase
+    // head = the first STRUCTURAL token's word (comments skipped, a
+    // parenthesized query unwrapped) — takeWhile(isLetter) on raw text
+    // would misread '(SELECT ...' or a leading comment as side-effecting
+    val toks = graft.util.SqlTokens.structural(
+      graft.util.SqlTokens.tokenize(body))
+    val head = toks
+      .dropWhile(_.kind == graft.util.SqlTokens.Kind.LParen)
+      .headOption
+      .filter(_.kind == graft.util.SqlTokens.Kind.Ident)
+      .map(_.word(body)).getOrElse("")
     require(Set("SELECT", "WITH", "TABLE", "VALUES").contains(head),
       s"EXPLAIN $mode takes a QUERY body (SELECT/WITH/TABLE/VALUES); " +
         s"'${body.trim.take(60)}' is a statement with side effects and " +

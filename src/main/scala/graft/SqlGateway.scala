@@ -332,18 +332,28 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
                   val continuous =
                     """(?is)^\s*INSERT\s+INTO\b.*\b(SELECT|WITH)\b""".r
                       .findFirstIn(graft.util.SqlSplit.blankLiterals(stmt))
-                      .isDefined &&
-                      (try {
-                        val ckpt = java.nio.file.Files
-                          .createTempDirectory(s"graft-gw-$oh").toString
-                        op.stream = Engine.sqlStreamInsert(spark, stmt, ckpt)
+                      .isDefined && {
+                      val ckptPath = java.nio.file.Files
+                        .createTempDirectory(s"graft-gw-$oh")
+                      try {
+                        op.stream = Engine.sqlStreamInsert(
+                          spark, stmt, ckptPath.toString)
                         true
                       } catch {
+                        // "this is a BATCH statement" rejects (no
+                        // watermarked source; FINAL_STATE body) fall
+                        // through to the eager path; anything else is a
+                        // genuine statement error and propagates
                         case e: IllegalArgumentException
                             if e.getMessage != null &&
-                              e.getMessage.contains("use sql() for batch") =>
+                              (e.getMessage.contains("use sql() for batch") ||
+                                e.getMessage.contains("BATCH read")) =>
+                          // nothing streamed: reclaim the checkpoint dir
+                          try java.nio.file.Files.deleteIfExists(ckptPath)
+                          catch { case _: Exception => () }
                           false
-                      })
+                      }
+                    }
                   if (continuous) {
                     op.columns = Seq("jobId", "status")
                     if (op.status == "RUNNING" && op.bind(Iterator(

@@ -261,20 +261,30 @@ object JdbcConnector {
         // buffer — the LAST action per key is the only one flushed
         val buf = scala.collection.mutable.LinkedHashMap
           .empty[Seq[Any], (Boolean, org.apache.spark.sql.Row)]
-        def rowByRow(r: org.apache.spark.sql.Row): Unit = upd match {
-          case Some(u) =>
-            try { bind(ins, r, cols); ins.executeUpdate(): Unit }
-            catch {
-              case e: java.sql.SQLException if e.getSQLState == "23505" =>
-                bind(u, r, nonKeys ++ keys); u.executeUpdate(): Unit
-            }
-            JdbcWriteStats.roundTrips.incrementAndGet(): Unit
-          case None =>
-            try { bind(ins, r, cols); ins.executeUpdate(): Unit }
-            catch {
-              case e: java.sql.SQLException if e.getSQLState == "23505" => ()
-            }
-            JdbcWriteStats.roundTrips.incrementAndGet(): Unit
+        // per-row settle with a SAVEPOINT around the tentative INSERT:
+        // abort-on-error databases (PostgreSQL) poison the whole
+        // transaction on any statement failure, so the 23505 recovery
+        // must roll back to the savepoint before issuing the UPDATE
+        def rowByRow(r: org.apache.spark.sql.Row): Unit = {
+          val sp = try conn.setSavepoint() catch { case _: Exception => null }
+          upd match {
+            case Some(u) =>
+              try { bind(ins, r, cols); ins.executeUpdate(): Unit }
+              catch {
+                case e: java.sql.SQLException if e.getSQLState == "23505" =>
+                  if (sp != null)
+                    try conn.rollback(sp) catch { case _: Exception => () }
+                  bind(u, r, nonKeys ++ keys); u.executeUpdate(): Unit
+              }
+            case None =>
+              try { bind(ins, r, cols); ins.executeUpdate(): Unit }
+              catch {
+                case e: java.sql.SQLException if e.getSQLState == "23505" =>
+                  if (sp != null)
+                    try conn.rollback(sp) catch { case _: Exception => () }
+              }
+          }
+          JdbcWriteStats.roundTrips.incrementAndGet(): Unit
         }
         def flush(): Unit = if (buf.nonEmpty) {
           val (dels, ups) = buf.values.toSeq.partition(_._1)
@@ -291,7 +301,17 @@ object JdbcConnector {
               val missed = ups.zip(counts.toSeq).collect {
                 case ((_, r), 0) => r
               }
+              // a driver may report SUCCESS_NO_INFO (-2) instead of a
+              // count (MySQL rewriteBatchedStatements, some Oracle
+              // configs): those rows are UNKNOWN, not updated — settle
+              // them row-by-row (idempotent: INSERT, 23505 -> UPDATE)
+              // or brand-new keys would silently never be inserted
+              val unknown = ups.zip(counts.toSeq).collect {
+                case ((_, r), c) if c == java.sql.Statement.SUCCESS_NO_INFO => r
+              }
               if (missed.nonEmpty) {
+                val sp = try conn.setSavepoint()
+                  catch { case _: Exception => null }
                 try {
                   missed.foreach { r => bind(ins, r, cols); ins.addBatch() }
                   ins.executeBatch()
@@ -301,12 +321,16 @@ object JdbcConnector {
                       if e.getSQLState == "23505" ||
                         Option(e.getNextException)
                           .exists(_.getSQLState == "23505") =>
-                    // a row landed concurrently: clear the poisoned
-                    // batch, settle these rows one by one
+                    // a row landed concurrently: roll back the poisoned
+                    // batch (abort-on-error databases invalidate the
+                    // transaction otherwise), settle row by row
                     ins.clearBatch()
+                    if (sp != null)
+                      try conn.rollback(sp) catch { case _: Exception => () }
                     missed.foreach(rowByRow)
                 }
               }
+              unknown.foreach(rowByRow)
             case None =>
               // all-key table: DELETE+INSERT is the batched
               // insert-if-absent (final state identical, no 23505 path)

@@ -270,10 +270,12 @@ class ChangelogStreamSpec extends AnyFunSuite {
       finally spark.catalog.dropTempView(s"__${src}_in"): Unit
     }
     val ckpt = java.nio.file.Files.createTempDirectory("graft-gtopn").toString
+    // NO direction keyword: SQL defaults to ASCENDING — the ranks
+    // below pin that default (a DESC misread would invert every rank)
     val q = Engine.sqlStreamInsert(spark, s"""
       INSERT INTO $sink
       SELECT k, x, rn FROM (
-        SELECT *, ROW_NUMBER() OVER (ORDER BY x ASC) AS rn FROM $src) t
+        SELECT *, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM $src) t
       WHERE rn <= 2""", ckpt)
     try {
       def state(): Set[(String, Double, Long)] =
@@ -523,6 +525,16 @@ class ChangelogStreamSpec extends AnyFunSuite {
       // the aggregate shape IS matched
       assert(ChangelogSql.streamMatches(spark,
         s"SELECT g, COUNT(*) AS n FROM $src GROUP BY g"))
+      // a STRING order column has no order-preserving numeric form
+      val et = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, s"""
+          INSERT INTO nowhere_t_$h
+          SELECT g, k, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY k DESC)
+              AS rn FROM $src) z
+          WHERE rn <= 2""", "/tmp/never-t")
+      }
+      assert(et.getMessage.contains("order-preserving"), et.getMessage)
       // ORDER BY on a continuous aggregate rejects loudly
       val e = intercept[IllegalArgumentException] {
         Engine.sqlStreamInsert(spark,

@@ -235,11 +235,15 @@ class ChangelogUpsertSpec extends AnyFunSuite {
       // an ESTIMATED_COST/JSON INSERT still rejects, and nothing wrote
       val n = spark.table(t).count()
       assert(n == 0, s"EXPLAIN committed a write: $n rows")
-      // query bodies still explain
+      // query bodies still explain — parenthesized and comment-led too
       val plan = Engine.sql(spark,
         s"EXPLAIN ESTIMATED_COST SELECT COUNT(*) FROM $t")
         .as[String].collect().head
       assert(plan.nonEmpty)
+      val plan2 = Engine.sql(spark,
+        s"EXPLAIN ESTIMATED_COST (SELECT COUNT(*) FROM $t)")
+        .as[String].collect().head
+      assert(plan2.nonEmpty)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t"): Unit
   }
 
