@@ -1653,6 +1653,7 @@ object ChangelogSql {
     val shape = parseStreamTopN(spark, select).getOrElse(
       throw new IllegalArgumentException(
         s"not a streaming top-N statement: $select"))
+    graft.functions.GraftFunctions.register(spark)
     val src = retractStreamOf(spark, shape.rel)
     val cols = src.columns.toSeq
     val payloadCols = cols.filterNot(c =>
@@ -1661,17 +1662,25 @@ object ChangelogSql {
       s"PARTITION BY column $p not a payload column of ${shape.rel}"))
     require(payloadCols.contains(shape.orderCol),
       s"ORDER BY column ${shape.orderCol} not a payload column of ${shape.rel}")
-    // the ranking state is keyed on a DOUBLE score: only types whose
-    // order survives the cast are admissible — a string would rank
-    // '10' above '9' differently than SQL, a date would cast to null
+    // the ranking state is keyed on a memcmp-ordered SORT KEY encoding
+    // (SortKeyExpr / graft.util.SortKey — the generated-comparator role
+    // of the reference's ComparableRecordComparator): any comparable
+    // ORDER BY type ranks exactly, in either direction. NULL order
+    // values fail loudly inside the encoding with a message naming the
+    // column (a NULL has no rank in a continuous top-N).
     src.schema(shape.orderCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
       case org.apache.spark.sql.types.TimestampType => ()
+      case org.apache.spark.sql.types.DateType => ()
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case _: org.apache.spark.sql.types.StringType => ()
       case other => throw new IllegalArgumentException(
         s"streaming top-N ORDER BY ${shape.orderCol}: type " +
-          s"${other.simpleString} has no order-preserving numeric form " +
-          "(numeric and timestamp columns are supported)")
+          s"${other.simpleString} has no order-preserving sort-key " +
+          "encoding (numeric, decimal, string, date and timestamp " +
+          "columns are supported)")
     }
+    val sortKeyCol: org.apache.spark.sql.Column =
+      expr(s"graft_sort_key(__graft_ok, '${shape.orderCol}')")
     shape.outer.filterNot(_ == shape.rnAlias).foreach(c =>
       require(payloadCols.contains(c),
         s"select column $c not a payload column of ${shape.rel}"))
@@ -1681,18 +1690,36 @@ object ChangelogSql {
         "and must appear in the select list"))
     val payloadSchema = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => src.schema(c)))
-    val score0 = col(shape.orderCol).cast("double")
     val keyExpr =
       if (shape.parts.isEmpty) lit("") // global top-N: one state key
       else to_json(struct(shape.parts.map(col): _*))
-    val typed = src.select(
-      keyExpr.as("_1"),
-      col(streaming.Cdc.RowKind).as("_2"),
-      (if (shape.desc) score0 else score0 * -1).as("_3"),
-      to_json(struct(payloadCols.map(col): _*)).as("_4"))
-      .as[(String, String, Double, String)]
-    val ranked = streaming.Retract.retractableTopNChangelog(typed, shape.n)
-      .toDF("__kind", "__key", "__rank", "__score", "__payload")
+    // date/timestamp pre-lower to exact integers (days / microseconds)
+    // so the encoder sees a long; everything else encodes natively
+    val orderPre = src.schema(shape.orderCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(shape.orderCol))
+      case org.apache.spark.sql.types.DateType => unix_date(col(shape.orderCol))
+      case _ => col(shape.orderCol)
+    }
+    val typed = src
+      .withColumn("__graft_ok", orderPre)
+      .select(
+        keyExpr.as("_1"),
+        col(streaming.Cdc.RowKind).as("_2"),
+        sortKeyCol.as("_3"),
+        to_json(struct(payloadCols.map(col): _*)).as("_4"))
+      .as[(String, String, String, String)]
+    // lowered onto the transformWithState point-write port: MapState
+    // dataState (point read/write of the changed sort key only) + the
+    // sorted-counts handle — RetractableTopNFunction.java:56's
+    // dataState+treeMap pairing. The RocksDB provider is the operator's
+    // runtime requirement (like Flink's state backend choice, it is a
+    // property of the lowered plan, not of the user session), so it is
+    // pinned for this query and restored after start — the conf is
+    // snapshotted into the query's cloned session synchronously.
+    val ranked = streaming.RetractTws
+      .retractableTopNChangelogSorted(typed, shape.n, asc = !shape.desc)
+      .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
     val out = ranked.select(
       col("__kind").as(streaming.Cdc.RowKind),
       col("__rank").cast("long").as(shape.rnAlias),
@@ -1702,13 +1729,21 @@ object ChangelogSql {
         else col(s"__r.`$c`").as(c))): _*)
     val keys = shape.parts :+ shape.rnAlias
     val write = upsertSinkWriter(spark, sink, keys)
-    out.writeStream
-      .outputMode("append") // fMGWS chain (normalize -> top-N) needs append
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try out.writeStream
+      .outputMode("append") // delta emission; chains after normalize
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         write(batch.withColumn(SeqCol, lit(batchId)), batchId)
       }
       .start()
+    finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   /** Keep-last collapse of a [[streamInsert]] sink: the CURRENT

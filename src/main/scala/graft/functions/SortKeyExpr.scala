@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.util.SortKey
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Order-preserving sort-key encoding as a native (codegen'd) expression:
+  * `graft_sort_key(col)` yields a String whose binary order equals the
+  * column type's SQL order (graft.util.SortKey) — the comparator the
+  * streaming top-N state ranks on for ANY comparable ORDER BY column,
+  * standing in for the reference's generated record comparators
+  * (rank/ComparableRecordComparator.java:35, generated per row type by
+  * the planner; here the per-type dispatch happens once at plan time and
+  * each row pays one static call inside WholeStageCodegen).
+  *
+  * NULL order values are rejected LOUDLY with a message naming the
+  * column: a continuous top-N has no well-defined rank for NULL (the
+  * reference planner's rank operators require a sort key too), and a
+  * silent NULLS-LAST guess inside a changelog would corrupt retraction
+  * matching — the -D for a row must encode to the identical key its +I
+  * did.
+  */
+case class SortKeyExpr(child: Expression, colName: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_sort_key"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType => TypeCheckResult.TypeCheckSuccess
+    case _: DecimalType => TypeCheckResult.TypeCheckSuccess
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sort_key($colName): no order-preserving encoding for type " +
+        s"${other.simpleString}")
+  }
+
+  private def nullError: String =
+    s"streaming top-N ORDER BY $colName: NULL order value — a NULL has " +
+      "no rank in a continuous top-N; filter NULLs out upstream " +
+      s"(e.g. WHERE $colName IS NOT NULL)"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) throw new IllegalArgumentException(nullError)
+    child.dataType match {
+      case ByteType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Byte].toLong))
+      case ShortType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Short].toLong))
+      case IntegerType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Int].toLong))
+      case LongType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Long]))
+      case FloatType => UTF8String.fromString(SortKey.ofDouble(v.asInstanceOf[Float].toDouble))
+      case DoubleType => UTF8String.fromString(SortKey.ofDouble(v.asInstanceOf[Double]))
+      case d: DecimalType => UTF8String.fromString(
+        SortKey.ofDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal, d.scale))
+      case _: StringType => v
+      case other => throw new IllegalStateException(
+        s"graft_sort_key: unreachable type $other")
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val err = ctx.addReferenceObj("sortKeyNullError", nullError, "java.lang.String")
+    val conv = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        s"UTF8String.fromString(graft.util.SortKey.ofLong((long) ${c.value}))"
+      case FloatType =>
+        s"UTF8String.fromString(graft.util.SortKey.ofDouble((double) ${c.value}))"
+      case DoubleType =>
+        s"UTF8String.fromString(graft.util.SortKey.ofDouble(${c.value}))"
+      case d: DecimalType =>
+        s"UTF8String.fromString(graft.util.SortKey.ofDecimal(" +
+          s"${c.value}.toJavaBigDecimal(), ${d.scale}))"
+      case _: StringType => s"${c.value}"
+      case other => throw new IllegalStateException(
+        s"graft_sort_key: unreachable type $other")
+    }
+    ev.copy(
+      code = code"""
+        ${c.code}
+        if (${c.isNull}) {
+          throw new IllegalArgumentException($err);
+        }
+        UTF8String ${ev.value} = $conv;
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

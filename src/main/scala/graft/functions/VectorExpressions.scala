@@ -478,6 +478,10 @@ object GraftFunctions {
       es => Md5Lower64(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sort_key",
+      es => SortKeyExpr(es(0),
+        if (es.length > 1) es(1).eval(null).toString else "order column"),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSignature(es(0), es(1).eval(null) match {
         case i: Int => i

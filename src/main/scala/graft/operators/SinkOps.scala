@@ -836,6 +836,140 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CONTINUOUS TOP-N ORDER BY STRING (r14): the streaming top-N
+      // statement ranking on an arbitrary comparable sort key — the
+      // generated-comparator capability of the reference's
+      // ComparableRecordComparator.java:35, realized as a memcmp
+      // sort-key ENCODING (graft_sort_key / graft.util.SortKey) keyed
+      // into the transformWithState dataState+counts pairing. The order
+      // column is a derived unique STRING (priority # zero-padded key),
+      // partitioned by o_orderstatus so ranks compare across alphabetic
+      // prefixes, with a delete commit forcing rank backfill under
+      // string-keyed retraction matching. Oracle = DuckDB ROW_NUMBER
+      // over the surviving rows on the same string (binary collation on
+      // both sides).
+      "q156_stream_topn_string_order",
+      (s, d) => {
+        import s.implicits._
+        val t = "cl_q156"
+        val sink = "cl_q156_sink"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+          concat($"o_orderpriority", lit("#"),
+            lpad($"o_orderkey".cast("string"), 12, "0")).as("skey"))
+        val c1 = base.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderstatus", $"skey")
+        val c2 = base.filter($"o_orderkey" % 3 === 0)
+          .select(lit("-D").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderstatus", $"skey")
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderstatus STRING, o_orderkey BIGINT,
+           skey STRING, rn BIGINT, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q156").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderstatus, o_orderkey, skey, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY skey DESC) AS rn
+            FROM $t) x
+          WHERE rn <= 4""", ckpt)
+        try {
+          q.processAllAvailable()
+          c2.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderstatus", $"o_orderkey", $"skey", $"rn")
+          .orderBy($"o_orderstatus", $"rn")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_orderpriority || '#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS skey
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, o_orderkey, skey, rn
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, skey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY skey DESC) AS rn
+        |  FROM fs) t
+        |WHERE rn <= 4 ORDER BY o_orderstatus, rn
+        |""".stripMargin)),
+
+    GQuery(
+      // CONTINUOUS TOP-N ORDER BY DECIMAL, ASCENDING (r14): the other
+      // half of the arbitrary-comparable-sort-key gate — a DECIMAL(18,2)
+      // order column with MIXED SIGNS (tens'-complement encoding path
+      // for negatives) ranked ASC through the SQL front door (q153 is
+      // DESC; a missing-direction default reading as DESC would break
+      // every rank here). Unique by construction (injective in
+      // o_orderkey) so the oracle's ROW_NUMBER is deterministic.
+      "q157_stream_topn_decimal_asc",
+      (s, d) => {
+        import s.implicits._
+        val t = "cl_q157"
+        val sink = "cl_q157_sink"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          ($"o_orderkey".cast("decimal(18,2)") -
+            lit("30000.50").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("dval"))
+        val c1 = base.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderpriority", $"dval")
+        val c2 = base.filter($"o_orderkey" % 3 === 0)
+          .select(lit("-D").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority", $"dval")
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderpriority STRING, o_orderkey BIGINT,
+           dval DECIMAL(18,2), rn BIGINT, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q157").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderpriority, o_orderkey, dval, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY dval) AS rn
+            FROM $t) x
+          WHERE rn <= 4""", ckpt)
+        try {
+          q.processAllAvailable()
+          c2.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderpriority", $"o_orderkey",
+            $"dval".cast("double").as("dval"), $"rn")
+          .orderBy($"o_orderpriority", $"rn")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(CAST(o_orderkey AS DECIMAL(18,2)) - 30000.50
+        |              AS DECIMAL(18,2)) AS dval
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderpriority, o_orderkey, CAST(dval AS DOUBLE) AS dval, rn
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, dval,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY dval) AS rn
+        |  FROM fs) t
+        |WHERE rn <= 4 ORDER BY o_orderpriority, rn
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

@@ -525,15 +525,22 @@ class ChangelogStreamSpec extends AnyFunSuite {
       // the aggregate shape IS matched
       assert(ChangelogSql.streamMatches(spark,
         s"SELECT g, COUNT(*) AS n FROM $src GROUP BY g"))
-      // a STRING order column has no order-preserving numeric form
+      // a non-comparable order column (ARRAY) has no sort-key encoding;
+      // STRING order columns are supported since r14 (memcmp sort keys)
+      val arrSrc = s"cl_raw_arr_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $arrSrc")
+      spark.sql(s"""CREATE TABLE $arrSrc
+        (row_kind STRING, cdc_ts BIGINT, g STRING, v ARRAY<DOUBLE>)
+        USING parquet""")
       val et = intercept[IllegalArgumentException] {
         Engine.sqlStreamInsert(spark, s"""
           INSERT INTO nowhere_t_$h
-          SELECT g, k, rn FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY k DESC)
-              AS rn FROM $src) z
+          SELECT g, v, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC)
+              AS rn FROM $arrSrc) z
           WHERE rn <= 2""", "/tmp/never-t")
       }
+      spark.sql(s"DROP TABLE IF EXISTS $arrSrc")
       assert(et.getMessage.contains("order-preserving"), et.getMessage)
       // ORDER BY on a continuous aggregate rejects loudly
       val e = intercept[IllegalArgumentException] {

@@ -105,4 +105,83 @@ class RetractTwsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Same changelog script through the SORTED-COUNTS port (sort keys =
+    * SortKey.ofDouble encodings, asc=false == the original's
+    * descending-score rank): the (kind, key, rank, payload) emission
+    * must be identical — the sorted-counts refinement changes state
+    * I/O complexity, never the answer. */
+  private def runSortedScenario(sink: String)
+      : Seq[(String, String, Int, String, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val enc = graft.util.SortKey.ofDouble _
+    val in = MemoryStream[(String, String, String, String)]
+    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 2,
+      asc = false)
+    val q = out.toDF("kind", "k", "rank", "sk", "payload").writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData(("1", "+I", enc(30.0), "a"), ("1", "+I", enc(20.0), "b"))
+      q.processAllAvailable()
+      in.addData(("1", "-D", enc(20.0), "b"))
+      q.processAllAvailable()
+      in.addData(("1", "+I", enc(25.0), "c"))
+      q.processAllAvailable()
+      in.addData(("1", "-D", enc(30.0), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).as[(String, String, Int, String, String)].collect().toSeq
+  }
+
+  test("sorted-counts port emits exactly the GroupState original's changelog") {
+    val ref = runChangelogScenario(useTws = false, sink = "rtwss_ref")
+      .map { case (kind, k, rank, score, payload) =>
+        (kind, k.toString, rank, graft.util.SortKey.ofDouble(score), payload) }
+    val sorted = TestSpark.withRocksDB(runSortedScenario("rtwss_new"))
+    def multiset(rows: Seq[(String, String, Int, String, String)]) =
+      rows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(multiset(sorted) == multiset(ref),
+      s"emissions differ:\n sorted=${sorted.sorted}\n ref=${ref.sorted}")
+  }
+
+  /** State-I/O pin for the sorted-counts port: with MANY live rows per
+    * key, a micro-batch touching the key scans counts (sort keys only)
+    * and point-reads payload lists only for the top region + the
+    * changed keys — never all live rows. This is the
+    * dataState+treeMap cost model of RetractableTopNFunction.java:56:
+    * O(distinct sort keys) + O(top), not O(live). */
+  test("sorted-counts port: top-N recomputation is point access, not O(live)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val enc = (v: Long) => graft.util.SortKey.ofLong(v)
+    val in = MemoryStream[(String, String, String, String)]
+    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 3,
+      asc = false)
+    TestSpark.withRocksDB {
+      val q = out.toDF("kind", "k", "rank", "sk", "payload").writeStream
+        .outputMode("append").format("memory").queryName("rtws_probe").start()
+      try {
+        // 200 live rows across 100 distinct sort keys (2 payloads each)
+        val bulk = (1L to 100L).flatMap(v =>
+          Seq(("1", "+I", enc(v), s"p$v"), ("1", "+I", enc(v), s"q$v")))
+        in.addData(bulk: _*)
+        q.processAllAvailable()
+        RetractTws.TopNStateStats.reset()
+        // ONE new leader row lands: the batch must not materialize the
+        // 200 live rows — counts scan (100 sort keys) + O(top) payload
+        // point reads + 1 changed-key write
+        in.addData(("1", "+I", enc(500L), "leader"))
+        q.processAllAvailable()
+        val scanned = RetractTws.TopNStateStats.sortKeysScanned.get()
+        val reads = RetractTws.TopNStateStats.dataPointReads.get()
+        val writes = RetractTws.TopNStateStats.dataPointWrites.get()
+        assert(scanned >= 100 && scanned <= 101, s"counts scan: $scanned")
+        // before-top (3 keys) + 1 changed-key read + after-top (3 keys)
+        // ≤ 2·(n+1) + 1, far below the 200-row live set
+        assert(reads <= 2 * 4 + 1, s"payload point reads: $reads")
+        assert(writes == 1, s"payload point writes: $writes")
+      } finally q.stop()
+    }
+  }
 }

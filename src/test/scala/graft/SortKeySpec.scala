@@ -1,0 +1,82 @@
+package graft
+
+import graft.util.SortKey
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The memcmp sort-key encodings must be ORDER ISOMORPHISMS: for every
+  * supported type, encode(a) < encode(b) under [[SortKey.ordering]] iff
+  * a < b under the type's SQL order. One violated pair mis-ranks a
+  * continuous top-N forever (the state is keyed on the encoding). */
+class SortKeySpec extends AnyFunSuite {
+
+  private val ord = SortKey.ordering
+  private val rnd = new scala.util.Random(14L) // deterministic
+
+  test("long encoding preserves order across the full range (incl. > 2^53)") {
+    val interesting = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      (1L << 53) - 1, 1L << 53, (1L << 53) + 1, Long.MaxValue - 1, Long.MaxValue)
+    val pool = interesting ++ Seq.fill(500)(rnd.nextLong())
+    for (a <- pool; b <- pool.take(40)) {
+      assert(math.signum(ord.compare(SortKey.ofLong(a), SortKey.ofLong(b))) ==
+        math.signum(java.lang.Long.compare(a, b)), s"$a vs $b")
+    }
+    // adjacent 53-bit-boundary values a Double cast would collapse
+    assert(ord.compare(SortKey.ofLong((1L << 53) + 1), SortKey.ofLong(1L << 53)) > 0)
+  }
+
+  test("double encoding preserves IEEE order; NaN sorts greatest (Spark semantics)") {
+    val interesting = Seq(Double.NegativeInfinity, -1.0e300, -1.0, -0.0, 0.0,
+      Double.MinPositiveValue, 1.0, 1.0e300, Double.PositiveInfinity)
+    val pool = interesting ++
+      Seq.fill(500)(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+        .filterNot(_.isNaN)
+    for (a <- pool; b <- pool.take(40)) {
+      assert(math.signum(ord.compare(SortKey.ofDouble(a), SortKey.ofDouble(b))) ==
+        math.signum(java.lang.Double.compare(a, b)), s"$a vs $b")
+    }
+    assert(ord.compare(SortKey.ofDouble(Double.NaN),
+      SortKey.ofDouble(Double.PositiveInfinity)) > 0)
+    // -0.0 < 0.0 in the total order (java.lang.Double.compare semantics)
+    assert(ord.compare(SortKey.ofDouble(-0.0), SortKey.ofDouble(0.0)) < 0)
+  }
+
+  test("decimal encoding preserves order incl. negatives and mixed magnitudes") {
+    def d(s: String) = new java.math.BigDecimal(s)
+    val vals = Seq("-99999999999999999999.99", "-12345.67", "-1.00", "-0.01",
+      "0.00", "0.01", "1.00", "9.99", "10.00", "12345.67",
+      "99999999999999999999.99").map(d)
+    val encoded = vals.map(SortKey.ofDecimal(_, 2))
+    assert(encoded == encoded.sorted(ord),
+      s"decimal encodings out of order: $encoded")
+    assert(encoded.distinct.size == encoded.size)
+    val pool = Seq.fill(400)(java.math.BigDecimal.valueOf(
+      rnd.nextLong() % 100000000L, 2))
+    for (a <- pool; b <- pool.take(40)) {
+      assert(math.signum(ord.compare(SortKey.ofDecimal(a, 2),
+        SortKey.ofDecimal(b, 2))) == math.signum(a.compareTo(b)), s"$a vs $b")
+    }
+  }
+
+  test("string ordering is code-point (UTF-8 binary) order, not UTF-16 code units") {
+    // U+FFFD (BMP, above the surrogate block) vs U+10400 (supplementary,
+    // surrogate pair starting 0xD801): naive UTF-16 code-unit comparison
+    // puts the surrogate pair FIRST — UTF-8 binary order (Spark
+    // UTF8_BINARY / DuckDB) puts the supplementary character LAST
+    val bmp = "�"
+    val supplementary = new String(Character.toChars(0x10400))
+    assert(bmp.compareTo(supplementary) > 0, "precondition: code-unit order differs")
+    assert(ord.compare(bmp, supplementary) < 0, "code-point order required")
+    // plain ASCII agrees with natural order, prefixes sort first
+    assert(ord.compare("a", "ab") < 0)
+    assert(ord.compare("Z", "a") < 0)
+    assert(ord.compare("10", "9") < 0, "strings rank as strings, not numbers")
+  }
+
+  test("cross-type widths: every numeric encoding is fixed-width ASCII") {
+    assert(SortKey.ofLong(0L).length == 16)
+    assert(SortKey.ofLong(Long.MinValue).length == 16)
+    assert(SortKey.ofDouble(-1.5e308).length == 16)
+    assert(SortKey.ofDecimal(new java.math.BigDecimal("-1.23"), 2).length == 40)
+    assert(SortKey.ofDecimal(new java.math.BigDecimal("1.23"), 2).length == 40)
+  }
+}
