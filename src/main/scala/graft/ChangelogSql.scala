@@ -441,15 +441,47 @@ object ChangelogSql {
     * tables carrying the property in their own TBLPROPERTIES. */
   private[graft] def upsertKeysOf(
       spark: SparkSession, rel: String): Option[Seq[String]] =
+    tablePropOf(spark, rel, "graft.upsert.keys")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+
+  /** Base-aware table property lookup (the resolution chain of
+    * [[upsertKeysOf]], factored): DDL-declared connector tables persist
+    * properties on `__<rel>_base`, plain tables carry them in their own
+    * TBLPROPERTIES. */
+  private[graft] def tablePropOf(
+      spark: SparkSession, rel: String, key: String): Option[String] =
     scala.util.Try(WatermarkDdl.tableOptions(spark, rel))
-      .toOption.flatMap(_.get("graft.upsert.keys"))
+      .toOption.flatMap(_.get(key))
       .orElse(scala.util.Try {
         spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(rel))
-          .properties.get("graft.upsert.keys")
+          .properties.get(key)
       }.toOption.flatten)
+
+  /** Columns of `rel` DECLARED monotonically non-decreasing per upsert
+    * key (`graft.monotone.cols` — recorded by [[streamInsert]] on its
+    * sink when the aggregate provably preserves monotonicity: COUNT/MAX
+    * items over an insert-only input with no HAVING). The reference
+    * derives the same fact in the planner as RelModifiedMonotonicity
+    * (RankProcessStrategy.java picks UpdateFastStrategy from it). */
+  private[graft] def monotoneColsOf(
+      spark: SparkSession, rel: String): Seq[String] =
+    tablePropOf(spark, rel, "graft.monotone.cols")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .filter(_.nonEmpty)
+      .getOrElse(Seq.empty)
+
+  /** Is `rel` DECLARED an insert-only changelog
+    * (`'graft.changelog.mode' = 'insert-only'` — the role of the
+    * reference's per-connector changelog-mode declaration, e.g. a plain
+    * kafka or filesystem source producing only INSERT rows)? The
+    * declaration is a contract: consumers that rely on it (monotone
+    * aggregates feeding FastTop1) fail loudly at runtime if a
+    * retraction shows up anyway. */
+  private[graft] def isInsertOnlyRel(
+      spark: SparkSession, rel: String): Boolean =
+    tablePropOf(spark, rel, "graft.changelog.mode")
+      .exists(_.trim.equalsIgnoreCase("insert-only"))
 
   /** ChangelogNormalize for batch (StreamExecChangelogNormalize /
     * upsert-source materialization): every statement relation that is a
@@ -1312,7 +1344,7 @@ object ChangelogSql {
     * sink must DELETE it; keys are the GROUP BY columns' OUTPUT names
     * (the upsert key of the refreshed rows). */
   private def streamAgg(
-      spark: SparkSession, select: String): (DataFrame, Seq[String]) = {
+      spark: SparkSession, select: String): (DataFrame, Seq[String], Seq[String]) = {
     val c = parse(select).getOrElse(throw new IllegalArgumentException(
       s"not a changelog aggregate statement: $select"))
     val (chain, clIdx) = changelogOfFrom(spark, c.relation).getOrElse(
@@ -1389,6 +1421,23 @@ object ChangelogSql {
           s"GROUP BY column $gcol must appear in the select list — it is " +
             "the sink's upsert key"))
       }
+    // MODIFIED-MONOTONICITY derivation (the planner fact behind the
+    // reference's RankProcessStrategy.UpdateFastStrategy — FlinkRelMd
+    // ModifiedMonotonicity): over an INSERT-ONLY input with no HAVING
+    // (a group leaving a HAVING set emits a -D, breaking monotonicity
+    // downstream), COUNT and MAX outputs are monotonically
+    // non-decreasing per group. Recorded on the sink so a downstream
+    // top-1 statement can pick the O(1)-state fast route.
+    val monotoneCols: Seq[String] =
+      if (!isInsertOnlyRel(spark, name) || c.having.isDefined) Seq.empty
+      else {
+        val MonotoneAggRe =
+          """(?is)^(?:COUNT\s*\(\s*(?:\*|(?:DISTINCT\s+)?[\w.`]+)\s*\)|MAX\s*\(\s*[\w.`]+\s*\))\s*$""".r
+        selectItems.map(_.trim).collect {
+          case ItemRe(e, a) if a != null &&
+            MonotoneAggRe.findFirstIn(blank(e.trim)).isDefined => a
+        }
+      }
     val src = retractStreamOf(spark, name)
     val sign = when(col(streaming.Cdc.RowKind)
       .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), 1)
@@ -1416,7 +1465,7 @@ object ChangelogSql {
       c.groupBy.foreach(g => sqlText.append(" GROUP BY ").append(g))
       val df = spark.sql(sqlText.toString)
       assert(df.isStreaming, "changelog aggregate lost streaming-ness")
-      (df, keys)
+      (df, keys, monotoneCols)
     } finally priorDf match {
       case Some(d) => d.createOrReplaceTempView(name)
       case None    => spark.catalog.dropTempView(name): Unit
@@ -1440,8 +1489,8 @@ object ChangelogSql {
       case other => throw new IllegalArgumentException(
         s"streamInsert expects INSERT INTO <table> SELECT ..., got: $other")
     }
-    val (df, keys) = streamAgg(spark, select)
-    val write = upsertSinkWriter(spark, sink, keys)
+    val (df, keys, monotoneCols) = streamAgg(spark, select)
+    val write = upsertSinkWriter(spark, sink, keys, monotoneCols)
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -1477,7 +1526,8 @@ object ChangelogSql {
     *     records the upsert keys ([[materializeUpsertSink]] is the
     *     reader's keep-last collapse). */
   private def upsertSinkWriter(spark: SparkSession, sink: String,
-      keys: Seq[String]): (DataFrame, Long) => Unit = {
+      keys: Seq[String],
+      monotoneCols: Seq[String] = Seq.empty): (DataFrame, Long) => Unit = {
     val props = scala.util.Try(WatermarkDdl.tableOptions(spark, sink))
       .getOrElse(Map.empty[String, String])
     props.get("connector") match {
@@ -1547,10 +1597,15 @@ object ChangelogSql {
       case None =>
         (log: DataFrame, batchId: Long) => {
           log.write.mode("append").saveAsTable(sink)
-          // record the upsert keys once, for materializeUpsertSink readers
-          if (keys.nonEmpty && batchId == 0)
+          // record the upsert keys once, for materializeUpsertSink
+          // readers — plus the derived monotone columns, so a
+          // downstream continuous top-1 can pick UpdateFastStrategy
+          if (keys.nonEmpty && batchId == 0) {
+            val mono = if (monotoneCols.isEmpty) ""
+              else s", 'graft.monotone.cols' = '${monotoneCols.mkString(",")}'"
             spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
-              s"('graft.upsert.keys' = '${keys.mkString(",")}')"): Unit
+              s"('graft.upsert.keys' = '${keys.mkString(",")}'$mono)"): Unit
+          }
         }
     }
   }
@@ -1632,6 +1687,29 @@ object ChangelogSql {
       spark: SparkSession, select: String): Boolean =
     parseStreamTopN(spark, select).isDefined
 
+  /** The rank process strategy [[streamTopN]] would pick for this
+    * statement (the reference's RankProcessStrategy.java analysis):
+    * UpdateFastStrategy when the statement is a DESC top-1 whose input
+    * changelog is upsert-keyed with the partition columns inside the
+    * key and whose ORDER BY column is DECLARED monotone (recorded by
+    * [[streamInsert]] from a COUNT/MAX aggregate over an insert-only
+    * input); RetractStrategy otherwise. Surfaced by EXPLAIN
+    * CHANGELOG_MODE over the INSERT body. */
+  private[graft] def streamTopNStrategy(
+      spark: SparkSession, select: String): Option[String] =
+    parseStreamTopN(spark, select).map { sh =>
+      if (topNFastEligible(spark, sh))
+        "UpdateFastStrategy (FastTop1Function: O(1) leader state)"
+      else
+        "RetractStrategy (RetractableTopNFunction: MapState dataState " +
+          "+ sorted counts)"
+    }
+
+  private def topNFastEligible(spark: SparkSession, sh: TopNShape): Boolean =
+    sh.n == 1 && sh.desc &&
+      upsertKeysOf(spark, sh.rel).exists(ks => sh.parts.forall(ks.contains)) &&
+      monotoneColsOf(spark, sh.rel).contains(sh.orderCol)
+
   /** Continuous `INSERT INTO sink SELECT ... FROM (... ROW_NUMBER() ...)
     * WHERE rn <= N` over a changelog relation — the streaming statement
     * form of RetractableTopNFunction.java:56 (sorted per-key state,
@@ -1654,7 +1732,15 @@ object ChangelogSql {
       throw new IllegalArgumentException(
         s"not a streaming top-N statement: $select"))
     graft.functions.GraftFunctions.register(spark)
-    val src = retractStreamOf(spark, shape.rel)
+    // RankProcessStrategy analysis: a DESC top-1 over an upsert
+    // changelog whose ORDER BY column is declared monotone takes the
+    // O(1)-state FastTop1 route, reading the upsert stream RAW (no
+    // ChangelogNormalize — the whole point of UpdateFastStrategy: the
+    // leader can never be demoted, so no retraction state is needed)
+    val fast = topNFastEligible(spark, shape)
+    val src =
+      if (fast) changelogReadStream(spark, shape.rel)
+      else retractStreamOf(spark, shape.rel)
     val cols = src.columns.toSeq
     val payloadCols = cols.filterNot(c =>
       c == streaming.Cdc.RowKind || c == SeqCol || c == "cdc_ts")
@@ -1701,25 +1787,40 @@ object ChangelogSql {
       case org.apache.spark.sql.types.DateType => unix_date(col(shape.orderCol))
       case _ => col(shape.orderCol)
     }
-    val typed = src
-      .withColumn("__graft_ok", orderPre)
-      .select(
-        keyExpr.as("_1"),
-        col(streaming.Cdc.RowKind).as("_2"),
-        sortKeyCol.as("_3"),
-        to_json(struct(payloadCols.map(col): _*)).as("_4"))
-      .as[(String, String, String, String)]
-    // lowered onto the transformWithState point-write port: MapState
-    // dataState (point read/write of the changed sort key only) + the
-    // sorted-counts handle — RetractableTopNFunction.java:56's
-    // dataState+treeMap pairing. The RocksDB provider is the operator's
-    // runtime requirement (like Flink's state backend choice, it is a
-    // property of the lowered plan, not of the user session), so it is
-    // pinned for this query and restored after start — the conf is
-    // snapshotted into the query's cloned session synchronously.
-    val ranked = streaming.RetractTws
-      .retractableTopNChangelogSorted(typed, shape.n, asc = !shape.desc)
-      .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
+    val prepped = src.withColumn("__graft_ok", orderPre)
+    val ranked =
+      if (fast) {
+        streaming.Retract.FastTop1Stats.lowered.incrementAndGet()
+        val ks = upsertKeysOf(spark, shape.rel).get
+        val typed = prepped.select(
+          keyExpr.as("_1"),
+          col(streaming.Cdc.RowKind).as("_2"),
+          to_json(struct(ks.map(col): _*)).as("_3"),
+          sortKeyCol.as("_4"),
+          to_json(struct(payloadCols.map(col): _*)).as("_5"))
+          .as[(String, String, String, String, String)]
+        streaming.Retract.fastTop1SortedChangelog(typed)
+          .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
+      } else {
+        val typed = prepped.select(
+          keyExpr.as("_1"),
+          col(streaming.Cdc.RowKind).as("_2"),
+          sortKeyCol.as("_3"),
+          to_json(struct(payloadCols.map(col): _*)).as("_4"))
+          .as[(String, String, String, String)]
+        // lowered onto the transformWithState point-write port: MapState
+        // dataState (point read/write of the changed sort key only) +
+        // the sorted-counts handle — RetractableTopNFunction.java:56's
+        // dataState+treeMap pairing. The RocksDB provider is the
+        // operator's runtime requirement (like Flink's state backend
+        // choice, a property of the lowered plan, not of the user
+        // session), so it is pinned for this query and restored after
+        // start — the conf is snapshotted into the query's cloned
+        // session synchronously.
+        streaming.RetractTws
+          .retractableTopNChangelogSorted(typed, shape.n, asc = !shape.desc)
+          .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
+      }
     val out = ranked.select(
       col("__kind").as(streaming.Cdc.RowKind),
       col("__rank").cast("long").as(shape.rnAlias),

@@ -203,8 +203,9 @@ object Engine {
           import spark.implicits._
           val route =
             if (ChangelogSql.streamTopNMatches(spark, select))
-              "continuous retractable top-N (RetractableTopNFunction) " +
-                "-> upsert changelog keyed by (partition columns, rank)"
+              s"continuous top-N, ${ChangelogSql.streamTopNStrategy(spark,
+                select).get} -> upsert changelog keyed by (partition " +
+                "columns, rank)"
             else if (ChangelogSql.streamMatches(spark, select))
               "continuous retraction-consuming aggregate (update mode) " +
                 "-> upsert changelog keyed by the GROUP BY columns"

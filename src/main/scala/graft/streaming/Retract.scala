@@ -245,6 +245,74 @@ object Retract {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Test-visible probe: how many times the SQL front door lowered a
+    * statement onto [[fastTop1SortedChangelog]] (the UpdateFastStrategy
+    * route) — the spec's "fast route engaged" pin. */
+  object FastTop1Stats {
+    val lowered = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = lowered.set(0L)
+  }
+
+  /** [[fastTop1]] generalized to memcmp sort keys and a downstream
+    * changelog, for the SQL front door (rank/FastTop1Function.java:54,
+    * the RankProcessStrategy.UpdateFastStrategy plan): top-1 over an
+    * UPSERT changelog (part, row_kind, id, sortKey, payload) whose sort
+    * key per id is MONOTONICALLY NON-DECREASING — the contract the
+    * planner derives before picking this route (COUNT/MAX over an
+    * insert-only input). State is ONE (id, sortKey, payload) triple per
+    * partition key — O(1), against the generic route's full live
+    * multiset. Emits ("+U", part, 1, sortKey, payload) whenever the
+    * leader row changes (rank 1 never vacates: a monotone upsert stream
+    * cannot shrink, so no -D is ever emitted); a retraction row or a
+    * same-id sort-key DECREASE violates the contract and fails loudly —
+    * a silent accept would corrupt every later answer. */
+  def fastTop1SortedChangelog(
+      ds: Dataset[(String, String, String, String, String)])(
+      implicit e1: Encoder[(String, String, String)],
+      e2: Encoder[(String, String, Int, String, String)])
+      : Dataset[(String, String, Int, String, String)] = {
+    val ord = graft.util.SortKey.ordering
+
+    def update(key: String,
+        rows: Iterator[(String, String, String, String, String)],
+        state: GroupState[(String, String, String)])
+        : Iterator[(String, String, Int, String, String)] = {
+      val before = state.getOption
+      var cur = before
+      rows.foreach { case (_, kind, id, sortKey, payload) =>
+        require(isAdd(kind),
+          s"fastTop1: retraction row ($kind) for id $id — the " +
+            "UpdateFastStrategy contract requires an insert-only-derived " +
+            "upsert stream; use the retractable top-N route")
+        cur match {
+          case Some((curId, curKey, _)) =>
+            if (id == curId) {
+              require(ord.compare(sortKey, curKey) >= 0,
+                s"fastTop1: id $id sort key decreased — the " +
+                  "UpdateFastStrategy contract requires monotonically " +
+                  "non-decreasing sort values; use the retractable route")
+              cur = Some((id, sortKey, payload))
+            } else {
+              val c = ord.compare(sortKey, curKey)
+              if (c > 0 || (c == 0 && id < curId))
+                cur = Some((id, sortKey, payload))
+            }
+          case None => cur = Some((id, sortKey, payload))
+        }
+      }
+      cur.foreach(state.update)
+      if (cur == before) Iterator.empty
+      else cur.iterator.map { case (_, sortKey, payload) =>
+        (Cdc.UpdateAfter, key, 1, sortKey, payload)
+      }
+    }
+
+    // APPEND mode (delta emission), so the route composes in the same
+    // topologies as the generic sorted-counts port
+    ds.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update _)
+  }
+
   /** Upsert-keyed top-N (rank/UpdatableTopNFunction.java:71): input rows
     * (key, id, score) are UPSERTS — a new score for an existing id
     * replaces the old one without an explicit retraction (the

@@ -511,6 +511,104 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** RankProcessStrategy routing (FastTop1Function.java:54 /
+    * RankProcessStrategy.java): a DESC top-1 over a changelog produced
+    * by COUNT over an insert-only input lowers onto the O(1)-state
+    * FastTop1 route; everything else keeps the generic retractable
+    * route. The derivation chain is end-to-end: the SOURCE declares
+    * 'graft.changelog.mode' = 'insert-only', streamInsert derives and
+    * records 'graft.monotone.cols' on its sink, streamTopN reads it,
+    * and EXPLAIN CHANGELOG_MODE names the chosen strategy. */
+  test("DESC top-1 over a monotone aggregate picks UpdateFastStrategy") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_fast_src_$h"
+    val aggSink = s"cl_fast_agg_$h"
+    val topSink = s"cl_fast_top_$h"
+    Seq(src, aggSink, topSink).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    createChangelogTable(src)
+    spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES " +
+      "('graft.changelog.mode' = 'insert-only')")
+    def ins(rows: Seq[(String, String)]): Unit = {
+      rows.toDF("g", "k")
+        .select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"g", $"k", lit(1.0).as("x"))
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-fast-agg").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-fast-top").toString
+    val qa = Engine.sqlStreamInsert(spark,
+      s"INSERT INTO $aggSink SELECT g, COUNT(*) AS n FROM $src GROUP BY g", ck1)
+    try {
+      ins(Seq(("g1", "a"), ("g1", "b"), ("g2", "c")))
+      qa.processAllAvailable()
+      // the sink records BOTH the upsert keys and the derived monotone cols
+      val props = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(aggSink)).properties
+      assert(props.get("graft.upsert.keys").contains("g"), props.toString)
+      assert(props.get("graft.monotone.cols").contains("n"), props.toString)
+      // EXPLAIN names the strategy — fast for DESC top-1, generic otherwise
+      val topStmt = s"""INSERT INTO $topSink
+        SELECT g, n, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC) AS rn
+          FROM $aggSink) x
+        WHERE rn <= 1"""
+      val explained = Engine.sql(spark,
+        s"EXPLAIN CHANGELOG_MODE $topStmt").as[String].collect().head
+      assert(explained.contains("UpdateFastStrategy"), explained)
+      val genericStmt = topStmt.replace("rn <= 1", "rn <= 2")
+      val explained2 = Engine.sql(spark,
+        s"EXPLAIN CHANGELOG_MODE $genericStmt").as[String].collect().head
+      assert(explained2.contains("RetractStrategy"), explained2)
+      // ASC top-1 must NOT take the fast route (monotone NON-DECREASING
+      // sort values can demote an ASC leader)
+      assert(Engine.sql(spark, "EXPLAIN CHANGELOG_MODE " +
+        topStmt.replace("ORDER BY n DESC", "ORDER BY n"))
+        .as[String].collect().head.contains("RetractStrategy"))
+      // run the fast route end to end while commits land
+      graft.streaming.Retract.FastTop1Stats.reset()
+      val qt = Engine.sqlStreamInsert(spark, topStmt, ck2)
+      try {
+        qt.processAllAvailable()
+        assert(graft.streaming.Retract.FastTop1Stats.lowered.get() == 1L,
+          "fast route did not engage")
+        def leader(): Seq[(String, Long, Long)] =
+          graft.ChangelogSql.materializeUpsertSink(spark, topSink)
+            .select($"g", $"n".cast("long"), $"rn")
+            .as[(String, Long, Long)].collect().toSeq
+        assert(leader() == Seq(("g1", 2L, 1L)), leader().toString)
+        // g2 overtakes: counts 2 -> 4
+        ins(Seq(("g2", "d"), ("g2", "e"), ("g2", "f")))
+        qa.processAllAvailable(); qt.processAllAvailable()
+        assert(leader() == Seq(("g2", 4L, 1L)), leader().toString)
+      } finally qt.stop()
+      // the generic statement on the SAME input agrees (identical answer)
+      graft.streaming.Retract.FastTop1Stats.reset()
+      val ck3 = java.nio.file.Files.createTempDirectory("graft-gen-top").toString
+      val genSink = s"cl_fast_gen_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $genSink")
+      val qg = Engine.sqlStreamInsert(spark,
+        genericStmt.replace(s"INSERT INTO $topSink", s"INSERT INTO $genSink"),
+        ck3)
+      try {
+        qg.processAllAvailable()
+        assert(graft.streaming.Retract.FastTop1Stats.lowered.get() == 0L,
+          "generic statement must NOT take the fast route")
+        val top2 = graft.ChangelogSql.materializeUpsertSink(spark, genSink)
+          .select($"g", $"n".cast("long"), $"rn").orderBy($"rn")
+          .as[(String, Long, Long)].collect().toSeq
+        assert(top2 == Seq(("g2", 4L, 1L), ("g1", 2L, 2L)), top2.toString)
+      } finally qg.stop()
+    } finally {
+      qa.stop()
+      Seq(src, aggSink, topSink, s"cl_fast_gen_$h").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+    }
+  }
+
   test("raw changelog passthrough and malformed shapes keep their contracts") {
     val h = math.abs(getClass.getName.hashCode)
     val src = s"cl_raw_src_$h"
