@@ -46,7 +46,7 @@ object Engine {
 
   private val ExplainRe =
     """(?is)\s*EXPLAIN(\s+(?:FORMATTED|EXTENDED|CODEGEN|COST))?\s+(SELECT\b.*)""".r
-  private val StmtSetRe =
+  private[graft] val StmtSetRe =
     """(?is)\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b(.*?)\bEND\s*;?\s*""".r
 
   private def extendedMatches(q: String): Boolean =
@@ -463,7 +463,7 @@ object Engine {
       } finally hinted.lifted.foreach(v => spark.catalog.dropTempView(v): Unit)
   }
 
-  private val StreamInsertRe =
+  private[graft] val StreamInsertRe =
     """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s+((?:SELECT|WITH)\b.*)""".r
 
   /** Continuous INSERT — the Flink streaming-SQL job shape

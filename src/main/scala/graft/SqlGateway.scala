@@ -42,10 +42,21 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
   private class Operation {
     @volatile var status: String = "RUNNING" // RUNNING|FINISHED|ERROR|CANCELED
     @volatile var error: String = null
-    /** The running job, when the statement was a CONTINUOUS INSERT
-      * (Flink gateway: the operation's result is the job id and the job
-      * outlives the fetch; cancel/close stops it). */
-    @volatile var stream: org.apache.spark.sql.streaming.StreamingQuery = null
+    /** The running job(s), when the statement was a CONTINUOUS INSERT
+      * or a STREAMING statement set (Flink gateway: the operation's
+      * result is the job id(s) and the jobs outlive the fetch;
+      * cancel/close stops them all). */
+    @volatile var jobs: Seq[org.apache.spark.sql.streaming.StreamingQuery] = Nil
+    /** The jobs' checkpoint directory — owned by this operation, so
+      * stopping the jobs (cancel / session close) reclaims it; a
+      * long-lived gateway must not leak one temp tree per statement. */
+    @volatile var checkpoint: java.nio.file.Path = null
+
+    /** Stop every running job and reclaim the checkpoint directory. */
+    def stopJobs(): Unit = {
+      jobs.foreach(q => try q.stop() catch { case _: Exception => () })
+      Option(checkpoint).foreach(SqlGateway.deleteRecursively)
+    }
     @volatile var columns: Seq[String] = Nil
     @volatile var truncated = false
     private val pages = new scala.collection.mutable.ArrayBuffer[Seq[Seq[Any]]]()
@@ -77,9 +88,10 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
       * record via InterruptibleIterator; no thread interrupt involved),
       * releasing the monitor — and only the buffer cleanup synchronizes. */
     def cancel(oh: String): Unit = {
-      // a continuous INSERT's cancel is the JOB's stop (Flink gateway
-      // closeOperation on a streaming job cancels it)
-      Option(stream).foreach(q => try q.stop() catch { case _: Exception => () })
+      // a continuous INSERT's (or streaming set's) cancel is the JOBS'
+      // stop (Flink gateway closeOperation on a streaming job cancels
+      // it) — and the operation's checkpoint tree is reclaimed with them
+      stopJobs()
       if (status == "RUNNING" || status == "FINISHED") {
         // tag registration FIRST: a job whose submission races past the
         // direct kill below is reaped by the onJobStart listener (which
@@ -306,8 +318,7 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
 
       case ("DELETE", List("sessions", sh)) =>
         Option(sessions.remove(sh)).foreach { ops =>
-          ops.values().asScala.foreach(op => Option(op.stream).foreach(q =>
-            try q.stop() catch { case _: Exception => () }))
+          ops.values().asScala.foreach(_.stopJobs())
           ops.keySet().asScala.foreach(oh => canceledTags.remove(tagOf(oh)))
         }
         respond(ex, 200, s"""{"status":"CLOSED"}""")
@@ -326,43 +337,54 @@ class SqlGateway(spark: SparkSession, port: Int = 0,
               override def run(): Unit =
                 try tagged(oh) {
                   // a CONTINUOUS INSERT becomes a RUNNING JOB whose
-                  // one-row result is the job id (the Flink gateway's
-                  // streaming-statement contract); a batch INSERT falls
-                  // through to the eager path below
-                  val continuous =
-                    """(?is)^\s*INSERT\s+INTO\b.*\b(SELECT|WITH)\b""".r
-                      .findFirstIn(graft.util.SqlSplit.blankLiterals(stmt))
-                      .isDefined && {
-                      val ckptPath = java.nio.file.Files
-                        .createTempDirectory(s"graft-gw-$oh")
-                      try {
-                        op.stream = Engine.sqlStreamInsert(
-                          spark, stmt, ckptPath.toString)
-                        true
-                      } catch {
-                        // "this is a BATCH statement" rejects (no
-                        // watermarked source; FINAL_STATE body) fall
-                        // through to the eager path; anything else is a
-                        // genuine statement error and propagates
-                        case e: IllegalArgumentException
-                            if e.getMessage != null &&
-                              (e.getMessage.contains("use sql() for batch") ||
-                                e.getMessage.contains("BATCH read")) =>
-                          // nothing streamed: reclaim the checkpoint dir
-                          try java.nio.file.Files.deleteIfExists(ckptPath)
-                          catch { case _: Exception => () }
-                          false
-                      }
+                  // one-row result is the job id, and a STREAMING
+                  // statement set becomes N jobs under ONE operation
+                  // handle (the Flink gateway's streaming-statement
+                  // contract); batch forms fall through to the eager
+                  // path below. Detection matches EXACTLY the statement
+                  // shapes sqlStreamInsert/sqlStreamStatementSet accept
+                  // — a broader guess would error on forms (qualified
+                  // sinks, column lists) the eager path runs fine.
+                  def tryStream(start: String => Seq[
+                      org.apache.spark.sql.streaming.StreamingQuery]): Boolean = {
+                    val ckptPath = java.nio.file.Files
+                      .createTempDirectory(s"graft-gw-$oh")
+                    op.checkpoint = ckptPath
+                    try { op.jobs = start(ckptPath.toString); true }
+                    catch {
+                      // "this is a BATCH statement" rejects (no
+                      // watermarked source; FINAL_STATE body) fall
+                      // through to the eager path; anything else is a
+                      // genuine statement error and propagates
+                      case e: IllegalArgumentException
+                          if e.getMessage != null &&
+                            (e.getMessage.contains("use sql() for batch") ||
+                              e.getMessage.contains("BATCH read") ||
+                              e.getMessage.contains(
+                                "INSERT INTO members only")) =>
+                        // nothing streamed: reclaim the checkpoint tree
+                        op.checkpoint = null
+                        SqlGateway.deleteRecursively(ckptPath)
+                        false
                     }
+                  }
+                  val continuous = stmt match {
+                    case Engine.StreamInsertRe(_, _) =>
+                      tryStream(ck =>
+                        Seq(Engine.sqlStreamInsert(spark, stmt, ck)))
+                    case Engine.StmtSetRe(_) =>
+                      tryStream(ck =>
+                        Engine.sqlStreamStatementSet(spark, stmt, ck))
+                    case _ => false
+                  }
                   if (continuous) {
                     op.columns = Seq("jobId", "status")
-                    if (op.status == "RUNNING" && op.bind(Iterator(
-                        org.apache.spark.sql.Row(
-                          op.stream.id.toString, "RUNNING")))) {
+                    if (op.status == "RUNNING" && op.bind(
+                        op.jobs.iterator.map(q =>
+                          org.apache.spark.sql.Row(q.id.toString, "RUNNING")))) {
                       op.page(0, MaxResultRows)
                       op.finish()
-                    } else Option(op.stream).foreach(q =>
-                      try q.stop() catch { case _: Exception => () })
+                    } else op.stopJobs()
                   } else {
                   val df: DataFrame = Engine.sql(spark, stmt)
                   op.columns = df.schema.fieldNames.toSeq
@@ -445,6 +467,19 @@ object SqlGateway {
     * cancel() kills by, and the handle tests/tools use to observe an
     * operation's jobs via SparkStatusTracker.getJobIdsForTag. */
   private[graft] def tagOf(oh: String): String = s"graft-gateway-$oh"
+
+  /** Recursive best-effort delete of an operation's checkpoint tree —
+    * `Files.deleteIfExists` alone silently no-ops once a stream has
+    * written anything into the directory. */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally walk.close()
+      }
+    } catch { case _: Exception => () }
 
   /** CLI entry: start the gateway over the fixture catalog and block.
     * Usage: runMain graft.SqlGateway <sfDir> [port]. */

@@ -289,4 +289,85 @@ class SqlGatewaySpec extends AnyFunSuite {
       Engine.sql(spark, s"DROP TABLE IF EXISTS $sink"): Unit
     }
   }
+
+  /** STREAMING statement set through the gateway (flink-sql-gateway runs
+    * EXECUTE STATEMENT SET): one operation handle, one job per INSERT
+    * member, cancel stops them ALL and reclaims the operation's
+    * checkpoint tree (a long-lived gateway must not leak temp dirs).
+    * Statement forms outside the streaming grammar (column lists) run
+    * through the eager path instead of erroring. */
+  test("a streaming STATEMENT SET runs as N managed jobs; cancel stops all") {
+    assert(catalogReady)
+    val h = math.abs(getClass.getName.hashCode) + 1
+    val src = s"gw_set_src_$h"
+    val (s1, s2) = (s"gw_set_sink1_$h", s"gw_set_sink2_$h")
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+    Seq(s1, s2).foreach(t => Engine.sql(spark, s"DROP TABLE IF EXISTS $t"))
+    Engine.sql(spark, s"""
+      CREATE TABLE $src (k BIGINT, v BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)""")
+    Engine.sql(spark, s"CREATE TABLE $s1 (k BIGINT, v BIGINT) USING parquet")
+    Engine.sql(spark, s"CREATE TABLE $s2 (k BIGINT) USING parquet")
+    val gw = new SqlGateway(spark, 0)
+    try {
+      val port = gw.boundPort
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+      val before = spark.streams.active.map(_.id).toSet
+      val stmt = s"EXECUTE STATEMENT SET BEGIN " +
+        s"INSERT INTO $s1 SELECT k, v FROM $src; " +
+        s"INSERT INTO $s2 SELECT k FROM $src; END"
+      val (_, opr) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some(s"""{"statement": ${"\"" + stmt.replace("\"", "\\\"") + "\""}}"""))
+      val oh = field(opr, "operationHandle")
+      val res = awaitResult(port, sh, oh)
+      // TWO job rows under the one operation handle
+      assert(res.contains("jobId") &&
+        "RUNNING".r.findAllIn(res).size >= 2, res)
+      val started = spark.streams.active.filterNot(q => before(q.id))
+      assert(started.length == 2, s"expected two jobs, got ${started.length}")
+      // rows flow through BOTH members
+      Engine.sql(spark,
+        s"INSERT INTO $src VALUES (1, 10, TIMESTAMP '2024-01-01 00:00:05')")
+      started.foreach(_.processAllAvailable())
+      assert(spark.table(s1).count() == 1L && spark.table(s2).count() == 1L,
+        "a member did not consume the commit")
+      // cancel stops BOTH jobs and reclaims the checkpoint tree
+      val ckpts = started.map(q =>
+        q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery])
+      val (cc, _) = call(port, "POST", s"/v1/sessions/$sh/operations/$oh/cancel")
+      assert(cc == 200)
+      val end = System.currentTimeMillis() + 15000
+      while (spark.streams.active.exists(q => started.exists(_.id == q.id)) &&
+        System.currentTimeMillis() < end) Thread.sleep(50)
+      assert(!spark.streams.active.exists(q => started.exists(_.id == q.id)),
+        "cancel did not stop all set members")
+      // the operation's temp checkpoint tree is gone (leak regression)
+      val leaked = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+        .filter(p => p.getFileName.toString.startsWith(s"graft-gw-$oh"))
+        .count()
+      assert(leaked == 0L, s"checkpoint tree leaked for $oh")
+      assert(ckpts.nonEmpty) // silence unused warning; handles captured above
+      // a statement form OUTSIDE the streaming grammar (column list)
+      // must run eagerly, not error (detection == sqlStreamInsert shape)
+      Engine.sql(spark, s"DROP TABLE IF EXISTS gw_cols_$h")
+      Engine.sql(spark,
+        s"CREATE TABLE gw_cols_$h (k BIGINT, v BIGINT) USING parquet")
+      val (_, opr2) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some(s"""{"statement": "INSERT INTO gw_cols_$h (k, v) SELECT 7, 70"}"""))
+      val res2 = awaitResult(port, sh, field(opr2, "operationHandle"))
+      assert(!res2.contains("ERROR"), res2)
+      assert(spark.table(s"gw_cols_$h").count() == 1L,
+        s"column-list INSERT route broken; op result: $res2")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS gw_cols_$h")
+    } finally {
+      gw.close()
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $src")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${src}_base")
+      Seq(s1, s2).foreach(t =>
+        Engine.sql(spark, s"DROP TABLE IF EXISTS $t"): Unit)
+    }
+  }
 }
