@@ -265,6 +265,13 @@ object JdbcConnector {
         // abort-on-error databases (PostgreSQL) poison the whole
         // transaction on any statement failure, so the 23505 recovery
         // must roll back to the savepoint before issuing the UPDATE
+        // savepoints are RELEASED once the row settles: on
+        // PostgreSQL-family databases an unreleased savepoint pins
+        // transaction bookkeeping for the whole (potentially long)
+        // partition transaction
+        def releaseSp(sp: java.sql.Savepoint): Unit =
+          if (sp != null)
+            try conn.releaseSavepoint(sp) catch { case _: Exception => () }
         def rowByRow(r: org.apache.spark.sql.Row): Unit = {
           val sp = try conn.setSavepoint() catch { case _: Exception => null }
           upd match {
@@ -284,6 +291,7 @@ object JdbcConnector {
                     try conn.rollback(sp) catch { case _: Exception => () }
               }
           }
+          releaseSp(sp)
           JdbcWriteStats.roundTrips.incrementAndGet(): Unit
         }
         def flush(): Unit = if (buf.nonEmpty) {
@@ -329,6 +337,7 @@ object JdbcConnector {
                       try conn.rollback(sp) catch { case _: Exception => () }
                     missed.foreach(rowByRow)
                 }
+                releaseSp(sp)
               }
               unknown.foreach(rowByRow)
             case None =>
@@ -380,15 +389,25 @@ object JdbcConnector {
     * hashpartitioning). */
   private[graft] def keyedLayout(df: DataFrame, keys: Seq[String],
       parallelism: Option[Int] = None): DataFrame = {
-    val cols = keys.map(org.apache.spark.sql.functions.col)
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val cols = keys.map(col)
+    val orderCol = Seq(graft.ChangelogSql.SeqCol, "cdc_ts").find(df.columns.contains)
+    // deterministic tiebreaker CAPTURED BEFORE the shuffle: Spark's
+    // sort is not stable, so two changes to one key sharing a
+    // commit-sequence value (e.g. a -U/+U pair stamped with one cdc_ts)
+    // could otherwise reach the last-wins reduce buffer in either order
+    // and persist a stale image
+    val tagged = orderCol.fold(df)(_ =>
+      df.withColumn("__graft_arrival", monotonically_increasing_id()))
     // 'sink.parallelism' fixes the partition count (= concurrent DB
     // connections); default = the session's shuffle parallelism
     val keyed = parallelism match {
-      case Some(n) => df.repartition(n, cols: _*)
-      case None => df.repartition(cols: _*)
+      case Some(n) => tagged.repartition(n, cols: _*)
+      case None => tagged.repartition(cols: _*)
     }
-    val orderCol = Seq(graft.ChangelogSql.SeqCol, "cdc_ts").find(df.columns.contains)
-    orderCol.fold(keyed)(c => keyed.sortWithinPartitions(c))
+    orderCol.fold(keyed)(c =>
+      keyed.sortWithinPartitions(col(c), col("__graft_arrival"))
+        .drop("__graft_arrival"))
   }
 
   /** JDBC round-trip counter (statements/batches sent to the server +

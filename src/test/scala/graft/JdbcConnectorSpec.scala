@@ -218,6 +218,30 @@ class JdbcConnectorSpec extends AnyFunSuite {
       Seq((1L, "c", 4.0), (3L, "q", 6.0)))
   }
 
+  /** Commit-sequence TIES settle deterministically: Spark's sort is not
+    * stable, so equal cdc_ts values need the pre-shuffle arrival index
+    * as a tiebreaker — without it a +U/+U pair sharing one timestamp
+    * (batched changelog writes stamp whole commits) could persist the
+    * STALE image. */
+  test("same-sequence ties per key settle in input order (arrival tiebreak)") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE tie_t (id BIGINT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(32), score DOUBLE)")
+      st.close()
+    }
+    // ten keys, each with TWO +U changes at the SAME cdc_ts — the later
+    // input row must win for every key; coalesce(1) keeps the input in
+    // one partition so the arrival index is the input order
+    val rows = (1L to 10L).flatMap(k =>
+      Seq(("+U", k, "stale", 0.0, 7L), ("+U", k, "fresh", 1.0, 7L)))
+    val log = rows.toDF("row_kind", "id", "name", "score", "cdc_ts").coalesce(1)
+    JdbcConnector.upsertWrite(log,
+      Map("url" -> dbUrl, "table-name" -> "tie_t"), Seq("id"))
+    assert(readAll("tie_t") == (1L to 10L).map(k => (k, "fresh", 1.0)))
+  }
+
   test("sink layout plan: hash-repartition by pk, in-partition commit order") {
     import spark.implicits._
     val df = Seq(("+U", 1L, 2L, "a", 1.0), ("+U", 2L, 1L, "b", 2.0))
