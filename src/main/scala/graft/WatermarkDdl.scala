@@ -48,9 +48,8 @@ object WatermarkDdl {
   private val AlterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
 
-  private val CreateRe = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
-  // Flink-style trailing options clause: CREATE TABLE t (...) WITH ('k'='v')
-  private val WithRe = """(?is)(.*\))\s*WITH\s*\((.*)\)\s*;?\s*""".r
+  // CREATE TABLE t (...) [WITH ('k'='v')] boundaries are TOKEN-walked
+  // ([[createBounds]]), not regexed — see the re-base note there
   private val PropRe = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
   private val WatermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
@@ -76,7 +75,22 @@ object WatermarkDdl {
     var computed = Vector.empty[(String, String)]
     var watermark = Option.empty[(String, String)]
     var primaryKey = Seq.empty[String]
-    if (body.trim.nonEmpty) splitTopLevel(body).foreach {
+    // comments are whitespace to SQL: strip them from each entry (a
+    // comment-only entry disappears) so a line comment between columns
+    // never reads as a bad column definition — literal contents survive
+    // untouched (unlike blanking)
+    def stripComments(e: String): String = {
+      val sb = new StringBuilder
+      var pos = 0
+      graft.util.SqlTokens.tokenize(e).foreach { t =>
+        if (t.kind == graft.util.SqlTokens.Kind.Comment) {
+          sb.append(e.substring(pos, t.start)); pos = t.end
+        }
+      }
+      sb.append(e.substring(pos)).toString.trim
+    }
+    if (body.trim.nonEmpty) splitTopLevel(body)
+      .map(stripComments).filter(_.nonEmpty).foreach {
       case WatermarkRe(col, n, unit) =>
         watermark = Some((col, s"$n ${unit.toLowerCase}"))
       case PrimaryKeyRe(cols) =>
@@ -104,24 +118,54 @@ object WatermarkDdl {
   private def splitTopLevel(s: String): Seq[String] =
     graft.util.SqlSplit.splitTopLevel(s, angleTypes = true)
 
+  /** Token-walked clause boundaries for `CREATE TABLE name (body) [WITH
+    * (props)]` — the ParserImpl.java:91 re-base for THIS module's main
+    * surgery: the old greedy-regex split (`(.*\))\s*WITH\s*\((.*)\)`)
+    * ran on RAW text, so a `)` or a `WITH (` inside a quoted property
+    * value or comment could shear the clause boundary. Tokens make both
+    * impossible: a literal is ONE token, a comment none.
+    *
+    * Returns (table name, column body text, WITH props text or None);
+    * None when the statement is not this shape at all. */
+  private def createBounds(ddl: String): Option[(String, String, Option[String])] = {
+    import graft.util.SqlTokens
+    val toks = SqlTokens.structural(SqlTokens.tokenize(ddl))
+    if (toks.length < 5) return None
+    if (toks(0).word(ddl) != "CREATE" || toks(1).word(ddl) != "TABLE") return None
+    if (toks(2).kind != SqlTokens.Kind.Ident) return None
+    val name = ddl.substring(toks(2).start, toks(2).end).replace("`", "")
+    if (!name.matches("""\w+""")) return None
+    if (toks(3).kind != SqlTokens.Kind.LParen) return None
+    val bodyClose = SqlTokens.matchParen(toks, 3)
+    if (bodyClose < 0) return None
+    val body = ddl.substring(toks(3).end, toks(bodyClose).start)
+    // what follows the column body: nothing, ';', or WITH ( ... ) [';']
+    val rest = toks.drop(bodyClose + 1)
+      .filterNot(_.kind == SqlTokens.Kind.Semi)
+    if (rest.isEmpty) return Some((name, body, None))
+    if (rest.head.word(ddl) != "WITH" || rest.length < 3 ||
+        rest(1).kind != SqlTokens.Kind.LParen) return None
+    val wOpenIdx = toks.indexWhere(_.start == rest(1).start)
+    val wClose = SqlTokens.matchParen(toks, wOpenIdx)
+    if (wClose < 0) return None
+    if (toks.drop(wClose + 1).exists(_.kind != SqlTokens.Kind.Semi)) return None
+    Some((name, body,
+      Some(ddl.substring(toks(wOpenIdx).end, toks(wClose).start))))
+  }
+
   /** Parse a CREATE TABLE with computed columns / WATERMARK / a Flink
     * `WITH ('k'='v', ...)` options clause; None if the statement doesn't
-    * need the extended lowering (plain DDL). */
+    * need the extended lowering (plain DDL). Clause boundaries are
+    * token-walked ([[createBounds]]). */
   def parse(ddl: String): Option[TableSpec] = {
-    // split a trailing WITH ('k'='v', ...) off first — the column body's
-    // greedy match must not swallow it
-    val (core, options) = ddl match {
-      case WithRe(head, props) =>
-        val opts = graft.util.SqlSplit.splitTopLevel(props).map {
-          case PropRe(k, v) => (k, v)
-          case other => throw new IllegalArgumentException(
-            s"WITH clause: expected 'key'='value', got '$other'")
-        }
-        (head, opts)
-      case _ => (ddl, Seq.empty[(String, String)])
-    }
-    core match {
-      case CreateRe(name, body) =>
+    createBounds(ddl) match {
+      case Some((name, body, withProps)) =>
+        val options = withProps.toSeq.flatMap(props =>
+          graft.util.SqlSplit.splitTopLevel(props).map {
+            case PropRe(k, v) => (k, v)
+            case other => throw new IllegalArgumentException(
+              s"WITH clause: expected 'key'='value', got '$other'")
+          })
         val (physical, computed, watermark, pk) = parseBody(body)
         if (computed.isEmpty && watermark.isEmpty && options.isEmpty &&
             pk.isEmpty) None

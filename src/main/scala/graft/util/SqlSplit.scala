@@ -51,55 +51,54 @@ object SqlSplit {
     segs.nonEmpty && segs.forall(seg => TypeToken.matches(seg))
   }
 
-  /** Split a predicate on top-level AND keywords: ANDs inside parentheses
-    * or single-quoted literals don't split, and only whole-word ANDs count
-    * (an identifier like BRAND or a column and_ok survives intact). */
-  def splitTopLevelAnd(s: String): Seq[String] = {
+  /** Slice `s` around separator spans, trimming and dropping empties. */
+  private def sliceAround(s: String, seps: Seq[(Int, Int)]): Seq[String] = {
     val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var paren = 0
-    var inQuote = false
-    var i = 0
-    def wordBoundary(j: Int): Boolean =
-      j < 0 || j >= s.length || (!s(j).isLetterOrDigit && s(j) != '_')
-    while (i < s.length) {
-      val c = s(i)
-      if (inQuote) {
-        cur += c; if (c == '\'') inQuote = false; i += 1
-      } else c match {
-        case '\'' => inQuote = true; cur += c; i += 1
-        case '(' => paren += 1; cur += c; i += 1
-        case ')' => paren -= 1; cur += c; i += 1
-        case 'a' | 'A' if paren == 0 && s.regionMatches(true, i, "AND", 0, 3) &&
-            wordBoundary(i - 1) && wordBoundary(i + 3) =>
-          out += cur.toString; cur.clear(); i += 3
-        case _ => cur += c; i += 1
-      }
-    }
-    out += cur.toString
+    var pos = 0
+    seps.foreach { case (a, b) => out += s.substring(pos, a); pos = b }
+    out += s.substring(pos)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Split a script on top-level semicolons (statement separators):
-    * semicolons inside parentheses or single-quoted literals don't
-    * split. Empty fragments (trailing separators) are dropped. */
-  def splitStatements(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var paren = 0
-    var inQuote = false
-    s.foreach { c =>
-      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true; cur += c
-        case '(' => paren += 1; cur += c
-        case ')' => paren -= 1; cur += c
-        case ';' if paren == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
+  /** Split a predicate on top-level AND keywords — a TOKEN walk
+    * (SqlTokens, the shared lexical layer): ANDs inside parentheses,
+    * string literals, backticked identifiers, or comments never split,
+    * and only whole-word ANDs count (an identifier like BRAND or a
+    * column and_ok is a different token). */
+  def splitTopLevelAnd(s: String): Seq[String] = {
+    val toks = SqlTokens.structural(SqlTokens.tokenize(s))
+    val seps = Seq.newBuilder[(Int, Int)]
+    var depth = 0
+    toks.foreach { t =>
+      t.kind match {
+        case SqlTokens.Kind.LParen => depth += 1
+        case SqlTokens.Kind.RParen => depth -= 1
+        case SqlTokens.Kind.Ident
+            if depth == 0 && t.word(s) == "AND" && s(t.start) != '`' =>
+          seps += ((t.start, t.end))
+        case _ => ()
       }
     }
-    out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    sliceAround(s, seps.result())
+  }
+
+  /** Split a script on top-level semicolons (statement separators) — a
+    * TOKEN walk: semicolons inside parentheses, string literals,
+    * backticked identifiers, or comments never split. Empty fragments
+    * (trailing separators) are dropped. */
+  def splitStatements(s: String): Seq[String] = {
+    val toks = SqlTokens.structural(SqlTokens.tokenize(s))
+    val seps = Seq.newBuilder[(Int, Int)]
+    var depth = 0
+    toks.foreach { t =>
+      t.kind match {
+        case SqlTokens.Kind.LParen => depth += 1
+        case SqlTokens.Kind.RParen => depth -= 1
+        case SqlTokens.Kind.Semi if depth == 0 => seps += ((t.start, t.end))
+        case _ => ()
+      }
+    }
+    sliceAround(s, seps.result())
   }
 
   /** Same-length literal AND comment blanking shared by every SQL text
@@ -119,31 +118,30 @@ object SqlSplit {
     * there exactly once. */
   def blankLiterals(s: String): String = SqlTokens.blank(s)
 
+  /** Top-level comma split — a TOKEN walk: commas inside parentheses,
+    * string literals, backticked identifiers, comments, or (with
+    * `angleTypes`) type-argument angle brackets never split. */
   def splitTopLevel(s: String, angleTypes: Boolean = false): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
+    val toks = SqlTokens.structural(SqlTokens.tokenize(s))
+    val seps = Seq.newBuilder[(Int, Int)]
     var paren = 0
     var angle = 0
-    var prevNonSpace = ' '
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      c match {
-        case '(' => paren += 1; cur += c
-        case ')' => paren -= 1; cur += c
-        case '<' if angleTypes && angle == 0 &&
-            (prevNonSpace.isLetterOrDigit || prevNonSpace == '_') &&
-            isTypeContext(s, i) =>
-          angle += 1; cur += c
-        case '<' if angleTypes && angle > 0 => angle += 1; cur += c
-        case '>' if angleTypes && angle > 0 => angle -= 1; cur += c
-        case ',' if paren == 0 && angle == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
+    var prevIdentish = false // previous structural token names a type
+    toks.foreach { t =>
+      t.kind match {
+        case SqlTokens.Kind.LParen => paren += 1
+        case SqlTokens.Kind.RParen => paren -= 1
+        case SqlTokens.Kind.Op if angleTypes && s(t.start) == '<' =>
+          if (angle > 0) angle += 1
+          else if (prevIdentish && isTypeContext(s, t.start)) angle += 1
+        case SqlTokens.Kind.Op if angleTypes && s(t.start) == '>' =>
+          if (angle > 0) angle -= 1
+        case SqlTokens.Kind.Comma if paren == 0 && angle == 0 =>
+          seps += ((t.start, t.end))
+        case _ => ()
       }
-      if (!c.isWhitespace) prevNonSpace = c
-      i += 1
+      prevIdentish = t.kind == SqlTokens.Kind.Ident
     }
-    out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    sliceAround(s, seps.result())
   }
 }

@@ -230,7 +230,8 @@ class ChangelogUpsertSpec extends AnyFunSuite {
         "SELECT g, x, rn FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g " +
         "ORDER BY x DESC) AS rn FROM expl_ins_cl) z WHERE rn <= 2")
         .as[String].collect().head
-      assert(tp.contains("retractable top-N"), tp)
+      // r14: the route line names the chosen RankProcessStrategy
+      assert(tp.contains("RetractStrategy (RetractableTopNFunction"), tp)
       spark.catalog.dropTempView("expl_ins_cl")
       // an ESTIMATED_COST/JSON INSERT still rejects, and nothing wrote
       val n = spark.table(t).count()

@@ -429,6 +429,84 @@ class SqlFrontDoorNegativeSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView(v)
   }
 
+  // ---- group 5: WatermarkDdl clause boundaries are token-walked (r14
+  // re-base — the old greedy-regex WITH/body split ran on RAW text)
+
+  test("DDL boundary: a ')' and a 'WITH (' inside a property VALUE survive") {
+    val t = "neg_ddl_props"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    try {
+      // both hazards in ONE quoted value: a close paren that the old
+      // (.*\)) head-match could shear on, and a 'WITH (' decoy
+      Engine.sql(spark, s"""CREATE TABLE $t (k BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+        WITH ('custom.note' = 'use WITH (care) always', 'custom.opt' = 'a)b')""")
+      val opts = WatermarkDdl.tableOptions(spark, t)
+      assert(opts.get("custom.note").contains("use WITH (care) always"), opts.toString)
+      assert(opts.get("custom.opt").contains("a)b"), opts.toString)
+      assert(WatermarkDdl.watermarkCol(spark, t).contains("ts"),
+        "watermark lost to a property-value decoy")
+    } finally {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base"): Unit
+    }
+  }
+
+  test("DDL boundary: comments inside and after the column body are inert") {
+    val t = "neg_ddl_comment"
+    Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+    Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base")
+    try {
+      Engine.sql(spark, s"""CREATE TABLE $t (
+        k BIGINT, -- trailing ( paren and WITH ( decoy
+        ts TIMESTAMP /* ) ; WITH ('x'='y') */ ,
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      ) WITH ('real.opt' = 'v');""")
+      val opts = WatermarkDdl.tableOptions(spark, t)
+      assert(opts.get("real.opt").contains("v"), opts.toString)
+      assert(!opts.contains("x"), s"comment decoy leaked an option: $opts")
+      assert(WatermarkDdl.watermarkCol(spark, t).contains("ts"))
+    } finally {
+      Engine.sql(spark, s"DROP VIEW IF EXISTS $t")
+      Engine.sql(spark, s"DROP TABLE IF EXISTS __${t}_base"): Unit
+    }
+  }
+
+  test("statement-set boundary: ';' inside literals/comments never splits") {
+    val stmts = graft.util.SqlSplit.splitStatements(
+      "SELECT 'a;b' AS x; SELECT 1 /* ; not a split ; */ AS y; " +
+        "SELECT \"c;d\" AS z -- trailing ; comment")
+    assert(stmts.length == 3, stmts.toString)
+    assert(stmts(0) == "SELECT 'a;b' AS x", stmts(0))
+    assert(stmts(1).startsWith("SELECT 1"), stmts(1))
+  }
+
+  test("split boundary: commas/ANDs in literals, backticks, comments are inert") {
+    val cols = graft.util.SqlSplit.splitTopLevel(
+      "k BIGINT, label AS concat(g, ','), note AS 'a,b' /* , */, x DOUBLE")
+    assert(cols.length == 4, cols.toString)
+    assert(cols(2).startsWith("note AS 'a,b'"), cols(2))
+    val ands = graft.util.SqlSplit.splitTopLevelAnd(
+      "x = 'p AND q' AND `and` = 1 AND /* AND */ y < 2")
+    assert(ands == Seq("x = 'p AND q'", "`and` = 1", "/* AND */ y < 2"),
+      ands.toString)
+  }
+
+  test("window TVF boundary: literal parens/commas inside TVF-adjacent text") {
+    import spark.implicits._
+    evRows.createOrReplaceTempView("neg_ev_tvf")
+    try {
+      val got = Engine.sql(spark, """
+        SELECT window_start, COUNT(*) AS c, ' (,TUMBLE(,) ' AS decoy
+        FROM TABLE(TUMBLE(TABLE neg_ev_tvf, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        WHERE CAST(k AS STRING) <> 'no)match'
+        GROUP BY window_start ORDER BY window_start""")
+        .select($"c").as[Long].collect().toSeq
+      assert(got == Seq(2L, 1L), s"got $got")
+    } finally spark.catalog.dropTempView("neg_ev_tvf")
+  }
+
   // ---- group 4: a decoy literal next to the REAL construct still lowers
 
   test("decoy literal does not mask a real window TVF") {
