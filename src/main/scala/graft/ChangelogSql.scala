@@ -1648,17 +1648,20 @@ object ChangelogSql {
   private val StreamTopNRe =
     ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*""" +
       """ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*(?:PARTITION\s+BY\s+""" +
-      """([\w`\s,.]+?)\s+)?ORDER\s+BY\s+`?(\w+)`?(?:\s+(ASC|DESC))?\s*\)\s+""" +
+      """([\w`\s,.]+?)\s+)?ORDER\s+BY\s+([\w`\s,.]+?)\s*\)\s+""" +
       """AS\s+`?(\w+)`?\s+FROM\s+`?(\w+)`?\s*\)(?:\s+(?:AS\s+)?(\w+))?\s+""" +
       """WHERE\s+`?[\w.]*?(\w+)`?\s*(<=|<)\s*(\d+)\s*$""").r
 
+  private val OrderItemRe = """(?is)^([\w.`]+?)(?:\s+(ASC|DESC))?$""".r
+
+  /** orderItems: (column, isDescending) per ORDER BY item, in order. */
   private case class TopNShape(outer: Seq[String], parts: Seq[String],
-      orderCol: String, desc: Boolean, rnAlias: String, rel: String, n: Int)
+      orderItems: Seq[(String, Boolean)], rnAlias: String, rel: String, n: Int)
 
   private def parseStreamTopN(
       spark: SparkSession, select: String): Option[TopNShape] =
     blank(select.trim.replaceAll(";\\s*$", "")) match {
-      case StreamTopNRe(outer, parts, ocol, dir, rn, rel, alias, rnRef, op, nStr)
+      case StreamTopNRe(outer, parts, orderList, rn, rel, alias, rnRef, op, nStr)
           if isChangelogRel(spark, rel) =>
         val aliasOpt = Option(alias)
         def bare(s: String): String = {
@@ -1672,14 +1675,21 @@ object ChangelogSql {
         // rank): one constant state key
         val partCols = Option(parts).map(_.split(",").toSeq.map(bare)
           .filter(_.nonEmpty)).getOrElse(Seq.empty)
-        if (!(outerCols :+ ocol).forall(_.matches("""\w+"""))) return None
+        // ORDER BY list: each item `col [ASC|DESC]`; SQL's default sort
+        // direction is ASCENDING — a missing keyword must NOT read DESC
+        val items = graft.util.SqlSplit.splitTopLevel(orderList)
+          .map(_.trim).map {
+            case OrderItemRe(c, dir) =>
+              (bare(c), Option(dir).exists(_.equalsIgnoreCase("DESC")))
+            case _ => return None
+          }
+        if (items.isEmpty) return None
+        if (!(outerCols ++ items.map(_._1)).forall(_.matches("""\w+""")))
+          return None
         val n0 = nStr.toInt
         val n = if (op == "<") n0 - 1 else n0
         if (n < 1) return None
-        // SQL's default sort direction is ASCENDING — a missing
-        // keyword must NOT read as DESC
-        Some(TopNShape(outerCols, partCols, ocol,
-          Option(dir).exists(_.equalsIgnoreCase("DESC")), rn, rel, n))
+        Some(TopNShape(outerCols, partCols, items, rn, rel, n))
       case _ => None
     }
 
@@ -1706,9 +1716,12 @@ object ChangelogSql {
     }
 
   private def topNFastEligible(spark: SparkSession, sh: TopNShape): Boolean =
-    sh.n == 1 && sh.desc &&
-      upsertKeysOf(spark, sh.rel).exists(ks => sh.parts.forall(ks.contains)) &&
-      monotoneColsOf(spark, sh.rel).contains(sh.orderCol)
+    sh.n == 1 && (sh.orderItems match {
+      case Seq((col, true)) => // single DESC item over a monotone column
+        upsertKeysOf(spark, sh.rel).exists(ks => sh.parts.forall(ks.contains)) &&
+          monotoneColsOf(spark, sh.rel).contains(col)
+      case _ => false
+    })
 
   /** Continuous `INSERT INTO sink SELECT ... FROM (... ROW_NUMBER() ...)
     * WHERE rn <= N` over a changelog relation — the streaming statement
@@ -1746,27 +1759,29 @@ object ChangelogSql {
       c == streaming.Cdc.RowKind || c == SeqCol || c == "cdc_ts")
     shape.parts.foreach(p => require(payloadCols.contains(p),
       s"PARTITION BY column $p not a payload column of ${shape.rel}"))
-    require(payloadCols.contains(shape.orderCol),
-      s"ORDER BY column ${shape.orderCol} not a payload column of ${shape.rel}")
+    shape.orderItems.foreach { case (c, _) => require(payloadCols.contains(c),
+      s"ORDER BY column $c not a payload column of ${shape.rel}") }
     // the ranking state is keyed on a memcmp-ordered SORT KEY encoding
     // (SortKeyExpr / graft.util.SortKey — the generated-comparator role
     // of the reference's ComparableRecordComparator): any comparable
-    // ORDER BY type ranks exactly, in either direction. NULL order
-    // values fail loudly inside the encoding with a message naming the
-    // column (a NULL has no rank in a continuous top-N).
-    src.schema(shape.orderCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => ()
-      case org.apache.spark.sql.types.DateType => ()
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case _: org.apache.spark.sql.types.StringType => ()
-      case other => throw new IllegalArgumentException(
-        s"streaming top-N ORDER BY ${shape.orderCol}: type " +
-          s"${other.simpleString} has no order-preserving sort-key " +
-          "encoding (numeric, decimal, string, date and timestamp " +
-          "columns are supported)")
+    // ORDER BY list ranks exactly, each item in its own direction (the
+    // composite key is the concatenation of per-item FIELD encodings
+    // with the direction baked in). NULL order values fail loudly
+    // inside the encoding with a message naming the column (a NULL has
+    // no rank in a continuous top-N).
+    shape.orderItems.foreach { case (c, _) =>
+      src.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => ()
+        case org.apache.spark.sql.types.DateType => ()
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case _: org.apache.spark.sql.types.StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"streaming top-N ORDER BY $c: type " +
+            s"${other.simpleString} has no order-preserving sort-key " +
+            "encoding (numeric, decimal, string, date and timestamp " +
+            "columns are supported)")
+      }
     }
-    val sortKeyCol: org.apache.spark.sql.Column =
-      expr(s"graft_sort_key(__graft_ok, '${shape.orderCol}')")
     shape.outer.filterNot(_ == shape.rnAlias).foreach(c =>
       require(payloadCols.contains(c),
         s"select column $c not a payload column of ${shape.rel}"))
@@ -1781,22 +1796,34 @@ object ChangelogSql {
       else to_json(struct(shape.parts.map(col): _*))
     // date/timestamp pre-lower to exact integers (days / microseconds)
     // so the encoder sees a long; everything else encodes natively
-    val orderPre = src.schema(shape.orderCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        unix_micros(col(shape.orderCol))
-      case org.apache.spark.sql.types.DateType => unix_date(col(shape.orderCol))
-      case _ => col(shape.orderCol)
+    def orderPre(c: String) = src.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.DateType => unix_date(col(c))
+      case _ => col(c)
     }
-    val prepped = src.withColumn("__graft_ok", orderPre)
+    val prepped = shape.orderItems.map(_._1).distinct
+      .foldLeft(src)((d, c) => d.withColumn(s"__graft_ok_$c", orderPre(c)))
+    // per-item field encoding; the fast route wants the RAW ascending
+    // encoding of its single column (the leader is the encoded MAX)
+    def sortKeyFor(items: Seq[(String, Boolean)]): org.apache.spark.sql.Column = {
+      val fields = items.map { case (c, desc) =>
+        expr(s"graft_sort_key(`__graft_ok_$c`, '$c', ${!desc})")
+      }
+      if (fields.length == 1) fields.head else concat(fields: _*)
+    }
+    val sortKeyCol = sortKeyFor(shape.orderItems)
     val ranked =
       if (fast) {
         streaming.Retract.FastTop1Stats.lowered.incrementAndGet()
         val ks = upsertKeysOf(spark, shape.rel).get
+        // the fast route's single item is DESC; the operator keeps the
+        // encoded MAX, so it gets the RAW ascending field encoding
+        val ascKey = sortKeyFor(shape.orderItems.map { case (c, _) => (c, false) })
         val typed = prepped.select(
           keyExpr.as("_1"),
           col(streaming.Cdc.RowKind).as("_2"),
           to_json(struct(ks.map(col): _*)).as("_3"),
-          sortKeyCol.as("_4"),
+          ascKey.as("_4"),
           to_json(struct(payloadCols.map(col): _*)).as("_5"))
           .as[(String, String, String, String, String)]
         streaming.Retract.fastTop1SortedChangelog(typed)
@@ -1818,7 +1845,7 @@ object ChangelogSql {
         // start — the conf is snapshotted into the query's cloned
         // session synchronously.
         streaming.RetractTws
-          .retractableTopNChangelogSorted(typed, shape.n, asc = !shape.desc)
+          .retractableTopNChangelogSorted(typed, shape.n)
           .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
       }
     val out = ranked.select(

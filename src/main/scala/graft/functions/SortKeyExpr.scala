@@ -9,14 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Order-preserving sort-key encoding as a native (codegen'd) expression:
-  * `graft_sort_key(col)` yields a String whose binary order equals the
-  * column type's SQL order (graft.util.SortKey) — the comparator the
-  * streaming top-N state ranks on for ANY comparable ORDER BY column,
-  * standing in for the reference's generated record comparators
-  * (rank/ComparableRecordComparator.java:35, generated per row type by
-  * the planner; here the per-type dispatch happens once at plan time and
-  * each row pays one static call inside WholeStageCodegen).
+/** Order-preserving sort-key FIELD encoding as a native (codegen'd)
+  * expression: `graft_sort_key(col, 'name', asc)` yields a String whose
+  * code-unit order equals the column type's SQL order in the requested
+  * direction (graft.util.SortKey field encodings — direction is baked
+  * into the field, so a COMPOSITE key is the plain concatenation of
+  * per-item fields and one natural-order comparator ranks any ORDER BY
+  * list). This stands in for the reference's generated record
+  * comparators (rank/ComparableRecordComparator.java:35, generated per
+  * row type over multiple sort fields by the planner): the per-type
+  * dispatch happens once at plan time and each row pays one static call
+  * inside WholeStageCodegen.
   *
   * NULL order values are rejected LOUDLY with a message naming the
   * column: a continuous top-N has no well-defined rank for NULL (the
@@ -25,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * matching — the -D for a row must encode to the identical key its +I
   * did.
   */
-case class SortKeyExpr(child: Expression, colName: String)
+case class SortKeyExpr(child: Expression, colName: String, asc: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -51,16 +54,23 @@ case class SortKeyExpr(child: Expression, colName: String)
     val v = child.eval(input)
     if (v == null) throw new IllegalArgumentException(nullError)
     child.dataType match {
-      case ByteType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Byte].toLong))
-      case ShortType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Short].toLong))
-      case IntegerType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Int].toLong))
-      case LongType => UTF8String.fromString(SortKey.ofLong(v.asInstanceOf[Long]))
-      case FloatType => UTF8String.fromString(SortKey.ofDouble(v.asInstanceOf[Float].toDouble))
-      case DoubleType => UTF8String.fromString(SortKey.ofDouble(v.asInstanceOf[Double]))
+      case ByteType => UTF8String.fromString(
+        SortKey.fieldLong(v.asInstanceOf[Byte].toLong, asc))
+      case ShortType => UTF8String.fromString(
+        SortKey.fieldLong(v.asInstanceOf[Short].toLong, asc))
+      case IntegerType => UTF8String.fromString(
+        SortKey.fieldLong(v.asInstanceOf[Int].toLong, asc))
+      case LongType => UTF8String.fromString(
+        SortKey.fieldLong(v.asInstanceOf[Long], asc))
+      case FloatType => UTF8String.fromString(
+        SortKey.fieldDouble(v.asInstanceOf[Float].toDouble, asc))
+      case DoubleType => UTF8String.fromString(
+        SortKey.fieldDouble(v.asInstanceOf[Double], asc))
       case d: DecimalType => UTF8String.fromString(
-        SortKey.ofDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
-          .toJavaBigDecimal, d.scale))
-      case _: StringType => v
+        SortKey.fieldDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal, d.scale, asc))
+      case _: StringType => UTF8String.fromString(
+        SortKey.fieldString(v.asInstanceOf[UTF8String].toString, asc))
       case other => throw new IllegalStateException(
         s"graft_sort_key: unreachable type $other")
     }
@@ -71,15 +81,17 @@ case class SortKeyExpr(child: Expression, colName: String)
     val err = ctx.addReferenceObj("sortKeyNullError", nullError, "java.lang.String")
     val conv = child.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        s"UTF8String.fromString(graft.util.SortKey.ofLong((long) ${c.value}))"
+        s"UTF8String.fromString(graft.util.SortKey.fieldLong((long) ${c.value}, $asc))"
       case FloatType =>
-        s"UTF8String.fromString(graft.util.SortKey.ofDouble((double) ${c.value}))"
+        s"UTF8String.fromString(graft.util.SortKey.fieldDouble((double) ${c.value}, $asc))"
       case DoubleType =>
-        s"UTF8String.fromString(graft.util.SortKey.ofDouble(${c.value}))"
+        s"UTF8String.fromString(graft.util.SortKey.fieldDouble(${c.value}, $asc))"
       case d: DecimalType =>
-        s"UTF8String.fromString(graft.util.SortKey.ofDecimal(" +
-          s"${c.value}.toJavaBigDecimal(), ${d.scale}))"
-      case _: StringType => s"${c.value}"
+        s"UTF8String.fromString(graft.util.SortKey.fieldDecimal(" +
+          s"${c.value}.toJavaBigDecimal(), ${d.scale}, $asc))"
+      case _: StringType =>
+        s"UTF8String.fromString(graft.util.SortKey.fieldString(" +
+          s"${c.value}.toString(), $asc))"
       case other => throw new IllegalStateException(
         s"graft_sort_key: unreachable type $other")
     }

@@ -480,7 +480,12 @@ object GraftFunctions {
       es => NfcNormalize(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_sort_key",
       es => SortKeyExpr(es(0),
-        if (es.length > 1) es(1).eval(null).toString else "order column"),
+        if (es.length > 1) es(1).eval(null).toString else "order column",
+        asc = if (es.length > 2) es(2).eval(null) match {
+          case b: Boolean => b
+          case other => throw new IllegalArgumentException(
+            s"graft_sort_key: asc must be a boolean literal, got $other")
+        } else true),
       "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSignature(es(0), es(1).eval(null) match {

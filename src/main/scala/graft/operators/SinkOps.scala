@@ -970,6 +970,148 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // FAST TOP-1 END TO END (r14, FastTop1Function.java:54 /
+      // RankProcessStrategy.UpdateFastStrategy): the full derivation
+      // chain under the oracle gate — an INSERT-ONLY-declared source
+      // feeds a continuous MAX aggregate (streamInsert records the
+      // monotone column on its sink), and a DESC top-1 statement over
+      // that sink plan-routes onto the O(1)-leader-state operator while
+      // BOTH streams run across two commits (the leader changes when
+      // the second commit lands a higher key). The materialized answer
+      // must equal DuckDB's rank-1 row over the final aggregate state —
+      // a wrong monotone derivation, a missed leader handoff, or a
+      // stale rank breaks rows and hash.
+      "q158_stream_fasttop1_monotone",
+      (s, d) => {
+        import s.implicits._
+        val t = "cl_q158"
+        val agg = "cl_q158_agg"
+        val sink = "cl_q158_sink"
+        Seq(t, agg, sink).foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+        val c1 = base.filter($"o_orderkey" % 2 === 0)
+          .select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority")
+        val c2 = base.filter($"o_orderkey" % 2 =!= 0)
+          .select(lit("+I").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderpriority")
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        s.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+          "('graft.changelog.mode' = 'insert-only')")
+        Engine.sql(s, s"""CREATE TABLE $agg
+          (o_orderpriority STRING, mx BIGINT, row_kind STRING,
+           ${graft.ChangelogSql.SeqCol} BIGINT) USING parquet""")
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderpriority STRING, mx BIGINT, rn BIGINT,
+           ${graft.ChangelogSql.SeqCol} BIGINT) USING parquet""")
+        val ck1 = java.nio.file.Files.createTempDirectory("graft-q158a").toString
+        val ck2 = java.nio.file.Files.createTempDirectory("graft-q158t").toString
+        val qa = Engine.sqlStreamInsert(s,
+          s"INSERT INTO $agg SELECT o_orderpriority, MAX(o_orderkey) AS mx " +
+            s"FROM $t GROUP BY o_orderpriority", ck1)
+        try {
+          qa.processAllAvailable()
+          val qt = Engine.sqlStreamInsert(s, s"""
+            INSERT INTO $sink
+            SELECT o_orderpriority, mx, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY mx DESC) AS rn
+              FROM $agg) x
+            WHERE rn <= 1""", ck2)
+          try {
+            qt.processAllAvailable()
+            c2.createOrReplaceTempView(s"__${t}_in")
+            try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+            finally s.catalog.dropTempView(s"__${t}_in"): Unit
+            qa.processAllAvailable()
+            qt.processAllAvailable()
+          } finally qt.stop()
+        } finally qa.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderpriority", $"mx", $"rn")
+          .orderBy($"rn")
+      },
+      Some("""
+        |SELECT o_orderpriority, mx, rn FROM (
+        |  SELECT o_orderpriority, CAST(MAX(o_orderkey) AS BIGINT) AS mx,
+        |         ROW_NUMBER() OVER (ORDER BY MAX(o_orderkey) DESC) AS rn
+        |  FROM orders GROUP BY o_orderpriority) t
+        |WHERE rn = 1
+        |""".stripMargin)),
+
+    GQuery(
+      // MULTI-COLUMN ORDER BY in the continuous top-N (r14): the
+      // composite-sort-key capability — `ROW_NUMBER() OVER (PARTITION
+      // BY status ORDER BY priority DESC, dval ASC)` ranks on the
+      // CONCATENATION of direction-baked field encodings (a DESC
+      // variable-width STRING followed by an ASC DECIMAL with mixed
+      // signs — the two hardest field shapes composed), with a delete
+      // commit forcing rank backfill under composite-keyed retraction
+      // matching. Oracle = DuckDB's two-item ROW_NUMBER over the
+      // surviving rows; one mis-ordered field pair (terminator bleed,
+      // inverted-escape slip) breaks ranks, rows and hash.
+      "q159_stream_topn_multicol",
+      (s, d) => {
+        import s.implicits._
+        val t = "cl_q159"
+        val sink = "cl_q159_sink"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+          $"o_orderpriority",
+          ($"o_orderkey".cast("decimal(18,2)") -
+            lit("30000.50").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("dval"))
+        val c1 = base.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"dval")
+        val c2 = base.filter($"o_orderkey" % 3 === 0)
+          .select(lit("-D").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"dval")
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderstatus STRING, o_orderpriority STRING,
+           dval DECIMAL(18,2), o_orderkey BIGINT, rn BIGINT,
+           ${graft.ChangelogSql.SeqCol} BIGINT) USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q159").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderstatus, o_orderpriority, dval, o_orderkey, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_orderpriority DESC, dval) AS rn
+            FROM $t) x
+          WHERE rn <= 3""", ckpt)
+        try {
+          q.processAllAvailable()
+          c2.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderstatus", $"o_orderpriority",
+            $"dval".cast("double").as("dval"), $"o_orderkey", $"rn")
+          .orderBy($"o_orderstatus", $"rn")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |         CAST(CAST(o_orderkey AS DECIMAL(18,2)) - 30000.50
+        |              AS DECIMAL(18,2)) AS dval
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, o_orderpriority, CAST(dval AS DOUBLE) AS dval,
+        |       o_orderkey, rn
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, dval,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_orderpriority DESC, dval) AS rn
+        |  FROM fs) t
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

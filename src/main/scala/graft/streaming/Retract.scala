@@ -271,7 +271,8 @@ object Retract {
       implicit e1: Encoder[(String, String, String)],
       e2: Encoder[(String, String, Int, String, String)])
       : Dataset[(String, String, Int, String, String)] = {
-    val ord = graft.util.SortKey.ordering
+    // natural code-unit order: FIELD encodings bake direction/canon in
+    val ord = Ordering.String
 
     def update(key: String,
         rows: Iterator[(String, String, String, String, String)],

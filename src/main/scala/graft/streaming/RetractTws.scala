@@ -177,13 +177,15 @@ object RetractTws {
     *     that gives the sorted traversal, so top-N recomputation is
     *     O(distinct) + O(top) payload point reads, not O(live rows).
     *
-    * Sort keys are memcmp-encoded strings (graft.util.SortKey /
+    * Sort keys are memcmp-encoded FIELD strings (graft.util.SortKey /
     * SortKeyExpr — the generated-comparator role of
-    * ComparableRecordComparator.java:35), so ONE processor ranks any
-    * ORDER BY type in either direction (`asc` flips the traversal, not
-    * the encoding). Payload ties within a sort key order ascending —
-    * the deterministic tiebreak the fMGWS original pinned. */
-  private class TopNChangelogSortedProc(n: Int, asc: Boolean)
+    * ComparableRecordComparator.java:35) with the direction BAKED into
+    * each field and composites formed by plain concatenation, so ONE
+    * processor with ONE natural-order comparator ranks any ORDER BY
+    * list of any comparable types in any direction mix. Payload ties
+    * within a sort key order ascending — the deterministic tiebreak
+    * the fMGWS original pinned. */
+  private class TopNChangelogSortedProc(n: Int)
       extends StatefulProcessor[String, (String, String, String, String),
         (String, String, Int, String, String)] {
 
@@ -223,9 +225,8 @@ object RetractTws {
     override def handleInputRows(key: String,
         rows: Iterator[(String, String, String, String)],
         tv: TimerValues): Iterator[(String, String, Int, String, String)] = {
-      val ord = if (asc) graft.util.SortKey.ordering
-                else graft.util.SortKey.ordering.reverse
-      val tree = new java.util.TreeMap[String, Long](ord)
+      // natural code-unit order: field encodings bake the direction in
+      val tree = new java.util.TreeMap[String, Long]()
       counts.iterator().foreach { case (sk, c) =>
         tree.put(sk, c); TopNStateStats.sortKeysScanned.incrementAndGet()
       }
@@ -278,12 +279,12 @@ object RetractTws {
   }
 
   /** [[retractableTopNChangelog]] generalized to ANY comparable ORDER BY
-    * type: input (key, row_kind, sortKeyEnc, payload) where sortKeyEnc
-    * is a SortKey/SortKeyExpr memcmp encoding, output changelog
-    * ("+U"/"-D", key, rank, sortKeyEnc, payload). `asc` selects the
-    * rank direction (the encoding is always ascending-ordered). */
+    * list: input (key, row_kind, sortKeyEnc, payload) where sortKeyEnc
+    * is a concatenation of SortKey/SortKeyExpr FIELD encodings
+    * (direction baked per field), output changelog ("+U"/"-D", key,
+    * rank, sortKeyEnc, payload). */
   def retractableTopNChangelogSorted(
-      ds: Dataset[(String, String, String, String)], n: Int, asc: Boolean)
+      ds: Dataset[(String, String, String, String)], n: Int)
       : Dataset[(String, String, Int, String, String)] = {
     implicit val eout: Encoder[(String, String, Int, String, String)] = eSortedOut
     // APPEND mode: the emission is a changelog DELTA stream (+U/-D
@@ -292,7 +293,7 @@ object RetractTws {
     // UPSERT inputs (Spark rejects an Update-mode query containing an
     // append-mode flatMapGroupsWithState)
     ds.groupByKey(_._1)(Encoders.STRING)
-      .transformWithState(new TopNChangelogSortedProc(n, asc),
+      .transformWithState(new TopNChangelogSortedProc(n),
         TimeMode.None(), OutputMode.Append(), eSortedOut)
   }
 }

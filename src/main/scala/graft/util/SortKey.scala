@@ -70,19 +70,96 @@ object SortKey {
     * supplementary character must sort ABOVE. Pure-ASCII inputs (all
     * numeric encodings above) are unaffected. */
   val ordering: Ordering[String] = new Ordering[String] {
-    @inline private def fix(c: Char): Int =
-      if (c >= 0xE000) c - 0x800       // BMP above the surrogate block: shift down
-      else if (c >= 0xD800) c + 0x2000 // surrogates: shift above all of BMP
-      else c
     override def compare(a: String, b: String): Int = {
       val n = math.min(a.length, b.length)
       var i = 0
       while (i < n) {
         val ca = a.charAt(i); val cb = b.charAt(i)
-        if (ca != cb) return Integer.compare(fix(ca), fix(cb))
+        if (ca != cb) return Integer.compare(canon(ca), canon(cb))
         i += 1
       }
       Integer.compare(a.length, b.length)
     }
+  }
+
+  /** The code-unit → code-point-order bijection on chars: surrogates
+    * (U+D800..U+DFFF) shift above all of BMP, BMP chars above the
+    * surrogate block shift down. A string mapped char-by-char through
+    * this compares in CODE-POINT order under plain code-unit
+    * comparison. */
+  @inline private[util] def canon(c: Char): Int =
+    if (c >= 0xE000) c - 0x800
+    else if (c >= 0xD800) c + 0x2000
+    else c
+
+  // ---- composite FIELD encodings (multi-column ORDER BY) ------------
+  //
+  // A composite sort key is the plain concatenation of per-item FIELD
+  // encodings; code-unit order of the concatenation == the tuple's SQL
+  // order with each item's direction respected. Direction is baked
+  // into the field (an inverted encoding), so the ranking state always
+  // sorts ASCENDING with java.lang.String's natural order — the role
+  // of the reference's generated composite comparators
+  // (ComparableRecordComparator.java:35 over multiple sort fields).
+  //
+  //  - fixed-width fields (long/double/decimal encodings — hex or
+  //    decimal digits) need no delimiter: every value of the column
+  //    encodes to the same width. DESC = per-char complement over the
+  //    hex alphabet (an order-reversing bijection per position).
+  //  - string fields are variable-width: chars are canonicalized to
+  //    code-point order, the lowest two (ASC) / highest two (DESC)
+  //    code units are escaped behind a lead char, and a terminator
+  //    (the one value content can never start with) closes the field,
+  //    so prefixes order correctly in BOTH directions ("a" < "ab" in
+  //    ASC; "ab" < "a" in DESC) and a following field can never bleed
+  //    into the comparison.
+
+  /** Per-char complement of a fixed-width '0'-'9'/'A'-'F' encoding —
+    * reverses its order (DESC fields). */
+  def invertFixed(enc: String): String = {
+    val arr = new Array[Char](enc.length)
+    var i = 0
+    while (i < enc.length) {
+      val c = enc.charAt(i)
+      val v = if (c <= '9') c - '0' else c - 'A' + 10
+      val iv = 15 - v
+      arr(i) = if (iv < 10) ('0' + iv).toChar else ('A' + iv - 10).toChar
+      i += 1
+    }
+    new String(arr)
+  }
+
+  def fieldLong(v: Long, asc: Boolean): String =
+    if (asc) ofLong(v) else invertFixed(ofLong(v))
+
+  def fieldDouble(v: Double, asc: Boolean): String =
+    if (asc) ofDouble(v) else invertFixed(ofDouble(v))
+
+  def fieldDecimal(v: java.math.BigDecimal, scale: Int, asc: Boolean): String =
+    if (asc) ofDecimal(v, scale) else invertFixed(ofDecimal(v, scale))
+
+  /** Delimited, direction-baked string field (see the block comment):
+    * ASC terminates with U+0000 and escapes content U+0000/U+0001
+    * behind a U+0001 lead; DESC complements each canonicalized char
+    * (0xFFFF - c), terminates with U+FFFF and escapes content
+    * U+FFFE/U+FFFF behind a U+FFFE lead. */
+  def fieldString(s: String, asc: Boolean): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    var i = 0
+    while (i < s.length) {
+      val cp = canon(s.charAt(i))
+      if (asc) {
+        val d = cp.toChar
+        if (d <= '\u0001') { sb.append('\u0001'); sb.append(d) }
+        else sb.append(d)
+      } else {
+        val d = (0xFFFF - cp).toChar
+        if (d >= '\uFFFE') { sb.append('\uFFFE'); sb.append(d) }
+        else sb.append(d)
+      }
+      i += 1
+    }
+    sb.append(if (asc) '\u0000' else '\uFFFF')
+    sb.toString
   }
 }

@@ -115,10 +115,10 @@ class RetractTwsSpec extends AnyFunSuite {
       : Seq[(String, String, Int, String, String)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val enc = graft.util.SortKey.ofDouble _
+    // descending-score rank = DESC field encoding (direction baked in)
+    val enc = (v: Double) => graft.util.SortKey.fieldDouble(v, asc = false)
     val in = MemoryStream[(String, String, String, String)]
-    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 2,
-      asc = false)
+    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 2)
     val q = out.toDF("kind", "k", "rank", "sk", "payload").writeStream
       .outputMode("append").format("memory").queryName(sink).start()
     try {
@@ -137,7 +137,8 @@ class RetractTwsSpec extends AnyFunSuite {
   test("sorted-counts port emits exactly the GroupState original's changelog") {
     val ref = runChangelogScenario(useTws = false, sink = "rtwss_ref")
       .map { case (kind, k, rank, score, payload) =>
-        (kind, k.toString, rank, graft.util.SortKey.ofDouble(score), payload) }
+        (kind, k.toString, rank,
+          graft.util.SortKey.fieldDouble(score, asc = false), payload) }
     val sorted = TestSpark.withRocksDB(runSortedScenario("rtwss_new"))
     def multiset(rows: Seq[(String, String, Int, String, String)]) =
       rows.groupBy(identity).view.mapValues(_.size).toMap
@@ -154,10 +155,9 @@ class RetractTwsSpec extends AnyFunSuite {
   test("sorted-counts port: top-N recomputation is point access, not O(live)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val enc = (v: Long) => graft.util.SortKey.ofLong(v)
+    val enc = (v: Long) => graft.util.SortKey.fieldLong(v, asc = false)
     val in = MemoryStream[(String, String, String, String)]
-    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 3,
-      asc = false)
+    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 3)
     TestSpark.withRocksDB {
       val q = out.toDF("kind", "k", "rank", "sk", "payload").writeStream
         .outputMode("append").format("memory").queryName("rtws_probe").start()

@@ -72,6 +72,64 @@ class SortKeySpec extends AnyFunSuite {
     assert(ord.compare("10", "9") < 0, "strings rank as strings, not numbers")
   }
 
+  /** COMPOSITE keys: the concatenation of per-item FIELD encodings must
+    * order (under plain code-unit comparison -- the processor's natural
+    * TreeMap order) exactly as the tuple orders under per-field SQL
+    * comparison with each field's direction. This is the whole
+    * generated-composite-comparator contract in one property; one
+    * violated pair mis-ranks a multi-column streaming top-N forever. */
+  test("composite field encodings preserve tuple order under any direction mix") {
+    val supplementary = new String(Character.toChars(0x10400))
+    val specialStrs = Seq("", "a", "ab", "a\u0000", "a\u0000b", "\u0000",
+      "\u0001", "\u0002", "\uFFFE", "\uFFFF", "z\uFFFF", "\uFFFD",
+      supplementary, "a" + supplementary, "a\uFFFD")
+    val rndStr = () => {
+      val n = rnd.nextInt(4)
+      new String(Array.fill(n)((rnd.nextInt(0xFFFF) + 1).toChar))
+    }
+    val tuples = (specialStrs.map(s => (0L, s, java.math.BigDecimal.ZERO)) ++
+      Seq.fill(120)((rnd.nextLong() % 100L,
+        if (rnd.nextBoolean()) specialStrs(rnd.nextInt(specialStrs.length))
+        else rndStr(),
+        java.math.BigDecimal.valueOf(rnd.nextLong() % 10000L, 2)))).distinct
+    for (a1 <- Seq(true, false); a2 <- Seq(true, false); a3 <- Seq(true, false)) {
+      def enc(t: (Long, String, java.math.BigDecimal)): String =
+        SortKey.fieldLong(t._1, a1) + SortKey.fieldString(t._2, a2) +
+          SortKey.fieldDecimal(t._3, 2, a3)
+      def dir(asc: Boolean, c: Int) = if (asc) c else -c
+      def expected(x: (Long, String, java.math.BigDecimal),
+          y: (Long, String, java.math.BigDecimal)): Int = {
+        val c1 = dir(a1, java.lang.Long.compare(x._1, y._1))
+        if (c1 != 0) return c1
+        val c2 = dir(a2, SortKey.ordering.compare(x._2, y._2)) // code-point
+        if (c2 != 0) return c2
+        dir(a3, x._3.compareTo(y._3))
+      }
+      for (x <- tuples; y <- tuples.take(40)) {
+        val got = math.signum(enc(x).compareTo(enc(y))).toInt // CODE-UNIT natural
+        val want = math.signum(expected(x, y)).toInt
+        assert(got == want,
+          s"dirs=($a1,$a2,$a3) x=$x y=$y enc(x)=${enc(x).toList} enc(y)=${enc(y).toList}")
+      }
+    }
+  }
+
+  test("string field encodings: prefix and boundary cases in both directions") {
+    // ASC: "a" < "ab"; DESC: "ab" < "a" (longer first when it extends)
+    assert(SortKey.fieldString("a", true).compareTo(SortKey.fieldString("ab", true)) < 0)
+    assert(SortKey.fieldString("ab", false).compareTo(SortKey.fieldString("a", false)) < 0)
+    // content equal to the terminator/escape chars never collides
+    assert(SortKey.fieldString("a", true).compareTo(SortKey.fieldString("a\u0000", true)) < 0)
+    assert(SortKey.fieldString("a\u0000", false).compareTo(SortKey.fieldString("a", false)) < 0)
+    // "a\uFFFF" > "a" as strings, so DESC encodes it SMALLER (first)
+    assert(SortKey.fieldString("a\uFFFF", false).compareTo(SortKey.fieldString("a", false)) < 0)
+    // a following FIXED field can't bleed across the string terminator:
+    // the string comparison settles first no matter the numeric values
+    val k1 = SortKey.fieldString("a", true) + SortKey.fieldLong(Long.MaxValue, true)
+    val k2 = SortKey.fieldString("ab", true) + SortKey.fieldLong(Long.MinValue, true)
+    assert(k1.compareTo(k2) < 0, "string prefix must settle before the numeric field")
+  }
+
   test("cross-type widths: every numeric encoding is fixed-width ASCII") {
     assert(SortKey.ofLong(0L).length == 16)
     assert(SortKey.ofLong(Long.MinValue).length == 16)
