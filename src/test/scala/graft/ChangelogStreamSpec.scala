@@ -255,6 +255,69 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** Composite ORDER BY (r14): rank on (k DESC, x ASC) — a DESC
+    * variable-width STRING field concatenated with an ASC numeric field
+    * — must equal batch ROW_NUMBER over the materialized state at every
+    * commit, including an update that moves a row WITHIN its string
+    * group (the second field re-ranks it) and a delete that backfills
+    * across the composite boundary. */
+  test("MULTI-COLUMN ORDER BY top-N statement equals batch at every commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode) + 2
+    val (src, sink) = (s"cl_mc_src_$h", s"cl_mc_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    createChangelogTable(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clmc").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT g, k, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+          ORDER BY k DESC, x ASC) AS rn
+        FROM $src) t
+      WHERE rn <= 2""", ckpt)
+    try {
+      def batch(): Set[(String, String, Double, Long)] = {
+        val cur = graft.streaming.Cdc.upsertMaterialize(
+          spark.table(src), Seq("g", "k"), "cdc_ts", "cdc_ts")
+          .drop("row_kind", "cdc_ts")
+        cur.createOrReplaceTempView("mc_cur")
+        try spark.sql("""SELECT g, k, x, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+              ORDER BY k DESC, x ASC) AS rn
+            FROM mc_cur) WHERE rn <= 2""")
+          .as[(String, String, Double, Long)].collect().toSet
+        finally spark.catalog.dropTempView("mc_cur")
+      }
+      def stream(): Set[(String, String, Double, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .as[(String, String, Double, Long)].collect().toSet
+      envelopes.zipWithIndex.foreach { case (b, i) =>
+        append(src, b)
+        q.processAllAvailable()
+        assert(stream() == batch(), s"commit $i: ${stream()} != ${batch()}")
+      }
+      // a new key below the cut (k0 sorts LAST under k DESC), then the
+      // string leader deletes: ranks backfill across the composite key
+      // (first-field TIES broken by the second field are q159's oracle
+      // territory — priorities tie massively there, dval decides)
+      append(src, Seq(
+        """{"op":"c","ts_ms":6,"before":null,"after":{"g":"g1","k":"k0","x":7.0}}"""))
+      q.processAllAvailable()
+      assert(stream() == batch(), "below-the-cut insert must not disturb ranks")
+      append(src, Seq(
+        """{"op":"d","ts_ms":7,"before":{"g":"g1","k":"k2","x":4.0},"after":null}"""))
+      q.processAllAvailable()
+      assert(stream() == batch(), s"after composite delete: ${stream()}")
+      assert(stream().contains(("g1", "k0", 7.0, 2L)),
+        s"k0 must backfill into rank 2: ${stream()}")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
   test("GLOBAL (no PARTITION BY) ASC top-N statement streams correctly") {
     import spark.implicits._
     val h = math.abs(getClass.getName.hashCode)
