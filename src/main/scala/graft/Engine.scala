@@ -148,6 +148,35 @@ object Engine {
     """(?is)\s*EXPLAIN\s+ESTIMATED_COST\s+(\S.*)""".r
   private val ExplainJsonRe =
     """(?is)\s*EXPLAIN\s+JSON_EXECUTION_PLAN\s+(\S.*)""".r
+  // the reference's EXPLAIN body form for sets: `EXPLAIN [details]
+  // STATEMENT SET BEGIN ... END` (EXECUTE optional here — SqlRichExplain
+  // takes the bare SqlStatementSet)
+  private val ExplainStmtSetRe =
+    """(?is)\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b(.*?)\bEND\s*;?\s*""".r
+
+  /** The "== Streaming Insert ==" rich-explain block for one INSERT
+    * member: the route line names the continuous operator (and, for a
+    * top-N, the chosen RankProcessStrategy) sqlStreamInsert would pick;
+    * the body's changelog modes follow. Nothing executes. */
+  private def streamInsertExplainText(
+      spark: SparkSession, sink: String, select: String): String = {
+    import spark.implicits._
+    val route =
+      if (ChangelogSql.streamTopNMatches(spark, select))
+        s"continuous top-N, ${ChangelogSql.streamTopNStrategy(spark,
+          select).get} -> upsert changelog keyed by (partition " +
+          "columns, rank)"
+      else if (ChangelogSql.streamMatches(spark, select))
+        "continuous retraction-consuming aggregate (update mode) " +
+          "-> upsert changelog keyed by the GROUP BY columns"
+      else
+        "append INSERT (continuous append-mode when a referenced " +
+          "source declares WATERMARK/PROCTIME, plain batch write " +
+          "otherwise)"
+    val inner = ChangelogSql.explainChangelog(spark, select)
+      .as[String].collect().head
+    s"== Streaming Insert ==\n  sink: $sink\n  route: $route\n\n$inner"
+  }
 
   /** The rich-EXPLAIN modes route their body through the EXTENDED sql()
     * dispatch, which executes statements EAGERLY — so a side-effecting
@@ -201,22 +230,24 @@ object Engine {
         // starts, no write commits
         case StreamInsertRe(sink, select) =>
           import spark.implicits._
-          val route =
-            if (ChangelogSql.streamTopNMatches(spark, select))
-              s"continuous top-N, ${ChangelogSql.streamTopNStrategy(spark,
-                select).get} -> upsert changelog keyed by (partition " +
-                "columns, rank)"
-            else if (ChangelogSql.streamMatches(spark, select))
-              "continuous retraction-consuming aggregate (update mode) " +
-                "-> upsert changelog keyed by the GROUP BY columns"
-            else
-              "append INSERT (continuous append-mode when a referenced " +
-                "source declares WATERMARK/PROCTIME, plain batch write " +
-                "otherwise)"
-          val inner = ChangelogSql.explainChangelog(spark, select)
-            .as[String].collect().head
-          Seq(s"== Streaming Insert ==\n  sink: $sink\n  route: $route" +
-            s"\n\n$inner").toDF("plan")
+          Seq(streamInsertExplainText(spark, sink, select)).toDF("plan")
+        // the reference's EXPLAIN over a whole STATEMENT SET
+        // (SqlRichExplain accepts SqlStatementSet — parserImpls.ftl):
+        // each INSERT member is planned as its own streaming job,
+        // nothing executes
+        case ExplainStmtSetRe(setBody) =>
+          import spark.implicits._
+          val stmts = graft.util.SqlSplit.splitStatements(setBody)
+          require(stmts.nonEmpty, "EXPLAIN ... STATEMENT SET: empty body")
+          val parts = stmts.zipWithIndex.map {
+            case (StreamInsertRe(sink, select), i) =>
+              s"== Member ${i + 1} ==\n" +
+                streamInsertExplainText(spark, sink, select)
+            case (other, _) => throw new IllegalArgumentException(
+              "a STATEMENT SET takes INSERT INTO members only; got: " +
+                other.trim.take(80))
+          }
+          Seq(parts.mkString("\n\n")).toDF("plan")
         case _ =>
           requireQueryShapedExplainBody(body, "CHANGELOG_MODE")
           ChangelogSql.explainChangelog(spark, body)

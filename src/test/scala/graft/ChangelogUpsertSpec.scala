@@ -232,6 +232,16 @@ class ChangelogUpsertSpec extends AnyFunSuite {
         .as[String].collect().head
       // r14: the route line names the chosen RankProcessStrategy
       assert(tp.contains("RetractStrategy (RetractableTopNFunction"), tp)
+      // r14: EXPLAIN over a whole STATEMENT SET (SqlRichExplain accepts
+      // SqlStatementSet) — each member planned, nothing executes
+      val setPlan = Engine.sql(spark, s"""EXPLAIN CHANGELOG_MODE
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO $t SELECT g, COUNT(*) AS n FROM expl_ins_cl GROUP BY g;
+          INSERT INTO $t SELECT g, SUM(x) AS s FROM expl_ins_cl GROUP BY g;
+        END""").as[String].collect().head
+      assert(setPlan.contains("== Member 1 ==") &&
+        setPlan.contains("== Member 2 ==") &&
+        "Streaming Insert".r.findAllIn(setPlan).size == 2, setPlan)
       spark.catalog.dropTempView("expl_ins_cl")
       // an ESTIMATED_COST/JSON INSERT still rejects, and nothing wrote
       val n = spark.table(t).count()
