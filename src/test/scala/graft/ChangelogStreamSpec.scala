@@ -318,6 +318,58 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** CHECKPOINT RECOVERY (r14): the continuous top-N must RESUME from
+    * its checkpoint — a second query on the same checkpoint dir picks
+    * up the transformWithState ranking state (RocksDB), so retractions
+    * landing AFTER the restart still find the rows their +I built and
+    * ranks stay exact. A lost-state bug would leave the deleted rows
+    * ranked forever (the -D would no-op against empty state). */
+  test("continuous top-N resumes from its checkpoint across a restart") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode) + 3
+    val (src, sink) = (s"cl_rc_src_$h", s"cl_rc_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    createChangelogTable(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clrc").toString
+    val stmt = s"""
+      INSERT INTO $sink
+      SELECT g, k, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+        FROM $src) t
+      WHERE rn <= 2"""
+    // first incarnation: inserts only
+    val q1 = Engine.sqlStreamInsert(spark, stmt, ckpt)
+    try {
+      append(src, envelopes(0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // between incarnations: an update AND a delete land in the source
+    append(src, envelopes(1))
+    append(src, envelopes(2))
+    // second incarnation, SAME checkpoint: must consume both commits
+    // against the RESTORED ranking state
+    val q2 = Engine.sqlStreamInsert(spark, stmt, ckpt)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val cur = graft.streaming.Cdc.upsertMaterialize(
+      spark.table(src), Seq("g", "k"), "cdc_ts", "cdc_ts")
+      .drop("row_kind", "cdc_ts")
+    cur.createOrReplaceTempView("rc_cur")
+    val batch = try spark.sql("""SELECT g, k, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+        FROM rc_cur) WHERE rn <= 2""")
+      .as[(String, String, Double, Long)].collect().toSet
+    finally spark.catalog.dropTempView("rc_cur")
+    val stream = ChangelogSql.materializeUpsertSink(spark, sink)
+      .as[(String, String, Double, Long)].collect().toSet
+    assert(stream == batch, s"post-restart: $stream != $batch")
+    assert(!stream.exists(_._1 == "g3"),
+      "the post-restart delete must retract g3's restored rank")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+  }
+
   test("GLOBAL (no PARTITION BY) ASC top-N statement streams correctly") {
     import spark.implicits._
     val h = math.abs(getClass.getName.hashCode)
