@@ -1482,6 +1482,30 @@ object ChangelogSql {
     * [[materializeUpsertSink]] is the reader's keep-last collapse
     * (SinkUpsertMaterializer role). The sink table is created by the
     * stream with this augmented schema. */
+  /** STATE-PARTITION sizing for a continuous job (Flink's per-operator
+    * parallelism lever, `setParallelism` / `table.exec.resource
+    * .default-parallelism`): when the session sets
+    * `graft.stream.statePartitions`, the query STARTS with that many
+    * shuffle partitions — Spark snapshots the value into the stream's
+    * checkpoint, so every stateful operator carries exactly that many
+    * state stores for its whole life — and the session value is
+    * restored right after. A small-state continuous job must not pay
+    * one state-store open/commit per BATCH-sized shuffle partition per
+    * micro-batch; a large one sizes up the same way. */
+  private def withStateSizing[T](spark: SparkSession)(start: => T): T =
+    spark.conf.getOption("graft.stream.statePartitions") match {
+      case None => start
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, n.trim.toInt.toString)
+        try start
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
+
   def streamInsert(spark: SparkSession, statement: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val (sink, select) = statement match {
@@ -1491,19 +1515,21 @@ object ChangelogSql {
     }
     val (df, keys, monotoneCols) = streamAgg(spark, select)
     val write = upsertSinkWriter(spark, sink, keys, monotoneCols)
-    df.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val log = batch
-          .withColumn(streaming.Cdc.RowKind,
-            when(col(LiveCol), streaming.Cdc.UpdateAfter)
-              .otherwise(streaming.Cdc.Delete))
-          .drop(LiveCol)
-          .withColumn(SeqCol, lit(batchId))
-        write(log, batchId)
-      }
-      .start()
+    withStateSizing(spark) {
+      df.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val log = batch
+            .withColumn(streaming.Cdc.RowKind,
+              when(col(LiveCol), streaming.Cdc.UpdateAfter)
+                .otherwise(streaming.Cdc.Delete))
+            .drop(LiveCol)
+            .withColumn(SeqCol, lit(batchId))
+          write(log, batchId)
+        }
+        .start()
+    }
   }
 
   private val StreamInsertRe =
@@ -1861,14 +1887,15 @@ object ChangelogSql {
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    try out.writeStream
-      .outputMode("append") // delta emission; chains after normalize
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        write(batch.withColumn(SeqCol, lit(batchId)), batchId)
-      }
-      .start()
-    finally prevProvider match {
+    try withStateSizing(spark) {
+      out.writeStream
+        .outputMode("append") // delta emission; chains after normalize
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          write(batch.withColumn(SeqCol, lit(batchId)), batchId)
+        }
+        .start()
+    } finally prevProvider match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None => spark.conf.unset(providerKey)
     }

@@ -36,6 +36,24 @@ object SinkOps extends QueryModule {
     scratchDirs.computeIfAbsent(tag,
       t => java.nio.file.Files.createTempDirectory(t).toString)
 
+  /** SIZE the continuous gates' state partitions to their workload
+    * (Flink's per-job parallelism lever, honored by the streaming front
+    * door via `graft.stream.statePartitions`): these gates run
+    * small-state jobs over a handful of keys — 8 state stores per
+    * stateful operator, not one per batch-sized shuffle partition. A
+    * production job sizes the same knob UP for large keyspaces. */
+  private def withSmallStreamState[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "graft.stream.statePartitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   sealed trait Policy
   case object ErrorPolicy extends Policy
   case object DropPolicy extends Policy
@@ -626,7 +644,7 @@ object SinkOps extends QueryModule {
       // the FINAL state; a missed retraction, stale rank, or surviving
       // vacated rank breaks rows and hash.
       "q153_stream_retractable_topn",
-      (s, d) => {
+      (s, d) => withSmallStreamState(s) {
         import s.implicits._
         val t = "cl_q153"
         val sink = "cl_q153_sink"
@@ -709,7 +727,7 @@ object SinkOps extends QueryModule {
       // algebra consumes, so the materialized sink equals the batch
       // normalize+aggregate: same oracle as q151's final state.
       "q154_stream_upsert_aggregate",
-      (s, d) => {
+      (s, d) => withSmallStreamState(s) {
         import s.implicits._
         val t = "ups_q154"
         val sink = "ups_q154_sink"
@@ -849,7 +867,7 @@ object SinkOps extends QueryModule {
       // over the surviving rows on the same string (binary collation on
       // both sides).
       "q156_stream_topn_string_order",
-      (s, d) => {
+      (s, d) => withSmallStreamState(s) {
         import s.implicits._
         val t = "cl_q156"
         val sink = "cl_q156_sink"
@@ -912,7 +930,7 @@ object SinkOps extends QueryModule {
       // every rank here). Unique by construction (injective in
       // o_orderkey) so the oracle's ROW_NUMBER is deterministic.
       "q157_stream_topn_decimal_asc",
-      (s, d) => {
+      (s, d) => withSmallStreamState(s) {
         import s.implicits._
         val t = "cl_q157"
         val sink = "cl_q157_sink"
@@ -982,7 +1000,7 @@ object SinkOps extends QueryModule {
       // a wrong monotone derivation, a missed leader handoff, or a
       // stale rank breaks rows and hash.
       "q158_stream_fasttop1_monotone",
-      (s, d) => {
+      (s, d) => withSmallStreamState(s) {
         import s.implicits._
         val t = "cl_q158"
         val agg = "cl_q158_agg"
@@ -1052,7 +1070,7 @@ object SinkOps extends QueryModule {
       // surviving rows; one mis-ordered field pair (terminator bleed,
       // inverted-escape slip) breaks ranks, rows and hash.
       "q159_stream_topn_multicol",
-      (s, d) => {
+      (s, d) => withSmallStreamState(s) {
         import s.implicits._
         val t = "cl_q159"
         val sink = "cl_q159_sink"

@@ -370,6 +370,37 @@ class ChangelogStreamSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
   }
 
+  /** `graft.stream.statePartitions` (r14) — the per-job parallelism
+    * lever: the continuous front door starts the query with that many
+    * shuffle partitions (pinned into the checkpoint), so every stateful
+    * operator carries exactly that many state stores, independent of
+    * the session's batch-sized default. */
+  test("graft.stream.statePartitions sizes the job's state stores") {
+    val h = math.abs(getClass.getName.hashCode) + 4
+    val (src, sink) = (s"cl_sp_src_$h", s"cl_sp_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    createChangelogTable(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clsp").toString
+    val prevDefault = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("graft.stream.statePartitions", "3")
+    val q = try Engine.sqlStreamInsert(spark,
+      s"INSERT INTO $sink SELECT g, COUNT(*) AS n FROM $src GROUP BY g", ckpt)
+    finally spark.conf.unset("graft.stream.statePartitions")
+    try {
+      append(src, envelopes(0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the session default is untouched after start
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevDefault)
+    // the checkpoint carries exactly 3 state partitions for operator 0
+    val parts = new java.io.File(s"$ckpt/state/0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit)).sorted
+    assert(parts.toSeq == Seq("0", "1", "2"), parts.mkString(","))
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+  }
+
   test("GLOBAL (no PARTITION BY) ASC top-N statement streams correctly") {
     import spark.implicits._
     val h = math.abs(getClass.getName.hashCode)
