@@ -1799,13 +1799,14 @@ object ChangelogSql {
       src.schema(c).dataType match {
         case org.apache.spark.sql.types.TimestampType => ()
         case org.apache.spark.sql.types.DateType => ()
+        case _: org.apache.spark.sql.types.TimeType => ()
         case _: org.apache.spark.sql.types.NumericType => ()
         case _: org.apache.spark.sql.types.StringType => ()
         case other => throw new IllegalArgumentException(
           s"streaming top-N ORDER BY $c: type " +
             s"${other.simpleString} has no order-preserving sort-key " +
-            "encoding (numeric, decimal, string, date and timestamp " +
-            "columns are supported)")
+            "encoding (numeric, decimal, string, date, time and " +
+            "timestamp columns are supported)")
       }
     }
     shape.outer.filterNot(_ == shape.rnAlias).foreach(c =>
@@ -1815,8 +1816,21 @@ object ChangelogSql {
     (shape.parts :+ shape.rnAlias).foreach(c => require(shape.outer.contains(c),
       s"column $c is part of the sink's upsert key (partition + rank) " +
         "and must appear in the select list"))
+    // TIME columns shuttle through the state boundary as STRINGS:
+    // to_json has no TimeType writer (the cast round-trips exactly —
+    // TIME <-> 'HH:mm:ss.SSSSSS'), and the final select restores the
+    // declared type
+    val timeCols = payloadCols.filter(c =>
+      src.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimeType])
+      .toSet
     val payloadSchema = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => src.schema(c)))
+      payloadCols.map(c =>
+        if (timeCols(c)) org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType, nullable = true)
+        else src.schema(c)))
+    def payloadJson: org.apache.spark.sql.Column =
+      to_json(struct(payloadCols.map(c =>
+        if (timeCols(c)) col(c).cast("string").as(c) else col(c)): _*))
     val keyExpr =
       if (shape.parts.isEmpty) lit("") // global top-N: one state key
       else to_json(struct(shape.parts.map(col): _*))
@@ -1825,6 +1839,9 @@ object ChangelogSql {
     def orderPre(c: String) = src.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
       case org.apache.spark.sql.types.DateType => unix_date(col(c))
+      // TIME casts exactly to fractional seconds-of-day (nanos kept)
+      case _: org.apache.spark.sql.types.TimeType =>
+        col(c).cast("decimal(18,9)")
       case _ => col(c)
     }
     val prepped = shape.orderItems.map(_._1).distinct
@@ -1850,7 +1867,7 @@ object ChangelogSql {
           col(streaming.Cdc.RowKind).as("_2"),
           to_json(struct(ks.map(col): _*)).as("_3"),
           ascKey.as("_4"),
-          to_json(struct(payloadCols.map(col): _*)).as("_5"))
+          payloadJson.as("_5"))
           .as[(String, String, String, String, String)]
         streaming.Retract.fastTop1SortedChangelog(typed)
           .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
@@ -1859,7 +1876,7 @@ object ChangelogSql {
           keyExpr.as("_1"),
           col(streaming.Cdc.RowKind).as("_2"),
           sortKeyCol.as("_3"),
-          to_json(struct(payloadCols.map(col): _*)).as("_4"))
+          payloadJson.as("_4"))
           .as[(String, String, String, String)]
         // lowered onto the transformWithState point-write port: MapState
         // dataState (point read/write of the changed sort key only) +
@@ -1880,6 +1897,8 @@ object ChangelogSql {
       from_json(col("__payload"), payloadSchema).as("__r"))
       .select((col(streaming.Cdc.RowKind) +: shape.outer.map(c =>
         if (c == shape.rnAlias) col(shape.rnAlias)
+        else if (timeCols(c)) // restore the declared TIME type
+          col(s"__r.`$c`").cast(src.schema(c).dataType).as(c)
         else col(s"__r.`$c`").as(c))): _*)
     val keys = shape.parts :+ shape.rnAlias
     val write = upsertSinkWriter(spark, sink, keys)

@@ -401,6 +401,69 @@ class ChangelogStreamSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
   }
 
+  /** TIME-typed ORDER BY (r14): Spark 4.1's TimeType ranks through the
+    * decimal field path (exact fractional seconds-of-day). Stream must
+    * equal batch ROW_NUMBER at every commit, including a retraction of
+    * the latest time forcing backfill. */
+  test("TIME-typed ORDER BY ranks exactly (stream == batch)") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode) + 5
+    val (src, sink) = (s"cl_tt_src_$h", s"cl_tt_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    spark.sql(s"""CREATE TABLE $src
+      (row_kind STRING, cdc_ts BIGINT, g STRING, k STRING, tt TIME(6))
+      USING parquet""")
+    def ins(rows: Seq[(String, String, String, String)], ts: Long): Unit = {
+      rows.toDF("row_kind", "g", "k", "t")
+        .select($"row_kind", lit(ts).as("cdc_ts"), $"g", $"k",
+          $"t".cast("time(6)").as("tt"))
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cltt").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT g, k, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY tt DESC) AS rn
+        FROM $src) t
+      WHERE rn <= 2""", ckpt)
+    try {
+      def batch(): Set[(String, String, Long)] = {
+        val cur = graft.streaming.Cdc.upsertMaterialize(
+          spark.table(src), Seq("g", "k"), "cdc_ts", "cdc_ts")
+          .drop("row_kind", "cdc_ts")
+        cur.createOrReplaceTempView("tt_cur")
+        try spark.sql("""SELECT g, k, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY tt DESC)
+              AS rn FROM tt_cur) WHERE rn <= 2""")
+          .as[(String, String, Long)].collect().toSet
+        finally spark.catalog.dropTempView("tt_cur")
+      }
+      def stream(): Set[(String, String, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .as[(String, String, Long)].collect().toSet
+      ins(Seq(("+I", "g1", "k1", "10:30:01.123456"),
+        ("+I", "g1", "k2", "10:30:01.123455"),
+        ("+I", "g1", "k3", "09:00:00"),
+        ("+I", "g2", "k4", "23:59:59.999999")), 1L)
+      q.processAllAvailable()
+      assert(stream() == batch(), s"after inserts: ${stream()} != ${batch()}")
+      assert(stream().contains(("g1", "k1", 1L)),
+        s"microsecond-adjacent times must rank exactly: ${stream()}")
+      // retract the g1 leader: k2 promotes, k3 backfills
+      ins(Seq(("-D", "g1", "k1", "10:30:01.123456")), 2L)
+      q.processAllAvailable()
+      assert(stream() == batch(), s"after delete: ${stream()}")
+      assert(stream().contains(("g1", "k3", 2L)), s"backfill: ${stream()}")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
   test("GLOBAL (no PARTITION BY) ASC top-N statement streams correctly") {
     import spark.implicits._
     val h = math.abs(getClass.getName.hashCode)
