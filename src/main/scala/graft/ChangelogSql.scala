@@ -1279,12 +1279,23 @@ object ChangelogSql {
             s"${keys.filterNot(cols.contains).mkString(",")} not in schema")
         val payloadCols =
           cols.filterNot(c => c == streaming.Cdc.RowKind || c == orderCol)
+        // TIME columns shuttle the state boundary as strings (to_json
+        // has no TimeType writer; the cast round-trips exactly) and the
+        // final select restores the declared type — same convention as
+        // the top-N payload codec
+        val timeCols = payloadCols.filter(c => raw.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimeType]).toSet
         val payloadSchema = org.apache.spark.sql.types.StructType(
-          payloadCols.map(c => raw.schema(c)))
+          payloadCols.map(c =>
+            if (timeCols(c)) org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType, nullable = true)
+            else raw.schema(c)))
         val typed = raw.select(
           to_json(struct(keys.map(col): _*)).as("_1"),
           col(orderCol).cast("long").as("_2"),
-          to_json(struct(payloadCols.map(col): _*)).as("_3"),
+          to_json(struct(payloadCols.map(c =>
+            if (timeCols(c)) col(c).cast("string").as(c)
+            else col(c)): _*)).as("_3"),
           (col(streaming.Cdc.RowKind) === streaming.Cdc.Delete).as("_4"))
           .as[(String, Long, String, Boolean)]
         streaming.StatefulOps.normalizeUpsert(typed)
@@ -1292,7 +1303,9 @@ object ChangelogSql {
           .select(col("__kind").as(streaming.Cdc.RowKind),
             from_json(col("__payload"), payloadSchema).as("__r"))
           .select(col(streaming.Cdc.RowKind) +: payloadCols.map(c =>
-            col(s"__r.`$c`").as(c)): _*)
+            if (timeCols(c))
+              col(s"__r.`$c`").cast(raw.schema(c).dataType).as(c)
+            else col(s"__r.`$c`").as(c)): _*)
     }
   }
 

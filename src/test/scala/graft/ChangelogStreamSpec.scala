@@ -464,6 +464,62 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** A DECLARED UPSERT source with a TIME payload column must survive
+    * the ChangelogNormalize chain too (retractStreamOf shares the
+    * string-shuttle codec): a re-upsert moving an id's time re-ranks it
+    * and the declared type comes out intact. */
+  test("TIME payload survives the upsert normalize chain into a top-N") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode) + 6
+    val (src, sink) = (s"cl_ut_src_$h", s"cl_ut_sink_$h")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    spark.sql(s"""CREATE TABLE $src
+      (row_kind STRING, cdc_ts BIGINT, id STRING, tt TIME(6))
+      USING parquet""")
+    spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES " +
+      "('graft.upsert.keys' = 'id')")
+    def up(rows: Seq[(String, String)], ts: Long): Unit = {
+      rows.toDF("id", "t")
+        .select(lit("+U").as("row_kind"), lit(ts).as("cdc_ts"), $"id",
+          $"t".cast("time(6)").as("tt"))
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clut").toString
+    val q = Engine.sqlStreamInsert(spark, s"""
+      INSERT INTO $sink
+      SELECT id, tt, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY tt DESC) AS rn
+        FROM $src) t
+      WHERE rn <= 2""", ckpt)
+    try {
+      up(Seq(("a", "10:00:00"), ("b", "11:00:00"), ("c", "09:00:00")), 1L)
+      q.processAllAvailable()
+      def top(): Seq[(String, String, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .select($"id", $"tt".cast("string"), $"rn")
+          .as[(String, String, Long)].collect().toSeq.sortBy(_._3)
+      assert(top() == Seq(("b", "11:00:00", 1L), ("a", "10:00:00", 2L)),
+        top().toString)
+      // re-upsert c to the new latest time: normalize emits the -U/+U
+      // pair, c takes rank 1
+      up(Seq(("c", "12:30:00.000001")), 2L)
+      q.processAllAvailable()
+      assert(top() == Seq(("c", "12:30:00.000001", 1L),
+        ("b", "11:00:00", 2L)), top().toString)
+      // the declared type survives end to end
+      assert(ChangelogSql.materializeUpsertSink(spark, sink)
+        .schema("tt").dataType.isInstanceOf[
+          org.apache.spark.sql.types.TimeType], "tt lost its TIME type")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $sink"): Unit
+    }
+  }
+
   test("GLOBAL (no PARTITION BY) ASC top-N statement streams correctly") {
     import spark.implicits._
     val h = math.abs(getClass.getName.hashCode)
