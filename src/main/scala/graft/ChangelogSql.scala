@@ -1506,17 +1506,23 @@ object ChangelogSql {
     * one state-store open/commit per BATCH-sized shuffle partition per
     * micro-batch; a large one sizes up the same way. */
   private def withStateSizing[T](spark: SparkSession)(start: => T): T =
-    spark.conf.getOption("graft.stream.statePartitions") match {
-      case None => start
-      case Some(n) =>
-        val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, n.trim.toInt.toString)
-        try start
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
+    // under StartLock: the pin, the start (which snapshots the conf into
+    // the query's cloned session synchronously), and the restore are one
+    // atomic section — a gateway operation starting concurrently on the
+    // same shared session can never snapshot this job's override
+    graft.util.StartLock.locked {
+      spark.conf.getOption("graft.stream.statePartitions") match {
+        case None => start
+        case Some(n) =>
+          val key = "spark.sql.shuffle.partitions"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, n.trim.toInt.toString)
+          try start
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+      }
     }
 
   def streamInsert(spark: SparkSession, statement: String,
@@ -1638,12 +1644,16 @@ object ChangelogSql {
           log.write.mode("append").saveAsTable(sink)
           // record the upsert keys once, for materializeUpsertSink
           // readers — plus the derived monotone columns, so a
-          // downstream continuous top-1 can pick UpdateFastStrategy
+          // downstream continuous top-1 can pick UpdateFastStrategy.
+          // The monotone property is ALWAYS written (empty when this
+          // job derives none): a reused sink table keeping a PRIOR
+          // job's stale declaration would plan-route a downstream
+          // top-1 onto FastTop1 whose runtime contract the new
+          // aggregate cannot honor — a loud but avoidable failure.
           if (keys.nonEmpty && batchId == 0) {
-            val mono = if (monotoneCols.isEmpty) ""
-              else s", 'graft.monotone.cols' = '${monotoneCols.mkString(",")}'"
             spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
-              s"('graft.upsert.keys' = '${keys.mkString(",")}'$mono)"): Unit
+              s"('graft.upsert.keys' = '${keys.mkString(",")}', " +
+              s"'graft.monotone.cols' = '${monotoneCols.mkString(",")}')"): Unit
           }
         }
     }
@@ -1872,6 +1882,16 @@ object ChangelogSql {
       if (fast) {
         streaming.Retract.FastTop1Stats.lowered.incrementAndGet()
         val ks = upsertKeysOf(spark, shape.rel).get
+        // the commit-sequence column rides into the fold: Spark's
+        // shuffle gives no intra-batch ordering, so the operator sorts
+        // each batch by (seq, sortKey) before applying — the
+        // monotonicity contract is checked in DECLARED commit order
+        // (the generic route gets the same ordering from
+        // normalizeUpsert's keep-last-by-seq chain)
+        val seqCol = Seq(SeqCol, "cdc_ts").find(cols.contains).getOrElse(
+          throw new IllegalArgumentException(
+            s"upsert changelog '${shape.rel}' carries no order column " +
+              s"($SeqCol or cdc_ts) — commit order is undefined"))
         // the fast route's single item is DESC; the operator keeps the
         // encoded MAX, so it gets the RAW ascending field encoding
         val ascKey = sortKeyFor(shape.orderItems.map { case (c, _) => (c, false) })
@@ -1879,9 +1899,10 @@ object ChangelogSql {
           keyExpr.as("_1"),
           col(streaming.Cdc.RowKind).as("_2"),
           to_json(struct(ks.map(col): _*)).as("_3"),
-          ascKey.as("_4"),
-          payloadJson.as("_5"))
-          .as[(String, String, String, String, String)]
+          col(seqCol).cast("long").as("_4"),
+          ascKey.as("_5"),
+          payloadJson.as("_6"))
+          .as[(String, String, String, Long, String, String)]
         streaming.Retract.fastTop1SortedChangelog(typed)
           .toDF("__kind", "__key", "__rank", "__sortkey", "__payload")
       } else {
@@ -1915,21 +1936,26 @@ object ChangelogSql {
         else col(s"__r.`$c`").as(c))): _*)
     val keys = shape.parts :+ shape.rnAlias
     val write = upsertSinkWriter(spark, sink, keys)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStateSizing(spark) {
-      out.writeStream
-        .outputMode("append") // delta emission; chains after normalize
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          write(batch.withColumn(SeqCol, lit(batchId)), batchId)
-        }
-        .start()
-    } finally prevProvider match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
+    // pin + start + restore under StartLock (one atomic section — see
+    // util.StartLock: a concurrent start on the shared session must
+    // never snapshot this query's provider pin into ITS checkpoint)
+    graft.util.StartLock.locked {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try withStateSizing(spark) {
+        out.writeStream
+          .outputMode("append") // delta emission; chains after normalize
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            write(batch.withColumn(SeqCol, lit(batchId)), batchId)
+          }
+          .start()
+      } finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     }
   }
 

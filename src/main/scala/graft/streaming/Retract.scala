@@ -256,18 +256,30 @@ object Retract {
   /** [[fastTop1]] generalized to memcmp sort keys and a downstream
     * changelog, for the SQL front door (rank/FastTop1Function.java:54,
     * the RankProcessStrategy.UpdateFastStrategy plan): top-1 over an
-    * UPSERT changelog (part, row_kind, id, sortKey, payload) whose sort
-    * key per id is MONOTONICALLY NON-DECREASING — the contract the
-    * planner derives before picking this route (COUNT/MAX over an
-    * insert-only input). State is ONE (id, sortKey, payload) triple per
-    * partition key — O(1), against the generic route's full live
-    * multiset. Emits ("+U", part, 1, sortKey, payload) whenever the
-    * leader row changes (rank 1 never vacates: a monotone upsert stream
-    * cannot shrink, so no -D is ever emitted); a retraction row or a
-    * same-id sort-key DECREASE violates the contract and fails loudly —
-    * a silent accept would corrupt every later answer. */
+    * UPSERT changelog (part, row_kind, id, seq, sortKey, payload) whose
+    * sort key per id is MONOTONICALLY NON-DECREASING in COMMIT order —
+    * the contract the planner derives before picking this route
+    * (COUNT/MAX over an insert-only input). State is ONE (id, sortKey,
+    * payload) triple per partition key — O(1), against the generic
+    * route's full live multiset. Emits ("+U", part, 1, sortKey, payload)
+    * whenever the leader row changes (rank 1 never vacates: a monotone
+    * upsert stream cannot shrink, so no -D is ever emitted); a
+    * retraction row or a same-id sort-key DECREASE violates the
+    * contract and fails loudly — a silent accept would corrupt every
+    * later answer.
+    *
+    * `seq` is the upstream COMMIT SEQUENCE (the order column every
+    * declared-upsert changelog carries). Flink's FastTop1Function can
+    * fold in arrival order because keyed channels preserve the
+    * producer's order; Spark's shuffle gives NO intra-batch ordering
+    * guarantee, so when one micro-batch spans several upstream commits
+    * (catch-up after restart, a slow trigger) the same id's upserts can
+    * arrive newest-first — the fold therefore sorts the batch by (seq,
+    * sortKey) and applies in that order, making the monotonicity check
+    * a check of the DECLARED commit order, not of shuffle luck, and the
+    * equal-key pick deterministic. */
   def fastTop1SortedChangelog(
-      ds: Dataset[(String, String, String, String, String)])(
+      ds: Dataset[(String, String, String, Long, String, String)])(
       implicit e1: Encoder[(String, String, String)],
       e2: Encoder[(String, String, Int, String, String)])
       : Dataset[(String, String, Int, String, String)] = {
@@ -275,12 +287,13 @@ object Retract {
     val ord = Ordering.String
 
     def update(key: String,
-        rows: Iterator[(String, String, String, String, String)],
+        rows: Iterator[(String, String, String, Long, String, String)],
         state: GroupState[(String, String, String)])
         : Iterator[(String, String, Int, String, String)] = {
       val before = state.getOption
       var cur = before
-      rows.foreach { case (_, kind, id, sortKey, payload) =>
+      rows.toSeq.sortBy(r => (r._4, r._5)).foreach {
+        case (_, kind, id, _, sortKey, payload) =>
         require(isAdd(kind),
           s"fastTop1: retraction row ($kind) for id $id — the " +
             "UpdateFastStrategy contract requires an insert-only-derived " +

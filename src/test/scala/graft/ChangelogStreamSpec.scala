@@ -874,6 +874,38 @@ class ChangelogStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** Reusing a sink table for a NEW job must not leave a PRIOR job's
+    * 'graft.monotone.cols' declaration in place: a downstream top-1
+    * would plan-route onto FastTop1 whose runtime contract the new
+    * (non-monotone) aggregate cannot honor. The writer rewrites the
+    * property — empty when the new job derives no monotone columns —
+    * at batch 0. */
+  test("a reused sink's stale monotone declaration is unset by a non-monotone job") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_stale_src_$h"
+    val sink = s"cl_stale_sink_$h"
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    createChangelogTable(src) // NOT declared insert-only: nothing monotone
+    append(src, Seq(
+      """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"a","x":1.0}}""",
+      """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"b","x":2.0}}""",
+      """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g2","k":"c","x":3.0}}"""))
+    // the sink carries a stale declaration from a previous (monotone) job
+    spark.sql(s"CREATE TABLE $sink (g STRING, n BIGINT, row_kind STRING, " +
+      s"${ChangelogSql.SeqCol} BIGINT) USING parquet")
+    spark.sql(s"ALTER TABLE $sink SET TBLPROPERTIES " +
+      "('graft.upsert.keys' = 'g', 'graft.monotone.cols' = 'n')")
+    assert(ChangelogSql.monotoneColsOf(spark, sink) == Seq("n"))
+    val ck = java.nio.file.Files.createTempDirectory("graft-stale-mono").toString
+    val q = Engine.sqlStreamInsert(spark,
+      s"INSERT INTO $sink SELECT g, COUNT(*) AS n FROM $src GROUP BY g", ck)
+    try q.processAllAvailable() finally q.stop()
+    assert(ChangelogSql.monotoneColsOf(spark, sink).isEmpty,
+      "stale graft.monotone.cols survived the new job's batch 0")
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   test("raw changelog passthrough and malformed shapes keep their contracts") {
     val h = math.abs(getClass.getName.hashCode)
     val src = s"cl_raw_src_$h"

@@ -802,6 +802,44 @@ class StreamingSpec extends AnyFunSuite {
     try q.stop() catch { case _: Exception => () }
   }
 
+  /** The SQL front door's fast route folds by the COMMIT SEQUENCE, not
+    * shuffle arrival order: one micro-batch delivering the same id's
+    * upserts NEWEST-FIRST (catch-up after restart / a slow trigger —
+    * Spark's shuffle fetch gives no intra-batch order) must settle on
+    * the max-seq row instead of crashing a valid monotone job on the
+    * 'sort key decreased' contract check. */
+  test("fastTop1SortedChangelog: intra-batch order comes from seq, not arrival") {
+    import graft.streaming.Retract
+    import graft.util.SortKey
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def enc(v: Long) = SortKey.fieldLong(v, asc = true)
+    val in = MemoryStream[(String, String, String, Long, String, String)]
+    val out = Retract.fastTop1SortedChangelog(in.toDS())
+    val q = out.toDF("kind", "k", "rn", "sk", "p").writeStream
+      .outputMode("append").format("memory").queryName("ft1s_out").start()
+    // ONE batch, three commits' worth of x's upserts, added newest-first:
+    // a fold in arrival order would see 7 -> 5 and crash; seq order sees
+    // 3 -> 5 -> 7 and settles on the seq-3 row
+    in.addData(
+      ("g", "+U", "x", 3L, enc(7L), "p7"),
+      ("g", "+U", "x", 2L, enc(5L), "p5"),
+      ("g", "+U", "x", 1L, enc(3L), "p3"))
+    q.processAllAvailable()
+    val rows = spark.table("ft1s_out")
+      .as[(String, String, Int, String, String)].collect().toSeq
+    assert(rows == Seq(("+U", "g", 1, enc(7L), "p7")), rows.toString)
+    // a genuine cross-batch decrease still fails loudly — the contract
+    // check survives the re-ordering fix
+    in.addData(("g", "+U", "x", 4L, enc(6L), "p6"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("monoton") ||
+      Option(e.getCause).exists(_.getMessage.contains("monoton")), e.getMessage)
+    try q.stop() catch { case _: Exception => () }
+  }
+
   test("updatable top-N: an upsert demoting the leader re-ranks and backfills") {
     import graft.streaming.Retract
     import spark.implicits._
