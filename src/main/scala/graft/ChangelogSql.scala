@@ -1959,6 +1959,301 @@ object ChangelogSql {
     }
   }
 
+  // ---- continuous two-sided retraction JOIN (StreamExecJoin) ---------
+
+  /** One side of a parsed continuous join statement. */
+  private case class StreamJoinSide(rel: String, alias: Option[String],
+      keyCols: Seq[String], selected: Seq[(String, String)]) // (col, outName)
+
+  /** `orderTags`: the select list's side per item in STATEMENT order
+    * (0 = left, 1 = right) — replays the user's column order across the
+    * per-side splits. */
+  private case class StreamJoinShape(
+      left: StreamJoinSide, right: StreamJoinSide, joinType: String,
+      orderTags: Seq[Int])
+
+  /** Does `select` read TWO (or more) changelog relations in a linear
+    * join chain — the statement shape [[streamJoin]] owns? (Everything
+    * about the shape beyond this dispatch test — INNER-ness, equi-ON,
+    * bare-column select — is validated LOUDLY inside the lowering:
+    * a user composing two changelogs must get the join path's error,
+    * not the append path's misleading watermark complaint.) */
+  private[graft] def streamJoinMatches(
+      spark: SparkSession, select: String): Boolean =
+    parse(select).exists { c =>
+      parseJoinChain(c.relation).exists(
+        _.count(r => isChangelogRel(spark, r.name)) >= 2)
+    }
+
+  /** Validate + extract the continuous-join statement shape; throws a
+    * loud, specific error for every inadmissible variant. */
+  private def parseStreamJoinShape(
+      spark: SparkSession, select: String): StreamJoinShape = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous two-sided retraction JOIN: $msg")
+    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+    val chain = parseJoinChain(c.relation).getOrElse(
+      bad(s"FROM must be a linear `a JOIN b ON ...` chain, got: ${c.relation}"))
+    val clCount = chain.count(r => isChangelogRel(spark, r.name))
+    if (chain.size != 2 || clCount != 2) bad(
+      s"exactly TWO changelog relations join continuously (got ${chain.size} " +
+        s"relations, $clCount changelogs); multi-way joins chain through " +
+        "intermediate sinks — INSERT each pairwise join into its own table " +
+        "and join that changelog next")
+    val Seq(lRel, rRel) = chain
+    val jt = rRel.joinType.getOrElse("INNER")
+    if (jt == "CROSS") bad(
+      "CROSS JOIN of two changelogs has no key to partition state by; " +
+        "give an ON equi-condition")
+    if (jt != "INNER") bad(
+      s"$jt JOIN of two changelogs needs padded-side retraction " +
+        "bookkeeping (OuterJoinRecordStateView) that this front door does " +
+        "not lower yet; INNER is supported — or join the materialized " +
+        "final states (FINAL_STATE) in batch")
+    c.where.foreach(_ => bad(
+      "WHERE is not supported on the continuous join statement; filter " +
+        "the changelog at ingest (a view over the source) or read the " +
+        "materialized sink"))
+    if (c.groupBy.isDefined || c.having.isDefined) bad(
+      "aggregating the join's changelog in the SAME statement is not " +
+        "supported (Spark plans one stateful changelog operator per " +
+        "query); land the join in a sink table and aggregate that " +
+        "changelog with its own continuous statement")
+    if (c.orderBy.isDefined || c.limit.isDefined) bad(
+      "ORDER BY / LIMIT have no meaning on a continuous changelog")
+    val all = blank(c.selectList) + " " + blank(c.relation)
+    Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).foreach(m =>
+      if (("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
+          .findFirstIn(all).isDefined)
+        bad(s"the statement references encoding column $m — there is no " +
+          "raw passthrough for a two-changelog join; the operator " +
+          "consumes the encodings"))
+    if (callNames(blank(c.selectList)).nonEmpty) bad(
+      "the select list must be bare (optionally qualified, optionally " +
+        "aliased) columns — compute expressions on the materialized sink")
+    // side resolution: qualifier = alias (or bare table name), else
+    // unique column membership
+    def encodingCol(n: String) =
+      n == streaming.Cdc.RowKind || n == "cdc_ts" || n == SeqCol
+    val lName = lRel.alias.getOrElse(lRel.name.split('.').last)
+    val rName = rRel.alias.getOrElse(rRel.name.split('.').last)
+    if (lName.equalsIgnoreCase(rName)) bad(
+      s"both sides resolve to the name '$lName' — alias one of them")
+    val lCols = relationColumns(spark, lRel.name).getOrElse(
+      bad(s"cannot resolve ${lRel.name}")).filterNot(encodingCol)
+    val rCols = relationColumns(spark, rRel.name).getOrElse(
+      bad(s"cannot resolve ${rRel.name}")).filterNot(encodingCol)
+    def resolve(ref0: String): (Int, String) = {
+      val ref = ref0.trim.replace("`", "")
+      def canon(cols: Seq[String], n: String): String =
+        cols.find(_.equalsIgnoreCase(n)).getOrElse(
+          bad(s"column $n not found"))
+      ref.split('.') match {
+        case Array(q, n) if q.equalsIgnoreCase(lName) => (0, canon(lCols, n))
+        case Array(q, n) if q.equalsIgnoreCase(rName) => (1, canon(rCols, n))
+        case Array(q, _) => bad(s"unknown qualifier '$q' in $ref " +
+          s"(sides: $lName, $rName)")
+        case Array(n) =>
+          val inL = lCols.exists(_.equalsIgnoreCase(n))
+          val inR = rCols.exists(_.equalsIgnoreCase(n))
+          if (inL && inR) bad(s"column $n is ambiguous (both sides carry " +
+            "it) — qualify it")
+          if (inL) (0, canon(lCols, n))
+          else if (inR) (1, canon(rCols, n))
+          else bad(s"column $n not found on either side")
+        case _ => bad(s"cannot resolve column reference: $ref0")
+      }
+    }
+    // ON: a top-level conjunction of side-crossing equalities — the
+    // keyed-exchange contract (Flink hashes both inputs by the equi-key,
+    // StreamExecJoin.java:132's joinSpec)
+    val on = rRel.on.getOrElse(bad("CROSS JOIN of two changelogs has no " +
+      "key to partition state by; give an ON equi-condition"))
+    val EqRe = """(?s)^\(*\s*([\w.`]+)\s*=\s*([\w.`]+)\s*\)*$""".r
+    val pairs = graft.util.SqlSplit.splitTopLevelAnd(on).map(_.trim).map {
+      case EqRe(a, b) =>
+        (resolve(a), resolve(b)) match {
+          case ((0, la), (1, rb)) => (la, rb)
+          case ((1, ra), (0, lb)) => (lb, ra)
+          case _ => bad(s"ON conjunct '$a = $b' must compare one LEFT " +
+            "column with one RIGHT column")
+        }
+      case other => bad(s"ON supports equality conjuncts only (the state " +
+        s"is keyed by the equi-key), got: $other")
+    }
+    if (pairs.isEmpty) bad("empty ON condition")
+    // select items: (side, col, outName); output names must be distinct
+    val ItemRe = """(?is)^(.*?)(?:\s+AS\s+`?(\w+)`?)?$""".r
+    val items = graft.util.SqlSplit.splitTopLevel(c.selectList)
+      .map(_.trim).map {
+        case ItemRe(e, a) =>
+          val (side, col0) = resolve(e)
+          (side, col0, Option(a).getOrElse(col0))
+      }
+    val dup = items.groupBy(_._3.toLowerCase).collect {
+      case (n, g) if g.size > 1 => n
+    }
+    if (dup.nonEmpty) bad(s"duplicate output column name(s): " +
+      s"${dup.mkString(", ")} — alias them apart")
+    StreamJoinShape(
+      StreamJoinSide(lRel.name, lRel.alias, pairs.map(_._1),
+        items.collect { case (0, col0, out) => (col0, out) }),
+      StreamJoinSide(rRel.name, rRel.alias, pairs.map(_._2),
+        items.collect { case (1, col0, out) => (col0, out) }),
+      jt, items.map(_._1))
+  }
+
+  /** The route line EXPLAIN CHANGELOG_MODE prints for a continuous join
+    * statement: the operator, the per-side state shape, and the key. */
+  private[graft] def streamJoinExplainText(
+      spark: SparkSession, select: String): String = {
+    val sh = parseStreamJoinShape(spark, select)
+    val key = sh.left.keyCols.zip(sh.right.keyCols)
+      .map { case (l, r) => s"$l = $r" }.mkString(" AND ")
+    s"continuous two-sided retraction JOIN (${sh.joinType}, " +
+      "StreamingJoinOperator) — per-side state: MapState[payload -> " +
+      s"live count] per join key (left ${sh.left.rel}, right " +
+      s"${sh.right.rel}; key: $key) -> retract changelog sink (+I/-D)"
+  }
+
+  /** Continuous `INSERT INTO sink SELECT ... FROM a JOIN b ON ...` where
+    * BOTH relations are changelogs — the statement form of
+    * StreamExecJoin.java:132 → StreamingJoinOperator.java:36: each
+    * side's live rows are a counted multiset per join key
+    * (JoinRecordStateViews.java:230, InputSideHasNoUniqueKey), an
+    * arriving change point-writes its own side and emits the delta
+    * against the OTHER side's live entries. DECLARED UPSERT inputs
+    * chain ChangelogNormalize first ([[retractStreamOf]]), exactly like
+    * the aggregate and top-N routes. The sink receives the join's
+    * RETRACT changelog (+I/-D rows with multiplicity — a join output
+    * has no upsert key), so the live result is `FINAL_STATE(sink)` and
+    * connector sinks (which consume keyed upserts) reject loudly.
+    *
+    * Scale shape: ONE shuffle per micro-batch per side (groupByKey on
+    * the equi-key — the same keyed exchange Flink's operator needs);
+    * state access is O(changes) point writes + O(matches) other-side
+    * iteration per change, probe-pinned in StreamJoinTwsSpec; NULL
+    * equi-key rows are filtered at the source (SQL equality never
+    * matches NULL, and shipping them would corrupt the key grouping). */
+  def streamJoin(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamJoin expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val sh = parseStreamJoinShape(spark, select)
+    // connector sinks consume KEYED upserts; a retract changelog has none
+    val sinkProps = scala.util.Try(WatermarkDdl.tableOptions(spark, sink))
+      .getOrElse(Map.empty[String, String])
+    sinkProps.get("connector").foreach(conn =>
+      throw new IllegalArgumentException(
+        s"continuous JOIN into '$conn' table $sink: the join emits a " +
+          "RETRACT changelog (+I/-D with multiplicity, no upsert key) " +
+          "that keyed connector sinks cannot consume; land it in a plain " +
+          "table (FINAL_STATE(sink) reads the live result) or aggregate " +
+          "it with its own continuous statement"))
+    def sideStream(side: StreamJoinSide): (DataFrame,
+        org.apache.spark.sql.types.StructType, Set[String],
+        org.apache.spark.sql.types.StructType) = {
+      val src = retractStreamOf(spark, side.rel)
+      side.keyCols.foreach(k => require(src.columns.contains(k),
+        s"join key column $k not a payload column of ${side.rel}"))
+      val payloadCols = side.selected.map(_._1).distinct
+      // TIME payload columns shuttle the state boundary as strings
+      // (to_json has no TimeType writer; the cast round-trips exactly)
+      val timeCols = payloadCols.filter(c => src.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.TimeType]).toSet
+      val schema = org.apache.spark.sql.types.StructType(
+        payloadCols.map(c =>
+          if (timeCols(c)) org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType, nullable = true)
+          else src.schema(c)))
+      val origSchema = org.apache.spark.sql.types.StructType(
+        payloadCols.map(c => src.schema(c)))
+      (src, schema, timeCols, origSchema)
+    }
+    val (lSrc, lSchema, lTime, lOrig) = sideStream(sh.left)
+    val (rSrc, rSchema, rTime, rOrig) = sideStream(sh.right)
+    // equi-key types must agree exactly: the key rides the state
+    // boundary as its JSON rendering, and 1 vs 1.0 would silently
+    // never match
+    sh.left.keyCols.zip(sh.right.keyCols).foreach { case (lk, rk) =>
+      val (lt, rt) = (lSrc.schema(lk).dataType, rSrc.schema(rk).dataType)
+      require(lt == rt,
+        s"join key types differ: $lk is ${lt.simpleString}, $rk is " +
+          s"${rt.simpleString} — CAST at ingest (a view over the source)")
+    }
+    def typed(src: DataFrame, keyCols: Seq[String],
+        payloadCols: Seq[String], timeCols: Set[String]) = {
+      val keyJson = to_json(struct(keyCols.zipWithIndex.map {
+        case (k, i) => col(k).as(s"k$i")
+      }: _*))
+      val payloadJson =
+        if (payloadCols.isEmpty) lit("{}")
+        else to_json(struct(payloadCols.map(c =>
+          if (timeCols(c)) col(c).cast("string").as(c) else col(c)): _*))
+      src // NULL equi-keys never match in SQL: drop them at the source
+        .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(keyJson.as("_1"),
+          col(streaming.Cdc.RowKind).as("_2"), payloadJson.as("_3"))
+        .as[(String, String, String)]
+    }
+    val lPay = sh.left.selected.map(_._1).distinct
+    val rPay = sh.right.selected.map(_._1).distinct
+    val joined = streaming.StreamJoinTws.innerJoinChangelog(
+      typed(lSrc, sh.left.keyCols, lPay, lTime),
+      typed(rSrc, sh.right.keyCols, rPay, rTime))
+      .toDF("__key", "__kind", "__l", "__r")
+    def outCol(sideIdx: Int): Seq[org.apache.spark.sql.Column] = {
+      val (side, orig, time, slot) =
+        if (sideIdx == 0) (sh.left, lOrig, lTime, "__lr")
+        else (sh.right, rOrig, rTime, "__rr")
+      side.selected.map { case (c, out) =>
+        val base = col(s"$slot.`$c`")
+        (if (time(c)) base.cast(orig(c).dataType) else base).as(out)
+      }
+    }
+    val withStructs = joined.select(
+      col("__kind").as(streaming.Cdc.RowKind),
+      (if (lPay.isEmpty) lit(null) else from_json(col("__l"), lSchema))
+        .as("__lr"),
+      (if (rPay.isEmpty) lit(null) else from_json(col("__r"), rSchema))
+        .as("__rr"))
+    // output columns in the user's select-list order (orderTags replays
+    // the statement's item order across the per-side splits)
+    val ordered: Seq[org.apache.spark.sql.Column] = {
+      val l = outCol(0).toIndexedSeq
+      val r = outCol(1).toIndexedSeq
+      var (i, j) = (0, 0)
+      sh.orderTags.map { t =>
+        if (t == 0) { val c = l(i); i += 1; c }
+        else { val c = r(j); j += 1; c }
+      }
+    }
+    val out = withStructs.select(col(streaming.Cdc.RowKind) +: ordered: _*)
+    graft.util.StartLock.locked {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try withStateSizing(spark) {
+        out.writeStream
+          .outputMode("append") // delta emission (+I/-D changelog rows)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn(SeqCol, lit(batchId))
+              .write.mode("append").saveAsTable(sink)
+          }
+          .start()
+      } finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Keep-last collapse of a [[streamInsert]] sink: the CURRENT
     * aggregate state per key (rows whose latest change is a -D are
     * gone) — what an external upsert sink's compacted view would show.

@@ -169,6 +169,8 @@ object Engine {
       else if (ChangelogSql.streamMatches(spark, select))
         "continuous retraction-consuming aggregate (update mode) " +
           "-> upsert changelog keyed by the GROUP BY columns"
+      else if (ChangelogSql.streamJoinMatches(spark, select))
+        ChangelogSql.streamJoinExplainText(spark, select)
       else
         "append INSERT (continuous append-mode when a referenced " +
           "source declares WATERMARK/PROCTIME, plain batch write " +
@@ -556,6 +558,14 @@ object Engine {
           return ChangelogSql.streamTopN(spark, statement, checkpointDir)
         if (ChangelogSql.streamMatches(spark, select))
           return ChangelogSql.streamInsert(spark, statement, checkpointDir)
+        // TWO-SIDED retraction join (StreamExecJoin.java:132): both
+        // FROM relations are changelogs — one continuous statement,
+        // counted-multiset state per side per equi-key, retract
+        // changelog into the sink. Inadmissible variants (outer,
+        // multi-way, WHERE, aggregates) reject inside with the join
+        // path's specific error, never the watermark complaint below.
+        if (ChangelogSql.streamJoinMatches(spark, select))
+          return ChangelogSql.streamJoin(spark, statement, checkpointDir)
         // a declared PROCTIME() attribute also marks a streaming source:
         // proc-time pipelines (arrival-order OVER etc.) legitimately have
         // no watermark at all

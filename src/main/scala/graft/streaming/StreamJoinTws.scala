@@ -27,6 +27,22 @@ object StreamJoinTws {
   import Cdc.{Delete, Insert}
   import Retract.isAdd
 
+  /** Test-visible state-I/O probe for the inner-join port (the
+    * TopNStateStats pattern): pins that applying ONE change is O(1)
+    * point writes on its own side's MapState plus an iteration of the
+    * OTHER side's live entries — the emission's inherent O(matches)
+    * cost (StreamingJoinOperator's otherSideStateView.getRecords) —
+    * never a materialization of the row's OWN side. Counters are
+    * JVM-wide (local-mode executors share the test JVM). */
+  object JoinStateStats {
+    val pointWrites = new java.util.concurrent.atomic.AtomicLong
+    val otherSideEntriesIterated = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = {
+      pointWrites.set(0L)
+      otherSideEntriesIterated.set(0L)
+    }
+  }
+
   private class InnerJoinProc[K, L, R](encL: Encoder[L], encR: Encoder[R])
       extends StatefulProcessor[K, (Int, K, String, Option[L], Option[R]),
         (K, String, Option[L], Option[R])] {
@@ -39,6 +55,9 @@ object StreamJoinTws {
       liveR = getHandle.getMapState[R, Int]("liveR", encR, Encoders.scalaInt, TTLConfig.NONE)
     }
 
+    private def probed[T](it: Iterator[(T, Int)]): Iterator[(T, Int)] =
+      it.map { e => JoinStateStats.otherSideEntriesIterated.incrementAndGet(); e }
+
     override def handleInputRows(key: K,
         rows: Iterator[(Int, K, String, Option[L], Option[R])],
         tv: TimerValues): Iterator[(K, String, Option[L], Option[R])] = {
@@ -50,24 +69,28 @@ object StreamJoinTws {
         if (side == 0) {
           val l = lOpt.get
           if (isAdd(kind)) {
-            liveR.iterator().foreach { case (r, c) => emitTimes(Insert, Some(l), Some(r), c) }
+            probed(liveR.iterator()).foreach { case (r, c) => emitTimes(Insert, Some(l), Some(r), c) }
             liveL.updateValue(l,
               (if (liveL.containsKey(l)) liveL.getValue(l) else 0) + 1)
+            JoinStateStats.pointWrites.incrementAndGet()
           } else if (liveL.containsKey(l)) {
             val c = liveL.getValue(l)
             if (c == 1) liveL.removeKey(l) else liveL.updateValue(l, c - 1)
-            liveR.iterator().foreach { case (r, cr) => emitTimes(Delete, Some(l), Some(r), cr) }
+            JoinStateStats.pointWrites.incrementAndGet()
+            probed(liveR.iterator()).foreach { case (r, cr) => emitTimes(Delete, Some(l), Some(r), cr) }
           }
         } else {
           val r = rOpt.get
           if (isAdd(kind)) {
-            liveL.iterator().foreach { case (l, c) => emitTimes(Insert, Some(l), Some(r), c) }
+            probed(liveL.iterator()).foreach { case (l, c) => emitTimes(Insert, Some(l), Some(r), c) }
             liveR.updateValue(r,
               (if (liveR.containsKey(r)) liveR.getValue(r) else 0) + 1)
+            JoinStateStats.pointWrites.incrementAndGet()
           } else if (liveR.containsKey(r)) {
             val c = liveR.getValue(r)
             if (c == 1) liveR.removeKey(r) else liveR.updateValue(r, c - 1)
-            liveL.iterator().foreach { case (l, cl) => emitTimes(Delete, Some(l), Some(r), cl) }
+            JoinStateStats.pointWrites.incrementAndGet()
+            probed(liveL.iterator()).foreach { case (l, cl) => emitTimes(Delete, Some(l), Some(r), cl) }
           }
         }
       }
@@ -77,6 +100,40 @@ object StreamJoinTws {
     override def handleExpiredTimer(key: K, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[(K, String, Option[L], Option[R])] =
       Iterator.empty // no timers: state lives until explicitly retracted
+  }
+
+  private val eTagStr =
+    Encoders.product[(Int, String, String, Option[String], Option[String])]
+  private val eMidStr =
+    Encoders.product[(String, String, Option[String], Option[String])]
+  private val eOutStr = Encoders.product[(String, String, String, String)]
+
+  /** The SQL front door's inner join: both sides pre-encoded as
+    * (joinKey, row_kind, payload) string tuples, output the join's
+    * changelog (joinKey, +I/-D, leftPayload, rightPayload) — the
+    * continuous-statement form of StreamExecJoin.java:132 →
+    * StreamingJoinOperator.java:36 with JoinRecordStateViews.java:230's
+    * InputSideHasNoUniqueKey MapState shape per side. Runs the TWS
+    * operator in APPEND mode: the emission is a changelog DELTA stream
+    * (+I/-D rows), which is what lets the join chain DOWNSTREAM of the
+    * fMGWS ChangelogNormalize when a DECLARED UPSERT relation feeds a
+    * side (Spark rejects an Update-mode query containing an append-mode
+    * flatMapGroupsWithState — the same composition rule the sorted
+    * top-N port documents). */
+  def innerJoinChangelog(
+      left: Dataset[(String, String, String)],
+      right: Dataset[(String, String, String)])
+      : Dataset[(String, String, String, String)] = {
+    implicit val etag: Encoder[(Int, String, String, Option[String], Option[String])] = eTagStr
+    implicit val emid: Encoder[(String, String, Option[String], Option[String])] = eMidStr
+    StreamJoin.tagged(left, right)
+      .groupByKey(_._2)(Encoders.STRING)
+      .transformWithState(
+        new InnerJoinProc[String, String, String](Encoders.STRING, Encoders.STRING),
+        TimeMode.None(), OutputMode.Append(), emid)
+      .map { t: (String, String, Option[String], Option[String]) =>
+        (t._1, t._2, t._3.get, t._4.get)
+      }(eOutStr)
   }
 
   /** The OUTER variants (left/right/full) on the same MapState split,

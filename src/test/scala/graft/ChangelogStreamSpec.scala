@@ -946,4 +946,110 @@ class ChangelogStreamSpec extends AnyFunSuite {
       assert(e.getMessage.contains("ORDER BY"), e.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS $src"): Unit
   }
+
+  /** Continuous two-sided retraction JOIN (StreamExecJoin.java:132 →
+    * StreamingJoinOperator.java:36): one `INSERT INTO s SELECT ... FROM
+    * a JOIN b ON ...` over two changelog relations, inserts + updates +
+    * deletes on BOTH sides across three commits; FINAL_STATE of the
+    * retract sink equals the batch join of the final states at every
+    * commit. */
+  test("continuous two-sided JOIN equals the batch join at every commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_join_l_$h"
+    val rt = s"cl_join_r_$h"
+    val sink = s"cl_join_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, price DOUBLE) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, name STRING) USING parquet""")
+    def appL(rows: Seq[(String, Long, Long, String, Double)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "price")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "name")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    // duplicate (1, a, 10.0): the join output is a MULTISET — both
+    // instances must materialize
+    appL(Seq(("+I", 1L, 1L, "a", 10.0), ("+I", 1L, 1L, "a", 10.0),
+      ("+I", 1L, 2L, "a", 20.0), ("+I", 1L, 3L, "b", 30.0)))
+    appR(Seq(("+I", 1L, "a", "A"), ("+I", 1L, "b", "B")))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-join").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT l.id, l.price, r.name FROM $lt l JOIN $rt r ON l.cust = r.cust"""
+    // EXPLAIN names the operator, per-side state shape and key
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("two-sided retraction JOIN"), explained)
+    assert(explained.contains("MapState[payload -> live count]"), explained)
+    assert(explained.contains("cust = cust"), explained)
+    def live(): Seq[(Long, Double, String)] = {
+      spark.catalog.refreshTable(sink)
+      Engine.sql(spark,
+        s"SELECT id, price, name FROM FINAL_STATE($sink) ORDER BY id, price")
+        .as[(Long, Double, String)].collect().toSeq
+    }
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(live() == Seq((1L, 10.0, "A"), (1L, 10.0, "A"),
+        (2L, 20.0, "A"), (3L, 30.0, "B")), live().toString)
+      // commit 2: updates on BOTH sides (-U/+U price bump on the left,
+      // -U/+U rename on the right)
+      appL(Seq(("-U", 2L, 2L, "a", 20.0), ("+U", 2L, 2L, "a", 25.0)))
+      appR(Seq(("-U", 2L, "a", "A"), ("+U", 2L, "a", "A2")))
+      q.processAllAvailable()
+      assert(live() == Seq((1L, 10.0, "A2"), (1L, 10.0, "A2"),
+        (2L, 25.0, "A2"), (3L, 30.0, "B")), live().toString)
+      // commit 3: deletes on BOTH sides (one dup instance of id 1 on
+      // the left; customer b on the right cascades id 3 out)
+      appL(Seq(("-D", 3L, 1L, "a", 10.0)))
+      appR(Seq(("-D", 3L, "b", "B")))
+      q.processAllAvailable()
+      assert(live() == Seq((1L, 10.0, "A2"), (2L, 25.0, "A2")),
+        live().toString)
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("continuous JOIN inadmissible shapes reject with the join path's error") {
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_joinneg_l_$h"
+    val rt = s"cl_joinneg_r_$h"
+    Seq(lt, rt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, price DOUBLE) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, name STRING) USING parquet""")
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Engine.sqlStreamInsert(spark, sql, "/tmp/never-join")
+      }
+      assert(e.getMessage.contains(needle), s"$sql ->\n${e.getMessage}")
+    }
+    try {
+      rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
+        s"LEFT JOIN $rt r ON l.cust = r.cust", "INNER is supported")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
+        s"JOIN $rt r ON l.cust = r.cust WHERE l.price > 5",
+        "WHERE is not supported")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, COUNT(*) AS n " +
+        s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name",
+        "aggregating the join's changelog")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT cust, name FROM $lt l " +
+        s"JOIN $rt r ON l.cust = r.cust", "ambiguous")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
+        s"JOIN $rt r ON l.price < 5", "equality conjuncts only")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
+        s"CROSS JOIN $rt r", "no key to partition")
+    } finally Seq(lt, rt).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
 }

@@ -108,6 +108,55 @@ class StreamJoinTwsSpec extends AnyFunSuite {
     assert(net(full) == Map((2L, Some("l2"), Some("r-solo")) -> 1))
   }
 
+  /** State-I/O probe on the inner-join port's MapState views (the
+    * TopNStateStats pattern): applying ONE change costs one point write
+    * on its OWN side plus an iteration of the OTHER side's live entries
+    * — the emission's inherent O(matches) cost
+    * (StreamingJoinOperator's otherSideStateView.getRecords). The own
+    * side is never scanned: the iteration counter equals exactly the
+    * other-side live-entry totals, with nothing on top. */
+  test("inner-join state I/O is point writes + other-side iteration only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val lhs = MemoryStream[(String, String, String)]
+      val rhs = MemoryStream[(String, String, String)]
+      val out = StreamJoinTws.innerJoinChangelog(lhs.toDS(), rhs.toDS())
+      StreamJoinTws.JoinStateStats.reset()
+      val q = out.toDF("k", "kind", "l", "r").writeStream
+        .outputMode("append").format("memory").queryName("sjtws_probe").start()
+      try {
+        // 5 left adds against an EMPTY right side: 5 point writes,
+        // zero other-side entries to iterate
+        lhs.addData((1 to 5).map(i => ("k", "+I", s"l$i")): _*)
+        q.processAllAvailable()
+        assert(StreamJoinTws.JoinStateStats.pointWrites.get() == 5L)
+        assert(StreamJoinTws.JoinStateStats.otherSideEntriesIterated.get() == 0L)
+        // ONE right add: 1 point write, iterates the left side's 5 live
+        // entries (the 5 emitted matches — inherent), own side untouched
+        rhs.addData(("k", "+I", "r1"))
+        q.processAllAvailable()
+        assert(StreamJoinTws.JoinStateStats.pointWrites.get() == 6L)
+        assert(StreamJoinTws.JoinStateStats.otherSideEntriesIterated.get() == 5L)
+        // retracting it is symmetric: 1 point write, 5 iterated deletes
+        rhs.addData(("k", "-D", "r1"))
+        q.processAllAvailable()
+        assert(StreamJoinTws.JoinStateStats.pointWrites.get() == 7L)
+        assert(StreamJoinTws.JoinStateStats.otherSideEntriesIterated.get() == 10L)
+        val rows = spark.table("sjtws_probe")
+          .as[(String, String, String, String)].collect().toSeq
+        assert(rows.count(_._2 == "+I") == 5 && rows.count(_._2 == "-D") == 5)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("MapState-backed inner join is net-equal to the GroupState original") {
     val ref = runScenario(useTws = false, sink = "sjtws_ref")
     val key = "spark.sql.streaming.stateStore.providerClass"
