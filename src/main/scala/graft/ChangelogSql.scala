@@ -1693,24 +1693,46 @@ object ChangelogSql {
 
   /** The reference's streaming top-N statement shape over a retract
     * input: `SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY
-    * k ORDER BY v [ASC|DESC]) AS rn FROM changelog) WHERE rn <= N`. */
-  private val StreamTopNRe =
-    ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*""" +
-      """ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*(?:PARTITION\s+BY\s+""" +
-      """([\w`\s,.]+?)\s+)?ORDER\s+BY\s+([\w`\s,.]+?)\s*\)\s+""" +
-      """AS\s+`?(\w+)`?\s+FROM\s+`?(\w+)`?\s*\)(?:\s+(?:AS\s+)?(\w+))?\s+""" +
-      """WHERE\s+`?[\w.]*?(\w+)`?\s*(<=|<)\s*(\d+)\s*$""").r
+    * k ORDER BY item [ASC|DESC], ...) AS rn FROM changelog) WHERE
+    * rn <= N`. ORDER BY items may be bare columns OR computed
+    * EXPRESSIONS (Flink ranks computed fields the planner materializes
+    * into the row; here they project into derived columns before the
+    * state boundary). The OVER group is balanced-paren matched —
+    * expression items can carry nested parens/commas/literals — and
+    * expression text is sliced from the ORIGINAL statement so literals
+    * survive; the clause skeleton matches on blanked text. */
+  private val TopNHeadRe =
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s*OVER\s*\($""".r
+  private val TopNTailRe =
+    ("""(?is)^\s*AS\s+`?(\w+)`?\s+FROM\s+`?(\w+)`?\s*\)""" +
+      """(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+`?[\w.]*?(\w+)`?\s*(<=|<)\s*(\d+)\s*$""").r
+  private val TopNSpecRe =
+    """(?is)^\s*(?:PARTITION\s+BY\s+(.*?)\s+)?ORDER\s+BY\s+(.*?)\s*$""".r
 
-  private val OrderItemRe = """(?is)^([\w.`]+?)(?:\s+(ASC|DESC))?$""".r
+  private val OrderItemRe = """(?is)^(.*?)(?:\s+(ASC|DESC))?$""".r
 
-  /** orderItems: (column, isDescending) per ORDER BY item, in order. */
+  /** orderItems: (bare column name OR expression text, isDescending)
+    * per ORDER BY item, in order — `isBareOrderCol` distinguishes. */
   private case class TopNShape(outer: Seq[String], parts: Seq[String],
       orderItems: Seq[(String, Boolean)], rnAlias: String, rel: String, n: Int)
 
+  private[graft] def isBareOrderCol(text: String): Boolean =
+    text.matches("""\w+""")
+
   private def parseStreamTopN(
-      spark: SparkSession, select: String): Option[TopNShape] =
-    blank(select.trim.replaceAll(";\\s*$", "")) match {
-      case StreamTopNRe(outer, parts, orderList, rn, rel, alias, rnRef, op, nStr)
+      spark: SparkSession, select: String): Option[TopNShape] = {
+    val stmt = select.trim.replaceAll(";\\s*$", "")
+    val b = blank(stmt)
+    val om = """(?is)ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(""".r
+      .findFirstMatchIn(b).getOrElse(return None)
+    val open = om.end - 1
+    val close = scala.util.Try(matchParen(b, open)).getOrElse(return None)
+    val head = b.substring(0, om.end)
+    val specB = b.substring(open + 1, close)
+    val spec = stmt.substring(open + 1, close)
+    val tailB = b.substring(close + 1)
+    (head, tailB) match {
+      case (TopNHeadRe(outer), TopNTailRe(rn, rel, alias, rnRef, op, nStr))
           if isChangelogRel(spark, rel) =>
         val aliasOpt = Option(alias)
         def bare(s: String): String = {
@@ -1720,27 +1742,35 @@ object ChangelogSql {
         }
         if (bare(rnRef) != rn) return None
         val outerCols = graft.util.SqlSplit.splitTopLevel(outer).map(bare)
+        val sm = TopNSpecRe.findFirstMatchIn(specB).getOrElse(return None)
         // no PARTITION BY = the GLOBAL top-N (Flink's parallelism-1
         // rank): one constant state key
-        val partCols = Option(parts).map(_.split(",").toSeq.map(bare)
+        val partCols = Option(sm.group(1)).map(_.split(",").toSeq.map(bare)
           .filter(_.nonEmpty)).getOrElse(Seq.empty)
-        // ORDER BY list: each item `col [ASC|DESC]`; SQL's default sort
-        // direction is ASCENDING — a missing keyword must NOT read DESC
-        val items = graft.util.SqlSplit.splitTopLevel(orderList)
+        if (sm.group(2) == null) return None
+        // the ORDER BY item list comes from the ORIGINAL text (an
+        // expression's literals must survive); offsets match because
+        // blanking is length-preserving
+        val orderText = spec.substring(sm.start(2), sm.end(2))
+        // each item `col|expr [ASC|DESC]`; SQL's default sort direction
+        // is ASCENDING — a missing keyword must NOT read DESC
+        val items = graft.util.SqlSplit.splitTopLevel(orderText)
           .map(_.trim).map {
-            case OrderItemRe(c, dir) =>
-              (bare(c), Option(dir).exists(_.equalsIgnoreCase("DESC")))
+            case OrderItemRe(e, dir) =>
+              val desc = Option(dir).exists(_.equalsIgnoreCase("DESC"))
+              val t = e.trim
+              if (t.matches("""[\w.`]+""")) (bare(t), desc) else (t, desc)
             case _ => return None
           }
-        if (items.isEmpty) return None
-        if (!(outerCols ++ items.map(_._1)).forall(_.matches("""\w+""")))
-          return None
+        if (items.isEmpty || items.exists(_._1.isEmpty)) return None
+        if (!(outerCols ++ partCols).forall(_.matches("""\w+"""))) return None
         val n0 = nStr.toInt
         val n = if (op == "<") n0 - 1 else n0
         if (n < 1) return None
         Some(TopNShape(outerCols, partCols, items, rn, rel, n))
       case _ => None
     }
+  }
 
   private[graft] def streamTopNMatches(
       spark: SparkSession, select: String): Boolean =
@@ -1808,29 +1838,16 @@ object ChangelogSql {
       c == streaming.Cdc.RowKind || c == SeqCol || c == "cdc_ts")
     shape.parts.foreach(p => require(payloadCols.contains(p),
       s"PARTITION BY column $p not a payload column of ${shape.rel}"))
-    shape.orderItems.foreach { case (c, _) => require(payloadCols.contains(c),
-      s"ORDER BY column $c not a payload column of ${shape.rel}") }
-    // the ranking state is keyed on a memcmp-ordered SORT KEY encoding
-    // (SortKeyExpr / graft.util.SortKey — the generated-comparator role
-    // of the reference's ComparableRecordComparator): any comparable
-    // ORDER BY list ranks exactly, each item in its own direction (the
-    // composite key is the concatenation of per-item FIELD encodings
-    // with the direction baked in). NULL order values fail loudly
-    // inside the encoding with a message naming the column (a NULL has
-    // no rank in a continuous top-N).
-    shape.orderItems.foreach { case (c, _) =>
-      src.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType => ()
-        case org.apache.spark.sql.types.DateType => ()
-        case _: org.apache.spark.sql.types.TimeType => ()
-        case _: org.apache.spark.sql.types.NumericType => ()
-        case _: org.apache.spark.sql.types.StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"streaming top-N ORDER BY $c: type " +
-            s"${other.simpleString} has no order-preserving sort-key " +
-            "encoding (numeric, decimal, string, date, time and " +
-            "timestamp columns are supported)")
-      }
+    shape.orderItems.foreach { case (t, _) =>
+      if (isBareOrderCol(t)) require(payloadCols.contains(t),
+        s"ORDER BY column $t not a payload column of ${shape.rel}")
+      else // computed ORDER BY item: payload references only — an
+        // expression reading the encodings would corrupt retraction
+        // matching (the -D must encode to the key its +I did)
+        Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).foreach(m => require(
+          ("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
+            .findFirstIn(blank(t)).isEmpty,
+          s"ORDER BY expression ($t) references encoding column $m"))
     }
     shape.outer.filterNot(_ == shape.rnAlias).foreach(c =>
       require(payloadCols.contains(c),
@@ -1857,27 +1874,51 @@ object ChangelogSql {
     val keyExpr =
       if (shape.parts.isEmpty) lit("") // global top-N: one state key
       else to_json(struct(shape.parts.map(col): _*))
+    // the ranking state is keyed on a memcmp-ordered SORT KEY encoding
+    // (SortKeyExpr / graft.util.SortKey — the generated-comparator role
+    // of the reference's ComparableRecordComparator): any comparable
+    // ORDER BY list ranks exactly, each item in its own direction (the
+    // composite key is the concatenation of per-item FIELD encodings
+    // with the direction baked in). COMPUTED items project into derived
+    // columns BEFORE the state boundary — the reference planner
+    // materializes computed rank fields into the row the same way.
+    // NULL order values fail loudly inside the encoding with a message
+    // naming the item (a NULL has no rank in a continuous top-N).
+    val itemCol = (i: Int) => s"__graft_ok_$i"
+    val withItems = shape.orderItems.zipWithIndex.foldLeft(src) {
+      case (d, ((t, _), i)) =>
+        d.withColumn(itemCol(i), if (isBareOrderCol(t)) col(t) else expr(t))
+    }
     // date/timestamp pre-lower to exact integers (days / microseconds)
     // so the encoder sees a long; everything else encodes natively
-    def orderPre(c: String) = src.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case org.apache.spark.sql.types.DateType => unix_date(col(c))
-      // TIME casts exactly to fractional seconds-of-day (nanos kept)
-      case _: org.apache.spark.sql.types.TimeType =>
-        col(c).cast("decimal(18,9)")
-      case _ => col(c)
+    val prepped = shape.orderItems.indices.foldLeft(withItems) { (d, i) =>
+      val c = col(itemCol(i))
+      val pre = d.schema(itemCol(i)).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.DateType => unix_date(c)
+        // TIME casts exactly to fractional seconds-of-day (nanos kept)
+        case _: org.apache.spark.sql.types.TimeType => c.cast("decimal(18,9)")
+        case org.apache.spark.sql.types.BooleanType => c
+        case _: org.apache.spark.sql.types.NumericType => c
+        case _: org.apache.spark.sql.types.StringType => c
+        case other => throw new IllegalArgumentException(
+          s"streaming top-N ORDER BY ${shape.orderItems(i)._1}: type " +
+            s"${other.simpleString} has no order-preserving sort-key " +
+            "encoding (numeric, decimal, string, boolean, date, time " +
+            "and timestamp are supported)")
+      }
+      d.withColumn(itemCol(i), pre)
     }
-    val prepped = shape.orderItems.map(_._1).distinct
-      .foldLeft(src)((d, c) => d.withColumn(s"__graft_ok_$c", orderPre(c)))
     // per-item field encoding; the fast route wants the RAW ascending
     // encoding of its single column (the leader is the encoded MAX)
-    def sortKeyFor(items: Seq[(String, Boolean)]): org.apache.spark.sql.Column = {
-      val fields = items.map { case (c, desc) =>
-        expr(s"graft_sort_key(`__graft_ok_$c`, '$c', ${!desc})")
+    def sortKeyFor(descs: Seq[Boolean]): org.apache.spark.sql.Column = {
+      val fields = shape.orderItems.zipWithIndex.map { case ((t, _), i) =>
+        val label = t.replace("'", "''")
+        expr(s"graft_sort_key(`${itemCol(i)}`, '$label', ${!descs(i)})")
       }
       if (fields.length == 1) fields.head else concat(fields: _*)
     }
-    val sortKeyCol = sortKeyFor(shape.orderItems)
+    val sortKeyCol = sortKeyFor(shape.orderItems.map(_._2))
     val ranked =
       if (fast) {
         streaming.Retract.FastTop1Stats.lowered.incrementAndGet()
@@ -1894,7 +1935,7 @@ object ChangelogSql {
               s"($SeqCol or cdc_ts) — commit order is undefined"))
         // the fast route's single item is DESC; the operator keeps the
         // encoded MAX, so it gets the RAW ascending field encoding
-        val ascKey = sortKeyFor(shape.orderItems.map { case (c, _) => (c, false) })
+        val ascKey = sortKeyFor(shape.orderItems.map(_ => false))
         val typed = prepped.select(
           keyExpr.as("_1"),
           col(streaming.Cdc.RowKind).as("_2"),
@@ -2014,7 +2055,11 @@ object ChangelogSql {
       "WHERE is not supported on the continuous join statement; filter " +
         "the changelog at ingest (a view over the source) or read the " +
         "materialized sink"))
-    if (c.groupBy.isDefined || c.having.isDefined) bad(
+    val hasAggCall = callNames(blank(c.selectList) + " " +
+      c.having.map(blank).getOrElse("")).exists(n =>
+      Supported(n) || StreamOverSql.customAgg(n).isDefined ||
+        isAggregateFn(spark, n).contains(true))
+    if (c.groupBy.isDefined || c.having.isDefined || hasAggCall) bad(
       "aggregating the join's changelog in the SAME statement is not " +
         "supported (Spark plans one stateful changelog operator per " +
         "query); land the join in a sink table and aggregate that " +

@@ -1228,6 +1228,77 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // COMPUTED ORDER BY items in the continuous top-N (r15): the
+      // statement ranks on `LENGTH(o_orderpriority) DESC,
+      // price < 150000.0, o_orderkey` — a computed expression, a
+      // BOOLEAN expression (the r15 fieldBoolean encoding; false < true
+      // per SQL, direction-baked like every field) and a bare-column
+      // tiebreak. The expressions project into derived payload columns
+      // BEFORE the state boundary (the reference planner materializes
+      // computed rank fields into the row the same way), so a -D must
+      // re-encode to the identical composite key its +I did — the
+      // delete commit proves retraction matching through computed
+      // fields. Oracle = DuckDB's ROW_NUMBER over the same expressions.
+      "q161_stream_topn_expr",
+      (s, d) => withSmallStreamState(s) {
+        import s.implicits._
+        val t = "cl_q161"
+        val sink = "cl_q161_sink"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+        val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+          $"o_orderpriority",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val c1 = base.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"price")
+        val c2 = base.filter($"o_orderkey" % 13 === 0)
+          .select(lit("-D").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"price")
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderstatus STRING, o_orderpriority STRING,
+           price DOUBLE, o_orderkey BIGINT, rn BIGINT,
+           ${graft.ChangelogSql.SeqCol} BIGINT) USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q161").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderstatus, o_orderpriority, price, o_orderkey, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY LENGTH(o_orderpriority) DESC, price < 150000.0,
+                       o_orderkey) AS rn
+            FROM $t) x
+          WHERE rn <= 4""", ckpt)
+        try {
+          q.processAllAvailable()
+          c2.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"o_orderstatus", $"o_orderpriority",
+            $"price".cast("double").as("price"), $"o_orderkey", $"rn")
+          .orderBy($"o_orderstatus", $"rn")
+      },
+      Some("""
+        |WITH fs AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderstatus, o_orderpriority, CAST(price AS DOUBLE) AS price,
+        |       o_orderkey, rn
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, price,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY LENGTH(o_orderpriority) DESC,
+        |                    (price < 150000.0), o_orderkey) AS rn
+        |  FROM fs) t
+        |WHERE rn <= 4 ORDER BY o_orderstatus, rn
+        |""".stripMargin)),
+
+    GQuery(
       // NESTED columns through the Avro file connector: orders packed
       // into a STRUCT (with a nested inner struct), an ARRAY of derived
       // longs, and a MAP — written as OCF, read back, flattened with

@@ -24,6 +24,16 @@ object Retract {
   private[streaming] def isAdd(kind: String): Boolean = kind == Insert || kind == UpdateAfter
   private[streaming] def isRetract(kind: String): Boolean = kind == Delete || kind == UpdateBefore
 
+  /** Is the session's state-store provider RocksDB — the
+    * transformWithState runtime prerequisite, and therefore the routing
+    * signal for fMGWS surfaces that have a TWS port (the
+    * "fleet-migration default" pattern: point-write state when the
+    * provider supports it, whole-GroupState fold otherwise). */
+  private[streaming] def rocksDbActive(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDBStateStoreProvider"))
+
   /** Streaming group aggregate consuming a changelog of
     * (key, row_kind, value). Emits the refreshed (key, row_kind, count,
     * sum) after every micro-batch that changes the group: "+U" while the
@@ -157,6 +167,14 @@ object Retract {
       implicit e1: Encoder[Seq[(Double, String, Int)]],
       e2: Encoder[(String, K, Int, Double, String)])
       : Dataset[(String, K, Int, Double, String)] = {
+    // ONE ranking implementation (r15): when the RocksDB provider is
+    // active this surface delegates to the sorted-counts TWS port —
+    // point-write state, top-boundary cache — and the GroupState fold
+    // below remains only as the provider-agnostic fallback (the same
+    // routing StreamJoin.innerJoin uses; transformWithState requires
+    // RocksDB, so the default provider cannot take the port).
+    if (rocksDbActive(ds.sparkSession))
+      return RetractTws.retractableTopNChangelog(ds, n)
 
     def topOf(live: Iterable[(Double, String, Int)]): Seq[(Double, String)] =
       live.toSeq.sortBy { case (score, payload, _) => (-score, payload) }

@@ -8,148 +8,31 @@ import org.apache.spark.sql.streaming._
   * operator category (SCALE.md's mapping table; reference
   * flink-table-runtime/.../rank/RetractableTopNFunction.java:56).
   *
-  * State mapping: the fMGWS original folds the live counted multiset
-  * into ONE GroupState[Seq[(score, payload, count)]] value — whole-state
-  * deserialize + rewrite per key per batch. Here it becomes a named
-  * `MapState[(score, payload), count]` handle, so an accumulate or
-  * retraction is a point read/write on exactly one entry — the
-  * dataState half of Flink's RetractableTopNFunction (which pairs a
-  * MapState dataState with a sorted-counts treeMap; a second
-  * `MapState[score, count]` handle would reproduce that refinement and
-  * drop the top-N recomputation below from O(live) to O(top), the same
-  * upgrade Flink does — left to the actual fleet migration since the
-  * emission contract is identical either way).
+  * Since r15 there is ONE ranking implementation:
+  * [[retractableTopNChangelogSorted]]'s dataState+sorted-counts
+  * processor. The Double-scored variants ([[retractableTopN]],
+  * [[retractableTopNChangelog]]) are thin wrappers that encode the
+  * score as a DESC [[graft.util.SortKey.fieldDouble]] field on the way
+  * in and decode it from the emitted sort key on the way out — the
+  * duplicate live-multiset fold they used to carry is gone. (One
+  * deliberate refinement rides along: payload ties now break in
+  * CODE-POINT order — Spark's UTF8_BINARY — rather than raw UTF-16
+  * code-unit order; identical for ASCII payloads.)
   *
-  * Contract parity: the emitted rows are EXACTLY the fMGWS original's —
-  * the refreshed top-N (including backfill from below the old cut)
-  * whenever it changes. Unlike the join port there is no order caveat:
-  * the output is sorted by construction, so the spec asserts plain
-  * equality. Same runtime prerequisite as the template: the RocksDB
-  * state store provider. */
+  * Same runtime prerequisite as the template: the RocksDB state store
+  * provider. The fMGWS originals in [[Retract]] remain the
+  * provider-agnostic fallbacks. */
 object RetractTws {
   import Retract.{isAdd, isRetract}
 
-  private class TopNProc[K](n: Int)
-      extends StatefulProcessor[K, (K, String, Double, String), (K, Int, Double, String)] {
-
-    @transient private var live: MapState[(Double, String), Int] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      live = getHandle.getMapState[(Double, String), Int]("live",
-        Encoders.tuple(Encoders.scalaDouble, Encoders.STRING),
-        Encoders.scalaInt, TTLConfig.NONE)
-
-    private def topOf(): Seq[(Double, String)] =
-      live.iterator().toSeq
-        .sortBy { case ((score, payload), _) => (-score, payload) }
-        .iterator.flatMap { case ((s, p), c) => Iterator.fill(c)((s, p)) }
-        .take(n).toSeq
-
-    override def handleInputRows(key: K,
-        rows: Iterator[(K, String, Double, String)],
-        tv: TimerValues): Iterator[(K, Int, Double, String)] = {
-      val before = topOf()
-      rows.foreach { case (_, kind, score, payload) =>
-        val entry = (score, payload)
-        if (isAdd(kind))
-          live.updateValue(entry,
-            (if (live.containsKey(entry)) live.getValue(entry) else 0) + 1)
-        else if (isRetract(kind) && live.containsKey(entry)) {
-          val c = live.getValue(entry)
-          if (c == 1) live.removeKey(entry) else live.updateValue(entry, c - 1)
-        }
-      }
-      val after = topOf()
-      if (after == before) Iterator.empty
-      else after.iterator.zipWithIndex.map { case ((score, payload), i) =>
-        (key, i + 1, score, payload)
-      }
-    }
-
-    override def handleExpiredTimer(key: K, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[(K, Int, Double, String)] =
-      Iterator.empty // no timers: state lives until explicitly retracted
-  }
-
-  /** Drop-in swap for `Retract.retractableTopN`: identical input contract
-    * (key, row_kind, score, payload) and output (key, rank, score,
-    * payload). */
-  def retractableTopN[K](ds: Dataset[(K, String, Double, String)], n: Int)(
-      implicit ek: Encoder[K],
-      eout: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] =
-    ds.groupByKey(_._1)
-      .transformWithState(new TopNProc[K](n),
-        TimeMode.None(), OutputMode.Update(), eout)
-
-  private class TopNChangelogProc[K](n: Int)
-      extends StatefulProcessor[K, (K, String, Double, String),
-        (String, K, Int, Double, String)] {
-
-    @transient private var live: MapState[(Double, String), Int] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      live = getHandle.getMapState[(Double, String), Int]("live",
-        Encoders.tuple(Encoders.scalaDouble, Encoders.STRING),
-        Encoders.scalaInt, TTLConfig.NONE)
-
-    private def topOf(): Seq[(Double, String)] =
-      live.iterator().toSeq
-        .sortBy { case ((score, payload), _) => (-score, payload) }
-        .iterator.flatMap { case ((s, p), c) => Iterator.fill(c)((s, p)) }
-        .take(n).toSeq
-
-    override def handleInputRows(key: K,
-        rows: Iterator[(K, String, Double, String)],
-        tv: TimerValues): Iterator[(String, K, Int, Double, String)] = {
-      val before = topOf()
-      rows.foreach { case (_, kind, score, payload) =>
-        val entry = (score, payload)
-        if (isAdd(kind))
-          live.updateValue(entry,
-            (if (live.containsKey(entry)) live.getValue(entry) else 0) + 1)
-        else if (isRetract(kind) && live.containsKey(entry)) {
-          val c = live.getValue(entry)
-          if (c == 1) live.removeKey(entry) else live.updateValue(entry, c - 1)
-        }
-      }
-      val after = topOf()
-      if (after == before) Iterator.empty
-      else {
-        val refreshed = after.iterator.zipWithIndex.collect {
-          case ((score, payload), i)
-              if before.lift(i) != Some((score, payload)) =>
-            (Cdc.UpdateAfter, key, i + 1, score, payload)
-        }
-        val shrunk = before.iterator.zipWithIndex.drop(after.size).map {
-          case ((score, payload), i) => (Cdc.Delete, key, i + 1, score, payload)
-        }
-        refreshed ++ shrunk
-      }
-    }
-
-    override def handleExpiredTimer(key: K, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[(String, K, Int, Double, String)] =
-      Iterator.empty
-  }
-
-  /** Drop-in swap for `Retract.retractableTopNChangelog`: the full
-    * downstream-changelog emit contract (+U refreshed ranks, explicit
-    * -D for vacated ranks) on MapState point writes. */
-  def retractableTopNChangelog[K](
-      ds: Dataset[(K, String, Double, String)], n: Int)(
-      implicit ek: Encoder[K],
-      eout: Encoder[(String, K, Int, Double, String)])
-      : Dataset[(String, K, Int, Double, String)] =
-    ds.groupByKey(_._1)
-      .transformWithState(new TopNChangelogProc[K](n),
-        TimeMode.None(), OutputMode.Update(), eout)
-
   /** Test-visible state-I/O probe for [[retractableTopNChangelogSorted]]
     * (the JdbcWriteStats pattern): pins that a micro-batch touching a
-    * key costs O(distinct sort keys) counts-scan + O(top + changed)
-    * point reads/writes on the payload state — never a materialization
-    * of all live ROWS. Counters are JVM-wide (local-mode executors
-    * share the test JVM). */
+    * key costs AT MOST O(distinct sort keys) counts-scan + O(top +
+    * changed) point reads/writes on the payload state — never a
+    * materialization of all live ROWS — and that a batch whose changes
+    * all sort strictly below a full top's cached boundary costs ZERO
+    * counts-scans. Counters are JVM-wide (local-mode executors share
+    * the test JVM). */
   object TopNStateStats {
     val sortKeysScanned = new java.util.concurrent.atomic.AtomicLong
     val dataPointReads = new java.util.concurrent.atomic.AtomicLong
@@ -160,7 +43,7 @@ object RetractTws {
   }
 
   private val ePayloads = Encoders.product[Tuple1[Seq[(String, Int)]]]
-  private val eSortedOut = Encoders.product[(String, String, Int, String, String)]
+  private val eBoundary = Encoders.product[Tuple1[Seq[(String, String)]]]
 
   /** The dataState + treeMap pairing of RetractableTopNFunction.java:56
     * on arbitrary comparable sort keys:
@@ -171,11 +54,20 @@ object RetractTws {
     *     never the key's full live multiset.
     *   - `counts: MapState[sortKey, liveRows]` — the role of Flink's
     *     `ValueState<SortedMap<sortKey, count>> treeMap`, point-WRITTEN
-    *     here (Flink rewrites the whole SortedMap per access); per
-    *     touched key per batch it is scanned once — O(distinct sort
+    *     here (Flink rewrites the whole SortedMap per access); when a
+    *     batch can affect the top it is scanned once — O(distinct sort
     *     keys), counts only, no payloads — into an in-memory TreeMap
     *     that gives the sorted traversal, so top-N recomputation is
     *     O(distinct) + O(top) payload point reads, not O(live rows).
+    *   - `boundary: ValueState[top snapshot]` — the r15 refinement that
+    *     BEATS the reference's asymptotics: the current top (≤ n
+    *     (sortKey, payload) pairs) is cached across batches, so (a) the
+    *     pre-change top never needs a scan, and (b) a batch whose
+    *     changes ALL sort strictly below a full top's cut key provably
+    *     cannot change the top — state is point-updated and the scan
+    *     and emission are skipped entirely. Flink re-reads its whole
+    *     treeMap every access; this port touches counts only when the
+    *     answer can move.
     *
     * Sort keys are memcmp-encoded FIELD strings (graft.util.SortKey /
     * SortKeyExpr — the generated-comparator role of
@@ -183,20 +75,28 @@ object RetractTws {
     * each field and composites formed by plain concatenation, so ONE
     * processor with ONE natural-order comparator ranks any ORDER BY
     * list of any comparable types in any direction mix. Payload ties
-    * within a sort key order ascending — the deterministic tiebreak
-    * the fMGWS original pinned. */
-  private class TopNChangelogSortedProc(n: Int)
-      extends StatefulProcessor[String, (String, String, String, String),
-        (String, String, Int, String, String)] {
+    * within a sort key order ascending (code-point order = Spark's
+    * UTF8_BINARY).
+    *
+    * `emitAll`: false = delta changelog (+U changed ranks, -D vacated
+    * ranks — the RetractableTopNFunction emit contract); true = emit
+    * EVERY rank of the refreshed top whenever it changes (the plain
+    * [[retractableTopN]] surface's contract). */
+  private class TopNChangelogSortedProc[K](n: Int, emitAll: Boolean)
+      extends StatefulProcessor[K, (K, String, String, String),
+        (String, K, Int, String, String)] {
 
     @transient private var data: MapState[String, Tuple1[Seq[(String, Int)]]] = _
     @transient private var counts: MapState[String, Long] = _
+    @transient private var boundary: ValueState[Tuple1[Seq[(String, String)]]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       data = getHandle.getMapState[String, Tuple1[Seq[(String, Int)]]](
         "data", Encoders.STRING, ePayloads, TTLConfig.NONE)
       counts = getHandle.getMapState[String, Long](
         "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      boundary = getHandle.getValueState[Tuple1[Seq[(String, String)]]](
+        "boundary", eBoundary, TTLConfig.NONE)
     }
 
     private def readList(sk: String): Seq[(String, Int)] = {
@@ -222,50 +122,103 @@ object RetractTws {
       out.result()
     }
 
-    override def handleInputRows(key: String,
-        rows: Iterator[(String, String, String, String)],
-        tv: TimerValues): Iterator[(String, String, Int, String, String)] = {
+    /** Scan the counts state into a sorted snapshot (the one O(distinct
+      * sort keys) pass a top-affecting batch pays). */
+    private def scanCounts(): java.util.TreeMap[String, Long] = {
       // natural code-unit order: field encodings bake the direction in
       val tree = new java.util.TreeMap[String, Long]()
       counts.iterator().foreach { case (sk, c) =>
         tree.put(sk, c); TopNStateStats.sortKeysScanned.incrementAndGet()
       }
-      val before = topOf(tree)
-      rows.foreach { case (_, kind, sk, payload) =>
-        if (isAdd(kind)) {
-          val list = readList(sk)
-          val idx = list.indexWhere(_._1 == payload)
-          val updated =
-            if (idx >= 0) list.updated(idx, (payload, list(idx)._2 + 1))
-            else list :+ ((payload, 1))
-          data.updateValue(sk, Tuple1(updated))
-          TopNStateStats.dataPointWrites.incrementAndGet()
-          val nc = (if (tree.containsKey(sk)) tree.get(sk) else 0L) + 1L
-          tree.put(sk, nc)
-          counts.updateValue(sk, nc)
-        } else if (isRetract(kind)) {
-          val list = readList(sk)
-          val idx = list.indexWhere(_._1 == payload)
-          if (idx >= 0) {
-            val updated =
-              if (list(idx)._2 == 1) list.patch(idx, Nil, 1)
-              else list.updated(idx, (payload, list(idx)._2 - 1))
-            if (updated.isEmpty) data.removeKey(sk)
-            else data.updateValue(sk, Tuple1(updated))
-            TopNStateStats.dataPointWrites.incrementAndGet()
-            val nc = tree.get(sk) - 1L
-            if (nc <= 0L) { tree.remove(sk); counts.removeKey(sk) }
-            else { tree.put(sk, nc); counts.updateValue(sk, nc) }
-          } // absent row: a no-op retraction must not disturb state
-        }
+      tree
+    }
+
+    /** Apply one change to the data + counts state with POINT access
+      * only; `tree`, when present, mirrors the counts updates so the
+      * post-change snapshot needs no second scan. */
+    private def applyChange(kind: String, sk: String, payload: String,
+        tree: Option[java.util.TreeMap[String, Long]]): Unit = {
+      def curCount: Long = tree match {
+        case Some(t) => if (t.containsKey(sk)) t.get(sk) else 0L
+        case None =>
+          if (counts.containsKey(sk)) counts.getValue(sk) else 0L
       }
-      val after = topOf(tree)
-      if (after == before) Iterator.empty
-      else {
-        val refreshed = after.iterator.zipWithIndex.collect {
-          case ((sk, payload), i) if before.lift(i) != Some((sk, payload)) =>
-            (Cdc.UpdateAfter, key, i + 1, sk, payload)
+      if (isAdd(kind)) {
+        val list = readList(sk)
+        val idx = list.indexWhere(_._1 == payload)
+        val updated =
+          if (idx >= 0) list.updated(idx, (payload, list(idx)._2 + 1))
+          else list :+ ((payload, 1))
+        data.updateValue(sk, Tuple1(updated))
+        TopNStateStats.dataPointWrites.incrementAndGet()
+        val nc = curCount + 1L
+        counts.updateValue(sk, nc)
+        tree.foreach(_.put(sk, nc))
+      } else if (isRetract(kind)) {
+        val list = readList(sk)
+        val idx = list.indexWhere(_._1 == payload)
+        if (idx >= 0) {
+          val updated =
+            if (list(idx)._2 == 1) list.patch(idx, Nil, 1)
+            else list.updated(idx, (payload, list(idx)._2 - 1))
+          if (updated.isEmpty) data.removeKey(sk)
+          else data.updateValue(sk, Tuple1(updated))
+          TopNStateStats.dataPointWrites.incrementAndGet()
+          val nc = curCount - 1L
+          if (nc <= 0L) { counts.removeKey(sk); tree.foreach(_.remove(sk): Unit) }
+          else { counts.updateValue(sk, nc); tree.foreach(_.put(sk, nc)) }
+        } // absent row: a no-op retraction must not disturb state
+      }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, String, String, String)],
+        tv: TimerValues): Iterator[(String, K, Int, String, String)] = {
+      val cached: Option[Seq[(String, String)]] =
+        if (boundary.exists()) Some(boundary.get()._1) else None
+      val (before, after): (Seq[(String, String)], Seq[(String, String)]) =
+        cached match {
+          case None =>
+            // first batch for the key (or pre-r15 state without the
+            // snapshot): one scan gives the PRE-change top, the same
+            // tree mirrors the changes, the post-change walk reuses it
+            val tree = scanCounts()
+            val b = topOf(tree)
+            rows.foreach { case (_, kind, sk, payload) =>
+              applyChange(kind, sk, payload, Some(tree))
+            }
+            (b, topOf(tree))
+          case Some(snap) =>
+            // the cached snapshot IS the pre-change top (invariant:
+            // every top-affecting batch rewrites it below). A FULL top
+            // has a cut key; changes strictly below it cannot enter or
+            // vacate the top, so state is point-updated and the scan is
+            // skipped — the below-cut fast path.
+            val cut = if (snap.size == n) Some(snap.last._1) else None
+            var canSkip = cut.isDefined
+            rows.foreach { case (_, kind, sk, payload) =>
+              if (canSkip && cut.exists(c => sk.compareTo(c) <= 0))
+                canSkip = false
+              applyChange(kind, sk, payload, None)
+            }
+            if (canSkip) (snap, snap)
+            else (snap, topOf(scanCounts()))
         }
+      if (after == before) {
+        // keep the snapshot warm even on the no-change scan path (a
+        // first batch that doesn't land in the top still caches it)
+        if (cached.isEmpty) boundary.update(Tuple1(after))
+        Iterator.empty
+      } else {
+        boundary.update(Tuple1(after))
+        val refreshed =
+          if (emitAll) after.iterator.zipWithIndex.map {
+            case ((sk, payload), i) => (Cdc.UpdateAfter, key, i + 1, sk, payload)
+          }
+          else after.iterator.zipWithIndex.collect {
+            case ((sk, payload), i) if before.lift(i) != Some((sk, payload)) =>
+              (Cdc.UpdateAfter, key, i + 1, sk, payload)
+          }
         val shrunk = before.iterator.zipWithIndex.drop(after.size).map {
           case ((sk, payload), i) => (Cdc.Delete, key, i + 1, sk, payload)
         }
@@ -273,27 +226,78 @@ object RetractTws {
       }
     }
 
-    override def handleExpiredTimer(key: String, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[(String, String, Int, String, String)] =
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(String, K, Int, String, String)] =
       Iterator.empty
   }
 
-  /** [[retractableTopNChangelog]] generalized to ANY comparable ORDER BY
-    * list: input (key, row_kind, sortKeyEnc, payload) where sortKeyEnc
-    * is a concatenation of SortKey/SortKeyExpr FIELD encodings
-    * (direction baked per field), output changelog ("+U"/"-D", key,
-    * rank, sortKeyEnc, payload). */
-  def retractableTopNChangelogSorted(
-      ds: Dataset[(String, String, String, String)], n: Int)
-      : Dataset[(String, String, Int, String, String)] = {
-    implicit val eout: Encoder[(String, String, Int, String, String)] = eSortedOut
+  /** Generalized retractable top-N on ANY comparable ORDER BY list:
+    * input (key, row_kind, sortKeyEnc, payload) where sortKeyEnc is a
+    * concatenation of SortKey/SortKeyExpr FIELD encodings (direction
+    * baked per field), output changelog ("+U"/"-D", key, rank,
+    * sortKeyEnc, payload) — +U refreshed ranks, -D vacated ranks. */
+  def retractableTopNChangelogSorted[K](
+      ds: Dataset[(K, String, String, String)], n: Int)(
+      implicit ek: Encoder[K],
+      eout: Encoder[(String, K, Int, String, String)])
+      : Dataset[(String, K, Int, String, String)] =
     // APPEND mode: the emission is a changelog DELTA stream (+U/-D
     // rows), not keyed updates — and append is what lets this operator
     // CHAIN downstream of the fMGWS ChangelogNormalize for DECLARED
     // UPSERT inputs (Spark rejects an Update-mode query containing an
     // append-mode flatMapGroupsWithState)
-    ds.groupByKey(_._1)(Encoders.STRING)
-      .transformWithState(new TopNChangelogSortedProc(n),
-        TimeMode.None(), OutputMode.Append(), eSortedOut)
+    ds.groupByKey(_._1)
+      .transformWithState(new TopNChangelogSortedProc[K](n, emitAll = false),
+        TimeMode.None(), OutputMode.Append(), eout)
+
+  /** Drop-in swap for `Retract.retractableTopN`: identical input
+    * contract (key, row_kind, score, payload) and output (key, rank,
+    * score, payload) — since r15 a thin wrapper over the sorted port
+    * (DESC double field encoding in, score decoded from the emitted
+    * sort key out; -D rows dropped — this surface emits the full
+    * refreshed top, vacated ranks are implied by its shrinking). */
+  def retractableTopN[K](ds: Dataset[(K, String, Double, String)], n: Int)(
+      implicit ek: Encoder[K],
+      eout: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
+    implicit val eIn: Encoder[(K, String, String, String)] =
+      Encoders.tuple(ek, Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    implicit val eMid: Encoder[(String, K, Int, String, String)] =
+      Encoders.tuple(Encoders.STRING, ek, Encoders.scalaInt,
+        Encoders.STRING, Encoders.STRING)
+    ds.map { case (k, kind, score, payload) =>
+      (k, kind, graft.util.SortKey.fieldDouble(score, asc = false), payload)
+    }
+      .groupByKey(_._1)
+      .transformWithState(new TopNChangelogSortedProc[K](n, emitAll = true),
+        TimeMode.None(), OutputMode.Append(), eMid)
+      .filter((t: (String, K, Int, String, String)) => t._1 == Cdc.UpdateAfter)
+      .map { t: (String, K, Int, String, String) =>
+        (t._2, t._3,
+          graft.util.SortKey.decodeFieldDouble(t._4, asc = false), t._5)
+      }
+  }
+
+  /** Drop-in swap for `Retract.retractableTopNChangelog`: the full
+    * downstream-changelog emit contract (+U refreshed ranks, explicit
+    * -D for vacated ranks) — since r15 a thin wrapper over the sorted
+    * port. */
+  def retractableTopNChangelog[K](
+      ds: Dataset[(K, String, Double, String)], n: Int)(
+      implicit ek: Encoder[K],
+      eout: Encoder[(String, K, Int, Double, String)])
+      : Dataset[(String, K, Int, Double, String)] = {
+    implicit val eIn: Encoder[(K, String, String, String)] =
+      Encoders.tuple(ek, Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    implicit val eMid: Encoder[(String, K, Int, String, String)] =
+      Encoders.tuple(Encoders.STRING, ek, Encoders.scalaInt,
+        Encoders.STRING, Encoders.STRING)
+    retractableTopNChangelogSorted(
+      ds.map { case (k, kind, score, payload) =>
+        (k, kind, graft.util.SortKey.fieldDouble(score, asc = false), payload)
+      }, n)
+      .map { case (kind, k, rank, sk, payload) =>
+        (kind, k, rank,
+          graft.util.SortKey.decodeFieldDouble(sk, asc = false), payload)
+      }
   }
 }

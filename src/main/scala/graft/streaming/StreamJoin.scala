@@ -115,13 +115,25 @@ object StreamJoin {
 
   /** Inner join of two keyed changelogs. Input rows: (key, row_kind,
     * payload). Output rows: (key, row_kind, leftPayload, rightPayload)
-    * with row_kind in {+I, -D}. */
+    * with row_kind in {+I, -D}.
+    *
+    * Since r15 this is the fleet-migration FRONT of the stream-stream
+    * join: when the session's state-store provider is RocksDB (the
+    * transformWithState prerequisite) the call routes onto the
+    * [[StreamJoinTws]] point-write port — per-entry MapState access
+    * instead of the whole-GroupState fold below, which remains the
+    * provider-agnostic fallback. Net changelog identical either way
+    * (spec-pinned); per-batch emission ORDER may differ (MapState
+    * iteration order is store-defined). */
   def innerJoin[K, L, R](
       left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
-      implicit ek: Encoder[K],
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])],
       es: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
-      eo: Encoder[(K, String, L, R)]): Dataset[(K, String, L, R)] =
+      eo: Encoder[(K, String, L, R)]): Dataset[(K, String, L, R)] = {
+    if (Retract.rocksDbActive(left.sparkSession))
+      return StreamJoinTws.innerJoin(left, right)
     tagged(left, right).groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, rows: Iterator[(Int, K, String, Option[L], Option[R])],
@@ -129,6 +141,7 @@ object StreamJoin {
           processKey(key, rows, state, padLeft = false, padRight = false)
             .map { case (k, kind, l, r) => (k, kind, l.get, r.get) }
       }
+  }
 
   /** LEFT OUTER join: output rows (key, row_kind, leftPayload,
     * Option(rightPayload)). */

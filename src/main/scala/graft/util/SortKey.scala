@@ -135,8 +135,26 @@ object SortKey {
   def fieldDouble(v: Double, asc: Boolean): String =
     if (asc) ofDouble(v) else invertFixed(ofDouble(v))
 
+  /** Inverse of [[fieldDouble]] (all double encodings are bijective 16-hex
+    * fields; NaN decodes to the canonical NaN [[ofDouble]] encoded). Lets
+    * the Double-scored top-N wrappers recover the score from the sorted
+    * port's emitted sort key instead of carrying it twice. */
+  def decodeFieldDouble(enc: String, asc: Boolean): Double = {
+    val e = if (asc) enc else invertFixed(enc)
+    val ordered = java.lang.Long.parseUnsignedLong(e, 16)
+    val bits = if (ordered < 0L) ordered ^ Long.MinValue else ~ordered
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
   def fieldDecimal(v: java.math.BigDecimal, scale: Int, asc: Boolean): String =
     if (asc) ofDecimal(v, scale) else invertFixed(ofDecimal(v, scale))
+
+  /** Boolean field: false < true (SQL order), one fixed-width hex digit
+    * so [[invertFixed]] bakes DESC like every numeric field. */
+  def fieldBoolean(v: Boolean, asc: Boolean): String = {
+    val e = if (v) "1" else "0"
+    if (asc) e else invertFixed(e)
+  }
 
   /** Delimited, direction-baked string field (see the block comment):
     * ASC terminates with U+0000 and escapes content U+0000/U+0001

@@ -179,16 +179,17 @@ class ChangelogStreamSpec extends AnyFunSuite {
         assert(streamAns == batchAns,
           s"commit $i: stream $streamAns != batch $batchAns")
       }
-      // changelog x changelog is not this path's shape: it falls out of
-      // streamMatches and the INSERT front door rejects LOUDLY (no
-      // watermarked source) rather than running half-right
+      // changelog x changelog is the r15 streamJoin path's shape — an
+      // AGGREGATE over it still rejects LOUDLY (one stateful changelog
+      // operator per query) with chain-through-a-sink guidance rather
+      // than running half-right
       val e = intercept[IllegalArgumentException] {
         Engine.sqlStreamInsert(spark,
           s"INSERT INTO nowhere_$h SELECT COUNT(*) AS n FROM $src a " +
             s"JOIN $src b ON a.k = b.k", "/tmp/never2")
       }
-      assert(e.getMessage.contains("WATERMARK") ||
-        e.getMessage.contains("rewrite"), e.getMessage)
+      assert(e.getMessage.contains("aggregating the join's changelog"),
+        e.getMessage)
     } finally {
       q.stop()
       Seq(src, sink, dim).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -945,6 +946,70 @@ class ChangelogStreamSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("ORDER BY"), e.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS $src"): Unit
+  }
+
+  /** COMPUTED ORDER BY items (r15): expressions project into derived
+    * columns before the state boundary; retraction matching re-encodes
+    * a -D to the identical composite key its +I produced; encoding
+    * columns inside an expression reject loudly; non-encodable
+    * expression TYPES reject loudly. */
+  test("top-N ORDER BY expressions: stream equals batch; bad shapes reject") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val (src, sink) = (s"cl_oexpr_src_$h", s"cl_oexpr_sink_$h")
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    createChangelogTable(src) // (row_kind, cdc_ts, g, k, x)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-oexpr").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT g, k, x, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+          ORDER BY LENGTH(k) DESC, x < 5.0, k) AS rn
+        FROM $src) t
+      WHERE rn <= 2"""
+    val q = Engine.sqlStreamInsert(spark, stmt, ckpt)
+    try {
+      append(src, Seq(
+        """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"kk1","x":10.0}}""",
+        """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"k2","x":4.0}}""",
+        """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"kkk3","x":2.0}}""",
+        """{"op":"c","ts_ms":1,"before":null,"after":{"g":"g1","k":"kkk4","x":9.0}}"""))
+      q.processAllAvailable()
+      def top(): Seq[(String, String, Double, Long)] =
+        ChangelogSql.materializeUpsertSink(spark, sink)
+          .select($"g", $"k", $"x".cast("double"), $"rn")
+          .as[(String, String, Double, Long)].collect().toSeq.sortBy(_._4)
+      // LENGTH 4 first (kkk3, kkk4); x<5 false first -> kkk4 (9.0) rank 1
+      assert(top() == Seq(("g1", "kkk4", 9.0, 1L), ("g1", "kkk3", 2.0, 2L)),
+        top().toString)
+      // retracting kkk4 must re-encode the same composite key: kkk3
+      // promotes, kk1 backfills
+      append(src, Seq(
+        """{"op":"d","ts_ms":2,"before":{"g":"g1","k":"kkk4","x":9.0},"after":null}"""))
+      q.processAllAvailable()
+      assert(top() == Seq(("g1", "kkk3", 2.0, 1L), ("g1", "kk1", 10.0, 2L)),
+        top().toString)
+    } finally q.stop()
+    // encoding columns inside an ORDER BY expression reject loudly
+    val e1 = intercept[Exception] {
+      Engine.sqlStreamInsert(spark, s"""INSERT INTO nowhere_oe_$h
+        SELECT g, k, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+            ORDER BY LENGTH(row_kind) DESC) AS rn
+          FROM $src) t
+        WHERE rn <= 2""", "/tmp/never-oe")
+    }
+    assert(e1.getMessage.contains("encoding column"), e1.getMessage)
+    // a non-encodable expression type rejects loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""INSERT INTO nowhere_oe_$h
+        SELECT g, k, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+            ORDER BY ARRAY(x) DESC) AS rn
+          FROM $src) t
+        WHERE rn <= 2""", "/tmp/never-oe2")
+    }
+    assert(e2.getMessage.contains("order-preserving"), e2.getMessage)
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
   /** Continuous two-sided retraction JOIN (StreamExecJoin.java:132 →

@@ -184,4 +184,47 @@ class RetractTwsSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  /** Top-boundary cache (r15 — beats the reference's own asymptotics:
+    * Flink re-reads its whole treeMap state every access): a batch
+    * whose changes ALL sort strictly below a full top's cut key cannot
+    * change the top, so it costs point writes ONLY — zero counts-scan,
+    * zero emission — while its state updates stay exact (a later
+    * leader retraction backfills through rows the skipped batch
+    * touched). */
+  test("sorted-counts port: below-cut batches skip the counts scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val enc = (v: Long) => graft.util.SortKey.fieldLong(v, asc = false)
+    val in = MemoryStream[(String, String, String, String)]
+    val out = RetractTws.retractableTopNChangelogSorted(in.toDS(), n = 2)
+    TestSpark.withRocksDB {
+      val q = out.toDF("kind", "k", "rank", "sk", "payload").writeStream
+        .outputMode("append").format("memory").queryName("rtws_cut").start()
+      try {
+        in.addData((1L to 10L).map(v => ("1", "+I", enc(v), s"p$v")): _*)
+        q.processAllAvailable()
+        val base = spark.table("rtws_cut").count()
+        RetractTws.TopNStateStats.reset()
+        // strictly below the cut (top-2 = 10, 9; cut = enc(9)): one new
+        // row at 5, one retraction at 3 — point writes only
+        in.addData(("1", "+I", enc(5L), "below"), ("1", "-D", enc(3L), "p3"))
+        q.processAllAvailable()
+        assert(RetractTws.TopNStateStats.sortKeysScanned.get() == 0L,
+          "below-cut batch paid a counts scan")
+        assert(RetractTws.TopNStateStats.dataPointWrites.get() == 2L)
+        assert(spark.table("rtws_cut").count() == base, "phantom emission")
+        // retracting the whole 10..6 range forces the scan path and
+        // backfills THROUGH the skipped batch's updates: the row added
+        // below the cut surfaces, tie-broken ascending by payload
+        in.addData((6L to 10L).map(v => ("1", "-D", enc(v), s"p$v")): _*)
+        q.processAllAvailable()
+        val rows = spark.table("rtws_cut")
+          .as[(String, String, Int, String, String)].collect().toSeq
+        val lastTop = rows.drop(base.toInt).filter(_._1 == "+U")
+          .map(r => (r._3, r._5)).sortBy(_._1)
+        assert(lastTop == Seq((1, "below"), (2, "p5")), lastTop.toString)
+      } finally q.stop()
+    }
+  }
 }

@@ -40,6 +40,30 @@ class SortKeySpec extends AnyFunSuite {
     assert(ord.compare(SortKey.ofDouble(-0.0), SortKey.ofDouble(0.0)) < 0)
   }
 
+  test("boolean field: false < true ascending, inverted descending, fixed width") {
+    assert(ord.compare(SortKey.fieldBoolean(false, asc = true),
+      SortKey.fieldBoolean(true, asc = true)) < 0)
+    assert(ord.compare(SortKey.fieldBoolean(false, asc = false),
+      SortKey.fieldBoolean(true, asc = false)) > 0)
+    for (v <- Seq(true, false); asc <- Seq(true, false))
+      assert(SortKey.fieldBoolean(v, asc).length == 1)
+  }
+
+  test("decodeFieldDouble inverts fieldDouble in both directions") {
+    val interesting = Seq(Double.NegativeInfinity, -1.0e300, -1.0, -0.0, 0.0,
+      Double.MinPositiveValue, 1.0, 1.0e300, Double.PositiveInfinity)
+    val pool = interesting ++
+      Seq.fill(500)(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+        .filterNot(_.isNaN)
+    for (v <- pool; asc <- Seq(true, false)) {
+      val back = SortKey.decodeFieldDouble(SortKey.fieldDouble(v, asc), asc)
+      assert(java.lang.Double.compare(back, v) == 0, s"$v asc=$asc -> $back")
+    }
+    // NaN decodes to the canonical NaN (bit pattern normalized by encode)
+    assert(SortKey.decodeFieldDouble(
+      SortKey.fieldDouble(Double.NaN, asc = false), asc = false).isNaN)
+  }
+
   test("decimal encoding preserves order incl. negatives and mixed magnitudes") {
     def d(s: String) = new java.math.BigDecimal(s)
     val vals = Seq("-99999999999999999999.99", "-12345.67", "-1.00", "-0.01",
