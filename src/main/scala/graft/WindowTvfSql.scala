@@ -46,12 +46,61 @@ object WindowTvfSql {
   private val LegacyRe = """(?is)\bGROUP\s+BY\b.*?\b(TUMBLE|HOP|SESSION)\s*\(""".r
   private val viewCounter = new AtomicInteger(0)
 
-  /** Same-length literal blanking: string contents become spaces so regex
-    * finds and paren walks never react to SQL inside a quoted literal,
-    * while every index still maps into the original text (shared
-    * implementation — SqlSplit handles escapes and quote doubling). */
+  /** Same-length literal AND comment blanking: string contents and
+    * comments become spaces so regex finds and paren walks never react
+    * to SQL inside a quoted literal or a comment, while every index
+    * still maps into the original text (shared implementation —
+    * SqlTokens handles escapes, quote doubling and nested comments). */
   private def blanked(s: String): String =
     graft.util.SqlSplit.blankLiterals(s)
+
+  /** First occurrence of the keyword sequence `words` at parenthesis
+    * depth 0 of the TOKEN stream, at/after `from` — the single lexical
+    * layer's replacement for hand-rolled depth walks: a keyword inside
+    * a literal is a Str token, one inside a comment never reaches the
+    * walk, a backticked `group` is a QUOTED identifier, and parens
+    * inside either cannot desync the depth count. Returns (start, end)
+    * character offsets of the matched keyword span. */
+  private def topLevelKw(s: String, words: Seq[String],
+      from: Int = 0): Option[(Int, Int)] = {
+    import graft.util.SqlTokens
+    val toks = SqlTokens.structural(SqlTokens.tokenize(s))
+    var depth = 0
+    var i = 0
+    var res: Option[(Int, Int)] = None
+    while (res.isEmpty && i < toks.length) {
+      toks(i).kind match {
+        case SqlTokens.Kind.LParen => depth += 1
+        case SqlTokens.Kind.RParen => depth -= 1
+        case SqlTokens.Kind.Ident if depth == 0 && toks(i).start >= from &&
+            s.charAt(toks(i).start) != '`' =>
+          val ok = words.indices.forall(j => i + j < toks.length &&
+            toks(i + j).kind == SqlTokens.Kind.Ident &&
+            s.charAt(toks(i + j).start) != '`' &&
+            toks(i + j).word(s) == words(j))
+          if (ok) res = Some((toks(i).start, toks(i + words.length - 1).end))
+        case _ => ()
+      }
+      i += 1
+    }
+    res
+  }
+
+  /** Replace every whole-word `name` OUTSIDE literals/comments with
+    * `repl`: finds run on the blanked text, splices take the original,
+    * so a quoted 'window_start' in a select item survives the streaming
+    * rewrite verbatim. */
+  private def replaceWord(text: String, name: String, repl: String): String = {
+    val re = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+    val b = blanked(text)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(b).foreach { m =>
+      sb.append(text.substring(last, m.start)).append(repl)
+      last = m.end
+    }
+    sb.append(text.substring(last)).toString
+  }
 
   def matches(sql: String): Boolean = {
     val b = blanked(sql)
@@ -76,27 +125,10 @@ object WindowTvfSql {
       val openFn = b.indexOf('(', b.indexOf(mm.group(1), openTable))
       val closeFn = matchParen(b, openFn)
       val args = q.substring(openFn + 1, closeFn)
-      // top-level GROUP BY (depth 0 of the blanked text) = the
+      // top-level GROUP BY (depth 0 of the token stream) = the
       // aggregated shape; per-row TVF annotation with no aggregate is
       // streaming-legal and keeps the expand path
-      val hasTopGroupBy = {
-        var d = 0
-        var found = false
-        var i = 0
-        while (!found && i < b.length) {
-          b.charAt(i) match {
-            case '(' => d += 1
-            case ')' => d -= 1
-            case 'g' | 'G' if d == 0 && b.regionMatches(true, i, "group", 0, 5) &&
-                (i == 0 || !b.charAt(i - 1).isLetterOrDigit) &&
-                """(?is)^GROUP\s+BY\b""".r.findFirstIn(b.substring(i)).isDefined =>
-              found = true
-            case _ => ()
-          }
-          i += 1
-        }
-        found
-      }
+      val hasTopGroupBy = topLevelKw(q, Seq("GROUP", "BY")).isDefined
       val streaming = isStreamingTable(spark, fn, args)
       if (fn == "CUMULATE" && hasTopGroupBy && streaming) {
         // grouped streaming CUMULATE has no native grouping expression
@@ -479,17 +511,26 @@ object WindowTvfSql {
       "CUMULATE: maxSize must be a positive multiple of step")
     val q = q0.substring(0, spanStart) + "__graft_cumulate_src__" +
       q0.substring(spanEnd + 1)
-    """(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b""".r.findFirstIn(blanked(q)).foreach(kw =>
-      throw new IllegalArgumentException(
-        s"streaming CUMULATE does not support $kw (append mode emits each " +
-          "slice exactly once on watermark passage; run the statement in " +
-          "batch for post-aggregate shaping)"))
-    val (itemsText, whereOpt, grpText) = q match {
-      case CumSelRe(items, w, g) => (items, Option(w), g)
-      case _ => throw new IllegalArgumentException(
-        "streaming CUMULATE supports SELECT <items> FROM TABLE(CUMULATE(...)) " +
-          s"[WHERE ...] GROUP BY window_start, window_end[, keys]; got: $q0")
-    }
+    Seq(Seq("HAVING"), Seq("ORDER", "BY"), Seq("LIMIT")).foreach(kw =>
+      topLevelKw(q, kw).foreach(_ =>
+        throw new IllegalArgumentException(
+          s"streaming CUMULATE does not support ${kw.mkString(" ")} " +
+            "(append mode emits each slice exactly once on watermark " +
+            "passage; run the statement in batch for post-aggregate " +
+            "shaping)")))
+    // clause skeleton matched on the BLANKED text (keywords inside
+    // literals/comments are inert), slices taken from the ORIGINAL so
+    // literal contents survive into items/WHERE
+    val (itemsText, whereOpt, grpText) =
+      CumSelRe.findFirstMatchIn(blanked(q)) match {
+        case Some(m) =>
+          def grp(i: Int): Option[String] =
+            if (m.start(i) < 0) None else Some(q.substring(m.start(i), m.end(i)))
+          (grp(1).get, grp(2), grp(3).get)
+        case None => throw new IllegalArgumentException(
+          "streaming CUMULATE supports SELECT <items> FROM TABLE(CUMULATE(...)) " +
+            s"[WHERE ...] GROUP BY window_start, window_end[, keys]; got: $q0")
+      }
     val winNames = Set("window_start", "window_end", "window_time")
     val grpItems = SqlSplit.splitTopLevel(grpText).map(_.trim)
     require(grpItems.exists(g => winNames.contains(g.toLowerCase)),
@@ -661,34 +702,19 @@ object WindowTvfSql {
 
     // ---- GROUP BY surgery: drop the window columns, lead with the
     // session_window expression (streaming requires grouping by the
-    // expression itself, not by its output fields). Anchors must sit at
-    // parenthesis depth 0 of the blanked text — a derived table's GROUP
-    // BY, or a LIMIT inside a subquery, is nested in parens and must not
-    // capture the cut (blanked() masks strings only, not parens).
-    def topLevel(s: String, re: scala.util.matching.Regex,
-        from: Int = 0): Option[scala.util.matching.Regex.Match] = {
-      val depth = new Array[Int](s.length + 1)
-      var d = 0
-      var i = 0
-      while (i < s.length) {
-        depth(i) = d
-        s.charAt(i) match {
-          case '(' => d += 1
-          case ')' => d -= 1
-          case _ =>
-        }
-        i += 1
-      }
-      re.findAllMatchIn(s).find(m => m.start >= from && depth(m.start) == 0)
-    }
-    val b1 = blanked(q)
-    val gbRe = """(?is)\bGROUP\s+BY\b""".r
-    val gb = topLevel(b1, gbRe).getOrElse(throw new IllegalArgumentException(
-      s"streaming $fn TVF requires an aggregated shape: " +
-        "GROUP BY window_start, window_end[, keys...]"))
-    val tailKw = """(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b""".r
-    val gbEnd = topLevel(b1, tailKw, gb.end).map(_.start).getOrElse(q.length)
-    val items = SqlSplit.splitTopLevel(q.substring(gb.end, gbEnd)).map(_.trim)
+    // expression itself, not by its output fields). Anchors come from
+    // the TOKEN walk (topLevelKw) — a derived table's GROUP BY, or a
+    // LIMIT inside a subquery, sits at paren depth > 0 and never
+    // captures the cut; keywords in literals/comments never tokenize as
+    // identifiers at all.
+    val gb = topLevelKw(q, Seq("GROUP", "BY")).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming $fn TVF requires an aggregated shape: " +
+          "GROUP BY window_start, window_end[, keys...]"))
+    val gbEnd = Seq(Seq("HAVING"), Seq("ORDER", "BY"), Seq("LIMIT"))
+      .flatMap(kw => topLevelKw(q, kw, gb._2).map(_._1))
+      .minOption.getOrElse(q.length)
+    val items = SqlSplit.splitTopLevel(q.substring(gb._2, gbEnd)).map(_.trim)
     val winNames = Set("window_start", "window_end", "window_time")
     // A GROUP BY with no window column at all is a REGULAR per-key
     // aggregate over the TVF scan (valid update-mode SQL in the
@@ -702,34 +728,22 @@ object WindowTvfSql {
         "update-mode semantics this engine does not run — got GROUP BY " +
         items.mkString(", "))
     val kept = items.filterNot(i => winNames.contains(i.toLowerCase))
-    q = q.substring(0, gb.end) + " " + (sw +: kept).mkString(", ") +
+    q = q.substring(0, gb._2) + " " + (sw +: kept).mkString(", ") +
       (if (gbEnd < q.length) " " + q.substring(gbEnd) else "")
 
     // ---- SELECT list: bare window columns keep their TVF output names
-    val b2 = blanked(q)
-    val selRe = """(?is)\bSELECT\b""".r
-    val sel = selRe.findFirstMatchIn(b2).get
-    var depth = 0
-    var fromIdx = -1
-    var i = sel.end
-    while (fromIdx < 0 && i < b2.length) {
-      b2.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'f' | 'F' if depth == 0 &&
-          b2.regionMatches(true, i, "from", 0, 4) &&
-          (i == 0 || !b2.charAt(i - 1).isLetterOrDigit) &&
-          (i + 4 >= b2.length || !b2.charAt(i + 4).isLetterOrDigit) => fromIdx = i
-        case _ =>
-      }
-      i += 1
-    }
-    require(fromIdx > 0, s"streaming $fn TVF: no FROM clause")
-    def subst(s: String): String = s
-      .replaceAll("(?i)\\bwindow_time\\b", s"($struct.end - INTERVAL 1 MILLISECOND)")
-      .replaceAll("(?i)\\bwindow_start\\b", s"$struct.start")
-      .replaceAll("(?i)\\bwindow_end\\b", s"$struct.end")
-    val selItems = SqlSplit.splitTopLevel(q.substring(sel.end, fromIdx)).map(_.trim)
+    val sel = topLevelKw(q, Seq("SELECT")).getOrElse(
+      throw new IllegalArgumentException(s"streaming $fn TVF: no SELECT"))
+    val fromIdx = topLevelKw(q, Seq("FROM"), sel._2).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"streaming $fn TVF: no FROM clause"))
+    // whole-word window-column substitution OUTSIDE literals/comments —
+    // a quoted 'window_start' in an item or a predicate survives
+    def subst(s: String): String =
+      replaceWord(replaceWord(replaceWord(s,
+        "window_time", s"($struct.end - INTERVAL 1 MILLISECOND)"),
+        "window_start", s"$struct.start"),
+        "window_end", s"$struct.end")
+    val selItems = SqlSplit.splitTopLevel(q.substring(sel._2, fromIdx)).map(_.trim)
       .map { item =>
         item.toLowerCase match {
           case "window_start" => s"$struct.start AS window_start"
@@ -739,7 +753,7 @@ object WindowTvfSql {
           case _ => subst(item)
         }
       }
-    q.substring(0, sel.end) + " " + selItems.mkString(", ") + " " +
+    q.substring(0, sel._2) + " " + selItems.mkString(", ") + " " +
       subst(q.substring(fromIdx))
   }
 

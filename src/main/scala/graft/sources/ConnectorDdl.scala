@@ -396,7 +396,21 @@ object JdbcConnector {
     // sort is not stable, so two changes to one key sharing a
     // commit-sequence value (e.g. a -U/+U pair stamped with one cdc_ts)
     // could otherwise reach the last-wins reduce buffer in either order
-    // and persist a stale image
+    // and persist a stale image.
+    //
+    // PRECONDITION (documented contract): the tiebreaker is arrival
+    // order only WITHIN one input partition
+    // (monotonically_increasing_id = partitionIndex << 33 | rowIndex),
+    // so same-(key, seq) changes originating in DIFFERENT partitions
+    // settle in partition-INDEX order — deterministic across retries
+    // (spec-pinned), but not producer order, which no Spark-side stamp
+    // can recover once the producer's order is already lost across
+    // partitions. In every front-door pipeline the precondition holds
+    // by construction: a micro-batch changelog stamps one SeqCol per
+    // commit and one key's changes within a commit are emitted by ONE
+    // task (the upstream operator is keyed), exactly Flink's
+    // keyed-channel ordering assumption (JdbcOutputFormat buffers
+    // per-key in arrival order for the same reason).
     val tagged = orderCol.fold(df)(_ =>
       df.withColumn("__graft_arrival", monotonically_increasing_id()))
     // 'sink.parallelism' fixes the partition count (= concurrent DB

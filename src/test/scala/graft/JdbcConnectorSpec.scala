@@ -242,6 +242,48 @@ class JdbcConnectorSpec extends AnyFunSuite {
     assert(readAll("tie_t") == (1L to 10L).map(k => (k, "fresh", 1.0)))
   }
 
+  /** The documented keyedLayout PRECONDITION (r15): same-(key, seq)
+    * changes from DIFFERENT input partitions settle in partition-INDEX
+    * order — deterministic across repeated runs, though not producer
+    * order (which is unrecoverable once lost across partitions; every
+    * front-door pipeline keeps one key's same-commit changes in one
+    * task, so the case never arises there). */
+  test("forced cross-partition tie settles deterministically (partition order)") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE xtie_t (id BIGINT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(32), score DOUBLE)")
+      st.close()
+    }
+    // one key, TWO +U changes at the SAME cdc_ts, FORCED into different
+    // input partitions: partition 0 carries 'p0', partition 1 'p1'
+    def run(): Seq[(Long, String, Double)] = {
+      withConn { c =>
+        val st = c.createStatement()
+        st.execute("DELETE FROM xtie_t"); st.close()
+      }
+      val rdd = spark.sparkContext.parallelize(
+        Seq(("+U", 1L, "p0", 0.0, 7L), ("+U", 1L, "p1", 1.0, 7L)),
+        numSlices = 2) // one row per input partition, pinned at the RDD
+      val log = spark.createDataFrame(rdd)
+        .toDF("row_kind", "id", "name", "score", "cdc_ts")
+      assert(log.rdd.getNumPartitions == 2)
+      JdbcConnector.upsertWrite(log,
+        Map("url" -> dbUrl, "table-name" -> "xtie_t"), Seq("id"))
+      readAll("xtie_t")
+    }
+    val first = run()
+    // partition-index order: the higher-indexed partition's row wins
+    assert(first == Seq((1L, "p1", 1.0)), first.toString)
+    // and the settle is STABLE across repeated runs
+    assert(run() == first && run() == first)
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("DROP TABLE xtie_t"); st.close()
+    }
+  }
+
   test("sink layout plan: hash-repartition by pk, in-partition commit order") {
     import spark.implicits._
     val df = Seq(("+U", 1L, 2L, "a", 1.0), ("+U", 2L, 1L, "b", 2.0))

@@ -507,6 +507,50 @@ class SqlFrontDoorNegativeSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("neg_ev_tvf")
   }
 
+  /** r15 tokenizer re-base of WindowTvfSql's clause surgery: the GROUP
+    * BY / HAVING / SELECT / FROM anchors come from the token walk and
+    * the window-column substitution is blanked-position based, so (a) a
+    * comment-LED statement with decoy marker text inside the comment
+    * still lowers, (b) TVF-adjacent literals carrying commas, parens
+    * and clause keywords never split a clause, and (c) a quoted
+    * 'window_start' survives the streaming rewrite verbatim while the
+    * bare column rewrites. */
+  test("comment-led TVF statement with clause keywords in comments lowers") {
+    import spark.implicits._
+    evRows.createOrReplaceTempView("neg_ev_cmt")
+    try {
+      val got = Engine.sql(spark, """
+        /* lead comment: TABLE(TUMBLE( GROUP BY LIMIT ) */
+        SELECT /* GROUP BY */ window_start, COUNT(*) AS c,
+               ' GROUP BY window_end, LIMIT 1 ' AS decoy
+        FROM TABLE(TUMBLE(TABLE neg_ev_cmt, DESCRIPTOR(ts),
+                          INTERVAL '1' MINUTE)) -- ORDER BY trap
+        GROUP BY /* nested /* comment */ here */ window_start
+        ORDER BY window_start""")
+        .select($"c").as[Long].collect().toSeq
+      assert(got == Seq(2L, 1L), s"got $got")
+    } finally spark.catalog.dropTempView("neg_ev_cmt")
+  }
+
+  test("streaming window rewrite: quoted 'window_start' survives verbatim") {
+    val q0 = "SELECT window_start, 'window_start' AS lit, SUM(x) AS s " +
+      "FROM TABLE(TUMBLE(TABLE __t__, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) " +
+      "WHERE note <> 'window_end' " +
+      "GROUP BY window_start, window_end"
+    val span0 = q0.indexOf("TABLE(")
+    val fnClose = q0.indexOf("))", span0) // TUMBLE's close; TABLE's is +1
+    val spanEnd = fnClose + 1
+    val args = q0.substring(q0.indexOf("TUMBLE(") + 7, fnClose)
+    val out = WindowTvfSql.rewriteStreamingWindow(
+      q0, span0, spanEnd, "TUMBLE", args)
+    // literals untouched; bare window columns rewritten to the struct
+    assert(out.contains("'window_start' AS lit"), out)
+    assert(out.contains("'window_end'"), out)
+    assert(out.contains("window.start AS window_start"), out)
+    assert(out.contains("GROUP BY window(ts, '1 minutes')"), out)
+    assert(!out.contains("GROUP BY window_start"), out)
+  }
+
   // ---- group 4: a decoy literal next to the REAL construct still lowers
 
   test("decoy literal does not mask a real window TVF") {
