@@ -1899,13 +1899,14 @@ object ChangelogSql {
         // TIME casts exactly to fractional seconds-of-day (nanos kept)
         case _: org.apache.spark.sql.types.TimeType => c.cast("decimal(18,9)")
         case org.apache.spark.sql.types.BooleanType => c
+        case org.apache.spark.sql.types.BinaryType => c
         case _: org.apache.spark.sql.types.NumericType => c
         case _: org.apache.spark.sql.types.StringType => c
         case other => throw new IllegalArgumentException(
           s"streaming top-N ORDER BY ${shape.orderItems(i)._1}: type " +
             s"${other.simpleString} has no order-preserving sort-key " +
-            "encoding (numeric, decimal, string, boolean, date, time " +
-            "and timestamp are supported)")
+            "encoding (numeric, decimal, string, boolean, binary, date, " +
+            "time and timestamp are supported)")
       }
       d.withColumn(itemCol(i), pre)
     }
@@ -2008,10 +2009,12 @@ object ChangelogSql {
 
   /** `orderTags`: the select list's side per item in STATEMENT order
     * (0 = left, 1 = right) — replays the user's column order across the
-    * per-side splits. */
+    * per-side splits. `whereConjs`: the WHERE clause's top-level AND
+    * conjuncts (side classification happens in the lowering, where the
+    * schemas are at hand). */
   private case class StreamJoinShape(
       left: StreamJoinSide, right: StreamJoinSide, joinType: String,
-      orderTags: Seq[Int])
+      orderTags: Seq[Int], whereConjs: Seq[String])
 
   /** Does `select` read TWO (or more) changelog relations in a linear
     * join chain — the statement shape [[streamJoin]] owns? (Everything
@@ -2046,15 +2049,6 @@ object ChangelogSql {
     if (jt == "CROSS") bad(
       "CROSS JOIN of two changelogs has no key to partition state by; " +
         "give an ON equi-condition")
-    if (jt != "INNER") bad(
-      s"$jt JOIN of two changelogs needs padded-side retraction " +
-        "bookkeeping (OuterJoinRecordStateView) that this front door does " +
-        "not lower yet; INNER is supported — or join the materialized " +
-        "final states (FINAL_STATE) in batch")
-    c.where.foreach(_ => bad(
-      "WHERE is not supported on the continuous join statement; filter " +
-        "the changelog at ingest (a view over the source) or read the " +
-        "materialized sink"))
     val hasAggCall = callNames(blank(c.selectList) + " " +
       c.having.map(blank).getOrElse("")).exists(n =>
       Supported(n) || StreamOverSql.customAgg(n).isDefined ||
@@ -2066,7 +2060,8 @@ object ChangelogSql {
         "changelog with its own continuous statement")
     if (c.orderBy.isDefined || c.limit.isDefined) bad(
       "ORDER BY / LIMIT have no meaning on a continuous changelog")
-    val all = blank(c.selectList) + " " + blank(c.relation)
+    val all = blank(c.selectList) + " " + blank(c.relation) + " " +
+      c.where.map(blank).getOrElse("")
     Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).foreach(m =>
       if (("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
           .findFirstIn(all).isDefined)
@@ -2145,31 +2140,95 @@ object ChangelogSql {
         items.collect { case (0, col0, out) => (col0, out) }),
       StreamJoinSide(rRel.name, rRel.alias, pairs.map(_._2),
         items.collect { case (1, col0, out) => (col0, out) }),
-      jt, items.map(_._1))
+      jt, items.map(_._1),
+      c.where.map(graft.util.SqlSplit.splitTopLevelAnd(_)).getOrElse(Nil))
+  }
+
+  /** Classify each WHERE conjunct onto ONE side by attempted analysis
+    * against that side's (aliased) schema, and enforce outer-join
+    * pushability: a deterministic payload predicate commutes with a
+    * changelog (a retraction passes iff the row it retracts did), so a
+    * single-side conjunct filters its side's stream BEFORE the join
+    * state — exactly Catalyst's own pushdown rule — but a predicate on
+    * a NULL-PADDED side would also erase pads (post-join WHERE
+    * semantics differ from pushdown there), and a cross-side predicate
+    * is a join condition, so both reject loudly. Returns (left
+    * conjuncts, right conjuncts). */
+  private def classifyJoinWhere(spark: SparkSession, sh: StreamJoinShape)
+      : (Seq[String], Seq[String]) = {
+    if (sh.whereConjs.isEmpty) return (Nil, Nil)
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous two-sided retraction JOIN: $msg")
+    def probe(rel: String, alias: Option[String]) = {
+      val name = alias.getOrElse(rel.split('.').last)
+      spark.table(rel).alias(name)
+    }
+    val lProbe = probe(sh.left.rel, sh.left.alias)
+    val rProbe = probe(sh.right.rel, sh.right.alias)
+    val (l, r) = (Seq.newBuilder[String], Seq.newBuilder[String])
+    sh.whereConjs.foreach { conj =>
+      val onL = scala.util.Try(lProbe.filter(expr(conj))).isSuccess
+      val onR = scala.util.Try(rProbe.filter(expr(conj))).isSuccess
+      val side = (onL, onR) match {
+        case (true, false) => 0
+        case (false, true) => 1
+        case (true, true) => 0 // side-neutral (constants): either works
+        case _ => bad(s"WHERE conjunct ($conj) must reference exactly " +
+          "one side — a cross-side predicate is a join condition (put " +
+          "equalities in ON) and anything else filters the materialized " +
+          "sink (FINAL_STATE)")
+      }
+      val padded = (side == 0 && (sh.joinType == "RIGHT" || sh.joinType == "FULL")) ||
+        (side == 1 && (sh.joinType == "LEFT" || sh.joinType == "FULL"))
+      if (padded) bad(
+        s"WHERE conjunct ($conj) filters the null-padded side of a " +
+          s"${sh.joinType} join — pushing it would erase pads and " +
+          "post-join WHERE over pads is a different statement; filter " +
+          "the materialized sink (FINAL_STATE) instead")
+      if (side == 0) l += conj else r += conj
+    }
+    (l.result(), r.result())
   }
 
   /** The route line EXPLAIN CHANGELOG_MODE prints for a continuous join
-    * statement: the operator, the per-side state shape, and the key. */
+    * statement: the operator, the per-side state shape, the key, the
+    * pad bookkeeping (outer types) and the pushed per-side filters. */
   private[graft] def streamJoinExplainText(
       spark: SparkSession, select: String): String = {
     val sh = parseStreamJoinShape(spark, select)
+    val (lW, rW) = classifyJoinWhere(spark, sh)
     val key = sh.left.keyCols.zip(sh.right.keyCols)
       .map { case (l, r) => s"$l = $r" }.mkString(" AND ")
+    val pads =
+      if (sh.joinType == "INNER") ""
+      else "; pad bookkeeping: per-side live-total counters " +
+        "(OuterJoinRecordStateView)"
+    val pushed =
+      if (lW.isEmpty && rW.isEmpty) ""
+      else "; pushed filters: " + (
+        lW.map(w => s"left($w)") ++ rW.map(w => s"right($w)")).mkString(", ")
     s"continuous two-sided retraction JOIN (${sh.joinType}, " +
       "StreamingJoinOperator) — per-side state: MapState[payload -> " +
       s"live count] per join key (left ${sh.left.rel}, right " +
-      s"${sh.right.rel}; key: $key) -> retract changelog sink (+I/-D)"
+      s"${sh.right.rel}; key: $key)$pads$pushed -> retract changelog " +
+      "sink (+I/-D)"
   }
 
-  /** Continuous `INSERT INTO sink SELECT ... FROM a JOIN b ON ...` where
-    * BOTH relations are changelogs — the statement form of
+  /** Continuous `INSERT INTO sink SELECT ... FROM a <type> JOIN b ON
+    * ...` where BOTH relations are changelogs — the statement form of
     * StreamExecJoin.java:132 → StreamingJoinOperator.java:36: each
     * side's live rows are a counted multiset per join key
     * (JoinRecordStateViews.java:230, InputSideHasNoUniqueKey), an
     * arriving change point-writes its own side and emits the delta
-    * against the OTHER side's live entries. DECLARED UPSERT inputs
-    * chain ChangelogNormalize first ([[retractStreamOf]]), exactly like
-    * the aggregate and top-N routes. The sink receives the join's
+    * against the OTHER side's live entries. All four join types lower:
+    * LEFT/RIGHT/FULL take the pad-bookkeeping processor
+    * (OuterJoinRecordStateViews.java:335 — unmatched preserved rows
+    * emit NULL-padded, the pad retracts on first match and restores on
+    * last retraction). DECLARED UPSERT inputs chain ChangelogNormalize
+    * first ([[retractStreamOf]]), exactly like the aggregate and top-N
+    * routes. WHERE pushes single-side conjuncts to their side's stream
+    * BEFORE the join state ([[classifyJoinWhere]] — padded-side and
+    * cross-side predicates reject loudly). The sink receives the join's
     * RETRACT changelog (+I/-D rows with multiplicity — a join output
     * has no upsert key), so the live result is `FINAL_STATE(sink)` and
     * connector sinks (which consume keyed upserts) reject loudly.
@@ -2178,8 +2237,10 @@ object ChangelogSql {
     * the equi-key — the same keyed exchange Flink's operator needs);
     * state access is O(changes) point writes + O(matches) other-side
     * iteration per change, probe-pinned in StreamJoinTwsSpec; NULL
-    * equi-key rows are filtered at the source (SQL equality never
-    * matches NULL, and shipping them would corrupt the key grouping). */
+    * equi-key rows filter at the source on unpreserved sides (SQL
+    * equality never matches NULL) and route to side-tagged pad-only
+    * state keys on preserved sides (the row appears padded, never
+    * cross-matches another NULL). */
   def streamJoin(spark: SparkSession, statement: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
@@ -2199,10 +2260,16 @@ object ChangelogSql {
           "that keyed connector sinks cannot consume; land it in a plain " +
           "table (FINAL_STATE(sink) reads the live result) or aggregate " +
           "it with its own continuous statement"))
-    def sideStream(side: StreamJoinSide): (DataFrame,
+    val (lWhere, rWhere) = classifyJoinWhere(spark, sh)
+    def sideStream(side: StreamJoinSide, filters: Seq[String]): (DataFrame,
         org.apache.spark.sql.types.StructType, Set[String],
         org.apache.spark.sql.types.StructType) = {
-      val src = retractStreamOf(spark, side.rel)
+      val src0 = retractStreamOf(spark, side.rel)
+      // single-side WHERE conjuncts push BEFORE the join state (a
+      // deterministic payload predicate commutes with the changelog);
+      // the alias makes qualified references (l.price) resolve
+      val aliased = src0.alias(side.alias.getOrElse(side.rel.split('.').last))
+      val src = filters.foldLeft(aliased)((d, w) => d.filter(expr(w)))
       side.keyCols.foreach(k => require(src.columns.contains(k),
         s"join key column $k not a payload column of ${side.rel}"))
       val payloadCols = side.selected.map(_._1).distinct
@@ -2219,8 +2286,8 @@ object ChangelogSql {
         payloadCols.map(c => src.schema(c)))
       (src, schema, timeCols, origSchema)
     }
-    val (lSrc, lSchema, lTime, lOrig) = sideStream(sh.left)
-    val (rSrc, rSchema, rTime, rOrig) = sideStream(sh.right)
+    val (lSrc, lSchema, lTime, lOrig) = sideStream(sh.left, lWhere)
+    val (rSrc, rSchema, rTime, rOrig) = sideStream(sh.right, rWhere)
     // equi-key types must agree exactly: the key rides the state
     // boundary as its JSON rendering, and 1 vs 1.0 would silently
     // never match
@@ -2230,8 +2297,15 @@ object ChangelogSql {
         s"join key types differ: $lk is ${lt.simpleString}, $rk is " +
           s"${rt.simpleString} — CAST at ingest (a view over the source)")
     }
+    val (padLeft, padRight) = sh.joinType match {
+      case "LEFT" => (true, false)
+      case "RIGHT" => (false, true)
+      case "FULL" => (true, true)
+      case _ => (false, false)
+    }
     def typed(src: DataFrame, keyCols: Seq[String],
-        payloadCols: Seq[String], timeCols: Set[String]) = {
+        payloadCols: Seq[String], timeCols: Set[String],
+        preserved: Boolean, sideTag: String) = {
       val keyJson = to_json(struct(keyCols.zipWithIndex.map {
         case (k, i) => col(k).as(s"k$i")
       }: _*))
@@ -2239,18 +2313,34 @@ object ChangelogSql {
         if (payloadCols.isEmpty) lit("{}")
         else to_json(struct(payloadCols.map(c =>
           if (timeCols(c)) col(c).cast("string").as(c) else col(c)): _*))
-      src // NULL equi-keys never match in SQL: drop them at the source
-        .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-        .select(keyJson.as("_1"),
-          col(streaming.Cdc.RowKind).as("_2"), payloadJson.as("_3"))
+      val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+      // NULL equi-keys never match in SQL. On an UNPRESERVED side they
+      // drop at the source; on a PRESERVED (padded) side the row must
+      // still appear padded, so it routes to a SIDE-TAGGED state key
+      // derived from its own payload (deterministic, so its retraction
+      // re-encodes identically) that the other side can never land on —
+      // the row pads forever and never cross-matches another NULL.
+      val keyed =
+        if (!preserved) src.filter(!anyNull)
+          .withColumn("__gk", keyJson)
+        else src.withColumn("__gk",
+          when(anyNull, concat(lit(" " + sideTag), payloadJson))
+            .otherwise(keyJson))
+      keyed.select(col("__gk").as("_1"),
+        col(streaming.Cdc.RowKind).as("_2"), payloadJson.as("_3"))
         .as[(String, String, String)]
     }
     val lPay = sh.left.selected.map(_._1).distinct
     val rPay = sh.right.selected.map(_._1).distinct
-    val joined = streaming.StreamJoinTws.innerJoinChangelog(
-      typed(lSrc, sh.left.keyCols, lPay, lTime),
-      typed(rSrc, sh.right.keyCols, rPay, rTime))
-      .toDF("__key", "__kind", "__l", "__r")
+    val lTyped = typed(lSrc, sh.left.keyCols, lPay, lTime, padLeft, "L")
+    val rTyped = typed(rSrc, sh.right.keyCols, rPay, rTime, padRight, "R")
+    val joined = (sh.joinType match {
+      case "INNER" =>
+        streaming.StreamJoinTws.innerJoinChangelog(lTyped, rTyped).toDF()
+      case _ =>
+        streaming.StreamJoinTws
+          .outerJoinChangelog(lTyped, rTyped, padLeft, padRight).toDF()
+    }).toDF("__key", "__kind", "__l", "__r")
     def outCol(sideIdx: Int): Seq[org.apache.spark.sql.Column] = {
       val (side, orig, time, slot) =
         if (sideIdx == 0) (sh.left, lOrig, lTime, "__lr")

@@ -37,7 +37,7 @@ case class SortKeyExpr(child: Expression, colName: String, asc: Boolean = true)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-        DoubleType | BooleanType => TypeCheckResult.TypeCheckSuccess
+        DoubleType | BooleanType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case _: DecimalType => TypeCheckResult.TypeCheckSuccess
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -68,6 +68,8 @@ case class SortKeyExpr(child: Expression, colName: String, asc: Boolean = true)
         SortKey.fieldDouble(v.asInstanceOf[Double], asc))
       case BooleanType => UTF8String.fromString(
         SortKey.fieldBoolean(v.asInstanceOf[Boolean], asc))
+      case BinaryType => UTF8String.fromString(
+        SortKey.fieldBinary(v.asInstanceOf[Array[Byte]], asc))
       case d: DecimalType => UTF8String.fromString(
         SortKey.fieldDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toJavaBigDecimal, d.scale, asc))
@@ -90,6 +92,8 @@ case class SortKeyExpr(child: Expression, colName: String, asc: Boolean = true)
         s"UTF8String.fromString(graft.util.SortKey.fieldDouble(${c.value}, $asc))"
       case BooleanType =>
         s"UTF8String.fromString(graft.util.SortKey.fieldBoolean(${c.value}, $asc))"
+      case BinaryType =>
+        s"UTF8String.fromString(graft.util.SortKey.fieldBinary((byte[]) ${c.value}, $asc))"
       case d: DecimalType =>
         s"UTF8String.fromString(graft.util.SortKey.fieldDecimal(" +
           s"${c.value}.toJavaBigDecimal(), ${d.scale}, $asc))"

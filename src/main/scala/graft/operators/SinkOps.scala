@@ -1228,6 +1228,107 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CONTINUOUS LEFT OUTER retraction JOIN + WHERE pushdown (r15
+      // second pass, OuterJoinRecordStateViews.java:335): q160's
+      // two-changelog history under a LEFT JOIN — customers tombstoned
+      // at commit 3 CASCADE their orders back to NULL-padded rows
+      // (pad restored on last-match retraction) instead of out of the
+      // result, and the left-side WHERE conjunct pushes down to the
+      // orders stream BEFORE the join state (a padded-side or
+      // cross-side predicate would reject). Oracle = DuckDB LEFT JOIN
+      // over the two final states with the same filter; a missed pad
+      // transition or a mispushed filter breaks rows and hash.
+      "q162_stream_outer_join",
+      (s, d) => withSmallStreamState(s) {
+        import s.implicits._
+        val lt = "cl_q162_ord"
+        val rt = "cl_q162_cust"
+        val sink = "cl_q162_sink"
+        Seq(lt, rt, sink).foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          graft.Bits.dec($"o_totalprice").cast("double").as("price"))
+        val bumped = ($"price".cast(graft.Bits.Dec) +
+          lit(100).cast(graft.Bits.Dec)).cast("double").as("price")
+        val l1 = ord.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_custkey", $"price")
+        val l2 = ord.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"price")
+          .unionByName(ord.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_custkey", bumped))
+        val currentPrice = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val l3 = ord.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", currentPrice)
+        val cust = Tables.customer(s, d).select($"c_custkey", $"c_name")
+        val r1 = cust.select(lit("+U").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"c_custkey", $"c_name".as("name"))
+        val r2 = cust.filter($"c_custkey" % 5 === 0)
+          .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"c_custkey", concat($"c_name", lit("_v2")).as("name"))
+        val r3 = cust.filter($"c_custkey" % 13 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"c_custkey", lit(null).cast("string").as("name"))
+        l1.createOrReplaceTempView(s"__${lt}_src")
+        try Engine.sql(s, s"CREATE TABLE $lt AS SELECT * FROM __${lt}_src")
+        finally s.catalog.dropTempView(s"__${lt}_src")
+        r1.createOrReplaceTempView(s"__${rt}_src")
+        try Engine.sql(s, s"CREATE TABLE $rt AS SELECT * FROM __${rt}_src")
+        finally s.catalog.dropTempView(s"__${rt}_src")
+        s.sql(s"ALTER TABLE $rt SET TBLPROPERTIES " +
+          "('graft.upsert.keys' = 'c_custkey')")
+        def append(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (row_kind STRING, o_orderkey BIGINT, price DOUBLE, name STRING,
+           ${graft.ChangelogSql.SeqCol} BIGINT) USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q162").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o.o_orderkey, o.price, c.name
+          FROM $lt o LEFT JOIN $rt c ON o.o_custkey = c.c_custkey
+          WHERE o.price > 150000.0""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(lt, l2); append(rt, r2); q.processAllAvailable()
+          append(lt, l3); append(rt, r3); q.processAllAvailable()
+        } finally q.stop()
+        s.catalog.refreshTable(sink)
+        // NULL pads read back under a marker: the oracle compare is
+        // exact-value over sorted frames, and None==None is not equal
+        // in pandas — both sides coalesce identically, so a missed pad
+        // (or a phantom one) still breaks the match
+        Engine.sql(s,
+          s"SELECT o_orderkey, price, name FROM FINAL_STATE($sink)")
+          .select($"o_orderkey", $"price".cast("double").as("price"),
+            coalesce($"name", lit("<pad>")).as("name"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |WITH fo AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0),
+        |fc AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_name || '_v2'
+        |              ELSE c_name END AS name
+        |  FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT o_orderkey, CAST(price AS DOUBLE) AS price,
+        |       COALESCE(name, '<pad>') AS name
+        |FROM fo LEFT JOIN fc ON fo.o_custkey = fc.c_custkey
+        |WHERE price > 150000.0
+        |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    GQuery(
       // COMPUTED ORDER BY items in the continuous top-N (r15): the
       // statement ranks on `LENGTH(o_orderpriority) DESC,
       // price < 150000.0, o_orderkey` — a computed expression, a

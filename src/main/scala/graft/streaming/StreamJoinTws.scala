@@ -255,6 +255,28 @@ object StreamJoinTws {
         TimeMode.None(), OutputMode.Update(), emid)
       .map { case (k, kind, l, r) => (k, kind, l.get, r.get) }
 
+  /** The SQL front door's OUTER joins: both sides pre-encoded string
+    * tuples like [[innerJoinChangelog]], the padded output carries None
+    * on an unmatched side (the sink projects it to NULL columns) —
+    * OuterJoinRecordStateViews.java:335's pad bookkeeping (the per-side
+    * live-total ValueState counters decide pad-era transitions) run in
+    * APPEND mode so the operator chains downstream of
+    * ChangelogNormalize exactly like the inner port. */
+  def outerJoinChangelog(
+      left: Dataset[(String, String, String)],
+      right: Dataset[(String, String, String)],
+      padLeft: Boolean, padRight: Boolean)
+      : Dataset[(String, String, Option[String], Option[String])] = {
+    implicit val etag: Encoder[(Int, String, String, Option[String], Option[String])] = eTagStr
+    implicit val emid: Encoder[(String, String, Option[String], Option[String])] = eMidStr
+    StreamJoin.tagged(left, right)
+      .groupByKey(_._2)(Encoders.STRING)
+      .transformWithState(
+        new OuterJoinProc[String, String, String](padLeft, padRight,
+          Encoders.STRING, Encoders.STRING),
+        TimeMode.None(), OutputMode.Append(), emid)
+  }
+
   /** Drop-in swap for `StreamJoin.leftOuterJoin` (net-equal changelog,
     * emission order store-defined like the inner port). */
   def leftOuterJoin[K, L, R](

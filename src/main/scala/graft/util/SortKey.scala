@@ -156,6 +156,28 @@ object SortKey {
     if (asc) e else invertFixed(e)
   }
 
+  /** Binary field: unsigned-lexicographic order (Spark's BinaryType
+    * comparison), each byte as two hex digits. Variable width needs the
+    * prefix rule, but content chars are always '0'..'F' so no escaping
+    * is needed: ASC terminates with U+0000 (below every content char —
+    * a prefix ranks first), DESC complements each digit per
+    * [[invertFixed]] and terminates with U+FFFF (above every content
+    * char — a prefix ranks last, i.e. first in the reversed order). */
+  def fieldBinary(v: Array[Byte], asc: Boolean): String = {
+    val sb = new java.lang.StringBuilder(v.length * 2 + 1)
+    @inline def hex(d: Int): Char =
+      (if (d < 10) '0' + d else 'A' + d - 10).toChar
+    var i = 0
+    while (i < v.length) {
+      val b = v(i) & 0xFF
+      if (asc) { sb.append(hex(b >>> 4)); sb.append(hex(b & 0xF)) }
+      else { sb.append(hex(15 - (b >>> 4))); sb.append(hex(15 - (b & 0xF))) }
+      i += 1
+    }
+    sb.append(if (asc) '\u0000' else '\uFFFF')
+    sb.toString
+  }
+
   /** Delimited, direction-baked string field (see the block comment):
     * ASC terminates with U+0000 and escapes content U+0000/U+0001
     * behind a U+0001 lead; DESC complements each canonicalized char

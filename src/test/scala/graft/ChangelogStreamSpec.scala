@@ -1084,6 +1084,121 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** OUTER variants of the continuous join (r15 second pass —
+    * OuterJoinRecordStateViews.java:335's pad bookkeeping): a LEFT JOIN
+    * pads unmatched left rows with NULLs, retracts the pad when the
+    * first match arrives, and restores it when the last match
+    * retracts; FINAL_STATE equals the batch outer join of the final
+    * states at every commit. */
+  test("continuous LEFT OUTER JOIN pads, unpads and re-pads across commits") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_ojoin_l_$h"
+    val rt = s"cl_ojoin_r_$h"
+    val sink = s"cl_ojoin_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, price DOUBLE) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, name STRING) USING parquet""")
+    def appL(rows: Seq[(String, Long, Long, String, Double)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "price")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "name")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    appL(Seq(("+I", 1L, 1L, "a", 10.0), ("+I", 1L, 2L, "b", 20.0)))
+    appR(Seq(("+I", 1L, "a", "A")))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-ojoin").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT l.id, l.price, r.name
+      FROM $lt l LEFT JOIN $rt r ON l.cust = r.cust"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("LEFT") &&
+      explained.contains("two-sided retraction JOIN"), explained)
+    def live(): Seq[(Long, Double, Option[String])] = {
+      spark.catalog.refreshTable(sink)
+      Engine.sql(spark,
+        s"SELECT id, price, name FROM FINAL_STATE($sink) ORDER BY id")
+        .as[(Long, Double, Option[String])].collect().toSeq
+    }
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      // id 2 unmatched: padded
+      assert(live() == Seq((1L, 10.0, Some("A")), (2L, 20.0, None)),
+        live().toString)
+      // b arrives: id 2's pad retracts, the real pair lands
+      appR(Seq(("+I", 2L, "b", "B")))
+      q.processAllAvailable()
+      assert(live() == Seq((1L, 10.0, Some("A")), (2L, 20.0, Some("B"))),
+        live().toString)
+      // b retracts: id 2 falls back to the pad; id 1 deletes entirely
+      appR(Seq(("-D", 3L, "b", "B")))
+      appL(Seq(("-D", 3L, 1L, "a", 10.0)))
+      q.processAllAvailable()
+      assert(live() == Seq((2L, 20.0, None)), live().toString)
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  /** WHERE on the continuous join (r15 second pass): single-side
+    * conjuncts push down to their side's changelog BEFORE the join
+    * state (a deterministic payload predicate commutes with the
+    * changelog — a retraction passes iff the row it retracts did);
+    * cross-side predicates reject loudly. */
+  test("continuous JOIN WHERE pushes single-side predicates to their sides") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_wjoin_l_$h"
+    val rt = s"cl_wjoin_r_$h"
+    val sink = s"cl_wjoin_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, price DOUBLE) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, name STRING) USING parquet""")
+    Seq(("+I", 1L, 1L, "a", 10.0), ("+I", 1L, 2L, "a", 20.0),
+      ("+I", 1L, 3L, "b", 30.0))
+      .toDF("row_kind", "cdc_ts", "id", "cust", "price")
+      .createOrReplaceTempView(s"__${lt}_in")
+    try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+    finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    Seq(("+I", 1L, "a", "A"), ("+I", 1L, "b", "SKIP"))
+      .toDF("row_kind", "cdc_ts", "cust", "name")
+      .createOrReplaceTempView(s"__${rt}_in")
+    try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+    finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-wjoin").toString
+    val q = Engine.sqlStreamInsert(spark, s"""INSERT INTO $sink
+      SELECT l.id, r.name FROM $lt l JOIN $rt r ON l.cust = r.cust
+      WHERE l.price > 15.0 AND r.name <> 'SKIP'""", ck)
+    try {
+      q.processAllAvailable()
+      spark.catalog.refreshTable(sink)
+      val live = Engine.sql(spark,
+        s"SELECT id, name FROM FINAL_STATE($sink) ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      // price filter drops id 1; name filter drops side b entirely
+      assert(live == Seq((2L, "A")), live.toString)
+    } finally q.stop()
+    // a cross-side WHERE conjunct is a join condition, not a filter
+    val e = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""INSERT INTO nowhere_w_$h
+        SELECT l.id, r.name FROM $lt l JOIN $rt r ON l.cust = r.cust
+        WHERE l.id > LENGTH(r.name)""", "/tmp/never-wjoin")
+    }
+    assert(e.getMessage.contains("one side"), e.getMessage)
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   test("continuous JOIN inadmissible shapes reject with the join path's error") {
     val h = math.abs(getClass.getName.hashCode)
     val lt = s"cl_joinneg_l_$h"
@@ -1100,11 +1215,14 @@ class ChangelogStreamSpec extends AnyFunSuite {
       assert(e.getMessage.contains(needle), s"$sql ->\n${e.getMessage}")
     }
     try {
+      // outer joins are supported since the r15 second pass, but a
+      // predicate on the null-padded side would erase pads — reject
       rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
-        s"LEFT JOIN $rt r ON l.cust = r.cust", "INNER is supported")
+        s"LEFT JOIN $rt r ON l.cust = r.cust WHERE r.name <> 'X'",
+        "null-padded side")
       rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
-        s"JOIN $rt r ON l.cust = r.cust WHERE l.price > 5",
-        "WHERE is not supported")
+        s"FULL JOIN $rt r ON l.cust = r.cust WHERE l.price > 5",
+        "null-padded side")
       rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, COUNT(*) AS n " +
         s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name",
         "aggregating the join's changelog")

@@ -67,6 +67,31 @@ class SortKeyExprSpec extends AnyFunSuite {
     }
   }
 
+  test("boolean and binary fields: codegen == interpreted == static helpers") {
+    def enc(mode: String): Seq[(String, String, Long)] = withFactoryMode(mode) {
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      Seq((false, Array[Byte](), 0L), (true, Array[Byte](0), 1L),
+        (false, Array[Byte](-1, 127), 2L), (true, Array[Byte](1, 2, 3), 3L))
+        .toDF("b", "bin", "i")
+        .select(expr("graft_sort_key(b, 'b', false)"),
+          expr("graft_sort_key(bin, 'bin', true)"), col("i"))
+        .as[(String, String, Long)].collect().toSeq.sortBy(_._3)
+    }
+    val gen = enc("CODEGEN_ONLY")
+    assert(gen == enc("NO_CODEGEN"), "codegen != interpreted")
+    val expect = Seq(
+      (SortKey.fieldBoolean(false, asc = false),
+        SortKey.fieldBinary(Array[Byte](), asc = true)),
+      (SortKey.fieldBoolean(true, asc = false),
+        SortKey.fieldBinary(Array[Byte](0), asc = true)),
+      (SortKey.fieldBoolean(false, asc = false),
+        SortKey.fieldBinary(Array[Byte](-1, 127), asc = true)),
+      (SortKey.fieldBoolean(true, asc = false),
+        SortKey.fieldBinary(Array[Byte](1, 2, 3), asc = true)))
+    assert(gen.map(t => (t._1, t._2)) == expect)
+  }
+
   test("NULL order values fail loudly with the column name, in codegen too") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -40,6 +40,34 @@ class SortKeySpec extends AnyFunSuite {
     assert(ord.compare(SortKey.ofDouble(-0.0), SortKey.ofDouble(0.0)) < 0)
   }
 
+  test("binary field: unsigned lexicographic order, prefixes rank per direction") {
+    def unsignedCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(a(i) & 0xFF, b(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
+    val interesting = Seq(Array.empty[Byte], Array[Byte](0), Array[Byte](0, 0),
+      Array[Byte](-1), Array[Byte](-128), Array[Byte](127),
+      Array[Byte](1, 2, 3), Array[Byte](1, 2))
+    val pool = interesting ++ Seq.fill(300) {
+      val len = rnd.nextInt(6)
+      val a = new Array[Byte](len); rnd.nextBytes(a); a
+    }
+    for (a <- pool; b <- pool.take(40)) {
+      assert(math.signum(ord.compare(SortKey.fieldBinary(a, asc = true),
+        SortKey.fieldBinary(b, asc = true))) == math.signum(unsignedCmp(a, b)),
+        s"ASC ${a.toSeq} vs ${b.toSeq}")
+      assert(math.signum(ord.compare(SortKey.fieldBinary(a, asc = false),
+        SortKey.fieldBinary(b, asc = false))) == -math.signum(unsignedCmp(a, b)),
+        s"DESC ${a.toSeq} vs ${b.toSeq}")
+    }
+  }
+
   test("boolean field: false < true ascending, inverted descending, fixed width") {
     assert(ord.compare(SortKey.fieldBoolean(false, asc = true),
       SortKey.fieldBoolean(true, asc = true)) < 0)
