@@ -117,6 +117,11 @@ object Retract {
       ds: Dataset[(K, String, Double, String)], n: Int)(
       implicit e1: Encoder[Seq[(Double, String, Int)]],
       e2: Encoder[(K, Int, Double, String)]): Dataset[(K, Int, Double, String)] = {
+    // RocksDB active: the sorted-counts TWS port (point-write state,
+    // top-boundary cache) — the fMGWS fold below stays as the
+    // provider-agnostic fallback (same routing as the changelog variant)
+    if (rocksDbActive(ds.sparkSession))
+      return RetractTws.retractableTopN(ds, n)
 
     // live state is a COUNTED multiset (score, payload) -> live count, the
     // MapState[row, cnt] shape of Flink's JoinRecordStateView/dataState:

@@ -144,13 +144,17 @@ object StreamJoin {
   }
 
   /** LEFT OUTER join: output rows (key, row_kind, leftPayload,
-    * Option(rightPayload)). */
+    * Option(rightPayload)). RocksDB active routes onto the
+    * [[StreamJoinTws]] point-write port (see [[innerJoin]]). */
   def leftOuterJoin[K, L, R](
       left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
-      implicit ek: Encoder[K],
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])],
       es: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
-      eo: Encoder[(K, String, L, Option[R])]): Dataset[(K, String, L, Option[R])] =
+      eo: Encoder[(K, String, L, Option[R])]): Dataset[(K, String, L, Option[R])] = {
+    if (Retract.rocksDbActive(left.sparkSession))
+      return StreamJoinTws.leftOuterJoin(left, right)
     tagged(left, right).groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, rows: Iterator[(Int, K, String, Option[L], Option[R])],
@@ -158,15 +162,20 @@ object StreamJoin {
           processKey(key, rows, state, padLeft = true, padRight = false)
             .map { case (k, kind, l, r) => (k, kind, l.get, r) }
       }
+  }
 
   /** RIGHT OUTER join: output rows (key, row_kind, Option(leftPayload),
-    * rightPayload). */
+    * rightPayload). RocksDB active routes onto the [[StreamJoinTws]]
+    * point-write port (see [[innerJoin]]). */
   def rightOuterJoin[K, L, R](
       left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
-      implicit ek: Encoder[K],
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       etag: Encoder[(Int, K, String, Option[L], Option[R])],
+      emid: Encoder[(K, String, Option[L], Option[R])],
       es: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
-      eo: Encoder[(K, String, Option[L], R)]): Dataset[(K, String, Option[L], R)] =
+      eo: Encoder[(K, String, Option[L], R)]): Dataset[(K, String, Option[L], R)] = {
+    if (Retract.rocksDbActive(left.sparkSession))
+      return StreamJoinTws.rightOuterJoin(left, right)
     tagged(left, right).groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, rows: Iterator[(Int, K, String, Option[L], Option[R])],
@@ -174,20 +183,27 @@ object StreamJoin {
           processKey(key, rows, state, padLeft = false, padRight = true)
             .map { case (k, kind, l, r) => (k, kind, l, r.get) }
       }
+  }
 
   /** FULL OUTER join: output rows (key, row_kind, Option(leftPayload),
     * Option(rightPayload)) — pads on both sides, each retracted the moment
-    * the row gains its first match and restored when it loses its last. */
+    * the row gains its first match and restored when it loses its last.
+    * RocksDB active routes onto the [[StreamJoinTws]] point-write port
+    * (see [[innerJoin]]). */
   def fullOuterJoin[K, L, R](
       left: Dataset[(K, String, L)], right: Dataset[(K, String, R)])(
-      implicit ek: Encoder[K],
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       etag: Encoder[(Int, K, String, Option[L], Option[R])],
       es: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
-      eo: Encoder[(K, String, Option[L], Option[R])]): Dataset[(K, String, Option[L], Option[R])] =
+      eo: Encoder[(K, String, Option[L], Option[R])]): Dataset[(K, String, Option[L], Option[R])] = {
+    // eo doubles as the TWS port's mid encoder (same type here)
+    if (Retract.rocksDbActive(left.sparkSession))
+      return StreamJoinTws.fullOuterJoin(left, right)(ek, el, er, etag, eo)
     tagged(left, right).groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, rows: Iterator[(Int, K, String, Option[L], Option[R])],
             state: GroupState[(Seq[(L, Int)], Seq[(R, Int)])]) =>
           processKey(key, rows, state, padLeft = true, padRight = true)
       }
+  }
 }
