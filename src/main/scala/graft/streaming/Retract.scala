@@ -29,7 +29,7 @@ object Retract {
     * signal for fMGWS surfaces that have a TWS port (the
     * "fleet-migration default" pattern: point-write state when the
     * provider supports it, whole-GroupState fold otherwise). */
-  private[streaming] def rocksDbActive(
+  private[graft] def rocksDbActive(
       spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDBStateStoreProvider"))
