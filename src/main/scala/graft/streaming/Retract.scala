@@ -28,7 +28,11 @@ object Retract {
     * transformWithState runtime prerequisite, and therefore the routing
     * signal for fMGWS surfaces that have a TWS port (the
     * "fleet-migration default" pattern: point-write state when the
-    * provider supports it, whole-GroupState fold otherwise). */
+    * provider supports it, whole-GroupState fold otherwise). Read at
+    * plan-construction time; a frame built during ANOTHER query's
+    * StartLock pin window would mis-route, but the failure mode is
+    * transformWithState's loud provider error at start, never silent
+    * wrongness — and front-door construction+start share one thread. */
   private[graft] def rocksDbActive(
       spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
