@@ -2165,6 +2165,18 @@ object ChangelogSql {
     }
     val lProbe = probe(sh.left.rel, sh.left.alias)
     val rProbe = probe(sh.right.rel, sh.right.alias)
+    // does the conjunct reference any COLUMN of either side? (a
+    // both-sides-resolvable conjunct over a SHARED column name is
+    // ambiguous — SQL errors there; only a pure constant predicate is
+    // genuinely side-neutral)
+    val allCols = (lProbe.columns ++ rProbe.columns).map(_.toLowerCase).toSet
+    def refsAnyColumn(conj: String): Boolean = {
+      val b = blank(conj)
+      """[A-Za-z_]\w*""".r.findAllMatchIn(b).exists { m =>
+        val isCall = b.drop(m.end).dropWhile(_.isWhitespace).startsWith("(")
+        !isCall && allCols(m.group(0).toLowerCase)
+      }
+    }
     val (l, r) = (Seq.newBuilder[String], Seq.newBuilder[String])
     sh.whereConjs.foreach { conj =>
       val onL = scala.util.Try(lProbe.filter(expr(conj))).isSuccess
@@ -2172,7 +2184,10 @@ object ChangelogSql {
       val side = (onL, onR) match {
         case (true, false) => 0
         case (false, true) => 1
-        case (true, true) => 0 // side-neutral (constants): either works
+        case (true, true) if !refsAnyColumn(conj) => 0 // pure constant
+        case (true, true) => bad(s"WHERE conjunct ($conj) is ambiguous " +
+          "— it resolves against BOTH sides; qualify the column(s) " +
+          "with the side's alias")
         case _ => bad(s"WHERE conjunct ($conj) must reference exactly " +
           "one side — a cross-side predicate is a join condition (put " +
           "equalities in ON) and anything else filters the materialized " +

@@ -1196,6 +1196,14 @@ class ChangelogStreamSpec extends AnyFunSuite {
         WHERE l.id > LENGTH(r.name)""", "/tmp/never-wjoin")
     }
     assert(e.getMessage.contains("one side"), e.getMessage)
+    // a bare conjunct over a SHARED column name resolves on both sides
+    // — ambiguous, like SQL; it must not silently filter one side
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.sqlStreamInsert(spark, s"""INSERT INTO nowhere_w_$h
+        SELECT l.id, r.name FROM $lt l JOIN $rt r ON l.cust = r.cust
+        WHERE cust <> 'zzz'""", "/tmp/never-wjoin2")
+    }
+    assert(e2.getMessage.contains("ambiguous"), e2.getMessage)
     Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
