@@ -2029,13 +2029,25 @@ object ChangelogSql {
         _.count(r => isChangelogRel(spark, r.name)) >= 2)
     }
 
-  /** Validate + extract the continuous-join statement shape; throws a
-    * loud, specific error for every inadmissible variant. */
-  private def parseStreamJoinShape(
-      spark: SparkSession, select: String): StreamJoinShape = {
-    def bad(msg: String): Nothing = throw new IllegalArgumentException(
-      s"continuous two-sided retraction JOIN: $msg")
-    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+  /** The FROM/ON/WHERE analysis shared by the plain continuous-join
+    * statement and the agg-over-join statement: relation chain, join
+    * type, per-side name/column resolution, equi-key pairs. */
+  private case class JoinCore(
+      lRel: ChainRel, rRel: ChainRel, joinType: String,
+      lName: String, rName: String,
+      lCols: Seq[String], rCols: Seq[String],
+      pairs: Seq[(String, String)], whereConjs: Seq[String],
+      resolve: String => (Int, String))
+
+  /** Does the select list (or HAVING) call an aggregate function? */
+  private def joinSelectHasAgg(spark: SparkSession, c: Clauses): Boolean =
+    callNames(blank(c.selectList) + " " +
+      c.having.map(blank).getOrElse("")).exists(n =>
+      Supported(n) || StreamOverSql.customAgg(n).isDefined ||
+        isAggregateFn(spark, n).contains(true))
+
+  private def parseJoinCore(spark: SparkSession, c: Clauses,
+      bad: String => Nothing): JoinCore = {
     val chain = parseJoinChain(c.relation).getOrElse(
       bad(s"FROM must be a linear `a JOIN b ON ...` chain, got: ${c.relation}"))
     val clCount = chain.count(r => isChangelogRel(spark, r.name))
@@ -2049,28 +2061,16 @@ object ChangelogSql {
     if (jt == "CROSS") bad(
       "CROSS JOIN of two changelogs has no key to partition state by; " +
         "give an ON equi-condition")
-    val hasAggCall = callNames(blank(c.selectList) + " " +
-      c.having.map(blank).getOrElse("")).exists(n =>
-      Supported(n) || StreamOverSql.customAgg(n).isDefined ||
-        isAggregateFn(spark, n).contains(true))
-    if (c.groupBy.isDefined || c.having.isDefined || hasAggCall) bad(
-      "aggregating the join's changelog in the SAME statement is not " +
-        "supported (Spark plans one stateful changelog operator per " +
-        "query); land the join in a sink table and aggregate that " +
-        "changelog with its own continuous statement")
-    if (c.orderBy.isDefined || c.limit.isDefined) bad(
-      "ORDER BY / LIMIT have no meaning on a continuous changelog")
     val all = blank(c.selectList) + " " + blank(c.relation) + " " +
-      c.where.map(blank).getOrElse("")
+      c.where.map(blank).getOrElse("") + " " +
+      c.groupBy.map(blank).getOrElse("") + " " +
+      c.having.map(blank).getOrElse("")
     Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).foreach(m =>
       if (("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
           .findFirstIn(all).isDefined)
         bad(s"the statement references encoding column $m — there is no " +
           "raw passthrough for a two-changelog join; the operator " +
           "consumes the encodings"))
-    if (callNames(blank(c.selectList)).nonEmpty) bad(
-      "the select list must be bare (optionally qualified, optionally " +
-        "aliased) columns — compute expressions on the materialized sink")
     // side resolution: qualifier = alias (or bare table name), else
     // unique column membership
     def encodingCol(n: String) =
@@ -2122,12 +2122,34 @@ object ChangelogSql {
         s"is keyed by the equi-key), got: $other")
     }
     if (pairs.isEmpty) bad("empty ON condition")
+    JoinCore(lRel, rRel, jt, lName, rName, lCols, rCols, pairs,
+      c.where.map(graft.util.SqlSplit.splitTopLevelAnd(_)).getOrElse(Nil),
+      resolve)
+  }
+
+  /** Validate + extract the continuous-join statement shape; throws a
+    * loud, specific error for every inadmissible variant. */
+  private def parseStreamJoinShape(
+      spark: SparkSession, select: String): StreamJoinShape = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous two-sided retraction JOIN: $msg")
+    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+    if (c.groupBy.isDefined || c.having.isDefined || joinSelectHasAgg(spark, c))
+      bad("this statement AGGREGATES the join — it belongs to the " +
+        "agg-over-join route (streamJoinAgg), which the front door " +
+        "dispatches first; reaching here means it was called directly")
+    if (c.orderBy.isDefined || c.limit.isDefined) bad(
+      "ORDER BY / LIMIT have no meaning on a continuous changelog")
+    val core = parseJoinCore(spark, c, bad)
+    if (callNames(blank(c.selectList)).nonEmpty) bad(
+      "the select list must be bare (optionally qualified, optionally " +
+        "aliased) columns — compute expressions on the materialized sink")
     // select items: (side, col, outName); output names must be distinct
     val ItemRe = """(?is)^(.*?)(?:\s+AS\s+`?(\w+)`?)?$""".r
     val items = graft.util.SqlSplit.splitTopLevel(c.selectList)
       .map(_.trim).map {
         case ItemRe(e, a) =>
-          val (side, col0) = resolve(e)
+          val (side, col0) = core.resolve(e)
           (side, col0, Option(a).getOrElse(col0))
       }
     val dup = items.groupBy(_._3.toLowerCase).collect {
@@ -2136,12 +2158,11 @@ object ChangelogSql {
     if (dup.nonEmpty) bad(s"duplicate output column name(s): " +
       s"${dup.mkString(", ")} — alias them apart")
     StreamJoinShape(
-      StreamJoinSide(lRel.name, lRel.alias, pairs.map(_._1),
+      StreamJoinSide(core.lRel.name, core.lRel.alias, core.pairs.map(_._1),
         items.collect { case (0, col0, out) => (col0, out) }),
-      StreamJoinSide(rRel.name, rRel.alias, pairs.map(_._2),
+      StreamJoinSide(core.rRel.name, core.rRel.alias, core.pairs.map(_._2),
         items.collect { case (1, col0, out) => (col0, out) }),
-      jt, items.map(_._1),
-      c.where.map(graft.util.SqlSplit.splitTopLevelAnd(_)).getOrElse(Nil))
+      core.joinType, items.map(_._1), core.whereConjs)
   }
 
   /** Classify each WHERE conjunct onto ONE side by attempted analysis
@@ -2208,9 +2229,208 @@ object ChangelogSql {
   /** The route line EXPLAIN CHANGELOG_MODE prints for a continuous join
     * statement: the operator, the per-side state shape, the key, the
     * pad bookkeeping (outer types) and the pushed per-side filters. */
-  private[graft] def streamJoinExplainText(
-      spark: SparkSession, select: String): String = {
-    val sh = parseStreamJoinShape(spark, select)
+  // ---- continuous agg-over-join (StreamExecJoin -> StreamExecGroupAggregate)
+
+  /** One aggregate call in an agg-over-join select list. `side`/`col`
+    * are (-1, "") for COUNT(*); `srcText` is the original expression
+    * text (HAVING substitution + EXPLAIN rendering). */
+  private case class JoinAggCall(fn: String, distinct: Boolean,
+      side: Int, col: String, out: String, srcText: String)
+
+  /** The agg-over-join statement shape: the synthesized join shape
+    * (selected = every column the aggregate stage needs, under
+    * collision-free internal names), the GROUP BY items with their
+    * OUTPUT names (the sink's upsert key), the aggregate calls, and the
+    * select list's statement order across both kinds. */
+  private case class StreamJoinAggShape(
+      join: StreamJoinShape,
+      groupItems: Seq[(Int, String, String)], // (side, col, outName)
+      aggs: Seq[JoinAggCall],
+      selectOrder: Seq[Either[Int, Int]], // Left(groupIdx) | Right(aggIdx)
+      having: Option[String])
+
+  /** Does `select` AGGREGATE a two-changelog join — the statement shape
+    * [[streamJoinAgg]] owns? (Dispatched BEFORE [[streamJoinMatches]]'
+    * route so an aggregate statement gets this path's errors.) */
+  private[graft] def streamJoinAggMatches(
+      spark: SparkSession, select: String): Boolean =
+    streamJoinMatches(spark, select) && parse(select).exists(c =>
+      c.groupBy.isDefined || c.having.isDefined || joinSelectHasAgg(spark, c))
+
+  /** Internal (collision-free) name of a joined column inside the
+    * agg-over-join topology. */
+  private def joinAggRef(side: Int, col: String): String =
+    if (side == 0) s"__jl_$col" else s"__jr_$col"
+
+  private def parseStreamJoinAggShape(
+      spark: SparkSession, select: String): StreamJoinAggShape = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous aggregate over a two-changelog JOIN: $msg")
+    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+    if (c.orderBy.isDefined || c.limit.isDefined) bad(
+      "ORDER BY / LIMIT have no meaning on a continuous changelog")
+    require(!"""(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined,
+      "SELECT DISTINCT over a continuous join is not supported; GROUP BY " +
+        "the columns instead (same live-group semantics)")
+    val core = parseJoinCore(spark, c, bad)
+    val AggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+    val ItemRe = """(?is)^(.*?)(?:\s+AS\s+`?(\w+)`?)?$""".r
+    val CallRe = """(?is)^([A-Za-z_]\w*)\s*\(\s*(DISTINCT\s+)?(.*?)\s*\)$""".r
+    val BareRe = """(?s)^[\w.`]+$""".r
+    val aggsB = Seq.newBuilder[JoinAggCall]
+    val bareB = Seq.newBuilder[(Int, String, String)] // (side, col, out)
+    var aggIdx = -1
+    var bareIdx = -1
+    val selectOrder = graft.util.SqlSplit.splitTopLevel(c.selectList)
+      .map(_.trim).map {
+        case ItemRe(e0, a) =>
+          val e = e0.trim
+          blank(e) match {
+            case CallRe(fn0, dist, arg0) =>
+              val fn = fn0.toUpperCase
+              if (!AggFns(fn)) bad(s"$fn(...) in the select list: only " +
+                "COUNT/SUM/AVG/MIN/MAX have a retraction-consuming " +
+                "rewrite over a join; compute scalar expressions on the " +
+                "materialized sink")
+              if (dist != null && fn != "COUNT") bad(
+                s"$fn(DISTINCT ...) needs a per-group distinct-value " +
+                  "state the rewrite does not keep; only COUNT(DISTINCT " +
+                  "col) is supported")
+              // slice the ORIGINAL text for the arg (blanked text has
+              // literals erased); CallRe groups align because blanking
+              // is position-preserving
+              val arg = e.substring(e.indexOf('(') + 1,
+                e.lastIndexOf(')')).trim
+                .replaceFirst("(?is)^DISTINCT\\s+", "").trim
+              val (side, col0) =
+                if (arg == "*") {
+                  if (fn != "COUNT") bad(s"$fn(*) is not an aggregate")
+                  (-1, "")
+                } else if (BareRe.findFirstIn(arg).isDefined)
+                  core.resolve(arg)
+                else bad(s"aggregate argument ($arg) must be a bare " +
+                  "column — project computed arguments into the source " +
+                  "changelog relations")
+              val out = Option(a).getOrElse(bad(
+                s"alias the aggregate ($e) with AS <name> — it names " +
+                  "the sink column"))
+              aggsB += JoinAggCall(fn, dist != null, side, col0, out,
+                e.replaceAll("\\s+", " "))
+              aggIdx += 1
+              Right(aggIdx)
+            case b if BareRe.findFirstIn(b).isDefined =>
+              val (side, col0) = core.resolve(e)
+              bareB += ((side, col0, Option(a).getOrElse(col0)))
+              bareIdx += 1
+              Left(bareIdx)
+            case _ => bad(s"select item ($e) must be a bare column or an " +
+              "aggregate call; compute expressions on the materialized sink")
+          }
+      }
+    val aggs = aggsB.result()
+    val bares = bareB.result()
+    if (aggs.isEmpty) bad("no aggregate in the select list; a plain " +
+      "projection of the join is the join statement itself (GROUP BY " +
+      "without aggregates = DISTINCT, which FINAL_STATE(sink) answers)")
+    // GROUP BY items: bare columns; the bare select items must be
+    // exactly the grouped columns (anything else has no single value)
+    val groupRefs = c.groupBy.toSeq
+      .flatMap(graft.util.SqlSplit.splitTopLevel(_)).map(_.trim).map { g =>
+        if (BareRe.findFirstIn(blank(g)).isEmpty) bad(
+          s"GROUP BY item ($g) must be a bare column — project computed " +
+            "grouping keys into the source changelog relations")
+        core.resolve(g)
+      }
+    if (groupRefs.isEmpty && bares.nonEmpty) bad(
+      s"non-aggregated column ${bares.head._2} without GROUP BY")
+    val groupItems = groupRefs.map { case (side, col0) =>
+      bares.find(b => b._1 == side && b._2.equalsIgnoreCase(col0)) match {
+        case Some((_, _, out)) => (side, col0, out)
+        case None => bad(s"GROUP BY column $col0 must appear in the " +
+          "select list — it is the sink's upsert key")
+      }
+    }
+    bares.foreach { case (side, col0, _) =>
+      if (!groupItems.exists(g => g._1 == side && g._2 == col0)) bad(
+        s"select column $col0 is not in GROUP BY — a non-grouped column " +
+          "has no aggregate value")
+    }
+    val dup = (groupItems.map(_._3) ++ aggs.map(_.out))
+      .groupBy(_.toLowerCase).collect { case (n, g) if g.size > 1 => n }
+    if (dup.nonEmpty) bad(s"duplicate output column name(s): " +
+      s"${dup.mkString(", ")} — alias them apart")
+    // synthesize the join shape: each side carries exactly the columns
+    // the aggregate stage reads, under internal names
+    val needed = (groupItems.map(g => (g._1, g._2)) ++
+      aggs.filter(_.side >= 0).map(a => (a.side, a.col))).distinct
+    def sideSel(side: Int) = needed.collect {
+      case (s0, col0) if s0 == side => (col0, joinAggRef(side, col0))
+    }
+    val (lSel, rSel) = (sideSel(0), sideSel(1))
+    val join = StreamJoinShape(
+      StreamJoinSide(core.lRel.name, core.lRel.alias,
+        core.pairs.map(_._1), lSel),
+      StreamJoinSide(core.rRel.name, core.rRel.alias,
+        core.pairs.map(_._2), rSel),
+      core.joinType,
+      Seq.fill(lSel.size)(0) ++ Seq.fill(rSel.size)(1),
+      core.whereConjs)
+    // re-anchor Left() from statement-order bare-item index to the
+    // matching groupItems index (bare items == grouped columns, proven
+    // above, but the two lists may order them differently)
+    val anchored = selectOrder.map {
+      case Left(bi) =>
+        val (side, col0, _) = bares(bi)
+        Left(groupItems.indexWhere(g => g._1 == side && g._2 == col0))
+      case r => r
+    }
+    StreamJoinAggShape(join, groupItems, aggs, anchored, c.having)
+  }
+
+  /** Rewrite a HAVING clause onto the aggregate stage's OUTPUT columns:
+    * each aggregate call that textually matches a select-list aggregate
+    * (whitespace/case/qualifier-insensitive) becomes its alias, each
+    * grouped column its output name; alias references pass through. Any
+    * aggregate call left after substitution rejects loudly — the state
+    * only keeps the accumulators the select list declared. */
+  private def rewriteJoinHaving(spark: SparkSession,
+      sh: StreamJoinAggShape, h: String, bad: String => Nothing): String = {
+    import java.util.regex.Pattern
+    val sideName = (side: Int) =>
+      if (side == 0)
+        sh.join.left.alias.getOrElse(sh.join.left.rel.split('.').last)
+      else sh.join.right.alias.getOrElse(sh.join.right.rel.split('.').last)
+    var s = h
+    sh.aggs.foreach { a =>
+      val argPat =
+        if (a.col.isEmpty) "\\*"
+        else s"(?:${Pattern.quote(sideName(a.side))}\\s*\\.\\s*)?`?" +
+          Pattern.quote(a.col) + "`?"
+      val pat = s"(?i)\\b${a.fn}\\s*\\(\\s*" +
+        (if (a.distinct) "DISTINCT\\s+" else "") + argPat + "\\s*\\)"
+      s = s.replaceAll(pat,
+        java.util.regex.Matcher.quoteReplacement("`" + a.out + "`"))
+    }
+    sh.groupItems.foreach { case (side, col0, out) =>
+      val pat = s"(?i)\\b(?:${Pattern.quote(sideName(side))}\\s*\\.\\s*)?`?" +
+        Pattern.quote(col0) + "`?\\b"
+      s = s.replaceAll(pat, "`" + out + "`")
+    }
+    val leftoverAgg = callNames(blank(s)).find(n =>
+      Supported(n) || StreamOverSql.customAgg(n).isDefined ||
+        isAggregateFn(spark, n).contains(true))
+    leftoverAgg.foreach(n => bad(s"HAVING aggregate $n(...) does not " +
+      "match any select-list aggregate — the state only keeps the " +
+      "declared accumulators; alias the aggregate in the select list " +
+      "and reference it (by alias or by repeating the exact expression)"))
+    s
+  }
+
+  /** The join-operator part of the route line, shared by the plain join
+    * statement and the agg-over-join statement (which appends its own
+    * downstream-operator tail). */
+  private def joinExplainCore(spark: SparkSession, sh: StreamJoinShape)
+      : String = {
     val (lW, rW) = classifyJoinWhere(spark, sh)
     val key = sh.left.keyCols.zip(sh.right.keyCols)
       .map { case (l, r) => s"$l = $r" }.mkString(" AND ")
@@ -2225,8 +2445,31 @@ object ChangelogSql {
     s"continuous two-sided retraction JOIN (${sh.joinType}, " +
       "StreamingJoinOperator) — per-side state: MapState[payload -> " +
       s"live count] per join key (left ${sh.left.rel}, right " +
-      s"${sh.right.rel}; key: $key)$pads$pushed -> retract changelog " +
-      "sink (+I/-D)"
+      s"${sh.right.rel}; key: $key)$pads$pushed"
+  }
+
+  private[graft] def streamJoinExplainText(
+      spark: SparkSession, select: String): String =
+    joinExplainCore(spark, parseStreamJoinShape(spark, select)) +
+      " -> retract changelog sink (+I/-D)"
+
+  /** The route line EXPLAIN CHANGELOG_MODE prints for an agg-over-join
+    * statement: the join operator feeding the retraction-consuming
+    * group aggregate, one topology. */
+  private[graft] def streamJoinAggExplainText(
+      spark: SparkSession, select: String): String = {
+    val sh = parseStreamJoinAggShape(spark, select)
+    val keys =
+      if (sh.groupItems.isEmpty) "GLOBAL"
+      else sh.groupItems.map(_._3).mkString(", ")
+    val aggList = sh.aggs.map(a => a.srcText + " AS " + a.out).mkString(", ")
+    joinExplainCore(spark, sh.join) +
+      " -> retraction-consuming GROUP AGGREGATE (GroupAggFunction on " +
+      "transformWithState; per-group scalar accumulators, counted-value " +
+      "MapState for MIN/MAX/COUNT DISTINCT with the current extreme " +
+      s"cached) — group key: ($keys); aggregates: $aggList" +
+      sh.having.map(h => s"; HAVING $h").getOrElse("") +
+      " -> upsert changelog keyed by the GROUP BY columns"
   }
 
   /** Continuous `INSERT INTO sink SELECT ... FROM a <type> JOIN b ON
@@ -2258,7 +2501,6 @@ object ChangelogSql {
     * cross-matches another NULL). */
   def streamJoin(spark: SparkSession, statement: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import spark.implicits._
     val (sink, select) = statement match {
       case StreamInsertRe(s, sel) => (s, sel)
       case other => throw new IllegalArgumentException(
@@ -2275,6 +2517,36 @@ object ChangelogSql {
           "that keyed connector sinks cannot consume; land it in a plain " +
           "table (FINAL_STATE(sink) reads the live result) or aggregate " +
           "it with its own continuous statement"))
+    val out = joinChangelogStream(spark, sh)
+    graft.util.StartLock.locked {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try withStateSizing(spark) {
+        out.writeStream
+          .outputMode("append") // delta emission (+I/-D changelog rows)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn(SeqCol, lit(batchId))
+              .write.mode("append").saveAsTable(sink)
+          }
+          .start()
+      } finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Lower a validated join shape onto the TWS join port and return the
+    * join's RETRACT changelog stream: `row_kind` (+I/-D) followed by
+    * the shape's output columns in statement order. Shared by the plain
+    * join statement (which sinks it directly) and the agg-over-join
+    * statement (which chains the group aggregate downstream). */
+  private def joinChangelogStream(
+      spark: SparkSession, sh: StreamJoinShape): DataFrame = {
+    import spark.implicits._
     val (lWhere, rWhere) = classifyJoinWhere(spark, sh)
     def sideStream(side: StreamJoinSide, filters: Seq[String]): (DataFrame,
         org.apache.spark.sql.types.StructType, Set[String],
@@ -2382,19 +2654,174 @@ object ChangelogSql {
         else { val c = r(j); j += 1; c }
       }
     }
-    val out = withStructs.select(col(streaming.Cdc.RowKind) +: ordered: _*)
+    withStructs.select(col(streaming.Cdc.RowKind) +: ordered: _*)
+  }
+
+  /** Continuous `INSERT INTO sink SELECT k..., agg(...)... FROM a JOIN b
+    * ON ... [WHERE ...] GROUP BY k... [HAVING ...]` over TWO changelog
+    * relations — the composed topology the reference plans as
+    * StreamExecJoin feeding StreamExecGroupAggregate
+    * (FlinkChangelogModeInferenceProgram wires the join's retract
+    * stream into GroupAggFunction.java:43): the TWS join port emits the
+    * join's +I/-D delta stream, which re-keys on the GROUP BY columns
+    * into the retraction-consuming TWS aggregate
+    * ([[streaming.RetractAggTws]]), and the refreshed groups land in
+    * the sink as an UPSERT changelog keyed by the GROUP BY outputs —
+    * so keyed connector sinks (jdbc, upsert-kafka) work here, unlike
+    * the raw join statement. HAVING evaluates over the refreshed
+    * aggregate row ([[rewriteJoinHaving]]); a group leaving the HAVING
+    * set emits a DELETE, exactly like [[streamAgg]]'s live predicate.
+    *
+    * Scale shape: two keyed exchanges per micro-batch (equi-key into
+    * the join, group key into the aggregate — the same two shuffles
+    * Flink's topology has), state access point-wise on both operators
+    * (probe-pinned in their specs), emission O(touched groups). */
+  def streamJoinAgg(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous aggregate over a two-changelog JOIN: $msg")
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamJoinAgg expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val sh = parseStreamJoinAggShape(spark, select)
+    graft.functions.GraftFunctions.register(spark) // graft_sort_key
+    val joined = joinChangelogStream(spark, sh.join)
+    val schema = joined.schema
+    def typeOf(side: Int, c: String): DataType =
+      schema(joinAggRef(side, c)).dataType
+    // runtime aggregate kind + output type from the SQL function and
+    // the argument's joined type (the planner's type derivation)
+    val kinds: Seq[(String, DataType)] = sh.aggs.map { a =>
+      if (a.col.isEmpty) ("count_star", LongType)
+      else {
+        val dt = typeOf(a.side, a.col)
+        a.fn match {
+          case "COUNT" =>
+            (if (a.distinct) "count_distinct" else "count", LongType)
+          case "SUM" => dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              ("sum_long", LongType)
+            case d: DecimalType => ("sum_dec", DecimalType(38, d.scale))
+            case FloatType | DoubleType => ("sum_double", DoubleType)
+            case o => bad(s"SUM(${a.col}): no sum over ${o.simpleString}")
+          }
+          case "AVG" => dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              ("avg_long", DoubleType)
+            case _: DecimalType => ("avg_dec", DoubleType)
+            case FloatType | DoubleType => ("avg_double", DoubleType)
+            case o => bad(s"AVG(${a.col}): no average over ${o.simpleString}")
+          }
+          case "MIN" | "MAX" => (a.fn.toLowerCase, dt)
+        }
+      }
+    }
+    // MIN/MAX ride the state boundary twice: a RAW rendering (the
+    // output value — base64 for binary, plain cast otherwise) and a
+    // memcmp-ASC sort-key FIELD encoding (the ordering the counted
+    // value map and the cached extreme compare by). Date/time/timestamp
+    // pre-lower to exact integers like the top-N route.
+    def rawCol(a: JoinAggCall): org.apache.spark.sql.Column =
+      if (a.col.isEmpty) lit(null).cast("string")
+      else typeOf(a.side, a.col) match {
+        case BinaryType => base64(col(joinAggRef(a.side, a.col)))
+        case _ => col(joinAggRef(a.side, a.col)).cast("string")
+      }
+    val sortSrc = (i: Int) => s"__ga_sk_$i"
+    val prepped = sh.aggs.zipWithIndex.foldLeft(joined) {
+      case (d, (a, i)) if a.fn == "MIN" || a.fn == "MAX" =>
+        val c0 = col(joinAggRef(a.side, a.col))
+        val pre = typeOf(a.side, a.col) match {
+          case TimestampType => unix_micros(c0)
+          case DateType => unix_date(c0)
+          case _: TimeType => c0.cast("decimal(18,9)")
+          case BooleanType | BinaryType | StringType => c0
+          case _: NumericType => c0
+          case other => bad(s"${a.fn}(${a.col}): type ${other.simpleString} " +
+            "has no order-preserving sort-key encoding")
+        }
+        d.withColumn(sortSrc(i), pre)
+      case (d, _) => d
+    }
+    def sortCol(a: JoinAggCall, i: Int): org.apache.spark.sql.Column =
+      if (a.fn == "MIN" || a.fn == "MAX") {
+        val label = s"${a.fn}(${a.col})".replace("'", "''")
+        when(col(sortSrc(i)).isNotNull,
+          expr(s"graft_sort_key(`${sortSrc(i)}`, '$label', true)"))
+      } else lit(null).cast("string")
+    val sign = when(col(streaming.Cdc.RowKind) === streaming.Cdc.Insert,
+      lit(1)).otherwise(lit(-1))
+    val keyCol =
+      if (sh.groupItems.isEmpty) lit("")
+      else to_json(struct(sh.groupItems.zipWithIndex.map {
+        case ((side, c, _), i) => col(joinAggRef(side, c)).as(s"g$i")
+      }: _*))
+    val aggInput = prepped.select(keyCol.as("_1"), sign.as("_2"),
+      array(sh.aggs.map(rawCol): _*).as("_3"),
+      array(sh.aggs.zipWithIndex.map { case (a, i) => sortCol(a, i) }: _*)
+        .as("_4"))
+      .as(org.apache.spark.sql.Encoders.product[
+        (String, Int, Seq[Option[String]], Seq[Option[String]])])
+    val aggOut = streaming.RetractAggTws.groupAggChangelog(aggInput,
+        kinds.map(k => streaming.RetractAggTws.AggSpec(k._1)))
+      .toDF("__gk", "__vals", "__live")
+    val keySchema = StructType(sh.groupItems.zipWithIndex.map {
+      case ((side, c, _), i) =>
+        StructField(s"g$i", typeOf(side, c), nullable = true)
+    })
+    val withKey =
+      if (sh.groupItems.isEmpty) aggOut
+      else aggOut.withColumn("__gr", from_json(col("__gk"), keySchema))
+    // outputs in the user's select-list order: grouped columns decode
+    // from the state key, aggregates re-type from their renderings
+    val ordered = sh.selectOrder.map {
+      case Left(gi) =>
+        val (_, _, out) = sh.groupItems(gi)
+        col(s"__gr.g$gi").as(out)
+      case Right(ai) =>
+        val a = sh.aggs(ai)
+        val raw = element_at(col("__vals"), ai + 1)
+        (kinds(ai)._2 match {
+          case BinaryType => unbase64(raw)
+          case t => raw.cast(t)
+        }).as(a.out)
+    }
+    val base = withKey.select(ordered :+ col("__live"): _*)
+    val liveCol = sh.having match {
+      case None => col("__live")
+      case Some(h) =>
+        val rewritten = rewriteJoinHaving(spark, sh, h, bad)
+        val pred =
+          try expr(rewritten)
+          catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
+            s"against the aggregate outputs (rewritten: $rewritten): " +
+            e.getMessage) }
+        col("__live") && coalesce(pred, lit(false))
+    }
+    val df = base.withColumn(LiveCol, coalesce(liveCol, lit(false)))
+      .drop("__live")
+    val keys = sh.groupItems.map(_._3)
+    val write = upsertSinkWriter(spark, sink, keys, Seq.empty)
     graft.util.StartLock.locked {
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProvider = spark.conf.getOption(providerKey)
       spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
       try withStateSizing(spark) {
-        out.writeStream
-          .outputMode("append") // delta emission (+I/-D changelog rows)
+        df.writeStream
+          .outputMode("append") // TWS chain: refreshed-group delta rows
           .option("checkpointLocation", checkpointDir)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.withColumn(SeqCol, lit(batchId))
-              .write.mode("append").saveAsTable(sink)
+            val log = batch
+              .withColumn(streaming.Cdc.RowKind,
+                when(col(LiveCol), streaming.Cdc.UpdateAfter)
+                  .otherwise(streaming.Cdc.Delete))
+              .drop(LiveCol)
+              .withColumn(SeqCol, lit(batchId))
+            write(log, batchId)
           }
           .start()
       } finally prevProvider match {

@@ -169,6 +169,8 @@ object Engine {
       else if (ChangelogSql.streamMatches(spark, select))
         "continuous retraction-consuming aggregate (update mode) " +
           "-> upsert changelog keyed by the GROUP BY columns"
+      else if (ChangelogSql.streamJoinAggMatches(spark, select))
+        ChangelogSql.streamJoinAggExplainText(spark, select)
       else if (ChangelogSql.streamJoinMatches(spark, select))
         ChangelogSql.streamJoinExplainText(spark, select)
       else
@@ -558,11 +560,17 @@ object Engine {
           return ChangelogSql.streamTopN(spark, statement, checkpointDir)
         if (ChangelogSql.streamMatches(spark, select))
           return ChangelogSql.streamInsert(spark, statement, checkpointDir)
+        // AGGREGATE over a two-changelog join (StreamExecJoin feeding
+        // StreamExecGroupAggregate — one composed continuous topology):
+        // the join's delta stream chains into the retraction-consuming
+        // TWS group aggregate, upsert changelog keyed by GROUP BY.
+        if (ChangelogSql.streamJoinAggMatches(spark, select))
+          return ChangelogSql.streamJoinAgg(spark, statement, checkpointDir)
         // TWO-SIDED retraction join (StreamExecJoin.java:132): both
         // FROM relations are changelogs — one continuous statement,
         // counted-multiset state per side per equi-key, retract
-        // changelog into the sink. Inadmissible variants (outer,
-        // multi-way, WHERE, aggregates) reject inside with the join
+        // changelog into the sink. Inadmissible variants (multi-way,
+        // cross-side WHERE, non-equi ON) reject inside with the join
         // path's specific error, never the watermark complaint below.
         if (ChangelogSql.streamJoinMatches(spark, select))
           return ChangelogSql.streamJoin(spark, statement, checkpointDir)

@@ -179,16 +179,23 @@ class ChangelogStreamSpec extends AnyFunSuite {
         assert(streamAns == batchAns,
           s"commit $i: stream $streamAns != batch $batchAns")
       }
-      // changelog x changelog is the r15 streamJoin path's shape — an
-      // AGGREGATE over it still rejects LOUDLY (one stateful changelog
-      // operator per query) with chain-through-a-sink guidance rather
-      // than running half-right
+      // changelog x changelog WITH an aggregate routes to the composed
+      // agg-over-join topology now (one statement, join feeding the
+      // retraction-consuming group aggregate) — EXPLAIN names both
+      // operators without starting anything
+      val ex = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE INSERT INTO " +
+        s"nowhere_$h SELECT COUNT(*) AS n FROM $src a JOIN $src b " +
+        "ON a.k = b.k").as[String].collect().head
+      assert(ex.contains("two-sided retraction JOIN"), ex)
+      assert(ex.contains("GROUP AGGREGATE"), ex)
+      // a THREE-changelog aggregate still rejects loudly
       val e = intercept[IllegalArgumentException] {
         Engine.sqlStreamInsert(spark,
           s"INSERT INTO nowhere_$h SELECT COUNT(*) AS n FROM $src a " +
-            s"JOIN $src b ON a.k = b.k", "/tmp/never2")
+            s"JOIN $src b ON a.k = b.k JOIN $src c ON b.k = c.k",
+          "/tmp/never2")
       }
-      assert(e.getMessage.contains("aggregating the join's changelog"),
+      assert(e.getMessage.contains("exactly TWO changelog relations"),
         e.getMessage)
     } finally {
       q.stop()
@@ -1231,9 +1238,26 @@ class ChangelogStreamSpec extends AnyFunSuite {
       rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
         s"FULL JOIN $rt r ON l.cust = r.cust WHERE l.price > 5",
         "null-padded side")
-      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, COUNT(*) AS n " +
+      // aggregating the join is the agg-over-join route's shape now;
+      // ITS inadmissible variants get that path's specific errors
+      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, COUNT(*) " +
         s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name",
-        "aggregating the join's changelog")
+        "alias the aggregate")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, SUM(DISTINCT " +
+        s"l.price) AS s FROM $lt l JOIN $rt r ON l.cust = r.cust " +
+        "GROUP BY r.name", "COUNT(DISTINCT")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, SUM(l.price + 1) " +
+        s"AS s FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name",
+        "bare column")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, l.id, " +
+        s"SUM(l.price) AS s FROM $lt l JOIN $rt r ON l.cust = r.cust " +
+        "GROUP BY r.name", "not in GROUP BY")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT SUM(l.price) AS s " +
+        s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name",
+        "must appear in the select list")
+      rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, SUM(l.price) AS s " +
+        s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name " +
+        "HAVING MAX(l.price) > 5", "does not match any select-list")
       rejects(s"INSERT INTO nowhere_j_$h SELECT cust, name FROM $lt l " +
         s"JOIN $rt r ON l.cust = r.cust", "ambiguous")
       rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
@@ -1242,5 +1266,154 @@ class ChangelogStreamSpec extends AnyFunSuite {
         s"CROSS JOIN $rt r", "no key to partition")
     } finally Seq(lt, rt).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  /** ONE continuous statement aggregates a two-changelog join — the
+    * composed StreamExecJoin -> StreamExecGroupAggregate topology
+    * (GroupAggFunction.java:43 consuming the join's retract stream):
+    * the TWS join port chains into the retraction-consuming TWS group
+    * aggregate, and the materialized upsert sink equals the batch
+    * join+GROUP BY over the two FINAL states at every commit —
+    * including a right-side update that MIGRATES rows between groups
+    * and deletes that empty a group. */
+  test("continuous agg over a two-changelog JOIN equals batch at every commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_jagg_l_$h"
+    val rt = s"cl_jagg_r_$h"
+    val sink = s"cl_jagg_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, price DECIMAL(10,2)) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    def appL(rows: Seq[(String, Long, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "p")
+        .withColumn("price", col("p").cast("decimal(10,2)")).drop("p")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "seg")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    appL(Seq(("+I", 1L, 1L, "a", "10.00"), ("+I", 1L, 2L, "a", "4.50"),
+      ("+I", 1L, 3L, "b", "30.00"), ("+I", 1L, 4L, "c", "7.00")))
+    appR(Seq(("+I", 1L, "a", "S1"), ("+I", 1L, "b", "S1"),
+      ("+I", 1L, "c", "S2")))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-jagg").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT r.seg, COUNT(*) AS n, SUM(l.price) AS total,
+             MIN(l.price) AS lo, MAX(l.price) AS hi,
+             COUNT(DISTINCT l.cust) AS custs, AVG(l.price) AS avgp
+      FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.seg"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("two-sided retraction JOIN"), explained)
+    assert(explained.contains("GROUP AGGREGATE"), explained)
+    assert(explained.contains("upsert changelog keyed by the GROUP BY"),
+      explained)
+    type Row7 = (String, Long, Option[Double], Option[Double],
+      Option[Double], Long, Option[Double])
+    implicit val row7Enc: org.apache.spark.sql.Encoder[Row7] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Option[Double],
+        Option[Double], Option[Double], Long, Option[Double])]
+    def batchAns(): Set[Row7] = Engine.sql(spark, s"""
+      SELECT r.seg, COUNT(*) AS n, CAST(SUM(l.price) AS DOUBLE) AS total,
+             CAST(MIN(l.price) AS DOUBLE) AS lo,
+             CAST(MAX(l.price) AS DOUBLE) AS hi,
+             COUNT(DISTINCT l.cust) AS custs,
+             CAST(SUM(l.price) AS DOUBLE) / COUNT(l.price) AS avgp
+      FROM FINAL_STATE($lt) l JOIN FINAL_STATE($rt) r
+        ON l.cust = r.cust GROUP BY r.seg""")
+      .as[Row7].collect().toSet
+    def streamAns(): Set[Row7] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("seg"), col("n"), col("total").cast("double"),
+          col("lo").cast("double"), col("hi").cast("double"),
+          col("custs"), col("avgp"))
+        .as[Row7].collect().toSet
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      // commit 2: cust a MIGRATES S1 -> S2 (right-side update moves its
+      // two orders between groups); left price update for id 3
+      appR(Seq(("-U", 2L, "a", "S1"), ("+U", 2L, "a", "S2")))
+      appL(Seq(("-U", 2L, 3L, "b", "30.00"), ("+U", 2L, 3L, "b", "35.25")))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      // commit 3: delete cust b entirely — group S1 empties and the
+      // sink must show its -D
+      appR(Seq(("-D", 3L, "b", "S1")))
+      appL(Seq(("-D", 3L, 4L, "c", "7.00")))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c3: ${streamAns()} != ${batchAns()}")
+      assert(!streamAns().exists(_._1 == "S1"), streamAns().toString)
+      spark.catalog.refreshTable(sink)
+      val s1Kinds = spark.table(sink).filter(col("seg") === "S1")
+        .select("row_kind").as[String].collect().toSeq
+      assert(s1Kinds.contains("-D"), s"S1 delete not recorded: $s1Kinds")
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  /** HAVING over the composed join+aggregate: the predicate evaluates
+    * on the refreshed aggregate row (rewritten onto the output columns
+    * — by matching the select list's aggregate text AND by alias), and
+    * a live group leaving the HAVING set emits a DELETE. */
+  test("agg-over-join HAVING tracks set entry and exit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_jagghav_l_$h"
+    val rt = s"cl_jagghav_r_$h"
+    val sink = s"cl_jagghav_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, v BIGINT) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    def appL(rows: Seq[(String, Long, Long, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "v")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "seg")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    appL(Seq(("+I", 1L, 1L, "a", 10L), ("+I", 1L, 2L, "a", 20L),
+      ("+I", 1L, 3L, "b", 5L)))
+    appR(Seq(("+I", 1L, "a", "S1"), ("+I", 1L, "b", "S2")))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-jagghav").toString
+    // HAVING references the aggregate by its select-list expression
+    val q = Engine.sqlStreamInsert(spark, s"""INSERT INTO $sink
+      SELECT r.seg, SUM(l.v) AS total
+      FROM $lt l JOIN $rt r ON l.cust = r.cust
+      GROUP BY r.seg HAVING SUM(l.v) >= 25""", ck)
+    def live(): Map[String, Long] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("seg"), col("total").cast("long"))
+        .as[(String, Long)].collect().toMap
+    try {
+      q.processAllAvailable()
+      assert(live() == Map("S1" -> 30L), live().toString) // S2 (5) below cut
+      // S2 climbs into the set; S1 falls out (still LIVE, just filtered)
+      appL(Seq(("+I", 2L, 4L, "b", 40L), ("-U", 2L, 2L, "a", 20L),
+        ("+U", 2L, 2L, "a", 1L)))
+      q.processAllAvailable()
+      assert(live() == Map("S2" -> 45L), live().toString)
+      spark.catalog.refreshTable(sink)
+      val s1Kinds = spark.table(sink).filter(col("seg") === "S1")
+        .select("row_kind").as[String].collect().toSeq
+      assert(s1Kinds.contains("-D"), s"set-exit delete missing: $s1Kinds")
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 }
