@@ -1329,6 +1329,119 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // AGG-OVER-JOIN as ONE continuous statement (r15 third pass —
+      // StreamExecJoin feeding StreamExecGroupAggregate,
+      // GroupAggFunction.java:43 consuming the join's retract stream):
+      // `SELECT c.seg, COUNT/SUM/MIN/MAX/AVG/COUNT(DISTINCT) ... FROM
+      // ord JOIN cust GROUP BY c.seg` over TWO changelogs, the right a
+      // DECLARED UPSERT through the normalize chain. Three commits:
+      // inserts; -U/+U price bumps (left) + customers RE-SEGMENTED to
+      // 'MOVED' (right upserts MIGRATE their orders between groups —
+      // retract from the old group, add to the new); -D deletes on
+      // both. The materialized upsert sink must equal DuckDB's
+      // join+GROUP BY over the two final states — a missed group
+      // migration, a lost retraction in any accumulator, or a stale
+      // MIN/MAX extreme breaks rows and hash. DECIMAL sums keep the
+      // compare exact; AVG rounds via the dround convention.
+      "q163_stream_join_agg",
+      (s, d) => withSmallStreamState(s) {
+        import s.implicits._
+        val lt = "cl_q163_ord"
+        val rt = "cl_q163_cust"
+        val sink = "cl_q163_sink"
+        Seq(lt, rt, sink).foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          graft.Bits.dec($"o_totalprice").as("price"))
+        val bumped = ($"price" + lit(100).cast(graft.Bits.Dec))
+          .cast(graft.Bits.Dec).as("price")
+        val l1 = ord.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_custkey", $"price")
+        val l2 = ord.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"price")
+          .unionByName(ord.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_custkey", bumped))
+        val currentPrice = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val l3 = ord.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", currentPrice)
+        val cust = Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+        val r1 = cust.select(lit("+U").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"c_custkey", $"c_mktsegment".as("seg"))
+        val r2 = cust.filter($"c_custkey" % 5 === 0)
+          .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"c_custkey", lit("MOVED").as("seg"))
+        val r3 = cust.filter($"c_custkey" % 13 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"c_custkey", lit(null).cast("string").as("seg"))
+        l1.createOrReplaceTempView(s"__${lt}_src")
+        try Engine.sql(s, s"CREATE TABLE $lt AS SELECT * FROM __${lt}_src")
+        finally s.catalog.dropTempView(s"__${lt}_src")
+        r1.createOrReplaceTempView(s"__${rt}_src")
+        try Engine.sql(s, s"CREATE TABLE $rt AS SELECT * FROM __${rt}_src")
+        finally s.catalog.dropTempView(s"__${rt}_src")
+        s.sql(s"ALTER TABLE $rt SET TBLPROPERTIES " +
+          "('graft.upsert.keys' = 'c_custkey')")
+        def append(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        // healing pre-create (orphaned-location defense, as in q160)
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (seg STRING, cnt BIGINT, custs BIGINT, rev DECIMAL(38,2),
+           lo DECIMAL(12,2), hi DECIMAL(12,2), avg_p DOUBLE,
+           row_kind STRING, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q163").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT c.seg, COUNT(*) AS cnt,
+                 COUNT(DISTINCT o.o_custkey) AS custs,
+                 SUM(o.price) AS rev, MIN(o.price) AS lo,
+                 MAX(o.price) AS hi, AVG(o.price) AS avg_p
+          FROM $lt o JOIN $rt c ON o.o_custkey = c.c_custkey
+          GROUP BY c.seg""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(lt, l2); append(rt, r2); q.processAllAvailable()
+          append(lt, l3); append(rt, r3); q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"seg", $"cnt", $"custs",
+            $"rev".cast("double").as("rev"),
+            $"lo".cast("double").as("lo"),
+            $"hi".cast("double").as("hi"),
+            graft.Bits.dround($"avg_p", 6).as("avg_p"))
+          .orderBy($"seg")
+      },
+      Some(s"""
+        |WITH fo AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                   AS DECIMAL(12,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0),
+        |fc AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT seg, COUNT(*) AS cnt, COUNT(DISTINCT o_custkey) AS custs,
+        |       CAST(SUM(price) AS DOUBLE) AS rev,
+        |       CAST(MIN(price) AS DOUBLE) AS lo,
+        |       CAST(MAX(price) AS DOUBLE) AS hi,
+        |       ${graft.Bits.droundSql(
+               "CAST(SUM(price) AS DOUBLE) / COUNT(price)", 6)} AS avg_p
+        |FROM fo JOIN fc ON fo.o_custkey = fc.c_custkey
+        |GROUP BY seg ORDER BY seg
+        |""".stripMargin)),
+
+    GQuery(
       // COMPUTED ORDER BY items in the continuous top-N (r15): the
       // statement ranks on `LENGTH(o_orderpriority) DESC,
       // price < 150000.0, o_orderkey` — a computed expression, a
