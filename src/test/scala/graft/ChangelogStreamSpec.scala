@@ -1361,6 +1361,71 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** Agg over a continuous LEFT OUTER join: NULL-padded rows group
+    * under the NULL grouping key (SQL GROUP BY semantics), and pad-era
+    * transitions MIGRATE rows between the NULL group and their real
+    * group — first match retracts the pad (NULL group shrinks), last
+    * retraction restores it. */
+  test("agg over a LEFT OUTER join groups pads under NULL and migrates") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_jaggo_l_$h"
+    val rt = s"cl_jaggo_r_$h"
+    val sink = s"cl_jaggo_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, v BIGINT) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    def appL(rows: Seq[(String, Long, Long, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "v")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "seg")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    appL(Seq(("+I", 1L, 1L, "a", 10L), ("+I", 1L, 2L, "b", 20L),
+      ("+I", 1L, 3L, "b", 5L)))
+    appR(Seq(("+I", 1L, "a", "S1"))) // b unmatched: pads -> NULL group
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-jaggo").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT r.seg, COUNT(*) AS n, SUM(l.v) AS total
+      FROM $lt l LEFT JOIN $rt r ON l.cust = r.cust GROUP BY r.seg"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("LEFT"), explained)
+    assert(explained.contains("pad bookkeeping"), explained)
+    assert(explained.contains("GROUP AGGREGATE"), explained)
+    def batchAns(): Set[(Option[String], Long, Long)] = Engine.sql(spark, s"""
+      SELECT r.seg, COUNT(*) AS n, SUM(l.v) AS total
+      FROM FINAL_STATE($lt) l LEFT JOIN FINAL_STATE($rt) r
+        ON l.cust = r.cust GROUP BY r.seg""")
+      .as[(Option[String], Long, Long)].collect().toSet
+    def streamAns(): Set[(Option[String], Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("seg"), col("n"), col("total").cast("long"))
+        .as[(Option[String], Long, Long)].collect().toSet
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains((None, 2L, 25L)), streamAns().toString)
+      // cust b arrives: its two orders migrate NULL -> S2; cust a
+      // deletes: its order migrates S1 -> NULL (pad restored)
+      appR(Seq(("+I", 2L, "b", "S2"), ("-D", 2L, "a", "S1")))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns() == Set((None: Option[String], 1L, 10L),
+        (Some("S2"), 2L, 25L)), streamAns().toString)
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** HAVING over the composed join+aggregate: the predicate evaluates
     * on the refreshed aggregate row (rewritten onto the output columns
     * — by matching the select list's aggregate text AND by alias), and
