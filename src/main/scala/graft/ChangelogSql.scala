@@ -1719,6 +1719,36 @@ object ChangelogSql {
   private[graft] def isBareOrderCol(text: String): Boolean =
     text.matches("""\w+""")
 
+  /** PARTITION BY / ORDER BY item extraction from an OVER spec —
+    * shared by the plain top-N parse and the composed top-N-over-
+    * aggregate parse. `spec` is the ORIGINAL text (expression literals
+    * survive), `specB` its blanked mirror, `bare` the alias stripper. */
+  private def topNSpecItems(spec: String, specB: String,
+      bare: String => String): Option[(Seq[String], Seq[(String, Boolean)])] = {
+    val sm = TopNSpecRe.findFirstMatchIn(specB).getOrElse(return None)
+    // no PARTITION BY = the GLOBAL top-N (Flink's parallelism-1
+    // rank): one constant state key
+    val partCols = Option(sm.group(1)).map(_.split(",").toSeq.map(bare)
+      .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    if (sm.group(2) == null) return None
+    // the ORDER BY item list comes from the ORIGINAL text (an
+    // expression's literals must survive); offsets match because
+    // blanking is length-preserving
+    val orderText = spec.substring(sm.start(2), sm.end(2))
+    // each item `col|expr [ASC|DESC]`; SQL's default sort direction
+    // is ASCENDING — a missing keyword must NOT read DESC
+    val items = graft.util.SqlSplit.splitTopLevel(orderText)
+      .map(_.trim).map {
+        case OrderItemRe(e, dir) =>
+          val desc = Option(dir).exists(_.equalsIgnoreCase("DESC"))
+          val t = e.trim
+          if (t.matches("""[\w.`]+""")) (bare(t), desc) else (t, desc)
+        case _ => return None
+      }
+    if (items.isEmpty || items.exists(_._1.isEmpty)) return None
+    Some((partCols, items))
+  }
+
   private def parseStreamTopN(
       spark: SparkSession, select: String): Option[TopNShape] = {
     val stmt = select.trim.replaceAll(";\\s*$", "")
@@ -1742,27 +1772,8 @@ object ChangelogSql {
         }
         if (bare(rnRef) != rn) return None
         val outerCols = graft.util.SqlSplit.splitTopLevel(outer).map(bare)
-        val sm = TopNSpecRe.findFirstMatchIn(specB).getOrElse(return None)
-        // no PARTITION BY = the GLOBAL top-N (Flink's parallelism-1
-        // rank): one constant state key
-        val partCols = Option(sm.group(1)).map(_.split(",").toSeq.map(bare)
-          .filter(_.nonEmpty)).getOrElse(Seq.empty)
-        if (sm.group(2) == null) return None
-        // the ORDER BY item list comes from the ORIGINAL text (an
-        // expression's literals must survive); offsets match because
-        // blanking is length-preserving
-        val orderText = spec.substring(sm.start(2), sm.end(2))
-        // each item `col|expr [ASC|DESC]`; SQL's default sort direction
-        // is ASCENDING — a missing keyword must NOT read DESC
-        val items = graft.util.SqlSplit.splitTopLevel(orderText)
-          .map(_.trim).map {
-            case OrderItemRe(e, dir) =>
-              val desc = Option(dir).exists(_.equalsIgnoreCase("DESC"))
-              val t = e.trim
-              if (t.matches("""[\w.`]+""")) (bare(t), desc) else (t, desc)
-            case _ => return None
-          }
-        if (items.isEmpty || items.exists(_._1.isEmpty)) return None
+        val (partCols, items) =
+          topNSpecItems(spec, specB, bare).getOrElse(return None)
         if (!(outerCols ++ partCols).forall(_.matches("""\w+"""))) return None
         val n0 = nStr.toInt
         val n = if (op == "<") n0 - 1 else n0
@@ -1833,6 +1844,19 @@ object ChangelogSql {
     val src =
       if (fast) changelogReadStream(spark, shape.rel)
       else retractStreamOf(spark, shape.rel)
+    streamTopNLowered(spark, sink, shape, src, fast, checkpointDir)
+  }
+
+  /** Lower a validated top-N shape over an arbitrary RETRACT changelog
+    * stream (row_kind + payload columns) and start the continuous
+    * query — shared by the plain statement (src = the changelog
+    * relation, possibly normalize-chained) and the composed
+    * top-N-over-aggregate statement (src = the inner aggregate's
+    * retract stream). */
+  private def streamTopNLowered(spark: SparkSession, sink: String,
+      shape: TopNShape, src: DataFrame, fast: Boolean,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
     val cols = src.columns.toSeq
     val payloadCols = cols.filterNot(c =>
       c == streaming.Cdc.RowKind || c == SeqCol || c == "cdc_ts")
@@ -2262,17 +2286,19 @@ object ChangelogSql {
   private def joinAggRef(side: Int, col: String): String =
     if (side == 0) s"__jl_$col" else s"__jr_$col"
 
-  private def parseStreamJoinAggShape(
-      spark: SparkSession, select: String): StreamJoinAggShape = {
-    def bad(msg: String): Nothing = throw new IllegalArgumentException(
-      s"continuous aggregate over a two-changelog JOIN: $msg")
-    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+  /** Parse + validate an aggregate select list and its GROUP BY against
+    * a side-aware column resolver — the walk shared by the agg-over-join
+    * statement and the composed top-N's inner aggregate. Returns
+    * (groupItems (side, col, out) in GROUP BY order, aggregate calls,
+    * select order anchored onto those two lists). */
+  private def parseAggSelect(c: Clauses,
+      resolve: String => (Int, String), bad: String => Nothing)
+      : (Seq[(Int, String, String)], Seq[JoinAggCall], Seq[Either[Int, Int]]) = {
     if (c.orderBy.isDefined || c.limit.isDefined) bad(
       "ORDER BY / LIMIT have no meaning on a continuous changelog")
     require(!"""(?is)^\s*DISTINCT\b""".r.findFirstIn(c.selectList).isDefined,
-      "SELECT DISTINCT over a continuous join is not supported; GROUP BY " +
-        "the columns instead (same live-group semantics)")
-    val core = parseJoinCore(spark, c, bad)
+      "SELECT DISTINCT over a continuous changelog is not supported; " +
+        "GROUP BY the columns instead (same live-group semantics)")
     val AggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
     val ItemRe = """(?is)^(.*?)(?:\s+AS\s+`?(\w+)`?)?$""".r
     val CallRe = """(?is)^([A-Za-z_]\w*)\s*\(\s*(DISTINCT\s+)?(.*?)\s*\)$""".r
@@ -2307,7 +2333,7 @@ object ChangelogSql {
                   if (fn != "COUNT") bad(s"$fn(*) is not an aggregate")
                   (-1, "")
                 } else if (BareRe.findFirstIn(arg).isDefined)
-                  core.resolve(arg)
+                  resolve(arg)
                 else bad(s"aggregate argument ($arg) must be a bare " +
                   "column — project computed arguments into the source " +
                   "changelog relations")
@@ -2319,7 +2345,7 @@ object ChangelogSql {
               aggIdx += 1
               Right(aggIdx)
             case b if BareRe.findFirstIn(b).isDefined =>
-              val (side, col0) = core.resolve(e)
+              val (side, col0) = resolve(e)
               bareB += ((side, col0, Option(a).getOrElse(col0)))
               bareIdx += 1
               Left(bareIdx)
@@ -2339,7 +2365,7 @@ object ChangelogSql {
         if (BareRe.findFirstIn(blank(g)).isEmpty) bad(
           s"GROUP BY item ($g) must be a bare column — project computed " +
             "grouping keys into the source changelog relations")
-        core.resolve(g)
+        resolve(g)
       }
     if (groupRefs.isEmpty && bares.nonEmpty) bad(
       s"non-aggregated column ${bares.head._2} without GROUP BY")
@@ -2359,6 +2385,25 @@ object ChangelogSql {
       .groupBy(_.toLowerCase).collect { case (n, g) if g.size > 1 => n }
     if (dup.nonEmpty) bad(s"duplicate output column name(s): " +
       s"${dup.mkString(", ")} — alias them apart")
+    // re-anchor Left() from statement-order bare-item index to the
+    // matching groupItems index (bare items == grouped columns, proven
+    // above, but the two lists may order them differently)
+    val anchored = selectOrder.map {
+      case Left(bi) =>
+        val (side, col0, _) = bares(bi)
+        Left(groupItems.indexWhere(g => g._1 == side && g._2 == col0))
+      case r => r
+    }
+    (groupItems, aggs, anchored)
+  }
+
+  private def parseStreamJoinAggShape(
+      spark: SparkSession, select: String): StreamJoinAggShape = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous aggregate over a two-changelog JOIN: $msg")
+    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+    val core = parseJoinCore(spark, c, bad)
+    val (groupItems, aggs, anchored) = parseAggSelect(c, core.resolve, bad)
     // synthesize the join shape: each side carries exactly the columns
     // the aggregate stage reads, under internal names
     val needed = (groupItems.map(g => (g._1, g._2)) ++
@@ -2375,44 +2420,33 @@ object ChangelogSql {
       core.joinType,
       Seq.fill(lSel.size)(0) ++ Seq.fill(rSel.size)(1),
       core.whereConjs)
-    // re-anchor Left() from statement-order bare-item index to the
-    // matching groupItems index (bare items == grouped columns, proven
-    // above, but the two lists may order them differently)
-    val anchored = selectOrder.map {
-      case Left(bi) =>
-        val (side, col0, _) = bares(bi)
-        Left(groupItems.indexWhere(g => g._1 == side && g._2 == col0))
-      case r => r
-    }
     StreamJoinAggShape(join, groupItems, aggs, anchored, c.having)
   }
 
   /** Rewrite a HAVING clause onto the aggregate stage's OUTPUT columns:
     * each aggregate call that textually matches a select-list aggregate
-    * (whitespace/case/qualifier-insensitive) becomes its alias, each
-    * grouped column its output name; alias references pass through. Any
-    * aggregate call left after substitution rejects loudly — the state
-    * only keeps the accumulators the select list declared. */
-  private def rewriteJoinHaving(spark: SparkSession,
-      sh: StreamJoinAggShape, h: String, bad: String => Nothing): String = {
+    * (whitespace/case/qualifier-insensitive — `qual(side)` names the
+    * admissible qualifier) becomes its alias, each grouped column its
+    * output name; alias references pass through. Any aggregate call
+    * left after substitution rejects loudly — the state only keeps the
+    * accumulators the select list declared. */
+  private def rewriteAggHaving(spark: SparkSession, h: String,
+      aggs: Seq[JoinAggCall], groupItems: Seq[(Int, String, String)],
+      qual: Int => String, bad: String => Nothing): String = {
     import java.util.regex.Pattern
-    val sideName = (side: Int) =>
-      if (side == 0)
-        sh.join.left.alias.getOrElse(sh.join.left.rel.split('.').last)
-      else sh.join.right.alias.getOrElse(sh.join.right.rel.split('.').last)
     var s = h
-    sh.aggs.foreach { a =>
+    aggs.foreach { a =>
       val argPat =
         if (a.col.isEmpty) "\\*"
-        else s"(?:${Pattern.quote(sideName(a.side))}\\s*\\.\\s*)?`?" +
+        else s"(?:${Pattern.quote(qual(a.side))}\\s*\\.\\s*)?`?" +
           Pattern.quote(a.col) + "`?"
       val pat = s"(?i)\\b${a.fn}\\s*\\(\\s*" +
         (if (a.distinct) "DISTINCT\\s+" else "") + argPat + "\\s*\\)"
       s = s.replaceAll(pat,
         java.util.regex.Matcher.quoteReplacement("`" + a.out + "`"))
     }
-    sh.groupItems.foreach { case (side, col0, out) =>
-      val pat = s"(?i)\\b(?:${Pattern.quote(sideName(side))}\\s*\\.\\s*)?`?" +
+    groupItems.foreach { case (side, col0, out) =>
+      val pat = s"(?i)\\b(?:${Pattern.quote(qual(side))}\\s*\\.\\s*)?`?" +
         Pattern.quote(col0) + "`?\\b"
       s = s.replaceAll(pat, "`" + out + "`")
     }
@@ -2678,7 +2712,6 @@ object ChangelogSql {
     * (probe-pinned in their specs), emission O(touched groups). */
   def streamJoinAgg(spark: SparkSession, statement: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.types._
     def bad(msg: String): Nothing = throw new IllegalArgumentException(
       s"continuous aggregate over a two-changelog JOIN: $msg")
     val (sink, select) = statement match {
@@ -2687,113 +2720,24 @@ object ChangelogSql {
         s"streamJoinAgg expects INSERT INTO <table> SELECT ..., got: $other")
     }
     val sh = parseStreamJoinAggShape(spark, select)
-    graft.functions.GraftFunctions.register(spark) // graft_sort_key
     val joined = joinChangelogStream(spark, sh.join)
-    val schema = joined.schema
-    def typeOf(side: Int, c: String): DataType =
-      schema(joinAggRef(side, c)).dataType
-    // runtime aggregate kind + output type from the SQL function and
-    // the argument's joined type (the planner's type derivation)
-    val kinds: Seq[(String, DataType)] = sh.aggs.map { a =>
-      if (a.col.isEmpty) ("count_star", LongType)
-      else {
-        val dt = typeOf(a.side, a.col)
-        a.fn match {
-          case "COUNT" =>
-            (if (a.distinct) "count_distinct" else "count", LongType)
-          case "SUM" => dt match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              ("sum_long", LongType)
-            case d: DecimalType => ("sum_dec", DecimalType(38, d.scale))
-            case FloatType | DoubleType => ("sum_double", DoubleType)
-            case o => bad(s"SUM(${a.col}): no sum over ${o.simpleString}")
-          }
-          case "AVG" => dt match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              ("avg_long", DoubleType)
-            case _: DecimalType => ("avg_dec", DoubleType)
-            case FloatType | DoubleType => ("avg_double", DoubleType)
-            case o => bad(s"AVG(${a.col}): no average over ${o.simpleString}")
-          }
-          case "MIN" | "MAX" => (a.fn.toLowerCase, dt)
-        }
-      }
-    }
-    // MIN/MAX ride the state boundary twice: a RAW rendering (the
-    // output value — base64 for binary, plain cast otherwise) and a
-    // memcmp-ASC sort-key FIELD encoding (the ordering the counted
-    // value map and the cached extreme compare by). Date/time/timestamp
-    // pre-lower to exact integers like the top-N route.
-    def rawCol(a: JoinAggCall): org.apache.spark.sql.Column =
-      if (a.col.isEmpty) lit(null).cast("string")
-      else typeOf(a.side, a.col) match {
-        case BinaryType => base64(col(joinAggRef(a.side, a.col)))
-        case _ => col(joinAggRef(a.side, a.col)).cast("string")
-      }
-    val sortSrc = (i: Int) => s"__ga_sk_$i"
-    val prepped = sh.aggs.zipWithIndex.foldLeft(joined) {
-      case (d, (a, i)) if a.fn == "MIN" || a.fn == "MAX" =>
-        val c0 = col(joinAggRef(a.side, a.col))
-        val pre = typeOf(a.side, a.col) match {
-          case TimestampType => unix_micros(c0)
-          case DateType => unix_date(c0)
-          case _: TimeType => c0.cast("decimal(18,9)")
-          case BooleanType | BinaryType | StringType => c0
-          case _: NumericType => c0
-          case other => bad(s"${a.fn}(${a.col}): type ${other.simpleString} " +
-            "has no order-preserving sort-key encoding")
-        }
-        d.withColumn(sortSrc(i), pre)
-      case (d, _) => d
-    }
-    def sortCol(a: JoinAggCall, i: Int): org.apache.spark.sql.Column =
-      if (a.fn == "MIN" || a.fn == "MAX") {
-        val label = s"${a.fn}(${a.col})".replace("'", "''")
-        when(col(sortSrc(i)).isNotNull,
-          expr(s"graft_sort_key(`${sortSrc(i)}`, '$label', true)"))
-      } else lit(null).cast("string")
-    val sign = when(col(streaming.Cdc.RowKind) === streaming.Cdc.Insert,
-      lit(1)).otherwise(lit(-1))
-    val keyCol =
-      if (sh.groupItems.isEmpty) lit("")
-      else to_json(struct(sh.groupItems.zipWithIndex.map {
-        case ((side, c, _), i) => col(joinAggRef(side, c)).as(s"g$i")
-      }: _*))
-    val aggInput = prepped.select(keyCol.as("_1"), sign.as("_2"),
-      array(sh.aggs.map(rawCol): _*).as("_3"),
-      array(sh.aggs.zipWithIndex.map { case (a, i) => sortCol(a, i) }: _*)
-        .as("_4"))
-      .as(org.apache.spark.sql.Encoders.product[
-        (String, Int, Seq[Option[String]], Seq[Option[String]])])
-    val aggOut = streaming.RetractAggTws.groupAggChangelog(aggInput,
-        kinds.map(k => streaming.RetractAggTws.AggSpec(k._1)))
-      .toDF("__gk", "__vals", "__live")
-    val keySchema = StructType(sh.groupItems.zipWithIndex.map {
-      case ((side, c, _), i) =>
-        StructField(s"g$i", typeOf(side, c), nullable = true)
-    })
-    val withKey =
-      if (sh.groupItems.isEmpty) aggOut
-      else aggOut.withColumn("__gr", from_json(col("__gk"), keySchema))
-    // outputs in the user's select-list order: grouped columns decode
-    // from the state key, aggregates re-type from their renderings
-    val ordered = sh.selectOrder.map {
-      case Left(gi) =>
-        val (_, _, out) = sh.groupItems(gi)
-        col(s"__gr.g$gi").as(out)
-      case Right(ai) =>
-        val a = sh.aggs(ai)
-        val raw = element_at(col("__vals"), ai + 1)
-        (kinds(ai)._2 match {
-          case BinaryType => unbase64(raw)
-          case t => raw.cast(t)
-        }).as(a.out)
-    }
-    val base = withKey.select(ordered :+ col("__live"): _*)
+    val groupRefs = sh.groupItems.map(g => (joinAggRef(g._1, g._2), g._3))
+    val aggRefs = sh.aggs.map(a =>
+      (a, if (a.col.isEmpty) "" else joinAggRef(a.side, a.col)))
+    val agged = loweredGroupAgg(spark, joined, groupRefs, aggRefs,
+      sh.selectOrder, retractMode = false, bad)
+    val base = agged.withColumn("__live",
+      col(streaming.Cdc.RowKind) =!= streaming.Cdc.Delete)
+      .drop(streaming.Cdc.RowKind)
     val liveCol = sh.having match {
       case None => col("__live")
       case Some(h) =>
-        val rewritten = rewriteJoinHaving(spark, sh, h, bad)
+        val sideName = (side: Int) =>
+          if (side == 0)
+            sh.join.left.alias.getOrElse(sh.join.left.rel.split('.').last)
+          else sh.join.right.alias.getOrElse(sh.join.right.rel.split('.').last)
+        val rewritten = rewriteAggHaving(spark, h, sh.aggs,
+          sh.groupItems, sideName, bad)
         val pred =
           try expr(rewritten)
           catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
@@ -2829,6 +2773,368 @@ object ChangelogSql {
         case None => spark.conf.unset(providerKey)
       }
     }
+  }
+
+  /** Lower a group aggregate over an arbitrary RETRACT changelog stream
+    * `src` (row_kind + payload columns) onto the TWS aggregate
+    * processor; returns the aggregate's changelog — row_kind followed
+    * by the outputs in select order. `retractMode` selects the emission
+    * encoding (the reference's generateUpdateBefore flag): false = one
+    * +U/-D refreshed row per touched group (what an upsert sink
+    * consumes), true = exact +I/-U/+U/-D pairs (what a DOWNSTREAM
+    * retraction-consuming operator — the composed top-N — requires).
+    * Shared by [[streamJoinAgg]] and [[streamTopNAgg]]. */
+  private def loweredGroupAgg(spark: SparkSession, src: DataFrame,
+      groupRefs: Seq[(String, String)], // (src column, output name)
+      aggRefs: Seq[(JoinAggCall, String)], // (call, src column; "" = COUNT(*))
+      selectOrder: Seq[Either[Int, Int]],
+      retractMode: Boolean, bad: String => Nothing): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.functions.GraftFunctions.register(spark) // graft_sort_key
+    val schema = src.schema
+    def typeOf(c: String): DataType = schema(c).dataType
+    // runtime aggregate kind + output type from the SQL function and
+    // the argument's type (the planner's type derivation)
+    val kinds: Seq[(String, DataType)] = aggRefs.map { case (a, rc) =>
+      if (rc.isEmpty) ("count_star", LongType)
+      else {
+        val dt = typeOf(rc)
+        a.fn match {
+          case "COUNT" =>
+            (if (a.distinct) "count_distinct" else "count", LongType)
+          case "SUM" => dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              ("sum_long", LongType)
+            case d: DecimalType => ("sum_dec", DecimalType(38, d.scale))
+            case FloatType | DoubleType => ("sum_double", DoubleType)
+            case o => bad(s"SUM(${a.col}): no sum over ${o.simpleString}")
+          }
+          case "AVG" => dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              ("avg_long", DoubleType)
+            case _: DecimalType => ("avg_dec", DoubleType)
+            case FloatType | DoubleType => ("avg_double", DoubleType)
+            case o => bad(s"AVG(${a.col}): no average over ${o.simpleString}")
+          }
+          case "MIN" | "MAX" => (a.fn.toLowerCase, dt)
+        }
+      }
+    }
+    // MIN/MAX ride the state boundary twice: a RAW rendering (the
+    // output value — base64 for binary, plain cast otherwise) and a
+    // memcmp-ASC sort-key FIELD encoding (the ordering the counted
+    // value map and the cached extreme compare by). Date/time/timestamp
+    // pre-lower to exact integers like the top-N route.
+    def rawCol(rc: String): org.apache.spark.sql.Column =
+      if (rc.isEmpty) lit(null).cast("string")
+      else typeOf(rc) match {
+        case BinaryType => base64(col(rc))
+        case _ => col(rc).cast("string")
+      }
+    val sortSrc = (i: Int) => s"__ga_sk_$i"
+    val prepped = aggRefs.zipWithIndex.foldLeft(src) {
+      case (d, ((a, rc), i)) if a.fn == "MIN" || a.fn == "MAX" =>
+        val c0 = col(rc)
+        val pre = typeOf(rc) match {
+          case TimestampType => unix_micros(c0)
+          case DateType => unix_date(c0)
+          case _: TimeType => c0.cast("decimal(18,9)")
+          case BooleanType | BinaryType | StringType => c0
+          case _: NumericType => c0
+          case other => bad(s"${a.fn}(${a.col}): type ${other.simpleString} " +
+            "has no order-preserving sort-key encoding")
+        }
+        d.withColumn(sortSrc(i), pre)
+      case (d, _) => d
+    }
+    def sortCol(a: JoinAggCall, i: Int): org.apache.spark.sql.Column =
+      if (a.fn == "MIN" || a.fn == "MAX") {
+        val label = s"${a.fn}(${a.col})".replace("'", "''")
+        when(col(sortSrc(i)).isNotNull,
+          expr(s"graft_sort_key(`${sortSrc(i)}`, '$label', true)"))
+      } else lit(null).cast("string")
+    val sign = when(col(streaming.Cdc.RowKind)
+      .isin(streaming.Cdc.Insert, streaming.Cdc.UpdateAfter), lit(1))
+      .otherwise(lit(-1))
+    val keyCol =
+      if (groupRefs.isEmpty) lit("")
+      else to_json(struct(groupRefs.zipWithIndex.map {
+        case ((rc, _), i) => col(rc).as(s"g$i")
+      }: _*))
+    val aggInput = prepped.select(keyCol.as("_1"), sign.as("_2"),
+      array(aggRefs.map(ar => rawCol(ar._2)): _*).as("_3"),
+      array(aggRefs.zipWithIndex.map { case ((a, _), i) => sortCol(a, i) }: _*)
+        .as("_4"))
+      .as(org.apache.spark.sql.Encoders.product[
+        (String, Int, Seq[Option[String]], Seq[Option[String]])])
+    val aggOut = streaming.RetractAggTws.groupAggChangelog(aggInput,
+        kinds.map(k => streaming.RetractAggTws.AggSpec(k._1)),
+        emitRetracts = retractMode)
+      .toDF("__gk", "__kind", "__vals")
+    val keySchema = StructType(groupRefs.zipWithIndex.map {
+      case ((rc, _), i) => StructField(s"g$i", typeOf(rc), nullable = true)
+    })
+    val withKey =
+      if (groupRefs.isEmpty) aggOut
+      else aggOut.withColumn("__gr", from_json(col("__gk"), keySchema))
+    // outputs in the user's select-list order: grouped columns decode
+    // from the state key, aggregates re-type from their renderings
+    val ordered = selectOrder.map {
+      case Left(gi) =>
+        col(s"__gr.g$gi").as(groupRefs(gi)._2)
+      case Right(ai) =>
+        val raw = element_at(col("__vals"), ai + 1)
+        (kinds(ai)._2 match {
+          case BinaryType => unbase64(raw)
+          case t => raw.cast(t)
+        }).as(aggRefs(ai)._1.out)
+    }
+    withKey.select(col("__kind").as(streaming.Cdc.RowKind) +: ordered: _*)
+  }
+
+  // ---- composed top-N over an aggregate (StreamExecGroupAggregate ->
+  //      StreamExecRank) ----------------------------------------------
+
+  /** The composed top-N's INNER aggregate over ONE changelog relation.
+    * (The STANDALONE single-relation aggregate statement keeps the
+    * richer sign-algebra route — UDAs, static join sides; this parser
+    * covers the TWS-lowerable COUNT/SUM/AVG/MIN/MAX shape the composed
+    * topology needs, because only the TWS aggregate can emit the
+    * retract pairs a downstream rank consumes in append mode.) */
+  private case class RelAggShape(rel: String, aliasName: String,
+      groupItems: Seq[(String, String)],   // (col, out)
+      aggs: Seq[JoinAggCall],
+      selectOrder: Seq[Either[Int, Int]],
+      having: Option[String], whereConjs: Seq[String])
+
+  private def parseRelAggShape(
+      spark: SparkSession, select: String): RelAggShape = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous aggregate over a changelog: $msg")
+    val c = parse(select).getOrElse(
+      bad(s"unparseable inner statement: $select"))
+    val (rel, alias) = c.relation.trim match {
+      case RelRe(n, a) if isChangelogRel(spark, n) => (n, Option(a))
+      case other => bad("the inner FROM must be ONE changelog relation " +
+        s"or a two-changelog JOIN, got: $other")
+    }
+    def encodingCol(n: String) =
+      n == streaming.Cdc.RowKind || n == "cdc_ts" || n == SeqCol
+    val all = blank(c.selectList) + " " +
+      c.where.map(blank).getOrElse("") + " " +
+      c.groupBy.map(blank).getOrElse("") + " " +
+      c.having.map(blank).getOrElse("")
+    Seq(streaming.Cdc.RowKind, "cdc_ts", SeqCol).foreach(m =>
+      if (("(?i)\\b" + java.util.regex.Pattern.quote(m) + "\\b").r
+          .findFirstIn(all).isDefined)
+        bad(s"the statement references encoding column $m — the " +
+          "aggregate consumes the encodings"))
+    val relName = alias.getOrElse(rel.split('.').last)
+    val cols = relationColumns(spark, rel).getOrElse(
+      bad(s"cannot resolve $rel")).filterNot(encodingCol)
+    def canon(n: String): String = cols.find(_.equalsIgnoreCase(n))
+      .getOrElse(bad(s"column $n not found on $rel"))
+    def resolve(ref0: String): (Int, String) = {
+      val ref = ref0.trim.replace("`", "")
+      ref.split('.') match {
+        case Array(q, n) if q.equalsIgnoreCase(relName) => (0, canon(n))
+        case Array(q, _) => bad(s"unknown qualifier '$q' in $ref")
+        case Array(n) => (0, canon(n))
+        case _ => bad(s"cannot resolve column reference: $ref0")
+      }
+    }
+    val (g3, aggs, order) = parseAggSelect(c, resolve, bad)
+    RelAggShape(rel, relName, g3.map(g => (g._2, g._3)), aggs, order,
+      c.having,
+      c.where.map(graft.util.SqlSplit.splitTopLevelAnd(_)).getOrElse(Nil))
+  }
+
+  private val TopNAsFromParenRe =
+    """(?is)^\s*AS\s+`?(\w+)`?\s+FROM\s*\(""".r
+  private val TopNAfterInnerRe =
+    ("""(?is)^(?:\s+(?:AS\s+)?(\w+))?\s*\)\s+WHERE\s+""" +
+      """`?[\w.]*?(\w+)`?\s*(<=|<)\s*(\d+)\s*$""").r
+
+  /** Parse the composed statement `SELECT ... FROM (SELECT *,
+    * ROW_NUMBER() OVER (...) AS rn FROM ( <inner aggregate> ) [x] )
+    * WHERE rn <= N` — the reference's rank-over-aggregate plan shape.
+    * Returns the top-N shape (partition/order/outer columns reference
+    * the INNER aggregate's OUTPUTS; rel is a marker label) and the
+    * inner select text. */
+  private def parseStreamTopNOverAgg(
+      spark: SparkSession, select: String): Option[(TopNShape, String)] = {
+    val stmt = select.trim.replaceAll(";\\s*$", "")
+    val b = blank(stmt)
+    val om = """(?is)ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(""".r
+      .findFirstMatchIn(b).getOrElse(return None)
+    val open = om.end - 1
+    val close = scala.util.Try(matchParen(b, open)).getOrElse(return None)
+    val head = b.substring(0, om.end)
+    val specB = b.substring(open + 1, close)
+    val spec = stmt.substring(open + 1, close)
+    val am = TopNAsFromParenRe.findFirstMatchIn(b.substring(close + 1))
+      .getOrElse(return None)
+    val rn = am.group(1)
+    val innerOpen = close + 1 + am.end - 1
+    val innerClose = scala.util.Try(matchParen(b, innerOpen))
+      .getOrElse(return None)
+    val inner = stmt.substring(innerOpen + 1, innerClose)
+    if ("""(?is)^\s*SELECT\b""".r.findFirstIn(blank(inner)).isEmpty)
+      return None
+    // the inner must reference a changelog relation — else this is a
+    // batch/windowed subquery shape some other route owns
+    val innerIsChangelog = parse(inner).exists { ic =>
+      val rels = parseJoinChain(ic.relation).map(_.map(_.name))
+        .getOrElse(ic.relation.trim match {
+          case RelRe(n, _) => Seq(n)
+          case _ => Seq.empty
+        })
+      rels.exists(isChangelogRel(spark, _))
+    }
+    if (!innerIsChangelog) return None
+    val after = b.substring(innerClose + 1)
+    val tm = TopNAfterInnerRe.findFirstMatchIn(after).getOrElse(return None)
+    val (aliasOpt, rnRef, op, nStr) = (Option(tm.group(1)), tm.group(2),
+      tm.group(3), tm.group(4))
+    def bare(s0: String): String = {
+      val t = s0.trim.replace("`", "")
+      aliasOpt.filter(a => t.toLowerCase.startsWith(a.toLowerCase + "."))
+        .map(a => t.drop(a.length + 1)).getOrElse(t)
+    }
+    if (bare(rnRef) != rn) return None
+    val outer = head match {
+      case TopNHeadRe(o) => o
+      case _ => return None
+    }
+    val outerCols = graft.util.SqlSplit.splitTopLevel(outer).map(bare)
+    val (partCols, items) =
+      topNSpecItems(spec, specB, bare).getOrElse(return None)
+    if (!(outerCols ++ partCols).forall(_.matches("""\w+"""))) return None
+    val n0 = nStr.toInt
+    val n = if (op == "<") n0 - 1 else n0
+    if (n < 1) return None
+    Some((TopNShape(outerCols, partCols, items, rn, "<inner aggregate>", n),
+      inner))
+  }
+
+  private[graft] def streamTopNAggMatches(
+      spark: SparkSession, select: String): Boolean =
+    parseStreamTopNOverAgg(spark, select).isDefined
+
+  /** Continuous top-N OVER an aggregate in ONE statement — the
+    * reference's StreamExecGroupAggregate -> StreamExecRank chain:
+    * the inner aggregate (ONE changelog relation, or a TWO-changelog
+    * JOIN) lowers in RETRACT emission mode (+I/-U/+U/-D pairs — the
+    * generateUpdateBefore flag Flink sets when a rank consumes an
+    * aggregate), an inner HAVING filters the pair stream STATELESSLY
+    * (a deterministic predicate commutes with a retract changelog:
+    * set entry nets to an insert, set exit to a delete), and the
+    * sorted top-N port ranks the aggregate's output rows. With a
+    * joined inner this is FOUR chained stateful operators in one
+    * query: ChangelogNormalize -> join -> aggregate -> rank. The
+    * FastTop1 route never applies here (the inner's output is not a
+    * DECLARED-monotone upsert table), so the rank strategy is always
+    * RetractStrategy. */
+  def streamTopNAgg(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous top-N over an aggregate: $msg")
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamTopNAgg expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val (shape, inner) = parseStreamTopNOverAgg(spark, select).getOrElse(
+      bad(s"not a top-N-over-aggregate statement: $select"))
+    val src = innerAggRetractStream(spark, inner, bad)
+    streamTopNLowered(spark, sink, shape, src, fast = false, checkpointDir)
+  }
+
+  /** Lower the composed statement's inner aggregate to its RETRACT
+    * changelog stream (row_kind + output columns). */
+  private def innerAggRetractStream(spark: SparkSession, inner: String,
+      bad: String => Nothing): DataFrame = {
+    val twoChangelogs = parse(inner).exists(ic =>
+      parseJoinChain(ic.relation).exists(
+        _.count(r => isChangelogRel(spark, r.name)) >= 2))
+    if (twoChangelogs) {
+      val jsh = parseStreamJoinAggShape(spark, inner)
+      val joined = joinChangelogStream(spark, jsh.join)
+      val groupRefs = jsh.groupItems.map(g => (joinAggRef(g._1, g._2), g._3))
+      val aggRefs = jsh.aggs.map(a =>
+        (a, if (a.col.isEmpty) "" else joinAggRef(a.side, a.col)))
+      val agged = loweredGroupAgg(spark, joined, groupRefs, aggRefs,
+        jsh.selectOrder, retractMode = true, bad)
+      applyInnerHaving(spark, agged, jsh.having, jsh.aggs, jsh.groupItems,
+        side => if (side == 0)
+          jsh.join.left.alias.getOrElse(jsh.join.left.rel.split('.').last)
+        else jsh.join.right.alias.getOrElse(
+          jsh.join.right.rel.split('.').last),
+        bad)
+    } else {
+      val rsh = parseRelAggShape(spark, inner)
+      val src0 = retractStreamOf(spark, rsh.rel).alias(rsh.aliasName)
+      // single-relation WHERE pushes BELOW the aggregate (a
+      // deterministic payload predicate commutes with the changelog)
+      val filtered = rsh.whereConjs.foldLeft(src0)((d, w) => d.filter(expr(w)))
+      val aggRefs = rsh.aggs.map(a => (a, a.col))
+      val agged = loweredGroupAgg(spark, filtered, rsh.groupItems, aggRefs,
+        rsh.selectOrder, retractMode = true, bad)
+      applyInnerHaving(spark, agged, rsh.having, rsh.aggs,
+        rsh.groupItems.map { case (c0, out) => (0, c0, out) },
+        _ => rsh.aliasName, bad)
+    }
+  }
+
+  /** An inner HAVING filters the aggregate's RETRACT pair stream
+    * statelessly: a -U/-D passes iff the row it retracts passed — the
+    * predicate evaluates on the pair's own values, so set entry nets
+    * to an insert and set exit to a delete with no extra state. */
+  private def applyInnerHaving(spark: SparkSession, agged: DataFrame,
+      having: Option[String], aggs: Seq[JoinAggCall],
+      groupItems: Seq[(Int, String, String)], qual: Int => String,
+      bad: String => Nothing): DataFrame =
+    having match {
+      case None => agged
+      case Some(h) =>
+        val rewritten = rewriteAggHaving(spark, h, aggs, groupItems, qual, bad)
+        val pred =
+          try expr(rewritten)
+          catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
+            s"against the aggregate outputs (rewritten: $rewritten): " +
+            e.getMessage) }
+        agged.filter(coalesce(pred, lit(false)))
+    }
+
+  /** The route line EXPLAIN CHANGELOG_MODE prints for a composed
+    * top-N-over-aggregate statement. */
+  private[graft] def streamTopNAggExplainText(
+      spark: SparkSession, select: String): String = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous top-N over an aggregate: $msg")
+    val (shape, inner) = parseStreamTopNOverAgg(spark, select).getOrElse(
+      bad(s"not a top-N-over-aggregate statement: $select"))
+    val twoChangelogs = parse(inner).exists(ic =>
+      parseJoinChain(ic.relation).exists(
+        _.count(r => isChangelogRel(spark, r.name)) >= 2))
+    val innerLine =
+      if (twoChangelogs)
+        streamJoinAggExplainText(spark, inner).stripSuffix(
+          " -> upsert changelog keyed by the GROUP BY columns") +
+          " [RETRACT pair emission]"
+      else {
+        val rsh = parseRelAggShape(spark, inner)
+        "retraction-consuming GROUP AGGREGATE (GroupAggFunction on " +
+          s"transformWithState) over ${rsh.rel} — group key: (" +
+          rsh.groupItems.map(_._2).mkString(", ") + "); aggregates: " +
+          rsh.aggs.map(a => a.srcText + " AS " + a.out).mkString(", ") +
+          rsh.having.map(h => s"; HAVING $h").getOrElse("") +
+          " [RETRACT pair emission]"
+      }
+    innerLine + " -> continuous top-N, RetractStrategy " +
+      "(RetractableTopNFunction: MapState dataState + sorted counts) " +
+      s"over (${(shape.parts :+ shape.rnAlias).mkString(", ")}) " +
+      "-> upsert changelog keyed by (partition columns, rank)"
   }
 
   /** Keep-last collapse of a [[streamInsert]] sink: the CURRENT

@@ -162,7 +162,9 @@ object Engine {
       spark: SparkSession, sink: String, select: String): String = {
     import spark.implicits._
     val route =
-      if (ChangelogSql.streamTopNMatches(spark, select))
+      if (ChangelogSql.streamTopNAggMatches(spark, select))
+        ChangelogSql.streamTopNAggExplainText(spark, select)
+      else if (ChangelogSql.streamTopNMatches(spark, select))
         s"continuous top-N, ${ChangelogSql.streamTopNStrategy(spark,
           select).get} -> upsert changelog keyed by (partition " +
           "columns, rank)"
@@ -556,6 +558,12 @@ object Engine {
         // ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) WHERE rn<=N
         // in the FROM-subquery shape lowers onto the sorted per-key
         // state operator, refreshing the sink as an upsert changelog
+        // composed rank over an aggregate (StreamExecGroupAggregate ->
+        // StreamExecRank): the inner aggregate (bare changelog or a
+        // two-changelog join) emits retract pairs into the sorted
+        // top-N port — up to FOUR chained stateful operators
+        if (ChangelogSql.streamTopNAggMatches(spark, select))
+          return ChangelogSql.streamTopNAgg(spark, statement, checkpointDir)
         if (ChangelogSql.streamTopNMatches(spark, select))
           return ChangelogSql.streamTopN(spark, statement, checkpointDir)
         if (ChangelogSql.streamMatches(spark, select))

@@ -65,10 +65,10 @@ object RetractAggTws {
     (s.substring(0, i), s.substring(i + 1))
   }
 
-  private class GroupAggProc(specs: Seq[AggSpec])
+  private class GroupAggProc(specs: Seq[AggSpec], emitRetracts: Boolean)
       extends StatefulProcessor[String,
         (String, Int, Seq[Option[String]], Seq[Option[String]]),
-        (String, Seq[Option[String]], Boolean)] {
+        (String, String, Seq[Option[String]])] {
 
     @transient private var acc: ValueState[(Long, Seq[String])] = _
     @transient private var vals: MapState[String, (Long, String)] = _
@@ -120,14 +120,66 @@ object RetractAggTws {
       if (best == null) "" else "=" + best
     }
 
+    /** Render the aggregate output row from (rowCount, slots). A dirty
+      * MIN/MAX slot ("?" — extreme fully retracted this batch) repairs
+      * itself here via [[rescan]]; persisted slots are never dirty, so
+      * pre-batch renders (the retract pair's UPDATE_BEFORE) read pure. */
+    private def renderOuts(rowCount: Long, slots: Array[String],
+        live: Boolean): Seq[Option[String]] =
+      specs.zipWithIndex.map { case (sp, i) =>
+        sp.kind match {
+          case "count_star" => Some(rowCount.toString)
+          case "count" | "count_distinct" => Some(slots(i))
+          case "sum_long" =>
+            val (s0, n0) = splitPair(slots(i))
+            if (n0.toLong == 0L) None else Some(s0)
+          case "sum_dec" =>
+            val (s0, n0) = splitPair(slots(i))
+            if (n0.toLong == 0L) None else Some(s0)
+          case "sum_double" =>
+            val (s0, n0) = splitPair(slots(i))
+            if (n0.toLong == 0L) None
+            else Some(java.lang.Double.longBitsToDouble(s0.toLong).toString)
+          case "avg_long" =>
+            val (s0, n0) = splitPair(slots(i))
+            if (n0.toLong == 0L) None
+            else Some((s0.toLong.toDouble / n0.toLong).toString)
+          case "avg_dec" =>
+            val (s0, n0) = splitPair(slots(i))
+            if (n0.toLong == 0L) None
+            else Some((new java.math.BigDecimal(s0).doubleValue()
+              / n0.toLong).toString)
+          case "avg_double" =>
+            val (s0, n0) = splitPair(slots(i))
+            if (n0.toLong == 0L) None
+            else Some((java.lang.Double.longBitsToDouble(s0.toLong)
+              / n0.toLong).toString)
+          case "min" | "max" =>
+            if (!live) None
+            else {
+              if (slots(i) == "?")
+                slots(i) = rescan(i, wantMax = sp.kind == "max")
+              if (slots(i).isEmpty) None
+              else Some(vals.getValue(s"$i|${slots(i).substring(1)}")._2)
+            }
+        }
+      }
+
     override def handleInputRows(key: String,
         rows: Iterator[(String, Int, Seq[Option[String]], Seq[Option[String]])],
-        tv: TimerValues): Iterator[(String, Seq[Option[String]], Boolean)] = {
+        tv: TimerValues): Iterator[(String, String, Seq[Option[String]])] = {
       val existedBefore = acc.exists()
       var rowCount = if (existedBefore) acc.get()._1 else 0L
       val slots: Array[String] =
         if (existedBefore) acc.get()._2.toArray
         else specs.map(s => zeroAcc(s.kind)).toArray
+      // retract mode: the pair's UPDATE_BEFORE is the pre-batch render —
+      // taken now, before any map entry mutates (GroupAggFunction emits
+      // UPDATE_BEFORE from the accumulator's previous value the same way)
+      val oldOuts: Seq[Option[String]] =
+        if (emitRetracts && existedBefore)
+          renderOuts(rowCount, slots.clone(), live = true)
+        else null
 
       rows.foreach { case (_, sign, raws, sorts) =>
         rowCount += sign
@@ -194,74 +246,59 @@ object RetractAggTws {
       if (!live) {
         acc.clear(); vals.clear()
         if (!existedBefore) return Iterator.empty
-        // the -D row's payload is never read by a keep-last sink; render
-        // the emptied accumulators (counts 0, everything else NULL)
+        // the -D row's payload: retract mode retracts the EXACT previous
+        // row; upsert mode's delete payload is never read by a keep-last
+        // sink (emptied accumulators render — counts 0, the rest NULL)
       }
-      val outs: Seq[Option[String]] = specs.zipWithIndex.map { case (sp, i) =>
-        sp.kind match {
-          case "count_star" => Some(rowCount.toString)
-          case "count" | "count_distinct" => Some(slots(i))
-          case "sum_long" =>
-            val (s0, n0) = splitPair(slots(i))
-            if (n0.toLong == 0L) None else Some(s0)
-          case "sum_dec" =>
-            val (s0, n0) = splitPair(slots(i))
-            if (n0.toLong == 0L) None else Some(s0)
-          case "sum_double" =>
-            val (s0, n0) = splitPair(slots(i))
-            if (n0.toLong == 0L) None
-            else Some(java.lang.Double.longBitsToDouble(s0.toLong).toString)
-          case "avg_long" =>
-            val (s0, n0) = splitPair(slots(i))
-            if (n0.toLong == 0L) None
-            else Some((s0.toLong.toDouble / n0.toLong).toString)
-          case "avg_dec" =>
-            val (s0, n0) = splitPair(slots(i))
-            if (n0.toLong == 0L) None
-            else Some((new java.math.BigDecimal(s0).doubleValue()
-              / n0.toLong).toString)
-          case "avg_double" =>
-            val (s0, n0) = splitPair(slots(i))
-            if (n0.toLong == 0L) None
-            else Some((java.lang.Double.longBitsToDouble(s0.toLong)
-              / n0.toLong).toString)
-          case "min" | "max" =>
-            if (!live) None
-            else {
-              if (slots(i) == "?")
-                slots(i) = rescan(i, wantMax = sp.kind == "max")
-              if (slots(i).isEmpty) None
-              else Some(vals.getValue(s"$i|${slots(i).substring(1)}")._2)
-            }
-        }
-      }
+      val newOuts = renderOuts(rowCount, slots, live)
       if (live) acc.update((rowCount, scala.collection.immutable.ArraySeq
         .unsafeWrapArray(slots)))
-      Iterator.single((key, outs, live))
+      if (!emitRetracts)
+        Iterator.single((key, if (live) Cdc.UpdateAfter else Cdc.Delete,
+          newOuts))
+      else (existedBefore, live) match {
+        case (true, true) => Iterator((key, Cdc.UpdateBefore, oldOuts),
+          (key, Cdc.UpdateAfter, newOuts))
+        case (false, true) => Iterator.single((key, Cdc.Insert, newOuts))
+        case (true, false) => Iterator.single((key, Cdc.Delete, oldOuts))
+        case _ => Iterator.empty // unreachable: early-returned above
+      }
     }
 
     override def handleExpiredTimer(key: String, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[(String, Seq[Option[String]], Boolean)] =
+        info: ExpiredTimerInfo): Iterator[(String, String, Seq[Option[String]])] =
       Iterator.empty // no timers: state lives until explicitly retracted
   }
 
   private val eIn =
     Encoders.product[(String, Int, Seq[Option[String]], Seq[Option[String]])]
-  private val eOut = Encoders.product[(String, Seq[Option[String]], Boolean)]
+  private val eOut = Encoders.product[(String, String, Seq[Option[String]])]
 
   /** One retraction-consuming group aggregate over a keyed changelog of
-    * pre-rendered aggregate arguments. Runs the TWS operator in APPEND
-    * mode (the emission is a refreshed-group delta stream), which is
-    * what lets it chain DOWNSTREAM of the join port and of
-    * ChangelogNormalize in one continuous statement. Requires the
-    * RocksDB state store provider, like every TWS port. */
+    * pre-rendered aggregate arguments; output rows are (group key,
+    * row kind, rendered values). Runs the TWS operator in APPEND mode
+    * (the emission is a changelog delta stream), which is what lets it
+    * chain DOWNSTREAM of the join port and of ChangelogNormalize in one
+    * continuous statement. Requires the RocksDB state store provider,
+    * like every TWS port.
+    *
+    * `emitRetracts` selects the emission encoding (the reference's
+    * generateUpdateBefore planner flag on StreamExecGroupAggregate):
+    *   - false (UPSERT): ONE row per touched group per batch — +U with
+    *     the refreshed values while the group lives, -D when it empties.
+    *     What a keyed upsert sink consumes.
+    *   - true (RETRACT): exact pairs — +I on group birth, -U(previous) /
+    *     +U(current) on refresh, -D(previous) on death. What a
+    *     DOWNSTREAM retraction-consuming operator (rank, join, another
+    *     aggregate) requires, since it must retract the exact prior row. */
   def groupAggChangelog(
       input: Dataset[(String, Int, Seq[Option[String]], Seq[Option[String]])],
-      specs: Seq[AggSpec]): Dataset[(String, Seq[Option[String]], Boolean)] = {
+      specs: Seq[AggSpec], emitRetracts: Boolean = false)
+      : Dataset[(String, String, Seq[Option[String]])] = {
     implicit val ein: Encoder[(String, Int, Seq[Option[String]], Seq[Option[String]])] = eIn
-    implicit val eout: Encoder[(String, Seq[Option[String]], Boolean)] = eOut
+    implicit val eout: Encoder[(String, String, Seq[Option[String]])] = eOut
     input.groupByKey(_._1)(Encoders.STRING)
-      .transformWithState(new GroupAggProc(specs),
+      .transformWithState(new GroupAggProc(specs, emitRetracts),
         TimeMode.None(), OutputMode.Append(), eOut)
   }
 }

@@ -1426,6 +1426,152 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** Top-N OVER an aggregate in ONE statement (StreamExecGroupAggregate
+    * -> StreamExecRank): the inner aggregate emits retract pairs
+    * (-U old / +U new), the sorted rank consumes them, and the
+    * materialized sink equals batch ROW_NUMBER over the final-state
+    * aggregate at every commit — including leader churn and a group
+    * emptying out of the ranking. An inner HAVING filters the pair
+    * stream statelessly. */
+  test("top-N over an aggregate in ONE statement equals batch at every commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_topnagg_src_$h"
+    val sink = s"cl_topnagg_sink_$h"
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $src (row_kind STRING, cdc_ts BIGINT,
+      g STRING, v BIGINT) USING parquet""")
+    def app(rows: Seq[(String, Long, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "g", "v")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    app(Seq(("+I", 1L, "g1", 10L), ("+I", 1L, "g1", 20L),
+      ("+I", 1L, "g2", 20L), ("+I", 1L, "g3", 4L)))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-topnagg").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT g, total, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, g ASC) AS rn
+        FROM ( SELECT g, SUM(v) AS total FROM $src GROUP BY g
+               HAVING SUM(v) > 5 )
+      ) WHERE rn <= 2"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("GROUP AGGREGATE"), explained)
+    assert(explained.contains("RETRACT pair emission"), explained)
+    assert(explained.contains("RetractStrategy"), explained)
+    def batchAns(): Seq[(String, Long, Long)] = Engine.sql(spark, s"""
+      SELECT g, total, rn FROM (
+        SELECT g, total, ROW_NUMBER() OVER (ORDER BY total DESC, g ASC) AS rn
+        FROM (SELECT g, SUM(v) AS total FROM FINAL_STATE($src) GROUP BY g
+              HAVING SUM(v) > 5)
+      ) WHERE rn <= 2 ORDER BY rn""")
+      .as[(String, Long, Long)].collect().toSeq
+    def streamAns(): Seq[(String, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("g"), col("total").cast("long"), col("rn").cast("long"))
+        .orderBy(col("rn"))
+        .as[(String, Long, Long)].collect().toSeq
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("g1", "g2"), streamAns().toString)
+      // leader churn: g3 climbs past everyone (4 -> 44); g1 shrinks
+      app(Seq(("+I", 2L, "g3", 40L), ("-U", 2L, "g1", 20L),
+        ("+U", 2L, "g1", 1L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("g3", "g2"), streamAns().toString)
+      // g2 empties entirely: falls out of the ranking; g1 (11) returns
+      app(Seq(("-D", 3L, "g2", 20L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c3: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("g3", "g1"), streamAns().toString)
+    } finally q.stop()
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  /** The full composed chain — FOUR stateful operators in ONE
+    * statement: ChangelogNormalize (DECLARED UPSERT right side) ->
+    * two-sided retraction JOIN -> retraction-consuming GROUP AGGREGATE
+    * (retract pairs) -> sorted top-N. Group migration on the right
+    * side reshuffles the ranking; every commit equals batch. */
+  test("normalize -> join -> agg -> rank: four chained stateful operators") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_chain4_l_$h"
+    val rt = s"cl_chain4_r_$h"
+    val sink = s"cl_chain4_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, v BIGINT) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    spark.sql(s"ALTER TABLE $rt SET TBLPROPERTIES " +
+      "('graft.upsert.keys' = 'cust')")
+    def appL(rows: Seq[(String, Long, Long, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "v")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "seg")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    appL(Seq(("+I", 1L, 1L, "a", 10L), ("+I", 1L, 2L, "a", 20L),
+      ("+I", 1L, 3L, "b", 25L), ("+I", 1L, 4L, "c", 7L)))
+    appR(Seq(("+U", 1L, "a", "S1"), ("+U", 1L, "b", "S2"),
+      ("+U", 1L, "c", "S3")))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-chain4").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT seg, rev, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rev DESC, seg ASC) AS rn
+        FROM ( SELECT r.seg, SUM(l.v) AS rev
+               FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.seg )
+      ) WHERE rn <= 2"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("two-sided retraction JOIN"), explained)
+    assert(explained.contains("GROUP AGGREGATE"), explained)
+    assert(explained.contains("RetractStrategy"), explained)
+    def batchAns(): Seq[(String, Long, Long)] = Engine.sql(spark, s"""
+      SELECT seg, rev, rn FROM (
+        SELECT seg, rev, ROW_NUMBER() OVER (ORDER BY rev DESC, seg ASC) AS rn
+        FROM (SELECT r.seg, SUM(l.v) AS rev
+              FROM FINAL_STATE($lt) l JOIN FINAL_STATE($rt) r
+                ON l.cust = r.cust GROUP BY r.seg)
+      ) WHERE rn <= 2 ORDER BY rn""")
+      .as[(String, Long, Long)].collect().toSeq
+    def streamAns(): Seq[(String, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("seg"), col("rev").cast("long"), col("rn").cast("long"))
+        .orderBy(col("rn"))
+        .as[(String, Long, Long)].collect().toSeq
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("S1", "S2"), streamAns().toString)
+      // cust a RE-SEGMENTS S1 -> S3 through the normalize chain: S3
+      // absorbs a's 30, S1 empties out of the ranking
+      appR(Seq(("+U", 2L, "a", "S3")))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("S3", "S2"), streamAns().toString)
+      // delete order 3: S2 shrinks to 0 rows and leaves the rank
+      appL(Seq(("-D", 3L, 3L, "b", 25L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c3: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("S3"), streamAns().toString)
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** HAVING over the composed join+aggregate: the predicate evaluates
     * on the refreshed aggregate row (rewritten onto the output columns
     * — by matching the select list's aggregate text AND by alias), and

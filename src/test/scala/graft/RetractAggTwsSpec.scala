@@ -8,17 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The retraction-consuming TWS group aggregate (GroupAggFunction.java:43
   * + MinWithRetractAggFunction's counted-value map): scripted-changelog
   * semantics, SQL null handling, group-emptied deletes, the extreme
-  * cache's state-I/O asymptotics, and — the property the whole
-  * agg-over-join statement rests on — chaining DOWNSTREAM of the join
-  * port in ONE streaming query. */
+  * cache's state-I/O asymptotics, BOTH emission encodings (upsert
+  * refresh vs exact retract pairs — the generateUpdateBefore flag), and
+  * — the property the composed statements rest on — chaining DOWNSTREAM
+  * of the join port in ONE streaming query. */
 class RetractAggTwsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def lastPerKey(rows: Seq[(String, Seq[Option[String]], Boolean)])
+  private type OutRow = (String, String, Seq[Option[String]])
+
+  private def lastPerKey(rows: Seq[OutRow])
       : Map[String, (Seq[Option[String]], Boolean)] =
     rows.foldLeft(Map.empty[String, (Seq[Option[String]], Boolean)]) {
-      case (m, (k, outs, live)) => m.updated(k, (outs, live))
+      case (m, (k, kind, outs)) => m.updated(k, (outs, kind != "-D"))
     }
+
+  private def collectOut(sink: String): Seq[OutRow] =
+    spark.table(sink).as[OutRow](
+      org.apache.spark.sql.Encoders.product[OutRow]).collect().toSeq
 
   test("scripted changelog: counts, sums, avg, min/max, count distinct") {
     TestSpark.withRocksDB {
@@ -30,7 +37,7 @@ class RetractAggTwsSpec extends AnyFunSuite {
         AggSpec("max"), AggSpec("count_distinct"))
       val out = RetractAggTws.groupAggChangelog(in.toDS(), specs)
       val sink = "agg_tws_script"
-      val q = out.toDF("k", "outs", "live").writeStream
+      val q = out.toDF("k", "kind", "outs").writeStream
         .outputMode("append").format("memory").queryName(sink).start()
       def enc(v: Long) = graft.util.SortKey.fieldLong(v, asc = true)
       def row(k: String, sign: Int, v: Option[Long], dup: Option[Long] = None) =
@@ -47,8 +54,7 @@ class RetractAggTwsSpec extends AnyFunSuite {
           row("b", -1, Some(7L))) // b empties
         q.processAllAvailable()
       } finally q.stop()
-      val res = lastPerKey(spark.table(sink)
-        .as[(String, Seq[Option[String]], Boolean)].collect().toSeq)
+      val res = lastPerKey(collectOut(sink))
       val (aOuts, aLive) = res("a")
       assert(aLive)
       assert(aOuts(0).contains("3"))  // COUNT(*): 10, 20, NULL
@@ -63,6 +69,41 @@ class RetractAggTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("retract mode emits exact pairs: +I, -U(old)/+U(new), -D(old)") {
+    TestSpark.withRocksDB {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Int, Seq[Option[String]], Seq[Option[String]])]
+      def enc(v: Long) = graft.util.SortKey.fieldLong(v, asc = true)
+      val out = RetractAggTws.groupAggChangelog(in.toDS(),
+        Seq(AggSpec("sum_long"), AggSpec("max")), emitRetracts = true)
+      val sink = "agg_tws_retract"
+      val q = out.toDF("k", "kind", "outs").writeStream
+        .outputMode("append").format("memory").queryName(sink).start()
+      def row(k: String, sign: Int, v: Long) =
+        (k, sign, Seq(Some(v.toString), Some(v.toString)),
+          Seq[Option[String]](None, Some(enc(v))))
+      try {
+        in.addData(row("g", 1, 10L))
+        q.processAllAvailable()
+        val c1 = collectOut(sink)
+        assert(c1 == Seq(("g", "+I", Seq(Some("10"), Some("10")))), c1)
+        in.addData(row("g", 1, 4L))
+        q.processAllAvailable()
+        val c2 = collectOut(sink).drop(1)
+        assert(c2 == Seq(
+          ("g", "-U", Seq(Some("10"), Some("10"))),
+          ("g", "+U", Seq(Some("14"), Some("10")))), c2)
+        // retract everything: ONE -D carrying the previous row, even
+        // though the max's map entries are gone by emission time
+        in.addData(row("g", -1, 10L), row("g", -1, 4L))
+        q.processAllAvailable()
+        val c3 = collectOut(sink).drop(3)
+        assert(c3 == Seq(("g", "-D", Seq(Some("14"), Some("10")))), c3)
+      } finally q.stop()
+    }
+  }
+
   test("group born and fully retracted in one batch emits nothing") {
     TestSpark.withRocksDB {
       import spark.implicits._
@@ -70,7 +111,7 @@ class RetractAggTwsSpec extends AnyFunSuite {
       val in = MemoryStream[(String, Int, Seq[Option[String]], Seq[Option[String]])]
       val out = RetractAggTws.groupAggChangelog(in.toDS(), Seq(AggSpec("count_star")))
       val sink = "agg_tws_ephemeral"
-      val q = out.toDF("k", "outs", "live").writeStream
+      val q = out.toDF("k", "kind", "outs").writeStream
         .outputMode("append").format("memory").queryName(sink).start()
       try {
         in.addData(("x", 1, Seq(None), Seq(None)), ("x", -1, Seq(None), Seq(None)),
@@ -91,7 +132,7 @@ class RetractAggTwsSpec extends AnyFunSuite {
       val in = MemoryStream[(String, Int, Seq[Option[String]], Seq[Option[String]])]
       val out = RetractAggTws.groupAggChangelog(in.toDS(), Seq(AggSpec("max")))
       val sink = "agg_tws_probe"
-      val q = out.toDF("k", "outs", "live").writeStream
+      val q = out.toDF("k", "kind", "outs").writeStream
         .outputMode("append").format("memory").queryName(sink).start()
       def enc(v: Long) = graft.util.SortKey.fieldLong(v, asc = true)
       def row(sign: Int, v: Long) =
@@ -106,18 +147,14 @@ class RetractAggTwsSpec extends AnyFunSuite {
         q.processAllAvailable()
         assert(AggStateStats.extremeScans.get() == 0L,
           s"below-extreme batch walked ${AggStateStats.extremeScans.get()} entries")
-        val maxNow = lastPerKey(spark.table(sink)
-          .as[(String, Seq[Option[String]], Boolean)].collect().toSeq)("g")
-          ._1.head
+        val maxNow = lastPerKey(collectOut(sink))("g")._1.head
         assert(maxNow.contains("50"))
         // retract the max itself: exactly one repair scan
         AggStateStats.reset()
         in.addData(row(-1, 50L))
         q.processAllAvailable()
         assert(AggStateStats.extremeScans.get() > 0L)
-        val maxAfter = lastPerKey(spark.table(sink)
-          .as[(String, Seq[Option[String]], Boolean)].collect().toSeq)("g")
-          ._1.head
+        val maxAfter = lastPerKey(collectOut(sink))("g")._1.head
         assert(maxAfter.contains("49"), s"repair found $maxAfter")
       } finally q.stop()
     }
@@ -138,7 +175,7 @@ class RetractAggTwsSpec extends AnyFunSuite {
         (String, Int, Seq[Option[String]], Seq[Option[String]])])
       val out = RetractAggTws.groupAggChangelog(aggIn, Seq(AggSpec("sum_long")))
       val sink = "agg_tws_chain"
-      val q = out.toDF("k", "outs", "live").writeStream
+      val q = out.toDF("k", "kind", "outs").writeStream
         .outputMode("append").format("memory").queryName(sink).start()
       try {
         lhs.addData(("k1", "+I", "10"), ("k1", "+I", "5"), ("k2", "+I", "100"))
@@ -149,8 +186,7 @@ class RetractAggTwsSpec extends AnyFunSuite {
         rhs.addData(("k2", "-D", "blue"), ("k2", "+I", "red"))
         q.processAllAvailable()
       } finally q.stop()
-      val res = lastPerKey(spark.table(sink)
-        .as[(String, Seq[Option[String]], Boolean)].collect().toSeq)
+      val res = lastPerKey(collectOut(sink))
       assert(res("red")._1.head.contains("110"), res.toString) // 10 + 100
       assert(res("red")._2)
       assert(!res("blue")._2, s"blue should be deleted: $res")
