@@ -1442,6 +1442,111 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // TOP-N OVER AN AGGREGATE OVER A JOIN — FOUR chained stateful
+      // operators in ONE statement (r15 third pass, the reference's
+      // ChangelogNormalize -> StreamExecJoin ->
+      // StreamExecGroupAggregate -> StreamExecRank plan): rank the
+      // segments by revenue while q163's two-changelog history plays —
+      // price bumps, customers re-segmented to 'MOVED' (their orders
+      // MIGRATE between groups, reshuffling the ranking), deletes on
+      // both sides. The inner aggregate emits RETRACT PAIRS
+      // (generateUpdateBefore) into the sorted rank state; the
+      // materialized sink must equal DuckDB's ROW_NUMBER over the
+      // final-state aggregate — a lost pair, a stale rank, or a missed
+      // group migration breaks rows and hash.
+      "q164_stream_topn_over_agg",
+      (s, d) => withSmallStreamState(s) {
+        import s.implicits._
+        val lt = "cl_q164_ord"
+        val rt = "cl_q164_cust"
+        val sink = "cl_q164_sink"
+        Seq(lt, rt, sink).foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          graft.Bits.dec($"o_totalprice").as("price"))
+        val bumped = ($"price" + lit(100).cast(graft.Bits.Dec))
+          .cast(graft.Bits.Dec).as("price")
+        val l1 = ord.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_custkey", $"price")
+        val l2 = ord.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"price")
+          .unionByName(ord.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_custkey", bumped))
+        val currentPrice = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val l3 = ord.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", currentPrice)
+        val cust = Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+        val r1 = cust.select(lit("+U").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"c_custkey", $"c_mktsegment".as("seg"))
+        val r2 = cust.filter($"c_custkey" % 5 === 0)
+          .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"c_custkey", lit("MOVED").as("seg"))
+        val r3 = cust.filter($"c_custkey" % 13 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"c_custkey", lit(null).cast("string").as("seg"))
+        l1.createOrReplaceTempView(s"__${lt}_src")
+        try Engine.sql(s, s"CREATE TABLE $lt AS SELECT * FROM __${lt}_src")
+        finally s.catalog.dropTempView(s"__${lt}_src")
+        r1.createOrReplaceTempView(s"__${rt}_src")
+        try Engine.sql(s, s"CREATE TABLE $rt AS SELECT * FROM __${rt}_src")
+        finally s.catalog.dropTempView(s"__${rt}_src")
+        s.sql(s"ALTER TABLE $rt SET TBLPROPERTIES " +
+          "('graft.upsert.keys' = 'c_custkey')")
+        def append(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (seg STRING, rev DECIMAL(38,2), rn BIGINT,
+           row_kind STRING, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q164").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT seg, rev, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rev DESC, seg ASC) AS rn
+            FROM ( SELECT c.seg, SUM(o.price) AS rev
+                   FROM $lt o JOIN $rt c ON o.o_custkey = c.c_custkey
+                   GROUP BY c.seg )
+          ) WHERE rn <= 3""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(lt, l2); append(rt, r2); q.processAllAvailable()
+          append(lt, l3); append(rt, r3); q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"seg", $"rev".cast("double").as("rev"),
+            $"rn".cast("long").as("rn"))
+          .orderBy($"rn")
+      },
+      Some("""
+        |WITH fo AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                   AS DECIMAL(12,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0),
+        |fc AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 13 <> 0),
+        |agg AS (
+        |  SELECT seg, SUM(price) AS rev
+        |  FROM fo JOIN fc ON fo.o_custkey = fc.c_custkey GROUP BY seg)
+        |SELECT seg, CAST(rev AS DOUBLE) AS rev, rn FROM (
+        |  SELECT seg, rev,
+        |         ROW_NUMBER() OVER (ORDER BY rev DESC, seg ASC) AS rn
+        |  FROM agg) WHERE rn <= 3 ORDER BY rn
+        |""".stripMargin)),
+
+    GQuery(
       // COMPUTED ORDER BY items in the continuous top-N (r15): the
       // statement ranks on `LENGTH(o_orderpriority) DESC,
       // price < 150000.0, o_orderkey` — a computed expression, a
