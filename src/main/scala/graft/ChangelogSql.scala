@@ -1857,6 +1857,7 @@ object ChangelogSql {
       shape: TopNShape, src: DataFrame, fast: Boolean,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // graft_sort_key
     val cols = src.columns.toSeq
     val payloadCols = cols.filterNot(c =>
       c == streaming.Cdc.RowKind || c == SeqCol || c == "cdc_ts")
@@ -3050,13 +3051,25 @@ object ChangelogSql {
     streamTopNLowered(spark, sink, shape, src, fast = false, checkpointDir)
   }
 
-  /** Lower the composed statement's inner aggregate to its RETRACT
-    * changelog stream (row_kind + output columns). */
+  /** Lower the composed statement's inner subquery to its RETRACT
+    * changelog stream (row_kind + output columns): an aggregate (bare
+    * relation or two-changelog join) in retract-pair emission, or a
+    * PLAIN two-changelog join projection (the rank-over-join plan —
+    * StreamExecJoin feeding StreamExecRank directly; the join's +I/-D
+    * delta stream IS a retract changelog already). */
   private def innerAggRetractStream(spark: SparkSession, inner: String,
       bad: String => Nothing): DataFrame = {
-    val twoChangelogs = parse(inner).exists(ic =>
+    val innerClauses = parse(inner)
+    val twoChangelogs = innerClauses.exists(ic =>
       parseJoinChain(ic.relation).exists(
         _.count(r => isChangelogRel(spark, r.name)) >= 2))
+    if (twoChangelogs && innerClauses.exists(ic =>
+        ic.groupBy.isEmpty && ic.having.isEmpty &&
+          !joinSelectHasAgg(spark, ic))) {
+      // rank over a PLAIN join: no aggregate stage — the join port's
+      // delta stream feeds the rank state directly
+      return joinChangelogStream(spark, parseStreamJoinShape(spark, inner))
+    }
     if (twoChangelogs) {
       val jsh = parseStreamJoinAggShape(spark, inner)
       val joined = joinChangelogStream(spark, jsh.join)
@@ -3114,11 +3127,17 @@ object ChangelogSql {
       s"continuous top-N over an aggregate: $msg")
     val (shape, inner) = parseStreamTopNOverAgg(spark, select).getOrElse(
       bad(s"not a top-N-over-aggregate statement: $select"))
-    val twoChangelogs = parse(inner).exists(ic =>
+    val innerClauses = parse(inner)
+    val twoChangelogs = innerClauses.exists(ic =>
       parseJoinChain(ic.relation).exists(
         _.count(r => isChangelogRel(spark, r.name)) >= 2))
+    val plainJoin = twoChangelogs && innerClauses.exists(ic =>
+      ic.groupBy.isEmpty && ic.having.isEmpty && !joinSelectHasAgg(spark, ic))
     val innerLine =
-      if (twoChangelogs)
+      if (plainJoin)
+        joinExplainCore(spark, parseStreamJoinShape(spark, inner)) +
+          " [retract +I/-D emission]"
+      else if (twoChangelogs)
         streamJoinAggExplainText(spark, inner).stripSuffix(
           " -> upsert changelog keyed by the GROUP BY columns") +
           " [RETRACT pair emission]"

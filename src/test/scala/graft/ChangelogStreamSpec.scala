@@ -1493,6 +1493,81 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** Rank over a PLAIN join (no aggregate stage): the join port's
+    * +I/-D delta stream feeds the sorted top-N state directly —
+    * StreamExecJoin -> StreamExecRank. Partitioned ranking; right-side
+    * re-keying migrates rows between rank partitions. */
+  test("top-N over a plain join ranks the join rows per partition") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val lt = s"cl_jrank_l_$h"
+    val rt = s"cl_jrank_r_$h"
+    val sink = s"cl_jrank_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, price BIGINT) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    def appL(rows: Seq[(String, Long, Long, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "price")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "seg")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    appL(Seq(("+I", 1L, 1L, "a", 10L), ("+I", 1L, 2L, "a", 30L),
+      ("+I", 1L, 3L, "a", 20L), ("+I", 1L, 4L, "b", 50L)))
+    appR(Seq(("+I", 1L, "a", "S1"), ("+I", 1L, "b", "S2")))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-jrank").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT seg, id, price, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+          ORDER BY price DESC, id ASC) AS rn
+        FROM ( SELECT r.seg, l.id, l.price
+               FROM $lt l JOIN $rt r ON l.cust = r.cust )
+      ) WHERE rn <= 2"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("two-sided retraction JOIN"), explained)
+    assert(explained.contains("retract +I/-D emission"), explained)
+    assert(explained.contains("RetractStrategy"), explained)
+    def batchAns(): Set[(String, Long, Long, Long)] = Engine.sql(spark, s"""
+      SELECT seg, id, price, rn FROM (
+        SELECT seg, id, price, ROW_NUMBER() OVER (PARTITION BY seg
+          ORDER BY price DESC, id ASC) AS rn
+        FROM (SELECT r.seg, l.id, l.price
+              FROM FINAL_STATE($lt) l JOIN FINAL_STATE($rt) r
+                ON l.cust = r.cust)
+      ) WHERE rn <= 2""")
+      .as[(String, Long, Long, Long)].collect().toSet
+    def streamAns(): Set[(String, Long, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("seg"), col("id").cast("long"),
+          col("price").cast("long"), col("rn").cast("long"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(t => (t._1, t._2, t._4)) ==
+        Set(("S1", 2L, 1L), ("S1", 3L, 2L), ("S2", 4L, 1L)),
+        streamAns().toString)
+      // cust a migrates S1 -> S2: its three orders re-rank against b's
+      appR(Seq(("-D", 2L, "a", "S1"), ("+I", 2L, "a", "S2")))
+      appL(Seq(("-D", 2L, 4L, "b", 50L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(t => (t._1, t._2, t._4)) ==
+        Set(("S2", 2L, 1L), ("S2", 3L, 2L)), streamAns().toString)
+    } finally q.stop()
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** The full composed chain — FOUR stateful operators in ONE
     * statement: ChangelogNormalize (DECLARED UPSERT right side) ->
     * two-sided retraction JOIN -> retraction-consuming GROUP AGGREGATE
