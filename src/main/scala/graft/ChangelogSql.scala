@@ -2727,28 +2727,38 @@ object ChangelogSql {
       (a, if (a.col.isEmpty) "" else joinAggRef(a.side, a.col)))
     val agged = loweredGroupAgg(spark, joined, groupRefs, aggRefs,
       sh.selectOrder, retractMode = false, bad)
+    val havingPred = sh.having.map { h =>
+      val sideName = (side: Int) =>
+        if (side == 0)
+          sh.join.left.alias.getOrElse(sh.join.left.rel.split('.').last)
+        else sh.join.right.alias.getOrElse(sh.join.right.rel.split('.').last)
+      val rewritten = rewriteAggHaving(spark, h, sh.aggs,
+        sh.groupItems, sideName, bad)
+      try expr(rewritten)
+      catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
+        s"against the aggregate outputs (rewritten: $rewritten): " +
+        e.getMessage) }
+    }
+    startGroupAggUpsert(spark, sink, agged, havingPred,
+      sh.groupItems.map(_._3), checkpointDir)
+  }
+
+  /** Shared tail of the upsert-emitting aggregate statements: HAVING as
+    * the live predicate (a group leaving the set emits a DELETE), the
+    * keyed upsert sink writer, and the pinned-provider start. */
+  private def startGroupAggUpsert(spark: SparkSession, sink: String,
+      agged: DataFrame, havingPred: Option[org.apache.spark.sql.Column],
+      keys: Seq[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val base = agged.withColumn("__live",
       col(streaming.Cdc.RowKind) =!= streaming.Cdc.Delete)
       .drop(streaming.Cdc.RowKind)
-    val liveCol = sh.having match {
+    val liveCol = havingPred match {
       case None => col("__live")
-      case Some(h) =>
-        val sideName = (side: Int) =>
-          if (side == 0)
-            sh.join.left.alias.getOrElse(sh.join.left.rel.split('.').last)
-          else sh.join.right.alias.getOrElse(sh.join.right.rel.split('.').last)
-        val rewritten = rewriteAggHaving(spark, h, sh.aggs,
-          sh.groupItems, sideName, bad)
-        val pred =
-          try expr(rewritten)
-          catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
-            s"against the aggregate outputs (rewritten: $rewritten): " +
-            e.getMessage) }
-        col("__live") && coalesce(pred, lit(false))
+      case Some(p) => col("__live") && coalesce(p, lit(false))
     }
     val df = base.withColumn(LiveCol, coalesce(liveCol, lit(false)))
       .drop("__live")
-    val keys = sh.groupItems.map(_._3)
     val write = upsertSinkWriter(spark, sink, keys, Seq.empty)
     graft.util.StartLock.locked {
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -2774,6 +2784,56 @@ object ChangelogSql {
         case None => spark.conf.unset(providerKey)
       }
     }
+  }
+
+  /** Does `select` aggregate ONE bare changelog relation with a
+    * COUNT(DISTINCT ...) — the one aggregate the sign-algebra route
+    * cannot express (Spark bans distinct aggregation on a streaming
+    * DataFrame)? Such statements lower onto the TWS aggregate instead
+    * (counted-value MapState per group — the same distinct-value data
+    * view Flink's planner splits out). */
+  private[graft] def streamRelAggDistinctMatches(
+      spark: SparkSession, select: String): Boolean =
+    parse(select).exists { c =>
+      c.relation.trim match {
+        case RelRe(n, _) if isChangelogRel(spark, n) =>
+          """(?is)\bCOUNT\s*\(\s*DISTINCT\b""".r
+            .findFirstIn(blank(c.selectList)).isDefined
+        case _ => false
+      }
+    }
+
+  /** Continuous aggregate over ONE changelog relation with
+    * COUNT(DISTINCT) — the TWS-aggregate statement form (the
+    * sign-algebra route's one inexpressible aggregate). Same sink
+    * contract as [[streamInsert]]: upsert changelog keyed by the GROUP
+    * BY outputs. */
+  def streamRelAgg(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous aggregate over a changelog: $msg")
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamRelAgg expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val rsh = parseRelAggShape(spark, select)
+    val src0 = retractStreamOf(spark, rsh.rel).alias(rsh.aliasName)
+    val filtered = rsh.whereConjs.foldLeft(src0)((d, w) => d.filter(expr(w)))
+    val agged = loweredGroupAgg(spark, filtered, rsh.groupItems,
+      rsh.aggs.map(a => (a, a.col)), rsh.selectOrder,
+      retractMode = false, bad)
+    val havingPred = rsh.having.map { h =>
+      val rewritten = rewriteAggHaving(spark, h, rsh.aggs,
+        rsh.groupItems.map { case (c0, out) => (0, c0, out) },
+        _ => rsh.aliasName, bad)
+      try expr(rewritten)
+      catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
+        s"against the aggregate outputs (rewritten: $rewritten): " +
+        e.getMessage) }
+    }
+    startGroupAggUpsert(spark, sink, agged, havingPred,
+      rsh.groupItems.map(_._2), checkpointDir)
   }
 
   /** Lower a group aggregate over an arbitrary RETRACT changelog stream

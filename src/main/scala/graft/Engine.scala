@@ -168,6 +168,10 @@ object Engine {
         s"continuous top-N, ${ChangelogSql.streamTopNStrategy(spark,
           select).get} -> upsert changelog keyed by (partition " +
           "columns, rank)"
+      else if (ChangelogSql.streamRelAggDistinctMatches(spark, select))
+        "continuous retraction-consuming aggregate (GroupAggFunction " +
+          "on transformWithState — COUNT DISTINCT via counted-value " +
+          "MapState) -> upsert changelog keyed by the GROUP BY columns"
       else if (ChangelogSql.streamMatches(spark, select))
         "continuous retraction-consuming aggregate (update mode) " +
           "-> upsert changelog keyed by the GROUP BY columns"
@@ -566,6 +570,11 @@ object Engine {
           return ChangelogSql.streamTopNAgg(spark, statement, checkpointDir)
         if (ChangelogSql.streamTopNMatches(spark, select))
           return ChangelogSql.streamTopN(spark, statement, checkpointDir)
+        // COUNT(DISTINCT) over one changelog: the one aggregate the
+        // sign-algebra route cannot express (Spark bans distinct
+        // aggregation on streams) lowers onto the TWS aggregate
+        if (ChangelogSql.streamRelAggDistinctMatches(spark, select))
+          return ChangelogSql.streamRelAgg(spark, statement, checkpointDir)
         if (ChangelogSql.streamMatches(spark, select))
           return ChangelogSql.streamInsert(spark, statement, checkpointDir)
         // AGGREGATE over a two-changelog join (StreamExecJoin feeding

@@ -1426,6 +1426,62 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** COUNT(DISTINCT) over ONE changelog relation: the one aggregate the
+    * sign-algebra route cannot express (Spark bans distinct aggregation
+    * on a streaming DataFrame) lowers onto the TWS aggregate — the
+    * counted-value MapState tracks live distinct values through
+    * retractions. */
+  test("continuous COUNT(DISTINCT) over a changelog equals batch") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_cdist_src_$h"
+    val sink = s"cl_cdist_sink_$h"
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $src (row_kind STRING, cdc_ts BIGINT,
+      g STRING, u STRING, v BIGINT) USING parquet""")
+    def app(rows: Seq[(String, Long, String, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "g", "u", "v")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    app(Seq(("+I", 1L, "g1", "ua", 1L), ("+I", 1L, "g1", "ua", 2L),
+      ("+I", 1L, "g1", "ub", 3L), ("+I", 1L, "g2", "uc", 4L)))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-cdist").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT g, COUNT(DISTINCT u) AS users, COUNT(*) AS n
+      FROM $src GROUP BY g"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("COUNT DISTINCT via counted-value MapState"),
+      explained)
+    def batchAns(): Set[(String, Long, Long)] = Engine.sql(spark,
+      s"SELECT g, COUNT(DISTINCT u) AS users, COUNT(*) AS n " +
+        s"FROM FINAL_STATE($src) GROUP BY g")
+      .as[(String, Long, Long)].collect().toSet
+    def streamAns(): Set[(String, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("g"), col("users").cast("long"), col("n").cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 2L, 3L)), streamAns().toString)
+      // retract ONE of ua's two rows: the distinct count must NOT drop
+      app(Seq(("-D", 2L, "g1", "ua", 2L), ("+I", 2L, "g2", "uc", 5L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 2L, 2L)), streamAns().toString)
+      // retract ua's LAST row: now the distinct count drops
+      app(Seq(("-D", 3L, "g1", "ua", 1L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c3: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 1L, 1L)), streamAns().toString)
+    } finally q.stop()
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** Top-N OVER an aggregate in ONE statement (StreamExecGroupAggregate
     * -> StreamExecRank): the inner aggregate emits retract pairs
     * (-U old / +U new), the sorted rank consumes them, and the
