@@ -1547,6 +1547,81 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // CONTINUOUS COUNT(DISTINCT) over ONE changelog (r15 third pass):
+      // the one aggregate the sign-algebra route cannot express (Spark
+      // bans distinct aggregation on streaming DataFrames) lowers onto
+      // the TWS group aggregate — counted-value MapState per group (the
+      // distinct-value data view Flink's planner splits out). Orders
+      // stream grouped by priority: distinct customers, row count, and
+      // exact DECIMAL revenue through three commits of inserts, -U/+U
+      // price bumps (which must NOT change the distinct count — same
+      // custkey re-inserted) and -D deletes (which drop a customer only
+      // when their LAST order goes). Oracle = DuckDB over final state.
+      "q165_stream_count_distinct",
+      (s, d) => withSmallStreamState(s) {
+        import s.implicits._
+        val t = "cl_q165"
+        val sink = "cl_q165_sink"
+        Seq(t, sink).foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          $"o_orderpriority", graft.Bits.dec($"o_totalprice").as("price"))
+        val bumped = ($"price" + lit(100).cast(graft.Bits.Dec))
+          .cast(graft.Bits.Dec).as("price")
+        val c1 = ord.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_custkey", $"o_orderpriority", $"price")
+        val c2 = ord.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"o_orderpriority", $"price")
+          .unionByName(ord.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_custkey", $"o_orderpriority", bumped))
+        val currentPrice = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val c3 = ord.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"o_orderpriority", currentPrice)
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        def append(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (prio STRING, custs BIGINT, cnt BIGINT, rev DECIMAL(38,2),
+           row_kind STRING, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q165").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT o_orderpriority AS prio, COUNT(DISTINCT o_custkey) AS custs,
+                 COUNT(*) AS cnt, SUM(price) AS rev
+          FROM $t GROUP BY o_orderpriority""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(c2); q.processAllAvailable()
+          append(c3); q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"prio", $"custs", $"cnt",
+            $"rev".cast("double").as("rev"))
+          .orderBy($"prio")
+      },
+      Some("""
+        |WITH fo AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                   AS DECIMAL(12,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderpriority AS prio, COUNT(DISTINCT o_custkey) AS custs,
+        |       COUNT(*) AS cnt, CAST(SUM(price) AS DOUBLE) AS rev
+        |FROM fo GROUP BY o_orderpriority ORDER BY prio
+        |""".stripMargin)),
+
+    GQuery(
       // COMPUTED ORDER BY items in the continuous top-N (r15): the
       // statement ranks on `LENGTH(o_orderpriority) DESC,
       // price < 150000.0, o_orderkey` — a computed expression, a
