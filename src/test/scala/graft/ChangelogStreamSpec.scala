@@ -1703,6 +1703,78 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** CHECKPOINT RECOVERY of the COMPOSED chain: the four-operator
+    * statement (normalize -> join -> agg -> rank) must resume from one
+    * checkpoint — the second incarnation applies a group migration and
+    * a delete against the RESTORED state of all four operators (the
+    * normalize keep-last entry, both join multisets, the group
+    * accumulators, the rank's sorted state). Losing any one layer
+    * breaks the final ranking. */
+  test("the composed join->agg->rank chain resumes from its checkpoint") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode) + 7
+    val lt = s"cl_chainrc_l_$h"
+    val rt = s"cl_chainrc_r_$h"
+    val sink = s"cl_chainrc_sink_$h"
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, v BIGINT) USING parquet""")
+    spark.sql(s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    spark.sql(s"ALTER TABLE $rt SET TBLPROPERTIES " +
+      "('graft.upsert.keys' = 'cust')")
+    def appL(rows: Seq[(String, Long, Long, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "id", "cust", "v")
+        .createOrReplaceTempView(s"__${lt}_in")
+      try spark.sql(s"INSERT INTO $lt SELECT * FROM __${lt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${lt}_in"): Unit
+    }
+    def appR(rows: Seq[(String, Long, String, String)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "cust", "seg")
+        .createOrReplaceTempView(s"__${rt}_in")
+      try spark.sql(s"INSERT INTO $rt SELECT * FROM __${rt}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${rt}_in"): Unit
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-chainrc").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT seg, rev, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rev DESC, seg ASC) AS rn
+        FROM ( SELECT r.seg, SUM(l.v) AS rev
+               FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.seg )
+      ) WHERE rn <= 2"""
+    appL(Seq(("+I", 1L, 1L, "a", 10L), ("+I", 1L, 2L, "a", 20L),
+      ("+I", 1L, 3L, "b", 25L), ("+I", 1L, 4L, "c", 7L)))
+    appR(Seq(("+U", 1L, "a", "S1"), ("+U", 1L, "b", "S2"),
+      ("+U", 1L, "c", "S3")))
+    val q1 = Engine.sqlStreamInsert(spark, stmt, ck)
+    try q1.processAllAvailable()
+    finally q1.stop()
+    // between incarnations: cust a RE-SEGMENTS S1 -> S3 (exercises the
+    // restored normalize entry AND the join's right multiset) and an
+    // order deletes (exercises the restored left multiset + agg + rank)
+    appR(Seq(("+U", 2L, "a", "S3")))
+    appL(Seq(("-D", 2L, 3L, "b", 25L)))
+    val q2 = Engine.sqlStreamInsert(spark, stmt, ck)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val batch = Engine.sql(spark, s"""
+      SELECT seg, rev, rn FROM (
+        SELECT seg, rev, ROW_NUMBER() OVER (ORDER BY rev DESC, seg ASC) AS rn
+        FROM (SELECT r.seg, SUM(l.v) AS rev
+              FROM FINAL_STATE($lt) l JOIN FINAL_STATE($rt) r
+                ON l.cust = r.cust GROUP BY r.seg)
+      ) WHERE rn <= 2 ORDER BY rn""")
+      .as[(String, Long, Long)].collect().toSeq
+    val stream = ChangelogSql.materializeUpsertSink(spark, sink)
+      .select(col("seg"), col("rev").cast("long"), col("rn").cast("long"))
+      .orderBy(col("rn"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(stream == batch, s"post-restart: $stream != $batch")
+    assert(stream.map(_._1) == Seq("S3"),
+      s"S3 must be the only surviving ranked segment: $stream")
+    Seq(lt, rt, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** HAVING over the composed join+aggregate: the predicate evaluates
     * on the refreshed aggregate row (rewritten onto the output columns
     * — by matching the select list's aggregate text AND by alias), and
