@@ -3179,6 +3179,102 @@ object ChangelogSql {
         agged.filter(coalesce(pred, lit(false)))
     }
 
+  /** Extract a parenthesized FROM-subquery: `( <inner> ) [alias]`.
+    * Returns (inner text, alias or None). */
+  private def parenSubquery(fromText: String): Option[(String, Option[String])] = {
+    val t = fromText.trim
+    if (!t.startsWith("(")) return None
+    val b = blank(t)
+    val close = scala.util.Try(matchParen(b, 0)).getOrElse(return None)
+    val inner = t.substring(1, close)
+    val rest = t.substring(close + 1).trim
+    val alias =
+      if (rest.isEmpty) None
+      else """(?is)^(?:AS\s+)?`?(\w+)`?$""".r.findFirstMatchIn(rest)
+        .map(_.group(1)).orElse(return None)
+    Some((inner, alias))
+  }
+
+  /** Does `select` AGGREGATE a parenthesized subquery that is itself a
+    * continuous aggregate (or join) over changelogs — the two-level
+    * rollup shape [[streamNestedAgg]] owns? */
+  private[graft] def streamNestedAggMatches(
+      spark: SparkSession, select: String): Boolean =
+    parse(select).exists { c =>
+      (c.groupBy.isDefined || joinSelectHasAgg(spark, c)) &&
+      parenSubquery(c.relation).exists { case (inner, _) =>
+        parse(inner).exists { ic =>
+          val rels = parseJoinChain(ic.relation).map(_.map(_.name))
+            .getOrElse(ic.relation.trim match {
+              case RelRe(n, _) => Seq(n)
+              case _ => Seq.empty
+            })
+          rels.exists(isChangelogRel(spark, _))
+        }
+      }
+    }
+
+  /** Two-level continuous aggregation in ONE statement —
+    * `SELECT k2, agg(...) FROM ( SELECT k1, k2, agg(...) FROM
+    * <changelog(s)> GROUP BY k1, k2 ) GROUP BY k2` — the reference
+    * plans this as StreamExecGroupAggregate feeding a SECOND
+    * StreamExecGroupAggregate, the inner emitting UPDATE_BEFORE/AFTER
+    * pairs (generateUpdateBefore). Here: the inner aggregate (bare
+    * relation, join, or plain join projection) lowers in RETRACT pair
+    * emission through [[innerAggRetractStream]], an outer WHERE
+    * filters the pair stream statelessly, and the OUTER aggregate
+    * consumes the pairs through the same TWS processor in upsert mode
+    * — refreshed groups keyed by the outer GROUP BY land in the sink. */
+  def streamNestedAgg(spark: SparkSession, statement: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"continuous aggregate over an aggregate: $msg")
+    val (sink, select) = statement match {
+      case StreamInsertRe(s, sel) => (s, sel)
+      case other => throw new IllegalArgumentException(
+        s"streamNestedAgg expects INSERT INTO <table> SELECT ..., got: $other")
+    }
+    val c = parse(select).getOrElse(bad(s"unparseable statement: $select"))
+    val (inner, aliasOpt) = parenSubquery(c.relation).getOrElse(
+      bad(s"FROM must be a parenthesized aggregate subquery, got: ${c.relation}"))
+    val innerDf = innerAggRetractStream(spark, inner, bad)
+    val aliasName = aliasOpt.getOrElse("")
+    val cols = innerDf.columns.toSeq.filterNot(_ == streaming.Cdc.RowKind)
+    def canon(n: String): String = cols.find(_.equalsIgnoreCase(n))
+      .getOrElse(bad(s"column $n is not an output of the inner aggregate " +
+        s"(outputs: ${cols.mkString(", ")})"))
+    def resolve(ref0: String): (Int, String) = {
+      val ref = ref0.trim.replace("`", "")
+      ref.split('.') match {
+        case Array(q, n) if q.equalsIgnoreCase(aliasName) => (0, canon(n))
+        case Array(q, _) => bad(s"unknown qualifier '$q' in $ref")
+        case Array(n) => (0, canon(n))
+        case _ => bad(s"cannot resolve column reference: $ref0")
+      }
+    }
+    val (g3, aggs, order) = parseAggSelect(c, resolve, bad)
+    // outer WHERE: a deterministic predicate over the inner's outputs
+    // commutes with the retract pair stream — stateless filter
+    val aliased =
+      if (aliasName.isEmpty) innerDf else innerDf.alias(aliasName)
+    val filtered = c.where.map(graft.util.SqlSplit.splitTopLevelAnd(_))
+      .getOrElse(Nil).foldLeft(aliased)((d, w) =>
+        d.filter(coalesce(expr(w), lit(false))))
+    val agged = loweredGroupAgg(spark, filtered,
+      g3.map(g => (g._2, g._3)), aggs.map(a => (a, a.col)), order,
+      retractMode = false, bad)
+    val havingPred = c.having.map { h =>
+      val rewritten = rewriteAggHaving(spark, h, aggs, g3,
+        _ => if (aliasName.isEmpty) "__none__" else aliasName, bad)
+      try expr(rewritten)
+      catch { case e: Exception => bad(s"HAVING ($h) did not resolve " +
+        s"against the aggregate outputs (rewritten: $rewritten): " +
+        e.getMessage) }
+    }
+    startGroupAggUpsert(spark, sink, agged, havingPred,
+      g3.map(_._3), checkpointDir)
+  }
+
   /** The route line EXPLAIN CHANGELOG_MODE prints for a composed
     * top-N-over-aggregate statement. */
   private[graft] def streamTopNAggExplainText(

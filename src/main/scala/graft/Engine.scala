@@ -168,6 +168,11 @@ object Engine {
         s"continuous top-N, ${ChangelogSql.streamTopNStrategy(spark,
           select).get} -> upsert changelog keyed by (partition " +
           "columns, rank)"
+      else if (ChangelogSql.streamNestedAggMatches(spark, select))
+        "two-level continuous aggregation (inner GROUP AGGREGATE in " +
+          "RETRACT pair emission -> outer GROUP AGGREGATE, both " +
+          "GroupAggFunction on transformWithState) -> upsert changelog " +
+          "keyed by the OUTER GROUP BY columns"
       else if (ChangelogSql.streamRelAggDistinctMatches(spark, select))
         "continuous retraction-consuming aggregate (GroupAggFunction " +
           "on transformWithState — COUNT DISTINCT via counted-value " +
@@ -570,6 +575,11 @@ object Engine {
           return ChangelogSql.streamTopNAgg(spark, statement, checkpointDir)
         if (ChangelogSql.streamTopNMatches(spark, select))
           return ChangelogSql.streamTopN(spark, statement, checkpointDir)
+        // two-level rollup: an aggregate over an aggregate subquery
+        // (StreamExecGroupAggregate feeding a second one — the inner
+        // emits retract pairs, the outer consumes them)
+        if (ChangelogSql.streamNestedAggMatches(spark, select))
+          return ChangelogSql.streamNestedAgg(spark, statement, checkpointDir)
         // COUNT(DISTINCT) over one changelog: the one aggregate the
         // sign-algebra route cannot express (Spark bans distinct
         // aggregation on streams) lowers onto the TWS aggregate

@@ -1482,6 +1482,66 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** TWO-LEVEL rollup in ONE statement: an aggregate over an aggregate
+    * subquery — the inner emits retract pairs, the outer consumes them
+    * (StreamExecGroupAggregate feeding a second one). Changing a
+    * sub-group's sum must retract its OLD contribution from the outer
+    * SUM/MAX before adding the new one. */
+  test("aggregate OVER an aggregate: two-level rollup equals batch") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_rollup_src_$h"
+    val sink = s"cl_rollup_sink_$h"
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $src (row_kind STRING, cdc_ts BIGINT,
+      g STRING, sub STRING, v BIGINT) USING parquet""")
+    def app(rows: Seq[(String, Long, String, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "g", "sub", "v")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    app(Seq(("+I", 1L, "g1", "a", 10L), ("+I", 1L, "g1", "a", 5L),
+      ("+I", 1L, "g1", "b", 7L), ("+I", 1L, "g2", "c", 100L)))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-rollup").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT g, COUNT(*) AS subs, SUM(s) AS total, MAX(s) AS top
+      FROM ( SELECT g, sub, SUM(v) AS s FROM $src GROUP BY g, sub )
+      GROUP BY g"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("two-level continuous aggregation"), explained)
+    def batchAns(): Set[(String, Long, Long, Long)] = Engine.sql(spark, s"""
+      SELECT g, COUNT(*) AS subs, SUM(s) AS total, MAX(s) AS top
+      FROM ( SELECT g, sub, SUM(v) AS s FROM FINAL_STATE($src)
+             GROUP BY g, sub ) GROUP BY g""")
+      .as[(String, Long, Long, Long)].collect().toSet
+    def streamAns(): Set[(String, Long, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("g"), col("subs").cast("long"),
+          col("total").cast("long"), col("top").cast("long"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns() == Set(("g1", 2L, 22L, 15L), ("g2", 1L, 100L, 100L)),
+        streamAns().toString)
+      // sub-group g1/a shrinks 15 -> 4: the outer MAX must fall to b's 7
+      app(Seq(("-D", 2L, "g1", "a", 10L), ("-U", 2L, "g1", "a", 5L),
+        ("+U", 2L, "g1", "a", 4L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 2L, 11L, 7L)), streamAns().toString)
+      // sub-group g1/b empties: outer COUNT drops; g2 empties entirely
+      app(Seq(("-D", 3L, "g1", "b", 7L), ("-D", 3L, "g2", "c", 100L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c3: ${streamAns()} != ${batchAns()}")
+      assert(streamAns() == Set(("g1", 1L, 4L, 4L)), streamAns().toString)
+    } finally q.stop()
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** Top-N OVER an aggregate in ONE statement (StreamExecGroupAggregate
     * -> StreamExecRank): the inner aggregate emits retract pairs
     * (-U old / +U new), the sorted rank consumes them, and the
