@@ -1622,6 +1622,90 @@ object SinkOps extends QueryModule {
         |""".stripMargin)),
 
     GQuery(
+      // TWO-LEVEL ROLLUP in ONE statement (r15 third pass): an
+      // aggregate OVER an aggregate subquery — per-customer revenue
+      // inside, per-priority statistics outside (customer count,
+      // total, the BIGGEST single customer). The inner
+      // StreamExecGroupAggregate emits RETRACT PAIRS; a price bump on
+      // one order must retract that customer's OLD revenue from the
+      // outer SUM and MAX before adding the new one, and a customer
+      // whose last order deletes must leave the outer COUNT. Oracle =
+      // DuckDB's nested aggregate over the final state.
+      "q166_stream_nested_agg",
+      (s, d) => withSmallStreamState(s) {
+        import s.implicits._
+        val t = "cl_q166"
+        val sink = "cl_q166_sink"
+        Seq(t, sink).foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          $"o_orderpriority", graft.Bits.dec($"o_totalprice").as("price"))
+        val bumped = ($"price" + lit(100).cast(graft.Bits.Dec))
+          .cast(graft.Bits.Dec).as("price")
+        val c1 = ord.select(lit("+I").as("row_kind"), lit(1L).as("cdc_ts"),
+          $"o_orderkey", $"o_custkey", $"o_orderpriority", $"price")
+        val c2 = ord.filter($"o_orderkey" % 10 === 0)
+          .select(lit("-U").as("row_kind"), lit(2L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"o_orderpriority", $"price")
+          .unionByName(ord.filter($"o_orderkey" % 10 === 0)
+            .select(lit("+U").as("row_kind"), lit(2L).as("cdc_ts"),
+              $"o_orderkey", $"o_custkey", $"o_orderpriority", bumped))
+        val currentPrice = when($"o_orderkey" % 10 === 0, bumped)
+          .otherwise($"price").as("price")
+        val c3 = ord.filter($"o_orderkey" % 17 === 0)
+          .select(lit("-D").as("row_kind"), lit(3L).as("cdc_ts"),
+            $"o_orderkey", $"o_custkey", $"o_orderpriority", currentPrice)
+        c1.createOrReplaceTempView(s"__${t}_src")
+        try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
+        finally s.catalog.dropTempView(s"__${t}_src")
+        def append(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.createOrReplaceTempView(s"__${t}_in")
+          try s.sql(s"INSERT INTO $t SELECT * FROM __${t}_in"): Unit
+          finally s.catalog.dropTempView(s"__${t}_in"): Unit
+        }
+        Engine.sql(s, s"""CREATE TABLE $sink
+          (prio STRING, custs BIGINT, total DECIMAL(38,2),
+           top_cust DECIMAL(38,2),
+           row_kind STRING, ${graft.ChangelogSql.SeqCol} BIGINT)
+          USING parquet""")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q166").toString
+        val q = Engine.sqlStreamInsert(s, s"""
+          INSERT INTO $sink
+          SELECT prio, COUNT(*) AS custs, SUM(cust_rev) AS total,
+                 MAX(cust_rev) AS top_cust
+          FROM ( SELECT o_orderpriority AS prio, o_custkey,
+                        SUM(price) AS cust_rev
+                 FROM $t GROUP BY o_orderpriority, o_custkey )
+          GROUP BY prio""", ckpt)
+        try {
+          q.processAllAvailable()
+          append(c2); q.processAllAvailable()
+          append(c3); q.processAllAvailable()
+        } finally q.stop()
+        graft.ChangelogSql.materializeUpsertSink(s, sink)
+          .select($"prio", $"custs",
+            $"total".cast("double").as("total"),
+            $"top_cust".cast("double").as("top_cust"))
+          .orderBy($"prio")
+      },
+      Some("""
+        |WITH fo AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |                   AS DECIMAL(12,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 0),
+        |inner_agg AS (
+        |  SELECT o_orderpriority AS prio, o_custkey,
+        |         SUM(price) AS cust_rev
+        |  FROM fo GROUP BY o_orderpriority, o_custkey)
+        |SELECT prio, COUNT(*) AS custs,
+        |       CAST(SUM(cust_rev) AS DOUBLE) AS total,
+        |       CAST(MAX(cust_rev) AS DOUBLE) AS top_cust
+        |FROM inner_agg GROUP BY prio ORDER BY prio
+        |""".stripMargin)),
+
+    GQuery(
       // COMPUTED ORDER BY items in the continuous top-N (r15): the
       // statement ranks on `LENGTH(o_orderpriority) DESC,
       // price < 150000.0, o_orderkey` — a computed expression, a
