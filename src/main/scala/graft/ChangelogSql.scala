@@ -3042,17 +3042,10 @@ object ChangelogSql {
     val inner = stmt.substring(innerOpen + 1, innerClose)
     if ("""(?is)^\s*SELECT\b""".r.findFirstIn(blank(inner)).isEmpty)
       return None
-    // the inner must reference a changelog relation — else this is a
-    // batch/windowed subquery shape some other route owns
-    val innerIsChangelog = parse(inner).exists { ic =>
-      val rels = parseJoinChain(ic.relation).map(_.map(_.name))
-        .getOrElse(ic.relation.trim match {
-          case RelRe(n, _) => Seq(n)
-          case _ => Seq.empty
-        })
-      rels.exists(isChangelogRel(spark, _))
-    }
-    if (!innerIsChangelog) return None
+    // the inner must reference a changelog relation somewhere down its
+    // nesting — else this is a batch/windowed subquery shape some
+    // other route owns
+    if (!refsChangelogDeep(spark, inner)) return None
     val after = b.substring(innerClose + 1)
     val tm = TopNAfterInnerRe.findFirstMatchIn(after).getOrElse(return None)
     val (aliasOpt, rnRef, op, nStr) = (Option(tm.group(1)), tm.group(2),
@@ -3111,15 +3104,62 @@ object ChangelogSql {
     streamTopNLowered(spark, sink, shape, src, fast = false, checkpointDir)
   }
 
+  /** One aggregate LEVEL over an already-lowered retract stream,
+    * emitting RETRACT pairs — the recursion step behind arbitrary-depth
+    * aggregation trees: resolve this level's select/GROUP BY against
+    * the deeper stream's output columns, push this level's WHERE onto
+    * the pair stream (stateless — a deterministic predicate commutes
+    * with a retract changelog), aggregate in retract-pair mode, filter
+    * by HAVING the same stateless way. */
+  private def aggLevelRetract(spark: SparkSession, c: Clauses,
+      src: DataFrame, aliasOpt: Option[String],
+      bad: String => Nothing): DataFrame = {
+    val aliasName = aliasOpt.getOrElse("")
+    val cols = src.columns.toSeq.filterNot(_ == streaming.Cdc.RowKind)
+    def canon(n: String): String = cols.find(_.equalsIgnoreCase(n))
+      .getOrElse(bad(s"column $n is not an output of the inner " +
+        s"aggregate (outputs: ${cols.mkString(", ")})"))
+    def resolve(ref0: String): (Int, String) = {
+      val ref = ref0.trim.replace("`", "")
+      ref.split('.') match {
+        case Array(q, n) if q.equalsIgnoreCase(aliasName) => (0, canon(n))
+        case Array(q, _) => bad(s"unknown qualifier '$q' in $ref")
+        case Array(n) => (0, canon(n))
+        case _ => bad(s"cannot resolve column reference: $ref0")
+      }
+    }
+    val (g3, aggs, order) = parseAggSelect(c, resolve, bad)
+    val aliased = if (aliasName.isEmpty) src else src.alias(aliasName)
+    val filtered = c.where.map(graft.util.SqlSplit.splitTopLevelAnd(_))
+      .getOrElse(Nil).foldLeft(aliased)((d, w) =>
+        d.filter(coalesce(expr(w), lit(false))))
+    val agged = loweredGroupAgg(spark, filtered,
+      g3.map(g => (g._2, g._3)), aggs.map(a => (a, a.col)), order,
+      retractMode = true, bad)
+    applyInnerHaving(spark, agged, c.having, aggs, g3,
+      _ => if (aliasName.isEmpty) "__none__" else aliasName, bad)
+  }
+
   /** Lower the composed statement's inner subquery to its RETRACT
     * changelog stream (row_kind + output columns): an aggregate (bare
-    * relation or two-changelog join) in retract-pair emission, or a
-    * PLAIN two-changelog join projection (the rank-over-join plan —
+    * relation, two-changelog join, or — RECURSIVELY — another
+    * aggregate subquery) in retract-pair emission, or a PLAIN
+    * two-changelog join projection (the rank-over-join plan —
     * StreamExecJoin feeding StreamExecRank directly; the join's +I/-D
-    * delta stream IS a retract changelog already). */
+    * delta stream IS a retract changelog already). The recursion gives
+    * arbitrary-depth aggregation trees: every level consumes the
+    * deeper level's pairs and emits its own. */
   private def innerAggRetractStream(spark: SparkSession, inner: String,
       bad: String => Nothing): DataFrame = {
     val innerClauses = parse(inner)
+    innerClauses.flatMap(ic => parenSubquery(ic.relation).map((ic, _)))
+      .foreach { case (ic, (deeper, aliasOpt)) =>
+        if (!(ic.groupBy.isDefined || joinSelectHasAgg(spark, ic))) bad(
+          "a nested subquery level must aggregate (plain projections " +
+            "fold into the level above); got: " + ic.selectList)
+        return aggLevelRetract(spark, ic,
+          innerAggRetractStream(spark, deeper, bad), aliasOpt, bad)
+      }
     val twoChangelogs = innerClauses.exists(ic =>
       parseJoinChain(ic.relation).exists(
         _.count(r => isChangelogRel(spark, r.name)) >= 2))
@@ -3195,22 +3235,30 @@ object ChangelogSql {
     Some((inner, alias))
   }
 
+  /** Does this SELECT read a changelog relation anywhere down its
+    * FROM-subquery nesting? (The dispatch test for composed shapes —
+    * depth-recursive so a rollup-of-a-rollup still routes here.) */
+  private def refsChangelogDeep(spark: SparkSession, sel: String): Boolean =
+    parse(sel).exists { ic =>
+      parseJoinChain(ic.relation).map(_.map(_.name))
+        .getOrElse(ic.relation.trim match {
+          case RelRe(n, _) => Seq(n)
+          case _ => Seq.empty
+        }).exists(isChangelogRel(spark, _)) ||
+      parenSubquery(ic.relation).exists { case (deeper, _) =>
+        refsChangelogDeep(spark, deeper)
+      }
+    }
+
   /** Does `select` AGGREGATE a parenthesized subquery that is itself a
-    * continuous aggregate (or join) over changelogs — the two-level
-    * rollup shape [[streamNestedAgg]] owns? */
+    * continuous aggregate (or join) over changelogs — the rollup shape
+    * [[streamNestedAgg]] owns (any nesting depth)? */
   private[graft] def streamNestedAggMatches(
       spark: SparkSession, select: String): Boolean =
     parse(select).exists { c =>
       (c.groupBy.isDefined || joinSelectHasAgg(spark, c)) &&
       parenSubquery(c.relation).exists { case (inner, _) =>
-        parse(inner).exists { ic =>
-          val rels = parseJoinChain(ic.relation).map(_.map(_.name))
-            .getOrElse(ic.relation.trim match {
-              case RelRe(n, _) => Seq(n)
-              case _ => Seq.empty
-            })
-          rels.exists(isChangelogRel(spark, _))
-        }
+        refsChangelogDeep(spark, inner)
       }
     }
 
@@ -3289,8 +3337,13 @@ object ChangelogSql {
         _.count(r => isChangelogRel(spark, r.name)) >= 2))
     val plainJoin = twoChangelogs && innerClauses.exists(ic =>
       ic.groupBy.isEmpty && ic.having.isEmpty && !joinSelectHasAgg(spark, ic))
+    val nestedInner = innerClauses.exists(ic =>
+      parenSubquery(ic.relation).isDefined)
     val innerLine =
-      if (plainJoin)
+      if (nestedInner)
+        "nested continuous aggregation tree (one GROUP AGGREGATE per " +
+          "level, each in RETRACT pair emission)"
+      else if (plainJoin)
         joinExplainCore(spark, parseStreamJoinShape(spark, inner)) +
           " [retract +I/-D emission]"
       else if (twoChangelogs)

@@ -1542,6 +1542,139 @@ class ChangelogStreamSpec extends AnyFunSuite {
     Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  /** THREE-level aggregation tree in ONE statement: each level consumes
+    * the deeper level's retract pairs (the recursion in
+    * innerAggRetractStream) — a leaf update must ripple through all
+    * three accumulator layers. */
+  test("three-level aggregation tree equals batch at every commit") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_tree3_src_$h"
+    val sink = s"cl_tree3_sink_$h"
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $src (row_kind STRING, cdc_ts BIGINT,
+      g STRING, sub STRING, leaf STRING, v BIGINT) USING parquet""")
+    def app(rows: Seq[(String, Long, String, String, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "g", "sub", "leaf", "v")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    app(Seq(("+I", 1L, "g1", "a", "x", 10L), ("+I", 1L, "g1", "a", "x", 5L),
+      ("+I", 1L, "g1", "a", "y", 3L), ("+I", 1L, "g1", "b", "z", 7L),
+      ("+I", 1L, "g2", "c", "w", 100L)))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-tree3").toString
+    val inner2 = s"""SELECT g, sub, SUM(s1) AS s2, COUNT(*) AS leafs
+      FROM ( SELECT g, sub, leaf, SUM(v) AS s1 FROM $src
+             GROUP BY g, sub, leaf ) GROUP BY g, sub"""
+    val stmt = s"""INSERT INTO $sink
+      SELECT g, COUNT(*) AS subs, SUM(s2) AS total, MAX(s2) AS top,
+             SUM(leafs) AS leaf_total
+      FROM ( $inner2 ) GROUP BY g"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("two-level continuous aggregation") ||
+      explained.contains("nested"), explained)
+    def batchAns(): Set[(String, Long, Long, Long, Long)] =
+      Engine.sql(spark, s"""
+        SELECT g, COUNT(*) AS subs, SUM(s2) AS total, MAX(s2) AS top,
+               SUM(leafs) AS leaf_total
+        FROM ( SELECT g, sub, SUM(s1) AS s2, COUNT(*) AS leafs
+               FROM ( SELECT g, sub, leaf, SUM(v) AS s1
+                      FROM FINAL_STATE($src) GROUP BY g, sub, leaf )
+               GROUP BY g, sub ) GROUP BY g""")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    def streamAns(): Set[(String, Long, Long, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("g"), col("subs").cast("long"),
+          col("total").cast("long"), col("top").cast("long"),
+          col("leaf_total").cast("long"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 2L, 25L, 18L, 3L)),
+        streamAns().toString)
+      // a LEAF update ripples: (g1,a,x) 15 -> 2, so (g1,a) 18 -> 5 and
+      // g1's MAX falls to b's 7
+      app(Seq(("-D", 2L, "g1", "a", "x", 10L),
+        ("-U", 2L, "g1", "a", "x", 5L), ("+U", 2L, "g1", "a", "x", 2L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 2L, 12L, 7L, 3L)),
+        streamAns().toString)
+      // leaf (g1,b,z) empties: sub b dies, g1 loses a sub and a leaf
+      app(Seq(("-D", 3L, "g1", "b", "z", 7L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c3: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().contains(("g1", 1L, 5L, 5L, 2L)),
+        streamAns().toString)
+    } finally q.stop()
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  /** Rank over a ROLLUP: the composed top-N's inner is itself a nested
+    * aggregate — three TWS aggregate/rank stages chained behind the
+    * source, every level in retract-pair emission except the rank's
+    * upsert sink. */
+  test("top-N over a two-level rollup ranks the outer groups") {
+    import spark.implicits._
+    val h = math.abs(getClass.getName.hashCode)
+    val src = s"cl_rankroll_src_$h"
+    val sink = s"cl_rankroll_sink_$h"
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $src (row_kind STRING, cdc_ts BIGINT,
+      g STRING, sub STRING, v BIGINT) USING parquet""")
+    def app(rows: Seq[(String, Long, String, String, Long)]): Unit = {
+      rows.toDF("row_kind", "cdc_ts", "g", "sub", "v")
+        .createOrReplaceTempView(s"__${src}_in")
+      try spark.sql(s"INSERT INTO $src SELECT * FROM __${src}_in"): Unit
+      finally spark.catalog.dropTempView(s"__${src}_in"): Unit
+    }
+    app(Seq(("+I", 1L, "g1", "a", 10L), ("+I", 1L, "g1", "b", 20L),
+      ("+I", 1L, "g2", "c", 25L), ("+I", 1L, "g3", "d", 5L)))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cl-rankroll").toString
+    val stmt = s"""INSERT INTO $sink
+      SELECT g, total, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, g ASC) AS rn
+        FROM ( SELECT g, SUM(s) AS total
+               FROM ( SELECT g, sub, SUM(v) AS s FROM $src GROUP BY g, sub )
+               GROUP BY g )
+      ) WHERE rn <= 2"""
+    val explained = Engine.sql(spark, s"EXPLAIN CHANGELOG_MODE $stmt")
+      .as[String].collect().head
+    assert(explained.contains("nested continuous aggregation tree"),
+      explained)
+    assert(explained.contains("RetractStrategy"), explained)
+    def batchAns(): Seq[(String, Long, Long)] = Engine.sql(spark, s"""
+      SELECT g, total, rn FROM (
+        SELECT g, total, ROW_NUMBER() OVER (ORDER BY total DESC, g ASC) AS rn
+        FROM ( SELECT g, SUM(s) AS total
+               FROM ( SELECT g, sub, SUM(v) AS s FROM FINAL_STATE($src)
+                      GROUP BY g, sub ) GROUP BY g )
+      ) WHERE rn <= 2 ORDER BY rn""")
+      .as[(String, Long, Long)].collect().toSeq
+    def streamAns(): Seq[(String, Long, Long)] =
+      ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("g"), col("total").cast("long"), col("rn").cast("long"))
+        .orderBy(col("rn"))
+        .as[(String, Long, Long)].collect().toSeq
+    val q = Engine.sqlStreamInsert(spark, stmt, ck)
+    try {
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c1: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("g1", "g2"), streamAns().toString)
+      // g3 leaps to the top; g1 shrinks below g2
+      app(Seq(("+I", 2L, "g3", "e", 40L), ("-U", 2L, "g1", "b", 20L),
+        ("+U", 2L, "g1", "b", 1L)))
+      q.processAllAvailable()
+      assert(streamAns() == batchAns(), s"c2: ${streamAns()} != ${batchAns()}")
+      assert(streamAns().map(_._1) == Seq("g3", "g2"), streamAns().toString)
+    } finally q.stop()
+    Seq(src, sink).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   /** Top-N OVER an aggregate in ONE statement (StreamExecGroupAggregate
     * -> StreamExecRank): the inner aggregate emits retract pairs
     * (-U old / +U new), the sorted rank consumes them, and the
