@@ -1258,6 +1258,19 @@ class ChangelogStreamSpec extends AnyFunSuite {
       rejects(s"INSERT INTO nowhere_j_$h SELECT r.name, SUM(l.price) AS s " +
         s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.name " +
         "HAVING MAX(l.price) > 5", "does not match any select-list")
+      // nested-composition boundaries stay loud: a rank cannot nest
+      // UNDER an aggregate (its upsert output would need another
+      // normalize stage)...
+      rejects(s"INSERT INTO nowhere_j_$h SELECT cust, SUM(price) AS s " +
+        s"FROM ( SELECT *, ROW_NUMBER() OVER (PARTITION BY cust ORDER BY " +
+        s"price DESC) AS rn FROM $lt ) GROUP BY cust",
+        "bare column or an aggregate call")
+      // ...and a nested level that does not aggregate has no pair
+      // emission to chain
+      rejects(s"INSERT INTO nowhere_j_$h SELECT cust, SUM(s) AS t " +
+        s"FROM ( SELECT cust, price AS s FROM ( SELECT cust, " +
+        s"SUM(price) AS p FROM $lt GROUP BY cust ) ) GROUP BY cust",
+        "must aggregate")
       rejects(s"INSERT INTO nowhere_j_$h SELECT cust, name FROM $lt l " +
         s"JOIN $rt r ON l.cust = r.cust", "ambiguous")
       rejects(s"INSERT INTO nowhere_j_$h SELECT l.id, r.name FROM $lt l " +
