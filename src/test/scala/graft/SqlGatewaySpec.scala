@@ -290,6 +290,66 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  /** A COMPOSED changelog statement (agg-over-join) through the
+    * gateway: the route detection delegates to sqlStreamInsert, so the
+    * r15 composed topologies are reachable over REST — the operation
+    * finishes with the job id, rows flow through the running
+    * join+aggregate chain (conf pinning under StartLock on the
+    * gateway's operation thread), and cancel stops the job. */
+  test("a composed agg-over-join statement runs as a gateway job") {
+    assert(catalogReady)
+    val h = math.abs(getClass.getName.hashCode) + 11
+    val lt = s"gw_jagg_l_$h"
+    val rt = s"gw_jagg_r_$h"
+    val sink = s"gw_jagg_sink_$h"
+    Seq(lt, rt, sink).foreach(t => Engine.sql(spark, s"DROP TABLE IF EXISTS $t"))
+    Engine.sql(spark, s"""CREATE TABLE $lt (row_kind STRING, cdc_ts BIGINT,
+      id BIGINT, cust STRING, v BIGINT) USING parquet""")
+    Engine.sql(spark, s"""CREATE TABLE $rt (row_kind STRING, cdc_ts BIGINT,
+      cust STRING, seg STRING) USING parquet""")
+    Engine.sql(spark, s"INSERT INTO $lt VALUES " +
+      "('+I', 1, 1, 'a', 10), ('+I', 1, 2, 'a', 20), ('+I', 1, 3, 'b', 5)")
+    Engine.sql(spark, s"INSERT INTO $rt VALUES " +
+      "('+I', 1, 'a', 'S1'), ('+I', 1, 'b', 'S2')")
+    val gw = new SqlGateway(spark, 0)
+    try {
+      val port = gw.boundPort
+      val (_, sess) = call(port, "POST", "/v1/sessions")
+      val sh = field(sess, "sessionHandle")
+      val before = spark.streams.active.map(_.id).toSet
+      val stmt = s"INSERT INTO $sink SELECT r.seg, SUM(l.v) AS total " +
+        s"FROM $lt l JOIN $rt r ON l.cust = r.cust GROUP BY r.seg"
+      val (_, opr) = call(port, "POST", s"/v1/sessions/$sh/statements",
+        Some(s"""{"statement": "$stmt"}"""))
+      val oh = field(opr, "operationHandle")
+      val res = awaitResult(port, sh, oh)
+      assert(res.contains("jobId") && res.contains("RUNNING"), res)
+      val started = spark.streams.active.filterNot(q => before(q.id))
+      assert(started.length == 1, s"expected one new job, got ${started.length}")
+      started.head.processAllAvailable()
+      // an update lands while the job runs: cust a migrates S1 -> S2
+      Engine.sql(spark, s"INSERT INTO $rt VALUES " +
+        "('-D', 2, 'a', 'S1'), ('+I', 2, 'a', 'S2')")
+      started.head.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val live = ChangelogSql.materializeUpsertSink(spark, sink)
+        .select(col("seg"), col("total").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(live == Map("S2" -> 35L), live.toString)
+      val (cc, _) = call(port, "POST", s"/v1/sessions/$sh/operations/$oh/cancel")
+      assert(cc == 200)
+      val end = System.currentTimeMillis() + 15000
+      while (spark.streams.active.exists(q => started.head.id == q.id) &&
+        System.currentTimeMillis() < end) Thread.sleep(50)
+      assert(!spark.streams.active.exists(q => started.head.id == q.id),
+        "cancel did not stop the composed streaming job")
+    } finally {
+      gw.close()
+      Seq(lt, rt, sink).foreach(t =>
+        Engine.sql(spark, s"DROP TABLE IF EXISTS $t"): Unit)
+    }
+  }
+
   /** STREAMING statement set through the gateway (flink-sql-gateway runs
     * EXECUTE STATEMENT SET): one operation handle, one job per INSERT
     * member, cancel stops them ALL and reclaims the operation's
