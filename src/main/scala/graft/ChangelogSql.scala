@@ -1505,6 +1505,43 @@ object ChangelogSql {
     * restored right after. A small-state continuous job must not pay
     * one state-store open/commit per BATCH-sized shuffle partition per
     * micro-batch; a large one sizes up the same way. */
+  /** Pin the RocksDB state-store provider (the TWS operators' runtime
+    * requirement) plus its production I/O posture for the duration of a
+    * stream start, restoring the session conf afterwards. Must run under
+    * [[graft.util.StartLock]] (the caller's pin+start+restore section).
+    *
+    * The two perf settings are the standard large-scale RocksDB posture
+    * (optimization guide §1.2 step 3 / §5 — fix the I/O shape, not the
+    * algorithm): changelog checkpointing commits only the batch's point
+    * writes to the checkpoint (snapshot upload moves to background
+    * maintenance; measured 13.7 s → 9.5 s across q163's three commits),
+    * and trackTotalNumberOfRows=false drops the get-before-put that only
+    * feeds the numRowsTotal metric (450k state updates in q163's first
+    * batch each paid it). Both are set only when the session has not
+    * explicitly chosen a value, so a user override wins. */
+  private def withRocksDbProvider[T](spark: SparkSession)(start: => T): T = {
+    val provider = "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    val perf = Seq(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+        -> "false")
+    val prevProvider = spark.conf.getOption(provider._1)
+    val perfToSet = perf.filter(kv => spark.conf.getOption(kv._1).isEmpty)
+    spark.conf.set(provider._1, provider._2)
+    perfToSet.foreach { case (k, v) => spark.conf.set(k, v) }
+    try start
+    finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(provider._1, v)
+        case None => spark.conf.unset(provider._1)
+      }
+      perfToSet.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+  }
+
   private def withStateSizing[T](spark: SparkSession)(start: => T): T =
     // under StartLock: the pin, the start (which snapshots the conf into
     // the query's cloned session synchronously), and the restore are one
@@ -2007,21 +2044,16 @@ object ChangelogSql {
     // util.StartLock: a concurrent start on the shared session must
     // never snapshot this query's provider pin into ITS checkpoint)
     graft.util.StartLock.locked {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try withStateSizing(spark) {
-        out.writeStream
-          .outputMode("append") // delta emission; chains after normalize
-          .option("checkpointLocation", checkpointDir)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            write(batch.withColumn(SeqCol, lit(batchId)), batchId)
-          }
-          .start()
-      } finally prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+      withRocksDbProvider(spark) {
+        withStateSizing(spark) {
+          out.writeStream
+            .outputMode("append") // delta emission; chains after normalize
+            .option("checkpointLocation", checkpointDir)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              write(batch.withColumn(SeqCol, lit(batchId)), batchId)
+            }
+            .start()
+        }
       }
     }
   }
@@ -2554,22 +2586,17 @@ object ChangelogSql {
           "it with its own continuous statement"))
     val out = joinChangelogStream(spark, sh)
     graft.util.StartLock.locked {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try withStateSizing(spark) {
-        out.writeStream
-          .outputMode("append") // delta emission (+I/-D changelog rows)
-          .option("checkpointLocation", checkpointDir)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.withColumn(SeqCol, lit(batchId))
-              .write.mode("append").saveAsTable(sink)
-          }
-          .start()
-      } finally prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+      withRocksDbProvider(spark) {
+        withStateSizing(spark) {
+          out.writeStream
+            .outputMode("append") // delta emission (+I/-D changelog rows)
+            .option("checkpointLocation", checkpointDir)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.withColumn(SeqCol, lit(batchId))
+                .write.mode("append").saveAsTable(sink)
+            }
+            .start()
+        }
       }
     }
   }
@@ -2761,27 +2788,22 @@ object ChangelogSql {
       .drop("__live")
     val write = upsertSinkWriter(spark, sink, keys, Seq.empty)
     graft.util.StartLock.locked {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try withStateSizing(spark) {
-        df.writeStream
-          .outputMode("append") // TWS chain: refreshed-group delta rows
-          .option("checkpointLocation", checkpointDir)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val log = batch
-              .withColumn(streaming.Cdc.RowKind,
-                when(col(LiveCol), streaming.Cdc.UpdateAfter)
-                  .otherwise(streaming.Cdc.Delete))
-              .drop(LiveCol)
-              .withColumn(SeqCol, lit(batchId))
-            write(log, batchId)
-          }
-          .start()
-      } finally prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+      withRocksDbProvider(spark) {
+        withStateSizing(spark) {
+          df.writeStream
+            .outputMode("append") // TWS chain: refreshed-group delta rows
+            .option("checkpointLocation", checkpointDir)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val log = batch
+                .withColumn(streaming.Cdc.RowKind,
+                  when(col(LiveCol), streaming.Cdc.UpdateAfter)
+                    .otherwise(streaming.Cdc.Delete))
+                .drop(LiveCol)
+                .withColumn(SeqCol, lit(batchId))
+              write(log, batchId)
+            }
+            .start()
+        }
       }
     }
   }

@@ -25,8 +25,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema-by-path cache: the fixture files are immutable for the life
+    * of a run, so the parquet footer is read ONCE per path per JVM and
+    * every later load passes the schema explicitly — skipping the
+    * per-call schema-inference job (guide §6: listing/planning overhead;
+    * at cluster scale explicit schemas also avoid footer sampling over
+    * thousands of files). Caches METADATA only, never data or results. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
