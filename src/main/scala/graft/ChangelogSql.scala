@@ -1562,6 +1562,28 @@ object ChangelogSql {
       }
     }
 
+  /** Micro-batch poll interval for stream starts. Default (conf unset)
+    * keeps the zero-interval continuous trigger. A caller that lands ONE
+    * logical commit as SEVERAL table appends (a multi-source statement
+    * whose inputs commit one table at a time) sets
+    * `graft.stream.triggerIntervalMs` a bit above its append latency so
+    * the poll does not fire between the appends and split the commit
+    * round into one micro-batch per source — fewer, larger micro-batches
+    * paying the per-batch machinery once. The final state is identical
+    * either way (the normalize/join/agg operators are deterministic over
+    * the same total input and the sinks materialize by key); this is
+    * purely the optimization guide's "fewer, larger" rule applied to
+    * micro-batches. */
+  private def withTrigger[T](spark: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    spark.conf.getOption("graft.stream.triggerIntervalMs") match {
+      case Some(ms) => w.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(ms.trim.toLong,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      case None => w
+    }
+
   def streamInsert(spark: SparkSession, statement: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val (sink, select) = statement match {
@@ -1572,7 +1594,7 @@ object ChangelogSql {
     val (df, keys, monotoneCols) = streamAgg(spark, select)
     val write = upsertSinkWriter(spark, sink, keys, monotoneCols)
     withStateSizing(spark) {
-      df.writeStream
+      withTrigger(spark, df.writeStream
         .outputMode("update")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1583,7 +1605,7 @@ object ChangelogSql {
             .drop(LiveCol)
             .withColumn(SeqCol, lit(batchId))
           write(log, batchId)
-        }
+        })
         .start()
     }
   }
@@ -2046,12 +2068,12 @@ object ChangelogSql {
     graft.util.StartLock.locked {
       withRocksDbProvider(spark) {
         withStateSizing(spark) {
-          out.writeStream
+          withTrigger(spark, out.writeStream
             .outputMode("append") // delta emission; chains after normalize
             .option("checkpointLocation", checkpointDir)
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
               write(batch.withColumn(SeqCol, lit(batchId)), batchId)
-            }
+            })
             .start()
         }
       }
@@ -2588,13 +2610,13 @@ object ChangelogSql {
     graft.util.StartLock.locked {
       withRocksDbProvider(spark) {
         withStateSizing(spark) {
-          out.writeStream
+          withTrigger(spark, out.writeStream
             .outputMode("append") // delta emission (+I/-D changelog rows)
             .option("checkpointLocation", checkpointDir)
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
               batch.withColumn(SeqCol, lit(batchId))
                 .write.mode("append").saveAsTable(sink)
-            }
+            })
             .start()
         }
       }
@@ -2790,7 +2812,7 @@ object ChangelogSql {
     graft.util.StartLock.locked {
       withRocksDbProvider(spark) {
         withStateSizing(spark) {
-          df.writeStream
+          withTrigger(spark, df.writeStream
             .outputMode("append") // TWS chain: refreshed-group delta rows
             .option("checkpointLocation", checkpointDir)
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2801,7 +2823,7 @@ object ChangelogSql {
                 .drop(LiveCol)
                 .withColumn(SeqCol, lit(batchId))
               write(log, batchId)
-            }
+            })
             .start()
         }
       }

@@ -21,6 +21,40 @@ object ProfilePhases {
       .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // stage-level attribution: every stage >= 150 ms with its task stats
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val tasks = new java.util.concurrent.ConcurrentHashMap[Int,
+        java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]]()
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null && e.taskInfo != null) {
+          tasks.computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue())
+            .add((e.taskInfo.launchTime, e.taskInfo.finishTime,
+              m.executorRunTime, m.jvmGCTime)): Unit
+        }
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield a - b).getOrElse(-1L)
+        if (wall >= 150) {
+          import scala.jdk.CollectionConverters._
+          val ts = Option(tasks.get(si.stageId))
+            .map(_.asScala.toSeq).getOrElse(Seq.empty)
+          val minL = if (ts.isEmpty) 0L else ts.map(_._1).min
+          val spans = ts.map(t => s"${t._1 - minL}+${t._2 - t._1}")
+            .mkString(",")
+          println(
+            f"[stage] id=${si.stageId}%4d wall=${wall}%6d ms tasks=${si.numTasks}%3d " +
+              f"run=${ts.map(_._3).sum}%6d gc=${ts.map(_._4).sum}%4d " +
+              f"spans(launchOff+dur)=[$spans] name=${si.name.take(60)}")
+        }
+        tasks.remove(si.stageId): Unit
+      }
+    })
     import s.implicits._
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
@@ -32,6 +66,8 @@ object ProfilePhases {
     val variants: Seq[(String, Map[String, String])] = Seq(
       ("warmup", Map.empty),
       ("pinned-defaults-a", Map.empty),
+      ("trigger1000", Map("graft.stream.triggerIntervalMs" -> "1000")),
+      ("trigger1000-b", Map("graft.stream.triggerIntervalMs" -> "1000")),
       ("pinned-defaults-b", Map.empty))
     require(rocks.nonEmpty)
     variants.foreach { case (tag, confs) =>

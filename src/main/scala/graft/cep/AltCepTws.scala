@@ -28,8 +28,13 @@ import org.apache.spark.sql.streaming._
   * both executors under the RocksDB state-store provider. */
 object AltCepTws {
 
+  // object-level vals: init runs per task per micro-batch; encoder
+  // construction pays globally-locked runtime reflection (RetractAggTws)
   private val eRow3 =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+  private val eRuns = Encoders.tuple(Encoders.scalaInt, Encoders.product[Run])
+  private val eHeld = Encoders.product[(Int, Seq[BoundEv])]
+  private val eLong = Encoders.scalaLong
 
   private class AltProc(c: AltCep.CompiledAlt)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Long, Long),
@@ -42,11 +47,9 @@ object AltCepTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", eRow3, TTLConfig.NONE)
-      runs = getHandle.getListState("runs",
-        Encoders.tuple(Encoders.scalaInt, Encoders.product[Run]), TTLConfig.NONE)
-      held = getHandle.getListState("held",
-        Encoders.product[(Int, Seq[BoundEv])], TTLConfig.NONE)
-      minPend = getHandle.getValueState("minPend", Encoders.scalaLong, TTLConfig.NONE)
+      runs = getHandle.getListState("runs", eRuns, TTLConfig.NONE)
+      held = getHandle.getListState("held", eHeld, TTLConfig.NONE)
+      minPend = getHandle.getValueState("minPend", eLong, TTLConfig.NONE)
     }
 
     private def rearm(wm: Long): Unit = {

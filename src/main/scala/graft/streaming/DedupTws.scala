@@ -25,6 +25,10 @@ import org.apache.spark.sql.streaming._
   * runtime prerequisite: the RocksDB state store provider. */
 object DedupTws {
 
+  // object-level val: init runs per task per micro-batch; encoder
+  // construction pays globally-locked runtime reflection (RetractAggTws)
+  private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+
   private class KeepLastProc[K](ttl: Option[java.time.Duration])
       extends StatefulProcessor[K, (K, Long, String), (K, Long, String)] {
 
@@ -32,7 +36,7 @@ object DedupTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       best = getHandle.getValueState[(Long, String)]("best",
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+        ePair,
         // the NATIVE TTL path (vs the fMGWS original's timeout emulation):
         // transformWithState state TTL is Flink StateTtlConfig's direct
         // analog — OnCreateAndWrite, lazily cleaned, processing-time

@@ -74,10 +74,15 @@ object RetractAggTws {
     @transient private var vals: MapState[String, (Long, String)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // encoders come from object-level vals: init runs PER TASK PER
+      // MICRO-BATCH, and Encoders.product resolves through Scala runtime
+      // reflection behind a GLOBAL lock (JavaUniverse.runtimeMirror) —
+      // measured serializing all state tasks of a batch (thread dumps,
+      // guide §7.3) at ~300 ms/task of burned CPU
       acc = getHandle.getValueState[(Long, Seq[String])]("acc",
-        Encoders.product[(Long, Seq[String])], TTLConfig.NONE)
+        eAcc, TTLConfig.NONE)
       vals = getHandle.getMapState[String, (Long, String)]("vals",
-        Encoders.STRING, Encoders.product[(Long, String)], TTLConfig.NONE)
+        eStr, eValsV, TTLConfig.NONE)
     }
 
     private def zeroAcc(kind: String): String = kind match {
@@ -273,6 +278,10 @@ object RetractAggTws {
   private val eIn =
     Encoders.product[(String, Int, Seq[Option[String]], Seq[Option[String]])]
   private val eOut = Encoders.product[(String, String, Seq[Option[String]])]
+  // state encoders, resolved ONCE per JVM (see GroupAggProc.init)
+  private val eAcc = Encoders.product[(Long, Seq[String])]
+  private val eValsV = Encoders.product[(Long, String)]
+  private val eStr = Encoders.STRING
 
   /** One retraction-consuming group aggregate over a keyed changelog of
     * pre-rendered aggregate arguments; output rows are (group key,

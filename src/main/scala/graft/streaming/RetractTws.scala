@@ -42,8 +42,14 @@ object RetractTws {
     }
   }
 
+  // ALL state/stream encoders are object-level vals: StatefulProcessor
+  // init runs per task per micro-batch, and encoder construction goes
+  // through Scala runtime reflection behind a global lock — measured
+  // serializing the batch's state tasks (see RetractAggTws)
   private val ePayloads = Encoders.product[Tuple1[Seq[(String, Int)]]]
   private val eBoundary = Encoders.product[Tuple1[Seq[(String, String)]]]
+  private val eStr = Encoders.STRING
+  private val eLong = Encoders.scalaLong
 
   /** The dataState + treeMap pairing of RetractableTopNFunction.java:56
     * on arbitrary comparable sort keys:
@@ -92,9 +98,9 @@ object RetractTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       data = getHandle.getMapState[String, Tuple1[Seq[(String, Int)]]](
-        "data", Encoders.STRING, ePayloads, TTLConfig.NONE)
+        "data", eStr, ePayloads, TTLConfig.NONE)
       counts = getHandle.getMapState[String, Long](
-        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+        "counts", eStr, eLong, TTLConfig.NONE)
       boundary = getHandle.getValueState[Tuple1[Seq[(String, String)]]](
         "boundary", eBoundary, TTLConfig.NONE)
     }

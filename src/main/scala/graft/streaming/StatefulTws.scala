@@ -37,8 +37,15 @@ import org.apache.spark.sql.streaming._
   * MemoryStream script through both implementations. */
 object StatefulTws {
 
+  // object-level vals: processor init runs per task per micro-batch and
+  // encoder construction pays globally-locked runtime reflection (see
+  // RetractAggTws for the measurement)
   private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
   private val eNum = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+  private val eLong = Encoders.scalaLong
+  private val eInt = Encoders.scalaInt
+  private val eDouble = Encoders.scalaDouble
+  private val eScorePair = Encoders.tuple(Encoders.scalaDouble, Encoders.STRING)
 
   /** NaN-skipping sum — StatefulOps.Slots.comb's Sum op, shared so the
     * TWS ports stay output-equal to the fMGWS originals on NaN-sentinel
@@ -87,7 +94,7 @@ object StatefulTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", ePair, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(key: K, fresh: Seq[(Long, String)], wm: Long)
@@ -141,8 +148,8 @@ object StatefulTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
-      acc = getHandle.getValueState("acc", Encoders.scalaDouble, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      acc = getHandle.getValueState("acc", eDouble, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
@@ -200,8 +207,8 @@ object StatefulTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
-      acc = getHandle.getValueState("acc", Encoders.scalaDouble, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      acc = getHandle.getValueState("acc", eDouble, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
@@ -266,7 +273,7 @@ object StatefulTws {
       // bounded ListState handle (Flink keeps the same deque in ValueState;
       // a list handle keeps the rewrite O(nRows), never O(pending))
       frame = getHandle.getListState("frame", eNum, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
@@ -329,7 +336,7 @@ object StatefulTws {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState("pending", eNum, TTLConfig.NONE)
       frame = getHandle.getListState("frame", eNum, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(key: K, fresh: Seq[(Long, Double)], wm: Long)
@@ -408,7 +415,7 @@ object StatefulTws {
       pending = getHandle.getListState("pending", eVecRow, TTLConfig.NONE)
       frm = getHandle.getListState("frame", eVecRow, TTLConfig.NONE)
       acc = getHandle.getValueState("acc", eVecBox, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(key: K, fresh: Seq[(Long, Seq[Double])], wm: Long)
@@ -515,7 +522,7 @@ object StatefulTws {
       pending = getHandle.getListState("pending", eChainRow, TTLConfig.NONE)
       frm = getHandle.getListState("frame", eVecRow, TTLConfig.NONE)
       acc = getHandle.getValueState("acc", eVecBox, TTLConfig.NONE)
-      minPending = getHandle.getValueState("minPending", Encoders.scalaLong, TTLConfig.NONE)
+      minPending = getHandle.getValueState("minPending", eLong, TTLConfig.NONE)
     }
 
     private def flush(fresh: Seq[(Long, String, Seq[Double])], wm: Long)
@@ -611,8 +618,7 @@ object StatefulTws {
       // instances per key, the AppendOnlyTopNFunction dataState shape
       // (rank/AppendOnlyTopNFunction.java:52) as a counted-entry MapState
       live = getHandle.getMapState("live",
-        Encoders.tuple(Encoders.scalaDouble, Encoders.STRING),
-        Encoders.scalaInt, TTLConfig.NONE)
+        eScorePair, eInt, TTLConfig.NONE)
 
     override def handleInputRows(key: K, rows: Iterator[(K, Double, String)],
         tv: TimerValues): Iterator[(K, Int, Double, String)] = {

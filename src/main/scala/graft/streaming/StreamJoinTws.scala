@@ -43,6 +43,11 @@ object StreamJoinTws {
     }
   }
 
+  // object-level val: processor init runs per task per micro-batch and
+  // encoder construction pays globally-locked runtime reflection (see
+  // RetractAggTws for the measurement)
+  private val eInt = Encoders.scalaInt
+
   private class InnerJoinProc[K, L, R](encL: Encoder[L], encR: Encoder[R])
       extends StatefulProcessor[K, (Int, K, String, Option[L], Option[R]),
         (K, String, Option[L], Option[R])] {
@@ -51,8 +56,8 @@ object StreamJoinTws {
     @transient private var liveR: MapState[R, Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      liveL = getHandle.getMapState[L, Int]("liveL", encL, Encoders.scalaInt, TTLConfig.NONE)
-      liveR = getHandle.getMapState[R, Int]("liveR", encR, Encoders.scalaInt, TTLConfig.NONE)
+      liveL = getHandle.getMapState[L, Int]("liveL", encL, eInt, TTLConfig.NONE)
+      liveR = getHandle.getMapState[R, Int]("liveR", encR, eInt, TTLConfig.NONE)
     }
 
     private def probed[T](it: Iterator[(T, Int)]): Iterator[(T, Int)] =
@@ -158,10 +163,10 @@ object StreamJoinTws {
     @transient private var totR: ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      liveL = getHandle.getMapState[L, Int]("liveL", encL, Encoders.scalaInt, TTLConfig.NONE)
-      liveR = getHandle.getMapState[R, Int]("liveR", encR, Encoders.scalaInt, TTLConfig.NONE)
-      totL = getHandle.getValueState[Int]("totL", Encoders.scalaInt, TTLConfig.NONE)
-      totR = getHandle.getValueState[Int]("totR", Encoders.scalaInt, TTLConfig.NONE)
+      liveL = getHandle.getMapState[L, Int]("liveL", encL, eInt, TTLConfig.NONE)
+      liveR = getHandle.getMapState[R, Int]("liveR", encR, eInt, TTLConfig.NONE)
+      totL = getHandle.getValueState[Int]("totL", eInt, TTLConfig.NONE)
+      totR = getHandle.getValueState[Int]("totR", eInt, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: K,

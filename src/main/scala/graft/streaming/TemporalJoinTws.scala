@@ -27,7 +27,11 @@ import org.apache.spark.sql.streaming._
   * script through both. Same RocksDB prerequisite as every TWS port. */
 object TemporalJoinTws {
 
+  // object-level vals: init runs per task per micro-batch; encoder
+  // construction pays globally-locked runtime reflection (RetractAggTws)
   private val ePair = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+  private val eLong = Encoders.scalaLong
+  private val eStr = Encoders.STRING
 
   private class TemporalProc[K](maxIdleMs: Long)
       extends StatefulProcessor[K, (Int, K, java.sql.Timestamp, String),
@@ -41,9 +45,9 @@ object TemporalJoinTws {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       facts = getHandle.getListState("facts", ePair, TTLConfig.NONE)
       versions = getHandle.getMapState("versions",
-        Encoders.scalaLong, Encoders.STRING, TTLConfig.NONE)
-      lastTouch = getHandle.getValueState("lastTouch", Encoders.scalaLong, TTLConfig.NONE)
-      minFact = getHandle.getValueState("minFact", Encoders.scalaLong, TTLConfig.NONE)
+        eLong, eStr, TTLConfig.NONE)
+      lastTouch = getHandle.getValueState("lastTouch", eLong, TTLConfig.NONE)
+      minFact = getHandle.getValueState("minFact", eLong, TTLConfig.NONE)
     }
 
     private def rearmTimer(wm: Long): Unit = {
