@@ -19,7 +19,7 @@ object ProfileQuery {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       .getOrElse(Set.empty)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -27,17 +27,30 @@ object ProfileQuery {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true")
-      .getOrCreate()
+    // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskMs = new AtomicLong
+    val stageDetail = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet(): Unit
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(): Unit
+        if (stageDetail) {
+          val si = s.stageInfo
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          if (wall >= 100) println(
+            f"[stage] id=${si.stageId}%4d wall=${wall}%6d ms " +
+              f"tasks=${si.numTasks}%3d name=${si.name.take(80)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration): Unit

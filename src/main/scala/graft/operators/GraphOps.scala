@@ -380,6 +380,12 @@ object GraphOps extends QueryModule {
       .select($"v", coalesce($"deg", lit(0L)).as("deg"), lit(U / n).as("units"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      // dangling mass stays a broadcast COLUMN, not a driver literal: a
+      // per-round literal changes the generated code's source text every
+      // round and defeats the codegen cache (measured +0.6 s of
+      // recompilation over 8 rounds). The lazy checkpoint still drops
+      // the old eager extra job — the broadcast build below is the one
+      // job per round that materializes the previous round's frame.
       val dangling = pr.filter($"deg" === 0)
         .agg(coalesce(sum($"units"), lit(0L)).as("dm"))
       val contrib = e.join(pr.filter($"deg" > 0), $"src" === $"v")
@@ -391,7 +397,7 @@ object GraphOps extends QueryModule {
           (lit(base) +
             expr(s"(85 * (coalesce(in_sum, 0L) + dm DIV ${n}L)) DIV 100"))
             .as("units"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     pr.select($"v", $"units")
   }

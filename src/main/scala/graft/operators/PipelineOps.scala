@@ -152,6 +152,13 @@ object PipelineOps extends QueryModule {
     // shingle frame that joins back as a BROADCAST with map-side partial
     // aggregation, so the window form's full shuffle+sort of the shingle
     // frame cost 10x the task time for the same wall clock.
+    // NOTE (r15 optimization round): widening the 1-partition checkpoint
+    // (repartition to the session parallelism before caching) and a
+    // smaller AQE coalesce floor were BOTH measured and rejected: task
+    // time quadruples (per-task overhead on 32-way tiny partitions) and
+    // wall stays flat-to-worse — at bench scale this family is stage-
+    // latency-bound, not compute-bound. At 100 TB the scan has >= cores
+    // splits and the question does not arise.
     val sh = shingles(s, d).localCheckpoint()
     val capped = sh.join(
         sh.groupBy($"shingle").agg(count(lit(1)).as("df"))

@@ -627,8 +627,13 @@ object SinkOps extends QueryModule {
           lit(null).cast("binary").as("value"), lit(3L).as("offset"))
         val schema = new StructType().add("o_orderkey", LongType)
           .add("o_orderpriority", StringType).add("price", DoubleType)
+        // the orders scan is ONE task (single small parquet row group),
+        // which dragged the whole JSON decode + CTAS through ~1 task —
+        // guide §2.5 "input skew: repartition immediately after the
+        // read". REBALANCE (not a fixed n) stays AQE-sized at any scale.
         val decoded = graft.sources.KafkaConnector.upsertDecode(
-          w1.unionByName(w2).unionByName(w3), schema, Seq("o_orderkey"),
+          w1.unionByName(w2).unionByName(w3).hint("rebalance"),
+          schema, Seq("o_orderkey"),
           Map("key.format" -> "json", "value.format" -> "json"))
         decoded.createOrReplaceTempView(s"__${t}_src")
         try Engine.sql(s, s"CREATE TABLE $t AS SELECT * FROM __${t}_src")
